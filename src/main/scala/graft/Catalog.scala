@@ -1,0 +1,686 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One declared query per implemented operator (SURVEY §2 inventory +
+  * north-star extensions), each paired with ANSI SQL the driver runs
+  * in DuckDB over the same parquet tables (CORRECTNESS gate).
+  *
+  * Conventions that make the hash-compare deterministic:
+  *  - every query ends with an ORDER BY on a unique column set, in
+  *    both the Spark plan and the oracle SQL;
+  *  - money-ish double sums go through DECIMAL(18,4) (exact,
+  *    order-independent) and back to DOUBLE;
+  *  - remaining double outputs are rounded on both sides;
+  *  - timestamps are emitted as formatted strings (no physical-type
+  *    ambiguity between writers).
+  */
+object Catalog {
+
+  final case class QueryDef(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      headline: Boolean = false)
+
+  import Tables._
+
+  /** decimal-exact sum of a double column expression, emitted as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  val entries: Seq[QueryDef] = Seq(
+
+    // ----------------------------------------------------- S5/S8 + pushdown
+    QueryDef("q01_scan_project",
+      (s, d) => lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+              ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+
+    // ------------------------------------------------- O1 normalization (data-side)
+    QueryDef("q02_normalize_names",
+      (s, d) => region(s, d)
+        .select(col("r_regionkey"),
+          TextAnalysis.normalizeText(col("r_name")).as("norm_name"))
+        .orderBy("r_regionkey"),
+      Some("""SELECT r_regionkey,
+                trim(regexp_replace(lower(r_name), '[^a-z0-9]+', ' ', 'g')) AS norm_name
+              FROM region ORDER BY r_regionkey""")),
+
+    // ------------------------------------------------- O2 two-format cast
+    QueryDef("q03_cast_two_format",
+      (s, d) => {
+        val e = events(s, d).where(col("event_id") < 1000)
+        val raw = when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyy/MM/dd"))
+        val parsed = coalesce(
+          try_to_timestamp(raw, lit("yyyy/MM/dd HH:mm:ss")),
+          try_to_timestamp(raw, lit("yyyy/MM/dd")))
+        e.select(col("event_id"),
+            date_format(parsed, "yyyy-MM-dd HH:mm:ss").as("parsed_ts"),
+            substring(col("props"), 1, 3).try_cast("double").as("bad_double"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+                strftime(coalesce(
+                  try_strptime(raw, '%Y/%m/%d %H:%M:%S'),
+                  try_strptime(raw, '%Y/%m/%d')), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+                TRY_CAST(substring(props, 1, 3) AS DOUBLE) AS bad_double
+              FROM (SELECT event_id, props,
+                      CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+                           ELSE strftime(ts, '%Y/%m/%d') END AS raw
+                    FROM events WHERE event_id < 1000) t
+              ORDER BY event_id""")),
+
+    // ------------------------------------------------- O3 empty-row filter
+    QueryDef("q04_empty_filter",
+      (s, d) => documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs FROM documents
+              WHERE length(trim(text)) > 0 GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------- O5 whole-row distinct
+    QueryDef("q05_distinct",
+      (s, d) => lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------- K5 first-per-key dedup
+    QueryDef("q06_first_per_key",
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is NOT unique in this data — the
+        // survivor order must be total for deterministic first-wins
+        val w = Window.partitionBy("l_orderkey").orderBy(
+          col("l_linenumber").asc, col("l_partkey").asc,
+          col("l_suppkey").asc, col("l_extendedprice").asc)
+        lineitem(s, d)
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+              FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+                    FROM lineitem) t
+              WHERE rn = 1 ORDER BY l_orderkey"""),
+      headline = true),
+
+    // ------------------------------------------------- O6/O7 drop + prefix rename
+    QueryDef("q07_prefix_rename",
+      (s, d) => {
+        val sup = supplier(s, d).drop("s_acctbal")
+        val renamed = sup.columns.foldLeft(sup) { (df, c) =>
+          if (c == "s_suppkey") df else df.withColumnRenamed(c, s"sup_$c")
+        }
+        renamed.orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name AS sup_s_name, s_nationkey AS sup_s_nationkey
+              FROM supplier ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------- J1 N-way full outer join
+    QueryDef("q08_full_outer_nway",
+      (s, d) => {
+        val li = lineitem(s, d)
+        def side(flag: String, alias: String) = li
+          .where(col("l_returnflag") === flag)
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_quantity")).as(s"${alias}_qty"))
+        Seq(side("A", "a"), side("N", "n"), side("R", "r"))
+          .reduce(_.join(_, Seq("l_suppkey"), "full_outer"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, a_qty, n_qty, r_qty FROM
+                (SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS a_qty
+                 FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_suppkey) a
+              FULL JOIN
+                (SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS n_qty
+                 FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_suppkey) n USING (l_suppkey)
+              FULL JOIN
+                (SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS r_qty
+                 FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey) r USING (l_suppkey)
+              ORDER BY l_suppkey"""),
+      headline = true),
+
+    // ------------------------------------------------- A1/A2 mean imputation
+    QueryDef("q09_mean_impute",
+      (s, d) => {
+        val li = lineitem(s, d).withColumn("v",
+          when(col("l_linenumber") === 1, lit(null)).otherwise(col("l_quantity")))
+        // global mean via a 1-row agg cross-joined back (scales: no
+        // empty-partition window, no driver collect in the plan)
+        val mean = li.agg(avg("v").as("mean_v"))
+        li.crossJoin(broadcast(mean))
+          .withColumn("imputed", coalesce(col("v"), col("mean_v")))
+          .groupBy("l_suppkey")
+          .agg(round(sum("imputed"), 2).as("sum_imputed"), count(lit(1)).as("n"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey,
+                round(SUM(coalesce(v, mean_v)), 2) AS sum_imputed,
+                count(*) AS n
+              FROM (SELECT l_suppkey, v, AVG(v) OVER () AS mean_v
+                    FROM (SELECT l_suppkey,
+                            CASE WHEN l_linenumber = 1 THEN NULL ELSE l_quantity END AS v
+                          FROM lineitem) t) t2
+              GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
+    // ------------------------------------------------- O9 unit-factor map multiply
+    QueryDef("q10_unit_convert",
+      (s, d) => {
+        val factors = typedlit(Map("A" -> 1e-3, "N" -> 1e-6, "R" -> 1e-9))
+        lineitem(s, d)
+          .withColumn("g", col("l_quantity") * element_at(factors, col("l_returnflag")))
+          .groupBy("l_returnflag")
+          .agg(round(sum("g"), 6).as("sum_g"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                round(SUM(l_quantity * CASE l_returnflag
+                  WHEN 'A' THEN 1e-3 WHEN 'N' THEN 1e-6 WHEN 'R' THEN 1e-9 END), 6) AS sum_g,
+                count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------- W3 ffill/bfill
+    QueryDef("q11_ffill_bfill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val e = events(s, d).withColumn("v",
+          when(col("event_type") === "click", col("value")))
+        val filled = coalesce(
+          last("v", ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+          first("v", ignoreNulls = true).over(w.rowsBetween(0, Window.unboundedFollowing)))
+        e.withColumn("filled", filled)
+          .groupBy("user_id")
+          .agg(round(sum("filled"), 4).as("sum_filled"),
+            count(col("filled")).as("n_filled"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, round(SUM(filled), 4) AS sum_filled,
+                count(filled) AS n_filled
+              FROM (SELECT user_id,
+                      coalesce(
+                        last_value(v IGNORE NULLS) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        first_value(v IGNORE NULLS) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS filled
+                    FROM (SELECT user_id, ts, event_id,
+                            CASE WHEN event_type = 'click' THEN value END AS v
+                          FROM events) t) t2
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------- A3 row-wise NaN-skipping sum
+    QueryDef("q12_rowwise_total",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val terms = Seq(
+          when(col("l_linenumber") === 1, lit(null)).otherwise(col("l_extendedprice")),
+          when(col("l_returnflag") === "A", lit(null)).otherwise(col("l_tax") * 1000),
+          when(col("l_discount") > 0.05, col("l_discount") * 100))
+        val total = terms.map(t => coalesce(t.cast("decimal(18,4)"), lit(0).cast("decimal(18,4)"))).reduce(_ + _)
+        li.withColumn("row_total", total)
+          .groupBy("l_returnflag")
+          .agg(sum("row_total").cast("double").as("sum_total"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                CAST(SUM(
+                  coalesce(CAST(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_extendedprice END AS DECIMAL(18,4)), 0)
+                + coalesce(CAST(CASE WHEN l_returnflag = 'A' THEN NULL ELSE l_tax * 1000 END AS DECIMAL(18,4)), 0)
+                + coalesce(CAST(CASE WHEN l_discount > 0.05 THEN l_discount * 100 END AS DECIMAL(18,4)), 0)
+                ) AS DOUBLE) AS sum_total,
+                count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------- W1 lag-6 diff
+    QueryDef("q13_lag_diff",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val lagged = coalesce(lag("value", 6).over(w), col("value"))
+        events(s, d)
+          .withColumn("diff6", col("value") - lagged)
+          .groupBy("user_id")
+          .agg(round(sum(abs(col("diff6"))), 4).as("sum_abs_diff"), count(lit(1)).as("n"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, round(SUM(abs(diff6)), 4) AS sum_abs_diff, count(*) AS n
+              FROM (SELECT user_id,
+                      value - coalesce(lag(value, 6) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id), value) AS diff6
+                    FROM events) t
+              GROUP BY user_id ORDER BY user_id"""),
+      headline = true),
+
+    // ------------------------------------------------- W2 lag-6 pct change
+    QueryDef("q14_pct_change",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val lag6 = lag("value", 6).over(w)
+        val pct = when(lag6 =!= 0, (col("value") - lag6) / lag6 * 100)
+        events(s, d)
+          .withColumn("pct", pct)
+          .groupBy("user_id")
+          .agg(round(sum("pct"), 4).as("sum_pct"), count(col("pct")).as("n_pct"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, round(SUM(pct), 4) AS sum_pct, count(pct) AS n_pct
+              FROM (SELECT user_id,
+                      CASE WHEN lag6 <> 0 THEN (value - lag6) / lag6 * 100 END AS pct
+                    FROM (SELECT user_id, value, lag(value, 6) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) AS lag6
+                          FROM events) t) t2
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------- union all + distinct
+    QueryDef("q15_union_dedup",
+      (s, d) => {
+        val o = orders(s, d)
+        val a = o.where(col("o_orderstatus") === "F").select("o_orderkey", "o_orderstatus")
+        val b = o.where(col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
+        a.unionByName(b).distinct()
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n FROM
+                (SELECT DISTINCT * FROM
+                  (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+                   UNION ALL
+                   SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000) u) t
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------- sort + limit (top-k)
+    QueryDef("q16_topk",
+      (s, d) => orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus")),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // ------------------------------------------------- string functions
+    QueryDef("q17_string_funcs",
+      (s, d) => part(s, d).where(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("lo"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+          length(col("p_name")).as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, lower(p_name) AS lo,
+                string_split(p_name, ' ')[1] AS first_word,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+                length(p_name) AS len,
+                concat_ws('|', p_brand, p_type) AS brand_type
+              FROM part WHERE p_partkey < 500 ORDER BY p_partkey""")),
+
+    // ------------------------------------------------- date functions
+    QueryDef("q18_date_funcs",
+      (s, d) => orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("ym"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+              FROM orders GROUP BY 1 ORDER BY ym""")),
+
+    // ------------------------------------------------- headline agg (TPC-H Q1 shape)
+    QueryDef("q19_agg_pricing",
+      (s, d) => lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                round(AVG(l_quantity), 4) AS avg_qty,
+                round(AVG(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // ------------------------------------------------- star join (broadcast dims)
+    QueryDef("q20_star_join",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                count(*) AS n
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name"""),
+      headline = true),
+
+    // ------------------------------------------------- semi/anti join
+    QueryDef("q21_anti_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).where(year(col("o_orderdate")) === 1995),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+              ORDER BY c_custkey""")),
+
+    // ------------------------------------------------- window rank per group
+    QueryDef("q22_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        orders(s, d)
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"), col("rk"))
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+              FROM (SELECT *, row_number() OVER
+                      (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                    FROM orders) t
+              WHERE rk <= 3 ORDER BY o_custkey, rk""")),
+
+    // ------------------------------------------------- tumbling time window
+    QueryDef("q23_tumbling_window",
+      (s, d) => EventStream.windowedAggBatch(events(s, d))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_v"),
+          round(col("avg_value"), 4).as("avg_v"))
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                event_type, count(*) AS n,
+                round(SUM(value), 4) AS sum_v, round(AVG(value), 4) AS avg_v
+              FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
+      headline = true),
+
+    // ------------------------------------------------- as-of join
+    QueryDef("q24_asof_join",
+      (s, d) => {
+        val e = events(s, d).select("event_id", "ts", "user_id")
+        val o = orders(s, d)
+          .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("last_order"))
+        AsOfJoin.asOf(e, o, Seq("user_id"), "ts", "o_orderdate")
+          .select(col("event_id"), col("user_id"), col("last_order"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, o.last_order
+              FROM events e ASOF LEFT JOIN
+                (SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_order
+                 FROM orders GROUP BY 1, 2) o
+              ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+              ORDER BY e.event_id"""),
+      headline = true),
+
+    // ================================================= extensions: dedup
+    QueryDef("x01_dedup_exact",
+      (s, d) => Dedup.exactGroups(documents(s, d), "doc_id", col("text"))
+        .select("digest", "group_size", "survivor_id")
+        .orderBy("survivor_id"),
+      Some("""SELECT md5(text) AS digest, count(*) AS group_size,
+                min(doc_id) AS survivor_id
+              FROM documents GROUP BY md5(text) ORDER BY survivor_id"""),
+      headline = true),
+
+    QueryDef("x02_dedup_fingerprint",
+      (s, d) => {
+        val doc = documents(s, d)
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        doc.groupBy("fp")
+          .agg(count(lit(1)).as("group_size"), min("doc_id").as("survivor_id"))
+          .orderBy("survivor_id")
+      },
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+                count(*) AS group_size, min(doc_id) AS survivor_id
+              FROM documents
+              GROUP BY 1 ORDER BY survivor_id""")),
+
+    QueryDef("x03_minhash_lsh",
+      (s, d) => Dedup.minHashDupPairs(documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      None, // approximate candidate generation — rows-only check
+      headline = true),
+
+    QueryDef("x04_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+          n = 1, threshold = 0.5, blockOn = Seq("lang", "source"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+                SELECT doc_id, lang, source,
+                  list_distinct(list_filter(
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS sh
+                FROM documents),
+              pairs AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+                  (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
+                FROM toks l JOIN toks r
+                  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) > 0)
+              SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+              FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+
+    QueryDef("x05_simhash",
+      (s, d) => Dedup.simHashDupPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None), // xxhash64 family not available to the oracle — rows-only
+
+    // ================================================= extensions: similarity
+    QueryDef("x06_knn_cosine",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec", k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                  (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                   sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+                FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims)
+              SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      headline = true),
+
+    QueryDef("x07_ann_bucketed",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.bucketedTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+            dim = 64, k = 5, planes = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      None), // approximate (LSH recall) — rows-only
+
+    QueryDef("x08_embed_dup",
+      // this synthetic corpus has no true near-dups (max pairwise
+      // cosine ~0.51) — 0.35 exercises the operator end to end
+      (s, d) => Dedup.embeddingDupPairs(embeddings(s, d), "vec_id", "embedding",
+          dim = 64, threshold = 0.35, planes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b"),
+      None), // approximate (LSH recall) — rows-only
+
+    // ================================================= extensions: text analysis
+    QueryDef("x09_langid",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(langIdOracle)),
+
+    QueryDef("x10_quality",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id"),
+      Some(qualityOracle),
+      headline = true),
+
+    QueryDef("x11_token_counts",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                len(list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '')) AS ws_tokens,
+                len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    QueryDef("x12_rolling_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id"),
+      None), // 64-bit wraparound arithmetic not oracle-portable — rows-only
+
+    // ================================================= extensions: multimodal
+    QueryDef("x13_multimodal_meta",
+      (s, d) => {
+        val packed = Multimodal.packFake(documents(s, d), "doc_id", "text")
+        packed.select(col("media_id"), col("meta.format").as("format"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            length(col("media")).as("payload_bytes"))
+          .orderBy("media_id")
+      },
+      None), // meta derivation uses xxhash64 — rows-only
+
+    QueryDef("x14_frame_sample",
+      (s, d) => {
+        val packed = Multimodal.packFake(documents(s, d), "doc_id", "text")
+        Multimodal.frameSample(packed, frameBytes = 32, stride = 4)
+          .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
+            max(col("frame_idx").cast("long")).as("max_idx"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                len(range(0, CAST(floor(octet_length(encode(text)) / 32) AS BIGINT), 4)) AS n_frames,
+                list_max(range(0, CAST(floor(octet_length(encode(text)) / 32) AS BIGINT), 4)) AS max_idx
+              FROM documents
+              WHERE octet_length(encode(text)) >= 32
+              GROUP BY doc_id, text ORDER BY media_id"""))
+  )
+
+  private lazy val langIdOracle: String = {
+    val hitExprs = TextAnalysis.stopwords.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(tk, x -> x IN ($set))) AS h_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val m = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    s"""WITH tok AS (
+          SELECT doc_id, list_filter(string_split(
+            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+            x -> x <> '') AS tk
+          FROM documents),
+        hits AS (SELECT doc_id, $hitExprs FROM tok),
+        best AS (SELECT *, $m AS m FROM hits)
+        SELECT doc_id,
+          CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred
+        FROM best ORDER BY doc_id"""
+  }
+
+  private lazy val qualityOracle: String =
+    """WITH t AS (
+         SELECT doc_id, text,
+           list_filter(string_split(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+             x -> x <> '') AS toks
+         FROM documents),
+       f AS (
+         SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tok,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS avg_len,
+           CASE WHEN length(text) > 0 THEN
+             CAST(length(text) - len(regexp_extract_all(text, '[a-zA-Z0-9\s]')) AS DOUBLE)
+               / length(text)
+           ELSE 1.0 END AS punct,
+           CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','ich','mit','von')))
+              + len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that','it','was','for')))
+              + len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','en','que','por','una')))
+              + len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))
+              + len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人'))) AS DOUBLE) AS stops
+         FROM t)
+       SELECT doc_id, round(
+           least(greatest(n_tok / 100.0, 0.0), 1.0) * 0.25
+         + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
+         + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
+         + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25, 4) AS quality
+       FROM f ORDER BY doc_id"""
+
+  /** name -> builder, for SparkEntry.queries. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(e => e.name -> e.build).toMap
+
+  /** name -> DuckDB SQL, for SparkEntry.oracleSql. */
+  lazy val oracleSql: Map[String, String] =
+    entries.collect { case QueryDef(n, _, Some(sql), _) => n -> sql }.toMap
+
+  /** headline queries for Bench. */
+  lazy val headlines: Seq[QueryDef] = entries.filter(_.headline)
+}

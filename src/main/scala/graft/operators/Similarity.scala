@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  * Two tiers (the prompt's contract):
+  *  - [[bruteForceTopK]] — exact cosine top-k, query-side broadcast;
+  *    the baseline and the oracle-checkable path. O(|Q| * |corpus|)
+  *    but embarrassingly parallel: with the small query set broadcast,
+  *    it is a map-only scan of the corpus followed by one top-k
+  *    aggregation per query.
+  *  - [[hyperplaneBucket]]-blocked search — sign-LSH (random
+  *    hyperplanes with a fixed seed) so the corpus is bucketed once
+  *    and each query probes one bucket: the 100 TB path, trading
+  *    recall for a ~2^planes fan-in reduction.
+  *
+  * All vector math is `zip_with`/`aggregate` column algebra in double
+  * precision — stays in codegen, no UDF, no driver collect.
+  */
+object Similarity {
+
+  /** Dot product of two float vectors, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe zero when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k: for each row of `queries`, the `k` nearest corpus
+    * rows by cosine. Queries are explicitly broadcast (small side);
+    * ranking is one window per query id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    val joined = corpus.join(broadcast(queries))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(queryId)
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p's weight for
+    * dimension d is a fixed-seed uniform in [-1, 1]. Generated
+    * driver-side once (planes x dim doubles) and inlined as a literal
+    * — effectively a broadcast of a tiny model. */
+  private def planeLiterals(dim: Int, planes: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-LSH bucket id: bit p = sign(v . plane_p). Vectors with high
+    * cosine land in the same bucket with probability
+    * (1 - theta/pi)^planes. */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val ps = planeLiterals(dim, planes)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val proj = zip_with(vec, lit(p.toArray), (x, w) => x.cast("double") * w)
+      val s = aggregate(proj, lit(0.0), (acc, v) => acc + v)
+      shiftleft(when(s >= 0, lit(1L)).otherwise(lit(0L)), i)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucketed ANN top-k: probe only the query's own bucket. Recall is
+    * tunable via `planes` (fewer planes = bigger buckets = higher
+    * recall, more compute). */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      dim: Int, k: Int, planes: Int = 6): DataFrame = {
+    val c = corpus.withColumn("__bucket", hyperplaneBucket(col(corpusVec), dim, planes))
+    val q = queries.withColumn("__bucket", hyperplaneBucket(col(queryVec), dim, planes))
+    val joined = c.join(broadcast(q), Seq("__bucket"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(queryId)
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extensions, BASELINE.json): tokenization, language ID, quality
+  * scoring, token counting, fingerprinting. Everything here is pure
+  * `org.apache.spark.sql.functions` column algebra — codegen-friendly,
+  * no UDFs — so it stays inside WholeStageCodegen and scales linearly
+  * with input splits (no shuffle at all for per-document scoring).
+  */
+object TextAnalysis {
+
+  /** Data-side normalization: lowercase + collapse non-alphanumeric
+    * runs to single spaces + trim. (Schema-side variant:
+    * [[graft.core.Names.normalizeColumnName]].) */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace-free word tokens over normalized text. */
+  def tokens(c: Column): Column =
+    filter(split(normalizeText(c), " "), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-piece count: the GPT-2 pre-tokenizer regex family
+    * (contractions | letter runs | digit runs | punctuation runs),
+    * counted with `regexp_count` — a cheap, deterministic proxy for
+    * "how many tokens would a BPE tokenizer emit". */
+  val bpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePattern))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately small + hardcoded: language ID at 100 TB
+    * must be a map-only scan, and a 10-word list per language already
+    * separates the major languages on real text. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "von"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Stopword hits for one language over a token array. */
+  def stopwordHits(toks: Column, lang: String): Column = {
+    val set = array(stopwords.toMap.apply(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Language ID: argmax of stopword hits, ties broken by language
+    * code ascending; no hits at all -> "und". A greatest-of-structs
+    * trick keeps it one expression (no explode, no shuffle). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // struct(hits, negLangRank) ordered lexicographically: greatest()
+    // picks max hits, then the *smallest* lang code (via negated rank).
+    val scored = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      struct(
+        stopwordHits(toks, lang).as("hits"),
+        lit(-i).as("rank"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1] — the standard cheap pretraining
+    * filters (length, word shape, punctuation density, stopword
+    * density) combined into one deterministic number:
+    *   0.25 * clamp(nTokens/100)            (enough content)
+    * + 0.25 * clamp((avgTokenLen-2)/6)      (real words, not noise)
+    * + 0.25 * (1 - punctRatio)              (not symbol soup)
+    * + 0.25 * clamp(stopHits/10)            (natural-language glue)
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val avgLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val nChars = length(text).cast("double")
+    val punct = when(nChars > 0,
+      (nChars - regexp_count(text, lit("[a-zA-Z0-9\\s]"))).cast("double") / nChars)
+      .otherwise(lit(1.0))
+    val stops = stopwords.map { case (l, _) => stopwordHits(toks, l) }
+      .reduce(_ + _).cast("double")
+    def clamp01(c: Column) = least(greatest(c, lit(0.0)), lit(1.0))
+    clamp01(nTok / 100.0) * 0.25 +
+      clamp01((avgLen - 2.0) / 6.0) * 0.25 +
+      (lit(1.0) - clamp01(punct)) * 0.25 +
+      clamp01(stops / 10.0) * 0.25
+  }
+
+  /** Content-defined document fingerprint: md5 of the normalized text.
+    * Identical content with different casing/punctuation/spacing maps
+    * to one fingerprint — the key for exact near-canonical dedup. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Rolling (polynomial) document hash of normalized text:
+    * `h = (h * 31 + byte_i) mod (1e9+7)` folded over the char array —
+    * fully codegen'd, and overflow-free (so it behaves identically
+    * under ANSI and legacy arithmetic). */
+  val rollingHashMod = 1000000007L
+  def rollingHash(c: Column): Column =
+    aggregate(
+      split(normalizeText(c), ""),
+      lit(0L),
+      (acc, ch) => (acc * lit(31L) +
+        when(ch === "", lit(0L)).otherwise(ascii(ch).cast("long"))) % lit(rollingHashMod))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space) —
+    * the unit for MinHash/Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks)))
+        .otherwise(array().cast("array<string>")))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.pipeline.AirQuality
+import org.apache.spark.sql.functions._
+
+/** End-to-end + per-operator semantics on the reference's real corpus
+  * (/root/reference/test_files, read-only). SURVEY §5 strategy. */
+class AirQualitySpec extends SparkSpec {
+
+  private val testFiles = new java.io.File("/root/reference/test_files")
+    .listFiles().map(_.getPath).filter(_.endsWith(".csv")).sorted.toSeq
+  // CO (code 04) is the small slice: 3 files x 128 data rows... keeps the suite fast
+  private lazy val coFiles = testFiles.filter(_.contains("polluant-04"))
+
+  test("header gate accepts all genuine files") {
+    assert(AirQuality.filesPassingHeaderGate(spark, testFiles).size == testFiles.size)
+  }
+
+  test("bronze read + filename partition extraction (S5/K3)") {
+    val df = AirQuality.withPartitionColumnsFromFilename(
+      AirQuality.readBronzeCsv(spark, coFiles))
+    val codes = df.select("pollutant").distinct().collect().map(_.getString(0)).toSet
+    assert(codes == Set("04"))
+    val dates = df.select("file_date").distinct().count()
+    assert(dates == 3)
+  }
+
+  test("silver casts: two-format timestamps and float-or-null (O2)") {
+    val df = AirQuality.silver(AirQuality.readBronzeCsv(spark, coFiles))
+    val s = df.schema
+    assert(s("date_de_debut").dataType.typeName == "timestamp")
+    assert(s("valeur").dataType.typeName == "double")
+    assert(s("code_site").dataType.typeName == "string")
+    // timestamps parsed, not nulled
+    assert(df.where(col("date_de_debut").isNull).count() == 0)
+  }
+
+  test("silver dedup is idempotent and keyed (O5+K5)") {
+    val bronze = AirQuality.readBronzeCsv(spark, coFiles)
+    val doubled = bronze.unionByName(bronze) // simulate a re-run (reference re-pulls 3 days)
+    val once = AirQuality.silver(bronze)
+    val twice = AirQuality.silver(doubled)
+    assert(once.count() == twice.count())
+    val keyed = once.groupBy("code_site", "date_de_debut").count()
+      .where(col("count") > 1).count()
+    assert(keyed == 0)
+  }
+
+  test("gold pipeline end-to-end on full corpus") {
+    val gold = AirQuality.runPipeline(spark, testFiles)
+    val cols = gold.columns.toSet
+    // per-pollutant prefixed value columns (codes 01=SO2, 03=NO2, 04=CO)
+    assert(cols.contains("p01_valeur") && cols.contains("p03_valeur") && cols.contains("p04_valeur"))
+    // derived columns from O9 / A3 / W1 / W2
+    assert(cols.contains("p01_valeur_g_par_L"))
+    assert(cols.contains("p01_valeur_brute_g_par_L"))
+    assert(cols.contains("total_valeur_particule_g_par_L"))
+    assert(cols.contains("p03_valeur_diff_6hrs"))
+    assert(cols.contains("total_valeur_particule_g_par_L_percent_change_6hrs"))
+    // key columns never prefixed, date_de_fin/polluant dropped
+    assert(cols.contains("code_site") && cols.contains("date_de_debut"))
+    assert(!cols.exists(_.endsWith("_date_de_fin")) && !cols.exists(_.endsWith("_polluant")))
+    val n = gold.count()
+    assert(n > 0)
+    // full outer join: at least as many rows as the largest silver side
+    assert(n >= 8424)
+  }
+
+  test("W1: first 6 rows per site have diff = 0 (coalesce rule)") {
+    val gold = AirQuality.runPipeline(spark, coFiles)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("code_site").orderBy("date_de_debut")
+    val firstSix = gold.withColumn("rn", row_number().over(w)).where(col("rn") <= 6)
+    val nonZero = firstSix
+      .where(col("p04_valeur").isNotNull && abs(col("p04_valeur_diff_6hrs")) > 1e-12)
+      .count()
+    assert(nonZero == 0)
+  }
+
+  test("W2: leading edge is null, not wraparound (regular semantics)") {
+    val gold = AirQuality.runPipeline(spark, coFiles)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("code_site").orderBy("date_de_debut")
+    val firstSix = gold.withColumn("rn", row_number().over(w)).where(col("rn") <= 6)
+    assert(firstSix.where(col("p04_valeur_percent_change_6hrs").isNotNull).count() == 0)
+  }
+
+  test("O9: unit conversion multiplies by the mapped factor") {
+    val gold = AirQuality.runPipeline(spark, coFiles)
+    // CO is mg-m3 -> 1e-3
+    val bad = gold
+      .where(col("p04_valeur").isNotNull && col("p04_unite_de_mesure") === "mg-m3")
+      .where(abs(col("p04_valeur_g_par_L") - col("p04_valeur") * 1e-3) > 1e-15)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("A1/A2: no nulls remain in imputable numeric columns") {
+    val gold = AirQuality.runPipeline(spark, coFiles)
+    // p04_valeur had nulls in bronze; after mean imputation none remain
+    assert(gold.where(col("p04_valeur").isNull).count() == 0)
+  }
+}

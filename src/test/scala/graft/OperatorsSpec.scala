@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- dedup
+  test("exact dedup keeps lowest id per identical text") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye"))
+      .toDF("id", "text")
+    val surv = Dedup.exactSurvivors(df, "id", col("text"))
+      .select("id").as[Long].collect().sorted
+    assert(surv.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds a near-duplicate pair and skips distinct docs") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val b = "the quick brown fox jumps over the lazy dog and runs far away home today"
+    val c = "completely different content about spark query engines and data lakes here"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashDupPairs(df, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("arrayJaccard exact values") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.arrayJaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-15) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("simhash: identical text -> distance 0; near text -> small distance") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    val d12 = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
+    assert(d12 > 0 && d12 <= 16)
+  }
+
+  test("ngram jaccard pairs respect blocking and threshold") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1"),
+      (2L, "alpha beta gamma epsilon", "en", "s1"),
+      (3L, "alpha beta gamma delta", "en", "s2"), // same text, different block
+      (4L, "unrelated words entirely", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1, 0.5, Seq("lang", "source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // -------------------------------------------------------- similarity
+  test("cosine: identity = 1, orthogonal = 0") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(1f, 0f, 2f), Seq(0f, 3f, 0f))).toDF("a", "b", "c")
+    val (same, orth) = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12 && math.abs(orth) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors in rank order") {
+    val corpus = Seq(
+      (10L, Seq(1f, 0f)), (11L, Seq(0.9f, 0.1f)), (12L, Seq(0f, 1f)), (13L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1f, 0f))).toDF("q_id", "q_vec")
+    val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 11L))
+  }
+
+  test("bucketed ANN: same vector lands in own bucket and is found") {
+    val corpus = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat % 7 - 3)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id") * 1000, col("embedding").as("q_vec"))
+    val got = Similarity.bucketedTopK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", dim = 8, k = 1, planes = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.headOption.contains(7L)) // exact self copy is rank 1
+  }
+
+  // ------------------------------------------------------ text analysis
+  test("langId picks stopword-majority language; und when no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog is in that house"),
+      (2L, "le chat est dans la maison et les jardins"),
+      (3L, "xyzzy qwerty plugh"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "fr" && got(3L) == "und")
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val df = Seq(("Hello, world! It's 42 degrees.", ())).toDF("text", "u")
+    val (ws, bpe) = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.bpeTokenCount(col("text"))).as[(Int, Int)].head()
+    assert(ws == 6) // hello world it s 42 degrees
+    assert(bpe >= 8) // word pieces + punctuation runs + contraction split
+  }
+
+  test("quality score is in [0,1] and favors real sentences over noise") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and it was a fine day for running in the park with friends and family members."),
+      (2L, "@@@@ ???? !!!! %%%% ####"))
+      .toDF("id", "text")
+    val q = df.select(col("id"), TextAnalysis.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0 && v <= 1))
+    assert(q(1L) > q(2L))
+  }
+
+  test("fingerprint collapses case/punctuation variants; rollingHash deterministic") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "goodbye"))
+      .toDF("id", "text")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("text")),
+      TextAnalysis.rollingHash(col("text"))).as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  // ------------------------------------------------------------- as-of
+  test("asOf join matches latest right row at or before left time") {
+    val left = Seq((1L, 100L, 10L), (2L, 205L, 10L), (3L, 50L, 10L), (4L, 100L, 99L))
+      .toDF("event_id", "t", "k")
+    val right = Seq((10L, 100L, "a"), (10L, 200L, "b"))
+      .toDF("k", "rt", "payload")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt")
+      .select("event_id", "payload").as[(Long, String)].collect().toMap
+    assert(got(1L) == "a")  // boundary: rt == t matches (inclusive)
+    assert(got(2L) == "b")  // latest of the two
+    assert(got(3L) == null) // before any right row
+    assert(got(4L) == null) // key with no right rows
+  }
+
+  // -------------------------------------------------------- multimodal
+  test("multimodal: pack/decode-stub/frame-sample plumbing") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val packed = Multimodal.packFake(docs, "doc_id", "text")
+    assert(packed.schema("media").dataType.typeName == "binary")
+    assert(packed.schema("meta").dataType.typeName == "struct")
+    val feats = Multimodal.decodeFeaturesStub(spark, packed, batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getSeq[Float](1).length == 8))
+    // deterministic: run twice, same features
+    val again = Multimodal.decodeFeaturesStub(spark, packed, batchSize = 7).collect()
+    assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap ==
+      again.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap)
+    val frames = Multimodal.frameSample(packed, 16, 2)
+    assert(frames.count() > 0)
+    assert(frames.schema("frame").dataType.typeName == "binary")
+  }
+}
