@@ -22,7 +22,9 @@ object Bench {
     val results = Catalog.headlines.map { q =>
       val t0 = System.nanoTime()
       try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      Console.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s")
+      q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

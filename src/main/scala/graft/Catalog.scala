@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, IvfAnn, Multimodal, Similarity, SkewJoin, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -454,6 +454,81 @@ object Catalog {
               ORDER BY e.event_id"""),
       headline = true),
 
+    // ------------------------------------------------- rollup (subtotals)
+    QueryDef("q25_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping("l_returnflag").as("g_rf"), grouping("l_linestatus").as("g_ls"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                count(*) AS n
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST""")),
+
+    // ------------------------------------------------- cube (all combos)
+    QueryDef("q26_cube",
+      (s, d) => orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .cube("o_orderstatus", "yr")
+        .agg(grouping("o_orderstatus").as("g_st"), grouping("yr").as("g_yr"),
+          dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("g_st"), col("g_yr"), col("o_orderstatus"), col("yr")),
+      Some("""SELECT o_orderstatus, yr,
+                GROUPING(o_orderstatus) AS g_st, GROUPING(yr) AS g_yr,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                count(*) AS n
+              FROM (SELECT o_orderstatus, year(o_orderdate) AS yr, o_totalprice
+                    FROM orders) t
+              GROUP BY CUBE (o_orderstatus, yr)
+              ORDER BY g_st, g_yr, o_orderstatus NULLS LAST, yr NULLS LAST""")),
+
+    // ------------------------------------------------- sketch: approx distinct
+    // Spark's HLL++ and DuckDB's sketch differ, so the approximate
+    // value itself can't hash-match; the portable correctness claim is
+    // "approx within 5% of exact", asserted Spark-side and emitted as
+    // a boolean the oracle states as a constant.
+    QueryDef("q27_approx_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("approx_ok"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+                true AS approx_ok
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------- salted skew join
+    QueryDef("q28_salted_join",
+      (s, d) => SkewJoin.saltedInnerJoin(
+          lineitem(s, d), supplier(s, d).withColumnRenamed("s_suppkey", "l_suppkey"),
+          Seq("l_suppkey"), saltSource = "l_orderkey", buckets = 8)
+        .groupBy("s_nationkey")
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                count(*) AS n
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ------------------------------------------------- native expression
+    QueryDef("q29_unaccent",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureRegistered(s)
+        nation(s, d)
+          .select(col("n_nationkey"),
+            expr("unaccent(concat('é', n_name, 'ü'))").as("stripped"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, strip_accents('é' || n_name || 'ü') AS stripped
+              FROM nation ORDER BY n_nationkey""")),
+
     // ================================================= extensions: dedup
     QueryDef("x01_dedup_exact",
       (s, d) => Dedup.exactGroups(documents(s, d), "doc_id", col("text"))
@@ -561,17 +636,38 @@ object Catalog {
         .orderBy("id_a", "id_b"),
       None), // approximate (LSH recall) — rows-only
 
+    QueryDef("x15_ivf_ann",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        // index build: KMeans centroids on the corpus (tiny literal model)
+        val centroids = IvfAnn.trainCentroids(emb, "embedding", nlist = 16)
+        IvfAnn.topK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+            centroids, k = 5, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      None), // approximate (IVF recall) — rows-only
+
     // ================================================= extensions: text analysis
     QueryDef("x09_langid",
+      // tokens materialized once (separate projection) — langId
+      // references the token array once per language
       (s, d) => documents(s, d)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFromTokens(col("__toks")).as("lang_pred"))
         .orderBy("doc_id"),
       Some(langIdOracle)),
 
     QueryDef("x10_quality",
       (s, d) => documents(s, d)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"),
-          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+          round(TextAnalysis.qualityScoreFromTokens(col("text"), col("__toks")), 4)
+            .as("quality"))
         .orderBy("doc_id"),
       Some(qualityOracle),
       headline = true),

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two paths:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at
+  *    session build time (the idiomatic deployment);
+  *  - [[GraftFunctions.ensureRegistered]] at first use, for sessions
+  *    we do not construct (the harness driver owns its own session).
+  *    Registration into the session's FunctionRegistry is idempotent.
+  */
+object GraftFunctions {
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("unaccent"),
+      new ExpressionInfo(classOf[Unaccent].getName, "unaccent"),
+      (children: Seq[Expression]) => Unaccent(children.head)))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

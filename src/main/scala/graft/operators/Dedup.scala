@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   *    join* so candidate generation is an equi-join Catalyst can plan
   *    as a shuffled hash join; the quadratic jaccard verification runs
   *    only inside buckets;
+  *  - signature computation is kept in whole-stage codegen: shingles /
+  *    tokens are hashed to int64 ONCE, then the k permutations are
+  *    cheap seeded hashes of that int64 folded by a hash-aggregate
+  *    (explode -> groupBy(id).agg(min...)) — never a per-permutation
+  *    re-hash of strings inside interpreted higher-order functions;
   *  - survivors are chosen with deterministic min-id rules so reruns
   *    are idempotent.
   */
@@ -36,44 +41,77 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-permutation MinHash signature over a shingle array. Permutation
-    * i is `xxhash64(i, shingle)` — one seed-indexed 64-bit hash family,
-    * evaluated entirely inside codegen (no UDF). */
-  def minHashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr, s => xxhash64(i, s))))
+  /** One (id, shingle-hash) row per word n-gram, built RELATIONALLY:
+    * posexplode the normalized token split (codegen'd generator +
+    * filter — no interpreted higher-order functions anywhere), hash
+    * each token to int64 once, then a shingle hash is one xxhash64
+    * over the n consecutive token hashes via `lead` windows. Shingle
+    * strings are never materialized. Documents shorter than n tokens
+    * contribute their single partial shingle (the reference fuzzy-dedup
+    * semantics: a short doc is one shingle of all its tokens). */
+  def shingleHashRows(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val toks = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        posexplode(split(TextAnalysis.normalizeText(col("__text")), " ")).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val hashed = toks.select(col("id"), col("pos"), xxhash64(col("tok")).as("h"))
+    if (shingleN <= 1) hashed.select(col("id"), col("h").as("s"))
+    else {
+      val leads = (1 until shingleN).map(k => lead(col("h"), k).over(w).as(s"l$k"))
+      val withLeads = hashed.select(
+        col("id") +: col("h") +: row_number().over(w).as("rn") +: leads: _*)
+      // full shingles only — except a short doc keeps its first row as
+      // the single all-tokens shingle (distinct salt per missing slot)
+      val keep = col(s"l${shingleN - 1}").isNotNull || col("rn") === 1
+      val parts = col("h") +: (1 until shingleN).map(k =>
+        coalesce(col(s"l$k"), lit(-k.toLong)))
+      withLeads.where(keep).select(col("id"), xxhash64(parts: _*).as("s"))
+    }
+  }
 
-  /** LSH banding: split a k-long signature into `bands` bands and hash
-    * each band to one 64-bit bucket key. Emits array<struct<band,bucket>>. */
-  def lshBands(signature: Column, k: Int, bands: Int): Column = {
+  /** MinHash signature + verification set in ONE hash-aggregate over
+    * the shingle-hash rows: permutation i of shingle-hash s is
+    * xxhash64(i, s) (a seeded 64-bit family over fixed-width input),
+    * folded by k codegen'd min-aggregates; `collect_set` carries the
+    * exact shingle set for Jaccard verification. Output:
+    * (id, hs: array<long>, m0..m{k-1}). */
+  def minHashBase(rows: DataFrame, k: Int): DataFrame =
+    rows.groupBy("id")
+      .agg(collect_set(col("s")).as("hs"),
+        (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+
+  /** LSH banding over a wide signature: band b's bucket key is one
+    * xxhash64 of its `k/bands` signature columns. Output: one
+    * (id, band, bucket) row per band. */
+  def lshBandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
-        xxhash64(b, concat_ws(",", slice(signature, b * rows + 1, lit(rows)))).as("bucket")))
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Candidate pairs via MinHash+LSH band buckets, verified with exact
-    * shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b, one row per surviving pair.
+    * Jaccard over the hashed shingle sets. Returns (id_a, id_b,
+    * jaccard) with id_a < id_b, one row per surviving pair.
     *
-    * Plan shape: docs -> shingles -> signature -> explode(bands) ->
-    * self equi-join on (band, bucket) -> distinct pair -> verify.
-    * The only shuffles are the band join and the pair distinct; both
+    * Plan shape: docs -> shingles -> hash once -> explode -> k min
+    * aggregates (partial map-side, final after one narrow shuffle on
+    * id) -> band rows -> self equi-join on (band, bucket) -> distinct
+    * pair -> verify with one array_intersect per pair. All shuffles
     * key on fixed-width ints. Giant buckets (degenerate content) are
     * the skew risk at scale — cap them with `maxBucketSize`. */
   def minHashDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 8,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    val base = df.select(
-      col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sig = base.withColumn("bands", lshBands(minHashSignature(col("sh"), k), k, bands))
-    val exploded = sig
-      .select(col("id"), explode(col("bands")).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val capped = exploded
+    val base = minHashBase(shingleHashRows(df, idCol, textCol, shingleN), k)
+    val banded = lshBandRows(base, k, bands)
+    val capped = banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("__n") <= maxBucketSize).drop("__n")
     val pairs = capped.as("l").join(capped.as("r"),
@@ -82,35 +120,49 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     val withSets = pairs
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
     withSets
-      .withColumn("jaccard", arrayJaccard(col("sh_a"), col("sh_b")))
+      .withColumn("__inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard", jaccardFromIntersect(
+        col("__inter"), size(col("hs_a")), size(col("hs_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact Jaccard similarity of two (already-distinct) arrays. */
-  def arrayJaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(a) + size(b) - size(array_intersect(a, b))
-    when(union > 0, inter / union.cast("double")).otherwise(lit(0.0))
+  /** |A∩B| / |A∪B| from a precomputed intersection size — callers
+    * compute the intersection ONCE and reuse it (array_intersect is
+    * the expensive half of Jaccard; never evaluate it twice). */
+  def jaccardFromIntersect(inter: Column, sizeA: Column, sizeB: Column): Column = {
+    val union = sizeA + sizeB - inter
+    when(union > 0, inter.cast("double") / union.cast("double")).otherwise(lit(0.0))
   }
+
+  /** Exact Jaccard similarity of two (already-distinct) arrays.
+    * Convenience form; hot paths use [[jaccardFromIntersect]]. */
+  def arrayJaccard(a: Column, b: Column): Column =
+    jaccardFromIntersect(size(array_intersect(a, b)), size(a), size(b))
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word tokens: per-bit majority vote of token
-    * hashes. Pure column algebra — tokens are hashed once, then 64
-    * static bit-aggregates fold the votes. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2L - lit(1L)))
-      when(vote > 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.zipWithIndex.map { case (bit, i) => shiftleft(bit, i) }
-      .reduce(_.bitwiseOR(_))
+  /** 64-bit SimHash per id, as 64 codegen'd sum-aggregates over token
+    * hashes (per-bit majority vote): explode tokens -> hash once ->
+    * sum(bit_b ? +1 : -1) for each bit -> fold into one int64.
+    * Output: (id, fp). */
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        explode(split(TextAnalysis.normalizeText(col("__text")), " ")).as("t"))
+      .where(col("t") =!= "")
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = hashed.groupBy("id").agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2L - 1L).as("v0"),
+      (1 until 64).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"v$b")): _*)
+    val fp = (0 until 64).map { b =>
+      shiftleft(when(col(s"v$b") > 0, lit(1L)).otherwise(lit(0L)), b)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("id"), fp.as("fp"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -121,7 +173,7 @@ object Dedup {
     * one intact quarter — pigeonhole), then verify the distance. */
   def simHashDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+    val fp = simHashes(df, idCol, textCol)
     val blocked = fp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
@@ -145,15 +197,19 @@ object Dedup {
     * scale, swap in [[minHashDupPairs]] whose banding is data-driven. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, blockOn: Seq[String]): DataFrame = {
-    val base = df.select(
-      (col(idCol).as("id") +: TextAnalysis.shingles(col(textCol), n).as("sh") +:
-        blockOn.map(col)): _*)
+    val base = Rebalance(df.select(
+        (col(idCol).as("id") +: col(textCol).as("__text") +: blockOn.map(col)): _*))
+      .withColumn("__toks", TextAnalysis.tokens(col("__text")))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens(col("__toks"), n))
       .where(size(col("sh")) > 0)
+      .select((col("id") +: col("sh") +: blockOn.map(col)): _*)
     val l = base.as("l"); val r = base.as("r")
     val blockCond = blockOn.map(c => col(s"l.$c") === col(s"r.$c"))
       .foldLeft(col("l.id") < col("r.id"))(_ && _)
     l.join(r, blockCond)
-      .withColumn("jaccard", arrayJaccard(col("l.sh"), col("r.sh")))
+      .withColumn("__inter", size(array_intersect(col("l.sh"), col("r.sh"))))
+      .withColumn("jaccard", jaccardFromIntersect(
+        col("__inter"), size(col("l.sh")), size(col("r.sh"))))
       .where(col("jaccard") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
@@ -161,14 +217,18 @@ object Dedup {
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked
-    * by sign-LSH buckets from [[Similarity.hyperplaneBucket]]. */
+    * by sign-LSH buckets from [[Similarity.hyperplaneBucket]]. Norms
+    * are computed once per row before the pair join (one vector pass
+    * per pair instead of three). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBucket = Rebalance(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), dim, planes))
+      .withColumn("nrm", Similarity.norm(col("v")))
     withBucket.as("l").join(withBucket.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .withColumn("cosine", Similarity.cosine(col("l.v"), col("r.v")))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("l.v"), col("r.v"), col("l.nrm"), col("r.nrm")))
       .where(col("cosine") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
   }

@@ -32,20 +32,31 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe zero when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** Cosine from precomputed norms — ONE vector pass (the dot) per
+    * pair. Join-heavy callers compute each side's norm once per row
+    * before the pair join instead of three HOF passes per pair. */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
   /** Exact top-k: for each row of `queries`, the `k` nearest corpus
     * rows by cosine. Queries are explicitly broadcast (small side);
-    * ranking is one window per query id. */
+    * ranking is one window per query id. Norms are computed once per
+    * corpus row / query row, not per pair. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int): DataFrame = {
-    val joined = corpus.join(broadcast(queries))
+    val c = Rebalance(corpus.select(col(corpusId), col(corpusVec)))
+      .withColumn("__cn", norm(col(corpusVec)))
+    val q = queries.withColumn("__qn", norm(col(queryVec)))
+    val joined = c.join(broadcast(q))
       .where(col(queryId) =!= col(corpusId))
-      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+      .withColumn("cosine", cosineWithNorms(
+        col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
     val w = Window.partitionBy(queryId)
       .orderBy(col("cosine").desc, col(corpusId).asc)
     joined
@@ -84,11 +95,16 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
       dim: Int, k: Int, planes: Int = 6): DataFrame = {
-    val c = corpus.withColumn("__bucket", hyperplaneBucket(col(corpusVec), dim, planes))
-    val q = queries.withColumn("__bucket", hyperplaneBucket(col(queryVec), dim, planes))
+    val c = Rebalance(corpus.select(col(corpusId), col(corpusVec)))
+      .withColumn("__bucket", hyperplaneBucket(col(corpusVec), dim, planes))
+      .withColumn("__cn", norm(col(corpusVec)))
+    val q = queries
+      .withColumn("__bucket", hyperplaneBucket(col(queryVec), dim, planes))
+      .withColumn("__qn", norm(col(queryVec)))
     val joined = c.join(broadcast(q), Seq("__bucket"))
       .where(col(queryId) =!= col(corpusId))
-      .withColumn("cosine", cosine(col(queryVec), col(corpusVec)))
+      .withColumn("cosine", cosineWithNorms(
+        col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
     val w = Window.partitionBy(queryId)
       .orderBy(col("cosine").desc, col(corpusId).asc)
     joined.withColumn("rank", row_number().over(w))

@@ -52,8 +52,12 @@ object TextAnalysis {
   /** Language ID: argmax of stopword hits, ties broken by language
     * code ascending; no hits at all -> "und". A greatest-of-structs
     * trick keeps it one expression (no explode, no shuffle). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Language ID over a materialized token column — the token array is
+    * referenced once per language, so pass a pre-aliased column to
+    * avoid re-tokenizing per reference (see [[shinglesFromTokens]]). */
+  def langIdFromTokens(toks: Column): Column = {
     // struct(hits, negLangRank) ordered lexicographically: greatest()
     // picks max hits, then the *smallest* lang code (via negated rank).
     val scored = stopwords.zipWithIndex.map { case ((lang, _), i) =>
@@ -74,8 +78,12 @@ object TextAnalysis {
     * + 0.25 * (1 - punctRatio)              (not symbol soup)
     * + 0.25 * clamp(stopHits/10)            (natural-language glue)
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** Quality score over a materialized token column (the token array
+    * is referenced 7×; pre-alias it — see [[langIdFromTokens]]). */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val avgLen = when(nTok > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
@@ -111,14 +119,21 @@ object TextAnalysis {
         when(ch === "", lit(0L)).otherwise(ascii(ch).cast("long"))) % lit(rollingHashMod))
 
   /** Word n-gram shingles (n consecutive tokens joined by a space) —
-    * the unit for MinHash/Jaccard dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    * the unit for MinHash/Jaccard dedup. `toks` should be a
+    * materialized column (not the raw tokenizer expression): this
+    * expression references it several times, and a pre-aliased column
+    * is evaluated once per row while an inlined tokenizer chain would
+    * re-run the regex per reference. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks)))
         .otherwise(array().cast("array<string>")))
-  }
+
+  /** Shingles straight from text — convenience for small inputs; hot
+    * paths materialize tokens first (see [[shinglesFromTokens]]). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 }

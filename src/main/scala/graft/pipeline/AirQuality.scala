@@ -161,20 +161,22 @@ object AirQuality {
     perPollutant.reduce(_.join(_, keyColumns, "full_outer"))
 
   /** A1/A2: replace nulls in every numeric column with that column's
-    * global mean (one distributed agg + a literal fill map; never a
-    * per-row collect). Columns whose mean is null (all-null columns)
-    * are left untouched, like pandas fillna(NaN). */
+    * global mean. The means are a 1-row aggregate cross-joined back
+    * with an explicit broadcast — one job, no driver-side collect, and
+    * Catalyst plans it as BroadcastNestedLoopJoin of a single row.
+    * Columns whose mean is null (all-null columns) stay null, like
+    * pandas fillna(NaN). */
   def imputeMeans(df: DataFrame): DataFrame = {
     val numeric = df.schema.fields
       .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
       .map(_.name)
     if (numeric.isEmpty) df
     else {
-      val meansRow = df.select(numeric.map(c => avg(col(c)).as(c)).toIndexedSeq: _*).head()
-      val fill = numeric.zipWithIndex.collect {
-        case (c, i) if !meansRow.isNullAt(i) => c -> meansRow.getDouble(i)
-      }.toMap
-      df.na.fill(fill)
+      val means = df.select(numeric.map(c => avg(col(c)).as(s"__mean_$c")).toIndexedSeq: _*)
+      val out = df.columns.map { c =>
+        if (numeric.contains(c)) coalesce(col(c), col(s"__mean_$c")).as(c) else col(c)
+      }
+      df.crossJoin(broadcast(means)).select(out.toIndexedSeq: _*)
     }
   }
 

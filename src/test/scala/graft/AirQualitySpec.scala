@@ -50,12 +50,12 @@ class AirQualitySpec extends SparkSpec {
     val gold = AirQuality.runPipeline(spark, testFiles)
     val cols = gold.columns.toSet
     // per-pollutant prefixed value columns (codes 01=SO2, 03=NO2, 04=CO)
-    assert(cols.contains("p01_valeur") && cols.contains("p03_valeur") && cols.contains("p04_valeur"))
+    assert(cols.contains("p_01_valeur") && cols.contains("p_03_valeur") && cols.contains("p_04_valeur"))
     // derived columns from O9 / A3 / W1 / W2
-    assert(cols.contains("p01_valeur_g_par_L"))
-    assert(cols.contains("p01_valeur_brute_g_par_L"))
+    assert(cols.contains("p_01_valeur_g_par_L"))
+    assert(cols.contains("p_01_valeur_brute_g_par_L"))
     assert(cols.contains("total_valeur_particule_g_par_L"))
-    assert(cols.contains("p03_valeur_diff_6hrs"))
+    assert(cols.contains("p_03_valeur_diff_6hrs"))
     assert(cols.contains("total_valeur_particule_g_par_L_percent_change_6hrs"))
     // key columns never prefixed, date_de_fin/polluant dropped
     assert(cols.contains("code_site") && cols.contains("date_de_debut"))
@@ -72,7 +72,7 @@ class AirQualitySpec extends SparkSpec {
     val w = Window.partitionBy("code_site").orderBy("date_de_debut")
     val firstSix = gold.withColumn("rn", row_number().over(w)).where(col("rn") <= 6)
     val nonZero = firstSix
-      .where(col("p04_valeur").isNotNull && abs(col("p04_valeur_diff_6hrs")) > 1e-12)
+      .where(col("p_04_valeur").isNotNull && abs(col("p_04_valeur_diff_6hrs")) > 1e-12)
       .count()
     assert(nonZero == 0)
   }
@@ -82,22 +82,22 @@ class AirQualitySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("code_site").orderBy("date_de_debut")
     val firstSix = gold.withColumn("rn", row_number().over(w)).where(col("rn") <= 6)
-    assert(firstSix.where(col("p04_valeur_percent_change_6hrs").isNotNull).count() == 0)
+    assert(firstSix.where(col("p_04_valeur_percent_change_6hrs").isNotNull).count() == 0)
   }
 
   test("O9: unit conversion multiplies by the mapped factor") {
     val gold = AirQuality.runPipeline(spark, coFiles)
     // CO is mg-m3 -> 1e-3
     val bad = gold
-      .where(col("p04_valeur").isNotNull && col("p04_unite_de_mesure") === "mg-m3")
-      .where(abs(col("p04_valeur_g_par_L") - col("p04_valeur") * 1e-3) > 1e-15)
+      .where(col("p_04_valeur").isNotNull && col("p_04_unite_de_mesure") === "mg-m3")
+      .where(abs(col("p_04_valeur_g_par_L") - col("p_04_valeur") * 1e-3) > 1e-15)
       .count()
     assert(bad == 0)
   }
 
   test("A1/A2: no nulls remain in imputable numeric columns") {
     val gold = AirQuality.runPipeline(spark, coFiles)
-    // p04_valeur had nulls in bronze; after mean imputation none remain
-    assert(gold.where(col("p04_valeur").isNull).count() == 0)
+    // p_04_valeur had nulls in bronze; after mean imputation none remain
+    assert(gold.where(col("p_04_valeur").isNull).count() == 0)
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{GraftFunctions, Unaccent}
+import graft.operators.{IvfAnn, SkewJoin}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unaccent strips diacritics, evals in codegen and interpreted modes") {
+    assert(Unaccent.strip("Réglementaire unité déjà vu") == "Reglementaire unite deja vu")
+    assert(Unaccent.strip("naïve café ñ Ö") == "naive cafe n O")
+    GraftFunctions.ensureRegistered(spark)
+    val got = Seq("é à ü ç", "plain").toDF("s")
+      .select(expr("unaccent(s)")).as[String].collect().toSeq
+    assert(got == Seq("e a u c", "plain"))
+    // null-safe (nullIntolerant)
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(expr("unaccent(s)")).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("unaccent registration is idempotent and survives re-register") {
+    GraftFunctions.ensureRegistered(spark)
+    GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql("SELECT unaccent('tréma')").as[String].head() == "trema")
+  }
+
+  test("salted join equals the plain join") {
+    val fact = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 1.0), (4L, 99L, 2.0))
+      .toDF("id", "k", "v")
+    val dim = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "name")
+    val salted = SkewJoin.saltedInnerJoin(fact, dim, Seq("k"), "id", buckets = 4)
+      .select("id", "k", "v", "name")
+    val plain = fact.join(dim, Seq("k")).select("id", "k", "v", "name")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("IVF ANN finds the exact neighbor when it shares the query's cell") {
+    val corpus = (0 until 200).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 42)
+      .select((col("vec_id") + 1000).as("q_id"), col("embedding").as("q_vec"))
+    val cents = IvfAnn.trainCentroids(corpus, "embedding", nlist = 4)
+    assert(cents.length == 4 && cents.head.length == 8)
+    val got = IvfAnn.topK(corpus, queries, "vec_id", "embedding", "q_id", "q_vec",
+      cents, k = 1, nprobe = 1)
+      .select("neighbor_id").as[Long].collect()
+    // the identical vector is in the same Voronoi cell by construction
+    assert(got.headOption.contains(42L))
+  }
+}

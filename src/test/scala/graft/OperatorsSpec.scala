@@ -39,7 +39,7 @@ class OperatorsSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
       (3L, "the quick brown fox jumps over the lazy dog near the river bank"))
       .toDF("doc_id", "text")
-    val fp = df.select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))
+    val fp = Dedup.simHashes(df, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(fp(1L) == fp(3L))
     val d12 = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
@@ -79,10 +79,12 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("bucketed ANN: same vector lands in own bucket and is found") {
-    val corpus = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat % 7 - 3)))
+    // vectors [8i..8i+7] are pairwise non-parallel, so only vec 7
+    // itself has cosine exactly 1.0 with the query
+    val corpus = (0 until 50).map(i => (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat)))
       .toDF("vec_id", "embedding")
     val queries = corpus.where(col("vec_id") === 7)
-      .select(col("vec_id").as("q_id") * 1000, col("embedding").as("q_vec"))
+      .select((col("vec_id") * 1000).as("q_id"), col("embedding").as("q_vec"))
     val got = Similarity.bucketedTopK(corpus, queries, "vec_id", "embedding",
       "q_id", "q_vec", dim = 8, k = 1, planes = 2)
       .select("neighbor_id").as[Long].collect()
@@ -102,7 +104,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("token counts: whitespace and bpe-ish") {
-    val df = Seq(("Hello, world! It's 42 degrees.", ())).toDF("text", "u")
+    val df = Seq(Tuple1("Hello, world! It's 42 degrees.")).toDF("text")
     val (ws, bpe) = df.select(
       TextAnalysis.tokenCount(col("text")),
       TextAnalysis.bpeTokenCount(col("text"))).as[(Int, Int)].head()

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.Unaccent
+import graft.operators.Dedup
+import graft.pipeline.AirQuality
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5 strategy item 4). Uses raw
+  * ScalaCheck generators sampled under fixed seeds (the scalatest
+  * bridge artifact isn't in the offline cache), so every run checks
+  * the same deterministic family of cases. Data-side properties run
+  * through real Spark plans. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("unaccent: idempotent and length-bounded") {
+    val inputs = samples(Gen.asciiPrintableStr, 50) ++
+      Seq("éàüç", "ñÑ", "ābc", "北京", "ß", "Réglementaire unité déjà")
+    inputs.foreach { s =>
+      val once = Unaccent.strip(s)
+      assert(Unaccent.strip(once) == once, s"not idempotent on: $s")
+      assert(once.length <= s.length)
+    }
+  }
+
+  test("dedup: exactSurvivors is idempotent and keeps one row per value") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("a", "b", "c", "d")))
+    samples(gen, 5).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("id", "text")
+      val once = Dedup.exactSurvivors(df, "id", col("text"))
+      val twice = Dedup.exactSurvivors(once, "id", col("text"))
+      assert(once.count() == twice.count())
+      assert(once.select("text").distinct().count() == once.count())
+    }
+  }
+
+  test("firstPerKey: survivor count equals distinct key count; stable under reshuffle") {
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(1, 5), Gen.choose(1, 5), Gen.choose(0, 100)))
+    samples(gen, 5).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k1", "k2", "v")
+      val out = AirQuality.firstPerKey(df, Seq("k1", "k2"))
+      assert(out.count() == df.select("k1", "k2").distinct().count())
+      val reshuffled = AirQuality.firstPerKey(df.repartition(7), Seq("k1", "k2"))
+      assert(out.exceptAll(reshuffled).count() == 0)
+    }
+  }
+
+  test("jaccardFromIntersect stays in [0,1] and is 1 for identical sets") {
+    val gen = Gen.listOf(Gen.choose(0, 20))
+    samples(Gen.zip(gen, gen), 20).foreach { case (a, b) =>
+      val df = Seq((a.distinct, b.distinct)).toDF("x", "y")
+      val j = df.select(Dedup.arrayJaccard(col("x"), col("y"))).as[Double].head()
+      assert(j >= 0.0 && j <= 1.0)
+      if (a.distinct.nonEmpty) {
+        val self = df.select(Dedup.arrayJaccard(col("x"), col("x"))).as[Double].head()
+        assert(math.abs(self - 1.0) < 1e-15)
+      }
+    }
+  }
+
+  test("lag(6) diff is zero on a constant series (leading-edge rule)") {
+    val df = (1 to 20).map(i => ("s1", i, 7.5)).toDF("code_site", "t", "x_valeur")
+      .withColumn("date_de_debut", col("t").cast("timestamp"))
+    val out = AirQuality.lagDiff6(df)
+    val diffs = out.select("x_valeur_diff_6hrs").as[Double].collect()
+    assert(diffs.forall(_ == 0.0))
+  }
+}

@@ -45,12 +45,23 @@ class StreamingSpec extends SparkSpec {
 
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
-    // plan wires up and starts on a bounded file stream.
+    // plan wires up and starts on a bounded file stream. NOTE: must use
+    // Trigger.AvailableNow, NOT processAllAvailable() — with
+    // ProcessingTimeTimeout every timeout firing counts as available
+    // work, so processAllAvailable spins micro-batches forever.
     val dir = eventsDir
-    val sessions = EventStream.sessionize(spark, EventStream.readEvents(spark, dir))
+    val sessions = EventStream.sessionize(spark, EventStream.readEvents(spark, dir),
+      timeoutMs = 1000)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
-    try { q.processAllAvailable() } finally q.stop()
+    try {
+      // poll until the first micro-batch lands, then stop — timeouts
+      // keep generating batches, so the query never self-terminates
+      val deadline = System.currentTimeMillis + 120000
+      while (q.lastProgress == null && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      assert(q.lastProgress != null, "no micro-batch completed within 120s")
+    } finally q.stop()
     // sessions flush on processing-time timeout; zero rows is acceptable
     assert(spark.table("sess_out").columns.contains("n_events"))
   }
