@@ -529,6 +529,21 @@ object Catalog {
       Some("""SELECT n_nationkey, strip_accents('é' || n_name || 'ü') AS stripped
               FROM nation ORDER BY n_nationkey""")),
 
+    // ------------------------------------------------- S3 date-range generator
+    QueryDef("q30_date_range",
+      // reference: last-N-days list starting yesterday
+      // (unpacked_to_raw.py:24-29); anchored to a fixed date so the
+      // oracle compare is deterministic
+      (s, d) => s.range(1)
+        .select(explode(sequence(
+          lit("1998-11-25").cast("date"), lit("1998-12-01").cast("date"))).as("d"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        .orderBy("day"),
+      Some("""SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day
+              FROM generate_series(DATE '1998-11-25', DATE '1998-12-01',
+                                   INTERVAL 1 DAY) t(d)
+              ORDER BY day""")),
+
     // ================================================= extensions: dedup
     QueryDef("x01_dedup_exact",
       (s, d) => Dedup.exactGroups(documents(s, d), "doc_id", col("text"))

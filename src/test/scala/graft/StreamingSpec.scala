@@ -43,6 +43,25 @@ class StreamingSpec extends SparkSpec {
     assert(n.getLong(1) == spark.read.parquet(dir).count())
   }
 
+  test("streaming silver equals batch silver row count (K5 as watermarked dedup)") {
+    val coFiles = new java.io.File("/root/reference/test_files")
+      .listFiles().map(_.getPath).filter(_.contains("polluant-04")).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("aq-stream").toFile
+    dir.deleteOnExit()
+    coFiles.foreach { f =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f),
+        java.nio.file.Paths.get(dir.getPath, new java.io.File(f).getName))
+    }
+    val q = graft.streaming.AirQualityStream.silverStream(spark, dir.getPath)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("silver_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("silver_out").count()
+    val batch = graft.pipeline.AirQuality.silver(
+      graft.pipeline.AirQuality.readBronzeCsv(spark, coFiles)).count()
+    assert(streamed == batch)
+  }
+
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
     // plan wires up and starts on a bounded file stream. NOTE: must use
