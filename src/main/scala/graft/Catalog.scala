@@ -666,6 +666,36 @@ object Catalog {
       },
       None), // approximate (IVF recall) — rows-only
 
+    QueryDef("x16_group_centroids",
+      (s, d) => {
+        val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)
+        Similarity.groupCentroids(emb, "grp", "embedding")
+          .select(col("grp"),
+            round(element_at(col("centroid"), 1), 6).as("d0"),
+            round(element_at(col("centroid"), 16), 6).as("d15"),
+            round(element_at(col("centroid"), 32), 6).as("d31"),
+            round(element_at(col("centroid"), 64), 6).as("d63"))
+          .orderBy("grp")
+      },
+      Some("""SELECT vec_id % 10 AS grp,
+                round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS d0,
+                round(avg(CAST(embedding[16] AS DOUBLE)), 6) AS d15,
+                round(avg(CAST(embedding[32] AS DOUBLE)), 6) AS d31,
+                round(avg(CAST(embedding[64] AS DOUBLE)), 6) AS d63
+              FROM embeddings GROUP BY 1 ORDER BY grp""")),
+
+    // ------------------------------------------------- SQL API surface
+    QueryDef("q31_sql_api",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag,
+                   round(sum(l_discount), 4) AS sum_disc, count(*) AS n
+                 FROM lineitem_v GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT l_returnflag, round(sum(l_discount), 4) AS sum_disc,
+                count(*) AS n
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // ================================================= extensions: text analysis
     QueryDef("x09_langid",
       // tokens materialized once (separate projection) — langId

@@ -61,6 +61,39 @@ object Multimodal {
     }.toDF("media_id", "features")
   }
 
+  /** Resize stub, same partition-parallel batch shape as
+    * [[decodeFeaturesStub]]: a real implementation hands each batch to
+    * an image library and returns re-encoded bytes; the stub emits a
+    * deterministic `w*h`-byte payload (truncate or cycle-pad) so
+    * downstream stages see correctly-sized binaries. Metadata is
+    * re-attached with the new dimensions. */
+  def resizeStub(spark: SparkSession, packed: DataFrame,
+      w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val target = w * h
+    val resized = packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // STUB resize: real codec call goes here, one call per batch.
+          batch.map { case (id, bytes) =>
+            val out = new Array[Byte](target)
+            if (bytes.nonEmpty) {
+              var i = 0
+              while (i < target) { out(i) = bytes(i % bytes.length); i += 1 }
+            }
+            (id, out)
+          }
+        }
+      }.toDF("media_id", "media")
+    resized.join(packed.select(col("media_id"), col("meta").as("__old")), "media_id")
+      .withColumn("meta", struct(
+        col("__old.format").as("format"),
+        lit(w).as("width"), lit(h).as("height"),
+        col("__old.n_frames").as("n_frames")))
+      .drop("__old")
+  }
+
   /** Frame sampling: treat the payload as fixed-size frames and keep
     * every `stride`-th one. Pure column algebra (no decode needed for
     * container formats with fixed frame size). */

@@ -66,6 +66,20 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** Per-group mean embedding (centroid pooling): posexplode the
+    * vectors, average per (group, dimension), re-assemble in dimension
+    * order. Both aggregations are codegen'd hash aggregates keyed on
+    * small fixed-width tuples — no driver collect, no vector UDAF —
+    * so this is the 100 TB shape for building class/cluster/source
+    * centroids. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("g", "pos").agg(avg(col("v").cast("double")).as("av"))
+      .groupBy("g").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+          s => s.getField("av")).as("centroid"))
+      .withColumnRenamed("g", groupCol)
+
   /** Deterministic pseudo-random hyperplanes: plane p's weight for
     * dimension d is a fixed-seed uniform in [-1, 1]. Generated
     * driver-side once (planes x dim doubles) and inlined as a literal

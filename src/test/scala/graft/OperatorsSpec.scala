@@ -148,7 +148,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == null) // key with no right rows
   }
 
+  test("groupCentroids: exact per-dimension means in order") {
+    val df = Seq(
+      (0L, Seq(1f, 10f)), (0L, Seq(3f, 30f)), (1L, Seq(5f, 50f)))
+      .toDF("g", "v")
+    val got = Similarity.groupCentroids(df, "g", "v")
+      .orderBy("g").as[(Long, Seq[Double])].collect().toSeq
+    assert(got == Seq((0L, Seq(2.0, 20.0)), (1L, Seq(5.0, 50.0))))
+  }
+
   // -------------------------------------------------------- multimodal
+  test("multimodal: resize stub emits w*h payloads with updated meta") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
+    val packed = Multimodal.packFake(docs, "doc_id", "text")
+    val resized = Multimodal.resizeStub(spark, packed, w = 16, h = 8)
+    val rows = resized.select("media_id", "media", "meta.width", "meta.height").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Array[Byte]](1).length == 128))
+    assert(rows.forall(r => r.getInt(2) == 16 && r.getInt(3) == 8))
+  }
+
   test("multimodal: pack/decode-stub/frame-sample plumbing") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
     val packed = Multimodal.packFake(docs, "doc_id", "text")
