@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{AsOfJoin, Dedup, IvfAnn, Multimodal, Similarity, SkewJoin, TextAnalysis}
+import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -101,12 +102,14 @@ object Catalog {
     QueryDef("q06_first_per_key",
       (s, d) => {
         // (l_orderkey, l_linenumber) is NOT unique in this data — the
-        // survivor order must be total for deterministic first-wins
-        val w = Window.partitionBy("l_orderkey").orderBy(
-          col("l_linenumber").asc, col("l_partkey").asc,
-          col("l_suppkey").asc, col("l_extendedprice").asc)
-        lineitem(s, d)
-          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        // survivor order must be total for deterministic first-wins.
+        // Aggregate form (min-of-struct): hash agg with map-side
+        // combine, no per-partition sort — the survivor equals the
+        // window row_number()=1 row under the same column order.
+        AirQuality.firstPerKeyAgg(
+            lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+              "l_suppkey", "l_extendedprice", "l_quantity"),
+            Seq("l_orderkey"))
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
           .orderBy("l_orderkey")
       },
