@@ -154,6 +154,20 @@ object AirQuality {
   def silver(bronze: DataFrame): DataFrame =
     dedupSilver(castSilver(filterEmptyRows(bronze)))
 
+  /** Typed view of the silver stage: a `Dataset[Measurement]` with the
+    * compile-time schema (SURVEY §1.3 — silver is fixed-schema, so the
+    * typed API fits; gold stays a DataFrame because its column set is
+    * suffix-pattern driven). Downstream type-safe transforms get field
+    * access and exhaustivity from the case class while keeping the
+    * same physical plan (the Encoder is a no-op projection here). */
+  def silverTyped(spark: SparkSession, bronze: DataFrame):
+      org.apache.spark.sql.Dataset[graft.core.Measurement] = {
+    import spark.implicits._
+    silver(bronze)
+      .select(normalizedColumns.map(col).toIndexedSeq: _*)
+      .as[graft.core.Measurement]
+  }
+
   /** O6/O7: drop `date_de_fin`/`polluant`, prefix non-key columns with
     * the pollutant table name. */
   def prefixColumns(df: DataFrame, table: String): DataFrame = {

@@ -35,6 +35,16 @@ class AirQualitySpec extends SparkSpec {
     assert(df.where(col("date_de_debut").isNull).count() == 0)
   }
 
+  test("silverTyped: Dataset[Measurement] round-trips the silver rows") {
+    val bronze = AirQuality.readBronzeCsv(spark, coFiles)
+    val typed = AirQuality.silverTyped(spark, bronze)
+    val rows = typed.collect()
+    assert(rows.length == AirQuality.silver(bronze).count())
+    // typed access: the numeric cast survived, sites are present
+    assert(rows.forall(_.code_site.nonEmpty))
+    assert(rows.exists(_.valeur.isDefined))
+  }
+
   test("silver dedup is idempotent and keyed (O5+K5)") {
     val bronze = AirQuality.readBronzeCsv(spark, coFiles)
     val doubled = bronze.unionByName(bronze) // simulate a re-run (reference re-pulls 3 days)
