@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, IvfAnn, Multimodal, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, IvfAnn, Multimodal, RangeJoin, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -547,6 +547,95 @@ object Catalog {
                                    INTERVAL 1 DAY) t(d)
               ORDER BY day""")),
 
+    // ------------------------------------------------- exact percentiles
+    QueryDef("q32_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                count(*) AS n
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------- JSON extraction
+    QueryDef("q33_json",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_mod"),
+      Some("""SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_mod,
+                count(*) AS n,
+                SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+              FROM events GROUP BY 1 ORDER BY k_mod""")),
+
+    // ------------------------------------------------- bucketed range join
+    QueryDef("q34_range_join",
+      (s, d) => {
+        // events within ±1000s-scaled windows around order "anchors":
+        // a genuine interval join, bucketized to an equi-join
+        val e = events(s, d)
+          .select(col("event_id"), unix_timestamp(col("ts")).as("t"))
+        // deterministic 3-day windows spread across the events month
+        // (epoch 1704067200 = 2024-01-01 UTC)
+        val r = orders(s, d).where(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"),
+            (lit(1704067200L) + (col("o_orderkey") % 28) * 86400L).as("w_start"))
+          .withColumn("w_end", col("w_start") + 86400L * 3)
+        RangeJoin.bucketedRangeJoin(e, r, "t", "w_start", "w_end", 86400 * 3)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_events, min(event_id) AS first_event
+              FROM (SELECT event_id, epoch(ts)::BIGINT AS t FROM events) e
+              JOIN (SELECT o_orderkey,
+                      1704067200 + (o_orderkey % 28) * 86400 AS w_start,
+                      1704067200 + (o_orderkey % 28) * 86400 + 86400*3 AS w_end
+                    FROM orders WHERE o_orderkey % 97 = 0) r
+                ON e.t >= r.w_start AND e.t <= r.w_end
+              GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------- pivot
+    QueryDef("q35_pivot",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("A", "qty_a").withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
+                CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_n,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ------------------------------------------------- set operations
+    QueryDef("q36_setops",
+      (s, d) => {
+        val o = orders(s, d)
+        val a = o.where(col("o_orderstatus") === "F").select("o_custkey")
+        val b = o.where(col("o_totalprice") > 150000).select("o_custkey")
+        val both = a.intersect(b).withColumn("src", lit("both"))
+        val onlyA = a.except(b).withColumn("src", lit("only_f"))
+        both.unionByName(onlyA)
+          .groupBy("src").agg(count(lit(1)).as("n"))
+          .orderBy("src")
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+                   b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+              SELECT src, count(*) AS n FROM (
+                SELECT o_custkey, 'both' AS src FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+                UNION ALL
+                SELECT o_custkey, 'only_f' AS src FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) t
+              GROUP BY src ORDER BY src""")),
+
     // ================================================= extensions: dedup
     QueryDef("x01_dedup_exact",
       (s, d) => Dedup.exactGroups(documents(s, d), "doc_id", col("text"))
@@ -698,6 +787,18 @@ object Catalog {
       Some("""SELECT l_returnflag, round(sum(l_discount), 4) AS sum_disc,
                 count(*) AS n
               FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("x17_stratified_sample",
+      // rebalance an imbalanced corpus: downsample the majority
+      // language, keep the rest — the standard training-mix op.
+      // Bernoulli sampling is seed-deterministic but engine-specific,
+      // so this is a rows-only check.
+      (s, d) => documents(s, d).stat.sampleBy("lang",
+          Map[Any, Double]("en" -> 0.25, "de" -> 1.0, "es" -> 1.0,
+            "fr" -> 1.0, "zh" -> 1.0), 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      None),
 
     // ================================================= extensions: text analysis
     QueryDef("x09_langid",

@@ -108,8 +108,19 @@ object Dedup {
   def minHashDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 8,
-      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    val base = minHashBase(shingleHashRows(df, idCol, textCol, shingleN), k)
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame =
+    minHashDupPairsFromBase(
+      minHashBase(shingleHashRows(df, idCol, textCol, shingleN), k),
+      k, bands, threshold, maxBucketSize)
+
+  /** Pair generation from a precomputed [[minHashBase]]. The base
+    * feeds FOUR plan branches (both sides of the band self-join, both
+    * verification lookups); AQE's shuffle-stage reuse dedupes the
+    * identical ones at runtime, but a production run over a large
+    * corpus should `persist()` (or write) the base and pass it here so
+    * the signature computation is guaranteed once. */
+  def minHashDupPairsFromBase(base: DataFrame, k: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     val banded = lshBandRows(base, k, bands)
     val capped = banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
