@@ -37,6 +37,20 @@ class FunctionsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("bucketed range join equals the naive theta join") {
+    val points = (0L until 200L).map(i => (i, i * 7 % 500)).toDF("pid", "t")
+    val ranges = Seq((1L, 10L, 60L), (2L, 55L, 58L), (3L, 400L, 499L), (4L, 600L, 700L))
+      .toDF("rid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .bucketedRangeJoin(points, ranges, "t", "lo", "hi", bucketWidth = 50)
+      .select("pid", "rid")
+    val naive = points.join(ranges, col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "rid")
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    assert(naive.count() > 0)
+  }
+
   test("IVF ANN finds the exact neighbor when it shares the query's cell") {
     val corpus = (0 until 200).map { i =>
       val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
