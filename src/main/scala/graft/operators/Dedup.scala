@@ -116,9 +116,13 @@ object Dedup {
   /** Pair generation from a precomputed [[minHashBase]]. The base
     * feeds FOUR plan branches (both sides of the band self-join, both
     * verification lookups); AQE's shuffle-stage reuse dedupes the
-    * identical ones at runtime, but a production run over a large
-    * corpus should `persist()` (or write) the base and pass it here so
-    * the signature computation is guaranteed once. */
+    * identical ones at runtime. Measured guidance: on a small corpus,
+    * recompute + AQE reuse beats `persist()` (columnar-caching 64
+    * signature columns costs more than it saves — 2.5× at sf0.1); a
+    * persisted or written-to-lake base pays off when the tokenize+
+    * shingle scan itself is the dominant cost, i.e. at corpus sizes
+    * where one extra pass over the text is hours, or when the base is
+    * reused across runs (incremental dedup). */
   def minHashDupPairsFromBase(base: DataFrame, k: Int, bands: Int,
       threshold: Double, maxBucketSize: Int): DataFrame = {
     val banded = lshBandRows(base, k, bands)
