@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, IvfAnn, Multimodal, RangeJoin, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -636,6 +636,19 @@ object Catalog {
                 SELECT o_custkey, 'only_f' AS src FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) t
               GROUP BY src ORDER BY src""")),
 
+    // ------------------------------------------------- custom typed UDAF
+    QueryDef("q37_geomean_udaf",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(udaf(graft.functions.GeoMean).apply(col("l_extendedprice")), 4)
+          .as("geo_price"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+                count(*) AS n
+              FROM lineitem WHERE l_extendedprice > 0
+              GROUP BY 1 ORDER BY l_returnflag""")),
+
     // ================================================= extensions: dedup
     QueryDef("x01_dedup_exact",
       (s, d) => Dedup.exactGroups(documents(s, d), "doc_id", col("text"))
@@ -804,6 +817,19 @@ object Catalog {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang"),
       None),
+
+    QueryDef("x18_consistent_sample",
+      // exactly-3-docs-per-source deterministic sample; md5 selection
+      // is reproducible by the oracle
+      (s, d) => Sampling.consistentSamplePerGroup(
+          documents(s, d), "source", "doc_id", k = 3)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+                SELECT source, doc_id, row_number() OVER (
+                  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents) t
+              WHERE rk <= 3 ORDER BY source, doc_id""")),
 
     // ================================================= extensions: text analysis
     QueryDef("x09_langid",

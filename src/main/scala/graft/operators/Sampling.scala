@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-size sampling for training-data pipelines.
+  *
+  * `stat.sampleBy` (Bernoulli) gives an EXPECTED fraction — fine for
+  * rates, useless when the contract is "exactly k documents per
+  * source". The classic answer is reservoir sampling, but a
+  * distributed reservoir needs stateful merge and is order-dependent.
+  * Consistent top-k-by-hash does the same job relationally: order each
+  * group by a hash of the row id and keep the first k. Properties that
+  * matter at 100 TB:
+  *  - one window (or min-of-struct agg) per group — a single shuffle;
+  *  - deterministic and REPEATABLE: the same ids survive across reruns
+  *    and across engines (the sort key is a plain hash expression);
+  *  - consistent under growth: adding new rows only displaces
+  *    survivors with larger hashes (the sample drifts minimally).
+  */
+object Sampling {
+
+  /** Keep exactly `min(k, |group|)` rows per group, chosen by md5 of
+    * the id column (md5, not xxhash64, so external oracles can
+    * reproduce the selection). */
+  def consistentSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

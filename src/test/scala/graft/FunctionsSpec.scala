@@ -26,6 +26,30 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT unaccent('tréma')").as[String].head() == "trema")
   }
 
+  test("GeoMean aggregator: exact value, partition-invariant") {
+    val xs = Seq(1.0, 2.0, 4.0, 8.0)
+    val expected = math.exp(xs.map(math.log).sum / 4) // = 2*sqrt(2)
+    val df = xs.toDF("x")
+    val one = df.coalesce(1).agg(udaf(graft.functions.GeoMean).apply(col("x")))
+      .as[Double].head()
+    val many = df.repartition(3).agg(udaf(graft.functions.GeoMean).apply(col("x")))
+      .as[Double].head()
+    assert(math.abs(one - expected) < 1e-12)
+    assert(math.abs(many - expected) < 1e-12) // merge() associativity
+    // empty + non-positive inputs
+    val nan = Seq(-1.0, 0.0).toDF("x")
+      .agg(udaf(graft.functions.GeoMean).apply(col("x"))).as[Double].head()
+    assert(nan.isNaN)
+  }
+
+  test("consistent sample: exactly k per group, stable across reshuffles") {
+    val df = (1L to 100L).map(i => (s"g${i % 4}", i)).toDF("grp", "id")
+    val s1 = graft.operators.Sampling.consistentSamplePerGroup(df, "grp", "id", 5)
+    val s2 = graft.operators.Sampling.consistentSamplePerGroup(df.repartition(7), "grp", "id", 5)
+    assert(s1.groupBy("grp").count().select("count").as[Long].collect().forall(_ == 5))
+    assert(s1.exceptAll(s2).count() == 0) // identical survivors
+  }
+
   test("salted join equals the plain join") {
     val fact = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 1.0), (4L, 99L, 2.0))
       .toDF("id", "k", "v")
