@@ -649,6 +649,65 @@ object Catalog {
               FROM lineitem WHERE l_extendedprice > 0
               GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // ------------------------------------------------- batch sessionization
+    QueryDef("q38_sessionize",
+      (s, d) => EventStream.sessionizeBatch(events(s, d), gapSeconds = 1800)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+        .orderBy("user_id", "session_seq"),
+      Some("""WITH s AS (
+                SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s2 AS (
+                SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM s)
+              SELECT user_id, session_seq, count(*) AS n_events,
+                round(SUM(value), 4) AS total_value,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+              FROM s2 GROUP BY user_id, session_seq
+              ORDER BY user_id, session_seq""")),
+
+    // ------------------------------------------------- hourly resample + ffill
+    QueryDef("q39_resample",
+      (s, d) => {
+        val base = events(s, d).where(col("user_id") < 20)
+          .groupBy(col("user_id").cast("string").as("code_site"),
+            date_trunc("hour", col("ts")).as("date_de_debut"))
+          .agg(round(avg("value"), 4).as("v"))
+        AirQuality.resampleHourly(base, Seq("v"))
+          .select(col("code_site"),
+            date_format(col("date_de_debut"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+            round(col("v"), 4).as("v"), col("is_observed"))
+          .orderBy("code_site", "hour_ts")
+      },
+      Some("""WITH base AS (
+                SELECT CAST(user_id AS VARCHAR) AS code_site,
+                  date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+                FROM events WHERE user_id < 20 GROUP BY 1, 2),
+              spans AS (SELECT code_site, min(h) AS t0, max(h) AS t1
+                        FROM base GROUP BY 1),
+              grid AS (SELECT code_site, unnest(generate_series(t0, t1,
+                         INTERVAL 1 HOUR)) AS h FROM spans),
+              j AS (SELECT g.code_site, g.h, b.v,
+                      b.v IS NOT NULL AS is_observed
+                    FROM grid g LEFT JOIN base b
+                      ON g.code_site = b.code_site AND g.h = b.h),
+              f AS (SELECT code_site, h, is_observed,
+                      last_value(v IGNORE NULLS) OVER (PARTITION BY code_site
+                        ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+                    FROM j)
+              SELECT code_site, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+                round(v, 4) AS v, is_observed
+              FROM f ORDER BY code_site, hour_ts""")),
+
     // ================================================= extensions: dedup
     QueryDef("x01_dedup_exact",
       (s, d) => Dedup.exactGroups(documents(s, d), "doc_id", col("text"))

@@ -278,6 +278,27 @@ object AirQuality {
         (col(c) - lagged) / lagged * 100)
     }
 
+  /** Hourly resample: materialize every hour between each site's first
+    * and last measurement (the grid the reference ASSUMES exists — its
+    * lag-6 treats 6 rows as 6 hours), left-join the observed rows, and
+    * forward-fill `fillCols`. Grid generation is
+    * sequence+explode per site — rows appear where the data lives, no
+    * driver enumeration; the join and the fill share the per-site
+    * partitioning. */
+  def resampleHourly(df: DataFrame, fillCols: Seq[String]): DataFrame = {
+    val spans = df.groupBy("code_site")
+      .agg(min("date_de_debut").as("__t0"), max("date_de_debut").as("__t1"))
+    val grid = spans.select(col("code_site"),
+      explode(sequence(col("__t0"), col("__t1"),
+        expr("INTERVAL 1 HOUR"))).as("date_de_debut"))
+    val joined = grid.join(df, Seq("code_site", "date_de_debut"), "left")
+      .withColumn("is_observed", col(fillCols.head).isNotNull)
+    fillCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true)
+        .over(siteWindow.rowsBetween(Window.unboundedPreceding, 0)))
+    }
+  }
+
   /** Full gold stage over the named silver tables, in the reference's
     * exact operator order (src/process_to_curated.py:202-276):
     * drop/prefix -> join -> impute -> convert -> total -> diff -> pct. */

@@ -96,4 +96,26 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value")).as("sum_value"),
         avg(col("value")).as("avg_value"))
+
+  /** Batch gap-based sessionization (the deterministic, oracle-checkable
+    * twin of [[sessionize]]): a new session starts when the gap to the
+    * previous event of the same user exceeds `gapSeconds`. Classic
+    * lag -> boundary flag -> running sum; two windows over ONE
+    * partitioning (user_id), so a single shuffle. Session ids are
+    * (user_id, session_seq) — globally unique without any driver-side
+    * counter, which is what survives 100 TB. */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prev.isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(prev) > gapSeconds, 1L).otherwise(0L)
+    events
+      .withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        sum("value").as("total_value"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"))
+  }
 }
