@@ -771,6 +771,46 @@ object Catalog {
         .orderBy("id_a", "id_b"),
       None), // xxhash64 family not available to the oracle — rows-only
 
+    QueryDef("x19_contamination",
+      // train/test contamination: the "test" slice (docs 0-99) checked
+      // for verbatim presence in the full training corpus, matched on
+      // the canonical fingerprint, not raw text. (This synthetic corpus
+      // has no cross-doc duplicates, so the hits are the test docs'
+      // own occurrences — exactly what a leakage audit flags.)
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("canon", TextAnalysis.normalizeText(col("text")))
+        val test = docs.where(col("doc_id") < 100)
+        Dedup.crossCorpusOverlap(test, "doc_id", docs, "doc_id", col("canon"))
+          .select(col("left_id").as("test_id"), col("right_id").as("train_id"))
+          .orderBy("test_id", "train_id")
+      },
+      Some("""WITH canon AS (
+                SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS dg
+                FROM documents)
+              SELECT l.doc_id AS test_id, r.doc_id AS train_id
+              FROM canon l JOIN canon r ON l.dg = r.dg
+              WHERE l.doc_id < 100
+              ORDER BY test_id, train_id""")),
+
+    QueryDef("x20_incremental_dedup",
+      // incremental ingest: docs >= 250 arrive after docs < 250; keep
+      // only arrivals whose content digest is genuinely new
+      (s, d) => {
+        val docs = documents(s, d)
+        val existing = docs.where(col("doc_id") < 250)
+        val incoming = docs.where(col("doc_id") >= 250)
+        Dedup.incrementalSurvivors(existing, incoming, col("text"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source FROM documents i
+              WHERE doc_id >= 250 AND NOT EXISTS (
+                SELECT 1 FROM documents e
+                WHERE e.doc_id < 250 AND md5(e.text) = md5(i.text))
+              ORDER BY doc_id""")),
+
     // ================================================= extensions: similarity
     QueryDef("x06_knn_cosine",
       (s, d) => {

@@ -39,6 +39,33 @@ object Dedup {
     df.groupBy(md5(exactOn.cast("string")).as("digest"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("survivor_id"))
 
+  /** Cross-corpus exact overlap (train/test contamination check, or
+    * equivalently incremental dedup of `incoming` against an existing
+    * corpus): match on content digest, never on payload — the join
+    * shuffles 16-byte keys regardless of document size. `exactOn`
+    * should be the canonicalized content (e.g.
+    * [[TextAnalysis.fingerprint]]'s input) so near-identical casing/
+    * punctuation variants count as contamination. */
+  def crossCorpusOverlap(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String, exactOn: Column): DataFrame = {
+    val l = left.select(col(leftId).as("left_id"),
+      md5(exactOn.cast("string")).as("digest"))
+    val r = right.select(col(rightId).as("right_id"),
+      md5(exactOn.cast("string")).as("digest"))
+    l.join(r, "digest").select("digest", "left_id", "right_id")
+  }
+
+  /** Incremental dedup: keep only `incoming` rows whose digest is NOT
+    * already in `existing` — a left anti join on the digest. */
+  def incrementalSurvivors(existing: DataFrame, incoming: DataFrame,
+      exactOn: Column): DataFrame = {
+    val seen = existing.select(md5(exactOn.cast("string")).as("__digest")).distinct()
+    incoming
+      .withColumn("__digest", md5(exactOn.cast("string")))
+      .join(seen, Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** One (id, shingle-hash) row per word n-gram, built RELATIONALLY:
