@@ -965,6 +965,29 @@ object Catalog {
                   '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS bpe_tokens
               FROM documents ORDER BY doc_id""")),
 
+    QueryDef("x21_clean_text",
+      // cleanup runs over text decorated with tags/urls/emails built
+      // from the data itself, so the scrub is actually exercised
+      (s, d) => {
+        val decorated = concat(lit("<p>"), col("text"),
+          lit("</p> see https://example.com/x?id=1 or mail a.b@c.org now"))
+        documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.cleanText(decorated).as("cleaned"))
+          .withColumn("cleaned", substring(col("cleaned"), 1, 80))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, substring(
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace('<p>' || text || '</p> see https://example.com/x?id=1 or mail a.b@c.org now',
+                        '<[^>]*>', ' ', 'g'),
+                      'https?://[^\s]+', ' ', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', ' ', 'g'),
+                  '\s+', ' ', 'g')), 1, 80) AS cleaned
+              FROM documents ORDER BY doc_id""")),
+
     QueryDef("x12_rolling_fingerprint",
       (s, d) => documents(s, d)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))

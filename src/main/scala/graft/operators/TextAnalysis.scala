@@ -101,6 +101,18 @@ object TextAnalysis {
       clamp01(stops / 10.0) * 0.25
   }
 
+  /** Pretraining text cleanup: strip HTML tags, URLs, and email
+    * addresses, then collapse whitespace runs. Pure regexp_replace
+    * chain — codegen'd, map-only, the patterns deliberately simple
+    * enough to behave identically across regex engines (oracle-
+    * portable). */
+  def cleanText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val noUrls = regexp_replace(noTags, "https?://[^\\s]+", " ")
+    val noMail = regexp_replace(noUrls, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+", " ")
+    trim(regexp_replace(noMail, "\\s+", " "))
+  }
+
   /** Content-defined document fingerprint: md5 of the normalized text.
     * Identical content with different casing/punctuation/spacing maps
     * to one fingerprint — the key for exact near-canonical dedup. */
