@@ -952,11 +952,13 @@ object Catalog {
       Some(langIdOracle)),
 
     QueryDef("x10_quality",
+      // floor-truncate, don't round: round() tie-breaking at the 4th
+      // decimal differs between engines on exact .xxxx5 scores
       (s, d) => documents(s, d)
         .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"),
-          round(TextAnalysis.qualityScoreFromTokens(col("text"), col("__toks")), 4)
-            .as("quality"))
+          (floor(TextAnalysis.qualityScoreFromTokens(col("text"), col("__toks"))
+            * 10000) / 10000).as("quality"))
         .orderBy("doc_id"),
       Some(qualityOracle),
       headline = true),
@@ -1074,11 +1076,11 @@ object Catalog {
               + len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))
               + len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人'))) AS DOUBLE) AS stops
          FROM t)
-       SELECT doc_id, round(
+       SELECT doc_id, floor((
            least(greatest(n_tok / 100.0, 0.0), 1.0) * 0.25
          + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
          + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
-         + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25, 4) AS quality
+         + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) * 10000) / 10000 AS quality
        FROM f ORDER BY doc_id"""
 
   /** name -> builder, for SparkEntry.queries. */
