@@ -16,3 +16,12 @@ trait SparkSpec extends AnyFunSuite {
 
   def sf(name: String): String = s"/root/testdata/$name"
 }
+
+/** The driver's t1 smoke contract: entry() on a bare session. */
+class EntrySpec extends SparkSpec {
+  test("entry returns rows on sf0.001 with no session prerequisites") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.queries.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
