@@ -776,6 +776,36 @@ object Catalog {
               SELECT id_a, id_b, round(jaccard, 4) AS jaccard
               FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
+    QueryDef("x22_dup_clusters",
+      // pairs -> connected components -> min-id cluster label (the
+      // survivor); pairs come from the deterministic n-gram variant so
+      // the oracle can recompute them with a recursive CTE
+      (s, d) => Dedup.dupClusters(
+          Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+            n = 1, threshold = 0.5, blockOn = Seq("lang", "source")))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE toks AS (
+                SELECT doc_id, lang, source,
+                  list_distinct(list_filter(
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS sh
+                FROM documents),
+              pairs AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM toks l JOIN toks r
+                  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) > 0
+                  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+                      (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5),
+              edges AS (SELECT id_a, id_b FROM pairs
+                        UNION ALL SELECT id_b, id_a FROM pairs),
+              reach AS (
+                SELECT id_a AS id, id_a AS r FROM edges
+                UNION
+                SELECT re.id, e.id_b AS r FROM reach re JOIN edges e ON e.id_a = re.r)
+              SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""")),
+
     QueryDef("x05_simhash",
       (s, d) => Dedup.simHashDupPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b"),

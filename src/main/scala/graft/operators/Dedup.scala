@@ -256,6 +256,53 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
 
+  // --------------------------------------------- pair -> cluster -> survivor
+
+  /** Connected components over duplicate pairs by iterative min-label
+    * propagation: every node starts labeled with itself; each round,
+    * labels flow across edges and each node keeps the minimum seen;
+    * fixpoint = each component labeled with its smallest id (the
+    * survivor). Output: (id, label).
+    *
+    * Scale shape: each round is one equi-join + one min-aggregate —
+    * all shuffles key on node ids. Rounds needed = component diameter;
+    * duplicate clusters are near-cliques (diameter ≤ 2–3 in practice),
+    * and `maxIterations` bounds pathological chains. The loop is
+    * driver-side CONTROL only (an MLlib-style iteration) — data never
+    * leaves the cluster; `localCheckpoint` every few rounds truncates
+    * lineage so plans don't grow unboundedly. */
+  def dupClusters(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIterations) {
+      val propagated = labels.join(edges, col("id") === col("id_a"))
+        .select(col("id_b").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("new_label"))
+      val next = labels.select(col("id"), col("label").as("old_label"))
+        .join(propagated, "id")
+        .select(col("id"), col("new_label").as("label"),
+          (col("new_label") < col("old_label")).as("__moved"))
+        .localCheckpoint()
+      changed = next.where(col("__moved")).limit(1).count() > 0
+      labels = next.drop("__moved")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivors after fuzzy dedup: every id in `df` keeps itself unless
+    * it belongs to a dup cluster and is not the cluster's minimum. */
+  def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = dupClusters(pairs)
+    df.join(labels.where(col("label") =!= col("id"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked

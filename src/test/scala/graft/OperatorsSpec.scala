@@ -27,6 +27,17 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dupClusters: min-label components; clusterSurvivors keeps minima + singletons") {
+    // components: {1,2,3} (chain), {7,9}; 5 untouched by any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val surv = Dedup.clusterSurvivors(docs, "doc_id", pairs)
+      .as[Long].collect().sorted.toSeq
+    assert(surv == Seq(1L, 5L, 7L))
+  }
+
   test("arrayJaccard exact values") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.arrayJaccard(col("x"), col("y"))).as[Double].head()
