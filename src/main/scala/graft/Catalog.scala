@@ -33,6 +33,26 @@ object Catalog {
   /** decimal-exact sum of a double column expression, emitted as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** DuckDB cosine-similarity fragment between two float-list columns —
+    * the exact double algebra `Similarity.cosine` computes (and that
+    * x06 proves hash-compatible at 4dp). */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  /** DuckDB fragment: the integer sign-LSH bucket of a float-list
+    * column `v` under [[graft.operators.Similarity.portablePlanes]]
+    * (dim 64) — replays hyperplaneBucket bit-for-bit. */
+  private def bucketSql(v: String, planes: Int): String =
+    s"""list_sum(list_transform(range(0, $planes), p ->
+          CASE WHEN list_sum(list_transform(range(0, 64), d ->
+              (((1103515245 * (p * 64 + d + 1) + 12345) % 2147483648)
+                % 1000001 - 500000)
+              * CAST(floor(CAST($v[CAST(d + 1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT))) >= 0
+            THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END))"""
+
   val entries: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------- S5/S8 + pushdown
@@ -581,7 +601,7 @@ object Catalog {
         .orderBy("k_mod"),
       Some("""SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_mod,
                 count(*) AS n,
-                SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+                CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
               FROM events GROUP BY 1 ORDER BY k_mod""")),
 
     // ------------------------------------------------- bucketed range join
@@ -663,7 +683,7 @@ object Catalog {
     QueryDef("q38_sessionize",
       (s, d) => EventStream.sessionizeBatch(events(s, d), gapSeconds = 1800)
         .select(col("user_id"), col("session_seq"), col("n_events"),
-          round(col("total_value"), 4).as("total_value"),
+          col("total_value"),
           date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
         .orderBy("user_id", "session_seq"),
@@ -675,11 +695,11 @@ object Catalog {
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
               s2 AS (
-                SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
                 FROM s)
               SELECT user_id, session_seq, count(*) AS n_events,
-                round(SUM(value), 4) AS total_value,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
                 strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
               FROM s2 GROUP BY user_id, session_seq
@@ -751,7 +771,60 @@ object Catalog {
           shingleN = 3, k = 64, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b"),
-      None, // approximate candidate generation — rows-only check
+      // the whole pipeline — token hash, shingle hash, 64 affine
+      // permutations, banding, Jaccard verify — is the portable md5-60
+      // family, so the oracle replays candidate generation EXACTLY
+      // (note: the 1000-doc bucket cap never binds at oracle scale)
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+              verified AS (
+                SELECT c.id_a, c.id_b,
+                  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b)
+              SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+              FROM verified WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
       headline = true),
 
     QueryDef("x04_ngram_jaccard",
@@ -809,7 +882,36 @@ object Catalog {
     QueryDef("x05_simhash",
       (s, d) => Dedup.simHashDupPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b"),
-      None), // xxhash64 family not available to the oracle — rows-only
+      // 60-bit portable fingerprints: the oracle rebuilds the per-bit
+      // majority vote and the 15-bit quarter blocking exactly
+      Some("""WITH h AS (
+                SELECT doc_id,
+                  CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+                FROM (SELECT doc_id, unnest(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS t
+                  FROM documents)),
+              votes AS (
+                SELECT doc_id, b,
+                  sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, range(0, 60) t(b) GROUP BY doc_id, b),
+              fp AS (
+                SELECT doc_id,
+                  CAST(sum(CASE WHEN v > 0
+                    THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                    ELSE 0 END) AS BIGINT) AS fp
+                FROM votes GROUP BY doc_id),
+              blocks AS (
+                SELECT doc_id, fp, q, (fp >> CAST(q * 15 AS INT)) & 32767 AS qk
+                FROM fp, range(0, 4) t(q)),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.fp AS fa, r.fp AS fb
+                FROM blocks l JOIN blocks r
+                  ON l.q = r.q AND l.qk = r.qk AND l.doc_id < r.doc_id)
+              SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+              FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+              ORDER BY id_a, id_b""")),
 
     QueryDef("x19_contamination",
       // train/test contamination: the "test" slice (docs 0-99) checked
@@ -889,7 +991,26 @@ object Catalog {
             round(col("cosine"), 4).as("cosine"))
           .orderBy("query_id", "rank")
       },
-      None), // approximate (LSH recall) — rows-only
+      // still approximate in RECALL, but fully deterministic: integer
+      // hyperplane projections (see Similarity.hyperplaneBucket) let
+      // the oracle replay bucketing bit-for-bit
+      Some(s"""WITH b AS (
+                SELECT vec_id, embedding,
+                  ${bucketSql("embedding", 4)} AS bucket
+                FROM embeddings),
+              sims AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                  ${cosineSql("qq.embedding", "cc.embedding")} AS cosine
+                FROM b qq JOIN b cc
+                  ON qq.bucket = cc.bucket AND qq.vec_id < 20
+                  AND cc.vec_id <> qq.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims)
+              SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     QueryDef("x08_embed_dup",
       // this synthetic corpus has no true near-dups (max pairwise
@@ -898,22 +1019,73 @@ object Catalog {
           dim = 64, threshold = 0.35, planes = 4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b"),
-      None), // approximate (LSH recall) — rows-only
+      Some(s"""WITH b AS (
+                SELECT vec_id, embedding,
+                  ${bucketSql("embedding", 4)} AS bucket
+                FROM embeddings),
+              sims AS (
+                SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                  ${cosineSql("l.embedding", "r.embedding")} AS cosine
+                FROM b l JOIN b r
+                  ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+              SELECT id_a, id_b, round(cosine, 4) AS cosine
+              FROM sims WHERE cosine >= 0.35 ORDER BY id_a, id_b""")),
 
     QueryDef("x15_ivf_ann",
       (s, d) => {
         val emb = embeddings(s, d)
         val queries = emb.where(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        // index build: KMeans centroids on the corpus (tiny literal model)
-        val centroids = IvfAnn.trainCentroids(emb, "embedding", nlist = 16)
-        IvfAnn.topK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+        // index build: deterministic integer seed-group centroids (the
+        // KMeans path IvfAnn.trainCentroids stays available; this one
+        // is engine-replayable so the whole IVF search is verified)
+        val centroids = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding", nlist = 16)
+        IvfAnn.topKInt(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
             centroids, k = 5, nprobe = 4)
           .select(col("query_id"), col("neighbor_id"), col("rank"),
             round(col("cosine"), 4).as("cosine"))
           .orderBy("query_id", "rank")
       },
-      None), // approximate (IVF recall) — rows-only
+      Some(s"""WITH q AS (
+                SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, d,
+                  CAST(sum(qv[CAST(d AS INT)]) AS BIGINT) AS s, count(*) AS n
+                FROM q, range(1, 65) t(d)
+                GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, c.cell,
+                  CAST(sum((c.n * q.qv[CAST(c.d AS INT)] - c.s)
+                         * (c.n * q.qv[CAST(c.d AS INT)] - c.s)) AS DOUBLE)
+                    / (CAST(max(c.n) AS DOUBLE) * CAST(max(c.n) AS DOUBLE)) AS d2
+                FROM q, cent c
+                GROUP BY q.vec_id, c.cell),
+              assign AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist) t WHERE rn = 1),
+              probe AS (
+                SELECT vec_id AS q_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist WHERE vec_id < 20) t
+                WHERE rn <= 4),
+              sims AS (
+                SELECT p.q_id AS query_id, a.vec_id AS neighbor_id,
+                  ${cosineSql("eq.embedding", "en.embedding")} AS cosine
+                FROM probe p JOIN assign a ON p.cell = a.cell
+                JOIN embeddings eq ON eq.vec_id = p.q_id
+                JOIN embeddings en ON en.vec_id = a.vec_id
+                WHERE a.vec_id <> p.q_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims)
+              SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     QueryDef("x16_group_centroids",
       (s, d) => {
@@ -947,15 +1119,19 @@ object Catalog {
 
     QueryDef("x17_stratified_sample",
       // rebalance an imbalanced corpus: downsample the majority
-      // language, keep the rest — the standard training-mix op.
-      // Bernoulli sampling is seed-deterministic but engine-specific,
-      // so this is a rows-only check.
-      (s, d) => documents(s, d).stat.sampleBy("lang",
-          Map[Any, Double]("en" -> 0.25, "de" -> 1.0, "es" -> 1.0,
-            "fr" -> 1.0, "zh" -> 1.0), 42L)
+      // language, keep the rest — the standard training-mix op. The
+      // md5-derived draw makes the survivor set a pure function of the
+      // data (auditable, engine-portable), unlike seeded Bernoulli.
+      (s, d) => Sampling.deterministicSampleBy(documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang"),
-      None),
+      Some("""SELECT lang, count(*) AS n_docs FROM documents
+              WHERE CAST('0x' || substring(
+                      md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 15) AS BIGINT)
+                    % 1000000
+                    < CASE lang WHEN 'en' THEN 250000 ELSE 1000000 END
+              GROUP BY lang ORDER BY lang""")),
 
     QueryDef("x18_consistent_sample",
       // exactly-3-docs-per-source deterministic sample; md5 selection
@@ -1034,7 +1210,21 @@ object Catalog {
       (s, d) => documents(s, d)
         .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy("doc_id"),
-      None), // 64-bit wraparound arithmetic not oracle-portable — rows-only
+      // the hash is plain mod-p polynomial arithmetic over normalized
+      // ASCII — replayable by the oracle as a list_reduce
+      Some("""WITH n AS (
+                SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+                FROM documents)
+              SELECT doc_id,
+                CASE WHEN length(t) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(t) + 1),
+                        i -> CAST(unicode(substring(t, CAST(i AS INT), 1)) AS BIGINT))),
+                    (a, b) -> (a * 31 + b) % 1000000007)
+                END AS rhash
+              FROM n ORDER BY doc_id""")),
 
     // ================================================= extensions: multimodal
     QueryDef("x13_multimodal_meta",
@@ -1042,10 +1232,21 @@ object Catalog {
         val packed = Multimodal.packFake(documents(s, d), "doc_id", "text")
         packed.select(col("media_id"), col("meta.format").as("format"),
             col("meta.width").as("width"), col("meta.height").as("height"),
-            length(col("media")).as("payload_bytes"))
+            length(col("media")).cast("long").as("payload_bytes"))
           .orderBy("media_id")
       },
-      None), // meta derivation uses xxhash64 — rows-only
+      Some("""WITH m AS (
+                SELECT doc_id,
+                  ((doc_id % 100000) * 2654435761 +
+                   octet_length(encode(text)) * 1000003) % 2147483647 AS h,
+                  octet_length(encode(text)) AS pb
+                FROM documents)
+              SELECT doc_id AS media_id,
+                ['jpeg','png','wav','mp4'][CAST(h % 4 + 1 AS INT)] AS format,
+                CAST(h % 1024 + 64 AS INT) AS width,
+                CAST(h % 768 + 64 AS INT) AS height,
+                pb AS payload_bytes
+              FROM m ORDER BY media_id""")),
 
     QueryDef("x14_frame_sample",
       (s, d) => {

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *    as a shuffled hash join; the quadratic jaccard verification runs
   *    only inside buckets;
   *  - signature computation is kept in whole-stage codegen: shingles /
-  *    tokens are hashed to int64 ONCE, then the k permutations are
-  *    cheap seeded hashes of that int64 folded by a hash-aggregate
+  *    tokens are hashed to int64 ONCE (via the engine-portable
+  *    [[graft.functions.PortableHash]] md5-60 family, so results are
+  *    externally auditable), then the k permutations are cheap affine
+  *    maps of that int64 folded by a hash-aggregate
   *    (explode -> groupBy(id).agg(min...)) — never a per-permutation
   *    re-hash of strings inside interpreted higher-order functions;
   *  - survivors are chosen with deterministic min-id rules so reruns
@@ -83,7 +85,8 @@ object Dedup {
         posexplode(split(TextAnalysis.normalizeText(col("__text")), " ")).as(Seq("pos", "tok")))
       .where(col("tok") =!= "")
     val w = Window.partitionBy("id").orderBy("pos")
-    val hashed = toks.select(col("id"), col("pos"), xxhash64(col("tok")).as("h"))
+    val hashed = toks.select(col("id"), col("pos"),
+      graft.functions.PortableHash.md5Hash60(col("tok")).as("h"))
     if (shingleN <= 1) hashed.select(col("id"), col("h").as("s"))
     else {
       val leads = (1 until shingleN).map(k => lead(col("h"), k).over(w).as(s"l$k"))
@@ -94,29 +97,32 @@ object Dedup {
       val keep = col(s"l${shingleN - 1}").isNotNull || col("rn") === 1
       val parts = col("h") +: (1 until shingleN).map(k =>
         coalesce(col(s"l$k"), lit(-k.toLong)))
-      withLeads.where(keep).select(col("id"), xxhash64(parts: _*).as("s"))
+      withLeads.where(keep).select(col("id"),
+        graft.functions.PortableHash.md5Hash60(concat_ws(",", parts: _*)).as("s"))
     }
   }
 
   /** MinHash signature + verification set in ONE hash-aggregate over
-    * the shingle-hash rows: permutation i of shingle-hash s is
-    * xxhash64(i, s) (a seeded 64-bit family over fixed-width input),
-    * folded by k codegen'd min-aggregates; `collect_set` carries the
-    * exact shingle set for Jaccard verification. Output:
-    * (id, hs: array<long>, m0..m{k-1}). */
+    * the shingle-hash rows: permutation i of shingle-hash s is the
+    * affine map [[graft.functions.PortableHash.perm]] (overflow-free
+    * mod-2^31-1 family — externally replayable), folded by k codegen'd
+    * min-aggregates; `collect_set` carries the exact shingle set for
+    * Jaccard verification. Output: (id, hs: array<long>, m0..m{k-1}). */
   def minHashBase(rows: DataFrame, k: Int): DataFrame =
     rows.groupBy("id")
       .agg(collect_set(col("s")).as("hs"),
-        (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i")): _*)
+        (0 until k).map(i =>
+          min(graft.functions.PortableHash.perm(i, col("s"))).as(s"m$i")): _*)
 
-  /** LSH banding over a wide signature: band b's bucket key is one
-    * xxhash64 of its `k/bands` signature columns. Output: one
+  /** LSH banding over a wide signature: band b's bucket key is the
+    * comma-joined string of (b, its `k/bands` signature values) — a
+    * plain value concatenation any engine reproduces. Output: one
     * (id, band, bucket) row per band. */
   def lshBandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bucket"))
+      struct(lit(b).as("band"), concat_ws(",", lit(b) +: cols: _*).as("bucket"))
     }
     sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -187,21 +193,26 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per id, as 64 codegen'd sum-aggregates over token
-    * hashes (per-bit majority vote): explode tokens -> hash once ->
-    * sum(bit_b ? +1 : -1) for each bit -> fold into one int64.
+  /** How many bits a SimHash fingerprint carries: the portable md5-60
+    * token hash provides 60 usable bits. */
+  val simHashBits = 60
+
+  /** 60-bit SimHash per id, as 60 codegen'd sum-aggregates over token
+    * hashes (per-bit majority vote): explode tokens -> hash once
+    * (portable md5-60, so the fingerprints are externally replayable)
+    * -> sum(bit_b ? +1 : -1) for each bit -> fold into one int64.
     * Output: (id, fp). */
   def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
         explode(split(TextAnalysis.normalizeText(col("__text")), " ")).as("t"))
       .where(col("t") =!= "")
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), graft.functions.PortableHash.md5Hash60(col("t")).as("h"))
     val votes = hashed.groupBy("id").agg(
       sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2L - 1L).as("v0"),
-      (1 until 64).map(b =>
+      (1 until simHashBits).map(b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L).as(s"v$b")): _*)
-    val fp = (0 until 64).map { b =>
+    val fp = (0 until simHashBits).map { b =>
       shiftleft(when(col(s"v$b") > 0, lit(1L)).otherwise(lit(0L)), b)
     }.reduce(_.bitwiseOR(_))
     votes.select(col("id"), fp.as("fp"))
@@ -210,7 +221,7 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 16-bit quarters of the
+  /** SimHash near-dup pairs: block on 15-bit quarters of the 60-bit
     * fingerprint (any pair within hamming distance 3 shares at least
     * one intact quarter — pigeonhole), then verify the distance. */
   def simHashDupPairs(df: DataFrame, idCol: String, textCol: String,
@@ -219,7 +230,7 @@ object Dedup {
     val blocked = fp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
-          shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL)).as("qk"))): _*)).as("b"))
+          shiftright(col("fp"), q * 15).bitwiseAND(lit(0x7FFFL)).as("qk"))): _*)).as("b"))
       .select(col("id"), col("fp"), col("b.q").as("q"), col("b.qk").as("qk"))
     blocked.as("l").join(blocked.as("r"),
         col("l.q") === col("r.q") && col("l.qk") === col("r.qk") &&

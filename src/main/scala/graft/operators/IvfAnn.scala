@@ -66,13 +66,21 @@ object IvfAnn {
     * cosine within candidates, rank per query. */
   def topK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
-      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
-    val c = Rebalance(corpus.select(col(corpusId), col(corpusVec)))
-      .withColumn("__cell", cellId(col(corpusVec), centroids))
-      .withColumn("__cn", Similarity.norm(col(corpusVec)))
-    val q = queries
-      .withColumn("__cell", explode(probeCells(col(queryVec), centroids, nprobe)))
-      .withColumn("__qn", Similarity.norm(col(queryVec)))
+      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame =
+    searchAssigned(
+      Rebalance(corpus.select(col(corpusId), col(corpusVec)))
+        .withColumn("__cell", cellId(col(corpusVec), centroids)),
+      queries.withColumn("__cell",
+        explode(probeCells(col(queryVec), centroids, nprobe))),
+      corpusId, corpusVec, queryId, queryVec, k)
+
+  /** Shared search tail: corpus and queries both carry a `__cell`
+    * column; equi-join on it, exact cosine within candidates, rank. */
+  private def searchAssigned(c0: DataFrame, q0: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = c0.withColumn("__cn", Similarity.norm(col(corpusVec)))
+    val q = q0.withColumn("__qn", Similarity.norm(col(queryVec)))
     val joined = c.join(broadcast(q), Seq("__cell"))
       .where(col(queryId) =!= col(corpusId))
       .withColumn("cosine", Similarity.cosineWithNorms(
@@ -84,4 +92,94 @@ object IvfAnn {
       .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  // ------------------------------- deterministic integer quantizer path
+
+  /** Exact integer centroid of one cell: element sums `s` over the
+    * 1e3-quantized member vectors plus the member count `n` — the cell
+    * mean is s/n, kept unreduced so distance math stays integral. */
+  final case class IntCentroid(cell: Int, n: Long, s: Array[Long])
+
+  /** Quantized vector: floor(x * 1e3) per component. Coarse (3
+    * decimals) is plenty for cell ASSIGNMENT — final ranking always
+    * uses full-precision cosine — and keeps the distance arithmetic
+    * comfortably inside int64. */
+  private def quantize3(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
+  /** Deterministic coarse quantizer ("seed group" centroids): cell
+    * seeds are `pmod(id, nlist)`; each centroid is the EXACT integer
+    * sum-pair (s, n) of its seed group from [[quantize3]] vectors.
+    *
+    * Why not KMeans here: iterative training gives better cells but an
+    * engine-opaque model. The seed-group centroid is a pure function
+    * of the data — any engine replays it bit-for-bit, so the whole IVF
+    * path (assignment, probing, final ranking) is oracle-checkable.
+    * Scale shape: one groupBy shuffle of nlist*dim longs; the returned
+    * model is tiny (nlist x dim) and inlined as literals. */
+  def seedCentroidsInt(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[IntCentroid] = {
+    val rows = corpus
+      .select(pmod(col(idCol), lit(nlist)).cast("int").as("cell"),
+        posexplode(quantize3(col(vecCol))).as(Seq("pos", "qv")))
+      .groupBy("cell", "pos")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (cell, rs) =>
+      val s = new Array[Long](dim)
+      rs.foreach(r => s(r.getInt(1)) = r.getLong(2))
+      IntCentroid(cell, rs.head.getLong(3), s)
+    }
+  }
+
+  /** Exact integer distance surrogate to centroid (s, n): comparing
+    * sum_d (n*q_d - s_d)^2 across cells orders them identically to
+    * true squared distance to the mean, n^2 * sum (q_d - s_d/n)^2 —
+    * n is constant per cell... NOT across cells, so n^2 must be
+    * divided out; we compare the rational dist/n^2 via cross
+    * multiplication-free per-cell doubles of exact integers, which is
+    * deterministic because each integer is < 2^53. */
+  private def intDistOverN2(qvec: Column, cen: IntCentroid): Column = {
+    val terms = zip_with(qvec, lit(cen.s), (q, sd) => {
+      val t = lit(cen.n) * q - sd; t * t
+    })
+    aggregate(terms, lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Nearest-centroid cell over the integer model: argmin of
+    * dist_i / n_i^2 with ties to the lower cell id. The division by
+    * n_i^2 happens in double — both operands are exact integers below
+    * 2^53, so the quotient is correctly rounded and identical on every
+    * engine. */
+  def cellIdInt(vec: Column, cents: Array[IntCentroid]): Column = {
+    val q = quantize3(vec)
+    val scored = cents.map { c =>
+      struct((intDistOverN2(q, c).cast("double") /
+        lit(c.n.toDouble * c.n.toDouble)).as("d"), lit(c.cell).as("i"))
+    }
+    least(scored.toIndexedSeq: _*).getField("i")
+  }
+
+  /** The `nprobe` nearest cells under the integer model, as an array. */
+  def probeCellsInt(vec: Column, cents: Array[IntCentroid], nprobe: Int): Column = {
+    val q = quantize3(vec)
+    val scored = array(cents.map { c =>
+      struct((intDistOverN2(q, c).cast("double") /
+        lit(c.n.toDouble * c.n.toDouble)).as("d"), lit(c.cell).as("i"))
+    }.toIndexedSeq: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** IVF top-k over the deterministic integer quantizer — same search
+    * shape as [[topK]], every stage replayable by an external oracle. */
+  def topKInt(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      cents: Array[IntCentroid], k: Int, nprobe: Int): DataFrame =
+    searchAssigned(
+      Rebalance(corpus.select(col(corpusId), col(corpusVec)))
+        .withColumn("__cell", cellIdInt(col(corpusVec), cents)),
+      queries.withColumn("__cell",
+        explode(probeCellsInt(col(queryVec), cents, nprobe))),
+      corpusId, corpusVec, queryId, queryVec, k)
 }

@@ -21,7 +21,14 @@ object Multimodal {
     * columns: `id, media binary, meta struct<format,width,height,n_frames>`. */
   def packFake(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val payload = encode(col(textCol), "UTF-8")
-    val h = abs(xxhash64(col(textCol)))
+    // deterministic pseudo-hash from (id, payload size) in plain modular
+    // arithmetic: overflow-free under ANSI and reproducible by any
+    // SQL engine (unlike xxhash64) — this is what makes the fake meta
+    // oracle-checkable
+    val h = pmod(
+      pmod(col(idCol).cast("long"), lit(100000L)) * lit(2654435761L) +
+        length(payload).cast("long") * lit(1000003L),
+      lit(2147483647L))
     df.select(
       col(idCol).as("media_id"),
       payload.as("media"),

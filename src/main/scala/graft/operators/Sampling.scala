@@ -32,4 +32,22 @@ object Sampling {
       .where(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Deterministic per-stratum Bernoulli sampling (the training-mix
+    * rebalance op): a row survives iff its md5-derived uniform draw
+    * `u(id, stratum) in [0, 1e6)` falls under `rate * 1e6`. Unlike
+    * `stat.sampleBy`, the survivor set is a pure function of the data —
+    * repeatable across reruns, engines, and cluster layouts (no seed
+    * per-partition state), which is what makes sampled training mixes
+    * auditable. Map-only: no shuffle, no RNG state. */
+  def deterministicSampleBy(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val draw = conv(substring(
+        md5(concat_ws(":", col(idCol).cast("string"), col(stratumCol))), 1, 15),
+      16, 10).cast("long") % 1000000L
+    val thresholds = rates.map { case (k, v) => (k, (v * 1000000L).toLong) }
+    val thr = coalesce(
+      element_at(typedLit(thresholds), col(stratumCol)), lit(0L))
+    df.where(draw < thr)
+  }
 }

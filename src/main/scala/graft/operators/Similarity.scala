@@ -80,24 +80,34 @@ object Similarity {
           s => s.getField("av")).as("centroid"))
       .withColumnRenamed("g", groupCol)
 
-  /** Deterministic pseudo-random hyperplanes: plane p's weight for
-    * dimension d is a fixed-seed uniform in [-1, 1]. Generated
-    * driver-side once (planes x dim doubles) and inlined as a literal
-    * — effectively a broadcast of a tiny model. */
-  private def planeLiterals(dim: Int, planes: Int): IndexedSeq[IndexedSeq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
-  }
+  /** Deterministic integer hyperplanes: plane p's weight for dimension
+    * d is an LCG draw in [-500000, 500000] — plain modular arithmetic
+    * that any engine can replay (a seeded `Random` stream cannot be).
+    * Generated driver-side once (planes x dim longs) and inlined as a
+    * literal — effectively a broadcast of a tiny model. */
+  private[graft] def portablePlanes(dim: Int, planes: Int): IndexedSeq[IndexedSeq[Long]] =
+    IndexedSeq.tabulate(planes, dim) { (p, d) =>
+      val v = (1103515245L * (p.toLong * dim + d + 1) + 12345L) % 2147483648L
+      v % 1000001L - 500000L
+    }
 
   /** Sign-LSH bucket id: bit p = sign(v . plane_p). Vectors with high
     * cosine land in the same bucket with probability
-    * (1 - theta/pi)^planes. */
+    * (1 - theta/pi)^planes.
+    *
+    * The projection is computed in EXACT integer arithmetic — vector
+    * components quantized to floor(x * 1e6), integer plane weights —
+    * so the sign decision has no floating-point summation-order
+    * sensitivity: the same vector lands in the same bucket on every
+    * engine and every partitioning. |weight * q| <= 5e11 per term,
+    * * 64 dims < 2^63: overflow-free. */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val ps = planeLiterals(dim, planes)
+    val ps = portablePlanes(dim, planes)
+    val q = transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
     val bits = ps.zipWithIndex.map { case (p, i) =>
-      val proj = zip_with(vec, lit(p.toArray), (x, w) => x.cast("double") * w)
-      val s = aggregate(proj, lit(0.0), (acc, v) => acc + v)
-      shiftleft(when(s >= 0, lit(1L)).otherwise(lit(0L)), i)
+      val proj = aggregate(zip_with(q, lit(p.toArray), (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      shiftleft(when(proj >= 0, lit(1L)).otherwise(lit(0L)), i)
     }
     bits.reduce(_.bitwiseOR(_))
   }

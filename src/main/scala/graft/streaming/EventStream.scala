@@ -115,7 +115,9 @@ object EventStream {
         sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n_events"),
-        sum("value").as("total_value"),
+        // exact decimal sum -> double: deterministic under any
+        // partial-aggregation order (a plain double sum is not)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
         min("ts").as("start_ts"), max("ts").as("end_ts"))
   }
 }
