@@ -18,7 +18,13 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("unaccent"),
       new ExpressionInfo(classOf[Unaccent].getName, "unaccent"),
-      (children: Seq[Expression]) => Unaccent(children.head)))
+      (children: Seq[Expression]) => Unaccent(children.head)),
+    (FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[Expression]) => FloatDot(children(0), children(1))),
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => PolyHash(children.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -70,35 +70,43 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** One (id, shingle-hash) row per word n-gram, built RELATIONALLY:
-    * posexplode the normalized token split (codegen'd generator +
-    * filter — no interpreted higher-order functions anywhere), hash
-    * each token to int64 once, then a shingle hash is one xxhash64
-    * over the n consecutive token hashes via `lead` windows. Shingle
-    * strings are never materialized. Documents shorter than n tokens
-    * contribute their single partial shingle (the reference fuzzy-dedup
-    * semantics: a short doc is one shingle of all its tokens). */
+  /** One (id, shingle-hash) row per DISTINCT word n-gram, built
+    * ARRAY-SIDE: tokens stay an array column, each token is hashed to
+    * int64 once, and a shingle hash combines the n consecutive token
+    * hashes — all per-document map work, NO window and therefore no
+    * shuffle+sort of token rows (the previous lead-window shape
+    * shuffled every token; this shape shuffles nothing until the
+    * signature aggregate). Shingle strings are never materialized.
+    * Documents shorter than n tokens contribute their single partial
+    * shingle with per-slot salts (the reference fuzzy-dedup semantics:
+    * a short doc is one shingle of all its tokens). */
   def shingleHashRows(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    shingleHashArrays(df, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("hs")).as("s"))
+
+  /** The DISTINCT shingle-hash set per document as an array column
+    * `(id, hs)` — everything is per-document map work on the token
+    * array (no window, no shuffle, no token-row explosion). */
+  def shingleHashArrays(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
-    val toks = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+    import graft.functions.PortableHash.md5Hash60
+    val n = shingleN
+    val base = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
-        posexplode(split(TextAnalysis.normalizeText(col("__text")), " ")).as(Seq("pos", "tok")))
-      .where(col("tok") =!= "")
-    val w = Window.partitionBy("id").orderBy("pos")
-    val hashed = toks.select(col("id"), col("pos"),
-      graft.functions.PortableHash.md5Hash60(col("tok")).as("h"))
-    if (shingleN <= 1) hashed.select(col("id"), col("h").as("s"))
+        transform(TextAnalysis.tokens(col("__text")), t => md5Hash60(t)).as("th"))
+      .where(size(col("th")) > 0)
+    if (n <= 1)
+      base.select(col("id"), array_distinct(col("th")).as("hs"))
     else {
-      val leads = (1 until shingleN).map(k => lead(col("h"), k).over(w).as(s"l$k"))
-      val withLeads = hashed.select(
-        col("id") +: col("h") +: row_number().over(w).as("rn") +: leads: _*)
-      // full shingles only — except a short doc keeps its first row as
-      // the single all-tokens shingle (distinct salt per missing slot)
-      val keep = col(s"l${shingleN - 1}").isNotNull || col("rn") === 1
-      val parts = col("h") +: (1 until shingleN).map(k =>
-        coalesce(col(s"l$k"), lit(-k.toLong)))
-      withLeads.where(keep).select(col("id"),
-        graft.functions.PortableHash.md5Hash60(concat_ws(",", parts: _*)).as("s"))
+      val full = transform(sequence(lit(0), size(col("th")) - n), i =>
+        md5Hash60(concat_ws(",",
+          (0 until n).map(j => element_at(col("th"), i + j + 1)): _*)))
+      val short = array(md5Hash60(concat_ws(",",
+        element_at(col("th"), 1) +: (1 until n).map(j =>
+          coalesce(element_at(col("th"), j + 1), lit(-j.toLong))): _*)))
+      base.select(col("id"), array_distinct(
+        when(size(col("th")) >= n, full).otherwise(short)).as("hs"))
     }
   }
 
@@ -113,6 +121,16 @@ object Dedup {
       .agg(collect_set(col("s")).as("hs"),
         (0 until k).map(i =>
           min(graft.functions.PortableHash.perm(i, col("s"))).as(s"m$i")): _*)
+
+  /** [[minHashBase]] from per-document shingle ARRAYS: the k mins are
+    * array folds over the in-row set — map-only (no shuffle at all
+    * between tokenize and banding) and, unlike a k-wide aggregate, no
+    * giant generated aggregate class to compile. The affine perm is
+    * three integer ops, cheap even interpreted inside the fold. */
+  def minHashBaseFromArrays(arrs: DataFrame, k: Int): DataFrame =
+    arrs.select(col("id") +: col("hs") +: (0 until k).map(i =>
+      array_min(transform(col("hs"),
+        s => graft.functions.PortableHash.perm(i, s))).as(s"m$i")): _*)
 
   /** LSH banding over a wide signature: band b's bucket key is the
     * comma-joined string of (b, its `k/bands` signature values) — a
@@ -143,7 +161,7 @@ object Dedup {
       shingleN: Int = 3, k: Int = 64, bands: Int = 8,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame =
     minHashDupPairsFromBase(
-      minHashBase(shingleHashRows(df, idCol, textCol, shingleN), k),
+      minHashBaseFromArrays(shingleHashArrays(df, idCol, textCol, shingleN), k),
       k, bands, threshold, maxBucketSize)
 
   /** Pair generation from a precomputed [[minHashBase]]. The base
@@ -156,12 +174,22 @@ object Dedup {
     * shingle scan itself is the dominant cost, i.e. at corpus sizes
     * where one extra pass over the text is hours, or when the base is
     * reused across runs (incremental dedup). */
-  def minHashDupPairsFromBase(base: DataFrame, k: Int, bands: Int,
+  def minHashDupPairsFromBase(base0: DataFrame, k: Int, bands: Int,
       threshold: Double, maxBucketSize: Int): DataFrame = {
+    // the signature base is SMALL after aggregation (one row per doc)
+    // but feeds four plan branches; materializing it as row batches
+    // truncates the lineage so the shingle+64-min-agg plan is planned,
+    // codegen'd, and executed ONCE instead of four times. (persist()
+    // was measured 2.5x WORSE here — columnar cache materialization of
+    // 64 columns costs more than it saves; localCheckpoint keeps rows.)
+    val base = base0.localCheckpoint()
     val banded = lshBandRows(base, k, bands)
-    val capped = banded
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    // degenerate-bucket cap as hash-agg + join (AQE broadcasts the
+    // tiny size table) — not a count-over-window, which would sort
+    // every band partition just to drop the rare giant bucket
+    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+    val capped = banded.join(
+      sizes.where(col("__n") <= maxBucketSize).drop("__n"), Seq("band", "bucket"))
     val pairs = capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))

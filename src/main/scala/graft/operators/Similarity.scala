@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float vectors, accumulated in double. */
+  /** Dot product of two `array<float>` vectors, accumulated in double:
+    * the codegen'd [[graft.functions.FloatDot]] primitive (same
+    * left-to-right fold as the HOF form, so numerically identical —
+    * but no interpreted lambda per element; this is the hot scalar of
+    * every pair join in the similarity path). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.FloatDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

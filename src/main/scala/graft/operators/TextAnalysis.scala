@@ -119,16 +119,16 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
   /** Rolling (polynomial) document hash of normalized text:
-    * `h = (h * 31 + byte_i) mod (1e9+7)` folded over the char array —
-    * fully codegen'd, and overflow-free (so it behaves identically
-    * under ANSI and legacy arithmetic). */
-  val rollingHashMod = 1000000007L
+    * `h = (h * 31 + codepoint) mod (1e9+7)` via the codegen'd
+    * [[graft.functions.PolyHash]] expression — walks the UTF8 bytes in
+    * place (the column-algebra fold would materialize a one-char-string
+    * array per row and run interpreted). Overflow-free mod-p arithmetic,
+    * replayable by external oracles. */
+  val rollingHashMod: Long = graft.functions.PolyHash.Mod
   def rollingHash(c: Column): Column =
-    aggregate(
-      split(normalizeText(c), ""),
-      lit(0L),
-      (acc, ch) => (acc * lit(31L) +
-        when(ch === "", lit(0L)).otherwise(ascii(ch).cast("long"))) % lit(rollingHashMod))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(normalizeText(c))))
 
   /** Word n-gram shingles (n consecutive tokens joined by a space) —
     * the unit for MinHash/Jaccard dedup. `toks` should be a
