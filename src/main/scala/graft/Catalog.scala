@@ -936,6 +936,51 @@ object Catalog {
               WHERE l.doc_id < 100
               ORDER BY test_id, train_id""")),
 
+    QueryDef("x23_ngram_contamination",
+      // GPT-3-style decontamination: a test doc is contaminated if any
+      // 5-token shingle of it appears in a training doc; n_shared
+      // counts the distinct shared shingles (evidence strength)
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.ngramContamination(docs.where(col("doc_id") < 50), "doc_id",
+            docs, "doc_id", "text", n = 5)
+          .orderBy("test_id", "train_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 5 THEN list_transform(range(1, nt - 3), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 3] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 4] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[4], -3) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[5], -4) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              te AS (SELECT doc_id AS test_id, unnest(hs) AS s FROM sh WHERE doc_id < 50),
+              tr AS (SELECT doc_id AS train_id, unnest(hs) AS s FROM sh)
+              SELECT test_id, train_id, count(*) AS n_shared
+              FROM te JOIN tr USING (s)
+              WHERE test_id <> train_id
+              GROUP BY 1, 2 ORDER BY test_id, train_id""")),
+
     QueryDef("x20_incremental_dedup",
       // incremental ingest: docs >= 250 arrive after docs < 250; keep
       // only arrivals whose content digest is genuinely new

@@ -295,6 +295,27 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
 
+  /** Train/test n-gram contamination (the GPT-3-style decontamination
+    * check, stricter than [[crossCorpusOverlap]]'s whole-document
+    * match): any length-n token shingle shared between a test document
+    * and a training document flags the pair, with the shared-shingle
+    * count as evidence strength. Shingle hashes (portable md5-60) are
+    * exploded and equi-joined — at 100 TB this shuffles 8-byte keys
+    * (never text), the train side can be pre-bucketed on the hash, and
+    * the quadratic text join never happens. Output:
+    * (test_id, train_id, n_shared) over DISTINCT shingles. */
+  def ngramContamination(test: DataFrame, testId: String,
+      train: DataFrame, trainId: String, textCol: String, n: Int): DataFrame = {
+    val t = shingleHashArrays(test, testId, textCol, n)
+      .select(col("id").as("test_id"), explode(col("hs")).as("s"))
+    val tr = shingleHashArrays(train, trainId, textCol, n)
+      .select(col("id").as("train_id"), explode(col("hs")).as("s"))
+    t.join(tr, "s")
+      .where(col("test_id") =!= col("train_id"))
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   // --------------------------------------------- pair -> cluster -> survivor
 
   /** Connected components over duplicate pairs by iterative min-label

@@ -42,6 +42,49 @@ class FunctionsSpec extends SparkSpec {
     assert(nan.isNaN)
   }
 
+  test("FloatDot equals the HOF fold bit-for-bit; SQL surface; null-safe") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, -3.5f), Array(0.5f, -1.25f, 4.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)))
+    val df = vecs.toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).as[Double].collect()
+    val native = df.select(graft.operators.Similarity.dot(col("a"), col("b")))
+      .as[Double].collect()
+    assert(java.util.Arrays.equals(
+      hof.map(java.lang.Double.doubleToRawLongBits),
+      native.map(java.lang.Double.doubleToRawLongBits)))
+    GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql("SELECT float_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)))")
+      .as[Double].head() == 6.0)
+    val n = Seq((Option.empty[Array[Float]], Array(1.0f))).toDF("a", "b")
+      .select(graft.operators.Similarity.dot(col("a"), col("b"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("PolyHash: known values, empty, codepoint fallback, SQL surface") {
+    import graft.functions.PolyHash
+    def ref(s: String): Long = { // per-codepoint reference fold
+      var h = 0L
+      s.codePoints().toArray.foreach(cp => h = (h * 31 + cp) % PolyHash.Mod)
+      h
+    }
+    val samples = Seq("", "a", "abc 123", "straße", "中文 mixed ascii", "x" * 5000)
+    samples.foreach { s =>
+      assert(PolyHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        == ref(s), s"mismatch for '$s'")
+    }
+    assert(ref("") == 0L && ref("a") == 97L)
+    GraftFunctions.ensureRegistered(spark)
+    assert(spark.sql("SELECT poly_hash('a')").as[Long].head() == 97L)
+    // column path used by x12: matches the reference fold on normalized text
+    val got = Seq("Hello, World!").toDF("t")
+      .select(graft.operators.TextAnalysis.rollingHash(col("t"))).as[Long].head()
+    assert(got == ref("hello world"))
+  }
+
   test("consistent sample: exactly k per group, stable across reshuffles") {
     val df = (1L to 100L).map(i => (s"g${i % 4}", i)).toDF("grp", "id")
     val s1 = graft.operators.Sampling.consistentSamplePerGroup(df, "grp", "id", 5)

@@ -179,6 +179,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(2) == 16 && r.getInt(3) == 8))
   }
 
+  test("ngramContamination flags shared 5-grams, skips disjoint docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally different content with no overlap at all here")).toDF("id", "text")
+    val test = Seq(
+      (100L, "prefix words then alpha beta gamma delta epsilon and more"),
+      (101L, "nothing shared with anything whatsoever today")).toDF("id", "text")
+    val hits = Dedup.ngramContamination(test, "id", train, "id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 100 shares exactly the 5-gram "alpha beta gamma delta epsilon"
+    assert(hits.toSeq == Seq((100L, 1L, 1L)))
+  }
+
   test("multimodal: pack/decode-stub/frame-sample plumbing") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
     val packed = Multimodal.packFake(docs, "doc_id", "text")
