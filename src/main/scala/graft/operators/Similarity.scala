@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *    and each query probes one bucket: the 100 TB path, trading
   *    recall for a ~2^planes fan-in reduction.
   *
-  * All vector math is `zip_with`/`aggregate` column algebra in double
-  * precision — stays in codegen, no UDF, no driver collect.
+  * Vector math: the per-PAIR hot scalar (dot/cosine) is the codegen'd
+  * [[graft.functions.FloatDot]] expression; per-ROW bucketing uses
+  * integer column algebra (engine-portable sign decisions). No UDFs,
+  * no driver collect.
   */
 object Similarity {
 
