@@ -19,17 +19,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one cheap action to absorb session/codegen warmup noise
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = Catalog.headlines.map { q =>
+    def time(q: Catalog.QueryDef): Double = {
       val t0 = System.nanoTime()
       try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // pass 1: cold — includes whole-stage-codegen compilation (the
+    // r1-comparable headline). pass 2: warm — plan classes cached, the
+    // steady-state throughput a long-lived cluster session sees.
+    val cold = Catalog.headlines.map { q =>
+      val sec = time(q)
       Console.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s")
       q.name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warm = Catalog.headlines.map { q =>
+      val sec = time(q)
+      Console.err.println(f"[bench] warm ${q.name}%-19s $sec%8.3f s")
+      q.name -> sec
+    }
+    def jmap(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"warm_total":$warmTotal%.3f,"warm":${jmap(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
