@@ -1234,6 +1234,30 @@ object Catalog {
                   '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS bpe_tokens
               FROM documents ORDER BY doc_id""")),
 
+    QueryDef("x24_repetition_ratio",
+      // Gopher/C4-style within-doc duplicate-2-gram filter
+      (s, d) => documents(s, d)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("__toks"), n = 2).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM tk)
+              SELECT doc_id, CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / CAST(len(grams) AS DOUBLE)
+                ELSE 0.0 END AS rep_ratio
+              FROM g ORDER BY doc_id""")),
+
     QueryDef("x21_clean_text",
       // cleanup runs over text decorated with tags/urls/emails built
       // from the data itself, so the scrub is actually exercised

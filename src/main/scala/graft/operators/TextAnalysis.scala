@@ -101,6 +101,22 @@ object TextAnalysis {
       clamp01(stops / 10.0) * 0.25
   }
 
+  /** Within-document repetition ratio: `1 - distinct/total` over token
+    * n-grams — the Gopher/C4-style duplicate-n-gram quality filter
+    * (high ratio = boilerplate/looped text). Map-only column algebra;
+    * documents with fewer than n tokens score 0. Division of two exact
+    * small ints is the same IEEE double on every engine — oracle-safe
+    * without rounding. */
+  def repetitionRatio(toks: Column, n: Int): Column = {
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Pretraining text cleanup: strip HTML tags, URLs, and email
     * addresses, then collapse whitespace runs. Pure regexp_replace
     * chain — codegen'd, map-only, the patterns deliberately simple

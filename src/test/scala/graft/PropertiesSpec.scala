@@ -51,6 +51,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("PortableHash: md5Hash60 in [0, 2^60); perm family in [0, P); distinct multipliers") {
+    import graft.functions.PortableHash
+    val strs = samples(Gen.asciiPrintableStr, 40) ++ Seq("", "a", "中文", "x" * 1000)
+    val hashed = strs.toDF("s")
+      .select(PortableHash.md5Hash60(col("s")).as("h")).as[Long].collect()
+    assert(hashed.forall(h => h >= 0L && h < (1L << 60)))
+    // the affine family: values stay in [0, P), multipliers are nonzero
+    // mod P and pairwise distinct over the k=64 range we use
+    val perms = (0 until 64).map(PortableHash.permA)
+    assert(perms.forall(a => a >= 1 && a < PortableHash.MinHashP))
+    assert(perms.distinct.size == perms.size)
+    val permVals = strs.toDF("s")
+      .select(PortableHash.perm(7, PortableHash.md5Hash60(col("s"))).as("p"))
+      .as[Long].collect()
+    assert(permVals.forall(p => p >= 0L && p < PortableHash.MinHashP))
+  }
+
+  test("repetitionRatio: 0 for all-distinct, (n-1)/n for a fully repeated token") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      ("w1 w2 w3 w4 w5", 0.0),           // all 2-grams distinct
+      ("x x x x x", 3.0 / 4.0),          // 4 identical 2-grams, 1 distinct
+      ("solo", 0.0), ("", 0.0)           // too short -> 0
+    ).toDF("text", "expected")
+    val got = df.select(
+      TextAnalysis.repetitionRatio(TextAnalysis.tokens(col("text")), 2).as("r"),
+      col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
   test("jaccardFromIntersect stays in [0,1] and is 1 for identical sets") {
     val gen = Gen.listOf(Gen.choose(0, 20))
     samples(Gen.zip(gen, gen), 20).foreach { case (a, b) =>
