@@ -62,6 +62,16 @@ def main():
             failed.append(name)
             continue
         exp_cols = sorted(exp_rel.columns)
+        # the driver's hash path renders non-int64 integer types (e.g.
+        # DuckDB HUGEINT from SUM(INTEGER)) differently than our value
+        # compare — treat them as failures so they surface HERE, not in
+        # the driver run (bitten in round 1 by q33/q38)
+        bad_types = [(c, str(t)) for c, t in zip(exp_rel.columns, exp_rel.types)
+                     if str(t) in ("HUGEINT", "UHUGEINT", "FLOAT")]
+        if bad_types:
+            print(f"{name:28s} ORACLE_TYPE_HAZARD {bad_types} — CAST to BIGINT/DOUBLE")
+            failed.append(name)
+            continue
         exp = canon(exp_rel.project(", ".join(f'"{c}"' for c in exp_cols)).fetchall())
         if got_cols != exp_cols:
             print(f"{name:28s} SCHEMA_MISMATCH got={got_cols} exp={exp_cols}")
