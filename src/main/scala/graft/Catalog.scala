@@ -1063,6 +1063,42 @@ object Catalog {
               SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
               FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    QueryDef("x25_multiprobe_ann",
+      // same index as x07, but each query also probes the `planes`
+      // buckets one bit-flip away — the standard LSH recall fix; the
+      // oracle replays the probe set as integer XORs
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.multiProbeTopK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+            dim = 64, k = 5, planes = 4, probeHamming = 1)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH b AS (
+                SELECT vec_id, embedding,
+                  ${bucketSql("embedding", 4)} AS bucket
+                FROM embeddings),
+              probes AS (
+                SELECT vec_id, embedding, unnest(
+                  [bucket, xor(bucket, 1), xor(bucket, 2),
+                   xor(bucket, 4), xor(bucket, 8)]) AS bucket
+                FROM b WHERE vec_id < 20),
+              sims AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                  ${cosineSql("qq.embedding", "cc.embedding")} AS cosine
+                FROM probes qq JOIN b cc
+                  ON qq.bucket = cc.bucket AND cc.vec_id <> qq.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims)
+              SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     QueryDef("x08_embed_dup",
       // this synthetic corpus has no true near-dups (max pairwise
       // cosine ~0.51) — 0.35 exercises the operator end to end

@@ -126,13 +126,36 @@ object Similarity {
   def bucketedTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
-      dim: Int, k: Int, planes: Int = 6): DataFrame = {
+      dim: Int, k: Int, planes: Int = 6): DataFrame =
+    multiProbeTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec,
+      dim, k, planes, probeHamming = 0)
+
+  /** Multi-probe sign-LSH top-k: each query probes its own bucket PLUS
+    * every bucket within Hamming distance `probeHamming` of it (the
+    * standard recall fix for bucketed search — a near neighbor that
+    * fell just across one hyperplane is recovered without shrinking
+    * `planes`). Cost grows with the probe-set size (1 + planes for
+    * distance 1); the corpus is still bucketed ONCE, map-only, and the
+    * probe explosion happens on the tiny broadcast query side. Fully
+    * deterministic: probe buckets are integer XOR bit flips of the
+    * integer-projection bucket. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      dim: Int, k: Int, planes: Int = 6, probeHamming: Int = 1): DataFrame = {
+    require(probeHamming <= 1, "probe sets beyond Hamming 1 not implemented")
     val c = Rebalance(corpus.select(col(corpusId), col(corpusVec)))
       .withColumn("__bucket", hyperplaneBucket(col(corpusVec), dim, planes))
       .withColumn("__cn", norm(col(corpusVec)))
+    val own = hyperplaneBucket(col(queryVec), dim, planes)
+    val probeSet =
+      if (probeHamming == 0) array(own)
+      else array(own +: (0 until planes).map(p => own.bitwiseXOR(lit(1L << p))): _*)
     val q = queries
-      .withColumn("__bucket", hyperplaneBucket(col(queryVec), dim, planes))
+      .withColumn("__bucket", explode(probeSet))
       .withColumn("__qn", norm(col(queryVec)))
+    // a corpus row lives in exactly one bucket, so probe fan-out can
+    // not duplicate candidate pairs — no distinct needed before rank
     val joined = c.join(broadcast(q), Seq("__bucket"))
       .where(col(queryId) =!= col(corpusId))
       .withColumn("cosine", cosineWithNorms(

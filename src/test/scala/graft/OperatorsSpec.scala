@@ -179,6 +179,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(2) == 16 && r.getInt(3) == 8))
   }
 
+  test("multiProbeTopK recall >= single-probe recall vs brute force") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    val queries = corpus.where(col("id") < 10)
+      .select(col("id").as("q_id"), col("v").as("q_vec"))
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(
+      corpus, queries, "id", "v", "q_id", "q_vec", k = 3))
+    val single = hits(Similarity.bucketedTopK(
+      corpus, queries, "id", "v", "q_id", "q_vec", dim = 16, k = 3, planes = 4))
+    val multi = hits(Similarity.multiProbeTopK(
+      corpus, queries, "id", "v", "q_id", "q_vec", dim = 16, k = 3, planes = 4))
+    assert((multi & exact).size >= (single & exact).size)
+    assert((multi & exact).nonEmpty)
+  }
+
   test("ngramContamination flags shared 5-grams, skips disjoint docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
