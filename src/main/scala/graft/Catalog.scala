@@ -155,11 +155,13 @@ object Catalog {
     // ------------------------------------------------- J1 N-way full outer join
     QueryDef("q08_full_outer_nway",
       (s, d) => {
-        // one shared (suppkey, flag) aggregate feeds all three join
-        // sides: the scan+shuffle subplan is IDENTICAL across branches
-        // so AQE stage reuse runs it once — measured 2.3x faster than
-        // three filtered rescans, and the same shape wins at 100 TB
-        // (one pass over the fact table instead of three)
+        // one (suppkey, flag) aggregate expression feeds all three join
+        // sides. NOTE measured reality: Catalyst pushes the flag filter
+        // BELOW the aggregate (predicate on a grouping column), so the
+        // physical plan still has three scans — this shape is kept for
+        // its clarity, not a claimed scan-sharing win; to genuinely
+        // share one pass at scale, materialize the base aggregate to
+        // the lake first and build the sides from the read-back
         val base = lineitem(s, d)
           .groupBy(col("l_suppkey"), col("l_returnflag"))
           .agg(dsum(col("l_quantity")).as("qty"))
@@ -1140,16 +1142,16 @@ object Catalog {
                 FROM embeddings),
               cent AS (
                 SELECT vec_id % 16 AS cell, d,
-                  CAST(sum(qv[CAST(d AS INT)]) AS BIGINT) AS s, count(*) AS n
+                  CAST(floor(CAST(sum(qv[CAST(d AS INT)]) AS DOUBLE)
+                             / count(*) + 0.5) AS BIGINT) AS c
                 FROM q, range(1, 65) t(d)
                 GROUP BY 1, 2),
               dist AS (
-                SELECT q.vec_id, c.cell,
-                  CAST(sum((c.n * q.qv[CAST(c.d AS INT)] - c.s)
-                         * (c.n * q.qv[CAST(c.d AS INT)] - c.s)) AS DOUBLE)
-                    / (CAST(max(c.n) AS DOUBLE) * CAST(max(c.n) AS DOUBLE)) AS d2
-                FROM q, cent c
-                GROUP BY q.vec_id, c.cell),
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[CAST(ct.d AS INT)] - ct.c)
+                         * (q.qv[CAST(ct.d AS INT)] - ct.c)) AS BIGINT) AS d2
+                FROM q, cent ct
+                GROUP BY q.vec_id, ct.cell),
               assign AS (
                 SELECT vec_id, cell FROM (
                   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
@@ -1213,11 +1215,16 @@ object Catalog {
           Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang"),
+      // ELSE 0, matching the operator: strata absent from the rate map
+      // are DROPPED (coalesce-to-0 threshold), not kept
       Some("""SELECT lang, count(*) AS n_docs FROM documents
               WHERE CAST('0x' || substring(
                       md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 15) AS BIGINT)
                     % 1000000
-                    < CASE lang WHEN 'en' THEN 250000 ELSE 1000000 END
+                    < CASE lang WHEN 'en' THEN 250000
+                                WHEN 'de' THEN 1000000 WHEN 'es' THEN 1000000
+                                WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 1000000
+                                ELSE 0 END
               GROUP BY lang ORDER BY lang""")),
 
     QueryDef("x18_consistent_sample",

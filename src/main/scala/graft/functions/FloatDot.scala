@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * calls).
   *
   * Both inputs must be non-null-element float arrays (embedding
-  * columns are); elements are read positionally up to the shorter
-  * length.
+  * columns are). A LENGTH MISMATCH yields NULL — the same contract as
+  * the zip_with form (which pads the shorter side with null and
+  * poisons the sum), so ragged/corrupt vectors drop out of
+  * `>= threshold` filters instead of contributing a partial dot that
+  * looks like a plausible similarity.
   */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -36,14 +39,24 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "float_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    FloatDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else FloatDot.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.FloatDot.dot($a, $b);
+      }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatDot =

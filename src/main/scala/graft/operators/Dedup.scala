@@ -102,9 +102,12 @@ object Dedup {
       val full = transform(sequence(lit(0), size(col("th")) - n), i =>
         md5Hash60(concat_ws(",",
           (0 until n).map(j => element_at(col("th"), i + j + 1)): _*)))
+      // try_element_at, not element_at: the index is PAST the array end
+      // for short docs by design, and ANSI mode (the Spark 4 default)
+      // makes plain element_at throw instead of returning null
       val short = array(md5Hash60(concat_ws(",",
         element_at(col("th"), 1) +: (1 until n).map(j =>
-          coalesce(element_at(col("th"), j + 1), lit(-j.toLong))): _*)))
+          coalesce(try_element_at(col("th"), lit(j + 1)), lit(-j.toLong))): _*)))
       base.select(col("id"), array_distinct(
         when(size(col("th")) >= n, full).otherwise(short)).as("hs"))
     }
@@ -177,12 +180,18 @@ object Dedup {
   def minHashDupPairsFromBase(base0: DataFrame, k: Int, bands: Int,
       threshold: Double, maxBucketSize: Int): DataFrame = {
     // the signature base is SMALL after aggregation (one row per doc)
-    // but feeds four plan branches; materializing it as row batches
-    // truncates the lineage so the shingle+64-min-agg plan is planned,
-    // codegen'd, and executed ONCE instead of four times. (persist()
-    // was measured 2.5x WORSE here — columnar cache materialization of
-    // 64 columns costs more than it saves; localCheckpoint keeps rows.)
-    val base = base0.localCheckpoint()
+    // but feeds four plan branches; checkpointing it as row batches
+    // truncates the lineage so the map-only shingle+signature plan is
+    // planned, codegen'd, and executed ONCE instead of four times.
+    // LAZY (eager=false): building the DataFrame — e.g. for plan
+    // inspection — must not run a job; the first action materializes.
+    // (persist() was measured 2.5x WORSE here — columnar cache
+    // materialization of 64 columns costs more than it saves.) Note
+    // localCheckpoint blocks are executor-local and non-fault-tolerant,
+    // and live until the session drops them: for cross-run reuse or
+    // lost-executor resilience at cluster scale, write the base to the
+    // lake instead and call this method on the read-back.
+    val base = base0.localCheckpoint(eager = false)
     val banded = lshBandRows(base, k, bands)
     // degenerate-bucket cap as hash-agg + join (AQE broadcasts the
     // tiny size table) — not a count-over-window, which would sort

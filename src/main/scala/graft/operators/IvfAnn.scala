@@ -95,10 +95,16 @@ object IvfAnn {
 
   // ------------------------------- deterministic integer quantizer path
 
-  /** Exact integer centroid of one cell: element sums `s` over the
-    * 1e3-quantized member vectors plus the member count `n` — the cell
-    * mean is s/n, kept unreduced so distance math stays integral. */
-  final case class IntCentroid(cell: Int, n: Long, s: Array[Long])
+  /** Integer centroid of one cell: the per-dimension ROUNDED mean
+    * `c_d = floor(s_d/n + 0.5)` of the 1e3-quantized member vectors.
+    * Rounding once at build time keeps every distance term
+    * `(q_d - c_d)^2` bounded by the quantized value range (~1e3 for
+    * unit-range vectors), so the 64-bit accumulator cannot overflow at
+    * ANY cell size — an (s, n) representation would overflow the
+    * per-term product `n*q_d` for cells beyond a few hundred thousand
+    * members. The float division is one IEEE double op, identical on
+    * every engine. */
+  final case class IntCentroid(cell: Int, c: Array[Long])
 
   /** Quantized vector: floor(x * 1e3) per component. Coarse (3
     * decimals) is plenty for cell ASSIGNMENT — final ranking always
@@ -125,38 +131,35 @@ object IvfAnn {
       .groupBy("cell", "pos")
       .agg(sum("qv").as("s"), count(lit(1)).as("n"))
       .collect()
+    require(rows.nonEmpty,
+      "seedCentroidsInt: corpus has no rows with a non-empty vector")
     val dim = rows.iterator.map(_.getInt(1)).max + 1
     rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (cell, rs) =>
-      val s = new Array[Long](dim)
-      rs.foreach(r => s(r.getInt(1)) = r.getLong(2))
-      IntCentroid(cell, rs.head.getLong(3), s)
+      val c = new Array[Long](dim)
+      rs.foreach { r =>
+        c(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong
+      }
+      IntCentroid(cell, c)
     }
   }
 
-  /** Exact integer distance surrogate to centroid (s, n): comparing
-    * sum_d (n*q_d - s_d)^2 across cells orders them identically to
-    * true squared distance to the mean, n^2 * sum (q_d - s_d/n)^2 —
-    * n is constant per cell... NOT across cells, so n^2 must be
-    * divided out; we compare the rational dist/n^2 via cross
-    * multiplication-free per-cell doubles of exact integers, which is
-    * deterministic because each integer is < 2^53. */
-  private def intDistOverN2(qvec: Column, cen: IntCentroid): Column = {
-    val terms = zip_with(qvec, lit(cen.s), (q, sd) => {
-      val t = lit(cen.n) * q - sd; t * t
+  /** Exact integer squared distance of a quantized vector to a rounded
+    * integer centroid: every term is bounded by the quantized value
+    * range squared, so the long accumulator is overflow-safe at any
+    * corpus size (the point of rounding the centroid at build time). */
+  private def intDist(qvec: Column, cen: IntCentroid): Column = {
+    val terms = zip_with(qvec, lit(cen.c), (q, cd) => {
+      val t = q - cd; t * t
     })
     aggregate(terms, lit(0L), (acc, v) => acc + v)
   }
 
-  /** Nearest-centroid cell over the integer model: argmin of
-    * dist_i / n_i^2 with ties to the lower cell id. The division by
-    * n_i^2 happens in double — both operands are exact integers below
-    * 2^53, so the quotient is correctly rounded and identical on every
-    * engine. */
+  /** Nearest-centroid cell over the integer model: argmin of exact
+    * integer distance, ties to the lower cell id. */
   def cellIdInt(vec: Column, cents: Array[IntCentroid]): Column = {
     val q = quantize3(vec)
     val scored = cents.map { c =>
-      struct((intDistOverN2(q, c).cast("double") /
-        lit(c.n.toDouble * c.n.toDouble)).as("d"), lit(c.cell).as("i"))
+      struct(intDist(q, c).as("d"), lit(c.cell).as("i"))
     }
     least(scored.toIndexedSeq: _*).getField("i")
   }
@@ -165,8 +168,7 @@ object IvfAnn {
   def probeCellsInt(vec: Column, cents: Array[IntCentroid], nprobe: Int): Column = {
     val q = quantize3(vec)
     val scored = array(cents.map { c =>
-      struct((intDistOverN2(q, c).cast("double") /
-        lit(c.n.toDouble * c.n.toDouble)).as("d"), lit(c.cell).as("i"))
+      struct(intDist(q, c).as("d"), lit(c.cell).as("i"))
     }.toIndexedSeq: _*)
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
   }

@@ -143,7 +143,8 @@ object Similarity {
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String,
       dim: Int, k: Int, planes: Int = 6, probeHamming: Int = 1): DataFrame = {
-    require(probeHamming <= 1, "probe sets beyond Hamming 1 not implemented")
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 or 1, got $probeHamming")
     val c = Rebalance(corpus.select(col(corpusId), col(corpusVec)))
       .withColumn("__bucket", hyperplaneBucket(col(corpusVec), dim, planes))
       .withColumn("__cn", norm(col(corpusVec)))

@@ -62,6 +62,21 @@ class FunctionsSpec extends SparkSpec {
     val n = Seq((Option.empty[Array[Float]], Array(1.0f))).toDF("a", "b")
       .select(graft.operators.Similarity.dot(col("a"), col("b"))).collect().head
     assert(n.isNullAt(0))
+    // ragged vectors -> null (the zip_with contract), not a partial dot
+    val ragged = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(graft.operators.Similarity.dot(col("a"), col("b"))).collect().head
+    assert(ragged.isNullAt(0))
+  }
+
+  test("minhash shingles survive ANSI mode (short docs use try_element_at)") {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val docs = Seq((1L, "one two"), (2L, "solo"), (3L, "a b c d e")).toDF("id", "text")
+      val rows = graft.operators.Dedup
+        .shingleHashArrays(docs, "id", "text", shingleN = 3)
+        .collect()
+      assert(rows.length == 3) // no INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
   }
 
   test("PolyHash: known values, empty, codepoint fallback, SQL surface") {
