@@ -476,6 +476,27 @@ object Catalog {
               FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""),
       headline = true),
 
+    QueryDef("q40_sliding_window",
+      // sliding (hopping) window: 1h windows every 15min — each event
+      // lands in exactly size/slide = 4 windows, so the oracle replays
+      // the assignment as an explicit 4-way fan-out from the 15-min
+      // bucket; decimal-exact sums as in q23
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n"), col("sum_v"))
+        .orderBy("w_start"),
+      Some("""SELECT strftime(w_start0, '%Y-%m-%d %H:%M:%S') AS w_start,
+                count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+              FROM (
+                SELECT value,
+                  date_trunc('hour', ts) + INTERVAL 15 MINUTE *
+                    ((EXTRACT(minute FROM ts) // 15) - k) AS w_start0
+                FROM events, range(0, 4) t(k))
+              GROUP BY 1 ORDER BY w_start""")),
+
     // ------------------------------------------------- as-of join
     QueryDef("q24_asof_join",
       (s, d) => {
