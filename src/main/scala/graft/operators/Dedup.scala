@@ -328,18 +328,21 @@ object Dedup {
   // --------------------------------------------- pair -> cluster -> survivor
 
   /** Connected components over duplicate pairs by iterative min-label
-    * propagation: every node starts labeled with itself; each round,
-    * labels flow across edges and each node keeps the minimum seen;
-    * fixpoint = each component labeled with its smallest id (the
-    * survivor). Output: (id, label).
+    * propagation WITH pointer jumping: every node starts labeled with
+    * itself; each round, labels flow across edges (one hop) AND each
+    * node adopts its label's label (pointer jump), keeping the
+    * minimum. The jump halves remaining label-chain depth, so
+    * convergence is O(log diameter) rounds instead of O(diameter) —
+    * `maxIterations = 15` covers components of diameter ~2^15, not 15
+    * (a silent-under-convergence trap for long duplicate chains, e.g.
+    * a→b→c… similarity cascades). Fixpoint = each component labeled
+    * with its smallest id (the survivor). Output: (id, label).
     *
-    * Scale shape: each round is one equi-join + one min-aggregate —
-    * all shuffles key on node ids. Rounds needed = component diameter;
-    * duplicate clusters are near-cliques (diameter ≤ 2–3 in practice),
-    * and `maxIterations` bounds pathological chains. The loop is
-    * driver-side CONTROL only (an MLlib-style iteration) — data never
-    * leaves the cluster; `localCheckpoint` every few rounds truncates
-    * lineage so plans don't grow unboundedly. */
+    * Scale shape: each round is two equi-joins + one min-aggregate —
+    * all shuffles key on node ids. The loop is driver-side CONTROL
+    * only (an MLlib-style iteration) — data never leaves the cluster;
+    * `localCheckpoint` per round truncates lineage so plans don't grow
+    * unboundedly. */
   def dupClusters(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -348,9 +351,14 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIterations) {
-      val propagated = labels.join(edges, col("id") === col("id_a"))
+      val viaEdges = labels.join(edges, col("id") === col("id_a"))
         .select(col("id_b").as("id"), col("label"))
-        .unionByName(labels)
+      // pointer jump: my label's current label (label table is total
+      // over component nodes, so the join never drops rows)
+      val viaJump = labels.as("l")
+        .join(labels.select(col("id").as("label"), col("label").as("ll")), "label")
+        .select(col("id"), col("ll").as("label"))
+      val propagated = viaEdges.unionByName(labels).unionByName(viaJump)
         .groupBy("id").agg(min("label").as("new_label"))
       val next = labels.select(col("id"), col("label").as("old_label"))
         .join(propagated, "id")

@@ -179,6 +179,16 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(2) == 16 && r.getInt(3) == 8))
   }
 
+  test("dupClusters converges on a 64-node chain within default iterations") {
+    // path graph 0-1-2-...-63: diameter 63 — plain one-hop propagation
+    // would need 63 rounds; pointer jumping must finish in <= 15
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(chain)
+    val distinctLabels = labels.select("label").distinct().collect().map(_.getLong(0))
+    assert(distinctLabels.toSeq == Seq(0L))
+    assert(labels.count() == 64)
+  }
+
   test("multiProbeTopK recall >= single-probe recall vs brute force") {
     val rnd = new scala.util.Random(7)
     val corpus = (0 until 300).map(i =>
