@@ -24,7 +24,17 @@ object GraftFunctions {
       (children: Seq[Expression]) => FloatDot(children(0), children(1))),
     (FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head)))
+      (children: Seq[Expression]) => PolyHash(children.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head,
+        // k must be a foldable int literal, e.g. minhash_sig(hs, 64)
+        children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        })))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -113,36 +113,37 @@ object Dedup {
     }
   }
 
-  /** MinHash signature + verification set in ONE hash-aggregate over
-    * the shingle-hash rows: permutation i of shingle-hash s is the
-    * affine map [[graft.functions.PortableHash.perm]] (overflow-free
-    * mod-2^31-1 family — externally replayable), folded by k codegen'd
-    * min-aggregates; `collect_set` carries the exact shingle set for
-    * Jaccard verification. Output: (id, hs: array<long>, m0..m{k-1}). */
+  /** MinHash signature + verification set from shingle-hash ROWS: one
+    * `collect_set` hash-aggregate rebuilds the per-document set, then
+    * the whole k-slot signature is ONE codegen'd pass over it
+    * ([[graft.functions.MinHashSig]] — the overflow-free mod-2^31-1
+    * affine family, externally replayable).
+    * Output: (id, hs: array<long>, sig: array<long>[k]). */
   def minHashBase(rows: DataFrame, k: Int): DataFrame =
-    rows.groupBy("id")
-      .agg(collect_set(col("s")).as("hs"),
-        (0 until k).map(i =>
-          min(graft.functions.PortableHash.perm(i, col("s"))).as(s"m$i")): _*)
+    rows.groupBy("id").agg(collect_set(col("s")).as("hs"))
+      .select(col("id"), col("hs"),
+        graft.functions.MinHashSig.column(col("hs"), k).as("sig"))
 
-  /** [[minHashBase]] from per-document shingle ARRAYS: the k mins are
-    * array folds over the in-row set — map-only (no shuffle at all
-    * between tokenize and banding) and, unlike a k-wide aggregate, no
-    * giant generated aggregate class to compile. The affine perm is
-    * three integer ops, cheap even interpreted inside the fold. */
+  /** [[minHashBase]] from per-document shingle ARRAYS — map-only (no
+    * shuffle at all between tokenize and banding). The signature is a
+    * single native expression, not k `array_min(transform(...))`
+    * folds: HOFs run interpreted (CodegenFallback), so the fold form
+    * cost k × |hs| boxed lambda frames per document and a k-wide
+    * projection for janino to compile; [[graft.functions.MinHashSig]]
+    * is one tight loop inside whole-stage codegen. */
   def minHashBaseFromArrays(arrs: DataFrame, k: Int): DataFrame =
-    arrs.select(col("id") +: col("hs") +: (0 until k).map(i =>
-      array_min(transform(col("hs"),
-        s => graft.functions.PortableHash.perm(i, s))).as(s"m$i")): _*)
+    arrs.select(col("id"), col("hs"),
+      graft.functions.MinHashSig.column(col("hs"), k).as("sig"))
 
-  /** LSH banding over a wide signature: band b's bucket key is the
-    * comma-joined string of (b, its `k/bands` signature values) — a
+  /** LSH banding over a signature array: band b's bucket key is the
+    * comma-joined string of (b, its `k/bands` signature slots) — a
     * plain value concatenation any engine reproduces. Output: one
     * (id, band, bucket) row per band. */
   def lshBandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), concat_ws(",", lit(b) +: cols: _*).as("bucket"))
     }
     sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))

@@ -68,6 +68,46 @@ class FunctionsSpec extends SparkSpec {
     assert(ragged.isNullAt(0))
   }
 
+  test("MinHashSig equals the array_min/transform fold per slot; contracts") {
+    import graft.functions.{MinHashSig, PortableHash}
+    val k = 64
+    val rnd = new scala.util.Random(42)
+    val sets = Seq.fill(20)(
+      Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong().abs % (1L << 60)))
+    val df = sets.toDF("hs")
+    val folds = df.select((0 until k).map(i =>
+      array_min(transform(col("hs"),
+        s => PortableHash.perm(i, s))).as(s"m$i")): _*).collect()
+    val sigs = df.select(MinHashSig.column(col("hs"), k).as("sig")).collect()
+    sets.indices.foreach { r =>
+      val fold = (0 until k).map(folds(r).getLong)
+      val sig = sigs(r).getSeq[Long](0)
+      assert(sig == fold, s"row $r")
+    }
+    // negative inputs follow the same sign-preserving % arithmetic
+    val neg = Seq(Seq(-5L, 3L)).toDF("hs")
+    val negFold = neg.select(array_min(transform(col("hs"),
+      s => PortableHash.perm(0, s)))).as[Long].head()
+    val negSig = neg.select(MinHashSig.column(col("hs"), 1))
+      .collect().head.getSeq[Long](0)
+    assert(negSig == Seq(negFold))
+    // empty set -> null signature; null input -> null; null elements skipped
+    val e = Seq(Seq.empty[Long]).toDF("hs")
+      .select(MinHashSig.column(col("hs"), 4)).collect().head
+    assert(e.isNullAt(0))
+    val withNullElem = Seq(Seq[java.lang.Long](null, 7L)).toDF("hs")
+    val skipped = withNullElem.select(MinHashSig.column(col("hs"), 1))
+      .collect().head.getSeq[Long](0)
+    val just7 = Seq(Seq(7L)).toDF("hs")
+      .select(MinHashSig.column(col("hs"), 1)).collect().head.getSeq[Long](0)
+    assert(skipped == just7)
+    // SQL surface with a literal k
+    GraftFunctions.ensureRegistered(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array(7L), 1)").collect().head.getSeq[Long](0)
+    assert(viaSql == just7)
+  }
+
   test("minhash shingles survive ANSI mode (short docs use try_element_at)") {
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
