@@ -86,32 +86,19 @@ object Dedup {
       .select(col("id"), explode(col("hs")).as("s"))
 
   /** The DISTINCT shingle-hash set per document as an array column
-    * `(id, hs)` — everything is per-document map work on the token
-    * array (no window, no shuffle, no token-row explosion). */
+    * `(id, hs)` — ONE native expression per document
+    * ([[graft.functions.ShingleHashes]]: tokenize, token md5-60,
+    * shingle md5-60, distinct, all inside whole-stage codegen; no
+    * window, no shuffle, no token-row explosion, no interpreted HOFs).
+    * A doc with zero tokens produces no row (the historical
+    * `size(th) > 0` gate — a doc with ≥1 token always has ≥1
+    * shingle, so filtering on `hs` is the same predicate). */
   def shingleHashArrays(df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame = {
-    import graft.functions.PortableHash.md5Hash60
-    val n = shingleN
-    val base = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      textCol: String, shingleN: Int): DataFrame =
+    Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
-        transform(TextAnalysis.tokens(col("__text")), t => md5Hash60(t)).as("th"))
-      .where(size(col("th")) > 0)
-    if (n <= 1)
-      base.select(col("id"), array_distinct(col("th")).as("hs"))
-    else {
-      val full = transform(sequence(lit(0), size(col("th")) - n), i =>
-        md5Hash60(concat_ws(",",
-          (0 until n).map(j => element_at(col("th"), i + j + 1)): _*)))
-      // try_element_at, not element_at: the index is PAST the array end
-      // for short docs by design, and ANSI mode (the Spark 4 default)
-      // makes plain element_at throw instead of returning null
-      val short = array(md5Hash60(concat_ws(",",
-        element_at(col("th"), 1) +: (1 until n).map(j =>
-          coalesce(try_element_at(col("th"), lit(j + 1)), lit(-j.toLong))): _*)))
-      base.select(col("id"), array_distinct(
-        when(size(col("th")) >= n, full).otherwise(short)).as("hs"))
-    }
-  }
+        graft.functions.ShingleHashes.column(col("__text"), shingleN).as("hs"))
+      .where(size(col("hs")) > 0)
 
   /** MinHash signature + verification set from shingle-hash ROWS: one
     * `collect_set` hash-aggregate rebuilds the per-document set, then
@@ -179,7 +166,8 @@ object Dedup {
     * where one extra pass over the text is hours, or when the base is
     * reused across runs (incremental dedup). */
   def minHashDupPairsFromBase(base0: DataFrame, k: Int, bands: Int,
-      threshold: Double, maxBucketSize: Int): DataFrame = {
+      threshold: Double, maxBucketSize: Int,
+      checkpointBase: Boolean = true): DataFrame = {
     // the signature base is SMALL after aggregation (one row per doc)
     // but feeds four plan branches; checkpointing it as row batches
     // truncates the lineage so the map-only shingle+signature plan is
@@ -192,7 +180,7 @@ object Dedup {
     // and live until the session drops them: for cross-run reuse or
     // lost-executor resilience at cluster scale, write the base to the
     // lake instead and call this method on the read-back.
-    val base = base0.localCheckpoint(eager = false)
+    val base = if (checkpointBase) base0.localCheckpoint(eager = false) else base0
     val banded = lshBandRows(base, k, bands)
     // degenerate-bucket cap as hash-agg + join (AQE broadcasts the
     // tiny size table) — not a count-over-window, which would sort

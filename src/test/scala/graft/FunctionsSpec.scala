@@ -108,6 +108,52 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == just7)
   }
 
+  test("ShingleHashes equals the column-algebra shingle pipeline exactly") {
+    import graft.functions.{PortableHash, ShingleHashes}
+    import graft.operators.TextAnalysis
+    // the historical column form, inlined as the parity oracle
+    def columnForm(n: Int) = {
+      import PortableHash.md5Hash60
+      val th = transform(TextAnalysis.tokens(col("text")), t => md5Hash60(t))
+      val full = transform(sequence(lit(0), size(col("th")) - n), i =>
+        md5Hash60(concat_ws(",",
+          (0 until n).map(j => element_at(col("th"), i + j + 1)): _*)))
+      val short = array(md5Hash60(concat_ws(",",
+        element_at(col("th"), 1) +: (1 until n).map(j =>
+          coalesce(try_element_at(col("th"), lit(j + 1)), lit(-j.toLong))): _*)))
+      (df: org.apache.spark.sql.DataFrame) => df
+        .withColumn("th", th).where(size(col("th")) > 0)
+        .select(col("text"), (if (n <= 1) array_distinct(col("th"))
+          else array_distinct(
+            when(size(col("th")) >= n, full).otherwise(short))).as("hs"))
+    }
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "one two", "solo", "a b c", "dup dup dup dup",
+      "Punctuation, everywhere!! 42 times; truly.",
+      "Âccénts ön tökens and 中文 mixed in",
+      "  leading  and trailing   ", "123 456 789 123 456 789",
+      "", "!!!", "x" * 500 + " y z w v")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("text")
+      val expected = columnForm(n)(df).collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+      val got = df.select(col("text"),
+          ShingleHashes.column(col("text"), n).as("hs"))
+        .where(size(col("hs")) > 0).collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+      assert(got == expected, s"n=$n")
+    }
+    // null in -> null out; SQL surface
+    val nl = Seq[Option[String]](None).toDF("text")
+      .select(ShingleHashes.column(col("text"), 3)).collect().head
+    assert(nl.isNullAt(0))
+    GraftFunctions.ensureRegistered(spark)
+    val viaSql = spark.sql("SELECT size(shingle_hashes('a b c d', 3))")
+      .collect().head.getInt(0)
+    assert(viaSql == 2)
+  }
+
   test("minhash shingles survive ANSI mode (short docs use try_element_at)") {
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
