@@ -23,14 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Squared L2 distance between a vector column and a literal centroid. */
-  private def sqDist(vec: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, lit(centroid), (x, c) => {
-        val d = x.cast("double") - c; d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
-
   /** Train centroids with ml KMeans on a corpus sample. Returns the
     * centroid matrix (tiny, driver-side by construction). */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
@@ -42,24 +34,18 @@ object IvfAnn {
     model.clusterCenters.map(_.toArray)
   }
 
-  /** Nearest-centroid cell id (argmin of squared distance) as a pure
-    * column expression over the literal centroid matrix. */
-  def cellId(vec: Column, centroids: Array[Array[Double]]): Column = {
-    // struct(dist, idx) compared lexicographically: least() = argmin,
-    // ties to the lower cell id.
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(vec, c).as("d"), lit(i).as("i"))
-    }
-    least(scored.toIndexedSeq: _*).getField("i")
-  }
+  /** Nearest-centroid cell id (argmin of squared double distance, ties
+    * to the lower cell id) — the codegen'd
+    * [[graft.functions.NearestCellsDouble]] expression: one
+    * nlist × dim primitive loop per row instead of nlist interpreted
+    * `aggregate(zip_with(...))` folds. */
+  def cellId(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(
+      graft.functions.NearestCells.nearestDoubleCol(vec, centroids, 1), 1)
 
   /** The `nprobe` nearest cell ids for a query vector, as an array. */
-  def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(vec, c).as("d"), lit(i).as("i"))
-    }.toIndexedSeq: _*)
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
-  }
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    graft.functions.NearestCells.nearestDoubleCol(vec, centroids, nprobe)
 
   /** End-to-end IVF top-k search: assign corpus rows to cells once,
     * explode queries into their probe cells, equi-join on cell, exact
@@ -109,7 +95,9 @@ object IvfAnn {
   /** Quantized vector: floor(x * 1e3) per component. Coarse (3
     * decimals) is plenty for cell ASSIGNMENT — final ranking always
     * uses full-precision cosine — and keeps the distance arithmetic
-    * comfortably inside int64. */
+    * comfortably inside int64. (The per-row search path quantizes
+    * inside [[graft.functions.NearestCells]]; this column form feeds
+    * the centroid BUILD aggregation only.) */
   private def quantize3(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
 
@@ -143,35 +131,21 @@ object IvfAnn {
     }
   }
 
-  /** Exact integer squared distance of a quantized vector to a rounded
-    * integer centroid: every term is bounded by the quantized value
-    * range squared, so the long accumulator is overflow-safe at any
-    * corpus size (the point of rounding the centroid at build time). */
-  private def intDist(qvec: Column, cen: IntCentroid): Column = {
-    val terms = zip_with(qvec, lit(cen.c), (q, cd) => {
-      val t = q - cd; t * t
-    })
-    aggregate(terms, lit(0L), (acc, v) => acc + v)
-  }
-
   /** Nearest-centroid cell over the integer model: argmin of exact
-    * integer distance, ties to the lower cell id. */
-  def cellIdInt(vec: Column, cents: Array[IntCentroid]): Column = {
-    val q = quantize3(vec)
-    val scored = cents.map { c =>
-      struct(intDist(q, c).as("d"), lit(c.cell).as("i"))
-    }
-    least(scored.toIndexedSeq: _*).getField("i")
-  }
+    * integer distance `sum((floor(x*1e3) - c_d)^2)`, ties to the lower
+    * cell id — the codegen'd [[graft.functions.NearestCellsInt]]
+    * expression (every distance term bounded by the quantized value
+    * range squared, so the long accumulator is overflow-safe at any
+    * corpus size — the point of rounding the centroid at build time). */
+  def cellIdInt(vec: Column, cents: Array[IntCentroid]): Column =
+    element_at(
+      graft.functions.NearestCells.nearestIntCol(
+        vec, cents.map(_.c), cents.map(_.cell), 1), 1)
 
   /** The `nprobe` nearest cells under the integer model, as an array. */
-  def probeCellsInt(vec: Column, cents: Array[IntCentroid], nprobe: Int): Column = {
-    val q = quantize3(vec)
-    val scored = array(cents.map { c =>
-      struct(intDist(q, c).as("d"), lit(c.cell).as("i"))
-    }.toIndexedSeq: _*)
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
-  }
+  def probeCellsInt(vec: Column, cents: Array[IntCentroid], nprobe: Int): Column =
+    graft.functions.NearestCells.nearestIntCol(
+      vec, cents.map(_.c), cents.map(_.cell), nprobe)
 
   /** IVF top-k over the deterministic integer quantizer — same search
     * shape as [[topK]], every stage replayable by an external oracle. */

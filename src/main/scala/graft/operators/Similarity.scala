@@ -91,12 +91,11 @@ object Similarity {
   /** Deterministic integer hyperplanes: plane p's weight for dimension
     * d is an LCG draw in [-500000, 500000] — plain modular arithmetic
     * that any engine can replay (a seeded `Random` stream cannot be).
-    * Generated driver-side once (planes x dim longs) and inlined as a
-    * literal — effectively a broadcast of a tiny model. */
+    * The matrix is a pure function of (dim, planes); nothing is
+    * shipped with the plan. */
   private[graft] def portablePlanes(dim: Int, planes: Int): IndexedSeq[IndexedSeq[Long]] =
     IndexedSeq.tabulate(planes, dim) { (p, d) =>
-      val v = (1103515245L * (p.toLong * dim + d + 1) + 12345L) % 2147483648L
-      v % 1000001L - 500000L
+      graft.functions.HyperplaneBucket.planeWeight(p, d, dim)
     }
 
   /** Sign-LSH bucket id: bit p = sign(v . plane_p). Vectors with high
@@ -108,17 +107,13 @@ object Similarity {
     * so the sign decision has no floating-point summation-order
     * sensitivity: the same vector lands in the same bucket on every
     * engine and every partitioning. |weight * q| <= 5e11 per term,
-    * * 64 dims < 2^63: overflow-free. */
-  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val ps = portablePlanes(dim, planes)
-    val q = transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
-    val bits = ps.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(zip_with(q, lit(p.toArray), (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v)
-      shiftleft(when(proj >= 0, lit(1L)).otherwise(lit(0L)), i)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * * 64 dims < 2^63: overflow-free.
+    *
+    * Computed by the codegen'd [[graft.functions.HyperplaneBucket]]
+    * expression — one dim × planes primitive loop per row, replacing
+    * `planes` interpreted `aggregate(zip_with(...))` folds. */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int): Column =
+    graft.functions.HyperplaneBucket.column(vec, dim, planes)
 
   /** Bucketed ANN top-k: probe only the query's own bucket. Recall is
     * tunable via `planes` (fewer planes = bigger buckets = higher

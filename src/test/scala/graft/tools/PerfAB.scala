@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, IvfAnn, Similarity}
+
+/** Dev-loop A/B measurement harness (test scope, never shipped):
+  * reconstructs the interpreted HOF forms that the codegen'd
+  * expressions replaced and measures both on sf0.1, asserting
+  * bit-identical results while timing. Run:
+  *
+  *   sbt "Test/runMain graft.tools.PerfAB"
+  *
+  * Sections: sign-LSH bucketing (HyperplaneBucket vs per-plane
+  * aggregate/zip_with folds), IVF integer assignment (NearestCellsInt
+  * vs per-centroid folds), MinHash checkpoint behavior (warm-run
+  * repeats for the x03 anomaly).
+  */
+object PerfAB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = Tables.embeddings(spark, d)
+    val docs = Tables.documents(spark, d)
+
+    def time(name: String, reps: Int = 3)(f: => Long): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      }
+      Console.err.println(f"[ab] $name%-34s best ${ts.map(_._1).min}%7.3f s  (${ts.map(a => f"${a._1}%.2f").mkString(",")})  rows=${ts.head._2}")
+    }
+
+    // ---- the replaced HOF forms, reconstructed for comparison ----
+    def hofBucket(vec: Column, dim: Int, planes: Int): Column = {
+      val ps = Similarity.portablePlanes(dim, planes)
+      val q = transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+      val bits = ps.zipWithIndex.map { case (p, i) =>
+        val proj = aggregate(zip_with(q, lit(p.toArray), (x, w) => x * w),
+          lit(0L), (acc, v) => acc + v)
+        shiftleft(when(proj >= 0, lit(1L)).otherwise(lit(0L)), i)
+      }
+      bits.reduce(_.bitwiseOR(_))
+    }
+    def hofCellIdInt(vec: Column, cents: Array[IvfAnn.IntCentroid]): Column = {
+      val q = transform(vec, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+      val scored = cents.map { c =>
+        val terms = zip_with(q, lit(c.c), (qq, cd) => { val t = qq - cd; t * t })
+        struct(aggregate(terms, lit(0L), (acc, v) => acc + v).as("d"),
+          lit(c.cell).as("i"))
+      }
+      least(scored.toIndexedSeq: _*).getField("i")
+    }
+
+    val dim = 64; val planes = 16
+    val mismB = emb.select(
+      hofBucket(col("embedding"), dim, planes).as("a"),
+      Similarity.hyperplaneBucket(col("embedding"), dim, planes).as("b"))
+      .where(col("a") =!= col("b")).count()
+    Console.err.println(s"[ab] bucket mismatches (HOF vs codegen): $mismB")
+    time("bucket HOF (16 planes)") {
+      emb.select(hofBucket(col("embedding"), dim, planes).as("b"))
+        .agg(sum("b")).collect(); emb.count()
+    }
+    time("bucket codegen (16 planes)") {
+      emb.select(Similarity.hyperplaneBucket(col("embedding"), dim, planes).as("b"))
+        .agg(sum("b")).collect(); emb.count()
+    }
+
+    val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding", nlist = 16)
+    val mismC = emb.select(
+      hofCellIdInt(col("embedding"), cents).as("a"),
+      IvfAnn.cellIdInt(col("embedding"), cents).as("b"))
+      .where(col("a") =!= col("b")).count()
+    Console.err.println(s"[ab] ivf-cell mismatches (HOF vs codegen): $mismC")
+    time("ivf assign HOF (nlist 16)") {
+      emb.select(hofCellIdInt(col("embedding"), cents).as("c"))
+        .agg(sum("c")).collect(); emb.count()
+    }
+    time("ivf assign codegen (nlist 16)") {
+      emb.select(IvfAnn.cellIdInt(col("embedding"), cents).as("c"))
+        .agg(sum("c")).collect(); emb.count()
+    }
+
+    // ---- x03 warm-run behavior (checkpoint block accumulation) ----
+    time("x03 minhash pairs (5 reps)", reps = 5) {
+      Dedup.minHashDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count()
+    }
+    spark.stop()
+  }
+}
