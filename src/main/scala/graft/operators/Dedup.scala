@@ -26,6 +26,47 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ------------------------------------------------- checkpoint bookkeeping
+
+  /** Local-checkpoint RDDs created by dedup operators ([[minHashDupPairsFromBase]]'s
+    * signature base; [[dupClusters]]' final label table). localCheckpoint
+    * blocks are executor-local and live until the session drops them —
+    * in a long-lived session, repeated dedup runs would otherwise
+    * accumulate dead blocks in executor storage. Superseded per-round
+    * checkpoints inside [[dupClusters]] are freed eagerly; the blocks a
+    * RESULT still depends on are registered here instead. */
+  private val trackedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  private def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  private def trackCheckpoint(df: DataFrame): DataFrame = {
+    ckptRdd(df).foreach(trackedCheckpoints.add)
+    df
+  }
+
+  /** Free every checkpoint block the dedup operators have registered.
+    * Call between logical runs — after the current result has been
+    * written/collected and no DataFrame derived from a prior dedup call
+    * will be re-executed (a localCheckpoint has no lineage to recompute
+    * from, so re-running such a plan after release fails). The bench
+    * and verify harnesses call this after each query action; a
+    * long-lived service should do the same at request boundaries.
+    * Returns the number of RDDs released. */
+  def releaseCheckpoints(): Int = {
+    var n = 0
+    var r = trackedCheckpoints.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      n += 1
+      r = trackedCheckpoints.poll()
+    }
+    n
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: keep the lowest-id row per identical value of
@@ -158,29 +199,30 @@ object Dedup {
   /** Pair generation from a precomputed [[minHashBase]]. The base
     * feeds FOUR plan branches (both sides of the band self-join, both
     * verification lookups); AQE's shuffle-stage reuse dedupes the
-    * identical ones at runtime. Measured guidance: on a small corpus,
-    * recompute + AQE reuse beats `persist()` (columnar-caching 64
-    * signature columns costs more than it saves — 2.5× at sf0.1); a
-    * persisted or written-to-lake base pays off when the tokenize+
-    * shingle scan itself is the dominant cost, i.e. at corpus sizes
-    * where one extra pass over the text is hours, or when the base is
-    * reused across runs (incremental dedup). */
+    * identical ones at runtime. Measured guidance (sf0.1, local[32],
+    * post-codegen base = one 0.4s map pass): recompute + AQE reuse
+    * beats BOTH `persist()` (columnar-caching 64 signature columns was
+    * 2.5× worse) and `localCheckpoint` (cold 3.0s vs 4.0s, warm equal —
+    * the checkpoint's block store is cheap, ~0.1s, but it inserts a
+    * serial stage barrier: every base task must finish before ANY
+    * downstream stage starts, where the un-checkpointed plan overlaps
+    * them; that barrier was the r2 "unexplained ~1.5s"). So
+    * `checkpointBase` now defaults to FALSE. Turn it on — or better,
+    * write the base to the lake and call this method on the read-back —
+    * when the tokenize+shingle scan dominates (corpus sizes where one
+    * extra pass over the text is hours) or the base is reused across
+    * runs (incremental dedup). */
   def minHashDupPairsFromBase(base0: DataFrame, k: Int, bands: Int,
       threshold: Double, maxBucketSize: Int,
-      checkpointBase: Boolean = true): DataFrame = {
-    // the signature base is SMALL after aggregation (one row per doc)
-    // but feeds four plan branches; checkpointing it as row batches
-    // truncates the lineage so the map-only shingle+signature plan is
-    // planned, codegen'd, and executed ONCE instead of four times.
+      checkpointBase: Boolean = false): DataFrame = {
     // LAZY (eager=false): building the DataFrame — e.g. for plan
     // inspection — must not run a job; the first action materializes.
-    // (persist() was measured 2.5x WORSE here — columnar cache
-    // materialization of 64 columns costs more than it saves.) Note
-    // localCheckpoint blocks are executor-local and non-fault-tolerant,
-    // and live until the session drops them: for cross-run reuse or
-    // lost-executor resilience at cluster scale, write the base to the
-    // lake instead and call this method on the read-back.
-    val base = if (checkpointBase) base0.localCheckpoint(eager = false) else base0
+    // localCheckpoint blocks are executor-local and non-fault-tolerant;
+    // their lifetime is managed via [[releaseCheckpoints]] — call it
+    // between runs.
+    val base =
+      if (checkpointBase) trackCheckpoint(base0.localCheckpoint(eager = false))
+      else base0
     val banded = lshBandRows(base, k, bands)
     // degenerate-bucket cap as hash-agg + join (AQE broadcasts the
     // tiny size table) — not a count-over-window, which would sort
@@ -337,6 +379,12 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
+    // each eager checkpoint fully materializes the round, so the
+    // PREVIOUS round's blocks are dead the moment the new one exists —
+    // free them here instead of letting rounds accumulate in executor
+    // storage; only the final table (which the result depends on)
+    // outlives the loop, registered for releaseCheckpoints().
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var changed = true
     var iter = 0
     while (changed && iter < maxIterations) {
@@ -355,9 +403,12 @@ object Dedup {
           (col("new_label") < col("old_label")).as("__moved"))
         .localCheckpoint()
       changed = next.where(col("__moved")).limit(1).count() > 0
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = ckptRdd(next)
       labels = next.drop("__moved")
       iter += 1
     }
+    prevCkpt.foreach(trackedCheckpoints.add)
     labels
   }
 

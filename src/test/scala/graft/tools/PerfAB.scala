@@ -91,7 +91,28 @@ object PerfAB {
 
     // ---- x03 warm-run behavior (checkpoint block accumulation) ----
     time("x03 minhash pairs (5 reps)", reps = 5) {
-      Dedup.minHashDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count()
+      val n = Dedup.minHashDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count()
+      Console.err.println(s"[ab]   released ckpts: ${Dedup.releaseCheckpoints()}")
+      n
+    }
+
+    // ---- decompose the ~1.5s checkpoint cost (r2 verdict finding) ----
+    def base() = Dedup.minHashBaseFromArrays(
+      Dedup.shingleHashArrays(docs, "doc_id", "text", 3), 64)
+    def rddOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    time("x03 base count (no ckpt)") { base().count() }
+    time("x03 base eager localCkpt") {
+      val cp = base().localCheckpoint()
+      val n = cp.count()
+      rddOf(cp).foreach(_.unpersist(false))
+      n
+    }
+    time("x03 pairs NO ckpt") {
+      Dedup.minHashDupPairsFromBase(base(), 64, 16, 0.5, 1000,
+        checkpointBase = false).count()
     }
     spark.stop()
   }
