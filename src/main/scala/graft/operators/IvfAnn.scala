@@ -61,7 +61,9 @@ object IvfAnn {
       corpusId, corpusVec, queryId, queryVec, k)
 
   /** Shared search tail: corpus and queries both carry a `__cell`
-    * column; equi-join on it, exact cosine within candidates, rank. */
+    * column; equi-join on it, exact cosine within candidates, then the
+    * bounded [[Similarity.rankTopK]] aggregate (map-side k-slot
+    * combine — losers never shuffle). */
   private def searchAssigned(c0: DataFrame, q0: DataFrame,
       corpusId: String, corpusVec: String, queryId: String, queryVec: String,
       k: Int): DataFrame = {
@@ -71,12 +73,7 @@ object IvfAnn {
       .where(col(queryId) =!= col(corpusId))
       .withColumn("cosine", Similarity.cosineWithNorms(
         col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(queryId)
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        col("cosine"), col("rank"))
+    Similarity.rankTopK(joined, queryId, corpusId, k)
   }
 
   // ------------------------------- deterministic integer quantizer path

@@ -51,10 +51,37 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Shared ranking tail of every similarity search: per query, the
+    * `k` best candidates by (cosine DESC, id ASC) as (query_id,
+    * neighbor_id, cosine, rank) rows.
+    *
+    * This is a k-bounded hash aggregate over the codegen-adjacent
+    * [[graft.functions.TopKPairs]] buffer, NOT a `row_number()`
+    * window: the window form shuffles and sorts every candidate pair
+    * per query, while the aggregate combines candidates map-side into
+    * k-slot buffers, so the shuffle carries at most k pairs per
+    * (query, task) and the losers die where they were scored — the
+    * difference between O(|candidates|) and O(|queries| * k) shuffle
+    * rows at corpus scale. Identical results (same total order, ids
+    * unique per query). Requires an integral candidate id. */
+  private[operators] def rankTopK(joined: DataFrame, queryId: String,
+      corpusId: String, k: Int): DataFrame = {
+    val idType = joined.schema(corpusId).dataType
+    joined
+      .groupBy(col(queryId).as("query_id"))
+      .agg(graft.functions.TopKPairs.column(
+        col("cosine"), col(corpusId).cast("long"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("query_id"),
+        col("__s.id").cast(idType).as("neighbor_id"),
+        col("__s.cosine").as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k: for each row of `queries`, the `k` nearest corpus
     * rows by cosine. Queries are explicitly broadcast (small side);
-    * ranking is one window per query id. Norms are computed once per
-    * corpus row / query row, not per pair. */
+    * ranking is the bounded [[rankTopK]] aggregate. Norms are computed
+    * once per corpus row / query row, not per pair. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       corpusId: String, corpusVec: String,
       queryId: String, queryVec: String, k: Int): DataFrame = {
@@ -65,13 +92,7 @@ object Similarity {
       .where(col(queryId) =!= col(corpusId))
       .withColumn("cosine", cosineWithNorms(
         col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(queryId)
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        col("cosine"), col("rank"))
+    rankTopK(joined, queryId, corpusId, k)
   }
 
   /** Per-group mean embedding (centroid pooling): posexplode the
@@ -156,11 +177,6 @@ object Similarity {
       .where(col(queryId) =!= col(corpusId))
       .withColumn("cosine", cosineWithNorms(
         col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(queryId)
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        col("cosine"), col("rank"))
+    rankTopK(joined, queryId, corpusId, k)
   }
 }

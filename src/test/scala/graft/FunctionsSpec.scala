@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, Unaccent}
-import graft.operators.{IvfAnn, SkewJoin}
+import graft.operators.{IvfAnn, Similarity, SkewJoin}
 import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends SparkSpec {
@@ -217,6 +217,41 @@ class FunctionsSpec extends SparkSpec {
     assert(got.exceptAll(naive).count() == 0)
     assert(naive.exceptAll(got).count() == 0)
     assert(naive.count() > 0)
+  }
+
+  test("TopKBuffer keeps the k best by (score desc, id asc) through insert/merge/serde") {
+    import graft.functions.{TopKBuffer, TopKPairs}
+    val b = new TopKBuffer(3)
+    Seq((0.5, 7L), (0.9, 2L), (0.9, 1L), (0.1, 9L), (0.7, 3L)).foreach {
+      case (s, id) => b.insert(s, id)
+    }
+    // ties broken by lower id; only 3 survive
+    assert((0 until b.n).map(i => (b.scores(i), b.ids(i))) ==
+      Seq((0.9, 1L), (0.9, 2L), (0.7, 3L)))
+    val other = new TopKBuffer(3)
+    Seq((0.8, 5L), (0.95, 6L)).foreach { case (s, id) => other.insert(s, id) }
+    b.mergeFrom(other)
+    assert((0 until b.n).map(i => (b.scores(i), b.ids(i))) ==
+      Seq((0.95, 6L), (0.9, 1L), (0.9, 2L)))
+    // serde round-trip preserves content and capacity
+    val br = org.apache.spark.sql.graft.ColumnBridge.expression _
+    val agg = TopKPairs(br(lit(0.0)), br(lit(0L)), 3)
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.k == 3 && (0 until rt.n).map(i => (rt.scores(i), rt.ids(i))) ==
+      (0 until b.n).map(i => (b.scores(i), b.ids(i))))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.1f)), (4L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val got = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    // cosine: ids 1 and 4 tie at 1.0 (lower id first), then 3, never 2
+    assert(got == Seq((1L, 1), (4L, 2), (3L, 3)))
   }
 
   test("IVF ANN finds the exact neighbor when it shares the query's cell") {

@@ -89,6 +89,33 @@ object PerfAB {
         .agg(sum("c")).collect(); emb.count()
     }
 
+    // ---- top-k tail: row_number window vs bounded TopKPairs agg ----
+    {
+      import org.apache.spark.sql.expressions.Window
+      val c = graft.operators.Rebalance(emb.select(col("vec_id"), col("embedding")))
+        .withColumn("__cn", Similarity.norm(col("embedding")))
+      val q = emb.limit(20).select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"))
+        .withColumn("__qn", Similarity.norm(col("q_vec")))
+      val joined = c.join(broadcast(q))
+        .where(col("q_id") =!= col("vec_id"))
+        .withColumn("cosine", Similarity.cosineWithNorms(
+          col("q_vec"), col("embedding"), col("__qn"), col("__cn")))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      val winForm = joined.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosine"), col("rank"))
+      val aggForm = Similarity.bruteForceTopK(emb, q.drop("__qn"),
+        "vec_id", "embedding", "q_id", "q_vec", k = 5)
+      val mismT = winForm.exceptAll(aggForm).count() + aggForm.exceptAll(winForm).count()
+      Console.err.println(s"[ab] topk mismatches (window vs agg): $mismT")
+      time("topk window form") { winForm.count() }
+      time("topk bounded agg form") { aggForm.count() }
+    }
+
     // ---- x03 warm-run behavior (checkpoint block accumulation) ----
     time("x03 minhash pairs (5 reps)", reps = 5) {
       val n = Dedup.minHashDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count()
