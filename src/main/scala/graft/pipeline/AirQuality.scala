@@ -75,18 +75,42 @@ object AirQuality {
       .csv(paths: _*)
 
   /** O4: keep only input files whose normalized header matches the
-    * expected schema (reference skips whole files on mismatch). Header
-    * sniffing is metadata-scale work (first line per file). */
+    * expected schema (reference skips whole files on mismatch).
+    *
+    * The sniff runs DISTRIBUTED: paths are parallelized and each task
+    * opens its files through the Hadoop FileSystem API, reading only
+    * the first line (bounded bytes, not the file). At a million lake
+    * objects this is a map-only metadata job; a driver-side loop — the
+    * previous form — would serialize a million opens through one
+    * machine. Order of the input list is preserved. */
   def filesPassingHeaderGate(spark: SparkSession, paths: Seq[String]): Seq[String] = {
     val expected = normalizedColumns
-    paths.filter { p =>
-      val src = scala.io.Source.fromFile(p, "UTF-8")
-      try {
-        val first = src.getLines().nextOption().getOrElse("")
-        first.stripPrefix("﻿").split(";", -1).toSeq
+    if (paths.isEmpty) return Seq.empty
+    val slices = math.min(paths.size, 64)
+    spark.sparkContext.parallelize(paths, slices)
+      .filter { p =>
+        headerLine(p).stripPrefix("﻿").split(";", -1).toSeq
           .map(Names.normalizeColumnName) == expected
-      } finally src.close()
-    }
+      }
+      .collect().toSeq
+  }
+
+  /** First line of a file via the Hadoop FileSystem API (works for any
+    * supported scheme — local, HDFS, object stores), capped at 256 KiB
+    * so a malformed headerless blob cannot balloon the read. */
+  private def headerLine(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = new java.io.BufferedInputStream(fs.open(p), 64 * 1024)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      var b = in.read()
+      while (b != -1 && b != '\n' && buf.size < 256 * 1024) {
+        if (b != '\r') buf.write(b)
+        b = in.read()
+      }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** K3: derive (pollutant, date) partition values from the reference's
@@ -308,16 +332,24 @@ object AirQuality {
     pctChange6(lagDiff6(totalValeur(convertUnits(imputeMeans(merged)))))
   }
 
-  /** End-to-end: bronze CSV paths -> gold curated frame. Pollutant
-    * identity comes from the filename contract (K3); table name is the
-    * normalized pollutant code. */
-  def runPipeline(spark: SparkSession, csvPaths: Seq[String]): DataFrame = {
+  /** End-to-end: bronze CSV paths -> gold curated frame. The fan-out
+    * is CONFIG-driven, like the reference's: only pollutants present
+    * in the [[Pollutants]] dimension are processed (a code commented
+    * out of the config is skipped even when its files exist — the
+    * toggle semantics of `config/pollutants.yaml`), and tables are
+    * named by the normalized short name
+    * (`src/preprocess_to_staging.py:154-155`). Filename codes (K3)
+    * only say which slice of the lake a file belongs to. */
+  def runPipeline(spark: SparkSession, csvPaths: Seq[String],
+      pollutants: Seq[Pollutant] = Pollutants.default): DataFrame = {
     val gated = filesPassingHeaderGate(spark, csvPaths)
     val bronze = withPartitionColumnsFromFilename(readBronzeCsv(spark, gated))
-    val codes = bronze.select("pollutant").distinct().collect().map(_.getString(0))
-    val silvers = codes.map { code =>
-      val name = "p" + Names.normalizeColumnName(code)
-      name -> silver(bronze.where(col("pollutant") === code))
+    // tiny dimension-sized collect: distinct codes present in the batch
+    val present = bronze.select("pollutant").distinct()
+      .collect().map(_.getString(0)).toSet
+    val active = pollutants.filter(p => present(p.code))
+    val silvers = active.map { p =>
+      p.tableName -> silver(bronze.where(col("pollutant") === p.code))
     }.toMap
     gold(silvers)
   }

@@ -13,7 +13,62 @@ class AirQualitySpec extends SparkSpec {
   private lazy val coFiles = testFiles.filter(_.contains("polluant-04"))
 
   test("header gate accepts all genuine files") {
-    assert(AirQuality.filesPassingHeaderGate(spark, testFiles).size == testFiles.size)
+    assert(AirQuality.filesPassingHeaderGate(spark, testFiles) == testFiles)
+  }
+
+  test("header gate skips files with a non-conforming header (O4)") {
+    val bad = java.nio.file.Files.createTempFile("graft_badheader", ".csv")
+    java.nio.file.Files.writeString(bad,
+      "Wrong;Header;Entirely\n1;2;3\n")
+    try {
+      val gated = AirQuality.filesPassingHeaderGate(
+        spark, coFiles :+ bad.toString)
+      assert(gated == coFiles)
+    } finally java.nio.file.Files.delete(bad)
+  }
+
+  test("pollutant dimension: parse honors the comment-out toggle and quoting") {
+    val parsed = graft.pipeline.Pollutants.parse(
+      """# preamble comment
+        |- code: "01"
+        |  short_name: "SO2"
+        |  full_name: "dioxyde de soufre"
+        |  unit: "µg-m3"
+        |# - code: "19"
+        |#   short_name: "Pb"
+        |#   full_name: "plomb"
+        |#   unit: "µg-m3"
+        |- code: "04"
+        |  short_name: CO
+        |  full_name: monoxyde de carbone
+        |  unit: mg-m3
+        |""".stripMargin.linesIterator)
+    assert(parsed == Seq(
+      graft.pipeline.Pollutant("01", "SO2", "dioxyde de soufre", "µg-m3"),
+      graft.pipeline.Pollutant("04", "CO", "monoxyde de carbone", "mg-m3")))
+    assert(parsed.head.tableName == "so2")
+  }
+
+  test("pipeline fan-out is config-driven: unconfigured codes are skipped") {
+    // config lists only SO2 — the NO2/CO files in the batch are ignored
+    val onlySo2 = Seq(graft.pipeline.Pollutant("01", "SO2", "dioxyde de soufre", "µg-m3"))
+    val gold = AirQuality.runPipeline(spark, testFiles, onlySo2)
+    val prefixes = gold.columns
+      .filter(c => c.endsWith("_valeur") && !c.endsWith("_type_de_valeur")).toSet
+    assert(prefixes == Set("so2_valeur"))
+    assert(!gold.columns.exists(_.startsWith("co_")))
+  }
+
+  test("K7: gold serves to a JDBC target (Derby in-memory), replace semantics") {
+    val gold = AirQuality.runPipeline(spark, coFiles)
+    val url = "jdbc:derby:memory:curated_t;create=true"
+    graft.pipeline.RunPipeline.serveJdbc(gold.limit(50), url)
+    // replace semantics: a second serve overwrites, not appends
+    graft.pipeline.RunPipeline.serveJdbc(gold.limit(20), url)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "curated").load()
+    assert(back.count() == 20)
+    assert(back.columns.toSet == gold.columns.toSet)
   }
 
   test("bronze read + filename partition extraction (S5/K3)") {
@@ -75,13 +130,14 @@ class AirQualitySpec extends SparkSpec {
   test("gold pipeline end-to-end on full corpus") {
     val gold = AirQuality.runPipeline(spark, testFiles)
     val cols = gold.columns.toSet
-    // per-pollutant prefixed value columns (codes 01=SO2, 03=NO2, 04=CO)
-    assert(cols.contains("p_01_valeur") && cols.contains("p_03_valeur") && cols.contains("p_04_valeur"))
+    // per-pollutant prefixed value columns, named by normalized short_name
+    // (codes 01=SO2, 03=NO2, 04=CO) like the reference's staging tables
+    assert(cols.contains("so2_valeur") && cols.contains("no2_valeur") && cols.contains("co_valeur"))
     // derived columns from O9 / A3 / W1 / W2
-    assert(cols.contains("p_01_valeur_g_par_L"))
-    assert(cols.contains("p_01_valeur_brute_g_par_L"))
+    assert(cols.contains("so2_valeur_g_par_L"))
+    assert(cols.contains("so2_valeur_brute_g_par_L"))
     assert(cols.contains("total_valeur_particule_g_par_L"))
-    assert(cols.contains("p_03_valeur_diff_6hrs"))
+    assert(cols.contains("no2_valeur_diff_6hrs"))
     assert(cols.contains("total_valeur_particule_g_par_L_percent_change_6hrs"))
     // key columns never prefixed, date_de_fin/polluant dropped
     assert(cols.contains("code_site") && cols.contains("date_de_debut"))
@@ -98,7 +154,7 @@ class AirQualitySpec extends SparkSpec {
     val w = Window.partitionBy("code_site").orderBy("date_de_debut")
     val firstSix = gold.withColumn("rn", row_number().over(w)).where(col("rn") <= 6)
     val nonZero = firstSix
-      .where(col("p_04_valeur").isNotNull && abs(col("p_04_valeur_diff_6hrs")) > 1e-12)
+      .where(col("co_valeur").isNotNull && abs(col("co_valeur_diff_6hrs")) > 1e-12)
       .count()
     assert(nonZero == 0)
   }
@@ -108,22 +164,22 @@ class AirQualitySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("code_site").orderBy("date_de_debut")
     val firstSix = gold.withColumn("rn", row_number().over(w)).where(col("rn") <= 6)
-    assert(firstSix.where(col("p_04_valeur_percent_change_6hrs").isNotNull).count() == 0)
+    assert(firstSix.where(col("co_valeur_percent_change_6hrs").isNotNull).count() == 0)
   }
 
   test("O9: unit conversion multiplies by the mapped factor") {
     val gold = AirQuality.runPipeline(spark, coFiles)
     // CO is mg-m3 -> 1e-3
     val bad = gold
-      .where(col("p_04_valeur").isNotNull && col("p_04_unite_de_mesure") === "mg-m3")
-      .where(abs(col("p_04_valeur_g_par_L") - col("p_04_valeur") * 1e-3) > 1e-15)
+      .where(col("co_valeur").isNotNull && col("co_unite_de_mesure") === "mg-m3")
+      .where(abs(col("co_valeur_g_par_L") - col("co_valeur") * 1e-3) > 1e-15)
       .count()
     assert(bad == 0)
   }
 
   test("A1/A2: no nulls remain in imputable numeric columns") {
     val gold = AirQuality.runPipeline(spark, coFiles)
-    // p_04_valeur had nulls in bronze; after mean imputation none remain
-    assert(gold.where(col("p_04_valeur").isNull).count() == 0)
+    // co_valeur had nulls in bronze; after mean imputation none remain
+    assert(gold.where(col("co_valeur").isNull).count() == 0)
   }
 }
