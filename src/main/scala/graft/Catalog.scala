@@ -728,7 +728,7 @@ object Catalog {
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
                 FROM s)
               SELECT user_id, session_seq, count(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
                 strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
               FROM s2 GROUP BY user_id, session_seq

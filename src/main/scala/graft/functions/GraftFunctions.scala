@@ -15,6 +15,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  /** Resolve a SQL argument that must be a literal int (e.g. the `n`
+    * in `shingle_hashes(toks, 3)`): check foldability BEFORE eval (a
+    * non-foldable arg would otherwise throw an opaque
+    * UnsupportedOperationException from eval), and validate the Long
+    * range BEFORE narrowing (4294967297 must be rejected, not silently
+    * truncated to 1). */
+  private def literalInt(fn: String, arg: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn $arg must be an integer literal, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"$fn $arg is out of integer range: $l")
+      case other => throw new IllegalArgumentException(
+        s"$fn $arg must be an integer literal, got $other")
+    }
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("unaccent"),
       new ExpressionInfo(classOf[Unaccent].getName, "unaccent"),
@@ -28,22 +47,11 @@ object GraftFunctions {
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head,
-        children(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"shingle_hashes n must be an integer literal, got $other")
-        })),
+        literalInt("shingle_hashes", "n", children(1)))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children.head,
-        // k must be a foldable int literal, e.g. minhash_sig(hs, 64)
-        children(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig k must be an integer literal, got $other")
-        })))
+        literalInt("minhash_sig", "k", children(1)))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

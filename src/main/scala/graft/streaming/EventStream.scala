@@ -53,6 +53,24 @@ object EventStream {
   case class Session(user_id: Long, n_events: Long, total_value: Double,
       start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
+  /** Streaming session state: totals accumulate as EXACT scaled
+    * decimals — each value rounded to scale 10 like
+    * [[sessionizeBatch]]'s `cast("decimal(38,10)")`, then summed
+    * exactly — so the emitted `total_value` is bit-identical to the
+    * batch twin's regardless of how events split across micro-batches
+    * (a running double sum would drift with batch boundaries). */
+  // public because the state Encoder's generated code must reach the
+  // constructor and accessors; treat as an implementation detail
+  case class SessionState(user_id: Long, n_events: Long,
+      total_value: BigDecimal, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp) {
+    def emit: Session =
+      Session(user_id, n_events, total_value.toDouble, start_ts, end_ts)
+  }
+
+  private def dec10(v: Double): BigDecimal =
+    BigDecimal(v).setScale(10, scala.math.BigDecimal.RoundingMode.HALF_UP)
+
   /** Session accumulator: gap-based sessionization per user via
     * `flatMapGroupsWithState` — the reference has no equivalent; this
     * is the custom-state primitive a training-data pipeline needs for
@@ -63,11 +81,11 @@ object EventStream {
     import spark.implicits._
     events.select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Session, Session](
+      .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (uid: Long, it: Iterator[Event], state: GroupState[Session]) =>
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.iterator
+            val out = state.getOption.map(_.emit).iterator
             state.remove()
             out
           } else {
@@ -77,9 +95,10 @@ object EventStream {
               val prev = state.getOption
               val start = prev.map(_.start_ts).getOrElse(evs.map(_.ts).min(Ordering.by((t: java.sql.Timestamp) => t.getTime)))
               val end = evs.map(_.ts).max(Ordering.by((t: java.sql.Timestamp) => t.getTime))
-              val s = Session(uid,
+              val s = SessionState(uid,
                 prev.map(_.n_events).getOrElse(0L) + evs.size,
-                prev.map(_.total_value).getOrElse(0.0) + evs.map(_.value).sum,
+                prev.map(_.total_value).getOrElse(BigDecimal(0)) +
+                  evs.map(e => dec10(e.value)).sum,
                 start, end)
               state.update(s)
               state.setTimeoutDuration(timeoutMs)
@@ -116,8 +135,12 @@ object EventStream {
       .groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n_events"),
         // exact decimal sum -> double: deterministic under any
-        // partial-aggregation order (a plain double sum is not)
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        // partial-aggregation order (a plain double sum is not).
+        // Scale 10 so the per-value rounding is far below double
+        // measurement noise (scale 2 would half-up every value to
+        // cents before summing); the streaming sessionizer accumulates
+        // in the SAME scaled-decimal space so batch and stream agree.
+        sum(col("value").cast("decimal(38,10)")).cast("double").as("total_value"),
         min("ts").as("start_ts"), max("ts").as("end_ts"))
   }
 }

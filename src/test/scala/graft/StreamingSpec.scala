@@ -78,6 +78,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
   }
 
+  test("batch and streaming sessionizers share the same total_value arithmetic") {
+    import spark.implicits._
+    // >2dp values — a scale-2 decimal cast would distort every one
+    val vals = Seq(1.23456789012, 2.000000000049, 3.9999999999951)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, new java.sql.Timestamp(i * 1000L), 1L, "t", v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batchTotal = EventStream.sessionizeBatch(df, gapSeconds = 1800)
+      .select("total_value").as[Double].head()
+    // the streaming state fold: per-value scale-10 HALF_UP, exact sum —
+    // must equal Spark's cast(decimal(38,10)) + decimal SUM + double cast
+    val streamTotal = vals
+      .map(v => BigDecimal(v).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    assert(batchTotal == streamTotal)
+    // scale 10 keeps sub-nano precision of the raw double sum
+    assert(math.abs(batchTotal - vals.sum) < 1e-9)
+  }
+
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
     // plan wires up and starts on a bounded file stream. NOTE: must use
