@@ -17,6 +17,23 @@ class BucketingSpec extends SparkSpec {
     plan.collect { case e: Exchange => e }.size
   }
 
+  test("q08 materialized-base variant scans lineitem exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q08_base").toString
+    val viaBase = Catalog.goldJoinFromMaterializedBase(
+      spark, sf("sf0.001"), s"$tmp/base")
+    // the three-sided join plan reads ONLY the materialized aggregate:
+    // lineitem was scanned once, inside the materialize write job
+    val scans = viaBase.queryExecution.executedPlan.toString()
+    assert(!scans.contains("lineitem"),
+      s"join plan must not rescan lineitem:\n$scans")
+    // identical rows to the in-plan q08 shape
+    val q08 = Catalog.entries.find(_.name == "q08_full_outer_nway").get
+    val direct = q08.build(spark, sf("sf0.001"))
+    assert(viaBase.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaBase).count() == 0)
+    assert(direct.count() > 0)
+  }
+
   test("same-bucketed tables join and aggregate with zero shuffles") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
