@@ -57,11 +57,15 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     FloatDot.dotOrNull(x, y, isDouble(left), isDouble(right))
   }
 
+  // NOTE: generated lines must never START with '|' — the codegen
+  // Block interpolator strip-margins the template, so a line-leading
+  // "||" is eaten and janino fails (whole-stage falls back to
+  // interpreted, silently). Keep the operator at end-of-line.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (ld, rd) = (isDouble(left), isDouble(right))
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      if ($a.numElements() != $b.numElements()
-          || graft.functions.FloatDot.anyNullElement($a, $b)) {
+      if ($a.numElements() != $b.numElements() ||
+          graft.functions.FloatDot.anyNullElement($a, $b)) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.FloatDot.dot($a, $b, $ld, $rd);

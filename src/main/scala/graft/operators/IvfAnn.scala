@@ -155,4 +155,57 @@ object IvfAnn {
       queries.withColumn("__cell",
         explode(probeCellsInt(col(queryVec), cents, nprobe))),
       corpusId, corpusVec, queryId, queryVec, k)
+
+  // ----------------------------------------------- persisted index path
+
+  /** Build the PERSISTED IVF index: one map-only pass assigns every
+    * corpus row its cell and precomputes its norm, written to the lake
+    * `partitionBy(__cell)`. This is the 100 TB shape: the index build
+    * is a single scan, and a search that probes `nprobe` of `nlist`
+    * cells READS only those partitions — the corpus is never rescanned
+    * per query batch ([[topKInt]] assigns at query time; use it when
+    * the corpus is not worth indexing). */
+  def buildIndexInt(corpus: DataFrame, corpusId: String, corpusVec: String,
+      cents: Array[IntCentroid], path: String): Unit =
+    Rebalance(corpus.select(col(corpusId), col(corpusVec)))
+      .withColumn("__cell", cellIdInt(col(corpusVec), cents))
+      .withColumn("__cn", Similarity.norm(col(corpusVec)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__cell").parquet(path)
+
+  /** Search a [[buildIndexInt]] index: queries explode into their
+    * probe cells and equi-join on the PARTITION column, so the index
+    * scan reads only the probed cells — I/O is `~nprobe/nlist` of the
+    * index, and norms come precomputed from the build pass.
+    *
+    * With `staticPrune` (the default), the distinct probe-cell set —
+    * at most `|Q| × nprobe` ints, the same model-sized class of
+    * driver artifact as the centroid matrix — is collected and pushed
+    * as a STATIC partition filter, which prunes unconditionally
+    * (asserted in the spec). Set it false for huge/streaming query
+    * sets; the equi-join then relies on dynamic partition pruning,
+    * whose benefit heuristics decide at planning time. Requires the
+    * session default `partitionColumnTypeInference` (the `__cell`
+    * dirs must read back as ints). */
+  def searchIndexInt(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String,
+      cents: Array[IntCentroid], k: Int, nprobe: Int,
+      staticPrune: Boolean = true): DataFrame = {
+    val idx0 = spark.read.parquet(path)
+    val q = queries
+      .withColumn("__cell", explode(probeCellsInt(col(queryVec), cents, nprobe)))
+      .withColumn("__qn", Similarity.norm(col(queryVec)))
+    val idx =
+      if (!staticPrune) idx0
+      else {
+        val cells = q.select("__cell").distinct().collect().map(_.getInt(0))
+        idx0.where(col("__cell").isin(cells.toIndexedSeq: _*))
+      }
+    val joined = idx.join(broadcast(q), Seq("__cell"))
+      .where(col(queryId) =!= col(corpusId))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
+    Similarity.rankTopK(joined, queryId, corpusId, k)
+  }
 }

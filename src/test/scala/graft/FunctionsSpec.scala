@@ -254,6 +254,37 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1), (4L, 2), (3L, 3)))
   }
 
+  test("persisted IVF index: same results as query-time assignment, pruned scan") {
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 2)
+      .select((col("vec_id") + 1000).as("q_id"), col("embedding").as("q_vec"))
+    val cents = IvfAnn.seedCentroidsInt(corpus, "vec_id", "embedding", nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    IvfAnn.buildIndexInt(corpus, "vec_id", "embedding", cents, s"$tmp/idx")
+    val viaIndex = IvfAnn.searchIndexInt(spark, s"$tmp/idx", queries,
+      "vec_id", "embedding", "q_id", "q_vec", cents, k = 3, nprobe = 1)
+    val direct = IvfAnn.topKInt(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", cents, k = 3, nprobe = 1)
+    assert(viaIndex.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaIndex).count() == 0)
+    assert(direct.count() > 0)
+    // the probe-cell set must reach the index scan as a STATIC
+    // partition filter (an In on the partition column — FileIndex
+    // applies it at listing time, so only probed cells' dirs are read)
+    val scan = viaIndex.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    val cellFilters = scan.partitionFilters.filter(
+      _.references.exists(_.name == "__cell"))
+    assert(cellFilters.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
+      case _ => true
+    }, s"no pruning __cell partition filter in: ${scan.partitionFilters}")
+  }
+
   test("IVF ANN finds the exact neighbor when it shares the query's cell") {
     val corpus = (0 until 200).map { i =>
       val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)

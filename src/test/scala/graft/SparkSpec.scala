@@ -9,6 +9,12 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // STRICT codegen in tests: a janino compile error in a generated
+    // expression normally falls back to interpreted execution with
+    // only a logged warning — correct results, silently interpreted
+    // hot paths. Tests must fail instead (caught a real line-leading
+    // "||" margin-stripping bug in FloatDot's template).
+    .config("spark.sql.codegen.fallback", "false")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
