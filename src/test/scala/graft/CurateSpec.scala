@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Curate
+
+/** End-to-end curation funnel: one crafted document per removal cause,
+  * asserting each stage drops exactly its target and the survivors
+  * keep deterministic metadata. */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    "the research team described the findings and it was clear that the " +
+      "method works well for large corpora in practice and the results " +
+      "were consistent with the theory over many repeated trials"
+  private val nearDup = good + " indeed"
+  private val french =
+    "le rapport décrit les résultats et il est clair que la méthode est " +
+      "utile pour les grands corpus dans la pratique et les résultats " +
+      "sont cohérents avec la théorie dans une série"
+  private val junk = "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) ___ +++ === " * 4
+  private val contaminated =
+    "another perfectly reasonable english document that is long enough to " +
+      "pass the filters and it contains the secret held out benchmark " +
+      "phrase which was not supposed to be in the training set at all"
+  private val evalDoc =
+    "the secret held out benchmark phrase appears in this evaluation item"
+
+  test("curate: each stage removes exactly its target") {
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, nearDup),
+      (4L, french), (5L, junk), (6L, contaminated))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("eval_id", "text")
+
+    val kept = Curate.curate(docs, "doc_id", "text",
+      eval = Some((eval, "eval_id", "text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 exact-dups 1, 3 near-dups 1 (min id survives), 4 is French,
+    // 5 is junk, 6 is contaminated — only 1 survives
+    assert(kept == Seq(1L))
+
+    val out = Curate.curate(docs, "doc_id", "text",
+      eval = Some((eval, "eval_id", "text")))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+    val row = out.collect().head
+    assert(row.getAs[String]("lang_id") == "en")
+    assert(row.getAs[Double]("quality") >= 0.3)
+
+    // without the eval corpus, the contaminated doc survives
+    val noEval = Curate.curate(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noEval == Seq(1L, 6L))
+  }
+
+  test("curate report: funnel counts are monotone and match the result") {
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, nearDup),
+      (4L, french), (5L, junk), (6L, contaminated))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("eval_id", "text")
+    val rep = Curate.report(docs, "doc_id", "text",
+      eval = Some((eval, "eval_id", "text"))).toMap
+    assert(rep("input") == 6L)
+    assert(rep("filtered") == 4L)    // french + junk gone
+    assert(rep("exact_dedup") == 3L) // the exact copy gone
+    assert(rep("fuzzy_dedup") == 2L) // the near-dup gone
+    assert(rep("kept") == 1L)        // the contaminated doc gone
+  }
+
+  test("curate is idempotent: curating the output changes nothing") {
+    val docs = Seq((1L, good), (2L, good), (6L, contaminated))
+      .toDF("doc_id", "text")
+    val once = Curate.curate(docs, "doc_id", "text")
+    val twice = Curate.curate(once, "doc_id", "text")
+    assert(twice.select("doc_id").as[Long].collect().sorted.toSeq ==
+      once.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}

@@ -101,4 +101,65 @@ class PropertiesSpec extends SparkSpec {
     val diffs = out.select("x_valeur_diff_6hrs").as[Double].collect()
     assert(diffs.forall(_ == 0.0))
   }
+
+  test("TopKBuffer: equals take-k of the sorted stream under random insert/merge splits") {
+    import graft.functions.TopKBuffer
+    val gen = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0.0, 5.0), Gen.choose(0L, 30L)))
+    samples(gen, 8).foreach { pairs =>
+      val k = 1 + pairs.length % 7
+      // reference: total order (score desc, id asc), first k
+      val expect = pairs.distinct
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      // split the stream at an arbitrary point, build two buffers, merge
+      val (l, r) = pairs.distinct.splitAt(pairs.length / 3)
+      val a = new TopKBuffer(k); l.foreach { case (s, id) => a.insert(s, id) }
+      val b = new TopKBuffer(k); r.foreach { case (s, id) => b.insert(s, id) }
+      a.mergeFrom(b)
+      val got = (0 until a.n).map(i => (a.scores(i), a.ids(i)))
+      assert(got == expect, s"k=$k pairs=$pairs")
+    }
+  }
+
+  test("HyperplaneBucket: codegen bucket equals the direct integer formula") {
+    import graft.functions.HyperplaneBucket
+    val dim = 16; val planes = 10
+    val gen = Gen.listOfN(dim, Gen.choose(-1.0, 1.0).map(_.toFloat))
+    val vecs = samples(gen, 30)
+    // reference recomputation, straight from the published formula
+    def ref(v: Seq[Float]): Long = {
+      val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      (0 until planes).map { p =>
+        val proj = (0 until dim).map(d =>
+          q(d) * HyperplaneBucket.planeWeight(p, d, dim)).sum
+        if (proj >= 0) 1L << p else 0L
+      }.reduce(_ | _)
+    }
+    val got = vecs.toDF("v")
+      .select(HyperplaneBucket.column(col("v"), dim, planes).as("b"))
+      .as[Long].collect()
+    assert(got.toSeq == vecs.map(ref))
+  }
+
+  test("NearestCells: probe order equals brute-force argsort by (dist, cell)") {
+    import graft.functions.NearestCells
+    val dim = 8; val nlist = 6
+    val cents = Array.tabulate(nlist)(c =>
+      Array.tabulate(dim)(d => ((c * 37 + d * 11) % 23 - 11).toLong))
+    val ids = Array.tabulate(nlist)(_ * 3) // non-contiguous cell ids
+    val gen = Gen.listOfN(dim, Gen.choose(-1.0, 1.0).map(_.toFloat))
+    val vecs = samples(gen, 25)
+    def ref(v: Seq[Float], nprobe: Int): Seq[Int] = {
+      val q = v.map(x => math.floor(x.toDouble * 1e3).toLong)
+      cents.zipWithIndex.map { case (c, i) =>
+        ((0 until dim).map(d => { val t = q(d) - c(d); t * t }).sum, ids(i))
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    }
+    (1 to 3).foreach { nprobe =>
+      val got = vecs.toDF("v")
+        .select(NearestCells.nearestIntCol(col("v"), cents, ids, nprobe).as("c"))
+        .as[Seq[Int]].collect()
+      assert(got.toSeq == vecs.map(ref(_, nprobe)), s"nprobe=$nprobe")
+    }
+  }
 }
