@@ -123,6 +123,40 @@ object PerfAB {
       n
     }
 
+    // ---- x03 pair generation: bucket self-join vs grouped pair expl ----
+    {
+      val base = Dedup.minHashBaseFromArrays(
+        Dedup.shingleHashArrays(docs, "doc_id", "text", 3), 64)
+      val banded = Dedup.lshBandRows(base, 64, 16)
+      // current shape: size-capped self-join + distinct
+      def joinPairs(): Long = {
+        val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+        val capped = banded.join(
+          sizes.where(col("__n") <= 1000).drop("__n"), Seq("band", "bucket"))
+        capped.as("l").join(capped.as("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+              col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+          .distinct().count()
+      }
+      // candidate shape: group ids per bucket, generate pairs in-row
+      // (HOF form — interpreted; a codegen Expression would be faster)
+      def groupPairs(): Long = {
+        val buckets = banded.groupBy("band", "bucket")
+          .agg(collect_list("id").as("ids"))
+          .where(size(col("ids")).between(2, 1000))
+        buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i.cast("int") + 2, lit(1000000)),
+              y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"))
+          .distinct().count()
+      }
+      val a = joinPairs(); val b = groupPairs()
+      Console.err.println(s"[ab] pairgen counts join=$a group=$b (must match)")
+      time("pairgen self-join") { joinPairs() }
+      time("pairgen grouped HOF") { groupPairs() }
+    }
+
     // ---- decompose the ~1.5s checkpoint cost (r2 verdict finding) ----
     def base() = Dedup.minHashBaseFromArrays(
       Dedup.shingleHashArrays(docs, "doc_id", "text", 3), 64)
