@@ -51,7 +51,19 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children.head,
-        literalInt("minhash_sig", "k", children(1)))))
+        literalInt("minhash_sig", "k", children(1)))),
+    (FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (children: Seq[Expression]) => HyperplaneBucket(children.head,
+        literalInt("hyperplane_bucket", "dim", children(1)),
+        literalInt("hyperplane_bucket", "planes", children(2)))),
+    (FunctionIdentifier("sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
+      (children: Seq[Expression]) => SortedPairs(children.head)),
+    (FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      (children: Seq[Expression]) => TopKPairs(children(0), children(1),
+        literalInt("top_k_pairs", "k", children(2)))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -254,6 +254,32 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1), (4L, 2), (3L, 3)))
   }
 
+  test("SQL surface: hyperplane_bucket, sorted_pairs, top_k_pairs registered") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(-0.5f, 0.25f)))
+      .toDF("id", "v").createOrReplaceTempView("sqlsurf_v")
+    val b = spark.sql(
+      "SELECT hyperplane_bucket(v, 2, 4) AS b FROM sqlsurf_v ORDER BY id")
+      .as[Long].collect()
+    assert(b.length == 2 && b(0) != b(1)) // opposite vectors, opposite signs
+    val p = spark.sql(
+      "SELECT sorted_pairs(array(3L, 1L, 2L)) AS p")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((1L, 3L), (1L, 2L), (2L, 3L)))
+    val t = spark.sql(
+      """SELECT top_k_pairs(s, id, 2) AS t FROM
+         VALUES (0.9D, 1L), (0.5D, 2L), (0.7D, 3L) AS v(s, id)""")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(t == Seq((0.9, 1L), (0.7, 3L)))
+    // literal validation rejects out-of-range and non-foldable args
+    intercept[Exception] {
+      spark.sql("SELECT top_k_pairs(s, id, 4294967297) FROM VALUES (1.0D, 1L) AS v(s, id)")
+        .collect()
+    }
+  }
+
   test("persisted IVF index: same results as query-time assignment, pruned scan") {
     val corpus = (0 until 300).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
