@@ -67,6 +67,16 @@ class CurateSpec extends SparkSpec {
     assert(rep("kept") == 1L)        // the contaminated doc gone
   }
 
+  test("curate runs end-to-end on the real documents table") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val n = docs.count()
+    val kept = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Seq("en", "und"), minQuality = 0.0, minTokens = 1))
+    val k = kept.count()
+    assert(k > 0 && k <= n)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+  }
+
   test("curate is idempotent: curating the output changes nothing") {
     val docs = Seq((1L, good), (2L, good), (6L, contaminated))
       .toDF("doc_id", "text")

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the properties the 100 TB design
+  * depends on (pushdown, pruned read schemas, broadcast star joins,
+  * map-side bounded ranking) asserted against the real catalog
+  * queries, so a future refactor that silently loses one fails here
+  * instead of in a cluster bill. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    Catalog.entries.find(_.name == name).get.build(spark, sf("sf0.001"))
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("q01: filter and projection reach the parquet scan") {
+    val plan = q("q01_scan_project").queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    // only the 4 referenced columns are read, not the 16-column table
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .forall(read.contains) && !read.contains("l_comment"),
+      s"scan reads too much:\n$read")
+  }
+
+  test("q20: all three dimensions broadcast (no shuffled fact joins)") {
+    val plan = q("q20_star_join").queryExecution.executedPlan.toString()
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected 3 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact join got shuffled:\n$plan")
+  }
+
+  test("x06: ranking is a partial object-hash aggregate, not a window") {
+    val plan = finalPlan(q("x06_knn_cosine"))
+    val s = plan.toString()
+    assert(!s.contains("Window"), s"ranking regressed to a window:\n$s")
+    assert(s.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"top-k must be partial+final ObjectHashAggregate:\n$s")
+  }
+
+  test("x03: candidate generation has no join before verification") {
+    val plan = finalPlan(q("x03_minhash_lsh")).toString()
+    // exactly the two hs-lookup verification joins; pair generation
+    // itself is aggregate + explode (no self-join, no size-cap join)
+    val joins = plan.linesIterator.count(_.contains("Join"))
+    assert(joins == 2, s"expected only the 2 verification joins, got $joins:\n$plan")
+  }
+
+  test("q19: aggregation is hash-based with map-side partial combine") {
+    val plan = finalPlan(q("q19_agg_pricing"))
+    val exchanges = plan.collect { case e: Exchange => e }
+    val s = plan.toString()
+    assert(s.contains("HashAggregate"), s"expected HashAggregate:\n$s")
+    // partial + final around a single shuffle (plus the orderBy range
+    // exchange at the top) — never more
+    assert(exchanges.size <= 2, s"too many exchanges (${exchanges.size}):\n$s")
+  }
+}
