@@ -1145,6 +1145,39 @@ object Catalog {
               SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
               FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    QueryDef("x26_int8_quant",
+      // symmetric per-vector int8 quantization (the 4x memory lever
+      // for embedding indexes): scale = max|x|/127, q = clamp(half-up)
+      // — all IEEE-deterministic algebra, so the oracle replays the
+      // full quantized vector (pinned via the exact integer self-dot)
+      // and the scale (pinned via floor-truncation at 1e-9, not
+      // round() — tie behavior differs across engines)
+      (s, d) => {
+        val z = embeddings(s, d)
+          .select(col("vec_id"), Similarity.int8Quantize(col("embedding")).as("z"))
+        z.select(col("vec_id"),
+            floor(col("z.scale") * 1e9).cast("long").as("scale_e9"),
+            graft.functions.Int8Vec.dotCol(col("z.q"), col("z.q")).as("qq"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH z AS (
+                SELECT vec_id,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                  embedding
+                FROM embeddings),
+              q AS (
+                SELECT vec_id, scale,
+                  CASE WHEN scale > 0 THEN
+                    list_transform(embedding, x -> CAST(greatest(-127.0,
+                      least(127.0, floor(CAST(x AS DOUBLE)/scale + 0.5))) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+                FROM z)
+              SELECT vec_id,
+                CAST(floor(scale * 1e9) AS BIGINT) AS scale_e9,
+                CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qq
+              FROM q ORDER BY vec_id""")),
+
     QueryDef("x08_embed_dup",
       // this synthetic corpus has no true near-dups (max pairwise
       // cosine ~0.51) — 0.35 exercises the operator end to end

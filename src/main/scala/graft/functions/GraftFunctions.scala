@@ -63,7 +63,13 @@ object GraftFunctions {
     (FunctionIdentifier("top_k_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1),
-        literalInt("top_k_pairs", "k", children(2)))))
+        literalInt("top_k_pairs", "k", children(2)))),
+    (FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (children: Seq[Expression]) => Int8Quantize(children.head)),
+    (FunctionIdentifier("int8_dot"),
+      new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
+      (children: Seq[Expression]) => Int8Dot(children(0), children(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

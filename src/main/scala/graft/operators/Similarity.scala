@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
@@ -93,6 +92,24 @@ object Similarity {
       .withColumn("cosine", cosineWithNorms(
         col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
     rankTopK(joined, queryId, corpusId, k)
+  }
+
+  /** Symmetric int8 quantization of the embedding column — see
+    * [[graft.functions.Int8Vec]]: `struct<scale double, q array<tinyint>>`,
+    * 4× smaller than float32 at rest and on the candidate-scoring scan. */
+  def int8Quantize(vec: Column): Column =
+    graft.functions.Int8Vec.quantizeCol(vec)
+
+  /** Approximate cosine between two int8-quantized vectors. The scales
+    * cancel: `Σ q_a·q_b / sqrt(Σ q_a² · Σ q_b²)` — three exact integer
+    * sums and one double division, within ~2·√dim/127 of exact cosine.
+    * Use for candidate scoring over a quantized index, then rerank the
+    * survivors with full-precision [[cosine]]. */
+  def approxCosineInt8(qa: Column, qb: Column): Column = {
+    val dq = graft.functions.Int8Vec.dotCol(qa, qb).cast("double")
+    val na = graft.functions.Int8Vec.dotCol(qa, qa).cast("double")
+    val nb = graft.functions.Int8Vec.dotCol(qb, qb).cast("double")
+    when(na > 0 && nb > 0, dq / sqrt(na * nb)).otherwise(lit(0.0))
   }
 
   /** Per-group mean embedding (centroid pooling): posexplode the

@@ -254,6 +254,43 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, 1), (4L, 2), (3L, 3)))
   }
 
+  test("Int8Vec: reconstruction within half-scale; approx cosine near exact") {
+    import graft.functions.Int8Vec
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(32)(j => (math.sin(i * 1.3 + j) * 2).toFloat).toSeq)
+    }.toDF("id", "v")
+    val z = vecs.select(col("id"), col("v"), Int8Vec.quantizeCol(col("v")).as("z"))
+    // reconstruction: |x_d - scale * q_d| <= scale / 2 (half-up rounding)
+    val bad = z.select(col("id"),
+        aggregate(
+          zip_with(col("v"), col("z.q"), (x, q) =>
+            abs(x.cast("double") - col("z.scale") * q.cast("double"))),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("maxErr"),
+        col("z.scale").as("s"))
+      .where(col("maxErr") > col("s") * 0.5 + 1e-12).count()
+    assert(bad == 0)
+    // approx cosine within 2*sqrt(dim)/127 of exact, on 50 pairs
+    val pairs = z.as("a").crossJoin(z.as("b"))
+      .where(col("a.id") + 1 === col("b.id"))
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("exact"),
+        Similarity.approxCosineInt8(col("a.z.q"), col("b.z.q")).as("approx"))
+    val tol = 2.0 * math.sqrt(32) / 127.0
+    assert(pairs.where(abs(col("exact") - col("approx")) > tol).count() == 0)
+    // zero vector: scale 0, q all zero, cosine 0
+    val zero = Seq((0L, Seq.fill(4)(0.0f))).toDF("id", "v")
+      .select(Int8Vec.quantizeCol(col("v")).as("z"))
+      .select(col("z.scale"), col("z.q")).collect().head
+    assert(zero.getDouble(0) == 0.0 &&
+      zero.getSeq[Byte](1).forall(_ == 0))
+    // SQL surface
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark.sql(
+      "SELECT int8_dot(int8_quantize(array(1.0F, -1.0F)).q, " +
+        "int8_quantize(array(1.0F, -1.0F)).q) AS d").as[Long].head()
+    assert(s == 127L * 127 * 2)
+  }
+
   test("SQL surface: hyperplane_bucket, sorted_pairs, top_k_pairs registered") {
     GraftFunctions.ensureRegistered(spark)
     Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(-0.5f, 0.25f)))
