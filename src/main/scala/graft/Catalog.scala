@@ -1178,6 +1178,68 @@ object Catalog {
                 CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qq
               FROM q ORDER BY vec_id""")),
 
+    QueryDef("x27_int8_ann",
+      // end-to-end QUANTIZED search: candidates scored with the
+      // integer approximate cosine (scales cancel — three exact int
+      // sums and one IEEE division, identical on every engine), ranked
+      // with the same bounded top-k tail as x06. At scale this scan
+      // reads a quarter of the bytes of the float index; rerank the
+      // survivors with full-precision cosine when the ~2·√dim/127 gap
+      // matters.
+      (s, d) => {
+        val z = embeddings(s, d)
+          .select(col("vec_id"), Similarity.int8Quantize(col("embedding")).as("z"))
+          .select(col("vec_id"), col("z.q").as("qv"))
+          .withColumn("qq", graft.functions.Int8Vec.dotCol(col("qv"), col("qv")))
+        val queries = z.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("qq").as("q_qq"))
+        val joined = operators.Rebalance(z).join(broadcast(queries))
+          .where(col("q_id") =!= col("vec_id"))
+          .withColumn("cosine", Similarity.approxCosineInt8WithNorms(
+            col("q_qv"), col("qv"), col("q_qq"), col("qq")))
+        Similarity.rankTopK(joined, "q_id", "vec_id", k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH z AS (
+                SELECT vec_id,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                  embedding
+                FROM embeddings),
+              q AS (
+                SELECT vec_id,
+                  CASE WHEN scale > 0 THEN
+                    list_transform(embedding, x -> CAST(greatest(-127.0,
+                      least(127.0, floor(CAST(x AS DOUBLE)/scale + 0.5))) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv,
+                  CASE WHEN scale > 0 THEN
+                    list_sum(list_transform(embedding, x ->
+                      CAST(greatest(-127.0, least(127.0,
+                        floor(CAST(x AS DOUBLE)/scale + 0.5))) AS BIGINT) *
+                      CAST(greatest(-127.0, least(127.0,
+                        floor(CAST(x AS DOUBLE)/scale + 0.5))) AS BIGINT)))
+                  ELSE 0 END AS qq
+                FROM z),
+              sims AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  CASE WHEN a.qq > 0 AND b.qq > 0 THEN
+                    CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                      p -> p[1] * p[2])) AS DOUBLE)
+                    / sqrt(CAST(a.qq AS DOUBLE) * CAST(b.qq AS DOUBLE))
+                  ELSE 0.0 END AS cosine
+                FROM q a JOIN q b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 20),
+              ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims)
+              SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
+              FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     QueryDef("x08_embed_dup",
       // this synthetic corpus has no true near-dups (max pairwise
       // cosine ~0.51) — 0.35 exercises the operator end to end

@@ -63,7 +63,7 @@ object Similarity {
     * difference between O(|candidates|) and O(|queries| * k) shuffle
     * rows at corpus scale. Identical results (same total order, ids
     * unique per query). Requires an integral candidate id. */
-  private[operators] def rankTopK(joined: DataFrame, queryId: String,
+  private[graft] def rankTopK(joined: DataFrame, queryId: String,
       corpusId: String, k: Int): DataFrame = {
     val idType = joined.schema(corpusId).dataType
     joined
@@ -105,11 +105,18 @@ object Similarity {
     * sums and one double division, within ~2·√dim/127 of exact cosine.
     * Use for candidate scoring over a quantized index, then rerank the
     * survivors with full-precision [[cosine]]. */
-  def approxCosineInt8(qa: Column, qb: Column): Column = {
+  def approxCosineInt8(qa: Column, qb: Column): Column =
+    approxCosineInt8WithNorms(qa, qb,
+      graft.functions.Int8Vec.dotCol(qa, qa),
+      graft.functions.Int8Vec.dotCol(qb, qb))
+
+  /** Approximate cosine from precomputed integer self-dots — ONE
+    * vector pass (the cross dot) per pair, like [[cosineWithNorms]]. */
+  def approxCosineInt8WithNorms(qa: Column, qb: Column,
+      qqA: Column, qqB: Column): Column = {
     val dq = graft.functions.Int8Vec.dotCol(qa, qb).cast("double")
-    val na = graft.functions.Int8Vec.dotCol(qa, qa).cast("double")
-    val nb = graft.functions.Int8Vec.dotCol(qb, qb).cast("double")
-    when(na > 0 && nb > 0, dq / sqrt(na * nb)).otherwise(lit(0.0))
+    when(qqA > 0 && qqB > 0,
+      dq / sqrt(qqA.cast("double") * qqB.cast("double"))).otherwise(lit(0.0))
   }
 
   /** Per-group mean embedding (centroid pooling): posexplode the
