@@ -879,6 +879,67 @@ object Catalog {
               FROM verified WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
       headline = true),
 
+    QueryDef("x28_minhash_estimate",
+      // signature-estimated verification: same candidates as x03, but
+      // scored by agreeing signature slots / k (the unbiased MinHash
+      // Jaccard estimate) — at 100 TB the verify join ships k longs
+      // per doc instead of the full shingle set. n/64 is binary-exact,
+      // so the estimate needs no rounding to hash-match
+      (s, d) => Dedup.minHashDupPairsEstimated(documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+              est AS (
+                SELECT c.id_a, c.id_b,
+                  CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
+                    / 64.0 AS est_jaccard
+                FROM cand c
+                JOIN mh a ON a.doc_id = c.id_a
+                JOIN mh b ON b.doc_id = c.id_b AND b.i = a.i
+                GROUP BY c.id_a, c.id_b)
+              SELECT id_a, id_b, est_jaccard FROM est
+              WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""")),
+
     QueryDef("x04_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
           n = 1, threshold = 0.5, blockOn = Seq("lang", "source"))

@@ -223,21 +223,7 @@ object Dedup {
     val base =
       if (checkpointBase) trackCheckpoint(base0.localCheckpoint(eager = false))
       else base0
-    val banded = lshBandRows(base, k, bands)
-    // candidate pairs per bucket IN-ROW: group the bucket's member ids
-    // and expand unordered pairs with the codegen'd SortedPairs — one
-    // hash aggregate replaces the former agg + size-cap join + shuffled
-    // self-join (measured faster at sf0.1 even in its interpreted HOF
-    // form), the degenerate-bucket cap becomes a plain size filter, and
-    // the pair SET is order-normalized so collect_list's partition-
-    // dependent ordering cannot leak into results
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list("id").as("__ids"))
-      .where(size(col("__ids")).between(2, maxBucketSize))
-    val pairs = buckets
-      .select(explode(graft.functions.SortedPairs.column(col("__ids"))).as("__p"))
-      .select(col("__p.id_a"), col("__p.id_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(base, k, bands, maxBucketSize)
     val withSets = pairs
       .join(base.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -247,6 +233,53 @@ object Dedup {
         col("__inter"), size(col("hs_a")), size(col("hs_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** LSH candidate pairs from a signature base: band rows, then
+    * unordered pairs per bucket IN-ROW — the bucket's member ids are
+    * grouped and expanded with the codegen'd
+    * [[graft.functions.SortedPairs]], so one hash aggregate replaces
+    * the classic agg + size-cap join + shuffled self-join (measured
+    * faster at sf0.1 even as an interpreted HOF), the degenerate-
+    * bucket cap becomes a plain size filter, and the pair SET is
+    * order-normalized so collect_list's partition-dependent ordering
+    * cannot leak into results. */
+  private def lshCandidatePairs(base: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
+    val banded = lshBandRows(base, k, bands)
+    banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(graft.functions.SortedPairs.column(col("__ids"))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+  }
+
+  /** MinHash dup pairs with SIGNATURE-ESTIMATED verification: instead
+    * of exact Jaccard over the shingle sets, each candidate pair is
+    * scored by the fraction of agreeing signature slots (the unbiased
+    * MinHash estimate of Jaccard, codegen'd
+    * [[graft.functions.SlotMatches]]). The at-100-TB trade: the
+    * verification joins carry k longs per document instead of the full
+    * shingle set (often 100× larger), at the cost of ±1/sqrt(k)
+    * estimate noise — use [[minHashDupPairs]] when survivors must be
+    * exact-verified, this when the corpus is too big to re-ship
+    * shingles. Output: (id_a, id_b, est_jaccard), est >= threshold. */
+  def minHashDupPairsEstimated(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 8,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val base = minHashBaseFromArrays(shingleHashArrays(df, idCol, textCol, shingleN), k)
+    val pairs = lshCandidatePairs(base, k, bands, maxBucketSize)
+    val sigs = base.select(col("id"), col("sig"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .withColumn("est_jaccard",
+        graft.functions.SlotMatches.column(col("__sa"), col("__sb"))
+          .cast("double") / k)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** |A∩B| / |A∪B| from a precomputed intersection size — callers

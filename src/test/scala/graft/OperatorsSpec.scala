@@ -27,6 +27,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash estimated verification agrees with exact on clear cases") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val b = "the quick brown fox jumps over the lazy dog and runs far away home today"
+    val c = "completely different content about spark query engines and data lakes here"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val est = Dedup.minHashDupPairsEstimated(df, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(est.contains((1L, 2L)))
+    assert(!est.exists(p => p._1 == 3L || p._2 == 3L))
+    // slot_matches primitive: positional agreement count, null contract
+    import graft.functions.SlotMatches
+    val m = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L, 3L))).toDF("x", "y")
+      .select(SlotMatches.column(col("x"), col("y"))).as[Int].head()
+    assert(m == 2)
+    val mm = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("x", "y")
+      .select(SlotMatches.column(col("x"), col("y"))).collect().head
+    assert(mm.isNullAt(0)) // length mismatch -> null
+  }
+
   test("dupClusters: min-label components; clusterSurvivors keeps minima + singletons") {
     // components: {1,2,3} (chain), {7,9}; 5 untouched by any pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
