@@ -1376,6 +1376,45 @@ object Catalog {
               SELECT query_id, neighbor_id, rank, round(cosine, 4) AS cosine
               FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    QueryDef("x29_mixture_shuffle",
+      // deterministic training mixture + epoch shuffle: each language
+      // slice is downsampled to its mixture weight by the md5 draw,
+      // union-tagged, and given the epoch-1 shuffle key (writing
+      // sorted by that key IS the global shuffle at scale — never a
+      // global row_number). Every decision replays on any engine.
+      (s, d) => {
+        val docs = documents(s, d)
+        val mix = Sampling.weightedMixture(Seq(
+          ("en", docs.where(col("lang") === "en"), 1.0),
+          ("fr", docs.where(col("lang") === "fr"), 0.5),
+          ("de", docs.where(col("lang") === "de"), 0.25)), "doc_id")
+        mix.select(col("doc_id"), col("source_name"),
+            Sampling.epochShuffleKey("doc_id", epoch = 1).as("shuffle_key"))
+          .orderBy("shuffle_key", "doc_id")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id, 'en' AS source_name FROM documents
+                WHERE lang = 'en'
+                  AND CAST('0x' || substring(md5(
+                    CAST(doc_id AS VARCHAR) || ':en'), 1, 15) AS BIGINT)
+                    % 1000000 < 1000000
+                UNION ALL
+                SELECT doc_id, 'fr' FROM documents
+                WHERE lang = 'fr'
+                  AND CAST('0x' || substring(md5(
+                    CAST(doc_id AS VARCHAR) || ':fr'), 1, 15) AS BIGINT)
+                    % 1000000 < 500000
+                UNION ALL
+                SELECT doc_id, 'de' FROM documents
+                WHERE lang = 'de'
+                  AND CAST('0x' || substring(md5(
+                    CAST(doc_id AS VARCHAR) || ':de'), 1, 15) AS BIGINT)
+                    % 1000000 < 250000)
+              SELECT doc_id, source_name,
+                CAST('0x' || substring(md5(
+                  '1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS shuffle_key
+              FROM m ORDER BY shuffle_key, doc_id""")),
+
     QueryDef("x16_group_centroids",
       (s, d) => {
         val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)

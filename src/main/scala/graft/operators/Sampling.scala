@@ -50,4 +50,32 @@ object Sampling {
       element_at(typedLit(thresholds), col(stratumCol)), lit(0L))
     df.where(draw < thr)
   }
+
+  /** Deterministic training MIXTURE: union the named sources, each
+    * downsampled to its mixture weight by the md5 draw above, tagged
+    * with its source name. Column sets must match across sources
+    * (enforced by unionByName). One epoch of a weighted data mix,
+    * reproducible row-for-row on any engine or layout. */
+  def weightedMixture(sources: Seq[(String, DataFrame, Double)],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty, "weightedMixture: no sources")
+    sources.map { case (name, df, w) =>
+      require(w >= 0 && w <= 1, s"weight for $name must be in [0,1], got $w")
+      deterministicSampleBy(
+        df.withColumn("__source", lit(name)), "__source", idCol,
+        Map(name -> w))
+        .withColumnRenamed("__source", "source_name")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Deterministic epoch-shuffle key: a 60-bit md5 draw over
+    * (epoch, id). Writing the mixture sorted by this key IS the
+    * global shuffle — at scale a `repartitionByRange(shuffleKey)` +
+    * sortWithinPartitions write, never a single global row_number.
+    * Different epochs give independent orders; the same epoch replays
+    * the same order anywhere (the point: a training run interrupted at
+    * batch N resumes with the identical stream). */
+  def epochShuffleKey(idCol: String, epoch: Int) =
+    graft.functions.PortableHash.md5Hash60(
+      concat_ws(":", lit(epoch), col(idCol).cast("string")))
 }

@@ -47,6 +47,28 @@ class OperatorsSpec extends SparkSpec {
     assert(mm.isNullAt(0)) // length mismatch -> null
   }
 
+  test("weightedMixture + epochShuffleKey: reproducible mix, independent epochs") {
+    val a = (0L until 100L).map((_, "a")).toDF("id", "src").drop("src")
+    val b = (100L until 200L).map((_, "b")).toDF("id", "src").drop("src")
+    val mix = Sampling.weightedMixture(Seq(("a", a, 1.0), ("b", b, 0.3)), "id")
+    val n = mix.count()
+    // full source a + ~30% of b (deterministic, so an exact count)
+    assert(n > 100 && n < 160)
+    // rerun = identical survivor set (auditability contract)
+    val again = Sampling.weightedMixture(Seq(("a", a, 1.0), ("b", b, 0.3)), "id")
+    assert(mix.exceptAll(again).count() == 0)
+    // same epoch = same order anywhere; different epochs = different order
+    val k1 = mix.select(col("id"), Sampling.epochShuffleKey("id", 1).as("k"))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    val k1b = mix.repartition(7)
+      .select(col("id"), Sampling.epochShuffleKey("id", 1).as("k"))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    val k2 = mix.select(col("id"), Sampling.epochShuffleKey("id", 2).as("k"))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    assert(k1 == k1b)
+    assert(k1 != k2 && k1.toSet == k2.toSet)
+  }
+
   test("dupClusters: min-label components; clusterSurvivors keeps minima + singletons") {
     // components: {1,2,3} (chain), {7,9}; 5 untouched by any pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
