@@ -1415,6 +1415,32 @@ object Catalog {
                   '1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS shuffle_key
               FROM m ORDER BY shuffle_key, doc_id""")),
 
+    QueryDef("x30_sequence_packing",
+      // sample packing: every document gets its (chunk, sequence,
+      // start offset) under a 4096-token budget — chunked running sums
+      // (8 independent windows), never one global prefix sum; the
+      // char count stands in for the token count to keep the replay
+      // focused on the packing algebra
+      (s, d) => Sampling.packSequences(
+          documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars",
+          budget = 4096, epoch = 1, chunks = 8)
+        .select(col("doc_id"), col("chunk"), col("seq"), col("start_off"))
+        .orderBy("doc_id"),
+      Some("""WITH k AS (
+                SELECT doc_id, n_chars,
+                  CAST('0x' || substring(md5(
+                    '1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+                FROM documents),
+              o AS (
+                SELECT doc_id, CAST(key % 8 AS INT) AS chunk,
+                  SUM(n_chars) OVER (PARTITION BY key % 8 ORDER BY key, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+                FROM k)
+              SELECT doc_id, chunk,
+                CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) AS seq,
+                CAST(start_off AS BIGINT) AS start_off
+              FROM o ORDER BY doc_id""")),
+
     QueryDef("x16_group_centroids",
       (s, d) => {
         val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)

@@ -78,4 +78,37 @@ object Sampling {
   def epochShuffleKey(idCol: String, epoch: Int) =
     graft.functions.PortableHash.md5Hash60(
       concat_ws(":", lit(epoch), col(idCol).cast("string")))
+
+  /** Sequence PACKING: assign each document a training sequence
+    * (chunk, seq, start_off) under a token `budget` per sequence —
+    * the sample-packing step that turns a shuffled corpus into
+    * fixed-length training rows.
+    *
+    * Scale shape: a single global running sum would serialize the
+    * corpus through one partition, so the epoch stream is first split
+    * into `chunks` hash-chunks (each a self-contained shard of the
+    * epoch order); packing is a running token-count window WITHIN a
+    * chunk — `chunks` independent bounded windows, one shuffle.
+    * `seq = floor(start_offset / budget)`: a document is assigned by
+    * its start offset, so a sequence may overhang the budget by at
+    * most one document tail — the consumer truncates or pads, and no
+    * cross-document coordination is needed. Fully deterministic:
+    * chunk, order, and offsets all derive from the md5 epoch key. */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+      budget: Long, epoch: Int, chunks: Int): DataFrame = {
+    require(budget > 0 && chunks > 0,
+      s"budget and chunks must be positive, got ($budget, $chunks)")
+    val key = epochShuffleKey(idCol, epoch)
+    val chunk = pmod(key, lit(chunks.toLong)).cast("int")
+    val w = Window.partitionBy("__chunk").orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("__chunk", chunk)
+      .withColumn("__end",
+        sum(col(tokenCountCol).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("start_off", col("__end") - col(tokenCountCol).cast("long"))
+      .withColumn("seq", floor(col("start_off") / budget).cast("long"))
+      .withColumnRenamed("__chunk", "chunk")
+      .drop("__key", "__end")
+  }
 }

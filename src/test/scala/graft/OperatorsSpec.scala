@@ -69,6 +69,28 @@ class OperatorsSpec extends SparkSpec {
     assert(k1 != k2 && k1.toSet == k2.toSet)
   }
 
+  test("packSequences: offsets contiguous within chunk, seq boundaries respect budget") {
+    val docs = (0L until 200L).map(i => (i, 100L + i % 7)).toDF("id", "tc")
+    val packed = Sampling.packSequences(docs, "id", "tc",
+      budget = 512, epoch = 3, chunks = 4)
+    // per chunk: offsets form an exact prefix-sum chain (no gaps/overlaps)
+    val rows = packed.select("chunk", "start_off", "tc", "seq")
+      .as[(Int, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var expect = 0L
+      sorted.foreach { case (_, off, tc, seq) =>
+        assert(off == expect, s"gap at offset $off, expected $expect")
+        assert(seq == off / 512)
+        expect = off + tc
+      }
+    }
+    // deterministic across partitionings
+    val again = Sampling.packSequences(docs.repartition(13), "id", "tc",
+      budget = 512, epoch = 3, chunks = 4)
+    assert(packed.exceptAll(again).count() == 0)
+  }
+
   test("dupClusters: min-label components; clusterSurvivors keeps minima + singletons") {
     // components: {1,2,3} (chain), {7,9}; 5 untouched by any pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
