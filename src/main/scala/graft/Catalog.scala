@@ -1631,6 +1631,89 @@ object Catalog {
                 pb AS payload_bytes
               FROM m ORDER BY media_id""")),
 
+    QueryDef("x31_format_sniff",
+      // REAL multimodal validation (no codec): payloads carry their
+      // declared format's actual magic bytes; the sniffer reads the
+      // first 12 bytes and must recover the declared format for every
+      // row — the lake-ingest "blob claiming X starts like X" check
+      (s, d) => {
+        val packed = Multimodal.packFakeWithMagic(
+          documents(s, d).where(col("doc_id") < 200), "doc_id", "text")
+        packed.select(col("media_id"),
+            col("meta.format").as("declared"),
+            Multimodal.sniffFormat(col("media")).as("sniffed"),
+            length(col("media")).cast("long").as("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                  ((doc_id % 100000) * 2654435761 +
+                   octet_length(encode(text)) * 1000003) % 2147483647 AS h,
+                  encode(text) AS payload
+                FROM documents WHERE doc_id < 200),
+              p AS (
+                SELECT doc_id,
+                  ['jpeg','png','wav','mp4'][CAST(h % 4 + 1 AS INT)] AS declared,
+                  unhex(['FFD8FFE0','89504E470D0A1A0A',
+                         '524946460000000057415645',
+                         '0000001866747970'][CAST(h % 4 + 1 AS INT)])
+                    || payload AS media
+                FROM m),
+              s AS (
+                SELECT doc_id, declared, media,
+                  substr(hex(media), 1, 24) AS hh
+                FROM p)
+              SELECT doc_id AS media_id, declared,
+                CASE
+                  WHEN starts_with(hh, '89504E470D0A1A0A') THEN 'png'
+                  WHEN starts_with(hh, 'FFD8FF') THEN 'jpeg'
+                  WHEN starts_with(hh, '52494646')
+                    AND substr(hh, 17, 8) = '57415645' THEN 'wav'
+                  WHEN substr(hh, 9, 8) = '66747970' THEN 'mp4'
+                  ELSE 'unknown' END AS sniffed,
+                octet_length(media) AS n_bytes
+              FROM s ORDER BY media_id""")),
+
+    QueryDef("x32_byte_stats",
+      // byte-level integrity fingerprint (codegen'd one-pass histogram
+      // + position-weighted checksum): the no-codec corruption screen —
+      // truncation shifts n_bytes, constant filler shows in
+      // distinct/max_freq, any flipped byte changes the checksum
+      (s, d) => {
+        val packed = Multimodal.packFake(
+          documents(s, d).where(col("doc_id") < 200 && col("n_chars") > 0),
+          "doc_id", "text")
+        packed.select(col("media_id"),
+            Multimodal.byteStats(col("media")).as("st"))
+          .select(col("media_id"), col("st.n_bytes"), col("st.distinct_bytes"),
+            col("st.max_freq"), col("st.checksum"))
+          .orderBy("media_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id, encode(text) AS media FROM documents
+                WHERE doc_id < 200 AND n_chars > 0),
+              b AS (
+                SELECT doc_id, list_transform(range(0, octet_length(media)),
+                  i -> CAST('0x' || substr(hex(media),
+                    CAST(2*i + 1 AS INT), 2) AS BIGINT)) AS bs
+                FROM p),
+              u AS (SELECT doc_id, unnest(bs) AS v FROM b),
+              h AS (SELECT doc_id, v, count(*) AS c FROM u GROUP BY 1, 2),
+              agg AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS distinct_bytes,
+                  CAST(max(c) AS INT) AS max_freq
+                FROM h GROUP BY 1),
+              ck AS (
+                SELECT doc_id, CAST(len(bs) AS INT) AS n_bytes,
+                  CAST(list_sum(list_transform(range(0, len(bs)),
+                    i -> (bs[CAST(i + 1 AS INT)] + 1) * (i + 1))) AS BIGINT)
+                    AS checksum
+                FROM b)
+              SELECT a.doc_id AS media_id, ck.n_bytes, a.distinct_bytes,
+                a.max_freq, ck.checksum
+              FROM agg a JOIN ck ON ck.doc_id = a.doc_id
+              ORDER BY media_id""")),
+
     QueryDef("x14_frame_sample",
       (s, d) => {
         val packed = Multimodal.packFake(documents(s, d), "doc_id", "text")

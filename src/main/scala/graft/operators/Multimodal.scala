@@ -40,6 +40,45 @@ object Multimodal {
         (h % 240 + 1).cast("int").as("n_frames")).as("meta"))
   }
 
+  /** Container magic-byte prefixes (hex) per declared format. WAV is
+    * the full RIFF header shape (`RIFF` + 4 size bytes + `WAVE`), MP4
+    * the `ftyp` box (4 size bytes + `ftyp`). */
+  val magicPrefixHex: Map[String, String] = Map(
+    "png" -> "89504E470D0A1A0A",
+    "jpeg" -> "FFD8FFE0",
+    "wav" -> "524946460000000057415645",
+    "mp4" -> "0000001866747970")
+
+  /** [[packFake]] with each payload carrying its declared format's
+    * REAL magic bytes — the fixture for format-validation tests and
+    * the x31 oracle. */
+  def packFakeWithMagic(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val packed = packFake(df, idCol, textCol)
+    val magic = element_at(typedlit(magicPrefixHex), col("meta.format"))
+    packed.withColumn("media", concat(unhex(magic), col("media")))
+  }
+
+  /** Format SNIFFING from magic bytes — a REAL multimodal operator (no
+    * codec needed): map-only column algebra over the first 12 payload
+    * bytes, the standard lake-ingest validation that a blob claiming
+    * to be X actually starts like X. PNG/JPEG by prefix, WAV by
+    * RIFF....WAVE, MP4 by the ftyp box at offset 4; anything else is
+    * "unknown". */
+  def sniffFormat(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(substring(media, 1, 12))
+    when(h.startsWith("89504E470D0A1A0A"), "png")
+      .when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "wav")
+      .when(substring(h, 9, 8) === "66747970", "mp4")
+      .otherwise("unknown")
+  }
+
+  /** Byte-level integrity stats — see [[graft.functions.ByteStats]]:
+    * the no-codec corruption screen (truncated payloads, constant
+    * filler, length mismatches vs declared dimensions). */
+  def byteStats(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.ByteStats.column(media)
+
   /** Partition-parallel batched feature extraction over binary
     * payloads. The per-batch `decodeBatch` body is the STUB: a real
     * implementation would hand `batch` to a codec (libjpeg/ffmpeg) and

@@ -233,6 +233,31 @@ class OperatorsSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------- multimodal
+  test("multimodal: format sniffing recovers magic-byte formats; unknown otherwise") {
+    val docs = Seq((1L, "hello"), (2L, "world wide"), (3L, "x"), (4L, "abcdef"))
+      .toDF("doc_id", "text")
+    val sniffed = Multimodal.packFakeWithMagic(docs, "doc_id", "text")
+      .select(col("meta.format").as("declared"),
+        Multimodal.sniffFormat(col("media")).as("sniffed"))
+      .where(col("declared") =!= col("sniffed")).count()
+    assert(sniffed == 0)
+    // magic-less payloads sniff as unknown
+    val unk = Multimodal.packFake(docs, "doc_id", "text")
+      .select(Multimodal.sniffFormat(col("media")).as("s"))
+      .where(col("s") =!= "unknown").count()
+    assert(unk == 0)
+  }
+
+  test("multimodal: byte stats are exact on known payloads") {
+    import graft.functions.ByteStats
+    val df = Seq((1L, Array[Byte](0, 0, 1, 2))).toDF("id", "b")
+      .select(ByteStats.column(col("b")).as("st")).select("st.*")
+    val r = df.as[(Int, Int, Int, Long)].head()
+    // n=4; bytes {0,0,1,2}: distinct 3, max_freq 2,
+    // checksum = 1*1 + 1*2 + 2*3 + 3*4 = 21
+    assert(r == ((4, 3, 2, 21L)))
+  }
+
   test("multimodal: resize stub emits w*h payloads with updated meta") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
     val packed = Multimodal.packFake(docs, "doc_id", "text")
