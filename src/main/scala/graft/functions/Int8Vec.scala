@@ -107,8 +107,12 @@ object Int8Vec {
       Int8Dot(org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  /** The primitive loops — shared by interpreted eval and codegen. */
-  def quantize(arr: ArrayData): Any = {
+  /** The primitive loops — shared by interpreted eval and codegen.
+    * NOTE: the return type must be the EXACT Java type of the
+    * generated assignment target (`InternalRow`, not `Any`/`Object`) —
+    * janino rejects an Object-to-InternalRow assignment and the whole
+    * stage silently falls back to interpreted execution. */
+  def quantize(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     var maxAbs = 0.0
     var i = 0
