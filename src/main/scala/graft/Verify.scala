@@ -14,6 +14,12 @@ object Verify {
       // reference semantics are permissive-cast (failure -> null), and
       // the DuckDB oracles use TRY_CAST — match them
       .config("spark.sql.ansi.enabled", "false")
+      // SPARK_GRAFT_STRICT_CODEGEN=1: janino compile errors fail the
+      // query instead of silently falling back to interpreted — the
+      // audit that catches codegen template bugs unit tests can miss
+      // (small toDF plans constant-fold before codegen ever runs)
+      .config("spark.sql.codegen.fallback",
+        (sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").isEmpty).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
