@@ -17,9 +17,11 @@ object Verify {
       // SPARK_GRAFT_STRICT_CODEGEN=1: janino compile errors fail the
       // query instead of silently falling back to interpreted — the
       // audit that catches codegen template bugs unit tests can miss
-      // (small toDF plans constant-fold before codegen ever runs)
+      // (small toDF plans constant-fold before codegen ever runs).
+      // Strict mode keys on the VALUE being "1" — =0 or empty stays
+      // non-strict (presence alone used to enable it, inverted contract)
       .config("spark.sql.codegen.fallback",
-        (sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").isEmpty).toString)
+        (!sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").contains("1")).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

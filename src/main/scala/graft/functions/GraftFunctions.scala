@@ -64,6 +64,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1),
         literalInt("top_k_pairs", "k", children(2)))),
+    (FunctionIdentifier("capped_ids"),
+      new ExpressionInfo(classOf[CappedIds].getName, "capped_ids"),
+      (children: Seq[Expression]) => CappedIds(children.head,
+        literalInt("capped_ids", "limit", children(1)))),
     (FunctionIdentifier("int8_quantize"),
       new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
       (children: Seq[Expression]) => Int8Quantize(children.head)),

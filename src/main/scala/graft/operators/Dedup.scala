@@ -38,34 +38,74 @@ object Dedup {
   private val trackedCheckpoints =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
+  /** Handle to the checkpoint blocks created during one [[scoped]]
+    * run: blocks registered inside a scope belong to the lease, NOT to
+    * the global queue, so the caller — who knows when its result is
+    * done being re-executed — controls their lifetime, and a
+    * harness-style global [[releaseCheckpoints]] (Bench/Verify call it
+    * after every query) cannot invalidate a result held across that
+    * boundary. */
+  final class CheckpointLease private[Dedup] () {
+    private[Dedup] val rdds =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+    /** Free the leased blocks. Idempotent; call only once no DataFrame
+      * produced inside the scope will be re-executed (a localCheckpoint
+      * has no lineage to recompute from — re-running after release
+      * fails). Returns the number of RDDs released. */
+    def release(): Int = drain(rdds)
+  }
+
+  private val currentLease = new ThreadLocal[CheckpointLease]()
+
+  /** Run `f` with its dedup checkpoints tracked on a private lease
+    * instead of the global queue. Use from long-lived services that
+    * hold results across request boundaries:
+    * `val (labels, lease) = Dedup.scoped(Dedup.dupClusters(pairs))`
+    * ... use labels ... `lease.release()`. Scopes nest (inner scope
+    * wins, outer restored on exit); the lease is per-thread. */
+  def scoped[T](f: => T): (T, CheckpointLease) = {
+    val lease = new CheckpointLease
+    val prev = currentLease.get()
+    currentLease.set(lease)
+    try ((f, lease))
+    finally if (prev == null) currentLease.remove() else currentLease.set(prev)
+  }
+
+  private def register(r: org.apache.spark.rdd.RDD[_]): Unit = {
+    val lease = currentLease.get()
+    if (lease != null) lease.rdds.add(r) else trackedCheckpoints.add(r)
+  }
+
   private def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
   private def trackCheckpoint(df: DataFrame): DataFrame = {
-    ckptRdd(df).foreach(trackedCheckpoints.add)
+    ckptRdd(df).foreach(register)
     df
   }
 
-  /** Free every checkpoint block the dedup operators have registered.
-    * Call between logical runs — after the current result has been
-    * written/collected and no DataFrame derived from a prior dedup call
-    * will be re-executed (a localCheckpoint has no lineage to recompute
-    * from, so re-running such a plan after release fails). The bench
-    * and verify harnesses call this after each query action; a
-    * long-lived service should do the same at request boundaries.
-    * Returns the number of RDDs released. */
-  def releaseCheckpoints(): Int = {
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]): Int = {
     var n = 0
-    var r = trackedCheckpoints.poll()
+    var r = q.poll()
     while (r != null) {
       r.unpersist(blocking = false)
       n += 1
-      r = trackedCheckpoints.poll()
+      r = q.poll()
     }
     n
   }
+
+  /** Free every UNSCOPED checkpoint block the dedup operators have
+    * registered (blocks created under [[scoped]] belong to their lease
+    * and are untouched). Call between logical runs — after the current
+    * result has been written/collected and no DataFrame derived from a
+    * prior unscoped dedup call will be re-executed. The bench and
+    * verify harnesses call this after each query action.
+    * Returns the number of RDDs released. */
+  def releaseCheckpoints(): Int = drain(trackedCheckpoints)
 
   // ---------------------------------------------------------------- exact
 
@@ -242,13 +282,23 @@ object Dedup {
     * the classic agg + size-cap join + shuffled self-join (measured
     * faster at sf0.1 even as an interpreted HOF), the degenerate-
     * bucket cap becomes a plain size filter, and the pair SET is
-    * order-normalized so collect_list's partition-dependent ordering
-    * cannot leak into results. */
+    * order-normalized so the collect's partition-dependent ordering
+    * cannot leak into results.
+    *
+    * The collect itself is SIZE-BOUNDED ([[graft.functions.CappedIds]],
+    * stops at maxBucketSize + 1 elements): a degenerate bucket — empty
+    * or boilerplate docs sharing a signature, the LSH skew case — is
+    * proven over-cap and dropped without its full membership ever
+    * occupying an aggregation buffer row, so the "memory bounded by
+    * cap²" guarantee holds at the aggregate too, not just at the pair
+    * expansion. Results are identical to an uncapped collect + size
+    * filter (under-cap buckets collect in full; over-cap buckets yield
+    * cap + 1 ids — still over the filter, still dropped). */
   private def lshCandidatePairs(base: DataFrame, k: Int, bands: Int,
       maxBucketSize: Int): DataFrame = {
     val banded = lshBandRows(base, k, bands)
     banded.groupBy("band", "bucket")
-      .agg(collect_list("id").as("__ids"))
+      .agg(graft.functions.CappedIds.column(col("id"), maxBucketSize).as("__ids"))
       .where(size(col("__ids")).between(2, maxBucketSize))
       .select(explode(graft.functions.SortedPairs.column(col("__ids"))).as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"))
@@ -444,7 +494,7 @@ object Dedup {
       labels = next.drop("__moved")
       iter += 1
     }
-    prevCkpt.foreach(trackedCheckpoints.add)
+    prevCkpt.foreach(register)
     labels
   }
 

@@ -62,11 +62,23 @@ object Similarity {
     * (query, task) and the losers die where they were scored — the
     * difference between O(|candidates|) and O(|queries| * k) shuffle
     * rows at corpus scale. Identical results (same total order, ids
-    * unique per query). Requires an integral candidate id. */
+    * unique per query). Requires an integral candidate id.
+    *
+    * Ranking contract (stricter than a `row_number()` window, by
+    * design): null and NaN cosines NEVER rank — they are dropped here
+    * before the aggregate, so a query with fewer than k finite-scored
+    * candidates returns fewer than k rows. The window form would pad
+    * with null-cosine rows (desc ordering sorts nulls last) and order
+    * NaN greatest; both are corrupt-vector artifacts a ranking should
+    * surface by absence, not emit as "neighbors". */
   private[graft] def rankTopK(joined: DataFrame, queryId: String,
       corpusId: String, k: Int): DataFrame = {
     val idType = joined.schema(corpusId).dataType
     joined
+      // NaN -> dropped (null comparison is null -> filtered), so the
+      // buffer's >/== comparisons never see NaN and the null-skip in
+      // TopKPairs.update is the single no-rank path
+      .where(!isnan(col("cosine")))
       .groupBy(col(queryId).as("query_id"))
       .agg(graft.functions.TopKPairs.column(
         col("cosine"), col(corpusId).cast("long"), k).as("__top"))

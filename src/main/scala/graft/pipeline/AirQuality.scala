@@ -87,10 +87,22 @@ object AirQuality {
     val expected = normalizedColumns
     if (paths.isEmpty) return Seq.empty
     val slices = math.min(paths.size, 64)
+    // ship the SESSION's Hadoop configuration (spark.hadoop.* keys,
+    // object-store credentials/endpoints, custom filesystems) to the
+    // tasks — a bare `new Configuration()` there would gate against
+    // default-configured filesystems, which on exactly the
+    // million-object lakes this distributed sniff exists for means
+    // missing credentials; one conf is deserialized per TASK, not per
+    // file (Configuration construction parses XML — not per-row work)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.sparkContext.parallelize(paths, slices)
-      .filter { p =>
-        headerLine(p).stripPrefix("﻿").split(";", -1).toSeq
-          .map(Names.normalizeColumnName) == expected
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.filter { p =>
+          headerLine(p, conf).stripPrefix("﻿").split(";", -1).toSeq
+            .map(Names.normalizeColumnName) == expected
+        }
       }
       .collect().toSeq
   }
@@ -98,9 +110,10 @@ object AirQuality {
   /** First line of a file via the Hadoop FileSystem API (works for any
     * supported scheme — local, HDFS, object stores), capped at 256 KiB
     * so a malformed headerless blob cannot balloon the read. */
-  private def headerLine(path: String): String = {
+  private def headerLine(path: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val in = new java.io.BufferedInputStream(fs.open(p), 64 * 1024)
     try {
       val buf = new java.io.ByteArrayOutputStream()

@@ -317,6 +317,64 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("capped_ids: full collect under the limit, limit+1 proof over it") {
+    import graft.functions.CappedIds
+    val df = (1L to 10L).toDF("id")
+    // under the cap: the full set, regardless of partitioning
+    val full = df.repartition(4).agg(CappedIds.column(col("id"), 20).as("ids"))
+      .select(explode(col("ids"))).as[Long].collect().toSet
+    assert(full == (1L to 10L).toSet)
+    // over the cap: exactly limit+1 elements survive — enough to prove
+    // the group exceeds the limit, never the full membership
+    val capped = df.repartition(4).agg(CappedIds.column(col("id"), 3).as("ids"))
+      .select(size(col("ids"))).as[Int].head()
+    assert(capped == 4)
+    // nulls skipped
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("id")
+      .agg(CappedIds.column(col("id"), 5).as("ids"))
+      .select(size(col("ids"))).as[Int].head()
+    assert(withNull == 2)
+    // SQL surface + literal validation
+    GraftFunctions.ensureRegistered(spark)
+    val viaSql = spark.sql(
+      "SELECT size(capped_ids(id, 2)) FROM VALUES (1L), (2L), (3L), (4L) AS v(id)")
+      .as[Int].head()
+    assert(viaSql == 3)
+    intercept[Exception] {
+      spark.sql("SELECT capped_ids(id, id) FROM VALUES (1L) AS v(id)").collect()
+    }
+  }
+
+  test("rankTopK drops null/NaN cosines instead of ranking them") {
+    // corpus vector with a NaN component -> NaN cosine; query must
+    // return only the finite-scored candidates (stricter-than-window
+    // contract: corrupt vectors surface by absence)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(Float.NaN, 1.0f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val got = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "q_id", "q_vec", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("scoped checkpoint lease survives a global releaseCheckpoints") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val (labels, lease) = Dedup.scoped(Dedup.dupClusters(pairs))
+    labels.count()
+    // harness-style global release between queries must NOT free the
+    // leased blocks: the held result stays re-executable
+    Dedup.releaseCheckpoints()
+    val byLabel = labels.groupBy("label").count()
+      .select("count").as[Long].collect().sorted.toSeq
+    assert(byLabel == Seq(2L, 3L))
+    assert(lease.release() >= 1)
+  }
+
   test("persisted IVF index: same results as query-time assignment, pruned scan") {
     val corpus = (0 until 300).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
