@@ -1727,7 +1727,197 @@ object Catalog {
                 list_max(range(0, CAST(floor(octet_length(encode(text)) / 32) AS BIGINT), 4)) AS max_idx
               FROM documents
               WHERE octet_length(encode(text)) >= 32
-              GROUP BY doc_id, text ORDER BY media_id"""))
+              GROUP BY doc_id, text ORDER BY media_id""")),
+
+    QueryDef("x33_pii_redact",
+      // PII scrub (map-only regexp chain): the raw corpus has no PII,
+      // so the query first plants typed PII deterministically FROM the
+      // row's own key (modular conditions vary the per-category
+      // counts), then counts and redacts — both engines replay the
+      // enrichment, so the scrub itself is what's verified
+      (s, d) => {
+        val idStr = col("doc_id").cast("string")
+        val enriched = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" mail user"), idStr, lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" via http://host"), idStr, lit(".example/p?q=1")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val base = documents(s, d).select(col("doc_id"), enriched.as("__t"))
+        base.select(
+          (col("doc_id") +:
+            TextAnalysis.piiCounts(col("__t"))
+              .map { case (n, c) => c.cast("long").as(n) } :+
+            TextAnalysis.redactPii(col("__t")).as("redacted")): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH e AS (
+                SELECT doc_id, text
+                  || CASE WHEN doc_id % 3 = 0 THEN ' mail user'
+                       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0 THEN ' via http://host'
+                       || CAST(doc_id AS VARCHAR) || '.example/p?q=1' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                  AS t
+                FROM documents)
+              SELECT doc_id,
+                len(regexp_extract_all(t, '${TextAnalysis.urlPattern}')) AS n_url,
+                len(regexp_extract_all(t, '${TextAnalysis.emailPattern}')) AS n_email,
+                len(regexp_extract_all(t, '${TextAnalysis.ipPattern}')) AS n_ip,
+                len(regexp_extract_all(t, '${TextAnalysis.phonePattern}')) AS n_phone,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                  '${TextAnalysis.urlPattern}', '<URL>', 'g'),
+                  '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+                  '${TextAnalysis.ipPattern}', '<IP>', 'g'),
+                  '${TextAnalysis.phonePattern}', '<PHONE>', 'g') AS redacted
+              FROM e ORDER BY doc_id""")),
+
+    QueryDef("x34_semantic_dedup",
+      // SemDeDup: the IVF cell assignment IS the blocking structure —
+      // pairs compare only within a cell, so the quadratic term is
+      // per-cell and capped (threshold 0.3: this synthetic corpus has
+      // no true semantic dups, max pairwise cosine ~0.51)
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding", nlist = 16)
+        Dedup.semanticDupPairs(emb, "vec_id", "embedding", cents, threshold = 0.3)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH q AS (
+                SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, d,
+                  CAST(floor(CAST(sum(qv[CAST(d AS INT)]) AS DOUBLE)
+                             / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d)
+                GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[CAST(ct.d AS INT)] - ct.c)
+                         * (q.qv[CAST(ct.d AS INT)] - ct.c)) AS BIGINT) AS d2
+                FROM q, cent ct
+                GROUP BY q.vec_id, ct.cell),
+              assign AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist) t WHERE rn = 1),
+              pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id)
+              SELECT id_a, id_b, round(cosine, 4) AS cosine
+              FROM pairs WHERE cosine >= 0.3 ORDER BY id_a, id_b""")),
+
+    QueryDef("x35_tfidf_topterms",
+      // linear-idf TF-IDF: integer products + one correctly-rounded
+      // double division, so the per-document ranking is bit-identical
+      // on every engine (log-idf would diverge in the last ulp)
+      (s, d) => TextAnalysis.tfIdfTopTerms(documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH terms AS (
+                SELECT doc_id, unnest(list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '')) AS term
+                FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+              scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+              ranked AS (
+                SELECT doc_id, term, tf, df, score,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rank
+                FROM scored)
+              SELECT doc_id, rank, term, tf, df, score
+              FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    QueryDef("x36_containment",
+      // doc-in-doc detection: the output is the integer evidence pair
+      // (n_shared, n_contained) rather than the ratio — a small-int
+      // division can land exactly on a .00005 rounding tie, where
+      // engines disagree at 4dp (the round-tie lesson); the ints are
+      // tie-free and carry strictly more information
+      (s, d) => Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+          n = 1, threshold = 0.95, blockOn = Seq("lang", "source"))
+        .select(col("contained_id"), col("container_id"),
+          col("n_shared"), col("n_contained"))
+        .orderBy("contained_id", "container_id"),
+      Some("""WITH toks AS (
+                SELECT doc_id, lang, source,
+                  list_distinct(list_filter(
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS sh
+                FROM documents),
+              pairs AS (
+                SELECT l.doc_id AS contained_id, r.doc_id AS container_id,
+                  len(list_intersect(l.sh, r.sh)) AS n_shared,
+                  len(l.sh) AS n_contained
+                FROM toks l JOIN toks r
+                  ON l.lang = r.lang AND l.source = r.source
+                  AND (len(l.sh) < len(r.sh)
+                    OR (len(l.sh) = len(r.sh) AND l.doc_id < r.doc_id))
+                WHERE len(l.sh) > 0)
+              SELECT contained_id, container_id, n_shared, n_contained
+              FROM pairs
+              WHERE CAST(n_shared AS DOUBLE) / n_contained >= 0.95
+              ORDER BY contained_id, container_id""")),
+
+    QueryDef("x37_knn_classify",
+      // kNN label vote over the exact top-5 neighbors; the argmax is a
+      // max(struct) hash aggregate, not a window (ties -> smallest label)
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.knnClassify(emb, queries, "vec_id", "embedding", "label",
+            "q_id", "q_vec", k = 5)
+          .orderBy("query_id")
+      },
+      Some("""WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                  (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                   sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+              ranked AS (
+                SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM sims),
+              votes AS (
+                SELECT r.query_id, e.label, count(*) AS votes
+                FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+                WHERE r.rank <= 5 GROUP BY 1, 2),
+              best AS (
+                SELECT query_id, label AS predicted_label, votes,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, label) AS rn
+                FROM votes)
+              SELECT query_id, predicted_label, votes
+              FROM best WHERE rn = 1 ORDER BY query_id"""))
   )
 
   private lazy val langIdOracle: String = {

@@ -421,6 +421,85 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
 
+  /** Shingle-CONTAINMENT pairs — doc-in-doc detection, the asymmetric
+    * cousin of [[ngramJaccardPairs]]: `C(A,B) = |S(A) ∩ S(B)| / |S(A)|`
+    * flags a document whose shingle set is (nearly) swallowed by a
+    * larger one — quotes, mirrored excerpts, boilerplate-wrapped
+    * copies — which symmetric Jaccard misses whenever the container is
+    * much bigger than the contained (the union term dilutes it).
+    * Pairs are oriented smaller-set → larger-set (ties broken by id),
+    * so each containment relation is emitted exactly once, and the
+    * blocking predicate bounds the pair fan-out exactly as in the
+    * Jaccard form. Output: (contained_id, container_id, n_shared,
+    * n_contained, containment), containment >= threshold — the integer
+    * evidence pair is emitted alongside the ratio because a small-int
+    * division can land exactly on a decimal rounding tie where engines
+    * disagree; hash-checked consumers should prefer the ints. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, blockOn: Seq[String]): DataFrame = {
+    val base = Rebalance(df.select(
+        (col(idCol).as("id") +: col(textCol).as("__text") +: blockOn.map(col)): _*))
+      .withColumn("__toks", TextAnalysis.tokens(col("__text")))
+      .withColumn("sh", TextAnalysis.shinglesFromTokens(col("__toks"), n))
+      .where(size(col("sh")) > 0)
+      .withColumn("__sz", size(col("sh")))
+      .select((col("id") +: col("sh") +: col("__sz") +: blockOn.map(col)): _*)
+    val l = base.as("l"); val r = base.as("r")
+    // strict weak order on (set size, id): every unordered pair joins
+    // in exactly one orientation, with the smaller set on the left
+    val sizeOrder = col("l.__sz") < col("r.__sz") ||
+      (col("l.__sz") === col("r.__sz") && col("l.id") < col("r.id"))
+    val blockCond = blockOn.map(c => col(s"l.$c") === col(s"r.$c"))
+      .foldLeft(sizeOrder)(_ && _)
+    l.join(r, blockCond)
+      .withColumn("n_shared", size(array_intersect(col("l.sh"), col("r.sh"))))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("l.__sz").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("l.id").as("contained_id"), col("r.id").as("container_id"),
+        col("n_shared"), col("l.__sz").as("n_contained"), col("containment"))
+  }
+
+  // ------------------------------------------------- semantic (SemDeDup)
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    * cluster the embedding space, then compare pairs ONLY within a
+    * cluster — the clustering is the blocking structure, exactly as
+    * LSH bands are for MinHash, so pair fan-out is bounded by cell
+    * population instead of |corpus|². Cell assignment is the same
+    * deterministic integer quantizer the IVF index uses
+    * ([[IvfAnn.cellIdInt]], codegen'd argmin) — a map-only scan —
+    * and within-cell verification is full-precision cosine with
+    * per-row precomputed norms.
+    *
+    * Cells larger than `maxCellSize` (embedding-space boilerplate:
+    * near-identical template docs collapsing into one cell) are
+    * dropped from pairing by a cheap count pre-filter rather than
+    * quadratically joined — same degenerate-bucket policy as the LSH
+    * path, applied BEFORE any pair materializes. At 100 TB: one
+    * map-only assignment scan, one count aggregate, one equi-join on
+    * cell id; the only quadratic term is per-cell and capped.
+    *
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold. */
+  def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[IvfAnn.IntCentroid], threshold: Double,
+      maxCellSize: Int = 100000): DataFrame = {
+    val assigned = Rebalance(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .withColumn("__cell", IvfAnn.cellIdInt(col("__v"), cents))
+      .withColumn("__n", Similarity.norm(col("__v")))
+    val okCells = assigned.groupBy("__cell")
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") <= maxCellSize)
+      .select("__cell")
+    val bounded = assigned.join(broadcast(okCells), Seq("__cell"))
+    val l = bounded.as("l"); val r = bounded.as("r")
+    l.join(r, col("l.__cell") === col("r.__cell") && col("l.id") < col("r.id"))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("l.__v"), col("r.__v"), col("l.__n"), col("r.__n")))
+      .where(col("cosine") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("cosine"))
+  }
+
   /** Train/test n-gram contamination (the GPT-3-style decontamination
     * check, stricter than [[crossCorpusOverlap]]'s whole-document
     * match): any length-n token shingle shared between a test document

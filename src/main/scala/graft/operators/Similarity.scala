@@ -145,6 +145,35 @@ object Similarity {
           s => s.getField("av")).as("centroid"))
       .withColumnRenamed("g", groupCol)
 
+  /** kNN label vote: classify each query by the majority label of its
+    * `k` nearest corpus neighbors (exact cosine), ties broken by the
+    * SMALLEST label — fully deterministic, no window. The per-query
+    * vote table is at most `k` rows, so the argmax is a single
+    * `max(struct(votes, -label))` hash aggregate: max votes first,
+    * then (via the negated label) the smallest label — never a
+    * row_number over the vote rows. The label join keys on
+    * neighbor_id, |Q| * k rows against the corpus's (id, label)
+    * projection — at scale that side prunes to two columns at the
+    * scan, and the |Q|*k side is the broadcast candidate.
+    *
+    * Output: (query_id, predicted_label, votes). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, labelCol: String,
+      queryId: String, queryVec: String, k: Int): DataFrame = {
+    val neighbors = bruteForceTopK(corpus, queries,
+      corpusId, corpusVec, queryId, queryVec, k)
+    val labels = corpus.select(
+      col(corpusId).as("neighbor_id"), col(labelCol).as("__label"))
+    neighbors.join(labels, "neighbor_id")
+      .groupBy("query_id", "__label").agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("__label")).as("__neg"),
+        col("__label").as("__l"))).as("__best"))
+      .select(col("query_id"),
+        col("__best.__l").as("predicted_label"),
+        col("__best.votes").as("votes"))
+  }
+
   /** Deterministic integer hyperplanes: plane p's weight for dimension
     * d is an LCG draw in [-500000, 500000] — plain modular arithmetic
     * that any engine can replay (a seeded `Random` stream cannot be).

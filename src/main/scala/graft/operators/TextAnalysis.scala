@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (north-star
@@ -145,6 +146,87 @@ object TextAnalysis {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.PolyHash(
         org.apache.spark.sql.graft.ColumnBridge.expression(normalizeText(c))))
+
+  // ------------------------------------------------------------- PII
+
+  /** PII regex patterns, written in the dialect-neutral subset shared
+    * by Java regex and RE2 (char classes, bounded repeats, `\b`, no
+    * lookaround) so a DuckDB/Trino oracle replays them byte-for-byte.
+    * Redaction ORDER matters and is fixed by [[redactPii]]: URLs
+    * before emails (an address inside a URL path must not survive as
+    * a partial match), IPs before phones (both are digit runs a
+    * wrong-order pass could half-consume). */
+  val urlPattern: String = "https?://[^\\s]+"
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern: String = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** The (pattern, replacement token) chain [[redactPii]] applies, in
+    * application order — exposed so callers/oracles can replay it. */
+  val piiChain: Seq[(String, String)] = Seq(
+    urlPattern -> "<URL>",
+    emailPattern -> "<EMAIL>",
+    ipPattern -> "<IP>",
+    phonePattern -> "<PHONE>")
+
+  /** Scrub PII from free text: URLs, emails, IPv4 addresses and
+    * phone-like digit groups each collapse to a typed placeholder
+    * token. A pure `regexp_replace` chain — codegen'd, map-only, the
+    * 100 TB shape for corpus scrubbing (no shuffle, no UDF; the regex
+    * NFA runs inside WholeStageCodegen). */
+  def redactPii(c: Column): Column =
+    piiChain.foldLeft(c) { case (acc, (pat, tok)) =>
+      regexp_replace(acc, pat, tok)
+    }
+
+  /** Per-category PII hit counts over the UNREDACTED text (audit
+    * columns for the scrub pass — counted independently, so a URL
+    * containing an email-shaped path segment counts for both). */
+  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
+    "n_url" -> regexp_count(c, lit(urlPattern)),
+    "n_email" -> regexp_count(c, lit(emailPattern)),
+    "n_ip" -> regexp_count(c, lit(ipPattern)),
+    "n_phone" -> regexp_count(c, lit(phonePattern)))
+
+  // ----------------------------------------------------------- TF-IDF
+
+  /** Top-k most corpus-distinctive terms per document, scored by
+    * tf * (N / df) — TF-IDF with a LINEAR inverse-document-frequency.
+    * Deliberately not log-idf: `tf * N` is an exact int64 and the one
+    * double division is IEEE-correctly-rounded, so the score (and the
+    * ranking it induces) is bit-identical on every engine, while
+    * `ln(N/df)` differs in the last ulp between libm implementations
+    * and flips near-tie ranks. Per document the two variants rank
+    * differently only across terms whose df ratio is inside the
+    * log-vs-linear curvature gap — acceptable for a dedup/quality
+    * signal, and worth it for a hash-verifiable ranking.
+    *
+    * Scale shape: one shuffle for the (doc, term) tf aggregate; the
+    * term→df table is VOCABULARY-sized, so its join back to tf
+    * broadcasts; the corpus doc count joins as a broadcast 1-row
+    * cross join (never a driver collect); the final top-k window
+    * partitions by doc_id — bounded by a document's distinct terms,
+    * never corpus-wide.
+    *
+    * Output: (doc_id, rank, term, tf, df, score). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val terms = Rebalance(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), explode(tokens(col("__text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, term) — df is a plain count
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+  }
 
   /** Word n-gram shingles (n consecutive tokens joined by a space) —
     * the unit for MinHash/Jaccard dedup. `toks` should be a

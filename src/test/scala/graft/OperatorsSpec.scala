@@ -328,4 +328,86 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.schema("frame").dataType.typeName == "binary")
   }
+
+  test("redactPii: each category redacts to its token, counts match") {
+    val df = Seq((1L,
+      "mail a@b.com or see https://x.io/p?a=1 from 10.0.0.7 call 555-0199 done"))
+      .toDF("id", "text")
+    val out = df.select(
+      (col("id") +:
+        TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) } :+
+        TextAnalysis.redactPii(col("text")).as("red")): _*).head()
+    assert(out.getInt(1) == 1 && out.getInt(2) == 1 &&
+      out.getInt(3) == 1 && out.getInt(4) == 1)
+    assert(out.getString(5) ==
+      "mail <EMAIL> or see <URL> from <IP> call <PHONE> done")
+    // order matters: an email inside a URL path dies with the URL
+    val urlMail = df.select(TextAnalysis.redactPii(
+      lit("go http://h.io/x@y.com now")).as("r")).as[String].head()
+    assert(urlMail == "go <URL> now")
+    // clean text untouched
+    val clean = df.select(TextAnalysis.redactPii(
+      lit("plain words only here")).as("r")).as[String].head()
+    assert(clean == "plain words only here")
+  }
+
+  test("tfIdfTopTerms: rare term outranks common term; k bounds output") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: "rare" (df=1) must beat "common" (tf=2 but df=3):
+    // score(rare) = 1*3/1 = 3 > score(common) = 2*3/3 = 2
+    val d1 = top.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getString(2)))
+    assert(d1.toSeq == Seq((1, "rare"), (2, "common")))
+    assert(top.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+  }
+
+  test("containmentPairs: subset doc flagged, oriented small -> large") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "unrelated words entirely different")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.9, blockOn = Seq.empty)
+      .select("contained_id", "container_id", "n_shared", "n_contained")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3, 3)))
+    // symmetric Jaccard would miss it: 3/6 = 0.5
+  }
+
+  test("semanticDupPairs: within-cell near-identical vectors pair up") {
+    // two clusters of 64-dim vectors; ids 1,2 nearly parallel, 10 far
+    def vec(base: Double, jitter: Double) =
+      Array.tabulate(64)(i => (math.sin(i * base) + (if (i == 0) jitter else 0)).toFloat).toSeq
+    val emb = Seq(
+      (1L, vec(0.1, 0.0)), (2L, vec(0.1, 0.001)), (10L, vec(0.9, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding", nlist = 2)
+    val pairs = Dedup.semanticDupPairs(emb, "vec_id", "embedding", cents,
+      threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // degenerate-cell cap: cap 1 forbids any pairing
+    val none = Dedup.semanticDupPairs(emb, "vec_id", "embedding", cents,
+      threshold = 0.99, maxCellSize = 1).count()
+    assert(none == 0)
+  }
+
+  test("knnClassify: majority label wins, ties to smallest label") {
+    // corpus: 3 vectors near the query with labels 7,7,3 -> predict 7
+    def vec(shift: Double) =
+      Array.tabulate(8)(i => (math.cos(i * 0.2) + shift).toFloat).toSeq
+    val corpus = Seq(
+      (1L, vec(0.001), 7), (2L, vec(0.002), 7), (3L, vec(0.003), 3),
+      (4L, Array.tabulate(8)(i => math.sin(i * 1.3).toFloat).toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, vec(0.0))).toDF("q_id", "q_vec")
+    val out = Similarity.knnClassify(corpus, queries,
+      "vec_id", "embedding", "label", "q_id", "q_vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((100L, 7, 2L)))
+  }
 }

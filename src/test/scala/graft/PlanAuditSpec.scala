@@ -68,4 +68,32 @@ class PlanAuditSpec extends SparkSpec {
     // exchange at the top) — never more
     assert(exchanges.size <= 2, s"too many exchanges (${exchanges.size}):\n$s")
   }
+
+  test("x33: PII scrub is map-only (no join, no aggregate, one sort exchange)") {
+    val plan = finalPlan(q("x33_pii_redact"))
+    val s = plan.toString()
+    assert(!s.contains("Join"), s"scrub must not join:\n$s")
+    assert(!s.contains("Aggregate"), s"scrub must not aggregate:\n$s")
+    // only the final orderBy may exchange
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1, s"scrub must be one scan + sort:\n$s")
+  }
+
+  test("x35: df and corpus-count join back to tf as broadcasts") {
+    val plan = finalPlan(q("x35_tfidf_topterms")).toString()
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin")) +
+      plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(broadcasts >= 2,
+      s"vocabulary-sized df table and 1-row count must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"tf-side join got shuffled:\n$plan")
+  }
+
+  test("x34: pairing joins on the cell id, cosine only after the equi-join") {
+    val plan = finalPlan(q("x34_semantic_dedup")).toString()
+    // the within-cell self-join must be an equi-join keyed on __cell —
+    // a cross/nested-loop pairing would be the |corpus|^2 shape
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic pairing must never cross-join:\n$plan")
+    assert(plan.contains("__cell"), s"pair join must key on the cell id:\n$plan")
+  }
 }
