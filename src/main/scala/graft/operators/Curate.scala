@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Stage order is the standard funnel — cheap map-only filters first
   * so the expensive pairwise stages see the smallest corpus:
-  *  1. clean      — strip tags/URLs/emails, collapse whitespace (map)
+  *  1. clean      — strip tags/URLs/emails, collapse whitespace (map);
+  *                  with `scrubPii` the surviving prose is also run
+  *                  through [[TextAnalysis.redactPii]] (typed
+  *                  placeholder tokens for anything the cleaner's
+  *                  deletion patterns don't cover, e.g. bare IPs and
+  *                  phone numbers)
   *  2. filter     — language allowlist + quality/length/repetition
   *                  thresholds (map)
   *  3. exact dedup — md5-fingerprint first-id-wins (one hash agg)
@@ -38,7 +43,8 @@ object Curate {
       minhashK: Int = 64,
       bands: Int = 16,
       jaccardThreshold: Double = 0.8,
-      contaminationN: Int = 5)
+      contaminationN: Int = 5,
+      scrubPii: Boolean = false)
 
   /** The curation funnel. Returns the surviving documents with the
     * cleaned text plus the language id and quality score that admitted
@@ -47,8 +53,10 @@ object Curate {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
       eval: Option[(DataFrame, String, String)] = None): DataFrame = {
-    // 1. clean (map-only)
-    val cleaned = docs.withColumn("__clean", TextAnalysis.cleanText(col(textCol)))
+    // 1. clean (map-only; PII scrub folds into the same projection)
+    val clean0 = TextAnalysis.cleanText(col(textCol))
+    val cleaned = docs.withColumn("__clean",
+      if (cfg.scrubPii) TextAnalysis.redactPii(clean0) else clean0)
     // 2. map-only filters, evaluated from ONE tokens materialization
     val toks = TextAnalysis.tokens(col("__clean"))
     val scored = cleaned
@@ -92,7 +100,9 @@ object Curate {
   def report(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
       eval: Option[(DataFrame, String, String)] = None): Seq[(String, Long)] = {
-    val cleaned = docs.withColumn("__clean", TextAnalysis.cleanText(col(textCol)))
+    val clean0 = TextAnalysis.cleanText(col(textCol))
+    val cleaned = docs.withColumn("__clean",
+      if (cfg.scrubPii) TextAnalysis.redactPii(clean0) else clean0)
     val toks = TextAnalysis.tokens(col("__clean"))
     val filtered = cleaned
       .withColumn("__toks", toks)

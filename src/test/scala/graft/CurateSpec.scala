@@ -77,6 +77,21 @@ class CurateSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
   }
 
+  test("curate scrubPii: IPs and phones survive cleaning only as tokens") {
+    // cleanText already deletes URLs/emails; the scrub stage covers
+    // what survives it — bare IPs and phone-like digit groups
+    val doc = good + " server 10.1.2.3 helpdesk 555-0142 extra"
+    val docs = Seq((1L, doc)).toDF("doc_id", "text")
+    val unscrubbed = Curate.curate(docs, "doc_id", "text")
+      .select("text").as[String].head()
+    assert(unscrubbed.contains("10.1.2.3") && unscrubbed.contains("555-0142"))
+    val scrubbed = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(scrubPii = true))
+      .select("text").as[String].head()
+    assert(!scrubbed.contains("10.1.2.3") && !scrubbed.contains("555-0142"))
+    assert(scrubbed.contains("<IP>") && scrubbed.contains("<PHONE>"))
+  }
+
   test("curate is idempotent: curating the output changes nothing") {
     val docs = Seq((1L, good), (2L, good), (6L, contaminated))
       .toDF("doc_id", "text")
