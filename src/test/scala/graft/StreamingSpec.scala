@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{DocStream, EventStream}
 import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSpec {
@@ -95,6 +95,29 @@ class StreamingSpec extends SparkSpec {
     assert(batchTotal == streamTotal)
     // scale 10 keeps sub-nano precision of the raw double sum
     assert(math.abs(batchTotal - vals.sum) < 1e-9)
+  }
+
+  test("streaming corpus intake equals the batch twin on fingerprint sets") {
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream").toFile
+    dir.deleteOnExit()
+    Tables.documents(spark, sf("sf0.001")).write.mode("overwrite").parquet(dir.getPath)
+    val q = DocStream.intake(DocStream.readDocs(spark, dir.getPath))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("intake_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.sql("SELECT fingerprint, lang_id, quality FROM intake_out")
+    val batch = DocStream.intakeBatch(spark.read.parquet(dir.getPath))
+      .select("fingerprint", "lang_id", "quality")
+    // survivors differ only in WHICH duplicate won (arrival vs min id):
+    // the surviving fingerprint/score sets are identical
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    // the filter actually gates: a junk doc would not survive
+    import spark.implicits._
+    val junk = Seq((9999L, "@@@ ###", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(DocStream.intakeBatch(junk, minTokens = 3).count() == 0)
   }
 
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
