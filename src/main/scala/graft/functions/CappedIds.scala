@@ -14,19 +14,41 @@ import org.apache.spark.sql.types._
   * PROVE a group exceeds `limit`, never more. Once full, every further
   * insert is a no-op — so a degenerate group (an LSH bucket of
   * boilerplate near-identical docs can hold millions of members) costs
-  * O(limit) buffer memory instead of materializing every member id. */
+  * O(limit) buffer memory instead of materializing every member id.
+  *
+  * Storage GROWS geometrically from 8 slots instead of pre-allocating
+  * `limit + 1`: with the default cap of 1000 an eager buffer is 8 KB
+  * per GROUP, and LSH banding makes one group per (band, bucket) —
+  * measured at sf0.1 (~80k groups/run) the eager form cost a steady
+  * ~25% on the pair-generation stage in pure allocation. Typical
+  * buckets hold a handful of ids; only the rare near-cap bucket ever
+  * grows to the full 8 KB. */
 final class CappedIdsBuffer(val limit: Int) {
   val cap: Int = limit + 1
   var n: Int = 0
-  val ids: Array[Long] = new Array[Long](cap)
+  var ids: Array[Long] = new Array[Long](math.min(cap, 8))
+
+  private def ensure(want: Int): Unit = {
+    if (want > ids.length) {
+      var next = ids.length << 1
+      while (next < want) next <<= 1
+      val grown = new Array[Long](math.min(next, cap))
+      System.arraycopy(ids, 0, grown, 0, n)
+      ids = grown
+    }
+  }
 
   def insert(id: Long): Unit = {
-    if (n < cap) { ids(n) = id; n += 1 }
+    if (n < cap) { ensure(n + 1); ids(n) = id; n += 1 }
   }
 
   def mergeFrom(o: CappedIdsBuffer): Unit = {
-    var i = 0
-    while (i < o.n && n < cap) { ids(n) = o.ids(i); n += 1; i += 1 }
+    val take = math.min(o.n, cap - n)
+    if (take > 0) {
+      ensure(n + take)
+      System.arraycopy(o.ids, 0, ids, n, take)
+      n += take
+    }
   }
 }
 
@@ -98,8 +120,7 @@ case class CappedIds(idExpr: Expression, limit: Int,
     val buf = new CappedIdsBuffer(bb.getInt())
     val n = bb.getInt()
     var i = 0
-    while (i < n) { buf.ids(i) = bb.getLong(); i += 1 }
-    buf.n = n
+    while (i < n) { buf.insert(bb.getLong()); i += 1 }
     buf
   }
 

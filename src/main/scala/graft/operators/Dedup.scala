@@ -111,10 +111,34 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical value of
     * `exactOn` (byte-equal after the expression). GroupBy on a digest,
-    * not the payload: at 100 TB the shuffle carries 16-byte keys. */
+    * not the payload: at 100 TB the shuffle carries 16-byte keys.
+    *
+    * Plans as the lexicographic minimum of `struct(id, rest...)` per
+    * digest — a hash aggregate with map-side partial combine — NOT a
+    * `row_number()` window: the window form sorts every partition and
+    * ships every duplicate across the shuffle, where the aggregate
+    * folds duplicates where they sit (the q06 lesson,
+    * [[graft.pipeline.AirQuality.firstPerKeyAgg]], measured ~2× at
+    * sf0.1). Ties beyond the id (duplicate ids in dirty input) resolve
+    * by the remaining columns ascending — strictly MORE deterministic
+    * than the window form's arbitrary tie-break.
+    *
+    * Frames carrying an unorderable column (MapType) fall back to the
+    * `row_number()` window ordered by id alone — the aggregate's
+    * struct-min needs a total order over every packed column. */
   def exactSurvivors(df: DataFrame, idCol: String, exactOn: Column): DataFrame = {
-    val w = Window.partitionBy(md5(exactOn.cast("string"))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val orderable = df.schema.forall(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (!orderable) {
+      val w = Window.partitionBy(md5(exactOn.cast("string"))).orderBy(col(idCol).asc)
+      df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    } else {
+      val others = df.columns.filterNot(_ == idCol)
+      val packed = df
+        .groupBy(md5(exactOn.cast("string")).as("__digest"))
+        .agg(min(struct((col(idCol) +: others.map(col)).toIndexedSeq: _*)).as("__first"))
+      packed.select(df.columns.map(c => col("__first").getField(c).as(c)).toIndexedSeq: _*)
+    }
   }
 
   /** Exact-duplicate groups: digest -> group size + surviving id. */

@@ -19,9 +19,18 @@ object TextAnalysis {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
-  /** Whitespace-free word tokens over normalized text. */
-  def tokens(c: Column): Column =
-    filter(split(normalizeText(c), " "), t => t =!= "")
+  /** Whitespace-free word tokens over normalized text. A non-empty
+    * normalized string has no leading/trailing/doubled spaces (the
+    * normalizer collapses runs and trims), so `split` alone can never
+    * produce an empty token — only the empty STRING splits to [""],
+    * handled by the length guard. Identical results to the historical
+    * `filter(split(...), _ =!= "")`, but with no interpreted
+    * ArrayFilter lambda per row (HOFs are CodegenFallback; this is
+    * pure codegen'd column algebra on the hottest text path). */
+  def tokens(c: Column): Column = {
+    val n = normalizeText(c)
+    when(length(n) > 0, split(n, " ")).otherwise(array().cast("array<string>"))
+  }
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -83,11 +92,23 @@ object TextAnalysis {
     qualityScoreFromTokens(text, tokens(text))
 
   /** Quality score over a materialized token column (the token array
-    * is referenced 7×; pre-alias it — see [[langIdFromTokens]]). */
+    * is referenced 6×; pre-alias it — see [[langIdFromTokens]]).
+    * Contract: `toks` must be [[tokens]] of this same `text` — the
+    * average-token-length term is computed from the normalized text,
+    * not by folding the array. */
   def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
+    // sum of token lengths == non-space chars of the normalized text:
+    // tokens are exactly the space-split pieces of normalizeText, so a
+    // codegen'd literal replace + length gives the same long the
+    // `aggregate(toks, 0, acc + length)` fold computed — but that HOF
+    // is CodegenFallback (one boxed lambda frame per token per row, on
+    // the FULL raw corpus in every Curate stage-2 filter); this is
+    // pure whole-stage-codegen column algebra, and the normalizeText
+    // subtree is shared with the tokenizer by subexpression
+    // elimination when both live in one projection.
     val avgLen = when(nTok > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      length(replace(normalizeText(text), lit(" "), lit(""))).cast("double") / nTok)
       .otherwise(lit(0.0))
     val nChars = length(text).cast("double")
     val punct = when(nChars > 0,
