@@ -145,23 +145,29 @@ object Similarity {
           s => s.getField("av")).as("centroid"))
       .withColumnRenamed("g", groupCol)
 
-  /** kNN label vote: classify each query by the majority label of its
-    * `k` nearest corpus neighbors (exact cosine), ties broken by the
-    * SMALLEST label — fully deterministic, no window. The per-query
-    * vote table is at most `k` rows, so the argmax is a single
-    * `max(struct(votes, -label))` hash aggregate: max votes first,
-    * then (via the negated label) the smallest label — never a
-    * row_number over the vote rows. The label join keys on
-    * neighbor_id, |Q| * k rows against the corpus's (id, label)
-    * projection — at scale that side prunes to two columns at the
-    * scan, and the |Q|*k side is the broadcast candidate.
+  /** kNN label vote over a PRECOMPUTED neighbors frame — the
+    * composition point for every search tier: pass the output of
+    * [[bruteForceTopK]] (exact), [[bucketedTopK]]/[[multiProbeTopK]]
+    * (sign-LSH), or [[IvfAnn.topKInt]]/[[IvfAnn.searchIndexInt]] (IVF,
+    * including the persisted partition-pruned index — the 100 TB tier;
+    * at that scale the brute-force neighbor stage, not the vote, is
+    * the cost, so the tier choice must be the caller's). `neighbors`
+    * needs (query_id, neighbor_id) rows, at most `k` per query — the
+    * shared [[rankTopK]] contract every tier emits.
+    *
+    * Ties break to the SMALLEST label — fully deterministic, no
+    * window. The per-query vote table is at most `k` rows, so the
+    * argmax is a single `max(struct(votes, -label))` hash aggregate:
+    * max votes first, then (via the negated label) the smallest
+    * label — never a row_number over the vote rows. The label join
+    * keys on neighbor_id, |Q| * k rows against the corpus's
+    * (id, label) projection — at scale that side prunes to two
+    * columns at the scan, and the |Q|*k side is the broadcast
+    * candidate.
     *
     * Output: (query_id, predicted_label, votes). */
-  def knnClassify(corpus: DataFrame, queries: DataFrame,
-      corpusId: String, corpusVec: String, labelCol: String,
-      queryId: String, queryVec: String, k: Int): DataFrame = {
-    val neighbors = bruteForceTopK(corpus, queries,
-      corpusId, corpusVec, queryId, queryVec, k)
+  def knnClassifyFromNeighbors(neighbors: DataFrame, corpus: DataFrame,
+      corpusId: String, labelCol: String): DataFrame = {
     val labels = corpus.select(
       col(corpusId).as("neighbor_id"), col(labelCol).as("__label"))
     neighbors.join(labels, "neighbor_id")
@@ -173,6 +179,18 @@ object Similarity {
         col("__best.__l").as("predicted_label"),
         col("__best.votes").as("votes"))
   }
+
+  /** kNN label vote over the EXACT top-k neighbors (the
+    * oracle-checkable baseline tier): [[bruteForceTopK]] then
+    * [[knnClassifyFromNeighbors]]. For corpora where a full scan per
+    * query batch is not affordable, run the vote over an ANN tier's
+    * neighbors instead — same vote, caller-chosen search. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, labelCol: String,
+      queryId: String, queryVec: String, k: Int): DataFrame =
+    knnClassifyFromNeighbors(
+      bruteForceTopK(corpus, queries, corpusId, corpusVec, queryId, queryVec, k),
+      corpus, corpusId, labelCol)
 
   /** Deterministic integer hyperplanes: plane p's weight for dimension
     * d is an LCG draw in [-500000, 500000] — plain modular arithmetic

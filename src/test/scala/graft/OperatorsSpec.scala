@@ -410,4 +410,23 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(out.toSeq == Seq((100L, 7, 2L)))
   }
+
+  test("knnClassifyFromNeighbors: the vote composes with the IVF tier") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding", nlist = 4)
+    // nprobe = nlist probes every cell, so the IVF candidate set is
+    // the full corpus and the composed vote must match the exact tier
+    // row-for-row — this pins the neighbors-frame contract the vote
+    // depends on (query_id/neighbor_id naming, k-bounded rows)
+    val viaIvf = Similarity.knnClassifyFromNeighbors(
+      IvfAnn.topKInt(emb, queries, "vec_id", "embedding",
+        "q_id", "q_vec", cents, k = 5, nprobe = 4),
+      emb, "vec_id", "label")
+    val viaBrute = Similarity.knnClassify(emb, queries,
+      "vec_id", "embedding", "label", "q_id", "q_vec", k = 5)
+    assert(viaIvf.exceptAll(viaBrute).count() == 0 &&
+      viaBrute.exceptAll(viaIvf).count() == 0 && viaIvf.count() == 20)
+  }
 }
