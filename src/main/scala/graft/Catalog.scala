@@ -1507,12 +1507,12 @@ object Catalog {
 
     // ================================================= extensions: text analysis
     QueryDef("x09_langid",
-      // tokens materialized once (separate projection) — langId
-      // references the token array once per language
+      // scored from the one-pass DocStats struct (the oracle replays
+      // the HOF semantics — PropertiesSpec pins the two forms equal)
       (s, d) => documents(s, d)
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__stats", TextAnalysis.docStats(col("text")))
         .select(col("doc_id"),
-          TextAnalysis.langIdFromTokens(col("__toks")).as("lang_pred"))
+          TextAnalysis.langIdFromStats(col("__stats")).as("lang_pred"))
         .orderBy("doc_id"),
       Some(langIdOracle)),
 
@@ -1520,9 +1520,9 @@ object Catalog {
       // floor-truncate, don't round: round() tie-breaking at the 4th
       // decimal differs between engines on exact .xxxx5 scores
       (s, d) => documents(s, d)
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__stats", TextAnalysis.docStats(col("text")))
         .select(col("doc_id"),
-          (floor(TextAnalysis.qualityScoreFromTokens(col("text"), col("__toks"))
+          (floor(TextAnalysis.qualityScoreFromStats(col("text"), col("__stats"))
             * 10000) / 10000).as("quality"))
         .orderBy("doc_id"),
       Some(qualityOracle),
@@ -1545,9 +1545,9 @@ object Catalog {
     QueryDef("x24_repetition_ratio",
       // Gopher/C4-style within-doc duplicate-2-gram filter
       (s, d) => documents(s, d)
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .withColumn("__stats", TextAnalysis.docStats(col("text"), gramN = 2))
         .select(col("doc_id"),
-          TextAnalysis.repetitionRatio(col("__toks"), n = 2).as("rep_ratio"))
+          TextAnalysis.repetitionRatioFromStats(col("__stats")).as("rep_ratio"))
         .orderBy("doc_id"),
       Some("""WITH tk AS (
                 SELECT doc_id, list_filter(string_split(

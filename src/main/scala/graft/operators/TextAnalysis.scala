@@ -123,6 +123,60 @@ object TextAnalysis {
       clamp01(stops / 10.0) * 0.25
   }
 
+  // ------------------------------------------- one-pass scoring stats
+
+  /** Every scoring statistic in ONE codegen'd pass over the text —
+    * token count, summed token length, per-language stopword hits,
+    * (distinct) n-gram counts — as a struct column
+    * ([[graft.functions.DocStats]]). Use this + the `FromStats`
+    * derivations on any path where the scores feed a FILTER: predicate
+    * pushdown inlines score aliases into the predicate, and the
+    * HOF-based forms then re-tokenize per reference with interpreted
+    * lambdas that codegen CSE cannot dedupe (measured ~26 ms/doc in
+    * the curation funnel); the stats struct has no lambdas, so the
+    * inlined copies collapse to one primitive-loop evaluation. Values
+    * are bit-identical to the column-algebra forms. */
+  def docStats(text: Column, gramN: Int = 2): Column =
+    graft.functions.DocStats.column(text, stopwords.map(_._2), gramN)
+
+  /** [[langId]] from a [[docStats]] struct — same argmax + tie rule. */
+  def langIdFromStats(stats: Column): Column = {
+    val scored = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(stats.getField("hits"), i + 1).as("hits"),
+        lit(-i).as("rank"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** [[qualityScore]] from a [[docStats]] struct of the same `text` —
+    * identical arithmetic, so identical doubles. */
+  def qualityScoreFromStats(text: Column, stats: Column): Column = {
+    val nTok = stats.getField("n_tokens").cast("double")
+    val avgLen = when(nTok > 0,
+      stats.getField("sum_len").cast("double") / nTok).otherwise(lit(0.0))
+    val nChars = length(text).cast("double")
+    val punct = when(nChars > 0,
+      (nChars - regexp_count(text, lit("[a-zA-Z0-9\\s]"))).cast("double") / nChars)
+      .otherwise(lit(1.0))
+    val stops = stopwords.indices
+      .map(i => element_at(stats.getField("hits"), i + 1))
+      .reduce(_ + _).cast("double")
+    def clamp01(c: Column) = least(greatest(c, lit(0.0)), lit(1.0))
+    clamp01(nTok / 100.0) * 0.25 +
+      clamp01((avgLen - 2.0) / 6.0) * 0.25 +
+      (lit(1.0) - clamp01(punct)) * 0.25 +
+      clamp01(stops / 10.0) * 0.25
+  }
+
+  /** [[repetitionRatio]] from a [[docStats]] struct (whose `gramN`
+    * fixes the n) — same integer counts, same division. */
+  def repetitionRatioFromStats(stats: Column): Column =
+    when(stats.getField("n_grams") > 0,
+      lit(1.0) - stats.getField("n_distinct").cast("double") /
+        stats.getField("n_grams").cast("double"))
+      .otherwise(lit(0.0))
+
   /** Within-document repetition ratio: `1 - distinct/total` over token
     * n-grams — the Gopher/C4-style duplicate-n-gram quality filter
     * (high ratio = boilerplate/looped text). Map-only column algebra;

@@ -37,17 +37,19 @@ object DocStream {
     spark.readStream.schema(docSchema).parquet(dir)
 
   /** Map-only intake stages (stateless, identical in stream and batch):
-    * clean, score from ONE tokens materialization, filter. */
+    * clean, score from the ONE-PASS stats struct (the lambda-free form
+    * that survives predicate-pushdown inlining — see
+    * [[TextAnalysis.docStats]]), filter. */
   private def scoreAndFilter(docs: DataFrame, langs: Seq[String],
       minQuality: Double, minTokens: Int): DataFrame = {
     val cleaned = docs.withColumn("__clean", TextAnalysis.cleanText(col("text")))
-      .withColumn("__toks", TextAnalysis.tokens(col("__clean")))
-      .withColumn("lang_id", TextAnalysis.langIdFromTokens(col("__toks")))
+      .withColumn("__stats", TextAnalysis.docStats(col("__clean")))
+      .withColumn("lang_id", TextAnalysis.langIdFromStats(col("__stats")))
       .withColumn("quality",
-        TextAnalysis.qualityScoreFromTokens(col("__clean"), col("__toks")))
+        TextAnalysis.qualityScoreFromStats(col("__clean"), col("__stats")))
     cleaned
       .where(col("lang_id").isin(langs: _*) &&
-        size(col("__toks")) >= minTokens &&
+        col("__stats").getField("n_tokens") >= minTokens &&
         col("quality") >= minQuality)
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("__clean")))
       .select(col("doc_id"), col("fingerprint"), col("lang_id"),

@@ -39,6 +39,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("DocStats: stats-based lang/quality/repetition equal the HOF forms") {
+    import graft.operators.TextAnalysis
+    val texts = samples(Gen.asciiPrintableStr, 60) ++ Seq(
+      "", " ", "@@@ ###", "the the the", "a",
+      "the and is of to in that it was for",
+      "le la les et est une des dans que pour",
+      "der die das und ist nicht",
+      "北京 中文 text with 的 mixed 是 scripts",
+      "Tabs\tand\nnewlines the and is", "x " * 200, "one two " * 50)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__stats", TextAnalysis.docStats(col("text"), gramN = 2))
+    val mism = df.select(
+        TextAnalysis.langIdFromTokens(col("__toks")).as("l1"),
+        TextAnalysis.langIdFromStats(col("__stats")).as("l2"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("__toks")).as("q1"),
+        TextAnalysis.qualityScoreFromStats(col("text"), col("__stats")).as("q2"),
+        TextAnalysis.repetitionRatio(col("__toks"), 2).as("r1"),
+        TextAnalysis.repetitionRatioFromStats(col("__stats")).as("r2"),
+        size(col("__toks")).as("n1"),
+        col("__stats").getField("n_tokens").as("n2"))
+      .where(not(col("l1") <=> col("l2")) || not(col("q1") <=> col("q2")) ||
+        not(col("r1") <=> col("r2")) || not(col("n1") <=> col("n2")))
+      .count()
+    assert(mism == 0)
+  }
+
   test("firstPerKey: survivor count equals distinct key count; stable under reshuffle") {
     val gen = Gen.listOfN(60,
       Gen.zip(Gen.choose(1, 5), Gen.choose(1, 5), Gen.choose(0, 100)))
