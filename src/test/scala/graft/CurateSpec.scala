@@ -92,6 +92,22 @@ class CurateSpec extends SparkSpec {
     assert(scrubbed.contains("<IP>") && scrubbed.contains("<PHONE>"))
   }
 
+  test("RunCurate: end-to-end main writes curated corpus + report") {
+    val out = java.nio.file.Files.createTempDirectory("runcurate").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val rep = graft.pipeline.RunCurate.run(spark, docs, out,
+      Curate.Config(langs = Seq("en", "und"), minQuality = 0.0, minTokens = 1),
+      eval = Some(docs.limit(0))).toMap
+    // the written corpus is exactly the report's "kept" count — the
+    // single-aggregate audit and the survivors share one funnel
+    val curated = spark.read.parquet(s"$out/curated")
+    assert(rep("kept") > 0 && curated.count() == rep("kept"))
+    assert(curated.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "report.json"))
+    assert(json.contains("\"input\":") && json.contains("\"kept\":"))
+  }
+
   test("curate is idempotent: curating the output changes nothing") {
     val docs = Seq((1L, good), (2L, good), (6L, contaminated))
       .toDF("doc_id", "text")
