@@ -3,11 +3,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries (Catalog.headlines) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is forced
-  * with count() (full plan execution, no result collection cost). */
+  * with count() (full plan execution, no result collection cost).
+  *
+  * Noise protocol (r4 lesson — a whole round's perf signal was burned
+  * on host-steal artifacts): every query runs SPARK_GRAFT_BENCH_REPS
+  * times (default 3) IN ONE SESSION, interleaved nowhere — rep 1 is
+  * the cold number (includes whole-stage-codegen compilation, the
+  * r1-comparable headline), and the JSON also carries per-query min
+  * and median so a regression claim can be made against the rep
+  * floor instead of eyeballing a noise band. `warm` = min of reps
+  * 2..N (plan classes cached — steady-state throughput), keeping the
+  * key comparable with rounds 1-4. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,33 +30,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one cheap action to absorb session/codegen warmup noise
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def time(q: Catalog.QueryDef): Double = {
+    def timeOnce(q: Catalog.QueryDef): Double = {
       val t0 = System.nanoTime()
       try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      // free dedup checkpoint blocks between queries so repeated runs
-      // in one session (the warm pass) start from flat executor storage
+      // free dedup checkpoint blocks between runs so later reps start
+      // from flat executor storage
       graft.operators.Dedup.releaseCheckpoints()
       sec
     }
-    // pass 1: cold — includes whole-stage-codegen compilation (the
-    // r1-comparable headline). pass 2: warm — plan classes cached, the
-    // steady-state throughput a long-lived cluster session sees.
-    val cold = Catalog.headlines.map { q =>
-      val sec = time(q)
-      Console.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s")
-      q.name -> sec
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val warm = Catalog.headlines.map { q =>
-      val sec = time(q)
-      Console.err.println(f"[bench] warm ${q.name}%-19s $sec%8.3f s")
-      q.name -> sec
+    final case class Row(name: String, cold: Double, min: Double,
+        med: Double, warm: Double)
+    val rows = Catalog.headlines.map { q =>
+      val ts = (1 to reps).map(_ => timeOnce(q))
+      val r = Row(q.name, ts.head, ts.min, median(ts), ts.tail.min)
+      Console.err.println(
+        f"[bench] ${q.name}%-24s cold ${r.cold}%7.3f  min ${r.min}%7.3f  med ${r.med}%7.3f  warm ${r.warm}%7.3f s")
+      r
     }
-    def jmap(m: Seq[(String, Double)]) = m
-      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = cold.map(_._2).sum
-    val warmTotal = warm.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"warm_total":$warmTotal%.3f,"warm":${jmap(warm)},"sf":"$sfDir"}""")
+    def jmap(f: Row => Double) = rows
+      .map(r => "\"" + r.name + f"""":${f(r)}%.3f""").mkString("{", ",", "}")
+    def total(f: Row => Double) = f"${rows.map(f).sum}%.3f"
+    println(s"""{"metric":"total","value":${total(_.cold)},"unit":"sec","reps":$reps,"queries":${jmap(_.cold)},"min_total":${total(_.min)},"min":${jmap(_.min)},"median_total":${total(_.med)},"median":${jmap(_.med)},"warm_total":${total(_.warm)},"warm":${jmap(_.warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

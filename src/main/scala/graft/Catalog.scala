@@ -1824,7 +1824,8 @@ object Catalog {
                 JOIN embeddings ea ON ea.vec_id = a.vec_id
                 JOIN embeddings eb ON eb.vec_id = b.vec_id)
               SELECT id_a, id_b, round(cosine, 4) AS cosine
-              FROM pairs WHERE cosine >= 0.3 ORDER BY id_a, id_b""")),
+              FROM pairs WHERE cosine >= 0.3 ORDER BY id_a, id_b"""),
+      headline = true),
 
     QueryDef("x35_tfidf_topterms",
       // linear-idf TF-IDF: integer products + one correctly-rounded
@@ -1850,7 +1851,8 @@ object Catalog {
                     ORDER BY score DESC, term) AS rank
                 FROM scored)
               SELECT doc_id, rank, term, tf, df, score
-              FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+              FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      headline = true),
 
     QueryDef("x36_containment",
       // doc-in-doc detection: the output is the integer evidence pair
