@@ -1919,7 +1919,78 @@ object Catalog {
                     ORDER BY votes DESC, label) AS rn
                 FROM votes)
               SELECT query_id, predicted_label, votes
-              FROM best WHERE rn = 1 ORDER BY query_id"""))
+              FROM best WHERE rn = 1 ORDER BY query_id""")),
+
+    QueryDef("x38_quota_cap",
+      // per-domain quota (C4/RefinedWeb-style source cap): keep at
+      // most k docs per source, selected by the smallest 52-bit md5
+      // draws — a k-bounded TopKPairs aggregate, never a per-group
+      // sort (13 hex chars = 52 bits so the double score is exact;
+      // the oracle replays the draw bit-for-bit)
+      (s, d) => Sampling.quotaCapPerGroup(documents(s, d), "source", "doc_id",
+          k = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT),
+                      doc_id) AS rn
+                FROM documents) t
+              WHERE rn <= 10 ORDER BY doc_id""")),
+
+    QueryDef("x39_chunking",
+      // context-window prep: strided 50-token chunks with 10-token
+      // overlap; the result row carries md5(chunk) instead of the
+      // chunk text so the hash compare stays compact
+      (s, d) => TextAnalysis.chunkDocs(documents(s, d), "doc_id", "text",
+          chunkTokens = 50, stride = 40)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              s AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+              c AS (
+                SELECT doc_id,
+                  CAST(start AS INT) // 40 AS chunk_idx,
+                  toks[CAST(start AS INT) + 1 : CAST(start AS INT) + 50] AS chunk
+                FROM s, unnest(range(0, n, 40)) AS t(start))
+              SELECT doc_id, chunk_idx,
+                len(chunk) AS n_tokens,
+                md5(array_to_string(chunk, ' ')) AS chunk_md5
+              FROM c ORDER BY doc_id, chunk_idx""")),
+
+    QueryDef("x40_oov_rate",
+      // tokenizer-coverage signal: top-200-df vocabulary (ties to the
+      // smallest term; Spark plans the sort+limit as a per-task
+      // bounded heap via TakeOrderedAndProject), then per-doc
+      // out-of-vocabulary occurrence rate against its broadcast
+      (s, d) => {
+        val docs = documents(s, d)
+        val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text", v = 200)
+        TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+              df AS (SELECT term, count(DISTINCT doc_id) AS df
+                     FROM terms GROUP BY 1),
+              vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 200),
+              j AS (SELECT t.doc_id, v.term AS hit
+                    FROM terms t LEFT JOIN vocab v ON t.term = v.term)
+              SELECT doc_id, count(*) AS n_tokens,
+                count(*) FILTER (WHERE hit IS NULL) AS n_oov,
+                CAST(count(*) FILTER (WHERE hit IS NULL) AS DOUBLE)
+                  / count(*) AS oov_rate
+              FROM j GROUP BY 1 ORDER BY doc_id"""))
   )
 
   private lazy val langIdOracle: String = {

@@ -33,6 +33,42 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Per-group QUOTA cap (the C4/RefinedWeb-style per-domain limit):
+    * keep at most `k` rows per group, selected deterministically, as a
+    * K-BOUNDED AGGREGATE — not the [[consistentSamplePerGroup]]
+    * window. The window form shuffles and sorts every row of every
+    * group; this folds candidates into k-slot [[graft.functions
+    * .TopKPairs]] buffers map-side, so the shuffle carries at most k
+    * ids per (group, task) and over-quota rows die where they were
+    * scanned — on a 100 TB corpus where one domain holds 10⁹ documents
+    * and the cap is 10⁴, that is the difference between shuffling the
+    * domain and shuffling the cap.
+    *
+    * Selection rule: `byHash = true` (default) keeps the k smallest
+    * md5-draws — a deterministic uniform sample of the group
+    * (engine-replayable; the draw is the FIRST 13 hex chars of
+    * md5(id) = 52 bits, chosen because 52-bit integers are EXACTLY
+    * representable in the aggregate's double score — a longer prefix
+    * would round and could flip orderings an external oracle computes
+    * exactly). `byHash = false` keeps the k smallest ids (stable
+    * "first N per key"). Ties break by id ascending; ids must be
+    * integral and unique. Returns the surviving rows of `df`. */
+  def quotaCapPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, byHash: Boolean = true): DataFrame = {
+    val score =
+      if (byHash)
+        -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+          .cast("double")
+      else lit(0.0) // constant score -> TopKPairs falls to id ascending
+    val keep = df
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKPairs.column(
+        score, col(idCol).cast("long"), k).as("__top"))
+      .select(explode(col("__top")).as("__s"))
+      .select(col("__s.id").cast(df.schema(idCol).dataType).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Deterministic per-stratum Bernoulli sampling (the training-mix
     * rebalance op): a row survives iff its md5-derived uniform draw
     * `u(id, stratum) in [0, 1e6)` falls under `rate * 1e6`. Unlike

@@ -321,4 +321,81 @@ object TextAnalysis {
     * paths materialize tokens first (see [[shinglesFromTokens]]). */
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
+
+  // ------------------------------------------------- vocabulary / OOV
+
+  /** Corpus vocabulary: the `v` terms with the highest document
+    * frequency, ties to the lexicographically smallest term. Plans as
+    * tf hash agg → df hash agg → global `orderBy(...).limit(v)`, which
+    * Spark executes as TakeOrderedAndProject — each task keeps a
+    * v-bounded heap and the driver merges |tasks|·v rows, so the
+    * "global sort" never materializes (the same k-bounded principle as
+    * TopKPairs, built into the engine for the sort+limit shape).
+    * Output: (term, df), vocabulary order NOT materialized (it's a
+    * set; consumers broadcast-join on term). */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      v: Int): DataFrame = {
+    val terms = Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), explode(tokens(col("__text"))).as("term"))
+    terms.distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(v)
+  }
+
+  /** Per-document OUT-OF-VOCABULARY rate against a vocabulary frame
+    * (one `term` column — e.g. [[vocabulary]]'s output): the fraction
+    * of token OCCURRENCES not covered, the standard tokenizer-coverage
+    * / domain-shift signal. Shape: explode tokens → broadcast left
+    * join against the vocabulary (vocab is v rows — always the
+    * broadcast side) → per-doc counts. Docs with zero tokens score
+    * OOV 1.0 (nothing covered). Output: (doc_id, n_tokens, n_oov,
+    * oov_rate). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val terms = Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), explode(tokens(col("__text"))).as("term"))
+    terms
+      .join(broadcast(vocab.select(col("term"), lit(1).as("__in"))),
+        Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("__in").isNull).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(1.0)))
+  }
+
+  // ---------------------------------------------------------- chunking
+
+  /** Split documents into strided token-window CHUNKS — the
+    * context-window preparation step of a training pipeline (a doc
+    * longer than the model context becomes overlapping windows;
+    * `stride < chunkTokens` keeps `chunkTokens - stride` tokens of
+    * overlap for continuity). Chunk starts are 0, stride, 2·stride, …
+    * while < nTokens, so the FINAL chunk may be shorter; zero-token
+    * documents emit nothing. Map-only: tokenize → sequence of starts →
+    * posexplode → slice/join — no shuffle, embarrassingly parallel,
+    * and the fan-out is |doc| / stride rows per document (bounded by
+    * the input token count, never corpus-global).
+    *
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_text) — chunk_idx is
+    * the 0-based window ordinal. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens and stride must be >= 1, got $chunkTokens / $stride")
+    Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .withColumn("__toks", tokens(col("__text")))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__chunk")).as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

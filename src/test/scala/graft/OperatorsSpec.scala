@@ -411,6 +411,60 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 7, 2L)))
   }
 
+  test("chunkDocs: non-overlapping chunks reassemble the token stream") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val chunks = TextAnalysis.chunkDocs(docs, "doc_id", "text",
+      chunkTokens = 30, stride = 30)
+    // stride == chunkTokens: concatenating chunks in order rebuilds
+    // the full normalized token stream of each doc
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("joined"))
+    val direct = docs.select(col("doc_id"),
+      concat_ws(" ", TextAnalysis.tokens(col("text"))).as("joined"))
+      .where(length(col("joined")) > 0)
+    assert(rebuilt.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(rebuilt).count() == 0)
+    // overlap form: every chunk's size is exactly
+    // min(chunkTokens, totalTokens - stride * chunk_idx)
+    val over = TextAnalysis.chunkDocs(docs, "doc_id", "text", 50, 40)
+    val totals = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("__total"))
+    val bad = over.join(totals, "doc_id")
+      .where(col("n_tokens") =!=
+        least(lit(50), col("__total") - lit(40) * col("chunk_idx")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("quotaCapPerGroup: agg form matches the window form; id form keeps smallest") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val agg = Sampling.quotaCapPerGroup(docs, "source", "doc_id", k = 7)
+      .select("doc_id", "source")
+    // the window reconstruction of the same 52-bit draw + id order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").asc, col("doc_id").asc)
+    val win = docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 7).select("doc_id", "source")
+    assert(agg.exceptAll(win).count() == 0 && win.exceptAll(agg).count() == 0)
+    // every group capped, none emptied
+    val sizes = agg.groupBy("source").count().select("count")
+      .as[Long].collect()
+    assert(sizes.nonEmpty && sizes.forall(n => n >= 1 && n <= 7))
+    // byHash=false keeps the k SMALLEST ids per group
+    val first = Sampling.quotaCapPerGroup(docs, "source", "doc_id",
+      k = 3, byHash = false)
+    val expect = docs.withColumn("__rn", org.apache.spark.sql.functions
+        .row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("doc_id").asc)))
+      .where(col("__rn") <= 3).drop("__rn")
+    assert(first.select("doc_id").exceptAll(expect.select("doc_id")).count() == 0 &&
+      expect.select("doc_id").exceptAll(first.select("doc_id")).count() == 0)
+  }
+
   test("knnClassifyFromNeighbors: the vote composes with the IVF tier") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.where(col("vec_id") < 20)
