@@ -1962,7 +1962,8 @@ object Catalog {
               SELECT doc_id, chunk_idx,
                 len(chunk) AS n_tokens,
                 md5(array_to_string(chunk, ' ')) AS chunk_md5
-              FROM c ORDER BY doc_id, chunk_idx""")),
+              FROM c ORDER BY doc_id, chunk_idx"""),
+      headline = true),
 
     QueryDef("x40_oov_rate",
       // tokenizer-coverage signal: top-200-df vocabulary (ties to the

@@ -425,13 +425,21 @@ object Dedup {
     * predicate (e.g. same language + close length). Deterministic and
     * SQL-expressible, so it doubles as the oracle-checkable variant of
     * fuzzy dedup. The blocking predicate bounds the pair count; at
-    * scale, swap in [[minHashDupPairs]] whose banding is data-driven. */
+    * scale, swap in [[minHashDupPairs]] whose banding is data-driven.
+    *
+    * Shingle sets are the HASHED form ([[graft.functions
+    * .ShingleHashes]], one codegen'd pass — the string-shingle
+    * `transform(sequence...)` HOF ran interpreted): distinct string
+    * shingles and distinct md5-60 shingle hashes are in bijection
+    * (collision-free at any realistic vocabulary), so intersection /
+    * union counts — and therefore every emitted jaccard — are
+    * unchanged, while the pair join ships 8-byte longs instead of
+    * shingle strings. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, blockOn: Seq[String]): DataFrame = {
     val base = Rebalance(df.select(
         (col(idCol).as("id") +: col(textCol).as("__text") +: blockOn.map(col)): _*))
-      .withColumn("__toks", TextAnalysis.tokens(col("__text")))
-      .withColumn("sh", TextAnalysis.shinglesFromTokens(col("__toks"), n))
+      .withColumn("sh", graft.functions.ShingleHashes.column(col("__text"), n))
       .where(size(col("sh")) > 0)
       .select((col("id") +: col("sh") +: blockOn.map(col)): _*)
     val l = base.as("l"); val r = base.as("r")
@@ -461,10 +469,12 @@ object Dedup {
     * disagree; hash-checked consumers should prefer the ints. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, blockOn: Seq[String]): DataFrame = {
+    // hashed ShingleHashes sets (see ngramJaccardPairs): counts, and
+    // thus every output column, are unchanged vs string shingles;
+    // the pair join ships 8-byte longs instead of shingle strings
     val base = Rebalance(df.select(
         (col(idCol).as("id") +: col(textCol).as("__text") +: blockOn.map(col)): _*))
-      .withColumn("__toks", TextAnalysis.tokens(col("__text")))
-      .withColumn("sh", TextAnalysis.shinglesFromTokens(col("__toks"), n))
+      .withColumn("sh", graft.functions.ShingleHashes.column(col("__text"), n))
       .where(size(col("sh")) > 0)
       .withColumn("__sz", size(col("sh")))
       .select((col("id") +: col("sh") +: col("__sz") +: blockOn.map(col)): _*)

@@ -55,6 +55,16 @@ object Sampling {
     * integral and unique. Returns the surviving rows of `df`. */
   def quotaCapPerGroup(df: DataFrame, groupCol: String, idCol: String,
       k: Int, byHash: Boolean = true): DataFrame = {
+    // the id round-trips through TopKPairs' long slot and back; a
+    // non-integral id would silently become null (TopKPairs skips
+    // null ids → rows silently dropped), so enforce the contract here
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"quotaCapPerGroup: idCol '$idCol' must be an integral type " +
+        s"(byte/short/int/long), got ${idType.catalogString}")
     val score =
       if (byHash)
         -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)

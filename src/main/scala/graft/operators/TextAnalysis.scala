@@ -24,12 +24,15 @@ object TextAnalysis {
     * normalizer collapses runs and trims), so `split` alone can never
     * produce an empty token — only the empty STRING splits to [""],
     * handled by the length guard. Identical results to the historical
-    * `filter(split(...), _ =!= "")`, but with no interpreted
-    * ArrayFilter lambda per row (HOFs are CodegenFallback; this is
-    * pure codegen'd column algebra on the hottest text path). */
+    * `filter(split(...), _ =!= "")` INCLUDING null propagation (a null
+    * input falls through the guard to `split(null)` = null, exactly as
+    * the filter form returned null — external oracles' `string_split`
+    * also nulls through), but with no interpreted ArrayFilter lambda
+    * per row (HOFs are CodegenFallback; this is pure codegen'd column
+    * algebra on the hottest text path). */
   def tokens(c: Column): Column = {
     val n = normalizeText(c)
-    when(length(n) > 0, split(n, " ")).otherwise(array().cast("array<string>"))
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
   }
 
   /** Whitespace token count. */
@@ -277,11 +280,16 @@ object TextAnalysis {
     * signal, and worth it for a hash-verifiable ranking.
     *
     * Scale shape: one shuffle for the (doc, term) tf aggregate; the
-    * term→df table is VOCABULARY-sized, so its join back to tf
-    * broadcasts; the corpus doc count joins as a broadcast 1-row
-    * cross join (never a driver collect); the final top-k window
-    * partitions by doc_id — bounded by a document's distinct terms,
-    * never corpus-wide.
+    * term→df table joins back to tf UNHINTED — AQE broadcasts it when
+    * its runtime size is under the threshold and falls back to a
+    * shuffled hash join when it isn't (a web-scale raw vocabulary —
+    * typos, code, numbers — is 10⁸–10⁹ terms; a forced broadcast
+    * there is a driver/executor OOM, and both sides are already
+    * hash-partitioned on `term` from their aggregates, so the shuffle
+    * path reuses the exchange). The corpus doc count joins as a
+    * broadcast 1-row cross join (never a driver collect); the final
+    * top-k window partitions by doc_id — bounded by a document's
+    * distinct terms, never corpus-wide.
     *
     * Output: (doc_id, rank, term, tf, df, score). */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
@@ -293,7 +301,7 @@ object TextAnalysis {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
@@ -348,9 +356,12 @@ object TextAnalysis {
     * of token OCCURRENCES not covered, the standard tokenizer-coverage
     * / domain-shift signal. Shape: explode tokens → broadcast left
     * join against the vocabulary (vocab is v rows — always the
-    * broadcast side) → per-doc counts. Docs with zero tokens score
-    * OOV 1.0 (nothing covered). Output: (doc_id, n_tokens, n_oov,
-    * oov_rate). */
+    * broadcast side) → per-doc counts. Documents with zero tokens are
+    * ABSENT from the output (they explode to no term rows, hence no
+    * group — matching the oracle, whose join-then-group does the
+    * same); every emitted group therefore has n_tokens >= 1 and the
+    * division is unconditionally defined. Output: (doc_id, n_tokens,
+    * n_oov, oov_rate). */
   def oovRate(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
     val terms = Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
@@ -362,9 +373,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         count_if(col("__in").isNull).as("n_oov"))
       .withColumn("oov_rate",
-        when(col("n_tokens") > 0,
-          col("n_oov").cast("double") / col("n_tokens").cast("double"))
-          .otherwise(lit(1.0)))
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
   // ---------------------------------------------------------- chunking

@@ -68,7 +68,11 @@ object RunCurate {
     spark.stop()
   }
 
-  /** Execute the funnel: write survivors, then the audit report.
+  /** Execute the funnel ONCE: [[Curate.curateAndReport]] persists the
+    * bounded per-stage id frames, writes the survivors, and derives
+    * the audit counts from the same lineage — MinHash pair generation
+    * and the iterative cluster jobs run a single time per invocation
+    * (calling curate() then report() re-ran them both).
     * Returns the per-stage counts (also written as report.json). */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Curate.Config = Curate.Config(),
@@ -80,12 +84,12 @@ object RunCurate {
       r
     }
     val evalSpec = eval.map(ev => (ev, "doc_id", "text"))
-    timed("curate") {
-      Curate.curate(docs, "doc_id", "text", cfg, evalSpec)
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated")
-    }
-    val report = timed("report") {
-      Curate.report(docs, "doc_id", "text", cfg, evalSpec)
+    val report = timed("funnel") {
+      Curate.curateAndReport(docs, "doc_id", "text", cfg, evalSpec) {
+        survivors => timed("write") {
+          survivors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated")
+        }
+      }
     }
     report.foreach { case (stage, n) =>
       println(f"[curate] $stage%-12s $n%d")

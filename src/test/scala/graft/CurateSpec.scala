@@ -108,6 +108,32 @@ class CurateSpec extends SparkSpec {
     assert(json.contains("\"input\":") && json.contains("\"kept\":"))
   }
 
+  test("curateAndReport: one funnel yields the same corpus and counts as curate+report") {
+    val docs = Seq(
+      (1L, good), (2L, good), (3L, nearDup),
+      (4L, french), (5L, junk), (6L, contaminated))
+      .toDF("doc_id", "text")
+    val eval = Some((Seq((100L, evalDoc)).toDF("eval_id", "text"), "eval_id", "text"))
+
+    // reference: the two-call composition
+    val refCorpus = Curate.curate(docs, "doc_id", "text", eval = eval)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val refReport = Curate.report(docs, "doc_id", "text", eval = eval)
+
+    // single-execution path: capture the survivors instead of writing
+    var written: Array[Seq[Any]] = Array.empty
+    val oneReport = Curate.curateAndReport(docs, "doc_id", "text", eval = eval) {
+      survivors =>
+        assert(survivors.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+        written = survivors.collect().map(_.toSeq)
+          .sortBy(_.head.asInstanceOf[Long].toString)
+    }
+    assert(written.toSeq == refCorpus.toSeq,
+      "curateAndReport survivors must be value-identical to curate()")
+    assert(oneReport == refReport,
+      "curateAndReport counts must equal report()")
+  }
+
   test("curate is idempotent: curating the output changes nothing") {
     val docs = Seq((1L, good), (2L, good), (6L, contaminated))
       .toDF("doc_id", "text")

@@ -108,6 +108,38 @@ class PropertiesSpec extends SparkSpec {
     got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("quotaCapPerGroup: survivor set is a pure function of the data (any partitioning)") {
+    import graft.operators.Sampling
+    // the 52-bit md5 draw (13 hex chars — exact in the aggregate's
+    // double score; see Sampling.quotaCapPerGroup) must pick the SAME
+    // survivors however the rows are laid out
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(1L, 100000L), Gen.oneOf("web", "books", "code")))
+    samples(gen, 3).foreach { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("id", "source")
+      val baseline = Sampling.quotaCapPerGroup(df, "source", "id", k = 7)
+        .select("id").as[Long].collect().sorted.toSeq
+      Seq(1, 3, 16).foreach { p =>
+        val got = Sampling.quotaCapPerGroup(df.repartition(p), "source", "id", k = 7)
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(got == baseline, s"survivors changed under repartition($p)")
+      }
+      // per-group cap actually binds
+      val counts = Sampling.quotaCapPerGroup(df, "source", "id", k = 7)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      counts.foreach { case (s, n) =>
+        assert(n <= 7, s"group $s exceeded the quota: $n")
+      }
+    }
+    // the integral-id contract is enforced, not just documented
+    val bad = Seq(("a", "web")).toDF("id", "source")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.quotaCapPerGroup(bad, "source", "id", k = 1)
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("jaccardFromIntersect stays in [0,1] and is 1 for identical sets") {
     val gen = Gen.listOf(Gen.choose(0, 20))
     samples(Gen.zip(gen, gen), 20).foreach { case (a, b) =>
