@@ -1111,6 +1111,84 @@ object Catalog {
                 WHERE e.doc_id < 250 AND md5(e.text) = md5(i.text))
               ORDER BY doc_id""")),
 
+    QueryDef("x41_fuzzy_index_dedup",
+      // incremental FUZZY dedup against a PERSISTED signature index:
+      // the corpus (docs < 250) is signed and banded once into a
+      // shard-partitioned lake index; the incoming batch (>= 250) is
+      // signed map-side and PROBES it — band-bucket candidates, exact
+      // Jaccard verify, survivors keep only batch docs with no
+      // near-dup in the corpus. The probe reads corpus shards its own
+      // buckets hash to (static partition filters), never the text.
+      (s, d) => {
+        val docs = documents(s, d)
+        val corpus = docs.where(col("doc_id") < 250)
+        val incoming = docs.where(col("doc_id") >= 250)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_fuzzy_idx_" +
+          Integer.toHexString(d.hashCode)
+        Dedup.buildFuzzyIndex(corpus, "doc_id", "text", path,
+          shingleN = 3, k = 64, bands = 16)
+        Dedup.incrementalFuzzySurvivors(s, path, incoming, "doc_id", "text",
+            threshold = 0.5)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      // the oracle replays the full portable pipeline (token md5-60,
+      // shingle hash, 64 affine permutations, 16 bands) exactly as in
+      // x03, restricted to corpus-side < 250 / batch-side >= 250
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT b.doc_id AS in_id, c.doc_id AS corpus_id
+                FROM bands b JOIN bands c ON b.bucket = c.bucket
+                WHERE b.doc_id >= 250 AND c.doc_id < 250),
+              dup AS (
+                SELECT DISTINCT p.in_id
+                FROM cand p
+                JOIN sh a ON a.doc_id = p.in_id
+                JOIN sh b ON b.doc_id = p.corpus_id
+                WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                  >= 0.5)
+              SELECT doc_id, source FROM documents
+              WHERE doc_id >= 250
+                AND doc_id NOT IN (SELECT in_id FROM dup)
+              ORDER BY doc_id""")),
+
     // ================================================= extensions: similarity
     QueryDef("x06_knn_cosine",
       (s, d) => {

@@ -329,6 +329,154 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------- persisted fuzzy (MinHash) index
+
+  /** Parameters a [[buildFuzzyIndex]] run was built with, read back by
+    * [[probeFuzzyIndex]] from the index's own meta table — so a
+    * build/probe parameter mismatch (different shingle n, permutation
+    * count, banding, or shard layout silently yielding zero matches)
+    * is impossible by construction. */
+  final case class FuzzyIndexMeta(
+      shingleN: Int, k: Int, bands: Int, nShards: Int, maxBucketSize: Int)
+
+  /** Read the meta table of a persisted fuzzy index. */
+  def fuzzyIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): FuzzyIndexMeta = {
+    val r = spark.read.parquet(s"$path/meta").collect()(0)
+    FuzzyIndexMeta(r.getAs[Int]("shingle_n"), r.getAs[Int]("k"),
+      r.getAs[Int]("bands"), r.getAs[Int]("n_shards"), r.getAs[Int]("max_bucket"))
+  }
+
+  /** Build a PERSISTED MinHash signature index over a corpus — the
+    * incremental-fuzzy-dedup counterpart of [[IvfAnn.buildIndexInt]]:
+    * pay the corpus text scan (tokenize → shingle-hash → k-slot
+    * signature) ONCE at build time, then dedup every incoming batch by
+    * [[probeFuzzyIndex]] without ever rescanning or re-signing the
+    * corpus. Three tables under `path`:
+    *  - `sets/`  (id, hs, sig), partitioned by
+    *    `__idshard = pmod(id, nShards)` — the verification side;
+    *    a probe reads only the shards its candidate ids live in;
+    *  - `bands/` (band, bucket, id), partitioned by
+    *    `__shard = pmod(xxhash64(bucket), nShards)` — the candidate-
+    *    generation side; a probe's buckets hash to a bounded shard
+    *    set, pushed as a static partition filter;
+    *  - `meta/`  one row of build parameters (see [[FuzzyIndexMeta]]).
+    * Degenerate buckets (membership > maxBucketSize — boilerplate
+    * content sharing a signature, the LSH skew case) are dropped AT
+    * BUILD time by a broadcast anti-join against the (tiny) over-cap
+    * bucket list — the same policy [[minHashDupPairs]] applies per
+    * run, paid once here so probes stay cap-free and bounded.
+    * The corpus text is scanned once: `bands/` derives from the
+    * written `sets/` (compact id+signature rows), not from the text.
+    * `idCol` must be integral (it becomes the sets/ shard key). */
+  def buildFuzzyIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      nShards: Int = 64, maxBucketSize: Int = 1000): Unit = {
+    val idType = corpus.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"buildFuzzyIndex: idCol '$idCol' must be integral, got ${idType.catalogString}")
+    val spark = corpus.sparkSession
+    minHashBaseFromArrays(shingleHashArrays(corpus, idCol, textCol, shingleN), k)
+      .withColumn("__idshard", pmod(col("id").cast("long"), lit(nShards.toLong)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__idshard").parquet(s"$path/sets")
+    val banded = lshBandRows(spark.read.parquet(s"$path/sets"), k, bands)
+    val overCap = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucketSize)
+      .select("band", "bucket")
+    banded.join(overCap, Seq("band", "bucket"), "left_anti")
+      .withColumn("__shard", pmod(xxhash64(col("bucket")), lit(nShards.toLong)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__shard").parquet(s"$path/bands")
+    spark.range(1).select(
+        lit(shingleN).as("shingle_n"), lit(k).as("k"), lit(bands).as("bands"),
+        lit(nShards).as("n_shards"), lit(maxBucketSize).as("max_bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** Probe a [[buildFuzzyIndex]] index with an incoming batch: fuzzy
+    * duplicate pairs (in_id, corpus_id, jaccard >= threshold) between
+    * batch and corpus, WITHOUT rescanning the corpus text. The batch
+    * is signed map-side (same portable hash family as the build, with
+    * the build's own parameters from `meta/`), its band rows equi-join
+    * the persisted `bands/` table, and the surviving candidate ids
+    * look up their exact shingle sets in `sets/` for full Jaccard
+    * verification.
+    *
+    * I/O shape (the point of the index): with `staticPrune` (default),
+    * the batch's distinct bucket-shard set — at most nShards ints, the
+    * same model-sized driver artifact as [[IvfAnn.searchIndexInt]]'s
+    * probe cells — is collected and pushed as a static partition
+    * filter on `bands/`, and the candidates' distinct id-shard set
+    * (again <= nShards ints) likewise prunes `sets/`; a small batch
+    * therefore reads a FRACTION of both tables, proportional to its
+    * own bucket spread, never the corpus. The candidate pair set is
+    * localCheckpointed (registered with [[releaseCheckpoints]] /
+    * [[scoped]]) so the band join executes once while feeding both the
+    * shard collection and the verification join — this makes the call
+    * eagerly run the candidate job, like the search-side collect it
+    * mirrors. `checkpointCandidates = false` keeps the whole probe
+    * lazy/plan-inspectable (candidate generation then re-executes per
+    * consumer — the plan-audit and tiny-batch mode). */
+  def probeFuzzyIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, textCol: String, threshold: Double,
+      staticPrune: Boolean = true,
+      checkpointCandidates: Boolean = true): DataFrame = {
+    val m = fuzzyIndexMeta(spark, path)
+    val inBase =
+      minHashBaseFromArrays(shingleHashArrays(incoming, idCol, textCol, m.shingleN), m.k)
+    val inBands = lshBandRows(inBase, m.k, m.bands)
+      .withColumn("__shard", pmod(xxhash64(col("bucket")), lit(m.nShards.toLong)))
+    val corpusBands0 = spark.read.parquet(s"$path/bands")
+    val corpusBands =
+      if (!staticPrune) corpusBands0
+      else {
+        val shards = inBands.select("__shard").distinct().collect().map(_.getLong(0))
+        if (shards.isEmpty) corpusBands0.limit(0)
+        else corpusBands0.where(col("__shard").isin(shards.toIndexedSeq: _*))
+      }
+    val cand0 = inBands.select(col("id").as("in_id"), col("band"), col("bucket"))
+      .join(corpusBands.select(col("id").as("corpus_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("in_id", "corpus_id").distinct()
+    val cand =
+      if (checkpointCandidates) trackCheckpoint(cand0.localCheckpoint())
+      else cand0
+    val sets0 = spark.read.parquet(s"$path/sets")
+    val sets =
+      if (!staticPrune) sets0
+      else {
+        val idShards = cand
+          .select(pmod(col("corpus_id").cast("long"), lit(m.nShards.toLong)).as("__s"))
+          .distinct().collect().map(_.getLong(0))
+        if (idShards.isEmpty) sets0.limit(0)
+        else sets0.where(col("__idshard").isin(idShards.toIndexedSeq: _*))
+      }
+    cand
+      .join(inBase.select(col("id").as("in_id"), col("hs").as("__ha")), "in_id")
+      .join(sets.select(col("id").as("corpus_id"), col("hs").as("__hb")), "corpus_id")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", jaccardFromIntersect(
+        col("__inter"), size(col("__ha")), size(col("__hb"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("in_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Incremental FUZZY dedup (the near-dup cousin of
+    * [[incrementalSurvivors]]'s exact digest check): keep only
+    * `incoming` rows with NO fuzzy duplicate in the indexed corpus —
+    * an anti-join against [[probeFuzzyIndex]]'s flagged batch ids. */
+  def incrementalFuzzySurvivors(spark: org.apache.spark.sql.SparkSession,
+      path: String, incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val dups = probeFuzzyIndex(spark, path, incoming, idCol, textCol, threshold)
+      .select(col("in_id").as(idCol)).distinct()
+    incoming.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** MinHash dup pairs with SIGNATURE-ESTIMATED verification: instead
     * of exact Jaccard over the shingle sets, each candidate pair is
     * scored by the fraction of agreeing signature slots (the unbiased

@@ -375,6 +375,64 @@ class FunctionsSpec extends SparkSpec {
     assert(lease.release() >= 1)
   }
 
+  test("persisted fuzzy index: probe equals batch dedup; both index scans shard-pruned") {
+    import graft.operators.Dedup
+    // corpus 1-6 with internal variety; incoming 100-103 where 100 is
+    // a near-dup of corpus doc 2 and 101 of doc 4; 102/103 are novel
+    val mk = (s: String) => s + " and the quick brown fox jumps over the lazy dog " +
+      "while the rain in spain falls mainly on the plain every single day"
+    val corpus = Seq(
+      (1L, mk("alpha report one")), (2L, mk("beta survey two")),
+      (3L, "completely different tiny text"), (4L, mk("gamma study three")),
+      (5L, mk("delta paper four")), (6L, mk("epsilon note five")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, mk("beta survey two") + " extra"),
+      (101L, mk("gamma study three") + " more"),
+      (102L, "novel unrelated content about databases and query engines"),
+      (103L, "short new thing")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy_idx").toString
+    Dedup.buildFuzzyIndex(corpus, "doc_id", "text", s"$tmp/idx",
+      shingleN = 3, k = 64, bands = 16, nShards = 16)
+
+    // reference: run the batch pair generator over corpus ∪ incoming —
+    // same banding, same verification — and keep the crossing pairs
+    val expected = Dedup.minHashDupPairs(corpus.unionByName(incoming),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .where(col("id_a") <= 6L && col("id_b") >= 100L)
+      .select(col("id_b").as("in_id"), col("id_a").as("corpus_id"), col("jaccard"))
+    val probed = Dedup.probeFuzzyIndex(spark, s"$tmp/idx", incoming,
+      "doc_id", "text", threshold = 0.5)
+    assert(probed.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(probed).count() == 0)
+    assert(probed.count() > 0, "fixture must produce cross dups")
+
+    val survivors = Dedup.incrementalFuzzySurvivors(spark, s"$tmp/idx",
+      incoming, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(102L, 103L))
+
+    // plan audit (checkpointCandidates=false keeps the band join in
+    // the returned plan): BOTH persisted tables must be read under a
+    // static partition filter — bands/ on the batch's bucket shards,
+    // sets/ on the candidates' id shards
+    val lazyProbe = Dedup.probeFuzzyIndex(spark, s"$tmp/idx", incoming,
+      "doc_id", "text", threshold = 0.5, checkpointCandidates = false)
+    val scans = lazyProbe.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    Seq("__shard", "__idshard").foreach { shardCol =>
+      val filters = scans.flatMap(_.partitionFilters)
+        .filter(_.references.exists(_.name == shardCol))
+      assert(filters.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
+        case _ => true
+      }, s"no pruning $shardCol partition filter in: " +
+        scans.flatMap(_.partitionFilters).mkString(", "))
+    }
+    Dedup.releaseCheckpoints()
+  }
+
   test("persisted IVF index: same results as query-time assignment, pruned scan") {
     val corpus = (0 until 300).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
