@@ -75,4 +75,41 @@ object DocStream {
       .agg(min(col("doc_id")).as("doc_id"))
     scored.join(firstPerFp, Seq("fingerprint", "doc_id"))
   }
+
+  /** Streaming intake deduped against a PERSISTED corpus signature
+    * index ([[graft.operators.Dedup.buildFuzzyIndex]]): every
+    * micro-batch is probed with
+    * [[graft.operators.Dedup.incrementalFuzzySurvivors]] — map-side
+    * signing, static shard-filtered reads of the index, exact Jaccard
+    * verify — and only batch documents with NO near-duplicate already
+    * in the corpus are appended to `outPath`.
+    *
+    * Why `foreachBatch` and not a stream-static join chain: the probe
+    * needs an any-candidate-passes decision per document (an
+    * aggregation over the exploded band candidates), which as a pure
+    * streaming plan would force update-mode state; per-batch probing
+    * keeps the pipeline append-only, and because the probe checks the
+    * batch ONLY against the corpus index, the result is independent of
+    * how the stream is micro-batched — the union of per-batch
+    * survivors equals one batch probe of the whole intake (asserted in
+    * StreamingSpec). This is the streaming half of the x20/x41 story:
+    * exact streaming dedup keeps a digest in the state store, fuzzy
+    * streaming dedup keeps the state in the LAKE (the index) where a
+    * 100 TB corpus's signatures actually fit.
+    *
+    * Returns the started query; callers own termination/checkpointing
+    * (checkpoint dir = `outPath + "/_checkpoint"`). */
+  def intakeAgainstFuzzyIndex(spark: SparkSession, docs: DataFrame,
+      indexPath: String, outPath: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.incrementalFuzzySurvivors(
+            spark, indexPath, batch.toDF(), "doc_id", "text", threshold)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$outPath/survivors")
+        ()
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
 }

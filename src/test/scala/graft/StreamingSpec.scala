@@ -120,6 +120,44 @@ class StreamingSpec extends SparkSpec {
     assert(DocStream.intakeBatch(junk, minTokens = 3).count() == 0)
   }
 
+  test("streaming fuzzy-index intake equals one batch probe of the whole stream") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val mk = (s: String) => s + " and the quick brown fox jumps over the lazy dog " +
+      "while the rain in spain falls mainly on the plain every single day"
+    val corpus = Seq(
+      (1L, mk("alpha report one"), "en", "s", 0L),
+      (2L, mk("beta survey two"), "en", "s", 0L),
+      (3L, mk("gamma study three"), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val incoming = Seq(
+      (100L, mk("beta survey two") + " extra", "en", "s", 0L),
+      (101L, "novel unrelated content about databases and engines", "en", "s", 0L),
+      (102L, mk("gamma study three") + " more", "en", "s", 0L),
+      (103L, "another new thing entirely", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy-stream").toString
+    Dedup.buildFuzzyIndex(corpus, "doc_id", "text", s"$tmp/idx",
+      shingleN = 3, k = 64, bands = 16, nShards = 8)
+    // two appends -> multiple source files; the result must not
+    // depend on how the file source batches them
+    incoming.where($"doc_id" < 102).write.parquet(s"$tmp/in")
+    incoming.where($"doc_id" >= 102).write.mode("append").parquet(s"$tmp/in")
+    val q = graft.streaming.DocStream.intakeAgainstFuzzyIndex(spark,
+      graft.streaming.DocStream.readDocs(spark, s"$tmp/in"),
+      s"$tmp/idx", s"$tmp/out", threshold = 0.5)
+    try { q.processAllAvailable() } finally q.stop()
+    Dedup.releaseCheckpoints()
+    val streamed = spark.read.parquet(s"$tmp/out/survivors")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batch = Dedup.incrementalFuzzySurvivors(spark, s"$tmp/idx",
+      incoming, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    Dedup.releaseCheckpoints()
+    assert(streamed == batch, "per-batch probe union must equal one whole-stream probe")
+    assert(streamed == Seq(101L, 103L), "near-dups of corpus docs must be dropped")
+  }
+
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
     // plan wires up and starts on a bounded file stream. NOTE: must use
