@@ -2069,7 +2069,95 @@ object Catalog {
                 count(*) FILTER (WHERE hit IS NULL) AS n_oov,
                 CAST(count(*) FILTER (WHERE hit IS NULL) AS DOUBLE)
                   / count(*) AS oov_rate
-              FROM j GROUP BY 1 ORDER BY doc_id"""))
+              FROM j GROUP BY 1 ORDER BY doc_id""")),
+
+    QueryDef("x42_boilerplate_rate",
+      // corpus-duplication quality signal (the Gopher/FineWeb
+      // duplicated-n-gram fraction): per doc, the share of its
+      // DISTINCT bigrams whose corpus document frequency >= 3. Grams
+      // travel as native md5-60 ShingleHashes longs (distinct-set
+      // bijection with string bigrams — identical counts, 8 bytes on
+      // the wire); the frequent-gram side is df-filtered BEFORE the
+      // join back and left unhinted (AQE broadcasts when small)
+      (s, d) => TextAnalysis.boilerplateRate(documents(s, d), "doc_id", "text",
+          n = 2, minDf = 3)
+        .orderBy("doc_id"),
+      // the oracle counts in STRING-bigram space — same distinct sets
+      // by the md5-60 bijection — including the short-doc padded gram
+      // (a 1-token doc's gram is "tok,-1", which can never collide
+      // with a real bigram: tokens are [a-z0-9]+ and contain no '-')
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i ->
+                    toks[CAST(i AS INT)] || ',' || toks[CAST(i AS INT) + 1])
+                  ELSE [toks[1] || ',-1'] END) AS grams
+                FROM tk WHERE len(toks) > 0),
+              gr AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+              fq AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 3)
+              SELECT gr.doc_id, count(*) AS n_grams,
+                count(fq.gram) AS n_frequent,
+                CAST(count(fq.gram) AS DOUBLE) / count(*) AS boilerplate_rate
+              FROM gr LEFT JOIN fq ON gr.gram = fq.gram
+              GROUP BY gr.doc_id ORDER BY gr.doc_id"""),
+      headline = true),
+
+    QueryDef("x43_rate_sample",
+      // per-ROW-rate deterministic Bernoulli: survival probability is
+      // a COLUMN (here length-proportional, clamped at 1) instead of a
+      // per-stratum constant — the quality/length-weighted downsample.
+      // Map-only scan; the salted md5 draw + floored threshold make
+      // the survivor set a pure function of the data, replayable by
+      // the oracle's integer arithmetic
+      (s, d) => Sampling.deterministicSampleByRate(documents(s, d), "doc_id",
+          least(lit(1.0), col("n_chars").cast("double") / 400.0), salt = "len")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE CAST('0x' || substring(
+                      md5('len:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000
+                  < CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+                      * 1000000) AS BIGINT)
+              ORDER BY doc_id""")),
+
+    QueryDef("x44_chunk_dedup",
+      // C4-style duplicated-PASSAGE removal at chunk granularity:
+      // non-overlapping 3-token chunks, each distinct chunk keeps its
+      // first (doc_id, chunk_idx) occurrence corpus-wide, documents
+      // reassemble from the survivors. First-occurrence pick is a
+      // min-of-struct hash agg on the chunk md5 (map-side combine,
+      // never a corpus window); reassembly state is bounded by each
+      // doc's own size
+      (s, d) => Dedup.dedupChunksKeepFirst(documents(s, d), "doc_id", "text",
+          chunkTokens = 3)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              st AS (
+                SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS ci
+                FROM tk WHERE len(toks) > 0),
+              ch AS (
+                SELECT doc_id, ci AS chunk_idx,
+                  array_to_string(list_slice(toks, CAST(ci * 3 + 1 AS INT),
+                    CAST(least((ci + 1) * 3, len(toks)) AS INT)), ' ') AS chunk_text
+                FROM st),
+              fi AS (
+                SELECT doc_id, chunk_idx, chunk_text, row_number() OVER (
+                  PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rk
+                FROM ch)
+              SELECT doc_id, count(*) AS n_chunks_kept,
+                string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_deduped
+              FROM fi WHERE rk = 1
+              GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   private lazy val langIdOracle: String = {

@@ -767,6 +767,52 @@ object Dedup {
         .select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  // ---------------------------------------------- chunk-level dedup (C4)
+
+  /** Corpus-level DUPLICATED-CHUNK removal — the C4 line-dedup rule at
+    * token-chunk granularity (no line boundaries survive tokenized
+    * text): split every document into non-overlapping `chunkTokens`
+    * windows ([[TextAnalysis.chunkDocs]] with stride == chunkTokens),
+    * keep each distinct chunk's FIRST occurrence (minimum
+    * (doc_id, chunk_idx) across the corpus), drop every other
+    * occurrence, and reassemble the surviving chunks in document
+    * order. Unlike [[exactSurvivors]] (whole-document) or
+    * [[graft.operators.TextAnalysis.boilerplateRate]] (scoring only),
+    * this REWRITES documents — repeated passages (licence blocks,
+    * navigation text, quoted headers) vanish from all but one doc.
+    *
+    * Shape at 100 TB: chunking is map-only fan-out; the first-
+    * occurrence pick is a min-of-struct hash agg on the 32-char chunk
+    * md5 (map-side combine — the q06 lesson; never a window over the
+    * corpus), the keep is a semi-join on (fp, doc_id, chunk_idx), and
+    * reassembly aggregates each doc's own surviving chunks (per-group
+    * state is bounded by the document's own size, exactly the input
+    * row's bound). Shuffles carry digests + chunk offsets, plus each
+    * chunk's text once for the rebuild.
+    *
+    * Documents whose chunks are ALL duplicates disappear from the
+    * output (nothing survives to reassemble); zero-token documents are
+    * absent as in chunkDocs. Ids must be unique (the framework-wide
+    * precondition). Output: (doc_id, n_chunks_kept, text_deduped) with
+    * text_deduped the space-joined surviving chunks in chunk order —
+    * normalized text, as chunkDocs emits. */
+  def dedupChunksKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val chunks = TextAnalysis.chunkDocs(df, idCol, textCol,
+        chunkTokens, stride = chunkTokens)
+      .withColumn("__fp", md5(col("chunk_text")))
+    val first = chunks.groupBy("__fp")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__w"))
+      .select(col("__fp"), col("__w.doc_id").as("doc_id"),
+        col("__w.chunk_idx").as("chunk_idx"))
+    chunks.join(first, Seq("__fp", "doc_id", "chunk_idx"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("text_deduped"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked

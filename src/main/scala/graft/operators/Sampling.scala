@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,32 @@ object Sampling {
     val thresholds = rates.map { case (k, v) => (k, (v * 1000000L).toLong) }
     val thr = coalesce(
       element_at(typedLit(thresholds), col(stratumCol)), lit(0L))
+    df.where(draw < thr)
+  }
+
+  /** Deterministic per-ROW-rate Bernoulli sampling: like
+    * [[deterministicSampleBy]] but the survival probability is a
+    * COLUMN — the quality- / length-weighted downsample of a curation
+    * pipeline (keep high-score documents with probability ~1, tail
+    * documents proportionally less), where a per-stratum constant
+    * can't express the policy. A row survives iff its salted md5 draw
+    * `u(salt, id) in [0, 1e6)` falls under `floor(clamp01(rate) *
+    * 1e6)`; the rate is clamped to [0, 1] (a null rate clamps to
+    * null → dropped), and the threshold floors — never rounds — so an
+    * external oracle's integer arithmetic replays it exactly.
+    *
+    * `salt` decorrelates survivor sets: two samples with different
+    * salts draw independently, while the SAME salt makes survivor
+    * sets NESTED across rates (rate 0.3 survivors ⊂ rate 0.7
+    * survivors) — useful for growing a subsample without resampling.
+    * Map-only: no shuffle, no RNG state, a pure function of the data. */
+  def deterministicSampleByRate(df: DataFrame, idCol: String, rate: Column,
+      salt: String = "rate"): DataFrame = {
+    val draw = conv(substring(
+        md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+    val thr = floor(least(greatest(rate, lit(0.0)), lit(1.0)) * 1000000L)
+      .cast("long")
     df.where(draw < thr)
   }
 

@@ -407,4 +407,54 @@ object TextAnalysis {
         size(col("__chunk")).as("n_tokens"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
+
+  // ------------------------------------------------ corpus boilerplate
+
+  /** Per-document BOILERPLATE rate: the fraction of a document's
+    * DISTINCT token n-grams whose corpus document frequency is at
+    * least `minDf` — the duplicated-n-gram corpus-duplication signal
+    * (Gopher / C4 / FineWeb-style quality filtering flags documents
+    * dominated by text that repeats across the corpus: headers,
+    * footers, templates, licence blocks). Distinct from
+    * [[repetitionRatio]] (WITHIN-document repetition) and from
+    * [[graft.operators.Dedup.ngramJaccardPairs]] (pairwise dedup):
+    * this is a per-document score against corpus-global gram counts,
+    * no pairing at all.
+    *
+    * Shape, and why it holds at 100 TB: grams travel as the native
+    * md5-60 [[graft.functions.ShingleHashes]] longs (the per-doc
+    * distinct set, so a plain `count(*)` per gram IS document
+    * frequency — no count-distinct) — two linear scans of the text
+    * (one per gram-frame consumer), each map-side codegen'd, and the
+    * only shuffles carry 8-byte hashes. The frequent-gram table is
+    * df-filtered BEFORE the join back, so the join's build side holds
+    * only grams that actually repeat (boilerplate is the tail, not
+    * the vocabulary) and AQE broadcasts it when small, degrading to a
+    * shuffled hash join — never a driver OOM — when not (the x35
+    * lesson: no forced broadcast).
+    *
+    * Zero-token documents are ABSENT from the output (no grams, no
+    * group — the [[oovRate]] convention); short documents (fewer than
+    * `n` tokens) contribute their single padded shingle. Output:
+    * (doc_id, n_grams, n_frequent, boilerplate_rate), where `n_grams`
+    * counts the doc's distinct grams and the rate is their exact
+    * small-int division (IEEE-identical on every engine — oracle-safe
+    * without rounding, as in [[repetitionRatio]]). */
+  def boilerplateRate(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"boilerplateRate: minDf must be >= 2, got $minDf")
+    val grams = Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.column(col("__text"), n)).as("gram"))
+    val frequent = grams
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("gram"), lit(1).as("__hit"))
+    grams.join(frequent, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count_if(col("__hit").isNotNull).as("n_frequent"))
+      .withColumn("boilerplate_rate",
+        col("n_frequent").cast("double") / col("n_grams").cast("double"))
+  }
 }

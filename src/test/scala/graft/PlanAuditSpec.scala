@@ -97,6 +97,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(equiJoins >= 1, s"df must join tf as an equi-join:\n$plan")
   }
 
+  test("x42: frequent-gram join is an unhinted equi-join; df filter precedes it") {
+    // the gram-frequency side must be filtered to df >= minDf BEFORE
+    // joining back (the build side holds only repeating grams), and
+    // the join must never be a nested-loop pairing; broadcast vs
+    // shuffled is AQE's call (the x35 lesson — no forced broadcast)
+    val plan = finalPlan(q("x42_boilerplate_rate")).toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram join must be an equi-join:\n$plan")
+    val filterLine = plan.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("__df"))
+    assert(filterLine.isDefined, s"df >= minDf filter missing:\n$plan")
+  }
+
+  test("x43: per-row-rate sampling is map-only (no join, no aggregate)") {
+    val plan = finalPlan(q("x43_rate_sample"))
+    val s = plan.toString()
+    assert(!s.contains("Join"), s"rate sample must not join:\n$s")
+    assert(!s.contains("Aggregate"), s"rate sample must not aggregate:\n$s")
+    // only the final orderBy may exchange
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1, s"rate sample must be one scan + sort:\n$s")
+  }
+
   test("x34: pairing joins on the cell id, cosine only after the equi-join") {
     val plan = finalPlan(q("x34_semantic_dedup")).toString()
     // the within-cell self-join must be an equi-join keyed on __cell —
