@@ -2157,7 +2157,27 @@ object Catalog {
               SELECT doc_id, count(*) AS n_chunks_kept,
                 string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_deduped
               FROM fi WHERE rk = 1
-              GROUP BY doc_id ORDER BY doc_id"""))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    QueryDef("x45_quantile_bucket",
+      // length-quartile stratification WITHOUT a global sort: a 1-row
+      // exact-percentile aggregate broadcasts into a map-only bucket
+      // comparison (ntile would sort the corpus and break ties by
+      // physical row order). exact=true here so DuckDB quantile_cont
+      // replays the interpolated thresholds; the 100 TB path flips to
+      // the approx_percentile sketch (spec pins them equal at this
+      // scale)
+      (s, d) => Sampling.quantileBuckets(documents(s, d), "n_chars",
+          buckets = 4, exact = true)
+        .select("doc_id", "n_chars", "bucket")
+        .orderBy("doc_id"),
+      Some("""WITH th AS (
+                SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS t
+                FROM documents)
+              SELECT doc_id, n_chars,
+                1 + CAST(n_chars > t[1] AS INT) + CAST(n_chars > t[2] AS INT)
+                  + CAST(n_chars > t[3] AS INT) AS bucket
+              FROM documents, th ORDER BY doc_id"""))
   )
 
   private lazy val langIdOracle: String = {

@@ -123,6 +123,46 @@ object Sampling {
     df.where(draw < thr)
   }
 
+  /** Quantile-threshold frame for [[quantileBuckets]]: ONE row holding
+    * the `buckets - 1` interior quantiles of `valueCol`. `exact =
+    * false` (the 100 TB path) uses `approx_percentile` — a
+    * bounded-memory mergeable sketch; `exact = true` uses `percentile`,
+    * whose aggregation buffer holds every value (fine at test scale,
+    * where it is also externally replayable — DuckDB `quantile_cont`
+    * computes the same interpolated doubles). */
+  def quantileThresholds(df: DataFrame, valueCol: String, buckets: Int,
+      exact: Boolean): DataFrame = {
+    require(buckets >= 2, s"quantileBuckets: need >= 2 buckets, got $buckets")
+    val ps = lit((1 until buckets).map(_.toDouble / buckets).toArray)
+    val agg = if (exact) percentile(col(valueCol), ps)
+      else approx_percentile(col(valueCol), ps, lit(10000))
+    df.agg(agg.cast("array<double>").as("__t"))
+  }
+
+  /** Quantile BUCKETING without a global sort: label each row with its
+    * `buckets`-quantile band of `valueCol` (1 = lowest), the
+    * stratification step before band-wise policies (sample the top
+    * quality quartile harder via [[deterministicSampleByRate]], cap
+    * the bottom one, report per-band stats). The layout-bound
+    * alternative — `ntile(buckets) OVER (ORDER BY value)` — is a
+    * corpus-global SORT with ties broken by physical row order
+    * (non-deterministic under repartition); this is a 1-row threshold
+    * aggregate broadcast into a map-only comparison chain, fully
+    * deterministic: `bucket = 1 + |{t in thresholds : value > t}|`,
+    * so ties sit in the same band on every engine and every layout
+    * (band populations are therefore only approximately equal when
+    * values repeat — the deterministic trade). */
+  def quantileBuckets(df: DataFrame, valueCol: String, buckets: Int,
+      exact: Boolean = false): DataFrame = {
+    val th = quantileThresholds(df, valueCol, buckets, exact)
+    val bucket = (0 until buckets - 1).map(i =>
+        (col(valueCol) > element_at(col("__t"), i + 1)).cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    df.crossJoin(broadcast(th)) // 1 row by construction
+      .withColumn("bucket", bucket)
+      .drop("__t")
+  }
+
   /** Deterministic training MIXTURE: union the named sources, each
     * downsampled to its mixture weight by the md5 draw above, tagged
     * with its source name. Column sets must match across sources

@@ -549,6 +549,32 @@ class OperatorsSpec extends SparkSpec {
       out.agg(sum("n_chunks_kept")).as[Long].head())
   }
 
+  test("quantileBuckets: monotone bands, near-equal populations, sketch == exact here") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = Sampling.quantileBuckets(docs, "n_chars", buckets = 4, exact = true)
+    // bucket is monotone in the value: max of band b <= min of band b+1
+    val bands = out.groupBy("bucket")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(bands.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    bands.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"bands overlap: $a vs $b")
+    }
+    // near-equal populations (ties can skew; 500 docs, wide value range)
+    val total = bands.map(_._4).sum
+    bands.foreach { b =>
+      assert(b._4 > total / 8 && b._4 < total * 3 / 8,
+        s"band ${b._1} holds ${b._4} of $total")
+    }
+    // the approx_percentile sketch path (the 100 TB default) assigns
+    // identical buckets at this scale (few hundred distinct values)
+    val approx = Sampling.quantileBuckets(docs, "n_chars", buckets = 4)
+    assert(out.exceptAll(approx).count() == 0 &&
+      approx.exceptAll(out).count() == 0)
+  }
+
   test("deterministicSampleByRate: clamped, nested across rates, rate-accurate") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val total = docs.count()

@@ -140,6 +140,34 @@ class PropertiesSpec extends SparkSpec {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("boilerplate/rate-sample/chunk-dedup: pure functions of the data (any partitioning)") {
+    import graft.operators.{Sampling, TextAnalysis}
+    // all three r6 corpus ops must pick the SAME output however the
+    // rows are laid out: x42's df counts are layout-free aggregates,
+    // x43's draw is a pure row function, x44's keep-first is a
+    // min-of-struct (never "first seen", which would be layout-bound)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val genDoc = Gen.listOfN(12, Gen.oneOf(words)).map(_.mkString(" "))
+    samples(Gen.listOfN(60, genDoc), 2).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.orderBy("doc_id").collect().map(_.toString).toSeq
+      val b0 = canon(TextAnalysis.boilerplateRate(df, "doc_id", "text", 2, 2))
+      val s0 = canon(Sampling.deterministicSampleByRate(df, "doc_id", lit(0.5)))
+      val c0 = canon(Dedup.dedupChunksKeepFirst(df, "doc_id", "text", 3))
+      Seq(1, 16).foreach { p =>
+        val r = df.repartition(p)
+        assert(canon(TextAnalysis.boilerplateRate(r, "doc_id", "text", 2, 2)) == b0,
+          s"x42 changed under repartition($p)")
+        assert(canon(Sampling.deterministicSampleByRate(r, "doc_id", lit(0.5))) == s0,
+          s"x43 changed under repartition($p)")
+        assert(canon(Dedup.dedupChunksKeepFirst(r, "doc_id", "text", 3)) == c0,
+          s"x44 changed under repartition($p)")
+      }
+    }
+  }
+
   test("jaccardFromIntersect stays in [0,1] and is 1 for identical sets") {
     val gen = Gen.listOf(Gen.choose(0, 20))
     samples(Gen.zip(gen, gen), 20).foreach { case (a, b) =>
