@@ -121,6 +121,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"rate sample must be one scan + sort:\n$s")
   }
 
+  test("x45: threshold side reads only the value column and broadcasts one row") {
+    // the whole point of quantileBuckets is NO corpus sort: the
+    // threshold aggregate must scan a pruned single-column schema,
+    // broadcast its 1 row, and the bucket assignment must be a
+    // projection — a Window/ntile regression would show a corpus-wide
+    // Sort below an Exchange
+    val plan = finalPlan(q("x45_quantile_bucket")).toString()
+    assert(!plan.contains("Window"), s"bucketing regressed to ntile:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"1-row threshold frame must broadcast:\n$plan")
+    val thresholdScan = plan.linesIterator
+      .filter(_.contains("ReadSchema"))
+      .exists(l => l.contains("n_chars") && !l.contains("doc_id"))
+    assert(thresholdScan, s"threshold scan must read only n_chars:\n$plan")
+  }
+
   test("x34: pairing joins on the cell id, cosine only after the equi-join") {
     val plan = finalPlan(q("x34_semantic_dedup")).toString()
     // the within-cell self-join must be an equi-join keyed on __cell —
