@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** End-to-end training-MIX build — the second runnable user journey:
+  * where [[RunCurate]] turns a raw corpus into a curated one, RunMix
+  * turns a (curated) corpus into one epoch of packed training rows:
+  *
+  *   1. score     one-pass [[TextAnalysis.docStats]] scan → token
+  *                count + quality (no second tokenization anywhere)
+  *   2. band      [[Sampling.quantileBuckets]] quality quartiles —
+  *                sketch thresholds, no corpus sort
+  *   3. sample    [[Sampling.deterministicSampleByRate]] with a
+  *                per-band survival rate (keep the top band whole,
+  *                thin the bottom) — the band rate map is config
+  *   4. mixture   [[Sampling.weightedMixture]] over the corpus's
+  *                source column with per-source weights — sources
+  *                absent from the config map are dropped (the
+  *                deterministicSampleBy contract)
+  *   5. pack      [[Sampling.packSequences]] under a token budget on
+  *                the epoch-shuffle order — resume-identical stream
+  *
+  * Every stage is a deterministic pure function of (data, config,
+  * epoch): re-running an epoch rebuilds the identical mix row-for-row,
+  * and a different epoch draws an independent shuffle order from the
+  * same survivors. No stage collects to the driver; the only
+  * corpus-wide coordination is the 1-row quantile sketch broadcast
+  * and the bounded per-chunk packing windows.
+  *
+  * Usage: runMain graft.pipeline.RunMix [docsDir] [outDir]
+  *          [--epoch N] [--budget TOKENS]
+  * Defaults: /root/testdata/sf0.001 -> /tmp/graft_mix, epoch 0,
+  * budget 256. `docsDir` must contain `documents.parquet`
+  * (doc_id, text, lang, source, n_chars — TESTDATA.md shape; the
+  * curated/ output of RunCurate works after renaming is not needed —
+  * it carries doc_id/text/source).
+  *
+  * Outputs under outDir:
+  *  packed/      (doc_id, source_name, bucket, n_tokens, chunk, seq,
+  *               start_off) — one epoch of packed training rows,
+  *               written clustered by (chunk, seq)
+  *  report.json  per-stage counts + packed token total (one line)
+  */
+object RunMix {
+
+  /** Per-band survival rates (band 1 = lowest quality quartile). The
+    * default keeps the top two bands whole and thins the bottom. */
+  val defaultBandRates: Map[Int, Double] =
+    Map(1 -> 0.25, 2 -> 0.5, 3 -> 1.0, 4 -> 1.0)
+
+  def main(args: Array[String]): Unit = {
+    var epoch = 0
+    var budget = 256L
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--epoch" =>
+          require(i + 1 < args.length, "--epoch needs a number")
+          epoch = args(i + 1).toInt; i += 1
+        case "--budget" =>
+          require(i + 1 < args.length, "--budget needs a token count")
+          budget = args(i + 1).toLong; i += 1
+        case other => positional += other
+      }
+      i += 1
+    }
+    val docsDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = positional.drop(1).headOption.getOrElse("/tmp/graft_mix")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    // default journey keeps every source whole (weight 1); pass an
+    // explicit map through run() to express a real mixture policy
+    run(spark, docs, outDir, epoch, budget)
+    spark.stop()
+  }
+
+  /** Build one epoch of the mix. `sourceWeights == null` keeps every
+    * source whole (skips the mixture stage's down-sampling but still
+    * tags `source_name`); otherwise sources absent from the map are
+    * DROPPED and present ones down-sampled to their weight.
+    * Returns the per-stage counts (also written as report.json). */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      epoch: Int = 0, budget: Long = 256,
+      bandRates: Map[Int, Double] = defaultBandRates,
+      sourceWeights: Map[String, Double] = null): Seq[(String, Long)] = {
+    def timed[A](stage: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[mix] $stage%-8s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    require(bandRates.keySet == (1 to bandRates.size).toSet,
+      s"bandRates must cover bands 1..k contiguously, got ${bandRates.keySet}")
+
+    // 1+2. score once, band by quality quartile (sketch thresholds)
+    val scored = docs
+      .withColumn("__stats", TextAnalysis.docStats(col("text")))
+      .withColumn("n_tokens", col("__stats.n_tokens"))
+      .withColumn("__quality",
+        TextAnalysis.qualityScoreFromStats(col("text"), col("__stats")))
+      .drop("__stats")
+    val banded = Sampling.quantileBuckets(scored, "__quality",
+      buckets = bandRates.size)
+
+    // 3. band-weighted survival (same-salt nesting: raising a band's
+    // rate later only ADDS survivors)
+    val rateCol = element_at(typedLit(bandRates), col("bucket"))
+    val sampled = Sampling.deterministicSampleByRate(
+      banded, "doc_id", rateCol, salt = "band")
+
+    // 4. per-source mixture weights
+    val mixed =
+      if (sourceWeights == null)
+        sampled.withColumn("source_name", col("source"))
+      else Sampling.weightedMixture(
+        sourceWeights.toSeq.sortBy(_._1).map { case (name, w) =>
+          (name, sampled.where(col("source") === name).drop("source"), w)
+        }, "doc_id")
+
+    // 5. epoch shuffle + packing under the token budget
+    val packed = Sampling.packSequences(
+        mixed, "doc_id", "n_tokens", budget, epoch, chunks = 32)
+      .select("doc_id", "source_name", "bucket", "n_tokens",
+        "chunk", "seq", "start_off")
+
+    timed("write") {
+      packed.repartition(col("chunk"))
+        .sortWithinPartitions("chunk", "seq", "start_off")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed")
+    }
+    // one read-back aggregate for the report (the write already ran
+    // the lineage; counting from the output avoids a second funnel —
+    // the RunCurate lesson)
+    val out = spark.read.parquet(s"$outDir/packed")
+    val Seq(nRows, nSeqs, nTokens) = timed("report") {
+      // coalesce: sum() is NULL over an empty mix (e.g. a weight map
+      // naming no present source) — report zeros, don't throw
+      out.agg(count(lit(1)), count_distinct(col("chunk"), col("seq")),
+          coalesce(sum("n_tokens"), lit(0L)))
+        .collect().headOption.map(r =>
+          Seq(r.getLong(0), r.getLong(1), r.getLong(2))).get
+    }
+    val report = Seq(
+      "input" -> docs.count(),
+      "sampled" -> nRows,
+      "sequences" -> nSeqs,
+      "tokens_packed" -> nTokens,
+      "epoch" -> epoch.toLong,
+      "budget" -> budget)
+    report.foreach { case (k, v) => println(f"[mix] $k%-14s $v%d") }
+    val json = report.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "report.json"), json + "\n")
+    report
+  }
+}
