@@ -104,9 +104,11 @@ object Sampling {
     * documents proportionally less), where a per-stratum constant
     * can't express the policy. A row survives iff its salted md5 draw
     * `u(salt, id) in [0, 1e6)` falls under `floor(clamp01(rate) *
-    * 1e6)`; the rate is clamped to [0, 1] (a null rate clamps to
-    * null → dropped), and the threshold floors — never rounds — so an
-    * external oracle's integer arithmetic replays it exactly.
+    * 1e6)`; the rate is clamped to [0, 1] (a null rate falls through
+    * the null-SKIPPING `greatest`/`least` pair to threshold 0 — the
+    * row is dropped by arithmetic, not by null propagation), and the
+    * threshold floors — never rounds — so an external oracle's
+    * integer arithmetic replays it exactly.
     *
     * `salt` decorrelates survivor sets: two samples with different
     * salts draw independently, while the SAME salt makes survivor
@@ -139,19 +141,44 @@ object Sampling {
     df.agg(agg.cast("array<double>").as("__t"))
   }
 
+  /** Band assignment against EXPLICIT thresholds: `bucket = 1 +
+    * |{t in thresholds : value > t}|` (1 = lowest). Map-only and a
+    * pure row function — given the same thresholds, the same row gets
+    * the same band on any engine, any layout, any run. This is the
+    * replay/resume surface: persist the thresholds (a k-1 double
+    * artifact) and re-band against them exactly
+    * ([[graft.pipeline.RunMix]] does). */
+  def bucketByThresholds(df: DataFrame, valueCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      s"thresholds must be non-empty ascending, got $thresholds")
+    val bucket = thresholds.map(t =>
+        (col(valueCol) > lit(t)).cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
   /** Quantile BUCKETING without a global sort: label each row with its
     * `buckets`-quantile band of `valueCol` (1 = lowest), the
     * stratification step before band-wise policies (sample the top
     * quality quartile harder via [[deterministicSampleByRate]], cap
     * the bottom one, report per-band stats). The layout-bound
     * alternative — `ntile(buckets) OVER (ORDER BY value)` — is a
-    * corpus-global SORT with ties broken by physical row order
-    * (non-deterministic under repartition); this is a 1-row threshold
-    * aggregate broadcast into a map-only comparison chain, fully
-    * deterministic: `bucket = 1 + |{t in thresholds : value > t}|`,
-    * so ties sit in the same band on every engine and every layout
-    * (band populations are therefore only approximately equal when
-    * values repeat — the deterministic trade). */
+    * corpus-global SORT with ties broken by physical row order;
+    * this is a 1-row threshold aggregate broadcast into a map-only
+    * comparison chain, so ties always sit in the same band (band
+    * populations are therefore only approximately equal when values
+    * repeat — the deterministic trade).
+    *
+    * Determinism fine print: GIVEN thresholds, banding is a pure row
+    * function (see [[bucketByThresholds]]). The `exact = true`
+    * thresholds are themselves fully deterministic; the default
+    * sketch path merges `approx_percentile` partials in shuffle-fetch
+    * arrival order, so at a scale where sketch buffers compress the
+    * thresholds may drift WITHIN SKETCH ERROR between runs. A caller
+    * that needs run-to-run replay at scale should compute
+    * [[quantileThresholds]] once, persist the k-1 doubles, and band
+    * via [[bucketByThresholds]] — not re-sketch per run. */
   def quantileBuckets(df: DataFrame, valueCol: String, buckets: Int,
       exact: Boolean = false): DataFrame = {
     val th = quantileThresholds(df, valueCol, buckets, exact)

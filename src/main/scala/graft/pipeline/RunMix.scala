@@ -11,8 +11,12 @@ import graft.operators.{Sampling, TextAnalysis}
   *
   *   1. score     one-pass [[TextAnalysis.docStats]] scan → token
   *                count + quality (no second tokenization anywhere)
-  *   2. band      [[Sampling.quantileBuckets]] quality quartiles —
-  *                sketch thresholds, no corpus sort
+  *   2. band      quality quartiles via [[Sampling.quantileThresholds]]
+  *                (one sketch aggregate, no corpus sort) collected as a
+  *                k-1 double ARTIFACT, then [[Sampling
+  *                .bucketByThresholds]] — the artifact is recorded in
+  *                report.json and a resumed run re-bands against it
+  *                exactly instead of re-sketching
   *   3. sample    [[Sampling.deterministicSampleByRate]] with a
   *                per-band survival rate (keep the top band whole,
   *                thin the bottom) — the band rate map is config
@@ -87,15 +91,24 @@ object RunMix {
     spark.stop()
   }
 
-  /** Build one epoch of the mix. `sourceWeights == null` keeps every
+  /** Build one epoch of the mix. `sourceWeights = None` keeps every
     * source whole (skips the mixture stage's down-sampling but still
-    * tags `source_name`); otherwise sources absent from the map are
-    * DROPPED and present ones down-sampled to their weight.
+    * tags `source_name`); `Some(map)` DROPS sources absent from the
+    * map and down-samples present ones to their weight. `thresholds =
+    * Some(artifact)` re-bands against previously persisted quantile
+    * thresholds instead of re-sketching — the RESUME path: the sketch
+    * aggregate's partials merge in shuffle-fetch order, so at a scale
+    * where sketch buffers compress, re-sketching may drift within
+    * sketch error between runs; re-banding against the recorded
+    * artifact (written to report.json as `thresholds`) is exact.
+    * Documents with NULL text score no quality and are dropped before
+    * banding — reported as the input→scorable delta.
     * Returns the per-stage counts (also written as report.json). */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       epoch: Int = 0, budget: Long = 256,
       bandRates: Map[Int, Double] = defaultBandRates,
-      sourceWeights: Map[String, Double] = null): Seq[(String, Long)] = {
+      sourceWeights: Option[Map[String, Double]] = None,
+      thresholds: Option[Seq[Double]] = None): Seq[(String, Long)] = {
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -105,15 +118,26 @@ object RunMix {
     require(bandRates.keySet == (1 to bandRates.size).toSet,
       s"bandRates must cover bands 1..k contiguously, got ${bandRates.keySet}")
 
-    // 1+2. score once, band by quality quartile (sketch thresholds)
+    // 1+2. score once (null text is unscorable -> dropped, accounted
+    // below), band by quality quantile against an explicit threshold
+    // artifact (computed here unless resuming with a recorded one)
     val scored = docs
+      .where(col("text").isNotNull)
       .withColumn("__stats", TextAnalysis.docStats(col("text")))
       .withColumn("n_tokens", col("__stats.n_tokens"))
       .withColumn("__quality",
         TextAnalysis.qualityScoreFromStats(col("text"), col("__stats")))
       .drop("__stats")
-    val banded = Sampling.quantileBuckets(scored, "__quality",
-      buckets = bandRates.size)
+    val bandThresholds: Seq[Double] = thresholds.getOrElse {
+      timed("sketch") {
+        // k-1 doubles — a model-sized artifact (the IvfAnn pattern)
+        Sampling.quantileThresholds(scored, "__quality",
+            buckets = bandRates.size, exact = false)
+          .collect().head.getSeq[Double](0)
+      }
+    }
+    val banded = Sampling.bucketByThresholds(scored, "__quality",
+      bandThresholds)
 
     // 3. band-weighted survival (same-salt nesting: raising a band's
     // rate later only ADDS survivors)
@@ -122,13 +146,13 @@ object RunMix {
       banded, "doc_id", rateCol, salt = "band")
 
     // 4. per-source mixture weights
-    val mixed =
-      if (sourceWeights == null)
-        sampled.withColumn("source_name", col("source"))
-      else Sampling.weightedMixture(
-        sourceWeights.toSeq.sortBy(_._1).map { case (name, w) =>
+    val mixed = sourceWeights match {
+      case None => sampled.withColumn("source_name", col("source"))
+      case Some(weights) => Sampling.weightedMixture(
+        weights.toSeq.sortBy(_._1).map { case (name, w) =>
           (name, sampled.where(col("source") === name).drop("source"), w)
         }, "doc_id")
+    }
 
     // 5. epoch shuffle + packing under the token budget
     val packed = Sampling.packSequences(
@@ -155,13 +179,17 @@ object RunMix {
     }
     val report = Seq(
       "input" -> docs.count(),
+      "scorable" -> scored.count(),
       "sampled" -> nRows,
       "sequences" -> nSeqs,
       "tokens_packed" -> nTokens,
       "epoch" -> epoch.toLong,
       "budget" -> budget)
     report.foreach { case (k, v) => println(f"[mix] $k%-14s $v%d") }
-    val json = report.map { case (k, v) => s""""$k":$v""" }
+    // thresholds ride along in the json so a resumed run can re-band
+    // exactly (pass them back via run(thresholds = Some(...)))
+    val json = (report.map { case (k, v) => s""""$k":$v""" } :+
+        bandThresholds.mkString("\"thresholds\":[", ",", "]"))
       .mkString("{", ",", "}")
     new java.io.File(outDir).mkdirs()
     java.nio.file.Files.writeString(

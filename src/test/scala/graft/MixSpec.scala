@@ -48,17 +48,23 @@ class MixSpec extends SparkSpec {
     val byBand = packed.groupBy("bucket").count()
       .as[(Int, Long)].collect().toMap
     assert(byBand.contains(3) && byBand.contains(4))
-    // overhang rule: within each (chunk, seq), every doc STARTS inside
-    // the budget window (a sequence may overhang by one doc tail only)
-    val bad = packed
-      .where(col("start_off") - col("seq") * 128 >= 128 ||
-        col("start_off") < col("seq") * 128)
+    // the packing running sum is REAL, not just seq's definition:
+    // within each chunk, rows sorted by start_off must be CONTIGUOUS
+    // (each start = previous start + previous n_tokens, first = 0) —
+    // a broken window frame (double-counting, wrong ordering) breaks
+    // this immediately
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("start_off")
+    val gaps = packed
+      .withColumn("__expect",
+        coalesce(lag(col("start_off") + col("n_tokens"), 1).over(w), lit(0L)))
+      .where(col("start_off") =!= col("__expect"))
       .count()
-    assert(bad == 0, s"$bad docs start outside their sequence window")
+    assert(gaps == 0, s"$gaps non-contiguous packing offsets")
     // source-weight mixture: dropping a source from the map removes it
     val out2 = tmp("mixture")
     RunMix.run(spark, docs, out2, epoch = 0, budget = 128,
-      sourceWeights = Map("src0" -> 1.0, "src1" -> 0.5))
+      sourceWeights = Some(Map("src0" -> 1.0, "src1" -> 0.5)))
     val mixed = spark.read.parquet(s"$out2/packed")
     val srcs = mixed.select("source_name").distinct().as[String]
       .collect().toSet
@@ -69,5 +75,25 @@ class MixSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(bySrc("src1") < bySrc("src0"),
       s"weight 0.5 must thin src1 below src0: $bySrc")
+  }
+
+  test("RunMix: re-banding against the recorded threshold artifact replays exactly") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val outA = tmp("art_a"); val outB = tmp("art_b")
+    RunMix.run(spark, docs, outA, epoch = 0, budget = 128)
+    // read the artifact back from report.json (the resume journey)
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outA, "report.json"))
+    val ths = """"thresholds":\[([^\]]*)\]""".r
+      .findFirstMatchIn(json).get.group(1)
+      .split(",").map(_.toDouble).toSeq
+    assert(ths.size == RunMix.defaultBandRates.size - 1 &&
+      ths == ths.sorted)
+    RunMix.run(spark, docs, outB, epoch = 0, budget = 128,
+      thresholds = Some(ths))
+    val a = spark.read.parquet(s"$outA/packed")
+    val b = spark.read.parquet(s"$outB/packed")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "resume with the recorded thresholds must re-pack row-identically")
   }
 }

@@ -534,12 +534,15 @@ class OperatorsSpec extends SparkSpec {
           s => s.getField("chunk_text"))).as("text_deduped"))
     assert(out.exceptAll(expect).count() == 0 &&
       expect.exceptAll(out).count() == 0)
-    // dedup actually fired, and every surviving chunk text is unique
-    // corpus-wide when re-chunked at the same granularity
-    val keptChunks = out.select(explode(split(col("text_deduped"), " ")).as("t"))
-      .count()
+    // keep-first keeps EXACTLY one occurrence per distinct chunk text:
+    // total kept chunks == distinct input chunk texts (and dedup
+    // actually fired: strictly fewer than the input chunk count)
+    val keptChunks = out.agg(sum("n_chunks_kept")).as[Long].head()
+    val distinctChunks = chunks.select("chunk_text").distinct().count()
     val inputChunks = chunks.count()
-    assert(out.count() > 0 && keptChunks < inputChunks * 3)
+    assert(keptChunks == distinctChunks,
+      s"kept $keptChunks != $distinctChunks distinct chunks")
+    assert(keptChunks < inputChunks, "no duplicate chunk existed to drop")
     val resurvived = Dedup.dedupChunksKeepFirst(
       out.select(col("doc_id"), col("text_deduped").as("text")),
       "doc_id", "text", chunkTokens = 3)

@@ -102,13 +102,24 @@ class PlanAuditSpec extends SparkSpec {
     // joining back (the build side holds only repeating grams), and
     // the join must never be a nested-loop pairing; broadcast vs
     // shuffled is AQE's call (the x35 lesson — no forced broadcast)
-    val plan = finalPlan(q("x42_boilerplate_rate")).toString()
+    val df = q("x42_boilerplate_rate")
+    val plan = finalPlan(df).toString()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"gram join must be an equi-join:\n$plan")
-    val filterLine = plan.linesIterator.find(l =>
-      l.contains("Filter") && l.contains("__df"))
-    assert(filterLine.isDefined, s"df >= minDf filter missing:\n$plan")
+    // STRUCTURAL, not textual: the optimized plan's gram join must
+    // carry the __df filter INSIDE its frequency-side subtree — a
+    // regression filtering after the join (build side = the full
+    // vocabulary) would still print a "Filter ... __df" line somewhere
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    val guarded = joins.exists(j =>
+      Seq(j.left, j.right).exists(_.collectFirst {
+        case f: LFilter if f.condition.references.exists(_.name == "__df") => f
+      }.isDefined))
+    assert(joins.nonEmpty && guarded,
+      s"df >= minDf filter must sit under the join:\n" +
+        df.queryExecution.optimizedPlan)
   }
 
   test("x43: per-row-rate sampling is map-only (no join, no aggregate)") {
