@@ -477,6 +477,131 @@ object Dedup {
     incoming.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** What one [[appendToFuzzyIndex]] call actually wrote — returned so
+    * callers (and the plan-audit spec) can assert the I/O footprint
+    * without listing the lake: row counts per table, the exact shard
+    * partitions touched (bounded by nShards, the same model-sized
+    * driver artifact as the probe's prune lists), and how many band
+    * rows were withheld by the saturation cap. */
+  final case class FuzzyAppendReport(
+      setsRows: Long, bandRows: Long, saturatedRows: Long,
+      setsShards: Seq[Long], bandShards: Seq[Long])
+
+  /** APPEND a batch into a persisted [[buildFuzzyIndex]] index —
+    * closing the incremental-ingest loop (r6 verdict: the index was
+    * build-once, so two duplicate docs arriving in different
+    * post-build batches both survived every probe). The batch is
+    * signed ONCE (one localCheckpointed signing job) with the index's
+    * OWN parameters from `meta/` — a build/append mismatch is
+    * impossible by construction and `meta/` is never rewritten — then
+    *  - its (id, hs, sig) rows append to `sets/`, and
+    *  - its band rows append to `bands/`,
+    * both via dynamic `partitionBy` appends that create files ONLY in
+    * the shard partitions the batch actually touches (a small batch
+    * appends a fraction of the layout proportional to its own id/
+    * bucket spread, never rewrites the corpus; asserted in
+    * StreamingSpec).
+    *
+    * Cap contract (the drift vs build): [[buildFuzzyIndex]] drops an
+    * over-cap bucket WHOLE at build time; an append SATURATES instead —
+    * batch band rows whose bucket would exceed `maxBucketSize`
+    * (existing members, counted from a shard-pruned read of only the
+    * batch's own buckets, plus the batch's) are withheld, existing
+    * members stay probe-able. The bound that matters at scale — no
+    * bucket ever exceeds the cap, so probe fan-in stays
+    * O(cap · bands) per doc — holds under any append sequence; the
+    * difference from a fresh rebuild is only WHICH members of a
+    * boilerplate bucket are indexed (first-arrived keep their slots).
+    * Saturated docs remain fully probe-able as batch members and keep
+    * their `sets/` rows (future verification side); they are just not
+    * candidate-generators for that one bucket.
+    *
+    * Re-running the same append (a replayed foreachBatch) duplicates
+    * index rows; the probe's dup DECISION is idempotent to that
+    * (candidate pairs are `.distinct()`ed and survivor sets are id
+    * anti-joins), at the cost of redundant verification rows — exactly
+    * once is the stream checkpoint's job, not the layout's. */
+  def appendToFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String)
+      : FuzzyAppendReport = {
+    val m = fuzzyIndexMeta(spark, path)
+    val (report, lease) = scoped {
+      // one signing job; both table writes consume the checkpoint blocks
+      val base = trackCheckpoint(
+        minHashBaseFromArrays(
+            shingleHashArrays(batch, idCol, textCol, m.shingleN), m.k)
+          .withColumn("__idshard", pmod(col("id").cast("long"), lit(m.nShards.toLong)))
+          .localCheckpoint())
+      val setsRows = base.count()
+      if (setsRows == 0L)
+        FuzzyAppendReport(0L, 0L, 0L, Nil, Nil)
+      else {
+        base.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("__idshard").parquet(s"$path/sets")
+        val setsShards = base.select("__idshard").distinct()
+          .collect().map(_.getLong(0)).sorted
+        val nb = trackCheckpoint(
+          lshBandRows(base.select("id", "hs", "sig"), m.k, m.bands)
+            .withColumn("__shard", pmod(xxhash64(col("bucket")), lit(m.nShards.toLong)))
+            .localCheckpoint())
+        // existing membership of ONLY the batch's buckets: static
+        // shard prune (bounded id list), then a semi-join on the
+        // batch's distinct buckets before anything is counted
+        val shards = nb.select("__shard").distinct().collect().map(_.getLong(0)).sorted
+        val existingCounts = spark.read.parquet(s"$path/bands")
+          .where(col("__shard").isin(shards.toIndexedSeq: _*))
+          .join(nb.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
+          .groupBy("band", "bucket").agg(count(lit(1)).as("__ex"))
+        val overCap = nb.groupBy("band", "bucket").agg(count(lit(1)).as("__new"))
+          .join(existingCounts, Seq("band", "bucket"), "left")
+          .where(coalesce(col("__ex"), lit(0L)) + col("__new") > m.maxBucketSize)
+          .select("band", "bucket")
+        val appendable = nb.join(overCap, Seq("band", "bucket"), "left_anti")
+        appendable.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("__shard").parquet(s"$path/bands")
+        val bandRows = appendable.count()
+        val bandShards = appendable.select("__shard").distinct()
+          .collect().map(_.getLong(0)).sorted
+        FuzzyAppendReport(setsRows, bandRows, nb.count() - bandRows,
+          setsShards.toIndexedSeq, bandShards.toIndexedSeq)
+      }
+    }
+    lease.release()
+    report
+  }
+
+  /** One incremental-intake step against a persisted fuzzy index,
+    * FIRST-WINS over arrival order: (1) within-batch fuzzy dedup —
+    * [[minHashDupPairs]]-shaped pairs under the index's OWN meta
+    * parameters, lowest id per dup cluster survives; (2) the
+    * within-batch survivors probe the index ([[probeFuzzyIndex]]) and
+    * docs with a near-dup already IN the corpus are dropped; (3) the
+    * accepted remainder is APPENDED to the index
+    * ([[appendToFuzzyIndex]]) so the NEXT batch dedups against it.
+    * Returns the accepted batch rows (materialized via the append's
+    * signing job — callers write them where they belong).
+    *
+    * With id order == arrival order and transitively-closed dup
+    * groups, a sequence of these steps ends exactly where one-shot
+    * [[minHashDupPairs]] + [[clusterSurvivors]] over the concatenated
+    * corpus ends (asserted in StreamingSpec) — the state lives in the
+    * lake, so "the whole history" never has to fit in a batch. */
+  def intakeStepAgainstFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val m = fuzzyIndexMeta(spark, path)
+    val inBatchPairs = minHashDupPairs(batch, idCol, textCol,
+      m.shingleN, m.k, m.bands, threshold, m.maxBucketSize)
+    val batchSurvivors = clusterSurvivors(batch, idCol, inBatchPairs)
+    // checkpoint the accepted set ONCE: its lineage (probe anti-join)
+    // would otherwise re-execute for the append's signing job and
+    // again when the caller writes the result
+    val accepted = trackCheckpoint(incrementalFuzzySurvivors(
+      spark, path, batchSurvivors, idCol, textCol, threshold).localCheckpoint())
+    appendToFuzzyIndex(spark, path, accepted, idCol, textCol)
+    accepted
+  }
+
   /** MinHash dup pairs with SIGNATURE-ESTIMATED verification: instead
     * of exact Jaccard over the shingle sets, each candidate pair is
     * scored by the fraction of agreeing signature slots (the unbiased

@@ -112,4 +112,39 @@ object DocStream {
       }
       .option("checkpointLocation", s"$outPath/_checkpoint")
       .start()
+
+  /** [[intakeAgainstFuzzyIndex]] with the r6-verdict gap closed: the
+    * index GROWS. Each micro-batch runs one
+    * [[graft.operators.Dedup.intakeStepAgainstFuzzyIndex]] —
+    * within-batch fuzzy dedup, then the corpus probe, then the
+    * accepted docs are APPENDED to the persisted index (only the
+    * touched shard partitions gain files) — so a duplicate arriving
+    * ten batches after its original is dropped even though neither was
+    * in the build-time corpus. The trade vs the frozen-index intake:
+    * results now depend on arrival order (first-wins — the only
+    * coherent incremental semantics; with id order == arrival order it
+    * lands exactly on the one-shot batch dedup, asserted in
+    * StreamingSpec), and batches serialize on the index (foreachBatch
+    * already does). State still lives in the LAKE, not the state
+    * store; a replayed batch re-appends rows but cannot flip any
+    * dup decision (see [[graft.operators.Dedup.appendToFuzzyIndex]]'s
+    * idempotency note). */
+  def intakeAndGrowFuzzyIndex(spark: SparkSession, docs: DataFrame,
+      indexPath: String, outPath: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // lease-scoped: the batch's dedup checkpoints die with the
+        // batch, without draining checkpoints other session work holds
+        val (_, lease) = graft.operators.Dedup.scoped {
+          graft.operators.Dedup.intakeStepAgainstFuzzyIndex(
+              spark, indexPath, batch.toDF(), "doc_id", "text", threshold)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$outPath/survivors")
+        }
+        lease.release()
+        ()
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
 }

@@ -158,6 +158,112 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Seq(101L, 103L), "near-dups of corpus docs must be dropped")
   }
 
+  test("growing fuzzy-index intake: sequential batches equal the one-shot dedup; appends touch only their shards") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // each group gets its OWN long sentence (no shared suffix — at
+    // threshold 0.5 a common tail would make everything a near-dup)
+    val tBeta = "beta survey two covers sensor calibration drift across coastal stations during winter"
+    val tEngine = "novel thing about engines describing combustion chamber pressure curves under partial load"
+    val tStorage = "fresh material on storage layers comparing log structured merge trees with heap files"
+    val tGamma = "gamma study three examines pollinator decline in alpine meadows over twenty years"
+    val corpus = Seq(
+      (1L, "alpha report one summarizes quarterly revenue for the northern retail division in detail", "en", "s", 0L),
+      (2L, tBeta, "en", "s", 0L),
+      (3L, tGamma, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // arrival order == id order; dup groups transitively closed:
+    // {2,10} corpus dup, {11,12,20} cross-BATCH dup group, {3,22}
+    // corpus dup, {21,23} within-batch dup
+    val b1 = Seq(
+      (10L, tBeta + " extra", "en", "s", 0L),
+      (11L, tEngine, "en", "s", 0L),
+      (12L, tEngine + " extra", "en", "s", 0L),
+      (13L, "completely new content about databases and planners written from scratch this week", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq(
+      (20L, tEngine + " more", "en", "s", 0L),
+      (21L, tStorage, "en", "s", 0L),
+      (22L, tGamma + " more", "en", "s", 0L),
+      (23L, tStorage + " extra", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy-grow").toString
+    Dedup.buildFuzzyIndex(corpus, "doc_id", "text", s"$tmp/idx",
+      shingleN = 3, k = 64, bands = 16, nShards = 8)
+
+    def partFiles(table: String): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$tmp/idx/$table")
+      root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val setsBefore = partFiles("sets"); val bandsBefore = partFiles("bands")
+
+    val s1 = Dedup.intakeStepAgainstFuzzyIndex(spark, s"$tmp/idx", b1,
+      "doc_id", "text", threshold = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == Seq(11L, 13L), "b1: corpus dup 10 and within-batch dup 12 must drop")
+
+    // append I/O footprint: only the accepted ids' shards gained files
+    val setsAfter = partFiles("sets"); val bandsAfter = partFiles("bands")
+    def grown(before: Map[String, Set[String]], after: Map[String, Set[String]]): Set[String] =
+      after.keySet.filter(k => !before.contains(k) ||
+        (after(k) -- before(k)).exists(_.endsWith(".parquet")))
+    val expectedSetShards = Set(11L % 8, 13L % 8).map(s => s"__idshard=$s")
+    assert(grown(setsBefore, setsAfter) == expectedSetShards,
+      s"sets append must touch exactly the batch ids' shards, got ${grown(setsBefore, setsAfter)}")
+    assert(grown(bandsBefore, bandsAfter).nonEmpty &&
+      grown(bandsBefore, bandsAfter).subsetOf(bandsAfter.keySet),
+      "bands append must add files only under shard partitions")
+
+    val s2 = Dedup.intakeStepAgainstFuzzyIndex(spark, s"$tmp/idx", b2,
+      "doc_id", "text", threshold = 0.5).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(21L),
+      "b2: CROSS-batch dup 20 must drop against the grown index; 22 corpus dup; 23 within-batch dup")
+
+    // one-shot twin: min-id cluster survivors over the concatenated corpus
+    val all = corpus.unionByName(b1).unionByName(b2)
+    val oneShot = Dedup.clusterSurvivors(all, "doc_id",
+        Dedup.minHashDupPairs(all, "doc_id", "text", 3, 64, 16, 0.5))
+      .where($"doc_id" >= 10).select("doc_id").as[Long].collect().sorted.toSeq
+    Dedup.releaseCheckpoints()
+    assert((s1 ++ s2).sorted == oneShot,
+      "sequential grow-intake must end where the one-shot dedup ends")
+  }
+
+  test("intakeAndGrowFuzzyIndex drops a duplicate arriving batches after its original") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tAlpha = "alpha report one summarizes quarterly revenue for the northern retail division in detail"
+    val tEngine = "novel thing about engines describing combustion chamber pressure curves under partial load"
+    val corpus = Seq((1L, tAlpha, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy-grow-stream").toString
+    Dedup.buildFuzzyIndex(corpus, "doc_id", "text", s"$tmp/idx",
+      shingleN = 3, k = 64, bands = 16, nShards = 8)
+    // batch 1 lands, THEN batch 2 with a dup of a batch-1 doc —
+    // processAllAvailable between the writes pins the micro-batch order
+    Seq((10L, tEngine, "en", "s", 0L),
+        (11L, "completely new content about databases and planners written from scratch", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/in")
+    val q = graft.streaming.DocStream.intakeAndGrowFuzzyIndex(spark,
+      graft.streaming.DocStream.readDocs(spark, s"$tmp/in"),
+      s"$tmp/idx", s"$tmp/out", threshold = 0.5)
+    try {
+      q.processAllAvailable()
+      Seq((20L, tEngine + " extra", "en", "s", 0L),
+          (21L, tAlpha + " more", "en", "s", 0L),
+          (22L, "yet another fresh document about storage layouts and buffer pools", "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(s"$tmp/out/survivors")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 20 dups batch-1's 10 (the frozen-index intake would keep it);
+    // 21 dups the build corpus; 22 is novel
+    assert(survivors == Seq(10L, 11L, 22L))
+  }
+
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
     // plan wires up and starts on a bounded file stream. NOTE: must use
