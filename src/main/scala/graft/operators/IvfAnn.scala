@@ -172,6 +172,35 @@ object IvfAnn {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__cell").parquet(path)
 
+  /** APPEND a batch of vectors into a persisted [[buildIndexInt]]
+    * index — the incremental-ingest twin of
+    * [[graft.operators.Dedup.appendToFuzzyIndex]]. Same map-only
+    * assign+norm pass as the build, written `SaveMode.Append`: only
+    * the `__cell` partitions the batch lands in gain files, the rest
+    * of the layout is untouched.
+    *
+    * Drift contract (the knob this operator deliberately does NOT
+    * turn): `cents` is the FROZEN build-time model — assignment is a
+    * pure function of (vector, centroids), so an appended index is
+    * bit-identical to a fresh [[buildIndexInt]] over the concatenated
+    * corpus under the same centroids (asserted in FunctionsSpec), and
+    * every [[searchIndexInt]] stays correct w.r.t. those centroids.
+    * What freezing costs is cell BALANCE, not correctness: if the
+    * appended distribution drifts from the build corpus, new vectors
+    * crowd into few cells and probe I/O for them degrades toward a
+    * scan of those cells. Monitor `spark.read.parquet(path)
+    * .groupBy("__cell").count()` skew and REBUILD (new centroids,
+    * fresh build) when the max/median cell ratio crosses the caller's
+    * tolerance — re-centering in place would silently invalidate the
+    * pinned-centroid equivalence that makes the index replayable. */
+  def appendToIndexInt(batch: DataFrame, corpusId: String, corpusVec: String,
+      cents: Array[IntCentroid], path: String): Unit =
+    Rebalance(batch.select(col(corpusId), col(corpusVec)))
+      .withColumn("__cell", cellIdInt(col(corpusVec), cents))
+      .withColumn("__cn", Similarity.norm(col(corpusVec)))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("__cell").parquet(path)
+
   /** Search a [[buildIndexInt]] index: queries explode into their
     * probe cells and equi-join on the PARTITION column, so the index
     * scan reads only the probed cells — I/O is `~nprobe/nlist` of the

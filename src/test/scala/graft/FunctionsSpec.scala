@@ -464,6 +464,49 @@ class FunctionsSpec extends SparkSpec {
     }, s"no pruning __cell partition filter in: ${scan.partitionFilters}")
   }
 
+  test("IVF index append: build+append equals a fresh build under pinned centroids; appends touch only their cells") {
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val buildHalf = corpus.where(col("vec_id") < 150)
+    val batch = corpus.where(col("vec_id") >= 150)
+    val queries = corpus.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000).as("q_id"), col("embedding").as("q_vec"))
+    // centroids trained on the BUILD corpus and frozen — the drift contract
+    val cents = IvfAnn.seedCentroidsInt(buildHalf, "vec_id", "embedding", nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    IvfAnn.buildIndexInt(buildHalf, "vec_id", "embedding", cents, s"$tmp/grown")
+    def cellFiles(p: String): Map[String, Int] = {
+      val root = new java.io.File(p)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = cellFiles(s"$tmp/grown")
+    IvfAnn.appendToIndexInt(batch, "vec_id", "embedding", cents, s"$tmp/grown")
+    val after = cellFiles(s"$tmp/grown")
+    // footprint: cells that gained files == exactly the batch's assigned cells
+    val batchCells = batch
+      .select(IvfAnn.cellIdInt(col("embedding"), cents).as("c"))
+      .distinct().collect().map(r => s"__cell=${r.getInt(0)}").toSet
+    val gained = after.keySet.filter(k => after(k) > before.getOrElse(k, 0))
+    assert(gained == batchCells,
+      s"append must touch exactly the batch's cells: gained=$gained expected=$batchCells")
+    // grown index == fresh full build under the SAME pinned centroids
+    IvfAnn.buildIndexInt(corpus, "vec_id", "embedding", cents, s"$tmp/fresh")
+    Seq(s"$tmp/grown", s"$tmp/fresh").map(spark.read.parquet(_)) match {
+      case Seq(g, f) =>
+        assert(g.exceptAll(f).count() == 0 && f.exceptAll(g).count() == 0,
+          "grown index rows must be bit-identical to a fresh build's")
+    }
+    val viaGrown = IvfAnn.searchIndexInt(spark, s"$tmp/grown", queries,
+      "vec_id", "embedding", "q_id", "q_vec", cents, k = 3, nprobe = 2)
+    val viaFresh = IvfAnn.searchIndexInt(spark, s"$tmp/fresh", queries,
+      "vec_id", "embedding", "q_id", "q_vec", cents, k = 3, nprobe = 2)
+    assert(viaGrown.exceptAll(viaFresh).count() == 0 &&
+      viaFresh.exceptAll(viaGrown).count() == 0)
+    assert(viaFresh.count() > 0)
+  }
+
   test("IVF ANN finds the exact neighbor when it shares the query's cell") {
     val corpus = (0 until 200).map { i =>
       val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
