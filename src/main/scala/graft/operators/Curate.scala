@@ -33,7 +33,11 @@ object Curate {
 
   /** Tunables with conservative defaults; thresholds are on the
     * verified operator outputs ([[TextAnalysis.qualityScore]] in
-    * [0,1], [[TextAnalysis.repetitionRatio]] of duplicate 2-grams). */
+    * [0,1], [[TextAnalysis.repetitionRatio]] of duplicate 2-grams).
+    * `keep` names INPUT columns to carry through to the curated
+    * output unchanged (e.g. `source` for a downstream mixture —
+    * [[graft.pipeline.RunCorpus]] relies on this so the mix stage
+    * never has to join back to the raw corpus). */
   final case class Config(
       langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3,
@@ -44,7 +48,8 @@ object Curate {
       bands: Int = 16,
       jaccardThreshold: Double = 0.8,
       contaminationN: Int = 5,
-      scrubPii: Boolean = false)
+      scrubPii: Boolean = false,
+      keep: Seq[String] = Nil)
 
   /** The funnel's intermediate frames, built ONCE and shared by
     * [[curate]] (which returns the survivors) and [[report]] (which
@@ -108,9 +113,23 @@ object Curate {
         .select(col("test_id").as(idCol)).distinct()
     }
 
+  /** The curated-output projection: cleaned text, the language id /
+    * quality score that admitted the row, the funnel's own token
+    * count (`__stats` is already evaluated — emitting it is free and
+    * saves every downstream consumer a re-tokenization; the RunCorpus
+    * one-scan handoff), plus the `cfg.keep` passthrough columns. */
+  private def curatedSelect(survivors: DataFrame, idCol: String,
+      textCol: String, cfg: Config): DataFrame =
+    survivors.select(
+      Seq(col(idCol), col("__clean").as(textCol),
+        col("__lang").as("lang_id"), col("__quality").as("quality"),
+        col("__stats").getField("n_tokens").as("n_tokens")) ++
+        cfg.keep.map(col): _*)
+
   /** The curation funnel. Returns the surviving documents with the
-    * cleaned text plus the language id and quality score that admitted
-    * them. `eval` is the held-out corpus for decontamination as
+    * cleaned text plus the language id, quality score and token count
+    * that admitted them (and any `cfg.keep` passthrough columns).
+    * `eval` is the held-out corpus for decontamination as
     * (frame, idCol, textCol); None skips stage 5. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
@@ -120,9 +139,7 @@ object Curate {
       case None => f.fuzzy
       case Some(drop) => f.fuzzy.join(drop, Seq(idCol), "left_anti")
     }
-    decontaminated
-      .select(col(idCol), col("__clean").as(textCol),
-        col("__lang").as("lang_id"), col("__quality").as("quality"))
+    curatedSelect(decontaminated, idCol, textCol, cfg)
   }
 
   /** Per-stage survivor counts for the same funnel, computed in ONE
@@ -223,9 +240,7 @@ object Curate {
     try {
       val survivors = contamDropIds.fold(survivors0)(cd =>
         survivors0.join(cd, Seq(idCol), "left_anti"))
-      write(survivors
-        .select(col(idCol), col("__clean").as(textCol),
-          col("__lang").as("lang_id"), col("__quality").as("quality")))
+      write(curatedSelect(survivors, idCol, textCol, cfg))
       reportFromFunnel(f, idCol, exactIds, fuzzyDropIds, contamDropIds)
     } finally {
       exactIds.unpersist(blocking = false)

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Curate
+
+/** The COMPLETE corpus journey — [[RunCurate]] then [[RunMix]] as one
+  * runnable main with a one-scan handoff (r6 verdict item 4: RunMix
+  * scored RAW docs; the real pipeline curates first):
+  *
+  *   raw documents ── curate funnel ──> curated/ ── mix ──> packed/
+  *
+  * Handoff contract (why the text is tokenized exactly ONCE across
+  * both journeys):
+  *  - the funnel already evaluates [[graft.operators.TextAnalysis
+  *    .docStats]] on every cleaned document for its own filters, so
+  *    the curated output carries `n_tokens` and `quality` alongside
+  *    the cleaned text (plus `source`, passed through via
+  *    `Config.keep`) — computed once, written once;
+  *  - the mix stage reads the WRITTEN curated parquet (the
+  *    [[graft.operators.Materialize]] read-back pattern, not the live
+  *    funnel lineage — so no funnel stage can be re-executed by mix
+  *    actions) and takes [[RunMix]]'s pre-scored path: banding,
+  *    sampling, mixture and packing all run off the persisted columns
+  *    without touching the text again.
+  * The combined report derives from that single lineage: the funnel
+  * counts come from [[Curate.curateAndReport]]'s one-aggregate audit,
+  * the mix counts from the packed write's read-back — MixSpec asserts
+  * `mix input == funnel kept`, the seam where the two journeys meet.
+  *
+  * Usage: runMain graft.pipeline.RunCorpus [docsDir] [outDir]
+  *          [--epoch N] [--budget TOKENS] [--scrub-pii] [--eval PATH]
+  * Defaults: /root/testdata/sf0.001 -> /tmp/graft_corpus.
+  *
+  * Outputs under outDir:
+  *  curate/curated/   the curated corpus (doc_id, text, lang_id,
+  *                    quality, n_tokens, source)
+  *  curate/report.json per-stage funnel counts
+  *  mix/packed/       one epoch of packed training rows
+  *  mix/report.json   mix counts + the banding threshold artifact
+  *  report.json       both journeys' counts in one line
+  */
+object RunCorpus {
+
+  def main(args: Array[String]): Unit = {
+    var epoch = 0
+    var budget = 256L
+    var scrubPii = false
+    var evalPath: Option[String] = None
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--epoch" =>
+          require(i + 1 < args.length, "--epoch needs a number")
+          epoch = args(i + 1).toInt; i += 1
+        case "--budget" =>
+          require(i + 1 < args.length, "--budget needs a token count")
+          budget = args(i + 1).toLong; i += 1
+        case "--scrub-pii" => scrubPii = true
+        case "--eval" =>
+          require(i + 1 < args.length, "--eval needs a parquet path")
+          evalPath = Some(args(i + 1)); i += 1
+        case other => positional += other
+      }
+      i += 1
+    }
+    val docsDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = positional.drop(1).headOption.getOrElse("/tmp/graft_corpus")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val eval = evalPath.map(p => spark.read.parquet(p))
+    run(spark, docs, outDir,
+      Curate.Config(scrubPii = scrubPii, keep = Seq("source")),
+      eval, epoch, budget)
+    spark.stop()
+  }
+
+  /** Curate into `outDir/curate`, then mix the read-back curated
+    * corpus into `outDir/mix`. `cfg.keep` must include every input
+    * column the mix needs beyond the funnel's own outputs (`source`
+    * for the mixture stage — enforced here rather than discovered as
+    * a missing-column error three stages in). Returns
+    * (funnel counts, mix counts); also writes the combined
+    * report.json. */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      cfg: Curate.Config = Curate.Config(keep = Seq("source")),
+      eval: Option[DataFrame] = None,
+      epoch: Int = 0, budget: Long = 256,
+      bandRates: Map[Int, Double] = RunMix.defaultBandRates,
+      sourceWeights: Option[Map[String, Double]] = None)
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+    require(cfg.keep.contains("source"),
+      "RunCorpus needs cfg.keep to carry 'source' into the curated " +
+        "output — the mix stage's mixture/packing read it")
+    val curateReport = RunCurate.run(spark, docs, s"$outDir/curate", cfg, eval)
+    val curated = spark.read.parquet(s"$outDir/curate/curated")
+    val mixReport = RunMix.run(spark, curated, s"$outDir/mix",
+      epoch, budget, bandRates, sourceWeights)
+    val json = (curateReport.map { case (k, v) => s""""curate_$k":$v""" } ++
+        mixReport.map { case (k, v) => s""""mix_$k":$v""" })
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "report.json"), json + "\n")
+    (curateReport, mixReport)
+  }
+}

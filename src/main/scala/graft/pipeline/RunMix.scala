@@ -10,7 +10,9 @@ import graft.operators.{Sampling, TextAnalysis}
   * turns a (curated) corpus into one epoch of packed training rows:
   *
   *   1. score     one-pass [[TextAnalysis.docStats]] scan → token
-  *                count + quality (no second tokenization anywhere)
+  *                count + quality (no second tokenization anywhere;
+  *                skipped entirely when the input already carries
+  *                n_tokens/quality — the [[RunCorpus]] handoff)
   *   2. band      quality quartiles via [[Sampling.quantileThresholds]]
   *                (one sketch aggregate, no corpus sort) collected as a
   *                k-1 double ARTIFACT, then [[Sampling
@@ -103,7 +105,22 @@ object RunMix {
     * artifact (written to report.json as `thresholds`) is exact.
     * Documents with NULL text score no quality and are dropped before
     * banding — reported as the input→scorable delta.
-    * Returns the per-stage counts (also written as report.json). */
+    *
+    * PRE-SCORED input (the [[RunCorpus]] one-scan handoff): when
+    * `docs` already carries `n_tokens` AND `quality` columns — the
+    * curated output of [[graft.operators.Curate]] does — the scoring
+    * stage reuses them instead of re-running [[TextAnalysis.docStats]]
+    * over the text; the mix then never tokenizes at all. The two
+    * paths agree exactly on curated text (asserted in MixSpec: the
+    * funnel's quality is computed on the cleaned text, which IS the
+    * curated text column).
+    *
+    * Report-cost fine print: the per-run counts are ONE extra
+    * aggregate over (doc_id, text-null-ness) — column-pruned to
+    * nothing heavier than a null mask — plus the 1-row read-back
+    * aggregate of the packed output; the scoring/banding lineage runs
+    * exactly once, in the packed write. Returns the per-stage counts
+    * (also written as report.json). */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       epoch: Int = 0, budget: Long = 256,
       bandRates: Map[Int, Double] = defaultBandRates,
@@ -117,17 +134,27 @@ object RunMix {
     }
     require(bandRates.keySet == (1 to bandRates.size).toSet,
       s"bandRates must cover bands 1..k contiguously, got ${bandRates.keySet}")
+    // a threshold artifact recorded under a different band count would
+    // band rows outside bandRates' 1..k range, whose null rate silently
+    // drops them (ADVICE r6) — reject the mismatch instead
+    thresholds.foreach(t => require(t.size == bandRates.size - 1,
+      s"resume thresholds artifact has ${t.size} cut points but bandRates " +
+        s"defines ${bandRates.size} bands (needs ${bandRates.size - 1})"))
 
     // 1+2. score once (null text is unscorable -> dropped, accounted
     // below), band by quality quantile against an explicit threshold
     // artifact (computed here unless resuming with a recorded one)
-    val scored = docs
-      .where(col("text").isNotNull)
-      .withColumn("__stats", TextAnalysis.docStats(col("text")))
-      .withColumn("n_tokens", col("__stats.n_tokens"))
-      .withColumn("__quality",
-        TextAnalysis.qualityScoreFromStats(col("text"), col("__stats")))
-      .drop("__stats")
+    val preScored = Seq("n_tokens", "quality").forall(docs.columns.contains)
+    val scored =
+      if (preScored) docs.where(col("text").isNotNull)
+        .withColumn("__quality", col("quality"))
+      else docs
+        .where(col("text").isNotNull)
+        .withColumn("__stats", TextAnalysis.docStats(col("text")))
+        .withColumn("n_tokens", col("__stats.n_tokens"))
+        .withColumn("__quality",
+          TextAnalysis.qualityScoreFromStats(col("text"), col("__stats")))
+        .drop("__stats")
     val bandThresholds: Seq[Double] = thresholds.getOrElse {
       timed("sketch") {
         // k-1 doubles — a model-sized artifact (the IvfAnn pattern)
@@ -177,9 +204,16 @@ object RunMix {
         .collect().headOption.map(r =>
           Seq(r.getLong(0), r.getLong(1), r.getLong(2))).get
     }
+    // input + scorable in ONE aggregate (ADVICE r6: two count()s were
+    // two extra lineage executions) — column pruning reduces it to a
+    // text null-mask scan; for parquet-backed docs that is footer
+    // metadata plus definition levels, never the payload
+    val Seq(nInput, nScorable) = docs
+      .agg(count(lit(1)), count_if(col("text").isNotNull))
+      .collect().headOption.map(r => Seq(r.getLong(0), r.getLong(1))).get
     val report = Seq(
-      "input" -> docs.count(),
-      "scorable" -> scored.count(),
+      "input" -> nInput,
+      "scorable" -> nScorable,
       "sampled" -> nRows,
       "sequences" -> nSeqs,
       "tokens_packed" -> nTokens,

@@ -41,7 +41,7 @@ class CurateSpec extends SparkSpec {
 
     val out = Curate.curate(docs, "doc_id", "text",
       eval = Some((eval, "eval_id", "text")))
-    assert(out.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality", "n_tokens"))
     val row = out.collect().head
     assert(row.getAs[String]("lang_id") == "en")
     assert(row.getAs[Double]("quality") >= 0.3)
@@ -74,7 +74,7 @@ class CurateSpec extends SparkSpec {
       Curate.Config(langs = Seq("en", "und"), minQuality = 0.0, minTokens = 1))
     val k = kept.count()
     assert(k > 0 && k <= n)
-    assert(kept.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality", "n_tokens"))
   }
 
   test("curate scrubPii: IPs and phones survive cleaning only as tokens") {
@@ -102,7 +102,7 @@ class CurateSpec extends SparkSpec {
     // single-aggregate audit and the survivors share one funnel
     val curated = spark.read.parquet(s"$out/curated")
     assert(rep("kept") > 0 && curated.count() == rep("kept"))
-    assert(curated.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+    assert(curated.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality", "n_tokens"))
     val json = java.nio.file.Files.readString(
       java.nio.file.Paths.get(out, "report.json"))
     assert(json.contains("\"input\":") && json.contains("\"kept\":"))
@@ -124,7 +124,7 @@ class CurateSpec extends SparkSpec {
     var written: Array[Seq[Any]] = Array.empty
     val oneReport = Curate.curateAndReport(docs, "doc_id", "text", eval = eval) {
       survivors =>
-        assert(survivors.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality"))
+        assert(survivors.columns.toSeq == Seq("doc_id", "text", "lang_id", "quality", "n_tokens"))
         written = survivors.collect().map(_.toSeq)
           .sortBy(_.head.asInstanceOf[Long].toString)
     }

@@ -77,6 +77,66 @@ class MixSpec extends SparkSpec {
       s"weight 0.5 must thin src1 below src0: $bySrc")
   }
 
+  test("RunCorpus: curate->mix chains on one lineage; pre-scored path equals re-scoring") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = tmp("corpus")
+    val (curRep, mixRep) = graft.pipeline.RunCorpus.run(spark, docs, out,
+      graft.operators.Curate.Config(langs = Seq("en", "und"),
+        minQuality = 0.0, minTokens = 1, keep = Seq("source")),
+      epoch = 0, budget = 128)
+    val cur = curRep.toMap; val mix = mixRep.toMap
+    // the seam: the mix consumed exactly the funnel's survivors
+    assert(cur("kept") > 0 && mix("input") == cur("kept"),
+      s"mix input ${mix("input")} must equal funnel kept ${cur("kept")}")
+    assert(mix("scorable") == mix("input"),
+      "curated text is never null - nothing is unscorable at the seam")
+    assert(mix("tokens_packed") > 0)
+    val curated = spark.read.parquet(s"$out/curate/curated")
+    assert(Seq("n_tokens", "quality", "source")
+      .forall(curated.columns.contains),
+      "handoff columns must ride the curated output")
+    // combined report carries both journeys
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "report.json"))
+    assert(json.contains("\"curate_kept\":") && json.contains("\"mix_tokens_packed\":"))
+
+    // the pre-scored path must agree EXACTLY with re-scoring the
+    // curated text (funnel quality was computed on the cleaned text,
+    // which IS the curated text column)
+    val outPre = tmp("pre"); val outRe = tmp("re")
+    RunMix.run(spark, curated, outPre, epoch = 0, budget = 128)
+    RunMix.run(spark, curated.drop("n_tokens", "quality"), outRe,
+      epoch = 0, budget = 128)
+    val p = spark.read.parquet(s"$outPre/packed")
+    val r = spark.read.parquet(s"$outRe/packed")
+    assert(p.exceptAll(r).count() == 0 && r.exceptAll(p).count() == 0,
+      "pre-scored handoff must pack row-identically to re-scoring")
+  }
+
+  test("RunMix: raising one band's rate only ADDS packed doc_ids (same-salt nesting end-to-end)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val outLo = tmp("mono_lo"); val outHi = tmp("mono_hi")
+    val lo = Map(1 -> 0.2, 2 -> 0.5, 3 -> 1.0, 4 -> 1.0)
+    val hi = Map(1 -> 0.2, 2 -> 0.9, 3 -> 1.0, 4 -> 1.0) // band 2 raised
+    RunMix.run(spark, docs, outLo, epoch = 0, budget = 128, bandRates = lo)
+    RunMix.run(spark, docs, outHi, epoch = 0, budget = 128, bandRates = hi)
+    val idsLo = spark.read.parquet(s"$outLo/packed")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val idsHi = spark.read.parquet(s"$outHi/packed")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idsLo.subsetOf(idsHi),
+      s"lo-rate survivors must nest in hi-rate: ${(idsLo -- idsHi).take(5)} escaped")
+    assert(idsHi.size > idsLo.size,
+      "raising a band rate on a populated band must add survivors")
+    // untouched bands are bit-identical between the two runs
+    val loOther = spark.read.parquet(s"$outLo/packed")
+      .where(col("bucket") =!= 2).select("doc_id")
+    val hiOther = spark.read.parquet(s"$outHi/packed")
+      .where(col("bucket") =!= 2).select("doc_id")
+    assert(loOther.exceptAll(hiOther).count() == 0 &&
+      hiOther.exceptAll(loOther).count() == 0)
+  }
+
   test("RunMix: re-banding against the recorded threshold artifact replays exactly") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val outA = tmp("art_a"); val outB = tmp("art_b")
@@ -95,5 +155,12 @@ class MixSpec extends SparkSpec {
     val b = spark.read.parquet(s"$outB/packed")
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "resume with the recorded thresholds must re-pack row-identically")
+    // an artifact recorded under a DIFFERENT band count is rejected,
+    // not silently banded out of range (ADVICE r6)
+    val e = intercept[IllegalArgumentException] {
+      RunMix.run(spark, docs, tmp("art_bad"), epoch = 0, budget = 128,
+        thresholds = Some(ths.take(2)))
+    }
+    assert(e.getMessage.contains("cut points"))
   }
 }
