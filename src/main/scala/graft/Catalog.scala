@@ -2075,15 +2075,19 @@ object Catalog {
       // corpus-duplication quality signal (the Gopher/FineWeb
       // duplicated-n-gram fraction): per doc, the share of its
       // DISTINCT bigrams whose corpus document frequency >= 3. Grams
-      // travel as native md5-60 ShingleHashes longs (distinct-set
-      // bijection with string bigrams — identical counts, 8 bytes on
-      // the wire); the frequent-gram side is df-filtered BEFORE the
-      // join back and left unhinted (AQE broadcasts when small)
+      // travel as native md5-60 ShingleHashes longs — a collision-
+      // negligible 60-bit hash of the string bigram: counts agree
+      // exactly at test scale and statistically (birthday ~n²/2^61,
+      // <1 colliding pair even at 10^9 distinct grams) at corpus
+      // scale, with 8 bytes on the wire; the frequent-gram side is
+      // df-filtered BEFORE the join back and left unhinted (AQE
+      // broadcasts when small)
       (s, d) => TextAnalysis.boilerplateRate(documents(s, d), "doc_id", "text",
           n = 2, minDf = 3)
         .orderBy("doc_id"),
       // the oracle counts in STRING-bigram space — same distinct sets
-      // by the md5-60 bijection — including the short-doc padded gram
+      // by the md5-60 hash (exact at this scale; see boilerplateRate's
+      // collision fine print) — including the short-doc padded gram
       // (a 1-token doc's gram is "tok,-1", which can never collide
       // with a real bigram: tokens are [a-z0-9]+ and contain no '-')
       Some("""WITH tk AS (
@@ -2157,7 +2161,10 @@ object Catalog {
               SELECT doc_id, count(*) AS n_chunks_kept,
                 string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_deduped
               FROM fi WHERE rk = 1
-              GROUP BY doc_id ORDER BY doc_id""")),
+              GROUP BY doc_id ORDER BY doc_id"""),
+      // r6 verdict item 6: the heaviest new operator (chunk fan-out,
+      // two shuffles, per-doc reassembly) must be bench-visible
+      headline = true),
 
     QueryDef("x45_quantile_bucket",
       // length-quartile stratification WITHOUT a global sort: a 1-row

@@ -702,12 +702,14 @@ object Dedup {
     *
     * Shingle sets are the HASHED form ([[graft.functions
     * .ShingleHashes]], one codegen'd pass — the string-shingle
-    * `transform(sequence...)` HOF ran interpreted): distinct string
-    * shingles and distinct md5-60 shingle hashes are in bijection
-    * (collision-free at any realistic vocabulary), so intersection /
-    * union counts — and therefore every emitted jaccard — are
-    * unchanged, while the pair join ships 8-byte longs instead of
-    * shingle strings. */
+    * `transform(sequence...)` HOF ran interpreted): the 60-bit hash
+    * makes distinct string shingles and distinct hash values agree up
+    * to birthday collisions — ~n²/2^61 expected per document pair, so
+    * exact at test scale and collision-negligible at corpus scale
+    * (at 10^9 distinct grams, ~0.4 colliding pairs corpus-WIDE) —
+    * so intersection / union counts, and therefore every emitted
+    * jaccard, match the string form statistically exactly, while the
+    * pair join ships 8-byte longs instead of shingle strings. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, blockOn: Seq[String]): DataFrame = {
     val base = Rebalance(df.select(

@@ -125,19 +125,36 @@ object Sampling {
     df.where(draw < thr)
   }
 
+  /** Default accuracy for the sketch path of [[quantileThresholds]]:
+    * `approx_percentile`'s KLL/GK-style bound guarantees each returned
+    * threshold's RANK error is at most `n / accuracy` rows — at 10000,
+    * a quantile can be off by 0.01% of the corpus in rank terms (for a
+    * quartile banding that moves at most 1 in 10^4 rows to the
+    * adjacent band, far below any band-rate policy's sensitivity) —
+    * while each aggregation PARTIAL holds O(accuracy · log n) entries,
+    * a few hundred KB per task at corpus scale. Raise it when bands
+    * are razor-thin (e.g. separating the top 0.01%: the cut point must
+    * resolve finer than the band itself — use >= 10/band-width) and
+    * the per-partial memory is affordable; callers needing bit-exact
+    * replay across runs should persist the thresholds once and re-band
+    * via [[bucketByThresholds]] (the RunMix artifact contract) rather
+    * than chase sketch determinism. */
+  val SketchAccuracy = 10000
+
   /** Quantile-threshold frame for [[quantileBuckets]]: ONE row holding
     * the `buckets - 1` interior quantiles of `valueCol`. `exact =
-    * false` (the 100 TB path) uses `approx_percentile` — a
-    * bounded-memory mergeable sketch; `exact = true` uses `percentile`,
-    * whose aggregation buffer holds every value (fine at test scale,
-    * where it is also externally replayable — DuckDB `quantile_cont`
-    * computes the same interpolated doubles). */
+    * false` (the 100 TB path) uses `approx_percentile` at
+    * [[SketchAccuracy]] — a bounded-memory mergeable sketch (rank
+    * error and memory trade documented there); `exact = true` uses
+    * `percentile`, whose aggregation buffer holds every value (fine at
+    * test scale, where it is also externally replayable — DuckDB
+    * `quantile_cont` computes the same interpolated doubles). */
   def quantileThresholds(df: DataFrame, valueCol: String, buckets: Int,
       exact: Boolean): DataFrame = {
     require(buckets >= 2, s"quantileBuckets: need >= 2 buckets, got $buckets")
     val ps = lit((1 until buckets).map(_.toDouble / buckets).toArray)
     val agg = if (exact) percentile(col(valueCol), ps)
-      else approx_percentile(col(valueCol), ps, lit(10000))
+      else approx_percentile(col(valueCol), ps, lit(SketchAccuracy))
     df.agg(agg.cast("array<double>").as("__t"))
   }
 
@@ -147,7 +164,17 @@ object Sampling {
     * the same band on any engine, any layout, any run. This is the
     * replay/resume surface: persist the thresholds (a k-1 double
     * artifact) and re-band against them exactly
-    * ([[graft.pipeline.RunMix]] does). */
+    * ([[graft.pipeline.RunMix]] does).
+    *
+    * Fine print (ADVICE r6): a NULL or NaN `valueCol` yields a NULL
+    * bucket (`null > t` is null, and the int casts propagate it) —
+    * downstream per-band lookups like `element_at(rates, bucket)`
+    * then rate the row null, i.e. SILENTLY DROP it; filter or impute
+    * unscorable rows first and account for them (RunMix reports them
+    * as the input→scorable delta). Duplicate threshold values are
+    * accepted (`sorted` is non-strict): equal cut points t_i = t_i+1
+    * simply leave band i+1 empty — a degenerate-but-valid banding
+    * (constant-valued corpora produce it naturally). */
   def bucketByThresholds(df: DataFrame, valueCol: String,
       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty && thresholds == thresholds.sorted,

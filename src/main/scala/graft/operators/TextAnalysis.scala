@@ -424,7 +424,14 @@ object TextAnalysis {
     * Shape, and why it holds at 100 TB: grams travel as the native
     * md5-60 [[graft.functions.ShingleHashes]] longs (the per-doc
     * distinct set, so a plain `count(*)` per gram IS document
-    * frequency — no count-distinct) — two linear scans of the text
+    * frequency — no count-distinct). Hash fine print (the same
+    * contract as the MinHash ops): 60 bits is collision-negligible,
+    * not collision-free — birthday pairs arrive at ~n²/2^61, so a
+    * corpus with 10^9 distinct grams expects <1 colliding pair
+    * (which would merge two grams' document frequencies, slightly
+    * INFLATING rates); equality with string-gram counting is exact
+    * at test scale and statistical at corpus scale. Two linear scans
+    * of the text
     * (one per gram-frame consumer), each map-side codegen'd, and the
     * only shuffles carry 8-byte hashes. The frequent-gram table is
     * df-filtered BEFORE the join back, so the join's build side holds

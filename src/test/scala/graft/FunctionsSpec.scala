@@ -317,6 +317,58 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: doc_stats, byte_stats, slot_matches, nearest_cells_int equal the DataFrame forms") {
+    import graft.operators.TextAnalysis
+    GraftFunctions.ensureRegistered(spark)
+    // doc_stats — the x10 scoring path: SQL and DataFrame structs match
+    val docs = Seq((1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "le chat et le chien sont dans la maison"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    docs.createOrReplaceTempView("sqlsurf_docs")
+    val viaDf = docs.select(col("id"), TextAnalysis.docStats(col("text")).as("s"))
+    val viaSql = spark.sql("SELECT id, doc_stats(text) AS s FROM sqlsurf_docs")
+    assert(viaSql.exceptAll(viaDf).count() == 0 &&
+      viaDf.exceptAll(viaSql).count() == 0)
+    // explicit gram width agrees with the DataFrame default arg form
+    val viaSql3 = spark.sql("SELECT id, doc_stats(text, 3) AS s FROM sqlsurf_docs")
+    val viaDf3 = docs.select(col("id"), TextAnalysis.docStats(col("text"), 3).as("s"))
+    assert(viaSql3.exceptAll(viaDf3).count() == 0)
+    // byte_stats — the x32 no-codec screen
+    val bin = Seq((1L, Array[Byte](1, 2, 2, 3))).toDF("id", "b")
+    bin.createOrReplaceTempView("sqlsurf_bin")
+    val bSql = spark.sql("SELECT byte_stats(b) AS s FROM sqlsurf_bin")
+    val bDf = bin.select(graft.functions.ByteStats.column(col("b")).as("s"))
+    assert(bSql.exceptAll(bDf).count() == 0)
+    assert(bSql.select("s.n_bytes").as[Int].head() == 4)
+    // slot_matches — the x28 estimated-verify hot scalar
+    val m = spark.sql(
+      "SELECT slot_matches(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS m")
+      .as[Int].head()
+    assert(m == 2)
+    // nearest_cells_int — the x15 IVF assignment: literal centroid
+    // matrix + cell ids, against the Column form on the same vectors
+    val vecs = Seq((1L, Seq(0.1f, 0.9f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("id", "v")
+    vecs.createOrReplaceTempView("sqlsurf_vecs")
+    val cents = Array(Array(100L, 900L), Array(900L, 100L))
+    val ids = Array(7, 9)
+    val nSql = spark.sql(
+      """SELECT id, nearest_cells_int(v,
+           array(array(100L, 900L), array(900L, 100L)),
+           array(7, 9), 1) AS c
+         FROM sqlsurf_vecs""")
+    val nDf = vecs.select(col("id"),
+      graft.functions.NearestCells.nearestIntCol(col("v"), cents, ids, 1).as("c"))
+    assert(nSql.exceptAll(nDf).count() == 0 && nDf.exceptAll(nSql).count() == 0)
+    assert(nSql.orderBy("id").as[(Long, Seq[Int])].collect().toSeq ==
+      Seq((1L, Seq(7)), (2L, Seq(9))))
+    // literal validation: non-literal centroid matrix rejected
+    intercept[Exception] {
+      spark.sql("SELECT nearest_cells_int(v, array(v), array(1), 1) FROM sqlsurf_vecs")
+        .collect()
+    }
+  }
+
   test("capped_ids: full collect under the limit, limit+1 proof over it") {
     import graft.functions.CappedIds
     val df = (1L to 10L).toDF("id")
