@@ -1189,6 +1189,127 @@ object Catalog {
                 AND doc_id NOT IN (SELECT in_id FROM dup)
               ORDER BY doc_id""")),
 
+    QueryDef("x46_grow_intake",
+      // x41 with the index GROWING (r7): two batches arrive in
+      // sequence; each runs one intakeStepAgainstFuzzyIndex —
+      // within-batch cluster dedup (min-id survivor per component),
+      // corpus probe, and APPEND of the accepted docs into the
+      // persisted index — so batch-2 docs duplicating an ACCEPTED
+      // batch-1 doc are dropped even though neither was in the build
+      // corpus. buildFuzzyIndex overwrites, so re-runs reset the
+      // index before growing it again (deterministic at any SF).
+      (s, d) => {
+        val docs = documents(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_grow_idx_" +
+          Integer.toHexString(d.hashCode)
+        Dedup.buildFuzzyIndex(docs.where(col("doc_id") < 250),
+          "doc_id", "text", path, shingleN = 3, k = 64, bands = 16)
+        val s1 = Dedup.intakeStepAgainstFuzzyIndex(s, path,
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 400),
+          "doc_id", "text", threshold = 0.5)
+        val s2 = Dedup.intakeStepAgainstFuzzyIndex(s, path,
+          docs.where(col("doc_id") >= 400),
+          "doc_id", "text", threshold = 0.5)
+        s1.select("doc_id", "source")
+          .unionByName(s2.select("doc_id", "source"))
+          .orderBy("doc_id")
+      },
+      // the oracle replays the x41 portable MinHash pipeline for the
+      // DUP-PAIR relation (band candidates + exact Jaccard), then the
+      // sequential first-wins algebra on top: batch-1 keeps min-id
+      // component survivors (the x22 recursive-CTE pattern) with no
+      // corpus dup; batch-2 additionally drops dups of batch-1's
+      // ACCEPTED docs — the grown-index semantics
+      Some("""WITH RECURSIVE tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+                FROM bands b JOIN bands c
+                  ON b.bucket = c.bucket AND b.doc_id < c.doc_id),
+              pairs AS (
+                SELECT p.id_a, p.id_b FROM cand p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b
+                WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                  >= 0.5),
+              e1 AS (
+                SELECT id_a, id_b FROM pairs
+                WHERE id_a >= 250 AND id_a < 400 AND id_b >= 250 AND id_b < 400
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+                WHERE id_a >= 250 AND id_a < 400 AND id_b >= 250 AND id_b < 400),
+              r1 AS (
+                SELECT id_a AS id, id_a AS r FROM e1
+                UNION
+                SELECT re.id, e.id_b AS r FROM r1 re JOIN e1 e ON e.id_a = re.r),
+              a1 AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id >= 250 AND doc_id < 400
+                  AND doc_id NOT IN
+                    (SELECT id FROM r1 GROUP BY id HAVING min(r) < id)
+                  AND doc_id NOT IN
+                    (SELECT id_b FROM pairs WHERE id_a < 250)),
+              e2 AS (
+                SELECT id_a, id_b FROM pairs
+                WHERE id_a >= 400 AND id_b >= 400
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+                WHERE id_a >= 400 AND id_b >= 400),
+              r2 AS (
+                SELECT id_a AS id, id_a AS r FROM e2
+                UNION
+                SELECT re.id, e.id_b AS r FROM r2 re JOIN e2 e ON e.id_a = re.r),
+              a2 AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id >= 400
+                  AND doc_id NOT IN
+                    (SELECT id FROM r2 GROUP BY id HAVING min(r) < id)
+                  AND doc_id NOT IN
+                    (SELECT id_b FROM pairs WHERE id_a < 250)
+                  AND doc_id NOT IN
+                    (SELECT p.id_b FROM pairs p
+                     JOIN a1 ON p.id_a = a1.doc_id))
+              SELECT doc_id, source FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM a1
+                               UNION ALL SELECT doc_id FROM a2)
+              ORDER BY doc_id""")),
+
     // ================================================= extensions: similarity
     QueryDef("x06_knn_cosine",
       (s, d) => {
