@@ -559,6 +559,66 @@ class FunctionsSpec extends SparkSpec {
     assert(viaFresh.count() > 0)
   }
 
+  test("index compaction: one file per partition dir, content and probe results unchanged") {
+    import graft.operators.{Compaction, Dedup}
+    val texts = Seq(
+      "alpha report one summarizes quarterly revenue for the northern retail division in detail",
+      "beta survey two covers sensor calibration drift across coastal stations during winter",
+      "gamma study three examines pollinator decline in alpine meadows over twenty years",
+      "novel thing about engines describing combustion chamber pressure curves under partial load",
+      "fresh material on storage layers comparing log structured merge trees with heap files",
+      "completely new content about databases and planners written from scratch this week")
+    def docsAt(ids: Seq[Long]) =
+      ids.zip(texts).map { case (i, t) => (i, t + s" variant $i") }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Dedup.buildFuzzyIndex(docsAt(Seq(1L, 2L)), "doc_id", "text", s"$tmp/idx",
+      shingleN = 3, k = 64, bands = 16, nShards = 2)
+    // two appends -> shard dirs accumulate multiple files
+    Dedup.appendToFuzzyIndex(spark, s"$tmp/idx", docsAt(Seq(3L, 4L)), "doc_id", "text")
+    Dedup.appendToFuzzyIndex(spark, s"$tmp/idx", docsAt(Seq(5L, 6L)), "doc_id", "text")
+    assert(Compaction.partFileCounts(spark, s"$tmp/idx/sets").values.max > 1,
+      "fixture must fragment before compaction proves anything")
+    val setsBefore = spark.read.parquet(s"$tmp/idx/sets").collect()
+      .map(_.toString).sorted.toSeq
+    val probe = () => Dedup.probeFuzzyIndex(spark, s"$tmp/idx",
+        docsAt(Seq(10L)).withColumn("text", concat(col("text"), lit(" probe"))),
+        "doc_id", "text", threshold = 0.3, checkpointCandidates = false)
+      .collect().map(_.toString).sorted.toSeq
+    val probeBefore = probe()
+    val rep = Compaction.compactFuzzyIndex(spark, s"$tmp/idx")
+    assert(rep("sets")._2 < rep("sets")._1, s"sets must shrink: $rep")
+    assert(Compaction.partFileCounts(spark, s"$tmp/idx/sets").values.forall(_ == 1))
+    assert(Compaction.partFileCounts(spark, s"$tmp/idx/bands").values.forall(_ == 1))
+    val setsAfter = spark.read.parquet(s"$tmp/idx/sets").collect()
+      .map(_.toString).sorted.toSeq
+    assert(setsAfter == setsBefore, "compaction must not change a single row")
+    assert(probe() == probeBefore, "probe results must be layout-invariant")
+    // meta untouched — parameters still drive probes
+    assert(Dedup.fuzzyIndexMeta(spark, s"$tmp/idx").nShards == 2)
+
+    // IVF layout: same contract
+    val corpus = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(corpus.where(col("vec_id") < 50),
+      "vec_id", "embedding", nlist = 4)
+    IvfAnn.buildIndexInt(corpus.where(col("vec_id") < 50),
+      "vec_id", "embedding", cents, s"$tmp/ivf")
+    IvfAnn.appendToIndexInt(corpus.where(col("vec_id") >= 50),
+      "vec_id", "embedding", cents, s"$tmp/ivf")
+    val queries = corpus.where(col("vec_id") < 2)
+      .select((col("vec_id") + 1000).as("q_id"), col("embedding").as("q_vec"))
+    def search() = IvfAnn.searchIndexInt(spark, s"$tmp/ivf", queries,
+        "vec_id", "embedding", "q_id", "q_vec", cents, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val searchBefore = search()
+    val (ivfB, ivfA) = Compaction.compactIvfIndex(spark, s"$tmp/ivf")
+    assert(ivfA < ivfB && Compaction.partFileCounts(spark, s"$tmp/ivf")
+      .values.forall(_ == 1))
+    assert(search() == searchBefore)
+    Dedup.releaseCheckpoints()
+  }
+
   test("IVF ANN finds the exact neighbor when it shares the query's cell") {
     val corpus = (0 until 200).map { i =>
       val base = Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat)
