@@ -1310,6 +1310,79 @@ object Catalog {
                                UNION ALL SELECT doc_id FROM a2)
               ORDER BY doc_id""")),
 
+    QueryDef("x47_hash_split",
+      // deterministic train/val/test assignment: salted md5 draw on
+      // the id vs cumulative floored ppm thresholds — a map-only pure
+      // row function, so the split survives reruns, repartitions and
+      // corpus growth (existing rows never move); different salts
+      // give independent splits (k-fold)
+      (s, d) => Sampling.hashSplit(documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CASE
+                WHEN CAST('0x' || substring(
+                    md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1000000 < 800000 THEN 'train'
+                WHEN CAST('0x' || substring(
+                    md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1000000 < 900000 THEN 'val'
+                ELSE 'test' END AS split
+              FROM documents ORDER BY doc_id""")),
+
+    QueryDef("x48_leaksafe_split",
+      // LEAK-SAFE split: the draw keys on the document's dup-CLUSTER
+      // representative (connected components over the deterministic
+      // n-gram pair relation, min id; singletons on themselves), so a
+      // near-dup family can never straddle train and test — the
+      // train-on-it-eval-on-its-copy contamination a plain hash split
+      // allows. Pairs from the x22 generator keep the oracle able to
+      // replay components with a recursive CTE.
+      (s, d) => {
+        val docs = documents(s, d)
+        Sampling.leakSafeSplit(docs, "doc_id",
+            Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+              n = 1, threshold = 0.5, blockOn = Seq("lang", "source")),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "split")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE toks AS (
+                SELECT doc_id, lang, source,
+                  list_distinct(list_filter(
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS sh
+                FROM documents),
+              prs AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM toks l JOIN toks r
+                  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) > 0
+                  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+                      (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5),
+              edges AS (SELECT id_a, id_b FROM prs
+                        UNION ALL SELECT id_b, id_a FROM prs),
+              reach AS (
+                SELECT id_a AS id, id_a AS r FROM edges
+                UNION
+                SELECT re.id, e.id_b AS r FROM reach re JOIN edges e ON e.id_a = re.r),
+              lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+              rep AS (
+                SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep
+                FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+              dr AS (
+                SELECT doc_id,
+                  CAST('0x' || substring(
+                    md5('split:' || CAST(rep AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1000000 AS draw
+                FROM rep)
+              SELECT doc_id, CASE
+                WHEN draw < 800000 THEN 'train'
+                WHEN draw < 900000 THEN 'val'
+                ELSE 'test' END AS split
+              FROM dr ORDER BY doc_id""")),
+
     // ================================================= extensions: similarity
     QueryDef("x06_knn_cosine",
       (s, d) => {

@@ -277,4 +277,67 @@ object Sampling {
       .withColumnRenamed("__chunk", "chunk")
       .drop("__key", "__end")
   }
+
+  // ------------------------------------------- train/val/test splitting
+
+  /** The split label for a deterministic key draw: `u(salt, key) in
+    * [0, 1e6)` (the [[deterministicSampleByRate]] md5 arithmetic)
+    * compared against the CUMULATIVE floored ppm thresholds of
+    * `weights` in declaration order — the first bucket whose
+    * cumulative threshold exceeds the draw wins. Declaration order is
+    * load-bearing (weights are NOT normalized: they must sum to 1;
+    * rounding remainders fall into the LAST split, the conventional
+    * train-gets-the-dust rule). */
+  private def splitLabel(key: Column, weights: Seq[(String, Double)],
+      salt: String): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must be non-negative and sum to 1, got $weights")
+    val draw = conv(substring(
+        md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+    val cums = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * 1000000L).toLong)
+    weights.init.zip(cums.init).foldRight(
+        lit(weights.last._1): Column) { case (((name, _), cum), rest) =>
+      when(draw < cum, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic TRAIN/VAL/TEST split: adds a `split` column from a
+    * salted md5 draw on the id — a pure row function (map-only, no
+    * shuffle, engine-replayable), so the assignment survives reruns,
+    * repartitions, appends, and engine swaps; a grown corpus keeps
+    * every existing row's split. Different salts draw independent
+    * splits (the k-fold story). */
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), weights, salt))
+
+  /** LEAK-SAFE split: near-duplicate documents always land in the SAME
+    * split. A plain [[hashSplit]] leaks: two near-copies of one
+    * document can straddle train and test, and the model is then
+    * evaluated on (a fuzzy copy of) training data — the contamination
+    * path dedup thresholds don't close because both copies SURVIVE a
+    * dedup that keeps one per cluster only when they exceed its
+    * threshold. Here the draw is keyed on the document's dup-CLUSTER
+    * representative (connected components over `pairs`, min id — the
+    * [[graft.operators.Dedup.dupClusters]] labels; singletons key on
+    * themselves), so a whole near-dup family moves as one unit.
+    *
+    * `pairs` is ANY dup-pair frame (id_a, id_b) — n-gram Jaccard for
+    * oracle-checkable splits (x48), MinHash+LSH at scale; the split
+    * inherits the pair generator's scale shape, the assignment itself
+    * adds one label join + a map-only draw. Split SIZES are
+    * weight-proportional in EXPECTATION over clusters, not exact over
+    * rows (a giant dup family lands whole — that is the point). */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val labels = graft.operators.Dedup.dupClusters(pairs)
+      .select(col("id").as(idCol), col("label"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("label"), col(idCol)))
+      .withColumn("split", splitLabel(col("__rep"), weights, salt))
+      .drop("label", "__rep")
+  }
 }

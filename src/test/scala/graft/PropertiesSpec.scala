@@ -168,6 +168,51 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("splits: leak-safety (pairs never straddle), append-stability, weight validation") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // hashSplit is a pure row function: the split column on a SUBSET
+    // equals the same rows' splits on the full corpus (growth/append
+    // never reassigns), and repartitioning changes nothing
+    val full = Sampling.hashSplit(docs, "doc_id", weights)
+      .select("doc_id", "split")
+    val sub = Sampling.hashSplit(docs.where(col("doc_id") % 3 === 0)
+        .repartition(7), "doc_id", weights)
+      .select("doc_id", "split")
+    assert(sub.exceptAll(full.where(col("doc_id") % 3 === 0)).count() == 0)
+    // all three splits are populated at 500 docs
+    assert(full.select("split").distinct().count() == 3)
+
+    // leak-safety: NO dup pair straddles two splits
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.5, blockOn = Seq("lang", "source"))
+    val safe = Sampling.leakSafeSplit(docs, "doc_id", pairs, weights)
+      .select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(safe.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+      .join(safe.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+      .where(col("__sa") =!= col("__sb"))
+    assert(pairs.count() > 0, "fixture needs dup pairs to prove anything")
+    assert(straddling.count() == 0, "a near-dup pair straddles train/test")
+    // the plain hash split DOES straddle on this corpus — the gap
+    // leakSafeSplit exists to close (if this ever fails, the fixture
+    // stopped exercising the difference)
+    val plainStraddle = pairs
+      .join(full.select(col("doc_id").as("id_a"), col("split").as("__sa")), "id_a")
+      .join(full.select(col("doc_id").as("id_b"), col("split").as("__sb")), "id_b")
+      .where(col("__sa") =!= col("__sb")).count()
+    assert(plainStraddle > 0, "hash split no longer demonstrates the leak")
+    Dedup.releaseCheckpoints()
+    // weight validation: must sum to 1, non-negative
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 1.5, "b" -> -0.5))
+    }
+  }
+
   test("jaccardFromIntersect stays in [0,1] and is 1 for identical sets") {
     val gen = Gen.listOf(Gen.choose(0, 20))
     samples(Gen.zip(gen, gen), 20).foreach { case (a, b) =>
