@@ -132,6 +132,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"rate sample must be one scan + sort:\n$s")
   }
 
+  test("x47: hash split is map-only (no join, no aggregate, one sort exchange)") {
+    // the split must stay a pure row function — a groupBy/window-based
+    // assignment would shuffle the corpus and break append-stability
+    val plan = finalPlan(q("x47_hash_split"))
+    val s = plan.toString()
+    assert(!s.contains("Join"), s"hash split must not join:\n$s")
+    assert(!s.contains("Aggregate"), s"hash split must not aggregate:\n$s")
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1, s"hash split must be one scan + sort:\n$s")
+  }
+
+  test("x48: leak-safe split adds ONE label join over the pair relation") {
+    // the assignment layer on top of pair generation must be exactly:
+    // cluster labels left-joined back + a map-only draw — label
+    // propagation's own bounded joins live behind the localCheckpoint
+    // (a LogicalRDD leaf), so the logical plan shows only the
+    // assignment join and no aggregate (audited on optimizedPlan: AQE
+    // hides executed joins inside materialized query stages)
+    val df = q("x48_leaksafe_split")
+    val logical = df.queryExecution.optimizedPlan
+    val joins = logical.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1,
+      s"leak-safe split must add exactly one assignment join, got ${joins.size}:\n$logical")
+    assert(joins.head.joinType.sql == "LEFT OUTER",
+      s"label join must be a left join (singletons keep themselves): ${joins.head.joinType}")
+    assert(logical.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, s"assignment must not aggregate:\n$logical")
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("x45: threshold side reads only the value column and broadcasts one row") {
     // the whole point of quantileBuckets is NO corpus sort: the
     // threshold aggregate must scan a pruned single-column schema,
