@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Curate
 
@@ -28,17 +29,30 @@ import graft.operators.Curate
   * the mix counts from the packed write's read-back — MixSpec asserts
   * `mix input == funnel kept`, the seam where the two journeys meet.
   *
+  * Holdout (`--holdout h`, or `splitWeights` programmatically): a
+  * LEAK-SAFE train/val/test split over the CURATED corpus —
+  * [[graft.operators.Sampling.leakSafeSplit]] keyed on MinHash dup
+  * clusters at `splitThreshold` (default 0.5: the curation funnel
+  * already removed dups above `cfg.jaccardThreshold`, so the split
+  * guard covers the 0.5–0.8 gray zone a plain hash split would let
+  * straddle train/test). The mix then packs ONLY the train split;
+  * val/test stay in `curate/splits/` for evaluation use.
+  *
   * Usage: runMain graft.pipeline.RunCorpus [docsDir] [outDir]
   *          [--epoch N] [--budget TOKENS] [--scrub-pii] [--eval PATH]
+  *          [--holdout H] [--weights src=w,src=w]
   * Defaults: /root/testdata/sf0.001 -> /tmp/graft_corpus.
+  * `--holdout 0.1` = train 0.8 / val 0.1 / test 0.1.
   *
   * Outputs under outDir:
   *  curate/curated/   the curated corpus (doc_id, text, lang_id,
   *                    quality, n_tokens, source)
+  *  curate/splits/    (doc_id, split) when a holdout is requested
   *  curate/report.json per-stage funnel counts
-  *  mix/packed/       one epoch of packed training rows
+  *  mix/packed/       one epoch of packed training rows (train split
+  *                    only under a holdout)
   *  mix/report.json   mix counts + the banding threshold artifact
-  *  report.json       both journeys' counts in one line
+  *  report.json       both journeys' counts (+ split sizes) in one line
   */
 object RunCorpus {
 
@@ -47,6 +61,8 @@ object RunCorpus {
     var budget = 256L
     var scrubPii = false
     var evalPath: Option[String] = None
+    var holdout: Option[Double] = None
+    var weights: Option[Map[String, Double]] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -61,6 +77,14 @@ object RunCorpus {
         case "--eval" =>
           require(i + 1 < args.length, "--eval needs a parquet path")
           evalPath = Some(args(i + 1)); i += 1
+        case "--holdout" =>
+          require(i + 1 < args.length, "--holdout needs a fraction")
+          holdout = Some(args(i + 1).toDouble); i += 1
+        case "--weights" =>
+          require(i + 1 < args.length, "--weights needs src=w,src=w")
+          weights = Some(args(i + 1).split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2); (k, v.toDouble)
+          }.toMap); i += 1
         case other => positional += other
       }
       i += 1
@@ -81,7 +105,10 @@ object RunCorpus {
     val eval = evalPath.map(p => spark.read.parquet(p))
     run(spark, docs, outDir,
       Curate.Config(scrubPii = scrubPii, keep = Seq("source")),
-      eval, epoch, budget)
+      eval, epoch, budget,
+      sourceWeights = weights,
+      splitWeights = holdout.map(h =>
+        Seq("train" -> (1.0 - 2 * h), "val" -> h, "test" -> h)))
     spark.stop()
   }
 
@@ -89,28 +116,58 @@ object RunCorpus {
     * corpus into `outDir/mix`. `cfg.keep` must include every input
     * column the mix needs beyond the funnel's own outputs (`source`
     * for the mixture stage — enforced here rather than discovered as
-    * a missing-column error three stages in). Returns
-    * (funnel counts, mix counts); also writes the combined
-    * report.json. */
+    * a missing-column error three stages in). With `splitWeights`, a
+    * leak-safe split is computed over the curated corpus (dup
+    * clusters at `splitThreshold` — below the funnel's own dedup
+    * threshold, closing the gray zone), persisted to
+    * `outDir/curate/splits`, and ONLY the `mixSplit` slice feeds the
+    * mix. Returns (funnel counts, mix counts); also writes the
+    * combined report.json. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Curate.Config = Curate.Config(keep = Seq("source")),
       eval: Option[DataFrame] = None,
       epoch: Int = 0, budget: Long = 256,
       bandRates: Map[Int, Double] = RunMix.defaultBandRates,
-      sourceWeights: Option[Map[String, Double]] = None)
+      sourceWeights: Option[Map[String, Double]] = None,
+      splitWeights: Option[Seq[(String, Double)]] = None,
+      splitThreshold: Double = 0.5,
+      mixSplit: String = "train")
       : (Seq[(String, Long)], Seq[(String, Long)]) = {
     require(cfg.keep.contains("source"),
       "RunCorpus needs cfg.keep to carry 'source' into the curated " +
         "output — the mix stage's mixture/packing read it")
     val curateReport = RunCurate.run(spark, docs, s"$outDir/curate", cfg, eval)
     val curated = spark.read.parquet(s"$outDir/curate/curated")
-    val mixReport = RunMix.run(spark, curated, s"$outDir/mix",
+    val (mixInput, splitCounts) = splitWeights match {
+      case None => (curated, Nil)
+      case Some(w) =>
+        require(w.exists(_._1 == mixSplit),
+          s"splitWeights must contain the mix split '$mixSplit', got $w")
+        // leak-safe over the CURATED text (== cleaned text), pairs at
+        // the gray-zone threshold, persisted for evaluation use
+        graft.operators.Sampling.leakSafeSplit(curated, "doc_id",
+            graft.operators.Dedup.minHashDupPairs(curated, "doc_id", "text",
+              cfg.shingleN, cfg.minhashK, cfg.bands, splitThreshold),
+            w)
+          .select("doc_id", "split")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/curate/splits")
+        graft.operators.Dedup.releaseCheckpoints()
+        val splits = spark.read.parquet(s"$outDir/curate/splits")
+        val counts = splits.groupBy("split").count().collect()
+          .map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toSeq.sortBy(_._1)
+        // read-back semi-join: the mix never re-runs the pair jobs
+        (curated.join(splits.where(col("split") === mixSplit)
+          .select("doc_id"), Seq("doc_id"), "left_semi"), counts)
+    }
+    val mixReport = RunMix.run(spark, mixInput, s"$outDir/mix",
       epoch, budget, bandRates, sourceWeights)
     val json = (curateReport.map { case (k, v) => s""""curate_$k":$v""" } ++
+        splitCounts.map { case (k, v) => s""""$k":$v""" } ++
         mixReport.map { case (k, v) => s""""mix_$k":$v""" })
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "report.json"), json + "\n")
-    (curateReport, mixReport)
+    (curateReport, splitCounts ++ mixReport)
   }
 }

@@ -113,6 +113,28 @@ class MixSpec extends SparkSpec {
       "pre-scored handoff must pack row-identically to re-scoring")
   }
 
+  test("RunCorpus holdout: leak-safe split persisted; mix packs only the train slice") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = tmp("holdout")
+    val (curRep, mixRep) = graft.pipeline.RunCorpus.run(spark, docs, out,
+      graft.operators.Curate.Config(langs = Seq("en", "und"),
+        minQuality = 0.0, minTokens = 1, keep = Seq("source")),
+      epoch = 0, budget = 128,
+      splitWeights = Some(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val cur = curRep.toMap; val mix = mixRep.toMap
+    val splits = spark.read.parquet(s"$out/curate/splits")
+    // splits cover the curated corpus exactly, one label per doc
+    assert(splits.count() == cur("kept"))
+    assert(mix("split_train") + mix("split_val") + mix("split_test") == cur("kept"))
+    // the mix consumed exactly the train slice
+    assert(mix("input") == mix("split_train") && mix("input") < cur("kept"))
+    assert(mix("tokens_packed") > 0)
+    // no packed doc escaped the train split
+    val packedIds = spark.read.parquet(s"$out/mix/packed").select("doc_id")
+    val trainIds = splits.where(col("split") === "train").select("doc_id")
+    assert(packedIds.distinct().exceptAll(trainIds).count() == 0)
+  }
+
   test("RunMix: raising one band's rate only ADDS packed doc_ids (same-salt nesting end-to-end)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val outLo = tmp("mono_lo"); val outHi = tmp("mono_hi")
