@@ -1383,6 +1383,58 @@ object Catalog {
                 ELSE 'test' END AS split
               FROM dr ORDER BY doc_id""")),
 
+    QueryDef("x49_corpus_profile",
+      // the per-source audit report card: doc count, token volume,
+      // quality quartiles + exact-decimal mean, char envelope — one
+      // DocStats scan, one hash aggregate. Determinism: 4dp-floored
+      // per-doc quality, DECIMAL sum for the mean (double summation
+      // is shuffle-order dependent), exact percentile interpolation
+      // (quantile_cont replays it — the x45 precedent)
+      (s, d) => TextAnalysis.corpusProfile(documents(s, d),
+          "source", "text", "n_chars")
+        .orderBy("source"),
+      Some("""WITH t AS (
+                SELECT doc_id, source, n_chars,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') AS toks, text
+                FROM documents),
+              f AS (
+                SELECT doc_id, source, n_chars,
+                  len(toks) AS n_tok,
+                  CAST(len(toks) AS DOUBLE) AS n_tok_d,
+                  CASE WHEN len(toks) > 0 THEN
+                    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS avg_len,
+                  CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - len(regexp_extract_all(text, '[a-zA-Z0-9\s]')) AS DOUBLE)
+                      / length(text)
+                  ELSE 1.0 END AS punct,
+                  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','ich','mit','von')))
+                     + len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that','it','was','for')))
+                     + len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','en','que','por','una')))
+                     + len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))
+                     + len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人'))) AS DOUBLE) AS stops
+                FROM t),
+              q AS (
+                SELECT source, n_chars, n_tok, floor((
+                    least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
+                  + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
+                  + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
+                  + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) * 10000) / 10000 AS ql
+                FROM f)
+              SELECT source,
+                count(*) AS n_docs,
+                CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens,
+                floor(CAST(sum(CAST(ql AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*) * 10000) / 10000 AS avg_quality,
+                floor(quantile_cont(ql, 0.25) * 10000) / 10000 AS q25_quality,
+                floor(quantile_cont(ql, 0.5) * 10000) / 10000 AS q50_quality,
+                floor(quantile_cont(ql, 0.75) * 10000) / 10000 AS q75_quality,
+                min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars
+              FROM q GROUP BY source ORDER BY source""")),
+
     // ================================================= extensions: similarity
     QueryDef("x06_knn_cosine",
       (s, d) => {

@@ -447,6 +447,40 @@ object TextAnalysis {
     * counts the doc's distinct grams and the rate is their exact
     * small-int division (IEEE-identical on every engine — oracle-safe
     * without rounding, as in [[repetitionRatio]]). */
+  /** Per-group CORPUS PROFILE — the audit "report card" a curation or
+    * mix run starts from: document count, total token volume, quality
+    * quartiles + mean, and the char-length envelope, per `groupCol`
+    * (typically `source`). One [[docStats]] scan, one hash aggregate.
+    *
+    * Determinism fine print (hash-compare-grade output): per-doc
+    * quality is floored to 4dp first; the MEAN is then an exact
+    * DECIMAL(18,4) sum divided by the row count (double summation
+    * would be shuffle-order dependent); quartiles are the exact
+    * `percentile` interpolation over the floored values (sorted
+    * multiset — order-independent; DuckDB `quantile_cont` computes
+    * the same interpolated doubles, the x45 precedent); token totals
+    * are integer sums. Rows with NULL text carry null stats — counted
+    * in `n_docs`, skipped by every other aggregate, on both engines. */
+  def corpusProfile(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    val q4 = floor(qualityScoreFromStats(col(textCol), col("__stats"))
+      * 10000) / 10000
+    df.withColumn("__stats", docStats(col(textCol)))
+      .withColumn("__q", q4)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__stats").getField("n_tokens").cast("long")), lit(0L))
+          .as("total_tokens"),
+        (floor(sum(col("__q").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)) * 10000) / 10000).as("avg_quality"),
+        (floor(percentile(col("__q"), lit(0.25)) * 10000) / 10000).as("q25_quality"),
+        (floor(percentile(col("__q"), lit(0.5)) * 10000) / 10000).as("q50_quality"),
+        (floor(percentile(col("__q"), lit(0.75)) * 10000) / 10000).as("q75_quality"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"))
+  }
+
   def boilerplateRate(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     require(minDf >= 2, s"boilerplateRate: minDf must be >= 2, got $minDf")

@@ -153,9 +153,14 @@ class PropertiesSpec extends SparkSpec {
         .toDF("doc_id", "text")
       def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
         d.orderBy("doc_id").collect().map(_.toString).toSeq
+      val dfs = df.withColumn("source", concat(lit("s"), col("doc_id") % 3))
+        .withColumn("n_chars", length(col("text")))
+      def canonP(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.orderBy("source").collect().map(_.toString).toSeq
       val b0 = canon(TextAnalysis.boilerplateRate(df, "doc_id", "text", 2, 2))
       val s0 = canon(Sampling.deterministicSampleByRate(df, "doc_id", lit(0.5)))
       val c0 = canon(Dedup.dedupChunksKeepFirst(df, "doc_id", "text", 3))
+      val p0 = canonP(TextAnalysis.corpusProfile(dfs, "source", "text", "n_chars"))
       Seq(1, 16).foreach { p =>
         val r = df.repartition(p)
         assert(canon(TextAnalysis.boilerplateRate(r, "doc_id", "text", 2, 2)) == b0,
@@ -164,6 +169,11 @@ class PropertiesSpec extends SparkSpec {
           s"x43 changed under repartition($p)")
         assert(canon(Dedup.dedupChunksKeepFirst(r, "doc_id", "text", 3)) == c0,
           s"x44 changed under repartition($p)")
+        // x49: the DECIMAL mean + exact percentiles make the profile
+        // layout-free — a double-sum mean would fail exactly here
+        assert(canonP(TextAnalysis.corpusProfile(dfs.repartition(p),
+          "source", "text", "n_chars")) == p0,
+          s"x49 changed under repartition($p)")
       }
     }
   }
