@@ -1310,6 +1310,54 @@ object Catalog {
                                UNION ALL SELECT doc_id FROM a2)
               ORDER BY doc_id""")),
 
+    QueryDef("x50_exact_grow_intake",
+      // the EXACT-tier growing index (x46's cheap sibling): digests
+      // persisted shard-partitioned; each batch dedups within itself
+      // (lowest id per digest), probes only the shards its own
+      // digests hash to, and appends its accepted rows — so an exact
+      // copy arriving batches later is dropped without the corpus
+      // digest set ever being recomputed or fully read
+      (s, d) => {
+        val docs = documents(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_exact_idx_" +
+          Integer.toHexString(d.hashCode)
+        Dedup.buildExactIndex(docs.where(col("doc_id") < 250),
+          "doc_id", col("text"), path)
+        val s1 = Dedup.intakeStepAgainstExactIndex(s, path,
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 400),
+          "doc_id", col("text"))
+        val s2 = Dedup.intakeStepAgainstExactIndex(s, path,
+          docs.where(col("doc_id") >= 400), "doc_id", col("text"))
+        s1.select("doc_id", "source")
+          .unionByName(s2.select("doc_id", "source"))
+          .orderBy("doc_id")
+      },
+      // sequential first-wins on md5 equality: batch-1 keeps min-id
+      // per digest with no corpus twin; batch-2 additionally drops
+      // digests batch-1 accepted (the grown-index semantics)
+      Some("""WITH dg AS (
+                SELECT doc_id, source, md5(text) AS fp FROM documents),
+              a1 AS (
+                SELECT doc_id FROM dg d
+                WHERE doc_id >= 250 AND doc_id < 400
+                  AND doc_id = (SELECT min(x.doc_id) FROM dg x
+                    WHERE x.fp = d.fp AND x.doc_id >= 250 AND x.doc_id < 400)
+                  AND NOT EXISTS (SELECT 1 FROM dg c
+                    WHERE c.doc_id < 250 AND c.fp = d.fp)),
+              a2 AS (
+                SELECT doc_id FROM dg d
+                WHERE doc_id >= 400
+                  AND doc_id = (SELECT min(x.doc_id) FROM dg x
+                    WHERE x.fp = d.fp AND x.doc_id >= 400)
+                  AND NOT EXISTS (SELECT 1 FROM dg c
+                    WHERE c.doc_id < 250 AND c.fp = d.fp)
+                  AND NOT EXISTS (SELECT 1 FROM dg b
+                    JOIN a1 ON a1.doc_id = b.doc_id WHERE b.fp = d.fp))
+              SELECT doc_id, source FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM a1
+                               UNION ALL SELECT doc_id FROM a2)
+              ORDER BY doc_id""")),
+
     QueryDef("x47_hash_split",
       // deterministic train/val/test assignment: salted md5 draw on
       // the id vs cumulative floored ppm thresholds — a map-only pure

@@ -77,4 +77,8 @@ object Compaction {
     * partitioned). */
   def compactIvfIndex(spark: SparkSession, path: String): (Int, Int) =
     compactTable(spark, path, "__cell")
+
+  /** Compact a [[Dedup.buildExactIndex]] layout (digests table). */
+  def compactExactIndex(spark: SparkSession, path: String): (Int, Int) =
+    compactTable(spark, s"$path/digests", "__shard")
 }

@@ -173,6 +173,96 @@ object Dedup {
       .drop("__digest")
   }
 
+  // ------------------------------- persisted exact (digest) index
+
+  /** Build a PERSISTED digest index — the EXACT-tier twin of
+    * [[buildFuzzyIndex]]: at 100 TB the corpus's digest set is itself
+    * lake-sized (16 bytes × rows), so [[incrementalSurvivors]]'s
+    * "recompute the existing side per batch" stops being free. One
+    * table under `path`: `digests/` (digest, id), partitioned by
+    * `__shard = pmod(xxhash64(digest), nShards)`, plus a 1-row
+    * `meta/`. A probe computes the batch's digests map-side, collects
+    * their DISTINCT shard set (≤ nShards ints — the model-sized
+    * artifact pattern) and reads ONLY those partitions.
+    *
+    * Contract asymmetry vs the fuzzy index (deliberate): `exactOn` is
+    * an EXPRESSION and cannot be persisted in meta — the caller must
+    * pass the SAME expression to build, probe, and append (pass
+    * `md5`-stable canonical forms like
+    * [[TextAnalysis.fingerprint]]'s normalize; a drifted expression
+    * silently probes a disjoint digest space). Digests are distinct
+    * per build input; duplicate ids across appends follow the
+    * [[appendToFuzzyIndex]] idempotency note. */
+  def buildExactIndex(corpus: DataFrame, idCol: String, exactOn: Column,
+      path: String, nShards: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    corpus.select(col(idCol).as("id"), md5(exactOn.cast("string")).as("digest"))
+      .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__shard").parquet(s"$path/digests")
+    spark.range(1).select(lit(nShards).as("n_shards"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** APPEND a batch's (digest, id) rows into a [[buildExactIndex]]
+    * layout — dynamic partitionBy, so only the shard partitions the
+    * batch's digests hash to gain files. Returns the touched shard
+    * ids (bounded by nShards). */
+  def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, exactOn: Column): Seq[Long] = {
+    val nShards = spark.read.parquet(s"$path/meta").collect()(0)
+      .getAs[Int]("n_shards")
+    val rows = batch
+      .select(col(idCol).as("id"), md5(exactOn.cast("string")).as("digest"))
+      .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
+    rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("__shard").parquet(s"$path/digests")
+    rows.select("__shard").distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+  }
+
+  /** Probe a [[buildExactIndex]] index: (in_id, corpus_id, digest)
+    * exact-duplicate pairs between batch and indexed corpus, reading
+    * ONLY the shard partitions the batch's own digests hash to
+    * (static `isin` prune, like [[probeFuzzyIndex]]; `staticPrune =
+    * false` keeps the plan lazy for huge query sets / plan audits). */
+  def probeExactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      incoming: DataFrame, idCol: String, exactOn: Column,
+      staticPrune: Boolean = true): DataFrame = {
+    val nShards = spark.read.parquet(s"$path/meta").collect()(0)
+      .getAs[Int]("n_shards")
+    val inRows = incoming
+      .select(col(idCol).as("in_id"), md5(exactOn.cast("string")).as("digest"))
+      .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
+    val idx0 = spark.read.parquet(s"$path/digests")
+    val idx =
+      if (!staticPrune) idx0
+      else {
+        val shards = inRows.select("__shard").distinct().collect().map(_.getLong(0))
+        if (shards.isEmpty) idx0.limit(0)
+        else idx0.where(col("__shard").isin(shards.toIndexedSeq: _*))
+      }
+    inRows.select("in_id", "digest")
+      .join(idx.select(col("id").as("corpus_id"), col("digest")), "digest")
+      .select(col("in_id"), col("corpus_id"), col("digest"))
+  }
+
+  /** One incremental EXACT-intake step, first-wins: within-batch
+    * exact dedup ([[exactSurvivors]] — lowest id per digest), probe
+    * the index, append the accepted rows, return them (checkpointed —
+    * the probe never re-executes for the caller's write). The exact
+    * sibling of [[intakeStepAgainstFuzzyIndex]]; a duplicate arriving
+    * any number of batches after its original is dropped. */
+  def intakeStepAgainstExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, exactOn: Column): DataFrame = {
+    val batchSurvivors = exactSurvivors(batch, idCol, exactOn)
+    val dups = probeExactIndex(spark, path, batchSurvivors, idCol, exactOn)
+      .select(col("in_id").as(idCol)).distinct()
+    val accepted = trackCheckpoint(
+      batchSurvivors.join(dups, Seq(idCol), "left_anti").localCheckpoint())
+    appendToExactIndex(spark, path, accepted, idCol, exactOn)
+    accepted
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** One (id, shingle-hash) row per DISTINCT word n-gram, built

@@ -559,6 +559,51 @@ class FunctionsSpec extends SparkSpec {
     assert(viaFresh.count() > 0)
   }
 
+  test("exact digest index: pruned probe, cross-batch drop, append touches only its shards") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha report"), (2L, "beta survey"),
+      (10L, "beta survey"),              // corpus dup -> dropped in b1
+      (11L, "fresh thing"), (12L, "fresh thing"), // in-batch dup -> 12 dropped
+      (20L, "fresh thing"),              // CROSS-batch dup -> dropped in b2
+      (21L, "brand new")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exact_idx").toString
+    Dedup.buildExactIndex(docs.where(col("doc_id") < 10), "doc_id", col("text"),
+      s"$tmp/idx", nShards = 4)
+    def dirFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$tmp/idx/digests")
+      root.listFiles().filter(_.isDirectory)
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = dirFiles()
+    val s1 = Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/idx",
+      docs.where(col("doc_id") >= 10 && col("doc_id") < 20), "doc_id", col("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == Seq(11L), "corpus dup 10 and in-batch dup 12 must drop")
+    val gained = dirFiles().keySet.filter(k =>
+      !before.contains(k) ||
+        (dirFiles()(k) -- before(k)).exists(_.endsWith(".parquet")))
+    assert(gained.nonEmpty && gained.size <= 1,
+      s"one accepted digest must touch at most one shard, got $gained")
+    val s2 = Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/idx",
+      docs.where(col("doc_id") >= 20), "doc_id", col("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(21L), "cross-batch dup 20 must drop against the grown index")
+    // lazy probe plan reads digests/ under a static shard filter
+    val lazyProbe = Dedup.probeExactIndex(spark, s"$tmp/idx",
+      docs.where(col("doc_id") >= 10), "doc_id", col("text"), staticPrune = true)
+    val scans = lazyProbe.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val shardFilters = scans.flatMap(_.partitionFilters)
+      .filter(_.references.exists(_.name == "__shard"))
+    assert(shardFilters.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
+      case _ => true
+    }, s"no pruning __shard partition filter in: $shardFilters")
+    Dedup.releaseCheckpoints()
+  }
+
   test("index compaction: one file per partition dir, content and probe results unchanged") {
     import graft.operators.{Compaction, Dedup}
     val texts = Seq(
