@@ -129,6 +129,33 @@ object DocStream {
     * store; a replayed batch re-appends rows but cannot flip any
     * dup decision (see [[graft.operators.Dedup.appendToFuzzyIndex]]'s
     * idempotency note). */
+  /** Streaming intake against a GROWING exact digest index
+    * ([[graft.operators.Dedup.buildExactIndex]]) — the exact-tier
+    * sibling of [[intakeAndGrowFuzzyIndex]], and the lake-scale
+    * replacement for [[intake]]'s `dropDuplicates` state: the seen-
+    * digest set lives shard-partitioned in the lake, each micro-batch
+    * probes only the shards its own digests hash to, and accepted
+    * rows append to just those shards. First-wins over arrival
+    * order; exact duplicates arriving any number of batches apart
+    * collapse to the first. */
+  def intakeAndGrowExactIndex(spark: SparkSession, docs: DataFrame,
+      indexPath: String, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (_, lease) = graft.operators.Dedup.scoped {
+          graft.operators.Dedup.intakeStepAgainstExactIndex(
+              spark, indexPath, batch.toDF(), "doc_id",
+              org.apache.spark.sql.functions.col("text"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$outPath/survivors")
+        }
+        lease.release()
+        ()
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
+
   def intakeAndGrowFuzzyIndex(spark: SparkSession, docs: DataFrame,
       indexPath: String, outPath: String, threshold: Double = 0.8)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -264,6 +264,35 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == Seq(10L, 11L, 22L))
   }
 
+  test("intakeAndGrowExactIndex drops an exact copy arriving batches after its original") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "alpha report one", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("exact-grow-stream").toString
+    Dedup.buildExactIndex(corpus, "doc_id", col("text"), s"$tmp/idx", nShards = 4)
+    Seq((10L, "novel engine text", "en", "s", 0L),
+        (11L, "fresh database text", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/in")
+    val q = graft.streaming.DocStream.intakeAndGrowExactIndex(spark,
+      graft.streaming.DocStream.readDocs(spark, s"$tmp/in"),
+      s"$tmp/idx", s"$tmp/out")
+    try {
+      q.processAllAvailable()
+      Seq((20L, "novel engine text", "en", "s", 0L),   // copy of batch-1's 10
+          (21L, "alpha report one", "en", "s", 0L),    // copy of the corpus
+          (22L, "genuinely new", "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(s"$tmp/out/survivors")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(10L, 11L, 22L))
+  }
+
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
     // plan wires up and starts on a bounded file stream. NOTE: must use
