@@ -202,7 +202,16 @@ object Dedup {
       .partitionBy("__shard").parquet(s"$path/digests")
     spark.range(1).select(lit(nShards).as("n_shards"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/meta")
+    exactMetaCache.remove(path)
+    ()
   }
+
+  /** Shard count of a [[buildExactIndex]] layout (cached per path —
+    * the fuzzy-meta immutability argument). */
+  private def exactIndexShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    exactMetaCache.computeIfAbsent(path, _ =>
+      spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("n_shards"))
 
   /** APPEND a batch's (digest, id) rows into a [[buildExactIndex]]
     * layout — dynamic partitionBy, so only the shard partitions the
@@ -210,8 +219,7 @@ object Dedup {
     * ids (bounded by nShards). */
   def appendToExactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, exactOn: Column): Seq[Long] = {
-    val nShards = spark.read.parquet(s"$path/meta").collect()(0)
-      .getAs[Int]("n_shards")
+    val nShards = exactIndexShards(spark, path)
     val rows = batch
       .select(col(idCol).as("id"), md5(exactOn.cast("string")).as("digest"))
       .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
@@ -228,8 +236,7 @@ object Dedup {
   def probeExactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       incoming: DataFrame, idCol: String, exactOn: Column,
       staticPrune: Boolean = true): DataFrame = {
-    val nShards = spark.read.parquet(s"$path/meta").collect()(0)
-      .getAs[Int]("n_shards")
+    val nShards = exactIndexShards(spark, path)
     val inRows = incoming
       .select(col(idCol).as("in_id"), md5(exactOn.cast("string")).as("digest"))
       .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
@@ -429,13 +436,27 @@ object Dedup {
   final case class FuzzyIndexMeta(
       shingleN: Int, k: Int, bands: Int, nShards: Int, maxBucketSize: Int)
 
-  /** Read the meta table of a persisted fuzzy index. */
+  /** Per-path meta cache: meta is immutable once built (appends keep
+    * it invariant by contract), so re-reading it per probe is a pure
+    * fixed cost — one Spark job per micro-batch in the streaming
+    * intakes (measured ~0.3-0.4 s of the probe floor, IndexAB r7).
+    * [[buildFuzzyIndex]] invalidates its path; a rebuild by ANOTHER
+    * process is the same cross-process hazard as any in-place layout
+    * change (the Compaction quiesce rule). */
+  private val fuzzyMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FuzzyIndexMeta]()
+  private val exactMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Read the meta table of a persisted fuzzy index (cached per path —
+    * meta is build-time-immutable). */
   def fuzzyIndexMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): FuzzyIndexMeta = {
-    val r = spark.read.parquet(s"$path/meta").collect()(0)
-    FuzzyIndexMeta(r.getAs[Int]("shingle_n"), r.getAs[Int]("k"),
-      r.getAs[Int]("bands"), r.getAs[Int]("n_shards"), r.getAs[Int]("max_bucket"))
-  }
+      path: String): FuzzyIndexMeta =
+    fuzzyMetaCache.computeIfAbsent(path, _ => {
+      val r = spark.read.parquet(s"$path/meta").collect()(0)
+      FuzzyIndexMeta(r.getAs[Int]("shingle_n"), r.getAs[Int]("k"),
+        r.getAs[Int]("bands"), r.getAs[Int]("n_shards"), r.getAs[Int]("max_bucket"))
+    })
 
   /** Build a PERSISTED MinHash signature index over a corpus — the
     * incremental-fuzzy-dedup counterpart of [[IvfAnn.buildIndexInt]]:
@@ -485,6 +506,8 @@ object Dedup {
         lit(shingleN).as("shingle_n"), lit(k).as("k"), lit(bands).as("bands"),
         lit(nShards).as("n_shards"), lit(maxBucketSize).as("max_bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/meta")
+    fuzzyMetaCache.remove(path)
+    ()
   }
 
   /** Probe a [[buildFuzzyIndex]] index with an incoming batch: fuzzy
