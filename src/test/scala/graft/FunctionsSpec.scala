@@ -559,6 +559,39 @@ class FunctionsSpec extends SparkSpec {
     assert(viaFresh.count() > 0)
   }
 
+  test("appendToFuzzyIndex saturation: no bucket ever exceeds maxBucketSize; sets rows always land") {
+    import graft.operators.Dedup
+    // identical text -> identical signature -> every doc lands in the
+    // SAME bucket of every band; cap 3 with 4 bands makes the
+    // saturation arithmetic exact
+    def docsAt(ids: Seq[Long]) = ids
+      .map(i => (i, "the exact same boilerplate text repeated for everyone"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_saturate").toString
+    Dedup.buildFuzzyIndex(docsAt(Seq(1L, 2L)), "doc_id", "text", s"$tmp/idx",
+      shingleN = 3, k = 16, bands = 4, nShards = 2, maxBucketSize = 3)
+    def maxBucket(): Long = spark.read.parquet(s"$tmp/idx/bands")
+      .groupBy("band", "bucket").count().agg(max("count")).head().getLong(0)
+    assert(maxBucket() == 2)
+    // 2 existing + 2 new > 3 -> every band row of the batch withheld;
+    // sets rows still append (the docs stay verification-probeable)
+    val r1 = Dedup.appendToFuzzyIndex(spark, s"$tmp/idx",
+      docsAt(Seq(10L, 11L)), "doc_id", "text")
+    assert(r1.setsRows == 2 && r1.bandRows == 0 && r1.saturatedRows == 2 * 4,
+      s"over-cap batch must withhold all band rows: $r1")
+    assert(maxBucket() == 2)
+    // 2 + 1 = 3 <= 3 -> appended exactly to the cap
+    val r2 = Dedup.appendToFuzzyIndex(spark, s"$tmp/idx",
+      docsAt(Seq(12L)), "doc_id", "text")
+    assert(r2.bandRows == 4 && r2.saturatedRows == 0, s"at-cap append must land: $r2")
+    assert(maxBucket() == 3)
+    // 3 + 1 > 3 -> saturated again; the cap is an invariant, not a race
+    val r3 = Dedup.appendToFuzzyIndex(spark, s"$tmp/idx",
+      docsAt(Seq(13L)), "doc_id", "text")
+    assert(r3.bandRows == 0 && r3.saturatedRows == 4)
+    assert(maxBucket() == 3, "a bucket must never exceed maxBucketSize under any append sequence")
+  }
+
   test("exact digest index: pruned probe, cross-batch drop, append touches only its shards") {
     import graft.operators.Dedup
     val docs = Seq(
