@@ -1358,6 +1358,26 @@ object Catalog {
                                UNION ALL SELECT doc_id FROM a2)
               ORDER BY doc_id""")),
 
+    QueryDef("x51_jsonl_roundtrip",
+      // the interchange boundary: write the corpus as JSON-Lines (the
+      // format training data actually ships in), read it back under
+      // an EXPLICIT schema (inference is an extra full pass and
+      // type-lossy), and prove row-level fidelity against the
+      // original parquet — longs, full-escaped strings and nulls
+      // round-trip exactly (the float/timestamp/binary caveats live
+      // on graft.sources.Jsonl)
+      (s, d) => {
+        val docs = documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+          Integer.toHexString(d.hashCode)
+        graft.sources.Jsonl.write(docs, path)
+        graft.sources.Jsonl.read(s, path, docs.schema)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+              FROM documents ORDER BY doc_id""")),
+
     QueryDef("x47_hash_split",
       // deterministic train/val/test assignment: salted md5 draw on
       // the id vs cumulative floored ppm thresholds — a map-only pure
