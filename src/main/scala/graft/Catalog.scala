@@ -1495,7 +1495,7 @@ object Catalog {
                 count(*) AS n_docs,
                 CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens,
                 floor(CAST(sum(CAST(ql AS DECIMAL(18,4))) AS DOUBLE)
-                  / count(*) * 10000) / 10000 AS avg_quality,
+                  / count(ql) * 10000) / 10000 AS avg_quality,
                 floor(quantile_cont(ql, 0.25) * 10000) / 10000 AS q25_quality,
                 floor(quantile_cont(ql, 0.5) * 10000) / 10000 AS q50_quality,
                 floor(quantile_cont(ql, 0.75) * 10000) / 10000 AS q75_quality,

@@ -15,16 +15,23 @@ import org.apache.spark.sql.functions._
   * Mechanics: read the table, `repartition(partitionCol)` so each
   * partition's rows land in exactly ONE task (one output file per
   * partition dir), write to a sibling `<dir>.compact.tmp`, then swap
-  * (delete old dir, rename tmp into place) via the Hadoop FileSystem.
+  * via two renames (live → `<dir>.compact.old`, tmp → live) and only
+  * then delete the `.old` copy — destroy-last, so a crash at ANY
+  * point leaves a complete copy of the table under a deterministic
+  * name (live, `.tmp`, or `.old`), never a window with no table.
   *
   * Contract:
   *  - row-level content is IDENTICAL before/after (spec-asserted);
   *    only file layout changes — probes, appends and searches are
   *    unaffected because nothing reads file boundaries;
-  *  - the swap is NOT atomic (delete + rename): this is a MAINTENANCE
+  *  - the swap is NOT atomic (two renames): this is a MAINTENANCE
   *    operation — quiesce probes/appends for the table being swapped,
-  *    exactly as for any in-place parquet overwrite. On object stores
-  *    without cheap rename, prefer compact-to-new-path + repoint;
+  *    exactly as for any in-place parquet overwrite. Recovery after a
+  *    crash: if live exists, delete stray `.tmp`/`.old` siblings; if
+  *    live is missing, rename whichever of `.old` (pre-swap content)
+  *    or `.tmp` (compacted content — equivalent rows) survives into
+  *    place. On object stores without cheap rename, prefer
+  *    compact-to-new-path + repoint;
   *  - partition VALUES are preserved (dir names unchanged), so
   *    static-prune filters and partition-type inference behave
   *    exactly as before.
@@ -56,12 +63,25 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val oldPath = new org.apache.hadoop.fs.Path(dir + ".compact.old")
     val fs = dirPath.getFileSystem(conf)
-    if (!fs.delete(dirPath, true))
-      throw new java.io.IOException(s"compactTable: could not delete $dir")
-    if (!fs.rename(tmpPath, dirPath))
+    // destroy-LAST (ADVICE r7): park the live table aside, promote the
+    // compacted copy, and only then delete the parked original — a
+    // crash anywhere leaves a recoverable full copy at a deterministic
+    // name instead of stranding the data at the .tmp sibling
+    if (fs.exists(oldPath) && !fs.delete(oldPath, true))
       throw new java.io.IOException(
-        s"compactTable: could not rename $tmp into place — table left at $tmp")
+        s"compactTable: could not clear stale $oldPath")
+    if (!fs.rename(dirPath, oldPath))
+      throw new java.io.IOException(
+        s"compactTable: could not park $dir aside — table untouched, " +
+          s"compacted copy left at $tmp")
+    if (!fs.rename(tmpPath, dirPath)) {
+      fs.rename(oldPath, dirPath) // roll back; original content intact
+      throw new java.io.IOException(
+        s"compactTable: could not promote $tmp — original restored at $dir")
+    }
+    fs.delete(oldPath, true) // best-effort reclaim; content already live
     (before, partFileCounts(spark, dir).values.sum)
   }
 

@@ -287,7 +287,11 @@ object Sampling {
     * cumulative threshold exceeds the draw wins. Declaration order is
     * load-bearing (weights are NOT normalized: they must sum to 1;
     * rounding remainders fall into the LAST split, the conventional
-    * train-gets-the-dust rule). */
+    * train-gets-the-dust rule). Each weight is rounded to ppm as a
+    * Long FIRST and the cumulative sum runs in integer space (ADVICE
+    * r7: a double scanLeft makes 0.7+0.2 floor to 899999 — a 1-ppm
+    * band skew an oracle computing thresholds from the ideal
+    * fractions would flag). */
   private def splitLabel(key: Column, weights: Seq[(String, Double)],
       salt: String): Column = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
@@ -296,8 +300,8 @@ object Sampling {
     val draw = conv(substring(
         md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 15),
       16, 10).cast("long") % 1000000L
-    val cums = weights.scanLeft(0.0)(_ + _._2).tail
-      .map(c => math.floor(c * 1000000L).toLong)
+    val cums = weights.map(w => math.round(w._2 * 1000000L))
+      .scanLeft(0L)(_ + _).tail
     weights.init.zip(cums.init).foldRight(
         lit(weights.last._1): Column) { case (((name, _), cum), rest) =>
       when(draw < cum, lit(name)).otherwise(rest)

@@ -460,7 +460,11 @@ object TextAnalysis {
     * multiset — order-independent; DuckDB `quantile_cont` computes
     * the same interpolated doubles, the x45 precedent); token totals
     * are integer sums. Rows with NULL text carry null stats — counted
-    * in `n_docs`, skipped by every other aggregate, on both engines. */
+    * in `n_docs`, skipped by every OTHER aggregate including the mean
+    * (the DECIMAL sum divides by the count of non-null qualities, not
+    * `n_docs` — so the mean and the quartiles describe the same
+    * population; a group of only null-text docs reports null), on
+    * both engines. */
   def corpusProfile(df: DataFrame, groupCol: String, textCol: String,
       charsCol: String): DataFrame = {
     val q4 = floor(qualityScoreFromStats(col(textCol), col("__stats"))
@@ -473,7 +477,7 @@ object TextAnalysis {
         coalesce(sum(col("__stats").getField("n_tokens").cast("long")), lit(0L))
           .as("total_tokens"),
         (floor(sum(col("__q").cast("decimal(18,4)")).cast("double")
-          / count(lit(1)) * 10000) / 10000).as("avg_quality"),
+          / count(col("__q")) * 10000) / 10000).as("avg_quality"),
         (floor(percentile(col("__q"), lit(0.25)) * 10000) / 10000).as("q25_quality"),
         (floor(percentile(col("__q"), lit(0.5)) * 10000) / 10000).as("q50_quality"),
         (floor(percentile(col("__q"), lit(0.75)) * 10000) / 10000).as("q75_quality"),

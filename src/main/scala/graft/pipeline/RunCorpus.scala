@@ -161,7 +161,7 @@ object RunCorpus {
           .select("doc_id"), Seq("doc_id"), "left_semi"), counts)
     }
     val mixReport = RunMix.run(spark, mixInput, s"$outDir/mix",
-      epoch, budget, bandRates, sourceWeights)
+      epoch, budget, bandRates, sourceWeights, preScored = true)
     val json = (curateReport.map { case (k, v) => s""""curate_$k":$v""" } ++
         splitCounts.map { case (k, v) => s""""$k":$v""" } ++
         mixReport.map { case (k, v) => s""""mix_$k":$v""" })

@@ -106,14 +106,22 @@ object RunMix {
     * Documents with NULL text score no quality and are dropped before
     * banding — reported as the input→scorable delta.
     *
-    * PRE-SCORED input (the [[RunCorpus]] one-scan handoff): when
-    * `docs` already carries `n_tokens` AND `quality` columns — the
-    * curated output of [[graft.operators.Curate]] does — the scoring
-    * stage reuses them instead of re-running [[TextAnalysis.docStats]]
-    * over the text; the mix then never tokenizes at all. The two
-    * paths agree exactly on curated text (asserted in MixSpec: the
-    * funnel's quality is computed on the cleaned text, which IS the
-    * curated text column).
+    * PRE-SCORED input (the [[RunCorpus]] one-scan handoff): pass
+    * `preScored = true` when `docs` already carries trusted
+    * `n_tokens` AND `quality` columns — the curated output of
+    * [[graft.operators.Curate]] does — and the scoring stage reuses
+    * them instead of re-running [[TextAnalysis.docStats]] over the
+    * text; the mix then never tokenizes at all. The handoff is an
+    * EXPLICIT opt-in (ADVICE r7: a raw corpus that happens to carry
+    * same-named columns of foreign semantics must not silently skip
+    * scoring): `preScored = true` requires both columns present and
+    * fails fast if any non-null-text row has a null or out-of-[0,1]
+    * quality (a null quality would otherwise be counted "scorable"
+    * yet silently dropped at banding); `preScored = false` always
+    * re-scores, whatever columns the input carries. The two paths
+    * agree exactly on curated text (asserted in MixSpec: the funnel's
+    * quality is computed on the cleaned text, which IS the curated
+    * text column). report.json carries a `pre_scored` marker.
     *
     * Report-cost fine print: the per-run counts are ONE extra
     * aggregate over (doc_id, text-null-ness) — column-pruned to
@@ -125,7 +133,8 @@ object RunMix {
       epoch: Int = 0, budget: Long = 256,
       bandRates: Map[Int, Double] = defaultBandRates,
       sourceWeights: Option[Map[String, Double]] = None,
-      thresholds: Option[Seq[Double]] = None): Seq[(String, Long)] = {
+      thresholds: Option[Seq[Double]] = None,
+      preScored: Boolean = false): Seq[(String, Long)] = {
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -144,7 +153,21 @@ object RunMix {
     // 1+2. score once (null text is unscorable -> dropped, accounted
     // below), band by quality quantile against an explicit threshold
     // artifact (computed here unless resuming with a recorded one)
-    val preScored = Seq("n_tokens", "quality").forall(docs.columns.contains)
+    if (preScored) {
+      require(Seq("n_tokens", "quality").forall(docs.columns.contains),
+        "preScored = true but the input lacks n_tokens/quality columns " +
+          s"(has ${docs.columns.mkString(", ")})")
+      // fail fast on untrusted scores: one column-pruned aggregate
+      // (null mask + two narrow columns), before any heavy stage
+      val bad = docs.where(col("text").isNotNull)
+        .agg(count_if(col("quality").isNull || col("quality") < 0 ||
+          col("quality") > 1 || col("n_tokens").isNull).as("bad"))
+        .collect().head.getLong(0)
+      require(bad == 0L,
+        s"preScored = true but $bad non-null-text rows carry a null or " +
+          "out-of-[0,1] quality / null n_tokens — score them (preScored " +
+          "= false) or fix the handoff")
+    }
     val scored =
       if (preScored) docs.where(col("text").isNotNull)
         .withColumn("__quality", col("quality"))
@@ -218,7 +241,8 @@ object RunMix {
       "sequences" -> nSeqs,
       "tokens_packed" -> nTokens,
       "epoch" -> epoch.toLong,
-      "budget" -> budget)
+      "budget" -> budget,
+      "pre_scored" -> (if (preScored) 1L else 0L))
     report.foreach { case (k, v) => println(f"[mix] $k%-14s $v%d") }
     // thresholds ride along in the json so a resumed run can re-band
     // exactly (pass them back via run(thresholds = Some(...)))

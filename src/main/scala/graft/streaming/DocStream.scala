@@ -113,22 +113,6 @@ object DocStream {
       .option("checkpointLocation", s"$outPath/_checkpoint")
       .start()
 
-  /** [[intakeAgainstFuzzyIndex]] with the r6-verdict gap closed: the
-    * index GROWS. Each micro-batch runs one
-    * [[graft.operators.Dedup.intakeStepAgainstFuzzyIndex]] —
-    * within-batch fuzzy dedup, then the corpus probe, then the
-    * accepted docs are APPENDED to the persisted index (only the
-    * touched shard partitions gain files) — so a duplicate arriving
-    * ten batches after its original is dropped even though neither was
-    * in the build-time corpus. The trade vs the frozen-index intake:
-    * results now depend on arrival order (first-wins — the only
-    * coherent incremental semantics; with id order == arrival order it
-    * lands exactly on the one-shot batch dedup, asserted in
-    * StreamingSpec), and batches serialize on the index (foreachBatch
-    * already does). State still lives in the LAKE, not the state
-    * store; a replayed batch re-appends rows but cannot flip any
-    * dup decision (see [[graft.operators.Dedup.appendToFuzzyIndex]]'s
-    * idempotency note). */
   /** Streaming intake against a GROWING exact digest index
     * ([[graft.operators.Dedup.buildExactIndex]]) — the exact-tier
     * sibling of [[intakeAndGrowFuzzyIndex]], and the lake-scale
@@ -156,6 +140,22 @@ object DocStream {
       .option("checkpointLocation", s"$outPath/_checkpoint")
       .start()
 
+  /** [[intakeAgainstFuzzyIndex]] with the r6-verdict gap closed: the
+    * index GROWS. Each micro-batch runs one
+    * [[graft.operators.Dedup.intakeStepAgainstFuzzyIndex]] —
+    * within-batch fuzzy dedup, then the corpus probe, then the
+    * accepted docs are APPENDED to the persisted index (only the
+    * touched shard partitions gain files) — so a duplicate arriving
+    * ten batches after its original is dropped even though neither was
+    * in the build-time corpus. The trade vs the frozen-index intake:
+    * results now depend on arrival order (first-wins — the only
+    * coherent incremental semantics; with id order == arrival order it
+    * lands exactly on the one-shot batch dedup, asserted in
+    * StreamingSpec), and batches serialize on the index (foreachBatch
+    * already does). State still lives in the LAKE, not the state
+    * store; a replayed batch re-appends rows but cannot flip any
+    * dup decision (see [[graft.operators.Dedup.appendToFuzzyIndex]]'s
+    * idempotency note). */
   def intakeAndGrowFuzzyIndex(spark: SparkSession, docs: DataFrame,
       indexPath: String, outPath: String, threshold: Double = 0.8)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -104,7 +104,8 @@ class MixSpec extends SparkSpec {
     // curated text (funnel quality was computed on the cleaned text,
     // which IS the curated text column)
     val outPre = tmp("pre"); val outRe = tmp("re")
-    RunMix.run(spark, curated, outPre, epoch = 0, budget = 128)
+    RunMix.run(spark, curated, outPre, epoch = 0, budget = 128,
+      preScored = true)
     RunMix.run(spark, curated.drop("n_tokens", "quality"), outRe,
       epoch = 0, budget = 128)
     val p = spark.read.parquet(s"$outPre/packed")
