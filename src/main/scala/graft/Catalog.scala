@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1358,6 +1358,39 @@ object Catalog {
                                UNION ALL SELECT doc_id FROM a2)
               ORDER BY doc_id""")),
 
+    QueryDef("x52_curate_intake",
+      // the INCREMENTAL curation funnel (r8): two batches flow
+      // clean/filter → growing exact-digest tier → growing fuzzy-
+      // signature tier, each tier probed then appended, batch 1
+      // bootstrapping both indexes from its own survivors — the
+      // batch-at-a-time replay of Curate.curate whose sequential ==
+      // one-shot algebra StreamingSpec pins in-engine. Index dirs are
+      // cleared up front so every run bootstraps deterministically.
+      // Config: en|und allowlist, default quality/token thresholds,
+      // maxRepetition 1.0 (the repetition stage is a tautology here —
+      // independently oracled in x24), threshold 0.5 for pair volume.
+      (s, d) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_curate_idx_" +
+          Integer.toHexString(d.hashCode)
+        val conf = s.sparkContext.hadoopConfiguration
+        Seq(s"$base/exact", s"$base/fuzzy").foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).delete(hp, true)
+        }
+        val cfg = Curate.Config(langs = Seq("en", "und"),
+          maxRepetition = 1.0, jaccardThreshold = 0.5, keep = Seq("source"))
+        val s1 = Curate.intakeStep(s, documents(s, d).where(col("doc_id") < 300),
+          "doc_id", "text", s"$base/exact", s"$base/fuzzy", cfg)
+        val s2 = Curate.intakeStep(s, documents(s, d).where(col("doc_id") >= 300),
+          "doc_id", "text", s"$base/exact", s"$base/fuzzy", cfg)
+        val sel = Seq(col("doc_id"),
+          substring(col("text"), 1, 60).as("text_head"), col("lang_id"),
+          (floor(col("quality") * 10000) / 10000).as("quality"),
+          col("n_tokens"), col("source"))
+        s1.select(sel: _*).unionByName(s2.select(sel: _*)).orderBy("doc_id")
+      },
+      Some(curateIntakeOracle)),
+
     QueryDef("x51_jsonl_roundtrip",
       // the interchange boundary: write the corpus as JSON-Lines (the
       // format training data actually ships in), read it back under
@@ -2519,6 +2552,160 @@ object Catalog {
         SELECT doc_id,
           CASE WHEN m = 0 THEN 'und' $pick END AS lang_pred
         FROM best ORDER BY doc_id"""
+  }
+
+  /** The x52 oracle: the FULL curation funnel replayed in DuckDB —
+    * clean (x21's regex chain) → tokens/quality/langid (the x49/x09
+    * machinery, over the CLEANED text) → filter → two-batch
+    * sequential first-wins across BOTH index tiers: exact tier =
+    * min-id per fingerprint with batch-2 dropping batch-1 digests
+    * (the x50 algebra), fuzzy tier = the x46 MinHash replay
+    * (band candidates + exact Jaccard) with recursive-CTE components
+    * within each batch and batch-2 additionally dropping near-dups of
+    * batch-1's ACCEPTED docs. Stopword lists and langid pick order
+    * interpolate from [[TextAnalysis.stopwords]] so the oracle can
+    * never drift from the engine's. */
+  private lazy val curateIntakeOracle: String = {
+    val hitExprs = TextAnalysis.stopwords.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($set))) AS h_$lang"
+    }.mkString(",\n                  ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val m = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    val stopsSum = langs.map(l => s"h_$l").mkString(" + ")
+    s"""WITH RECURSIVE cl AS (
+          SELECT doc_id, source,
+            trim(regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                'https?://[^\\s]+', ' ', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS cl
+          FROM documents),
+        tok AS (
+          SELECT doc_id, source, cl,
+            list_filter(string_split(
+              trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g')), ' '),
+              x -> x <> '') AS toks
+          FROM cl),
+        ft AS (
+          SELECT doc_id, source, cl, toks,
+            len(toks) AS n_tok,
+            CAST(len(toks) AS DOUBLE) AS n_tok_d,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS avg_len,
+            CASE WHEN length(cl) > 0 THEN
+              CAST(length(cl) - len(regexp_extract_all(cl, '[a-zA-Z0-9\\s]')) AS DOUBLE)
+                / length(cl)
+            ELSE 1.0 END AS punct,
+            $hitExprs
+          FROM tok),
+        sc AS (
+          SELECT *, CAST($stopsSum AS DOUBLE) AS stops, $m AS m FROM ft),
+        q AS (
+          SELECT doc_id, source, cl, toks, n_tok,
+            (least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
+             + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
+             + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
+             + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) AS quality,
+            CASE WHEN m = 0 THEN 'und' $pick END AS lang
+          FROM sc),
+        flt AS (
+          SELECT * FROM q
+          WHERE lang IN ('en', 'und') AND n_tok >= 10 AND quality >= 0.3),
+        fpd AS (
+          SELECT *, md5(trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          FROM flt),
+        e1 AS (SELECT min(doc_id) AS doc_id, fp FROM fpd
+               WHERE doc_id < 300 GROUP BY fp),
+        e2 AS (SELECT min(doc_id) AS doc_id, fp FROM fpd
+               WHERE doc_id >= 300 AND fp NOT IN (SELECT fp FROM e1)
+               GROUP BY fp),
+        eu AS (SELECT doc_id FROM e1 UNION ALL SELECT doc_id FROM e2),
+        th AS (
+          SELECT f.doc_id,
+            list_transform(f.toks,
+              t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+            len(f.toks) AS nt
+          FROM fpd f JOIN eu ON eu.doc_id = f.doc_id
+          WHERE len(f.toks) > 0),
+        sh AS (
+          SELECT doc_id, list_distinct(CASE
+            WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+              CAST('0x' || substring(md5(
+                CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+            ELSE [CAST('0x' || substring(md5(
+                CAST(h[1] AS VARCHAR) || ',' ||
+                CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+            END) AS hs
+          FROM th),
+        mh AS (
+          SELECT doc_id, i,
+            min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                 * (s % 2147483647)
+                 + ((69069 * (i + 1) + 1234567) % 2147483647))
+                % 2147483647) AS m
+          FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+          GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id,
+            CAST(i // 4 AS VARCHAR) || ',' ||
+              string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+          FROM mh GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+          FROM bands b JOIN bands c
+            ON b.bucket = c.bucket AND b.doc_id < c.doc_id),
+        prs AS (
+          SELECT p.id_a, p.id_b FROM cand p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b
+          WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+            >= 0.5),
+        ed1 AS (
+          SELECT id_a, id_b FROM prs WHERE id_a < 300 AND id_b < 300
+          UNION ALL
+          SELECT id_b, id_a FROM prs WHERE id_a < 300 AND id_b < 300),
+        r1 AS (
+          SELECT id_a AS id, id_a AS r FROM ed1
+          UNION
+          SELECT re.id, e.id_b AS r FROM r1 re JOIN ed1 e ON e.id_a = re.r),
+        a1 AS (
+          SELECT doc_id FROM e1
+          WHERE doc_id NOT IN
+            (SELECT id FROM r1 GROUP BY id HAVING min(r) < id)),
+        ed2 AS (
+          SELECT id_a, id_b FROM prs WHERE id_a >= 300 AND id_b >= 300
+          UNION ALL
+          SELECT id_b, id_a FROM prs WHERE id_a >= 300 AND id_b >= 300),
+        r2 AS (
+          SELECT id_a AS id, id_a AS r FROM ed2
+          UNION
+          SELECT re.id, e.id_b AS r FROM r2 re JOIN ed2 e ON e.id_a = re.r),
+        w2 AS (
+          SELECT doc_id FROM e2
+          WHERE doc_id NOT IN
+            (SELECT id FROM r2 GROUP BY id HAVING min(r) < id)),
+        a2 AS (
+          SELECT doc_id FROM w2
+          WHERE doc_id NOT IN
+              (SELECT p.id_b FROM prs p JOIN a1 ON a1.doc_id = p.id_a)
+            AND doc_id NOT IN
+              (SELECT p.id_a FROM prs p JOIN a1 ON a1.doc_id = p.id_b))
+        SELECT f.doc_id, substring(f.cl, 1, 60) AS text_head,
+          f.lang AS lang_id, floor(f.quality * 10000) / 10000 AS quality,
+          f.n_tok AS n_tokens, f.source
+        FROM fpd f
+        WHERE f.doc_id IN (SELECT doc_id FROM a1
+                           UNION ALL SELECT doc_id FROM a2)
+        ORDER BY f.doc_id"""
   }
 
   private lazy val qualityOracle: String =

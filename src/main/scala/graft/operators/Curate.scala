@@ -63,8 +63,11 @@ object Curate {
       fuzzy: DataFrame,       // exact minus fuzzyDrop
       contamDrop: Option[DataFrame]) // (idCol) rows dropped by decontamination
 
-  private def buildFunnel(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config, eval: Option[(DataFrame, String, String)]): Funnel = {
+  /** Stages 1+2 as one map-only projection — shared by the batch
+    * funnel and [[intakeStep]] so the incremental path scores with
+    * EXACTLY the funnel's expressions. */
+  private def scoredOf(docs: DataFrame, textCol: String,
+      cfg: Config): DataFrame = {
     // 1. clean (map-only; PII scrub folds into the same projection)
     val clean0 = TextAnalysis.cleanText(col(textCol))
     val cleaned = docs.withColumn("__clean",
@@ -78,13 +81,18 @@ object Curate {
         col("__stats").getField("n_tokens") >= cfg.minTokens &&
         col("__quality") >= cfg.minQuality &&
         col("__rep") <= cfg.maxRepetition
-    val scored = cleaned
+    cleaned
       .withColumn("__stats", TextAnalysis.docStats(col("__clean")))
       .withColumn("__lang", TextAnalysis.langIdFromStats(col("__stats")))
       .withColumn("__quality",
         TextAnalysis.qualityScoreFromStats(col("__clean"), col("__stats")))
       .withColumn("__rep", TextAnalysis.repetitionRatioFromStats(col("__stats")))
       .withColumn("__pass", passesFilters)
+  }
+
+  private def buildFunnel(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config, eval: Option[(DataFrame, String, String)]): Funnel = {
+    val scored = scoredOf(docs, textCol, cfg)
     val filtered = scored.where(col("__pass"))
     // 3. exact dedup on the canonical fingerprint (first id wins)
     val exact = Dedup.exactSurvivors(filtered, idCol,
@@ -247,5 +255,97 @@ object Curate {
       fuzzyDropIds.unpersist(blocking = false)
       contamDropIds.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** One INCREMENTAL curation intake step — the funnel's stage order
+    * replayed against BOTH growing index tiers, so a curation pipeline
+    * can ingest batch after batch without ever rescanning the corpus:
+    *
+    *   1+2. clean + filter   the exact [[curate]] projections (map)
+    *   3. exact tier         within-batch first-id-wins on the
+    *                         [[TextAnalysis.fingerprint]] of the
+    *                         CLEANED text, then
+    *                         [[Dedup.intakeStepAgainstExactIndex]]:
+    *                         shard-pruned probe of the persisted
+    *                         digest index, accepted digests appended
+    *                         to only the touched shards
+    *   4. fuzzy tier         [[Dedup.intakeStepAgainstFuzzyIndex]]
+    *                         over the exact-tier survivors: within-
+    *                         batch cluster dedup, signature-index
+    *                         probe, accepted docs appended
+    *   5. decontaminate      per-document n-gram check against the
+    *                         static `eval` corpus (row-independent —
+    *                         identical decisions batch-at-a-time or
+    *                         one-shot)
+    *
+    * Index-content contract (what makes sequential == one-shot): the
+    * EXACT index receives every exact-tier survivor — including docs
+    * the fuzzy tier then drops — because in the one-shot funnel an
+    * exact copy of a fuzzy-dropped doc collapses into it at stage 3
+    * and dies with it; the FUZZY index receives only fuzzy-tier
+    * survivors, because only they can block future near-dups (their
+    * dropped near-twins block nothing the survivor doesn't). A
+    * contaminated doc stays in both indexes for the same reason: its
+    * later copies must still die at the tier that would have merged
+    * them into it.
+    *
+    * BOOTSTRAP: a missing index tier (no `meta/` under its path) is
+    * built from THIS batch's survivors of that tier — batch 1 needs
+    * no separate build call, and the sequential-equals-one-shot
+    * algebra includes it. An all-filtered batch leaves a missing tier
+    * unborn (a 0-row partitioned build would write an unreadable
+    * layout); the next non-empty batch bootstraps it.
+    *
+    * Same preconditions as the pieces: unique integral ids (the fuzzy
+    * sets/ shard key), id order == arrival order and transitively-
+    * closed dup groups for exact one-shot equivalence (asserted in
+    * StreamingSpec), batches serialize on the indexes. Checkpoints
+    * registered with [[Dedup.releaseCheckpoints]]/[[Dedup.scoped]].
+    * Returns the accepted rows in the [[curate]] output projection. */
+  def intakeStep(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, textCol: String,
+      exactIndexPath: String, fuzzyIndexPath: String,
+      cfg: Config = Config(),
+      eval: Option[(DataFrame, String, String)] = None,
+      nShards: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
+    def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    val filtered = scoredOf(batch, textCol, cfg).where(col("__pass"))
+    val fp = TextAnalysis.fingerprint(col("__clean"))
+    // 3. exact tier (bootstrap = build from this batch's survivors)
+    val exactAccepted =
+      if (exists(s"$exactIndexPath/meta"))
+        Dedup.intakeStepAgainstExactIndex(spark, exactIndexPath, filtered,
+          idCol, fp)
+      else {
+        val e1 = Dedup.exactSurvivors(filtered, idCol, fp)
+        if (e1.isEmpty) e1
+        else { Dedup.buildExactIndex(e1, idCol, fp, exactIndexPath, nShards); e1 }
+      }
+    // 4. fuzzy tier over the exact-tier survivors
+    val fuzzyAccepted =
+      if (exists(s"$fuzzyIndexPath/meta"))
+        Dedup.intakeStepAgainstFuzzyIndex(spark, fuzzyIndexPath,
+          exactAccepted, idCol, "__clean", cfg.jaccardThreshold)
+      else {
+        val pairs = Dedup.minHashDupPairs(exactAccepted, idCol, "__clean",
+          cfg.shingleN, cfg.minhashK, cfg.bands, cfg.jaccardThreshold,
+          maxBucketSize)
+        val a1 = Dedup.clusterSurvivors(exactAccepted, idCol, pairs)
+        if (a1.isEmpty) a1
+        else {
+          Dedup.buildFuzzyIndex(a1, idCol, "__clean", fuzzyIndexPath,
+            cfg.shingleN, cfg.minhashK, cfg.bands, nShards, maxBucketSize)
+          a1
+        }
+      }
+    // 5. decontamination AFTER the appends (see the contract above)
+    val decontaminated = contamDropIdsOf(fuzzyAccepted, idCol, cfg, eval) match {
+      case None => fuzzyAccepted
+      case Some(drop) => fuzzyAccepted.join(drop, Seq(idCol), "left_anti")
+    }
+    curatedSelect(decontaminated, idCol, textCol, cfg)
   }
 }

@@ -140,6 +140,38 @@ object DocStream {
       .option("checkpointLocation", s"$outPath/_checkpoint")
       .start()
 
+  /** Streaming intake through the FULL incremental curation funnel —
+    * the composition of the two growing-index intakes below under the
+    * [[graft.operators.Curate]] stage order: each micro-batch runs one
+    * [[graft.operators.Curate.intakeStep]] (clean/filter → growing
+    * exact digest tier → growing fuzzy signature tier → optional
+    * decontamination) and appends the accepted rows — in the curated
+    * output projection — to `outPath/survivors`. The FIRST non-empty
+    * micro-batch bootstraps any missing index tier from its own
+    * survivors (the intakeStep contract), so no separate build call
+    * precedes the stream. First-wins over arrival order; with id
+    * order == arrival order it lands on the one-shot
+    * [[graft.operators.Curate.curate]] of the concatenated corpus
+    * (asserted in StreamingSpec). */
+  def intakeAndCurate(spark: SparkSession, docs: DataFrame,
+      exactIndexPath: String, fuzzyIndexPath: String, outPath: String,
+      cfg: graft.operators.Curate.Config = graft.operators.Curate.Config(),
+      eval: Option[(DataFrame, String, String)] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (_, lease) = graft.operators.Dedup.scoped {
+          graft.operators.Curate.intakeStep(spark, batch.toDF(),
+              "doc_id", "text", exactIndexPath, fuzzyIndexPath, cfg, eval)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$outPath/survivors")
+        }
+        lease.release()
+        ()
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
+
   /** [[intakeAgainstFuzzyIndex]] with the r6-verdict gap closed: the
     * index GROWS. Each micro-batch runs one
     * [[graft.operators.Dedup.intakeStepAgainstFuzzyIndex]] —

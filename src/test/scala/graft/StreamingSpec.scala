@@ -293,6 +293,66 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == Seq(10L, 11L, 22L))
   }
 
+  test("incremental curation intake: sequential intakeStep batches equal one-shot Curate.curate") {
+    import graft.operators.{Curate, Dedup}
+    // the x52 claim, in-engine and with the FULL default-shaped filter
+    // (langid + quality + tokens + repetition all live): three batches
+    // through intakeStep — batch 1 bootstraps both index tiers — must
+    // end row-identical to one Curate.curate of the concatenated corpus
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val tmp = java.nio.file.Files.createTempDirectory("curate-intake").toString
+    val (ex, fz) = (s"$tmp/exact", s"$tmp/fuzzy")
+    val batches = Seq(
+      docs.where(col("doc_id") < 150),
+      docs.where(col("doc_id") >= 150 && col("doc_id") < 300),
+      docs.where(col("doc_id") >= 300))
+    val sequential = batches
+      .map(b => Curate.intakeStep(spark, b, "doc_id", "text", ex, fz, cfg))
+      .reduce(_ unionByName _)
+    val oneShot = Curate.curate(docs, "doc_id", "text", cfg)
+    assert(sequential.count() == oneShot.count() &&
+      sequential.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(sequential).count() == 0,
+      "sequential two-tier intake must end where the one-shot funnel ends")
+    Dedup.releaseCheckpoints()
+  }
+
+  test("intakeAndCurate streams the full funnel: filter, exact and fuzzy tiers all drop cross-batch") {
+    import graft.operators.Curate
+    import spark.implicits._
+    val good = "the quick brown fox and the lazy dog it was a fine day " +
+      "for running in that green field and the sun was warm over it"
+    val other = "the committee reviewed the proposal and it was clear that " +
+      "the budget for the next year would include funding for the library"
+    val tmp = java.nio.file.Files.createTempDirectory("curate-stream").toString
+    // batch 1: two clean docs — bootstraps BOTH index tiers
+    Seq((10L, good, "en", "s", 0L), (11L, other, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/in")
+    val q = graft.streaming.DocStream.intakeAndCurate(spark,
+      graft.streaming.DocStream.readDocs(spark, s"$tmp/in"),
+      s"$tmp/exact", s"$tmp/fuzzy", s"$tmp/out",
+      Curate.Config(langs = Seq("en", "und"), jaccardThreshold = 0.5))
+    try {
+      q.processAllAvailable()
+      Seq((20L, good + " indeed", "en", "s", 0L), // near-dup of 10 -> fuzzy tier
+          (21L, other, "en", "s", 0L),            // exact copy of 11 -> exact tier
+          (22L, "zzz qqq", "en", "s", 0L),        // under min tokens -> filter
+          (23L, "the new archive holds many records and it is open to all " +
+            "readers who come in that building for the quiet study rooms",
+            "en", "s", 0L))                       // novel -> accepted
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(s"$tmp/out/survivors")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(10L, 11L, 23L),
+      s"expected filter/exact/fuzzy cross-batch drops, got $survivors")
+  }
+
   test("sessionize compiles the stateful pipeline (smoke via batch read)") {
     // flatMapGroupsWithState requires a streaming Dataset; validate the
     // plan wires up and starts on a bounded file stream. NOTE: must use
