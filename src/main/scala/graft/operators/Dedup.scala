@@ -258,11 +258,27 @@ object Dedup {
     * the index, append the accepted rows, return them (checkpointed —
     * the probe never re-executes for the caller's write). The exact
     * sibling of [[intakeStepAgainstFuzzyIndex]]; a duplicate arriving
-    * any number of batches after its original is dropped. */
+    * any number of batches after its original is dropped.
+    *
+    * CRASH RECOVERY (the growing-index durability contract, spec-
+    * pinned in FunctionsSpec and documented in SCALE.md): the rule is
+    * re-run the SAME step — exactly what a foreachBatch checkpoint
+    * replay does. The probe ignores index rows carrying the batch's
+    * OWN ids (`corpus_id != in_id`; ids are corpus-unique by the
+    * framework precondition, so a same-id hit can only be this
+    * batch's earlier crashed append), which makes the step IDEMPOTENT:
+    * a replay after a completed append returns the same accepted rows
+    * instead of dropping the whole batch against itself, and a replay
+    * after a partial append converges to the never-crashed decisions.
+    * The re-append duplicates index rows for the replayed batch;
+    * decisions are insensitive to that (dup flags are distinct ids,
+    * survivor sets are anti-joins) — exactly-once row delivery is the
+    * stream checkpoint's job, not the layout's. */
   def intakeStepAgainstExactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, exactOn: Column): DataFrame = {
     val batchSurvivors = exactSurvivors(batch, idCol, exactOn)
     val dups = probeExactIndex(spark, path, batchSurvivors, idCol, exactOn)
+      .where(col("corpus_id") =!= col("in_id"))
       .select(col("in_id").as(idCol)).distinct()
     val accepted = trackCheckpoint(
       batchSurvivors.join(dups, Seq(idCol), "left_anti").localCheckpoint())
@@ -581,11 +597,16 @@ object Dedup {
   /** Incremental FUZZY dedup (the near-dup cousin of
     * [[incrementalSurvivors]]'s exact digest check): keep only
     * `incoming` rows with NO fuzzy duplicate in the indexed corpus —
-    * an anti-join against [[probeFuzzyIndex]]'s flagged batch ids. */
+    * an anti-join against [[probeFuzzyIndex]]'s flagged batch ids.
+    * Index rows with a batch row's OWN id are ignored (with corpus-
+    * unique ids they can only be this batch's earlier crashed append —
+    * the replay-idempotency rule, see
+    * [[intakeStepAgainstExactIndex]]'s crash-recovery note). */
   def incrementalFuzzySurvivors(spark: org.apache.spark.sql.SparkSession,
       path: String, incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val dups = probeFuzzyIndex(spark, path, incoming, idCol, textCol, threshold)
+      .where(col("corpus_id") =!= col("in_id"))
       .select(col("in_id").as(idCol)).distinct()
     incoming.join(dups, Seq(idCol), "left_anti")
   }
@@ -633,7 +654,20 @@ object Dedup {
     * index rows; the probe's dup DECISION is idempotent to that
     * (candidate pairs are `.distinct()`ed and survivor sets are id
     * anti-joins), at the cost of redundant verification rows — exactly
-    * once is the stream checkpoint's job, not the layout's. */
+    * once is the stream checkpoint's job, not the layout's.
+    *
+    * CRASH WINDOW (two writes, spec-pinned in FunctionsSpec): `sets/`
+    * and `bands/` are separate jobs — a crash between them leaves the
+    * batch verifiable but not candidate-generating. A half-applied
+    * batch cannot flip any probe decision: absent from `bands/` its
+    * docs are never candidates, and their orphan `sets/` rows are
+    * verification payload for candidates that don't exist. Recovery is
+    * therefore RE-RUN THE SAME INTAKE STEP (what a stream-checkpoint
+    * replay does anyway) — the probe's same-id filter (see
+    * [[intakeStepAgainstExactIndex]]'s crash-recovery note) keeps the
+    * replayed batch from deduping against its own partial rows, and
+    * the re-run's full append restores the candidate/verification
+    * invariant, converging on the never-crashed decisions. */
   def appendToFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String)
       : FuzzyAppendReport = {

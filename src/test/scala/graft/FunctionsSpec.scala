@@ -592,6 +592,81 @@ class FunctionsSpec extends SparkSpec {
     assert(maxBucket() == 3, "a bucket must never exceed maxBucketSize under any append sequence")
   }
 
+  test("growing-index crash recovery: a partial append flips no decision; replaying a step is idempotent") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val corpusText = "the alpha report describes quarterly revenue for " +
+      "the northern retail division in considerable detail"
+    val novelText = "a completely different essay about combustion " +
+      "engines and pressure curves under partial load"
+    val novel2 = "another fresh piece on storage layouts and buffer " +
+      "pools in modern database systems"
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    // two universes: 'crash' fails between appendToFuzzyIndex's two
+    // writes (sets/ landed, bands/ did not), 'clean' never crashes;
+    // the recovery rule — re-run the SAME intake step — must make
+    // their decisions identical from then on
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    for (p <- Seq("crash", "clean"))
+      Dedup.buildFuzzyIndex(corpus, "doc_id", "text", s"$tmp/$p",
+        shingleN = 3, k = 64, bands = 16, nShards = 8)
+    // batch 1: 10 is novel (accepted), 11 near-dups the corpus (dropped)
+    val batch1 = Seq((10L, novelText), (11L, corpusText + " extra words"))
+      .toDF("doc_id", "text")
+    // the crash fixture: ONLY the sets/ half of batch 1's accepted doc
+    // (what the window between the two append jobs leaves behind)
+    val m = Dedup.fuzzyIndexMeta(spark, s"$tmp/crash")
+    Dedup.minHashBaseFromArrays(Dedup.shingleHashArrays(
+        Seq((10L, novelText)).toDF("doc_id", "text"), "doc_id", "text",
+        m.shingleN), m.k)
+      .withColumn("__idshard", pmod(col("id").cast("long"), lit(m.nShards.toLong)))
+      .write.mode("append").partitionBy("__idshard").parquet(s"$tmp/crash/sets")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val accCrash = ids(Dedup.intakeStepAgainstFuzzyIndex(spark, s"$tmp/crash",
+      batch1, "doc_id", "text", threshold = 0.5))
+    val accClean = ids(Dedup.intakeStepAgainstFuzzyIndex(spark, s"$tmp/clean",
+      batch1, "doc_id", "text", threshold = 0.5))
+    assert(accCrash == Seq(10L) && accClean == Seq(10L),
+      s"replay over a half-applied batch must converge: crash=$accCrash clean=$accClean")
+    // batch 2 sees converged indexes: 20 near-dups batch-1's accepted
+    // doc (dropped — including in the crashed universe, whose index now
+    // carries duplicate sets rows for 10), 21 is novel (accepted)
+    val batch2 = Seq((20L, novelText + " appended"), (21L, novel2))
+      .toDF("doc_id", "text")
+    val b2Crash = ids(Dedup.intakeStepAgainstFuzzyIndex(spark, s"$tmp/crash",
+      batch2, "doc_id", "text", threshold = 0.5))
+    val b2Clean = ids(Dedup.intakeStepAgainstFuzzyIndex(spark, s"$tmp/clean",
+      batch2, "doc_id", "text", threshold = 0.5))
+    assert(b2Crash == Seq(21L) && b2Clean == Seq(21L),
+      s"post-recovery decisions must match the never-crashed universe: " +
+        s"crash=$b2Crash clean=$b2Clean")
+    // replay AFTER a completed append (crash before the caller's
+    // survivors write): the same step must return the same accepted
+    // rows — not drop the batch against its own earlier append
+    val replay = ids(Dedup.intakeStepAgainstFuzzyIndex(spark, s"$tmp/clean",
+      batch1, "doc_id", "text", threshold = 0.5))
+    assert(replay == Seq(10L),
+      s"a replayed step must be idempotent, got $replay")
+    // the exact tier obeys the same two contracts
+    Dedup.buildExactIndex(corpus, "doc_id", col("text"), s"$tmp/exidx",
+      nShards = 4)
+    val eb = Seq((30L, "unique new content entirely"), (31L, corpusText))
+      .toDF("doc_id", "text")
+    val e1 = ids(Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/exidx",
+      eb, "doc_id", col("text")))
+    val e2 = ids(Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/exidx",
+      eb, "doc_id", col("text")))
+    assert(e1 == Seq(30L) && e2 == Seq(30L),
+      s"exact-tier replay must be idempotent: first=$e1 replay=$e2")
+    val e3 = ids(Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/exidx",
+      Seq((40L, "unique new content entirely")).toDF("doc_id", "text"),
+      "doc_id", col("text")))
+    assert(e3 == Nil,
+      "a later exact copy must still drop against the twice-appended digest")
+    Dedup.releaseCheckpoints()
+  }
+
   test("exact digest index: pruned probe, cross-batch drop, append touches only its shards") {
     import graft.operators.Dedup
     val docs = Seq(
