@@ -286,6 +286,131 @@ object Dedup {
     accepted
   }
 
+  /** What one index DELETE actually did — row counts removed and the
+    * exact shard partitions rewritten (bounded by nShards, the
+    * model-sized driver artifact), so specs can assert the footprint
+    * without listing the lake. */
+  final case class IndexDeleteReport(
+      rowsDeleted: Long, touchedShards: Seq[Long])
+
+  /** Rewrite ONLY the given shard partitions of a shard-partitioned
+    * table, keeping `remaining` (which must carry `shardCol`):
+    * dynamic-partition overwrite replaces each shard present in
+    * `remaining`; shards among `targets` that end up EMPTY are
+    * reclaimed by deleting their partition dir (dynamic overwrite
+    * never writes them, so the stale files would otherwise survive).
+    * `remaining` is checkpointed first — it reads the very files the
+    * overwrite replaces. */
+  private def rewriteShards(spark: org.apache.spark.sql.SparkSession,
+      table: String, shardCol: String, targets: Seq[Long],
+      remaining: DataFrame): Unit = {
+    val (kept, lease) = scoped {
+      val k = trackCheckpoint(remaining.localCheckpoint())
+      k.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(shardCol).parquet(table)
+      k.select(shardCol).distinct().collect()
+        .map(_.getAs[Number](0).longValue()).toSet
+    }
+    lease.release()
+    val conf = spark.sparkContext.hadoopConfiguration
+    targets.filterNot(kept).foreach { s =>
+      val dir = new org.apache.hadoop.fs.Path(s"$table/$shardCol=$s")
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
+  /** TAKEDOWN from a [[buildExactIndex]] layout: remove the given
+    * documents' (digest, id) rows, so a FUTURE copy of a removed doc
+    * is ADMITTED again — the retention/licensing obligation a
+    * training-data index must honor (a deleted doc's digest must not
+    * keep blocking near-copies forever). Takes the docs (id +
+    * `exactOn`), not bare ids: the layout shards by DIGEST hash, so
+    * the digest is what locates the rows — an id-only delete would be
+    * an O(index) scan, this one reads and rewrites ONLY the shard
+    * partitions the docs' own digests hash to (the probe's prune,
+    * turned into a bounded rewrite). Shards left empty are reclaimed;
+    * `meta/` is untouched. Quiesce probes/appends for the touched
+    * shards (the Compaction rule — this is in-place maintenance). */
+  def deleteFromExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String, exactOn: Column)
+      : IndexDeleteReport = {
+    val nShards = exactIndexShards(spark, path)
+    val targets = docs
+      .select(col(idCol).cast("long").as("id"),
+        md5(exactOn.cast("string")).as("digest"))
+      .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
+    val shards = targets.select("__shard").distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (shards.isEmpty) return IndexDeleteReport(0L, Nil)
+    val pruned = spark.read.parquet(s"$path/digests")
+      .where(col("__shard").isin(shards: _*))
+    val doomed = targets.select("id").distinct()
+    val before = pruned.count()
+    val remaining = pruned.join(doomed, Seq("id"), "left_anti")
+    rewriteShards(spark, s"$path/digests", "__shard", shards, remaining)
+    val after = spark.read.parquet(s"$path/digests")
+      .where(col("__shard").isin(shards: _*)).count()
+    IndexDeleteReport(before - after, shards)
+  }
+
+  /** TAKEDOWN from a [[buildFuzzyIndex]] layout: remove the given ids'
+    * `sets/` AND `bands/` rows. Needs only the IDS — the index is its
+    * own locator: `sets/` shards by id directly, and the doomed band
+    * buckets are re-derived from the ids' own stored signatures
+    * (read shard-pruned by id) with the index's meta parameters, so
+    * both rewrites touch only the shard partitions the removed docs
+    * actually live in — never the corpus. The derived bucket set is a
+    * superset of what appends wrote (saturation only withholds band
+    * rows), so no orphan can survive. After the delete a future
+    * near-copy of a removed doc is ADMITTED (spec-pinned); shards
+    * left empty are reclaimed; `meta/` is untouched. Same quiesce
+    * rule as [[deleteFromExactIndex]]. */
+  def deleteFromFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String)
+      : Map[String, IndexDeleteReport] = {
+    val m = fuzzyIndexMeta(spark, path)
+    val doomed = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val idShards = doomed
+      .select(pmod(col("id"), lit(m.nShards.toLong)).as("__s"))
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (idShards.isEmpty)
+      return Map("sets" -> IndexDeleteReport(0L, Nil),
+        "bands" -> IndexDeleteReport(0L, Nil))
+    val setsPruned = spark.read.parquet(s"$path/sets")
+      .where(col("__idshard").isin(idShards: _*))
+    val (bandShards, lease) = scoped {
+      // the ids' own stored signatures locate their band buckets —
+      // checkpointed: this read must survive the sets/ overwrite below
+      val doomedSets = trackCheckpoint(
+        setsPruned.join(doomed, Seq("id"), "left_semi").localCheckpoint())
+      lshBandRows(doomedSets, m.k, m.bands)
+        .select(pmod(xxhash64(col("bucket")), lit(m.nShards.toLong)).as("__s"))
+        .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    }
+    lease.release() // band shards are collected; the signatures served
+    val setsBefore = setsPruned.count()
+    rewriteShards(spark, s"$path/sets", "__idshard", idShards,
+      setsPruned.join(doomed, Seq("id"), "left_anti"))
+    val setsAfter = spark.read.parquet(s"$path/sets")
+      .where(col("__idshard").isin(idShards: _*)).count()
+    val bandsReport =
+      if (bandShards.isEmpty) IndexDeleteReport(0L, Nil)
+      else {
+        val bandsPruned = spark.read.parquet(s"$path/bands")
+          .where(col("__shard").isin(bandShards: _*))
+        val bandsBefore = bandsPruned.count()
+        rewriteShards(spark, s"$path/bands", "__shard", bandShards,
+          bandsPruned.join(doomed, Seq("id"), "left_anti"))
+        val bandsAfter = spark.read.parquet(s"$path/bands")
+          .where(col("__shard").isin(bandShards: _*)).count()
+        IndexDeleteReport(bandsBefore - bandsAfter, bandShards)
+      }
+    Map("sets" -> IndexDeleteReport(setsBefore - setsAfter, idShards),
+      "bands" -> bandsReport)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** One (id, shingle-hash) row per DISTINCT word n-gram, built

@@ -667,6 +667,82 @@ class FunctionsSpec extends SparkSpec {
     Dedup.releaseCheckpoints()
   }
 
+  test("index takedown: deleted docs stop blocking copies; rewrites touch only their shards; meta invariant") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val tA = "the alpha report describes quarterly revenue for the " +
+      "northern retail division in considerable detail"
+    val tB = "a second corpus document concerning maritime logistics " +
+      "and the scheduling of container vessels"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+
+    // ---- exact tier ----
+    Dedup.buildExactIndex(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"),
+      "doc_id", col("text"), s"$tmp/ex", nShards = 8)
+    def exProbe(id: Long, t: String): Seq[Long] =
+      Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/ex",
+        Seq((id, t)).toDF("doc_id", "text"), "doc_id", col("text"))
+        .select("doc_id").as[Long].collect().toSeq
+    assert(exProbe(10L, tA) == Nil, "pre-delete: the copy must be blocked")
+    def partFiles(dir: String): Map[String, Set[String]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.isDirectory).map(p =>
+        p.getName -> p.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val exBefore = partFiles(s"$tmp/ex/digests")
+    val exMeta = spark.read.parquet(s"$tmp/ex/meta").collect().toSeq
+    val exRep = Dedup.deleteFromExactIndex(spark, s"$tmp/ex",
+      Seq((1L, tA)).toDF("doc_id", "text"), "doc_id", col("text"))
+    assert(exRep.rowsDeleted == 1L, s"one digest row must go: $exRep")
+    val exAfter = partFiles(s"$tmp/ex/digests")
+    val exTouched = exRep.touchedShards.map(s => s"__shard=$s").toSet
+    assert(exBefore.keySet.diff(exTouched).forall(k => exAfter(k) == exBefore(k)),
+      "untouched exact shards must keep their exact files")
+    assert(spark.read.parquet(s"$tmp/ex/meta").collect().toSeq == exMeta)
+    assert(exProbe(11L, tA) == Seq(11L),
+      "post-delete: a new copy of the removed doc must be ADMITTED")
+    assert(exProbe(12L, tB) == Nil,
+      "post-delete: the surviving doc must still block its copies")
+
+    // ---- fuzzy tier ----
+    Dedup.buildFuzzyIndex(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$tmp/fz", shingleN = 3, k = 64, bands = 16,
+      nShards = 8)
+    def fzProbe(id: Long, t: String): Seq[Long] =
+      Dedup.incrementalFuzzySurvivors(spark, s"$tmp/fz",
+        Seq((id, t)).toDF("doc_id", "text"), "doc_id", "text", 0.5)
+        .select("doc_id").as[Long].collect().toSeq
+    assert(fzProbe(20L, tA + " extra") == Nil,
+      "pre-delete: the near-copy must be blocked")
+    val fzSetsBefore = partFiles(s"$tmp/fz/sets")
+    val fzBandsBefore = partFiles(s"$tmp/fz/bands")
+    val fzMeta = spark.read.parquet(s"$tmp/fz/meta").collect().toSeq
+    val fzRep = Dedup.deleteFromFuzzyIndex(spark, s"$tmp/fz",
+      Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+    assert(fzRep("sets").rowsDeleted == 1L &&
+      fzRep("bands").rowsDeleted == 16L,
+      s"doc 1's sets row and all 16 band rows must go: $fzRep")
+    assert(fzRep("sets").touchedShards == Seq(1L % 8),
+      "sets rewrite must touch exactly the id's shard")
+    val fzSetsAfter = partFiles(s"$tmp/fz/sets")
+    val fzBandsAfter = partFiles(s"$tmp/fz/bands")
+    val setsTouched = fzRep("sets").touchedShards.map(s => s"__idshard=$s").toSet
+    val bandsTouched = fzRep("bands").touchedShards.map(s => s"__shard=$s").toSet
+    assert(fzSetsBefore.keySet.diff(setsTouched)
+      .forall(k => fzSetsAfter(k) == fzSetsBefore(k)),
+      "untouched sets shards must keep their exact files")
+    assert(fzBandsBefore.keySet.diff(bandsTouched)
+      .forall(k => fzBandsAfter(k) == fzBandsBefore(k)),
+      "untouched bands shards must keep their exact files")
+    assert(spark.read.parquet(s"$tmp/fz/meta").collect().toSeq == fzMeta)
+    assert(fzProbe(21L, tA + " extra") == Seq(21L),
+      "post-delete: a near-copy of the removed doc must be ADMITTED")
+    assert(fzProbe(22L, tB + " extra") == Nil,
+      "post-delete: the surviving doc must still block its near-copies")
+    Dedup.releaseCheckpoints()
+  }
+
   test("exact digest index: pruned probe, cross-batch drop, append touches only its shards") {
     import graft.operators.Dedup
     val docs = Seq(
