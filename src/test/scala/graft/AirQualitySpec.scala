@@ -71,6 +71,32 @@ class AirQualitySpec extends SparkSpec {
     assert(back.columns.toSet == gold.columns.toSet)
   }
 
+  test("K7: jdbc round-trip verifies rows + schema + content hash, driver-agnostic") {
+    import graft.pipeline.RunPipeline
+    val gold = AirQuality.runPipeline(spark, coFiles)
+    val url = "jdbc:derby:memory:curated_rt;create=true"
+    // the FULL gold frame (timestamps, doubles, nulls) must survive
+    // the serve byte-for-byte: count + column set + value hash
+    RunPipeline.serveJdbc(gold, url)
+    assert(RunPipeline.verifyJdbcRoundTrip(spark, gold, url) == gold.count())
+    // negative control: a store with different content must FAIL the
+    // verify (otherwise the assert proves nothing)
+    RunPipeline.serveJdbc(gold.limit(20), url)
+    val e = intercept[IllegalArgumentException] {
+      RunPipeline.verifyJdbcRoundTrip(spark, gold, url)
+    }
+    assert(e.getMessage.contains("round-trip"))
+    // a value-level corruption (same count, same schema) is caught by
+    // the content hash alone
+    RunPipeline.serveJdbc(
+      gold.withColumn("code_site",
+        concat(col("code_site"), lit("X"))), url)
+    val e2 = intercept[IllegalArgumentException] {
+      RunPipeline.verifyJdbcRoundTrip(spark, gold, url)
+    }
+    assert(e2.getMessage.contains("content hash"))
+  }
+
   test("bronze read + filename partition extraction (S5/K3)") {
     val df = AirQuality.withPartitionColumnsFromFilename(
       AirQuality.readBronzeCsv(spark, coFiles))
