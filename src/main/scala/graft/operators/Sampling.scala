@@ -278,6 +278,44 @@ object Sampling {
       .drop("__key", "__end")
   }
 
+  /** [[packSequences]] for MULTIPLE epochs in ONE pass — training
+    * wants E epochs with per-epoch decorrelated orders, and running
+    * the mix E times re-scores the corpus E times. Here each input
+    * row fans out to one row PER epoch (an `explode` over the epoch
+    * list — metadata columns only, the text never rides along), the
+    * shuffle key salts on the `epoch` column exactly as
+    * [[epochShuffleKey]] salts on its literal (same `concat_ws`
+    * rendering, so per-epoch output is ROW-IDENTICAL to E separate
+    * [[packSequences]] calls — MixSpec pins it), and the packing
+    * windows partition by (epoch, chunk): E × `chunks` independent
+    * bounded windows, still one shuffle, never a global sort. Output
+    * adds the `epoch` column; write it `partitionBy("epoch")` so a
+    * training run reads only its epoch's files. */
+  def packSequencesEpochs(df: DataFrame, idCol: String,
+      tokenCountCol: String, budget: Long, epochs: Seq[Int],
+      chunks: Int): DataFrame = {
+    require(budget > 0 && chunks > 0,
+      s"budget and chunks must be positive, got ($budget, $chunks)")
+    require(epochs.nonEmpty && epochs.distinct.size == epochs.size,
+      s"epochs must be non-empty and distinct, got $epochs")
+    val fanned = df.withColumn("epoch",
+      explode(array(epochs.map(e => lit(e)): _*)))
+    val key = graft.functions.PortableHash.md5Hash60(
+      concat_ws(":", col("epoch"), col(idCol).cast("string")))
+    val chunk = pmod(key, lit(chunks.toLong)).cast("int")
+    val w = Window.partitionBy("epoch", "__chunk")
+      .orderBy(col("__key"), col(idCol))
+    fanned.withColumn("__key", key)
+      .withColumn("__chunk", chunk)
+      .withColumn("__end",
+        sum(col(tokenCountCol).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("start_off", col("__end") - col(tokenCountCol).cast("long"))
+      .withColumn("seq", floor(col("start_off") / budget).cast("long"))
+      .withColumnRenamed("__chunk", "chunk")
+      .drop("__key", "__end")
+  }
+
   // ------------------------------------------- train/val/test splitting
 
   /** The split label for a deterministic key draw: `u(salt, key) in

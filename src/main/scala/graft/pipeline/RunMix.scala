@@ -37,7 +37,10 @@ import graft.operators.{Sampling, TextAnalysis}
   * and the bounded per-chunk packing windows.
   *
   * Usage: runMain graft.pipeline.RunMix [docsDir] [outDir]
-  *          [--epoch N] [--budget TOKENS]
+  *          [--epoch N] [--epochs E] [--budget TOKENS]
+  * `--epochs E` builds epochs 0..E-1 in ONE run — one scoring scan,
+  * per-epoch decorrelated orders, written as `epoch=<e>/` partitions
+  * (each stream row-identical to a separate `--epoch e` run).
   * Defaults: /root/testdata/sf0.001 -> /tmp/graft_mix, epoch 0,
   * budget 256. `docsDir` must contain `documents.parquet`
   * (doc_id, text, lang, source, n_chars — TESTDATA.md shape; the
@@ -59,6 +62,7 @@ object RunMix {
 
   def main(args: Array[String]): Unit = {
     var epoch = 0
+    var epochs: Option[Seq[Int]] = None
     var budget = 256L
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -67,6 +71,9 @@ object RunMix {
         case "--epoch" =>
           require(i + 1 < args.length, "--epoch needs a number")
           epoch = args(i + 1).toInt; i += 1
+        case "--epochs" =>
+          require(i + 1 < args.length, "--epochs needs a count")
+          epochs = Some(0 until args(i + 1).toInt); i += 1
         case "--budget" =>
           require(i + 1 < args.length, "--budget needs a token count")
           budget = args(i + 1).toLong; i += 1
@@ -89,7 +96,7 @@ object RunMix {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     // default journey keeps every source whole (weight 1); pass an
     // explicit map through run() to express a real mixture policy
-    run(spark, docs, outDir, epoch, budget)
+    run(spark, docs, outDir, epoch, budget, epochs = epochs)
     spark.stop()
   }
 
@@ -134,7 +141,8 @@ object RunMix {
       bandRates: Map[Int, Double] = defaultBandRates,
       sourceWeights: Option[Map[String, Double]] = None,
       thresholds: Option[Seq[Double]] = None,
-      preScored: Boolean = false): Seq[(String, Long)] = {
+      preScored: Boolean = false,
+      epochs: Option[Seq[Int]] = None): Seq[(String, Long)] = {
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -204,25 +212,48 @@ object RunMix {
         }, "doc_id")
     }
 
-    // 5. epoch shuffle + packing under the token budget
-    val packed = Sampling.packSequences(
-        mixed, "doc_id", "n_tokens", budget, epoch, chunks = 32)
-      .select("doc_id", "source_name", "bucket", "n_tokens",
-        "chunk", "seq", "start_off")
+    // 5. epoch shuffle + packing under the token budget. `epochs =
+    // Some(es)` packs EVERY epoch from the SAME scoring lineage — the
+    // corpus is scored once, the epoch fan-out multiplies only the
+    // metadata rows (MixSpec pins per-epoch row-identity with E
+    // separate runs and the single scoring scan) — and writes
+    // `epoch=<e>/` partitions so a training run reads only its epoch.
+    val packed = epochs match {
+      case None => Sampling.packSequences(
+          mixed, "doc_id", "n_tokens", budget, epoch, chunks = 32)
+        .select("doc_id", "source_name", "bucket", "n_tokens",
+          "chunk", "seq", "start_off")
+      case Some(es) => Sampling.packSequencesEpochs(
+          mixed, "doc_id", "n_tokens", budget, es, chunks = 32)
+        .select("doc_id", "source_name", "bucket", "n_tokens",
+          "epoch", "chunk", "seq", "start_off")
+    }
 
     timed("write") {
-      packed.repartition(col("chunk"))
-        .sortWithinPartitions("chunk", "seq", "start_off")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed")
+      epochs match {
+        case None =>
+          packed.repartition(col("chunk"))
+            .sortWithinPartitions("chunk", "seq", "start_off")
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed")
+        case Some(_) =>
+          packed.repartition(col("epoch"), col("chunk"))
+            .sortWithinPartitions("epoch", "chunk", "seq", "start_off")
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("epoch").parquet(s"$outDir/packed")
+      }
     }
     // one read-back aggregate for the report (the write already ran
     // the lineage; counting from the output avoids a second funnel —
     // the RunCurate lesson)
     val out = spark.read.parquet(s"$outDir/packed")
+    val seqCols =
+      if (epochs.isDefined) Seq(col("epoch"), col("chunk"), col("seq"))
+      else Seq(col("chunk"), col("seq"))
     val Seq(nRows, nSeqs, nTokens) = timed("report") {
       // coalesce: sum() is NULL over an empty mix (e.g. a weight map
       // naming no present source) — report zeros, don't throw
-      out.agg(count(lit(1)), count_distinct(col("chunk"), col("seq")),
+      out.agg(count(lit(1)),
+          count_distinct(seqCols.head, seqCols.tail: _*),
           coalesce(sum("n_tokens"), lit(0L)))
         .collect().headOption.map(r =>
           Seq(r.getLong(0), r.getLong(1), r.getLong(2))).get
@@ -240,7 +271,8 @@ object RunMix {
       "sampled" -> nRows,
       "sequences" -> nSeqs,
       "tokens_packed" -> nTokens,
-      "epoch" -> epoch.toLong,
+      "epoch" -> epochs.fold(epoch.toLong)(_ => -1L),
+      "epochs" -> epochs.fold(1L)(_.size.toLong),
       "budget" -> budget,
       "pre_scored" -> (if (preScored) 1L else 0L))
     report.foreach { case (k, v) => println(f"[mix] $k%-14s $v%d") }

@@ -186,4 +186,38 @@ class MixSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cut points"))
   }
+
+  test("multi-epoch mix: each epoch partition is row-identical to its separate run; one scoring scan") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val outM = tmp("multi"); val out0 = tmp("e0"); val out1 = tmp("e1")
+    val repM = RunMix.run(spark, docs, outM, budget = 128,
+      epochs = Some(Seq(0, 1))).toMap
+    assert(repM("epochs") == 2L)
+    RunMix.run(spark, docs, out0, epoch = 0, budget = 128)
+    RunMix.run(spark, docs, out1, epoch = 1, budget = 128)
+    val m = spark.read.parquet(s"$outM/packed")
+    for ((e, dir) <- Seq((0, out0), (1, out1))) {
+      val slice = m.where(col("epoch") === e).drop("epoch")
+      val single = spark.read.parquet(s"$dir/packed")
+      assert(slice.count() == single.count() &&
+        slice.exceptAll(single).count() == 0 &&
+        single.exceptAll(slice).count() == 0,
+        s"epoch $e partition must be row-identical to its separate run")
+    }
+    // the point of packing epochs together: the corpus is SCORED once.
+    // Same lineage shape as run(): score -> band -> multi-epoch pack;
+    // the epoch fan-out must not multiply the parquet scan
+    import graft.operators.{Sampling, TextAnalysis}
+    val scored = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .where(col("text").isNotNull)
+      .withColumn("n_tokens",
+        TextAnalysis.docStats(col("text")).getField("n_tokens"))
+    val packed = Sampling.packSequencesEpochs(
+      scored, "doc_id", "n_tokens", 128, Seq(0, 1, 2), 32)
+    val planStr = packed.queryExecution.executedPlan.toString()
+    val scans = "Scan parquet".r.findAllIn(planStr).size
+    assert(scans == 1,
+      s"three epochs must pack from ONE corpus scan, got $scans:\n$planStr")
+  }
 }
