@@ -189,4 +189,39 @@ class PlanAuditSpec extends SparkSpec {
       s"semantic pairing must never cross-join:\n$plan")
     assert(plan.contains("__cell"), s"pair join must key on the cell id:\n$plan")
   }
+
+  test("pipeline gold via lake: the final plan reads only the materialized base, sources scanned once") {
+    import graft.pipeline.AirQuality
+    // the q08 lesson in the PIPELINE context (r7 verdict item 8):
+    // imputeMeans branches the merged join into the means aggregate
+    // AND the main projection — with live lineage every CSV under the
+    // silvers executes once per branch; via the lake the sources run
+    // exactly once (inside toLake's write) and the analytic stages
+    // read nothing but the scratch parquet
+    val files = new java.io.File("/root/reference/test_files")
+      .listFiles().map(_.getPath).filter(_.endsWith(".csv")).sorted.toSeq
+    val gated = AirQuality.filesPassingHeaderGate(spark, files)
+    val bronze = AirQuality.withPartitionColumnsFromFilename(
+      AirQuality.readBronzeCsv(spark, gated))
+    val silvers = Seq("04", "03").map { code =>
+      graft.pipeline.Pollutants.default.find(_.code == code).get.tableName ->
+        AirQuality.silver(bronze.where(col("pollutant") === code))
+    }.toMap
+    val scratch = java.nio.file.Files
+      .createTempDirectory("gold_base").toString + "/base"
+    val gold = AirQuality.goldViaLake(silvers, scratch)
+    val plan = gold.queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("scan csv"),
+      s"analytic stages must not re-touch the CSV sources:\n$plan")
+    val parquetScans = "Scan parquet".r.findAllIn(plan).size
+    assert(parquetScans == 2, // means aggregate + main projection
+      s"gold must read exactly the materialized base twice, got $parquetScans:\n$plan")
+    assert(plan.contains("base"),
+      s"both scans must target the scratch path:\n$plan")
+    // and the result is the same table the live-lineage gold builds
+    val live = AirQuality.gold(silvers)
+    assert(gold.count() == live.count() &&
+      gold.exceptAll(live).count() == 0 && live.exceptAll(gold).count() == 0,
+      "goldViaLake must be row-identical to gold")
+  }
 }
