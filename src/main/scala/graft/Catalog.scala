@@ -1391,6 +1391,129 @@ object Catalog {
       },
       Some(curateIntakeOracle)),
 
+    QueryDef("x53_exact_takedown",
+      // retention/takedown on the EXACT tier (r8): docs 100-149 are
+      // DELETED from the digest index after the build, so a later
+      // batch's copies of them are ADMITTED again while copies of the
+      // still-indexed corpus keep dropping — the licensing obligation
+      // a frozen dedup index cannot honor. Build overwrites, so every
+      // run replays build → delete → intake deterministically.
+      (s, d) => {
+        val docs = documents(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_takedown_ex_" +
+          Integer.toHexString(d.hashCode)
+        Dedup.buildExactIndex(docs.where(col("doc_id") < 250),
+          "doc_id", col("text"), path)
+        Dedup.deleteFromExactIndex(s, path,
+          docs.where(col("doc_id") >= 100 && col("doc_id") < 150),
+          "doc_id", col("text"))
+        Dedup.intakeStepAgainstExactIndex(s, path,
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 400),
+          "doc_id", col("text"))
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      // oracle: within-batch first-wins on md5(text), then drop only
+      // digests still LIVE in the index (corpus minus the deletion)
+      Some("""WITH dg AS (
+                SELECT doc_id, source, md5(text) AS fp FROM documents),
+              live AS (
+                SELECT fp FROM dg
+                WHERE doc_id < 100 OR (doc_id >= 150 AND doc_id < 250)),
+              a1 AS (
+                SELECT doc_id FROM dg d
+                WHERE doc_id >= 250 AND doc_id < 400
+                  AND doc_id = (SELECT min(x.doc_id) FROM dg x
+                                WHERE x.fp = d.fp
+                                  AND x.doc_id >= 250 AND x.doc_id < 400)
+                  AND fp NOT IN (SELECT fp FROM live))
+              SELECT doc_id, source FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM a1)
+              ORDER BY doc_id""")),
+
+    QueryDef("x54_fuzzy_takedown",
+      // retention/takedown on the FUZZY tier (r8): after deleting docs
+      // 100-149 from the signature index, a batch is probed — near-
+      // copies of deleted docs are ADMITTED (their band rows and
+      // signatures are gone), near-copies of still-indexed docs drop.
+      // deleteFromFuzzyIndex needs only the ids: the doomed buckets
+      // re-derive from the ids' own stored signatures.
+      (s, d) => {
+        val docs = documents(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_takedown_fz_" +
+          Integer.toHexString(d.hashCode)
+        Dedup.buildFuzzyIndex(docs.where(col("doc_id") < 250),
+          "doc_id", "text", path, shingleN = 3, k = 64, bands = 16)
+        Dedup.deleteFromFuzzyIndex(s, path,
+          docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
+            .select("doc_id"), "doc_id")
+        Dedup.incrementalFuzzySurvivors(s, path,
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 400),
+          "doc_id", "text", threshold = 0.5)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      // the x46 MinHash replay (band candidates + exact Jaccard), with
+      // the corpus side restricted to the LIVE ids — batch docs
+      // survive iff they have no >= 0.5 pair into the post-delete index
+      Some("""WITH RECURSIVE tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents
+                WHERE doc_id < 100 OR (doc_id >= 150 AND doc_id < 400)),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+                FROM bands b JOIN bands c
+                  ON b.bucket = c.bucket AND b.doc_id < c.doc_id),
+              prs AS (
+                SELECT p.id_a, p.id_b FROM cand p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b
+                WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                  >= 0.5),
+              dropped AS (
+                SELECT id_b AS doc_id FROM prs
+                WHERE id_a < 250 AND id_b >= 250 AND id_b < 400
+                UNION
+                SELECT id_a FROM prs
+                WHERE id_b < 250 AND id_a >= 250 AND id_a < 400)
+              SELECT doc_id, source FROM documents
+              WHERE doc_id >= 250 AND doc_id < 400
+                AND doc_id NOT IN (SELECT doc_id FROM dropped)
+              ORDER BY doc_id""")),
+
     QueryDef("x51_jsonl_roundtrip",
       // the interchange boundary: write the corpus as JSON-Lines (the
       // format training data actually ships in), read it back under

@@ -301,7 +301,7 @@ object Dedup {
     * never writes them, so the stale files would otherwise survive).
     * `remaining` is checkpointed first — it reads the very files the
     * overwrite replaces. */
-  private def rewriteShards(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def rewriteShards(spark: org.apache.spark.sql.SparkSession,
       table: String, shardCol: String, targets: Seq[Long],
       remaining: DataFrame): Unit = {
     val (kept, lease) = scoped {

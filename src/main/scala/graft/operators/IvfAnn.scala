@@ -193,6 +193,38 @@ object IvfAnn {
     * fresh build) when the max/median cell ratio crosses the caller's
     * tolerance — re-centering in place would silently invalidate the
     * pinned-centroid equivalence that makes the index replayable. */
+  /** TAKEDOWN from a [[buildIndexInt]] layout — the ANN-tier sibling
+    * of [[graft.operators.Dedup.deleteFromExactIndex]]: remove the
+    * given vectors' rows so a removed document stops surfacing as
+    * anyone's neighbor (retention/licensing). Takes the docs (id +
+    * vector): with the FROZEN build centroids the cell is a pure
+    * function of the vector, so the doomed rows are located without
+    * scanning the index — only the cell partitions the removed
+    * vectors actually live in are read, rewritten via dynamic-
+    * partition overwrite, and reclaimed when emptied. Searches under
+    * the same pinned centroids are unaffected outside the touched
+    * cells (spec compares file listings). Same quiesce rule as the
+    * other in-place index maintenance ops. */
+  def deleteFromIndexInt(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, corpusId: String, corpusVec: String,
+      cents: Array[IntCentroid]): Dedup.IndexDeleteReport = {
+    val targets = docs.select(col(corpusId).as("__did"),
+      cellIdInt(col(corpusVec), cents).as("__cell"))
+    val cells = targets.select("__cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    if (cells.isEmpty) return Dedup.IndexDeleteReport(0L, Nil)
+    val pruned = spark.read.parquet(path)
+      .where(col("__cell").isin(cells: _*))
+    val before = pruned.count()
+    val remaining = pruned.join(
+      targets.select(col("__did").as(corpusId)).distinct(),
+      Seq(corpusId), "left_anti")
+    Dedup.rewriteShards(spark, path, "__cell", cells.map(_.toLong), remaining)
+    val after = spark.read.parquet(path)
+      .where(col("__cell").isin(cells: _*)).count()
+    Dedup.IndexDeleteReport(before - after, cells.map(_.toLong))
+  }
+
   def appendToIndexInt(batch: DataFrame, corpusId: String, corpusVec: String,
       cents: Array[IntCentroid], path: String): Unit =
     Rebalance(batch.select(col(corpusId), col(corpusVec)))

@@ -743,6 +743,40 @@ class FunctionsSpec extends SparkSpec {
     Dedup.releaseCheckpoints()
   }
 
+  test("IVF takedown: a deleted vector stops surfacing as a neighbor; rewrite touches only its cells") {
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(corpus, "vec_id", "embedding", nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    IvfAnn.buildIndexInt(corpus, "vec_id", "embedding", cents, s"$tmp/idx")
+    // the query IS vec 5's embedding — pre-delete its nearest neighbor
+    // is vec 5 itself (cosine 1)
+    val queries = corpus.where(col("vec_id") === 5)
+      .select((col("vec_id") + 1000).as("q_id"), col("embedding").as("q_vec"))
+    def nearest(): Long = IvfAnn.searchIndexInt(spark, s"$tmp/idx", queries,
+      "vec_id", "embedding", "q_id", "q_vec", cents, k = 1, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().head
+    assert(nearest() == 5L, "pre-delete: the vector must be its own neighbor")
+    def cellFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$tmp/idx")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = cellFiles()
+    val rep = IvfAnn.deleteFromIndexInt(spark, s"$tmp/idx",
+      corpus.where(col("vec_id") === 5), "vec_id", "embedding", cents)
+    assert(rep.rowsDeleted == 1L, s"one index row must go: $rep")
+    val after = cellFiles()
+    val touched = rep.touchedShards.map(c => s"__cell=$c").toSet
+    assert(before.keySet.diff(touched).forall(k => after(k) == before(k)),
+      "untouched cells must keep their exact files")
+    assert(nearest() != 5L,
+      "post-delete: the removed vector must stop surfacing as a neighbor")
+    assert(spark.read.parquet(s"$tmp/idx").count() == 299)
+  }
+
   test("exact digest index: pruned probe, cross-batch drop, append touches only its shards") {
     import graft.operators.Dedup
     val docs = Seq(
