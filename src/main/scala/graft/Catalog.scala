@@ -1989,6 +1989,37 @@ object Catalog {
                 CAST(start_off AS BIGINT) AS start_off
               FROM o ORDER BY doc_id""")),
 
+    QueryDef("x55_multi_epoch_packing",
+      // x30 for E epochs in ONE pass (r8): the epoch fan-out salts the
+      // shuffle key per epoch and the running sums window by
+      // (epoch, chunk) — each epoch's packing is bit-identical to its
+      // own packSequences run (MixSpec) while the input is scanned
+      // once (plan-asserted); the oracle replays all three epochs from
+      // a cross join
+      (s, d) => Sampling.packSequencesEpochs(
+          documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars",
+          budget = 4096, epochs = Seq(0, 1, 2), chunks = 8)
+        .select(col("doc_id"), col("epoch"), col("chunk"), col("seq"),
+          col("start_off"))
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+              k AS (
+                SELECT d.doc_id, d.n_chars, e.epoch,
+                  CAST('0x' || substring(md5(
+                    CAST(e.epoch AS VARCHAR) || ':' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+                FROM documents d CROSS JOIN e),
+              o AS (
+                SELECT doc_id, epoch, CAST(key % 8 AS INT) AS chunk,
+                  SUM(n_chars) OVER (PARTITION BY epoch, key % 8
+                    ORDER BY key, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+                FROM k)
+              SELECT doc_id, epoch, chunk,
+                CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) AS seq,
+                CAST(start_off AS BIGINT) AS start_off
+              FROM o ORDER BY doc_id, epoch""")),
+
     QueryDef("x16_group_centroids",
       (s, d) => {
         val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)
