@@ -39,8 +39,10 @@ import graft.operators.Curate
   * val/test stay in `curate/splits/` for evaluation use.
   *
   * Usage: runMain graft.pipeline.RunCorpus [docsDir] [outDir]
-  *          [--epoch N] [--budget TOKENS] [--scrub-pii] [--eval PATH]
-  *          [--holdout H] [--weights src=w,src=w]
+  *          [--epoch N] [--epochs E] [--budget TOKENS] [--scrub-pii]
+  *          [--eval PATH] [--holdout H] [--weights src=w,src=w]
+  * `--epochs E` packs epochs 0..E-1 from the one curated scoring
+  * lineage, written as `mix/packed/epoch=<e>/` partitions.
   * Defaults: /root/testdata/sf0.001 -> /tmp/graft_corpus.
   * `--holdout 0.1` = train 0.8 / val 0.1 / test 0.1.
   *
@@ -58,6 +60,7 @@ object RunCorpus {
 
   def main(args: Array[String]): Unit = {
     var epoch = 0
+    var epochs: Option[Seq[Int]] = None
     var budget = 256L
     var scrubPii = false
     var evalPath: Option[String] = None
@@ -70,6 +73,9 @@ object RunCorpus {
         case "--epoch" =>
           require(i + 1 < args.length, "--epoch needs a number")
           epoch = args(i + 1).toInt; i += 1
+        case "--epochs" =>
+          require(i + 1 < args.length, "--epochs needs a count")
+          epochs = Some(0 until args(i + 1).toInt); i += 1
         case "--budget" =>
           require(i + 1 < args.length, "--budget needs a token count")
           budget = args(i + 1).toLong; i += 1
@@ -107,6 +113,7 @@ object RunCorpus {
       Curate.Config(scrubPii = scrubPii, keep = Seq("source")),
       eval, epoch, budget,
       sourceWeights = weights,
+      epochs = epochs,
       splitWeights = holdout.map(h =>
         Seq("train" -> (1.0 - 2 * h), "val" -> h, "test" -> h)))
     spark.stop()
@@ -131,7 +138,8 @@ object RunCorpus {
       sourceWeights: Option[Map[String, Double]] = None,
       splitWeights: Option[Seq[(String, Double)]] = None,
       splitThreshold: Double = 0.5,
-      mixSplit: String = "train")
+      mixSplit: String = "train",
+      epochs: Option[Seq[Int]] = None)
       : (Seq[(String, Long)], Seq[(String, Long)]) = {
     require(cfg.keep.contains("source"),
       "RunCorpus needs cfg.keep to carry 'source' into the curated " +
@@ -161,7 +169,8 @@ object RunCorpus {
           .select("doc_id"), Seq("doc_id"), "left_semi"), counts)
     }
     val mixReport = RunMix.run(spark, mixInput, s"$outDir/mix",
-      epoch, budget, bandRates, sourceWeights, preScored = true)
+      epoch, budget, bandRates, sourceWeights, preScored = true,
+      epochs = epochs)
     val json = (curateReport.map { case (k, v) => s""""curate_$k":$v""" } ++
         splitCounts.map { case (k, v) => s""""$k":$v""" } ++
         mixReport.map { case (k, v) => s""""mix_$k":$v""" })

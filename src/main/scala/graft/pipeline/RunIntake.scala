@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.operators.{Curate, Dedup}
+
+/** The INCREMENTAL-INGESTION journey — the fourth runnable main,
+  * completing the operability story around
+  * [[graft.operators.Curate.intakeStep]]: where [[RunCurate]] curates
+  * a corpus in one shot, RunIntake is invoked once per ARRIVING batch
+  * (one spark-submit per delivery, or a scheduler loop) and maintains
+  * the growing state in the lake:
+  *
+  *   batch.parquet ── clean/filter ── exact-index probe+append
+  *                 ── fuzzy-index probe+append ── [decontaminate]
+  *                 ──> accepted/ (appended), runs.jsonl (history)
+  *
+  * The FIRST run bootstraps both index tiers from its own survivors
+  * (the intakeStep contract) — no separate build step. Sequential
+  * runs land exactly where one-shot [[graft.operators.Curate.curate]]
+  * of the concatenated corpus lands (StreamingSpec + the x52 oracle);
+  * a crashed run is recovered by RE-RUNNING it (the replay-idempotent
+  * probe contract — rows may duplicate in `accepted/`, decisions
+  * cannot flip; dedupe the sink by doc_id downstream or wrap the
+  * write in the streaming checkpoint via
+  * [[graft.streaming.DocStream.intakeAndCurate]]).
+  *
+  * Usage: runMain graft.pipeline.RunIntake [batchDir] [stateDir]
+  *          [--threshold T] [--scrub-pii] [--eval PATH]
+  * Defaults: /root/testdata/sf0.001 -> /tmp/graft_intake.
+  * `batchDir` must contain `documents.parquet` (TESTDATA.md shape).
+  * `stateDir` holds everything the journey owns:
+  *  indexes/exact/, indexes/fuzzy/   the growing index tiers
+  *  accepted/                        curated accepted rows, appended
+  *  runs.jsonl                       one JSON line per run (history)
+  */
+object RunIntake {
+
+  def main(args: Array[String]): Unit = {
+    var scrubPii = false
+    var threshold = 0.8
+    var evalPath: Option[String] = None
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--threshold" =>
+          require(i + 1 < args.length, "--threshold needs a fraction")
+          threshold = args(i + 1).toDouble; i += 1
+        case "--scrub-pii" => scrubPii = true
+        case "--eval" =>
+          require(i + 1 < args.length, "--eval needs a parquet path")
+          evalPath = Some(args(i + 1)); i += 1
+        case other => positional += other
+      }
+      i += 1
+    }
+    val batchDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val stateDir = positional.drop(1).headOption.getOrElse("/tmp/graft_intake")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+    val eval = evalPath.map(p =>
+      (spark.read.parquet(p), "doc_id", "text"))
+    run(spark, batch, stateDir,
+      Curate.Config(scrubPii = scrubPii, jaccardThreshold = threshold,
+        keep = Seq("source")), eval)
+    spark.stop()
+  }
+
+  /** One intake run: the batch flows through
+    * [[graft.operators.Curate.intakeStep]] against the stateDir's
+    * growing indexes, accepted rows append to `accepted/`, and a
+    * one-line JSON report (input/accepted counts, wall time) appends
+    * to `runs.jsonl`. Batch-scoped checkpoints are released before
+    * returning (one run = one lease). Returns the report. */
+  def run(spark: SparkSession, batch: DataFrame, stateDir: String,
+      cfg: Curate.Config = Curate.Config(keep = Seq("source")),
+      eval: Option[(DataFrame, String, String)] = None)
+      : Seq[(String, Long)] = {
+    val t0 = System.nanoTime()
+    val (report, lease) = Dedup.scoped {
+      val accepted = Curate.intakeStep(spark, batch, "doc_id", "text",
+        s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy", cfg, eval)
+      accepted.write.mode(SaveMode.Append).parquet(s"$stateDir/accepted")
+      val nAccepted = spark.read.parquet(s"$stateDir/accepted").count()
+      val nIn = batch.count()
+      Seq("input" -> nIn, "accepted_total" -> nAccepted,
+        "millis" -> (System.nanoTime() - t0) / 1000000L)
+    }
+    lease.release()
+    report.foreach { case (k, v) => println(f"[intake] $k%-15s $v%d") }
+    val json = report.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    new java.io.File(stateDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stateDir, "runs.jsonl"), json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    report
+  }
+}

@@ -142,4 +142,28 @@ class CurateSpec extends SparkSpec {
     assert(twice.select("doc_id").as[Long].collect().sorted.toSeq ==
       once.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_intake_spec").toString
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") < 250), state, cfg)
+    val rep2 = graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") >= 250), state, cfg).toMap
+    val accepted = spark.read.parquet(s"$state/accepted")
+    val oneShot = Curate.curate(docs, "doc_id", "text", cfg)
+    assert(accepted.count() == oneShot.count() &&
+      accepted.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(accepted).count() == 0,
+      "two intake runs must accumulate the one-shot curated corpus")
+    assert(rep2("accepted_total") == oneShot.count())
+    assert(java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(state, "runs.jsonl")).size == 2,
+      "runs.jsonl must carry one history line per run")
+    graft.operators.Dedup.releaseCheckpoints()
+  }
 }

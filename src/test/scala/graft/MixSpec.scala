@@ -136,6 +136,20 @@ class MixSpec extends SparkSpec {
     assert(packedIds.distinct().exceptAll(trainIds).count() == 0)
   }
 
+  test("RunCorpus --epochs: the journey writes one epoch=<e>/ partition per requested epoch") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = tmp("corpus_epochs")
+    val (_, mixRep) = graft.pipeline.RunCorpus.run(spark, docs, out,
+      graft.operators.Curate.Config(langs = Seq("en", "und"),
+        minQuality = 0.0, minTokens = 1, keep = Seq("source")),
+      epoch = 0, budget = 128, epochs = Some(0 until 2))
+    assert(mixRep.toMap.apply("tokens_packed") > 0)
+    val packed = spark.read.parquet(s"$out/mix/packed")
+    assert(packed.select("epoch").distinct().as[Int].collect().sorted
+      .toSeq == Seq(0, 1),
+      "both requested epochs must land as partitions of the journey's mix")
+  }
+
   test("RunMix: raising one band's rate only ADDS packed doc_ids (same-salt nesting end-to-end)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val outLo = tmp("mono_lo"); val outHi = tmp("mono_hi")
