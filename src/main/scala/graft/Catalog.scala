@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2019,6 +2019,85 @@ object Catalog {
                 CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) AS seq,
                 CAST(start_off AS BIGINT) AS start_off
               FROM o ORDER BY doc_id, epoch""")),
+
+    QueryDef("x56_packing_manifest",
+      // the per-sequence audit of the packed stream: docs touching /
+      // starting in each sequence, occupied token slots, integer-ppm
+      // fill — the artifact a training run reads to size itself and
+      // the check that catches a mis-packed shard. Overhanging docs
+      // attribute their slots to the sequences they actually cross
+      // (bounded span explode), so every non-final sequence per chunk
+      // audits exactly full
+      (s, d) => Sampling.packingManifest(
+          Sampling.packSequences(
+            documents(s, d).select("doc_id", "n_chars"), "doc_id",
+            "n_chars", budget = 4096, epoch = 1, chunks = 8),
+          "n_chars", budget = 4096)
+        .orderBy("chunk", "seq"),
+      Some("""WITH k AS (
+                SELECT doc_id, n_chars,
+                  CAST('0x' || substring(md5(
+                    '1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+                FROM documents),
+              o AS (
+                SELECT doc_id, n_chars, CAST(key % 8 AS INT) AS chunk,
+                  SUM(n_chars) OVER (PARTITION BY key % 8 ORDER BY key, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+                FROM k),
+              spans AS (
+                SELECT chunk, start_off, n_chars,
+                  unnest(generate_series(
+                    CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT),
+                    CAST(floor(CAST(start_off + greatest(n_chars, 1) - 1
+                      AS DOUBLE) / 4096) AS BIGINT))) AS seq
+                FROM o)
+              SELECT chunk, seq, count(*) AS n_docs,
+                CAST(sum(CASE WHEN CAST(floor(CAST(start_off AS DOUBLE) / 4096)
+                      AS BIGINT) = seq THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+                CAST(sum(least(start_off + n_chars, (seq + 1) * 4096)
+                  - greatest(start_off, seq * 4096)) AS BIGINT) AS tokens,
+                CAST(floor(sum(least(start_off + n_chars, (seq + 1) * 4096)
+                  - greatest(start_off, seq * 4096)) * 1000000.0 / 4096)
+                  AS BIGINT) AS fill_ppm
+              FROM spans GROUP BY chunk, seq ORDER BY chunk, seq""")),
+
+    QueryDef("x57_snapshot_diff",
+      // data versioning: what changed between two corpus snapshots,
+      // by content digest — added / removed / changed only, never the
+      // unchanged bulk (output ∝ churn). The two snapshots are carved
+      // deterministically from the documents table: ids ≡3 (mod 10)
+      // arrive only in the new snapshot, ids ≡7 leave it, and ids
+      // ≡0 (mod 5) carry a v0-salted digest in the old snapshot
+      // (simulating re-crawled content)
+      (s, d) => {
+        val docs = documents(s, d)
+        val oldSnap = docs.where(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+                md5(concat(col("text"), lit(":v0"))))
+              .otherwise(md5(col("text"))).as("digest"))
+        val newSnap = docs.where(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+        Snapshot.diff(oldSnap, newSnap, "doc_id", "digest")
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN md5(text || ':v0')
+                       ELSE md5(text) END AS old_digest
+                FROM documents WHERE doc_id % 10 <> 3),
+              n AS (
+                SELECT doc_id, md5(text) AS new_digest
+                FROM documents WHERE doc_id % 10 <> 7)
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                o.old_digest, n.new_digest,
+                CASE WHEN n.new_digest IS NULL THEN 'removed'
+                     WHEN o.old_digest IS NULL THEN 'added'
+                     ELSE 'changed' END AS status
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+              WHERE n.new_digest IS NULL OR o.old_digest IS NULL
+                 OR o.old_digest <> n.new_digest
+              ORDER BY doc_id""")),
 
     QueryDef("x16_group_centroids",
       (s, d) => {

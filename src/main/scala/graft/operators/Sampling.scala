@@ -316,6 +316,54 @@ object Sampling {
       .drop("__key", "__end")
   }
 
+  /** PACKING MANIFEST: the per-sequence audit of a [[packSequences]]
+    * (or [[packSequencesEpochs]]) output — for every training
+    * sequence, how many documents touch it (`n_docs`), how many START
+    * in it (`n_starts`, the sample count a loader sees), how many of
+    * its `budget` token slots are occupied (`tokens`), and the fill
+    * as integer ppm (`fill_ppm`). This is the artifact a training run
+    * reads to size itself (steps per epoch, padding waste) and the
+    * audit that catches a mis-packed shard before a GPU does.
+    *
+    * A document occupies the half-open token span
+    * `[start_off, start_off + n)` of its chunk's stream, so it can
+    * CROSS sequence boundaries (the documented overhang rule: `seq`
+    * assigns by start offset only). The manifest attributes every
+    * overlapped slot to its true sequence: each row fans out to the
+    * sequences its span touches (bounded explode — `ceil(n/budget)+1`
+    * rows per doc, metadata only) and a hash aggregate sums the
+    * overlaps. Every sequence except a chunk's last is exactly full
+    * by construction (MixSpec pins it). Zero-token rows count toward
+    * `n_docs`/`n_starts` of their assigned sequence but add no
+    * tokens. One shuffle (the aggregate); nothing global.
+    *
+    * `groupCols` names the stream identity columns (`Seq("chunk")`
+    * for one epoch, `Seq("epoch", "chunk")` for the multi-epoch
+    * output). */
+  def packingManifest(packed: DataFrame, tokenCountCol: String,
+      budget: Long, groupCols: Seq[String] = Seq("chunk")): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val start = col("start_off").cast("long")
+    val n = col(tokenCountCol).cast("long")
+    // greatest(n, 1): a zero-token row still lands in exactly its
+    // assigned sequence (sequence(a, b) with b < a would DESCEND)
+    val firstSeq = floor(start / budget)
+    val lastSeq = floor((start + greatest(n, lit(1L)) - 1) / budget)
+    val keys = groupCols.map(col) :+ col("seq")
+    packed
+      .withColumn("seq", explode(sequence(firstSeq, lastSeq)))
+      .withColumn("__tok",
+        least(start + n, (col("seq") + 1) * budget) -
+          greatest(start, col("seq") * budget))
+      .withColumn("__starts",
+        when(floor(start / budget) === col("seq"), 1L).otherwise(0L))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"), sum("__starts").as("n_starts"),
+        sum("__tok").as("tokens"))
+      .withColumn("fill_ppm",
+        floor(col("tokens") * 1000000L / budget).cast("long"))
+  }
+
   // ------------------------------------------- train/val/test splitting
 
   /** The split label for a deterministic key draw: `u(salt, key) in

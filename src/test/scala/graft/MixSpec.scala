@@ -37,6 +37,38 @@ class MixSpec extends SparkSpec {
       "epoch 1 must place documents differently")
   }
 
+  test("packingManifest: full interior sequences, token conservation, loader sample counts") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "n_chars")
+    val budget = 4096L
+    val packed = Sampling.packSequences(docs, "doc_id", "n_chars",
+      budget, epoch = 1, chunks = 8)
+    val man = Sampling.packingManifest(packed, "n_chars", budget).cache()
+    // every sequence except a chunk's LAST is exactly full — the
+    // overhang attribution must leave no interior gaps
+    val lastSeq = man.groupBy("chunk")
+      .agg(max("seq").as("last_seq"))
+    val interior = man.join(lastSeq, Seq("chunk"))
+      .where(col("seq") < col("last_seq"))
+    assert(interior.count() > 0, "test needs multi-sequence chunks")
+    assert(interior.where(col("tokens") =!= budget).count() == 0,
+      "every interior sequence must audit exactly full")
+    assert(interior.where(col("fill_ppm") =!= 1000000L).count() == 0)
+    // token conservation: the manifest attributes every input token
+    // exactly once
+    val inTokens = docs.agg(sum("n_chars")).as[Long].head()
+    val manTokens = man.agg(sum("tokens")).as[Long].head()
+    assert(manTokens == inTokens,
+      s"manifest tokens $manTokens must equal corpus tokens $inTokens")
+    // every document starts in exactly one sequence (the loader's
+    // sample count), and touching >= starting
+    val nStarts = man.agg(sum("n_starts")).as[Long].head()
+    assert(nStarts == docs.count())
+    assert(man.where(col("n_docs") < col("n_starts")).count() == 0)
+    man.unpersist()
+  }
+
   test("RunMix: band policy thins low-quality bands; packing respects the budget") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val out = tmp("policy")

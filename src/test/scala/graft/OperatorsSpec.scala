@@ -601,4 +601,23 @@ class OperatorsSpec extends SparkSpec {
       salt = "epoch2").select("doc_id")
     assert(lo.exceptAll(other).count() > 0)
   }
+
+  // ---------------------------------------------------- snapshot diff
+  test("Snapshot.diff reports exactly the churn: added, removed, changed") {
+    val oldSnap = Seq((1L, "dA"), (2L, "dB"), (3L, "dC"))
+      .toDF("id", "digest")
+    val newSnap = Seq((1L, "dA"), (2L, "dB2"), (4L, "dD"))
+      .toDF("id", "digest")
+    val diff = Snapshot.diff(oldSnap, newSnap, "id", "digest")
+      .orderBy("id")
+      .select("id", "status", "old_digest", "new_digest")
+      .as[(Long, String, Option[String], Option[String])].collect().toSeq
+    assert(diff == Seq(
+      (2L, "changed", Some("dB"), Some("dB2")),
+      (3L, "removed", Some("dC"), None),
+      (4L, "added", None, Some("dD"))),
+      s"unchanged id 1 must be absent and the churn exact, got $diff")
+    // identical snapshots diff to nothing
+    assert(Snapshot.diff(oldSnap, oldSnap, "id", "digest").count() == 0)
+  }
 }
