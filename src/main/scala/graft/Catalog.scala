@@ -2099,6 +2099,20 @@ object Catalog {
                  OR o.old_digest <> n.new_digest
               ORDER BY doc_id""")),
 
+    QueryDef("x58_rejection_audit",
+      // the "what did we throw away" review: per funnel-stage drop
+      // reason, the total kill count plus a consistent 10-doc sample
+      // (same docs every rerun — audits diff across config changes).
+      // en-only allowlist so language drops are exercised (threshold 0.5,
+      // maxRepetition 1.0 so the independently-oracled repetition
+      // stage is a tautology; contamination off — oracled in x33)
+      (s, d) => Curate.rejectionAudit(documents(s, d), "doc_id", "text",
+          Curate.Config(langs = Seq("en"), maxRepetition = 1.0,
+            jaccardThreshold = 0.5),
+          eval = None, k = 10)
+        .orderBy("reason", "doc_id"),
+      Some(rejectionAuditOracle)),
+
     QueryDef("x16_group_centroids",
       (s, d) => {
         val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)
@@ -2939,6 +2953,142 @@ object Catalog {
         WHERE f.doc_id IN (SELECT doc_id FROM a1
                            UNION ALL SELECT doc_id FROM a2)
         ORDER BY f.doc_id"""
+  }
+
+  /** The x58 oracle: the one-shot funnel replay (the x52 scoring +
+    * fuzzy blocks, unpartitioned) inverted to emit the DROPPED side —
+    * per-reason counts plus the md5-ordered k-sample. Repetition and
+    * contamination are configured out (maxRepetition 1.0, no eval);
+    * both are independently oracled (x24, x33). */
+  private lazy val rejectionAuditOracle: String = {
+    val hitExprs = TextAnalysis.stopwords.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($set))) AS h_$lang"
+    }.mkString(",\n                  ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val m = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    val stopsSum = langs.map(l => s"h_$l").mkString(" + ")
+    s"""WITH RECURSIVE cl AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                'https?://[^\\s]+', ' ', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS cl
+          FROM documents),
+        tok AS (
+          SELECT doc_id, cl,
+            list_filter(string_split(
+              trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g')), ' '),
+              x -> x <> '') AS toks
+          FROM cl),
+        ft AS (
+          SELECT doc_id, cl, toks,
+            len(toks) AS n_tok,
+            CAST(len(toks) AS DOUBLE) AS n_tok_d,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS avg_len,
+            CASE WHEN length(cl) > 0 THEN
+              CAST(length(cl) - len(regexp_extract_all(cl, '[a-zA-Z0-9\\s]')) AS DOUBLE)
+                / length(cl)
+            ELSE 1.0 END AS punct,
+            $hitExprs
+          FROM tok),
+        sc AS (
+          SELECT *, CAST($stopsSum AS DOUBLE) AS stops, $m AS m FROM ft),
+        q AS (
+          SELECT doc_id, cl, toks, n_tok,
+            (least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
+             + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
+             + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
+             + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) AS quality,
+            CASE WHEN m = 0 THEN 'und' $pick END AS lang
+          FROM sc),
+        flt AS (
+          SELECT * FROM q
+          WHERE lang = 'en' AND n_tok >= 10 AND quality >= 0.3),
+        fpd AS (
+          SELECT *, md5(trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          FROM flt),
+        e AS (SELECT min(doc_id) AS doc_id, fp FROM fpd GROUP BY fp),
+        th AS (
+          SELECT f.doc_id,
+            list_transform(f.toks,
+              t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+            len(f.toks) AS nt
+          FROM fpd f JOIN e ON e.doc_id = f.doc_id
+          WHERE len(f.toks) > 0),
+        sh AS (
+          SELECT doc_id, list_distinct(CASE
+            WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+              CAST('0x' || substring(md5(
+                CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+            ELSE [CAST('0x' || substring(md5(
+                CAST(h[1] AS VARCHAR) || ',' ||
+                CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+            END) AS hs
+          FROM th),
+        mh AS (
+          SELECT doc_id, i,
+            min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                 * (s % 2147483647)
+                 + ((69069 * (i + 1) + 1234567) % 2147483647))
+                % 2147483647) AS m
+          FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+          GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id,
+            CAST(i // 4 AS VARCHAR) || ',' ||
+              string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+          FROM mh GROUP BY doc_id, i // 4),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
+          FROM bands b JOIN bands c
+            ON b.bucket = c.bucket AND b.doc_id < c.doc_id),
+        prs AS (
+          SELECT p.id_a, p.id_b FROM cand p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b
+          WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+            (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+            >= 0.5),
+        ed AS (
+          SELECT id_a, id_b FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+        r AS (
+          SELECT id_a AS id, id_a AS r FROM ed
+          UNION
+          SELECT re.id, e2.id_b AS r FROM r re JOIN ed e2 ON e2.id_a = re.r),
+        reasons AS (
+          SELECT doc_id,
+            CASE WHEN lang <> 'en' THEN 'lang'
+                 WHEN n_tok < 10 THEN 'tokens'
+                 ELSE 'quality' END AS reason
+          FROM q
+          WHERE NOT (lang = 'en' AND n_tok >= 10
+                     AND quality >= 0.3)
+          UNION ALL
+          SELECT doc_id, 'exact_dup' FROM fpd
+          WHERE doc_id NOT IN (SELECT doc_id FROM e)
+          UNION ALL
+          SELECT id AS doc_id, 'fuzzy_dup' FROM r
+          GROUP BY id HAVING min(r) < id),
+        counts AS (
+          SELECT reason, count(*) AS n_dropped FROM reasons GROUP BY reason),
+        sam AS (
+          SELECT reason, doc_id, row_number() OVER (PARTITION BY reason
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM reasons)
+        SELECT s.reason, c.n_dropped, s.doc_id
+        FROM sam s JOIN counts c ON c.reason = s.reason
+        WHERE s.rk <= 10 ORDER BY s.reason, s.doc_id"""
   }
 
   private lazy val qualityOracle: String =

@@ -257,6 +257,46 @@ object Curate {
     }
   }
 
+  /** REJECTION AUDIT — the "what did we throw away" review tool: one
+    * row per sampled dropped document, `(reason, n_dropped, id)`,
+    * where `reason` is the funnel stage that killed it (lang /
+    * tokens / quality / repetition / exact_dup / fuzzy_dup /
+    * contaminated — a doc failing several filters reads as the FIRST
+    * failing stage in funnel order), `n_dropped` the stage's total
+    * kill count, and the ids a [[Sampling.consistentSamplePerGroup]]
+    * k-sample — the SAME docs surface on every rerun, so a reviewer
+    * can diff audits across config changes. Output is ≤ 7·k rows
+    * regardless of corpus size; the funnel builds once, the audit
+    * adds only id-frame unions and a bounded per-reason top-k. A
+    * spot-check of this sample is the cheapest defense against a
+    * threshold that silently eats a language or a source. */
+  def rejectionAudit(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config(),
+      eval: Option[(DataFrame, String, String)] = None,
+      k: Int = 10): DataFrame = {
+    val f = buildFunnel(docs, idCol, textCol, cfg, eval)
+    val filterReason = f.scored.where(!col("__pass"))
+      .select(col(idCol),
+        when(!col("__lang").isin(cfg.langs: _*), lit("lang"))
+          .when(col("__stats").getField("n_tokens") < cfg.minTokens,
+            lit("tokens"))
+          .when(col("__quality") < cfg.minQuality, lit("quality"))
+          .otherwise(lit("repetition")).as("reason"))
+    val exactDrop = f.filtered.select(col(idCol))
+      .join(f.exact.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("reason", lit("exact_dup"))
+    val fuzzyDrop = f.fuzzyDrop.withColumn("reason", lit("fuzzy_dup"))
+    val contam = f.contamDrop.map(
+      _.withColumn("reason", lit("contaminated")))
+    val dropped = (Seq(filterReason, exactDrop, fuzzyDrop) ++ contam)
+      .map(_.select(col(idCol), col("reason"))).reduce(_.unionByName(_))
+    val counts = dropped.groupBy("reason")
+      .agg(count(lit(1)).as("n_dropped"))
+    Sampling.consistentSamplePerGroup(dropped, "reason", idCol, k)
+      .join(counts, Seq("reason"))
+      .select(col("reason"), col("n_dropped"), col(idCol))
+  }
+
   /** One INCREMENTAL curation intake step — the funnel's stage order
     * replayed against BOTH growing index tiers, so a curation pipeline
     * can ingest batch after batch without ever rescanning the corpus:

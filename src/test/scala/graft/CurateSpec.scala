@@ -143,6 +143,37 @@ class CurateSpec extends SparkSpec {
       once.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("rejectionAudit: reasons partition the drops; sample is bounded, stable, and disjoint from survivors") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en"), maxRepetition = 1.0,
+      jaccardThreshold = 0.5)
+    val audit = Curate.rejectionAudit(docs, "doc_id", "text", cfg, k = 5)
+      .cache()
+    // every reason's total is positive and the sample is <= k rows
+    val perReason = audit.groupBy("reason")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_sampled"),
+        org.apache.spark.sql.functions.first("n_dropped").as("n_dropped"))
+      .as[(String, Long, Long)].collect()
+      .map { case (r, s, d) => r -> (s, d) }.toMap
+    assert(perReason.nonEmpty)
+    perReason.foreach { case (r, (s, d)) =>
+      assert(s <= 5 && d >= s, s"reason $r: sampled $s of $d") }
+    // drop totals + survivors == input (reasons partition the drops)
+    val kept = Curate.curate(docs, "doc_id", "text", cfg)
+    assert(perReason.values.map(_._2).sum + kept.count() == docs.count(),
+      "per-reason totals plus survivors must partition the corpus")
+    // no sampled doc survived curation
+    assert(audit.join(kept, Seq("doc_id"), "left_semi").count() == 0)
+    // reruns surface the SAME sample (consistent k-sample contract)
+    val again = Curate.rejectionAudit(docs, "doc_id", "text", cfg, k = 5)
+    assert(audit.exceptAll(again).count() == 0 &&
+      again.exceptAll(audit).count() == 0)
+    audit.unpersist()
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
