@@ -55,34 +55,46 @@ object Compaction {
   def compactTable(spark: SparkSession, dir: String,
       partitionCol: String): (Int, Int) = {
     val before = partFileCounts(spark, dir).values.sum
+    replaceTable(spark, dir) { tmp =>
+      spark.read.parquet(dir)
+        .repartition(col(partitionCol))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(tmp)
+    }
+    (before, partFileCounts(spark, dir).values.sum)
+  }
+
+  /** Replace a parquet table's content with whatever `write` produces
+    * at the sibling `.compact.tmp` path, via the destroy-LAST swap
+    * (ADVICE r7): park the live table aside, promote the new copy,
+    * and only then delete the parked original — a crash at ANY point
+    * leaves a complete copy under a deterministic name (live, `.tmp`,
+    * or `.old`), never a window with no table. The recovery rule and
+    * quiesce contract are the object-level scaladoc above. Shared by
+    * [[compactTable]] and the snapshot-sync accepted-table rewrite
+    * ([[graft.pipeline.RunSync]]). */
+  def replaceTable(spark: SparkSession, dir: String)
+      (write: String => Unit): Unit = {
     val tmp = dir + ".compact.tmp"
-    spark.read.parquet(dir)
-      .repartition(col(partitionCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy(partitionCol).parquet(tmp)
+    write(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val oldPath = new org.apache.hadoop.fs.Path(dir + ".compact.old")
     val fs = dirPath.getFileSystem(conf)
-    // destroy-LAST (ADVICE r7): park the live table aside, promote the
-    // compacted copy, and only then delete the parked original — a
-    // crash anywhere leaves a recoverable full copy at a deterministic
-    // name instead of stranding the data at the .tmp sibling
     if (fs.exists(oldPath) && !fs.delete(oldPath, true))
       throw new java.io.IOException(
-        s"compactTable: could not clear stale $oldPath")
+        s"replaceTable: could not clear stale $oldPath")
     if (!fs.rename(dirPath, oldPath))
       throw new java.io.IOException(
-        s"compactTable: could not park $dir aside — table untouched, " +
-          s"compacted copy left at $tmp")
+        s"replaceTable: could not park $dir aside — table untouched, " +
+          s"new copy left at $tmp")
     if (!fs.rename(tmpPath, dirPath)) {
       fs.rename(oldPath, dirPath) // roll back; original content intact
       throw new java.io.IOException(
-        s"compactTable: could not promote $tmp — original restored at $dir")
+        s"replaceTable: could not promote $tmp — original restored at $dir")
     }
     fs.delete(oldPath, true) // best-effort reclaim; content already live
-    (before, partFileCounts(spark, dir).values.sum)
   }
 
   /** Compact a [[Dedup.buildFuzzyIndex]] layout: both the `sets/` and

@@ -66,12 +66,22 @@ object Curate {
   /** Stages 1+2 as one map-only projection — shared by the batch
     * funnel and [[intakeStep]] so the incremental path scores with
     * EXACTLY the funnel's expressions. */
+  /** The funnel's stage-1 text projection (clean + optional PII
+    * scrub) as an expression — public so MAINTENANCE paths can
+    * reproduce the exact text the intake path indexed: the snapshot
+    * sync ([[graft.pipeline.RunSync]]) must digest a doomed doc's OLD
+    * text with precisely this expression or its exact-tier delete
+    * misses the stored digest. */
+  def cleanedText(textCol: Column, cfg: Config): Column = {
+    val clean0 = TextAnalysis.cleanText(textCol)
+    if (cfg.scrubPii) TextAnalysis.redactPii(clean0) else clean0
+  }
+
   private def scoredOf(docs: DataFrame, textCol: String,
       cfg: Config): DataFrame = {
     // 1. clean (map-only; PII scrub folds into the same projection)
-    val clean0 = TextAnalysis.cleanText(col(textCol))
     val cleaned = docs.withColumn("__clean",
-      if (cfg.scrubPii) TextAnalysis.redactPii(clean0) else clean0)
+      cleanedText(col(textCol), cfg))
     // 2. map-only filters from the ONE-PASS stats struct (not the
     // token-array HOF forms: pushdown inlines these aliases into the
     // filter predicate, and only lambda-free subtrees collapse back to

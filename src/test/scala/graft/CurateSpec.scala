@@ -174,6 +174,62 @@ class CurateSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("RunSync: snapshot churn applies forward — takedown frees content, changed docs re-enter") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_sync_spec").toString
+    // snapshot A: ids ≡6 (mod 10) not yet delivered
+    val snapA = docs.where(col("doc_id") % 10 =!= 6)
+    graft.pipeline.RunIntake.run(spark, snapA, state, cfg)
+    val acceptedA = spark.read.parquet(s"$state/accepted").cache()
+    // pick the churn from docs that actually got ACCEPTED, so the
+    // takedown paths are exercised (a filtered-out doc's removal
+    // would be vacuous): the first accepted doc leaves, the second is
+    // re-crawled with a new tail; ids ≡6 arrive
+    val Seq(removedDonor, changedDonor) = acceptedA.orderBy("doc_id")
+      .limit(2).select("doc_id").as[Long].collect().toSeq
+    val marker = " zzqx zzqx zzqx zzqx zzqx"
+    val snapB = docs.where(col("doc_id") =!= removedDonor)
+      .withColumn("text", org.apache.spark.sql.functions.when(
+        col("doc_id") === changedDonor, concat(col("text"), lit(marker)))
+        .otherwise(col("text")))
+    val rep = graft.pipeline.RunSync.run(spark, snapA, snapB, state, cfg)
+      .toMap
+    assert(rep("removed") == 1 && rep("changed") == 1)
+    assert(rep("added") == docs.where(col("doc_id") % 10 === 6).count())
+    assert(rep("deleted_exact") >= 1L,
+      "the removed/changed docs were indexed — the exact tier must shed rows")
+    val acceptedB = spark.read.parquet(s"$state/accepted").cache()
+    // removed + changed-old rows are gone from accepted/
+    assert(acceptedB.where(col("doc_id") === removedDonor).count() == 0,
+      "removed docs must leave accepted/")
+    assert(acceptedB.where(col("doc_id") === changedDonor &&
+      !col("text").contains("zzqx")).count() == 0,
+      "a changed doc's OLD row must leave accepted/")
+    // the journey-level x53 contract: content of a REMOVED accepted
+    // doc is re-admitted under a fresh id, a SURVIVOR's copy is not
+    val survivorDonor = acceptedB
+      .where(col("doc_id") =!= removedDonor && col("doc_id") =!= changedDonor)
+      .orderBy("doc_id").limit(1).select("doc_id").as[Long].head()
+    val followUp = docs
+      .where(col("doc_id").isin(removedDonor, survivorDonor))
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val totalBefore = acceptedB.count()
+    val rep2 = graft.pipeline.RunIntake.run(spark, followUp, state, cfg)
+      .toMap
+    val acceptedC = spark.read.parquet(s"$state/accepted")
+    assert(acceptedC.where(col("doc_id") === removedDonor + 100000L)
+      .count() == 1, "a removed doc's content must be admissible again")
+    assert(acceptedC.where(col("doc_id") === survivorDonor + 100000L)
+      .count() == 0, "a surviving doc's copy must stay blocked")
+    assert(rep2("accepted_total") == totalBefore + 1)
+    acceptedA.unpersist(); acceptedB.unpersist()
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))

@@ -165,6 +165,47 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("x56: manifest is window -> bounded explode -> one hash agg; no join") {
+    val plan = finalPlan(q("x56_packing_manifest"))
+    val s = plan.toString()
+    assert(!s.contains("Join"), s"manifest must not join:\n$s")
+    // exactly the packing running-sum window; the span attribution is
+    // a generate + hash aggregate, never a second window
+    assert(s.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      s"manifest must not add windows beyond the packing sum:\n$s")
+    assert(s.contains("HashAggregate"),
+      s"span overlap must fold in a hash aggregate:\n$s")
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 3,
+      s"manifest: pack shuffle + agg shuffle + final sort only:\n$s")
+  }
+
+  test("x57: snapshot diff is ONE equi-join on the id; no scale-killers") {
+    val plan = finalPlan(q("x57_snapshot_diff"))
+    val s = plan.toString()
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"diff must never cross-join:\n$s")
+    val joins = s.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"diff must be exactly one id join, got $joins:\n$s")
+    assert(!s.contains("Aggregate"), s"diff must not aggregate:\n$s")
+  }
+
+  test("x58: rejection audit never cross-joins and ranks only the bounded drop union") {
+    val plan = finalPlan(q("x58_rejection_audit"))
+    val s = plan.toString()
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"audit must never cross-join:\n$s")
+    // the consistent sample's window runs over the dropped-id union
+    // (ids + reason strings), never over a text-carrying frame
+    val windowLines = s.linesIterator.filter(_.trim.startsWith("Window")).toSeq
+    assert(windowLines.forall(!_.contains("__clean")),
+      s"sample window must rank id frames, not text:\n$windowLines")
+  }
+
   test("x45: threshold side reads only the value column and broadcasts one row") {
     // the whole point of quantileBuckets is NO corpus sort: the
     // threshold aggregate must scan a pruned single-column schema,
