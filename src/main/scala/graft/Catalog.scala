@@ -2113,6 +2113,76 @@ object Catalog {
         .orderBy("reason", "doc_id"),
       Some(rejectionAuditOracle)),
 
+    QueryDef("x59_cross_source_dups",
+      // provenance view of the x03 pair relation: near-dup pair counts
+      // per unordered (source, source) cell — the mirrored-crawl /
+      // licensing-exposure diagnostic. The oracle extends the x03
+      // replay with the two label joins and the least/greatest fold
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.crossSourceDupMatrix(
+          Dedup.minHashDupPairs(docs, "doc_id", "text",
+            shingleN = 3, k = 64, bands = 16, threshold = 0.5),
+          docs, "doc_id", "source")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+              prs AS (
+                SELECT c.id_a, c.id_b FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                  >= 0.5),
+              lab AS (
+                SELECT least(da.source, db.source) AS src_a,
+                       greatest(da.source, db.source) AS src_b
+                FROM prs p
+                JOIN documents da ON da.doc_id = p.id_a
+                JOIN documents db ON db.doc_id = p.id_b)
+              SELECT src_a, src_b, count(*) AS n_pairs
+              FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""")),
+
     QueryDef("x16_group_centroids",
       (s, d) => {
         val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)

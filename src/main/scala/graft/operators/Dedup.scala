@@ -1102,6 +1102,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — the provenance view of any
+    * duplicate-pair relation: how many near-dup pairs connect each
+    * (source, source) combination. The matrix is the diagnostic that
+    * catches a mirrored crawl (two sources feeding each other's
+    * content), a source that is mostly internal boilerplate (heavy
+    * diagonal), or a licensing exposure (pairs bridging a restricted
+    * source into an open one) — the first question a corpus owner
+    * asks once a dedup tier reports pair counts.
+    *
+    * Tier-agnostic: `pairs` is any `(id_a, id_b)` relation
+    * ([[minHashDupPairs]], [[simHashDupPairs]], [[embeddingDupPairs]],
+    * [[ngramJaccardPairs]]). Source pairs are emitted UNORDERED
+    * (lexicographic least/greatest), so A→B and B→A collapse into one
+    * cell. Scale shape: two equi-joins of the bounded pair relation
+    * against an (id, source) projection — the label side is
+    * corpus-sized but two columns wide; the aggregate output is
+    * ≤ |sources|² rows. */
+  def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    val lab = docs.select(col(idCol), col(sourceCol))
+    pairs.select("id_a", "id_b")
+      .join(lab.select(col(idCol).as("id_a"), col(sourceCol).as("__sa")),
+        Seq("id_a"))
+      .join(lab.select(col(idCol).as("id_b"), col(sourceCol).as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   // --------------------------------------------- pair -> cluster -> survivor
 
   /** Connected components over duplicate pairs by iterative min-label

@@ -602,6 +602,18 @@ class OperatorsSpec extends SparkSpec {
     assert(lo.exceptAll(other).count() > 0)
   }
 
+  test("crossSourceDupMatrix: unordered source cells, tier-agnostic pair input") {
+    val docs = Seq((1L, "web"), (2L, "books"), (3L, "web"), (4L, "web"))
+      .toDF("id", "src")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val m = Dedup.crossSourceDupMatrix(pairs, docs, "id", "src")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect().toSeq
+    // (1,2) and (2,3) both fold into the unordered (books, web) cell
+    assert(m == Seq(("books", "web", 2L), ("web", "web", 2L)), m.toString)
+  }
+
   // ---------------------------------------------------- snapshot diff
   test("Snapshot.diff reports exactly the churn: added, removed, changed") {
     val oldSnap = Seq((1L, "dA"), (2L, "dB"), (3L, "dC"))
