@@ -2183,6 +2183,112 @@ object Catalog {
               SELECT src_a, src_b, count(*) AS n_pairs
               FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b""")),
 
+    QueryDef("x60_semantic_grow_intake",
+      // the SEMANTIC tier's growing intake (x46/x50's embedding
+      // sibling, completing the three dedup tiers): an IVF index is
+      // built over the first 250 vectors with its frozen centroid
+      // model persisted IN the layout, then two batches each run one
+      // intakeStepAgainstIndexInt — within-batch SemDeDup (min-id
+      // cluster survivor), cell-pruned corpus probe, APPEND of the
+      // accepted vectors — so a batch-2 vector semantically duplicating
+      // an ACCEPTED batch-1 vector is dropped even though neither was
+      // in the build corpus. threshold 0.3: the synthetic embeddings
+      // have same-cell cosines up to ~0.52, so every drop rule
+      // (corpus, within-batch, grown-index) actually fires at all SFs
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_sem_idx_" +
+          Integer.toHexString(d.hashCode)
+        val cents = IvfAnn.seedCentroidsInt(emb.where(col("vec_id") < 250),
+          "vec_id", "embedding", nlist = 16)
+        IvfAnn.buildIndexInt(emb.where(col("vec_id") < 250),
+          "vec_id", "embedding", cents, path)
+        val s1 = IvfAnn.intakeStepAgainstIndexInt(s, path,
+          emb.where(col("vec_id") >= 250 && col("vec_id") < 400),
+          "vec_id", "embedding", threshold = 0.3)
+        val s2 = IvfAnn.intakeStepAgainstIndexInt(s, path,
+          emb.where(col("vec_id") >= 400),
+          "vec_id", "embedding", threshold = 0.3)
+        s1.select("vec_id", "label")
+          .unionByName(s2.select("vec_id", "label"))
+          .orderBy("vec_id")
+      },
+      // the oracle replays the x34 SemDeDup pipeline for the DUP-PAIR
+      // relation (seed centroids from the BUILD corpus only, nearest-
+      // cell assignment of every vector, same-cell exact-cosine pairs),
+      // then the x46 sequential first-wins algebra on top: batch-1
+      // keeps min-id component survivors with no corpus dup; batch-2
+      // additionally drops dups of batch-1's ACCEPTED vectors
+      Some(s"""WITH RECURSIVE q AS (
+                SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, d,
+                  CAST(floor(CAST(sum(qv[CAST(d AS INT)]) AS DOUBLE)
+                             / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d) WHERE vec_id < 250
+                GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[CAST(ct.d AS INT)] - ct.c)
+                         * (q.qv[CAST(ct.d AS INT)] - ct.c)) AS BIGINT) AS d2
+                FROM q, cent ct
+                GROUP BY q.vec_id, ct.cell),
+              assign AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist) t WHERE rn = 1),
+              pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+                WHERE ${cosineSql("ea.embedding", "eb.embedding")} >= 0.3),
+              e1 AS (
+                SELECT id_a, id_b FROM pairs
+                WHERE id_a >= 250 AND id_a < 400 AND id_b >= 250 AND id_b < 400
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+                WHERE id_a >= 250 AND id_a < 400 AND id_b >= 250 AND id_b < 400),
+              r1 AS (
+                SELECT id_a AS id, id_a AS r FROM e1
+                UNION
+                SELECT re.id, e.id_b AS r FROM r1 re JOIN e1 e ON e.id_a = re.r),
+              a1 AS (
+                SELECT vec_id FROM embeddings
+                WHERE vec_id >= 250 AND vec_id < 400
+                  AND vec_id NOT IN
+                    (SELECT id FROM r1 GROUP BY id HAVING min(r) < id)
+                  AND vec_id NOT IN
+                    (SELECT id_b FROM pairs WHERE id_a < 250)),
+              e2 AS (
+                SELECT id_a, id_b FROM pairs
+                WHERE id_a >= 400 AND id_b >= 400
+                UNION ALL
+                SELECT id_b, id_a FROM pairs
+                WHERE id_a >= 400 AND id_b >= 400),
+              r2 AS (
+                SELECT id_a AS id, id_a AS r FROM e2
+                UNION
+                SELECT re.id, e.id_b AS r FROM r2 re JOIN e2 e ON e.id_a = re.r),
+              a2 AS (
+                SELECT vec_id FROM embeddings
+                WHERE vec_id >= 400
+                  AND vec_id NOT IN
+                    (SELECT id FROM r2 GROUP BY id HAVING min(r) < id)
+                  AND vec_id NOT IN
+                    (SELECT id_b FROM pairs WHERE id_a < 250)
+                  AND vec_id NOT IN
+                    (SELECT p.id_b FROM pairs p
+                     JOIN a1 ON p.id_a = a1.vec_id))
+              SELECT vec_id, label FROM embeddings
+              WHERE vec_id IN (SELECT vec_id FROM a1
+                               UNION ALL SELECT vec_id FROM a2)
+              ORDER BY vec_id""")),
+
     QueryDef("x16_group_centroids",
       (s, d) => {
         val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)

@@ -81,7 +81,7 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
 
-  private def trackCheckpoint(df: DataFrame): DataFrame = {
+  private[operators] def trackCheckpoint(df: DataFrame): DataFrame = {
     ckptRdd(df).foreach(register)
     df
   }

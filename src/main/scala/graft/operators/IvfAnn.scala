@@ -165,12 +165,46 @@ object IvfAnn {
     * per query batch ([[topKInt]] assigns at query time; use it when
     * the corpus is not worth indexing). */
   def buildIndexInt(corpus: DataFrame, corpusId: String, corpusVec: String,
-      cents: Array[IntCentroid], path: String): Unit =
+      cents: Array[IntCentroid], path: String): Unit = {
     Rebalance(corpus.select(col(corpusId), col(corpusVec)))
       .withColumn("__cell", cellIdInt(col(corpusVec), cents))
       .withColumn("__cn", Similarity.norm(col(corpusVec)))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__cell").parquet(path)
+    writeCentroids(corpus.sparkSession, cents, path)
+  }
+
+  /** The frozen centroid model, persisted INSIDE the index layout at
+    * `_centroids/` (the underscore prefix hides it from the data
+    * read, like `_SUCCESS`) — written AFTER the data overwrite so a
+    * rebuild replaces both atomically-enough for the quiesce rule.
+    * Self-describing layout = probe/append callers cannot pair the
+    * index with the wrong model, the same mismatch-impossible
+    * property the fuzzy index gets from `meta/`. */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[IntCentroid], path: String): Unit = {
+    import spark.implicits._
+    cents.toSeq.map(c => (c.cell, c.c.toSeq)).toDF("cell", "c")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
+    centroidCache.remove(path)
+    ()
+  }
+
+  /** Per-path cache of the persisted centroid model (build-time-
+    * immutable, same single-process caveat as Dedup's meta caches). */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[IntCentroid]]()
+
+  /** Read the frozen centroid model back from a [[buildIndexInt]]
+    * layout (cached per path — nlist × dim longs, model-sized). */
+  def loadCentroidsInt(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[IntCentroid] =
+    centroidCache.computeIfAbsent(path, _ =>
+      spark.read.parquet(s"$path/_centroids").collect()
+        .map(r => IntCentroid(r.getAs[Int]("cell"), r.getSeq[Long](1).toArray))
+        .sortBy(_.cell))
 
   /** APPEND a batch of vectors into a persisted [[buildIndexInt]]
     * index — the incremental-ingest twin of
@@ -267,5 +301,99 @@ object IvfAnn {
       .withColumn("cosine", Similarity.cosineWithNorms(
         col(queryVec), col(corpusVec), col("__qn"), col("__cn")))
     Similarity.rankTopK(joined, queryId, corpusId, k)
+  }
+
+  // ------------------------------------------- semantic dedup intake tier
+
+  /** Probe a [[buildIndexInt]] index for SEMANTIC DUPLICATES of a
+    * batch — the SemDeDup counterpart of
+    * [[graft.operators.Dedup.probeFuzzyIndex]]: each batch vector is
+    * assigned its single nearest cell under the layout's own frozen
+    * centroids (`_centroids/` — a model mismatch is impossible by
+    * construction) and compared, full-precision cosine, against ONLY
+    * the indexed vectors of that cell. Blocking recall contract is
+    * SemDeDup's ([[Dedup.semanticDupPairs]]): a near-dup pair split
+    * across a cell boundary is not surfaced — the price of making the
+    * quadratic term per-cell.
+    *
+    * I/O shape: with `staticPrune` (default) the batch's distinct
+    * cell set — at most nlist ints, a model-sized driver artifact —
+    * is pushed as a static partition filter, so a batch reads only
+    * the cell partitions it lands in, never the corpus. Norms come
+    * precomputed from the build pass (`__cn`).
+    *
+    * Output: (in_id, corpus_id, cosine) with cosine >= threshold,
+    * including self-id rows only if the index already holds the
+    * batch's own ids (callers filter — the crash-replay rule, see
+    * [[intakeStepAgainstIndexInt]]). */
+  def probeIndexSemantic(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      corpusId: String, corpusVec: String, threshold: Double,
+      staticPrune: Boolean = true): DataFrame = {
+    val cents = loadCentroidsInt(spark, path)
+    val q = batch.select(col(idCol).as("in_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", cellIdInt(col("__qv"), cents))
+      .withColumn("__qn", Similarity.norm(col("__qv")))
+    val idx0 = spark.read.parquet(path)
+    val idx =
+      if (!staticPrune) idx0
+      else {
+        val cells = q.select("__cell").distinct().collect().map(_.getInt(0))
+        if (cells.isEmpty) idx0.limit(0)
+        else idx0.where(col("__cell").isin(cells.toIndexedSeq: _*))
+      }
+    idx.join(broadcast(q), Seq("__cell"))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("__qv"), col(corpusVec), col("__qn"), col("__cn")))
+      .where(col("cosine") >= threshold)
+      .select(col("in_id"), col(corpusId).as("corpus_id"), col("cosine"))
+  }
+
+  /** One incremental-intake step against a persisted semantic index —
+    * the THIRD dedup tier's growing form, completing the set
+    * ([[Dedup.intakeStepAgainstExactIndex]] digests,
+    * [[Dedup.intakeStepAgainstFuzzyIndex]] MinHash, this one
+    * embeddings). FIRST-WINS over arrival order:
+    * (1) within-batch SemDeDup ([[Dedup.semanticDupPairs]] under the
+    * index's own frozen centroids, lowest id per dup cluster
+    * survives); (2) the survivors probe the index
+    * ([[probeIndexSemantic]]) and vectors with a semantic dup already
+    * IN the corpus are dropped; (3) the accepted remainder is
+    * APPENDED ([[appendToIndexInt]]) so the NEXT batch dedups against
+    * it. Batch columns must match the index build's
+    * (corpusId/corpusVec = idCol/vecCol).
+    *
+    * Crash recovery = re-run the step (the framework-wide rule): the
+    * probe ignores index rows carrying a batch row's OWN id — with
+    * corpus-unique ids those can only be this batch's earlier crashed
+    * append — so a replay converges on the never-crashed decisions;
+    * duplicate index rows from the replayed append are harmless to
+    * dup DECISIONS (the drop set is a distinct anti-join), redundant
+    * only as verification payload.
+    *
+    * With id order == arrival order and transitively-closed dup
+    * groups, a sequence of these steps lands exactly where one-shot
+    * [[Dedup.semanticDupPairs]] + [[Dedup.clusterSurvivors]] over the
+    * concatenated corpus lands; with CHAINED groups (A~B, B~C, but
+    * A≁C — common for cosine thresholds, unlike near-identical text
+    * dups) sequential first-wins deliberately keeps MORE: C is
+    * admitted because its only in-corpus neighbor B was never
+    * accepted. The x60 oracle replays the sequential semantics
+    * exactly, so that difference is pinned, not papered over. */
+  def intakeStepAgainstIndexInt(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxCellSize: Int = 100000): DataFrame = {
+    val cents = loadCentroidsInt(spark, path)
+    val inPairs = Dedup.semanticDupPairs(batch, idCol, vecCol, cents,
+      threshold, maxCellSize)
+    val batchSurvivors = Dedup.clusterSurvivors(batch, idCol, inPairs)
+    val dropIds = probeIndexSemantic(spark, path, batchSurvivors,
+        idCol, vecCol, idCol, vecCol, threshold)
+      .where(col("corpus_id") =!= col("in_id"))
+      .select(col("in_id").as(idCol)).distinct()
+    val accepted = Dedup.trackCheckpoint(
+      batchSurvivors.join(dropIds, Seq(idCol), "left_anti").localCheckpoint())
+    appendToIndexInt(accepted, idCol, vecCol, cents, path)
+    accepted
   }
 }

@@ -559,6 +559,82 @@ class FunctionsSpec extends SparkSpec {
     assert(viaFresh.count() > 0)
   }
 
+  test("semantic intake: grown index blocks later dups; replay idempotent; sequential == one-shot on cliques") {
+    import graft.operators.Dedup
+    // pseudo-random unit-ish vectors: unrelated ids have cosine far
+    // below the 0.999 threshold, so the ONLY pairs are planted copies
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextGaussian().toFloat)
+    }
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // batch 1: 100 copies corpus 5 (corpus dup), 110/111 same novel
+    // vector (within-batch dup, min id 110 wins), 112 novel
+    val b1 = Seq((100L, vec(5)), (110L, vec(900)), (111L, vec(900)),
+      (112L, vec(901))).toDF("vec_id", "embedding")
+    // batch 2: 200 copies ACCEPTED 110 (grown-index dup), 201 copies
+    // corpus 7, 202 novel
+    val b2 = Seq((200L, vec(900)), (201L, vec(7)), (202L, vec(902)))
+      .toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(corpus, "vec_id", "embedding", nlist = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sem_intake").toString
+    IvfAnn.buildIndexInt(corpus, "vec_id", "embedding", cents, s"$tmp/idx")
+    // the layout is self-describing: the persisted model round-trips
+    val loaded = IvfAnn.loadCentroidsInt(spark, s"$tmp/idx")
+    assert(loaded.map(_.cell).toSeq == cents.map(_.cell).toSeq &&
+      loaded.zip(cents).forall { case (a, b) => a.c.sameElements(b.c) },
+      "loadCentroidsInt must round-trip seedCentroidsInt's model")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val a1 = IvfAnn.intakeStepAgainstIndexInt(spark, s"$tmp/idx", b1,
+      "vec_id", "embedding", threshold = 0.999)
+    assert(ids(a1) == Set(110L, 112L),
+      s"batch-1: corpus dup 100 and within-batch loser 111 must drop: ${ids(a1)}")
+    val a2 = IvfAnn.intakeStepAgainstIndexInt(spark, s"$tmp/idx", b2,
+      "vec_id", "embedding", threshold = 0.999)
+    assert(ids(a2) == Set(202L),
+      s"batch-2: grown-index dup 200 and corpus dup 201 must drop: ${ids(a2)}")
+    // crash recovery = re-run the same step: batch-2's rows are already
+    // appended, but the probe's same-id filter keeps the replay from
+    // deduping the batch against its own crashed append — decisions converge
+    val a2replay = IvfAnn.intakeStepAgainstIndexInt(spark, s"$tmp/idx", b2,
+      "vec_id", "embedding", threshold = 0.999)
+    assert(ids(a2replay) == Set(202L),
+      s"replaying an intake step must converge on the same decisions: ${ids(a2replay)}")
+    // with transitively-closed dup groups (exact copies = cliques),
+    // sequential intake lands exactly where one-shot SemDeDup lands
+    val concat = corpus.unionByName(b1).unionByName(b2)
+    val oneShot = ids(Dedup.clusterSurvivors(concat, "vec_id",
+      Dedup.semanticDupPairs(concat, "vec_id", "embedding", cents, 0.999)))
+    assert((0L until 40L).toSet ++ ids(a1) ++ ids(a2) == oneShot,
+      "sequential universe must equal the one-shot survivor set")
+    Dedup.releaseCheckpoints()
+  }
+
+  test("probeIndexSemantic: the batch's cell set prunes the index scan statically") {
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(corpus, "vec_id", "embedding", nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sem_probe").toString
+    IvfAnn.buildIndexInt(corpus, "vec_id", "embedding", cents, s"$tmp/idx")
+    val batch = corpus.where(col("vec_id") < 2)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val probe = IvfAnn.probeIndexSemantic(spark, s"$tmp/idx", batch,
+      "vec_id", "embedding", "vec_id", "embedding", threshold = 0.9)
+    assert(probe.count() >= 2, "each copy must find its original")
+    val scan = probe.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    val cellFilters = scan.partitionFilters.filter(
+      _.references.exists(_.name == "__cell"))
+    assert(cellFilters.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
+      case _ => true
+    }, s"no pruning __cell partition filter in: ${scan.partitionFilters}")
+  }
+
   test("appendToFuzzyIndex saturation: no bucket ever exceeds maxBucketSize; sets rows always land") {
     import graft.operators.Dedup
     // identical text -> identical signature -> every doc lands in the
