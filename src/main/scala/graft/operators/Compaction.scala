@@ -106,9 +106,29 @@ object Compaction {
     "bands" -> compactTable(spark, s"$path/bands", "__shard"))
 
   /** Compact a [[IvfAnn.buildIndexInt]] layout (one table, cell-
-    * partitioned). */
-  def compactIvfIndex(spark: SparkSession, path: String): (Int, Int) =
-    compactTable(spark, path, "__cell")
+    * partitioned). The persisted centroid model (`_centroids/`, an
+    * underscore-hidden subdirectory the data read never sees) would be
+    * destroyed with the parked `.compact.old` copy by a plain
+    * [[compactTable]] swap — so it is re-written INTO the compacted
+    * copy before the swap, keeping the layout self-describing through
+    * the whole destroy-last window. Layouts predating the persisted
+    * model (no `_centroids/`) compact as before. */
+  def compactIvfIndex(spark: SparkSession, path: String): (Int, Int) = {
+    val centPath = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val model =
+      if (fs.exists(centPath)) Some(IvfAnn.loadCentroidsInt(spark, path))
+      else None
+    val before = partFileCounts(spark, path).values.sum
+    replaceTable(spark, path) { tmp =>
+      spark.read.parquet(path)
+        .repartition(col("__cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("__cell").parquet(tmp)
+      model.foreach(IvfAnn.writeCentroids(spark, _, tmp))
+    }
+    (before, partFileCounts(spark, path).values.sum)
+  }
 
   /** Compact a [[Dedup.buildExactIndex]] layout (digests table). */
   def compactExactIndex(spark: SparkSession, path: String): (Int, Int) =

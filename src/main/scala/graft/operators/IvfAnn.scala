@@ -181,7 +181,7 @@ object IvfAnn {
     * Self-describing layout = probe/append callers cannot pair the
     * index with the wrong model, the same mismatch-impossible
     * property the fuzzy index gets from `meta/`. */
-  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def writeCentroids(spark: org.apache.spark.sql.SparkSession,
       cents: Array[IntCentroid], path: String): Unit = {
     import spark.implicits._
     cents.toSeq.map(c => (c.cell, c.c.toSeq)).toDF("cell", "c")
@@ -205,6 +205,14 @@ object IvfAnn {
       spark.read.parquet(s"$path/_centroids").collect()
         .map(r => IntCentroid(r.getAs[Int]("cell"), r.getSeq[Long](1).toArray))
         .sortBy(_.cell))
+
+  /** Drop the in-process cache entry so the next [[loadCentroidsInt]]
+    * re-reads the layout (test/maintenance hook — proves on-disk
+    * state rather than cache state). */
+  private[graft] def invalidateCentroidCache(path: String): Unit = {
+    centroidCache.remove(path)
+    ()
+  }
 
   /** APPEND a batch of vectors into a persisted [[buildIndexInt]]
     * index — the incremental-ingest twin of
@@ -380,6 +388,42 @@ object IvfAnn {
     * admitted because its only in-corpus neighbor B was never
     * accepted. The x60 oracle replays the sequential semantics
     * exactly, so that difference is pinned, not papered over. */
+  /** [[intakeStepAgainstIndexInt]] under the framework's first-batch
+    * BOOTSTRAP contract ([[graft.operators.Curate.intakeStep]]'s rule
+    * applied to the vector tier): if no index exists at `path`, the
+    * FIRST non-empty batch founds it — centroids are seeded from that
+    * whole batch and FROZEN forever after (the [[appendToIndexInt]]
+    * drift contract), the batch SemDeDups within itself under those
+    * centroids, and the survivors become the build corpus. An empty
+    * batch leaves the tier unborn (a 0-row partitioned build would
+    * write an unreadable layout); the next non-empty batch bootstraps.
+    *
+    * Crash replay converges either way: a crash BEFORE `_centroids/`
+    * lands re-enters this bootstrap path (the build is an Overwrite);
+    * a crash after it re-enters the intake path, where the loaded
+    * centroids equal the seeded ones and the probe's same-id filter
+    * keeps the batch from deduping against its own crashed build. */
+  def intakeStepOrBootstrap(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, maxCellSize: Int = 100000)
+      : DataFrame = {
+    val centPath = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(centPath))
+      intakeStepAgainstIndexInt(spark, path, batch, idCol, vecCol,
+        threshold, maxCellSize)
+    else if (batch.isEmpty) batch
+    else {
+      val cents = seedCentroidsInt(batch, idCol, vecCol, nlist)
+      val pairs = Dedup.semanticDupPairs(batch, idCol, vecCol, cents,
+        threshold, maxCellSize)
+      val survivors = Dedup.trackCheckpoint(
+        Dedup.clusterSurvivors(batch, idCol, pairs).localCheckpoint())
+      buildIndexInt(survivors, idCol, vecCol, cents, path)
+      survivors
+    }
+  }
+
   def intakeStepAgainstIndexInt(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxCellSize: Int = 100000): DataFrame = {

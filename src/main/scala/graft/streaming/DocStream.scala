@@ -36,6 +36,15 @@ object DocStream {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** File-source stream over a directory of embedding parquet files
+    * (the `embeddings` table shape, id + vector). */
+  def readVecs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(vecSchema).parquet(dir)
+
   /** Map-only intake stages (stateless, identical in stream and batch):
     * clean, score from the ONE-PASS stats struct (the lambda-free form
     * that survives predicate-pushdown inlining — see
@@ -198,6 +207,40 @@ object DocStream {
         val (_, lease) = graft.operators.Dedup.scoped {
           graft.operators.Dedup.intakeStepAgainstFuzzyIndex(
               spark, indexPath, batch.toDF(), "doc_id", "text", threshold)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$outPath/survivors")
+        }
+        lease.release()
+        ()
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
+
+  /** Streaming SEMANTIC intake over a vector stream — the embedding
+    * tier's growing form, completing the streaming set alongside
+    * [[intakeAndGrowExactIndex]] (digests) and
+    * [[intakeAndGrowFuzzyIndex]] (MinHash signatures): each
+    * micro-batch runs one
+    * [[graft.operators.IvfAnn.intakeStepOrBootstrap]] — the FIRST
+    * non-empty batch FOUNDS the index (centroids seeded from it and
+    * frozen thereafter, the drift contract); every later batch
+    * SemDeDups within itself, probes only the index cells it lands in,
+    * and appends its accepted vectors — and the survivors append to
+    * `outPath/survivors`. First-wins over arrival order; state lives
+    * in the LAKE (the index), not the state store; a replayed batch
+    * converges on the never-crashed decisions
+    * ([[graft.operators.IvfAnn.intakeStepAgainstIndexInt]]'s
+    * same-id-filter rule). */
+  def intakeAndGrowSemanticIndex(spark: SparkSession, vecs: DataFrame,
+      indexPath: String, outPath: String, threshold: Double = 0.9,
+      nlist: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (_, lease) = graft.operators.Dedup.scoped {
+          graft.operators.IvfAnn.intakeStepOrBootstrap(
+              spark, indexPath, batch.toDF(), "vec_id", "embedding",
+              threshold, nlist)
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(s"$outPath/survivors")
         }

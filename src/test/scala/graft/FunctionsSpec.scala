@@ -951,10 +951,24 @@ class FunctionsSpec extends SparkSpec {
         "vec_id", "embedding", "q_id", "q_vec", cents, k = 3, nprobe = 2)
       .collect().map(_.toString).sorted.toSeq
     val searchBefore = search()
+    def semProbe() = IvfAnn.probeIndexSemantic(spark, s"$tmp/ivf", queries,
+        "q_id", "q_vec", "vec_id", "embedding", threshold = 0.9)
+      .collect().map(_.toString).sorted.toSeq
+    val semBefore = semProbe()
     val (ivfB, ivfA) = Compaction.compactIvfIndex(spark, s"$tmp/ivf")
     assert(ivfA < ivfB && Compaction.partFileCounts(spark, s"$tmp/ivf")
       .values.forall(_ == 1))
     assert(search() == searchBefore)
+    // the persisted centroid model must survive the swap ON DISK —
+    // drop the in-process cache so the re-read proves the layout,
+    // not the cache, is still self-describing
+    IvfAnn.invalidateCentroidCache(s"$tmp/ivf")
+    val reloaded = IvfAnn.loadCentroidsInt(spark, s"$tmp/ivf")
+    assert(reloaded.map(_.cell).toSeq == cents.map(_.cell).toSeq &&
+      reloaded.zip(cents).forall { case (a, b) => a.c.sameElements(b.c) },
+      "compaction must carry _centroids/ through the destroy-last swap")
+    assert(semProbe() == semBefore,
+      "semantic probes must be layout-invariant across compaction")
     Dedup.releaseCheckpoints()
   }
 

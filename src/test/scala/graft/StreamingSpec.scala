@@ -293,6 +293,37 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == Seq(10L, 11L, 22L))
   }
 
+  test("intakeAndGrowSemanticIndex: first batch founds the index; later semantic dups drop") {
+    import spark.implicits._
+    // pseudo-random vectors: unrelated seeds sit far below the 0.999
+    // cosine threshold, so the only dup pairs are the planted copies
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextGaussian().toFloat)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("sem-grow-stream").toString
+    // batch 1 BOOTSTRAPS: no index exists — 10/11 are within-batch
+    // copies (min id 10 wins), 12 is novel; centroids freeze here
+    Seq((10L, vec(900)), (11L, vec(900)), (12L, vec(901)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/in")
+    val q = graft.streaming.DocStream.intakeAndGrowSemanticIndex(spark,
+      graft.streaming.DocStream.readVecs(spark, s"$tmp/in"),
+      s"$tmp/idx", s"$tmp/out", threshold = 0.999, nlist = 2)
+    try {
+      q.processAllAvailable()
+      // 20 copies batch-1's ACCEPTED 10 (grown-index drop); 21 is novel
+      Seq((20L, vec(900)), (21L, vec(902)))
+        .toDF("vec_id", "embedding").write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.read.parquet(s"$tmp/out/survivors")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(10L, 12L, 21L))
+    // the founded layout is self-describing: the frozen model persists
+    assert(graft.operators.IvfAnn
+      .loadCentroidsInt(spark, s"$tmp/idx").nonEmpty)
+  }
+
   test("incremental curation intake: sequential intakeStep batches equal one-shot Curate.curate") {
     import graft.operators.{Curate, Dedup}
     // the x52 claim, in-engine and with the FULL default-shaped filter
