@@ -2289,6 +2289,131 @@ object Catalog {
                                UNION ALL SELECT vec_id FROM a2)
               ORDER BY vec_id""")),
 
+    QueryDef("x61_ivf_cell_profile",
+      // the observability half of the frozen-centroid drift contract:
+      // per-cell population of the IVF assignment as (count, floored
+      // integer-ppm share). Run over a raw corpus before a build, or
+      // over a grown layout's rows to decide when drift has crossed
+      // the rebuild tolerance — the monitoring the appendToIndexInt
+      // scaladoc promises
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        IvfAnn.cellProfile(emb, "vec_id", "embedding", cents).orderBy("cell")
+      },
+      // the x15 assignment replay (seed centroids, exact integer
+      // nearest-cell argmin, ties to the lower cell), then a plain
+      // group-count with integer-division ppm
+      Some(s"""WITH q AS (
+                SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, d,
+                  CAST(floor(CAST(sum(qv[CAST(d AS INT)]) AS DOUBLE)
+                             / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d)
+                GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[CAST(ct.d AS INT)] - ct.c)
+                         * (q.qv[CAST(ct.d AS INT)] - ct.c)) AS BIGINT) AS d2
+                FROM q, cent ct
+                GROUP BY q.vec_id, ct.cell),
+              assign AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist) t WHERE rn = 1)
+              SELECT cell, count(*) AS n_vectors,
+                (count(*) * 1000000)
+                  // (SELECT count(*) FROM embeddings) AS share_ppm
+              FROM assign GROUP BY cell ORDER BY cell""")),
+
+    QueryDef("x62_ann_recall",
+      // recall@k of the IVF search against the exact brute force —
+      // the drift monitor's decision number: nprobe=2 of 16 cells, so
+      // the audit measures a genuinely lossy configuration (some
+      // queries land below 1.0) instead of a vacuous all-ones table.
+      // Denominator = the exact side's ACTUAL row count (rankTopK's
+      // no-rank contract), floored integer ppm
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val queries = emb.where(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        IvfAnn.recallAtK(emb, queries, "vec_id", "embedding", "q_id", "q_vec",
+          cents, k = 5, nprobe = 2).orderBy("query_id")
+      },
+      // replay of BOTH rankings: the x15 IVF pipeline at nprobe=2 and
+      // the x06 brute-force ranking, identical (cosine DESC, id) tie
+      // rule on each, then per-query intersection counts
+      Some(s"""WITH q AS (
+                SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, d,
+                  CAST(floor(CAST(sum(qv[CAST(d AS INT)]) AS DOUBLE)
+                             / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d)
+                GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[CAST(ct.d AS INT)] - ct.c)
+                         * (q.qv[CAST(ct.d AS INT)] - ct.c)) AS BIGINT) AS d2
+                FROM q, cent ct
+                GROUP BY q.vec_id, ct.cell),
+              assign AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist) t WHERE rn = 1),
+              probe AS (
+                SELECT vec_id AS q_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist WHERE vec_id < 50) t
+                WHERE rn <= 2),
+              isims AS (
+                SELECT p.q_id AS query_id, a.vec_id AS neighbor_id,
+                  ${cosineSql("eq.embedding", "en.embedding")} AS cosine
+                FROM probe p JOIN assign a ON p.cell = a.cell
+                JOIN embeddings eq ON eq.vec_id = p.q_id
+                JOIN embeddings en ON en.vec_id = a.vec_id
+                WHERE a.vec_id <> p.q_id),
+              ivf AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rn
+                  FROM isims) t WHERE rn <= 5),
+              esims AS (
+                SELECT eq.vec_id AS query_id, en.vec_id AS neighbor_id,
+                  ${cosineSql("eq.embedding", "en.embedding")} AS cosine
+                FROM embeddings eq JOIN embeddings en
+                  ON eq.vec_id < 50 AND en.vec_id <> eq.vec_id),
+              ex AS (
+                SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rn
+                  FROM esims) t WHERE rn <= 5),
+              h AS (
+                SELECT i.query_id, count(*) AS hits
+                FROM ivf i JOIN ex e USING (query_id, neighbor_id)
+                GROUP BY i.query_id),
+              nx AS (
+                SELECT query_id, count(*) AS n_exact FROM ex
+                GROUP BY query_id)
+              SELECT qs.query_id, coalesce(h.hits, 0) AS hits,
+                (coalesce(h.hits, 0) * 1000000) // nx.n_exact AS recall_ppm
+              FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+                    WHERE vec_id < 50) qs
+              LEFT JOIN nx USING (query_id) LEFT JOIN h USING (query_id)
+              ORDER BY qs.query_id""")),
+
     QueryDef("x16_group_centroids",
       (s, d) => {
         val emb = embeddings(s, d).withColumn("grp", col("vec_id") % 10)

@@ -311,6 +311,65 @@ object IvfAnn {
     Similarity.rankTopK(joined, queryId, corpusId, k)
   }
 
+  // ------------------------------------------- index quality monitoring
+
+  /** Per-cell population profile of an IVF assignment — the
+    * observability half of the frozen-centroid drift contract
+    * ([[appendToIndexInt]]: "monitor per-cell counts, rebuild when
+    * drift crosses tolerance"). One map-only assign pass + one hash
+    * agg; the share is integer ppm (floored via integer division), so
+    * the audit artifact is hash-exact on any engine at any layout.
+    * Output: (cell, n_vectors, share_ppm); run it over the raw corpus
+    * before a build, or over a persisted layout's own rows to watch a
+    * grown index drift from the build-time balance. */
+  def cellProfile(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[IntCentroid]): DataFrame = {
+    val counts = corpus
+      .select(cellIdInt(col(vecCol), cents).cast("long").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum("n_vectors").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vectors"),
+        expr("(n_vectors * CAST(1000000 AS BIGINT)) DIV __total")
+          .as("share_ppm"))
+  }
+
+  /** Recall@k audit of the IVF search against the exact brute force —
+    * the drift monitor's other half: as a frozen-centroid index grows,
+    * RECALL decays before latency does, and this is the number the
+    * rebuild decision actually needs. One row per query:
+    * (query_id, hits, recall_ppm) with hits = |IVF top-k ∩ exact
+    * top-k| and the denominator the exact side's actual row count
+    * (fewer than k finite-scored candidates → smaller denominator,
+    * the [[Similarity.rankTopK]] no-rank contract; no candidates at
+    * all → null recall, surfaced not defaulted).
+    *
+    * Cost: the exact side is a full corpus × queries pass — this is a
+    * MONITORING operator, run over a bounded query SAMPLE (hundreds,
+    * not the corpus): one corpus scan per audit, and both rankings
+    * shuffle at most k pairs per (query, task) ([[Similarity
+    * .rankTopK]]), never the candidate sets. */
+  def recallAtK(corpus: DataFrame, queries: DataFrame,
+      corpusId: String, corpusVec: String, queryId: String, queryVec: String,
+      cents: Array[IntCentroid], k: Int, nprobe: Int): DataFrame = {
+    val ivf = topKInt(corpus, queries, corpusId, corpusVec,
+        queryId, queryVec, cents, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, corpusId,
+        corpusVec, queryId, queryVec, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("__n_exact"))
+    queries.select(col(queryId).as("query_id")).distinct()
+      .join(nExact, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("(coalesce(hits, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT))" +
+          " DIV __n_exact").as("recall_ppm"))
+  }
+
   // ------------------------------------------- semantic dedup intake tier
 
   /** Probe a [[buildIndexInt]] index for SEMANTIC DUPLICATES of a

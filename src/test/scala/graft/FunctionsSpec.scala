@@ -635,6 +635,35 @@ class FunctionsSpec extends SparkSpec {
     }, s"no pruning __cell partition filter in: ${scan.partitionFilters}")
   }
 
+  test("recallAtK: probing every cell recovers brute force exactly; cellProfile floors shares") {
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(corpus, "vec_id", "embedding", nlist = 4)
+    val queries = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // nprobe == nlist: the IVF candidate set IS the corpus, so the
+    // audit must read exactly 1.0 for every query — the identity that
+    // anchors the whole measurement
+    val full = IvfAnn.recallAtK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", cents, k = 3, nprobe = 4)
+    assert(full.count() == 10 &&
+      full.where(col("recall_ppm") =!= 1000000L).count() == 0,
+      "nprobe == nlist must recover brute force exactly")
+    // a lossy config still surfaces EVERY query (left join from the
+    // query set — zero-hit queries appear as 0, never vanish), bounded
+    val lossy = IvfAnn.recallAtK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", cents, k = 3, nprobe = 1)
+    assert(lossy.count() == 10 &&
+      lossy.where(col("recall_ppm") > 1000000L).count() == 0)
+    val rows = IvfAnn.cellProfile(corpus, "vec_id", "embedding", cents).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 120L,
+      "every vector lands in exactly one cell")
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+      s"floored integer shares must sum to just under 1e6: $shareSum")
+  }
+
   test("appendToFuzzyIndex saturation: no bucket ever exceeds maxBucketSize; sets rows always land") {
     import graft.operators.Dedup
     // identical text -> identical signature -> every doc lands in the
