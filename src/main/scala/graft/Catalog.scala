@@ -940,6 +940,83 @@ object Catalog {
               SELECT id_a, id_b, est_jaccard FROM est
               WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
+    QueryDef("x63_minhash_accuracy",
+      // the fuzzy tier's accuracy monitor (x61/x62's MinHash sibling):
+      // estimated vs exact Jaccard on the SAME candidate pairs, signed
+      // error in floored integer ppm — the number that decides whether
+      // the no-shingle-re-ship estimator (x28) is safe for a given
+      // corpus, measured on its own candidate distribution instead of
+      // the theoretical ±1/sqrt(k) bound
+      (s, d) => Dedup.minHashAccuracyAudit(documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16)
+        .orderBy("id_a", "id_b"),
+      // the x28 replay through candidate generation, then BOTH scores:
+      // agreeing-slot count over the 64 signature mins, and exact
+      // intersection/union over the distinct shingle sets
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+              est AS (
+                SELECT c.id_a, c.id_b,
+                  SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS slots
+                FROM cand c
+                JOIN mh a ON a.doc_id = c.id_a
+                JOIN mh b ON b.doc_id = c.id_b AND b.i = a.i
+                GROUP BY c.id_a, c.id_b),
+              ex AS (
+                SELECT c.id_a, c.id_b,
+                  len(list_intersect(sa.hs, sb.hs)) AS inter,
+                  len(sa.hs) + len(sb.hs)
+                    - len(list_intersect(sa.hs, sb.hs)) AS uni
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.id_a
+                JOIN sh sb ON sb.doc_id = c.id_b)
+              SELECT e.id_a, e.id_b,
+                CAST((e.slots * 1000000) // 64 AS BIGINT) AS est_ppm,
+                CAST((x.inter * 1000000) // x.uni AS BIGINT) AS exact_ppm,
+                CAST((e.slots * 1000000) // 64
+                  - (x.inter * 1000000) // x.uni AS BIGINT) AS err_ppm
+              FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
+              ORDER BY e.id_a, e.id_b""")),
+
     QueryDef("x04_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
           n = 1, threshold = 0.5, blockOn = Seq("lang", "source"))

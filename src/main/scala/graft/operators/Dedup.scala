@@ -901,6 +901,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Accuracy audit of the signature-estimated Jaccard against the
+    * exact shingle-set Jaccard on the SAME LSH candidate pairs — the
+    * fuzzy tier's counterpart of [[IvfAnn.recallAtK]]: choosing
+    * between [[minHashDupPairs]] (exact verify) and
+    * [[minHashDupPairsEstimated]] (signature verify, no shingle
+    * re-ship) should be a measured decision, and this measures it on
+    * the corpus's OWN candidate distribution rather than the
+    * theoretical ±1/sqrt(k) bound ([[Sampling.SketchAccuracy]]).
+    *
+    * One row per unfiltered candidate pair:
+    * (id_a, id_b, est_ppm, exact_ppm, err_ppm) — slot counts and set
+    * sizes are integers, so every value is a floored integer-ppm
+    * division and the audit artifact is hash-exact on any engine.
+    * Cost: one signing scan + the banded candidate join, shingle sets
+    * shipped only for candidate rows (the x03 shape) — the audit is
+    * the exact-verify pass plus one codegen'd slot count. */
+  def minHashAccuracyAudit(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val base = minHashBaseFromArrays(
+      shingleHashArrays(df, idCol, textCol, shingleN), k)
+    val pairs = lshCandidatePairs(base, k, bands, maxBucketSize)
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sig").as("__sa"),
+        col("hs").as("hs_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sig").as("__sb"),
+        col("hs").as("hs_b")), "id_b")
+      .withColumn("__slots",
+        graft.functions.SlotMatches.column(col("__sa"), col("__sb"))
+          .cast("long"))
+      .withColumn("__inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("__union",
+        size(col("hs_a")).cast("long") + size(col("hs_b")).cast("long")
+          - col("__inter"))
+      .select(col("id_a"), col("id_b"),
+        expr(s"(__slots * CAST(1000000 AS BIGINT)) DIV CAST($k AS BIGINT)")
+          .as("est_ppm"),
+        expr("(__inter * CAST(1000000 AS BIGINT)) DIV __union")
+          .as("exact_ppm"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+  }
+
   /** |A∩B| / |A∪B| from a precomputed intersection size — callers
     * compute the intersection ONCE and reuse it (array_intersect is
     * the expensive half of Jaccard; never evaluate it twice). */

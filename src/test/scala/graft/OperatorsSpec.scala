@@ -47,6 +47,28 @@ class OperatorsSpec extends SparkSpec {
     assert(mm.isNullAt(0)) // length mismatch -> null
   }
 
+  test("minHashAccuracyAudit: identical docs audit exactly; err is the signed est-exact gap") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val b = "the quick brown fox jumps over the lazy dog and runs far away home today"
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val rows = Dedup.minHashAccuracyAudit(df, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 16).collect()
+    // identical docs: identical signatures AND identical shingle sets —
+    // the audit must read exactly (1e6, 1e6, 0), anchoring both scales
+    val same = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(same.getAs[Long]("est_ppm") == 1000000L &&
+      same.getAs[Long]("exact_ppm") == 1000000L &&
+      same.getAs[Long]("err_ppm") == 0L)
+    // every row: err is exactly the signed difference, scores in range
+    rows.foreach { r =>
+      val (e, x, d) = (r.getAs[Long]("est_ppm"), r.getAs[Long]("exact_ppm"),
+        r.getAs[Long]("err_ppm"))
+      assert(d == e - x && e >= 0 && e <= 1000000L && x >= 0 && x <= 1000000L)
+    }
+    // the near-pair is audited too (candidates are unfiltered)
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+  }
+
   test("weightedMixture + epochShuffleKey: reproducible mix, independent epochs") {
     val a = (0L until 100L).map((_, "a")).toDF("id", "src").drop("src")
     val b = (100L until 200L).map((_, "b")).toDF("id", "src").drop("src")
