@@ -1017,6 +1017,80 @@ object Catalog {
               FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
               ORDER BY e.id_a, e.id_b""")),
 
+    QueryDef("x64_lsh_banding_recall",
+      // the banding S-curve, measured: per 0.1-wide exact-Jaccard band
+      // on a bounded doc sample, how many true pairs the LSH banding
+      // actually surfaces. x63 audits the SCORING of surfaced pairs;
+      // this audits which pairs surface at all — together they bound
+      // the fuzzy tier's total loss. The sample (doc_id < 300) keeps
+      // the ground-truth quadratic term test-sized; at scale the same
+      // operator runs on a drawn sample of the same order
+      (s, d) => Dedup.lshBandingRecall(
+          documents(s, d).where(col("doc_id") < 300), "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, minJaccardPpm = 50000L)
+        .orderBy("band_ppm"),
+      // the x28 signing/banding replay restricted to the sample, plus
+      // the all-pairs exact-Jaccard ground truth over the same shingle
+      // sets, banded by floored integer division
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 300),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+              truth AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST((len(list_intersect(a.hs, b.hs)) * 1000000)
+                    // (len(a.hs) + len(b.hs)
+                        - len(list_intersect(a.hs, b.hs))) AS BIGINT) AS jac_ppm
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+              lab AS (
+                SELECT t.jac_ppm,
+                  CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+                FROM truth t LEFT JOIN cand c
+                  ON c.id_a = t.id_a AND c.id_b = t.id_b
+                WHERE t.jac_ppm >= 50000)
+              SELECT CAST((jac_ppm // 100000) * 100000 AS BIGINT) AS band_ppm,
+                count(*) AS n_pairs,
+                CAST(sum(caught) AS BIGINT) AS n_caught,
+                CAST((sum(caught) * 1000000) // count(*) AS BIGINT) AS catch_ppm
+              FROM lab GROUP BY 1 ORDER BY band_ppm""")),
+
     QueryDef("x04_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
           n = 1, threshold = 0.5, blockOn = Seq("lang", "source"))

@@ -944,6 +944,50 @@ object Dedup {
       .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
   }
 
+  /** Candidate-generation RECALL of the LSH banding, per exact-Jaccard
+    * band — the other loss the fuzzy tier can suffer: [[
+    * minHashAccuracyAudit]] measures how well surfaced pairs are
+    * SCORED; this measures which true pairs are surfaced AT ALL (a
+    * pair landing in no shared bucket is invisible to every
+    * downstream stage). Ground truth is the all-pairs exact Jaccard
+    * of the input — deliberately quadratic, so CALLERS PASS A BOUNDED
+    * SAMPLE (hundreds of docs), never a corpus; the banding runs on
+    * the same sample, making the measurement self-contained.
+    *
+    * Output: one row per 0.1-wide Jaccard band ≥ `minJaccardPpm`:
+    * (band_ppm, n_pairs, n_caught, catch_ppm) — the measured S-curve
+    * of the (k, bands) configuration on the corpus's own similarity
+    * distribution, which is what the "is bands=16 enough at
+    * threshold 0.8" decision actually needs. All values are integer
+    * counts and floored integer-ppm divisions: hash-exact. */
+  def lshBandingRecall(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 8,
+      minJaccardPpm: Long = 100000L, maxBucketSize: Int = 1000): DataFrame = {
+    val base = minHashBaseFromArrays(
+      shingleHashArrays(df, idCol, textCol, shingleN), k)
+    val sets = base.select(col("id"), col("hs"))
+    val truth = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .withColumn("__inter",
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast("long"))
+      .withColumn("__union",
+        size(col("a.hs")).cast("long") + size(col("b.hs")).cast("long")
+          - col("__inter"))
+      .withColumn("jac_ppm",
+        expr("(__inter * CAST(1000000 AS BIGINT)) DIV __union"))
+      .where(col("jac_ppm") >= minJaccardPpm)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jac_ppm"))
+    val cand = lshCandidatePairs(base, k, bands, maxBucketSize)
+      .withColumn("__caught", lit(1L))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .withColumn("band_ppm",
+        expr("(jac_ppm DIV CAST(100000 AS BIGINT)) * CAST(100000 AS BIGINT)"))
+      .groupBy("band_ppm")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__caught"), lit(0L))).as("n_caught"))
+      .withColumn("catch_ppm",
+        expr("(n_caught * CAST(1000000 AS BIGINT)) DIV n_pairs"))
+  }
+
   /** |A∩B| / |A∪B| from a precomputed intersection size — callers
     * compute the intersection ONCE and reuse it (array_intersect is
     * the expensive half of Jaccard; never evaluate it twice). */

@@ -69,6 +69,28 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
   }
 
+  test("lshBandingRecall: identical pairs always surface; counts stay within band totals") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val c = "completely different content about spark query engines and data lakes here"
+    val e = "entirely unrelated words about gardens flowers bees and honey production"
+    val df = Seq((1L, a), (2L, a), (3L, c), (4L, e)).toDF("doc_id", "text")
+    val rows = Dedup.lshBandingRecall(df, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 16, minJaccardPpm = 0L).collect()
+    // identical texts: identical signatures, every band shared — the
+    // J=1.0 band must exist and catch at exactly 1.0
+    val top = rows.find(_.getAs[Long]("band_ppm") == 1000000L)
+    assert(top.isDefined && top.get.getAs[Long]("catch_ppm") == 1000000L,
+      s"the identical pair must be caught: ${rows.mkString(";")}")
+    // every band: caught is a subset of true pairs, ppm well-formed
+    rows.foreach { r =>
+      val (n, cgt, p) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_caught"),
+        r.getAs[Long]("catch_ppm"))
+      assert(cgt >= 0 && cgt <= n && p == (cgt * 1000000L) / n)
+    }
+    // ground truth covers ALL sample pairs at floor 0 (4 docs -> 6 pairs)
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == 6L)
+  }
+
   test("weightedMixture + epochShuffleKey: reproducible mix, independent epochs") {
     val a = (0L until 100L).map((_, "a")).toDF("id", "src").drop("src")
     val b = (100L until 200L).map((_, "b")).toDF("id", "src").drop("src")
