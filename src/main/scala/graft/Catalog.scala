@@ -1017,6 +1017,32 @@ object Catalog {
               FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
               ORDER BY e.id_a, e.id_b""")),
 
+    QueryDef("x65_token_budget",
+      // per-source COST budget (the "take N tokens per source" mix
+      // op; x38 caps documents, this caps a cost column): greedy
+      // deterministic prefix in salted-draw order until the running
+      // total would cross the budget. The engine runs the chunked
+      // prefix-sum form (only the boundary bucket per source sorts);
+      // the oracle replays the naive per-group window — passing at
+      // all SFs proves the chunked path IS the naive semantics
+      (s, d) => Sampling.tokenBudgetPerGroup(documents(s, d), "source",
+          "doc_id", "n_chars", budget = 5000L, salt = "b1")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+                SELECT doc_id, source, n_chars,
+                  CAST('0x' || substring(md5(
+                    CAST(doc_id AS VARCHAR) || ':b1'), 1, 13) AS BIGINT) AS draw
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, n_chars,
+                  sum(coalesce(n_chars, 0)) OVER (PARTITION BY source
+                    ORDER BY draw, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS run
+                FROM r)
+              SELECT doc_id, source, n_chars FROM c
+              WHERE run <= 5000 ORDER BY doc_id""")),
+
     QueryDef("x64_lsh_banding_recall",
       // the banding S-curve, measured: per 0.1-wide exact-Jaccard band
       // on a bounded doc sample, how many true pairs the LSH banding

@@ -79,6 +79,61 @@ object Sampling {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Per-group TOKEN-BUDGET cap (the "take N tokens per source" mix
+    * op — [[quotaCapPerGroup]] counts DOCUMENTS, this counts a COST
+    * column): keep each group's documents in salted-md5-draw order
+    * until the running cost total would exceed `budget` — the greedy
+    * deterministic prefix, the semantics a token-budgeted training
+    * mix actually wants (a doc is in or out independent of layout,
+    * rerun, or engine).
+    *
+    * The naive form is one window over each GROUP (sort a billion-doc
+    * source to cut it at 10⁹ tokens). This runs CHUNKED instead, the
+    * [[packSequences]] prefix-sum shape: the 52-bit draw space is
+    * split into 2^12 ordered buckets, per-(group, bucket) cost sums
+    * roll up in one hash agg (a group × nonempty-buckets artifact,
+    * thousands of rows), an exclusive prefix over THAT tiny frame
+    * places every bucket before/at/after the budget line, and only
+    * the ONE boundary bucket per group pays a row-level sort — every
+    * earlier bucket passes through map-only, every later one drops
+    * map-only. Identical output to the naive window by construction
+    * (the oracle replays the naive form).
+    *
+    * Rows whose cost is NULL are treated as cost 0 (they never
+    * consume budget, so they survive whenever their draw position
+    * does). Ties in the draw break by id; ids must be unique. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      costCol: String, budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 0, s"tokenBudgetPerGroup: budget must be >= 0, got $budget")
+    val draw = conv(substring(
+        md5(concat_ws(":", col(idCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("long")
+    // 2^52 draw space over 2^12 buckets = 2^40 per bucket
+    val rows = df
+      .withColumn("__draw", draw)
+      .withColumn("__b", expr("__draw DIV CAST(1099511627776 AS BIGINT)"))
+      .withColumn("__cost", coalesce(col(costCol).cast("long"), lit(0L)))
+    val perBucket = rows.groupBy(col(groupCol), col("__b"))
+      .agg(sum("__cost").as("__bs"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = perBucket.withColumn("__before",
+      coalesce(sum("__bs").over(wCum), lit(0L)))
+    val joined = rows.join(placed, Seq(groupCol, "__b"))
+    val allIn = joined.where(col("__before") + col("__bs") <= budget)
+    val wRun = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__draw"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundaryKept = joined
+      .where(col("__before") <= budget &&
+        col("__before") + col("__bs") > budget)
+      .withColumn("__run", sum("__cost").over(wRun))
+      .where(col("__before") + col("__run") <= budget)
+      .drop("__run")
+    allIn.unionByName(boundaryKept)
+      .drop("__draw", "__b", "__cost", "__bs", "__before")
+  }
+
   /** Deterministic per-stratum Bernoulli sampling (the training-mix
     * rebalance op): a row survives iff its md5-derived uniform draw
     * `u(id, stratum) in [0, 1e6)` falls under `rate * 1e6`. Unlike

@@ -91,6 +91,31 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == 6L)
   }
 
+  test("tokenBudgetPerGroup: chunked prefix equals the naive window; zero cost never consumes budget") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 400L)
+      .map(i => (i, s"s${i % 3}", if (i % 7 == 0) 0L else (i % 50) + 10L))
+      .toDF("id", "grp", "cost")
+    val got = Sampling.tokenBudgetPerGroup(df, "grp", "id", "cost",
+        budget = 300L, salt = "t")
+      .select("id").as[Long].collect().toSet
+    // the naive form the chunked path must reproduce exactly: one
+    // running-sum window per group in (draw, id) order
+    val draw = conv(substring(
+        md5(concat_ws(":", col("id").cast("string"), lit("t"))), 1, 13),
+      16, 10).cast("long")
+    val w = Window.partitionBy("grp").orderBy(draw, col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = df.withColumn("__run", sum(coalesce(col("cost"), lit(0L))).over(w))
+      .where(col("__run") <= 300L)
+      .select("id").as[Long].collect().toSet
+    assert(got == naive, s"chunked != naive: ${got.diff(naive)} / ${naive.diff(got)}")
+    assert(got.nonEmpty && got.size < 400, "the budget must actually cut")
+    // budget 0: only zero-cost docs ahead of the first positive cost survive
+    val zero = Sampling.tokenBudgetPerGroup(df, "grp", "id", "cost", 0L, "t")
+    assert(zero.where(col("cost") > 0).count() == 0)
+  }
+
   test("weightedMixture + epochShuffleKey: reproducible mix, independent epochs") {
     val a = (0L until 100L).map((_, "a")).toDF("id", "src").drop("src")
     val b = (100L until 200L).map((_, "b")).toDF("id", "src").drop("src")
