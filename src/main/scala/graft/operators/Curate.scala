@@ -398,4 +398,45 @@ object Curate {
     }
     curatedSelect(decontaminated, idCol, textCol, cfg)
   }
+
+  /** [[intakeStep]] extended with the THIRD dedup tier — the full
+    * three-tier incremental funnel (digests → signatures →
+    * embeddings): the text-tier survivors' vectors run one semantic
+    * intake step against a growing IVF index
+    * ([[IvfAnn.intakeStepOrBootstrap]] — within-batch SemDeDup under
+    * the index's frozen centroids, cell-pruned corpus probe, append),
+    * and docs whose vector was dropped as a semantic duplicate are
+    * dropped from the output.
+    *
+    * Tier-content contract, extending [[intakeStep]]'s asymmetry
+    * rule: the semantic index receives only SEMANTIC-tier survivors,
+    * and only ever sees docs the text tiers accepted — in the
+    * one-shot funnel the semantic stage runs last, so a text-dropped
+    * doc's vector must not block future docs. Docs with NO vector in
+    * `vectors` PASS the tier un-judged (an un-embeddable doc cannot
+    * be semantically compared) and contribute nothing to the index.
+    * The semantic index path bootstraps from the first non-empty
+    * vector batch (centroids frozen there — the drift contract);
+    * crash recovery stays re-run-the-step on all three tiers. */
+  def intakeStepWithSemantic(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String,
+      exactIndexPath: String, fuzzyIndexPath: String, semIndexPath: String,
+      vectors: DataFrame, vecIdCol: String, vecCol: String,
+      semThreshold: Double = 0.9, nlist: Int = 16,
+      cfg: Config = Config(),
+      eval: Option[(DataFrame, String, String)] = None,
+      nShards: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
+    val textAccepted = intakeStep(spark, batch, idCol, textCol,
+      exactIndexPath, fuzzyIndexPath, cfg, eval, nShards, maxBucketSize)
+    val batchVecs = vectors
+      .select(col(vecIdCol).as(idCol), col(vecCol))
+      .join(textAccepted.select(idCol), Seq(idCol), "left_semi")
+    val semAccepted = IvfAnn.intakeStepOrBootstrap(spark, semIndexPath,
+      batchVecs, idCol, vecCol, semThreshold, nlist)
+    // drop = HAS a vector but was not semantically accepted;
+    // vectorless docs fall through the anti-join untouched
+    val dropped = batchVecs.select(col(idCol)).distinct()
+      .join(semAccepted.select(idCol), Seq(idCol), "left_anti")
+    textAccepted.join(dropped, Seq(idCol), "left_anti")
+  }
 }

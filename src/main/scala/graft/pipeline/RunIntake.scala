@@ -26,11 +26,17 @@ import graft.operators.{Curate, Dedup}
   * [[graft.streaming.DocStream.intakeAndCurate]]).
   *
   * Usage: runMain graft.pipeline.RunIntake [batchDir] [stateDir]
-  *          [--threshold T] [--scrub-pii] [--eval PATH]
+  *          [--threshold T] [--scrub-pii] [--eval PATH] [--semantic]
   * Defaults: /root/testdata/sf0.001 -> /tmp/graft_intake.
-  * `batchDir` must contain `documents.parquet` (TESTDATA.md shape).
-  * `stateDir` holds everything the journey owns:
+  * `batchDir` must contain `documents.parquet` (TESTDATA.md shape);
+  * with `--semantic` it must also contain `embeddings.parquet`, whose
+  * `vec_id` is taken as the document id (the testdata convention) —
+  * the batch then flows [[graft.operators.Curate
+  * .intakeStepWithSemantic]], growing a third (IVF semantic) tier at
+  * `indexes/semantic/`; docs with no embedding pass that tier
+  * un-judged. `stateDir` holds everything the journey owns:
   *  indexes/exact/, indexes/fuzzy/   the growing index tiers
+  *  indexes/semantic/                (with --semantic) the IVF tier
   *  accepted/                        curated accepted rows, appended
   *  runs.jsonl                       one JSON line per run (history)
   */
@@ -40,6 +46,7 @@ object RunIntake {
     var scrubPii = false
     var threshold = 0.8
     var evalPath: Option[String] = None
+    var semantic = false
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -51,6 +58,7 @@ object RunIntake {
         case "--eval" =>
           require(i + 1 < args.length, "--eval needs a parquet path")
           evalPath = Some(args(i + 1)); i += 1
+        case "--semantic" => semantic = true
         case other => positional += other
       }
       i += 1
@@ -70,26 +78,44 @@ object RunIntake {
     val batch = spark.read.parquet(s"$batchDir/documents.parquet")
     val eval = evalPath.map(p =>
       (spark.read.parquet(p), "doc_id", "text"))
+    val vectors =
+      if (semantic)
+        Some(spark.read.parquet(s"$batchDir/embeddings.parquet")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")))
+      else None
     run(spark, batch, stateDir,
       Curate.Config(scrubPii = scrubPii, jaccardThreshold = threshold,
-        keep = Seq("source")), eval)
+        keep = Seq("source")), eval, vectors.map((_, "vec_id", "embedding")))
     spark.stop()
   }
 
   /** One intake run: the batch flows through
     * [[graft.operators.Curate.intakeStep]] against the stateDir's
-    * growing indexes, accepted rows append to `accepted/`, and a
-    * one-line JSON report (input/accepted counts, wall time) appends
-    * to `runs.jsonl`. Batch-scoped checkpoints are released before
-    * returning (one run = one lease). Returns the report. */
+    * growing indexes — or, when `vectors` is given (frame, idCol,
+    * vecCol), through [[graft.operators.Curate.intakeStepWithSemantic]]
+    * with a third growing IVF tier at `indexes/semantic/` — accepted
+    * rows append to `accepted/`, and a one-line JSON report
+    * (input/accepted counts, wall time) appends to `runs.jsonl`.
+    * Batch-scoped checkpoints are released before returning (one run =
+    * one lease). Returns the report. */
   def run(spark: SparkSession, batch: DataFrame, stateDir: String,
       cfg: Curate.Config = Curate.Config(keep = Seq("source")),
-      eval: Option[(DataFrame, String, String)] = None)
+      eval: Option[(DataFrame, String, String)] = None,
+      vectors: Option[(DataFrame, String, String)] = None)
       : Seq[(String, Long)] = {
     val t0 = System.nanoTime()
     val (report, lease) = Dedup.scoped {
-      val accepted = Curate.intakeStep(spark, batch, "doc_id", "text",
-        s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy", cfg, eval)
+      val accepted = vectors match {
+        case Some((vecs, vecIdCol, vecCol)) =>
+          Curate.intakeStepWithSemantic(spark, batch, "doc_id", "text",
+            s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy",
+            s"$stateDir/indexes/semantic", vecs, vecIdCol, vecCol,
+            cfg = cfg, eval = eval)
+        case None =>
+          Curate.intakeStep(spark, batch, "doc_id", "text",
+            s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy", cfg, eval)
+      }
       accepted.write.mode(SaveMode.Append).parquet(s"$stateDir/accepted")
       val nAccepted = spark.read.parquet(s"$stateDir/accepted").count()
       val nIn = batch.count()

@@ -253,4 +253,46 @@ class CurateSpec extends SparkSpec {
       "runs.jsonl must carry one history line per run")
     graft.operators.Dedup.releaseCheckpoints()
   }
+
+  test("intakeStepWithSemantic: the third tier drops embedded dups across batches; vectorless docs pass") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    // plant the semantic dup between two TEXT-funnel survivors, one
+    // per batch, so only the third tier can catch it
+    val oneShotText = Curate.curate(docs, "doc_id", "text", cfg)
+    val survivorIds = oneShotText.select("doc_id").as[Long].collect().sorted
+    val s1 = survivorIds.find(_ < 250).get
+    val s2 = survivorIds.find(_ >= 250).get
+    val s3 = survivorIds.last // gets NO vector: must pass un-judged
+    assert(s2 != s3, "need distinct planted and vectorless survivors")
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(r.nextGaussian().toFloat)
+    }
+    val vecs = docs.select("doc_id").as[Long].collect().toSeq
+      .filter(_ != s3)
+      .map(id => (id, if (id == s2) vec(s1) else vec(id)))
+      .toDF("doc_id", "embedding")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sem_funnel").toString
+    val (ex, fz, sem) = (s"$tmp/exact", s"$tmp/fuzzy", s"$tmp/sem")
+    def step(batch: org.apache.spark.sql.DataFrame) =
+      Curate.intakeStepWithSemantic(spark, batch, "doc_id", "text",
+        ex, fz, sem, vecs, "doc_id", "embedding",
+        semThreshold = 0.999, nlist = 4, cfg = cfg)
+    val got = step(docs.where(col("doc_id") < 250))
+      .unionByName(step(docs.where(col("doc_id") >= 250)))
+    // expected: the one-shot text funnel minus exactly the planted dup
+    val expected = oneShotText.where(col("doc_id") =!= s2)
+    assert(got.count() == expected.count() &&
+      got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "three-tier sequential must equal text one-shot minus the semantic dup")
+    assert(got.where(col("doc_id") === s3).count() == 1,
+      "a doc without a vector must pass the semantic tier un-judged")
+    graft.operators.Dedup.releaseCheckpoints()
+  }
 }
