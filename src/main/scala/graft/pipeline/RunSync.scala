@@ -38,14 +38,20 @@ import graft.operators.{Compaction, Curate, Dedup, Snapshot}
   * rows are possible only in the crash window — the RunIntake rule).
   *
   * Usage: runMain graft.pipeline.RunSync [oldDir] [newDir] [stateDir]
-  *          [--threshold T] [--scrub-pii]
-  * `oldDir`/`newDir` must contain `documents.parquet`; `stateDir` is
-  * a [[RunIntake]] state dir (indexes/, accepted/, runs.jsonl). */
+  *          [--threshold T] [--scrub-pii] [--semantic]
+  * `oldDir`/`newDir` must contain `documents.parquet` (and, with
+  * `--semantic`, `embeddings.parquet` — vec_id as the doc id, the
+  * [[RunIntake]] convention; the churn then also reaches the
+  * `indexes/semantic/` tier: removed+changed docs' OLD vectors are
+  * deleted cell-pruned and the re-intake runs the three-tier funnel);
+  * `stateDir` is a [[RunIntake]] state dir (indexes/, accepted/,
+  * runs.jsonl). */
 object RunSync {
 
   def main(args: Array[String]): Unit = {
     var scrubPii = false
     var threshold = 0.8
+    var semantic = false
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -54,6 +60,7 @@ object RunSync {
           require(i + 1 < args.length, "--threshold needs a fraction")
           threshold = args(i + 1).toDouble; i += 1
         case "--scrub-pii" => scrubPii = true
+        case "--semantic" => semantic = true
         case other => positional += other
       }
       i += 1
@@ -73,23 +80,36 @@ object RunSync {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val vectors =
+      if (semantic)
+        Some((spark.read.parquet(s"$oldDir/embeddings.parquet"),
+          spark.read.parquet(s"$newDir/embeddings.parquet"),
+          "vec_id", "embedding"))
+      else None
     run(spark,
       spark.read.parquet(s"$oldDir/documents.parquet"),
       spark.read.parquet(s"$newDir/documents.parquet"),
       stateDir,
       Curate.Config(scrubPii = scrubPii, jaccardThreshold = threshold,
-        keep = Seq("source")))
+        keep = Seq("source")),
+      vectors = vectors)
     spark.stop()
   }
 
   /** One sync: diff `oldSnap`→`newSnap` (raw-text md5), take down
     * removed+changed from both index tiers and `accepted/`, intake
-    * added+changed as one batch. Appends a history line to
-    * `runs.jsonl` and returns the report. */
+    * added+changed as one batch. With `vectors` = (oldVecs, newVecs,
+    * vecIdCol, vecCol) the semantic tier at `indexes/semantic/` joins
+    * the churn: removed+changed docs' OLD vectors (what the index
+    * actually holds) are deleted cell-pruned, and the re-intake runs
+    * the full three-tier [[graft.operators.Curate
+    * .intakeStepWithSemantic]] against the NEW vectors. Appends a
+    * history line to `runs.jsonl` and returns the report. */
   def run(spark: SparkSession, oldSnap: DataFrame, newSnap: DataFrame,
       stateDir: String, cfg: Curate.Config = Curate.Config(keep = Seq("source")),
       idCol: String = "doc_id", textCol: String = "text",
-      eval: Option[(DataFrame, String, String)] = None)
+      eval: Option[(DataFrame, String, String)] = None,
+      vectors: Option[(DataFrame, DataFrame, String, String)] = None)
       : Seq[(String, Long)] = {
     val t0 = System.nanoTime()
     def digested(snap: DataFrame) =
@@ -121,6 +141,17 @@ object RunSync {
       if (!exists(s"$fuzzyPath/meta")) 0L
       else Dedup.deleteFromFuzzyIndex(spark, fuzzyPath, goneIds, idCol)
         .getOrElse("sets", Dedup.IndexDeleteReport(0L, Nil)).rowsDeleted
+    val semPath = s"$stateDir/indexes/semantic"
+    val deletedSem = vectors match {
+      case Some((oldVecs, _, vId, vCol)) if exists(s"$semPath/_centroids") =>
+        graft.operators.IvfAnn.deleteFromIndexInt(spark, semPath,
+          oldVecs.select(col(vId).as(idCol), col(vCol))
+            .join(goneIds, Seq(idCol), "left_semi"),
+          idCol, vCol,
+          graft.operators.IvfAnn.loadCentroidsInt(spark, semPath))
+          .rowsDeleted
+      case _ => 0L
+    }
     val acceptedPath = s"$stateDir/accepted"
     if (exists(acceptedPath)) {
       // survivors-only rewrite under the destroy-last swap: an
@@ -143,8 +174,15 @@ object RunSync {
       diff.where(col("status").isin("added", "changed")).select(col(idCol)),
       Seq(idCol), "left_semi")
     val (_, lease) = Dedup.scoped {
-      val accepted = Curate.intakeStep(spark, batch, idCol, textCol,
-        exactPath, fuzzyPath, cfg, eval)
+      val accepted = vectors match {
+        case Some((_, newVecs, vId, vCol)) =>
+          Curate.intakeStepWithSemantic(spark, batch, idCol, textCol,
+            exactPath, fuzzyPath, semPath, newVecs, vId, vCol,
+            cfg = cfg, eval = eval)
+        case None =>
+          Curate.intakeStep(spark, batch, idCol, textCol,
+            exactPath, fuzzyPath, cfg, eval)
+      }
       accepted.write.mode(SaveMode.Append).parquet(acceptedPath)
     }
     lease.release()
@@ -156,6 +194,7 @@ object RunSync {
     val report = Seq(
       "removed" -> nRemoved, "changed" -> nChanged, "added" -> nAdded,
       "deleted_exact" -> deletedExact, "deleted_fuzzy" -> deletedFuzzy,
+      "deleted_semantic" -> deletedSem,
       "intake_accepted" -> nNewAccepted,
       "accepted_total" -> acceptedTotal,
       "millis" -> (System.nanoTime() - t0) / 1000000L)

@@ -230,6 +230,56 @@ class CurateSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("RunSync --semantic: churn reaches the third tier — removed vectors free content, retained ones block") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_sync_sem_spec").toString
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val ids = docs.select("doc_id").as[Long].collect().toSeq
+    val baseVecs = ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    graft.pipeline.RunIntake.run(spark, docs, state, cfg,
+      vectors = Some((baseVecs, "vec_id", "embedding")))
+    val acceptedA = spark.read.parquet(s"$state/accepted")
+    val Seq(removedDonor, keptDonor) = acceptedA.orderBy("doc_id")
+      .limit(2).select("doc_id").as[Long].collect().toSeq
+    // snapshot B: the donor leaves; two text-novel docs arrive — one
+    // wearing the REMOVED doc's vector (admissible only if the
+    // takedown reached the semantic tier), one wearing a RETAINED
+    // doc's vector (the tier must still block it)
+    val n1 = 200000L
+    val n2 = 200001L
+    val arrivals = Seq(
+      (n1, "the fast silver train crossed the long bridge before dawn " +
+        "while the city was asleep and the river ran dark below", "en", "s", 0L),
+      (n2, "a careful gardener watered the old roses every morning and " +
+        "the little garden grew bright with color through the summer", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val snapB = docs.where(col("doc_id") =!= removedDonor)
+      .unionByName(arrivals)
+    val newVecs = baseVecs.unionByName(
+      Seq((n1, vec(removedDonor)), (n2, vec(keptDonor)))
+        .toDF("vec_id", "embedding"))
+    val rep = graft.pipeline.RunSync.run(spark, docs, snapB, state, cfg,
+      vectors = Some((baseVecs, newVecs, "vec_id", "embedding"))).toMap
+    assert(rep("removed") == 1 && rep("added") == 2)
+    assert(rep("deleted_semantic") >= 1L,
+      "the removed doc's vector must leave the semantic tier")
+    val acceptedB = spark.read.parquet(s"$state/accepted")
+    assert(acceptedB.where(col("doc_id") === n1).count() == 1,
+      "a removed doc's vector slot must be admissible again")
+    assert(acceptedB.where(col("doc_id") === n2).count() == 0,
+      "a retained doc's semantic copy must stay blocked")
+    assert(acceptedB.where(col("doc_id") === removedDonor).count() == 0)
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
