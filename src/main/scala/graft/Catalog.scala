@@ -1117,6 +1117,41 @@ object Catalog {
                 CAST((sum(caught) * 1000000) // count(*) AS BIGINT) AS catch_ppm
               FROM lab GROUP BY 1 ORDER BY band_ppm""")),
 
+    QueryDef("x66_boilerplate_strip",
+      // the C4 boilerplate rule's other half (x44 keeps a duplicated
+      // chunk's FIRST occurrence; this strips EVERY occurrence of a
+      // chunk living in more than maxDf distinct docs — licence
+      // blocks and banners have no "first" copy worth keeping).
+      // Distinct-doc frequency, not occurrence count: within-doc
+      // repetition is style, not corpus boilerplate
+      (s, d) => Dedup.stripFrequentChunks(documents(s, d), "doc_id", "text",
+          chunkTokens = 3, maxDf = 2)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              st AS (
+                SELECT doc_id, toks,
+                  unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS ci
+                FROM tk WHERE len(toks) > 0),
+              ch AS (
+                SELECT doc_id, ci AS chunk_idx,
+                  array_to_string(list_slice(toks, CAST(ci * 3 + 1 AS INT),
+                    CAST(least((ci + 1) * 3, len(toks)) AS INT)), ' ') AS chunk_text
+                FROM st),
+              fr AS (
+                SELECT chunk_text FROM (
+                  SELECT chunk_text, count(DISTINCT doc_id) AS dfreq
+                  FROM ch GROUP BY chunk_text) t
+                WHERE dfreq > 2)
+              SELECT doc_id, count(*) AS n_chunks_kept,
+                string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_stripped
+              FROM ch
+              WHERE chunk_text NOT IN (SELECT chunk_text FROM fr)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef("x04_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
           n = 1, threshold = 0.5, blockOn = Seq("lang", "source"))

@@ -1329,6 +1329,43 @@ object Dedup {
           s => s.getField("chunk_text"))).as("text_deduped"))
   }
 
+  /** Corpus-level FREQUENT-CHUNK strip — the C4 boilerplate rule's
+    * other half: where [[dedupChunksKeepFirst]] keeps each duplicated
+    * chunk's first occurrence, this removes EVERY occurrence of a
+    * chunk whose document frequency exceeds `maxDf` (licence blocks,
+    * cookie banners, navigation text — content so common that no copy
+    * of it belongs in training data, including the "first" one).
+    * Frequency is DISTINCT-document frequency, not occurrence count: a
+    * chunk repeated within one document is that document's own style,
+    * not corpus boilerplate.
+    *
+    * Shape at 100 TB, same skeleton as [[dedupChunksKeepFirst]]:
+    * map-only chunk fan-out, the df count is a hash agg over (fp,
+    * doc_id) distinct pairs (map-side combine on the 32-char md5), the
+    * over-threshold set joins back as an anti-join (unhinted — AQE
+    * broadcasts when the boilerplate set is small, which it is by
+    * definition of "frequent": high-df chunks are FEW distinct
+    * values), and reassembly is bounded per doc. Documents whose
+    * every chunk is boilerplate disappear from the output. Output:
+    * (doc_id, n_chunks_kept, text_stripped), normalized text. */
+  def stripFrequentChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"stripFrequentChunks: maxDf must be >= 1, got $maxDf")
+    val chunks = TextAnalysis.chunkDocs(df, idCol, textCol,
+        chunkTokens, stride = chunkTokens)
+      .withColumn("__fp", md5(col("chunk_text")))
+    val frequent = chunks.select(col("__fp"), col("doc_id")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select("__fp")
+    chunks.join(frequent, Seq("__fp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("text_stripped"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked

@@ -116,6 +116,32 @@ class OperatorsSpec extends SparkSpec {
     assert(zero.where(col("cost") > 0).count() == 0)
   }
 
+  test("stripFrequentChunks: over-df chunks vanish everywhere; within-doc repetition is not frequency") {
+    // "alpha beta gamma" lives in docs 1,2,3 (df=3 > maxDf=2): every
+    // copy must die, including the first. "delta epsilon zeta" lives
+    // in docs 1,4 (df=2): stays. Doc 5 repeats one chunk three times
+    // WITHIN itself (df=1): stays — style, not boilerplate.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma own words here"),
+      (3L, "alpha beta gamma more private text"),
+      (4L, "delta epsilon zeta and something else"),
+      (5L, "rho sigma tau rho sigma tau rho sigma tau"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripFrequentChunks(df, "doc_id", "text",
+      chunkTokens = 3, maxDf = 2)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> r.getAs[String]("text_stripped")).toMap
+    assert(!byId.values.exists(_.contains("alpha beta gamma")),
+      s"the df=3 chunk must vanish from every doc: $byId")
+    assert(byId(1L) == "delta epsilon zeta" && byId(4L).startsWith("delta epsilon zeta"),
+      s"the df=2 chunk must survive in both docs: $byId")
+    assert(byId(5L) == "rho sigma tau rho sigma tau rho sigma tau",
+      s"within-doc repetition must not count toward df: $byId")
+    // doc 2 and 3 keep only their private tails
+    assert(byId(2L) == "own words here" && byId(3L) == "more private text")
+  }
+
   test("weightedMixture + epochShuffleKey: reproducible mix, independent epochs") {
     val a = (0L until 100L).map((_, "a")).toDF("id", "src").drop("src")
     val b = (100L until 200L).map((_, "b")).toDF("id", "src").drop("src")
