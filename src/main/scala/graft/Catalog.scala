@@ -1306,6 +1306,75 @@ object Catalog {
               WHERE test_id <> train_id
               GROUP BY 1, 2 ORDER BY test_id, train_id""")),
 
+    QueryDef("x67_contamination_report",
+      // the per-eval-item audit over x23's pair relation: for each
+      // doc of a holdout slice, how many corpus docs share a 5-gram,
+      // the worst containment (shared grams / the eval doc's own
+      // grams, floored ppm) and which corpus doc it is — the
+      // ship/no-ship call on an eval suite, item by item. Clean items
+      // surface as zero rows, not missing rows
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.contaminationReport(
+            docs.where(col("doc_id") % 97 =!= 0), "doc_id", "text",
+            docs.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+          .orderBy("eval_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 5 THEN list_transform(range(1, nt - 3), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 3] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 4] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[4], -3) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[5], -4) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              te AS (SELECT doc_id AS test_id, unnest(hs) AS s FROM sh
+                     WHERE doc_id % 97 = 0),
+              tr AS (SELECT doc_id AS train_id, unnest(hs) AS s FROM sh
+                     WHERE doc_id % 97 <> 0),
+              ov AS (
+                SELECT test_id, train_id, count(*) AS n_shared
+                FROM te JOIN tr USING (s)
+                WHERE test_id <> train_id
+                GROUP BY 1, 2),
+              ag AS (
+                SELECT eval_id, n_hit_docs, worst_shared, worst_doc FROM (
+                  SELECT test_id AS eval_id, train_id AS worst_doc,
+                    n_shared AS worst_shared,
+                    count(*) OVER (PARTITION BY test_id) AS n_hit_docs,
+                    row_number() OVER (PARTITION BY test_id
+                      ORDER BY n_shared DESC, train_id) AS rn
+                  FROM ov) t WHERE rn = 1),
+              ng AS (SELECT doc_id AS eval_id, len(hs) AS n_grams FROM sh
+                     WHERE doc_id % 97 = 0)
+              SELECT ng.eval_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+                CAST(coalesce(ag.n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+                CAST((coalesce(ag.worst_shared, 0) * 1000000)
+                  // ng.n_grams AS BIGINT) AS worst_ppm,
+                ag.worst_doc
+              FROM ng LEFT JOIN ag USING (eval_id)
+              ORDER BY ng.eval_id""")),
+
     QueryDef("x20_incremental_dedup",
       // incremental ingest: docs >= 250 arrive after docs < 250; keep
       // only arrivals whose content digest is genuinely new

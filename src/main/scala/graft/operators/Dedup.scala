@@ -1189,6 +1189,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-EVAL-doc contamination report — the audit view of
+    * [[ngramContamination]] (x23's pair relation): for every eval
+    * doc, its own distinct shingle count, how many corpus docs share
+    * at least one shingle, the WORST overlap as floored ppm of the
+    * eval doc's grams (containment — "how much of this benchmark item
+    * is in the training set"), and the corpus doc achieving it (ties
+    * to the lowest id). Eval docs with NO overlap still appear (0
+    * hits, 0 ppm, null worst doc) — absence of evidence is a row.
+    * Decontamination (the funnel's stage 5) DROPS on any shared
+    * shingle; this measures what would drop and how badly — the
+    * ship/no-ship call on an eval suite, per item.
+    *
+    * Ids sharing a value across the two frames are treated as the
+    * same document and excluded (the holdout-slice convention,
+    * inherited from [[ngramContamination]]). Scale shape: the pair
+    * relation's shingle equi-join (longs, never text), one hash agg
+    * per eval doc — eval suites are thousands of rows, so every
+    * output is eval-sized. */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 5): DataFrame = {
+    val evalGrams = shingleHashArrays(
+        eval.select(col(evalId).as("__eid"), col(evalText).as("__text")),
+        "__eid", "__text", n)
+      .select(col("id").as("eval_id"), size(col("hs")).cast("long").as("n_grams"))
+    val ov = ngramContamination(
+      eval.select(col(evalId).as("__eid"), col(evalText).as("__text")), "__eid",
+      corpus.select(col(idCol).as("__cid"), col(textCol).as("__text")), "__cid",
+      "__text", n)
+    val agg = ov.groupBy(col("test_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_hit_docs"),
+        max(struct(col("n_shared"), (-col("train_id")).as("__neg"))).as("__w"))
+    evalGrams.join(agg, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+        expr("(coalesce(__w.n_shared, CAST(0 AS BIGINT))" +
+          " * CAST(1000000 AS BIGINT)) DIV n_grams").as("worst_ppm"),
+        (-col("__w.__neg")).as("worst_doc"))
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX — the provenance view of any
     * duplicate-pair relation: how many near-dup pairs connect each
     * (source, source) combination. The matrix is the diagnostic that

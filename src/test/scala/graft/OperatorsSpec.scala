@@ -142,6 +142,29 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(2L) == "own words here" && byId(3L) == "more private text")
   }
 
+  test("contaminationReport: a copied eval item reads 1.0 containment; clean items surface as zero rows") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated corpus text about engines and data lakes"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "pristine benchmark question nobody has ever trained on yet"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.contaminationReport(corpus, "doc_id", "text",
+        eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val hit = rows(100L)
+    assert(hit.getAs[Long]("worst_ppm") == 1000000L &&
+      hit.getAs[Long]("worst_doc") == 1L &&
+      hit.getAs[Long]("n_hit_docs") == 1L,
+      s"an exact copy must read full containment against its source: $hit")
+    val clean = rows(101L)
+    assert(clean.getAs[Long]("n_hit_docs") == 0L &&
+      clean.getAs[Long]("worst_ppm") == 0L && clean.isNullAt(4),
+      s"a clean item must surface with zero evidence, not vanish: $clean")
+  }
+
   test("weightedMixture + epochShuffleKey: reproducible mix, independent epochs") {
     val a = (0L until 100L).map((_, "a")).toDF("id", "src").drop("src")
     val b = (100L until 200L).map((_, "b")).toDF("id", "src").drop("src")
