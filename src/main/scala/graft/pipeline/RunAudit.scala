@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IvfAnn, TextAnalysis}
+
+/** The CORPUS-HEALTH AUDIT journey — one spark-submit that runs the
+  * monitor suite over a corpus and leaves a review-ready audit
+  * directory: the round's "every lossy tier ships its measured loss"
+  * operators, operationalized as a single scheduled job instead of
+  * six ad-hoc queries.
+  *
+  *   profile/            per-source report card (x49 `corpusProfile`)
+  *   dup_matrix/         cross-source duplication matrix over the
+  *                       MinHash pair relation (x59)
+  *   minhash_accuracy/   estimated-vs-exact Jaccard on the tier's own
+  *                       candidates (x63)
+  *   banding_recall/     the LSH S-curve on a bounded sample (x64)
+  *   ivf_cells/          IVF cell-balance profile (x61)
+  *   ann_recall/         IVF recall@k vs brute force on a bounded
+  *                       query sample (x62)
+  *   report.json         one line of corpus-level numbers
+  *
+  * Every output is dashboard-sized (per-source rows, per-band rows,
+  * per-cell rows, per-sampled-query rows) — the expensive inputs are
+  * the same bounded shapes the catalog queries pin: the banding
+  * ground truth and the ANN exact side run on SAMPLES (the quadratic
+  * contracts of [[Dedup.lshBandingRecall]] / [[IvfAnn.recallAtK]]),
+  * candidates come from the banded join, and nothing collects more
+  * than an audit table. Deterministic end to end: reruns produce
+  * byte-identical audit rows (every draw is md5-derived, every ppm
+  * floored integer).
+  *
+  * Usage: runMain graft.pipeline.RunAudit [corpusDir] [outDir]
+  *          [--sample N] [--queries Q]
+  * `corpusDir` must contain `documents.parquet`; `embeddings.parquet`
+  * is optional — without it the two vector monitors are skipped (and
+  * report.json says so). */
+object RunAudit {
+
+  def main(args: Array[String]): Unit = {
+    var sample = 300
+    var queries = 50
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--sample" =>
+          require(i + 1 < args.length, "--sample needs a doc count")
+          sample = args(i + 1).toInt; i += 1
+        case "--queries" =>
+          require(i + 1 < args.length, "--queries needs a count")
+          queries = args(i + 1).toInt; i += 1
+        case other => positional += other
+      }
+      i += 1
+    }
+    val corpusDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = positional.drop(1).headOption.getOrElse("/tmp/graft_audit")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = {
+      val p = new org.apache.hadoop.fs.Path(s"$corpusDir/embeddings.parquet")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Some(spark.read.parquet(s"$corpusDir/embeddings.parquet"))
+      else None
+    }
+    run(spark, spark.read.parquet(s"$corpusDir/documents.parquet"), emb,
+      outDir, sample, queries)
+    spark.stop()
+  }
+
+  /** One audit run. Returns the report pairs written to report.json. */
+  def run(spark: SparkSession, docs: DataFrame, embeddings: Option[DataFrame],
+      outDir: String, sampleDocs: Int = 300, annQueries: Int = 50)
+      : Seq[(String, String)] = {
+    val t0 = System.nanoTime()
+    def save(df: DataFrame, name: String): DataFrame = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name")
+    }
+    // 1. per-source report card — one DocStats scan
+    val profile = save(
+      TextAnalysis.corpusProfile(docs, "source", "text", "n_chars"),
+      "profile")
+    // 2. the fuzzy tier's pair relation once, three views of it
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+    val matrix = save(
+      Dedup.crossSourceDupMatrix(pairs, docs, "doc_id", "source"),
+      "dup_matrix")
+    val accuracy = save(
+      Dedup.minHashAccuracyAudit(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16),
+      "minhash_accuracy")
+    // 3. the banding S-curve on the bounded sample (the x64 contract)
+    val sampleIds = Sampling001.sampleIds(docs, sampleDocs)
+    val recallBands = save(
+      Dedup.lshBandingRecall(
+        docs.join(sampleIds, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 16,
+        minJaccardPpm = 50000L),
+      "banding_recall")
+    // 4. vector monitors, when embeddings exist
+    val vec = embeddings.map { emb =>
+      val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+        nlist = 16)
+      val cells = save(
+        IvfAnn.cellProfile(emb, "vec_id", "embedding", cents), "ivf_cells")
+      val qs = emb
+        .withColumn("__d", conv(substring(
+          md5(col("vec_id").cast("string")), 1, 13), 16, 10).cast("long"))
+        .orderBy("__d", "vec_id").limit(annQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val recall = save(
+        IvfAnn.recallAtK(emb, qs, "vec_id", "embedding", "q_id", "q_vec",
+          cents, k = 5, nprobe = 2),
+        "ann_recall")
+      (cells, recall)
+    }
+    // 5. the one-line corpus summary — every input is audit-sized
+    val nDocs = docs.count()
+    val nSources = profile.count()
+    val nPairs = accuracy.count()
+    val worstErr =
+      if (nPairs == 0) 0L
+      else accuracy.agg(max(abs(col("err_ppm")))).head().getLong(0)
+    val bandRows = recallBands.collect().sortBy(_.getAs[Long]("band_ppm"))
+    val bandSummary = bandRows.map(r =>
+      s""""${r.getAs[Long]("band_ppm")}":${r.getAs[Long]("catch_ppm")}""")
+      .mkString("{", ",", "}")
+    val vecSummary = vec.map { case (cells, recall) =>
+      val maxShare = cells.agg(max("share_ppm")).head().getLong(0)
+      val avgRecall = recall.agg(
+        floor(avg("recall_ppm")).cast("long")).head().getLong(0)
+      Seq("ivf_max_cell_share_ppm" -> maxShare.toString,
+        "ann_avg_recall_ppm" -> avgRecall.toString)
+    }.getOrElse(Seq("vector_monitors" -> "\"skipped: no embeddings.parquet\""))
+    val report = Seq(
+      "n_docs" -> nDocs.toString,
+      "n_sources" -> nSources.toString,
+      "dup_candidate_pairs" -> nPairs.toString,
+      "minhash_worst_abs_err_ppm" -> worstErr.toString,
+      "banding_catch_by_band" -> bandSummary) ++ vecSummary ++ Seq(
+      "millis" -> ((System.nanoTime() - t0) / 1000000L).toString)
+    // values are already JSON-ready: numbers bare, the band map an
+    // object, the skipped marker pre-quoted
+    val json = report.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "report.json"), json + "\n")
+    report.foreach { case (k, v) => println(f"[audit] $k%-28s $v%s") }
+    report
+  }
+
+  /** The audit's doc sample: the `n` smallest md5 draws — consistent
+    * under growth (the [[graft.operators.Sampling]] rationale), so
+    * week-over-week audits measure overlapping populations. */
+  private object Sampling001 {
+    def sampleIds(docs: DataFrame, n: Int): DataFrame =
+      docs.select(col("doc_id"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").as("__d"))
+        .orderBy("__d", "doc_id").limit(n)
+        .select("doc_id")
+  }
+}

@@ -280,6 +280,39 @@ class CurateSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("RunAudit: the monitor suite lands as one audit dir; reruns are byte-deterministic") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_audit_spec").toString
+    val rep = graft.pipeline.RunAudit
+      .run(spark, docs, Some(emb), out).toMap
+    assert(rep("n_docs").toLong == docs.count())
+    Seq("profile", "dup_matrix", "minhash_accuracy", "banding_recall",
+        "ivf_cells", "ann_recall").foreach { d =>
+      assert(spark.read.parquet(s"$out/$d").count() > 0,
+        s"audit table $d must exist and be non-empty")
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "report.json")))
+    // vector monitors carry the x61/x62 semantics into the journey
+    assert(rep("ivf_max_cell_share_ppm").toLong <= 1000000L)
+    assert(rep("ann_avg_recall_ppm").toLong <= 1000000L)
+    // determinism: a second run over the same corpus reproduces every
+    // audit number (all draws md5-derived, all ppm floored integers)
+    val rep2 = graft.pipeline.RunAudit
+      .run(spark, docs, Some(emb), s"${out}_2").toMap
+    assert((rep - "millis") == (rep2 - "millis"),
+      s"audit reruns must be deterministic: ${(rep - "millis").toSet.diff((rep2 - "millis").toSet)}")
+    // without embeddings the vector monitors skip, visibly
+    val rep3 = graft.pipeline.RunAudit
+      .run(spark, docs, None, s"${out}_3").toMap
+    assert(rep3.contains("vector_monitors") &&
+      !rep3.contains("ann_avg_recall_ppm"))
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
