@@ -1204,6 +1204,50 @@ object Catalog {
                 SELECT re.id, e.id_b AS r FROM reach re JOIN edges e ON e.id_a = re.r)
               SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""")),
 
+    QueryDef("x68_best_dup_survivor",
+      // canonical-VERSION selection (r8): per dup family keep the most
+      // complete member (max n_chars, ties -> min id) instead of the
+      // first-seen one — the batch re-curation rule for truncated web
+      // captures. Families come from the same deterministic n-gram
+      // pair relation as x22 so the oracle replays them with the
+      // recursive CTE; every doc appears in exactly one family
+      // (singleton label = own id)
+      (s, d) => Dedup.bestSurvivorPerCluster(
+          documents(s, d), "doc_id", "n_chars",
+          Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+            n = 1, threshold = 0.5, blockOn = Seq("lang", "source")))
+        .orderBy("label"),
+      Some("""WITH RECURSIVE toks AS (
+                SELECT doc_id, lang, source,
+                  list_distinct(list_filter(
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS sh
+                FROM documents),
+              pairs AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM toks l JOIN toks r
+                  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) > 0
+                  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+                      (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5),
+              edges AS (SELECT id_a, id_b FROM pairs
+                        UNION ALL SELECT id_b, id_a FROM pairs),
+              reach AS (
+                SELECT id_a AS id, id_a AS r FROM edges
+                UNION
+                SELECT re.id, e.id_b AS r FROM reach re JOIN edges e ON e.id_a = re.r),
+              lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+              mem AS (
+                SELECT coalesce(l.label, d.doc_id) AS label, d.doc_id, d.n_chars
+                FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+              agg AS (
+                SELECT label, max(n_chars) AS mx, count(*) AS n_members
+                FROM mem GROUP BY label)
+              SELECT a.label, min(m.doc_id) AS survivor_id, a.n_members
+              FROM agg a JOIN mem m ON m.label = a.label AND m.n_chars = a.mx
+              GROUP BY a.label, a.n_members ORDER BY a.label""")),
+
     QueryDef("x05_simhash",
       (s, d) => Dedup.simHashDupPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b"),
@@ -1936,6 +1980,67 @@ object Catalog {
                 floor(quantile_cont(ql, 0.25) * 10000) / 10000 AS q25_quality,
                 floor(quantile_cont(ql, 0.5) * 10000) / 10000 AS q50_quality,
                 floor(quantile_cont(ql, 0.75) * 10000) / 10000 AS q75_quality,
+                min(n_chars) AS min_chars,
+                max(n_chars) AS max_chars
+              FROM q GROUP BY source ORDER BY source""")),
+
+    QueryDef("x69_profile_merge",
+      // the GROWING corpus profile (r8): three intake batches each
+      // contribute a model-sized mergeable state (one DocStats scan of
+      // the batch alone — counts, integer token sum, DECIMAL quality
+      // sum, char envelope), states merge associatively, and the final
+      // report is read out of the merged state. The oracle computes the
+      // SAME report one-shot over the whole corpus — hash equality IS
+      // the grown-== -one-shot proof (quartiles are deliberately
+      // absent: exact percentiles don't merge; x49 covers them for the
+      // one-shot path)
+      (s, d) => {
+        val docs = documents(s, d)
+        val batches = Seq(
+          docs.where(col("doc_id") < 200),
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 350),
+          docs.where(col("doc_id") >= 350))
+        val states = batches.map(
+          TextAnalysis.profileState(_, "source", "text", "n_chars"))
+        val grown = states.tail.foldLeft(states.head)((acc, s2) =>
+          TextAnalysis.mergeProfileStates("source", Seq(acc, s2)))
+        TextAnalysis.profileFromState(grown, "source").orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source, n_chars,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') AS toks, text
+                FROM documents),
+              f AS (
+                SELECT doc_id, source, n_chars,
+                  len(toks) AS n_tok,
+                  CAST(len(toks) AS DOUBLE) AS n_tok_d,
+                  CASE WHEN len(toks) > 0 THEN
+                    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS avg_len,
+                  CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - len(regexp_extract_all(text, '[a-zA-Z0-9\s]')) AS DOUBLE)
+                      / length(text)
+                  ELSE 1.0 END AS punct,
+                  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','ich','mit','von')))
+                     + len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that','it','was','for')))
+                     + len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','en','que','por','una')))
+                     + len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))
+                     + len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人'))) AS DOUBLE) AS stops
+                FROM t),
+              q AS (
+                SELECT source, n_chars, n_tok, floor((
+                    least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
+                  + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
+                  + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
+                  + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) * 10000) / 10000 AS ql
+                FROM f)
+              SELECT source,
+                count(*) AS n_docs,
+                CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens,
+                floor(CAST(sum(CAST(ql AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(ql) * 10000) / 10000 AS avg_quality,
                 min(n_chars) AS min_chars,
                 max(n_chars) AS max_chars
               FROM q GROUP BY source ORDER BY source""")),

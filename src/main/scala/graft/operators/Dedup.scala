@@ -1323,6 +1323,44 @@ object Dedup {
         .select(col("id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** Canonical-VERSION selection: per dup family, keep the most
+    * COMPLETE member instead of the first-seen one. First-wins
+    * ([[clusterSurvivors]], the growing-index intakes) is the right
+    * rule for incremental arrival order, but a batch re-curation can
+    * do better: near-duplicate web captures of the same page differ in
+    * truncation, and the longest capture is usually the best training
+    * document. Survivor = max `scoreCol` (e.g. char count or a quality
+    * score), ties broken by MINIMUM id — fully deterministic.
+    *
+    * Every row of `df` appears in exactly one output family: ids in no
+    * pair are their own singleton (label = id, n_members = 1). NULL
+    * scores rank below every non-null score (a family of only-null
+    * scores falls back to pure min-id).
+    *
+    * Scale shape: [[dupClusters]] runs over the pair-bounded edge set
+    * only; the corpus joins the (id, label) frame on its id (one
+    * shuffle of two narrow columns — text never ships) and the pick is
+    * a single hash aggregate carrying (score, id) per row with
+    * map-side combine. No window, no global sort.
+    * Output: (label, survivor_id, n_members). */
+  def bestSurvivorPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = dupClusters(pairs)
+    val member = df
+      .join(labels, df(idCol) === labels("id"), "left")
+      .select(coalesce(col("label"), df(idCol)).as("label"),
+        df(idCol).as("__id"),
+        coalesce(df(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__score"))
+    member.groupBy("label")
+      .agg(
+        max(struct(col("__score").as("s"), (-col("__id")).as("neg_id"))).as("__pick"),
+        count(lit(1)).as("n_members"))
+      .select(col("label"),
+        (-col("__pick.neg_id")).as("survivor_id"),
+        col("n_members"))
+  }
+
   // ---------------------------------------------- chunk-level dedup (C4)
 
   /** Corpus-level DUPLICATED-CHUNK removal — the C4 line-dedup rule at

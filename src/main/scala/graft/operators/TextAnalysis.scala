@@ -485,6 +485,69 @@ object TextAnalysis {
         max(col(charsCol)).as("max_chars"))
   }
 
+  /** Mergeable per-group profile STATE — the incremental counterpart
+    * of [[corpusProfile]] for a growing corpus. Each intake batch
+    * contributes a model-sized state frame computed in one [[docStats]]
+    * scan of the BATCH alone, and states merge associatively
+    * ([[mergeProfileStates]]), so the corpus-wide report stays current
+    * at O(batch) cost per step instead of an O(corpus) rescan — the
+    * audit-side sibling of the growing dedup indexes.
+    *
+    * The price of mergeability: quartiles are NOT in the state (exact
+    * percentiles don't merge); the state carries only exactly-mergeable
+    * moments — doc/quality counts, the integer token sum, the DECIMAL
+    * quality sum (order-independent, the x49 lesson), and the char
+    * envelope. Null-text rows count in `n_docs` only, exactly as in
+    * [[corpusProfile]]. Output: (group, n_docs, total_tokens,
+    * q_sum DECIMAL(28,4), q_cnt, min_chars, max_chars). */
+  def profileState(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    val q4 = floor(qualityScoreFromStats(col(textCol), col("__stats"))
+      * 10000) / 10000
+    df.withColumn("__stats", docStats(col(textCol)))
+      .withColumn("__q", q4)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__stats").getField("n_tokens").cast("long")), lit(0L))
+          .as("total_tokens"),
+        coalesce(sum(col("__q").cast("decimal(18,4)")),
+          lit(0).cast("decimal(18,4)")).cast("decimal(28,4)").as("q_sum"),
+        count(col("__q")).as("q_cnt"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"))
+  }
+
+  /** Associative merge of [[profileState]] frames: union + one hash
+    * aggregate over the model-sized states (counts/sums add, the
+    * envelope takes min/max). `merge(a, merge(b, c)) == merge(merge(a,
+    * b), c) == state(a ∪ b ∪ c)` exactly — the DECIMAL quality sum
+    * makes the quality moment order-independent, so a profile grown
+    * batch-by-batch is bit-identical to one built in one shot. */
+  def mergeProfileStates(groupCol: String, states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeProfileStates: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("q_sum")).cast("decimal(28,4)").as("q_sum"),
+        sum(col("q_cnt")).as("q_cnt"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"))
+  }
+
+  /** The report derivable exactly from a [[profileState]]: the x49
+    * columns minus the (unmergeable) quartiles, with `avg_quality`
+    * computed by the same floored-4dp DECIMAL-sum-over-non-null-count
+    * rule as [[corpusProfile]] (a group of only null-text docs reports
+    * null). */
+  def profileFromState(state: DataFrame, groupCol: String): DataFrame =
+    state.select(col(groupCol), col("n_docs"), col("total_tokens"),
+      (floor(col("q_sum").cast("double") / col("q_cnt") * 10000) / 10000)
+        .as("avg_quality"),
+      col("min_chars"), col("max_chars"))
+
   def boilerplateRate(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     require(minDf >= 2, s"boilerplateRate: minDf must be >= 2, got $minDf")

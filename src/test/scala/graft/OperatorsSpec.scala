@@ -220,6 +220,52 @@ class OperatorsSpec extends SparkSpec {
     assert(surv == Seq(1L, 5L, 7L))
   }
 
+  test("bestSurvivorPerCluster: max score wins, ties -> min id, singletons kept") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10), (2L, 30), (3L, 30), (5L, 5), (7L, 4), (9L, 2))
+      .toDF("doc_id", "n_chars")
+    val picked = Dedup.bestSurvivorPerCluster(docs, "doc_id", "n_chars", pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // family 1: 2 and 3 tie at 30 -> min id 2; family 7: 7 (4 > 2);
+    // 5 is its own singleton
+    assert(picked == Seq((1L, 2L, 3L), (5L, 5L, 1L), (7L, 7L, 2L)))
+  }
+
+  test("bestSurvivorPerCluster: null scores rank below any non-null; all-null family -> min id") {
+    val pairs = Seq((1L, 2L), (7L, 9L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, None), (2L, Some(1)), (7L, None), (9L, None))
+      .toDF("doc_id", "n_chars")
+    val picked = Dedup.bestSurvivorPerCluster(docs, "doc_id", "n_chars", pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(picked == Seq((1L, 2L, 2L), (7L, 7L, 2L)))
+  }
+
+  test("profileState merge: grown == one-shot, associative, order-free") {
+    val docs = (0L until 60L).map { i =>
+      val text = if (i % 17 == 0) null
+        else s"the quick document number $i with some plain text and ${"x" * (i % 7).toInt} tail"
+      (i, text, s"s${i % 3}", Option(text).map(_.length).getOrElse(0))
+    }.toDF("doc_id", "text", "source", "n_chars")
+    def report(st: org.apache.spark.sql.DataFrame): Seq[String] =
+      TextAnalysis.profileFromState(st, "source")
+        .orderBy("source").collect().map(_.toString).toSeq
+    val batches = Seq(
+      docs.where(col("doc_id") < 20),
+      docs.where(col("doc_id") >= 20 && col("doc_id") < 40),
+      docs.where(col("doc_id") >= 40))
+    val st = batches.map(TextAnalysis.profileState(_, "source", "text", "n_chars"))
+    val oneShot = report(TextAnalysis.profileState(docs, "source", "text", "n_chars"))
+    val leftFold = report(TextAnalysis.mergeProfileStates("source",
+      Seq(TextAnalysis.mergeProfileStates("source", Seq(st(0), st(1))), st(2))))
+    val rightFold = report(TextAnalysis.mergeProfileStates("source",
+      Seq(st(0), TextAnalysis.mergeProfileStates("source", Seq(st(1), st(2))))))
+    val reordered = report(TextAnalysis.mergeProfileStates("source",
+      Seq(st(2), st(0), st(1))))
+    assert(leftFold == oneShot)
+    assert(rightFold == oneShot)
+    assert(reordered == oneShot)
+  }
+
   test("arrayJaccard exact values") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.arrayJaccard(col("x"), col("y"))).as[Double].head()
