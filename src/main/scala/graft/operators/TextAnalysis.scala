@@ -518,6 +518,29 @@ object TextAnalysis {
         max(col(charsCol)).as("max_chars"))
   }
 
+  /** [[profileState]] from ALREADY-SCORED columns — the funnel handoff
+    * (the RunMix preScored analogue): a curation step has computed
+    * quality and token counts for every accepted row, so the state is
+    * one hash aggregate with NO second DocStats scan. Equivalence
+    * contract: `qualityCol`/`tokensCol` must be the docStats scoring
+    * of the frame's text (true of Curate outputs, whose text column IS
+    * the cleaned text the funnel scored) — then the state is
+    * bit-identical to [[profileState]] recomputed from the text, and
+    * merges freely with states from either constructor. */
+  def profileStateFromScored(df: DataFrame, groupCol: String,
+      qualityCol: String, tokensCol: String, charsCol: String): DataFrame =
+    df.withColumn("__q", floor(col(qualityCol) * 10000) / 10000)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col(tokensCol).cast("long")), lit(0L))
+          .as("total_tokens"),
+        coalesce(sum(col("__q").cast("decimal(18,4)")),
+          lit(0).cast("decimal(18,4)")).cast("decimal(28,4)").as("q_sum"),
+        count(col("__q")).as("q_cnt"),
+        min(col(charsCol)).as("min_chars"),
+        max(col(charsCol)).as("max_chars"))
+
   /** Associative merge of [[profileState]] frames: union + one hash
     * aggregate over the model-sized states (counts/sums add, the
     * envelope takes min/max). `merge(a, merge(b, c)) == merge(merge(a,

@@ -1,8 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, length}
 
-import graft.operators.{Curate, Dedup}
+import graft.operators.{Compaction, Curate, Dedup, TextAnalysis}
 
 /** The INCREMENTAL-INGESTION journey — the fourth runnable main,
   * completing the operability story around
@@ -38,6 +39,12 @@ import graft.operators.{Curate, Dedup}
   *  indexes/exact/, indexes/fuzzy/   the growing index tiers
   *  indexes/semantic/                (with --semantic) the IVF tier
   *  accepted/                        curated accepted rows, appended
+  *  profile_state/                   growing per-source report card —
+  *                                   the x69 mergeable state, updated
+  *                                   per batch from the funnel's own
+  *                                   scores (read it with
+  *                                   [[graft.operators.TextAnalysis
+  *                                   .profileFromState]])
   *  runs.jsonl                       one JSON line per run (history)
   */
 object RunIntake {
@@ -116,7 +123,32 @@ object RunIntake {
           Curate.intakeStep(spark, batch, "doc_id", "text",
             s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy", cfg, eval)
       }
+      // one funnel execution feeds BOTH the sink append and the profile
+      // state update (the curateAndReport lesson)
+      accepted.persist()
       accepted.write.mode(SaveMode.Append).parquet(s"$stateDir/accepted")
+      // growing per-source profile: the batch's mergeable state (x69
+      // algebra, built from the funnel's OWN scores — no second
+      // DocStats scan) merges into profile_state/ at O(batch) cost via
+      // the destroy-last swap. Replay caveat: a re-run crashed run
+      // double-counts here exactly as it duplicates rows in accepted/;
+      // re-baseline with profileState over the deduped sink.
+      if (accepted.columns.contains("source")) {
+        val batchState = TextAnalysis.profileStateFromScored(
+          accepted.withColumn("__chars", length(col("text"))),
+          "source", "quality", "n_tokens", "__chars")
+        val statePath = s"$stateDir/profile_state"
+        val p = new org.apache.hadoop.fs.Path(statePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p))
+          batchState.write.parquet(statePath)
+        else Compaction.replaceTable(spark, statePath) { tmp =>
+          TextAnalysis.mergeProfileStates("source",
+            Seq(spark.read.parquet(statePath), batchState))
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+      }
+      accepted.unpersist(false)
       val nAccepted = spark.read.parquet(s"$stateDir/accepted").count()
       val nIn = batch.count()
       Seq("input" -> nIn, "accepted_total" -> nAccepted,

@@ -334,6 +334,21 @@ class CurateSpec extends SparkSpec {
     assert(java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(state, "runs.jsonl")).size == 2,
       "runs.jsonl must carry one history line per run")
+    // the growing profile state (updated per batch from the funnel's
+    // own scores, no rescan) must read back EXACTLY as a one-shot
+    // re-score of the accumulated sink — the x69 algebra plus the
+    // scored-handoff equivalence contract in one assertion
+    import graft.operators.TextAnalysis
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      TextAnalysis.profileFromState(d, "source")
+        .orderBy("source").collect().map(_.toString).toSeq
+    val grown = rows(spark.read.parquet(s"$state/profile_state"))
+    val recomputed = rows(TextAnalysis.profileState(
+      accepted.withColumn("__chars",
+        org.apache.spark.sql.functions.length(col("text"))),
+      "source", "text", "__chars"))
+    assert(grown == recomputed,
+      s"grown profile state must equal one-shot re-score: $grown vs $recomputed")
     graft.operators.Dedup.releaseCheckpoints()
   }
 
