@@ -2045,6 +2045,158 @@ object Catalog {
                 max(n_chars) AS max_chars
               FROM q GROUP BY source ORDER BY source""")),
 
+    QueryDef("x70_hist_quantiles",
+      // the MERGEABLE quantile estimate (r8): x69's growing profile
+      // deliberately omits quartiles (exact percentiles don't merge);
+      // this closes that gap with a fixed-bin histogram state — three
+      // intake batches each contribute (source, bin, count) rows, the
+      // integer counts merge by addition, and q25/q50/q75 ESTIMATES
+      // (lower edge of the first bin reaching the nearest-rank
+      // position; within 1/64 of exact by construction) read out of
+      // the merged state. The oracle bins one-shot over the whole
+      // corpus — hash equality proves grown == one-shot AND pins the
+      // estimator algebra. Determinism: power-of-two bins make every
+      // edge an exact dyadic double; p ∈ {0.25,0.5,0.75} are exact
+      // binary fractions, so ceil(p·n) is engine-portable
+      (s, d) => {
+        val docs = documents(s, d)
+        val batches = Seq(
+          docs.where(col("doc_id") < 200),
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 350),
+          docs.where(col("doc_id") >= 350))
+        val states = batches.map(
+          TextAnalysis.profileHistState(_, "source", "text", bins = 64))
+        val grown = states.tail.foldLeft(states.head)((acc, st) =>
+          TextAnalysis.mergeHistStates("source", Seq(acc, st)))
+        TextAnalysis.histQuantiles(grown, "source", bins = 64,
+            ps = Seq(0.25, 0.5, 0.75))
+          .orderBy("source", "p")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') AS toks, text
+                FROM documents),
+              f AS (
+                SELECT doc_id, source,
+                  CAST(len(toks) AS DOUBLE) AS n_tok_d,
+                  CASE WHEN len(toks) > 0 THEN
+                    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS avg_len,
+                  CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - len(regexp_extract_all(text, '[a-zA-Z0-9\s]')) AS DOUBLE)
+                      / length(text)
+                  ELSE 1.0 END AS punct,
+                  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','ich','mit','von')))
+                     + len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that','it','was','for')))
+                     + len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','en','que','por','una')))
+                     + len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))
+                     + len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人'))) AS DOUBLE) AS stops
+                FROM t),
+              q AS (
+                SELECT source, floor((
+                    least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
+                  + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
+                  + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
+                  + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) * 10000) / 10000 AS ql
+                FROM f),
+              b AS (
+                SELECT source, CAST(least(floor(ql * 64), 63) AS BIGINT) AS bin,
+                  count(*) AS n
+                FROM q WHERE ql IS NOT NULL GROUP BY source, bin),
+              c AS (
+                SELECT source, bin,
+                  sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                  sum(n) OVER (PARTITION BY source) AS total
+                FROM b),
+              ps AS (
+                SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(0.75 AS DOUBLE)]) AS p)
+              SELECT source, p, CAST(min(bin) AS DOUBLE) / 64 AS q_est
+              FROM c JOIN ps ON cum >= ceil(p * total)
+              GROUP BY source, p ORDER BY source, p""")),
+
+    QueryDef("x71_profile_drift",
+      // the DRIFT MONITOR (r8): total-variation distance between two
+      // quality-histogram snapshots per source — the signal that a
+      // source's incoming quality DISTRIBUTION shifted (a mean can't
+      // see variance or bimodality moves). Snapshot B drops src19
+      // entirely, exercising the group-on-one-side branch (tv = 1.0,
+      // complete drift). Work is a join of two model-sized states.
+      // Determinism: the L1 numerator sums EXACT integers
+      // |n_a·t_b − n_b·t_a| as DECIMAL(38,0) over the common
+      // denominator (a double Σ of ratios would be shuffle-order
+      // dependent — the x49 lesson), divided once at the end
+      (s, d) => {
+        val docs = documents(s, d)
+        val histA = TextAnalysis.profileHistState(
+          docs.where(col("doc_id") < 300), "source", "text", bins = 64)
+        val histB = TextAnalysis.profileHistState(
+          docs.where(col("doc_id") >= 300 && col("source") =!= "src19"),
+          "source", "text", bins = 64)
+        TextAnalysis.profileHistDrift(histA, histB, "source")
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') AS toks, text
+                FROM documents),
+              f AS (
+                SELECT doc_id, source,
+                  CAST(len(toks) AS DOUBLE) AS n_tok_d,
+                  CASE WHEN len(toks) > 0 THEN
+                    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS avg_len,
+                  CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - len(regexp_extract_all(text, '[a-zA-Z0-9\s]')) AS DOUBLE)
+                      / length(text)
+                  ELSE 1.0 END AS punct,
+                  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','ich','mit','von')))
+                     + len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that','it','was','for')))
+                     + len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','en','que','por','una')))
+                     + len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','des','dans','que','pour')))
+                     + len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人'))) AS DOUBLE) AS stops
+                FROM t),
+              q AS (
+                SELECT doc_id, source, floor((
+                    least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
+                  + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
+                  + (1.0 - least(greatest(punct, 0.0), 1.0)) * 0.25
+                  + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) * 10000) / 10000 AS ql
+                FROM f),
+              ba AS (
+                SELECT source, CAST(least(floor(ql * 64), 63) AS BIGINT) AS bin,
+                  count(*) AS n
+                FROM q WHERE doc_id < 300 AND ql IS NOT NULL GROUP BY source, bin),
+              bb AS (
+                SELECT source, CAST(least(floor(ql * 64), 63) AS BIGINT) AS bin,
+                  count(*) AS n
+                FROM q WHERE doc_id >= 300 AND source <> 'src19' AND ql IS NOT NULL
+                GROUP BY source, bin),
+              tta AS (SELECT source, sum(n) AS t FROM ba GROUP BY source),
+              ttb AS (SELECT source, sum(n) AS t FROM bb GROUP BY source),
+              j AS (
+                SELECT coalesce(ba.source, bb.source) AS source,
+                  coalesce(ba.n, 0) AS na, coalesce(bb.n, 0) AS nb
+                FROM ba FULL OUTER JOIN bb
+                  ON ba.source = bb.source AND ba.bin = bb.bin),
+              agg AS (
+                SELECT j.source, sum(na) AS n_a, sum(nb) AS n_b,
+                  max(tta.t) AS ta, max(ttb.t) AS tb,
+                  sum(abs(CAST(na AS DECIMAL(19,0)) * CAST(coalesce(ttb.t, 0) AS DECIMAL(19,0))
+                        - CAST(nb AS DECIMAL(19,0)) * CAST(coalesce(tta.t, 0) AS DECIMAL(19,0)))) AS l1
+                FROM j LEFT JOIN tta ON tta.source = j.source
+                       LEFT JOIN ttb ON ttb.source = j.source
+                GROUP BY j.source)
+              SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CASE WHEN ta IS NULL OR tb IS NULL THEN 1.0
+                ELSE floor(CAST(l1 AS DOUBLE)
+                  / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) * 2.0) * 1e6) / 1e6 END AS tv
+              FROM agg ORDER BY source""")),
+
     // ================================================= extensions: similarity
     QueryDef("x06_knn_cosine",
       (s, d) => {

@@ -23,14 +23,21 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot map to
-    * TimestampType directly; read it as a long (legacy nanosAsLong)
-    * and convert nanos -> micros with integral division (the data is
-    * millisecond-precision, so this is lossless). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (older
+    * testdata drops — Spark can't map nanos to TimestampType, so it
+    * surfaces as a long under legacy nanosAsLong and needs a nanos ->
+    * micros conversion) and native TIMESTAMP(MICROS) (current drops —
+    * already a timestamp, passthrough). Dispatch on the read schema so
+    * either vintage loads identically; the data is millisecond
+    * precision, so the DIV 1000 on the nanos path is lossless. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -571,6 +571,127 @@ object TextAnalysis {
         .as("avg_quality"),
       col("min_chars"), col("max_chars"))
 
+  /** Mergeable per-group quality HISTOGRAM state — closes the gap
+    * [[profileState]] documents ("exact percentiles don't merge"):
+    * the 4dp-floored quality maps to a fixed bin
+    * `min(floor(q * bins), bins - 1)` over [0,1] (q = 1.0 folds into
+    * the top bin), and the integer bin counts merge by addition, so a
+    * histogram grown batch-by-batch is bit-identical to a one-shot
+    * build and quantile estimates with bounded error are derivable
+    * from the merged state at any moment ([[histQuantiles]]).
+    *
+    * Layout: one row per (group, bin) with a long count — the
+    * union+sum merge shape of [[mergeHistStates]]; empty bins are
+    * absent. Null-text rows carry no bin (the same non-null
+    * population as [[corpusProfile]]'s quartiles). `bins` must be a
+    * power of two ≤ 4096 so every bin edge `bin / bins` is an exact
+    * dyadic double — engine-portable without rounding. One
+    * [[docStats]] scan of the batch, one hash aggregate; the state is
+    * model-sized (≤ groups × bins rows). */
+  def profileHistState(df: DataFrame, groupCol: String, textCol: String,
+      bins: Int = 64): DataFrame = {
+    require(bins >= 2 && bins <= 4096 && (bins & (bins - 1)) == 0,
+      s"profileHistState: bins must be a power of two in [2, 4096], got $bins")
+    val q4 = floor(qualityScoreFromStats(col(textCol), col("__stats"))
+      * 10000) / 10000
+    df.withColumn("__stats", docStats(col(textCol)))
+      .withColumn("__q", q4)
+      .where(col("__q").isNotNull)
+      .withColumn("bin", least(floor(col("__q") * bins), lit(bins - 1L)).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Associative merge of [[profileHistState]] frames (same `bins`):
+    * union + one hash aggregate summing bin counts. Like
+    * [[mergeProfileStates]], `merge(a, merge(b, c)) == merge(merge(a,
+    * b), c) == state(a ∪ b ∪ c)` exactly — the counts are integers. */
+  def mergeHistStates(groupCol: String, states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeHistStates: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Quantile ESTIMATES from a [[profileHistState]]: for each `p` the
+    * lower edge of the first bin whose cumulative count reaches the
+    * nearest-rank position `ceil(p * n)`. Guarantee (a theorem, spec-
+    * pinned): the exact nearest-rank order statistic v of the binned
+    * values satisfies `q_est <= v < q_est + 1/bins` — the estimate is
+    * never more than one bin wide of exact, at O(batch) maintenance
+    * cost instead of the O(corpus) re-sort exact quartiles need.
+    *
+    * Determinism fine print: `p` must be an exact binary fraction
+    * (0.25 / 0.5 / 0.75 are) so `p * n` and its ceiling are exact on
+    * every engine; bin edges are exact dyadic doubles (the power-of-
+    * two `bins` contract). The cumulative window runs over the MODEL-
+    * SIZED state (≤ groups × bins rows), never the corpus — this is a
+    * report over an artifact, not a data-scale window. Output: one
+    * row per (group, p): (group, p, q_est). */
+  def histQuantiles(state: DataFrame, groupCol: String, bins: Int,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "histQuantiles: no quantile positions")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val cum = state
+      .withColumn("__cum", sum(col("n"))
+        .over(Window.partitionBy(groupCol).orderBy("bin")))
+      .withColumn("__total", sum(col("n"))
+        .over(Window.partitionBy(groupCol)))
+    cum.join(ps.toDF("p"), col("__cum") >= ceil(col("p") * col("__total")))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("bin")).as("__qbin"))
+      .withColumn("q_est", col("__qbin").cast("double") / bins)
+      .drop("__qbin")
+  }
+
+  /** Per-group DISTRIBUTION DRIFT between two [[profileHistState]]
+    * snapshots (same `bins`): total-variation distance
+    * `TV = 0.5 * Σ_bin |n_a/total_a − n_b/total_b|` on the quality
+    * histograms, plus both doc counts — the monitoring signal that a
+    * source's incoming quality distribution has shifted since the
+    * last snapshot (a mean alone can't see a variance or bimodality
+    * change). TV ∈ [0,1]; a group present on only one side reports
+    * TV = 1 (complete drift) by the same algebra (the missing side
+    * contributes probability 0 to every bin). Work is ONE full-outer
+    * join of two model-sized states plus a window over the joined
+    * rows (per-group totals — `sum` over an all-null side is NULL,
+    * which is exactly the group-absent signal): each input is read
+    * once, no corpus access, no second totals pass.
+    *
+    * Determinism: a double Σ|n_a/t_a − n_b/t_b| would be shuffle-order
+    * dependent (the x49 lesson), so the L1 numerator is summed EXACTLY
+    * over the common denominator — Σ|n_a·t_b − n_b·t_a| as
+    * DECIMAL(38,0) integers — and divided by 2·t_a·t_b once at the
+    * end (one fixed double-op sequence, engine-replayable). Output:
+    * (group, n_a, n_b, tv) with tv floored to 6dp. */
+  def profileHistDrift(histA: DataFrame, histB: DataFrame,
+      groupCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+    histA.select(col(groupCol), col("bin"), col("n").as("__na"))
+      .join(histB.select(col(groupCol), col("bin"), col("n").as("__nb")),
+        Seq(groupCol, "bin"), "full_outer")
+      .withColumn("__ta", sum(col("__na")).over(w))
+      .withColumn("__tb", sum(col("__nb")).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("__ta")).as("__ta"), max(col("__tb")).as("__tb"),
+        sum(coalesce(col("__na"), lit(0L))).as("n_a"),
+        sum(coalesce(col("__nb"), lit(0L))).as("n_b"),
+        sum(abs(
+          coalesce(col("__na"), lit(0L)).cast("decimal(19,0)")
+            * coalesce(col("__tb"), lit(0L)).cast("decimal(19,0)") -
+          coalesce(col("__nb"), lit(0L)).cast("decimal(19,0)")
+            * coalesce(col("__ta"), lit(0L)).cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("__l1"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("__ta").isNull || col("__tb").isNull, lit(1.0))
+          .otherwise(floor(col("__l1").cast("double")
+            / (col("__ta").cast("double") * col("__tb").cast("double") * 2.0)
+            * 1e6) / 1e6)
+          .as("tv"))
+  }
+
   def boilerplateRate(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     require(minDf >= 2, s"boilerplateRate: minDf must be >= 2, got $minDf")

@@ -266,6 +266,76 @@ class OperatorsSpec extends SparkSpec {
     assert(reordered == oneShot)
   }
 
+  test("profileHistState merge: grown == one-shot; quantile estimate within one bin of exact") {
+    val bins = 64
+    val docs = (0L until 90L).map { i =>
+      val text = if (i % 13 == 0) null
+        else ("word " * (1 + (i % 11)).toInt) + s"doc $i " + ("!" * (i % 5).toInt)
+      (i, text, s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    def canon(st: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      st.as[(String, Long, Long)].collect().toSet
+    val batches = Seq(
+      docs.where(col("doc_id") < 30),
+      docs.where(col("doc_id") >= 30 && col("doc_id") < 60),
+      docs.where(col("doc_id") >= 60))
+    val st = batches.map(TextAnalysis.profileHistState(_, "source", "text", bins))
+    val oneShot = canon(TextAnalysis.profileHistState(docs, "source", "text", bins))
+    val leftFold = canon(TextAnalysis.mergeHistStates("source",
+      Seq(TextAnalysis.mergeHistStates("source", Seq(st(0), st(1))), st(2))))
+    val reordered = canon(TextAnalysis.mergeHistStates("source",
+      Seq(st(2), st(0), st(1))))
+    assert(leftFold == oneShot)
+    assert(reordered == oneShot)
+
+    // one-bin-error theorem: for every (group, p) the exact nearest-rank
+    // order statistic v of the binned (4dp-floored) qualities satisfies
+    // q_est <= v < q_est + 1/bins
+    val ps = Seq(0.25, 0.5, 0.75)
+    val merged = TextAnalysis.mergeHistStates("source", st)
+    val est = TextAnalysis.histQuantiles(merged, "source", bins, ps)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    val quals = docs
+      .withColumn("__stats", TextAnalysis.docStats(col("text")))
+      .withColumn("__q", floor(
+        TextAnalysis.qualityScoreFromStats(col("text"), col("__stats")) * 10000) / 10000)
+      .where(col("__q").isNotNull)
+      .select(col("source"), col("__q")).as[(String, Double)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    assert(est.keySet == (for (g <- quals.keySet; p <- ps) yield (g, p)).toSet)
+    for (((g, p), qEst) <- est) {
+      val xs = quals(g)
+      val v = xs(math.ceil(p * xs.length).toInt - 1) // nearest-rank, 1-indexed
+      assert(qEst <= v && v < qEst + 1.0 / bins,
+        s"group $g p=$p: est $qEst vs exact $v")
+    }
+  }
+
+  test("profileHistDrift: identical -> 0; one-sided group -> 1; tv in [0,1]") {
+    val docs = (0L until 60L).map { i =>
+      (i, ("tok " * (1 + (i % 9)).toInt) + s"doc $i", s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val full = TextAnalysis.profileHistState(docs, "source", "text", 64)
+    val same = TextAnalysis.profileHistDrift(full, full, "source")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(same.length == 3 && same.forall(r => r._4 == 0.0 && r._2 == r._3))
+    // drop s2 from snapshot B: complete drift for s2, counts carried
+    val histB = TextAnalysis.profileHistState(
+      docs.where(col("source") =!= "s2"), "source", "text", 64)
+    val drift = TextAnalysis.profileHistDrift(full, histB, "source")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    val s2 = drift.find(_._1 == "s2").get
+    assert(s2._4 == 1.0 && s2._3 == 0L && s2._2 == 20L)
+    assert(drift.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // shifting a distribution moves tv strictly above 0
+    val skew = TextAnalysis.profileHistState(
+      docs.where(col("doc_id") % 2 === 0), "source", "text", 64)
+    val moved = TextAnalysis.profileHistDrift(full, skew, "source")
+      .as[(String, Long, Long, Double)].collect()
+    assert(moved.exists(_._4 > 0.0))
+  }
+
   test("arrayJaccard exact values") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.arrayJaccard(col("x"), col("y"))).as[Double].head()

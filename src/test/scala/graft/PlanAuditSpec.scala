@@ -206,6 +206,36 @@ class PlanAuditSpec extends SparkSpec {
       s"sample window must rank id frames, not text:\n$windowLines")
   }
 
+  test("x70/x71: histogram state is one scan + one hash agg; drift is one join, two scans") {
+    // the mergeable-state contract: building a batch's histogram state
+    // touches the batch ONCE (scan -> partial/final hash agg, a single
+    // exchange, no join, no window); everything downstream (quantile
+    // readout, drift) runs over the model-sized state
+    val state = operators.TextAnalysis.profileHistState(
+      Tables.documents(spark, sf("sf0.001")), "source", "text", 64)
+    val sp = finalPlan(state)
+    val ss = sp.toString()
+    assert(!ss.contains("Join"), s"state build must not join:\n$ss")
+    assert(!ss.contains("Window"), s"state build must not window:\n$ss")
+    // AQE hides the Exchange inside a leaf ShuffleQueryStage, so count
+    // from the rendered tree, not a collect
+    assert(ss.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"state build must shuffle exactly once:\n$ss")
+    // drift: each snapshot scanned once (totals come from a window over
+    // the joined state, not a second pass), one state-level join
+    val dp = finalPlan(q("x71_profile_drift"))
+    val ds = dp.toString()
+    val scans = ds.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 2, s"drift must scan each snapshot once, got $scans:\n$ds")
+    assert(ds.linesIterator.count(l => l.contains("Join")) == 1,
+      s"drift must join exactly once:\n$ds")
+    // quantile readout: the ps join must broadcast, never shuffle
+    val qs = finalPlan(q("x70_hist_quantiles")).toString()
+    assert(!qs.contains("SortMergeJoin") && !qs.contains("ShuffledHashJoin"),
+      s"quantile position join must broadcast:\n$qs")
+  }
+
   test("x45: threshold side reads only the value column and broadcasts one row") {
     // the whole point of quantileBuckets is NO corpus sort: the
     // threshold aggregate must scan a pruned single-column schema,
