@@ -12,6 +12,13 @@ import graft.operators.{Dedup, IvfAnn, TextAnalysis}
   * six ad-hoc queries.
   *
   *   profile/            per-source report card (x49 `corpusProfile`)
+  *   hist/               per-source quality-histogram state (x70
+  *                       `profileHistState`, 64 bins) — the mergeable
+  *                       snapshot the NEXT audit diffs against
+  *   drift/              per-source total-variation distance vs the
+  *                       `--prev` audit's hist/ (x71
+  *                       `profileHistDrift`) — present only with
+  *                       `--prev`
   *   dup_matrix/         cross-source duplication matrix over the
   *                       MinHash pair relation (x59)
   *   minhash_accuracy/   estimated-vs-exact Jaccard on the tier's own
@@ -33,15 +40,19 @@ import graft.operators.{Dedup, IvfAnn, TextAnalysis}
   * floored integer).
   *
   * Usage: runMain graft.pipeline.RunAudit [corpusDir] [outDir]
-  *          [--sample N] [--queries Q]
+  *          [--sample N] [--queries Q] [--prev prevAuditDir]
   * `corpusDir` must contain `documents.parquet`; `embeddings.parquet`
   * is optional — without it the two vector monitors are skipped (and
-  * report.json says so). */
+  * report.json says so). `--prev` names the LAST audit's output dir:
+  * its persisted hist/ state is diffed against this run's (a join of
+  * two model-sized artifacts — the previous CORPUS is never re-read),
+  * surfacing per-source quality-distribution drift since that audit. */
 object RunAudit {
 
   def main(args: Array[String]): Unit = {
     var sample = 300
     var queries = 50
+    var prev: Option[String] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -52,6 +63,9 @@ object RunAudit {
         case "--queries" =>
           require(i + 1 < args.length, "--queries needs a count")
           queries = args(i + 1).toInt; i += 1
+        case "--prev" =>
+          require(i + 1 < args.length, "--prev needs an audit dir")
+          prev = Some(args(i + 1)); i += 1
         case other => positional += other
       }
       i += 1
@@ -75,13 +89,14 @@ object RunAudit {
       else None
     }
     run(spark, spark.read.parquet(s"$corpusDir/documents.parquet"), emb,
-      outDir, sample, queries)
+      outDir, sample, queries, prev)
     spark.stop()
   }
 
   /** One audit run. Returns the report pairs written to report.json. */
   def run(spark: SparkSession, docs: DataFrame, embeddings: Option[DataFrame],
-      outDir: String, sampleDocs: Int = 300, annQueries: Int = 50)
+      outDir: String, sampleDocs: Int = 300, annQueries: Int = 50,
+      prevAuditDir: Option[String] = None)
       : Seq[(String, String)] = {
     val t0 = System.nanoTime()
     def save(df: DataFrame, name: String): DataFrame = {
@@ -92,6 +107,21 @@ object RunAudit {
     val profile = save(
       TextAnalysis.corpusProfile(docs, "source", "text", "n_chars"),
       "profile")
+    // 1b. the mergeable quality-histogram snapshot (one more DocStats
+    // scan of THIS corpus), then drift vs the previous audit's
+    // persisted snapshot — a join of two model-sized artifacts; the
+    // previous corpus is never re-read. Each audit writes to its own
+    // dir (dated), so --prev must not alias outDir: hist/ is written
+    // before the drift reads prev's.
+    require(!prevAuditDir.contains(outDir),
+      s"--prev must name a DIFFERENT audit dir than $outDir")
+    val hist = save(
+      TextAnalysis.profileHistState(docs, "source", "text", bins = 64),
+      "hist")
+    val drift = prevAuditDir.map { p =>
+      save(TextAnalysis.profileHistDrift(
+        spark.read.parquet(s"$p/hist"), hist, "source"), "drift")
+    }
     // 2. the fuzzy tier's pair relation once, three views of it
     val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 64, bands = 16, threshold = 0.5)
@@ -145,12 +175,22 @@ object RunAudit {
       Seq("ivf_max_cell_share_ppm" -> maxShare.toString,
         "ann_avg_recall_ppm" -> avgRecall.toString)
     }.getOrElse(Seq("vector_monitors" -> "\"skipped: no embeddings.parquet\""))
+    val driftSummary = drift.map { d =>
+      // tv is floored to 6dp, so tv*1e6 is an exact integer ppm
+      d.select(col("source"),
+          round(col("tv") * 1e6).cast("long").as("ppm"))
+        .orderBy(col("ppm").desc, col("source")).take(1).headOption
+        .map(worst =>
+          Seq("max_drift_tv_ppm" -> worst.getAs[Long]("ppm").toString,
+            "max_drift_source" -> s""""${worst.getAs[String]("source")}""""))
+        .getOrElse(Seq("drift" -> "\"both snapshots empty\""))
+    }.getOrElse(Seq("drift" -> "\"skipped: no --prev audit dir\""))
     val report = Seq(
       "n_docs" -> nDocs.toString,
       "n_sources" -> nSources.toString,
       "dup_candidate_pairs" -> nPairs.toString,
       "minhash_worst_abs_err_ppm" -> worstErr.toString,
-      "banding_catch_by_band" -> bandSummary) ++ vecSummary ++ Seq(
+      "banding_catch_by_band" -> bandSummary) ++ vecSummary ++ driftSummary ++ Seq(
       "millis" -> ((System.nanoTime() - t0) / 1000000L).toString)
     // values are already JSON-ready: numbers bare, the band map an
     // object, the skipped marker pre-quoted

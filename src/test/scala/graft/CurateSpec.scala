@@ -313,6 +313,39 @@ class CurateSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("RunAudit --prev: drift reads from persisted snapshots; vanished source reads 1.0") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out1 = java.nio.file.Files
+      .createTempDirectory("graft_audit_w1").toString
+    graft.pipeline.RunAudit.run(spark, docs, None, out1)
+    // week 2: src19 stopped arriving, every other source unchanged
+    val week2 = docs.where(col("source") =!= "src19")
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_audit_w2").toString
+    val rep = graft.pipeline.RunAudit
+      .run(spark, week2, None, out2, prevAuditDir = Some(out1)).toMap
+    val drift = spark.read.parquet(s"$out2/drift")
+    assert(drift.count() == 20, "src19 must surface from the prev side")
+    val s19 = drift.where(col("source") === "src19")
+      .select("n_b", "tv").head()
+    assert(s19.getLong(0) == 0L && s19.getDouble(1) == 1.0,
+      "a vanished source is complete drift")
+    assert(drift.where(col("tv") === 0.0).count() == 19,
+      "unchanged sources must read exactly zero drift")
+    assert(rep("max_drift_source") == "\"src19\"" &&
+      rep("max_drift_tv_ppm") == "1000000")
+    // without --prev the journey says so instead of failing
+    assert(graft.pipeline.RunAudit.run(spark, docs, None,
+        s"${out1}_alone").toMap.apply("drift").contains("skipped"))
+    // hist/ is written before drift reads prev's, so aliasing dirs is refused
+    intercept[IllegalArgumentException] {
+      graft.pipeline.RunAudit.run(spark, week2, None, out2,
+        prevAuditDir = Some(out2))
+    }
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
