@@ -602,6 +602,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** [[profileHistState]] from an ALREADY-SCORED quality column — the
+    * funnel handoff (the [[profileStateFromScored]] analogue): one
+    * hash aggregate, no second DocStats scan. Equivalence contract:
+    * `qualityCol` must be the docStats scoring of the frame's text —
+    * then the state is bit-identical to [[profileHistState]] recomputed
+    * from the text (the 4dp floor is applied HERE, so a raw score and
+    * its floored form bin identically) and merges freely with states
+    * from either constructor. */
+  def profileHistStateFromScored(df: DataFrame, groupCol: String,
+      qualityCol: String, bins: Int = 64): DataFrame = {
+    require(bins >= 2 && bins <= 4096 && (bins & (bins - 1)) == 0,
+      s"profileHistStateFromScored: bins must be a power of two in [2, 4096], got $bins")
+    df.withColumn("__q", floor(col(qualityCol) * 10000) / 10000)
+      .where(col("__q").isNotNull)
+      .withColumn("bin", least(floor(col("__q") * bins), lit(bins - 1L)).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Associative merge of [[profileHistState]] frames (same `bins`):
     * union + one hash aggregate summing bin counts. Like
     * [[mergeProfileStates]], `merge(a, merge(b, c)) == merge(merge(a,

@@ -45,6 +45,14 @@ import graft.operators.{Compaction, Curate, Dedup, TextAnalysis}
   *                                   scores (read it with
   *                                   [[graft.operators.TextAnalysis
   *                                   .profileFromState]])
+  *  hist_state/                      growing per-source quality
+  *                                   histogram — the x70 mergeable
+  *                                   state, same per-batch growth
+  *                                   (quantile estimates via
+  *                                   [[graft.operators.TextAnalysis
+  *                                   .histQuantiles]]; diffable by
+  *                                   [[graft.operators.TextAnalysis
+  *                                   .profileHistDrift]] / RunAudit)
   *  runs.jsonl                       one JSON line per run (history)
   */
 object RunIntake {
@@ -145,6 +153,19 @@ object RunIntake {
         else Compaction.replaceTable(spark, statePath) { tmp =>
           TextAnalysis.mergeProfileStates("source",
             Seq(spark.read.parquet(statePath), batchState))
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+        // the x70 histogram state grows beside it (same funnel scores,
+        // same O(batch) merge) — RunAudit --prev can then diff the
+        // intake sink's distribution without any audit-time corpus scan
+        val batchHist = TextAnalysis.profileHistStateFromScored(
+          accepted, "source", "quality", bins = 64)
+        val histPath = s"$stateDir/hist_state"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(histPath)))
+          batchHist.write.parquet(histPath)
+        else Compaction.replaceTable(spark, histPath) { tmp =>
+          TextAnalysis.mergeHistStates("source",
+            Seq(spark.read.parquet(histPath), batchHist))
             .write.mode(SaveMode.Overwrite).parquet(tmp)
         }
       }

@@ -382,6 +382,15 @@ class CurateSpec extends SparkSpec {
       "source", "text", "__chars"))
     assert(grown == recomputed,
       s"grown profile state must equal one-shot re-score: $grown vs $recomputed")
+    // the histogram state grows beside it under the same contract:
+    // grown-per-batch == one-shot re-binning of the accumulated sink
+    def bins(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.orderBy("source", "bin").collect().map(_.toString).toSet
+    val grownHist = bins(spark.read.parquet(s"$state/hist_state"))
+    val recomputedHist = bins(TextAnalysis.profileHistState(
+      accepted, "source", "text", bins = 64))
+    assert(grownHist == recomputedHist,
+      "grown hist state must equal one-shot re-binning of the sink")
     graft.operators.Dedup.releaseCheckpoints()
   }
 
