@@ -2869,6 +2869,54 @@ object Catalog {
                   // (SELECT count(*) FROM embeddings) AS share_ppm
               FROM assign GROUP BY cell ORDER BY cell""")),
 
+    QueryDef("x72_diversity_sample",
+      // cluster-balanced corpus cap (the D4/SemDeDup companion): dedup
+      // removes copies, not redundancy — topical mass survives it.
+      // Cap each IVF cell at perCell vectors, chosen by the smallest
+      // md5 draws within the cell: over-cap semantic regions shrink to
+      // the cap, tail regions pass whole. Map-only assignment +
+      // k-bounded per-cell quota — the shuffle carries the cap, never
+      // the cell population
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        IvfAnn.diversitySample(emb, "vec_id", "embedding", cents,
+            perCell = 20)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .orderBy("vec_id")
+      },
+      // the x61 assignment replay (seed centroids, exact integer
+      // nearest-cell argmin, ties to the lower cell) + the x38 quota
+      // replay (52-bit md5 draw, ties by id) over the cell
+      Some(s"""WITH q AS (
+                SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, d,
+                  CAST(floor(CAST(sum(qv[CAST(d AS INT)]) AS DOUBLE)
+                             / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d)
+                GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[CAST(ct.d AS INT)] - ct.c)
+                         * (q.qv[CAST(ct.d AS INT)] - ct.c)) AS BIGINT) AS d2
+                FROM q, cent ct
+                GROUP BY q.vec_id, ct.cell),
+              assign AS (
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cell) AS rn FROM dist) t WHERE rn = 1)
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+                  ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 13) AS BIGINT),
+                    vec_id) AS rn
+                FROM assign) t
+              WHERE rn <= 20 ORDER BY vec_id""")),
+
     QueryDef("x62_ann_recall",
       // recall@k of the IVF search against the exact brute force —
       // the drift monitor's decision number: nprobe=2 of 16 cells, so

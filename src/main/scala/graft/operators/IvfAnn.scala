@@ -334,6 +334,32 @@ object IvfAnn {
           .as("share_ppm"))
   }
 
+  /** DIVERSITY SAMPLE (cluster-balanced corpus cap, the D4/SemDeDup
+    * companion): keep at most `perCell` vectors per IVF cell, selected
+    * by the smallest 52-bit md5 draws within the cell — so a semantic
+    * cluster with a million near-identical members contributes the
+    * same mass to the sample as a cluster of a thousand distinct ones,
+    * while under-cap tail clusters pass whole. The deduped-but-skewed
+    * corpus problem: dedup removes COPIES, not redundancy — topical
+    * mass survives it; this caps mass per semantic region.
+    *
+    * Scale shape: cell assignment is the map-only codegen'd
+    * [[cellIdInt]] (the model rides along as literals, no join), and
+    * the cap is [[Sampling.quotaCapPerGroup]]'s k-bounded TopKPairs
+    * aggregate — the shuffle carries at most `perCell` ids per
+    * (cell, task), never the cell's population (the x38 argument, with
+    * the cell as the group). Selection is engine-replayable: uniform
+    * within the cell, deterministic under rerun/layout/growth (ids
+    * hash, positions don't). Returns the surviving corpus rows plus
+    * their `cell` column. */
+  def diversitySample(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[IntCentroid], perCell: Int): DataFrame = {
+    require(perCell > 0, s"diversitySample: perCell must be > 0, got $perCell")
+    Sampling.quotaCapPerGroup(
+      corpus.withColumn("cell", cellIdInt(col(vecCol), cents)),
+      "cell", idCol, perCell)
+  }
+
   /** Recall@k audit of the IVF search against the exact brute force —
     * the drift monitor's other half: as a frozen-centroid index grows,
     * RECALL decays before latency does, and this is the number the

@@ -664,6 +664,31 @@ class FunctionsSpec extends SparkSpec {
       s"floored integer shares must sum to just under 1e6: $shareSum")
   }
 
+  test("diversitySample: over-cap cells shrink to the cap, under-cap cells pass whole; layout-invariant") {
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(corpus, "vec_id", "embedding", nlist = 4)
+    val pop = IvfAnn.cellProfile(corpus, "vec_id", "embedding", cents)
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vectors")).toMap
+    val k = 20
+    val sampled = IvfAnn.diversitySample(corpus, "vec_id", "embedding", cents, k)
+    val got = sampled.groupBy("cell").count()
+      .collect().map(r => r.getAs[Int]("cell").toLong -> r.getAs[Long]("count")).toMap
+    assert(pop.keySet == got.keySet, "no cell may vanish from the sample")
+    pop.foreach { case (cell, n) =>
+      assert(got(cell) == math.min(n, k.toLong),
+        s"cell $cell: pop $n, cap $k, sampled ${got(cell)}")
+    }
+    // the sample is corpus rows (semi-join semantics), and the draw is
+    // a pure id function — a different layout picks the same ids
+    val ids = sampled.select("vec_id").as[Long].collect().toSet
+    val ids2 = IvfAnn.diversitySample(corpus.repartition(7), "vec_id",
+      "embedding", cents, k).select("vec_id").as[Long].collect().toSet
+    assert(ids == ids2, "selection must be layout-invariant")
+    assert(ids.subsetOf((0L until 120L).toSet))
+  }
+
   test("appendToFuzzyIndex saturation: no bucket ever exceeds maxBucketSize; sets rows always land") {
     import graft.operators.Dedup
     // identical text -> identical signature -> every doc lands in the
