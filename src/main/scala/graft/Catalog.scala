@@ -3610,6 +3610,49 @@ object Catalog {
                       * 1000000) AS BIGINT)
               ORDER BY doc_id""")),
 
+    QueryDef("x73_measured_mixture",
+      // "mix what you have toward what you want": per-source sampling
+      // rates computed from the corpus's own MEASURED token state
+      // against a target token distribution (src0 asks for 60% of a
+      // 3000-token budget — more than it has, so it clips at 1e6 and
+      // the shortfall is visible; untargeted sources rate 0 and drop).
+      // rate_ppm = min(1e6, floor(budget·target_ppm / tokens)) — the
+      // two 1e6 factors cancel into ONE exact integer division; the
+      // apply side is the map-only ppm draw (no double round-trip:
+      // ppm/1e6 through a double can floor to ppm-1)
+      (s, d) => Sampling.sampleToTokenTarget(documents(s, d),
+          "source", "doc_id", "text",
+          targetsPpm = Map("src0" -> 600000L, "src1" -> 200000L,
+            "src2" -> 100000L, "src3" -> 100000L),
+          budgetTokens = 3000L, salt = "mix73")
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                  list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') AS toks
+                FROM documents),
+              tok AS (
+                SELECT source, coalesce(sum(len(toks)), 0) AS total_tokens
+                FROM t GROUP BY source),
+              tgt AS (
+                SELECT * FROM (VALUES ('src0', 600000), ('src1', 200000),
+                  ('src2', 100000), ('src3', 100000)) v(source, tppm)),
+              rates AS (
+                SELECT tok.source,
+                  CASE WHEN total_tokens <= 0 THEN 0
+                  ELSE least(1000000, CAST((3000 * CAST(tppm AS HUGEINT))
+                    // CAST(total_tokens AS HUGEINT) AS BIGINT)) END AS rate_ppm
+                FROM tok JOIN tgt ON tgt.source = tok.source)
+              SELECT d.doc_id, d.source, r.rate_ppm
+              FROM documents d JOIN rates r ON r.source = d.source
+              WHERE CAST('0x' || substring(
+                      md5('mix73:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000
+                  < r.rate_ppm
+              ORDER BY d.doc_id""")),
+
     QueryDef("x44_chunk_dedup",
       // C4-style duplicated-PASSAGE removal at chunk granularity:
       // non-overlapping 3-token chunks, each distinct chunk keeps its

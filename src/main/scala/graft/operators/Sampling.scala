@@ -180,6 +180,90 @@ object Sampling {
     df.where(draw < thr)
   }
 
+  /** [[deterministicSampleByRate]] with the threshold given DIRECTLY
+    * as integer ppm — for callers whose rate is already an exact ppm
+    * artifact ([[ratesFromState]]): `ppm/1e6` through a double and
+    * back can land one ulp under the integer and floor to ppm−1,
+    * silently shifting the survivor set by one draw value. Null ppm
+    * samples at 0 (no threshold, nothing survives). Same draw, same
+    * salt semantics — a ppm caller and a double caller with the same
+    * salt see the same draws. */
+  def deterministicSampleByRatePpm(df: DataFrame, idCol: String,
+      ratePpm: Column, salt: String = "rate"): DataFrame = {
+    val draw = conv(substring(
+        md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+    df.where(draw <
+      least(greatest(coalesce(ratePpm.cast("long"), lit(0L)), lit(0L)),
+        lit(1000000L)))
+  }
+
+  /** Per-group sampling RATES from a measured [[graft.operators
+    * .TextAnalysis.profileState]] against a TARGET token distribution
+    * — "mix what you have toward what you want": the hand-tuned
+    * weights a [[weightedMixture]] caller guesses become an artifact
+    * computed from the corpus's own measured state (the DoReMi-shaped
+    * workflow, with the mixture fixed by spec rather than learned).
+    *
+    * For each group: the target asks for `budgetTokens · target_ppm /
+    * 1e6` tokens; sampling uniformly at `rate` keeps `rate ·
+    * total_tokens` in expectation, so `rate_ppm = min(1e6,
+    * floor(budgetTokens · target_ppm / total_tokens))` (the two 1e6
+    * factors cancel — ONE exact integer division, DECIMAL(38,0)
+    * intermediates so a 100 T-token budget cannot overflow). A group
+    * with no target, a zero target, or zero measured tokens rates 0; a
+    * target the corpus cannot fill clips at 1e6 (take everything —
+    * the shortfall is visible as rate_ppm == 1e6).
+    *
+    * Work is a map over the MODEL-SIZED state (targets ride as a map
+    * literal — no join, no corpus access); apply the result with
+    * [[sampleToTokenTarget]] or join + [[deterministicSampleByRatePpm]].
+    * Output: (group, total_tokens, rate_ppm). */
+  def ratesFromState(state: DataFrame, groupCol: String,
+      targetsPpm: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0,
+      s"ratesFromState: budgetTokens must be >= 0, got $budgetTokens")
+    require(targetsPpm.values.forall(t => t >= 0 && t <= 1000000L),
+      "ratesFromState: every target must be in [0, 1000000] ppm")
+    require(targetsPpm.values.sum <= 1000000L,
+      s"ratesFromState: targets sum to ${targetsPpm.values.sum} ppm > 1e6")
+    val t = coalesce(
+      element_at(typedLit(targetsPpm), col(groupCol)), lit(0L))
+    state.select(col(groupCol), col("total_tokens"),
+      when(col("total_tokens") <= 0L || t === 0L, lit(0L))
+        // clip while still DECIMAL: a huge budget·target quotient must
+        // saturate at 1e6, not overflow the long cast
+        .otherwise(least(lit(1000000L).cast("decimal(38,0)"),
+          floor(lit(budgetTokens).cast("decimal(38,0)") * t
+            / col("total_tokens").cast("decimal(38,0)")))
+          .cast("long"))
+        .as("rate_ppm"))
+  }
+
+  /** The composed op: score the corpus's own state, derive rates, and
+    * sample — one DocStats scan for the state (skip it by passing a
+    * persisted `state`), one broadcast-sized rates join, one map-only
+    * ppm draw. Groups without a target drop entirely (their rate is
+    * 0 — the target IS the mix). Returns surviving rows plus their
+    * `rate_ppm`. */
+  def sampleToTokenTarget(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, targetsPpm: Map[String, Long], budgetTokens: Long,
+      salt: String = "mix", state: Option[DataFrame] = None): DataFrame = {
+    // minimal (group, total_tokens) state — the same token algebra as
+    // profileState, so a persisted x69 state drops in unchanged
+    val st = state.getOrElse(
+      df.withColumn("__stats",
+          graft.operators.TextAnalysis.docStats(col(textCol)))
+        .groupBy(col(groupCol))
+        .agg(coalesce(
+          sum(col("__stats").getField("n_tokens").cast("long")), lit(0L))
+          .as("total_tokens")))
+    val rates = ratesFromState(st, groupCol, targetsPpm, budgetTokens)
+      .select(col(groupCol), col("rate_ppm"))
+    deterministicSampleByRatePpm(
+      df.join(broadcast(rates), Seq(groupCol)), idCol, col("rate_ppm"), salt)
+  }
+
   /** Default accuracy for the sketch path of [[quantileThresholds]]:
     * `approx_percentile`'s KLL/GK-style bound guarantees each returned
     * threshold's RANK error is at most `n / accuracy` rows — at 10000,

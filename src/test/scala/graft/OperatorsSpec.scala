@@ -91,6 +91,47 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == 6L)
   }
 
+  test("ratesFromState: exact integer rates, clip, zero cases; persisted-state drop-in") {
+    val state = Seq(("a", 1000L), ("b", 400L), ("c", 0L), ("d", 500L))
+      .toDF("source", "total_tokens")
+    val rates = Sampling.ratesFromState(state, "source",
+        Map("a" -> 500000L, "b" -> 300000L, "c" -> 100000L),
+        budgetTokens = 1000L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_ppm"))
+      .toMap
+    // a: floor(1000·500000/1000)=500000; b: floor(1000·300000/400)=750000
+    // c: zero tokens -> 0; d: no target -> 0
+    assert(rates == Map("a" -> 500000L, "b" -> 750000L, "c" -> 0L, "d" -> 0L))
+    // an unfillable target saturates at 1e6 in DECIMAL space (no
+    // long-overflow wrap on the way)
+    val clipped = Sampling.ratesFromState(state, "source",
+        Map("a" -> 500000L), budgetTokens = Long.MaxValue)
+      .where(col("source") === "a")
+      .select("rate_ppm").as[Long].head()
+    assert(clipped == 1000000L)
+    intercept[IllegalArgumentException] {
+      Sampling.ratesFromState(state, "source",
+        Map("a" -> 600000L, "b" -> 500000L), 10L) // targets sum > 1e6
+    }
+    // the composed op: a persisted x69 profile state drops in for the
+    // inline scoring scan without changing a single survivor
+    val docs = (0L until 80L).map { i =>
+      (i, ("w " * (1 + (i % 9)).toInt) + s"doc $i", s"s${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val targets = Map("s0" -> 400000L, "s1" -> 300000L, "s2" -> 300000L)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("doc_id").as[Long].collect().toSet
+    val inline = Sampling.sampleToTokenTarget(docs, "source", "doc_id",
+      "text", targets, budgetTokens = 120L)
+    val viaState = Sampling.sampleToTokenTarget(docs, "source", "doc_id",
+      "text", targets, budgetTokens = 120L,
+      state = Some(TextAnalysis.profileState(docs, "source", "text", "doc_id")))
+    assert(ids(inline) == ids(viaState) && ids(inline).nonEmpty)
+    // untargeted s3 drops entirely; survivors carry their rate
+    assert(inline.where(col("source") === "s3").count() == 0)
+    assert(inline.columns.contains("rate_ppm"))
+  }
+
   test("tokenBudgetPerGroup: chunked prefix equals the naive window; zero cost never consumes budget") {
     import org.apache.spark.sql.expressions.Window
     val df = (0L until 400L)
