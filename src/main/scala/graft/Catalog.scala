@@ -1204,6 +1204,43 @@ object Catalog {
                 SELECT re.id, e.id_b AS r FROM reach re JOIN edges e ON e.id_a = re.r)
               SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""")),
 
+    QueryDef("x74_family_histogram",
+      // the dup-family mass monitor: family sizes from the x22
+      // components, bucketed by BIT LENGTH (exact integer log2 — a
+      // double log2's ulp at exact powers could flip a bucket between
+      // engines). log2-many rows at any corpus size; the fat-tail
+      // smell that motivates the x66 strip and the x72 diversity cap
+      (s, d) => Dedup.familySizeHistogram(
+          Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+            n = 1, threshold = 0.5, blockOn = Seq("lang", "source")))
+        .orderBy("size_bits"),
+      Some("""WITH RECURSIVE toks AS (
+                SELECT doc_id, lang, source,
+                  list_distinct(list_filter(
+                    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '')) AS sh
+                FROM documents),
+              prs AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM toks l JOIN toks r
+                  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+                WHERE len(l.sh) > 0 AND len(r.sh) > 0
+                  AND len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) > 0
+                  AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+                      (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5),
+              edges AS (SELECT id_a, id_b FROM prs
+                        UNION ALL SELECT id_b, id_a FROM prs),
+              reach AS (
+                SELECT id_a AS id, id_a AS r FROM edges
+                UNION
+                SELECT re.id, e.id_b AS r FROM reach re JOIN edges e ON e.id_a = re.r),
+              lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+              fam AS (SELECT label, count(*) AS size FROM lbl GROUP BY label)
+              SELECT CAST(length(bin(size)) AS BIGINT) AS size_bits,
+                count(*) AS n_families,
+                CAST(sum(size) AS BIGINT) AS n_docs
+              FROM fam GROUP BY size_bits ORDER BY size_bits""")),
+
     QueryDef("x68_best_dup_survivor",
       // canonical-VERSION selection (r8): per dup family keep the most
       // complete member (max n_chars, ties -> min id) instead of the

@@ -1277,6 +1277,23 @@ object Dedup {
     * only (an MLlib-style iteration) — data never leaves the cluster;
     * `localCheckpoint` per round truncates lineage so plans don't grow
     * unboundedly. */
+  /** DUP-FAMILY SIZE DISTRIBUTION — the "how much of the corpus lives
+    * in big families" monitor: [[dupClusters]] labels, family sizes as
+    * one hash agg over the labels, then a histogram bucketed by the
+    * size's BIT LENGTH (`length(bin(size))` = floor(log2)+1 — an exact
+    * integer log bucket, no double `log2` whose ulp at exact powers
+    * could flip a bucket between engines). Output: (size_bits,
+    * n_families, n_docs) — log₂-many rows at any corpus size; only
+    * docs that appear in a pair are counted (a family is size ≥ 2 by
+    * construction). A fat tail here is the "one boilerplate family
+    * holds 1% of the corpus" smell that motivates [[stripFrequentChunks]]
+    * and the x72 diversity cap. */
+  def familySizeHistogram(pairs: DataFrame, maxIterations: Int = 15): DataFrame =
+    dupClusters(pairs, maxIterations)
+      .groupBy("label").agg(count(lit(1)).as("size"))
+      .groupBy(length(bin(col("size"))).cast("long").as("size_bits"))
+      .agg(count(lit(1)).as("n_families"), sum(col("size")).as("n_docs"))
+
   def dupClusters(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

@@ -21,6 +21,10 @@ import graft.operators.{Dedup, IvfAnn, TextAnalysis}
   *                       `--prev`
   *   dup_matrix/         cross-source duplication matrix over the
   *                       MinHash pair relation (x59)
+  *   family_sizes/       dup-family size histogram over the same pair
+  *                       relation, bucketed by exact integer log2
+  *                       (x74) — plus dup_families / largest_family
+  *                       report keys
   *   minhash_accuracy/   estimated-vs-exact Jaccard on the tier's own
   *                       candidates (x63)
   *   banding_recall/     the LSH S-curve on a bounded sample (x64)
@@ -132,6 +136,17 @@ object RunAudit {
       Dedup.minHashAccuracyAudit(docs, "doc_id", "text",
         shingleN = 3, k = 64, bands = 16),
       "minhash_accuracy")
+    // family-mass view of the same pair relation: the labels frame is
+    // checkpointed by dupClusters, so sizes + histogram + the largest-
+    // family report number share one components run
+    val famSizes = Dedup.dupClusters(pairs)
+      .groupBy("label").agg(count(lit(1)).as("size"))
+    val famHist = save(famSizes
+      .groupBy(length(bin(col("size"))).cast("long").as("size_bits"))
+      .agg(count(lit(1)).as("n_families"), sum(col("size")).as("n_docs")),
+      "family_sizes")
+    val largestFamily = famSizes
+      .agg(coalesce(max(col("size")), lit(0L))).head().getLong(0)
     // 3. the banding S-curve on the bounded sample (the x64 contract)
     val sampleIds = Sampling001.sampleIds(docs, sampleDocs)
     val recallBands = save(
@@ -189,6 +204,9 @@ object RunAudit {
       "n_docs" -> nDocs.toString,
       "n_sources" -> nSources.toString,
       "dup_candidate_pairs" -> nPairs.toString,
+      "dup_families" -> famHist.agg(
+        coalesce(sum("n_families"), lit(0L))).head().getLong(0).toString,
+      "largest_family" -> largestFamily.toString,
       "minhash_worst_abs_err_ppm" -> worstErr.toString,
       "banding_catch_by_band" -> bandSummary) ++ vecSummary ++ driftSummary ++ Seq(
       "millis" -> ((System.nanoTime() - t0) / 1000000L).toString)

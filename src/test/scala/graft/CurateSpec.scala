@@ -289,11 +289,18 @@ class CurateSpec extends SparkSpec {
     val rep = graft.pipeline.RunAudit
       .run(spark, docs, Some(emb), out).toMap
     assert(rep("n_docs").toLong == docs.count())
-    Seq("profile", "dup_matrix", "minhash_accuracy", "banding_recall",
+    Seq("profile", "hist", "dup_matrix", "family_sizes",
+        "minhash_accuracy", "banding_recall",
         "ivf_cells", "ann_recall").foreach { d =>
       assert(spark.read.parquet(s"$out/$d").count() > 0,
         s"audit table $d must exist and be non-empty")
     }
+    // family mass is conserved: the histogram's docs == 2-sided pair
+    // participants, and the largest family bounds every bucket
+    val fam = spark.read.parquet(s"$out/family_sizes")
+    assert(rep("dup_families").toLong >= 1L &&
+      rep("largest_family").toLong >= 2L)
+    assert(fam.agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0) >= 2L)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(out, "report.json")))
     // vector monitors carry the x61/x62 semantics into the journey

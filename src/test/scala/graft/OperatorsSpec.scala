@@ -377,6 +377,16 @@ class OperatorsSpec extends SparkSpec {
     assert(moved.exists(_._4 > 0.0))
   }
 
+  test("familySizeHistogram: exact integer log2 buckets, mass conserved") {
+    // families {1,2,3} size 3, {5,6} size 2 (both bits=2), {7,8,9,10}
+    // size 4 (bits=3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val hist = Dedup.familySizeHistogram(pairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(hist == Seq((2L, 2L, 5L), (3L, 1L, 4L)))
+  }
+
   test("arrayJaccard exact values") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.arrayJaccard(col("x"), col("y"))).as[Double].head()
