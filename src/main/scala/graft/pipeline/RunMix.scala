@@ -38,6 +38,11 @@ import graft.operators.{Sampling, TextAnalysis}
   *
   * Usage: runMain graft.pipeline.RunMix [docsDir] [outDir]
   *          [--epoch N] [--epochs E] [--budget TOKENS]
+  *          [--targets src=ppm,... --target-budget TOKENS]
+  * `--targets`/`--target-budget` run stage 4 as the x73 MEASURED
+  * mixture: per-source rates computed from the banding survivors' own
+  * token totals against the target token distribution (untargeted
+  * sources drop; unfillable targets visibly saturate at rate 1e6).
   * `--epochs E` builds epochs 0..E-1 in ONE run — one scoring scan,
   * per-epoch decorrelated orders, written as `epoch=<e>/` partitions
   * (each stream row-identical to a separate `--epoch e` run).
@@ -64,6 +69,8 @@ object RunMix {
     var epoch = 0
     var epochs: Option[Seq[Int]] = None
     var budget = 256L
+    var targets: Map[String, Long] = Map.empty
+    var targetBudget: Option[Long] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -77,6 +84,16 @@ object RunMix {
         case "--budget" =>
           require(i + 1 < args.length, "--budget needs a token count")
           budget = args(i + 1).toLong; i += 1
+        case "--targets" =>
+          require(i + 1 < args.length,
+            "--targets needs src=ppm[,src=ppm...]")
+          targets = args(i + 1).split(",").map { kv =>
+            val Array(s, p) = kv.split("=", 2)
+            s -> p.toLong
+          }.toMap; i += 1
+        case "--target-budget" =>
+          require(i + 1 < args.length, "--target-budget needs a token count")
+          targetBudget = Some(args(i + 1).toLong); i += 1
         case other => positional += other
       }
       i += 1
@@ -93,10 +110,14 @@ object RunMix {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    require(targets.isEmpty == targetBudget.isEmpty,
+      "--targets and --target-budget come together (the measured mixture)")
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     // default journey keeps every source whole (weight 1); pass an
-    // explicit map through run() to express a real mixture policy
-    run(spark, docs, outDir, epoch, budget, epochs = epochs)
+    // explicit map through run() — or --targets/--target-budget for
+    // the x73 measured mixture — to express a real mixture policy
+    run(spark, docs, outDir, epoch, budget, epochs = epochs,
+      tokenTargets = targetBudget.map(b => (targets, b)))
     spark.stop()
   }
 
@@ -142,7 +163,9 @@ object RunMix {
       sourceWeights: Option[Map[String, Double]] = None,
       thresholds: Option[Seq[Double]] = None,
       preScored: Boolean = false,
-      epochs: Option[Seq[Int]] = None): Seq[(String, Long)] = {
+      epochs: Option[Seq[Int]] = None,
+      tokenTargets: Option[(Map[String, Long], Long)] = None)
+      : Seq[(String, Long)] = {
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -203,13 +226,34 @@ object RunMix {
     val sampled = Sampling.deterministicSampleByRate(
       banded, "doc_id", rateCol, salt = "band")
 
-    // 4. per-source mixture weights
-    val mixed = sourceWeights match {
-      case None => sampled.withColumn("source_name", col("source"))
-      case Some(weights) => Sampling.weightedMixture(
+    // 4. per-source mixture — hand weights OR the x73 MEASURED form:
+    // `tokenTargets = Some((targetsPpm, tokenBudget))` derives each
+    // source's rate from the banding survivors' OWN token totals
+    // against the target distribution (rate = min(1, budget·target /
+    // tokens) — exact integer ppm, unfillable targets saturate
+    // visibly at 1e6). The token state is one narrow extra aggregate
+    // over the scoring lineage, the same cost class as the sketch
+    // pass; untargeted sources drop (the target IS the mix).
+    require(sourceWeights.isEmpty || tokenTargets.isEmpty,
+      "pass sourceWeights (hand mixture) or tokenTargets (measured " +
+        "mixture), not both")
+    val mixed = (sourceWeights, tokenTargets) match {
+      case (None, None) => sampled.withColumn("source_name", col("source"))
+      case (Some(weights), _) => Sampling.weightedMixture(
         weights.toSeq.sortBy(_._1).map { case (name, w) =>
           (name, sampled.where(col("source") === name).drop("source"), w)
         }, "doc_id")
+      case (None, Some((targets, tokBudget))) =>
+        val state = sampled.groupBy(col("source"))
+          .agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L))
+            .as("total_tokens"))
+        val rates = Sampling.ratesFromState(state, "source", targets, tokBudget)
+          .select(col("source"), col("rate_ppm"))
+        Sampling.deterministicSampleByRatePpm(
+            sampled.join(broadcast(rates), Seq("source")),
+            "doc_id", col("rate_ppm"), salt = "mix")
+          .drop("rate_ppm")
+          .withColumn("source_name", col("source"))
     }
 
     // 5. epoch shuffle + packing under the token budget. `epochs =

@@ -182,6 +182,50 @@ class MixSpec extends SparkSpec {
       "both requested epochs must land as partitions of the journey's mix")
   }
 
+  test("RunMix tokenTargets: measured mixture — untargeted sources drop, clipped sources keep all, rates replay") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val keepAll = Map(1 -> 1.0, 2 -> 1.0, 3 -> 1.0, 4 -> 1.0)
+    val targets = Map("src0" -> 700000L, "src1" -> 300000L)
+    val out = tmp("tt")
+    RunMix.run(spark, docs, out, budget = 128, bandRates = keepAll,
+      tokenTargets = Some((targets, 2000L)))
+    val packed = spark.read.parquet(s"$out/packed")
+    val bySource = packed.select("doc_id", "source_name").distinct()
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    assert(bySource.keySet == Set("src0", "src1"),
+      s"untargeted sources must drop: ${bySource.keySet}")
+    // replay the stage by hand: tokens over ALL scorable docs (keepAll
+    // bands) -> rate -> draw; the packed survivors must match exactly
+    val scored = docs.where(col("text").isNotNull)
+      .withColumn("n_tokens",
+        graft.operators.TextAnalysis.docStats(col("text")).getField("n_tokens"))
+    val tok = scored.groupBy("source")
+      .agg(sum(col("n_tokens").cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (s, tppm) =>
+      val rate = math.min(1000000L, 2000L * tppm / tok(s))
+      val expect = scored.where(col("source") === s)
+        .where(conv(substring(md5(concat_ws(":", lit("mix"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 1000000L < rate)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bySource(s) == expect,
+        s"$s: rate $rate — packed set must equal the replayed draw")
+      if (rate >= 1000000L)
+        assert(bySource(s) ==
+          scored.where(col("source") === s).select("doc_id")
+            .as[Long].collect().toSet,
+          s"$s clipped at 1e6 must keep every banding survivor")
+    }
+    // hand weights and measured targets are mutually exclusive
+    intercept[IllegalArgumentException] {
+      RunMix.run(spark, docs, tmp("ttx"), bandRates = keepAll,
+        sourceWeights = Some(Map("src0" -> 1.0)),
+        tokenTargets = Some((targets, 2000L)))
+    }
+  }
+
   test("RunMix: raising one band's rate only ADDS packed doc_ids (same-salt nesting end-to-end)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val outLo = tmp("mono_lo"); val outHi = tmp("mono_hi")
