@@ -1241,6 +1241,176 @@ object Catalog {
                 CAST(sum(size) AS BIGINT) AS n_docs
               FROM fam GROUP BY size_bits ORDER BY size_bits""")),
 
+    QueryDef("x75_dsir_score",
+      // DSIR importance scoring (Xie et al. 2023): hashed unigram+
+      // bigram bag models for target (en docs) vs raw (everything),
+      // per-doc log-likelihood ratio in integer micro-nats — the
+      // per-bucket ln is rounded ONCE to a Long, the per-doc score is
+      // then an exact integer sum (partition-order invariant; a
+      // double sum would not hash-match across engines). Model is
+      // bucket-bounded (1024 rows + a 1-row totals broadcast); the
+      // only corpus-sized shuffle is the per-doc hash agg
+      (s, d) => Sampling.dsirScores(documents(s, d),
+          documents(s, d).where(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024, salt = "dsir")
+        .select("doc_id", "lang", "source", "score_unats", "n_feats")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+                SELECT doc_id, lang,
+                  coalesce(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> ''), CAST([] AS VARCHAR[])) AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, lang, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM t),
+              fb AS (
+                SELECT doc_id, lang,
+                  CAST('0x' || substring(md5('dsir:' || feat), 1, 15) AS BIGINT)
+                    % 1024 AS bucket
+                FROM f),
+              tf AS (SELECT bucket, count(*) AS ct FROM fb
+                     WHERE lang = 'en' GROUP BY 1),
+              rf AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1),
+              tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tf) AS tt,
+                             (SELECT coalesce(sum(cr), 0) FROM rf) AS tr),
+              model AS (
+                SELECT coalesce(rf.bucket, tf.bucket) AS bucket,
+                  CAST(round(1000000.0 * (ln(coalesce(ct, 0) + 1)
+                    - ln(tt + 1024) - ln(coalesce(cr, 0) + 1)
+                    + ln(tr + 1024))) AS BIGINT) AS lscore
+                FROM rf FULL OUTER JOIN tf ON rf.bucket = tf.bucket
+                CROSS JOIN tot),
+              sc AS (
+                SELECT fb.doc_id, CAST(sum(m.lscore) AS BIGINT) AS s,
+                  count(*) AS nf
+                FROM fb JOIN model m USING (bucket) GROUP BY 1)
+              SELECT d.doc_id, d.lang, d.source,
+                coalesce(sc.s, 0) AS score_unats,
+                coalesce(sc.nf, 0) AS n_feats
+              FROM documents d LEFT JOIN sc USING (doc_id)
+              ORDER BY d.doc_id""")),
+
+    QueryDef("x76_dsir_select",
+      // DSIR selection: Gumbel-top-k sampling without replacement
+      // proportional to exp(score) — key = score_unats + the md5-drawn
+      // Gumbel noise in micro-nats; top-k plans as
+      // TakeOrderedAndProject (per-task k-bounded heap, never a
+      // global sort). The selection is a pure function of the data —
+      // the oracle replays noise and ranking exactly
+      (s, d) => Sampling.dsirSelect(documents(s, d),
+          documents(s, d).where(col("lang") === "en"),
+          "doc_id", "text", k = 50, buckets = 1024, salt = "dsir")
+        .select("doc_id", "lang", "source", "score_unats", "sel_key"),
+      Some(s"""WITH t AS (
+                SELECT doc_id, lang,
+                  coalesce(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> ''), CAST([] AS VARCHAR[])) AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, lang, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM t),
+              fb AS (
+                SELECT doc_id, lang,
+                  CAST('0x' || substring(md5('dsir:' || feat), 1, 15) AS BIGINT)
+                    % 1024 AS bucket
+                FROM f),
+              tf AS (SELECT bucket, count(*) AS ct FROM fb
+                     WHERE lang = 'en' GROUP BY 1),
+              rf AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1),
+              tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tf) AS tt,
+                             (SELECT coalesce(sum(cr), 0) FROM rf) AS tr),
+              model AS (
+                SELECT coalesce(rf.bucket, tf.bucket) AS bucket,
+                  CAST(round(1000000.0 * (ln(coalesce(ct, 0) + 1)
+                    - ln(tt + 1024) - ln(coalesce(cr, 0) + 1)
+                    + ln(tr + 1024))) AS BIGINT) AS lscore
+                FROM rf FULL OUTER JOIN tf ON rf.bucket = tf.bucket
+                CROSS JOIN tot),
+              sc AS (
+                SELECT fb.doc_id, CAST(sum(m.lscore) AS BIGINT) AS s,
+                  count(*) AS nf
+                FROM fb JOIN model m USING (bucket) GROUP BY 1),
+              scored AS (
+                SELECT d.doc_id, d.lang, d.source,
+                  coalesce(sc.s, 0) AS score_unats,
+                  coalesce(sc.s, 0) + CAST(round(-1000000.0 * ln(-ln(
+                    (CAST('0x' || substring(md5('dsir:gumbel:'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 1000000 + 0.5) / 1000000.0))) AS BIGINT) AS sel_key
+                FROM documents d LEFT JOIN sc USING (doc_id))
+              SELECT * FROM scored
+              ORDER BY sel_key DESC, doc_id LIMIT 50""")),
+
+    QueryDef("x77_dsir_grow",
+      // the GROWING DSIR model: the raw bag-of-ngrams state arrives in
+      // two batches (even/odd ids), merges by integer addition, and
+      // the second batch is scored against the model built from the
+      // GROWN state — the oracle computes the one-shot model over the
+      // whole corpus, so a hash match proves grown == one-shot
+      // bit-identically (the intake shape: maintaining the raw model
+      // of a growing corpus costs one batch scan per arrival, never a
+      // corpus re-scan)
+      (s, d) => {
+        val docs = documents(s, d)
+        val batchA = docs.where(col("doc_id") % 2 === 0)
+        val batchB = docs.where(col("doc_id") % 2 === 1)
+        val rawState = Sampling.mergeDsirStates(Seq(
+          Sampling.dsirState(batchA, "text", buckets = 1024, salt = "dsir"),
+          Sampling.dsirState(batchB, "text", buckets = 1024, salt = "dsir")))
+        val tgtState = Sampling.dsirState(
+          docs.where(col("lang") === "en"), "text",
+          buckets = 1024, salt = "dsir")
+        val model = Sampling.dsirModelFromStates(rawState, tgtState, 1024)
+        Sampling.dsirScoresAgainstModel(batchB, model, "doc_id", "text",
+            buckets = 1024, salt = "dsir")
+          .select("doc_id", "lang", "source", "score_unats", "n_feats")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                  coalesce(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> ''), CAST([] AS VARCHAR[])) AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, lang, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM t),
+              fb AS (
+                SELECT doc_id, lang,
+                  CAST('0x' || substring(md5('dsir:' || feat), 1, 15) AS BIGINT)
+                    % 1024 AS bucket
+                FROM f),
+              tf AS (SELECT bucket, count(*) AS ct FROM fb
+                     WHERE lang = 'en' GROUP BY 1),
+              rf AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1),
+              tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tf) AS tt,
+                             (SELECT coalesce(sum(cr), 0) FROM rf) AS tr),
+              model AS (
+                SELECT coalesce(rf.bucket, tf.bucket) AS bucket,
+                  CAST(round(1000000.0 * (ln(coalesce(ct, 0) + 1)
+                    - ln(tt + 1024) - ln(coalesce(cr, 0) + 1)
+                    + ln(tr + 1024))) AS BIGINT) AS lscore
+                FROM rf FULL OUTER JOIN tf ON rf.bucket = tf.bucket
+                CROSS JOIN tot),
+              sc AS (
+                SELECT fb.doc_id, CAST(sum(m.lscore) AS BIGINT) AS s,
+                  count(*) AS nf
+                FROM fb JOIN model m USING (bucket) GROUP BY 1)
+              SELECT d.doc_id, d.lang, d.source,
+                coalesce(sc.s, 0) AS score_unats,
+                coalesce(sc.nf, 0) AS n_feats
+              FROM documents d LEFT JOIN sc USING (doc_id)
+              WHERE d.doc_id % 2 = 1
+              ORDER BY d.doc_id""")),
+
     QueryDef("x68_best_dup_survivor",
       // canonical-VERSION selection (r8): per dup family keep the most
       // complete member (max n_chars, ties -> min id) instead of the

@@ -569,4 +569,170 @@ object Sampling {
       .withColumn("split", splitLabel(col("__rep"), weights, salt))
       .drop("label", "__rep")
   }
+
+  // ------------------------------------------------- DSIR importance resampling
+
+  /** Hashed bag-of-ngrams featurization for [[dsirScores]]: unigrams
+    * plus bigrams of the normalized tokens, each hashed to a bucket in
+    * `[0, buckets)` by the salted-md5 primitive (md5, not xxhash64, so
+    * external oracles replay the bucketing exactly). Multiplicity is
+    * KEPT — these are bag models, unlike the set-semantics
+    * [[graft.operators.TextAnalysis.shinglesFromTokens]]. Returns an
+    * array column; empty/null text yields an empty array. */
+  private def hashedNgramBuckets(text: Column, buckets: Int,
+      salt: String): Column = {
+    val toks = graft.operators.TextAnalysis.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(coalesce(toks, array().cast("array<string>")), bigrams)
+    transform(feats, f =>
+      (conv(substring(md5(concat_ws(":", lit(salt), f)), 1, 15), 16, 10)
+        .cast("long") % buckets).cast("int"))
+  }
+
+  /** DSIR-style importance score of each `raw` document toward a
+    * `target` corpus (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): fit two hashed bag-of-ngrams
+    * models — p from `target`, q from `raw` — and score each raw doc
+    * by its log-likelihood ratio `sum_f [ln p(f) - ln q(f)]` under
+    * add-one smoothing over `buckets` feature buckets.
+    *
+    * Determinism at scale: the per-BUCKET log-ratio is rounded ONCE to
+    * integer micro-nats (`lscore_unats`, a Long), and the per-DOC
+    * score is then a LONG sum of those — exact integer arithmetic,
+    * invariant to partitioning and shuffle order (a double sum would
+    * be order-dependent; the one `ln` per bucket is rounded at 1e-6
+    * granularity, far above cross-engine libm ulp differences).
+    *
+    * Plan shape: featurize+explode `target` once (count by bucket),
+    * featurize+explode `raw` twice (once for the q counts, once for
+    * scoring — at 100 TB materialize the featurized frame if the
+    * double scan matters); the model is MODEL-SIZED (≤ `buckets` rows
+    * + a 1-row totals broadcast), so the scoring join broadcasts and
+    * the only corpus-sized shuffle is the per-doc hash agg on `idCol`.
+    * Docs with no features (empty text) keep score 0 with n_feats 0.
+    *
+    * Output: all `raw` columns + `score_unats` (Long micro-nats,
+    * higher = more target-like) + `n_feats` (Long). */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame =
+    dsirScoresAgainstModel(raw,
+      dsirModelFromStates(
+        dsirState(raw, textCol, buckets, salt),
+        dsirState(target, textCol, buckets, salt), buckets),
+      idCol, textCol, buckets, salt)
+
+  /** MERGEABLE DSIR feature-count state: one (bucket, n) row per
+    * non-empty bucket from one featurize+explode scan of `df` — the
+    * bag-of-ngrams counts behind [[dsirScores]]'s p and q models, in
+    * the engine's growing-state shape (the [[graft.operators
+    * .TextAnalysis.profileState]] pattern): integer counts add, so a
+    * state grown batch-by-batch via [[mergeDsirStates]] is
+    * bit-identical to a one-shot build, and maintaining the raw model
+    * of a 100 TB corpus that arrives over a year costs one batch scan
+    * per arrival, never a corpus re-scan. Model-sized: ≤ `buckets`
+    * rows. */
+  def dsirState(df: DataFrame, textCol: String, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.select(explode(hashedNgramBuckets(col(textCol), buckets, salt))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Associative merge of [[dsirState]] frames: union + one hash agg
+    * over the model-sized states. `merge(a, merge(b, c)) ==
+    * merge(merge(a, b), c) == state(a ∪ b ∪ c)` exactly (Long counts
+    * add in any order). */
+  def mergeDsirStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeDsirStates: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy("bucket").agg(sum(col("n")).as("n"))
+  }
+
+  /** The per-bucket log-ratio model from two [[dsirState]]s — rounded
+    * ONCE to integer micro-nats (see [[dsirScores]] for why). The
+    * model covers the FULL bucket domain `[0, buckets)` (absent
+    * counts are 0 under add-one smoothing), so scoring a future batch
+    * whose features hash to buckets neither corpus has seen joins a
+    * real row instead of silently dropping the feature — the frozen-
+    * model intake contract. Output: (bucket, lscore_unats), exactly
+    * `buckets` rows. */
+  def dsirModelFromStates(rawState: DataFrame, targetState: DataFrame,
+      buckets: Int): DataFrame = {
+    val spark = rawState.sparkSession
+    val domain = spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val totals = rawState.agg(coalesce(sum(col("n")), lit(0L)).as("__tr"))
+      .crossJoin(targetState.agg(coalesce(sum(col("n")), lit(0L)).as("__tt")))
+    domain
+      .join(rawState.select(col("bucket"), col("n").as("__cr")),
+        Seq("bucket"), "left")
+      .join(targetState.select(col("bucket"), col("n").as("__ct")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(lit(1e6) *
+            (log(coalesce(col("__ct"), lit(0L)) + 1.0) -
+             log(col("__tt") + buckets.toDouble) -
+             log(coalesce(col("__cr"), lit(0L)) + 1.0) +
+             log(col("__tr") + buckets.toDouble)), 0)
+          .cast("long").as("lscore_unats"))
+  }
+
+  /** Score a batch against a FROZEN model — the incremental-intake
+    * analogue of [[dsirScores]] (grow the raw state with the batch,
+    * rebuild the bucket-bounded model, score only the batch): one
+    * featurize+explode scan of the batch, a broadcast join against
+    * the model, one per-doc hash agg of exact Long sums. Output: all
+    * `batch` columns + `score_unats` + `n_feats`. */
+  def dsirScoresAgainstModel(batch: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    val batchB = batch.select(col(idCol),
+      explode(hashedNgramBuckets(col(textCol), buckets, salt)).as("bucket"))
+    val scores = batchB.join(broadcast(model), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(sum(col("lscore_unats")).as("score_unats"),
+        count(lit(1)).as("n_feats"))
+    batch.join(scores, Seq(idCol), "left")
+      .withColumn("score_unats", coalesce(col("score_unats"), lit(0L)))
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+  }
+
+  /** DSIR selection: sample `k` documents from `raw` WITHOUT
+    * replacement, with probability proportional to the exponentiated
+    * importance score, via the Gumbel-top-k trick — `key = score +
+    * Gumbel(0,1)` and take the k largest keys. The Gumbel draw is the
+    * engine's salted-md5 uniform (`u = (draw + 0.5) / 1e6`, so u is
+    * never 0 or 1), `g = -ln(-ln u)`, rounded to integer micro-nats
+    * like the score itself — the selection is a pure function of the
+    * data, replayable by an external oracle.
+    *
+    * The top-k plans as TakeOrderedAndProject (per-task k-bounded
+    * heap, driver merges |tasks|·k rows — never a global sort). For a
+    * budget-sized k (millions of docs), switch to a threshold:
+    * [[quantileThresholds]] on `sel_key` + a filter keeps the
+    * selection fully distributed.
+    *
+    * Output: all [[dsirScores]] columns + `sel_key` (Long), the k
+    * selected docs, largest keys first (ties break on `idCol`). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val draw = conv(substring(
+        md5(concat_ws(":", lit(salt), lit("gumbel"),
+          col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long") % 1000000L
+    val u = (draw.cast("double") + 0.5) / 1000000.0
+    val gumbel = round(lit(-1e6) * log(-log(u)), 0).cast("long")
+    dsirScores(raw, target, idCol, textCol, buckets, salt)
+      .withColumn("sel_key", col("score_unats") + gumbel)
+      .orderBy(desc("sel_key"), col(idCol))
+      .limit(k)
+  }
 }

@@ -917,4 +917,121 @@ class OperatorsSpec extends SparkSpec {
     // identical snapshots diff to nothing
     assert(Snapshot.diff(oldSnap, oldSnap, "id", "digest").count() == 0)
   }
+
+  // ---------------------------------------------- DSIR data selection
+  private val dsirCorpus = Seq(
+    (1L, "the cat sat on the mat and the dog slept", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"),
+    (3L, "the rain in spain falls mainly on the plain", "en"),
+    (4L, "der hund schlief auf der matte im haus", "de"),
+    (5L, "le chat dort sur le tapis dans la maison", "fr"),
+    (6L, "el perro duerme sobre la alfombra en casa", "es"),
+    (7L, "", "en"))
+
+  test("dsirScores: target-like docs outscore the rest; exact integer " +
+      "scores are partition-invariant; empty text scores 0") {
+    val raw = dsirCorpus.toDF("doc_id", "text", "lang")
+    val target = raw.where(col("lang") === "en" && length(col("text")) > 0)
+    val scored = Sampling.dsirScores(raw, target, "doc_id", "text",
+      buckets = 256, salt = "t")
+    val byId = scored.select("doc_id", "score_unats", "n_feats")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // every non-empty en doc must outscore every non-en doc: the en
+    // slice IS the target model, so its features carry positive
+    // log-ratios while de/fr/es features appear only on the raw side
+    val enMin = Seq(1L, 2L, 3L).map(byId(_)._1).min
+    val otherMax = Seq(4L, 5L, 6L).map(byId(_)._1).max
+    assert(enMin > otherMax,
+      s"target-slice docs must outscore the rest: en min $enMin <= other max $otherMax")
+    // empty text: no features, score exactly 0
+    assert(byId(7L) == ((0L, 0L)))
+    // unigrams + bigrams with multiplicity: "the cat sat on the mat
+    // and the dog slept" = 10 tokens + 9 bigrams
+    assert(byId(1L)._2 == 19L)
+    // exact-integer determinism: any partitioning sums the same Longs
+    val re = Sampling.dsirScores(raw.repartition(7), target, "doc_id",
+      "text", buckets = 256, salt = "t")
+      .select("doc_id", "score_unats", "n_feats")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(re == byId, "scores must be invariant to input partitioning")
+  }
+
+  test("dsirSelect: exactly k rows, a pure function of the data, keys ranked") {
+    val raw = dsirCorpus.toDF("doc_id", "text", "lang")
+    val target = raw.where(col("lang") === "en" && length(col("text")) > 0)
+    val sel = Sampling.dsirSelect(raw, target, "doc_id", "text",
+      k = 4, buckets = 256, salt = "t")
+      .select("doc_id", "sel_key").as[(Long, Long)].collect().toSeq
+    assert(sel.size == 4)
+    assert(sel.map(_._2) == sel.map(_._2).sorted.reverse,
+      "selection must come back largest sel_key first")
+    val again = Sampling.dsirSelect(raw.repartition(5), target, "doc_id",
+      "text", k = 4, buckets = 256, salt = "t")
+      .select("doc_id", "sel_key").as[(Long, Long)].collect().toSeq
+    assert(again == sel, "selection must be replayable bit-for-bit")
+    // k >= corpus: everything comes back
+    assert(Sampling.dsirSelect(raw, target, "doc_id", "text",
+      k = 100, buckets = 256, salt = "t").count() == 7)
+  }
+
+  test("dsirState merges associatively: grown == one-shot bit-identically; " +
+      "scoring against the grown model == dsirScores") {
+    val raw = dsirCorpus.toDF("doc_id", "text", "lang")
+    val target = raw.where(col("lang") === "en" && length(col("text")) > 0)
+    val a = raw.where(col("doc_id") <= 3)
+    val b = raw.where(col("doc_id") > 3)
+    def st(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirState(df, "text", buckets = 256, salt = "t")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long)].collect().toMap
+    val oneShot = toMap(st(raw))
+    assert(toMap(Sampling.mergeDsirStates(Seq(st(a), st(b)))) == oneShot)
+    // associativity over three batches
+    val (b1, b2, b3) = (raw.where(col("doc_id") <= 2),
+      raw.where(col("doc_id") > 2 && col("doc_id") <= 5),
+      raw.where(col("doc_id") > 5))
+    val leftFold = Sampling.mergeDsirStates(
+      Seq(Sampling.mergeDsirStates(Seq(st(b1), st(b2))), st(b3)))
+    val rightFold = Sampling.mergeDsirStates(
+      Seq(st(b1), Sampling.mergeDsirStates(Seq(st(b2), st(b3)))))
+    assert(toMap(leftFold) == oneShot && toMap(rightFold) == oneShot)
+    // the factored path reproduces dsirScores exactly
+    val model = Sampling.dsirModelFromStates(
+      Sampling.mergeDsirStates(Seq(st(a), st(b))), st(target), 256)
+    assert(model.count() == 256, "model must cover the full bucket domain")
+    val viaModel = Sampling.dsirScoresAgainstModel(raw, model, "doc_id",
+      "text", buckets = 256, salt = "t")
+      .select("doc_id", "score_unats").as[(Long, Long)].collect().toMap
+    val direct = Sampling.dsirScores(raw, target, "doc_id", "text",
+      buckets = 256, salt = "t")
+      .select("doc_id", "score_unats").as[(Long, Long)].collect().toMap
+    assert(viaModel == direct)
+  }
+
+  test("dsirScoresAgainstModel: a frozen model scores UNSEEN features via " +
+      "the full-domain default, never drops them") {
+    val raw = dsirCorpus.toDF("doc_id", "text", "lang")
+    val target = raw.where(col("lang") === "en" && length(col("text")) > 0)
+    val rawState = Sampling.dsirState(raw, "text", buckets = 256, salt = "t")
+    val tgtState = Sampling.dsirState(target, "text", buckets = 256, salt = "t")
+    val model = Sampling.dsirModelFromStates(rawState, tgtState, 256)
+    // "zzzq zzzq" -> 2 unigram occurrences + 1 bigram, none in either
+    // corpus. A present-buckets-only model would DROP them (inner
+    // join misses); the full-domain model scores them — n_feats
+    // counts all 3 and the score is exactly the model's rows at the
+    // features' buckets (replayed here with the same public md5
+    // bucketing the oracles use)
+    val scored = Sampling.dsirScoresAgainstModel(
+      Seq((99L, "zzzq zzzq")).toDF("doc_id", "text"), model,
+      "doc_id", "text", buckets = 256, salt = "t")
+      .select("score_unats", "n_feats").as[(Long, Long)].head()
+    val expected = Seq("zzzq", "zzzq", "zzzq zzzq").toDF("f")
+      .select((conv(substring(
+          md5(concat_ws(":", lit("t"), col("f"))), 1, 15), 16, 10)
+        .cast("long") % 256).cast("int").as("bucket"))
+      .join(model, Seq("bucket"))
+      .agg(sum("lscore_unats")).as[Long].head()
+    assert(scored == ((expected, 3L)),
+      s"unseen features must score via the full-domain model, got $scored vs ${(expected, 3L)}")
+  }
 }

@@ -236,6 +236,20 @@ class PlanAuditSpec extends SparkSpec {
       s"quantile position join must broadcast:\n$qs")
   }
 
+  test("x76: dsir scoring join broadcasts; selection is k-bounded TakeOrdered, not a global sort") {
+    val plan = finalPlan(q("x76_dsir_select"))
+    val s = plan.toString()
+    // the model is bucket-bounded — the corpus-sized scoring join must
+    // broadcast it, never shuffle the exploded feature stream for an SMJ
+    assert(s.contains("BroadcastHashJoin"),
+      s"scoring join must broadcast the bucket-bounded model:\n$s")
+    // Gumbel-top-k must plan as the per-task k-bounded heap
+    assert(s.contains("TakeOrderedAndProject"),
+      s"selection must be TakeOrderedAndProject, not a global sort:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"only 1-row totals may cross-join (as BNLJ):\n$s")
+  }
+
   test("x45: threshold side reads only the value column and broadcasts one row") {
     // the whole point of quantileBuckets is NO corpus sort: the
     // threshold aggregate must scan a pruned single-column schema,
