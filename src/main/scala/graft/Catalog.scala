@@ -2734,6 +2734,39 @@ object Catalog {
                 CAST(start_off AS BIGINT) AS start_off
               FROM o ORDER BY doc_id""")),
 
+    QueryDef("x78_curriculum_pack",
+      // curriculum-ordered packing: within each chunk, band-0 docs
+      // pack before band-1 before band-2 (md5-shuffled within a
+      // band), so early training sequences hold the best band — the
+      // curriculum prior with NO global sort (same 8 bounded windows
+      // as x30). The band here is a deterministic length tier
+      // standing in for the x45 quality band, keeping the replay
+      // focused on the ordering algebra
+      (s, d) => Sampling.packSequencesCurriculum(
+          documents(s, d).select(col("doc_id"), col("n_chars"),
+            least(lit(3L), floor(col("n_chars") / 300)).as("band")),
+          "doc_id", "n_chars", "band",
+          budget = 4096, epoch = 1, chunks = 8)
+        .select(col("doc_id"), col("band"), col("chunk"), col("seq"),
+          col("start_off"))
+        .orderBy("doc_id"),
+      Some("""WITH k AS (
+                SELECT doc_id, n_chars,
+                  least(3, CAST(floor(n_chars / 300.0) AS BIGINT)) AS band,
+                  CAST('0x' || substring(md5(
+                    '1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+                FROM documents),
+              o AS (
+                SELECT doc_id, band, CAST(key % 8 AS INT) AS chunk,
+                  SUM(n_chars) OVER (PARTITION BY key % 8
+                    ORDER BY band ASC NULLS LAST, key, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+                FROM k)
+              SELECT doc_id, band, chunk,
+                CAST(floor(CAST(start_off AS DOUBLE) / 4096) AS BIGINT) AS seq,
+                CAST(start_off AS BIGINT) AS start_off
+              FROM o ORDER BY doc_id""")),
+
     QueryDef("x55_multi_epoch_packing",
       // x30 for E epochs in ONE pass (r8): the epoch fan-out salts the
       // shuffle key per epoch and the running sums window by

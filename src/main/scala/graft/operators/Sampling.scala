@@ -417,6 +417,42 @@ object Sampling {
       .drop("__key", "__end")
   }
 
+  /** CURRICULUM packing: [[packSequences]] with a training-order
+    * prior — within each chunk the stream packs band 0 first, then
+    * band 1, ... (md5-shuffled WITHIN a band), so early `seq` numbers
+    * hold the highest-band documents. Because every chunk is ordered
+    * the same way and a training loader interleaves chunks by `seq`,
+    * the global stream is exactly curriculum-ordered per chunk and
+    * curriculum-shaped overall — with NO global sort: the same
+    * `chunks` independent bounded windows as [[packSequences]], one
+    * shuffle.
+    *
+    * `bandCol` is any caller-supplied integer rank (0 = train first):
+    * the [[quantileBuckets]] quality band inverted, a difficulty
+    * score, a licensing tier. Null bands sort LAST (explicitly — asc
+    * defaults differ across engines); a constant band degenerates to
+    * [[packSequences]] exactly. Same output contract as
+    * [[packSequences]] (chunk, seq, start_off). */
+  def packSequencesCurriculum(df: DataFrame, idCol: String,
+      tokenCountCol: String, bandCol: String, budget: Long, epoch: Int,
+      chunks: Int): DataFrame = {
+    require(budget > 0 && chunks > 0,
+      s"budget and chunks must be positive, got ($budget, $chunks)")
+    val key = epochShuffleKey(idCol, epoch)
+    val chunk = pmod(key, lit(chunks.toLong)).cast("int")
+    val w = Window.partitionBy("__chunk")
+      .orderBy(col(bandCol).asc_nulls_last, col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("__chunk", chunk)
+      .withColumn("__end",
+        sum(col(tokenCountCol).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("start_off", col("__end") - col(tokenCountCol).cast("long"))
+      .withColumn("seq", floor(col("start_off") / budget).cast("long"))
+      .withColumnRenamed("__chunk", "chunk")
+      .drop("__key", "__end")
+  }
+
   /** [[packSequences]] for MULTIPLE epochs in ONE pass — training
     * wants E epochs with per-epoch decorrelated orders, and running
     * the mix E times re-scores the corpus E times. Here each input

@@ -37,8 +37,10 @@ import graft.operators.{Sampling, TextAnalysis}
   * and the bounded per-chunk packing windows.
   *
   * Usage: runMain graft.pipeline.RunMix [docsDir] [outDir]
-  *          [--epoch N] [--epochs E] [--budget TOKENS]
+  *          [--epoch N] [--epochs E] [--budget TOKENS] [--curriculum]
   *          [--targets src=ppm,... --target-budget TOKENS]
+  * `--curriculum` packs the TOP quality band first within every chunk
+  * (x78 — the curriculum-ordered training stream; single-epoch only).
   * `--targets`/`--target-budget` run stage 4 as the x73 MEASURED
   * mixture: per-source rates computed from the banding survivors' own
   * token totals against the target token distribution (untargeted
@@ -68,6 +70,7 @@ object RunMix {
   def main(args: Array[String]): Unit = {
     var epoch = 0
     var epochs: Option[Seq[Int]] = None
+    var curriculum = false
     var budget = 256L
     var targets: Map[String, Long] = Map.empty
     var targetBudget: Option[Long] = None
@@ -84,6 +87,7 @@ object RunMix {
         case "--budget" =>
           require(i + 1 < args.length, "--budget needs a token count")
           budget = args(i + 1).toLong; i += 1
+        case "--curriculum" => curriculum = true
         case "--targets" =>
           require(i + 1 < args.length,
             "--targets needs src=ppm[,src=ppm...]")
@@ -117,7 +121,8 @@ object RunMix {
     // explicit map through run() — or --targets/--target-budget for
     // the x73 measured mixture — to express a real mixture policy
     run(spark, docs, outDir, epoch, budget, epochs = epochs,
-      tokenTargets = targetBudget.map(b => (targets, b)))
+      tokenTargets = targetBudget.map(b => (targets, b)),
+      curriculum = curriculum)
     spark.stop()
   }
 
@@ -164,8 +169,12 @@ object RunMix {
       thresholds: Option[Seq[Double]] = None,
       preScored: Boolean = false,
       epochs: Option[Seq[Int]] = None,
-      tokenTargets: Option[(Map[String, Long], Long)] = None)
+      tokenTargets: Option[(Map[String, Long], Long)] = None,
+      curriculum: Boolean = false)
       : Seq[(String, Long)] = {
+    require(!curriculum || epochs.isEmpty,
+      "curriculum packing is single-epoch (band order replaces the " +
+        "per-epoch decorrelation story; run per-epoch mixes instead)")
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -263,6 +272,15 @@ object RunMix {
     // separate runs and the single scoring scan) — and writes
     // `epoch=<e>/` partitions so a training run reads only its epoch.
     val packed = epochs match {
+      // curriculum: the TOP quality band trains first — the packing
+      // band inverts the quality bucket (bucket k = best -> band 0),
+      // shuffled within a band by the same epoch key (x78)
+      case None if curriculum => Sampling.packSequencesCurriculum(
+          mixed.withColumn("__band",
+            lit(bandRates.size.toLong) - col("bucket")),
+          "doc_id", "n_tokens", "__band", budget, epoch, chunks = 32)
+        .select("doc_id", "source_name", "bucket", "n_tokens",
+          "chunk", "seq", "start_off")
       case None => Sampling.packSequences(
           mixed, "doc_id", "n_tokens", budget, epoch, chunks = 32)
         .select("doc_id", "source_name", "bucket", "n_tokens",
@@ -318,7 +336,8 @@ object RunMix {
       "epoch" -> epochs.fold(epoch.toLong)(_ => -1L),
       "epochs" -> epochs.fold(1L)(_.size.toLong),
       "budget" -> budget,
-      "pre_scored" -> (if (preScored) 1L else 0L))
+      "pre_scored" -> (if (preScored) 1L else 0L),
+      "curriculum" -> (if (curriculum) 1L else 0L))
     report.foreach { case (k, v) => println(f"[mix] $k%-14s $v%d") }
     // thresholds ride along in the json so a resumed run can re-band
     // exactly (pass them back via run(thresholds = Some(...)))

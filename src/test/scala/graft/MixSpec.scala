@@ -310,4 +310,75 @@ class MixSpec extends SparkSpec {
     assert(scans == 1,
       s"three epochs must pack from ONE corpus scan, got $scans:\n$planStr")
   }
+
+  test("packSequencesCurriculum: bands pack in order within every chunk; " +
+      "constant band degenerates to packSequences; null bands last") {
+    import graft.operators.Sampling
+    val docs = (1L to 200L)
+      .map(i => (i, 50L + (i % 7) * 10, i % 3))
+      .toDF("doc_id", "n_toks", "band")
+    val cur = Sampling.packSequencesCurriculum(docs, "doc_id", "n_toks",
+      "band", budget = 256, epoch = 1, chunks = 4)
+    val rows = cur.select("chunk", "band", "start_off")
+      .as[(Int, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val bandsByOffset = rs.sortBy(_._3).map(_._2).toSeq
+      assert(bandsByOffset == bandsByOffset.sorted,
+        s"chunk $c must pack band 0 before band 1 before band 2: $bandsByOffset")
+    }
+    // a constant band is exactly packSequences (same key, same windows)
+    def packMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk", "seq", "start_off")
+        .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val const = packMap(Sampling.packSequencesCurriculum(
+      docs.withColumn("band", lit(0L)), "doc_id", "n_toks", "band",
+      budget = 256, epoch = 1, chunks = 4))
+    val plain = packMap(Sampling.packSequences(docs, "doc_id", "n_toks",
+      budget = 256, epoch = 1, chunks = 4))
+    assert(const == plain)
+    // null bands sort after every real band (pinned: engines disagree
+    // on default null order, the operator must not)
+    val withNull = docs.withColumn("band",
+      when(col("doc_id") <= 5, lit(null).cast("long")).otherwise(col("band")))
+    val nrows = Sampling.packSequencesCurriculum(withNull, "doc_id",
+      "n_toks", "band", budget = 256, epoch = 1, chunks = 4)
+      .select("chunk", "band", "start_off")
+      .as[(Int, Option[Long], Long)].collect()
+    nrows.groupBy(_._1).foreach { case (c, rs) =>
+      val byOffset = rs.sortBy(_._3).map(_._2).toSeq
+      val firstNull = byOffset.indexWhere(_.isEmpty)
+      if (firstNull >= 0)
+        assert(byOffset.drop(firstNull).forall(_.isEmpty),
+          s"chunk $c: null bands must pack strictly last: $byOffset")
+    }
+  }
+
+  test("RunMix --curriculum: the top quality band trains first in every chunk; " +
+      "survivor set unchanged") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = tmp("curr")
+    RunMix.run(spark, docs, out, epoch = 0, budget = 128,
+      curriculum = true)
+    val packed = spark.read.parquet(s"$out/packed")
+    // within each chunk the quality bucket (4 = best) must be
+    // non-increasing along the packed stream
+    packed.select("chunk", "bucket", "start_off")
+      .as[(Int, Int, Long)].collect()
+      .groupBy(_._1).foreach { case (c, rs) =>
+        val buckets = rs.sortBy(_._3).map(_._2).toSeq
+        assert(buckets == buckets.sorted.reverse,
+          s"chunk $c must pack best band first: $buckets")
+      }
+    // curriculum reorders, never re-selects: same docs as the plain run
+    val outPlain = tmp("currplain")
+    RunMix.run(spark, docs, outPlain, epoch = 0, budget = 128)
+    val ids = packed.select("doc_id").as[Long].collect().toSet
+    val plainIds = spark.read.parquet(s"$outPlain/packed")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == plainIds)
+    // the report carries the marker
+    val rep = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "report.json")))
+    assert(rep.contains("\"curriculum\":1"), rep)
+  }
 }
