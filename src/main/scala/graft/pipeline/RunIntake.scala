@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, length}
 
-import graft.operators.{Compaction, Curate, Dedup, TextAnalysis}
+import graft.operators.{Compaction, Curate, Dedup, Sampling, TextAnalysis}
 
 /** The INCREMENTAL-INGESTION journey — the fourth runnable main,
   * completing the operability story around
@@ -53,9 +53,25 @@ import graft.operators.{Compaction, Curate, Dedup, TextAnalysis}
   *                                   .histQuantiles]]; diffable by
   *                                   [[graft.operators.TextAnalysis
   *                                   .profileHistDrift]] / RunAudit)
+  *  dsir_state/                      growing hashed bag-of-ngrams
+  *                                   counts of the accepted corpus —
+  *                                   the x77 mergeable state (Long
+  *                                   counts add; grown == one-shot),
+  *                                   so a DSIR model over the corpus
+  *                                   ([[graft.operators.Sampling
+  *                                   .dsirModelFromStates]]) never
+  *                                   re-scans it; bucket count is the
+  *                                   jar-pinned [[dsirStateBuckets]]
+  *                                   (states only merge at one size)
   *  runs.jsonl                       one JSON line per run (history)
   */
 object RunIntake {
+
+  /** Bucket domain of the journey-owned `dsir_state/`. Fixed for the
+    * life of a state dir: states of different sizes must never merge,
+    * and every reader passes the same value to
+    * [[graft.operators.Sampling.dsirModelFromStates]]. */
+  val dsirStateBuckets: Int = 4096
 
   def main(args: Array[String]): Unit = {
     var scrubPii = false
@@ -168,6 +184,22 @@ object RunIntake {
             Seq(spark.read.parquet(histPath), batchHist))
             .write.mode(SaveMode.Overwrite).parquet(tmp)
         }
+      }
+      // the x77 DSIR count state grows beside the profile states: the
+      // accepted corpus's hashed bag-of-ngrams counts (Long adds —
+      // grown == one-shot bit-identically), so building a DSIR model
+      // over the growing corpus is state-sized work, never a re-scan
+      val batchDsir = Sampling.dsirState(accepted, "text",
+        buckets = dsirStateBuckets, salt = "dsir")
+      val dsirPath = s"$stateDir/dsir_state"
+      val dp = new org.apache.hadoop.fs.Path(dsirPath)
+      val dfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!dfs.exists(dp))
+        batchDsir.write.parquet(dsirPath)
+      else Compaction.replaceTable(spark, dsirPath) { tmp =>
+        Sampling.mergeDsirStates(
+          Seq(spark.read.parquet(dsirPath), batchDsir))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
       }
       accepted.unpersist(false)
       val nAccepted = spark.read.parquet(s"$stateDir/accepted").count()

@@ -398,6 +398,17 @@ class CurateSpec extends SparkSpec {
       accepted, "source", "text", bins = 64))
     assert(grownHist == recomputedHist,
       "grown hist state must equal one-shot re-binning of the sink")
+    // the DSIR count state grows beside them: grown-per-batch ==
+    // one-shot featurization of the accumulated sink (x77 algebra)
+    import graft.operators.Sampling
+    import graft.pipeline.RunIntake.dsirStateBuckets
+    def cnts(d: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      d.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val grownDsir = cnts(spark.read.parquet(s"$state/dsir_state"))
+    val recomputedDsir = cnts(Sampling.dsirState(accepted, "text",
+      buckets = dsirStateBuckets, salt = "dsir"))
+    assert(grownDsir == recomputedDsir,
+      "grown dsir state must equal one-shot featurization of the sink")
     graft.operators.Dedup.releaseCheckpoints()
   }
 
