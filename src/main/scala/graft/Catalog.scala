@@ -2767,6 +2767,60 @@ object Catalog {
                 CAST(start_off AS BIGINT) AS start_off
               FROM o ORDER BY doc_id""")),
 
+    QueryDef("x79_gopher_rules",
+      // Gopher-style rule bundle: the per-rule boolean gates real
+      // curation pipelines use (word count, mean word length, symbol/
+      // bullet/ellipsis rates, alphabetic fraction, stopword floor),
+      // each threshold in cross-multiplied INTEGER form — no double
+      // ratio exists, so no ulp can sit on a gate boundary. Map-only
+      (s, d) => TextAnalysis.gopherRules(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                  trim(regexp_replace(lower(coalesce(text, '')),
+                    '[^a-z0-9]+', ' ', 'g')) AS norm
+                FROM documents),
+              c AS (
+                SELECT doc_id, t, norm,
+                  list_filter(string_split(norm, ' '), x -> x <> '') AS toks
+                FROM b),
+              m AS (
+                SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  CAST(length(norm) - (len(toks) - 1) AS BIGINT) AS word_chars,
+                  CAST(len(toks) - len(regexp_extract_all(norm, '\b[0-9]+\b'))
+                    AS BIGINT) AS alpha_words,
+                  CAST(len(regexp_extract_all(t, '#'))
+                    + len(regexp_extract_all(t, '\.\.\.'))
+                    + len(regexp_extract_all(t, '…')) AS BIGINT) AS symbols,
+                  CAST(len(regexp_extract_all(t, '\n')) + 1 AS BIGINT) AS n_lines,
+                  CAST(len(regexp_extract_all(t, '(?m)^\s*[-*•]'))
+                    AS BIGINT) AS bullet_lines,
+                  CAST(len(regexp_extract_all(t, '(?m)(\.\.\.|…)$'))
+                    AS BIGINT) AS ellipsis_lines,
+                  CAST(len(list_filter(toks, x -> list_contains(
+                    ['the','and','is','of','to','in','that','it','was','for'],
+                    x))) AS BIGINT) AS stop_hits
+                FROM c)
+              SELECT doc_id, n_words,
+                (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+                (n_words > 0 AND word_chars >= n_words * 3
+                  AND word_chars <= n_words * 10) AS mean_word_ok,
+                (symbols * 10 <= n_words) AS symbol_ok,
+                (bullet_lines * 10 <= n_lines * 9) AS bullet_ok,
+                (ellipsis_lines * 10 <= n_lines * 3) AS ellipsis_ok,
+                (n_words > 0 AND alpha_words * 5 >= n_words * 4) AS alpha_ok,
+                (stop_hits >= 2) AS stopword_ok,
+                ((n_words >= 50 AND n_words <= 100000)
+                  AND (n_words > 0 AND word_chars >= n_words * 3
+                    AND word_chars <= n_words * 10)
+                  AND (symbols * 10 <= n_words)
+                  AND (bullet_lines * 10 <= n_lines * 9)
+                  AND (ellipsis_lines * 10 <= n_lines * 3)
+                  AND (n_words > 0 AND alpha_words * 5 >= n_words * 4)
+                  AND (stop_hits >= 2)) AS pass
+              FROM m ORDER BY doc_id""")),
+
     QueryDef("x55_multi_epoch_packing",
       // x30 for E epochs in ONE pass (r8): the epoch fan-out salts the
       // shuffle key per epoch and the running sums window by

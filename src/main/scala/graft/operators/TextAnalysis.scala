@@ -728,4 +728,66 @@ object TextAnalysis {
       .withColumn("boilerplate_rate",
         col("n_frequent").cast("double") / col("n_grams").cast("double"))
   }
+
+  // ------------------------------------------------- Gopher rule bundle
+
+  /** Gopher-style quality RULE BUNDLE (Rae et al. 2021, public): the
+    * per-rule boolean flags real curation pipelines gate on, where
+    * [[qualityScore]] is the composite. Exposing each rule separately
+    * is what makes drops ATTRIBUTABLE (the x58 per-reason audit needs
+    * a reason, not a score).
+    *
+    * Every threshold is evaluated in CROSS-MULTIPLIED integer form
+    * (`10·symbols ≤ words`, never `symbols/words ≤ 0.1`): no double
+    * ratio ever exists, so the flags replay bit-for-bit on any engine
+    * and no ulp sits on a gate boundary. Null text counts as empty
+    * (all word-dependent rules fail; a null doc never passes). Rules:
+    *  - `word_count_ok`   50 ≤ words ≤ 100,000
+    *  - `mean_word_ok`    mean word length in [3, 10] chars
+    *  - `symbol_ok`       (# + ellipsis) to word ratio ≤ 0.1
+    *  - `bullet_ok`       ≤ 90% of lines start with a bullet
+    *  - `ellipsis_ok`     ≤ 30% of lines end with an ellipsis
+    *  - `alpha_ok`        ≥ 80% of words contain a letter
+    *  - `stopword_ok`     ≥ 2 hits from the English stopword list
+    *  - `pass`            every rule above
+    * Map-only (one projection, no shuffle — the x10 scale shape);
+    * counts come from `regexp_count`/token algebra over one
+    * normalization pass. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val norm = normalizeText(t)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    // characters inside words = normalized length minus separators
+    val wordChars = (length(norm) - (nWords - 1)).cast("long")
+    val digitWords = regexp_count(norm, lit("\\b[0-9]+\\b")).cast("long")
+    val alphaWords = nWords - digitWords
+    val symbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\.")) + regexp_count(t, lit("…")))
+      .cast("long")
+    val nLines = (regexp_count(t, lit("\n")) + 1).cast("long")
+    val bulletLines = regexp_count(t, lit("(?m)^\\s*[-*•]")).cast("long")
+    val ellipsisLines = regexp_count(t, lit("(?m)(\\.\\.\\.|…)$"))
+      .cast("long")
+    val stopHits = stopwordHits(toks, "en").cast("long")
+    val wordCountOk = nWords >= 50L && nWords <= 100000L
+    val meanWordOk = nWords > 0L &&
+      wordChars >= nWords * 3L && wordChars <= nWords * 10L
+    val symbolOk = symbols * 10L <= nWords
+    val bulletOk = bulletLines * 10L <= nLines * 9L
+    val ellipsisOk = ellipsisLines * 10L <= nLines * 3L
+    val alphaOk = nWords > 0L && alphaWords * 5L >= nWords * 4L
+    val stopwordOk = stopHits >= 2L
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      wordCountOk.as("word_count_ok"),
+      meanWordOk.as("mean_word_ok"),
+      symbolOk.as("symbol_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordCountOk && meanWordOk && symbolOk && bulletOk &&
+        ellipsisOk && alphaOk && stopwordOk).as("pass"))
+  }
 }

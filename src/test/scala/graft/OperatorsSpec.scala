@@ -1034,4 +1034,33 @@ class OperatorsSpec extends SparkSpec {
     assert(scored == ((expected, 3L)),
       s"unseen features must score via the full-domain model, got $scored vs ${(expected, 3L)}")
   }
+
+  // ------------------------------------------------ Gopher rule bundle
+  test("gopherRules: each gate flips on exactly its own rule; null text never passes") {
+    val good = Array.fill(6)(
+      "the quick brown fox jumps and it was here for").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                    // all gates pass
+      (2L, "short text only"),                       // too few words
+      (3L, good + " " + "#" * 20),                   // symbol-heavy
+      (4L, (1 to 10).map(i => s"- item $i").mkString("\n")), // all bullets
+      (5L, "12345 67890 11111 22222 33333"),         // digit words
+      (7L, "line one...\nline two...\nline three\nline four"), // ellipses
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("pass"), s"good doc must pass: ${r(1L)}")
+    assert(!r(2L).getAs[Boolean]("word_count_ok") &&
+      r(2L).getAs[Boolean]("symbol_ok"))
+    assert(!r(3L).getAs[Boolean]("symbol_ok") &&
+      r(3L).getAs[Boolean]("word_count_ok"),
+      s"20 hashes over 60 words must trip only the symbol gate: ${r(3L)}")
+    assert(!r(4L).getAs[Boolean]("bullet_ok"))
+    assert(!r(5L).getAs[Boolean]("alpha_ok"))
+    assert(!r(7L).getAs[Boolean]("ellipsis_ok"),
+      s"2 ellipsis lines of 4 must trip the 30% gate: ${r(7L)}")
+    assert(r(6L).getLong(1) == 0L && !r(6L).getAs[Boolean]("pass"),
+      s"null text must count as empty and never pass: ${r(6L)}")
+  }
 }
