@@ -2821,6 +2821,59 @@ object Catalog {
                   AND (stop_hits >= 2)) AS pass
               FROM m ORDER BY doc_id""")),
 
+    QueryDef("x80_content_divergence",
+      // content-distribution divergence between two sources, computed
+      // from their x77 count states ALONE: KL over the hashed
+      // bag-of-ngrams models with add-one smoothing — topic/vocabulary
+      // shift moves it while a quality mean stands still (x71's twin
+      // on the CONTENT axis). Bucket-bounded work, exact-integer
+      // numerator, one division at readout — one output row
+      (s, d) => {
+        val docs = documents(s, d)
+        Sampling.dsirDivergence(
+          Sampling.dsirState(docs.where(col("source") === "src0"),
+            "text", buckets = 1024, salt = "dsir"),
+          Sampling.dsirState(docs.where(col("source") === "src1"),
+            "text", buckets = 1024, salt = "dsir"),
+          buckets = 1024)
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                  coalesce(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> ''), CAST([] AS VARCHAR[])) AS toks
+                FROM documents WHERE source IN ('src0', 'src1')),
+              f AS (
+                SELECT doc_id, source, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM t),
+              fb AS (
+                SELECT source,
+                  CAST('0x' || substring(md5('dsir:' || feat), 1, 15) AS BIGINT)
+                    % 1024 AS bucket
+                FROM f),
+              sa AS (SELECT bucket, count(*) AS ca FROM fb
+                     WHERE source = 'src0' GROUP BY 1),
+              sb AS (SELECT bucket, count(*) AS cb FROM fb
+                     WHERE source = 'src1' GROUP BY 1),
+              tot AS (SELECT (SELECT coalesce(sum(ca), 0) FROM sa) AS ta,
+                             (SELECT coalesce(sum(cb), 0) FROM sb) AS tb),
+              dom AS (SELECT unnest(range(1024)) AS bucket),
+              l AS (
+                SELECT coalesce(ca, 0) + 1 AS sa_, ta, tb,
+                  CAST(round(1000000.0 * (ln(coalesce(ca, 0) + 1)
+                    - ln(ta + 1024) - ln(coalesce(cb, 0) + 1)
+                    + ln(tb + 1024))) AS BIGINT) AS lr
+                FROM dom LEFT JOIN sa USING (bucket)
+                LEFT JOIN sb USING (bucket) CROSS JOIN tot)
+              SELECT CAST(max(ta) AS BIGINT) AS total_a,
+                CAST(max(tb) AS BIGINT) AS total_b,
+                CAST(sum(sa_ * lr) AS BIGINT) AS kl_num_unats,
+                CAST(floor(CAST(sum(sa_ * lr) AS DOUBLE)
+                  / (max(ta) + 1024)) AS BIGINT) AS kl_micronats
+              FROM l""")),
+
     QueryDef("x55_multi_epoch_packing",
       // x30 for E epochs in ONE pass (r8): the epoch fan-out salts the
       // shuffle key per epoch and the running sums window by

@@ -719,6 +719,54 @@ object Sampling {
           .cast("long").as("lscore_unats"))
   }
 
+  /** Content DIVERGENCE between two corpora from their [[dsirState]]s
+    * alone — KL(p̂_A ‖ p̂_B) over the hashed bag-of-ngrams models under
+    * add-one smoothing, the monitoring twin of [[graft.operators
+    * .TextAnalysis.profileHistDrift]]: that one watches a SCORE's
+    * distribution, this one watches the CONTENT distribution (topic /
+    * vocabulary shift moves it while quality stands still). Computable
+    * from two persisted states — week-over-week corpus drift never
+    * re-reads last week's corpus.
+    *
+    * Exactness contract (the x75 rule): the per-bucket log-ratio
+    * rounds ONCE to Long micro-nats, the numerator `Σ_b (ca_b+1) ·
+    * lr_b` is exact integer arithmetic over the full bucket domain,
+    * and the single division happens at readout. KL(A‖A) reads
+    * exactly 0 (the four log terms cancel to within ulps — far below
+    * the micro-nat rounding grain). Output: ONE
+    * row — (total_a, total_b, kl_num_unats, kl_micronats) where
+    * `kl_micronats = kl_num_unats / (total_a + buckets)` floored —
+    * micro-nats per smoothed token of A. Work is bucket-bounded;
+    * nothing touches a corpus. */
+  def dsirDivergence(stateA: DataFrame, stateB: DataFrame,
+      buckets: Int): DataFrame = {
+    val spark = stateA.sparkSession
+    val domain = spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val totals = stateA.agg(coalesce(sum(col("n")), lit(0L)).as("__ta"))
+      .crossJoin(stateB.agg(coalesce(sum(col("n")), lit(0L)).as("__tb")))
+    domain
+      .join(stateA.select(col("bucket"), col("n").as("__ca")),
+        Seq("bucket"), "left")
+      .join(stateB.select(col("bucket"), col("n").as("__cb")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__ta"), col("__tb"),
+        (coalesce(col("__ca"), lit(0L)) + 1L).as("__sa"),
+        round(lit(1e6) *
+            (log(coalesce(col("__ca"), lit(0L)) + 1.0) -
+             log(col("__ta") + buckets.toDouble) -
+             log(coalesce(col("__cb"), lit(0L)) + 1.0) +
+             log(col("__tb") + buckets.toDouble)), 0)
+          .cast("long").as("__lr"))
+      .groupBy()
+      .agg(max(col("__ta")).as("total_a"), max(col("__tb")).as("total_b"),
+        sum(col("__sa") * col("__lr")).as("kl_num_unats"))
+      .withColumn("kl_micronats",
+        floor(col("kl_num_unats").cast("double") /
+          (col("total_a") + lit(buckets.toLong)).cast("double")).cast("long"))
+  }
+
   /** Score a batch against a FROZEN model — the incremental-intake
     * analogue of [[dsirScores]] (grow the raw state with the batch,
     * rebuild the bucket-bounded model, score only the batch): one

@@ -1035,6 +1035,24 @@ class OperatorsSpec extends SparkSpec {
       s"unseen features must score via the full-domain model, got $scored vs ${(expected, 3L)}")
   }
 
+  test("dsirDivergence: KL(A||A) is exactly 0; distinct content reads positive; one row") {
+    val raw = dsirCorpus.toDF("doc_id", "text", "lang")
+    val en = Sampling.dsirState(raw.where(col("lang") === "en"), "text",
+      buckets = 256, salt = "t")
+    val de = Sampling.dsirState(raw.where(col("lang") === "de"), "text",
+      buckets = 256, salt = "t")
+    val self = Sampling.dsirDivergence(en, en, 256).collect()
+    assert(self.length == 1)
+    assert(self.head.getAs[Long]("kl_num_unats") == 0L &&
+      self.head.getAs[Long]("kl_micronats") == 0L,
+      s"KL(A||A) must read 0: ${self.head}")
+    val cross = Sampling.dsirDivergence(en, de, 256).collect().head
+    assert(cross.getAs[Long]("kl_micronats") > 0L,
+      s"disjoint-content corpora must diverge: $cross")
+    assert(cross.getAs[Long]("total_a") ==
+      self.head.getAs[Long]("total_a"))
+  }
+
   // ------------------------------------------------ Gopher rule bundle
   test("gopherRules: each gate flips on exactly its own rule; null text never passes") {
     val good = Array.fill(6)(
