@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfAnn, TextAnalysis}
+import graft.operators.{Dedup, IvfAnn, Sampling, TextAnalysis}
 
 /** The CORPUS-HEALTH AUDIT journey — one spark-submit that runs the
   * monitor suite over a corpus and leaves a review-ready audit
@@ -19,6 +19,14 @@ import graft.operators.{Dedup, IvfAnn, TextAnalysis}
   *                       `--prev` audit's hist/ (x71
   *                       `profileHistDrift`) — present only with
   *                       `--prev`
+  *   dsir/               the corpus's hashed bag-of-ngrams count
+  *                       state (x77, `RunIntake.dsirStateBuckets`
+  *                       buckets) — the content snapshot the NEXT
+  *                       audit diffs against
+  *   content_drift/      KL divergence of THIS corpus's content vs
+  *                       the `--prev` audit's dsir/ state (x80) —
+  *                       topic/vocabulary shift the quality drift
+  *                       can't see; present only with `--prev`
   *   dup_matrix/         cross-source duplication matrix over the
   *                       MinHash pair relation (x59)
   *   family_sizes/       dup-family size histogram over the same pair
@@ -126,6 +134,17 @@ object RunAudit {
       save(TextAnalysis.profileHistDrift(
         spark.read.parquet(s"$p/hist"), hist, "source"), "drift")
     }
+    // 1c. the CONTENT snapshot (x77 count state) and, with --prev,
+    // the x80 divergence of this corpus's content vs the previous
+    // audit's — both state-sized; KL(now ‖ prev) so "new content the
+    // old model doesn't explain" is what moves the number
+    val dsirNow = save(Sampling.dsirState(docs, "text",
+      buckets = RunIntake.dsirStateBuckets, salt = "dsir"), "dsir")
+    val contentDrift = prevAuditDir.map { p =>
+      save(Sampling.dsirDivergence(dsirNow,
+          spark.read.parquet(s"$p/dsir"), RunIntake.dsirStateBuckets),
+        "content_drift")
+    }
     // 2. the fuzzy tier's pair relation once, three views of it
     val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 64, bands = 16, threshold = 0.5)
@@ -200,6 +219,10 @@ object RunAudit {
             "max_drift_source" -> s""""${worst.getAs[String]("source")}""""))
         .getOrElse(Seq("drift" -> "\"both snapshots empty\""))
     }.getOrElse(Seq("drift" -> "\"skipped: no --prev audit dir\""))
+    val contentSummary = contentDrift.map { d =>
+      Seq("content_kl_micronats" ->
+        d.head().getAs[Long]("kl_micronats").toString)
+    }.getOrElse(Seq("content_drift" -> "\"skipped: no --prev audit dir\""))
     val report = Seq(
       "n_docs" -> nDocs.toString,
       "n_sources" -> nSources.toString,
@@ -208,7 +231,8 @@ object RunAudit {
         coalesce(sum("n_families"), lit(0L))).head().getLong(0).toString,
       "largest_family" -> largestFamily.toString,
       "minhash_worst_abs_err_ppm" -> worstErr.toString,
-      "banding_catch_by_band" -> bandSummary) ++ vecSummary ++ driftSummary ++ Seq(
+      "banding_catch_by_band" -> bandSummary) ++ vecSummary ++
+      driftSummary ++ contentSummary ++ Seq(
       "millis" -> ((System.nanoTime() - t0) / 1000000L).toString)
     // values are already JSON-ready: numbers bare, the band map an
     // object, the skipped marker pre-quoted

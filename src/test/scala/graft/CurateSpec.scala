@@ -289,7 +289,7 @@ class CurateSpec extends SparkSpec {
     val rep = graft.pipeline.RunAudit
       .run(spark, docs, Some(emb), out).toMap
     assert(rep("n_docs").toLong == docs.count())
-    Seq("profile", "hist", "dup_matrix", "family_sizes",
+    Seq("profile", "hist", "dsir", "dup_matrix", "family_sizes",
         "minhash_accuracy", "banding_recall",
         "ivf_cells", "ann_recall").foreach { d =>
       assert(spark.read.parquet(s"$out/$d").count() > 0,
@@ -342,6 +342,18 @@ class CurateSpec extends SparkSpec {
       "unchanged sources must read exactly zero drift")
     assert(rep("max_drift_source") == "\"src19\"" &&
       rep("max_drift_tv_ppm") == "1000000")
+    // the content axis rides beside it: KL(now || prev) from the
+    // persisted dsir/ states; dropping a source keeps now's content
+    // inside prev's support, so the number is small but well-defined
+    assert(rep.contains("content_kl_micronats") &&
+      rep("content_kl_micronats").toLong >= 0L, rep.toString)
+    // an unchanged corpus reads exactly zero content drift
+    val outSame = java.nio.file.Files
+      .createTempDirectory("graft_audit_same").toString
+    val repSame = graft.pipeline.RunAudit
+      .run(spark, docs, None, outSame, prevAuditDir = Some(out1)).toMap
+    assert(repSame("content_kl_micronats") == "0",
+      s"identical corpora must read KL 0: ${repSame("content_kl_micronats")}")
     // without --prev the journey says so instead of failing
     assert(graft.pipeline.RunAudit.run(spark, docs, None,
         s"${out1}_alone").toMap.apply("drift").contains("skipped"))
