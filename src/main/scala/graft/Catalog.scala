@@ -1291,7 +1291,8 @@ object Catalog {
                 coalesce(sc.s, 0) AS score_unats,
                 coalesce(sc.nf, 0) AS n_feats
               FROM documents d LEFT JOIN sc USING (doc_id)
-              ORDER BY d.doc_id""")),
+              ORDER BY d.doc_id"""),
+      headline = true),
 
     QueryDef("x76_dsir_select",
       // DSIR selection: Gumbel-top-k sampling without replacement
@@ -2873,6 +2874,32 @@ object Catalog {
                 CAST(floor(CAST(sum(sa_ * lr) AS DOUBLE)
                   / (max(ta) + 1024)) AS BIGINT) AS kl_micronats
               FROM l""")),
+
+    QueryDef("x81_line_strip",
+      // within-doc repeated-line removal: keep the first occurrence
+      // of every non-blank line, preserve order, blanks always
+      // survive (structure, not content) — the intra-doc half of
+      // boilerplate cleanup (x66 is the cross-doc half). Map-only
+      // per-row array algebra; the oracle replays the indexed filter
+      (s, d) => TextAnalysis.stripRepeatedLines(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "text", "n_lines", "n_kept")
+        .orderBy("doc_id"),
+      Some("""WITH l AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines
+                FROM documents),
+              k AS (
+                SELECT doc_id, lines,
+                  list_filter(lines, (x, i) -> trim(x) = ''
+                    OR list_position(list_slice(lines, 1, i - 1), x) = 0)
+                    AS kept
+                FROM l)
+              SELECT doc_id,
+                CASE WHEN lines IS NULL THEN NULL
+                  ELSE array_to_string(kept, chr(10)) END AS text,
+                coalesce(len(lines), 0) AS n_lines,
+                coalesce(len(kept), 0) AS n_kept
+              FROM k ORDER BY doc_id""")),
 
     QueryDef("x55_multi_epoch_packing",
       // x30 for E epochs in ONE pass (r8): the epoch fan-out salts the

@@ -729,6 +729,46 @@ object TextAnalysis {
         col("n_frequent").cast("double") / col("n_grams").cast("double"))
   }
 
+  // --------------------------------------------- repeated-line strip
+
+  /** WITHIN-document repeated-line removal: keep the FIRST occurrence
+    * of every non-blank line, drop later repeats, preserve order —
+    * the intra-doc half of boilerplate cleanup (nav menus, cookie
+    * banners, chorus lines repeated inside one capture; the CROSS-doc
+    * half is the x66 frequent-chunk strip). Blank/whitespace-only
+    * lines always survive: they are structure, not content, and
+    * collapsing them would silently reflow paragraphs.
+    *
+    * Pure per-row column algebra (map-only, no shuffle, no state):
+    * an indexed `filter` keeps line i iff it is blank or absent from
+    * lines 0..i−1. Per-row cost is O(lines²) string compares — lines
+    * per document is bounded in practice (and the quadratic is per
+    * ROW, so it distributes; a pathological single-doc line count is
+    * a data bug the x79 bullet gate already flags). Output: input
+    * columns with `textCol` replaced by the cleaned text, plus
+    * `n_lines` (original) and `n_kept`. Null text passes through
+    * null (nothing to strip, the null-propagation contract of the
+    * cleaners). */
+  def stripRepeatedLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, (x, i) =>
+      length(trim(x)) === 0 ||
+        array_position(slice(lines, lit(1), i), x) === 0L)
+    df.withColumn("n_lines",
+        coalesce(size(lines).cast("long"), lit(0L) - 1L))
+      .withColumn("__kept", kept)
+      .withColumn("n_kept",
+        coalesce(size(col("__kept")).cast("long"), lit(0L) - 1L))
+      .withColumn(textCol, concat_ws("\n", col("__kept")))
+      .withColumn(textCol,
+        when(col("n_lines") < 0L, lit(null).cast("string"))
+          .otherwise(col(textCol)))
+      .withColumn("n_lines", greatest(col("n_lines"), lit(0L)))
+      .withColumn("n_kept", greatest(col("n_kept"), lit(0L)))
+      .drop("__kept")
+  }
+
   // ------------------------------------------------- Gopher rule bundle
 
   /** Gopher-style quality RULE BUNDLE (Rae et al. 2021, public): the

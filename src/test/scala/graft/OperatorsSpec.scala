@@ -1053,6 +1053,22 @@ class OperatorsSpec extends SparkSpec {
       self.head.getAs[Long]("total_a"))
   }
 
+  test("stripRepeatedLines: first occurrence survives in order, blanks always pass, null propagates") {
+    val df = Seq(
+      (1L, "nav menu\nreal content\n\nnav menu\nmore text\n\nreal content"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.stripRepeatedLines(df, "doc_id", "text")
+      .select("doc_id", "text", "n_lines", "n_kept")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "nav menu\nreal content\n\nmore text\n",
+      s"dup lines drop, blanks survive, order holds: '${r(1L).getString(1)}'")
+    assert(r(1L).getLong(2) == 7L && r(1L).getLong(3) == 5L)
+    assert(r(2L).isNullAt(1) && r(2L).getLong(2) == 0L &&
+      r(2L).getLong(3) == 0L, "null text must propagate null")
+    assert(r(3L).getString(1) == "" && r(3L).getLong(2) == 1L)
+  }
+
   // ------------------------------------------------ Gopher rule bundle
   test("gopherRules: each gate flips on exactly its own rule; null text never passes") {
     val good = Array.fill(6)(
