@@ -2901,6 +2901,117 @@ object Catalog {
                 coalesce(len(kept), 0) AS n_kept
               FROM k ORDER BY doc_id""")),
 
+    QueryDef("x82_substring_dedup",
+      // exact-substring span dedup (Lee et al. 2021): any 5-token span
+      // occurring >= 2x corpus-wide is removed everywhere except its
+      // minimal (doc, pos) occurrence; docs are rewritten in normalized
+      // token space. The finest dedup tier: doc (x01) -> chunk (x44) ->
+      // line (x81) -> span (here). The oracle replays the gram counting
+      // on gram TEXT (space-join is injective over space-free tokens),
+      // so it also audits the engine's md5-chain keying end to end
+      (s, d) => Dedup.stripDuplicateSpans(
+          documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+                SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+                  ELSE list_filter(string_split(trim(regexp_replace(
+                    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') END AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                  array_to_string(list_slice(toks,
+                    CAST(s + 1 AS INT), CAST(s + 5 AS INT)), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                        unnest(range(0, len(toks) - 4)) AS s
+                      FROM tk WHERE len(toks) >= 5)),
+              mk AS (
+                SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY gram
+                      ORDER BY doc_id, pos) AS rn,
+                    count(*) OVER (PARTITION BY gram) AS cnt
+                  FROM g) WHERE cnt >= 2 AND rn > 1),
+              rm AS (
+                SELECT DISTINCT doc_id, pos + u.o AS idx
+                FROM mk, unnest(range(0, 5)) AS u(o)),
+              ag AS (
+                SELECT doc_id, count(*) AS n_removed,
+                  list_sort(list(idx)) AS rmidx
+                FROM rm GROUP BY doc_id)
+              SELECT t.doc_id,
+                CASE WHEN t.toks IS NULL THEN NULL
+                  ELSE coalesce(array_to_string(list_filter(t.toks,
+                    (x, i) -> NOT list_contains(coalesce(a.rmidx, []),
+                      CAST(i - 1 AS BIGINT))), ' '), '')
+                END AS text,
+                coalesce(len(t.toks), 0) AS n_tokens,
+                coalesce(a.n_removed, 0) AS n_removed
+              FROM tk t LEFT JOIN ag a USING (doc_id)
+              ORDER BY doc_id""")),
+
+    QueryDef("x83_span_grow_intake",
+      // the SPAN tier's growing state (the x46/x50 algebra at
+      // substring granularity): gram MEMBERSHIP persisted
+      // shard-partitioned — a gram seen in any earlier batch has its
+      // keeper settled, so later occurrences cut unconditionally;
+      // within-batch multiplicity is the batch's own min-(id,pos)
+      // rule. Each intake reads only the shards its own grams hash
+      // to and appends only its NEW grams. Sequential rewrite over
+      // three id-ordered batches == the one-shot x82 bit-for-bit —
+      // the oracle IS the one-shot replay
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_span_idx_" +
+          Integer.toHexString(d.hashCode)
+        val b1 = docs.where(col("doc_id") < 250)
+        Dedup.buildSpanIndex(b1, "doc_id", "text", n = 5, path)
+        val o1 = Dedup.stripDuplicateSpans(b1, "doc_id", "text", n = 5)
+        val o2 = Dedup.intakeStepAgainstSpanIndex(s, path,
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 400),
+          "doc_id", "text")
+        val o3 = Dedup.intakeStepAgainstSpanIndex(s, path,
+          docs.where(col("doc_id") >= 400), "doc_id", "text")
+        o1.unionByName(o2).unionByName(o3).orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+                  ELSE list_filter(string_split(trim(regexp_replace(
+                    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') END AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                  array_to_string(list_slice(toks,
+                    CAST(s + 1 AS INT), CAST(s + 5 AS INT)), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                        unnest(range(0, len(toks) - 4)) AS s
+                      FROM tk WHERE len(toks) >= 5)),
+              mk AS (
+                SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY gram
+                      ORDER BY doc_id, pos) AS rn,
+                    count(*) OVER (PARTITION BY gram) AS cnt
+                  FROM g) WHERE cnt >= 2 AND rn > 1),
+              rm AS (
+                SELECT DISTINCT doc_id, pos + u.o AS idx
+                FROM mk, unnest(range(0, 5)) AS u(o)),
+              ag AS (
+                SELECT doc_id, count(*) AS n_removed,
+                  list_sort(list(idx)) AS rmidx
+                FROM rm GROUP BY doc_id)
+              SELECT t.doc_id,
+                CASE WHEN t.toks IS NULL THEN NULL
+                  ELSE coalesce(array_to_string(list_filter(t.toks,
+                    (x, i) -> NOT list_contains(coalesce(a.rmidx, []),
+                      CAST(i - 1 AS BIGINT))), ' '), '')
+                END AS text,
+                coalesce(len(t.toks), 0) AS n_tokens,
+                coalesce(a.n_removed, 0) AS n_removed
+              FROM tk t LEFT JOIN ag a USING (doc_id)
+              ORDER BY doc_id""")),
+
     QueryDef("x55_multi_epoch_packing",
       // x30 for E epochs in ONE pass (r8): the epoch fan-out salts the
       // shuffle key per epoch and the running sums window by
@@ -3983,6 +4094,37 @@ object Catalog {
                   < CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
                       * 1000000) AS BIGINT)
               ORDER BY doc_id""")),
+
+    QueryDef("x84_collocations",
+      // top-k adjacent-bigram collocations by PMI lift — the
+      // vocabulary/tokenizer-merge audit. Ranking by lift IS ranking
+      // by PMI (log is monotone) and keeps the score an exact-integer
+      // IEEE product, replayable where a log would hash-drift across
+      // math libraries; minCount bounds the join to pairs that repeat
+      (s, d) => TextAnalysis.collocations(documents(s, d),
+          "doc_id", "text", k = 100, minCount = 5L),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              un AS (SELECT unnest(toks) AS term FROM tk),
+              uc AS (SELECT term, count(*) AS c FROM un GROUP BY 1),
+              n1t AS (SELECT count(*) AS n1 FROM un),
+              bp AS (SELECT toks[CAST(i AS INT)] AS w1,
+                       toks[CAST(i AS INT) + 1] AS w2
+                     FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                           FROM tk WHERE len(toks) >= 2)),
+              bc AS (SELECT w1, w2, count(*) AS c_xy FROM bp GROUP BY 1, 2),
+              n2t AS (SELECT sum(c_xy) AS n2 FROM bc)
+              SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
+                CAST(floor(1e6 * (CAST(c_xy AS DOUBLE) * n1 * n1)
+                  / (CAST(a.c AS DOUBLE) * b.c * n2)) AS BIGINT) AS lift_ppm
+              FROM bc
+              JOIN uc a ON bc.w1 = a.term
+              JOIN uc b ON bc.w2 = b.term, n1t, n2t
+              WHERE c_xy >= 5
+              ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""")),
 
     QueryDef("x73_measured_mixture",
       // "mix what you have toward what you want": per-source sampling

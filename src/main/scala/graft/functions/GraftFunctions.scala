@@ -101,6 +101,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head,
         literalInt("shingle_hashes", "n", children(1)))),
+    (FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[PositionedGramHashes].getName, "gram_hashes"),
+      (children: Seq[Expression]) => PositionedGramHashes(children.head,
+        literalInt("gram_hashes", "n", children(1)))),
+    (FunctionIdentifier("prune_indices"),
+      new ExpressionInfo(classOf[PruneIndices].getName, "prune_indices"),
+      (children: Seq[Expression]) => PruneIndices(children(0), children(1))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children.head,

@@ -79,12 +79,12 @@ object ShingleHashes {
     org.apache.spark.sql.graft.ColumnBridge.column(
       ShingleHashes(org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
 
-  private val mdTl: ThreadLocal[MessageDigest] =
+  private[functions] val mdTl: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** md5-60 of raw bytes: the top 60 bits (15 hex chars) of the md5
     * digest — exactly `conv(substring(md5(s),1,15),16,10)`. */
-  private def md5Hash60(md: MessageDigest, bytes: Array[Byte], len: Int): Long = {
+  private[functions] def md5Hash60(md: MessageDigest, bytes: Array[Byte], len: Int): Long = {
     md.reset()
     md.update(bytes, 0, len)
     val d = md.digest()
@@ -97,12 +97,11 @@ object ShingleHashes {
   private def isAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
-  /** The primitive pipeline — shared by interpreted eval and codegen. */
-  def shingles(text: UTF8String, n: Int): ArrayData = {
-    // Spark's lower(): ASCII fast path, full String.toLowerCase beyond
-    val str = text.toLowerCase.toString
-    val md = mdTl.get()
-    // tokens = maximal runs of [a-z0-9]; hash each in place
+  /** The md5-60 hash of every normalized token in document order
+    * (lowercase, maximal `[a-z0-9]` runs — the canonical tokenizer
+    * shared by every text operator). Returns the backing array, which
+    * may be longer than the token count: read `m` entries. */
+  private[functions] def tokenHashes(md: MessageDigest, str: String): (Array[Long], Int) = {
     var th = new Array[Long](16)
     var m = 0
     var buf = new Array[Byte](64)
@@ -122,6 +121,15 @@ object ShingleHashes {
         i = j
       } else i += 1
     }
+    (th, m)
+  }
+
+  /** The primitive pipeline — shared by interpreted eval and codegen. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    // Spark's lower(): ASCII fast path, full String.toLowerCase beyond
+    val str = text.toLowerCase.toString
+    val md = mdTl.get()
+    val (th, m) = tokenHashes(md, str)
     if (m == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     // distinct, first-occurrence order (= array_distinct)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()

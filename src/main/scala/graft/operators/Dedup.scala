@@ -1461,6 +1461,193 @@ object Dedup {
           s => s.getField("chunk_text"))).as("text_stripped"))
   }
 
+  /** EXACT-SUBSTRING SPAN DEDUP — the Lee et al. 2021 rule ("Deduplicating
+    * Training Data Makes Language Models Better": remove any ≥N-token
+    * substring that appears more than once in the corpus, keeping one
+    * copy) re-expressed as distributed gram counting instead of a
+    * suffix array. This is the finest tier of the dedup granularity
+    * ladder: whole-doc (x01) → chunk (x44) → line (x81) → span (here),
+    * and the only one that catches a copied paragraph embedded in
+    * otherwise-novel documents.
+    *
+    * Semantics (in normalized token space — lowercase `[a-z0-9]` runs,
+    * the canonical tokenizer every text tier shares):
+    *  1. every n-token span is keyed by its positioned gram hash
+    *     ([[graft.functions.PositionedGramHashes]] — one codegen pass,
+    *     no token-row explosion);
+    *  2. a gram occurring ≥2 times corpus-wide (within-doc repeats
+    *     count) is duplicated; its KEEPER is the minimal (id, pos)
+    *     occurrence — deterministic, rerun-idempotent;
+    *  3. every non-keeper occurrence marks tokens [pos, pos+n-1] for
+    *     removal; overlapping marks union (no island bookkeeping — the
+    *     removal SET is the contract);
+    *  4. each document is rewritten with its marked tokens dropped
+    *     ([[graft.functions.PruneIndices]] — one merge walk, not an
+    *     O(|toks|·|rm|) interpreted lambda). A keeper's own tokens can
+    *     still fall to an overlapping marked span — the published
+    *     method has the same property (removal may split the copy it
+    *     keeps); what is guaranteed is that no duplicated n-gram
+    *     survives twice un-overlapped.
+    *
+    * Output: (id, text, n_tokens, n_removed) — text is the rewritten
+    * normalized token stream (space-joined), NULL for null input text,
+    * "" for token-free docs; docs shorter than n tokens pass through
+    * unmarked (no n-span exists; whole-short-doc dups are x01's job).
+    *
+    * Scale shape: three map-only scans of the corpus (two gram
+    * fan-outs — Catalyst does not share the aggregated and the joined
+    * branch, the measured q08 trade-off — plus the rewrite scan); one
+    * gram-hash aggregate with map-side combine (8-byte keys); the
+    * duplicated tail joins back UNHINTED (AQE broadcasts when small —
+    * duplication is the tail, not the vocabulary — and degrades to a
+    * shuffled hash join at web scale instead of an OOM); marked spans
+    * explode ×n then distinct on (id, idx) longs; per-doc removal
+    * arrays are bounded by the document's own token count, the same
+    * bounded-reassembly contract as x44. No corpus window, no global
+    * sort, no suffix array. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"stripDuplicateSpans: n must be >= 1, got $n")
+    val base = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+    val occ = spanOccurrences(base, n)
+    val keepers = occ.groupBy("g")
+      .agg(count(lit(1)).as("__cnt"), min(struct(col("id"), col("pos"))).as("__keep"))
+      .where(col("__cnt") >= 2)
+      .select(col("g"), col("__keep"))
+    val marked = occ.join(keepers, Seq("g"))
+      .where(!(col("id") === col("__keep.id") && col("pos") === col("__keep.pos")))
+      .select(col("id"), col("pos"))
+    rewriteDropSpans(base, marked, n, idCol)
+  }
+
+  /** The positioned-gram fan-out of the span tier: one row per
+    * (doc, start position), keyed by the gram hash. Map-only. */
+  private def spanOccurrences(base: DataFrame, n: Int): DataFrame =
+    base.select(col("id"),
+      posexplode(graft.functions.PositionedGramHashes.column(col("__text"), n))
+        .as(Seq("pos", "g")))
+
+  /** The rewrite stage of the span tier: union marked [pos, pos+n)
+    * spans into a per-doc removal SET (distinct on (id, idx) longs),
+    * then drop those token indexes in one codegen'd merge walk.
+    * Per-doc state is bounded by the document's own token count —
+    * the x44 bounded-reassembly contract. */
+  private def rewriteDropSpans(base: DataFrame, marked: DataFrame,
+      n: Int, idCol: String): DataFrame = {
+    val removed = marked
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("__i"))
+      .select(col("id"), col("__i").cast("long").as("idx"))
+      .distinct()
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("idx"))).as("__rm"))
+    val toks = base.select(col("id"),
+      array_remove(split(trim(regexp_replace(lower(col("__text")),
+        "[^a-z0-9]+", " ")), " "), "").as("__toks"))
+    toks.join(removed, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__toks").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", graft.functions.PruneIndices.column(
+            col("__toks"),
+            coalesce(col("__rm"), array().cast("array<long>"))))).as("text"),
+        when(col("__toks").isNull, lit(0L))
+          .otherwise(size(col("__toks")).cast("long")).as("n_tokens"),
+        when(col("__rm").isNull, lit(0L))
+          .otherwise(size(col("__rm")).cast("long")).as("n_removed"))
+  }
+
+  // ------------------------------------------------- growing span index
+
+  private val spanMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** (nShards, gramN) of a [[buildSpanIndex]] layout (cached per
+    * path — the fuzzy-meta immutability argument). */
+  private def spanIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) =
+    spanMetaCache.computeIfAbsent(path, _ => {
+      val r = spark.read.parquet(s"$path/meta").collect()(0)
+      (r.getAs[Int]("n_shards"), r.getAs[Int]("gram_n"))
+    })
+
+  /** PERSIST the span tier's growing state: the DISTINCT gram-hash
+    * set of the corpus, shard-partitioned by gram hash, plus the
+    * founding doc id of each gram (`owner` — needed only for the
+    * crash-replay rule, below). Membership is the WHOLE state: a gram
+    * seen in any earlier batch means its keeper is already settled,
+    * so later occurrences cut unconditionally; counts are never
+    * needed (within-batch multiplicity is the batch's own job). That
+    * is why sequential intake equals the one-shot
+    * [[stripDuplicateSpans]] bit-for-bit when batches arrive in id
+    * order — keeping a batch-min occurrence never depends on whether
+    * more copies arrive later (the keeper is kept either way), and
+    * cutting applies only to occurrences whose keeper is already
+    * fixed. The x46/x50 growing-tier algebra, at span granularity. */
+  def buildSpanIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, path: String, nShards: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), col(textCol).as("__text"))
+    spanOccurrences(base, n)
+      .groupBy("g").agg(min(col("id")).as("owner"))
+      .withColumn("__shard", pmod(xxhash64(col("g")), lit(nShards.toLong)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__shard").parquet(s"$path/grams")
+    spark.range(1).select(lit(nShards).as("n_shards"), lit(n).as("gram_n"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/meta")
+    spanMetaCache.remove(path)
+    ()
+  }
+
+  /** One incremental SPAN-intake step, first-wins: rewrite the batch
+    * with every span occurrence cut whose keeper is already settled —
+    * in the index (shard-pruned membership probe: only the shard
+    * partitions the batch's own grams hash to are read) or earlier in
+    * the batch (the within-batch min-(id,pos) rule of
+    * [[stripDuplicateSpans]]) — then append the batch's NEW grams to
+    * the state and return the rewritten docs
+    * (id, text, n_tokens, n_removed), checkpointed so the probe never
+    * re-executes over the appended state.
+    *
+    * CRASH RECOVERY (mirrors [[intakeStepAgainstExactIndex]]): the
+    * probe ignores index grams whose `owner` is one of the batch's own
+    * ids — ids are corpus-unique by the framework precondition, so a
+    * same-owner hit can only be this batch's earlier crashed append —
+    * making a replay of the SAME step converge to the never-crashed
+    * rewrite. Re-appended gram rows duplicate membership; membership
+    * is insensitive to duplication. */
+  def intakeStepAgainstSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (nShards, n) = spanIndexMeta(spark, path)
+    val base = Rebalance(batch.select(col(idCol).as("id"), col(textCol).as("__text")))
+    val occ = spanOccurrences(base, n)
+    val batchGrams = occ.groupBy("g").agg(min(col("id")).as("owner"))
+      .withColumn("__shard", pmod(xxhash64(col("g")), lit(nShards.toLong)))
+    val idx0 = spark.read.parquet(s"$path/grams")
+    val shards = batchGrams.select("__shard").distinct().collect().map(_.getLong(0))
+    val idx =
+      if (shards.isEmpty) idx0.limit(0)
+      else idx0.where(col("__shard").isin(shards.toIndexedSeq: _*))
+    val batchIds = base.select(col("id").as("__bid")).distinct()
+    val hits = idx.select("g", "owner")
+      .join(batchIds, col("owner") === col("__bid"), "left_anti")
+      .select("g").distinct()
+    val keepers = occ.groupBy("g")
+      .agg(count(lit(1)).as("__cnt"), min(struct(col("id"), col("pos"))).as("__keep"))
+    val marked = occ.join(keepers, Seq("g"))
+      .join(hits.withColumn("__hit", lit(true)), Seq("g"), "left")
+      .where(col("__hit").isNotNull ||
+        (col("__cnt") >= 2 &&
+          !(col("id") === col("__keep.id") && col("pos") === col("__keep.pos"))))
+      .select(col("id"), col("pos"))
+    val out = trackCheckpoint(
+      rewriteDropSpans(base, marked, n, idCol).localCheckpoint())
+    batchGrams.join(hits, Seq("g"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("__shard").parquet(s"$path/grams")
+    out
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked

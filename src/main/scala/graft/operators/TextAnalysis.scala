@@ -376,6 +376,60 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** TOP-K COLLOCATIONS by pointwise-mutual-information LIFT — the
+    * corpus-association audit behind vocabulary and tokenizer-merge
+    * design (which adjacent pairs behave as one unit: "los angeles",
+    * "neural networks"). For adjacent-token bigram (x, y):
+    *
+    *   lift(x,y) = P(x,y) / (P(x)·P(y))
+    *             = (c_xy / N2) / ((c_x / N1)·(c_y / N1))
+    *
+    * (PMI = log lift; the log is monotone, so ranking by lift IS
+    * ranking by PMI — and skipping it keeps the score an
+    * IEEE-deterministic product of exact integer counts, externally
+    * replayable, where a `log` would hash-drift across math
+    * libraries). Emitted as `lift_ppm` = floor(1e6·lift); ordering
+    * ties break on the pair itself, so top-k is total.
+    *
+    * `minCount` suppresses the classic PMI pathology (hapax pairs
+    * with sky-high lift) and — scale note — bounds the join input to
+    * pairs that actually repeat. Shape: bigrams via
+    * `arrays_zip(slice, slice)` (pure codegen'd column algebra, no
+    * interpreted lambda, map-only fan-out of ≤|doc| rows); two hash
+    * aggregates (pair counts, term counts — both map-side combined);
+    * the pair tail joins term counts UNHINTED (AQE broadcasts small
+    * vocabularies, degrades to a shuffled hash join at web scale);
+    * 1-row totals broadcast; top-k plans as TakeOrderedAndProject (a
+    * per-task bounded heap — the "global sort" never materializes).
+    * Output: (w1, w2, c_xy, c_x, c_y, lift_ppm). */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 5L): DataFrame = {
+    require(k >= 1 && minCount >= 1,
+      s"collocations: k and minCount must be >= 1, got k=$k minCount=$minCount")
+    val toks = Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), tokens(col("__text")).as("__toks"))
+    val terms = toks.select(explode(col("__toks")).as("term"))
+    val termCounts = terms.groupBy("term").agg(count(lit(1)).as("c"))
+    val n1 = terms.select(count(lit(1)).as("n1"))
+    val pairs = toks.where(size(col("__toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("w1"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("w2"))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val n2 = pairCounts.select(sum(col("c_xy")).as("n2"))
+    pairCounts.where(col("c_xy") >= minCount)
+      .join(termCounts.select(col("term").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(termCounts.select(col("term").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        floor(lit(1e6) * (col("c_xy").cast("double") * col("n1") * col("n1"))
+          / (col("c_x").cast("double") * col("c_y") * col("n2"))).as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   // ---------------------------------------------------------- chunking
 
   /** Split documents into strided token-window CHUNKS — the

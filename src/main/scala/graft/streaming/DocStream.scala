@@ -216,6 +216,48 @@ object DocStream {
       .option("checkpointLocation", s"$outPath/_checkpoint")
       .start()
 
+  /** Streaming SPAN intake — the substring tier's growing form
+    * ([[graft.operators.Dedup.stripDuplicateSpans]] made
+    * incremental): each micro-batch is REWRITTEN (not dropped) with
+    * every n-token span cut whose keeper is already settled — in the
+    * growing gram-membership index or earlier in the batch — and the
+    * batch's new grams append to only the shards they hash to
+    * ([[graft.operators.Dedup.intakeStepAgainstSpanIndex]]). The
+    * FIRST batch FOUNDS the index (one-shot strip + build from its
+    * own original grams); a crash between found and write replays
+    * into the intake path, where the owner rule ignores the batch's
+    * own crashed append — so the replay converges either way. With
+    * id order == arrival order the concatenated rewrites equal the
+    * one-shot strip of the whole corpus (the x83 oracle algebra).
+    * Rewritten docs append to `outPath/rewritten`. */
+  def intakeAndGrowSpanIndex(spark: SparkSession, docs: DataFrame,
+      indexPath: String, outPath: String, n: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val meta = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+        val founded = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(meta)
+        val (_, lease) = graft.operators.Dedup.scoped {
+          val out =
+            if (founded)
+              graft.operators.Dedup.intakeStepAgainstSpanIndex(
+                spark, indexPath, batch.toDF(), "doc_id", "text")
+            else {
+              graft.operators.Dedup.buildSpanIndex(batch.toDF(),
+                "doc_id", "text", n, indexPath)
+              graft.operators.Dedup.stripDuplicateSpans(batch.toDF(),
+                "doc_id", "text", n)
+            }
+          out.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$outPath/rewritten")
+        }
+        lease.release()
+        ()
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .start()
+
   /** Streaming SEMANTIC intake over a vector stream — the embedding
     * tier's growing form, completing the streaming set alongside
     * [[intakeAndGrowExactIndex]] (digests) and

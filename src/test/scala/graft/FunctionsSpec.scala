@@ -797,6 +797,52 @@ class FunctionsSpec extends SparkSpec {
     Dedup.releaseCheckpoints()
   }
 
+  test("span index: sequential intake == one-shot strip; replay idempotent; appends carry only new grams") {
+    import graft.operators.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spanidx").toString
+    val docs = Seq(
+      (1L, "one two three four five unique tail"),
+      (2L, "prefix words one two three four five suffix"),
+      (3L, "aa bb cc dd ee xx aa bb cc dd ee"),
+      (4L, "totally novel content in batch two here"),
+      (5L, "closing one two three four five again"),
+      (6L, "totally novel content in batch two here word"))
+      .toDF("doc_id", "text")
+    val oneShot = Dedup.stripDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b1 = docs.where(col("doc_id") <= 3)
+    Dedup.buildSpanIndex(b1, "doc_id", "text", n = 5, s"$tmp/idx", nShards = 4)
+    val o1 = Dedup.stripDuplicateSpans(b1, "doc_id", "text", n = 5)
+    val b2 = docs.where(col("doc_id") > 3)
+    val o2 = Dedup.intakeStepAgainstSpanIndex(spark, s"$tmp/idx", b2,
+      "doc_id", "text")
+    val sequential = (o1.collect() ++ o2.collect()).map(_.toString).sorted.toSeq
+    assert(sequential == oneShot,
+      s"sequential != one-shot:\n$sequential\nvs\n$oneShot")
+    // replay the SAME step after its append completed: the owner rule
+    // must ignore the batch's own grams and converge to the same rewrite
+    val replay = Dedup.intakeStepAgainstSpanIndex(spark, s"$tmp/idx", b2,
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    assert(replay == o2.collect().map(_.toString).sorted.toSeq,
+      s"span-intake replay must be idempotent, got $replay")
+    // the append carries only grams the state had not seen: batch 3
+    // repeats batch-2 content, so after its intake the state's distinct
+    // gram set must not grow
+    val gramsBefore = spark.read.parquet(s"$tmp/idx/grams")
+      .select("g").distinct().count()
+    val b3 = Seq((7L, "totally novel content in batch two here"))
+      .toDF("doc_id", "text")
+    val o3 = Dedup.intakeStepAgainstSpanIndex(spark, s"$tmp/idx", b3,
+      "doc_id", "text")
+    assert(o3.select("n_removed").as[Long].collect().head == 7L,
+      "a whole-doc span repeat arriving a batch later must be cut to nothing")
+    val gramsAfter = spark.read.parquet(s"$tmp/idx/grams")
+      .select("g").distinct().count()
+    assert(gramsAfter == gramsBefore,
+      s"no new grams may append for an all-duplicate batch: $gramsBefore -> $gramsAfter")
+    Dedup.releaseCheckpoints()
+  }
+
   test("index takedown: deleted docs stop blocking copies; rewrites touch only their shards; meta invariant") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
@@ -1024,6 +1070,29 @@ class FunctionsSpec extends SparkSpec {
     assert(semProbe() == semBefore,
       "semantic probes must be layout-invariant across compaction")
     Dedup.releaseCheckpoints()
+  }
+
+  test("gram_hashes/prune_indices: positioned grams, distinct set equals shingle_hashes, merge-walk prune") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql("""SELECT gram_hashes('aa bb cc aa bb cc', 2) AS g,
+        shingle_hashes('aa bb cc aa bb cc', 2) AS s,
+        gram_hashes('one token', 5) AS short""").head
+    val g = r.getSeq[Long](0)
+    val s = r.getSeq[Long](1)
+    assert(g.length == 5, "6 tokens -> 5 bigram positions, duplicates preserved")
+    assert(g(0) == g(3) && g(1) == g(4), "a repeated span repeats its hash")
+    assert(g.distinct == s,
+      "the distinct positioned set must equal shingle_hashes (no padding branch)")
+    assert(r.getSeq[Long](2).isEmpty,
+      "a doc shorter than n has no n-span: empty, not one padded shingle")
+    val p = spark.sql("""SELECT prune_indices(array('a','b','c','d'),
+        array(CAST(1 AS BIGINT), CAST(3 AS BIGINT)))""").head.getSeq[String](0)
+    assert(p == Seq("a", "c"))
+    // out-of-range and empty drop lists are no-ops
+    val q = spark.sql("""SELECT prune_indices(array('a','b'),
+        array(CAST(-1 AS BIGINT), CAST(9 AS BIGINT))) AS x,
+        prune_indices(array('a','b'), CAST(array() AS ARRAY<BIGINT>)) AS y""").head
+    assert(q.getSeq[String](0) == Seq("a", "b") && q.getSeq[String](1) == Seq("a", "b"))
   }
 
   test("IVF ANN finds the exact neighbor when it shares the query's cell") {

@@ -183,6 +183,67 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(2L) == "own words here" && byId(3L) == "more private text")
   }
 
+  test("collocations: sticky pairs outrank frequent-but-independent ones; minCount prunes hapax pairs") {
+    // "santa monica" always co-occurs (lift >> 1); "the cat"/"the dog"
+    // split "the"'s mass (lift ~ 1); a pair appearing once dies to
+    // minCount regardless of lift
+    val sticky = (1 to 6).map(i => (i.toLong, "santa monica beach visit"))
+    val indep = (7 to 12).map(i =>
+      (i.toLong, if (i % 2 == 0) "the cat sat here" else "the dog sat here"))
+    val hapax = Seq((13L, "unique singleton pairing"))
+    // extra "the" contexts dilute its mass without touching "the cat"
+    val dilute = Seq((14L, "the bird flew over the town"),
+      (15L, "the rain fell on the roof"))
+    val df = (sticky ++ indep ++ hapax ++ dilute).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(df, "doc_id", "text", k = 50, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    val pairs = out.map(t => (t._1, t._2))
+    assert(pairs.contains(("santa", "monica")))
+    assert(!pairs.contains(("unique", "singleton")),
+      "a once-seen pair must die to minCount")
+    val lift = out.map(t => ((t._1, t._2), t._3)).toMap
+    assert(lift(("santa", "monica")) > lift(("the", "cat")),
+      s"the always-together pair must outrank the split-mass pair: $lift")
+    // ranking is (lift desc, pair asc) — a total order
+    assert(out.sortBy(t => (-t._3, t._1, t._2)).toSeq == out.toSeq)
+  }
+
+  test("stripDuplicateSpans: non-keeper occurrences vanish, overlaps union, short/null docs pass through") {
+    // the 5-token span "one two three four five" lives in docs 1, 2, 8:
+    // the minimal (doc, pos) copy (doc 1) survives, every other copy is
+    // cut. Doc 3 repeats a span WITHIN itself (first copy kept). Docs
+    // 6/7 share an 8-token run: doc 7's four overlapping marked grams
+    // union into one 8-token cut. Doc 4 is shorter than n (no span
+    // exists); doc 5 is null text. Doc 8 checks tokenizer normalization
+    // (case/punctuation) feeds the same span keys.
+    val df = Seq(
+      (1L, Some("one two three four five unique tail")),
+      (2L, Some("prefix words one two three four five suffix")),
+      (3L, Some("aa bb cc dd ee xx aa bb cc dd ee")),
+      (4L, Some("tiny little doc")),
+      (5L, None),
+      (6L, Some("p q r s t u v w")),
+      (7L, Some("zz p q r s t u v w yy")),
+      (8L, Some("Hello, World! ONE TWO THREE FOUR FIVE.")))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(df, "doc_id", "text", n = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_tokens", "n_removed"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) == ((Some("one two three four five unique tail"), 7L, 0L)),
+      s"the keeper copy must survive intact: $m")
+    assert(m(2L) == ((Some("prefix words suffix"), 8L, 5L)))
+    assert(m(3L) == ((Some("aa bb cc dd ee xx"), 11L, 5L)),
+      "within-doc repeats keep only the first copy")
+    assert(m(4L) == ((Some("tiny little doc"), 3L, 0L)))
+    assert(m(5L) == ((None, 0L, 0L)))
+    assert(m(6L) == ((Some("p q r s t u v w"), 8L, 0L)))
+    assert(m(7L) == ((Some("zz yy"), 10L, 8L)),
+      s"overlapping marked spans must union, not double-count: $m")
+    assert(m(8L) == ((Some("hello world"), 7L, 5L)),
+      "normalized tokens must share span keys with plain ones")
+  }
+
   test("contaminationReport: a copied eval item reads 1.0 containment; clean items surface as zero rows") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

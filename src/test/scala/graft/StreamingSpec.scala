@@ -293,6 +293,45 @@ class StreamingSpec extends SparkSpec {
     assert(survivors == Seq(10L, 11L, 22L))
   }
 
+  test("intakeAndGrowSpanIndex: first batch founds the index; later span repeats are cut, batching-independent") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val d10 = "one two three four five unique tail"
+    val d11 = "totally fresh words about storage layouts"
+    val d20 = "prefix part one two three four five suffix"  // span dup of d10
+    val d21 = "closing totally fresh words about storage layouts again" // span dup of d11
+    val d22 = "genuinely new material with no repeats at all"
+    val tmp = java.nio.file.Files.createTempDirectory("span-grow-stream").toString
+    Seq((10L, d10, "en", "s", 0L), (11L, d11, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/in")
+    val q = graft.streaming.DocStream.intakeAndGrowSpanIndex(spark,
+      graft.streaming.DocStream.readDocs(spark, s"$tmp/in"),
+      s"$tmp/idx", s"$tmp/out", n = 5)
+    try {
+      q.processAllAvailable()
+      Seq((20L, d20, "en", "s", 0L), (21L, d21, "en", "s", 0L),
+          (22L, d22, "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out/rewritten")
+      .collect().map(_.toString).sorted.toSeq
+    // the sequential rewrites must equal the one-shot strip of the
+    // concatenated corpus (id order == arrival order)
+    val oneShot = Dedup.stripDuplicateSpans(
+        Seq((10L, d10), (11L, d11), (20L, d20), (21L, d21), (22L, d22))
+          .toDF("doc_id", "text"), "doc_id", "text", n = 5)
+      .collect().map(_.toString).sorted.toSeq
+    Dedup.releaseCheckpoints()
+    assert(got == oneShot, s"streamed != one-shot:\n$got\nvs\n$oneShot")
+    // and the cuts really happened: d20 lost its borrowed span
+    val byId = spark.read.parquet(s"$tmp/out/rewritten")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(byId(20L) == "prefix part suffix" && byId(10L) == d10)
+  }
+
   test("intakeAndGrowSemanticIndex: first batch founds the index; later semantic dups drop") {
     import spark.implicits._
     // pseudo-random vectors: unrelated seeds sit far below the 0.999
