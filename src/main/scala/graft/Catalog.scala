@@ -3012,6 +3012,79 @@ object Catalog {
               FROM tk t LEFT JOIN ag a USING (doc_id)
               ORDER BY doc_id""")),
 
+    QueryDef("x85_span_takedown",
+      // retention/takedown on the SPAN tier: docs 100-149's FOUNDED
+      // grams are deleted from the membership index after the build,
+      // so a later batch repeating those spans keeps them (admitted
+      // again), while spans founded by retained docs keep cutting.
+      // Membership semantics make the delete exact: non-keeper
+      // occurrences were cut from their rewrites, so a removed
+      // founder means NO surviving doc carries the span
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_takedown_sp_" +
+          Integer.toHexString(d.hashCode)
+        Dedup.buildSpanIndex(docs.where(col("doc_id") < 250),
+          "doc_id", "text", n = 5, path)
+        Dedup.deleteFromSpanIndex(s, path,
+          docs.where(col("doc_id") >= 100 && col("doc_id") < 150),
+          "doc_id", "text")
+        Dedup.intakeStepAgainstSpanIndex(s, path,
+          docs.where(col("doc_id") >= 250 && col("doc_id") < 400),
+          "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      // oracle: live state = build-corpus grams whose founding
+      // (min-doc) owner survived the deletion; the batch cuts an
+      // occurrence on a live-state hit or as a within-batch non-min
+      // repeat (rn > 1 implies a second occurrence exists)
+      Some("""WITH tk AS (
+                SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+                  ELSE list_filter(string_split(trim(regexp_replace(
+                    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') END AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                  array_to_string(list_slice(toks,
+                    CAST(s + 1 AS INT), CAST(s + 5 AS INT)), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                        unnest(range(0, len(toks) - 4)) AS s
+                      FROM tk WHERE len(toks) >= 5)),
+              own AS (
+                SELECT gram, min(doc_id) AS owner FROM g
+                WHERE doc_id < 250 GROUP BY 1),
+              live AS (
+                SELECT gram FROM own WHERE owner < 100 OR owner >= 150),
+              b AS (
+                SELECT doc_id, pos, gram FROM g
+                WHERE doc_id >= 250 AND doc_id < 400),
+              mk AS (
+                SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, gram,
+                    row_number() OVER (PARTITION BY gram
+                      ORDER BY doc_id, pos) AS rn
+                  FROM b) r
+                WHERE gram IN (SELECT gram FROM live) OR rn > 1),
+              rm AS (
+                SELECT DISTINCT doc_id, pos + u.o AS idx
+                FROM mk, unnest(range(0, 5)) AS u(o)),
+              ag AS (
+                SELECT doc_id, count(*) AS n_removed,
+                  list_sort(list(idx)) AS rmidx
+                FROM rm GROUP BY doc_id)
+              SELECT t.doc_id,
+                CASE WHEN t.toks IS NULL THEN NULL
+                  ELSE coalesce(array_to_string(list_filter(t.toks,
+                    (x, i) -> NOT list_contains(coalesce(a.rmidx, []),
+                      CAST(i - 1 AS BIGINT))), ' '), '')
+                END AS text,
+                coalesce(len(t.toks), 0) AS n_tokens,
+                coalesce(a.n_removed, 0) AS n_removed
+              FROM tk t LEFT JOIN ag a USING (doc_id)
+              WHERE t.doc_id >= 250 AND t.doc_id < 400
+              ORDER BY doc_id""")),
+
     QueryDef("x55_multi_epoch_packing",
       // x30 for E epochs in ONE pass (r8): the epoch fan-out salts the
       // shuffle key per epoch and the running sums window by

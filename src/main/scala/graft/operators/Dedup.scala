@@ -1646,6 +1646,37 @@ object Dedup {
     out
   }
 
+  /** TAKEDOWN from a [[buildSpanIndex]] layout: remove the gram rows
+    * a removed doc FOUNDED (`owner` = the doc). Membership semantics
+    * make this exactly right: every non-keeper occurrence of a span
+    * was CUT from its doc's rewrite, so once the founder is removed
+    * no surviving rewritten doc contains the span — a future copy is
+    * correctly ADMITTED. Spans the removed doc merely repeated keep
+    * their (retained) founder and stay blocked. Needs the doc's TEXT
+    * (like [[deleteFromExactIndex]]): the doc's own grams locate the
+    * shards, and every row it founded lives in one of them — the
+    * rewrite touches only those shard partitions, never the corpus.
+    * Same quiesce rule as the other tiers. */
+  def deleteFromSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String, textCol: String)
+      : IndexDeleteReport = {
+    val (nShards, n) = spanIndexMeta(spark, path)
+    val doomed = docs.select(col(idCol).cast("long").as("__did")).distinct()
+    val targets = Rebalance(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+    val shards = spanOccurrences(targets, n)
+      .select(pmod(xxhash64(col("g")), lit(nShards.toLong)).as("__shard"))
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (shards.isEmpty) return IndexDeleteReport(0L, Nil)
+    val pruned = spark.read.parquet(s"$path/grams")
+      .where(col("__shard").isin(shards: _*))
+    val before = pruned.count()
+    val remaining = pruned.join(doomed, col("owner") === col("__did"), "left_anti")
+    rewriteShards(spark, s"$path/grams", "__shard", shards, remaining)
+    val after = spark.read.parquet(s"$path/grams")
+      .where(col("__shard").isin(shards: _*)).count()
+    IndexDeleteReport(before - after, shards)
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   // ------------------------------------------------- embedding near-dup

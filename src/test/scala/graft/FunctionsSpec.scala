@@ -840,6 +840,24 @@ class FunctionsSpec extends SparkSpec {
       .select("g").distinct().count()
     assert(gramsAfter == gramsBefore,
       s"no new grams may append for an all-duplicate batch: $gramsBefore -> $gramsAfter")
+    // takedown: doc 1 founded three grams (7 tokens -> 3 five-grams;
+    // the shared "one two three four five" is owned by doc 1 as the
+    // min id). Deleting doc 1 frees exactly those, so a new copy of
+    // the freed span is ADMITTED intact while spans founded by
+    // retained docs keep cutting
+    val delRep = Dedup.deleteFromSpanIndex(spark, s"$tmp/idx",
+      Seq((1L, "one two three four five unique tail")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(delRep.rowsDeleted == 3L, s"doc 1's founded grams must go: $delRep")
+    val afterDel = Dedup.intakeStepAgainstSpanIndex(spark, s"$tmp/idx",
+      Seq((30L, "one two three four five"),
+          (31L, "aa bb cc dd ee xx aa bb cc dd ee")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(afterDel(30L) == (("one two three four five", 0L)),
+      s"post-delete: the freed span must be admitted intact: $afterDel")
+    assert(afterDel(31L)._2 == 11L,
+      s"post-delete: retained-founder spans must keep cutting: $afterDel")
     Dedup.releaseCheckpoints()
   }
 
