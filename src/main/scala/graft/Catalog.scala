@@ -2911,6 +2911,14 @@ object Catalog {
       // so it also audits the engine's md5-chain keying end to end
       (s, d) => Dedup.stripDuplicateSpans(
           documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 5)
+        // row-preserving guards (always true) that REFERENCE the
+        // rewrite outputs: Bench forces with count(), under which
+        // Catalyst would otherwise eliminate the distinct-keyed outer
+        // join and prune the entire gram pipeline + rewrite — timing
+        // a token scan instead of the operator (measured: 0.27 s vs
+        // the real ~1 s). Verify results are unchanged (no row drops)
+        .where(col("n_removed") >= 0 &&
+          length(coalesce(col("text"), lit(""))) >= 0)
         .orderBy("doc_id"),
       Some("""WITH tk AS (
                 SELECT doc_id, CASE WHEN text IS NULL THEN NULL
@@ -2948,7 +2956,10 @@ object Catalog {
                 coalesce(len(t.toks), 0) AS n_tokens,
                 coalesce(a.n_removed, 0) AS n_removed
               FROM tk t LEFT JOIN ag a USING (doc_id)
-              ORDER BY doc_id""")),
+              ORDER BY doc_id"""),
+      // the heaviest r8 addition (two gram fan-outs, gram hash agg,
+      // occurrence join, per-doc rewrite) must be bench-visible
+      headline = true),
 
     QueryDef("x83_span_grow_intake",
       // the SPAN tier's growing state (the x46/x50 algebra at
@@ -3010,6 +3021,55 @@ object Catalog {
                 coalesce(len(t.toks), 0) AS n_tokens,
                 coalesce(a.n_removed, 0) AS n_removed
               FROM tk t LEFT JOIN ag a USING (doc_id)
+              ORDER BY doc_id""")),
+
+    QueryDef("x86_surgical_decontamination",
+      // the rewrite alternative to drop-based decontamination (x19/
+      // x23/x67 discard whole docs): cut ONLY the spans shared with
+      // the eval suite (docs < 50, the holdout convention) and keep
+      // the rest of each training doc. Eval items shorter than n
+      // contribute no spans (the drop tier's padded shingles cover
+      // those); clean docs pass through untouched
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        Dedup.stripEvalSpans(docs.where(col("doc_id") >= 50), "doc_id", "text",
+          docs.where(col("doc_id") < 50), "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+                  ELSE list_filter(string_split(trim(regexp_replace(
+                    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> '') END AS toks
+                FROM documents),
+              g AS (
+                SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                  array_to_string(list_slice(toks,
+                    CAST(s + 1 AS INT), CAST(s + 5 AS INT)), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                        unnest(range(0, len(toks) - 4)) AS s
+                      FROM tk WHERE len(toks) >= 5)),
+              ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+              mk AS (
+                SELECT doc_id, pos FROM g
+                WHERE doc_id >= 50 AND gram IN (SELECT gram FROM ev)),
+              rm AS (
+                SELECT DISTINCT doc_id, pos + u.o AS idx
+                FROM mk, unnest(range(0, 5)) AS u(o)),
+              ag AS (
+                SELECT doc_id, count(*) AS n_removed,
+                  list_sort(list(idx)) AS rmidx
+                FROM rm GROUP BY doc_id)
+              SELECT t.doc_id,
+                CASE WHEN t.toks IS NULL THEN NULL
+                  ELSE coalesce(array_to_string(list_filter(t.toks,
+                    (x, i) -> NOT list_contains(coalesce(a.rmidx, []),
+                      CAST(i - 1 AS BIGINT))), ' '), '')
+                END AS text,
+                coalesce(len(t.toks), 0) AS n_tokens,
+                coalesce(a.n_removed, 0) AS n_removed
+              FROM tk t LEFT JOIN ag a USING (doc_id)
+              WHERE t.doc_id >= 50
               ORDER BY doc_id""")),
 
     QueryDef("x85_span_takedown",

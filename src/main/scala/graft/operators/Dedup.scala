@@ -1646,6 +1646,40 @@ object Dedup {
     out
   }
 
+  /** SURGICAL DECONTAMINATION — the rewrite alternative to the
+    * drop-based eval tier ([[ngramContamination]] / the funnel's
+    * stage 5): instead of discarding every training doc that shares
+    * an n-gram with the eval suite, cut ONLY the shared spans and
+    * keep the rest of the document. The drop rule costs an entire
+    * doc per stray quotation; this keeps the novel 99% of a doc that
+    * happens to quote one benchmark item — the standard practice for
+    * high-value corpora where eval overlap is incidental, not
+    * wholesale.
+    *
+    * Marks every corpus occurrence of any n-token span present in
+    * `eval` and rewrites via the span machinery (removal-set union,
+    * merge-walk prune). Eval items shorter than n tokens contribute
+    * no spans — sub-n contamination remains the drop tier's job (its
+    * padded-shingle rule covers short docs). Scale shape: the eval
+    * gram set is eval-sized (suites are thousands of rows), so the
+    * semi-join broadcasts; one gram fan-out scan + one rewrite scan
+    * of the corpus; per-doc state bounded by the doc's own size.
+    * Output: (id, text, n_tokens, n_removed) — every corpus doc
+    * appears, clean docs untouched. */
+  def stripEvalSpans(corpus: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalText: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"stripEvalSpans: n must be >= 1, got $n")
+    val base = Rebalance(corpus.select(col(idCol).as("id"), col(textCol).as("__text")))
+    val evalGrams = eval
+      .select(explode(graft.functions.PositionedGramHashes.column(
+        col(evalText), n)).as("g"))
+      .distinct()
+    val marked = spanOccurrences(base, n)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("id"), col("pos"))
+    rewriteDropSpans(base, marked, n, idCol)
+  }
+
   /** TAKEDOWN from a [[buildSpanIndex]] layout: remove the gram rows
     * a removed doc FOUNDED (`owner` = the doc). Membership semantics
     * make this exactly right: every non-keeper occurrence of a span

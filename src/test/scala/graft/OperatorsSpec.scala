@@ -208,6 +208,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sortBy(t => (-t._3, t._1, t._2)).toSeq == out.toSeq)
   }
 
+  test("stripEvalSpans: only eval-shared spans are cut; within-corpus repeats and short eval items pass") {
+    val eval = Seq(
+      (1L, "benchmark question about riemann zeta function zeros"),
+      (2L, "tiny item"))  // < n tokens: no span, drop tier's job
+      .toDF("eval_id", "text")
+    val corpus = Seq(
+      // quotes the eval item mid-doc: only the quoted span dies
+      (10L, Some("own intro then benchmark question about riemann zeta function zeros and own outro")),
+      // repeats ITSELF (no eval overlap): surgical decon must NOT touch it
+      (11L, Some("aa bb cc dd ee aa bb cc dd ee")),
+      (12L, Some("tiny item repeated")),  // shares only sub-n text: untouched
+      (13L, None))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripEvalSpans(corpus, "doc_id", "text", eval, "text", n = 5)
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), r.getLong(3)))).toMap
+    assert(m(10L) == ((Some("own intro then and own outro"), 7L)),
+      s"only the quoted eval span may die: $m")
+    assert(m(11L) == ((Some("aa bb cc dd ee aa bb cc dd ee"), 0L)),
+      "within-corpus duplication is not contamination")
+    assert(m(12L) == ((Some("tiny item repeated"), 0L)),
+      "sub-n eval overlap is the drop tier's job, not a span cut")
+    assert(m(13L) == ((None, 0L)))
+  }
+
   test("stripDuplicateSpans: non-keeper occurrences vanish, overlaps union, short/null docs pass through") {
     // the 5-token span "one two three four five" lives in docs 1, 2, 8:
     // the minimal (doc, pos) copy (doc 1) survives, every other copy is

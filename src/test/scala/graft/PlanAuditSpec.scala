@@ -122,6 +122,46 @@ class PlanAuditSpec extends SparkSpec {
         df.queryExecution.optimizedPlan)
   }
 
+  test("x82: span dedup never cartesians; the dup-tail filter sits under the occurrence join") {
+    // the duplicated-gram side must be filtered to __cnt >= 2 BEFORE
+    // joining back over the corpus occurrences (the build side holds
+    // only grams that repeat — the x42 lesson at span granularity),
+    // and no stage may degrade to a nested-loop pairing
+    val df = q("x82_substring_dedup")
+    val plan = finalPlan(df).toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must stay equi-join only:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    val guarded = joins.exists(j =>
+      Seq(j.left, j.right).exists(_.collectFirst {
+        case f: LFilter if f.condition.references.exists(_.name == "__cnt") => f
+      }.isDefined))
+    assert(joins.nonEmpty && guarded,
+      s"__cnt >= 2 filter must sit under the occurrence join:\n" +
+        df.queryExecution.optimizedPlan)
+  }
+
+  test("x84: collocations rank as a k-bounded TakeOrdered; minCount prunes before the term joins") {
+    val df = q("x84_collocations")
+    val plan = finalPlan(df).toString()
+    // top-k must be a per-task bounded heap, never a corpus sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"collocation ranking must be k-bounded:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbounded cartesian (1-row broadcast totals are fine):\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    val guarded = joins.exists(j =>
+      Seq(j.left, j.right).exists(_.collectFirst {
+        case f: LFilter if f.condition.references.exists(_.name == "c_xy") => f
+      }.isDefined))
+    assert(guarded,
+      s"c_xy >= minCount must prune the pair tail before the term joins:\n" +
+        df.queryExecution.optimizedPlan)
+  }
+
   test("x43: per-row-rate sampling is map-only (no join, no aggregate)") {
     val plan = finalPlan(q("x43_rate_sample"))
     val s = plan.toString()
