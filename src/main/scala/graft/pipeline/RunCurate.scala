@@ -22,6 +22,13 @@ import graft.operators.Curate
   *                     (needs doc_id + text columns); any document
   *                     sharing a contamination n-gram with it is
   *                     dropped in stage 5
+  *  --strip-spans N    post-funnel exact-substring span dedup (x82):
+  *                     the WRITTEN curated corpus is read back and
+  *                     every >=N-token span repeated across survivors
+  *                     is cut except its first occurrence, written to
+  *                     curated_spanfree/ (the funnel's doc/fuzzy tiers
+  *                     drop whole near-copies; this removes the copied
+  *                     paragraphs they are too coarse to see)
   *
   * Outputs under outDir:
   *  curated/           surviving documents (doc_id, text, lang_id,
@@ -38,6 +45,7 @@ object RunCurate {
   def main(args: Array[String]): Unit = {
     var scrubPii = false
     var evalPath: Option[String] = None
+    var stripSpans: Option[Int] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -46,6 +54,9 @@ object RunCurate {
         case "--eval" =>
           require(i + 1 < args.length, "--eval needs a parquet path")
           evalPath = Some(args(i + 1)); i += 1
+        case "--strip-spans" =>
+          require(i + 1 < args.length, "--strip-spans needs a token width")
+          stripSpans = Some(args(i + 1).toInt); i += 1
         case other => positional += other
       }
       i += 1
@@ -64,7 +75,8 @@ object RunCurate {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     val eval = evalPath.map(p => spark.read.parquet(p))
-    run(spark, docs, outDir, Curate.Config(scrubPii = scrubPii), eval)
+    run(spark, docs, outDir, Curate.Config(scrubPii = scrubPii), eval,
+      stripSpans)
     spark.stop()
   }
 
@@ -76,7 +88,8 @@ object RunCurate {
     * Returns the per-stage counts (also written as report.json). */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Curate.Config = Curate.Config(),
-      eval: Option[DataFrame] = None): Seq[(String, Long)] = {
+      eval: Option[DataFrame] = None,
+      stripSpans: Option[Int] = None): Seq[(String, Long)] = {
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -91,14 +104,33 @@ object RunCurate {
         }
       }
     }
-    report.foreach { case (stage, n) =>
+    // optional span tier: rewrite the WRITTEN survivors (read-back —
+    // the funnel executed once; the span pass starts from the durable
+    // seam, so a resumed run replays it without re-running the funnel)
+    val spanKeys = stripSpans.toSeq.flatMap { n =>
+      timed("spans") {
+        val cur = spark.read.parquet(s"$outDir/curated")
+        // the rewrite carries its own n_tokens/n_removed; keep the
+        // funnel's other survivor columns (lang_id, quality, ...)
+        graft.operators.Dedup.stripDuplicateSpans(cur, "doc_id", "text", n)
+          .join(cur.drop("text", "n_tokens"), Seq("doc_id"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated_spanfree")
+        val r = spark.read.parquet(s"$outDir/curated_spanfree")
+          .agg(coalesce(sum("n_tokens"), lit(0L)).as("t"),
+            coalesce(sum("n_removed"), lit(0L)).as("r")).head
+        Seq("span_tokens_total" -> r.getLong(0),
+          "span_tokens_removed" -> r.getLong(1))
+      }
+    }
+    val fullReport = report ++ spanKeys
+    fullReport.foreach { case (stage, n) =>
       println(f"[curate] $stage%-12s $n%d")
     }
-    val json = report.map { case (k, v) => s""""$k":$v""" }
+    val json = fullReport.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     new java.io.File(outDir).mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "report.json"), json + "\n")
-    report
+    fullReport
   }
 }

@@ -108,6 +108,32 @@ class CurateSpec extends SparkSpec {
     assert(json.contains("\"input\":") && json.contains("\"kept\":"))
   }
 
+  test("RunCurate --strip-spans: the span pass rewrites the WRITTEN survivors and reports its cut") {
+    val out = java.nio.file.Files.createTempDirectory("runcurate_span").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val rep = graft.pipeline.RunCurate.run(spark, docs, out,
+      Curate.Config(langs = Seq("en", "und"), minQuality = 0.0, minTokens = 1),
+      stripSpans = Some(5)).toMap
+    val curated = spark.read.parquet(s"$out/curated")
+    val spanfree = spark.read.parquet(s"$out/curated_spanfree")
+    // every survivor appears exactly once, rewritten from the durable seam
+    assert(spanfree.count() == rep("kept"))
+    val expect = graft.operators.Dedup.stripDuplicateSpans(
+        curated, "doc_id", "text", n = 5)
+      .join(curated.drop("text", "n_tokens"), Seq("doc_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spanfree.collect().map(_.toString).sorted.toSeq == expect,
+      "curated_spanfree must equal the span strip of the read-back corpus")
+    // report keys are the corpus-level audit of the pass
+    assert(rep("span_tokens_total") > 0 &&
+      rep("span_tokens_removed") >= 0 &&
+      rep("span_tokens_removed") < rep("span_tokens_total"))
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "report.json"))
+    assert(json.contains("\"span_tokens_removed\":"))
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("curateAndReport: one funnel yields the same corpus and counts as curate+report") {
     val docs = Seq(
       (1L, good), (2L, good), (3L, nearDup),

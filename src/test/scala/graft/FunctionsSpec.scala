@@ -858,6 +858,20 @@ class FunctionsSpec extends SparkSpec {
       s"post-delete: the freed span must be admitted intact: $afterDel")
     assert(afterDel(31L)._2 == 11L,
       s"post-delete: retained-founder spans must keep cutting: $afterDel")
+    // compaction: the grams table collapses to one file per shard and
+    // probes are layout-invariant across the destroy-last swap
+    val probeBefore = Dedup.intakeStepAgainstSpanIndex(spark, s"$tmp/idx",
+      Seq((40L, "aa bb cc dd ee probe doc")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    val (cb, ca) = graft.operators.Compaction.compactSpanIndex(spark, s"$tmp/idx")
+    assert(ca < cb && graft.operators.Compaction
+      .partFileCounts(spark, s"$tmp/idx/grams").values.forall(_ == 1),
+      s"grams must collapse to one file per shard: $cb -> $ca")
+    val probeAfter = Dedup.intakeStepAgainstSpanIndex(spark, s"$tmp/idx",
+      Seq((40L, "aa bb cc dd ee probe doc")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    assert(probeAfter == probeBefore,
+      "span probes must be layout-invariant across compaction")
     Dedup.releaseCheckpoints()
   }
 
