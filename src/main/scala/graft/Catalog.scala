@@ -4259,6 +4259,32 @@ object Catalog {
               WHERE c_xy >= 5
               ORDER BY lift_ppm DESC, w1, w2 LIMIT 100""")),
 
+    QueryDef("x87_vocab_coverage",
+      // the Zipf-curve audit: top-k terms by occurrence with
+      // cumulative corpus share in floored integer ppm — how much of
+      // the corpus the top k words cover (tokenizer budget / domain
+      // shift). Rank + running sum window over the K-ROW result only;
+      // the vocabulary itself never sorts globally
+      (s, d) => TextAnalysis.vocabularyCoverage(documents(s, d),
+          "doc_id", "text", k = 100),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              un AS (SELECT unnest(toks) AS term FROM tk),
+              uc AS (SELECT term, count(*) AS c FROM un GROUP BY 1),
+              nt AS (SELECT count(*) AS n FROM un),
+              tp AS (SELECT term, c FROM uc
+                     ORDER BY c DESC, term LIMIT 100)
+              SELECT row_number() OVER (ORDER BY c DESC, term) AS rank,
+                term, c,
+                CAST((sum(c) OVER (ORDER BY c DESC, term
+                   ROWS UNBOUNDED PRECEDING) * 1000000) // n
+                  AS BIGINT) AS cum_ppm
+              FROM tp, nt
+              ORDER BY rank""")),
+
     QueryDef("x73_measured_mixture",
       // "mix what you have toward what you want": per-source sampling
       // rates computed from the corpus's own MEASURED token state

@@ -399,6 +399,55 @@ object Curate {
     curatedSelect(decontaminated, idCol, textCol, cfg)
   }
 
+  /** [[intakeStep]] extended with the SPAN tier ([[Dedup.buildSpanIndex]]'s
+    * growing gram-membership state): the text-funnel survivors are
+    * REWRITTEN — not dropped — with every ≥spanN-token span cut whose
+    * keeper is already settled in the growing index or earlier in the
+    * batch, and the batch's new grams append to the state. This is
+    * the tier the drop-based stages are too coarse for: a doc that
+    * shares one copied paragraph with last month's intake loses the
+    * paragraph, not its novel remainder.
+    *
+    * Stage order matters and mirrors the batch journey
+    * (RunCurate --strip-spans): the span tier sees only docs the
+    * funnel ACCEPTED, so a dropped near-copy's spans never block
+    * future content (the tier-content asymmetry rule). Sequential
+    * steps equal the one-shot curate + one-shot span strip when id
+    * order == arrival order (the x83 algebra on the funnel's output,
+    * CurateSpec). Bootstrap: the first non-empty batch founds the
+    * span index from its own accepted grams; crash recovery stays
+    * re-run-the-step (the owner rule on all tiers).
+    *
+    * Output: the [[curatedSelect]] projection with `text` rewritten
+    * and the span tier's (n_tokens, n_removed) replacing the
+    * funnel's token count. */
+  def intakeStepWithSpan(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String,
+      exactIndexPath: String, fuzzyIndexPath: String, spanIndexPath: String,
+      spanN: Int = 8,
+      cfg: Config = Config(),
+      eval: Option[(DataFrame, String, String)] = None,
+      nShards: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
+    def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    }
+    val accepted = intakeStep(spark, batch, idCol, textCol,
+      exactIndexPath, fuzzyIndexPath, cfg, eval, nShards, maxBucketSize)
+    val rewritten =
+      if (exists(s"$spanIndexPath/meta"))
+        Dedup.intakeStepAgainstSpanIndex(spark, spanIndexPath, accepted,
+          idCol, "text")
+      else if (accepted.isEmpty)
+        Dedup.stripDuplicateSpans(accepted, idCol, "text", spanN)
+      else {
+        Dedup.buildSpanIndex(accepted, idCol, "text", spanN, spanIndexPath,
+          nShards)
+        Dedup.stripDuplicateSpans(accepted, idCol, "text", spanN)
+      }
+    rewritten.join(accepted.drop("text", "n_tokens"), Seq(idCol))
+  }
+
   /** [[intakeStep]] extended with the THIRD dedup tier — the full
     * three-tier incremental funnel (digests → signatures →
     * embeddings): the text-tier survivors' vectors run one semantic

@@ -430,6 +430,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** VOCABULARY COVERAGE (the Zipf-curve audit): the top-k terms by
+    * occurrence count with each term's cumulative corpus share —
+    * "how much of the corpus do the top k words cover", the
+    * tokenizer-budget / domain-shift companion to [[vocabulary]]
+    * (which ranks by DOC frequency and returns a set, not a curve).
+    * A natural-language corpus shows the Zipf elbow (top ~100 terms
+    * covering a large fraction); a flat curve flags non-linguistic
+    * content (tables, code, noise).
+    *
+    * Shape: one term fan-out scan → occurrence hash agg (map-side
+    * combine) → 1-row total broadcast → top-k as a bounded heap
+    * (TakeOrderedAndProject) → rank + running sum windowed over the
+    * K-ROW result only (never the vocabulary). Share is floored
+    * integer ppm of exact Long counts — externally replayable.
+    * Output: (rank, term, c, cum_ppm), rank 1-based, ties broken by
+    * term. */
+  def vocabularyCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"vocabularyCoverage: k must be >= 1, got $k")
+    val terms = Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(explode(tokens(col("__text"))).as("term"))
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = terms.select(count(lit(1)).as("__n"))
+    val topk = counts.orderBy(col("c").desc, col("term").asc).limit(k)
+    val w = Window.orderBy(col("c").desc, col("term").asc)
+    topk.crossJoin(broadcast(total))
+      .select(row_number().over(w).as("rank"), col("term"), col("c"),
+        sum(col("c")).over(w).as("__cum"), col("__n"))
+      .select(col("rank"), col("term"), col("c"),
+        expr("(__cum * CAST(1000000 AS BIGINT)) DIV __n").as("cum_ppm"))
+  }
+
   // ---------------------------------------------------------- chunking
 
   /** Split documents into strided token-window CHUNKS — the

@@ -28,6 +28,7 @@ import graft.operators.{Compaction, Curate, Dedup, Sampling, TextAnalysis}
   *
   * Usage: runMain graft.pipeline.RunIntake [batchDir] [stateDir]
   *          [--threshold T] [--scrub-pii] [--eval PATH] [--semantic]
+  *          [--span N]
   * Defaults: /root/testdata/sf0.001 -> /tmp/graft_intake.
   * `batchDir` must contain `documents.parquet` (TESTDATA.md shape);
   * with `--semantic` it must also contain `embeddings.parquet`, whose
@@ -78,6 +79,7 @@ object RunIntake {
     var threshold = 0.8
     var evalPath: Option[String] = None
     var semantic = false
+    var span: Option[Int] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -90,6 +92,9 @@ object RunIntake {
           require(i + 1 < args.length, "--eval needs a parquet path")
           evalPath = Some(args(i + 1)); i += 1
         case "--semantic" => semantic = true
+        case "--span" =>
+          require(i + 1 < args.length, "--span needs a token width")
+          span = Some(args(i + 1).toInt); i += 1
         case other => positional += other
       }
       i += 1
@@ -117,7 +122,8 @@ object RunIntake {
       else None
     run(spark, batch, stateDir,
       Curate.Config(scrubPii = scrubPii, jaccardThreshold = threshold,
-        keep = Seq("source")), eval, vectors.map((_, "vec_id", "embedding")))
+        keep = Seq("source")), eval, vectors.map((_, "vec_id", "embedding")),
+      span)
     spark.stop()
   }
 
@@ -133,17 +139,29 @@ object RunIntake {
   def run(spark: SparkSession, batch: DataFrame, stateDir: String,
       cfg: Curate.Config = Curate.Config(keep = Seq("source")),
       eval: Option[(DataFrame, String, String)] = None,
-      vectors: Option[(DataFrame, String, String)] = None)
+      vectors: Option[(DataFrame, String, String)] = None,
+      span: Option[Int] = None)
       : Seq[(String, Long)] = {
+    require(vectors.isEmpty || span.isEmpty,
+      "--semantic and --span are separate tier chains; combine by " +
+        "running the semantic intake and span-stripping its sink")
     val t0 = System.nanoTime()
     val (report, lease) = Dedup.scoped {
-      val accepted = vectors match {
-        case Some((vecs, vecIdCol, vecCol)) =>
+      val accepted = (vectors, span) match {
+        case (Some((vecs, vecIdCol, vecCol)), _) =>
           Curate.intakeStepWithSemantic(spark, batch, "doc_id", "text",
             s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy",
             s"$stateDir/indexes/semantic", vecs, vecIdCol, vecCol,
             cfg = cfg, eval = eval)
-        case None =>
+        case (None, Some(n)) =>
+          // the four-tier chain: funnel survivors REWRITTEN against
+          // the growing span state at indexes/span/ (use --span from
+          // the stateDir's first run — it adds the n_removed column
+          // to the accepted/ schema)
+          Curate.intakeStepWithSpan(spark, batch, "doc_id", "text",
+            s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy",
+            s"$stateDir/indexes/span", spanN = n, cfg = cfg, eval = eval)
+        case (None, None) =>
           Curate.intakeStep(spark, batch, "doc_id", "text",
             s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy", cfg, eval)
       }

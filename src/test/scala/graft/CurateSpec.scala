@@ -391,6 +391,37 @@ class CurateSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("RunIntake --span: the journey's sink accumulates the one-shot funnel + span strip") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_intake_span").toString
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") < 250), state, cfg, span = Some(5))
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") >= 250), state, cfg, span = Some(5))
+    val accepted = spark.read.parquet(s"$state/accepted")
+      .collect().map(_.toString).sorted.toSeq
+    val oneShotText = Curate.curate(docs, "doc_id", "text", cfg)
+    val expected = graft.operators.Dedup.stripDuplicateSpans(
+        oneShotText, "doc_id", "text", n = 5)
+      .join(oneShotText.drop("text", "n_tokens"), Seq("doc_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(accepted == expected,
+      s"span-journey sink must equal one-shot funnel + strip " +
+        s"(${accepted.size} vs ${expected.size} rows)")
+    // the semantic and span chains do not silently combine
+    intercept[IllegalArgumentException] {
+      graft.pipeline.RunIntake.run(spark, docs.limit(1), state, cfg,
+        vectors = Some((docs.limit(1).select(col("doc_id"),
+          col("doc_id").cast("double").as("embedding")), "doc_id", "embedding")),
+        span = Some(5))
+    }
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
@@ -447,6 +478,35 @@ class CurateSpec extends SparkSpec {
       buckets = dsirStateBuckets, salt = "dsir"))
     assert(grownDsir == recomputedDsir,
       "grown dsir state must equal one-shot featurization of the sink")
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
+  test("intakeStepWithSpan: sequential four-tier intake == one-shot funnel + one-shot span strip") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_span_funnel").toString
+    def step(batch: org.apache.spark.sql.DataFrame) =
+      Curate.intakeStepWithSpan(spark, batch, "doc_id", "text",
+        s"$tmp/exact", s"$tmp/fuzzy", s"$tmp/span", spanN = 5, cfg = cfg)
+    val got = step(docs.where(col("doc_id") < 250))
+      .unionByName(step(docs.where(col("doc_id") >= 250)))
+      .collect().map(_.toString).sorted.toSeq
+    // one-shot: curate the whole corpus, then strip spans over the
+    // survivors — the tier-content rule (dropped docs never block)
+    // plus the x83 sequential==one-shot algebra, composed
+    val oneShotText = Curate.curate(docs, "doc_id", "text", cfg)
+    val expected = graft.operators.Dedup.stripDuplicateSpans(
+        oneShotText, "doc_id", "text", n = 5)
+      .join(oneShotText.drop("text", "n_tokens"), Seq("doc_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected,
+      s"four-tier sequential must equal one-shot funnel + strip:\n" +
+        s"got ${got.size} rows, expected ${expected.size}")
+    // the grown state exists and is founded from batch 1's survivors
+    assert(spark.read.parquet(s"$tmp/span/grams").count() > 0)
     graft.operators.Dedup.releaseCheckpoints()
   }
 

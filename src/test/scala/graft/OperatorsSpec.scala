@@ -183,6 +183,16 @@ class OperatorsSpec extends SparkSpec {
     assert(byId(2L) == "own words here" && byId(3L) == "more private text")
   }
 
+  test("vocabularyCoverage: rank by occurrence, cumulative ppm is exact integer floor") {
+    // 10 tokens total: "aa" x5, "bb" x3, "cc" x2
+    val df = Seq((1L, "aa aa aa bb bb"), (2L, "aa aa bb cc cc"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabularyCoverage(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "aa", 5L, 500000L), (2, "bb", 3L, 800000L)),
+      s"got ${out.toSeq}")
+  }
+
   test("collocations: sticky pairs outrank frequent-but-independent ones; minCount prunes hapax pairs") {
     // "santa monica" always co-occurs (lift >> 1); "the cat"/"the dog"
     // split "the"'s mass (lift ~ 1); a pair appearing once dies to
