@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -4383,8 +4383,128 @@ object Catalog {
               SELECT doc_id, n_chars,
                 1 + CAST(n_chars > t[1] AS INT) + CAST(n_chars > t[2] AS INT)
                   + CAST(n_chars > t[3] AS INT) AS bucket
-              FROM documents, th ORDER BY doc_id"""))
+              FROM documents, th ORDER BY doc_id""")),
+
+    QueryDef("x88_bpe_train",
+      // learn a BPE merge table from the corpus: ONE corpus scan into
+      // the word-frequency state, then every merge round runs on the
+      // vocab table only (merges-so-far applied as a codegen'd
+      // nested-replace projection — no iterative lineage); top-1 pair
+      // per round is a bounded limit(1) heap; all counts exact Longs
+      // so the k merges replay bit-for-bit in the oracle's chained CTEs
+      (s, d) => Bpe.mergeTable(s,
+        Bpe.train(Bpe.wordState(documents(s, d), "text"), merges = 8)),
+      Some(bpeOracle(8, """SELECT * FROM (""" +
+        (1 to 8).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, l, r, l || r AS merged, c AS pair_count FROM m$i")
+          .mkString("\n                UNION ALL ") +
+        """) ORDER BY rank"""))),
+
+    QueryDef("x89_bpe_segment",
+      // segment the corpus under the merges just learned from it:
+      // per-doc word count + TRUE BPE token count. The replace chain
+      // runs once per DISTINCT word (the dictionary trick), joined
+      // back UNHINTED (AQE broadcasts a small vocabulary, degrades to
+      // a shuffled hash join at web scale); zero-token docs emit no row
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = Bpe.train(Bpe.wordState(docs, "text"), merges = 8)
+        Bpe.segmentCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
+      },
+      Some(bpeOracle(8,
+        """SELECT un.doc_id, count(*) AS n_words,
+                  CAST(sum(len(string_split(substring(w.sym, 2, length(w.sym) - 2),
+                    '||'))) AS BIGINT) AS n_bpe_tokens
+                FROM un JOIN w8 w ON un.word = w.word
+                GROUP BY 1 ORDER BY doc_id"""))),
+
+    QueryDef("x90_bpe_grow",
+      // the tokenizer-training state is MERGEABLE: word-frequency
+      // states built per intake batch sum into the corpus state, and
+      // training from the grown state IS one-shot training on the
+      // concatenated corpus (exact — training reads only exact Long
+      // counts). The oracle replays the ONE-SHOT derivation; the
+      // engine runs the grown path, so the equality is the check
+      (s, d) => {
+        val docs = documents(s, d)
+        val a = Bpe.wordState(docs.where(col("doc_id") % 2 === 0), "text")
+        val b = Bpe.wordState(docs.where(col("doc_id") % 2 === 1), "text")
+        Bpe.mergeTable(s, Bpe.train(Bpe.mergeWordStates(Seq(a, b)), merges = 8))
+      },
+      Some(bpeOracle(8, """SELECT * FROM (""" +
+        (1 to 8).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, l, r, l || r AS merged, c AS pair_count FROM m$i")
+          .mkString("\n                UNION ALL ") +
+        """) ORDER BY rank"""))),
+
+    QueryDef("x91_bpe_stats",
+      // tokenizer-fit audit FROM THE STATE: every corpus total is an
+      // exact Long recoverable from (word, freq) alone, so the
+      // compression numbers (chars/token, tokens/word) cost a
+      // vocab-sized aggregate — the corpus is never re-scanned after
+      // the one wordState pass. Floored integer ppm replays exactly
+      (s, d) => {
+        val st = Bpe.wordState(documents(s, d), "text")
+        Bpe.segmentStats(st, Bpe.train(st, merges = 8))
+      },
+      Some(bpeOracle(8,
+        """SELECT CAST(count(*) AS BIGINT) AS vocab_words,
+                  CAST(sum(freq) AS BIGINT) AS total_words,
+                  CAST(sum(freq * length(word)) AS BIGINT) AS total_chars,
+                  CAST(sum(freq * len(string_split(
+                    substring(sym, 2, length(sym) - 2), '||'))) AS BIGINT)
+                    AS total_bpe_tokens,
+                  CAST(sum(freq * length(word)) AS BIGINT) * 1000000
+                    // CAST(sum(freq * len(string_split(
+                      substring(sym, 2, length(sym) - 2), '||'))) AS BIGINT)
+                    AS chars_per_token_ppm,
+                  CAST(sum(freq * len(string_split(
+                    substring(sym, 2, length(sym) - 2), '||'))) AS BIGINT)
+                    * 1000000 // CAST(sum(freq) AS BIGINT)
+                    AS tokens_per_word_ppm
+                FROM w8""")))
   )
+
+  /** Chained-CTE DuckDB replay of [[graft.operators.Bpe]] training:
+    * `w0` is the word-frequency state in delimited-symbol encoding,
+    * then per round i: `p_i` adjacent-pair weighted counts → `m_i`
+    * the top-1 merge (count DESC, l, r) → `w_i` the state with that
+    * merge applied (LEFT JOIN ON TRUE keeps the chain total when a
+    * round finds no pair — the engine stops early, the SQL rounds go
+    * empty, both emit the same merge rows). `finalSelect` reads any
+    * of `un` (doc_id, word), `m1..mk`, `w0..wk`. */
+  private def bpeOracle(k: Int, finalSelect: String): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (SELECT syms[CAST(i AS INT)] AS l,
+                syms[CAST(i AS INT) + 1] AS r,
+                CAST(sum(freq) AS BIGINT) AS c
+              FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+                    FROM (SELECT string_split(substring(sym, 2, length(sym) - 2),
+                            '||') AS syms, freq
+                          FROM w${i - 1})
+                    WHERE len(syms) >= 2)
+              GROUP BY 1, 2),
+              m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+              w$i AS (SELECT word,
+                CASE WHEN m.l IS NULL THEN sym
+                  ELSE replace(sym, '|' || m.l || '||' || m.r || '|',
+                                    '|' || m.l || m.r || '|') END AS sym,
+                freq
+              FROM w${i - 1} LEFT JOIN m$i m ON TRUE)"""
+    }.mkString(",\n              ")
+    s"""WITH tk AS (
+              SELECT doc_id, list_filter(string_split(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+              FROM documents),
+              un AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+              w0 AS (SELECT word,
+                regexp_replace(word, '(.)', '|\\1|', 'g') AS sym,
+                count(*) AS freq
+              FROM un GROUP BY 1, 2),
+              $rounds
+              $finalSelect"""
+  }
 
   private lazy val langIdOracle: String = {
     val hitExprs = TextAnalysis.stopwords.map { case (lang, words) =>

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, length}
 
-import graft.operators.{Compaction, Curate, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Compaction, Curate, Dedup, Sampling, TextAnalysis}
 
 /** The INCREMENTAL-INGESTION journey — the fourth runnable main,
   * completing the operability story around
@@ -64,6 +64,13 @@ import graft.operators.{Compaction, Curate, Dedup, Sampling, TextAnalysis}
   *                                   re-scans it; bucket count is the
   *                                   jar-pinned [[dsirStateBuckets]]
   *                                   (states only merge at one size)
+  *  bpe_state/                       growing word-frequency state of
+  *                                   the accepted corpus — the x90
+  *                                   mergeable state, so BPE tokenizer
+  *                                   training ([[graft.operators.Bpe
+  *                                   .train]]) runs vocab-sized from
+  *                                   state, never re-scanning the
+  *                                   corpus; grown == one-shot exactly
   *  runs.jsonl                       one JSON line per run (history)
   */
 object RunIntake {
@@ -217,6 +224,19 @@ object RunIntake {
       else Compaction.replaceTable(spark, dsirPath) { tmp =>
         Sampling.mergeDsirStates(
           Seq(spark.read.parquet(dsirPath), batchDsir))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
+      // the x90 BPE word-frequency state grows beside DSIR: exact Long
+      // word counts over the accepted corpus, so TOKENIZER TRAINING
+      // ([[graft.operators.Bpe.train]]) over the growing corpus is
+      // vocab-sized work from state, never a corpus re-scan; grown ==
+      // one-shot exactly (Long adds), same replay caveat as above
+      val batchBpe = Bpe.wordState(accepted, "text")
+      val bpePath = s"$stateDir/bpe_state"
+      if (!dfs.exists(new org.apache.hadoop.fs.Path(bpePath)))
+        batchBpe.write.parquet(bpePath)
+      else Compaction.replaceTable(spark, bpePath) { tmp =>
+        Bpe.mergeWordStates(Seq(spark.read.parquet(bpePath), batchBpe))
           .write.mode(SaveMode.Overwrite).parquet(tmp)
       }
       accepted.unpersist(false)

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (x88–x90): greedy-merge semantics on a
+  * hand-computable fixture, mergeable word state, early stop, and the
+  * dictionary-segmentation contract. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("train learns pairs by weighted count with deterministic tie-break") {
+    // words: "abab" x3, "ab" x2 -> pairs: (a,b) weighted 3*2+2*1=8,
+    // (b,a) 3*1=3 -> merge 1 = (a,b). Then "ab ab" symbols [ab,ab]
+    // and [ab] -> pair (ab,ab)=3 -> merge 2 = (ab,ab).
+    val st = Bpe.wordState(docs(1L -> "abab ab", 2L -> "abab ab abab"), "text")
+    val m = Bpe.train(st, merges = 2)
+    assert(m === Seq(Bpe.Merge(1, "a", "b", 8L), Bpe.Merge(2, "ab", "ab", 3L)))
+  }
+
+  test("merge application is greedy leftmost (the BPE rule)") {
+    // "aaa" under merge (a,a): leftmost pair merges first -> [aa, a]
+    val sym = Bpe.applyMerges(Bpe.symEncode(lit("aaa")),
+      Seq(Bpe.Merge(1, "a", "a", 0L)))
+    val out = spark.range(1).select(Bpe.symsOf(sym).as("s")).head.getSeq[String](0)
+    assert(out === Seq("aa", "a"))
+  }
+
+  test("train stops early when no adjacent pair remains") {
+    // single-char words only: zero mergeable pairs from round 1
+    val st = Bpe.wordState(docs(1L -> "a b c a"), "text")
+    assert(Bpe.train(st, merges = 5).isEmpty)
+    // one merge possible, then [ab] has no pairs and (a b) spans words
+    val st2 = Bpe.wordState(docs(1L -> "ab ab a b"), "text")
+    val m2 = Bpe.train(st2, merges = 5)
+    assert(m2 === Seq(Bpe.Merge(1, "a", "b", 2L)))
+  }
+
+  test("grown word state trains identically to one-shot (x90 contract)") {
+    val all = Tables.documents(spark, sf("sf0.001"))
+    val a = Bpe.wordState(all.where(col("doc_id") % 2 === 0), "text")
+    val b = Bpe.wordState(all.where(col("doc_id") % 2 === 1), "text")
+    val grown = Bpe.train(Bpe.mergeWordStates(Seq(a, b)), merges = 4)
+    val oneShot = Bpe.train(Bpe.wordState(all, "text"), merges = 4)
+    assert(grown === oneShot)
+    assert(grown.size === 4)
+  }
+
+  test("segmentCounts: per-doc totals match direct per-word segmentation") {
+    val d = docs(1L -> "hello hello world", 2L -> "", 3L -> "a")
+    val merges = Seq(Bpe.Merge(1, "l", "l", 0L), Bpe.Merge(2, "h", "e", 0L))
+    val out = Bpe.segmentCounts(d, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    // "hello" -> [he,ll,o] = 3 syms; "world" -> 5 syms; "a" -> 1
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, 11L), (3L, 1L, 1L)))   // doc 2 empty: no row
+  }
+
+  test("segmentStats: exact totals and ppm from the state alone") {
+    val st = Bpe.wordState(docs(1L -> "aa aa b"), "text")
+    val m = Bpe.train(st, merges = 1)
+    assert(m === Seq(Bpe.Merge(1, "a", "a", 2L)))
+    val r = Bpe.segmentStats(st, m).head
+    // vocab {aa:2, b:1}; words 3; chars 2·2+1=5; tokens: [aa]·2 + [b] = 3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (2L, 3L, 5L, 3L))
+    assert(r.getLong(4) === 5L * 1000000L / 3L)
+    assert(r.getLong(5) === 1000000L)
+  }
+
+  test("RunTokenizer: corpus run == from-state run; artifact readable") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft_tok1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_tok2").toString
+    val r1 = graft.pipeline.RunTokenizer.run(spark, sf("sf0.001"), out1,
+      merges = 4, fromState = false)
+    // the grown-state path: state written by hand here stands in for
+    // RunIntake's bpe_state/ (same wordState algebra)
+    val statePath = s"$out2/state"
+    Bpe.wordState(Tables.documents(spark, sf("sf0.001")), "text")
+      .write.parquet(statePath)
+    val r2 = graft.pipeline.RunTokenizer.run(spark, statePath, out2,
+      merges = 4, fromState = true)
+    assert(r1.filterNot(_._1 == "millis").filterNot(_._1 == "from_state") ===
+      r2.filterNot(_._1 == "millis").filterNot(_._1 == "from_state"))
+    val a1 = spark.read.parquet(s"$out1/merges.parquet").orderBy("rank").collect()
+    val a2 = spark.read.parquet(s"$out2/merges.parquet").orderBy("rank").collect()
+    assert(a1.map(_.toSeq).toSeq === a2.map(_.toSeq).toSeq)
+    assert(a1.length === 4)
+    assert(new java.io.File(s"$out1/report.json").exists())
+  }
+
+  test("mergeTable round-trips the artifact columns in rank order") {
+    val t = Bpe.mergeTable(spark,
+      Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "ab", "c", 4L))).collect()
+    assert(t.map(_.toSeq).toSeq === Seq(
+      Seq(1, "a", "b", "ab", 9L), Seq(2, "ab", "c", "abc", 4L)))
+  }
+}

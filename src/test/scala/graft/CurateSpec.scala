@@ -478,6 +478,14 @@ class CurateSpec extends SparkSpec {
       buckets = dsirStateBuckets, salt = "dsir"))
     assert(grownDsir == recomputedDsir,
       "grown dsir state must equal one-shot featurization of the sink")
+    // the BPE word-frequency state grows beside them under the same
+    // contract: grown-per-batch == one-shot word counts of the sink
+    def words(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grownBpe = words(spark.read.parquet(s"$state/bpe_state"))
+    val recomputedBpe = words(graft.operators.Bpe.wordState(accepted, "text"))
+    assert(grownBpe == recomputedBpe,
+      "grown bpe word state must equal one-shot word counts of the sink")
     graft.operators.Dedup.releaseCheckpoints()
   }
 
