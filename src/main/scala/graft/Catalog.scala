@@ -4462,7 +4462,24 @@ object Catalog {
                     substring(sym, 2, length(sym) - 2), '||'))) AS BIGINT)
                     * 1000000 // CAST(sum(freq) AS BIGINT)
                     AS tokens_per_word_ppm
-                FROM w8""")))
+                FROM w8"""))),
+
+    QueryDef("x92_heavy_keys",
+      // skew preflight: the measurement that decides whether a join
+      // needs salting (x28's mechanism) BEFORE it runs — top-k
+      // heaviest key values with exact corpus share and load vs a
+      // uniform key. One hash agg → 1-row totals broadcast → bounded
+      // top-k heap → rank window over the k-row result only
+      (s, d) => SkewJoin.heavyKeys(
+        events(s, d).select("user_id"), "user_id", k = 20),
+      Some("""WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+              t AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS k FROM c),
+              tp AS (SELECT user_id, c FROM c ORDER BY c DESC, user_id LIMIT 20)
+              SELECT row_number() OVER (ORDER BY c DESC, user_id) AS rank,
+                user_id, c,
+                c * 1000000 // n AS share_ppm,
+                c * k * 1000000 // n AS skew_ppm
+              FROM tp, t ORDER BY rank"""))
   )
 
   /** Chained-CTE DuckDB replay of [[graft.operators.Bpe]] training:

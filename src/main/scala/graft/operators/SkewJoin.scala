@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-resistant equi-join via key salting.
@@ -31,5 +32,31 @@ object SkewJoin {
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
+  }
+
+  /** SKEW PREFLIGHT — the measurement that decides whether
+    * [[saltedInnerJoin]] (or a bucket bump) is needed at all: the k
+    * heaviest values of a prospective join/group key, each with its
+    * exact corpus share and its load relative to a uniform key
+    * (`skew_ppm` = count / (total/distinct-keys) in floored ppm;
+    * 1,000,000 = exactly uniform, 20,000,000 = this key carries 20×
+    * a fair share — size reducers for THAT).
+    *
+    * Shape: one hash agg over the key (map-side combine) → 1-row
+    * (total, distinct-count) aggregate broadcast → top-k as a bounded
+    * heap (TakeOrderedAndProject) → rank window over the K-ROW result
+    * only. The key space never sorts globally and nothing returns to
+    * the driver. All integers exact; ties break by key ascending.
+    * Output: (rank, <key>, c, share_ppm, skew_ppm). */
+  def heavyKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"heavyKeys: k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("__n"), count(lit(1)).as("__k"))
+    val topk = counts.orderBy(col("c").desc, col(keyCol).asc).limit(k)
+    val w = Window.orderBy(col("c").desc, col(keyCol).asc)
+    topk.crossJoin(broadcast(totals))
+      .select(row_number().over(w).as("rank"), col(keyCol), col("c"),
+        expr("(c * CAST(1000000 AS BIGINT)) DIV __n").as("share_ppm"),
+        expr("(c * __k * CAST(1000000 AS BIGINT)) DIV __n").as("skew_ppm"))
   }
 }

@@ -205,6 +205,19 @@ class FunctionsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("heavyKeys: exact shares, uniform-relative skew, deterministic ties") {
+    // keys: a×6, b×2, c×1, d×1 -> total 10, 4 distinct keys
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val got = SkewJoin.heavyKeys(df, "k", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1, "a", 6L, 600000L, 2400000L),   // 6/10; 6/(10/4) = 2.4x uniform
+      (2, "b", 2L, 200000L, 800000L),
+      (3, "c", 1L, 100000L, 400000L)))   // tie c/d broken by key asc
+  }
+
   test("bucketed range join equals the naive theta join") {
     val points = (0L until 200L).map(i => (i, i * 7 % 500)).toDF("pid", "t")
     val ranges = Seq((1L, 10L, 60L), (2L, 55L, 58L), (3L, 400L, 499L), (4L, 600L, 700L))
