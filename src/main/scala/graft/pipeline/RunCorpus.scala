@@ -41,8 +41,12 @@ import graft.operators.Curate
   * Usage: runMain graft.pipeline.RunCorpus [docsDir] [outDir]
   *          [--epoch N] [--epochs E] [--budget TOKENS] [--scrub-pii]
   *          [--eval PATH] [--holdout H] [--weights src=w,src=w]
+  *          [--tokenizer K]
   * `--epochs E` packs epochs 0..E-1 from the one curated scoring
   * lineage, written as `mix/packed/epoch=<e>/` partitions.
+  * `--tokenizer K` additionally trains a K-merge BPE tokenizer on the
+  * SAME slice the mix packs (holdout text never shapes the
+  * vocabulary) and ships it to `outDir/tokenizer/` ([[RunTokenizer]]).
   * Defaults: /root/testdata/sf0.001 -> /tmp/graft_corpus.
   * `--holdout 0.1` = train 0.8 / val 0.1 / test 0.1.
   *
@@ -66,6 +70,7 @@ object RunCorpus {
     var evalPath: Option[String] = None
     var holdout: Option[Double] = None
     var weights: Option[Map[String, Double]] = None
+    var tokenizer: Option[Int] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -91,6 +96,9 @@ object RunCorpus {
           weights = Some(args(i + 1).split(",").map { kv =>
             val Array(k, v) = kv.split("=", 2); (k, v.toDouble)
           }.toMap); i += 1
+        case "--tokenizer" =>
+          require(i + 1 < args.length, "--tokenizer needs a merge count")
+          tokenizer = Some(args(i + 1).toInt); i += 1
         case other => positional += other
       }
       i += 1
@@ -115,7 +123,8 @@ object RunCorpus {
       sourceWeights = weights,
       epochs = epochs,
       splitWeights = holdout.map(h =>
-        Seq("train" -> (1.0 - 2 * h), "val" -> h, "test" -> h)))
+        Seq("train" -> (1.0 - 2 * h), "val" -> h, "test" -> h)),
+      tokenizerMerges = tokenizer)
     spark.stop()
   }
 
@@ -139,7 +148,8 @@ object RunCorpus {
       splitWeights: Option[Seq[(String, Double)]] = None,
       splitThreshold: Double = 0.5,
       mixSplit: String = "train",
-      epochs: Option[Seq[Int]] = None)
+      epochs: Option[Seq[Int]] = None,
+      tokenizerMerges: Option[Int] = None)
       : (Seq[(String, Long)], Seq[(String, Long)]) = {
     require(cfg.keep.contains("source"),
       "RunCorpus needs cfg.keep to carry 'source' into the curated " +
@@ -171,12 +181,25 @@ object RunCorpus {
     val mixReport = RunMix.run(spark, mixInput, s"$outDir/mix",
       epoch, budget, bandRates, sourceWeights, preScored = true,
       epochs = epochs)
+    // --tokenizer K: ship the BPE artifact trained on the SAME slice
+    // the mix packs (the training distribution — a holdout's val/test
+    // text never shapes the vocabulary, the leak rule applied to the
+    // tokenizer itself). One extra wordState scan of the train slice;
+    // every merge round after that is vocab-sized (RunTokenizer).
+    val tokReport = tokenizerMerges.map { k =>
+      RunTokenizer.runOn(spark,
+        graft.operators.Bpe.wordState(mixInput, "text"),
+        s"$outDir/tokenizer", merges = k, fromState = false)
+        .collect { case (key, v: Long) => (s"tokenizer_$key", v)
+                   case (key, v: Int) => (s"tokenizer_$key", v.toLong) }
+    }.getOrElse(Nil)
     val json = (curateReport.map { case (k, v) => s""""curate_$k":$v""" } ++
         splitCounts.map { case (k, v) => s""""$k":$v""" } ++
-        mixReport.map { case (k, v) => s""""mix_$k":$v""" })
+        mixReport.map { case (k, v) => s""""mix_$k":$v""" } ++
+        tokReport.map { case (k, v) => s""""$k":$v""" })
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "report.json"), json + "\n")
-    (curateReport, splitCounts ++ mixReport)
+    (curateReport, splitCounts ++ mixReport ++ tokReport)
   }
 }

@@ -39,6 +39,12 @@ import graft.operators.{Sampling, TextAnalysis}
   * Usage: runMain graft.pipeline.RunMix [docsDir] [outDir]
   *          [--epoch N] [--epochs E] [--budget TOKENS] [--curriculum]
   *          [--targets src=ppm,... --target-budget TOKENS]
+  *          [--accepted]
+  * `--accepted` treats `docsDir` as a [[RunIntake]] stateDir and
+  * mixes its `accepted/` sink directly (pre-scored handoff — the
+  * funnel's own n_tokens/quality, no re-tokenization; crash-replay
+  * duplicate appends collapse by doc_id) — the incremental-corpus →
+  * training-mix composition.
   * `--curriculum` packs the TOP quality band first within every chunk
   * (x78 — the curriculum-ordered training stream; single-epoch only).
   * `--targets`/`--target-budget` run stage 4 as the x73 MEASURED
@@ -71,6 +77,7 @@ object RunMix {
     var epoch = 0
     var epochs: Option[Seq[Int]] = None
     var curriculum = false
+    var accepted = false
     var budget = 256L
     var targets: Map[String, Long] = Map.empty
     var targetBudget: Option[Long] = None
@@ -88,6 +95,7 @@ object RunMix {
           require(i + 1 < args.length, "--budget needs a token count")
           budget = args(i + 1).toLong; i += 1
         case "--curriculum" => curriculum = true
+        case "--accepted" => accepted = true
         case "--targets" =>
           require(i + 1 < args.length,
             "--targets needs src=ppm[,src=ppm...]")
@@ -116,13 +124,24 @@ object RunMix {
     spark.sparkContext.setLogLevel("WARN")
     require(targets.isEmpty == targetBudget.isEmpty,
       "--targets and --target-budget come together (the measured mixture)")
-    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    // --accepted: docsDir is a RunIntake stateDir — mix the journey's
+    // accepted/ sink directly. The sink carries the funnel's own
+    // n_tokens/quality (trusted: computed on the curated text), so
+    // this is the pre-scored handoff: a corpus that arrived over
+    // months becomes a training mix WITHOUT any re-tokenization.
+    // dropDuplicates(doc_id) absorbs the crash-replay contract's
+    // possible duplicate appends (decisions never flip, so any copy
+    // carries identical columns — an arbitrary survivor is exact).
+    val docs =
+      if (accepted) spark.read.parquet(s"$docsDir/accepted")
+        .dropDuplicates("doc_id")
+      else spark.read.parquet(s"$docsDir/documents.parquet")
     // default journey keeps every source whole (weight 1); pass an
     // explicit map through run() — or --targets/--target-budget for
     // the x73 measured mixture — to express a real mixture policy
     run(spark, docs, outDir, epoch, budget, epochs = epochs,
       tokenTargets = targetBudget.map(b => (targets, b)),
-      curriculum = curriculum)
+      curriculum = curriculum, preScored = accepted)
     spark.stop()
   }
 

@@ -69,11 +69,19 @@ object RunTokenizer {
 
   def run(spark: SparkSession, inDir: String, outDir: String,
       merges: Int, fromState: Boolean): Seq[(String, Any)] = {
-    val t0 = System.nanoTime()
     val state =
       if (fromState) spark.read.parquet(inDir)
       else Bpe.wordState(
         spark.read.parquet(s"$inDir/documents.parquet"), "text")
+    runOn(spark, state, outDir, merges, fromState)
+  }
+
+  /** Programmatic entry ([[RunCorpus]] `--tokenizer` chains it off the
+    * curated corpus): train on an already-built word state and ship
+    * the artifact. */
+  def runOn(spark: SparkSession, state: org.apache.spark.sql.DataFrame,
+      outDir: String, merges: Int, fromState: Boolean): Seq[(String, Any)] = {
+    val t0 = System.nanoTime()
     // one persist serves every merge round AND the fit audit
     val persisted = state.persist()
     val learned =

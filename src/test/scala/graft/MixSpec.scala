@@ -146,6 +146,58 @@ class MixSpec extends SparkSpec {
       "pre-scored handoff must pack row-identically to re-scoring")
   }
 
+  test("RunMix --accepted: mixing the intake sink equals mixing the one-shot curated corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = graft.operators.Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val state = tmp("acc_state")
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") < 250), state, cfg)
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") >= 250), state, cfg)
+    // the --accepted path exactly as main wires it: sink read-back,
+    // replay-dup collapse, pre-scored handoff
+    val sink = spark.read.parquet(s"$state/accepted").dropDuplicates("doc_id")
+    val outA = tmp("acc_mix"); val outB = tmp("one_mix")
+    RunMix.run(spark, sink, outA, epoch = 0, budget = 128, preScored = true)
+    val oneShot = graft.operators.Curate.curate(docs, "doc_id", "text", cfg)
+    RunMix.run(spark, oneShot, outB, epoch = 0, budget = 128, preScored = true)
+    val a = spark.read.parquet(s"$outA/packed")
+    val b = spark.read.parquet(s"$outB/packed")
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "a corpus that arrived over months must mix row-identically to " +
+        "the same corpus curated in one shot")
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
+  test("RunCorpus --tokenizer: the artifact trains on the packed slice and lands beside the mix") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = tmp("corpus_tok")
+    val (_, mixRep) = graft.pipeline.RunCorpus.run(spark, docs, out,
+      graft.operators.Curate.Config(langs = Seq("en", "und"),
+        minQuality = 0.0, minTokens = 1, keep = Seq("source")),
+      epoch = 0, budget = 128, tokenizerMerges = Some(4))
+    val m = mixRep.toMap
+    assert(m("tokenizer_n_merges") == 4L)
+    assert(m("tokenizer_total_bpe_tokens") > 0L)
+    val artifact = spark.read.parquet(s"$out/tokenizer/merges.parquet")
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    // no holdout here: the packed slice IS the curated corpus
+    val curated = spark.read.parquet(s"$out/curate/curated")
+    val expect = graft.operators.Bpe.mergeTable(spark,
+      graft.operators.Bpe.train(
+        graft.operators.Bpe.wordState(curated, "text"), merges = 4))
+      .collect().map(_.toSeq).toSeq
+    assert(artifact === expect,
+      "shipped merges must equal training on the curated corpus")
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "report.json"))
+    assert(json.contains("\"tokenizer_n_merges\":4"))
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunCorpus holdout: leak-safe split persisted; mix packs only the train slice") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val out = tmp("holdout")
