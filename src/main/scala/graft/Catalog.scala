@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -4479,7 +4479,36 @@ object Catalog {
                 user_id, c,
                 c * 1000000 // n AS share_ppm,
                 c * k * 1000000 // n AS skew_ppm
-              FROM tp, t ORDER BY rank"""))
+              FROM tp, t ORDER BY rank""")),
+
+    QueryDef("x93_table_profile",
+      // ANALYZE-style stats in ONE pass: a single wide aggregate
+      // (multi-distinct via Expand — k+1 streams over one scan, one
+      // shuffle) unpivoted to a row per column. Exact NDV here so the
+      // oracle replays; the 100 TB path flips exact=false for the HLL
+      // sketch. Long/string columns only — float/timestamp string
+      // forms are engine-specific
+      (s, d) => TableProfile.profile(orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some("""WITH a AS (SELECT count(*) AS n,
+                count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+                  CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+                  CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+                count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+                  CAST(min(o_custkey) AS VARCHAR) AS mn2,
+                  CAST(max(o_custkey) AS VARCHAR) AS mx2,
+                count(o_orderstatus) AS c3, count(DISTINCT o_orderstatus) AS d3,
+                  min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+                count(o_orderpriority) AS c4, count(DISTINCT o_orderpriority) AS d4,
+                  min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+              FROM orders)
+              SELECT col_name, n_rows, n_nulls, ndv, min_val, max_val FROM (
+                SELECT 'o_orderkey' AS col_name, n AS n_rows, n - c1 AS n_nulls,
+                  d1 AS ndv, mn1 AS min_val, mx1 AS max_val FROM a
+                UNION ALL SELECT 'o_custkey', n, n - c2, d2, mn2, mx2 FROM a
+                UNION ALL SELECT 'o_orderstatus', n, n - c3, d3, mn3, mx3 FROM a
+                UNION ALL SELECT 'o_orderpriority', n, n - c4, d4, mn4, mx4 FROM a)
+              ORDER BY col_name"""))
   )
 
   /** Chained-CTE DuckDB replay of [[graft.operators.Bpe]] training:

@@ -205,6 +205,24 @@ class FunctionsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("tableProfile: nulls, exact NDV, string bounds; approx mode stays schema-identical") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")),
+      (Some(2L), None), (None, Some("b")))
+      .toDF("k", "s")
+    val got = graft.operators.TableProfile.profile(df, Seq("k", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got === Seq(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+    val approx = graft.operators.TableProfile.profile(df, Seq("k", "s"),
+      exact = false)
+    assert(approx.columns.toSeq ===
+      Seq("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val"))
+    assert(approx.count() == 2)
+  }
+
   test("heavyKeys: exact shares, uniform-relative skew, deterministic ties") {
     // keys: a×6, b×2, c×1, d×1 -> total 10, 4 distinct keys
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))

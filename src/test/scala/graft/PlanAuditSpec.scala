@@ -349,4 +349,41 @@ class PlanAuditSpec extends SparkSpec {
       gold.exceptAll(live).count() == 0 && live.exceptAll(gold).count() == 0,
       "goldViaLake must be row-identical to gold")
   }
+
+  test("x91: BPE training reads only the text column; rounds and audit are hash aggs, no join/window") {
+    val st = graft.operators.Bpe.wordState(
+      Tables.documents(spark, sf("sf0.001")), "text")
+    val read = st.queryExecution.executedPlan.toString()
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("text") && !read.contains("source") &&
+      !read.contains("lang"),
+      s"wordState must prune the scan to the text column:\n$read")
+    val plan = finalPlan(q("x91_bpe_stats")).toString()
+    assert(!plan.contains("Window"),
+      s"BPE stats must never window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("Join"),
+      s"the state-only audit must not join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final hash aggregation:\n$plan")
+  }
+
+  test("x89: segmentation joins the distinct vocabulary equi-style (no NLJ), one agg per doc") {
+    val plan = finalPlan(q("x89_bpe_segment")).toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"vocabulary join must stay an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join with the segmented vocabulary:\n$plan")
+  }
+
+  test("x92: heavy keys rank as a k-bounded TakeOrdered; totals broadcast one row") {
+    val plan = finalPlan(q("x92_heavy_keys")).toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a global sort:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"key counting must be a hash agg with map-side combine:\n$plan")
+  }
 }
