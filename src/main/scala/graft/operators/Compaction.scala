@@ -97,6 +97,54 @@ object Compaction {
     fs.delete(oldPath, true) // best-effort reclaim; content already live
   }
 
+  /** The [[replaceTable]] crash-recovery rule as CODE (the scaladoc
+    * prose above, executable): given a table dir that may carry
+    * `.compact.tmp` / `.compact.old` siblings from an interrupted
+    * swap, restore the invariant "exactly one complete copy, at the
+    * live path". Returns what was done:
+    *
+    *  - `"clean"`        — live exists, no siblings; nothing to do
+    *  - `"cleared"`      — live exists; stray siblings deleted (the
+    *                       crash hit before the park, or after the
+    *                       promote but before the reclaim — live is
+    *                       authoritative either way)
+    *  - `"restored-old"` — live missing; `.old` (pre-swap content)
+    *                       renamed into place, stray `.tmp` deleted
+    *                       (crash between park and promote)
+    *  - `"restored-tmp"` — live and `.old` missing; `.tmp` (the new
+    *                       copy — row-equivalent by the replaceTable
+    *                       contract) renamed into place
+    *
+    * Throws if no copy exists at all (nothing to recover — the dir
+    * never was a table, or something other than the swap destroyed
+    * it). Idempotent: a second call returns `"clean"`. QUIESCE
+    * REQUIRED, exactly as for the swap itself. */
+  def recoverTable(spark: SparkSession, dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact.old")
+    val fs = live.getFileSystem(conf)
+    def clear(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.delete(p, true)
+    if (fs.exists(live)) {
+      val cleared = clear(tmp) | clear(old)
+      if (cleared) "cleared" else "clean"
+    } else if (fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(
+          s"recoverTable: could not restore $old to $dir")
+      clear(tmp)
+      "restored-old"
+    } else if (fs.exists(tmp)) {
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(
+          s"recoverTable: could not restore $tmp to $dir")
+      "restored-tmp"
+    } else throw new java.io.IOException(
+      s"recoverTable: no copy of $dir exists (live/.old/.tmp all absent)")
+  }
+
   /** Compact a [[Dedup.buildFuzzyIndex]] layout: both the `sets/` and
     * `bands/` tables (meta is one file — untouched). Returns the
     * (before, after) total file counts per table. */

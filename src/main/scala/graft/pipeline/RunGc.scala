@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Compaction
+
+/** LAKE HOUSEKEEPING journey — the maintenance pass a long-lived
+  * deployment schedules beside [[RunIntake]]/[[RunAudit]]: every
+  * destroy-last swap ([[graft.operators.Compaction.replaceTable]] —
+  * compaction, snapshot-sync rewrites, growing-state merges) can leave
+  * `.compact.tmp` / `.compact.old` siblings if a run dies mid-swap.
+  * The swap contract guarantees a complete copy always survives; this
+  * journey is the piece that RESTORES the invariant corpus-wide:
+  *
+  *   1. walk the lake root (bounded depth, DIRECTORY listings only —
+  *      metadata-scale over tables, never a file scan) for swap
+  *      leftovers;
+  *   2. age-gate them (a `.tmp` younger than `--age-minutes` may
+  *      belong to a swap IN FLIGHT — skipped, reported as `skipped-
+  *      young`; the quiesce contract means anything older is a crash
+  *      remnant);
+  *   3. dry-run by default: report what WOULD happen; `--apply` runs
+  *      [[graft.operators.Compaction.recoverTable]] per affected base
+  *      dir (live authoritative → clear strays; live missing →
+  *      restore `.old`, else `.tmp`);
+  *   4. report compaction candidates: tables whose per-partition file
+  *      counts exceed `--max-files` (the appends-accumulate problem
+  *      [[graft.operators.Compaction.compactTable]] solves) — report
+  *      only, compaction stays an explicit quiesced operation.
+  *
+  * Deterministic report (sorted paths), one JSON line per finding in
+  * `gc_report.jsonl` under the root. Exit state is inspectable: a
+  * re-run after `--apply` reports zero leftovers.
+  *
+  * Usage: runMain graft.pipeline.RunGc [rootDir]
+  *          [--age-minutes N] [--max-files N] [--apply]
+  * Defaults: /tmp/graft_intake, age 60, max-files 8, dry-run. */
+object RunGc {
+
+  final case class Finding(path: String, kind: String, action: String)
+
+  def main(args: Array[String]): Unit = {
+    var ageMinutes = 60L
+    var maxFiles = 8
+    var apply = false
+    val positional = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--age-minutes" =>
+          require(i + 1 < args.length, "--age-minutes needs a number")
+          ageMinutes = args(i + 1).toLong; i += 1
+        case "--max-files" =>
+          require(i + 1 < args.length, "--max-files needs a count")
+          maxFiles = args(i + 1).toInt; i += 1
+        case "--apply" => apply = true
+        case other => positional += other
+      }
+      i += 1
+    }
+    val root = positional.headOption.getOrElse("/tmp/graft_intake")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val findings = run(spark, root, ageMinutes, maxFiles, apply)
+    findings.foreach(f => println(s"[gc] ${f.kind} ${f.path} -> ${f.action}"))
+    spark.stop()
+  }
+
+  /** Walk + recover + report. Returns the findings (also written as
+    * `gc_report.jsonl` under `root`). */
+  def run(spark: SparkSession, root: String, ageMinutes: Long = 60L,
+      maxFiles: Int = 8, apply: Boolean = false,
+      maxDepth: Int = 8): Seq[Finding] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return Nil
+    val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
+
+    // bounded-depth directory walk; stop descending once inside a
+    // parquet table (its children are partition dirs / data files)
+    val leftovers = scala.collection.mutable.Buffer[(String, Long)]()
+    val tables = scala.collection.mutable.Buffer[String]()
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Unit = {
+      if (depth > maxDepth) return
+      val children = fs.listStatus(p)
+      val isTable = children.exists { c =>
+        val n = c.getPath.getName
+        n == "_SUCCESS" || (c.isFile && n.endsWith(".parquet"))
+      }
+      if (isTable) tables += p.toUri.getPath
+      children.filter(_.isDirectory).foreach { c =>
+        val name = c.getPath.getName
+        if (name.endsWith(".compact.tmp") || name.endsWith(".compact.old"))
+          leftovers += ((c.getPath.toUri.getPath, c.getModificationTime))
+        else if (!isTable) walk(c.getPath, depth + 1)
+      }
+    }
+    walk(rootPath, 0)
+
+    val swapFindings = leftovers.sortBy(_._1).map { case (path, mtime) =>
+      val kind =
+        if (path.endsWith(".compact.tmp")) "swap-leftover-tmp"
+        else "swap-leftover-old"
+      val base = path.stripSuffix(".compact.tmp").stripSuffix(".compact.old")
+      val action =
+        if (mtime > cutoff) "skipped-young"
+        else if (!apply) "would-recover"
+        else Compaction.recoverTable(spark, base)
+      Finding(path, kind, action)
+    }.toSeq
+    // one base dir can surface via both siblings; recoverTable is
+    // idempotent ("clean" the second time), so duplicates are safe
+    val fileFindings = tables.sorted.flatMap { t =>
+      val counts = Compaction.partFileCounts(spark, t)
+      val worst = if (counts.isEmpty) 0 else counts.values.max
+      if (worst > maxFiles)
+        Some(Finding(t, "compaction-candidate",
+          s"max-files-per-partition=$worst"))
+      else None
+    }.toSeq
+    val all = swapFindings ++ fileFindings
+    val json = all.map(f =>
+        s"""{"path":"${f.path}","kind":"${f.kind}","action":"${f.action}"}""")
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "gc_report.jsonl"), json)
+    all
+  }
+}

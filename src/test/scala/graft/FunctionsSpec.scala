@@ -205,6 +205,71 @@ class FunctionsSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("recoverTable restores every crash state of the destroy-last swap") {
+    import graft.operators.Compaction
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val base = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    val dir = s"$base/t"
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    rows.write.parquet(dir)
+    def liveRows() = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val expect = liveRows()
+    // crash after promote, before reclaim: stray .old beside live
+    rows.write.parquet(s"$dir.compact.old")
+    assert(Compaction.recoverTable(spark, dir) === "cleared")
+    assert(!fs.exists(p(s"$dir.compact.old")) && liveRows() === expect)
+    // crash between park and promote: live parked at .old, .tmp present
+    rows.write.parquet(s"$dir.compact.tmp")
+    assert(fs.rename(p(dir), p(s"$dir.compact.old")))
+    assert(Compaction.recoverTable(spark, dir) === "restored-old")
+    assert(liveRows() === expect && !fs.exists(p(s"$dir.compact.tmp")))
+    // crash mid-promote with .old already reclaimed: only .tmp
+    assert(fs.rename(p(dir), p(s"$dir.compact.tmp")))
+    assert(Compaction.recoverTable(spark, dir) === "restored-tmp")
+    assert(liveRows() === expect)
+    // idempotent; and a dir that never was a table throws
+    assert(Compaction.recoverTable(spark, dir) === "clean")
+    intercept[java.io.IOException](
+      Compaction.recoverTable(spark, s"$base/never_existed"))
+  }
+
+  test("RunGc: dry-run reports, --apply recovers, re-run is clean; file candidates surface") {
+    import graft.pipeline.RunGc
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val root = java.nio.file.Files.createTempDirectory("graft_gc").toString
+    val rows = (1L to 40L).map(i => (i, (i % 4).toInt)).toDF("id", "pt")
+    // healthy-but-fragmented partitioned table: a compaction candidate
+    rows.repartition(6).write.partitionBy("pt").parquet(s"$root/tables/frag")
+    // crashed swap: live parked aside, nothing at the live path
+    rows.write.parquet(s"$root/tables/crashed")
+    assert(fs.rename(p(s"$root/tables/crashed"),
+      p(s"$root/tables/crashed.compact.old")))
+    val dry = RunGc.run(spark, root, ageMinutes = -1, maxFiles = 2)
+    assert(dry.exists(f => f.kind == "swap-leftover-old" &&
+      f.action == "would-recover"), dry.toString)
+    assert(dry.exists(f => f.kind == "compaction-candidate" &&
+      f.path.endsWith("frag")), dry.toString)
+    assert(!fs.exists(p(s"$root/tables/crashed")), "dry-run must not touch")
+    // young leftovers are skipped even under --apply (in-flight swap)
+    val young = RunGc.run(spark, root, ageMinutes = 60, maxFiles = 2,
+      apply = true)
+    assert(young.exists(_.action == "skipped-young"))
+    assert(!fs.exists(p(s"$root/tables/crashed")))
+    val applied = RunGc.run(spark, root, ageMinutes = -1, maxFiles = 2,
+      apply = true)
+    assert(applied.exists(_.action == "restored-old"), applied.toString)
+    assert(spark.read.parquet(s"$root/tables/crashed").count() == 40)
+    val again = RunGc.run(spark, root, ageMinutes = -1, maxFiles = 2)
+    assert(!again.exists(_.kind.startsWith("swap-leftover")), again.toString)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "gc_report.jsonl")))
+  }
+
   test("tableProfile: nulls, exact NDV, string bounds; approx mode stays schema-identical") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(2L), Some("a")),
