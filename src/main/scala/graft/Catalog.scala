@@ -4508,7 +4508,45 @@ object Catalog {
                 UNION ALL SELECT 'o_custkey', n, n - c2, d2, mn2, mx2 FROM a
                 UNION ALL SELECT 'o_orderstatus', n, n - c3, d3, mn3, mx3 FROM a
                 UNION ALL SELECT 'o_orderpriority', n, n - c4, d4, mn4, mx4 FROM a)
-              ORDER BY col_name"""))
+              ORDER BY col_name""")),
+
+    QueryDef("x94_bpe_pack",
+      // the mix budget in REAL tokens: pack sequences by the learned
+      // tokenizer's own counts (x89) instead of the whitespace proxy —
+      // same chunked-prefix-sum packing algebra as x30 (8 bounded
+      // windows, never a global sort), fed by the dictionary
+      // segmentation
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = Bpe.train(Bpe.wordState(docs, "text"), merges = 8)
+        Sampling.packSequences(
+            Bpe.segmentCounts(docs, "doc_id", "text", merges)
+              .select("doc_id", "n_bpe_tokens"),
+            "doc_id", "n_bpe_tokens", budget = 512, epoch = 1, chunks = 8)
+          .select(col("doc_id"), col("n_bpe_tokens"), col("chunk"),
+            col("seq"), col("start_off"))
+          .orderBy("doc_id")
+      },
+      Some(bpeOracle(8,
+        """, ds AS (
+                SELECT un.doc_id,
+                  CAST(sum(len(string_split(substring(w.sym, 2, length(w.sym) - 2),
+                    '||'))) AS BIGINT) AS n_bpe_tokens
+                FROM un JOIN w8 w ON un.word = w.word GROUP BY 1),
+              k2 AS (
+                SELECT doc_id, n_bpe_tokens,
+                  CAST('0x' || substring(md5(
+                    '1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS key
+                FROM ds),
+              o AS (
+                SELECT doc_id, n_bpe_tokens, CAST(key % 8 AS INT) AS chunk,
+                  SUM(n_bpe_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_bpe_tokens AS start_off
+                FROM k2)
+              SELECT doc_id, n_bpe_tokens, chunk,
+                CAST(floor(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS seq,
+                CAST(start_off AS BIGINT) AS start_off
+              FROM o ORDER BY doc_id""")))
   )
 
   /** Chained-CTE DuckDB replay of [[graft.operators.Bpe]] training:

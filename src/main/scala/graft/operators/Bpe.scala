@@ -127,6 +127,16 @@ object Bpe {
       .orderBy("rank")
   }
 
+  /** Read a [[mergeTable]] artifact back into applicable form (rank
+    * order restored; k driver-held rows — the model-sized-artifact
+    * pattern). The consume side of [[graft.pipeline.RunTokenizer]]:
+    * a training job loads the shipped merges and segments with
+    * [[applyMerges]]/[[segmentCounts]] — it never retrains. */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("l"),
+        r.getAs[String]("r"), r.getAs[Long]("pair_count"))).toSeq
+
   /** Segment documents under a learned merge table: per-document word
     * count and TRUE BPE token count (symbols after applying all merges).
     *

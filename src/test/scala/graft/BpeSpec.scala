@@ -90,6 +90,11 @@ class BpeSpec extends SparkSpec {
     assert(a1.map(_.toSeq).toSeq === a2.map(_.toSeq).toSeq)
     assert(a1.length === 4)
     assert(new java.io.File(s"$out1/report.json").exists())
+    // the consume side round-trips: loaded merges == the ones trained
+    val loaded = Bpe.loadMerges(spark, s"$out1/merges.parquet")
+    val direct = Bpe.train(
+      Bpe.wordState(Tables.documents(spark, sf("sf0.001")), "text"), 4)
+    assert(loaded === direct)
   }
 
   test("mergeTable round-trips the artifact columns in rank order") {
