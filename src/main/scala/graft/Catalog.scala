@@ -4546,8 +4546,83 @@ object Catalog {
               SELECT doc_id, n_bpe_tokens, chunk,
                 CAST(floor(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS seq,
                 CAST(start_off AS BIGINT) AS start_off
-              FROM o ORDER BY doc_id""")))
+              FROM o ORDER BY doc_id"""))),
+
+    QueryDef("x95_bpe_retrain_audit",
+      // the retrain decision: the corpus grew (old slice -> full),
+      // the shipped tokenizer is frozen — inflation_ppm measures the
+      // context-budget tax of NOT retraining (current state segmented
+      // under old vs fresh merges; all vocab-sized state jobs). The
+      // oracle re-derives BOTH trainings and the cross-application
+      (s, d) => {
+        val docs = documents(s, d)
+        Bpe.retrainAudit(
+          Bpe.wordState(docs.where(col("doc_id") < 250), "text"),
+          Bpe.wordState(docs, "text"),
+          merges = 8)
+      },
+      Some(x95Oracle))
   )
+
+  /** The x95 oracle: TWO full training chains (prefix `a` = the old
+    * doc_id<250 slice, prefix `b` = the full corpus) plus the
+    * cross-application of the a-merges to the b-state (`u1..u8`),
+    * ending in the 1-row inflation comparison. Same per-round algebra
+    * as [[bpeOracle]]. */
+  private lazy val x95Oracle: String = {
+    def rounds(px: String): String = (1 to 8).map { i =>
+      s"""${px}p$i AS (SELECT syms[CAST(i AS INT)] AS l,
+                syms[CAST(i AS INT) + 1] AS r,
+                CAST(sum(freq) AS BIGINT) AS c
+              FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+                    FROM (SELECT string_split(substring(sym, 2, length(sym) - 2),
+                            '||') AS syms, freq
+                          FROM ${px}w${i - 1})
+                    WHERE len(syms) >= 2)
+              GROUP BY 1, 2),
+              ${px}m$i AS (SELECT l, r, c FROM ${px}p$i ORDER BY c DESC, l, r LIMIT 1),
+              ${px}w$i AS (SELECT word,
+                CASE WHEN m.l IS NULL THEN sym
+                  ELSE replace(sym, '|' || m.l || '||' || m.r || '|',
+                                    '|' || m.l || m.r || '|') END AS sym,
+                freq
+              FROM ${px}w${i - 1} LEFT JOIN ${px}m$i m ON TRUE)"""
+    }.mkString(",\n              ")
+    val applies = (1 to 8).map { i =>
+      s"""u$i AS (SELECT word,
+                CASE WHEN m.l IS NULL THEN sym
+                  ELSE replace(sym, '|' || m.l || '||' || m.r || '|',
+                                    '|' || m.l || m.r || '|') END AS sym,
+                freq
+              FROM u${i - 1} LEFT JOIN am$i m ON TRUE)"""
+    }.mkString(",\n              ")
+    val nsyms = "len(string_split(substring(sym, 2, length(sym) - 2), '||'))"
+    s"""WITH tk AS (
+              SELECT doc_id, list_filter(string_split(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+              FROM documents),
+              un AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+              aw0 AS (SELECT word,
+                regexp_replace(word, '(.)', '|\\1|', 'g') AS sym,
+                count(*) AS freq
+              FROM un WHERE doc_id < 250 GROUP BY 1, 2),
+              bw0 AS (SELECT word,
+                regexp_replace(word, '(.)', '|\\1|', 'g') AS sym,
+                count(*) AS freq
+              FROM un GROUP BY 1, 2),
+              ${rounds("a")},
+              ${rounds("b")},
+              u0 AS (SELECT * FROM bw0),
+              $applies,
+              so AS (SELECT CAST(sum(freq) AS BIGINT) AS total_words,
+                CAST(sum(freq * $nsyms) AS BIGINT) AS tokens_old FROM u8),
+              sn AS (SELECT CAST(sum(freq * $nsyms) AS BIGINT) AS tokens_new
+                FROM bw8)
+              SELECT total_words, tokens_old, tokens_new,
+                tokens_old * 1000000 // tokens_new AS inflation_ppm
+              FROM so, sn"""
+  }
 
   /** Chained-CTE DuckDB replay of [[graft.operators.Bpe]] training:
     * `w0` is the word-frequency state in delimited-symbol encoding,

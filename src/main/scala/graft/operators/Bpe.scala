@@ -161,6 +161,36 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("__ns")).as("n_bpe_tokens"))
   }
 
+  /** TOKENIZER RETRAIN DECISION: a corpus grows (intake batches fold
+    * into the word state) while the shipped tokenizer stays frozen —
+    * when is retraining worth a new vocabulary rollout? Measure the
+    * decay directly: segment the CURRENT state under the OLD merges
+    * and under freshly trained ones, and compare token totals.
+    * `inflation_ppm` = tokens_old · 1e6 DIV tokens_new: 1,000,000
+    * means the frozen tokenizer still segments the grown corpus as
+    * compactly as a fresh one; 1,050,000 means 5% more tokens — a 5%
+    * context-budget tax, the number a retrain threshold reads.
+    *
+    * Cost: both trainings and both measurements are vocab-sized jobs
+    * over the two states ([[train]]/[[segmentStats]]); with states
+    * from RunIntake's `bpe_state/` snapshots nothing ever re-scans
+    * the corpus. Exact Longs end to end.
+    * Output 1 row: (total_words, tokens_old, tokens_new,
+    * inflation_ppm). */
+  def retrainAudit(oldState: DataFrame, newState: DataFrame,
+      merges: Int): DataFrame = {
+    val mOld = train(oldState, merges)
+    val mNew = train(newState, merges)
+    val old = segmentStats(newState, mOld)
+      .select(col("total_words"), col("total_bpe_tokens").as("tokens_old"))
+    val fresh = segmentStats(newState, mNew)
+      .select(col("total_bpe_tokens").as("tokens_new"))
+    old.crossJoin(fresh).select(
+      col("total_words"), col("tokens_old"), col("tokens_new"),
+      expr("(tokens_old * CAST(1000000 AS BIGINT)) DIV tokens_new")
+        .as("inflation_ppm"))
+  }
+
   /** Corpus-level tokenizer-fit audit computed FROM THE STATE — a
     * vocab-sized job, the corpus is never re-scanned: every corpus
     * total is an exact Long recoverable from (word, freq) alone

@@ -97,6 +97,22 @@ class BpeSpec extends SparkSpec {
     assert(loaded === direct)
   }
 
+  test("retrainAudit: frozen merges pay a measurable token tax on the grown corpus") {
+    // old corpus: "ab ab" -> merge (a,b). grown: + "cd cd cd" ->
+    // fresh merge is (c,d) (count 3 beats 2). On the grown state:
+    // old merges: ab=1 sym x2 + cd=2 syms x3 = 8 tokens;
+    // fresh:      ab=2 x2 + cd=1 x3 = 7 tokens; words = 5
+    val oldSt = Bpe.wordState(docs(1L -> "ab ab"), "text")
+    val newSt = Bpe.wordState(docs(1L -> "ab ab", 2L -> "cd cd cd"), "text")
+    val r = Bpe.retrainAudit(oldSt, newSt, merges = 1).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (5L, 8L, 7L))
+    assert(r.getLong(3) === 8L * 1000000L / 7L)
+    // no drift: auditing a state against itself reads exactly 1e6
+    val same = Bpe.retrainAudit(newSt, newSt, merges = 1).head
+    assert(same.getLong(1) === same.getLong(2) &&
+      same.getLong(3) === 1000000L)
+  }
+
   test("mergeTable round-trips the artifact columns in rank order") {
     val t = Bpe.mergeTable(spark,
       Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "ab", "c", 4L))).collect()
