@@ -4398,7 +4398,11 @@ object Catalog {
         (1 to 8).map(i =>
           s"SELECT CAST($i AS INT) AS rank, l, r, l || r AS merged, c AS pair_count FROM m$i")
           .mkString("\n                UNION ALL ") +
-        """) ORDER BY rank"""))),
+        """) ORDER BY rank""")),
+      // the flagship r8 operator: an ITERATIVE multi-job op (8 bounded
+      // collect rounds over the vocab state) — bench-track the whole
+      // training loop, not just one round
+      headline = true),
 
     QueryDef("x89_bpe_segment",
       // segment the corpus under the merges just learned from it:
@@ -4561,7 +4565,42 @@ object Catalog {
           Bpe.wordState(docs, "text"),
           merges = 8)
       },
-      Some(x95Oracle))
+      Some(x95Oracle)),
+
+    QueryDef("x96_vocab_novelty",
+      // intake early-warning: the arriving batch's genuinely new
+      // vocabulary vs the grown word state, as distinct-word and
+      // occurrence-mass ppm — novelty spikes precede the x95 token
+      // tax. Batch-sized wordState + one unhinted left join; the
+      // corpus never re-scans
+      (s, d) => {
+        val docs = documents(s, d)
+        Bpe.noveltyAudit(
+          Bpe.wordState(docs.where(col("doc_id") < 250), "text"),
+          docs.where(col("doc_id") >= 250), "text")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              un AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+              sw AS (SELECT DISTINCT word FROM un WHERE doc_id < 250),
+              bw AS (SELECT word, count(*) AS freq FROM un
+                     WHERE doc_id >= 250 GROUP BY 1),
+              j AS (SELECT bw.word, freq, sw.word IS NOT NULL AS seen
+                    FROM bw LEFT JOIN sw ON bw.word = sw.word)
+              SELECT CAST(count(*) AS BIGINT) AS batch_vocab,
+                CAST(count(CASE WHEN NOT seen THEN 1 END) AS BIGINT) AS new_vocab,
+                CAST(sum(freq) AS BIGINT) AS batch_words,
+                CAST(coalesce(sum(CASE WHEN NOT seen THEN freq END), 0)
+                  AS BIGINT) AS new_words,
+                CAST(count(CASE WHEN NOT seen THEN 1 END) AS BIGINT)
+                  * 1000000 // CAST(count(*) AS BIGINT) AS vocab_novelty_ppm,
+                CAST(coalesce(sum(CASE WHEN NOT seen THEN freq END), 0)
+                  AS BIGINT)
+                  * 1000000 // CAST(sum(freq) AS BIGINT) AS word_novelty_ppm
+              FROM j"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

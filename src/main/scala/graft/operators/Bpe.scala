@@ -161,6 +161,39 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("__ns")).as("n_bpe_tokens"))
   }
 
+  /** INTAKE NOVELTY: how much genuinely NEW vocabulary an arriving
+    * batch brings relative to the grown word state — the cheap
+    * early-warning that pairs with [[retrainAudit]] (novelty spikes
+    * precede tokenizer decay; a domain-shifted source announces
+    * itself here before it costs context budget). One batch-sized
+    * wordState pass + one unhinted left join against the state (AQE
+    * broadcasts a small batch vocabulary, degrades to a shuffled hash
+    * join at scale) + a 1-row aggregate; the corpus never re-scans.
+    *
+    * Output 1 row: (batch_vocab, new_vocab, batch_words, new_words,
+    * vocab_novelty_ppm, word_novelty_ppm) — vocab novelty is the
+    * distinct-word view (lexicon shift), word novelty the occurrence
+    * view (how much batch TEXT is new-word mass). Exact Longs /
+    * floored ppm; null ppms on an empty batch. */
+  def noveltyAudit(state: DataFrame, batch: DataFrame,
+      textCol: String): DataFrame = {
+    val bw = wordState(batch, textCol)
+    bw.join(state.select(col("word"), lit(1).as("__seen")),
+        Seq("word"), "left_outer")
+      .agg(
+        count(lit(1)).as("batch_vocab"),
+        count(when(col("__seen").isNull, 1)).as("new_vocab"),
+        sum(col("freq")).as("batch_words"),
+        coalesce(sum(when(col("__seen").isNull, col("freq"))), lit(0L))
+          .as("new_words"))
+      .select(col("batch_vocab"), col("new_vocab"), col("batch_words"),
+        col("new_words"),
+        expr("(new_vocab * CAST(1000000 AS BIGINT)) DIV batch_vocab")
+          .as("vocab_novelty_ppm"),
+        expr("(new_words * CAST(1000000 AS BIGINT)) DIV batch_words")
+          .as("word_novelty_ppm"))
+  }
+
   /** TOKENIZER RETRAIN DECISION: a corpus grows (intake batches fold
     * into the word state) while the shipped tokenizer stays frozen —
     * when is retraining worth a new vocabulary rollout? Measure the

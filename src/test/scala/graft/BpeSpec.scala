@@ -113,6 +113,20 @@ class BpeSpec extends SparkSpec {
       same.getLong(3) === 1000000L)
   }
 
+  test("noveltyAudit: distinct-word and occurrence-mass novelty vs the grown state") {
+    val state = Bpe.wordState(docs(1L -> "aa bb aa"), "text")
+    // batch: aa (seen), cc cc, dd -> vocab 3, new 2; words 4, new 3
+    val r = Bpe.noveltyAudit(state, docs(2L -> "aa cc cc dd"), "text").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (3L, 2L, 4L, 3L))
+    assert(r.getLong(4) === 2L * 1000000L / 3L)
+    assert(r.getLong(5) === 750000L)
+    // a batch the state fully covers reads zero novelty
+    val z = Bpe.noveltyAudit(state, docs(3L -> "bb aa"), "text").head
+    assert(z.getLong(1) === 0L && z.getLong(3) === 0L &&
+      z.getLong(4) === 0L && z.getLong(5) === 0L)
+  }
+
   test("mergeTable round-trips the artifact columns in rank order") {
     val t = Bpe.mergeTable(spark,
       Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "ab", "c", 4L))).collect()
