@@ -176,9 +176,16 @@ object Bpe {
     * view (how much batch TEXT is new-word mass). Exact Longs /
     * floored ppm; null ppms on an empty batch. */
   def noveltyAudit(state: DataFrame, batch: DataFrame,
-      textCol: String): DataFrame = {
-    val bw = wordState(batch, textCol)
-    bw.join(state.select(col("word"), lit(1).as("__seen")),
+      textCol: String): DataFrame =
+    noveltyAuditFromState(state, wordState(batch, textCol))
+
+  /** [[noveltyAudit]] over an already-built batch word state — the
+    * [[graft.pipeline.RunIntake]] seam: the intake computes the batch
+    * state once to grow `bpe_state/` and reuses it here, so novelty
+    * reporting adds one join and zero extra text scans. */
+  def noveltyAuditFromState(state: DataFrame, batchState: DataFrame)
+      : DataFrame = {
+    batchState.join(state.select(col("word"), lit(1).as("__seen")),
         Seq("word"), "left_outer")
       .agg(
         count(lit(1)).as("batch_vocab"),

@@ -233,6 +233,18 @@ object RunIntake {
       // one-shot exactly (Long adds), same replay caveat as above
       val batchBpe = Bpe.wordState(accepted, "text")
       val bpePath = s"$stateDir/bpe_state"
+      // x96 at the journey seam: novelty of THIS batch against the
+      // state as it stood BEFORE the batch folded in (first batch
+      // defines the baseline — no novelty row). Reuses batchBpe: one
+      // join, zero extra text scans.
+      val novelty =
+        if (!dfs.exists(new org.apache.hadoop.fs.Path(bpePath))) Nil
+        else {
+          val n = Bpe.noveltyAuditFromState(
+            spark.read.parquet(bpePath), batchBpe).head
+          Seq("vocab_novelty_ppm" -> n.getLong(4),
+            "word_novelty_ppm" -> n.getLong(5))
+        }
       if (!dfs.exists(new org.apache.hadoop.fs.Path(bpePath)))
         batchBpe.write.parquet(bpePath)
       else Compaction.replaceTable(spark, bpePath) { tmp =>
@@ -242,8 +254,8 @@ object RunIntake {
       accepted.unpersist(false)
       val nAccepted = spark.read.parquet(s"$stateDir/accepted").count()
       val nIn = batch.count()
-      Seq("input" -> nIn, "accepted_total" -> nAccepted,
-        "millis" -> (System.nanoTime() - t0) / 1000000L)
+      Seq("input" -> nIn, "accepted_total" -> nAccepted) ++ novelty ++
+        Seq("millis" -> (System.nanoTime() - t0) / 1000000L)
     }
     lease.release()
     report.foreach { case (k, v) => println(f"[intake] $k%-15s $v%d") }

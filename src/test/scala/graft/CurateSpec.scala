@@ -440,6 +440,11 @@ class CurateSpec extends SparkSpec {
       oneShot.exceptAll(accepted).count() == 0,
       "two intake runs must accumulate the one-shot curated corpus")
     assert(rep2("accepted_total") == oneShot.count())
+    // the second batch reports its novelty against the pre-batch state
+    // (first run has no baseline, so no novelty keys)
+    assert(rep2.contains("vocab_novelty_ppm") &&
+      rep2("vocab_novelty_ppm") >= 0L && rep2("vocab_novelty_ppm") <= 1000000L,
+      s"second intake run must carry the x96 novelty keys: $rep2")
     assert(java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(state, "runs.jsonl")).size == 2,
       "runs.jsonl must carry one history line per run")
