@@ -77,22 +77,44 @@ object Bpe {
     merges.foldLeft(sym)((c, m) =>
       replace(c, lit("|" + m.l + "||" + m.r + "|"), lit("|" + m.l + m.r + "|")))
 
+  /** Target vocab rows per task for the training rounds. The rounds
+    * are SEQUENTIAL small jobs, so per-round scheduling cost scales
+    * with task count, not data: at bench scale a 60k-word state over
+    * 32 shuffle partitions spent more on task dispatch than on pair
+    * counting (X88AB: 32-partition floor 1.31 s vs single-partition
+    * 0.73 s, identical merges). Training coalesces the persisted
+    * state to ~this many words per task (clamped to
+    * [1, spark.sql.shuffle.partitions]), which keeps bench-scale
+    * states on a few tasks and a web-scale vocabulary (~100M words)
+    * on full parallelism. */
+  val trainWordsPerTask: Long = 500000L
+
   /** Learn up to `merges` BPE merges from a word-frequency state.
     * Each round: apply merges-so-far (nested replace projection over
     * the persisted vocab table), fan out adjacent symbol pairs
     * weighted by word frequency, hash-agg, top-1 by
     * (count DESC, l ASC, r ASC) as a bounded heap. Stops early when no
     * adjacent pair remains (every word fully merged). k driver-held
-    * rows total; the vocab table is persisted across the rounds and
-    * released on exit. */
+    * rows total; the vocab table is persisted across the rounds —
+    * coalesced to the [[trainWordsPerTask]] layout — and released on
+    * exit. */
   def train(words: DataFrame, merges: Int): Seq[Merge] = {
     require(merges >= 1, s"Bpe.train: merges must be >= 1, got $merges")
     // respect a caller-managed persist (RunTokenizer shares one cache
     // between training and the fit audit): only own the lifecycle of
-    // a cache this call itself created
+    // caches this call itself created
     val callerPersisted =
       words.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val base = if (callerPersisted) words else words.persist()
+    val wide = if (callerPersisted) words else words.persist()
+    val vocabRows = wide.count() // also materializes the cache
+    val maxTasks = words.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toLong
+    val target = math.max(1L,
+      math.min(vocabRows / trainWordsPerTask + 1L, maxTasks)).toInt
+    // round 1 materializes the narrow copy straight from the wide
+    // cache; the wide copy is freed only after training so the narrow
+    // one never falls back to recomputing the corpus lineage
+    val base = wide.coalesce(target).persist()
     try {
       val found = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var exhausted = false
@@ -114,7 +136,10 @@ object Bpe {
           top.head.getString(0), top.head.getString(1), top.head.getLong(2))
       }
       found.toSeq
-    } finally if (!callerPersisted) base.unpersist(blocking = false)
+    } finally {
+      base.unpersist(blocking = false)
+      if (!callerPersisted) wide.unpersist(blocking = false)
+    }
   }
 
   /** The learned merge table as a DataFrame artifact:
