@@ -4600,7 +4600,59 @@ object Catalog {
                 CAST(coalesce(sum(CASE WHEN NOT seen THEN freq END), 0)
                   AS BIGINT)
                   * 1000000 // CAST(sum(freq) AS BIGINT) AS word_novelty_ppm
-              FROM j"""))
+              FROM j""")),
+
+    QueryDef("x97_lm_score",
+      // the CCNet perplexity filter in exact algebra: per-doc negative
+      // log-likelihood under the corpus's OWN hashed bag-of-ngrams
+      // model (x77 state machinery) — low mean = templated text, high
+      // = unseen noise, keep the middle band. Per-bucket nll rounded
+      // ONCE to Long micro-nats; per-doc scores are exact integer
+      // sums; the only corpus-sized shuffle is the per-doc hash agg
+      (s, d) => {
+        val docs = documents(s, d)
+        val st = Sampling.dsirState(docs, "text", buckets = 1024,
+          salt = "dsir")
+        Sampling.lmScores(docs, Sampling.lmModelFromState(st, 1024),
+            "doc_id", "text", buckets = 1024, salt = "dsir")
+          .select("doc_id", "lang", "source", "nll_unats", "n_feats",
+            "mean_nll_unats")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang, source,
+                  coalesce(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> ''), CAST([] AS VARCHAR[])) AS toks
+                FROM documents),
+              f AS (
+                SELECT doc_id, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM t),
+              fb AS (
+                SELECT doc_id,
+                  CAST('0x' || substring(md5('dsir:' || feat), 1, 15) AS BIGINT)
+                    % 1024 AS bucket
+                FROM f),
+              rf AS (SELECT bucket, count(*) AS c FROM fb GROUP BY 1),
+              tot AS (SELECT coalesce(sum(c), 0) AS tt FROM rf),
+              model AS (
+                SELECT bucket,
+                  CAST(round(1000000.0 * (ln(tt + 1024) - ln(c + 1)))
+                    AS BIGINT) AS nll
+                FROM rf CROSS JOIN tot),
+              sc AS (
+                SELECT fb.doc_id, CAST(sum(m.nll) AS BIGINT) AS s,
+                  count(*) AS nf
+                FROM fb JOIN model m USING (bucket) GROUP BY 1)
+              SELECT d.doc_id, d.lang, d.source,
+                coalesce(s, 0) AS nll_unats,
+                coalesce(nf, 0) AS n_feats,
+                CASE WHEN coalesce(nf, 0) = 0 THEN NULL
+                  ELSE coalesce(s, 0) // nf END AS mean_nll_unats
+              FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              ORDER BY d.doc_id"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -787,6 +787,58 @@ object Sampling {
       .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
   }
 
+  /** LM FLUENCY MODEL from a single count state — the CCNet-style
+    * perplexity filter (Wenzek et al. 2020) in the engine's exact
+    * algebra: where DSIR scores the RATIO toward a target corpus,
+    * this scores absolute (negative) log-likelihood under one
+    * corpus's own hashed bag-of-ngrams model. Per-bucket
+    * `nll_unats` = round(1e6 · (ln(total + buckets) − ln(count + 1)))
+    * — add-one smoothing, POSITIVE (a negated log-prob), rounded ONCE
+    * to a Long so per-doc scores are exact integer sums. The model is
+    * full-domain (`buckets` rows: unseen features score the smoothing
+    * ceiling, never drop) and model-sized. */
+  def lmModelFromState(state: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = state.sparkSession
+    val domain = spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val total = state.agg(coalesce(sum(col("n")), lit(0L)).as("__t"))
+    domain
+      .join(state.select(col("bucket"), col("n").as("__c")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        round(lit(1e6) * (log(col("__t") + buckets.toDouble) -
+            log(coalesce(col("__c"), lit(0L)) + 1.0)), 0)
+          .cast("long").as("nll_unats"))
+  }
+
+  /** Score documents under an [[lmModelFromState]] model: per-doc
+    * total and per-feature mean negative log-likelihood in integer
+    * micro-nats. The CCNet decision reads `mean_nll_unats`: LOW =
+    * repetitive/templated text (the model predicts it too well), HIGH
+    * = noise the model has never seen; a quality pipeline keeps the
+    * middle band. One batch fan-out scan + a broadcast model join +
+    * one per-doc hash agg; zero-feature docs keep zero totals and a
+    * null mean. Scored against the corpus's OWN state (from
+    * `RunIntake`'s `dsir_state/` or [[dsirState]] directly) this is a
+    * self-perplexity audit; against another corpus's state it is a
+    * domain-fit score. */
+  def lmScores(batch: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024,
+      salt: String = "dsir"): DataFrame = {
+    val fb = batch.select(col(idCol),
+      explode(hashedNgramBuckets(col(textCol), buckets, salt)).as("bucket"))
+    val sc = fb.join(broadcast(model), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(sum(col("nll_unats")).as("nll_unats"),
+        count(lit(1)).as("n_feats"))
+    batch.join(sc, Seq(idCol), "left")
+      .withColumn("nll_unats", coalesce(col("nll_unats"), lit(0L)))
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .withColumn("mean_nll_unats", expr("nll_unats DIV n_feats"))
+  }
+
   /** DSIR selection: sample `k` documents from `raw` WITHOUT
     * replacement, with probability proportional to the exponentiated
     * importance score, via the Gumbel-top-k trick — `key = score +

@@ -1024,6 +1024,30 @@ class OperatorsSpec extends SparkSpec {
     (6L, "el perro duerme sobre la alfombra en casa", "es"),
     (7L, "", "en"))
 
+  test("lmScores: templated text reads a lower mean nll than rare text; " +
+      "empty doc keeps zero totals and a null mean") {
+    val rows = (1L to 20L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((21L, "zq xv qj wk"), (22L, ""))
+    val df = rows.toDF("doc_id", "text")
+    val st = Sampling.dsirState(df, "text", buckets = 256, salt = "t")
+    val out = Sampling.lmScores(df, Sampling.lmModelFromState(st, 256),
+        "doc_id", "text", buckets = 256, salt = "t")
+      .orderBy("doc_id").collect()
+    def m(i: Int) = out(i).getAs[Long]("mean_nll_unats")
+    assert(m(0) < m(20),
+      s"the 20x-repeated doc must be more predictable: ${m(0)} vs ${m(20)}")
+    val empty = out(21)
+    assert(empty.getAs[Long]("nll_unats") == 0L &&
+      empty.getAs[Long]("n_feats") == 0L &&
+      empty.isNullAt(empty.fieldIndex("mean_nll_unats")))
+    // exact integers: partition layout cannot move a single micro-nat
+    val re = Sampling.lmScores(df.repartition(7),
+        Sampling.lmModelFromState(st, 256), "doc_id", "text", 256, "t")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("nll_unats")).toSeq ===
+      re.map(_.getAs[Long]("nll_unats")).toSeq)
+  }
+
   test("dsirScores: target-like docs outscore the rest; exact integer " +
       "scores are partition-invariant; empty text scores 0") {
     val raw = dsirCorpus.toDF("doc_id", "text", "lang")
