@@ -28,7 +28,12 @@ import graft.operators.{Bpe, Compaction, Curate, Dedup, Sampling, TextAnalysis}
   *
   * Usage: runMain graft.pipeline.RunIntake [batchDir] [stateDir]
   *          [--threshold T] [--scrub-pii] [--eval PATH] [--semantic]
-  *          [--span N]
+  *          [--span N] [--lm-model PATH --lm-band lo:hi]
+  * `--lm-model`/`--lm-band` pre-filter each batch to the x97 fluency
+  * band (mean nll micro-nats) against a FROZEN model artifact
+  * ([[graft.operators.Sampling.lmModelFromState]] written to parquet)
+  * — frozen so acceptance is arrival-order independent and the
+  * sequential == one-shot contract holds over the gated corpus.
   * Defaults: /root/testdata/sf0.001 -> /tmp/graft_intake.
   * `batchDir` must contain `documents.parquet` (TESTDATA.md shape);
   * with `--semantic` it must also contain `embeddings.parquet`, whose
@@ -71,6 +76,11 @@ import graft.operators.{Bpe, Compaction, Curate, Dedup, Sampling, TextAnalysis}
   *                                   .train]]) runs vocab-sized from
   *                                   state, never re-scanning the
   *                                   corpus; grown == one-shot exactly
+  *  schema.json                      the batch schema PINNED by the
+  *                                   first run — later batches must
+  *                                   match exactly (fail-fast gate; an
+  *                                   intentional schema change is a
+  *                                   re-curation, not an intake)
   *  runs.jsonl                       one JSON line per run (history)
   */
 object RunIntake {
@@ -87,6 +97,8 @@ object RunIntake {
     var evalPath: Option[String] = None
     var semantic = false
     var span: Option[Int] = None
+    var lmModelPath: Option[String] = None
+    var lmBand: Option[(Long, Long)] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -102,6 +114,14 @@ object RunIntake {
         case "--span" =>
           require(i + 1 < args.length, "--span needs a token width")
           span = Some(args(i + 1).toInt); i += 1
+        case "--lm-model" =>
+          require(i + 1 < args.length, "--lm-model needs a parquet path")
+          lmModelPath = Some(args(i + 1)); i += 1
+        case "--lm-band" =>
+          require(i + 1 < args.length,
+            "--lm-band needs lo:hi (mean nll micro-nats)")
+          val Array(lo, hi) = args(i + 1).split(":", 2)
+          lmBand = Some((lo.toLong, hi.toLong)); i += 1
         case other => positional += other
       }
       i += 1
@@ -127,10 +147,14 @@ object RunIntake {
           .select(org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.col("embedding")))
       else None
+    require(lmModelPath.isEmpty == lmBand.isEmpty,
+      "--lm-model and --lm-band come together (the x97 fluency gate)")
     run(spark, batch, stateDir,
       Curate.Config(scrubPii = scrubPii, jaccardThreshold = threshold,
         keep = Seq("source")), eval, vectors.map((_, "vec_id", "embedding")),
-      span)
+      span,
+      lmGate = lmModelPath.map(p =>
+        (spark.read.parquet(p), lmBand.get._1, lmBand.get._2)))
     spark.stop()
   }
 
@@ -147,16 +171,50 @@ object RunIntake {
       cfg: Curate.Config = Curate.Config(keep = Seq("source")),
       eval: Option[(DataFrame, String, String)] = None,
       vectors: Option[(DataFrame, String, String)] = None,
-      span: Option[Int] = None)
+      span: Option[Int] = None,
+      lmGate: Option[(DataFrame, Long, Long)] = None)
       : Seq[(String, Long)] = {
     require(vectors.isEmpty || span.isEmpty,
       "--semantic and --span are separate tier chains; combine by " +
         "running the semantic intake and span-stripping its sink")
+    // SCHEMA GATE: the first run PINS the batch schema (schema.json in
+    // the stateDir); every later batch must match it exactly — a
+    // renamed/retyped/dropped upstream column fails HERE with a diff,
+    // not three stages in as a missing-column error or, worse, as
+    // silently divergent rows in accepted/. An intentional schema
+    // change is a re-curation (new stateDir), not an intake.
+    val pinned = java.nio.file.Paths.get(stateDir, "schema.json")
+    val batchSchema = batch.schema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}:${f.nullable}")
+      .sorted.mkString("\n")
+    if (java.nio.file.Files.exists(pinned)) {
+      val want = java.nio.file.Files.readString(pinned)
+      require(want == batchSchema,
+        "intake schema gate: batch schema differs from the pinned " +
+          s"first-run schema.\npinned:\n$want\nbatch:\n$batchSchema")
+    } else {
+      new java.io.File(stateDir).mkdirs()
+      java.nio.file.Files.writeString(pinned, batchSchema)
+    }
     val t0 = System.nanoTime()
+    // optional LM fluency gate (the x97 CCNet band) applied as a
+    // PRE-FILTER against a FROZEN model artifact — frozen so the
+    // decision for a given doc is arrival-order independent, which is
+    // what keeps the journey's sequential == one-shot contract: the
+    // one-shot equivalent is Curate.curate over the same-gated corpus.
+    // (Gating against the GROWING state would make acceptance depend
+    // on batch order — deliberately not offered.)
+    val gated = lmGate match {
+      case Some((model, lo, hi)) =>
+        Sampling.lmScores(batch, model, "doc_id", "text")
+          .where(col("mean_nll_unats").between(lo, hi))
+          .drop("nll_unats", "n_feats", "mean_nll_unats")
+      case None => batch
+    }
     val (report, lease) = Dedup.scoped {
       val accepted = (vectors, span) match {
         case (Some((vecs, vecIdCol, vecCol)), _) =>
-          Curate.intakeStepWithSemantic(spark, batch, "doc_id", "text",
+          Curate.intakeStepWithSemantic(spark, gated, "doc_id", "text",
             s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy",
             s"$stateDir/indexes/semantic", vecs, vecIdCol, vecCol,
             cfg = cfg, eval = eval)
@@ -165,11 +223,11 @@ object RunIntake {
           // the growing span state at indexes/span/ (use --span from
           // the stateDir's first run — it adds the n_removed column
           // to the accepted/ schema)
-          Curate.intakeStepWithSpan(spark, batch, "doc_id", "text",
+          Curate.intakeStepWithSpan(spark, gated, "doc_id", "text",
             s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy",
             s"$stateDir/indexes/span", spanN = n, cfg = cfg, eval = eval)
         case (None, None) =>
-          Curate.intakeStep(spark, batch, "doc_id", "text",
+          Curate.intakeStep(spark, gated, "doc_id", "text",
             s"$stateDir/indexes/exact", s"$stateDir/indexes/fuzzy", cfg, eval)
       }
       // one funnel execution feeds BOTH the sink append and the profile
@@ -254,7 +312,10 @@ object RunIntake {
       accepted.unpersist(false)
       val nAccepted = spark.read.parquet(s"$stateDir/accepted").count()
       val nIn = batch.count()
-      Seq("input" -> nIn, "accepted_total" -> nAccepted) ++ novelty ++
+      val lmKept =
+        if (lmGate.isDefined) Seq("lm_kept" -> gated.count()) else Nil
+      Seq("input" -> nIn) ++ lmKept ++
+        Seq("accepted_total" -> nAccepted) ++ novelty ++
         Seq("millis" -> (System.nanoTime() - t0) / 1000000L)
     }
     lease.release()

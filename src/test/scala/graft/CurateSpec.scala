@@ -494,6 +494,75 @@ class CurateSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("RunIntake schema gate: the first run pins the batch schema; a drifted batch fails fast") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_schema_gate").toString
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") < 100), state, cfg)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(state, "schema.json")))
+    // renamed column -> fail fast with the diff, nothing mutated
+    val before = spark.read.parquet(s"$state/accepted").count()
+    val drifted = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
+      .withColumnRenamed("source", "origin")
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.RunIntake.run(spark, drifted, state, cfg))
+    assert(e.getMessage.contains("schema gate"))
+    assert(spark.read.parquet(s"$state/accepted").count() == before,
+      "a gated-out batch must leave the sink untouched")
+    // a conforming batch still flows
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 150), state, cfg)
+    assert(spark.read.parquet(s"$state/accepted").count() >= before)
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
+  test("RunIntake --lm-model: frozen-model fluency gate keeps sequential == one-shot on the gated corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    // freeze a model from the full corpus state (any snapshot works —
+    // what matters is every batch gates against the SAME artifact)
+    val model = graft.operators.Sampling.lmModelFromState(
+      graft.operators.Sampling.dsirState(docs, "text"), 1024)
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft_lm_model").toString + "/model"
+    model.write.parquet(modelPath)
+    val frozen = spark.read.parquet(modelPath)
+    // pick an interior band so the gate actually cuts
+    val scored = graft.operators.Sampling.lmScores(docs, frozen,
+      "doc_id", "text")
+    val (lo, hi) = {
+      val t = scored.select(col("mean_nll_unats").cast("double").as("v"))
+        .stat.approxQuantile("v", Array(0.25, 0.75), 0.0)
+      (math.ceil(t(0)).toLong, math.floor(t(1)).toLong)
+    }
+    val gate = Some((frozen, lo, hi))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_lm_gate").toString
+    val r1 = graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") < 250), state, cfg, lmGate = gate).toMap
+    graft.pipeline.RunIntake.run(spark,
+      docs.where(col("doc_id") >= 250), state, cfg, lmGate = gate)
+    assert(r1("lm_kept") < r1("input"), s"band must cut something: $r1")
+    val accepted = spark.read.parquet(s"$state/accepted")
+    val gatedCorpus = docs.join(
+      scored.where(col("mean_nll_unats").between(lo, hi)).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val oneShot = Curate.curate(gatedCorpus, "doc_id", "text", cfg)
+    assert(accepted.count() == oneShot.count() &&
+      accepted.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(accepted).count() == 0,
+      "gated sequential intake must equal one-shot curation of the " +
+        "gated corpus")
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("intakeStepWithSpan: sequential four-tier intake == one-shot funnel + one-shot span strip") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
