@@ -4652,7 +4652,51 @@ object Catalog {
                 CASE WHEN coalesce(nf, 0) = 0 THEN NULL
                   ELSE coalesce(s, 0) // nf END AS mean_nll_unats
               FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    QueryDef("x98_outlier_fences",
+      // per-group IQR outlier audit (the Tukey fences): exact
+      // interpolated quartiles (the x45-validated percentile parity)
+      // → fence arithmetic in the SAME operation order both sides →
+      // outlier counts against the RAW fences; fences emitted rounded.
+      // The fence frame is group-count-sized (AQE broadcasts it)
+      (s, d) => {
+        val o = orders(s, d)
+        val q = o.groupBy("o_orderpriority").agg(
+            percentile(col("o_totalprice"), lit(0.25)).as("__q1"),
+            percentile(col("o_totalprice"), lit(0.75)).as("__q3"))
+          .select(col("o_orderpriority"),
+            (col("__q1") - (col("__q3") - col("__q1")) * lit(1.5)).as("__lo"),
+            (col("__q3") + (col("__q3") - col("__q1")) * lit(1.5)).as("__hi"))
+        o.join(q, Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < col("__lo"), 1L).otherwise(0L))
+              .as("n_low"),
+            sum(when(col("o_totalprice") > col("__hi"), 1L).otherwise(0L))
+              .as("n_high"),
+            round(first(col("__lo")), 4).as("lo_fence"),
+            round(first(col("__hi")), 4).as("hi_fence"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (
+                SELECT o_orderpriority,
+                  quantile_cont(o_totalprice, 0.25) AS q1,
+                  quantile_cont(o_totalprice, 0.75) AS q3
+                FROM orders GROUP BY 1),
+              f AS (
+                SELECT o_orderpriority,
+                  q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+                FROM q)
+              SELECT o.o_orderpriority, count(*) AS n,
+                CAST(sum(CASE WHEN o.o_totalprice < lo THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_low,
+                CAST(sum(CASE WHEN o.o_totalprice > hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high,
+                round(any_value(lo), 4) AS lo_fence,
+                round(any_value(hi), 4) AS hi_fence
+              FROM orders o JOIN f USING (o_orderpriority)
+              GROUP BY 1 ORDER BY 1"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -223,6 +223,19 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bpe: training and fit stats are pure functions of the data (any partitioning)") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(200)
+    val a = Bpe.train(Bpe.wordState(docs, "text"), merges = 6)
+    val b = Bpe.train(Bpe.wordState(docs.repartition(13), "text"), merges = 6)
+    assert(a === b, "merge table must not depend on partition layout")
+    val sa = Bpe.segmentStats(Bpe.wordState(docs, "text"), a)
+      .collect().map(_.toSeq).toSeq
+    val sb = Bpe.segmentStats(Bpe.wordState(docs.repartition(7), "text"), b)
+      .collect().map(_.toSeq).toSeq
+    assert(sa === sb, "fit stats must not depend on partition layout")
+  }
+
   test("jaccardFromIntersect stays in [0,1] and is 1 for identical sets") {
     val gen = Gen.listOf(Gen.choose(0, 20))
     samples(Gen.zip(gen, gen), 20).foreach { case (a, b) =>
