@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfAnn, Sampling, TextAnalysis}
+import graft.operators.{Dedup, IvfAnn, Sampling, SkewJoin, TableProfile, TextAnalysis}
 
 /** The CORPUS-HEALTH AUDIT journey — one spark-submit that runs the
   * monitor suite over a corpus and leaves a review-ready audit
@@ -36,6 +36,13 @@ import graft.operators.{Dedup, IvfAnn, Sampling, TextAnalysis}
   *   minhash_accuracy/   estimated-vs-exact Jaccard on the tier's own
   *                       candidates (x63)
   *   banding_recall/     the LSH S-curve on a bounded sample (x64)
+  *   table_profile/      ANALYZE statistics of the corpus table (x93
+  *                       `TableProfile.profile`: nulls/NDV/bounds)
+  *   heavy_sources/      source-key skew preflight (x92
+  *                       `SkewJoin.heavyKeys`)
+  *   fluency_bands/      doc counts per mean-nll quartile under the
+  *                       corpus's own dsir/ snapshot model (x97) —
+  *                       plus a fluency_docs_by_band report key
   *   ivf_cells/          IVF cell-balance profile (x61)
   *   ann_recall/         IVF recall@k vs brute force on a bounded
   *                       query sample (x62)
@@ -145,6 +152,28 @@ object RunAudit {
           spark.read.parquet(s"$p/dsir"), RunIntake.dsirStateBuckets),
         "content_drift")
     }
+    // 1d. table statistics, source-key skew, and the fluency profile —
+    // all audit-cheap: the ANALYZE pass is one scan (x93), heavy
+    // sources one hash agg over a 1-column projection (x92), and the
+    // fluency profile scores the corpus against the dsir snapshot just
+    // written (x97 — the model is state-sized, no second featurize of
+    // anything but the docs' own fan-out) then bands mean-nll into
+    // quartiles (sketch thresholds, no sort)
+    save(TableProfile.profile(docs,
+      Seq("doc_id", "lang", "source", "n_chars")), "table_profile")
+    save(SkewJoin.heavyKeys(docs.select("source"), "source", k = 20),
+      "heavy_sources")
+    val fluency = save(
+      Sampling.quantileBuckets(
+        Sampling.lmScores(docs,
+            Sampling.lmModelFromState(dsirNow, RunIntake.dsirStateBuckets),
+            "doc_id", "text", buckets = RunIntake.dsirStateBuckets,
+            salt = "dsir")
+          .where(col("n_feats") > 0)
+          .select(col("doc_id"), col("mean_nll_unats")),
+        "mean_nll_unats", buckets = 4)
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs")),
+      "fluency_bands")
     // 2. the fuzzy tier's pair relation once, three views of it
     val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 64, bands = 16, threshold = 0.5)
@@ -231,7 +260,11 @@ object RunAudit {
         coalesce(sum("n_families"), lit(0L))).head().getLong(0).toString,
       "largest_family" -> largestFamily.toString,
       "minhash_worst_abs_err_ppm" -> worstErr.toString,
-      "banding_catch_by_band" -> bandSummary) ++ vecSummary ++
+      "banding_catch_by_band" -> bandSummary,
+      "fluency_docs_by_band" -> fluency.collect()
+        .sortBy(_.getAs[Int]("bucket"))
+        .map(r => s""""${r.getAs[Int]("bucket")}":${r.getAs[Long]("n_docs")}""")
+        .mkString("{", ",", "}")) ++ vecSummary ++
       driftSummary ++ contentSummary ++ Seq(
       "millis" -> ((System.nanoTime() - t0) / 1000000L).toString)
     // values are already JSON-ready: numbers bare, the band map an

@@ -317,6 +317,7 @@ class CurateSpec extends SparkSpec {
     assert(rep("n_docs").toLong == docs.count())
     Seq("profile", "hist", "dsir", "dup_matrix", "family_sizes",
         "minhash_accuracy", "banding_recall",
+        "table_profile", "heavy_sources", "fluency_bands",
         "ivf_cells", "ann_recall").foreach { d =>
       assert(spark.read.parquet(s"$out/$d").count() > 0,
         s"audit table $d must exist and be non-empty")
