@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Catalog
+
+/** Empirical scaling evidence: run one representative query per
+  * operator family at sf0.01 and sf0.1 (10× the rows) in ONE session
+  * and report the wall-time ratio at the min-of-N floor. A family
+  * whose ratio is ≲ 10 scales at-worst-linearly through this range —
+  * the measured counterpart to SCALE.md's plan-shape arguments. Ratios
+  * well under 10 mean the sf0.01 number is fixed-cost dominated
+  * (scheduling, codegen, small-job floors), i.e. the engine has
+  * headroom before data cost even shows; ratios ABOVE ~10 are the red
+  * flag this tool exists to catch (a super-linear shuffle or a
+  * quadratic tail).
+  *
+  *   sbt "Test/runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = 3
+    // one per family: scan-agg, broadcast star join, MinHash+LSH,
+    // brute ANN, map-only scoring, chunk dedup, span dedup, BPE train,
+    // packing, LM score
+    val picks = Seq("q19_agg_pricing", "q20_star_join", "x03_minhash_lsh",
+      "x06_knn_cosine", "x10_quality", "x44_chunk_dedup",
+      "x82_substring_dedup", "x88_bpe_train", "x30_sequence_packing",
+      "x97_lm_score")
+    def floor(name: String, d: String): Double = {
+      val q = Catalog.entries.find(_.name == name).get
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        q.build(spark, d).count()
+        graft.operators.Dedup.releaseCheckpoints()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    spark.read.parquet("/root/testdata/sf0.01/region.parquet").count()
+    Console.err.println(f"[scale] ${"query"}%-24s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"ratio"}%6s  (rows x10)")
+    picks.foreach { n =>
+      val a = floor(n, "/root/testdata/sf0.01")
+      val b = floor(n, "/root/testdata/sf0.1")
+      Console.err.println(f"[scale] $n%-24s $a%8.3f $b%8.3f ${b / a}%6.2f")
+    }
+    spark.stop()
+  }
+}
