@@ -4696,7 +4696,28 @@ object Catalog {
                 round(any_value(lo), 4) AS lo_fence,
                 round(any_value(hi), 4) AS hi_fence
               FROM orders o JOIN f USING (o_orderpriority)
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("x99_join_size",
+      // join-size preflight on the self-join every engine fears: the
+      // exact output cardinality lineitem ⋈ lineitem on l_partkey
+      // WOULD produce (Σ c², quadratic per key), from two key hash
+      // aggs and a key-count-sized join — the actual join never runs.
+      // max_key says whether one hot key owns the blow-up (salt it)
+      (s, d) => SkewJoin.joinSizeEstimate(
+        lineitem(s, d).select("l_partkey"),
+        lineitem(s, d).select("l_partkey"), "l_partkey"),
+      Some("""WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem
+                         GROUP BY 1),
+              j AS (SELECT a.l_partkey AS k,
+                      CAST(a.c AS BIGINT) * b.c AS rows_
+                    FROM c a JOIN c b ON a.l_partkey = b.l_partkey)
+              SELECT CAST(coalesce(sum(rows_), 0) AS BIGINT) AS join_rows,
+                count(*) AS matched_keys,
+                CAST(coalesce(max(rows_), 0) AS BIGINT) AS max_key_rows,
+                (SELECT k FROM j ORDER BY rows_ DESC, k DESC LIMIT 1)
+                  AS max_key
+              FROM j"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -48,6 +48,32 @@ object SkewJoin {
     * only. The key space never sorts globally and nothing returns to
     * the driver. All integers exact; ties break by key ascending.
     * Output: (rank, <key>, c, share_ppm, skew_ppm). */
+  /** JOIN-SIZE PREFLIGHT: the exact output cardinality an inner
+    * equi-join WOULD produce — Σ over matched keys of
+    * count_left(k) · count_right(k) — plus the heaviest contributing
+    * key, computed from two key hash aggs and a key-count-sized join
+    * (never the join itself). The number a pipeline checks before
+    * committing a cluster to a join that might be 10⁶× its inputs
+    * (the classic silent-cartesian-by-hot-key accident); the
+    * `max_key_rows` / `max_key` columns say whether one key owns the
+    * blow-up (→ salt it, [[saltedInnerJoin]]) or the join is just
+    * big. Output 1 row: (join_rows, matched_keys, max_key_rows,
+    * max_key). Empty/no-overlap inputs read zeros and a null key. */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    val l = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__cl"))
+    val r = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__cr"))
+    l.join(r, Seq(keyCol))
+      .select(col(keyCol), (col("__cl") * col("__cr")).as("__rows"))
+      .agg(
+        coalesce(sum(col("__rows")), lit(0L)).as("join_rows"),
+        count(lit(1)).as("matched_keys"),
+        coalesce(max(col("__rows")), lit(0L)).as("max_key_rows"),
+        // deterministic even under contribution ties: (rows, key) max
+        max(struct(col("__rows").as("r"), col(keyCol).as("k")))
+          .getField("k").as("max_key"))
+  }
+
   def heavyKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"heavyKeys: k must be >= 1, got $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))

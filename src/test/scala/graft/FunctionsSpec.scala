@@ -288,6 +288,24 @@ class FunctionsSpec extends SparkSpec {
     assert(approx.count() == 2)
   }
 
+  test("joinSizeEstimate: exact product-sum cardinality and the owning key") {
+    import graft.operators.SkewJoin
+    // left: a x3, b x1, c x2; right: a x2, b x4, d x1
+    // matched: a -> 6, b -> 4; join_rows 10; max key a (6)
+    val l = (Seq.fill(3)("a") ++ Seq("b") ++ Seq.fill(2)("c")).toDF("k")
+    val r = (Seq.fill(2)("a") ++ Seq.fill(4)("b") :+ "d").toDF("k")
+    val got = SkewJoin.joinSizeEstimate(l, r, "k").head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getString(3)) === (10L, 2L, 6L, "a"))
+    assert(got.getLong(0) === l.join(r, Seq("k")).count(),
+      "the estimate IS the exact join cardinality")
+    // disjoint keys: zeros and a null owner
+    val none = SkewJoin.joinSizeEstimate(l,
+      Seq("z").toDF("k"), "k").head
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L &&
+      none.isNullAt(3))
+  }
+
   test("heavyKeys: exact shares, uniform-relative skew, deterministic ties") {
     // keys: a×6, b×2, c×1, d×1 -> total 10, 4 distinct keys
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
