@@ -4717,7 +4717,104 @@ object Catalog {
                 CAST(coalesce(max(rows_), 0) AS BIGINT) AS max_key_rows,
                 (SELECT k FROM j ORDER BY rows_ DESC, k DESC LIMIT 1)
                   AS max_key
-              FROM j"""))
+              FROM j""")),
+
+    QueryDef("q41_shipping_priority",
+      // TPC-H Q3 shape (shipping priority): selective dims filtered
+      // BEFORE the fact joins (pushdown), revenue as the exact
+      // DECIMAL money sum, top-10 as a bounded heap. o_orderpriority
+      // stands in for the schema's missing o_shippriority
+      (s, d) => customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .join(orders(s, d)
+            .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d)
+            .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                o_orderpriority
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING'
+                AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND l_shipdate > TIMESTAMP '1998-01-01'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    QueryDef("q42_local_supplier_volume",
+      // TPC-H Q5 shape (local supplier volume): the 6-way star —
+      // customer and supplier must share a nation, region filters the
+      // nation side; every dimension broadcasts, the two fact tables
+      // join on their keys
+      (s, d) => customer(s, d)
+        .join(orders(s, d)
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(region(s, d).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some("""SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    QueryDef("q43_returned_items",
+      // TPC-H Q10 shape (returned-item reporting): quarter window,
+      // returnflag filter pushed into the fact scan, customer detail
+      // carried through the aggregate, top-20 as a bounded heap
+      (s, d) => customer(s, d)
+        .join(orders(s, d)
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          round(col("c_acctbal"), 4).as("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                round(c_acctbal, 4) AS c_acctbal, n_name
+              FROM customer, orders, lineitem, nation
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-04-01'
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -386,4 +386,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"key counting must be a hash agg with map-side combine:\n$plan")
   }
+
+  test("q42: the 6-way star broadcasts its dimensions; at most the fact-fact join shuffles") {
+    val plan = finalPlan(q("q42_local_supplier_volume")).toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"star join must stay equi-join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"dimensions must broadcast:\n$plan")
+    assert(plan.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"only lineitem-orders may shuffle:\n$plan")
+  }
 }
