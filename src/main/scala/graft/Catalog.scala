@@ -4814,7 +4814,38 @@ object Catalog {
                 AND o_orderdate >= TIMESTAMP '1996-01-01'
                 AND o_orderdate < TIMESTAMP '1996-04-01'
               GROUP BY c_custkey, c_name, c_acctbal, n_name
-              ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    QueryDef("q44_large_orders",
+      // TPC-H Q18 shape (large-quantity orders): the HAVING pattern —
+      // aggregate the fact, gate on the aggregate, semi-join the
+      // qualifying keys back before the dimension join; the qualifying
+      // set is tiny so everything after the first agg broadcasts
+      (s, d) => {
+        val big = lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .where(col("total_qty") > 300.0)
+        orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            round(col("o_totalprice"), 4).as("o_totalprice"),
+            col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      Some("""WITH big AS (
+                SELECT l_orderkey,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    AS total_qty
+                FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+              SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                round(o_totalprice, 4) AS o_totalprice, total_qty
+              FROM big JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              ORDER BY total_qty DESC, o_orderkey LIMIT 50"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old
