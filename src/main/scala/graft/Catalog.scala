@@ -4845,7 +4845,32 @@ object Catalog {
                 round(o_totalprice, 4) AS o_totalprice, total_qty
               FROM big JOIN orders ON o_orderkey = l_orderkey
               JOIN customer ON o_custkey = c_custkey
-              ORDER BY total_qty DESC, o_orderkey LIMIT 50"""))
+              ORDER BY total_qty DESC, o_orderkey LIMIT 50""")),
+
+    QueryDef("x100_image_dims",
+      // REAL no-codec image metadata: payloads carry genuine PNG IHDR
+      // / GIF screen-descriptor headers with id-derived dimensions;
+      // the engine PARSES width/height back from the bytes (substring
+      // + hex + conv column algebra — endianness and offsets for
+      // real), the oracle replays the dims from the id algebra alone.
+      // parse(synthesize(dims)) == dims is the check
+      (s, d) => {
+        val packed = Multimodal.packFakeImages(
+          documents(s, d).where(col("doc_id") < 300), "doc_id")
+        packed.select(col("media_id"),
+            Multimodal.sniffFormat(col("media")).as("fmt"),
+            Multimodal.imageDims(col("media")).getField("width").as("width"),
+            Multimodal.imageDims(col("media")).getField("height").as("height"),
+            length(col("media")).cast("long").as("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS fmt,
+                doc_id % 1920 + 16 AS width,
+                (doc_id * 7) % 1080 + 16 AS height,
+                CASE WHEN doc_id % 2 = 0 THEN CAST(29 AS BIGINT)
+                  ELSE CAST(13 AS BIGINT) END AS n_bytes
+              FROM documents WHERE doc_id < 300 ORDER BY media_id"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -68,9 +68,56 @@ object Multimodal {
     val h = hex(substring(media, 1, 12))
     when(h.startsWith("89504E470D0A1A0A"), "png")
       .when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("474946383961") || h.startsWith("474946383761"), "gif")
       .when(h.startsWith("52494646") && substring(h, 17, 8) === "57415645", "wav")
       .when(substring(h, 9, 8) === "66747970", "mp4")
       .otherwise("unknown")
+  }
+
+  /** REAL image dimensions with NO codec: the width/height of PNG and
+    * GIF payloads live at fixed header offsets (PNG IHDR: two
+    * big-endian u32 at bytes 17/21; GIF logical screen descriptor:
+    * two little-endian u16 at bytes 7/9), so extraction is pure byte
+    * arithmetic — `substring` + `hex` + `conv`, all codegen'd column
+    * algebra, the same class as [[sniffFormat]]. This retires the
+    * codec stub for the metadata a layout/filter decision actually
+    * needs (aspect ratio, min-resolution gates, storage estimates);
+    * pixel DECODE remains the contract-accepted stub. Formats without
+    * fixed-offset dims (JPEG's SOF marker walk) and short payloads
+    * read null. Output: struct(width, height) or null. */
+  def imageDims(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def be(off: Int, len: Int) =
+      conv(hex(substring(media, off, len)), 16, 10).cast("long")
+    def le16(off: Int) =
+      conv(concat(hex(substring(media, off + 1, 1)),
+        hex(substring(media, off, 1))), 16, 10).cast("long")
+    val fmt = sniffFormat(media)
+    when(fmt === "png" && length(media) >= 24,
+        struct(be(17, 4).as("width"), be(21, 4).as("height")))
+      .when(fmt === "gif" && length(media) >= 10,
+        struct(le16(7).as("width"), le16(9).as("height")))
+      .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
+  }
+
+  /** Deterministic PNG/GIF payloads with REAL headers — width/height
+    * derived from the id and written into genuine IHDR / logical-
+    * screen-descriptor bytes, so [[imageDims]] exercises actual
+    * header parsing and an external oracle replays the dims from the
+    * same id algebra. Even ids pack PNG (big-endian), odd ids GIF
+    * (little-endian). */
+  def packFakeImages(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val w = (pmod(id, lit(1920L)) + 16L).cast("long")
+    val h = (pmod(id * 7L, lit(1080L)) + 16L).cast("long")
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+    val gifHex = concat(lit("474946383961"),
+      lpad(hex(w.bitwiseAND(255L)), 2, "0"), lpad(hex(shiftright(w, 8)), 2, "0"),
+      lpad(hex(h.bitwiseAND(255L)), 2, "0"), lpad(hex(shiftright(h, 8)), 2, "0"),
+      lit("F70000"))
+    df.select(id.as("media_id"),
+      unhex(when(pmod(id, lit(2L)) === 0L, pngHex).otherwise(gifHex))
+        .as("media"))
   }
 
   /** Byte-level integrity stats — see [[graft.functions.ByteStats]]:

@@ -629,6 +629,35 @@ class OperatorsSpec extends SparkSpec {
     assert(unk == 0)
   }
 
+  test("multimodal: imageDims parses real PNG/GIF headers byte-exactly; others null") {
+    // hand-built headers: width 260 (0x0104), height 3
+    val png = "89504E470D0A1A0A0000000D49484452" + "00000104" + "00000003" + "08"
+    val gif = "474946383961" + "0401" + "0300" + "F7"
+    val jpg = "FFD8FFE0ABCD"
+    val df = Seq((1L, png), (2L, gif), (3L, jpg), (4L, "89504E47"))
+      .toDF("id", "h")
+      .select(col("id"), unhex(col("h")).as("media"))
+      .select(col("id"), Multimodal.imageDims(col("media")).as("d"))
+      .orderBy("id").collect()
+    assert(df(0).getStruct(1).getLong(0) == 260L &&
+      df(0).getStruct(1).getLong(1) == 3L, "PNG big-endian IHDR")
+    assert(df(1).getStruct(1).getLong(0) == 260L &&
+      df(1).getStruct(1).getLong(1) == 3L, "GIF little-endian descriptor")
+    assert(df(2).isNullAt(1), "JPEG has no fixed-offset dims -> null")
+    assert(df(3).isNullAt(1), "truncated PNG -> null")
+    // the synth pack round-trips: parse(synthesize(dims)) == dims
+    val packed = Multimodal.packFakeImages(
+      Seq(10L, 11L, 1919L, 0L).toDF("doc_id"), "doc_id")
+    val rt = packed.select(col("media_id"),
+        Multimodal.imageDims(col("media")).as("d")).orderBy("media_id").collect()
+    rt.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getStruct(1).getLong(0) == id % 1920 + 16 &&
+        r.getStruct(1).getLong(1) == (id * 7) % 1080 + 16,
+        s"round-trip failed for id $id: ${r.getStruct(1)}")
+    }
+  }
+
   test("multimodal: byte stats are exact on known payloads") {
     import graft.functions.ByteStats
     val df = Seq((1L, Array[Byte](0, 0, 1, 2))).toDF("id", "b")
