@@ -4870,6 +4870,29 @@ object Catalog {
                 (doc_id * 7) % 1080 + 16 AS height,
                 CASE WHEN doc_id % 2 = 0 THEN CAST(29 AS BIGINT)
                   ELSE CAST(13 AS BIGINT) END AS n_bytes
+              FROM documents WHERE doc_id < 300 ORDER BY media_id""")),
+
+    QueryDef("x101_wav_info",
+      // the audio companion: genuine RIFF/WAVE headers with id-derived
+      // channels/rate/length; the engine parses them back from the
+      // little-endian bytes, duration as the exact integer
+      // data·1000 DIV byte_rate; the oracle replays the id algebra
+      (s, d) => {
+        val packed = Multimodal.packFakeWavs(
+          documents(s, d).where(col("doc_id") < 300), "doc_id")
+        val info = Multimodal.wavInfo(col("media"))
+        packed.select(col("media_id"),
+            info.getField("channels").as("channels"),
+            info.getField("sample_rate").as("sample_rate"),
+            info.getField("duration_ms").as("duration_ms"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                doc_id % 2 + 1 AS channels,
+                8000 + (doc_id % 5) * 8000 AS sample_rate,
+                ((doc_id % 1000) * 2 + 2) * 1000
+                  // ((8000 + (doc_id % 5) * 8000) * (doc_id % 2 + 1) * 2)
+                  AS duration_ms
               FROM documents WHERE doc_id < 300 ORDER BY media_id"""))
   )
 

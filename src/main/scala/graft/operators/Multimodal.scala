@@ -120,6 +120,48 @@ object Multimodal {
         .as("media"))
   }
 
+  /** REAL audio metadata with NO codec — the WAV companion to
+    * [[imageDims]]: a canonical RIFF/WAVE header carries channels
+    * (u16 LE @ 23), sample rate (u32 LE @ 25), byte rate (u32 LE @
+    * 29) and the data-chunk size (u32 LE @ 41), so channels/rate/
+    * duration are fixed-offset byte arithmetic. `duration_ms` is the
+    * exact integer `data_bytes · 1000 DIV byte_rate`. Non-WAV or
+    * truncated payloads read null. Output:
+    * struct(channels, sample_rate, duration_ms). */
+  def wavInfo(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def le(off: Int, len: Int) = {
+      val bytes = (0 until len).map(i => hex(substring(media, off + i, 1)))
+      conv(concat(bytes.reverse: _*), 16, 10).cast("long")
+    }
+    when(sniffFormat(media) === "wav" && length(media) >= 44,
+        struct(le(23, 2).as("channels"), le(25, 4).as("sample_rate"),
+          floor((le(41, 4) * 1000L).divide(le(29, 4))).cast("long")
+            .as("duration_ms")))
+      .otherwise(lit(null)
+        .cast("struct<channels:bigint,sample_rate:bigint,duration_ms:bigint>"))
+  }
+
+  /** Deterministic canonical-header WAV payloads — id-derived
+    * channels/rate/length written into genuine RIFF bytes, so
+    * [[wavInfo]] exercises real offset parsing and an oracle replays
+    * the numbers from the id algebra ([[packFakeImages]] pattern). */
+  def packFakeWavs(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val channels = (pmod(id, lit(2L)) + 1L).cast("long")
+    val rate = (lit(8000L) + pmod(id, lit(5L)) * 8000L).cast("long")
+    val byteRate = rate * channels * 2L
+    val dataLen = (pmod(id, lit(1000L)) * 2L + 2L).cast("long")
+    def le(v: org.apache.spark.sql.Column, len: Int) =
+      concat((0 until len).map(i =>
+        lpad(hex(shiftright(v, 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+    val hexStr = concat(
+      lit("52494646"), le(dataLen + 36L, 4), lit("57415645"),
+      lit("666D7420"), le(lit(16L), 4), le(lit(1L), 2), le(channels, 2),
+      le(rate, 4), le(byteRate, 4), le(channels * 2L, 2), le(lit(16L), 2),
+      lit("64617461"), le(dataLen, 4))
+    df.select(id.as("media_id"), unhex(hexStr).as("media"))
+  }
+
   /** Byte-level integrity stats — see [[graft.functions.ByteStats]]:
     * the no-codec corruption screen (truncated payloads, constant
     * filler, length mismatches vs declared dimensions). */

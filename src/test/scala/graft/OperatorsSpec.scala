@@ -658,6 +658,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
+    val packed = Multimodal.packFakeWavs(
+      Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
+    val rows = packed.select(col("media_id"),
+        Multimodal.wavInfo(col("media")).as("w")).orderBy("media_id").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val s = r.getStruct(1)
+      val rate = 8000L + (id % 5) * 8000L
+      val ch = id % 2 + 1
+      assert(s.getLong(0) == ch && s.getLong(1) == rate,
+        s"channels/rate for id $id: $s")
+      assert(s.getLong(2) ==
+        ((id % 1000) * 2 + 2) * 1000 / (rate * ch * 2),
+        s"duration for id $id: $s")
+    }
+    val nonWav = Seq((1L, "FFD8FFE0"))
+      .toDF("id", "h").select(Multimodal.wavInfo(unhex(col("h"))).as("w"))
+    assert(nonWav.head.isNullAt(0))
+  }
+
   test("multimodal: byte stats are exact on known payloads") {
     import graft.functions.ByteStats
     val df = Seq((1L, Array[Byte](0, 0, 1, 2))).toDF("id", "b")
