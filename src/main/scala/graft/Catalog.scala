@@ -4893,7 +4893,44 @@ object Catalog {
                 ((doc_id % 1000) * 2 + 2) * 1000
                   // ((8000 + (doc_id % 5) * 8000) * (doc_id % 2 + 1) * 2)
                   AS duration_ms
-              FROM documents WHERE doc_id < 300 ORDER BY media_id"""))
+              FROM documents WHERE doc_id < 300 ORDER BY media_id""")),
+
+    QueryDef("q45_promo_revenue",
+      // TPC-H Q14 shape (promotion effect): conditional aggregation
+      // over the part dimension join — both the promo slice and the
+      // total as DECIMAL-exact sums, the ratio formed once at the end
+      // in integer ppm (no double-ratio drift). One month window
+      (s, d) => {
+        val l = lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        l.join(part(s, d), col("l_partkey") === col("p_partkey"))
+          .agg(
+            dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+              .as("promo_revenue"),
+            dsum(rev).as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            floor(col("promo_revenue") * lit(1e6) / col("total_revenue"))
+              .cast("long").as("promo_ppm"))
+      },
+      Some("""SELECT
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  AS DOUBLE) AS promo_revenue,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+                CAST(floor(CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                    AS DOUBLE) * 1000000.0
+                  / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE)) AS BIGINT) AS promo_ppm
+              FROM lineitem, part
+              WHERE l_partkey = p_partkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-02-01'"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old
