@@ -40,6 +40,9 @@ import graft.operators.{Sampling, TextAnalysis}
   *          [--epoch N] [--epochs E] [--budget TOKENS] [--curriculum]
   *          [--targets src=ppm,... --target-budget TOKENS]
   *          [--accepted]
+  * `--manifest` additionally writes the x56 per-sequence fill audit
+  * to `manifest/`, computed from the read-back of the written stream
+  * (no second packing lineage).
   * `--accepted` treats `docsDir` as a [[RunIntake]] stateDir and
   * mixes its `accepted/` sink directly (pre-scored handoff — the
   * funnel's own n_tokens/quality, no re-tokenization; crash-replay
@@ -78,6 +81,7 @@ object RunMix {
     var epochs: Option[Seq[Int]] = None
     var curriculum = false
     var accepted = false
+    var manifest = false
     var budget = 256L
     var targets: Map[String, Long] = Map.empty
     var targetBudget: Option[Long] = None
@@ -96,6 +100,7 @@ object RunMix {
           budget = args(i + 1).toLong; i += 1
         case "--curriculum" => curriculum = true
         case "--accepted" => accepted = true
+        case "--manifest" => manifest = true
         case "--targets" =>
           require(i + 1 < args.length,
             "--targets needs src=ppm[,src=ppm...]")
@@ -141,7 +146,8 @@ object RunMix {
     // the x73 measured mixture — to express a real mixture policy
     run(spark, docs, outDir, epoch, budget, epochs = epochs,
       tokenTargets = targetBudget.map(b => (targets, b)),
-      curriculum = curriculum, preScored = accepted)
+      curriculum = curriculum, preScored = accepted,
+      manifest = manifest)
     spark.stop()
   }
 
@@ -189,7 +195,8 @@ object RunMix {
       preScored: Boolean = false,
       epochs: Option[Seq[Int]] = None,
       tokenTargets: Option[(Map[String, Long], Long)] = None,
-      curriculum: Boolean = false)
+      curriculum: Boolean = false,
+      manifest: Boolean = false)
       : Seq[(String, Long)] = {
     require(!curriculum || epochs.isEmpty,
       "curriculum packing is single-epoch (band order replaces the " +
@@ -327,6 +334,15 @@ object RunMix {
     // the lineage; counting from the output avoids a second funnel —
     // the RunCurate lesson)
     val out = spark.read.parquet(s"$outDir/packed")
+    // ship the x56 per-sequence manifest beside the stream when asked:
+    // computed from the READ-BACK (no second packing lineage), grouped
+    // per epoch when epochs were packed
+    if (manifest) {
+      Sampling.packingManifest(out, "n_tokens", budget,
+          groupCols = if (epochs.isDefined) Seq("epoch", "chunk")
+            else Seq("chunk"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest")
+    }
     val seqCols =
       if (epochs.isDefined) Seq(col("epoch"), col("chunk"), col("seq"))
       else Seq(col("chunk"), col("seq"))

@@ -198,6 +198,21 @@ class MixSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("RunMix --manifest: the fill audit lands beside the stream and conserves tokens") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = tmp("mix_manifest")
+    RunMix.run(spark, docs, out, epoch = 0, budget = 128, manifest = true)
+    val packed = spark.read.parquet(s"$out/packed")
+    val man = spark.read.parquet(s"$out/manifest")
+    assert(man.count() > 0)
+    val slotSum = man.agg(org.apache.spark.sql.functions.sum("tokens"))
+      .head.getLong(0)
+    val tokSum = packed.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head.getLong(0)
+    assert(slotSum == tokSum,
+      s"manifest slots ($slotSum) must conserve packed tokens ($tokSum)")
+  }
+
   test("RunCorpus holdout: leak-safe split persisted; mix packs only the train slice") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val out = tmp("holdout")
