@@ -4930,7 +4930,117 @@ object Catalog {
               FROM lineitem, part
               WHERE l_partkey = p_partkey
                 AND l_shipdate >= TIMESTAMP '1996-01-01'
-                AND l_shipdate < TIMESTAMP '1996-02-01'"""))
+                AND l_shipdate < TIMESTAMP '1996-02-01'""")),
+
+    QueryDef("x102_tier_agreement",
+      // cross-tier dedup consistency: do the exact tier (canonical
+      // fingerprint) and the fuzzy tier (x03 MinHash+LSH at 0.5)
+      // agree on what is a duplicate? One row: pair counts per tier,
+      // the overlap, each tier's exclusive catch, and the agreement
+      // as floored Jaccard ppm. On healthy text exact ⊆ fuzzy
+      // (identical docs share signatures), so exact_only > 0 is the
+      // alarm — a tier drifted. The oracle replays BOTH relations
+      (s, d) => {
+        val docs = documents(s, d)
+        val exactFp = docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("__fp"))
+        val exactPairs = exactFp.as("a").join(exactFp.as("b"),
+            col("a.__fp") === col("b.__fp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            lit(1L).as("__e"))
+        val fuzzyPairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+            shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
+        exactPairs.join(fuzzyPairs, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("__e")).as("n_exact"),
+            count(col("__f")).as("n_fuzzy"),
+            count(when(col("__e").isNotNull && col("__f").isNotNull, 1))
+              .as("n_both"))
+          .select(col("n_exact"), col("n_fuzzy"), col("n_both"),
+            (col("n_exact") - col("n_both")).as("exact_only"),
+            (col("n_fuzzy") - col("n_both")).as("fuzzy_only"),
+            expr("""(n_both * CAST(1000000 AS BIGINT))
+              DIV (n_exact + n_fuzzy - n_both)""").as("agreement_ppm"))
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              ex AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) a
+                JOIN (SELECT doc_id, md5(trim(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+              prs AS (
+                SELECT c.id_a, c.id_b FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                  >= 0.5),
+              j AS (
+                SELECT coalesce(e.id_a, f.id_a) AS id_a,
+                  e.id_a IS NOT NULL AS in_e, f.id_a IS NOT NULL AS in_f
+                FROM ex e FULL OUTER JOIN prs f
+                  ON e.id_a = f.id_a AND e.id_b = f.id_b)
+              SELECT
+                CAST(count(CASE WHEN in_e THEN 1 END) AS BIGINT) AS n_exact,
+                CAST(count(CASE WHEN in_f THEN 1 END) AS BIGINT) AS n_fuzzy,
+                CAST(count(CASE WHEN in_e AND in_f THEN 1 END) AS BIGINT)
+                  AS n_both,
+                CAST(count(CASE WHEN in_e THEN 1 END)
+                  - count(CASE WHEN in_e AND in_f THEN 1 END) AS BIGINT)
+                  AS exact_only,
+                CAST(count(CASE WHEN in_f THEN 1 END)
+                  - count(CASE WHEN in_e AND in_f THEN 1 END) AS BIGINT)
+                  AS fuzzy_only,
+                CAST(count(CASE WHEN in_e AND in_f THEN 1 END) AS BIGINT)
+                  * 1000000
+                  // (CAST(count(CASE WHEN in_e THEN 1 END) AS BIGINT)
+                     + count(CASE WHEN in_f THEN 1 END)
+                     - count(CASE WHEN in_e AND in_f THEN 1 END))
+                  AS agreement_ppm
+              FROM j"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old
