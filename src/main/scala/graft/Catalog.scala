@@ -5040,7 +5040,88 @@ object Catalog {
                      + count(CASE WHEN in_f THEN 1 END)
                      - count(CASE WHEN in_e AND in_f THEN 1 END))
                   AS agreement_ppm
-              FROM j"""))
+              FROM j""")),
+
+    QueryDef("x103_split_leak_audit",
+      // the measurement form of the leak-safe-split guarantee, run
+      // against the split that provably LEAKS: near-dup pairs (x03 at
+      // 0.5) whose ends straddle a plain hash split — each straddler
+      // is a doc evaluated after training on its near-copy. Two label
+      // joins + a 1-row aggregate; runnable against any split table
+      (s, d) => {
+        val docs = documents(s, d)
+        Sampling.splitLeakAudit(
+          Sampling.hashSplit(docs, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+          Dedup.minHashDupPairs(docs, "doc_id", "text",
+            shingleN = 3, k = 64, bands = 16, threshold = 0.5))
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                  x -> x <> '') AS toks
+                FROM documents),
+              th AS (
+                SELECT doc_id,
+                  list_transform(toks,
+                    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
+                  len(toks) AS nt
+                FROM tk WHERE len(toks) > 0),
+              sh AS (
+                SELECT doc_id, list_distinct(CASE
+                  WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
+                    CAST('0x' || substring(md5(
+                      CAST(h[CAST(i AS INT)] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 1] AS VARCHAR) || ',' ||
+                      CAST(h[CAST(i AS INT) + 2] AS VARCHAR)), 1, 15) AS BIGINT))
+                  ELSE [CAST('0x' || substring(md5(
+                      CAST(h[1] AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[2], -1) AS VARCHAR) || ',' ||
+                      CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
+                  END) AS hs
+                FROM th),
+              mh AS (
+                SELECT doc_id, i,
+                  min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
+                       * (s % 2147483647)
+                       + ((69069 * (i + 1) + 1234567) % 2147483647))
+                      % 2147483647) AS m
+                FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
+                GROUP BY doc_id, i),
+              bands AS (
+                SELECT doc_id,
+                  CAST(i // 4 AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM mh GROUP BY doc_id, i // 4),
+              cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM bands l JOIN bands r
+                  ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+              prs AS (
+                SELECT c.id_a, c.id_b FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b
+                WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+                  (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+                  >= 0.5),
+              sp AS (
+                SELECT doc_id, CASE
+                  WHEN CAST('0x' || substring(
+                      md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000 < 800000 THEN 'train'
+                  WHEN CAST('0x' || substring(
+                      md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+                FROM documents)
+              SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(CASE WHEN sa.split <> sb.split THEN 1 END)
+                  AS BIGINT) AS straddling,
+                CAST(count(CASE WHEN sa.split <> sb.split THEN 1 END)
+                  AS BIGINT) * 1000000 // count(*) AS straddle_ppm
+              FROM prs p
+              JOIN sp sa ON sa.doc_id = p.id_a
+              JOIN sp sb ON sb.doc_id = p.id_b"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

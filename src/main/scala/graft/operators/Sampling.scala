@@ -579,6 +579,31 @@ object Sampling {
       weights: Seq[(String, Double)], salt: String = "split"): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), weights, salt))
 
+  /** SPLIT LEAK AUDIT: given ANY split labeling (doc_id, split) and a
+    * near-dup pair relation (id_a, id_b), count the pairs whose ends
+    * landed in different splits — each one is a doc the model will be
+    * evaluated on after training on its near-copy. The measurement
+    * form of the [[leakSafeSplit]] guarantee: a leak-safe split reads
+    * straddling = 0 by construction, a plain [[hashSplit]] reads the
+    * leak it actually has (PropertiesSpec proves both; this operator
+    * makes the check runnable against any split table in the lake).
+    * Two label joins over the pair relation + a 1-row aggregate.
+    * Output: (n_pairs, straddling, straddle_ppm — null on an empty
+    * pair relation). */
+  def splitLeakAudit(splits: DataFrame, pairs: DataFrame): DataFrame = {
+    val s = splits.select(col("doc_id"), col("split"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(s.select(col("doc_id").as("id_a"), col("split").as("__sa")),
+        Seq("id_a"))
+      .join(s.select(col("doc_id").as("id_b"), col("split").as("__sb")),
+        Seq("id_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("__sa") =!= col("__sb"), 1)).as("straddling"))
+      .select(col("n_pairs"), col("straddling"),
+        expr("(straddling * CAST(1000000 AS BIGINT)) DIV n_pairs")
+          .as("straddle_ppm"))
+  }
+
   /** LEAK-SAFE split: near-duplicate documents always land in the SAME
     * split. A plain [[hashSplit]] leaks: two near-copies of one
     * document can straddle train and test, and the model is then
