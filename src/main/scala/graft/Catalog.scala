@@ -5121,7 +5121,24 @@ object Catalog {
                   AS BIGINT) * 1000000 // count(*) AS straddle_ppm
               FROM prs p
               JOIN sp sa ON sa.doc_id = p.id_a
-              JOIN sp sb ON sb.doc_id = p.id_b"""))
+              JOIN sp sb ON sb.doc_id = p.id_b""")),
+
+    QueryDef("x104_mp4_brand",
+      // the container flavor completes the no-codec metadata family
+      // (png/gif dims, wav audio, mp4 brand): four ASCII bytes after
+      // the ftyp tag, parsed back from genuine box bytes; the oracle
+      // replays the brand from the id parity
+      (s, d) => {
+        val packed = Multimodal.packFakeMp4s(
+          documents(s, d).where(col("doc_id") < 300), "doc_id")
+        packed.select(col("media_id"),
+            Multimodal.sniffFormat(col("media")).as("fmt"),
+            Multimodal.mp4Brand(col("media")).as("brand"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'mp4' AS fmt,
+                CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand
+              FROM documents WHERE doc_id < 300 ORDER BY media_id"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -141,6 +141,27 @@ object Multimodal {
         .cast("struct<channels:bigint,sample_rate:bigint,duration_ms:bigint>"))
   }
 
+  /** MP4 MAJOR BRAND with no codec — the container's declared flavor
+    * (`isom`, `mp42`, `avc1`, …): four ASCII bytes right after the
+    * `ftyp` tag at offset 9, fixed by the ISO base-media layout the
+    * sniffer already keys on. Non-mp4 or truncated payloads null. */
+  def mp4Brand(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(sniffFormat(media) === "mp4" && length(media) >= 12,
+        decode(substring(media, 9, 4), "UTF-8"))
+      .otherwise(lit(null).cast("string"))
+
+  /** Deterministic ftyp-box MP4 payloads with an id-derived major
+    * brand — the [[packFakeImages]] pattern for the container case. */
+  def packFakeMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    // 'isom' / 'mp42' alternating by id
+    val brandHex = when(pmod(id, lit(2L)) === 0L, lit("69736F6D"))
+      .otherwise(lit("6D703432"))
+    df.select(id.as("media_id"),
+      unhex(concat(lit("0000001866747970"), brandHex, lit("00000200")))
+        .as("media"))
+  }
+
   /** Deterministic canonical-header WAV payloads — id-derived
     * channels/rate/length written into genuine RIFF bytes, so
     * [[wavInfo]] exercises real offset parsing and an oracle replays
