@@ -5138,7 +5138,79 @@ object Catalog {
       },
       Some("""SELECT doc_id AS media_id, 'mp4' AS fmt,
                 CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand
-              FROM documents WHERE doc_id < 300 ORDER BY media_id"""))
+              FROM documents WHERE doc_id < 300 ORDER BY media_id""")),
+
+    QueryDef("x105_pii_rate",
+      // the governance dashboard: per-source PII incident rates over
+      // the x33-enriched corpus (deterministic planted PII) — doc
+      // incident share in floored ppm plus exact per-type hit totals;
+      // map-only scoring, one per-source hash agg. The regex dialect
+      // interpolates from the engine's own patterns (x33's shared-
+      // dialect contract), so oracle and engine can never drift
+      (s, d) => {
+        val idStr = col("doc_id").cast("string")
+        val enriched = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" mail user"), idStr, lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" via http://host"), idStr, lit(".example/p?q=1")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val scored = documents(s, d)
+          .select(col("source"), enriched.as("__t"))
+          .select(col("source") +:
+            TextAnalysis.piiCounts(col("__t")).map { case (n, c) =>
+              c.cast("long").as(n)
+            }: _*)
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("n_url") + col("n_email") + col("n_ip") +
+              col("n_phone") > 0, 1)).as("docs_with_pii"),
+            sum("n_url").as("url_hits"), sum("n_email").as("email_hits"),
+            sum("n_ip").as("ip_hits"), sum("n_phone").as("phone_hits"))
+          .select(col("source"), col("n_docs"), col("docs_with_pii"),
+            expr("(docs_with_pii * CAST(1000000 AS BIGINT)) DIV n_docs")
+              .as("incident_ppm"),
+            col("url_hits"), col("email_hits"), col("ip_hits"),
+            col("phone_hits"))
+          .orderBy("source")
+      },
+      Some(s"""WITH e AS (
+                SELECT source, text
+                  || CASE WHEN doc_id % 3 = 0 THEN ' mail user'
+                       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0 THEN ' via http://host'
+                       || CAST(doc_id AS VARCHAR) || '.example/p?q=1' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                  AS t
+                FROM documents),
+              c AS (
+                SELECT source,
+                  len(regexp_extract_all(t, '${TextAnalysis.urlPattern}')) AS nu,
+                  len(regexp_extract_all(t, '${TextAnalysis.emailPattern}')) AS ne,
+                  len(regexp_extract_all(t, '${TextAnalysis.ipPattern}')) AS ni,
+                  len(regexp_extract_all(t, '${TextAnalysis.phonePattern}')) AS np
+                FROM e)
+              SELECT source, count(*) AS n_docs,
+                CAST(count(CASE WHEN nu + ne + ni + np > 0 THEN 1 END)
+                  AS BIGINT) AS docs_with_pii,
+                CAST(count(CASE WHEN nu + ne + ni + np > 0 THEN 1 END)
+                  AS BIGINT) * 1000000 // count(*) AS incident_ppm,
+                CAST(sum(nu) AS BIGINT) AS url_hits,
+                CAST(sum(ne) AS BIGINT) AS email_hits,
+                CAST(sum(ni) AS BIGINT) AS ip_hits,
+                CAST(sum(np) AS BIGINT) AS phone_hits
+              FROM c GROUP BY source ORDER BY source"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old
