@@ -678,6 +678,29 @@ class OperatorsSpec extends SparkSpec {
     assert(nonWav.head.isNullAt(0))
   }
 
+  test("multimodal: mp4Brand reads the ftyp brand; non-mp4 null") {
+    val rows = Multimodal.packFakeMp4s(Seq(0L, 1L).toDF("doc_id"), "doc_id")
+      .select(Multimodal.mp4Brand(col("media")).as("b")).orderBy("b").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("isom", "mp42"))
+    val nonMp4 = Seq((1L, "FFD8FFE0AABBCCDDEEFF0011"))
+      .toDF("id", "h").select(Multimodal.mp4Brand(unhex(col("h"))).as("b"))
+    assert(nonMp4.head.isNullAt(0))
+  }
+
+  test("splitLeakAudit: counts straddling pairs exactly; leak-safe split reads zero") {
+    import graft.operators.Sampling
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "val"))
+      .toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val r = Sampling.splitLeakAudit(splits, pairs).head
+    // (1,2) train/test and (2,4) test/val straddle; (1,3) stays
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      (3L, 2L, 2L * 1000000L / 3L))
+    val safe = splits.withColumn("split",
+      org.apache.spark.sql.functions.lit("train"))
+    assert(Sampling.splitLeakAudit(safe, pairs).head.getLong(1) === 0L)
+  }
+
   test("multimodal: byte stats are exact on known payloads") {
     import graft.functions.ByteStats
     val df = Seq((1L, Array[Byte](0, 0, 1, 2))).toDF("id", "b")
