@@ -4939,24 +4939,47 @@ object Catalog {
       // the overlap, each tier's exclusive catch, and the agreement
       // as floored Jaccard ppm. On healthy text exact ⊆ fuzzy
       // (identical docs share signatures), so exact_only > 0 is the
-      // alarm — a tier drifted. The oracle replays BOTH relations
+      // alarm — a tier drifted. The oracle replays BOTH relations.
+      //
+      // BOUNDED ON BOTH SIDES: the exact tier's pair count is
+      // ARITHMETIC — one fingerprint hash agg gives family sizes m,
+      // n_exact = Σ m·(m−1)/2 — never a pair-enumerating self-join
+      // (a million-copy boilerplate family is 5·10¹¹ pairs; the
+      // fuzzy tier it audits is bucket-capped, so the audit must not
+      // be the one thing that explodes). The intersection needs no
+      // exact pair relation either: a fuzzy pair (a, b) is an exact
+      // pair iff fp(a) = fp(b), so two (doc → family) label joins
+      // against the ≤-capped fuzzy relation decide n_both. Family
+      // pair counts ride DECIMAL(38,0) and saturate at Long.MaxValue
+      // (the joinSizeEstimate overflow discipline)
       (s, d) => {
         val docs = documents(s, d)
         val exactFp = docs.select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("__fp"))
-        val exactPairs = exactFp.as("a").join(exactFp.as("b"),
-            col("a.__fp") === col("b.__fp") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            lit(1L).as("__e"))
+        // m·(m−1)/2 with no fractional decimal step: halve whichever
+        // factor is even (one always is) with exact integral DIV,
+        // then one DECIMAL(38,0) multiply — ≤ ~4.3e37, always fits;
+        // the corpus-wide sum is ≤ n·(n−1)/2 so it fits too
+        val nExact = exactFp.groupBy(col("__fp"))
+          .agg(count(lit(1)).as("__m"))
+          .agg(coalesce(sum(expr(
+              """CASE WHEN __m % 2 = 0
+                 THEN CAST(__m DIV 2 AS DECIMAL(38,0)) * (__m - 1)
+                 ELSE CAST(__m AS DECIMAL(38,0)) * ((__m - 1) DIV 2)
+                 END""")),
+            lit(0).cast("decimal(38,0)")).as("__ne"))
+          .select(least(col("__ne"), lit(Long.MaxValue)).cast("long")
+            .as("n_exact"))
         val fuzzyPairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
-            shingleN = 3, k = 64, bands = 16, threshold = 0.5)
-          .select(col("id_a"), col("id_b"), lit(1L).as("__f"))
-        exactPairs.join(fuzzyPairs, Seq("id_a", "id_b"), "full_outer")
-          .agg(count(col("__e")).as("n_exact"),
-            count(col("__f")).as("n_fuzzy"),
-            count(when(col("__e").isNotNull && col("__f").isNotNull, 1))
-              .as("n_both"))
+          shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+        val fuzzy = fuzzyPairs
+          .join(exactFp.select(col("doc_id").as("id_a"),
+            col("__fp").as("__fa")), Seq("id_a"))
+          .join(exactFp.select(col("doc_id").as("id_b"),
+            col("__fp").as("__fb")), Seq("id_b"))
+          .agg(count(lit(1)).as("n_fuzzy"),
+            count(when(col("__fa") === col("__fb"), 1)).as("n_both"))
+        nExact.crossJoin(fuzzy)
           .select(col("n_exact"), col("n_fuzzy"), col("n_both"),
             (col("n_exact") - col("n_both")).as("exact_only"),
             (col("n_fuzzy") - col("n_both")).as("fuzzy_only"),
@@ -5117,8 +5140,9 @@ object Catalog {
               SELECT CAST(count(*) AS BIGINT) AS n_pairs,
                 CAST(count(CASE WHEN sa.split <> sb.split THEN 1 END)
                   AS BIGINT) AS straddling,
-                CAST(count(CASE WHEN sa.split <> sb.split THEN 1 END)
-                  AS BIGINT) * 1000000 // count(*) AS straddle_ppm
+                CASE WHEN count(*) = 0 THEN 0
+                  ELSE CAST(count(CASE WHEN sa.split <> sb.split THEN 1 END)
+                    AS BIGINT) * 1000000 // count(*) END AS straddle_ppm
               FROM prs p
               JOIN sp sa ON sa.doc_id = p.id_a
               JOIN sp sb ON sb.doc_id = p.id_b""")),

@@ -126,7 +126,10 @@ object Multimodal {
     * 29) and the data-chunk size (u32 LE @ 41), so channels/rate/
     * duration are fixed-offset byte arithmetic. `duration_ms` is the
     * exact integer `data_bytes · 1000 DIV byte_rate`. Non-WAV or
-    * truncated payloads read null. Output:
+    * truncated payloads read null; a sniffed-WAV header declaring
+    * byte_rate = 0 reads a null duration_ms (not the
+    * floor(Infinity) → Long.MaxValue a non-ANSI double divide would
+    * emit) while channels/sample_rate still parse. Output:
     * struct(channels, sample_rate, duration_ms). */
   def wavInfo(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def le(off: Int, len: Int) = {
@@ -135,7 +138,8 @@ object Multimodal {
     }
     when(sniffFormat(media) === "wav" && length(media) >= 44,
         struct(le(23, 2).as("channels"), le(25, 4).as("sample_rate"),
-          floor((le(41, 4) * 1000L).divide(le(29, 4))).cast("long")
+          when(le(29, 4) > 0,
+            floor((le(41, 4) * 1000L).divide(le(29, 4))).cast("long"))
             .as("duration_ms")))
       .otherwise(lit(null)
         .cast("struct<channels:bigint,sample_rate:bigint,duration_ms:bigint>"))

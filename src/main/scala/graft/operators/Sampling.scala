@@ -588,8 +588,12 @@ object Sampling {
     * leak it actually has (PropertiesSpec proves both; this operator
     * makes the check runnable against any split table in the lake).
     * Two label joins over the pair relation + a 1-row aggregate.
-    * Output: (n_pairs, straddling, straddle_ppm — null on an empty
-    * pair relation). */
+    * Output: (n_pairs, straddling, straddle_ppm). An EMPTY pair
+    * relation reads (0, 0, 0), not a null ppm: zero known near-dup
+    * pairs means zero measured leak, and an operator reading the
+    * audit distinguishes "no dups" from "not run" by the row's
+    * presence plus `n_pairs = 0` — never by a null it would have to
+    * interpret. */
   def splitLeakAudit(splits: DataFrame, pairs: DataFrame): DataFrame = {
     val s = splits.select(col("doc_id"), col("split"))
     pairs.select(col("id_a"), col("id_b"))
@@ -600,7 +604,8 @@ object Sampling {
       .agg(count(lit(1)).as("n_pairs"),
         count(when(col("__sa") =!= col("__sb"), 1)).as("straddling"))
       .select(col("n_pairs"), col("straddling"),
-        expr("(straddling * CAST(1000000 AS BIGINT)) DIV n_pairs")
+        when(col("n_pairs") === 0L, lit(0L))
+          .otherwise(expr("(straddling * CAST(1000000 AS BIGINT)) DIV n_pairs"))
           .as("straddle_ppm"))
   }
 

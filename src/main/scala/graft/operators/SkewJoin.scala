@@ -34,6 +34,53 @@ object SkewJoin {
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
   }
 
+  /** JOIN-SIZE PREFLIGHT: the exact output cardinality an inner
+    * equi-join WOULD produce — Σ over matched keys of
+    * count_left(k) · count_right(k) — plus the heaviest contributing
+    * key, computed from two key hash aggs and a key-count-sized join
+    * (never the join itself). The number a pipeline checks before
+    * committing a cluster to a join that might be 10⁶× its inputs
+    * (the classic silent-cartesian-by-hot-key accident); the
+    * `max_key_rows` / `max_key` columns say whether one key owns the
+    * blow-up (→ salt it, [[saltedInnerJoin]]) or the join is just
+    * big. Output 1 row: (join_rows, matched_keys, max_key_rows,
+    * max_key). Empty/no-overlap inputs read zeros and a null key.
+    *
+    * Overflow discipline: per-key products and their sum are computed
+    * in DECIMAL(38,0) (two Long key counts can multiply past
+    * Long.MaxValue — exactly the catastrophic case this preflight
+    * exists to catch; sessions run non-ANSI, so Long math would WRAP
+    * silently and under-report). The reported BIGINTs saturate at
+    * Long.MaxValue instead of wrapping — a preflight reading
+    * 9223372036854775807 means "at least this many", which is already
+    * an unambiguous do-not-run answer. */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    val l = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__cl"))
+    val r = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__cr"))
+    l.join(r, Seq(keyCol))
+      // DECIMAL(38,0) product: |cl|,|cr| <= ~9.2e18 so cl*cr <= ~8.5e37
+      // always fits — exact, never wraps
+      .select(col(keyCol),
+        (col("__cl").cast("decimal(38,0)") * col("__cr")).as("__rows"))
+      .agg(
+        coalesce(sum(col("__rows")), lit(0L).cast("decimal(38,0)"))
+          .as("__join_rows"),
+        count(lit(1)).as("matched_keys"),
+        coalesce(max(col("__rows")), lit(0L).cast("decimal(38,0)"))
+          .as("__max_key_rows"),
+        // deterministic even under contribution ties: (rows, key) max
+        max(struct(col("__rows").as("r"), col(keyCol).as("k")))
+          .getField("k").as("max_key"))
+      .select(
+        least(col("__join_rows"), lit(Long.MaxValue)).cast("long")
+          .as("join_rows"),
+        col("matched_keys"),
+        least(col("__max_key_rows"), lit(Long.MaxValue)).cast("long")
+          .as("max_key_rows"),
+        col("max_key"))
+  }
+
   /** SKEW PREFLIGHT — the measurement that decides whether
     * [[saltedInnerJoin]] (or a bucket bump) is needed at all: the k
     * heaviest values of a prospective join/group key, each with its
@@ -47,33 +94,12 @@ object SkewJoin {
     * heap (TakeOrderedAndProject) → rank window over the K-ROW result
     * only. The key space never sorts globally and nothing returns to
     * the driver. All integers exact; ties break by key ascending.
+    * `skew_ppm` = floor(c·k·1e6 / n) is computed with the split-
+    * quotient identity q·1e6 + (r·1e6 DIV n) over DECIMAL(38,0)
+    * intermediates (q = c·k DIV n ≤ k, r = c·k MOD n < n), so no step
+    * can exceed ~9.3e24 — exact at any corpus size, saturating at
+    * Long.MaxValue rather than wrapping under non-ANSI Long math.
     * Output: (rank, <key>, c, share_ppm, skew_ppm). */
-  /** JOIN-SIZE PREFLIGHT: the exact output cardinality an inner
-    * equi-join WOULD produce — Σ over matched keys of
-    * count_left(k) · count_right(k) — plus the heaviest contributing
-    * key, computed from two key hash aggs and a key-count-sized join
-    * (never the join itself). The number a pipeline checks before
-    * committing a cluster to a join that might be 10⁶× its inputs
-    * (the classic silent-cartesian-by-hot-key accident); the
-    * `max_key_rows` / `max_key` columns say whether one key owns the
-    * blow-up (→ salt it, [[saltedInnerJoin]]) or the join is just
-    * big. Output 1 row: (join_rows, matched_keys, max_key_rows,
-    * max_key). Empty/no-overlap inputs read zeros and a null key. */
-  def joinSizeEstimate(left: DataFrame, right: DataFrame,
-      keyCol: String): DataFrame = {
-    val l = left.groupBy(col(keyCol)).agg(count(lit(1)).as("__cl"))
-    val r = right.groupBy(col(keyCol)).agg(count(lit(1)).as("__cr"))
-    l.join(r, Seq(keyCol))
-      .select(col(keyCol), (col("__cl") * col("__cr")).as("__rows"))
-      .agg(
-        coalesce(sum(col("__rows")), lit(0L)).as("join_rows"),
-        count(lit(1)).as("matched_keys"),
-        coalesce(max(col("__rows")), lit(0L)).as("max_key_rows"),
-        // deterministic even under contribution ties: (rows, key) max
-        max(struct(col("__rows").as("r"), col(keyCol).as("k")))
-          .getField("k").as("max_key"))
-  }
-
   def heavyKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"heavyKeys: k must be >= 1, got $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
@@ -82,7 +108,20 @@ object SkewJoin {
     val w = Window.orderBy(col("c").desc, col(keyCol).asc)
     topk.crossJoin(broadcast(totals))
       .select(row_number().over(w).as("rank"), col(keyCol), col("c"),
-        expr("(c * CAST(1000000 AS BIGINT)) DIV __n").as("share_ppm"),
-        expr("(c * __k * CAST(1000000 AS BIGINT)) DIV __n").as("skew_ppm"))
+        // c <= n, so c*1e6 <= n*1e6 — can pass Long for n > 9.2e12 rows;
+        // the DECIMAL(38,0) widening holds it exactly (<= ~9.2e24)
+        expr("""CAST((CAST(c AS DECIMAL(38,0)) * 1000000) DIV __n
+          AS BIGINT)""").as("share_ppm"),
+        // floor(c*k*1e6/n) without ever forming c*k*1e6: with
+        // ck = c*k (DECIMAL(38,0), exact), q = ck DIV n, r = ck MOD n,
+        // floor(ck*1e6/n) = q*1e6 + floor(r*1e6/n); every intermediate
+        // fits DECIMAL(38,0), and the final read saturates at
+        // Long.MaxValue instead of wrapping
+        expr(s"""CAST(LEAST(
+            CAST((CAST(c AS DECIMAL(38,0)) * __k) DIV __n AS DECIMAL(38,0))
+              * 1000000
+            + (CAST((CAST(c AS DECIMAL(38,0)) * __k) % __n AS DECIMAL(38,0))
+              * 1000000) DIV __n,
+            ${Long.MaxValue}) AS BIGINT)""").as("skew_ppm"))
   }
 }

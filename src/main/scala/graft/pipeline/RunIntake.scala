@@ -294,14 +294,20 @@ object RunIntake {
       // x96 at the journey seam: novelty of THIS batch against the
       // state as it stood BEFORE the batch folded in (first batch
       // defines the baseline — no novelty row). Reuses batchBpe: one
-      // join, zero extra text scans.
+      // join, zero extra text scans. A batch whose word state is
+      // EMPTY (every doc near-dup-rejected or gate-cut) has no
+      // denominator — its ppm fields are null, and the keys are
+      // omitted exactly like the first-run no-baseline path (the
+      // intake must still fold states and append runs.jsonl).
       val novelty =
         if (!dfs.exists(new org.apache.hadoop.fs.Path(bpePath))) Nil
         else {
           val n = Bpe.noveltyAuditFromState(
             spark.read.parquet(bpePath), batchBpe).head
-          Seq("vocab_novelty_ppm" -> n.getLong(4),
-            "word_novelty_ppm" -> n.getLong(5))
+          (if (n.isNullAt(4)) Nil
+           else Seq("vocab_novelty_ppm" -> n.getLong(4))) ++
+          (if (n.isNullAt(5)) Nil
+           else Seq("word_novelty_ppm" -> n.getLong(5)))
         }
       if (!dfs.exists(new org.apache.hadoop.fs.Path(bpePath)))
         batchBpe.write.parquet(bpePath)

@@ -86,6 +86,13 @@ object RunTokenizer {
     val persisted = state.persist()
     val learned =
       try {
+        // fail fast with a clear message: an empty word state (fresh
+        // bpe_state/, zero-doc corpus) trains nothing and its fit
+        // audit's ppm denominators are null — the getLong reads below
+        // would die with an opaque ROW_VALUE_IS_NULL mid-artifact
+        require(!persisted.isEmpty,
+          s"RunTokenizer: the word state is empty (no words to train " +
+            s"on) — run intake first or point at a non-empty corpus")
         val m = Bpe.train(persisted, merges)
         val stats = Bpe.segmentStats(persisted, m).head
         Bpe.mergeTable(spark, m)

@@ -125,6 +125,24 @@ class BpeSpec extends SparkSpec {
     val z = Bpe.noveltyAudit(state, docs(3L -> "bb aa"), "text").head
     assert(z.getLong(1) === 0L && z.getLong(3) === 0L &&
       z.getLong(4) === 0L && z.getLong(5) === 0L)
+    // an EMPTY batch word state (every doc rejected upstream) has no
+    // denominators: ppm fields read null — callers (RunIntake's
+    // novelty keys) must omit, not getLong (the r8 intake crash)
+    val e = Bpe.noveltyAuditFromState(state,
+      state.where(org.apache.spark.sql.functions.lit(false))).head
+    assert(e.getLong(0) === 0L)
+    assert(e.isNullAt(4) && e.isNullAt(5))
+  }
+
+  test("RunTokenizer.runOn fails fast with a clear error on an empty word state") {
+    val empty = Bpe.wordState(docs(1L -> "aa"), "text")
+      .where(org.apache.spark.sql.functions.lit(false))
+    val out = java.nio.file.Files.createTempDirectory("graft_tok_empty")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.RunTokenizer.runOn(spark, empty, out.toString,
+        merges = 4, fromState = true)
+    }
+    assert(ex.getMessage.contains("word state is empty"))
   }
 
   test("mergeTable round-trips the artifact columns in rank order") {

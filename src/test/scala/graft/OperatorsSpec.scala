@@ -676,6 +676,16 @@ class OperatorsSpec extends SparkSpec {
     val nonWav = Seq((1L, "FFD8FFE0"))
       .toDF("id", "h").select(Multimodal.wavInfo(unhex(col("h"))).as("w"))
     assert(nonWav.head.isNullAt(0))
+    // a sniffed-WAV header declaring byte_rate = 0 (malformed) reads a
+    // null duration — not the floor(Infinity) → Long.MaxValue a
+    // non-ANSI double divide would produce; channels/rate still parse
+    val zeroRate = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "401F0000" + "00000000" + "0400" +
+      "1000" + "64617461" + "E8030000"
+    val zr = Seq((1L, zeroRate)).toDF("id", "h")
+      .select(Multimodal.wavInfo(unhex(col("h"))).as("w")).head.getStruct(0)
+    assert(zr.getLong(0) === 2L && zr.getLong(1) === 8000L)
+    assert(zr.isNullAt(2), s"duration must be null on byte_rate=0: $zr")
   }
 
   test("multimodal: mp4Brand reads the ftyp brand; non-mp4 null") {
@@ -699,6 +709,12 @@ class OperatorsSpec extends SparkSpec {
     val safe = splits.withColumn("split",
       org.apache.spark.sql.functions.lit("train"))
     assert(Sampling.splitLeakAudit(safe, pairs).head.getLong(1) === 0L)
+    // empty pair relation: (0, 0, 0) — an explicit zero-leak reading,
+    // never a null ppm an operator would have to interpret
+    val none = Sampling.splitLeakAudit(splits,
+      pairs.where(org.apache.spark.sql.functions.lit(false))).head
+    assert((none.getLong(0), none.getLong(1), none.getLong(2)) ===
+      (0L, 0L, 0L))
   }
 
   test("multimodal: byte stats are exact on known payloads") {
