@@ -5234,7 +5234,26 @@ object Catalog {
                 CAST(sum(ne) AS BIGINT) AS email_hits,
                 CAST(sum(ni) AS BIGINT) AS ip_hits,
                 CAST(sum(np) AS BIGINT) AS phone_hits
-              FROM c GROUP BY source ORDER BY source"""))
+              FROM c GROUP BY source ORDER BY source""")),
+
+    QueryDef("x106_bpe_batched",
+      // batched BPE training — the scale path to a real (32k–50k)
+      // vocabulary: the state is incrementally RE-SYMBOLIZED (each
+      // round's cache already carries all prior merges, so total
+      // replace work is O(R), not the O(R²) of re-applying the chain)
+      // and each pair-count job accepts up to `batch` NON-INTERACTING
+      // merges from the top-`window` candidates (the conservative
+      // order-free rule: reject on interaction with ANY higher-ranked
+      // candidate — replayable as one correlated NOT EXISTS, no
+      // recursion). 24 merges here land in ~7 rounds instead of 24
+      // sequential jobs; the oracle re-derives every round — pair
+      // counts, window, acceptance scan, and the one-pass batched
+      // application via list_reduce — in chained CTEs
+      (s, d) => Bpe.mergeTable(s, Bpe.trainBatched(
+        Bpe.wordState(documents(s, d), "text"),
+        merges = 24, batch = 4, window = 12)),
+      Some(bpeBatchedOracle(rounds = 12, batch = 4, window = 12,
+        merges = 24)))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old
@@ -5336,6 +5355,74 @@ object Catalog {
               FROM un GROUP BY 1, 2),
               $rounds
               $finalSelect"""
+  }
+
+  /** The x106 oracle: BATCHED BPE training replayed in DuckDB. Each
+    * round k: pair counts over the incrementally re-symbolized state
+    * w(k-1) → the top-`window` candidates ranked (count DESC, l, r) →
+    * the conservative order-free acceptance rule (candidate i in iff
+    * it interacts with NO higher-ranked candidate j — shared symbol
+    * or either's concat minting the other's side) as one correlated
+    * NOT EXISTS, capped at `batch` → all accepted merges applied in
+    * ONE list_reduce replace pass (replacement text derived from the
+    * pattern itself: strip the interior '||'). `rounds` full rounds
+    * are replayed, the accepted rows concatenate in (round, slot)
+    * order, and the first `merges` win — identical to the engine's
+    * mid-round total-cap truncation because acceptance is a pure
+    * rank-order scan (prefix-stable; see Bpe.trainBatched). */
+  private def bpeBatchedOracle(rounds: Int, batch: Int, window: Int,
+      merges: Int): String = {
+    val conflict = """j.l = i.l OR j.l = i.r OR j.r = i.l OR j.r = i.r
+                OR j.l || j.r = i.l OR j.l || j.r = i.r
+                OR i.l || i.r = j.l OR i.l || i.r = j.r"""
+    val roundCtes = (1 to rounds).map { k =>
+      s"""p$k AS (SELECT syms[CAST(i AS INT)] AS l,
+                syms[CAST(i AS INT) + 1] AS r,
+                CAST(sum(freq) AS BIGINT) AS c
+              FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+                    FROM (SELECT string_split(substring(sym, 2, length(sym) - 2),
+                            '||') AS syms, freq
+                          FROM w${k - 1})
+                    WHERE len(syms) >= 2)
+              GROUP BY 1, 2),
+              t$k AS MATERIALIZED (SELECT l, r, c,
+                row_number() OVER (ORDER BY c DESC, l, r) AS rk
+              FROM p$k ORDER BY c DESC, l, r LIMIT $window),
+              a$k AS MATERIALIZED (SELECT l, r, c,
+                row_number() OVER (ORDER BY i.rk) AS bi
+              FROM t$k i
+              WHERE NOT EXISTS (SELECT 1 FROM t$k j
+                WHERE j.rk < i.rk AND ($conflict))
+              QUALIFY bi <= $batch),
+              w$k AS MATERIALIZED (SELECT word, list_reduce(
+                list_prepend(sym, (SELECT coalesce(
+                  list('|' || l || '||' || r || '|' ORDER BY bi), [])
+                  FROM a$k)),
+                (acc, x) -> replace(acc, x, replace(x, '||', ''))) AS sym,
+                freq
+              FROM w${k - 1})"""
+    }.mkString(",\n              ")
+    val unions = (1 to rounds).map(k =>
+      s"SELECT $k AS rnd, bi, l, r, c FROM a$k")
+      .mkString("\n                UNION ALL ")
+    s"""WITH tk AS (
+              SELECT doc_id, list_filter(string_split(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+              FROM documents),
+              un AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+              w0 AS (SELECT word,
+                regexp_replace(word, '(.)', '|\\1|', 'g') AS sym,
+                count(*) AS freq
+              FROM un GROUP BY 1, 2),
+              $roundCtes,
+              allacc AS ($unions)
+              SELECT * FROM (
+                SELECT CAST(row_number() OVER (ORDER BY rnd, bi) AS INT)
+                    AS rank,
+                  l, r, l || r AS merged, c AS pair_count
+                FROM allacc)
+              WHERE rank <= $merges ORDER BY rank"""
   }
 
   private lazy val langIdOracle: String = {

@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * subword-nmt algorithm): the corpus is scanned ONCE into a
   * word-frequency state ([[wordState]] — vocabulary-sized, Zipf-bounded,
   * and MERGEABLE across batches like the DSIR/profile states); every
-  * merge iteration then runs against that persisted vocab table, never
-  * the corpus. Iteration i applies the i-1 merges found so far as a
-  * NESTED-REPLACE projection (codegen'd string algebra — no iterative
-  * lineage, no per-iteration checkpoint barrier), fans out adjacent
-  * symbol pairs, and takes the top-1 weighted pair as a bounded
-  * `limit(1)` heap (TakeOrderedAndProject — never a global sort). The
-  * driver accumulates k merge rows — a model-sized artifact, the
+  * merge round then runs against that persisted vocab table, never
+  * the corpus. The state is INCREMENTALLY RE-SYMBOLIZED: each round's
+  * cache already carries all prior merges, so a round applies only
+  * its newly accepted merges (one shallow codegen'd replace
+  * projection — O(R) total replace work over R merges, the property
+  * that makes a real 32k–50k vocabulary reachable), fans out adjacent
+  * symbol pairs, and takes the winners from a bounded
+  * `limit(window)` heap (TakeOrderedAndProject — never a global
+  * sort); [[trainBatched]] accepts up to `batch` NON-INTERACTING
+  * pairs per round, cutting the sequential-round count ~batch-fold.
+  * The driver accumulates k merge rows — a model-sized artifact, the
   * documented pattern (shard lists, quantile thresholds).
   *
   * Determinism: pair counts are exact Long sums of exact Long word
@@ -89,17 +93,98 @@ object Bpe {
     * on full parallelism. */
   val trainWordsPerTask: Long = 500000L
 
-  /** Learn up to `merges` BPE merges from a word-frequency state.
-    * Each round: apply merges-so-far (nested replace projection over
-    * the persisted vocab table), fan out adjacent symbol pairs
-    * weighted by word frequency, hash-agg, top-1 by
-    * (count DESC, l ASC, r ASC) as a bounded heap. Stops early when no
-    * adjacent pair remains (every word fully merged). k driver-held
-    * rows total; the vocab table is persisted across the rounds —
-    * coalesced to the [[trainWordsPerTask]] layout — and released on
-    * exit. */
-  def train(words: DataFrame, merges: Int): Seq[Merge] = {
-    require(merges >= 1, s"Bpe.train: merges must be >= 1, got $merges")
+  /** Rounds between lineage truncations in [[trainBatched]] (see its
+    * scaladoc): plan depth — and the AQE explain string that DOUBLES
+    * per cached level — stays bounded at this constant; each
+    * truncation costs one vocab-sized materialization job. */
+  val truncateEvery: Int = 4
+
+  /** Learn up to `merges` BPE merges from a word-frequency state —
+    * the SEQUENTIAL algorithm (one merge per round, the subword-nmt
+    * definition). Delegates to [[trainBatched]] with batch = 1, whose
+    * incremental re-symbolization makes total replace work O(R), not
+    * the O(R²) of re-applying the whole chain every round. Identical
+    * merge table to the naive form: round t's state is exactly the
+    * base state under merges 1..t-1 either way. */
+  def train(words: DataFrame, merges: Int): Seq[Merge] =
+    trainBatched(words, merges, batch = 1, window = 1)
+
+  /** Does candidate merge `b` INTERACT with an earlier-ranked
+    * candidate `a` in the same round? If not, `b`'s pre-round pair
+    * count is still exact after `a` is applied, and the two replaces
+    * touch disjoint symbol spans — so both can merge in ONE pass.
+    * Interaction = shared symbol (applying `a` consumes/produces the
+    * adjacencies `b` counts) or either's merged symbol equaling one of
+    * the other's sides (applying `a` MINTS new `b`-side symbols, or
+    * `b` would mint an `a` side). Delimited per-symbol encoding means
+    * nothing else can alias (a pattern can never match inside another
+    * symbol's span). */
+  private[graft] def interacts(a: Merge, b: Merge): Boolean =
+    a.l == b.l || a.l == b.r || a.r == b.l || a.r == b.r ||
+      a.l + a.r == b.l || a.l + a.r == b.r ||
+      b.l + b.r == a.l || b.l + b.r == a.r
+
+  /** BATCHED BPE training — the scale path to a real (32k–50k)
+    * vocabulary. Two changes versus naive sequential training, both
+    * published practice, neither changing the per-round algebra:
+    *
+    * 1. INCREMENTAL RE-SYMBOLIZATION. The persisted state holds the
+    *    already-merged symbol string, so each round applies only the
+    *    merges IT accepted (one shallow projection over the previous
+    *    round's cache — the cache substitutes into the plan before
+    *    optimization, so CollapseProject can never re-inline the whole
+    *    history into one O(R)-deep replace chain). Total replace work
+    *    is O(R); the naive re-apply-everything form is O(R²) — the
+    *    difference between 50k merges being a day and being
+    *    impossible.
+    * 2. MERGE BATCHING. One pair-count job can safely yield MANY
+    *    merges: the top-`window` candidates (count DESC, l, r) are
+    *    scanned in rank order and candidate i is accepted iff it does
+    *    not [[interacts]] with ANY higher-ranked candidate j < i —
+    *    accepted or not (the conservative rule is order-free and
+    *    replayable as one self-join in external SQL, no recursion) —
+    *    up to `batch` per round. Non-interacting pairs have exact,
+    *    mutually valid counts, so the batch applies in one projection.
+    *    Sequential-job count drops ~batch-fold: a 32k vocabulary needs
+    *    thousands of rounds, not tens of thousands. batch = 1 IS the
+    *    sequential algorithm (window 1: the single top pair).
+    *
+    * Batched ranks are assigned in acceptance order, so the merge
+    * table stays totally ordered and [[applyMerges]]/[[segmentCounts]]
+    * consume it unchanged. With batch > 1 the merge ORDER (and on
+    * adversarial ties the set) can differ from sequential training —
+    * that is the documented trade every batched-BPE trainer makes;
+    * determinism is unconditional (exact Long counts, lexicographic
+    * tie-breaks, fixed window).
+    *
+    * Per round: one pair hash agg (map-side combine) over the
+    * persisted vocab-sized state + a `window`-row bounded-heap collect;
+    * the state projection is lazy and materialized by the NEXT round's
+    * agg, at which point the grand-parent cache is dropped (≤ 2 states
+    * ever live). Driver holds `merges` + `window` rows. Stops early
+    * when no adjacent pair remains.
+    *
+    * LINEAGE TRUNCATION (measured, not theoretical): chained
+    * round-over-cache plans are linear in the TREE but the AQE
+    * executed-plan STRING doubles per cached level (each
+    * TableCacheQueryStage's rendering embeds the full plan of the
+    * cache it reads, which embeds the previous stage's, …) — by round
+    * ~17 over a real corpus lineage the per-job explain string passes
+    * 1 GB and the driver OOMs building it. Every [[truncateEvery]]
+    * rounds the state is eagerly `localCheckpoint`ed: the logical
+    * plan resets to the materialized rows, capping plan depth (and
+    * that string) at a constant, so per-round cost stays flat to
+    * thousands of rounds. On a cluster where executor loss matters,
+    * set a reliable `spark.checkpoint.dir` and swap in `checkpoint`;
+    * local-mode training (and any run that can simply re-run) keeps
+    * the cheap local form. Old checkpoint blocks are freed by
+    * Spark's ContextCleaner once unreferenced. */
+  def trainBatched(words: DataFrame, merges: Int, batch: Int = 16,
+      window: Int = 64): Seq[Merge] = {
+    require(merges >= 1, s"Bpe.trainBatched: merges must be >= 1, got $merges")
+    require(batch >= 1, s"Bpe.trainBatched: batch must be >= 1, got $batch")
+    require(window >= batch,
+      s"Bpe.trainBatched: window ($window) must be >= batch ($batch)")
     // respect a caller-managed persist (RunTokenizer shares one cache
     // between training and the fit audit): only own the lifecycle of
     // caches this call itself created
@@ -111,17 +196,21 @@ object Bpe {
       .get("spark.sql.shuffle.partitions").toLong
     val target = math.max(1L,
       math.min(vocabRows / trainWordsPerTask + 1L, maxTasks)).toInt
-    // round 1 materializes the narrow copy straight from the wide
-    // cache; the wide copy is freed only after training so the narrow
-    // one never falls back to recomputing the corpus lineage
-    val base = wide.coalesce(target).persist()
+    // the symbolized state: (sym, freq), coalesced to the
+    // trainWordsPerTask layout (X88AB: task dispatch, not data,
+    // dominates small rounds). Round 1's agg materializes it straight
+    // from the wide cache.
+    var state = wide.coalesce(target)
+      .select(symEncode(col("word")).as("sym"), col("freq")).persist()
+    var parent: DataFrame = null // state's lineage parent, still cached
+    var sinceTruncate = 0
+    val found = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
-      val found = scala.collection.mutable.ArrayBuffer.empty[Merge]
       var exhausted = false
       while (found.size < merges && !exhausted) {
-        val syms = symsOf(applyMerges(symEncode(col("word")), found.toSeq))
-        val top = base
-          .select(syms.as("__s"), col("freq"))
+        val __t0 = System.nanoTime()
+        val top = state
+          .select(symsOf(col("sym")).as("__s"), col("freq"))
           .where(size(col("__s")) >= 2)
           .select(explode(arrays_zip(
             slice(col("__s"), lit(1), size(col("__s")) - 1).as("l"),
@@ -130,14 +219,47 @@ object Bpe {
           .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
           .agg(sum(col("freq")).as("c"))
           .orderBy(col("c").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
+          .limit(window).collect()
+        if (sys.env.contains("SPARK_GRAFT_BPE_DEBUG"))
+          Console.err.println(f"[bpe] round found=${found.size}%5d " +
+            f"${(System.nanoTime() - __t0) / 1e9}%7.3f s " +
+            f"candidates=${top.length}")
+        // the agg above materialized `state`; its parent cache (two
+        // rounds back) can no longer be read by anything — release it
+        if (parent != null) parent.unpersist(blocking = false)
         if (top.isEmpty) exhausted = true
-        else found += Merge(found.size + 1,
-          top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        else {
+          val cap = math.min(batch, merges - found.size)
+          val candidates = top.map(r =>
+            Merge(0, r.getString(0), r.getString(1), r.getLong(2)))
+          val accepted = scala.collection.mutable.ArrayBuffer.empty[Merge]
+          var i = 0
+          while (i < candidates.length && accepted.size < cap) {
+            // conservative order-free rule: reject on interaction with
+            // ANY higher-ranked candidate, accepted or not
+            if (!candidates.iterator.take(i).exists(interacts(_, candidates(i))))
+              accepted += candidates(i).copy(rank = found.size + accepted.size + 1)
+            i += 1
+          }
+          found ++= accepted
+          parent = state
+          val next = state
+            .select(applyMerges(col("sym"), accepted.toSeq).as("sym"),
+              col("freq"))
+          sinceTruncate += 1
+          state =
+            if (sinceTruncate >= truncateEvery) {
+              sinceTruncate = 0
+              // eager: materializes NOW (reading the parent cache) and
+              // resets the logical plan to the stored rows
+              next.localCheckpoint(true)
+            } else next.persist()
+        }
       }
       found.toSeq
     } finally {
-      base.unpersist(blocking = false)
+      state.unpersist(blocking = false)
+      if (parent != null) parent.unpersist(blocking = false)
       if (!callerPersisted) wide.unpersist(blocking = false)
     }
   }

@@ -78,6 +78,20 @@ object RunGc {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     if (!fs.exists(rootPath)) return Nil
+    // an APPLYING gc mutates tables (recoverTable renames) — same
+    // single-writer critical section as the journeys that write them.
+    // Dry-run stays lease-free (read-only walk + report).
+    if (apply)
+      graft.operators.Lease.withLease(conf, root,
+        graft.operators.Lease.defaultOwner())(_ => runInner(
+          spark, root, ageMinutes, maxFiles, apply, maxDepth, fs))
+    else runInner(spark, root, ageMinutes, maxFiles, apply, maxDepth, fs)
+  }
+
+  private def runInner(spark: SparkSession, root: String,
+      ageMinutes: Long, maxFiles: Int, apply: Boolean, maxDepth: Int,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[Finding] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
     val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
 
     // bounded-depth directory walk; stop descending once inside a

@@ -177,6 +177,16 @@ object RunIntake {
     require(vectors.isEmpty || span.isEmpty,
       "--semantic and --span are separate tier chains; combine by " +
         "running the semantic intake and span-stripping its sink")
+    // WRITER LEASE: the whole run is one critical section over the
+    // stateDir — two concurrent intakes interleaving their
+    // probe-then-append windows would BOTH admit the same duplicate,
+    // and a concurrent state-table swap is reader-visible. A second
+    // writer fails fast with the holder's identity (LeaseHeld); a
+    // crashed holder's lease expires and is stolen (TTL). See
+    // graft.operators.Lease.
+    graft.operators.Lease.withLease(
+      spark.sparkContext.hadoopConfiguration, stateDir,
+      graft.operators.Lease.defaultOwner()) { _ =>
     // SCHEMA GATE: the first run PINS the batch schema (schema.json in
     // the stateDir); every later batch must match it exactly — a
     // renamed/retyped/dropped upstream column fails HERE with a diff,
@@ -334,5 +344,6 @@ object RunIntake {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     report
+    } // writer lease released (success or failure)
   }
 }

