@@ -5253,7 +5253,163 @@ object Catalog {
         Bpe.wordState(documents(s, d), "text"),
         merges = 24, batch = 4, window = 12)),
       Some(bpeBatchedOracle(rounds = 12, batch = 4, window = 12,
-        merges = 24)))
+        merges = 24))),
+
+    QueryDef("q46_min_cost_supplier",
+      // TPC-H Q2 shape (minimum-cost supplier): the correlated scalar
+      // subquery ("supplycost = (SELECT min ...)") DECORRELATED as a
+      // per-group min + join-back on (group, min) equality — never a
+      // row_number window over everything (no global sort, no skewed
+      // single-partition window; PlanAuditSpec pins the no-Window
+      // shape). Dims (supplier⋈nation⋈region) filter BEFORE touching
+      // the fact and broadcast under AQE; lineitem stands in for
+      // partsupp as the part↔supplier offer relation. Prices ride
+      // DECIMAL(18,4) so the min and its equality join-back replay
+      // exactly in any engine
+      (s, d) => {
+        val sup = supplier(s, d)
+          .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(region(s, d).where(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val offers = lineitem(s, d)
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), col("s_name"), col("n_name"),
+            col("l_extendedprice").cast("decimal(18,4)").as("__price"))
+        val minPrice = offers.groupBy(col("l_partkey"))
+          .agg(min(col("__price")).as("__mp"))
+        offers.join(minPrice, Seq("l_partkey"))
+          .where(col("__price") === col("__mp"))
+          .join(part(s, d).where(col("p_size") <= 10),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            col("n_name"), col("__mp").cast("double").as("min_price"))
+          .distinct()
+          .orderBy(col("p_partkey"), col("s_name"))
+      },
+      Some("""WITH sup AS (
+                SELECT s_suppkey, s_name, n_name
+                FROM supplier, nation, region
+                WHERE s_nationkey = n_nationkey
+                  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+              off AS (
+                SELECT l_partkey, s_name, n_name,
+                  CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+                FROM lineitem JOIN sup ON l_suppkey = s_suppkey),
+              mn AS (SELECT l_partkey, min(price) AS mp FROM off
+                     GROUP BY 1)
+              SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+                CAST(mp AS DOUBLE) AS min_price
+              FROM off
+              JOIN mn ON off.l_partkey = mn.l_partkey
+                AND off.price = mn.mp
+              JOIN part ON off.l_partkey = p_partkey AND p_size <= 10
+              ORDER BY p_partkey, s_name""")),
+
+    QueryDef("q47_waiting_supplier",
+      // TPC-H Q21 shape (suppliers who kept orders waiting): the
+      // EXISTS becomes a LEFT SEMI self-join (another supplier in the
+      // same order) and the NOT EXISTS a LEFT ANTI self-join (no
+      // OTHER supplier was also late) over the distinct
+      // (order, supplier) relation — the canonical decorrelation, and
+      // the only shapes that stream at scale (PlanAuditSpec pins
+      // semi + anti in the plan). "Late" = shipped more than 60 days
+      // after the order date (the schema's l_shipdate/o_orderdate
+      // stand in for receipt/commit). Deterministic order:
+      // (numwait DESC, s_name) with unique s_name
+      (s, d) => {
+        val l = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val f = orders(s, d).where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val allSupp = l.select(col("l_orderkey"), col("l_suppkey"))
+          .distinct()
+        val late = l.join(f, col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val others = allSupp.select(col("l_orderkey").as("__ok"),
+          col("l_suppkey").as("__sk"))
+        val lateOthers = late.select(col("l_orderkey").as("__ok2"),
+          col("l_suppkey").as("__sk2"))
+        late
+          .join(others, col("l_orderkey") === col("__ok") &&
+            col("l_suppkey") =!= col("__sk"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("__ok2") &&
+            col("l_suppkey") =!= col("__sk2"), "left_anti")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(100)
+      },
+      Some("""WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+                         WHERE o_orderstatus = 'F'),
+              als AS (SELECT DISTINCT l_orderkey, l_suppkey
+                      FROM lineitem),
+              late AS (SELECT DISTINCT l_orderkey, l_suppkey
+                       FROM lineitem JOIN f ON l_orderkey = o_orderkey
+                       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+              w AS (SELECT * FROM late t
+                    WHERE EXISTS (SELECT 1 FROM als o
+                      WHERE o.l_orderkey = t.l_orderkey
+                        AND o.l_suppkey <> t.l_suppkey)
+                      AND NOT EXISTS (SELECT 1 FROM late x
+                        WHERE x.l_orderkey = t.l_orderkey
+                          AND x.l_suppkey <> t.l_suppkey))
+              SELECT s_name, count(*) AS numwait
+              FROM w JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    QueryDef("q48_global_sales_opportunity",
+      // TPC-H Q22 shape (customers with means but no orders): the
+      // scalar "above the average positive balance" gate and the NOT
+      // EXISTS anti-join, both decorrelated. The average gate is
+      // CROSS-MULTIPLIED — c_acctbal · n > Σ balances, all in
+      // DECIMAL(18,4) — so the boundary decision is EXACT in every
+      // engine (a double mean would drift with summation order
+      // exactly at the rows the gate exists to decide). 1-row
+      // aggregate broadcast; recent orders anti-joined (filter pushed
+      // below the anti-join), never counted. Odd nations stand in for
+      // Q22's phone-prefix country slice; "no order since mid-1999"
+      // for "never ordered" (this corpus gives every customer some
+      // order)
+      (s, d) => {
+        val cu = customer(s, d)
+          .where(pmod(col("c_nationkey"), lit(2)) === 1)
+        val a = cu.where(col("c_acctbal") > 0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("__s"),
+            count(lit(1)).as("__n"))
+        cu.crossJoin(broadcast(a))
+          .where(col("c_acctbal").cast("decimal(18,4)") * col("__n") >
+            col("__s"))
+          .join(orders(s, d)
+              .where(col("o_orderdate") >=
+                lit("1999-06-01").cast("timestamp"))
+              .select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            dsum(col("c_acctbal")).as("totacctbal"))
+          .select(col("c_nationkey").as("cntry"), col("numcust"),
+            col("totacctbal"))
+          .orderBy("cntry")
+      },
+      Some("""WITH cu AS (SELECT * FROM customer
+                          WHERE c_nationkey % 2 = 1),
+              a AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s,
+                      count(*) AS n
+                    FROM cu WHERE c_acctbal > 0),
+              g AS (SELECT cu.* FROM cu, a
+                    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s),
+              w AS (SELECT * FROM g WHERE NOT EXISTS
+                      (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '1999-06-01'))
+              SELECT c_nationkey AS cntry, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                  AS totacctbal
+              FROM w GROUP BY 1 ORDER BY cntry"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -397,4 +397,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
       s"only lineitem-orders may shuffle:\n$plan")
   }
+
+  test("q46: min-cost join-back decorrelates with no window; dims broadcast") {
+    val plan = finalPlan(q("q46_min_cost_supplier")).toString()
+    assert(!plan.contains("Window"),
+      s"Q2 shape must be min + join-back, not row_number-over-everything:\n$plan")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"supplier/nation/region dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"join-back must stay equi-join:\n$plan")
+  }
+
+  test("q47: EXISTS/NOT EXISTS run as semi + anti joins, no window") {
+    val plan = finalPlan(q("q47_waiting_supplier")).toString()
+    assert(plan.contains("LeftSemi"),
+      s"the other-supplier EXISTS must be a left semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the no-other-late NOT EXISTS must be a left anti join:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"Q21 shape regressed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be a bounded heap:\n$plan")
+  }
+
+  test("q48: the no-recent-order gate is an anti join with the date filter pushed to the scan") {
+    val df = q("q48_global_sales_opportunity")
+    val plan = finalPlan(df).toString()
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must decorrelate to a left anti join:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the order-date filter must reach the orders scan:\n$plan")
+    // the only cartesian is the 1-row aggregate broadcast (the
+    // audited scalar-subquery pattern)
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar gate must broadcast, not cartesian:\n$plan")
+  }
 }
