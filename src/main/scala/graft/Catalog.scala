@@ -5409,7 +5409,64 @@ object Catalog {
               SELECT c_nationkey AS cntry, count(*) AS numcust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
                   AS totacctbal
-              FROM w GROUP BY 1 ORDER BY cntry"""))
+              FROM w GROUP BY 1 ORDER BY cntry""")),
+
+    QueryDef("q49_priority_check",
+      // TPC-H Q4 shape (order priority checking): the correlated
+      // EXISTS ("some lineitem missed its commitment") as a LEFT SEMI
+      // join with the correlated date predicate IN the join condition
+      // — each order counts once no matter how many lineitems were
+      // late, with no distinct and no window. One quarter of orders;
+      // "late" = shipped >30 days after the order date (this schema's
+      // stand-in for receipt > commit)
+      (s, d) => orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders o
+              WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+                AND o_orderdate < TIMESTAMP '1996-10-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+              GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q50_supplier_relationship",
+      // TPC-H Q16 shape (parts/supplier relationship): the NOT IN
+      // complaint-supplier exclusion as a LEFT ANTI join against the
+      // (small, broadcast) excluded set, over the DISTINCT
+      // (part, supplier) offer relation; count distinct suppliers per
+      // (brand, type, size) bucket. Negative account balance stands
+      // in for the complaint comment scan
+      (s, d) => lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(supplier(s, d).where(col("s_acctbal") < 0)
+            .select(col("s_suppkey").as("l_suppkey")),
+          Seq("l_suppkey"), "left_anti")
+        .join(part(s, d).where(col("p_type") =!= "STANDARD" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size")),
+      Some("""SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type <> 'STANDARD'
+                AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+                AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+              GROUP BY 1, 2, 3
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -300,13 +300,45 @@ object Bpe {
     val occurrences = Rebalance(df.select(col(idCol).as("doc_id"),
         col(textCol).as("__text")))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("__text"))).as("word"))
-    val vocab = occurrences.select("word").distinct()
-      .select(col("word"),
-        size(symsOf(applyMerges(symEncode(col("word")), merges))).as("__ns"))
+    val vocab = segmentVocab(occurrences.select("word").distinct(), merges)
     occurrences.join(vocab, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("__ns")).as("n_bpe_tokens"))
   }
+
+  /** Merges per projection when applying a LARGE merge table. A
+    * single projection folding a real vocabulary's 32k-deep replace
+    * chain is a megabyte of generated code janino cannot compile (and
+    * interpreted fallback would be the hot path); chunks of this size
+    * stay comfortably inside whole-stage codegen. */
+  val segmentChunk: Int = 64
+
+  /** (word, __ns) for a distinct-word frame under `merges` — the
+    * dictionary half of [[segmentCounts]]. Small tables apply as ONE
+    * codegen'd replace-chain projection; tables past [[segmentChunk]]
+    * apply chunk-by-chunk with an eager localCheckpoint between
+    * chunks (the trainBatched lineage-truncation lesson: it stops
+    * CollapseProject re-inlining the whole chain into one giant
+    * expression AND bounds each round of generated code). The
+    * chunked walk runs on the VOCABULARY frame only — one
+    * dictionary-sized job per chunk, never a corpus pass — so a 50k-
+    * merge tokenizer costs ~800 small jobs at segmentation time,
+    * independent of corpus size (the per-occurrence work stays one
+    * hash join, unchanged). */
+  private[graft] def segmentVocab(vocabWords: DataFrame,
+      merges: Seq[Merge]): DataFrame =
+    if (merges.size <= segmentChunk)
+      vocabWords.select(col("word"),
+        size(symsOf(applyMerges(symEncode(col("word")), merges))).as("__ns"))
+    else {
+      val symed = merges.grouped(segmentChunk).foldLeft(
+          vocabWords.select(col("word"), symEncode(col("word")).as("__sym"))) {
+        (acc, group) =>
+          acc.select(col("word"), applyMerges(col("__sym"), group).as("__sym"))
+            .localCheckpoint(true)
+      }
+      symed.select(col("word"), size(symsOf(col("__sym"))).as("__ns"))
+    }
 
   /** INTAKE NOVELTY: how much genuinely NEW vocabulary an arriving
     * batch brings relative to the grown word state — the cheap

@@ -210,6 +210,30 @@ class BpeSpec extends SparkSpec {
     assert(b === Bpe.trainBatched(st, merges = 12, batch = 4, window = 16))
   }
 
+  test("segmentCounts: chunked large-table application == one-projection reference") {
+    // learn past segmentChunk merges (the 31-word corpus exhausts at
+    // ~89 > 64), then compare the chunked dictionary walk against an
+    // inline single-chain reference on the same corpus
+    val all = Tables.documents(spark, sf("sf0.001"))
+    val st = Bpe.wordState(all, "text")
+    val m = Bpe.trainBatched(st, merges = 89, batch = 8, window = 32)
+    assert(m.size > Bpe.segmentChunk, s"need > chunk merges, got ${m.size}")
+    val chunked = Bpe.segmentCounts(all, "doc_id", "text", m)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // reference: the whole chain in one projection (fine at 89)
+    val occurrences = all.select(col("doc_id"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("word"))
+    val vocab = occurrences.select("word").distinct()
+      .select(col("word"), org.apache.spark.sql.functions.size(
+        Bpe.symsOf(Bpe.applyMerges(Bpe.symEncode(col("word")), m)))
+        .as("__ns"))
+    val reference = occurrences.join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__ns")).as("n_bpe_tokens"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(chunked === reference)
+  }
+
   test("mergeTable round-trips the artifact columns in rank order") {
     val t = Bpe.mergeTable(spark,
       Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "ab", "c", 4L))).collect()

@@ -421,6 +421,24 @@ class PlanAuditSpec extends SparkSpec {
       s"top-100 must be a bounded heap:\n$plan")
   }
 
+  test("q49/q50: correlated predicates run as semi/anti equi-joins") {
+    val p49 = finalPlan(q("q49_priority_check")).toString()
+    assert(p49.contains("LeftSemi"),
+      s"Q4's EXISTS must be a left semi join:\n$p49")
+    assert(!p49.contains("Window") && !p49.contains("CartesianProduct"),
+      s"Q4 shape regressed:\n$p49")
+    // initial plan, not finalPlan: at sf0.001 the excluded-supplier
+    // set is EMPTY and AQE (correctly) eliminates the anti join
+    // outright — the shape guard is about what the planner emits
+    val p50 = q("q50_supplier_relationship")
+      .queryExecution.executedPlan.toString()
+    assert(p50.contains("LeftAnti"),
+      s"Q16's NOT IN must be a left anti join:\n$p50")
+    assert(!p50.contains("CartesianProduct") &&
+      !p50.contains("BroadcastNestedLoopJoin"),
+      s"Q16 shape regressed:\n$p50")
+  }
+
   test("q48: the no-recent-order gate is an anti join with the date filter pushed to the scan") {
     val df = q("q48_global_sales_opportunity")
     val plan = finalPlan(df).toString()

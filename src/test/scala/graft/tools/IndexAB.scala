@@ -96,6 +96,37 @@ object IndexAB {
         "doc_id", "text", threshold = 0.5).count()
     }
 
+    // ---- INTAKE CADENCE SWEEP (r8 verdict item 7): probe cost vs
+    // batch size. The probe floor is dominated by fixed per-batch
+    // cost (shard collects, pruned listing, small-job dispatch), so
+    // the operating question for a delivery cadence is: how large
+    // must a coalesced batch be before the fixed cost amortizes?
+    // Sweep batch sizes on both tiers; report sec and ms/doc.
+    val cadence = Seq(25, 100, 400, 1600)
+    val maxBatch = cadence.max
+    val corpusC = docs.where(col("doc_id") <= maxId - maxBatch)
+    time("cadence exact build (once)", reps = 1) {
+      Dedup.buildExactIndex(corpusC, "doc_id", col("text"),
+        s"$tmp/exactc"); 1L
+    }
+    time("cadence fuzzy build (once)", reps = 1) {
+      Dedup.buildFuzzyIndex(corpusC, "doc_id", "text", s"$tmp/fuzzyc",
+        shingleN = 3, k = 64, bands = 16); 1L
+    }
+    cadence.foreach { n =>
+      val b = docs.where(col("doc_id") > maxId - n)
+      val tE = time(f"cadence exact probe, batch=$n%5d") {
+        Dedup.probeExactIndex(spark, s"$tmp/exactc", b,
+          "doc_id", col("text")).count()
+      }
+      val tF = time(f"cadence fuzzy probe, batch=$n%5d") {
+        Dedup.probeFuzzyIndex(spark, s"$tmp/fuzzyc", b,
+          "doc_id", "text", threshold = 0.5).count()
+      }
+      Console.err.println(f"[indexab] cadence batch=$n%5d  " +
+        f"exact ${tE * 1000 / n}%8.2f ms/doc   fuzzy ${tF * 1000 / n}%8.2f ms/doc")
+    }
+
     spark.stop()
   }
 }

@@ -57,6 +57,17 @@ object X106AB {
       "prefix stability violated")
     Console.err.println("[x106ab] prefix stability: 1000-merge table " +
       "starts with the 250- and 500-merge tables — OK")
+
+    // application at the same scale: segment the corpus under the
+    // full 1000-merge table (the chunked dictionary walk — a single
+    // 1000-deep replace projection would not compile)
+    val t0 = System.nanoTime()
+    val seg = Bpe.segmentCounts(names.withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+      "doc_id", "text", m1000)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0)
+    Console.err.println(f"[x106ab] segment under 1000 merges: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s  total_tokens=${seg.getLong(0)}")
     spark.stop()
   }
 }
