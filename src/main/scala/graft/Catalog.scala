@@ -5253,7 +5253,11 @@ object Catalog {
         Bpe.wordState(documents(s, d), "text"),
         merges = 24, batch = 4, window = 12)),
       Some(bpeBatchedOracle(rounds = 12, batch = 4, window = 12,
-        merges = 24))),
+        merges = 24)),
+      // bench-track the batched trainer beside x88's sequential loop:
+      // 3x the merges in ~7 rounds — the scale path's floor belongs
+      // on the sheet
+      headline = true),
 
     QueryDef("q46_min_cost_supplier",
       // TPC-H Q2 shape (minimum-cost supplier): the correlated scalar
@@ -5467,6 +5471,98 @@ object Catalog {
                                       WHERE s_acctbal < 0)
               GROUP BY 1, 2, 3
               ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    QueryDef("q51_small_quantity_revenue",
+      // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+      // scalar gate "l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE
+      // l_partkey = p_partkey)" DECORRELATED as a per-part (sum, n)
+      // aggregate + join-back, with the fraction CROSS-MULTIPLIED —
+      // qty · 5 · n < Σqty, all in DECIMAL — so the boundary rows a
+      // double 0.2·avg would drift on decide EXACTLY the same in any
+      // engine. The brand filter semi-restricts lineitem BEFORE the
+      // per-part aggregate (the inner avg is per-part, so restricting
+      // parts first is equivalence-preserving and prunes the fact
+      // scan); part is a broadcast dim. One-row answer, no window
+      (s, d) => {
+        val li = lineitem(s, d)
+          .join(part(s, d)
+              .where(col("p_brand").isin("Brand#21", "Brand#22"))
+              .select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"),
+            col("l_quantity").cast("decimal(18,4)").as("__q"),
+            col("l_extendedprice"))
+        val st = li.groupBy(col("l_partkey"))
+          .agg(sum(col("__q")).as("__sq"), count(lit(1)).as("__n"))
+        li.join(st, Seq("l_partkey"))
+          .where(col("__q") * 5 * col("__n") < col("__sq"))
+          .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH li AS (
+                SELECT l_partkey,
+                  CAST(l_quantity AS DECIMAL(18,4)) AS q,
+                  l_extendedprice
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                  WHERE p_brand IN ('Brand#21', 'Brand#22')))
+              SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                       AS DOUBLE) / 7.0 AS avg_yearly
+              FROM li o
+              WHERE q * 5 * (SELECT count(*) FROM li i
+                             WHERE i.l_partkey = o.l_partkey)
+                < (SELECT sum(q) FROM li i
+                   WHERE i.l_partkey = o.l_partkey)""")),
+
+    QueryDef("q52_part_promotion_supplier",
+      // TPC-H Q20 shape (potential part promotion): the nested
+      // IN-chain — suppliers IN (offers of parts IN (name-filtered
+      // parts) whose one-year quantity exceeds half the availability)
+      // — decorrelated to a semi-join ladder: name-filtered parts
+      // semi-restrict lineitem, a per-(part, supplier) aggregate
+      // forms BOTH sides of the half gate in one pass (conditional
+      // sum), the gate CROSS-MULTIPLIES in DECIMAL (2·q1996 > qtotal
+      // — exact at ties±ε where a double 0.5· would flap), and the
+      // surviving supplier set semi-joins into the supplier dim.
+      // lineitem's shipped quantity stands in for partsupp
+      // availability (no partsupp table in this corpus). No distinct
+      // needed above the semi joins; nation dim broadcasts
+      (s, d) => {
+        val li = lineitem(s, d)
+          .join(part(s, d).where(col("p_name").like("small%"))
+              .select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("decimal(18,4)").as("__q"),
+            year(col("l_shipdate")).as("__y"))
+        val qualified = li.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(when(col("__y") === 1996, col("__q"))
+              .otherwise(lit(0).cast("decimal(18,4)"))).as("__q96"),
+            sum(col("__q")).as("__qt"))
+          .where(col("__q96") * 2 > col("__qt"))
+          .select(col("l_suppkey")).distinct()
+        supplier(s, d)
+          .join(qualified, col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .join(nation(s, d)
+              .where(col("n_name").isin("NATION_3", "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"))
+          .orderBy(col("s_name"))
+      },
+      Some("""SELECT s_name, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_3', 'NATION_7')
+                AND s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM part
+                    WHERE p_name LIKE 'small%')
+                  GROUP BY l_partkey, l_suppkey
+                  HAVING sum(CASE WHEN EXTRACT(year FROM l_shipdate)
+                        = 1996
+                      THEN CAST(l_quantity AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) * 2
+                    > sum(CAST(l_quantity AS DECIMAL(18,4))))
+              ORDER BY s_name""")),
 
     QueryDef("x107_temperature_mix",
       // temperature-smoothed source mixture (the multilingual-

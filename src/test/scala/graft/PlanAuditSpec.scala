@@ -452,4 +452,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"scalar gate must broadcast, not cartesian:\n$plan")
   }
+
+  test("q51/q52: correlated aggregates decorrelate to agg + join-back, no window") {
+    // initial plans: at sf0.001 the qualifying sets can be tiny and
+    // AQE legitimately rewrites join strategies — the guard is about
+    // what the planner emits
+    val p51 = q("q51_small_quantity_revenue")
+      .queryExecution.executedPlan.toString()
+    assert(p51.contains("LeftSemi"),
+      s"Q17's brand restriction must semi-prune lineitem first:\n$p51")
+    assert(!p51.contains("Window") && !p51.contains("CartesianProduct"),
+      s"Q17 shape must be per-part agg + join-back:\n$p51")
+    val p52 = q("q52_part_promotion_supplier")
+      .queryExecution.executedPlan.toString()
+    assert(p52.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"Q20's IN chain must run as a semi-join ladder:\n$p52")
+    assert(!p52.contains("Window") && !p52.contains("CartesianProduct"),
+      s"Q20 shape regressed:\n$p52")
+    assert(p52.contains("PushedFilters") && p52.contains("p_name"),
+      s"the part-name filter must reach the part scan:\n$p52")
+  }
 }
