@@ -5584,10 +5584,13 @@ object Catalog {
           sum("tokens").as("__tt"))
         bySource.crossJoin(broadcast(tot))
           .select(col("source"), col("tokens"),
-            expr("(tokens * CAST(1000000 AS BIGINT)) DIV __tt")
-              .as("natural_ppm"),
-            expr("(__w * CAST(1000000 AS BIGINT)) DIV __tw")
-              .as("smoothed_ppm"))
+            // DECIMAL(38,0) numerators (ADVICE r9): tokens*1e6 wraps
+            // BIGINT silently once a source passes ~9.2e12 tokens —
+            // real corpora do. Same widening as SkewJoin.heavyKeys
+            expr("""CAST((CAST(tokens AS DECIMAL(38,0)) * 1000000)
+              DIV __tt AS BIGINT)""").as("natural_ppm"),
+            expr("""CAST((CAST(__w AS DECIMAL(38,0)) * 1000000)
+              DIV __tw AS BIGINT)""").as("smoothed_ppm"))
           .orderBy("source")
       },
       Some("""WITH t AS (
@@ -5602,8 +5605,10 @@ object Catalog {
               tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
                         CAST(sum(tokens) AS BIGINT) AS tt FROM w)
               SELECT source, tokens,
-                tokens * 1000000 // tt AS natural_ppm,
-                w * 1000000 // tw AS smoothed_ppm
+                CAST(CAST(tokens AS HUGEINT) * 1000000 // tt AS BIGINT)
+                  AS natural_ppm,
+                CAST(CAST(w AS HUGEINT) * 1000000 // tw AS BIGINT)
+                  AS smoothed_ppm
               FROM w, tot ORDER BY source""")),
 
     QueryDef("x108_count_min",

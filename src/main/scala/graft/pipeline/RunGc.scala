@@ -88,6 +88,27 @@ object RunGc {
     else runInner(spark, root, ageMinutes, maxFiles, apply, maxDepth, fs)
   }
 
+  /** The nearest STRICT ancestor of `base` (below `root`) that looks
+    * like a journey state dir — carries `_lease`, `schema.json`, or
+    * `runs.jsonl`. RunIntake/RunSync lease `<stateDir>/_lease`, NOT
+    * the gc root, so a root-only lease would not exclude a concurrent
+    * intake on a child state dir (ADVICE r9): an applying gc must
+    * take the child's own lease before renaming tables inside it. */
+  private[pipeline] def nearestStateDir(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, base: String): Option[String] = {
+    val rootU = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    var p = new org.apache.hadoop.fs.Path(base).getParent
+    val markers = Seq("_lease", "schema.json", "runs.jsonl")
+    while (p != null && p.toUri.getPath != rootU &&
+        p.toUri.getPath.startsWith(rootU)) {
+      if (markers.exists(m =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, m))))
+        return Some(p.toUri.getPath)
+      p = p.getParent
+    }
+    None
+  }
+
   private def runInner(spark: SparkSession, root: String,
       ageMinutes: Long, maxFiles: Int, apply: Boolean, maxDepth: Int,
       fs: org.apache.hadoop.fs.FileSystem): Seq[Finding] = {
@@ -123,7 +144,22 @@ object RunGc {
       val action =
         if (mtime > cutoff) "skipped-young"
         else if (!apply) "would-recover"
-        else Compaction.recoverTable(spark, base)
+        else nearestStateDir(fs, root, base) match {
+          // the table lives inside a journey state dir whose writers
+          // lease <stateDir>/_lease, not the gc root — take THAT
+          // lease for the rename; a live intake there means the
+          // "leftover" may be its in-flight swap: skip, don't race
+          case Some(sd) =>
+            try graft.operators.Lease.withLease(
+                spark.sparkContext.hadoopConfiguration, sd,
+                graft.operators.Lease.defaultOwner())(_ =>
+              Compaction.recoverTable(spark, base))
+            catch {
+              case e: graft.operators.Lease.LeaseHeld =>
+                s"skipped-lease-held-by-${e.holder}"
+            }
+          case None => Compaction.recoverTable(spark, base)
+        }
       Finding(path, kind, action)
     }.toSeq
     // one base dir can surface via both siblings; recoverTable is

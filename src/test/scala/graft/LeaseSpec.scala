@@ -42,9 +42,10 @@ class LeaseSpec extends SparkSpec {
     val dead = Lease.acquire(conf, dir, "crashed", ttlMs = 0L)
     val thief = Lease.acquire(conf, dir, "thief")
     // the old holder's renew and release must not touch the thief's
-    // lease: renew throws LeaseLost, release is a quiet no-op
+    // lease — and BOTH must fail loudly (ADVICE r9: a stolen-from
+    // holder reporting success would hide the writer overlap)
     intercept[Lease.LeaseLost] { dead.renew() }
-    dead.release()
+    intercept[Lease.LeaseLost] { dead.release() }
     // thief still owns it — a third writer is refused
     val held = intercept[Lease.LeaseHeld] {
       Lease.acquire(conf, dir, "writer-x")
@@ -52,6 +53,58 @@ class LeaseSpec extends SparkSpec {
     assert(held.holder === "thief")
     thief.renew() // fencing token intact: renew succeeds
     thief.release()
+  }
+
+  test("racing stealers of one expired lease serialize: exactly one wins") {
+    // ADVICE r9: delete-then-create let two stealers both proceed (B's
+    // delete removed the lease A just created). The rename-tombstone
+    // steal admits exactly one winner no matter how many race.
+    val dir = tmpDir("graft_lease_race")
+    Lease.acquire(conf, dir, "crashed", ttlMs = 0L) // expired at birth
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val held = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        barrier.await()
+        try { Lease.acquire(conf, dir, s"stealer-$i"); wins.incrementAndGet() }
+        catch { case _: Lease.LeaseHeld => held.incrementAndGet() }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    assert(wins.get() === 1, "exactly one stealer must win the lease")
+    assert(held.get() === n - 1)
+  }
+
+  test("withLease auto-renews past the TTL and keeps exclusion") {
+    val dir = tmpDir("graft_lease_renew")
+    // TTL 3 s, body runs 7 s: without the renewer the lease would
+    // expire mid-run and a competitor could steal; with it the
+    // competitor stays refused for the whole run
+    val out = Lease.withLease(conf, dir, "long-runner", ttlMs = 3000L) { _ =>
+      Thread.sleep(4000L)
+      intercept[Lease.LeaseHeld] { Lease.acquire(conf, dir, "competitor") }
+      Thread.sleep(3000L)
+      intercept[Lease.LeaseHeld] { Lease.acquire(conf, dir, "competitor") }
+      42
+    }
+    assert(out === 42)
+    // released cleanly afterwards
+    Lease.acquire(conf, dir, "next").release()
+  }
+
+  test("withLease surfaces LeaseLost when stolen mid-run") {
+    val dir = tmpDir("graft_lease_lost")
+    intercept[Lease.LeaseLost] {
+      Lease.withLease(conf, dir, "overrunner", ttlMs = 1L) { _ =>
+        // TTL long past: a thief steals while the body still runs
+        Lease.acquire(conf, dir, "thief")
+        Thread.sleep(1500L) // let the renewer observe the theft
+        "finished-but-must-not-report-success"
+      }
+    }
   }
 
   test("two interleaved intake steps: the second fails fast, then converges once the lease frees") {
