@@ -51,7 +51,12 @@ object Bench {
     }
     final case class Row(name: String, cold: Double, min: Double,
         med: Double, warm: Double, all: Seq[Double])
-    val rows = Catalog.headlines.map { q =>
+    // adjudication dev loop: SPARK_GRAFT_BENCH_ONLY=x88,q20 times a
+    // subset (prefix match) — the X42AB protocol's "min-of-5 of the
+    // suspect plus an untouched control in ONE session". Unset = all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val rows = Catalog.headlines
+      .filter(q => only.forall(_.exists(q.name.startsWith))).map { q =>
       val ts = (1 to reps).map(_ => timeOnce(q))
       val r = Row(q.name, ts.head, ts.min, median(ts), ts.tail.min, ts)
       Console.err.println(

@@ -5564,6 +5564,230 @@ object Catalog {
                     > sum(CAST(l_quantity AS DECIMAL(18,4))))
               ORDER BY s_name""")),
 
+    QueryDef("q53_volume_shipping",
+      // TPC-H Q7 shape (volume shipping): the nation-PAIR query —
+      // two dimension copies with role names, the pair predicate
+      // either direction, conditional per-year aggregation. Pushdown
+      // discipline: both nation copies filter to the two nations
+      // BEFORE joining (the joins then shrink supplier/customer to
+      // 2/25ths), the pair predicate above only removes same-nation
+      // pairs; all dims broadcast, the two facts join on their keys
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val suppN = nation(s, d).where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("__snk"),
+            col("n_name").as("supp_nation"))
+        val custN = nation(s, d).where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("__cnk"),
+            col("n_name").as("cust_nation"))
+        lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(suppN, col("s_nationkey") === col("__snk"))
+          .join(custN, col("c_nationkey") === col("__cnk"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                EXTRACT(year FROM l_shipdate) AS l_year,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              FROM lineitem, orders, customer, supplier,
+                nation n1, nation n2
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey
+                AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND n1.n_name IN ('NATION_1', 'NATION_2')
+                AND n2.n_name IN ('NATION_1', 'NATION_2')
+                AND n1.n_name <> n2.n_name
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    QueryDef("q54_product_type_profit",
+      // TPC-H Q9 shape (product-type profit): the fact-fact-FACT
+      // chain lineitem⋈orders⋈part⋈supplier⋈nation with profit =
+      // revenue − cost per line, grouped by (nation, order-year).
+      // p_retailprice·l_quantity stands in for the missing partsupp
+      // supplycost (no partsupp table in this corpus — same stand-in
+      // rule as q52). Amount formed ONCE per line in DECIMAL before
+      // the aggregate; name-filtered part is the selective dim and
+      // prunes lineitem through the join; dims broadcast
+      (s, d) => lineitem(s, d)
+        .join(part(s, d).where(col("p_name").like("%gear"))
+            .select(col("p_partkey"), col("p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * lit(0.1))
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc),
+      Some("""SELECT n_name AS nation,
+                EXTRACT(year FROM o_orderdate) AS o_year,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    - p_retailprice * l_quantity * 0.1
+                  AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+              FROM lineitem, part, orders, supplier, nation
+              WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%gear'
+              GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    QueryDef("q55_important_part_value",
+      // TPC-H Q11 shape (important stock): a per-part aggregate gated
+      // by a GLOBAL scalar computed over a DIFFERENT grouping of the
+      // same restriction — the decorrelated form is one grouped
+      // aggregate plus a 1-row broadcast joined back. Gate is
+      // "above-average part value" cross-multiplied in DECIMAL
+      // (value·n_parts > total — exact where value > total/n flaps in
+      // doubles), the q51/q52 overflow discipline. Value =
+      // Σ price·qty over NATION_5's suppliers' lines (the partsupp
+      // stand-in); the nation restriction is a broadcast semi-join
+      (s, d) => {
+        val natSupp = supplier(s, d)
+          .join(nation(s, d).where(col("n_name") === "NATION_5"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val value = lineitem(s, d)
+          .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * col("l_quantity"))
+            .cast("decimal(18,4)")).as("__v"))
+        val tot = value.agg(sum(col("__v")).as("__tot"),
+          count(lit(1)).as("__n"))
+        value.crossJoin(broadcast(tot))
+          .where(col("__v") * col("__n") > col("__tot"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("__v").cast("double").as("part_value"))
+          .orderBy(col("part_value").desc, col("p_partkey"))
+          .limit(50)
+      },
+      Some("""WITH v AS (
+                SELECT l_partkey,
+                  sum(CAST(l_extendedprice * l_quantity
+                    AS DECIMAL(18,4))) AS v
+                FROM lineitem
+                WHERE l_suppkey IN (
+                  SELECT s_suppkey FROM supplier, nation
+                  WHERE s_nationkey = n_nationkey
+                    AND n_name = 'NATION_5')
+                GROUP BY 1),
+              t AS (SELECT sum(v) AS tot, count(*) AS n FROM v)
+              SELECT l_partkey AS p_partkey,
+                CAST(v AS DOUBLE) AS part_value
+              FROM v, t WHERE v * n > tot
+              ORDER BY part_value DESC, p_partkey LIMIT 50""")),
+
+    QueryDef("q56_customer_distribution",
+      // TPC-H Q13 shape (customer order distribution): the LEFT OUTER
+      // aggregation — every customer counts, order-less ones as zero,
+      // with the order filter INSIDE the join (a WHERE above the
+      // outer join would silently turn it inner: the classic Q13
+      // trap). Two hash aggs; the second is over a count-sized domain
+      (s, d) => customer(s, d).select(col("c_custkey"))
+        .join(orders(s, d)
+            .where(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist
+              FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                    FROM customer LEFT OUTER JOIN orders
+                      ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+                    GROUP BY c_custkey)
+              GROUP BY c_count
+              ORDER BY custdist DESC, c_count DESC""")),
+
+    QueryDef("q57_top_supplier",
+      // TPC-H Q15 shape (top supplier): the max-revenue join-back —
+      // the revenue "view" aggregates once, its 1-row max broadcasts
+      // back onto itself (no window, no second scan of the fact), and
+      // only then does the supplier dim join. Revenue stays DECIMAL
+      // through the max-equality (exact — order-independent sums are
+      // why dsum exists) and casts to double only for output
+      (s, d) => {
+        val rev = lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("__rev"))
+        val top = rev.agg(max(col("__rev")).as("__max"))
+        supplier(s, d)
+          .join(rev.crossJoin(broadcast(top))
+              .where(col("__rev") === col("__max")),
+            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("__rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey,
+                  sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+              SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+              FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              WHERE r = (SELECT max(r) FROM rev)
+              ORDER BY s_suppkey""")),
+
+    QueryDef("q58_disjunctive_revenue",
+      // TPC-H Q19 shape (discounted revenue): the OR-of-ANDs whose
+      // conjuncts each MIX columns of both tables — un-pushable as
+      // written, so the per-side hulls are pushed EXPLICITLY: part
+      // pre-filters to the brand/size union, lineitem to the quantity
+      // union (each implied by the disjunction), and the exact OR
+      // applies above the join. At 100 TB the hull filters are what
+      // keep the join from reading both tables whole; the brands are
+      // this corpus's Brand#1/2/3
+      (s, d) => {
+        val b1 = col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+        val b2 = col("p_brand") === "Brand#2" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+        val b3 = col("p_brand") === "Brand#3" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+        lineitem(s, d)
+          .where(col("l_quantity").between(1, 30)) // quantity hull
+          .join(part(s, d)
+              .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+                col("p_size").between(1, 15)), // brand/size hull
+            col("l_partkey") === col("p_partkey"))
+          .where(b1 || b2 || b3)
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                     AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                     AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 20 AND 30)""")),
+
     QueryDef("x107_temperature_mix",
       // temperature-smoothed source mixture (the multilingual-
       // sampling rule, alpha = 1/2): natural rates oversample the

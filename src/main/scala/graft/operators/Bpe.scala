@@ -191,6 +191,14 @@ object Bpe {
     val callerPersisted =
       words.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val wide = if (callerPersisted) words else words.persist()
+    // AQE off for the training rounds (restored on exit): each round
+    // is a vocab-sized 1-to-few-task job where AQE's per-stage
+    // re-planning is pure driver overhead — thousands of sequential
+    // rounds pay it thousands of times. Plans this small gain nothing
+    // from runtime re-optimization (the coalesce layout is already
+    // explicit); results are plan-identical either way.
+    val session = words.sparkSession
+    val aqeBefore = session.conf.get("spark.sql.adaptive.enabled", "true")
     val vocabRows = wide.count() // also materializes the cache
     val maxTasks = words.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toLong
@@ -206,6 +214,7 @@ object Bpe {
     var sinceTruncate = 0
     val found = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
+      session.conf.set("spark.sql.adaptive.enabled", "false")
       var exhausted = false
       while (found.size < merges && !exhausted) {
         val __t0 = System.nanoTime()
@@ -258,6 +267,7 @@ object Bpe {
       }
       found.toSeq
     } finally {
+      session.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       state.unpersist(blocking = false)
       if (parent != null) parent.unpersist(blocking = false)
       if (!callerPersisted) wide.unpersist(blocking = false)

@@ -145,6 +145,139 @@ object Compaction {
       s"recoverTable: no copy of $dir exists (live/.old/.tmp all absent)")
   }
 
+  // ------------------------------------------------------------------
+  // READER-ATOMIC tables (VERDICT r9 item 5): the two-rename swap
+  // above requires quiesced readers — between park and promote the
+  // live path does not exist. For tables with UN-QUIESCED readers
+  // (RunMix reading accepted/ while a sync rewrites it), the pointered
+  // layout closes the window:
+  //
+  //   <root>/_current     — tiny manifest naming the live generation
+  //   <root>/gen-<n>/     — complete table copies (current + previous)
+  //
+  // Readers resolve the pointer ([[resolveData]]) and read the named
+  // generation. The swap writes the NEXT generation completely, then
+  // flips `_current` with one atomic rename of a fully-written
+  // manifest file — a reader at ANY interleaving resolves to either
+  // the old or the new generation, both complete. GC deletes only
+  // generations BEFORE the previous one (the previous survives one
+  // swap as the grace copy for readers that resolved just before the
+  // flip; on a shared cluster size the grace window to reader runtime
+  // by keeping more generations). Plain tables (no `_current`) resolve
+  // to themselves, so the reader path is backward-compatible.
+  // ------------------------------------------------------------------
+
+  private def fsFor(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The data directory a reader should scan: `<root>/<gen>` when the
+    * `_current` pointer exists, `root` itself otherwise (plain
+    * layout — backward compatible). */
+  def resolveData(spark: SparkSession, root: String): String = {
+    val fs = fsFor(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(root, "_current")
+    if (!fs.exists(ptr)) root
+    else {
+      val in = fs.open(ptr)
+      val gen =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      s"$root/$gen"
+    }
+  }
+
+  /** Read a table through its pointer (or directly when plain). */
+  def readData(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(resolveData(spark, root))
+
+  private def genNumber(name: String): Option[Long] =
+    if (name.startsWith("gen-"))
+      scala.util.Try(name.stripPrefix("gen-").toLong).toOption
+    else None
+
+  private def currentGenNumber(spark: SparkSession, root: String): Option[Long] = {
+    val cur = resolveData(spark, root)
+    if (cur == root) None
+    else genNumber(new org.apache.hadoop.fs.Path(cur).getName)
+  }
+
+  /** Atomically flip `_current` to `gen`. The manifest is written
+    * fully to a unique temp name and RENAMED over the pointer — on
+    * POSIX and HDFS (FileContext OVERWRITE) the rename is atomic, so
+    * a concurrent reader sees the old or the new manifest, never a
+    * partial one. */
+  private def flipPointer(spark: SparkSession, root: String,
+      gen: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_current.tmp.${java.util.UUID.randomUUID()}")
+    val fs = fsFor(spark, root)
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(root).toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Ensure `root` is a pointered table and return its CURRENT data
+    * dir (for appends). Fresh root → `gen-1` founded and pointed at.
+    * An existing PLAIN table migrates: its data files move into
+    * `gen-1` (rename, no copy), then the pointer appears — migration
+    * mutates the layout and must run QUIESCED (the journeys call this
+    * under their writer lease; it is a one-time event per table). */
+  def ensureAtomic(spark: SparkSession, root: String): String = {
+    val fs = fsFor(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    currentGenNumber(spark, root) match {
+      case Some(n) => s"$root/gen-$n"
+      case None =>
+        val gen1 = new org.apache.hadoop.fs.Path(root, "gen-1")
+        fs.mkdirs(gen1)
+        if (fs.exists(rootPath)) {
+          // migrate plain data files (if any) into gen-1
+          fs.listStatus(rootPath).foreach { st =>
+            val n = st.getPath.getName
+            if (n != "gen-1" && !n.startsWith("_current") &&
+                !n.startsWith("_lease"))
+              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(gen1, n))
+          }
+        }
+        flipPointer(spark, root, "gen-1")
+        s"$root/gen-1"
+    }
+  }
+
+  /** READER-ATOMIC replacement: write the next generation completely,
+    * flip the pointer, GC generations older than the previous. The
+    * table stays resolvable to a COMPLETE copy at every instant;
+    * single-WRITER discipline still applies (journey lease), readers
+    * need nothing. A crash before the flip leaves an orphan gen dir
+    * (invisible to readers; overwritten by the next swap or cleared
+    * by gc); a crash after the flip is a completed swap. */
+  def replaceTableAtomic(spark: SparkSession, root: String)
+      (write: String => Unit): Unit = {
+    val fs = fsFor(spark, root)
+    val cur = currentGenNumber(spark, root).getOrElse {
+      ensureAtomic(spark, root)
+      currentGenNumber(spark, root).get
+    }
+    val next = cur + 1
+    val nextDir = new org.apache.hadoop.fs.Path(root, s"gen-$next")
+    if (fs.exists(nextDir)) fs.delete(nextDir, true) // crashed writer's orphan
+    write(s"$root/gen-$next")
+    flipPointer(spark, root, s"gen-$next")
+    // GC: everything before the PREVIOUS generation (grace copy kept)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
+      genNumber(st.getPath.getName).foreach { g =>
+        if (g < cur) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Compact a [[Dedup.buildFuzzyIndex]] layout: both the `sets/` and
     * `bands/` tables (meta is one file — untouched). Returns the
     * (before, after) total file counts per table. */

@@ -243,7 +243,11 @@ object RunIntake {
       // one funnel execution feeds BOTH the sink append and the profile
       // state update (the curateAndReport lesson)
       accepted.persist()
-      accepted.write.mode(SaveMode.Append).parquet(s"$stateDir/accepted")
+      // the sink is a POINTERED table (Compaction reader-atomic
+      // layout): appends land in the current generation; RunSync's
+      // survivors-only rewrite swaps generations under readers
+      accepted.write.mode(SaveMode.Append)
+        .parquet(Compaction.ensureAtomic(spark, s"$stateDir/accepted"))
       // growing per-source profile: the batch's mergeable state (x69
       // algebra, built from the funnel's OWN scores — no second
       // DocStats scan) merges into profile_state/ at O(batch) cost via
@@ -326,7 +330,8 @@ object RunIntake {
           .write.mode(SaveMode.Overwrite).parquet(tmp)
       }
       accepted.unpersist(false)
-      val nAccepted = spark.read.parquet(s"$stateDir/accepted").count()
+      val nAccepted =
+        Compaction.readData(spark, s"$stateDir/accepted").count()
       val nIn = batch.count()
       val lmKept =
         if (lmGate.isDefined) Seq("lm_kept" -> gated.count()) else Nil

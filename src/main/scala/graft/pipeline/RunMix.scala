@@ -138,7 +138,11 @@ object RunMix {
     // possible duplicate appends (decisions never flip, so any copy
     // carries identical columns — an arbitrary survivor is exact).
     val docs =
-      if (accepted) spark.read.parquet(s"$docsDir/accepted")
+      if (accepted)
+        // the intake sink is a pointered (reader-atomic) table: the
+        // mix can run DURING a sync's survivors rewrite and still
+        // resolve a complete generation — this read needs no lease
+        graft.operators.Compaction.readData(spark, s"$docsDir/accepted")
         .dropDuplicates("doc_id")
       else spark.read.parquet(s"$docsDir/documents.parquet")
     // default journey keeps every source whole (weight 1); pass an

@@ -160,19 +160,24 @@ object RunSync {
     }
     val acceptedPath = s"$stateDir/accepted"
     if (exists(acceptedPath)) {
-      // survivors-only rewrite under the destroy-last swap: an
-      // anti-join against the churn ids writes to the tmp sibling
-      // while the live table stays readable, then the swap renames —
-      // never an isin over a collected id list, never read+overwrite
-      // of the same path
-      Compaction.replaceTable(spark, acceptedPath) { tmp =>
-        spark.read.parquet(acceptedPath)
+      // survivors-only rewrite under the READER-ATOMIC pointered swap
+      // (VERDICT r9 item 5): the anti-join against the churn ids
+      // writes a complete NEXT GENERATION while the current one stays
+      // live, then the `_current` pointer flips atomically — a reader
+      // at any instant (RunMix --accepted needs no lease) resolves to
+      // exactly the old or the new table, never the missing-table
+      // window the two-rename swap had. ensureAtomic migrates a
+      // pre-pointer accepted/ in place (quiesced: we hold the lease)
+      val liveDir = Compaction.ensureAtomic(spark, acceptedPath)
+      Compaction.replaceTableAtomic(spark, acceptedPath) { next =>
+        spark.read.parquet(liveDir)
           .join(goneIds, Seq(idCol), "left_anti")
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
+          .write.mode(SaveMode.Overwrite).parquet(next)
       }
     }
     val acceptedAfterTakedown =
-      if (exists(acceptedPath)) spark.read.parquet(acceptedPath).count()
+      if (exists(acceptedPath))
+        Compaction.readData(spark, acceptedPath).count()
       else 0L
 
     // 2. re-intake the arriving side of the churn as ONE batch
@@ -189,13 +194,14 @@ object RunSync {
           Curate.intakeStep(spark, batch, idCol, textCol,
             exactPath, fuzzyPath, cfg, eval)
       }
-      accepted.write.mode(SaveMode.Append).parquet(acceptedPath)
+      accepted.write.mode(SaveMode.Append)
+        .parquet(Compaction.ensureAtomic(spark, acceptedPath))
     }
     lease.release()
     diff.unpersist()
     // count from the read-back (the RunCurate one-execution lesson);
     // the per-run admission count is the delta over the takedown floor
-    val acceptedTotal = spark.read.parquet(acceptedPath).count()
+    val acceptedTotal = Compaction.readData(spark, acceptedPath).count()
     val nNewAccepted = acceptedTotal - acceptedAfterTakedown
     val report = Seq(
       "removed" -> nRemoved, "changed" -> nChanged, "added" -> nAdded,

@@ -210,7 +210,7 @@ class CurateSpec extends SparkSpec {
     // snapshot A: ids ≡6 (mod 10) not yet delivered
     val snapA = docs.where(col("doc_id") % 10 =!= 6)
     graft.pipeline.RunIntake.run(spark, snapA, state, cfg)
-    val acceptedA = spark.read.parquet(s"$state/accepted").cache()
+    val acceptedA = graft.operators.Compaction.readData(spark, s"$state/accepted").cache()
     // pick the churn from docs that actually got ACCEPTED, so the
     // takedown paths are exercised (a filtered-out doc's removal
     // would be vacuous): the first accepted doc leaves, the second is
@@ -228,7 +228,7 @@ class CurateSpec extends SparkSpec {
     assert(rep("added") == docs.where(col("doc_id") % 10 === 6).count())
     assert(rep("deleted_exact") >= 1L,
       "the removed/changed docs were indexed — the exact tier must shed rows")
-    val acceptedB = spark.read.parquet(s"$state/accepted").cache()
+    val acceptedB = graft.operators.Compaction.readData(spark, s"$state/accepted").cache()
     // removed + changed-old rows are gone from accepted/
     assert(acceptedB.where(col("doc_id") === removedDonor).count() == 0,
       "removed docs must leave accepted/")
@@ -246,7 +246,7 @@ class CurateSpec extends SparkSpec {
     val totalBefore = acceptedB.count()
     val rep2 = graft.pipeline.RunIntake.run(spark, followUp, state, cfg)
       .toMap
-    val acceptedC = spark.read.parquet(s"$state/accepted")
+    val acceptedC = graft.operators.Compaction.readData(spark, s"$state/accepted")
     assert(acceptedC.where(col("doc_id") === removedDonor + 100000L)
       .count() == 1, "a removed doc's content must be admissible again")
     assert(acceptedC.where(col("doc_id") === survivorDonor + 100000L)
@@ -272,7 +272,7 @@ class CurateSpec extends SparkSpec {
     val baseVecs = ids.map(id => (id, vec(id))).toDF("vec_id", "embedding")
     graft.pipeline.RunIntake.run(spark, docs, state, cfg,
       vectors = Some((baseVecs, "vec_id", "embedding")))
-    val acceptedA = spark.read.parquet(s"$state/accepted")
+    val acceptedA = graft.operators.Compaction.readData(spark, s"$state/accepted")
     val Seq(removedDonor, keptDonor) = acceptedA.orderBy("doc_id")
       .limit(2).select("doc_id").as[Long].collect().toSeq
     // snapshot B: the donor leaves; two text-novel docs arrive — one
@@ -297,7 +297,7 @@ class CurateSpec extends SparkSpec {
     assert(rep("removed") == 1 && rep("added") == 2)
     assert(rep("deleted_semantic") >= 1L,
       "the removed doc's vector must leave the semantic tier")
-    val acceptedB = spark.read.parquet(s"$state/accepted")
+    val acceptedB = graft.operators.Compaction.readData(spark, s"$state/accepted")
     assert(acceptedB.where(col("doc_id") === n1).count() == 1,
       "a removed doc's vector slot must be admissible again")
     assert(acceptedB.where(col("doc_id") === n2).count() == 0,
@@ -403,7 +403,7 @@ class CurateSpec extends SparkSpec {
       docs.where(col("doc_id") < 250), state, cfg, span = Some(5))
     graft.pipeline.RunIntake.run(spark,
       docs.where(col("doc_id") >= 250), state, cfg, span = Some(5))
-    val accepted = spark.read.parquet(s"$state/accepted")
+    val accepted = graft.operators.Compaction.readData(spark, s"$state/accepted")
       .collect().map(_.toString).sorted.toSeq
     val oneShotText = Curate.curate(docs, "doc_id", "text", cfg)
     val expected = graft.operators.Dedup.stripDuplicateSpans(
@@ -434,7 +434,7 @@ class CurateSpec extends SparkSpec {
       docs.where(col("doc_id") < 250), state, cfg)
     val rep2 = graft.pipeline.RunIntake.run(spark,
       docs.where(col("doc_id") >= 250), state, cfg).toMap
-    val accepted = spark.read.parquet(s"$state/accepted")
+    val accepted = graft.operators.Compaction.readData(spark, s"$state/accepted")
     val oneShot = Curate.curate(docs, "doc_id", "text", cfg)
     assert(accepted.count() == oneShot.count() &&
       accepted.exceptAll(oneShot).count() == 0 &&
@@ -507,18 +507,18 @@ class CurateSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(state, "schema.json")))
     // renamed column -> fail fast with the diff, nothing mutated
-    val before = spark.read.parquet(s"$state/accepted").count()
+    val before = graft.operators.Compaction.readData(spark, s"$state/accepted").count()
     val drifted = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
       .withColumnRenamed("source", "origin")
     val e = intercept[IllegalArgumentException](
       graft.pipeline.RunIntake.run(spark, drifted, state, cfg))
     assert(e.getMessage.contains("schema gate"))
-    assert(spark.read.parquet(s"$state/accepted").count() == before,
+    assert(graft.operators.Compaction.readData(spark, s"$state/accepted").count() == before,
       "a gated-out batch must leave the sink untouched")
     // a conforming batch still flows
     graft.pipeline.RunIntake.run(spark,
       docs.where(col("doc_id") >= 100 && col("doc_id") < 150), state, cfg)
-    assert(spark.read.parquet(s"$state/accepted").count() >= before)
+    assert(graft.operators.Compaction.readData(spark, s"$state/accepted").count() >= before)
     graft.operators.Dedup.releaseCheckpoints()
   }
 
@@ -551,7 +551,7 @@ class CurateSpec extends SparkSpec {
     graft.pipeline.RunIntake.run(spark,
       docs.where(col("doc_id") >= 250), state, cfg, lmGate = gate)
     assert(r1("lm_kept") < r1("input"), s"band must cut something: $r1")
-    val accepted = spark.read.parquet(s"$state/accepted")
+    val accepted = graft.operators.Compaction.readData(spark, s"$state/accepted")
     val gatedCorpus = docs.join(
       scored.where(col("mean_nll_unats").between(lo, hi)).select("doc_id"),
       Seq("doc_id"), "left_semi")

@@ -129,7 +129,7 @@ class LeaseSpec extends SparkSpec {
     // is an exact dup of batch1's doc 1 and is rejected by the probe
     graft.pipeline.RunIntake.run(spark, batch1, stateDir)
     graft.pipeline.RunIntake.run(spark, batch2, stateDir)
-    val accepted = spark.read.parquet(s"$stateDir/accepted")
+    val accepted = graft.operators.Compaction.readData(spark, s"$stateDir/accepted")
       .select("doc_id").as[Long].collect().sorted
     assert(accepted.toSeq === Seq(1L, 2L, 4L))
     // the lease file does not linger after the journeys finish
@@ -160,7 +160,7 @@ class LeaseSpec extends SparkSpec {
     held.release()
     graft.pipeline.RunSync.run(spark, snap1, snap2, stateDir)
     // snap2 = {1 unchanged, 2 removed, 3 added} — the sync lands there
-    val ids = spark.read.parquet(s"$stateDir/accepted")
+    val ids = graft.operators.Compaction.readData(spark, s"$stateDir/accepted")
       .select("doc_id").as[Long].collect().sorted
     assert(ids.toSeq === Seq(1L, 3L))
   }
