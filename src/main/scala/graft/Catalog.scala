@@ -5886,7 +5886,37 @@ object Catalog {
                 (est.cms_est - e.exact_c) * 1000000 // e.exact_c
                   AS over_ppm
               FROM ex e JOIN est ON e.word = est.word
-              ORDER BY e.exact_c DESC, e.word"""))
+              ORDER BY e.exact_c DESC, e.word""")),
+
+    QueryDef("x109_png_pixels",
+      // REAL PNG pixel decode (r9 verdict item 6): deterministic
+      // COMPLETE PNGs (genuine zlib IDAT, CRCs, per-row filters
+      // cycling through all five predictors) are synthesized from the
+      // doc ids, decoded back through Inflater + unfilter, and exact
+      // integer pixel stats computed. The oracle never decodes: every
+      // pixel is (id·31 + x·7 + y·13) mod 256 by construction, so
+      // DuckDB replays the stats as plain integer algebra over a
+      // lateral range — any decode defect (wrong filter math, zlib
+      // mis-assembly, dim mix-up) breaks the sums bit-for-bit
+      (s, d) => Multimodal.pngPixelStats(s,
+          Multimodal.packRealPngs(s, documents(s, d)
+            .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, doc_id % 16 + 4 AS w,
+                  (doc_id * 7) % 12 + 4 AS h
+                FROM documents WHERE doc_id < 500),
+              px AS (
+                SELECT id, w, h,
+                  (id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+                FROM imgs, range(0, 20) x(x), range(0, 16) y(y)
+                WHERE x.x < w AND y.y < h)
+              SELECT id AS media_id, w AS width, h AS height,
+                count(*) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM px GROUP BY 1, 2, 3 ORDER BY media_id"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -658,6 +658,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: REAL PNG decode — every filter type round-trips byte-exactly; malformed screened") {
+    // one image per filter type: encode with predictor f on every
+    // row, decode, compare to the direct pixel formula — any filter
+    // math or zlib-assembly defect breaks byte equality
+    (0 to 4).foreach { f =>
+      val w = 13; val h = 9
+      def pix(x: Int, y: Int): Int = (x * 7 + y * 13 + f * 31) % 256
+      val bytes = Multimodal.buildPng(w, h, pix, _ => f)
+      val decoded = Multimodal.decodePng(bytes)
+      assert(decoded.isDefined, s"filter $f failed to decode")
+      val (dw, dh, bpp, pxs) = decoded.get
+      assert(dw == w && dh == h && bpp == 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((pxs(y * w + x) & 0xff) == pix(x, y),
+          s"filter $f pixel ($x,$y) mismatch")
+    }
+    // mixed per-row filters (the packRealPngs shape) round-trip too
+    val mixed = Multimodal.buildPng(20, 16,
+      (x, y) => (x * 3 + y * 5) % 256, r => r % 5)
+    val (mw, mh, _, mp) = Multimodal.decodePng(mixed).get
+    assert(mw == 20 && mh == 16 && (mp(5 * 20 + 7) & 0xff) == (7 * 3 + 5 * 5) % 256)
+    // malformed payloads screen out instead of throwing: bad magic,
+    // truncated IDAT, unsupported bit depth
+    assert(Multimodal.decodePng("nope".getBytes).isEmpty)
+    assert(Multimodal.decodePng(mixed.take(40)).isEmpty)
+    assert(Multimodal.decodePng(mixed.dropRight(30).take(60)).isEmpty)
+    // the distributed stats operator agrees with a driver-side count
+    val stats = Multimodal.pngPixelStats(spark,
+        Multimodal.packRealPngs(spark, Seq(3L, 8L, 42L).toDF("doc_id"),
+          "doc_id"))
+      .orderBy("media_id").collect()
+    Seq(3L, 8L, 42L).zip(stats).foreach { case (id, r) =>
+      val w = (id % 16 + 4).toInt; val h = ((id * 7) % 12 + 4).toInt
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(3) == w.toLong * h)
+      assert(r.getLong(4) == vals.map(_.toLong).sum, s"sum for id $id")
+      assert(r.getLong(5) == vals.max.toLong)
+      assert(r.getLong(6) == vals.count(_ > 127).toLong)
+    }
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
