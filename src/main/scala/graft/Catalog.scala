@@ -5916,7 +5916,65 @@ object Catalog {
                 CAST(sum(v) AS BIGINT) AS sum_pixels,
                 CAST(max(v) AS BIGINT) AS max_pixel,
                 CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
-              FROM px GROUP BY 1, 2, 3 ORDER BY media_id"""))
+              FROM px GROUP BY 1, 2, 3 ORDER BY media_id""")),
+
+    QueryDef("x110_ann_autotune",
+      // ANN nprobe auto-tuning (r9 verdict item 7): the probe-
+      // coverage curve — for each candidate nprobe, the share of
+      // corpus mass the queries' nearest cells hold (floored integer
+      // ppm) — plus the target gate a caller's recall floor reads.
+      // Mass coverage is the CONSERVATIVE recall proxy (x62 measured
+      // 0.31 recall at 0.125 mass), so "smallest nprobe with
+      // covered_ppm >= target" is the derived operating point,
+      // replacing the silently-default nprobe=2. Queries = the corpus
+      // itself (the self-audit form); one assign pass + one ranked-
+      // cells pass + an nlist-row cumulative window
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        IvfAnn.probeCoverage(emb, "embedding", emb, "embedding", cents)
+          .withColumn("meets_target", col("covered_ppm") >= 600000L)
+          .orderBy("nprobe")
+      },
+      // the x61 assignment replay (seed centroids, exact integer
+      // argmin, ties to the lower cell) extended to the FULL ranking
+      // per query, then cumulative mass over rank
+      Some(s"""WITH q AS (
+                SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, d,
+                  CAST(floor(CAST(sum(qv[CAST(d AS INT)]) AS DOUBLE)
+                             / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d)
+                GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[CAST(ct.d AS INT)] - ct.c)
+                         * (q.qv[CAST(ct.d AS INT)] - ct.c)) AS BIGINT) AS d2
+                FROM q, cent ct
+                GROUP BY q.vec_id, ct.cell),
+              ranked AS (
+                SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2, cell) AS rk FROM dist),
+              counts AS (
+                SELECT cell, count(*) AS n FROM ranked
+                WHERE rk = 1 GROUP BY 1),
+              perpos AS (
+                SELECT rk, CAST(sum(coalesce(n, 0)) AS BIGINT) AS s
+                FROM ranked LEFT JOIN counts USING (cell)
+                GROUP BY rk),
+              tot AS (SELECT count(*) AS nq FROM embeddings)
+              SELECT CAST(rk AS INT) AS nprobe,
+                CAST(CAST(sum(s) OVER (ORDER BY rk) AS HUGEINT) * 1000000
+                  // (SELECT nq * nq FROM tot) AS BIGINT) AS covered_ppm,
+                CAST(CAST(sum(s) OVER (ORDER BY rk) AS HUGEINT) * 1000000
+                  // (SELECT nq * nq FROM tot) >= 600000 AS BOOLEAN)
+                  AS meets_target
+              FROM perpos ORDER BY nprobe"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

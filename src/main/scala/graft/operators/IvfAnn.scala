@@ -360,6 +360,100 @@ object IvfAnn {
       "cell", idCol, perCell)
   }
 
+  /** PROBE-COVERAGE CURVE — the auto-tuning half of the x61/x62
+    * monitoring pair (r9 verdict item 7: nprobe=2 was a documented
+    * but silently-default lossy config). For every candidate nprobe
+    * p, the total corpus mass held by the queries' p nearest cells,
+    * as a share of (|Q| × |corpus|) in floored integer ppm — i.e. the
+    * expected fraction of candidate mass a p-probe search scans.
+    *
+    * Mass coverage is a CONSERVATIVE recall proxy: true neighbors
+    * concentrate in a query's nearest cells, so measured recall@k
+    * sits well ABOVE the mass share (x62 measured 0.31 recall at
+    * 2/16 ≈ 0.125 mass; FunctionsSpec asserts the ordering) — a
+    * coverage target therefore acts as a recall floor in practice.
+    *
+    * Cost: one assign pass over `corpus` (or none — see
+    * [[probeCoverageIndexed]]), one ranked-cells pass over the query
+    * SAMPLE, a broadcast join against the nlist-row profile, and an
+    * nlist-row cumulative window. Exact integers end to end
+    * (DECIMAL(38,0) numerator — nq·nc·1e6 passes BIGINT at corpus
+    * scale). Output: (nprobe, covered_ppm) for nprobe = 1..nlist. */
+  def probeCoverage(corpus: DataFrame, corpusVec: String,
+      queries: DataFrame, queryVec: String,
+      cents: Array[IntCentroid]): DataFrame = {
+    val counts = corpus
+      .select(cellIdInt(col(corpusVec), cents).cast("long").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("__n"))
+    probeCoverageFromCounts(counts, queries, queryVec, cents)
+  }
+
+  /** [[probeCoverage]] against a persisted [[buildIndexInt]] layout —
+    * no assign pass: the stored `__cell` column IS the assignment. */
+  def probeCoverageIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryVec: String): DataFrame = {
+    val cents = loadCentroidsInt(spark, path)
+    val counts = spark.read.parquet(path)
+      .select(col("__cell").cast("long").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("__n"))
+    probeCoverageFromCounts(counts, queries, queryVec, cents)
+  }
+
+  private def probeCoverageFromCounts(counts: DataFrame,
+      queries: DataFrame, queryVec: String,
+      cents: Array[IntCentroid]): DataFrame = {
+    val ranked = queries
+      .select(posexplode(
+        probeCellsInt(col(queryVec), cents, cents.length))
+        .as(Seq("__pos", "__c")))
+      .join(broadcast(counts.select(col("cell").as("__c"), col("__n"))),
+        Seq("__c"), "left")
+    val perPos = ranked.groupBy("__pos")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__s"))
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    val nc = counts.agg(coalesce(sum(col("__n")), lit(0L)).as("__nc"))
+    // cumulative over an nlist-row frame: the single-partition window
+    // is over the MODEL-sized curve, never data
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perPos
+      .withColumn("__cum", sum(col("__s")).over(w))
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nc))
+      .select((col("__pos") + 1).cast("int").as("nprobe"),
+        expr("""CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000)
+          DIV (__nq * __nc) AS BIGINT)""").as("covered_ppm"))
+      .orderBy("nprobe")
+  }
+
+  /** The smallest nprobe whose probed-mass coverage meets
+    * `targetPpm`, from a [[probeCoverage]] curve (nlist rows — a
+    * model-sized collect). Falls back to nlist (exhaustive probe)
+    * when even full coverage misses the target (degenerate profiles). */
+  def nprobeForTarget(curve: DataFrame, targetPpm: Long): Int = {
+    val rows = curve.select(col("nprobe"), col("covered_ppm"))
+      .collect().sortBy(_.getInt(0))
+    rows.find(_.getLong(1) >= targetPpm).map(_.getInt(0))
+      .getOrElse(if (rows.isEmpty) 1 else rows.last.getInt(0))
+  }
+
+  /** [[searchIndexInt]] with the nprobe DERIVED from a caller-
+    * specified coverage target instead of hand-picked: the index's
+    * own cell profile + the query sample's ranked cells choose the
+    * smallest nprobe whose probed mass meets `targetMassPpm` (a
+    * conservative recall floor — see [[probeCoverage]]). Returns the
+    * results plus the chosen nprobe so callers can record the
+    * operating point. */
+  def searchIndexIntAtTarget(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String, k: Int, targetMassPpm: Long,
+      staticPrune: Boolean = true): (DataFrame, Int) = {
+    val cents = loadCentroidsInt(spark, path)
+    val nprobe = nprobeForTarget(
+      probeCoverageIndexed(spark, path, queries, queryVec), targetMassPpm)
+    (searchIndexInt(spark, path, queries, corpusId, corpusVec,
+      queryId, queryVec, cents, k, nprobe, staticPrune), nprobe)
+  }
+
   /** Recall@k audit of the IVF search against the exact brute force —
     * the drift monitor's other half: as a frozen-centroid index grows,
     * RECALL decays before latency does, and this is the number the

@@ -778,6 +778,54 @@ class FunctionsSpec extends SparkSpec {
       s"floored integer shares must sum to just under 1e6: $shareSum")
   }
 
+  test("probeCoverage auto-tuning: the derived nprobe meets the recall target on the recallAtK audit") {
+    val corpus = (0 until 160).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(corpus, "vec_id", "embedding", nlist = 8)
+    val queries = corpus.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val curve = IvfAnn.probeCoverage(corpus, "embedding",
+      queries, "q_vec", cents)
+    val rows = curve.collect().sortBy(_.getInt(0))
+    // curve sanity: monotone non-decreasing, full probe ≈ full mass
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8),
+      "one curve row per candidate nprobe")
+    assert(rows.sliding(2).forall(p => p.length < 2 ||
+      p(0).getLong(1) <= p(1).getLong(1)), "coverage must be monotone")
+    assert(rows.last.getLong(1) >= 999990L,
+      s"nprobe == nlist must cover ~all mass: ${rows.last.getLong(1)}")
+    // the derived operating point: smallest nprobe with coverage >=
+    // the caller's target
+    val target = 500000L
+    val chosen = IvfAnn.nprobeForTarget(curve, target)
+    assert(chosen >= 1 && chosen < 8,
+      s"a 0.5 mass target must not need an exhaustive probe: $chosen")
+    assert(rows(chosen - 1).getLong(1) >= target)
+    if (chosen > 1) assert(rows(chosen - 2).getLong(1) < target,
+      "chosen must be the SMALLEST qualifying nprobe")
+    // THE CONTRACT (r9 verdict item 7): mass coverage is a
+    // conservative recall proxy, so the x62 audit at the chosen
+    // nprobe must read >= the target for the mean query
+    val audit = IvfAnn.recallAtK(corpus, queries, "vec_id", "embedding",
+      "q_id", "q_vec", cents, k = 5, nprobe = chosen)
+    val meanRecall = audit.agg(avg(col("recall_ppm"))).collect()(0).getDouble(0)
+    assert(meanRecall >= target.toDouble,
+      s"mean recall $meanRecall below target $target at nprobe=$chosen")
+    // the targeted search wrapper derives the same nprobe from the
+    // persisted layout and returns identical neighbors
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tune").toString
+    IvfAnn.buildIndexInt(corpus, "vec_id", "embedding", cents, s"$tmp/idx")
+    val (res, usedNprobe) = IvfAnn.searchIndexIntAtTarget(spark, s"$tmp/idx",
+      queries, "vec_id", "embedding", "q_id", "q_vec", k = 5,
+      targetMassPpm = target)
+    assert(usedNprobe == chosen, s"indexed curve chose $usedNprobe != $chosen")
+    val direct = IvfAnn.searchIndexInt(spark, s"$tmp/idx", queries,
+      "vec_id", "embedding", "q_id", "q_vec", cents, k = 5, nprobe = chosen)
+    assert(res.select("query_id", "neighbor_id").collect().toSet ==
+      direct.select("query_id", "neighbor_id").collect().toSet)
+  }
+
   test("diversitySample: over-cap cells shrink to the cap, under-cap cells pass whole; layout-invariant") {
     val corpus = (0 until 120).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
