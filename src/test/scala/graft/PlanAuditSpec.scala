@@ -472,4 +472,65 @@ class PlanAuditSpec extends SparkSpec {
     assert(p52.contains("PushedFilters") && p52.contains("p_name"),
       s"the part-name filter must reach the part scan:\n$p52")
   }
+
+  test("q53/q54: nation-pair and profit chains broadcast every dim, facts join on keys") {
+    val p53 = q("q53_volume_shipping").queryExecution.executedPlan.toString()
+    // the two nation copies filter BEFORE joining: the n_name IN
+    // predicate must reach the nation scans as a pushed filter
+    assert(p53.contains("PushedFilters") && p53.contains("In(n_name"),
+      s"Q7's nation-pair filter must push into the nation scans:\n$p53")
+    assert(p53.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"Q7's dims (customer, supplier, 2x nation) must broadcast:\n$p53")
+    assert(!p53.contains("Window") && !p53.contains("CartesianProduct"),
+      s"Q7 shape regressed:\n$p53")
+    val p54 = q("q54_product_type_profit").queryExecution.executedPlan.toString()
+    assert(p54.contains("PushedFilters") &&
+      p54.contains("StringEndsWith(p_name"),
+      s"Q9's part-name filter must reach the part scan:\n$p54")
+    assert(!p54.contains("Window"), s"Q9 is a plain agg over joins:\n$p54")
+  }
+
+  test("q55/q57: global-scalar gates are 1-row broadcasts, never windows") {
+    val p55 = q("q55_important_part_value").queryExecution.executedPlan.toString()
+    assert(p55.contains("BroadcastNestedLoopJoin") ||
+      p55.contains("BroadcastExchange"),
+      s"Q11's global total must broadcast back as 1 row:\n$p55")
+    assert(!p55.contains("Window") && !p55.contains("CartesianProduct"),
+      s"Q11's HAVING gate must not become a window or cartesian:\n$p55")
+    val p57 = q("q57_top_supplier").queryExecution.executedPlan.toString()
+    assert(!p57.contains("Window"),
+      s"Q15's max-revenue join-back must not use a window:\n$p57")
+    assert(p57.contains("BroadcastNestedLoopJoin") ||
+      p57.contains("BroadcastExchange"),
+      s"Q15's 1-row max must broadcast:\n$p57")
+  }
+
+  test("q56: the order filter stays INSIDE the left outer join") {
+    val plan = q("q56_customer_distribution")
+      .queryExecution.executedPlan.toString()
+    // the o_orderpriority predicate must filter the orders SIDE (a
+    // pushed scan filter), never sit above the outer join where it
+    // would silently drop order-less customers
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("Not(EqualTo(o_orderpriority"),
+      s"Q13's order filter must push into the orders scan:\n$plan")
+    assert(plan.contains("LeftOuter"),
+      s"Q13 must keep the left outer join:\n$plan")
+  }
+
+  test("q58: the disjunction's per-side hulls reach both scans") {
+    val plan = q("q58_disjunctive_revenue")
+      .queryExecution.executedPlan.toString()
+    // the explicit hull pre-filters are what keep a 100 TB run from
+    // scanning both tables whole under an un-pushable OR-of-ANDs
+    assert(plan.contains("In(p_brand"),
+      s"Q19's brand hull must reach the part scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity") ||
+      plan.contains("AtLeastNNulls") || plan.contains("l_quantity"),
+      s"Q19's quantity hull must reach the lineitem scan:\n$plan")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("l_quantity") &&
+      !r.contains("l_shipdate")),
+      s"the lineitem scan must prune to the referenced columns:\n$plan")
+  }
 }

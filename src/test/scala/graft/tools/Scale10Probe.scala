@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+
+/** Scale evidence ONE DECADE past the harness maximum (r9 verdict
+  * item 8): ScaleProbe stops at sf0.1 because that is the largest
+  * driver-generated drop; this probe synthesizes a ~10× corpus
+  * (≈6M lineitem rows) from salted sf0.1 copies and re-runs the same
+  * per-family representatives at sf0.1 → sf1, reporting min-of-N
+  * floor ratios. A family whose ratio is ≲ 10 scales at-worst-
+  * linearly through the NEW decade.
+  *
+  * Salting (plan/shape-faithful, the verdict's own recipe):
+  *  - fact/entity tables union 10 copies with every KEY column
+  *    offset by copy × (max+1), so each copy is a self-consistent
+  *    shard — orders keep their lineitems, joins fan out exactly as
+  *    a real 10× corpus;
+  *  - dimension tables (nation, region) stay as-is (a bigger corpus
+  *    does not grow the nation list) — nationkey references remain
+  *    valid in every copy;
+  *  - document TEXT is word-salted per copy (every token suffixed
+  *    with the copy tag), so the vocabulary, n-gram, chunk and span
+  *    spaces grow ×10 like genuinely new content would — without
+  *    this, 10 verbatim copies would drive the dedup families into
+  *    an all-duplicate regime no real corpus shows;
+  *  - embeddings get a per-copy deterministic component offset (new
+  *    ids, perturbed vectors — distinct near-neighbor structure).
+  *
+  *   sbt "Test/runMain graft.tools.Scale10Probe"           # build + run
+  *   sbt "Test/runMain graft.tools.Scale10Probe --rebuild" # force re-synth
+  */
+object Scale10Probe {
+  val synthDir = "/tmp/graft_sf1"
+  val copies = 10
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+
+    if (args.contains("--rebuild") ||
+        !new java.io.File(s"$synthDir/lineitem.parquet").exists())
+      synthesize(spark, src)
+
+    val reps = 3
+    val picks = Seq("q19_agg_pricing", "q20_star_join", "x03_minhash_lsh",
+      "x06_knn_cosine", "x10_quality", "x44_chunk_dedup",
+      "x82_substring_dedup", "x88_bpe_train", "x30_sequence_packing",
+      "x97_lm_score")
+    def floor(name: String, d: String): Double = {
+      val q = Catalog.entries.find(_.name == name).get
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        q.build(spark, d).count()
+        graft.operators.Dedup.releaseCheckpoints()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    spark.read.parquet(s"$src/region.parquet").count()
+    Console.err.println(
+      f"[scale10] ${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%6s  (rows x10)")
+    picks.foreach { n =>
+      val a = floor(n, src)
+      val b = floor(n, synthDir)
+      Console.err.println(f"[scale10] $n%-24s $a%8.3f $b%8.3f ${b / a}%6.2f")
+    }
+    spark.stop()
+  }
+
+  /** Union `copies` salted copies of `df`, remapping each column in
+    * `keys` by copy × (max+1) of that column in the base table. */
+  private def salt(df: DataFrame, keys: Seq[String],
+      extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+    val strides = keys.map { k =>
+      k -> (df.agg(max(col(k))).collect()(0).getLong(0) + 1L)
+    }.toMap
+    (0 until copies).map { i =>
+      val remapped = keys.foldLeft(df) { (d, k) =>
+        d.withColumn(k, col(k) + lit(i * strides(k)))
+      }
+      extra(remapped, i)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def synthesize(spark: SparkSession, src: String): Unit = {
+    new java.io.File(synthDir).mkdirs()
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$synthDir/$t.parquet")
+      Console.err.println(s"[scale10] synthesized $t")
+    }
+    // dims stay as-is: nationkey references remain valid per copy
+    write(read("nation"), "nation")
+    write(read("region"), "region")
+    write(salt(read("customer"), Seq("c_custkey")), "customer")
+    write(salt(read("supplier"), Seq("s_suppkey")), "supplier")
+    write(salt(read("part"), Seq("p_partkey")), "part")
+    write(salt(read("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(salt(read("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    // word-salt the text so the token/gram/chunk/span spaces grow ×10
+    // (copy 0 keeps the original corpus verbatim)
+    write(salt(read("documents"), Seq("doc_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1q$i"))),
+      "documents")
+    write(salt(read("embeddings"), Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"),
+          x => x + lit((i * 7 % 13) * 0.003f)))),
+      "embeddings")
+    // events only matters to the streaming families (not probed here)
+    // but keep the dir self-contained for ad-hoc runs
+    write(spark.read.parquet(s"$src/events.parquet"), "events")
+  }
+}
