@@ -5788,6 +5788,103 @@ object Catalog {
                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                      AND l_quantity BETWEEN 20 AND 30)""")),
 
+    QueryDef("q59_market_share",
+      // TPC-H Q8 shape (national market share): the share-of-
+      // aggregate query — one revenue stream split two ways inside a
+      // single grouped aggregate (conditional numerator / full
+      // denominator), then the ratio. Exactness discipline: the
+      // DECIMAL(18,4) sums convert to BIGINT ten-thousandths and the
+      // ppm ratio is integer cross-multiplication in DECIMAL(38,0) —
+      // no double division anywhere, so the share replays bit-for-bit.
+      // Customer side restricted by region (pushed), share measured
+      // for the supplier nation
+      (s, d) => {
+        val custAmerica = customer(s, d)
+          .join(nation(s, d).select(col("n_nationkey").as("__cnk"),
+            col("n_regionkey")), col("c_nationkey") === col("__cnk"))
+          .join(region(s, d).where(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"))
+        lineitem(s, d)
+          .join(orders(s, d)
+              .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custAmerica, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(nation(s, d).select(col("n_nationkey").as("__snk"),
+            col("n_name")), col("s_nationkey") === col("__snk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("n_name") === "NATION_5",
+                (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                  .cast("decimal(18,4)"))
+              .otherwise(lit(0).cast("decimal(18,4)"))).as("__num"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(18,4)")).as("__den"))
+          .select(col("o_year"),
+            expr("""CAST((CAST(__num * 10000 AS DECIMAL(38,0))
+              * 1000000) DIV CAST(__den * 10000 AS DECIMAL(38,0))
+              AS BIGINT)""").as("mkt_share_ppm"),
+            col("__den").cast("double").as("total_volume"))
+          .orderBy("o_year")
+      },
+      Some("""WITH v AS (
+                SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                  CAST(sum(CASE WHEN n_name = 'NATION_5'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+                    AS num4,
+                  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS den4,
+                  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS total_volume
+                FROM lineitem, orders, supplier, nation
+                WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+                  AND s_nationkey = n_nationkey
+                  AND o_custkey IN (
+                    SELECT c_custkey FROM customer, nation n2, region
+                    WHERE c_nationkey = n2.n_nationkey
+                      AND n2.n_regionkey = r_regionkey
+                      AND r_name = 'AMERICA')
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1)
+              SELECT o_year,
+                CAST(CAST(num4 AS HUGEINT) * 1000000 // den4 AS BIGINT)
+                  AS mkt_share_ppm,
+                total_volume
+              FROM v ORDER BY o_year""")),
+
+    QueryDef("q60_priority_counting",
+      // TPC-H Q12 shape (shipmode priority counting): the two-way
+      // conditional COUNT inside one grouped aggregate — urgent
+      // orders vs the rest per class, with the date window pushed
+      // into the fact scan. l_returnflag stands in for the schema's
+      // missing l_shipmode (same stand-in rule as q52's partsupp)
+      (s, d) => lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("x107_temperature_mix",
       // temperature-smoothed source mixture (the multilingual-
       // sampling rule, alpha = 1/2): natural rates oversample the

@@ -533,4 +533,27 @@ class PlanAuditSpec extends SparkSpec {
       !r.contains("l_shipdate")),
       s"the lineitem scan must prune to the referenced columns:\n$plan")
   }
+
+  test("q59/q60: share-of-aggregate and two-way counting stay single-agg shapes") {
+    val p59 = q("q59_market_share").queryExecution.executedPlan.toString()
+    // numerator and denominator come from ONE grouped aggregate (the
+    // conditional-sum split), never two scans or a self-join; the
+    // customer-region restriction is a semi join; the region filter
+    // pushes into its scan
+    assert(p59.contains("LeftSemi"),
+      s"Q8's region restriction must be a semi join:\n$p59")
+    assert(p59.contains("EqualTo(r_name,AMERICA)"),
+      s"Q8's region filter must push into the region scan:\n$p59")
+    assert(!p59.contains("Window") && !p59.contains("CartesianProduct"),
+      s"Q8's share must come from one conditional aggregate:\n$p59")
+    val p60 = q("q60_priority_counting").queryExecution.executedPlan.toString()
+    assert(p60.contains("GreaterThanOrEqual(l_shipdate"),
+      s"Q12's date window must push into the lineitem scan:\n$p60")
+    assert(!p60.contains("Window"),
+      s"Q12's two-way counts are one conditional aggregate:\n$p60")
+    val reads60 = p60.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads60.exists(r => r.contains("o_orderpriority") &&
+      !r.contains("o_totalprice")),
+      s"the orders scan must prune to the two referenced columns:\n$p60")
+  }
 }
