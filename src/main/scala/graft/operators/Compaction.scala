@@ -278,6 +278,42 @@ object Compaction {
     }
   }
 
+  /** [[compactTable]] for a POINTERED table: the compacted copy
+    * becomes the next generation and the pointer flips — small-file
+    * maintenance that needs NO reader quiesce (the point of the
+    * layout; writers still hold the journey lease). The intake
+    * `accepted/` sink accumulates one-plus files per batch append, so
+    * a long-lived deployment runs this beside RunGc. */
+  def compactTableAtomic(spark: SparkSession, root: String,
+      partitionCol: Option[String] = None): (Int, Int) = {
+    val live = resolveData(spark, root)
+    require(live != root,
+      s"compactTableAtomic: $root is not a pointered table (no _current) " +
+        "— ensureAtomic it first or use compactTable under quiesce")
+    def files(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = fsFor(spark, dir)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")) +
+        fs.listStatus(p).filter(_.isDirectory)
+          .map(d => fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))).sum
+    }
+    val before = files(live)
+    replaceTableAtomic(spark, root) { next =>
+      val df = spark.read.parquet(live)
+      val writer = partitionCol match {
+        case Some(c) => df.repartition(col(c)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy(c)
+        case None => df.coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      writer.parquet(next)
+    }
+    (before, files(resolveData(spark, root)))
+  }
+
   /** Compact a [[Dedup.buildFuzzyIndex]] layout: both the `sets/` and
     * `bands/` tables (meta is one file — untouched). Returns the
     * (before, after) total file counts per table. */

@@ -119,9 +119,30 @@ object RunGc {
     // parquet table (its children are partition dirs / data files)
     val leftovers = scala.collection.mutable.Buffer[(String, Long)]()
     val tables = scala.collection.mutable.Buffer[String]()
+    // pointered tables: generations that are neither current nor the
+    // grace (previous) copy are crash remnants — a writer died before
+    // its flip. Invisible to readers; reclaimable space.
+    val orphanGens = scala.collection.mutable.Buffer[(String, Long)]()
     def walk(p: org.apache.hadoop.fs.Path, depth: Int): Unit = {
       if (depth > maxDepth) return
       val children = fs.listStatus(p)
+      val pointered = children.exists(c =>
+        c.isFile && c.getPath.getName == "_current")
+      if (pointered) {
+        val cur = Compaction.resolveData(spark, p.toUri.getPath)
+        val curN = new org.apache.hadoop.fs.Path(cur).getName
+          .stripPrefix("gen-")
+        val keep = scala.util.Try(curN.toLong).toOption
+          .map(n => Set(s"gen-$n", s"gen-${n - 1}")).getOrElse(Set(curN))
+        children.filter(_.isDirectory).foreach { c =>
+          val n = c.getPath.getName
+          if (n.startsWith("gen-") && !keep.contains(n))
+            orphanGens += ((c.getPath.toUri.getPath, c.getModificationTime))
+          else if (n == new org.apache.hadoop.fs.Path(cur).getName)
+            tables += c.getPath.toUri.getPath // the live generation
+        }
+        return // generations are the leaves; nothing else to descend
+      }
       val isTable = children.exists { c =>
         val n = c.getPath.getName
         n == "_SUCCESS" || (c.isFile && n.endsWith(".parquet"))
@@ -162,6 +183,28 @@ object RunGc {
         }
       Finding(path, kind, action)
     }.toSeq
+    val orphanFindings = orphanGens.sortBy(_._1).map { case (path, mtime) =>
+      def delete(): String = {
+        fs.delete(new org.apache.hadoop.fs.Path(path), true); "deleted"
+      }
+      val action =
+        if (mtime > cutoff) "skipped-young"
+        else if (!apply) "would-delete"
+        else nearestStateDir(fs, root, path) match {
+          // same per-state-dir exclusion as recoverTable: a live
+          // writer of this table may be mid-swap on a fresh gen
+          case Some(sd) =>
+            try graft.operators.Lease.withLease(
+                spark.sparkContext.hadoopConfiguration, sd,
+                graft.operators.Lease.defaultOwner())(_ => delete())
+            catch {
+              case e: graft.operators.Lease.LeaseHeld =>
+                s"skipped-lease-held-by-${e.holder}"
+            }
+          case None => delete()
+        }
+      Finding(path, "orphan-generation", action)
+    }.toSeq
     // one base dir can surface via both siblings; recoverTable is
     // idempotent ("clean" the second time), so duplicates are safe
     val fileFindings = tables.sorted.flatMap { t =>
@@ -172,7 +215,7 @@ object RunGc {
           s"max-files-per-partition=$worst"))
       else None
     }.toSeq
-    val all = swapFindings ++ fileFindings
+    val all = swapFindings ++ orphanFindings ++ fileFindings
     val json = all.map(f =>
         s"""{"path":"${f.path}","kind":"${f.kind}","action":"${f.action}"}""")
       .mkString("", "\n", "\n")

@@ -120,6 +120,31 @@ object RunPipeline {
         println(s"[pipeline] jdbc round-trip verified: $n rows")
       }
     }
+    // K7 native path: SPARK_GRAFT_PG=host:port:db:user[:password]
+    // serves gold to a REAL PostgreSQL through the engine's own
+    // wire-protocol COPY sink (parallel per-partition COPY FROM
+    // STDIN — no JDBC driver jar needed), then reads it back through
+    // COPY TO STDOUT and fails the run on any value drift
+    sys.env.get("SPARK_GRAFT_PG").foreach { spec =>
+      timed("pgserve") {
+        val p = spec.split(":", 5)
+        require(p.length >= 4,
+          s"SPARK_GRAFT_PG must be host:port:db:user[:password], got $spec")
+        val (host, port, db, user) = (p(0), p(1).toInt, p(2), p(3))
+        val pw = if (p.length > 4) p(4) else ""
+        graft.sources.PgCopySink.write(gold, host, port, db, user, pw,
+          "curated", overwrite = true, maxConnections = 4)
+        val back = graft.sources.PgCopySource.read(spark, host, port,
+          db, user, pw, "curated", gold.schema)
+        val (nBack, nExp) = (back.count(), gold.count())
+        require(nBack == nExp,
+          s"pg round-trip: $nBack rows back, expected $nExp")
+        val (hBack, hExp) = (contentHash(back), contentHash(gold))
+        require(hBack == hExp,
+          s"pg round-trip: content hash $hBack != expected $hExp")
+        println(s"[pipeline] pg COPY round-trip verified: $nExp rows")
+      }
+    }
     val n = gold.count()
     println(s"[pipeline] $label gold rows=$n")
   }

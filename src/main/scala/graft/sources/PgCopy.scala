@@ -220,11 +220,129 @@ object PgWire {
       drainUntilReady() // CommandComplete then ReadyForQuery (or error)
     }
 
+    /** Run `COPY ... TO STDOUT` and return the complete text-format
+      * payload split into row lines. CopyData message boundaries are
+      * arbitrary byte-stream chunks (the protocol guarantees nothing
+      * about row alignment), so bytes accumulate first and split
+      * once. Driver-side single stream — sized for serving-store
+      * verification and model-sized reads, not corpus extraction. */
+    def copyOut(copySql: String): Vector[String] = {
+      send('Q', cstr(copySql)); out.flush()
+      var started = false
+      while (!started) {
+        val (t, body) = recv()
+        t match {
+          case 'H' => started = true // CopyOutResponse
+          case 'E' => fail(body)
+          case _ => ()
+        }
+      }
+      val buf = new java.io.ByteArrayOutputStream(1 << 20)
+      var copying = true
+      while (copying) {
+        val (t, body) = recv()
+        t match {
+          case 'd' => buf.write(body)
+          case 'c' => copying = false // CopyDone
+          case 'E' => fail(body)
+          case _ => ()
+        }
+      }
+      drainUntilReady()
+      val text = new String(buf.toByteArray, UTF_8)
+      if (text.isEmpty) Vector.empty
+      else text.split("\n", -1).toVector.dropRight(1) // trailing newline
+    }
+
     def close(): Unit = {
       try { send('X', Array.emptyByteArray); out.flush() }
       catch { case _: Exception => () }
       sock.close()
     }
+  }
+}
+
+/** Read a PostgreSQL table back into a DataFrame through COPY TO
+  * STDOUT — the verification half of [[PgCopySink]] (serve → read
+  * back → content-hash) with zero external tooling: the engine's own
+  * wire client both ways. The stream lands on the driver (one COPY
+  * stream), then parses DISTRIBUTED via a parallelized dataset —
+  * appropriate for round-trip verification and modest serving
+  * tables; corpus-scale extraction belongs on the lake, not the
+  * serving store. */
+object PgCopySource {
+
+  /** Undo the COPY text escapes ([[PgCopySink.escape]]'s inverse). */
+  private[sources] def unescape(s: String): String =
+    if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case _ => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  private[sources] def parseField(dt: DataType, raw: String): Any =
+    if (raw == "\\N") null
+    else dt match {
+      case StringType => unescape(raw)
+      case TimestampType =>
+        // PostgreSQL renders "yyyy-MM-dd HH:mm:ss[.ffffff]" at the
+        // session zone; the sink wrote UTC wall-clock, read it back
+        // the same way
+        val base = java.time.LocalDateTime.parse(
+          raw.replace(' ', 'T'),
+          java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        java.sql.Timestamp.from(base.toInstant(java.time.ZoneOffset.UTC))
+      case DateType => java.sql.Date.valueOf(raw)
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case LongType => raw.toLong
+      case IntegerType => raw.toInt
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case BooleanType => raw == "t"
+      case d: DecimalType => new java.math.BigDecimal(raw)
+      case BinaryType =>
+        val hexStr = unescape(raw).stripPrefix("\\x")
+        hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      case other => throw new IllegalArgumentException(
+        s"PgCopySource: unsupported type $other")
+    }
+
+  /** Read `table` under `schema` (column order = schema order). */
+  def read(spark: org.apache.spark.sql.SparkSession, host: String,
+      port: Int, db: String, user: String, password: String,
+      table: String, schema: StructType): DataFrame = {
+    val qtable = "\"" + table.replace("\"", "\"\"") + "\""
+    val cols = schema.fields
+      .map(f => "\"" + f.name.replace("\"", "\"\"") + "\"").mkString(", ")
+    val conn = new PgWire.PgConn(host, port, db, user, password)
+    val lines =
+      try conn.copyOut(
+        s"COPY (SELECT $cols FROM $qtable) TO STDOUT (FORMAT text)")
+      finally conn.close()
+    val types = schema.fields.map(_.dataType)
+    val rows = spark.sparkContext.parallelize(lines,
+        math.max(1, math.min(lines.size / 10000 + 1, 32)))
+      .map { line =>
+        val parts = line.split("\t", -1)
+        Row.fromSeq(types.zip(parts).map { case (dt, raw) =>
+          parseField(dt, raw)
+        }.toIndexedSeq)
+      }
+    spark.createDataFrame(rows, schema)
   }
 }
 

@@ -96,6 +96,55 @@ class AtomicSwapSpec extends SparkSpec {
     assert(Compaction.readData(spark, root).count() === 9)
   }
 
+  test("compactTableAtomic: many appended files become one, content intact, reader-atomic") {
+    val root = tmpDir("graft_swap_compact") + "/t"
+    // simulate an intake sink: many small appends into the current gen
+    (1 to 6).foreach { i =>
+      Seq(i * 10, i * 10 + 1).toDF("v").write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(Compaction.ensureAtomic(spark, root))
+    }
+    val beforeRows = Compaction.readData(spark, root)
+      .as[Int].collect().sorted.toSeq
+    val (before, after) = Compaction.compactTableAtomic(spark, root)
+    assert(before > after && after == 1,
+      s"compaction must shrink $before files to 1, got $after")
+    val afterRows = Compaction.readData(spark, root)
+      .as[Int].collect().sorted.toSeq
+    assert(afterRows == beforeRows, "compaction must not change content")
+    // a plain table refuses (its swap would need a reader quiesce)
+    val plain = tmpDir("graft_swap_plain") + "/t"
+    writeRows(plain, 3)
+    intercept[IllegalArgumentException] {
+      Compaction.compactTableAtomic(spark, plain)
+    }
+  }
+
+  test("RunGc reports and (applied) deletes aged orphan generations; grace copy untouched") {
+    val root = tmpDir("graft_swap_gc")
+    val t = s"$root/t"
+    writeRows(Compaction.ensureAtomic(spark, t), 5)
+    Compaction.replaceTableAtomic(spark, t)(writeRows(_, 6)) // gen-2 live, gen-1 grace
+    writeRows(s"$t/gen-9", 99) // crashed writer's orphan
+    // young orphans are skipped (possibly in-flight), then an aged
+    // pass deletes them; current + grace generations never surface
+    val young = graft.pipeline.RunGc.run(spark, root, ageMinutes = 60,
+      apply = true)
+    assert(young.exists(f => f.kind == "orphan-generation" &&
+      f.path.endsWith("gen-9") && f.action == "skipped-young"))
+    val aged = graft.pipeline.RunGc.run(spark, root, ageMinutes = 0,
+      apply = true)
+    assert(aged.exists(f => f.kind == "orphan-generation" &&
+      f.path.endsWith("gen-9") && f.action == "deleted"))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(t, "gen-9")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, "gen-1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(t, "gen-2")),
+      "live + grace generations must survive gc")
+    assert(Compaction.readData(spark, t).count() === 6)
+  }
+
   test("a crashed writer's orphan generation is invisible and gets replaced") {
     val root = tmpDir("graft_swap_orphan") + "/t"
     writeRows(Compaction.ensureAtomic(spark, root), 5)

@@ -87,18 +87,14 @@ object PgServeProbe {
       graft.sources.PgCopySink.write(gold, "127.0.0.1", port,
         "postgres", "postgres", "", "curated",
         overwrite = true, maxConnections = 4)
+      // independent oracle: the server's own psql confirms the count
       val nPg = pgSql(port, "SELECT count(*) FROM curated").toLong
-      val outCsv = s"$pgRoot/curated_back.csv"
-      pgSql(port,
-        s"""\\copy (SELECT * FROM curated) TO '$outCsv' WITH (FORMAT csv, HEADER true, NULL '\\N')""")
 
-      // read back in Spark under the gold schema; verify like the K7 check
-      val back = spark.read.schema(gold.schema)
-        .option("header", "true").option("nullValue", "\\N")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .option("ignoreLeadingWhiteSpace", "false")
-        .option("ignoreTrailingWhiteSpace", "false")
-        .csv(outCsv)
+      // read back through the engine's OWN wire client (COPY TO
+      // STDOUT → distributed parse) — the full round trip is Spark
+      // both ways, no psql/CSV in the data path
+      val back = graft.sources.PgCopySource.read(spark, "127.0.0.1",
+        port, "postgres", "postgres", "", "curated", gold.schema)
       val (nBack, nExp) = (back.count(), gold.count())
       require(nPg == nExp && nBack == nExp,
         s"pg round-trip: pg=$nPg back=$nBack expected=$nExp")
