@@ -77,9 +77,47 @@ object RunPipeline {
         .partitionBy("pollutant", "file_date")
         .parquet(s"$outDir/bronze")
     }
+    silverGoldServe(spark, outDir, label, pollutants)
+  }
 
+  /** Incremental bronze landing for a REPROCESSING-WINDOW tick
+    * ([[RunScheduled]]): only the (pollutant, file_date) partitions
+    * the window's files touch are replaced (dynamic partition
+    * overwrite — the lake form of the reference's re-pull overwriting
+    * the same S3 keys, `unpacked_to_raw.py:122-124`); everything
+    * previously landed stays. Idempotent per window by construction. */
+  def bronzeWindow(spark: SparkSession, csvPaths: Seq[String],
+      outDir: String): Unit = {
+    val gated = AirQuality.filesPassingHeaderGate(spark, csvPaths)
+    AirQuality.withPartitionColumnsFromFilename(
+        AirQuality.readBronzeCsv(spark, gated))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pollutant", "file_date")
+      .parquet(s"$outDir/bronze")
+  }
+
+  /** Silver + gold (+ configured serving) from whatever the bronze
+    * lake currently holds — the pure-function-of-bronze tail every
+    * entry point shares (one-shot run, scheduler tick). */
+  def silverGoldServe(spark: SparkSession, outDir: String,
+      label: String, pollutants: Seq[Pollutant] = Pollutants.default): Unit = {
+    def timed[A](stage: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pipeline] $label%-8s $stage%-7s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
     val active = timed("silver") {
+      // normalize the partition-read pollutant code to its zero-padded
+      // string form: sessions WITHOUT partitionColumnTypeInference
+      // disabled read the "01" dirs as INTEGER 1, and the pipeline
+      // must not depend on a session conf it doesn't set (the Verify
+      // gotcha). The lpad-of-cast is a pure function of the partition
+      // column, so partition pruning still applies to the filters
       val bronze = spark.read.parquet(s"$outDir/bronze")
+        .withColumn("pollutant",
+          lpad(col("pollutant").cast("string"), 2, "0"))
       // tiny dimension-sized collect: which configured codes have data
       val present = bronze.select("pollutant").distinct()
         .collect().map(_.getString(0)).toSet

@@ -174,6 +174,42 @@ class AirQualitySpec extends SparkSpec {
     assert(n >= 8424)
   }
 
+  test("RunScheduled: day-by-day ticks converge to the one-shot pipeline; re-runs change nothing") {
+    // the @daily parity contract (SURVEY §3-E3): replaying the
+    // reference's daily schedule over the corpus's own date span —
+    // each tick re-pulling its 3-day window into bronze via dynamic
+    // partition overwrite — must land the IDENTICAL gold table as one
+    // RunPipeline over all files
+    val csvDir = "/root/reference/test_files"
+    val schedDir = java.nio.file.Files
+      .createTempDirectory("graft_sched").toString + "/lake"
+    val nTicks = graft.pipeline.RunScheduled.runSimulated(
+      spark, csvDir, schedDir, windowDays = 3)
+    assert(nTicks >= 3, s"fixtures span several days, got $nTicks ticks")
+    val oneShotDir = java.nio.file.Files
+      .createTempDirectory("graft_sched_ref").toString + "/lake"
+    val all = testFiles
+    graft.pipeline.RunPipeline.run(spark, all, oneShotDir, "oneshot")
+    val scheduled = spark.read.parquet(s"$schedDir/gold")
+    val oneShot = spark.read.parquet(s"$oneShotDir/gold")
+    assert(scheduled.count() === oneShot.count())
+    assert(graft.pipeline.RunPipeline.contentHash(scheduled) ===
+      graft.pipeline.RunPipeline.contentHash(oneShot),
+      "the schedule is an access pattern, not a semantics change")
+    // idempotent re-run: the last tick again — nothing changes
+    val before = graft.pipeline.RunPipeline.contentHash(scheduled)
+    val lastDay = all.flatMap(graft.pipeline.RunScheduled.fileDate)
+      .distinct.sorted.last
+    graft.pipeline.RunScheduled.tick(spark, csvDir, schedDir, lastDay)
+    assert(graft.pipeline.RunPipeline.contentHash(
+      spark.read.parquet(s"$schedDir/gold")) === before,
+      "a re-run tick must converge (first-write-wins re-pull)")
+    // the history file carries one line per tick (+ the re-run)
+    val history = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(schedDir, "schedule.jsonl"))
+    assert(history.size() === nTicks + 1)
+  }
+
   test("W1: first 6 rows per site have diff = 0 (coalesce rule)") {
     val gold = AirQuality.runPipeline(spark, coFiles)
     import org.apache.spark.sql.expressions.Window
