@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Multimodal, Pca, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -5885,6 +5885,28 @@ object Catalog {
                 AND l_shipdate < TIMESTAMP '1998-01-01'
               GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q61_forecast_revenue",
+      // TPC-H Q6 shape (forecasting revenue change): the pure
+      // filter-scan aggregate — every predicate pushes into the
+      // parquet scan (year window, discount band, quantity cap), one
+      // DECIMAL-exact 1-row sum, no join, no shuffle beyond the final
+      // partial/final agg pair. The baseline shape every scan-layer
+      // regression shows up in first
+      (s, d) => lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24""")),
+
     QueryDef("x107_temperature_mix",
       // temperature-smoothed source mixture (the multilingual-
       // sampling rule, alpha = 1/2): natural rates oversample the
@@ -6071,7 +6093,41 @@ object Catalog {
                 CAST(CAST(sum(s) OVER (ORDER BY rk) AS HUGEINT) * 1000000
                   // (SELECT nq * nq FROM tot) >= 600000 AS BOOLEAN)
                   AS meets_target
-              FROM perpos ORDER BY nprobe"""))
+              FROM perpos ORDER BY nprobe""")),
+
+    QueryDef("x111_pca_moments",
+      // distributed PCA, the corpus-scale half (r10): the exact
+      // integer second-moment state of the ×1000-quantized embedding
+      // corpus — n, per-dim sums, the Gram upper triangle — built by
+      // per-partition Long accumulation (order-free, bit-identical
+      // under any layout, model-sized: 2,145 longs for 64 dims). The
+      // eigen/projection half consumes this state on the driver
+      // (Pca.fit/project — spec-verified properties; doubles are not
+      // hash-comparable). Output: the state's identifying cells,
+      // every one an exact Long the oracle re-derives
+      (s, d) => {
+        val st = Pca.momentState(embeddings(s, d), "embedding")
+        def gAt(i: Int, j: Int): Long = // (i,j) i<=j in the packed triangle
+          st.g(i * st.dim - i * (i - 1) / 2 + (j - i))
+        val trace = (0 until st.dim).map(i => gAt(i, i)).sum
+        val sess = s
+        import sess.implicits._
+        Seq((st.n, st.dim, st.s(0), st.s(1), gAt(0, 0), gAt(0, 1), trace))
+          .toDF("n", "dim", "s0", "s1", "g00", "g01", "g_trace")
+      },
+      Some("""WITH q AS (
+                SELECT list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64)
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(64 AS INT) AS dim,
+                CAST(sum(qv[1]) AS BIGINT) AS s0,
+                CAST(sum(qv[2]) AS BIGINT) AS s1,
+                CAST(sum(qv[1] * qv[1]) AS BIGINT) AS g00,
+                CAST(sum(qv[1] * qv[2]) AS BIGINT) AS g01,
+                CAST(sum(list_sum(list_transform(qv, x -> x * x)))
+                  AS BIGINT) AS g_trace
+              FROM q"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

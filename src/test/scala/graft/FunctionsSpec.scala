@@ -778,6 +778,70 @@ class FunctionsSpec extends SparkSpec {
       s"floored integer shares must sum to just under 1e6: $shareSum")
   }
 
+  test("Pca: moments are layout-invariant; eigen is a real decomposition; projection recovers low-rank structure") {
+    // synthetic low-rank corpus: every vector is a combination of two
+    // fixed orthogonal directions + deterministic small residue, so
+    // the top-2 components must capture almost all variance
+    val dim = 8
+    val b1 = Array.tabulate(dim)(j => if (j < 4) 0.5 else 0.0)
+    val b2 = Array.tabulate(dim)(j => if (j >= 4) 0.5 else 0.0)
+    val corpus = (0 until 300).map { i =>
+      val a = math.sin(i * 0.37) * 2.0
+      val b = math.cos(i * 0.53) * 1.0
+      val v = Array.tabulate(dim)(j =>
+        (a * b1(j) + b * b2(j) + 0.001 * ((i * 7 + j) % 5 - 2)).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+
+    // 1. the integer moment state is identical under any partitioning
+    val st1 = graft.operators.Pca.momentState(corpus, "embedding")
+    val st2 = graft.operators.Pca.momentState(corpus.repartition(13), "embedding")
+    assert(st1.n === 300L && st1.dim === dim)
+    assert(st1.s.toSeq === st2.s.toSeq && st1.g.toSeq === st2.g.toSeq,
+      "Long-sum moments must be bit-identical under re-layout")
+
+    // 2. eigen: orthonormal components, descending variances, and
+    //    C·v = λ·v within numerical tolerance
+    val cov = graft.operators.Pca.covariance(st1)
+    val (vals, comps) = graft.operators.Pca.eigenSym(cov)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "eigenvalues must descend")
+    for (i <- comps.indices; j <- comps.indices) {
+      val d = comps(i).zip(comps(j)).map { case (x, y) => x * y }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"components not orthonormal ($i,$j): $d")
+    }
+    val av = cov.map(row => row.zip(comps(0)).map { case (x, y) => x * y }.sum)
+    av.zip(comps(0).map(_ * vals(0))).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9, "C v != lambda v for the top component")
+    }
+    // low-rank structure: top-2 explain ~all variance
+    val total = (0 until dim).map(i => cov(i)(i)).sum
+    assert((vals(0) + vals(1)) / total > 0.999,
+      s"top-2 must capture the planted 2D structure: ${(vals(0) + vals(1)) / total}")
+
+    // 3. projection: map-only, deterministic, and the projected
+    //    variance matches the eigenvalues
+    val (v2, c2, mean) = graft.operators.Pca.fit(corpus, "embedding", 2)
+    val proj = graft.operators.Pca.project(corpus, "embedding", "pca", c2, mean)
+      .select(col("vec_id"), col("pca")(0).as("p0"), col("pca")(1).as("p1"))
+    val rows = proj.collect()
+    assert(rows.length === 300)
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val var0 = variance(rows.map(_.getDouble(1)).toSeq)
+    val var1 = variance(rows.map(_.getDouble(2)).toSeq)
+    // quantization makes the moments a ~1e-3-granular view of the
+    // corpus; the projected variance matches its eigenvalue to ~1%
+    assert(math.abs(var0 - v2(0)) / v2(0) < 0.02,
+      s"projected variance $var0 vs eigenvalue ${v2(0)}")
+    assert(math.abs(var1 - v2(1)) / v2(1) < 0.02,
+      s"projected variance $var1 vs eigenvalue ${v2(1)}")
+    assert(var0 > var1, "component order must carry to projections")
+  }
+
   test("probeCoverage auto-tuning: the derived nprobe meets the recall target on the recallAtK audit") {
     val corpus = (0 until 160).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
