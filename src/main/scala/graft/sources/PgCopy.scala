@@ -273,7 +273,7 @@ object PgWire {
 object PgCopySource {
 
   /** Undo the COPY text escapes ([[PgCopySink.escape]]'s inverse). */
-  private[sources] def unescape(s: String): String =
+  private[graft] def unescape(s: String): String =
     if (s.indexOf('\\') < 0) s
     else {
       val sb = new java.lang.StringBuilder(s.length)
@@ -293,7 +293,7 @@ object PgCopySource {
       sb.toString
     }
 
-  private[sources] def parseField(dt: DataType, raw: String): Any =
+  private[graft] def parseField(dt: DataType, raw: String): Any =
     if (raw == "\\N") null
     else dt match {
       case StringType => unescape(raw)
@@ -317,6 +317,23 @@ object PgCopySource {
       case BinaryType =>
         val hexStr = unescape(raw).stripPrefix("\\x")
         hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      case ArrayType(et, _) if et == FloatType || et == DoubleType ||
+          et == LongType || et == IntegerType =>
+        val inner = raw.stripPrefix("{").stripSuffix("}")
+        if (inner.isEmpty) Seq.empty
+        else inner.split(",", -1).toIndexedSeq.map {
+          case "NULL" => null
+          // each branch ascribes Any: without it Scala HARMONIZES the
+          // numeric branch types to their weak-conformance lub
+          // (everything silently widens to Double — caught live by
+          // the probe's real[] round trip, invisible to == checks)
+          case v => et match {
+            case FloatType => (v.toFloat: Any)
+            case DoubleType => (v.toDouble: Any)
+            case LongType => (v.toLong: Any)
+            case IntegerType => (v.toInt: Any)
+          }
+        }
       case other => throw new IllegalArgumentException(
         s"PgCopySource: unsupported type $other")
     }
@@ -355,7 +372,7 @@ object PgCopySink {
     * the one CSV-free bulk format with NO quoting ambiguity, so
     * values with genuine leading/trailing whitespace survive exactly
     * (the PgServeProbe CSV-trim lesson). */
-  private[sources] def escape(s: String): String = {
+  private[graft] def escape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
@@ -377,7 +394,7 @@ object PgCopySink {
   /** One field → COPY text. Timestamps render at UTC (the engine's
     * pinned session zone), micros appended only when nonzero —
     * matching PostgreSQL's own output so round-trips are symmetric. */
-  private[sources] def encodeField(dt: DataType, row: Row, i: Int): String =
+  private[graft] def encodeField(dt: DataType, row: Row, i: Int): String =
     if (row.isNullAt(i)) "\\N"
     else dt match {
       case TimestampType =>
@@ -399,6 +416,14 @@ object PgCopySink {
       case _: DecimalType => row.getDecimal(i).toPlainString
       case BinaryType => "\\\\x" + row.getAs[Array[Byte]](i)
         .map("%02x".format(_)).mkString
+      case ArrayType(et, _) if et == FloatType || et == DoubleType ||
+          et == LongType || et == IntegerType =>
+        // numeric array literal: '{1.5,2.25,NULL}' — no quoting needed
+        // (numeric renderings never collide with COPY or array syntax)
+        row.getSeq[Any](i).map {
+          case null => "NULL"
+          case v => v.toString
+        }.mkString("{", ",", "}")
       case other => throw new IllegalArgumentException(
         s"PgCopySink: unsupported type $other")
     }
@@ -416,6 +441,10 @@ object PgCopySink {
     case BooleanType => "boolean"
     case d: DecimalType => s"numeric(${d.precision},${d.scale})"
     case BinaryType => "bytea"
+    case ArrayType(FloatType, _) => "real[]"
+    case ArrayType(DoubleType, _) => "double precision[]"
+    case ArrayType(LongType, _) => "bigint[]"
+    case ArrayType(IntegerType, _) => "integer[]"
     case _ => "text"
   }
 

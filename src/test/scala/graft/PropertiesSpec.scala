@@ -317,4 +317,97 @@ class PropertiesSpec extends SparkSpec {
       assert(got.toSeq == vecs.map(ref(_, nprobe)), s"nprobe=$nprobe")
     }
   }
+
+  test("PgCopy: escape/unescape round-trips every string; field codec round-trips every type") {
+    import graft.sources.{PgCopySink, PgCopySource}
+    val gen = Gen.listOfN(64, Gen.frequency(
+      (8, Gen.asciiPrintableChar),
+      (1, Gen.oneOf('\\', '\t', '\n', '\r')),
+      (1, Gen.oneOf('\u00e9', '\u4e01', '\u00df'))))
+      .map(_.mkString)
+    val strings = samples(gen, 60) ++ Seq("", "\\N", "\\", "a\tb\nc\rd",
+      "  leading and trailing  ", "\\x00ff")
+    strings.foreach { str =>
+      val escaped = PgCopySink.escape(str)
+      assert(!escaped.contains('\t') && !escaped.contains('\n') &&
+        !escaped.contains('\r'),
+        s"escaped form must be tab/newline-free: $str")
+      assert(PgCopySource.unescape(escaped) == str,
+        s"escape/unescape must round-trip: $str")
+    }
+    // typed fields survive encode -> parse across the COPY text codec
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-02-03T04:05:06.123456Z"))
+    val row = Row("a\tb", 3.14159, -0.0, Long.MaxValue, 42,
+      true, ts, java.sql.Date.valueOf("2026-02-03"),
+      new java.math.BigDecimal("12345.6789"),
+      Array[Byte](0, 127, -128, 15))
+    val types = Seq(StringType, DoubleType, DoubleType, LongType,
+      IntegerType, BooleanType, TimestampType, DateType,
+      DecimalType(18, 4), BinaryType)
+    types.zipWithIndex.foreach { case (dt, i) =>
+      val enc = PgCopySink.encodeField(dt, row, i)
+      val back = PgCopySource.parseField(dt, enc)
+      dt match {
+        case BinaryType =>
+          assert(back.asInstanceOf[Array[Byte]].toSeq ==
+            row.getAs[Array[Byte]](i).toSeq, s"binary field $i")
+        case DecimalType() =>
+          assert(back.asInstanceOf[java.math.BigDecimal]
+            .compareTo(row.getDecimal(i)) == 0, s"decimal field $i")
+        case _ => assert(back == row.get(i), s"field $i ($dt): $enc -> $back")
+      }
+    }
+    // numeric arrays (the embedding-serving shape) round-trip too
+    val arrRow = Row(Seq(1.5f, -2.25f, null), Seq(1.0e-7, 9.9e12),
+      Seq(1L, -2L), Seq.empty[Int])
+    val arrTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(LongType), ArrayType(IntegerType))
+    val elemClass = Seq(classOf[java.lang.Float], classOf[java.lang.Double],
+      classOf[java.lang.Long], classOf[java.lang.Integer])
+    arrTypes.zipWithIndex.foreach { case (dt, i) =>
+      val enc = PgCopySink.encodeField(dt, arrRow, i)
+      assert(enc.startsWith("{") && enc.endsWith("}"), enc)
+      val back = PgCopySource.parseField(dt, enc).asInstanceOf[Seq[Any]]
+      assert(back == arrRow.getSeq[Any](i), s"array field $i: $enc")
+      // cooperative equality hides box-type drift (1.5f == 1.5d), and
+      // the Row encoder does NOT forgive it — pin the runtime class
+      // (this caught Scala's numeric branch harmonization widening
+      // every parsed element to Double)
+      back.filter(_ != null).foreach(e =>
+        assert(e.getClass == elemClass(i),
+          s"array field $i element boxed as ${e.getClass}, want ${elemClass(i)}"))
+    }
+    // NaN / infinities ride PostgreSQL's literal spellings
+    val special = Row(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    (0 until 3).foreach { i =>
+      val enc = PgCopySink.encodeField(DoubleType, special, i)
+      val back = PgCopySource.parseField(DoubleType, enc).asInstanceOf[Double]
+      assert(back.isNaN == special.getDouble(i).isNaN &&
+        (back.isNaN || back == special.getDouble(i)))
+    }
+  }
+
+  test("Pca: moment states merge associatively (split corpus == whole corpus)") {
+    val dim = 6
+    val gen = Gen.listOfN(30, Gen.listOfN(dim,
+      Gen.choose(-1.0, 1.0).map(_.toFloat)))
+    samples(gen, 4).filter(_.size >= 6).foreach { vs =>
+      val all = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val whole = graft.operators.Pca.momentState(all, "v")
+      val (a, b) = vs.splitAt(vs.size / 2)
+      val stA = graft.operators.Pca.momentState(
+        a.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"), "v")
+      val stB = graft.operators.Pca.momentState(
+        b.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"), "v")
+      assert(stA.n + stB.n == whole.n)
+      assert(stA.s.zip(stB.s).map { case (x, y) => x + y }.toSeq ==
+        whole.s.toSeq, "per-dim sums must merge by addition")
+      assert(stA.g.zip(stB.g).map { case (x, y) => x + y }.toSeq ==
+        whole.g.toSeq, "Gram cells must merge by addition")
+    }
+  }
 }

@@ -106,6 +106,30 @@ object PgServeProbe {
         s"[pgserve] OK: $nExp gold rows served to PostgreSQL BY SPARK " +
           s"EXECUTORS (parallel wire-protocol COPY) and read back " +
           s"content-identical (hash $hExp)")
+
+      // second act: EMBEDDINGS served as real PostgreSQL arrays
+      // (real[]) — the vector-serving shape — and read back value-
+      // exact through the engine's own client both ways
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      graft.sources.PgCopySink.write(emb, "127.0.0.1", port,
+        "postgres", "postgres", "", "vectors",
+        overwrite = true, maxConnections = 2)
+      val nVec = pgSql(port, "SELECT count(*) FROM vectors").toLong
+      val embBack = graft.sources.PgCopySource.read(spark, "127.0.0.1",
+        port, "postgres", "postgres", "", "vectors", emb.schema)
+      require(nVec == emb.count() && embBack.count() == nVec,
+        s"vector round-trip counts: pg=$nVec spark=${embBack.count()}")
+      val mismatch = emb.as("a").join(embBack.as("b"), Seq("vec_id"))
+        .where(org.apache.spark.sql.functions
+          .expr("NOT (a.embedding <=> b.embedding)"))
+        .count()
+      require(mismatch == 0,
+        s"$mismatch embedding rows differ after the array round-trip")
+      Console.err.println(s"[pgserve] OK: $nVec embeddings served as " +
+        "real[] arrays and read back value-exact")
       spark.stop()
     } finally {
       sh(s"su postgres -c '/usr/local/bin/pg_ctl -D $pgRoot/data stop -m fast'")
