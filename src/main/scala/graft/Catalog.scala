@@ -6095,6 +6095,98 @@ object Catalog {
                   AS meets_target
               FROM perpos ORDER BY nprobe""")),
 
+    QueryDef("x112_bloom_membership",
+      // portable Bloom filter — the dedup stack's NEGATIVE CACHE: a
+      // membership screen with NO false negatives, so "definitely
+      // new" batch digests skip the exact-index probe I/O entirely.
+      // The filter is the set-bits RELATION (distinct ints, mergeable
+      // by union — grown == one-shot), hashed with md5-60 so the
+      // oracle re-derives every bit. Probe set = 50 digests that ARE
+      // in the corpus (must all read true — the no-false-negative
+      // guarantee, visible in the output) + 50 synthetic absentees
+      // (read false except measured-rate FPs, deterministic)
+      (s, d) => {
+        import graft.operators.Bloom
+        val sess = s
+        import sess.implicits._
+        val digests = documents(s, d).select(md5(col("text")).as("digest"))
+        val filter = Bloom.build(digests, col("digest"),
+          k = 7, bits = 1L << 20)
+        val present = documents(s, d).where(col("doc_id") < 50)
+          .select(md5(col("text")).as("probe"))
+        val absent = (0 until 50).map(i => s"absent:$i").toDF("probe")
+        Bloom.probe(filter, present.unionByName(absent), col("probe"),
+            k = 7, bits = 1L << 20)
+          .orderBy("term")
+      },
+      Some("""WITH dg AS (SELECT md5(text) AS digest FROM documents),
+              bits AS (
+                SELECT DISTINCT CAST(CAST('0x' || substring(md5(
+                    'bloom:' || CAST(i AS VARCHAR) || ':' || digest),
+                    1, 15) AS BIGINT) % 1048576 AS BIGINT) AS bit
+                FROM dg, range(0, 7) t(i)),
+              probes AS (
+                SELECT DISTINCT md5(text) AS probe FROM documents
+                WHERE doc_id < 50
+                UNION
+                SELECT 'absent:' || CAST(r AS VARCHAR) FROM range(0, 50) s(r)),
+              fan AS (
+                SELECT probe, CAST(CAST('0x' || substring(md5(
+                    'bloom:' || CAST(i AS VARCHAR) || ':' || probe),
+                    1, 15) AS BIGINT) % 1048576 AS BIGINT) AS bit
+                FROM probes, range(0, 7) t(i))
+              SELECT probe AS term,
+                count(b.bit) = 7 AS maybe_present
+              FROM fan LEFT JOIN bits b USING (bit)
+              GROUP BY probe ORDER BY term""")),
+
+    QueryDef("x113_bloom_fp_audit",
+      // the Bloom tier's measured-loss audit (the x62/x63 house
+      // discipline): realized false-positive rate over a large
+      // known-absent probe set, beside the filter's fill ratio — the
+      // two numbers the sizing rule (FP ≈ fill^k) is checked against.
+      // Exact integers; the oracle replays filter, probes, and ppm
+      (s, d) => {
+        import graft.operators.Bloom
+        val sess = s
+        import sess.implicits._
+        val digests = documents(s, d).select(md5(col("text")).as("digest"))
+        val filter = Bloom.build(digests, col("digest"),
+          k = 7, bits = 1L << 20)
+        val absent = (0 until 2000).map(i => s"never-seen:$i").toDF("probe")
+        Bloom.fpAudit(filter, absent, col("probe"), k = 7, bits = 1L << 20)
+      },
+      Some("""WITH dg AS (SELECT md5(text) AS digest FROM documents),
+              bits AS (
+                SELECT DISTINCT CAST(CAST('0x' || substring(md5(
+                    'bloom:' || CAST(i AS VARCHAR) || ':' || digest),
+                    1, 15) AS BIGINT) % 1048576 AS BIGINT) AS bit
+                FROM dg, range(0, 7) t(i)),
+              fan AS (
+                SELECT 'never-seen:' || CAST(r AS VARCHAR) AS probe,
+                  CAST(CAST('0x' || substring(md5(
+                    'bloom:' || CAST(i AS VARCHAR) || ':' ||
+                    'never-seen:' || CAST(r AS VARCHAR)),
+                    1, 15) AS BIGINT) % 1048576 AS BIGINT) AS bit
+                FROM range(0, 2000) s(r), range(0, 7) t(i)),
+              flags AS (
+                SELECT probe, count(b.bit) = 7 AS flagged
+                FROM fan LEFT JOIN bits b USING (bit)
+                GROUP BY probe),
+              agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_absent,
+                  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged
+                FROM flags),
+              nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set
+                     FROM bits)
+              SELECT n_bits_set,
+                n_bits_set * 1000000 // 1048576 AS fill_ppm,
+                n_absent, n_flagged,
+                CASE WHEN n_absent = 0 THEN NULL
+                  ELSE n_flagged * 1000000 // n_absent END AS fp_ppm
+              FROM agg, nb""")),
+
     QueryDef("x111_pca_moments",
       // distributed PCA, the corpus-scale half (r10): the exact
       // integer second-moment state of the ×1000-quantized embedding

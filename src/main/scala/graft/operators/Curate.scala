@@ -372,7 +372,14 @@ object Curate {
       else {
         val e1 = Dedup.exactSurvivors(filtered, idCol, fp)
         if (e1.isEmpty) e1
-        else { Dedup.buildExactIndex(e1, idCol, fp, exactIndexPath, nShards); e1 }
+        else {
+          Dedup.buildExactIndex(e1, idCol, fp, exactIndexPath, nShards)
+          // found the negative-cache sidecar with the index: every
+          // later intake's probe screens definitely-new digests out
+          // of the partition reads (decision-equivalent, spec-pinned)
+          Dedup.buildExactBloom(spark, exactIndexPath)
+          e1
+        }
       }
     // 4. fuzzy tier over the exact-tier survivors
     val fuzzyAccepted =

@@ -213,6 +213,38 @@ object Dedup {
     exactMetaCache.computeIfAbsent(path, _ =>
       spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("n_shards"))
 
+  // Bloom sidecar parameters for the exact index (fixed — the layout
+  // is self-consistent as long as build/append/probe share them).
+  private val bloomK = 7
+  private val bloomBits = 1L << 20
+
+  private def bloomPath(path: String) = s"$path/bloom"
+
+  private def hasBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(bloomPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build (or rebuild) the NEGATIVE-CACHE sidecar of a
+    * [[buildExactIndex]] layout: the [[Bloom]] set-bits relation of
+    * every indexed digest, at `<path>/bloom/`. Once present,
+    * [[probeExactIndex]] screens each batch against it first —
+    * definitely-new digests (the bulk of a healthy crawl batch) skip
+    * the index partition reads entirely, and the shard-prune set
+    * shrinks to the maybe-seen digests' shards. [[appendToExactIndex]]
+    * maintains it incrementally (bits land BEFORE digests, so a crash
+    * can only leave harmless extra bits — never a false negative).
+    * Takedowns leave bits behind (a Bloom cannot unset) — stale bits
+    * are false-positive-only; REBUILD here after heavy deletes. */
+  def buildExactBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    Bloom.build(spark.read.parquet(s"$path/digests"), col("digest"),
+        bloomK, bloomBits)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bloomPath(path))
+  }
+
   /** APPEND a batch's (digest, id) rows into a [[buildExactIndex]]
     * layout — dynamic partitionBy, so only the shard partitions the
     * batch's digests hash to gain files. Returns the touched shard
@@ -223,6 +255,14 @@ object Dedup {
     val rows = batch
       .select(col(idCol).as("id"), md5(exactOn.cast("string")).as("digest"))
       .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
+    if (hasBloom(spark, path)) {
+      // bits FIRST (see buildExactBloom): plain append — the probe
+      // reads the relation through distinct(), so duplicate bit rows
+      // from replays/overlaps cost nothing but bytes
+      Bloom.build(rows, col("digest"), bloomK, bloomBits)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(bloomPath(path))
+    }
     rows.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("__shard").parquet(s"$path/digests")
     rows.select("__shard").distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
@@ -237,13 +277,31 @@ object Dedup {
       incoming: DataFrame, idCol: String, exactOn: Column,
       staticPrune: Boolean = true): DataFrame = {
     val nShards = exactIndexShards(spark, path)
-    val inRows = incoming
+    val inRows0 = incoming
       .select(col(idCol).as("in_id"), md5(exactOn.cast("string")).as("digest"))
       .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
+    // NEGATIVE-CACHE SCREEN: when the bloom sidecar exists, only
+    // maybe-seen digests proceed — a definitely-new digest can have
+    // no index match (no false negatives, spec-pinned equivalence),
+    // so the screen changes I/O, never decisions. The set-bits
+    // relation is broadcast-sized (≤ bits rows); distinct() absorbs
+    // duplicate bit rows from appends/replays
+    val inRows =
+      if (!hasBloom(spark, path)) inRows0
+      else {
+        val bloomBitsRel = spark.read.parquet(bloomPath(path)).distinct()
+        val maybe = Bloom.probe(bloomBitsRel,
+            inRows0.select("digest"), col("digest"), bloomK, bloomBits)
+          .where(col("maybe_present"))
+          .select(col("term").as("digest"))
+        inRows0.join(maybe, Seq("digest"), "left_semi")
+      }
     val idx0 = spark.read.parquet(s"$path/digests")
     val idx =
       if (!staticPrune) idx0
       else {
+        // shards collected AFTER the screen: a mostly-novel batch
+        // prunes to the few shards its maybe-seen digests hash to
         val shards = inRows.select("__shard").distinct().collect().map(_.getLong(0))
         if (shards.isEmpty) idx0.limit(0)
         else idx0.where(col("__shard").isin(shards.toIndexedSeq: _*))

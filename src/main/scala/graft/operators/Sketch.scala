@@ -77,3 +77,89 @@ object CountMin {
       .groupBy("term")
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 }
+
+/** BLOOM FILTER with the same portable hash family — the
+  * NEGATIVE CACHE of the dedup stack: a membership screen with NO
+  * false negatives ("definitely new" is trustworthy) and a bounded,
+  * MEASURED false-positive rate ("maybe seen" goes on to the exact
+  * probe). The intended composition at 100 TB: an intake batch probes
+  * the bloom of the digest index first, and only the maybe-seen
+  * minority pays the index partition reads — a mostly-novel batch
+  * (the common case for a healthy crawl) skips almost all probe I/O.
+  *
+  * Representation: the relation of SET BIT POSITIONS (distinct
+  * BIGINT, ≤ min(n·k, bits) rows) — not an opaque bitmap — so it is
+  * mergeable by plain union+distinct (grown == one-shot exactly),
+  * partition-prunable when persisted, and every bit replays in
+  * external SQL through the md5-60 primitive (the x112/x113 oracles
+  * re-derive the whole filter).
+  *
+  * Plan shape: build = explode(k) over the term relation → distinct
+  * (map-side partial absorbs the dups); probe = terms fan out to
+  * their k positions → equi-join the filter → per-term hit count,
+  * present iff all k hit. Sizing rule: fill ratio
+  * f = 1 − (1 − 1/bits)^(n·k), FP ≈ f^k; x113 MEASURES the realized
+  * rate — every lossy tier ships its audit. */
+object Bloom {
+
+  /** Bit position of `term` for hash i under `salt`: md5-60 of
+    * "salt:i:term" mod bits. */
+  def bit(term: Column, i: Int, bits: Long, salt: String): Column =
+    pmod(conv(substring(md5(
+        concat_ws(":", lit(salt), lit(i), term)), 1, 15), 16, 10)
+      .cast("long"), lit(bits))
+
+  private def fanOut(terms: DataFrame, termCol: Column, k: Int,
+      bits: Long, salt: String): DataFrame =
+    terms.select(termCol.as("__t"))
+      .select(col("__t"), explode(array((0 until k).map(i =>
+        bit(col("__t"), i, bits, salt)): _*)).as("bit"))
+
+  /** Build the set-bits relation over the `termCol` relation. */
+  def build(df: DataFrame, termCol: Column, k: Int = 7,
+      bits: Long = 1L << 20, salt: String = "bloom"): DataFrame =
+    fanOut(df, termCol, k, bits, salt).select("bit").distinct()
+
+  /** Merge filters built with the SAME (k, bits, salt): union +
+    * distinct — order-free, so the grown filter is bit-identical to
+    * one built over the concatenated input. */
+  def merge(filters: Seq[DataFrame]): DataFrame = {
+    require(filters.nonEmpty, "Bloom.merge: need at least one filter")
+    filters.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** Membership screen: (term, maybe_present). `maybe_present =
+    * false` is DEFINITE absence (no false negatives — every bit of a
+    * built term is in the relation by construction); `true` means
+    * "pay the exact probe". */
+  def probe(filter: DataFrame, terms: DataFrame, termCol: Column,
+      k: Int = 7, bits: Long = 1L << 20, salt: String = "bloom"): DataFrame =
+    fanOut(terms.select(termCol.as("__term")).distinct(),
+        col("__term"), k, bits, salt)
+      .join(filter.select(col("bit"), lit(1).as("__hit")),
+        Seq("bit"), "left_outer")
+      .groupBy(col("__t").as("term"))
+      .agg((count(col("__hit")) === k).as("maybe_present"))
+
+  /** MEASURED false-positive audit (the x63/x62 discipline applied to
+    * this tier): probe a relation of KNOWN-ABSENT terms and report
+    * the realized flag rate in floored ppm, beside the filter's fill
+    * ratio — the two numbers a sizing decision reads. One row:
+    * (n_bits_set, fill_ppm, n_absent, n_flagged, fp_ppm). */
+  def fpAudit(filter: DataFrame, absent: DataFrame, termCol: Column,
+      k: Int = 7, bits: Long = 1L << 20, salt: String = "bloom"): DataFrame = {
+    val flagged = probe(filter, absent, termCol, k, bits, salt)
+    val nSet = filter.agg(count(lit(1)).as("n_bits_set"))
+    flagged.agg(count(lit(1)).as("n_absent"),
+        coalesce(sum(when(col("maybe_present"), 1L).otherwise(0L)), lit(0L))
+          .as("n_flagged"))
+      .crossJoin(broadcast(nSet))
+      .select(col("n_bits_set"),
+        expr(s"(n_bits_set * CAST(1000000 AS BIGINT)) DIV " +
+          s"CAST($bits AS BIGINT)").as("fill_ppm"),
+        col("n_absent"), col("n_flagged"),
+        expr("""CAST(CASE WHEN n_absent = 0 THEN NULL
+          ELSE (n_flagged * CAST(1000000 AS BIGINT)) DIV n_absent
+          END AS BIGINT)""").as("fp_ppm"))
+  }
+}

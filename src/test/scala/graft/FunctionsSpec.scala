@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, Unaccent}
-import graft.operators.{IvfAnn, Similarity, SkewJoin}
+import graft.operators.{Bloom, Dedup, IvfAnn, Similarity, SkewJoin}
 import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends SparkSpec {
@@ -776,6 +776,47 @@ class FunctionsSpec extends SparkSpec {
     val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
     assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
       s"floored integer shares must sum to just under 1e6: $shareSum")
+  }
+
+  test("Bloom-screened exact probe: identical decisions, incremental sidecar, replay-safe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_idx").toString
+    def text(i: Long) = s"document number $i with its own distinct content body"
+    val corpus = (0L until 60L).map(i => (i, text(i))).toDF("doc_id", "text")
+    // two identical indexes; one gains the bloom sidecar
+    Dedup.buildExactIndex(corpus, "doc_id", col("text"), s"$tmp/plain", nShards = 8)
+    Dedup.buildExactIndex(corpus, "doc_id", col("text"), s"$tmp/bloomed", nShards = 8)
+    Dedup.buildExactBloom(spark, s"$tmp/bloomed")
+    // mixed batch: 5 dups of indexed docs + 5 genuinely new
+    val batch = ((100L until 105L).map(i => (i, text(i - 100))) ++
+      (200L until 205L).map(i => (i, s"fresh text $i never indexed")))
+      .toDF("doc_id", "text")
+    def pairs(path: String) =
+      Dedup.probeExactIndex(spark, path, batch, "doc_id", col("text"))
+        .select("in_id", "corpus_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSet
+    // THE EQUIVALENCE: the screen changes I/O, never decisions
+    val plain = pairs(s"$tmp/plain")
+    assert(pairs(s"$tmp/bloomed") == plain,
+      "bloom screen must not change probe decisions")
+    assert(plain.map(_._1) == (100L until 105L).toSet,
+      "exactly the five dups must surface")
+    // incremental maintenance: intake steps keep the sidecar current —
+    // a dup of batch-2 content arriving in batch-3 is still caught
+    val b2 = Seq((300L, "late content first seen in batch two")).toDF("doc_id", "text")
+    val b3 = Seq((400L, "late content first seen in batch two"),
+      (401L, "and one more genuinely new row here")).toDF("doc_id", "text")
+    Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/bloomed", b2, "doc_id", col("text"))
+    val acc3 = Dedup.intakeStepAgainstExactIndex(spark, s"$tmp/bloomed",
+      b3, "doc_id", col("text")).select("doc_id").as[Long].collect().toSet
+    assert(acc3 == Set(401L),
+      s"the bloom-maintained index must catch the cross-batch dup: $acc3")
+    // replay safety: a duplicated bloom append (crash replay) leaves
+    // decisions unchanged (probe reads the relation through distinct)
+    Bloom.build(b2.select(md5(col("text")).as("digest")), col("digest"),
+        7, 1L << 20)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$tmp/bloomed/bloom")
+    assert(pairs(s"$tmp/bloomed") == plain)
   }
 
   test("Pca: moments are layout-invariant; eigen is a real decomposition; projection recovers low-rank structure") {

@@ -658,6 +658,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Bloom: no false negatives ever; grown == one-shot; measured FP inside the sizing band") {
+    import graft.operators.Bloom
+    val k = 5
+    val bits = 1L << 14 // small on purpose: a measurable FP rate
+    val members = (0 until 800).map(i => s"member-$i").toDF("t")
+    val filter = Bloom.build(members, col("t"), k, bits).cache()
+    // 1. NO FALSE NEGATIVES: every built term must read maybe_present
+    val fn = Bloom.probe(filter, members, col("t"), k, bits)
+      .where(!col("maybe_present")).count()
+    assert(fn === 0L, "a Bloom filter may never miss a member")
+    // 2. mergeable: filters over a split input union to the one-shot
+    val (a, b) = ((0 until 400), (400 until 800))
+    val grown = Bloom.merge(Seq(
+      Bloom.build(a.map(i => s"member-$i").toDF("t"), col("t"), k, bits),
+      Bloom.build(b.map(i => s"member-$i").toDF("t"), col("t"), k, bits)))
+    assert(grown.orderBy("bit").collect().toSeq ==
+      filter.orderBy("bit").collect().toSeq,
+      "union of split filters must equal the one-shot filter")
+    // 3. measured FP sits inside the sizing band: FP ≈ fill^k, check
+    //    within a generous factor (the audit exists to MEASURE it)
+    val audit = Bloom.fpAudit(filter,
+      (0 until 4000).map(i => s"stranger-$i").toDF("t"), col("t"),
+      k, bits).collect()(0)
+    val fill = audit.getAs[Long]("fill_ppm").toDouble / 1e6
+    val fp = audit.getAs[Long]("fp_ppm").toDouble / 1e6
+    val theory = math.pow(fill, k)
+    assert(audit.getAs[Long]("n_absent") === 4000L)
+    assert(fp <= theory * 3 + 0.001 && fp >= theory / 5 - 0.001,
+      s"measured FP $fp far from theory $theory (fill $fill)")
+    filter.unpersist()
+  }
+
   test("multimodal: REAL PNG decode — every filter type round-trips byte-exactly; malformed screened") {
     // one image per filter type: encode with predictor f on every
     // row, decode, compare to the direct pixel formula — any filter
