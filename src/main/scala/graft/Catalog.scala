@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Multimodal, Pca, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -6186,6 +6186,196 @@ object Catalog {
                 CASE WHEN n_absent = 0 THEN NULL
                   ELSE n_flagged * 1000000 // n_absent END AS fp_ppm
               FROM agg, nb""")),
+
+    QueryDef("x114_kmv_distinct",
+      // KMV bottom-k sketch, the distinct-count half: the k smallest
+      // md5-60 hashes of the key space (lineitem part keys — 200/2k/20k
+      // distinct across the SFs, so the oracle gates BOTH the sub-k
+      // exact path and the (k-1)M/h_k estimator path) ARE the sketch (a relation,
+      // mergeable by union+re-bottom-k — grown == one-shot), and the
+      // estimator is pure floored integer math, so the oracle
+      // re-derives sketch, estimate, and the measured-error audit
+      // (the house discipline: every lossy tier ships its loss)
+      (s, d) => {
+        val keys = lineitem(s, d)
+          .select(col("l_partkey").cast("string").as("pk"))
+        val sketch = Kmv.build(keys, col("pk"), k = 256)
+        val exact = keys.select(Kmv.hash(col("pk"), "kmv").as("hv"))
+          .agg(count_distinct(col("hv")).as("exact_distinct"))
+        Kmv.distinctEstimate(sketch, k = 256)
+          .crossJoin(broadcast(exact))
+          .select(col("n_held"), col("h_k"), col("kmv_est"),
+            col("exact_distinct"),
+            expr("""(abs(kmv_est - exact_distinct) * CAST(1000000 AS BIGINT))
+              DIV exact_distinct""").as("abs_err_ppm"))
+      },
+      Some(s"""WITH hv AS (
+                SELECT DISTINCT CAST('0x' || substring(md5(
+                  'kmv:' || CAST(l_partkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+                FROM lineitem),
+              sk AS (SELECT hv FROM hv ORDER BY hv LIMIT 256),
+              est AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_held,
+                  CAST(max(hv) AS BIGINT) AS h_k,
+                  CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
+                    ELSE CAST(CAST(255 AS HUGEINT) *
+                      CAST(${Kmv.M}
+                        AS HUGEINT) // CAST(max(hv) AS HUGEINT) AS BIGINT)
+                  END AS kmv_est
+                FROM sk),
+              ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct
+                     FROM hv)
+              SELECT n_held, h_k, kmv_est, exact_distinct,
+                abs(kmv_est - exact_distinct) * 1000000 // exact_distinct
+                  AS abs_err_ppm
+              FROM est, ex""")),
+
+    QueryDef("x115_kmv_setops",
+      // KMV's set-operation half — the capability HLL lacks and a
+      // cross-source curator needs: union size, Jaccard, and
+      // intersection size between two corpora (two overlapping
+      // part-key bands — true Jaccard ≈ 0.2 at every SF, so the
+      // estimate sits at neither degenerate pole) from two k-row
+      // sketches, no corpus
+      // join. The bottom-k of the sketches' union is a uniform sample
+      // of A∪B's hash space; members present in BOTH sketches
+      // estimate the overlap. Beside each estimate: the exact value
+      // and measured error, all floored integer math the oracle
+      // replays bit-for-bit
+      (s, d) => {
+        def side(lo: Int, hi: Int) = lineitem(s, d)
+          .where(pmod(col("l_partkey"), lit(10)) >= lo &&
+            pmod(col("l_partkey"), lit(10)) < hi)
+          .select(col("l_partkey").cast("string").as("pk"))
+        val est = Kmv.setOps(
+          Kmv.build(side(0, 6), col("pk"), k = 256),
+          Kmv.build(side(4, 10), col("pk"), k = 256), k = 256)
+        val a = side(0, 6).select(Kmv.hash(col("pk"), "kmv").as("hv")).distinct()
+        val b = side(4, 10).select(Kmv.hash(col("pk"), "kmv").as("hv")).distinct()
+        val exact = a.unionByName(b).distinct()
+          .agg(count(lit(1)).as("exact_union"))
+          .crossJoin(a.join(b, Seq("hv"), "left_semi")
+            .agg(count(lit(1)).as("exact_intersect")))
+        est.crossJoin(broadcast(exact))
+          .select(col("n_held"), col("union_est"), col("k_both"),
+            col("jaccard_ppm"), col("intersect_est"),
+            col("exact_union"), col("exact_intersect"),
+            expr("""(exact_intersect * CAST(1000000 AS BIGINT))
+              DIV exact_union""").as("exact_jaccard_ppm"))
+      },
+      Some(s"""WITH ha AS (SELECT DISTINCT CAST('0x' || substring(md5(
+                  'kmv:' || CAST(l_partkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+                FROM lineitem WHERE l_partkey % 10 >= 0
+                  AND l_partkey % 10 < 6),
+              hb AS (SELECT DISTINCT CAST('0x' || substring(md5(
+                  'kmv:' || CAST(l_partkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+                FROM lineitem WHERE l_partkey % 10 >= 4
+                  AND l_partkey % 10 < 10),
+              ska AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+              skb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+              sku AS (SELECT hv FROM (
+                  SELECT DISTINCT hv FROM (
+                    SELECT hv FROM ska UNION ALL SELECT hv FROM skb))
+                ORDER BY hv LIMIT 256),
+              flg AS (SELECT u.hv,
+                  CASE WHEN u.hv IN (SELECT hv FROM ska)
+                    AND u.hv IN (SELECT hv FROM skb)
+                  THEN 1 ELSE 0 END AS in_both
+                FROM sku u),
+              est AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_held,
+                  CAST(sum(in_both) AS BIGINT) AS k_both,
+                  CASE WHEN count(*) < 256 THEN CAST(count(*) AS BIGINT)
+                    ELSE CAST(CAST(255 AS HUGEINT) *
+                      CAST(${Kmv.M}
+                        AS HUGEINT) // CAST(max(hv) AS HUGEINT) AS BIGINT)
+                  END AS union_est
+                FROM flg),
+              ex AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+                    (SELECT hv FROM ha UNION SELECT hv FROM hb))
+                  AS exact_union,
+                  (SELECT CAST(count(*) AS BIGINT) FROM ha
+                   WHERE hv IN (SELECT hv FROM hb)) AS exact_intersect)
+              SELECT n_held, union_est, k_both,
+                CASE WHEN n_held = 0 THEN NULL
+                  ELSE k_both * 1000000 // n_held END AS jaccard_ppm,
+                CASE WHEN n_held = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(CAST(k_both AS HUGEINT) *
+                    CAST(union_est AS HUGEINT) //
+                    CAST(n_held AS HUGEINT) AS BIGINT)
+                END AS intersect_est,
+                exact_union, exact_intersect,
+                exact_intersect * 1000000 // exact_union
+                  AS exact_jaccard_ppm
+              FROM est, ex""")),
+
+    QueryDef("x116_overlap_matrix",
+      // the grouped-KMV OVERLAP MATRIX — the cross-source planning
+      // question at corpus scale ("how much does each slice overlap
+      // each other") from ONE scan: per-group bottom-k sketches via
+      // the native BottomKLongs aggregate (partial map-side, ≤ k
+      // Longs per group·task in the shuffle — NO per-group sort),
+      // then all pairwise union/Jaccard/intersection estimates from
+      // the model-sized sketch relation. Subject: the part spaces of
+      // 1995's ship months (66 pairs; ~50/600/6k parts per month
+      // across the SFs, so sub-k exact AND estimator paths both gate)
+      (s, d) => {
+        val li = lineitem(s, d)
+          .where(year(col("l_shipdate")) === 1995)
+          .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+            col("l_partkey").cast("string").as("pk"))
+        Kmv.pairwiseOverlap(
+            Kmv.groupedBuild(li, col("m"), col("pk"), k = 64), k = 64)
+          .orderBy("ga", "gb")
+      },
+      Some(s"""WITH li AS (
+                SELECT strftime(l_shipdate, '%Y-%m') AS g,
+                  CAST('0x' || substring(md5(
+                    'kmv:' || CAST(l_partkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+              dis AS (SELECT DISTINCT g, hv FROM li),
+              sk AS (SELECT g, hv FROM (
+                  SELECT g, hv, row_number() OVER (
+                    PARTITION BY g ORDER BY hv) AS rn FROM dis)
+                WHERE rn <= 64),
+              gs AS (SELECT DISTINCT g FROM sk),
+              pairs AS (SELECT a.g AS ga, b.g AS gb
+                FROM gs a JOIN gs b ON a.g < b.g),
+              u AS (SELECT p.ga, p.gb, s.hv,
+                  max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+                  max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+                FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+                GROUP BY 1, 2, 3),
+              topu AS (SELECT * FROM (
+                  SELECT u.*, row_number() OVER (
+                    PARTITION BY ga, gb ORDER BY hv) AS rn FROM u)
+                WHERE rn <= 64),
+              agg AS (SELECT ga, gb,
+                  CAST(count(*) AS BIGINT) AS n_held,
+                  CAST(max(hv) AS BIGINT) AS h_k,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS k_both
+                FROM topu GROUP BY 1, 2),
+              est AS (SELECT ga, gb, n_held, k_both,
+                  CASE WHEN n_held < 64 THEN n_held
+                    ELSE CAST(CAST(63 AS HUGEINT) *
+                      CAST(${Kmv.M}
+                        AS HUGEINT) // CAST(h_k AS HUGEINT) AS BIGINT)
+                  END AS union_est
+                FROM agg)
+              SELECT ga, gb, n_held, k_both, union_est,
+                CASE WHEN n_held = 0 THEN NULL
+                  ELSE k_both * 1000000 // n_held END AS jaccard_ppm,
+                CASE WHEN n_held = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(CAST(k_both AS HUGEINT) *
+                    CAST(union_est AS HUGEINT) //
+                    CAST(n_held AS HUGEINT) AS BIGINT)
+                END AS intersect_est
+              FROM est ORDER BY ga, gb""")),
 
     QueryDef("x111_pca_moments",
       // distributed PCA, the corpus-scale half (r10): the exact

@@ -163,3 +163,157 @@ object Bloom {
           END AS BIGINT)""").as("fp_ppm"))
   }
 }
+
+/** KMV (k-minimum-values / bottom-k) SKETCH with the same portable
+  * hash family — the third leg of the sketch stack: HLL (q27) counts
+  * distincts opaquely, CountMin (x108) counts frequencies, KMV counts
+  * distincts AND — unlike HLL — supports SET OPERATIONS: union,
+  * Jaccard, and intersection estimates between corpora, because the
+  * sketch is an actual uniform sample of the hashed key space
+  * (Beyer et al. 2007; Bar-Yossef et al. 2002). That is the question
+  * a 100 TB curator actually asks across sources: "how much does
+  * crawl B overlap crawl A?" — answered from two k-row sketches, no
+  * corpus join.
+  *
+  * Representation: the k SMALLEST distinct md5-60 hash values of the
+  * key relation, as a relation (hv BIGINT, ≤ k rows) — mergeable by
+  * union + re-take-bottom-k (grown == one-shot exactly, since
+  * bottom-k of bottom-k unions is bottom-k of the union), and every
+  * value replays in external SQL (the x114/x115 oracles re-derive the
+  * whole sketch ORDER BY hash LIMIT k).
+  *
+  * Plan shape: build = hash-distinct then a distributed
+  * TakeOrderedAndProject (per-partition bottom-k, driver merges k
+  * rows — no global sort shuffle). Estimates are k-row joins.
+  * Estimator: with fewer than k values held the count is EXACT;
+  * otherwise n̂ = (k−1)·M / h_k with M = 2^60 (floored integer math
+  * in DECIMAL(38,0) — the house overflow discipline). */
+object Kmv {
+
+  /** Hash-space size: md5-60 values are uniform in [0, 2^60). */
+  val M: Long = 1L << 60
+
+  /** Portable draw for `term` under `salt`: md5-60 of "salt:term". */
+  def hash(term: Column, salt: String): Column =
+    conv(substring(md5(concat_ws(":", lit(salt), term)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Build: the k smallest distinct hash values of `termCol`. */
+  def build(df: DataFrame, termCol: Column, k: Int = 256,
+      salt: String = "kmv"): DataFrame =
+    df.select(hash(termCol, salt).as("hv")).distinct()
+      .orderBy("hv").limit(k)
+
+  /** Merge sketches built with the SAME (k, salt): union + bottom-k
+    * again — order-free, so the grown sketch is row-identical to one
+    * built over the concatenated input. */
+  def merge(sketches: Seq[DataFrame], k: Int = 256): DataFrame = {
+    require(sketches.nonEmpty, "Kmv.merge: need at least one sketch")
+    sketches.reduce(_.unionByName(_)).distinct().orderBy("hv").limit(k)
+  }
+
+  /** Distinct-count estimate, one row: (n_held, h_k, kmv_est).
+    * n_held < k means the sketch saw the whole key space — the
+    * "estimate" is exact; otherwise (k−1)·M div h_k. */
+  def distinctEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch.agg(count(lit(1)).as("n_held"), max(col("hv")).as("h_k"))
+      .select(col("n_held"), col("h_k"),
+        when(col("n_held") < k, col("n_held"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($M AS DECIMAL(38,0)))" +
+              " DIV CAST(h_k AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("kmv_est"))
+
+  /** Set-operation estimates from two sketches with the same
+    * (k, salt), one row: (n_held, h_k, union_est, k_both,
+    * jaccard_ppm, intersect_est). The union sketch is the bottom-k of
+    * the two sketches' union; `k_both` counts its members present in
+    * BOTH input sketches — k_both / n_held estimates Jaccard
+    * (a uniform sample of A∪B's hash space), and Jaccard × union_est
+    * estimates |A∩B|. All floored integer math, replayable. */
+  /** Per-group KMV sketches in ONE bounded hash aggregate:
+    * (g, hv) rows, ≤ k per group. The aggregate is
+    * [[graft.functions.BottomKLongs]] — partial map-side, ≤ k Longs
+    * per (group, task) in the shuffle, no per-group sort (the
+    * `row_number() OVER (PARTITION BY g ORDER BY hv)` alternative
+    * sorts every group's full key stream). */
+  def groupedBuild(df: DataFrame, groupCol: Column, termCol: Column,
+      k: Int = 256, salt: String = "kmv"): DataFrame =
+    df.select(groupCol.as("g"), hash(termCol, salt).as("__hv"))
+      .groupBy("g")
+      .agg(graft.functions.BottomKLongs.column(col("__hv"), k).as("__sk"))
+      .select(col("g"), explode(col("__sk")).as("hv"))
+
+  /** The OVERLAP MATRIX over a [[groupedBuild]] relation: one row per
+    * unordered group pair (ga < gb) with (n_held, k_both, union_est,
+    * jaccard_ppm, intersect_est) — "how much does each source/month/
+    * shard overlap each other" answered entirely from the model-sized
+    * sketch relation (≤ G·k rows): the corpus is scanned ONCE, by
+    * groupedBuild; everything here is G²-bounded arithmetic. Per
+    * pair, the union sketch is the bottom-k of the two sketches'
+    * union (the window runs over ≤ G²·2k rows — sketch-land, never
+    * corpus-land), and members present in both sketches estimate the
+    * overlap, exactly as [[setOps]]. */
+  def pairwiseOverlap(sketches: DataFrame, k: Int = 256): DataFrame = {
+    val gs = sketches.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .join(gs.select(col("g").as("gb")), col("ga") < col("gb"))
+    val sa = sketches.select(col("g").as("ga"), col("hv"))
+    val sb = sketches.select(col("g").as("gb"), col("hv"))
+    val tagged = pairs.join(sa, Seq("ga"))
+      .select(col("ga"), col("gb"), col("hv"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs.join(sb, Seq("gb"))
+        .select(col("ga"), col("gb"), col("hv"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("ga", "gb", "hv")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga", "gb").orderBy("hv")
+    tagged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_held"), max(col("hv")).as("h_k"),
+        sum(col("in_a") * col("in_b")).cast("long").as("k_both"))
+      .select(col("ga"), col("gb"), col("n_held"), col("k_both"),
+        when(col("n_held") < k, col("n_held"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($M AS DECIMAL(38,0)))" +
+              " DIV CAST(h_k AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("union_est"))
+      .select(col("ga"), col("gb"), col("n_held"), col("k_both"),
+        col("union_est"),
+        expr("""CAST(CASE WHEN n_held = 0 THEN NULL
+          ELSE (k_both * CAST(1000000 AS BIGINT)) DIV n_held
+          END AS BIGINT)""").as("jaccard_ppm"),
+        expr("""CAST(CASE WHEN n_held = 0 THEN 0
+          ELSE (CAST(k_both AS DECIMAL(38,0)) *
+                CAST(union_est AS DECIMAL(38,0)))
+               DIV CAST(n_held AS DECIMAL(38,0))
+          END AS BIGINT)""").as("intersect_est"))
+  }
+
+  def setOps(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val u = merge(Seq(a, b), k)
+    u.join(broadcast(a.select(col("hv"), lit(1).as("__a"))), Seq("hv"), "left_outer")
+      .join(broadcast(b.select(col("hv"), lit(1).as("__b"))), Seq("hv"), "left_outer")
+      .agg(count(lit(1)).as("n_held"), max(col("hv")).as("h_k"),
+        coalesce(sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("k_both"))
+      .select(col("n_held"), col("h_k"), col("k_both"),
+        when(col("n_held") < k, col("n_held"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($M AS DECIMAL(38,0)))" +
+              " DIV CAST(h_k AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("union_est"))
+      .select(col("n_held"), col("h_k"), col("union_est"), col("k_both"),
+        expr("""CAST(CASE WHEN n_held = 0 THEN NULL
+          ELSE (k_both * CAST(1000000 AS BIGINT)) DIV n_held
+          END AS BIGINT)""").as("jaccard_ppm"),
+        expr("""CAST(CASE WHEN n_held = 0 THEN 0
+          ELSE (CAST(k_both AS DECIMAL(38,0)) *
+                CAST(union_est AS DECIMAL(38,0)))
+               DIV CAST(n_held AS DECIMAL(38,0))
+          END AS BIGINT)""").as("intersect_est"))
+  }
+}

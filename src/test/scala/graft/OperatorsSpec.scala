@@ -690,6 +690,87 @@ class OperatorsSpec extends SparkSpec {
     filter.unpersist()
   }
 
+  test("Kmv: grown == one-shot; sub-k is exact; estimate lands; set ops hit the degenerate poles") {
+    import graft.operators.Kmv
+    val k = 128
+    // 1. small set (< k distinct): the sketch IS the hash set — exact
+    val small = (0 until 50).map(i => s"v-$i").toDF("t")
+    val smallEst = Kmv.distinctEstimate(Kmv.build(small, col("t"), k), k).collect()(0)
+    assert(smallEst.getAs[Long]("n_held") === 50L)
+    assert(smallEst.getAs[Long]("kmv_est") === 50L,
+      "below k the count must be exact")
+    // 2. grown == one-shot: union of split sketches re-bottom-k's to
+    //    the sketch of the whole input, row-identically
+    val big = (0 until 20000).map(i => s"key-$i").toDF("t")
+    val oneShot = Kmv.build(big, col("t"), k)
+    val grown = Kmv.merge(Seq(
+      Kmv.build((0 until 7000).map(i => s"key-$i").toDF("t"), col("t"), k),
+      Kmv.build((7000 until 20000).map(i => s"key-$i").toDF("t"), col("t"), k)), k)
+    assert(grown.orderBy("hv").collect().toSeq ==
+      oneShot.orderBy("hv").collect().toSeq)
+    // 3. the estimator lands: 20k distinct, k=128 → s.e. ≈ n/√k ≈ 9%;
+    //    assert a generous deterministic band (hashes are fixed)
+    val est = Kmv.distinctEstimate(oneShot, k).collect()(0).getAs[Long]("kmv_est")
+    assert(est > 12000 && est < 30000, s"estimate $est far from 20000")
+    // 4. degenerate poles of the set ops: identical sets → jaccard
+    //    exactly 1e6 ppm; disjoint sets → k_both = 0, intersect 0
+    val same = Kmv.setOps(oneShot, Kmv.build(big, col("t"), k), k).collect()(0)
+    assert(same.getAs[Long]("jaccard_ppm") === 1000000L)
+    assert(same.getAs[Long]("union_est") === est)
+    val other = (0 until 20000).map(i => s"elsewhere-$i").toDF("t")
+    val disj = Kmv.setOps(oneShot, Kmv.build(other, col("t"), k), k).collect()(0)
+    assert(disj.getAs[Long]("k_both") === 0L)
+    assert(disj.getAs[Long]("intersect_est") === 0L)
+    // 5. a half-overlap reads between the poles
+    val half = (10000 until 30000).map(i => s"key-$i").toDF("t")
+    val ho = Kmv.setOps(oneShot, Kmv.build(half, col("t"), k), k).collect()(0)
+    val jac = ho.getAs[Long]("jaccard_ppm")
+    assert(jac > 150000L && jac < 550000L, // true 10k/30k ≈ 333333 ppm
+      s"half-overlap jaccard $jac far from 333333")
+  }
+
+  test("Kmv grouped: BottomKLongs equals the per-subset one-shot; the overlap matrix hits every pole") {
+    import graft.operators.Kmv
+    val k = 64
+    // four groups over a shared key universe: identical pair, a
+    // disjoint stranger, and a half-overlapper — every matrix pole
+    val rows =
+      (0 until 3000).map(i => ("g0", s"key-$i")) ++
+      (0 until 3000).map(i => ("g1", s"key-$i")) ++          // == g0
+      (0 until 3000).map(i => ("gx", s"other-$i")) ++        // disjoint
+      (1500 until 4500).map(i => ("gh", s"key-$i"))          // half of g0
+    val df = rows.toDF("g", "t")
+    val sk = Kmv.groupedBuild(df, col("g"), col("t"), k).cache()
+    // 1. the native bounded aggregate must equal the per-subset
+    //    one-shot build, row-identically, for every group
+    for (g <- Seq("g0", "g1", "gx", "gh")) {
+      val grouped = sk.where(col("g") === g).select("hv")
+        .orderBy("hv").collect().toSeq
+      val oneShot = Kmv.build(df.where(col("g") === g), col("t"), k)
+        .orderBy("hv").collect().toSeq
+      assert(grouped == oneShot, s"grouped sketch for $g diverges")
+    }
+    // 2. matrix poles: identical → jaccard exactly 1e6 and k_both ==
+    //    n_held; disjoint → zero overlap; half → between the poles
+    val m = Kmv.pairwiseOverlap(sk, k).collect()
+      .map(r => (r.getAs[String]("ga"), r.getAs[String]("gb")) -> r).toMap
+    assert(m.size == 6, s"expected all 6 unordered pairs, got ${m.keySet}")
+    val same = m(("g0", "g1"))
+    assert(same.getAs[Long]("jaccard_ppm") === 1000000L)
+    assert(same.getAs[Long]("k_both") === same.getAs[Long]("n_held"))
+    val disj = m(("g0", "gx"))
+    assert(disj.getAs[Long]("k_both") === 0L)
+    assert(disj.getAs[Long]("intersect_est") === 0L)
+    val half = m(("g0", "gh"))
+    val jac = half.getAs[Long]("jaccard_ppm")
+    assert(jac > 150000L && jac < 550000L, // true 1.5k/4.5k ≈ 333333
+      s"half-overlap matrix jaccard $jac far from 333333")
+    // 3. union estimate on the half pair lands near the true 4500
+    val ue = half.getAs[Long]("union_est")
+    assert(ue > 2500 && ue < 8000, s"union estimate $ue far from 4500")
+    sk.unpersist()
+  }
+
   test("multimodal: REAL PNG decode — every filter type round-trips byte-exactly; malformed screened") {
     // one image per filter type: encode with predictor f on every
     // row, decode, compare to the direct pixel formula — any filter

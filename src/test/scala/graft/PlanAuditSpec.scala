@@ -59,6 +59,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 2, s"expected only the 2 verification joins, got $joins:\n$plan")
   }
 
+  test("x114: KMV build ranks k-bounded (TakeOrdered, no global sort); no cartesian, no window") {
+    val plan = finalPlan(q("x114_kmv_distinct")).toString()
+    // the bottom-k is a distributed TakeOrderedAndProject over the
+    // hash-distinct — per-partition heaps, driver merges k rows; a
+    // global Sort+Exchange here would be the 100 TB scale-killer
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"KMV bottom-k must be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"unexpected cartesian/window in KMV plan:\n$plan")
+  }
+
+  test("x116: grouped KMV is a partial ObjectHashAggregate reading two columns; no corpus window") {
+    val df = q("x116_overlap_matrix")
+    val plan = finalPlan(df).toString()
+    // the corpus-side build must be the bounded native aggregate,
+    // partial map-side (two ObjectHashAggregate levels) — a Window
+    // before any aggregate would mean the per-group sort came back
+    assert(plan.linesIterator.count(l =>
+        l.contains("ObjectHashAggregate") && l.contains("bottom_k_longs")) >= 2,
+      s"grouped build must be partial+final bottom_k_longs:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_shipdate") && read.contains("l_partkey") &&
+      !read.contains("l_comment") && !read.contains("l_extendedprice"),
+      s"scan reads more than the two KMV columns:\n$read")
+  }
+
+  test("x112: bloom probe equi-joins the bit relation (hash join, no cartesian, no window)") {
+    val plan = finalPlan(q("x112_bloom_membership")).toString()
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashJoin") && l.contains("bit")),
+      s"bloom probe must equi-join on the bit position:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window") &&
+      !plan.contains("NestedLoop"),
+      s"unexpected cartesian/window/NLJ in bloom plan:\n$plan")
+  }
+
   test("q19: aggregation is hash-based with map-side partial combine") {
     val plan = finalPlan(q("q19_agg_pricing"))
     val exchanges = plan.collect { case e: Exchange => e }
