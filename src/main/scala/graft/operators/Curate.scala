@@ -49,7 +49,12 @@ object Curate {
       jaccardThreshold: Double = 0.8,
       contaminationN: Int = 5,
       scrubPii: Boolean = false,
-      keep: Seq[String] = Nil)
+      keep: Seq[String] = Nil,
+      // build/maintain the exact index's Bloom negative-cache sidecar
+      // (BloomAB-measured rule: pays on object-store lakes where each
+      // avoided shard read is a GET; pure overhead on local NVMe —
+      // default off, the probe auto-screens iff the sidecar exists)
+      exactBloomSidecar: Boolean = false)
 
   /** The funnel's intermediate frames, built ONCE and shared by
     * [[curate]] (which returns the survivors) and [[report]] (which
@@ -374,10 +379,11 @@ object Curate {
         if (e1.isEmpty) e1
         else {
           Dedup.buildExactIndex(e1, idCol, fp, exactIndexPath, nShards)
-          // found the negative-cache sidecar with the index: every
-          // later intake's probe screens definitely-new digests out
-          // of the partition reads (decision-equivalent, spec-pinned)
-          Dedup.buildExactBloom(spark, exactIndexPath)
+          // negative-cache sidecar with the index (opt-in; see
+          // Config.exactBloomSidecar): later intakes screen
+          // definitely-new digests out of the partition reads
+          // (decision-equivalent, spec-pinned)
+          if (cfg.exactBloomSidecar) Dedup.buildExactBloom(spark, exactIndexPath)
           e1
         }
       }

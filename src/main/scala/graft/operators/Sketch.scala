@@ -244,6 +244,20 @@ object Kmv {
       .agg(graft.functions.BottomKLongs.column(col("__hv"), k).as("__sk"))
       .select(col("g"), explode(col("__sk")).as("hv"))
 
+  /** Per-group distinct-count estimates from a [[groupedBuild]]
+    * relation: (g, n_held, ndv_est) — NDV-per-group in bounded memory
+    * per group, the grouped twin of [[distinctEstimate]] (exact below
+    * k, (k−1)·M div h_k above). Pure sketch-land arithmetic. */
+  def groupedDistinct(sketches: DataFrame, k: Int = 256): DataFrame =
+    sketches.groupBy("g")
+      .agg(count(lit(1)).as("n_held"), max(col("hv")).as("h_k"))
+      .select(col("g"), col("n_held"),
+        when(col("n_held") < k, col("n_held"))
+          .otherwise(expr(
+            s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($M AS DECIMAL(38,0)))" +
+              " DIV CAST(h_k AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("ndv_est"))
+
   /** The OVERLAP MATRIX over a [[groupedBuild]] relation: one row per
     * unordered group pair (ga < gb) with (n_held, k_both, union_est,
     * jaccard_ppm, intersect_est) — "how much does each source/month/

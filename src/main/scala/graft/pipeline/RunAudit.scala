@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, IvfAnn, Sampling, SkewJoin, TableProfile, TextAnalysis}
+import graft.operators.{Dedup, IvfAnn, Kmv, Sampling, SkewJoin, TableProfile, TextAnalysis}
 
 /** The CORPUS-HEALTH AUDIT journey — one spark-submit that runs the
   * monitor suite over a corpus and leaves a review-ready audit
@@ -29,6 +29,10 @@ import graft.operators.{Dedup, IvfAnn, Sampling, SkewJoin, TableProfile, TextAna
   *                       can't see; present only with `--prev`
   *   dup_matrix/         cross-source duplication matrix over the
   *                       MinHash pair relation (x59)
+  *   overlap_matrix/     pairwise source-overlap estimates from
+  *                       grouped KMV sketches of each source's
+  *                       digest space (x116) — near-dup pairs vs
+  *                       exact-content set overlap, side by side
   *   family_sizes/       dup-family size histogram over the same pair
   *                       relation, bucketed by exact integer log2
   *                       (x74) — plus dup_families / largest_family
@@ -180,6 +184,20 @@ object RunAudit {
     val matrix = save(
       Dedup.crossSourceDupMatrix(pairs, docs, "doc_id", "source"),
       "dup_matrix")
+    // 2b. the set-OVERLAP view of the same cross-source question:
+    // grouped KMV sketches of each source's exact-digest space (ONE
+    // bounded-aggregate scan) → every pairwise union/Jaccard/
+    // intersection estimate from the ≤ sources·k-row sketch relation
+    // (the x116 shape). dup_matrix counts NEAR-dup candidate pairs;
+    // this estimates EXACT-content overlap — the "is source B a
+    // re-crawl of source A" planning number
+    val overlap = save(
+      Kmv.pairwiseOverlap(
+        Kmv.groupedBuild(
+          docs.select(col("source"), md5(col("text")).as("dg")),
+          col("source"), col("dg"), k = 64),
+        k = 64),
+      "overlap_matrix")
     val accuracy = save(
       Dedup.minHashAccuracyAudit(docs, "doc_id", "text",
         shingleN = 3, k = 64, bands = 16),
@@ -260,6 +278,8 @@ object RunAudit {
         coalesce(sum("n_families"), lit(0L))).head().getLong(0).toString,
       "largest_family" -> largestFamily.toString,
       "minhash_worst_abs_err_ppm" -> worstErr.toString,
+      "max_source_overlap_ppm" -> overlap
+        .agg(coalesce(max("jaccard_ppm"), lit(0L))).head().getLong(0).toString,
       "banding_catch_by_band" -> bandSummary,
       "fluency_docs_by_band" -> fluency.collect()
         .sortBy(_.getAs[Int]("bucket"))

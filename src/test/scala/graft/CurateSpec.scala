@@ -315,13 +315,22 @@ class CurateSpec extends SparkSpec {
     val rep = graft.pipeline.RunAudit
       .run(spark, docs, Some(emb), out).toMap
     assert(rep("n_docs").toLong == docs.count())
-    Seq("profile", "hist", "dsir", "dup_matrix", "family_sizes",
-        "minhash_accuracy", "banding_recall",
+    Seq("profile", "hist", "dsir", "dup_matrix", "overlap_matrix",
+        "family_sizes", "minhash_accuracy", "banding_recall",
         "table_profile", "heavy_sources", "fluency_bands",
         "ivf_cells", "ann_recall").foreach { d =>
       assert(spark.read.parquet(s"$out/$d").count() > 0,
         s"audit table $d must exist and be non-empty")
     }
+    // the overlap matrix covers every unordered source pair and its
+    // summary key is the worst pairwise jaccard
+    val nSrc = rep("n_sources").toLong
+    val om = spark.read.parquet(s"$out/overlap_matrix")
+    assert(om.count() == nSrc * (nSrc - 1) / 2,
+      s"overlap matrix must cover all ${nSrc * (nSrc - 1) / 2} pairs")
+    assert(rep("max_source_overlap_ppm").toLong ==
+      om.agg(org.apache.spark.sql.functions.max("jaccard_ppm"))
+        .head().getLong(0))
     // family mass is conserved: the histogram's docs == 2-sided pair
     // participants, and the largest family bounds every bucket
     val fam = spark.read.parquet(s"$out/family_sizes")
@@ -426,8 +435,11 @@ class CurateSpec extends SparkSpec {
   test("RunIntake: per-batch journey accumulates exactly the one-shot curated corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf("sf0.001"))
+    // sidecar ON here: the journey-level sequential == one-shot
+    // contract must hold under the bloom-screened probe path too
     val cfg = Curate.Config(langs = Seq("en", "und"),
-      jaccardThreshold = 0.5, keep = Seq("source"))
+      jaccardThreshold = 0.5, keep = Seq("source"),
+      exactBloomSidecar = true)
     val state = java.nio.file.Files
       .createTempDirectory("graft_intake_spec").toString
     graft.pipeline.RunIntake.run(spark,

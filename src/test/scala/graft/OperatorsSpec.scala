@@ -768,6 +768,15 @@ class OperatorsSpec extends SparkSpec {
     // 3. union estimate on the half pair lands near the true 4500
     val ue = half.getAs[Long]("union_est")
     assert(ue > 2500 && ue < 8000, s"union estimate $ue far from 4500")
+    // 4. per-group NDV from the same sketch relation: every group
+    //    holds 3000 distinct keys; estimates land in the k=64 band
+    val ndv = Kmv.groupedDistinct(sk, k).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("ndv_est")).toMap
+    assert(ndv.keySet == Set("g0", "g1", "gx", "gh"))
+    ndv.foreach { case (g, est) =>
+      assert(est > 1500 && est < 6000, s"group $g NDV $est far from 3000")
+    }
+    assert(ndv("g0") == ndv("g1"), "identical groups must estimate identically")
     sk.unpersist()
   }
 

@@ -52,10 +52,15 @@ object Scale10Probe {
       synthesize(spark, src)
 
     val reps = 3
-    val picks = Seq("q19_agg_pricing", "q20_star_join", "x03_minhash_lsh",
+    val defaultPicks = Seq("q19_agg_pricing", "q20_star_join", "x03_minhash_lsh",
       "x06_knn_cosine", "x10_quality", "x44_chunk_dedup",
       "x82_substring_dedup", "x88_bpe_train", "x30_sequence_packing",
-      "x97_lm_score")
+      "x97_lm_score", "x114_kmv_distinct", "x116_overlap_matrix")
+    // bare args (non --flags) narrow the run to those families
+    val picks = {
+      val only = args.filterNot(_.startsWith("--")).toSeq
+      if (only.nonEmpty) only else defaultPicks
+    }
     def floor(name: String, d: String): Double = {
       val q = Catalog.entries.find(_.name == name).get
       (1 to reps).map { _ =>
