@@ -244,6 +244,20 @@ object Kmv {
       .agg(graft.functions.BottomKLongs.column(col("__hv"), k).as("__sk"))
       .select(col("g"), explode(col("__sk")).as("hv"))
 
+  /** Merge [[groupedBuild]] relations built with the SAME (k, salt):
+    * union, then per-group bottom-k again through the bounded
+    * aggregate — grown == one-shot row-identically (bottom-k of
+    * bottom-k unions is bottom-k of the union), and IDEMPOTENT
+    * (re-merging an already-folded batch is a set union — a crash
+    * replay cannot corrupt the sketch, unlike count states). */
+  def mergeGrouped(sketches: Seq[DataFrame], k: Int = 256): DataFrame = {
+    require(sketches.nonEmpty, "Kmv.mergeGrouped: need at least one sketch")
+    sketches.reduce(_.unionByName(_))
+      .groupBy("g")
+      .agg(graft.functions.BottomKLongs.column(col("hv"), k).as("__sk"))
+      .select(col("g"), explode(col("__sk")).as("hv"))
+  }
+
   /** Per-group distinct-count estimates from a [[groupedBuild]]
     * relation: (g, n_held, ndv_est) — NDV-per-group in bounded memory
     * per group, the grouped twin of [[distinctEstimate]] (exact below

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, length}
 
-import graft.operators.{Bpe, Compaction, Curate, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Compaction, Curate, Dedup, Kmv, Sampling, TextAnalysis}
 
 /** The INCREMENTAL-INGESTION journey — the fourth runnable main,
   * completing the operability story around
@@ -90,6 +90,11 @@ object RunIntake {
     * and every reader passes the same value to
     * [[graft.operators.Sampling.dsirModelFromStates]]. */
   val dsirStateBuckets: Int = 4096
+
+  /** Sketch size of the journey-owned `kmv_state/` (per-source
+    * bottom-k digest sketches). Fixed for the life of a state dir:
+    * sketches of different k must never merge. */
+  val kmvStateK: Int = 64
 
   def main(args: Array[String]): Unit = {
     var scrubPii = false
@@ -279,6 +284,23 @@ object RunIntake {
         else Compaction.replaceTable(spark, histPath) { tmp =>
           TextAnalysis.mergeHistStates("source",
             Seq(spark.read.parquet(histPath), batchHist))
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+        }
+        // the per-source KMV sketch grows beside the histograms:
+        // bottom-k merge of (state, batch) — grown == one-shot
+        // row-identically, and IDEMPOTENT (set union), so a crash
+        // replay cannot even double-count it. The x116 source-overlap
+        // matrix and per-source NDV become sketch-sized reads of this
+        // state — never an audit-time corpus re-scan
+        val batchKmv = Kmv.groupedBuild(
+          accepted.select(col("source"), md5(col("text")).as("__dg")),
+          col("source"), col("__dg"), k = kmvStateK)
+        val kmvPath = s"$stateDir/kmv_state"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(kmvPath)))
+          batchKmv.write.parquet(kmvPath)
+        else Compaction.replaceTable(spark, kmvPath) { tmp =>
+          Kmv.mergeGrouped(
+            Seq(spark.read.parquet(kmvPath), batchKmv), k = kmvStateK)
             .write.mode(SaveMode.Overwrite).parquet(tmp)
         }
       }
