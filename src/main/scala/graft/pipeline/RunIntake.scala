@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, length}
+import org.apache.spark.sql.functions.{col, length, md5}
 
 import graft.operators.{Bpe, Compaction, Curate, Dedup, Kmv, Sampling, TextAnalysis}
 
