@@ -130,16 +130,27 @@ object RunGc {
         c.isFile && c.getPath.getName == "_current")
       if (pointered) {
         val cur = Compaction.resolveData(spark, p.toUri.getPath)
-        val curN = new org.apache.hadoop.fs.Path(cur).getName
-          .stripPrefix("gen-")
-        val keep = scala.util.Try(curN.toLong).toOption
-          .map(n => Set(s"gen-$n", s"gen-${n - 1}")).getOrElse(Set(curN))
-        children.filter(_.isDirectory).foreach { c =>
+        val curName = new org.apache.hadoop.fs.Path(cur).getName
+        // keep full directory NAMES: if the pointer is non-numeric
+        // (e.g. "gen-abc", or a custom name), the fallback must still
+        // protect the live generation — a stripped-prefix fallback
+        // would GC the directory the pointer names
+        val keep = scala.util.Try(curName.stripPrefix("gen-").toLong)
+          .toOption
+          .map(n => Set(s"gen-$n", s"gen-${n - 1}"))
+          .getOrElse(Set(curName))
+        children.foreach { c =>
           val n = c.getPath.getName
-          if (n.startsWith("gen-") && !keep.contains(n))
+          if (c.isDirectory) {
+            if (n.startsWith("gen-") && !keep.contains(n))
+              orphanGens += ((c.getPath.toUri.getPath, c.getModificationTime))
+            else if (n == curName)
+              tables += c.getPath.toUri.getPath // the live generation
+          } else if (n.startsWith("_current.tmp.")) {
+            // a writer crashed between manifest write and the atomic
+            // flip rename — the tmp manifest is dead weight forever
             orphanGens += ((c.getPath.toUri.getPath, c.getModificationTime))
-          else if (n == new org.apache.hadoop.fs.Path(cur).getName)
-            tables += c.getPath.toUri.getPath // the live generation
+          }
         }
         return // generations are the leaves; nothing else to descend
       }

@@ -92,7 +92,11 @@ object RunScheduled {
     } else {
       var t = 0
       while (ticks == 0 || t < ticks) {
-        tick(spark, csvDir, outDir, java.time.LocalDate.now(), windowDays)
+        // UTC, matching the engine's pinned session zone — the JVM
+        // default zone could label a near-midnight tick with the wrong
+        // day relative to the UTC lake partitions
+        tick(spark, csvDir, outDir,
+          java.time.LocalDate.now(java.time.ZoneOffset.UTC), windowDays)
         t += 1
         if (ticks == 0 || t < ticks)
           Thread.sleep(intervalMinutes * 60000L)

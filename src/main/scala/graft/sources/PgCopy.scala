@@ -117,8 +117,10 @@ object PgWire {
           md.update(body, 4, 4) // salt
           send('p', cstr("md5" + hex(md.digest()))); out.flush()
           authenticate()
-        case 10 => scramAuth(); authenticate()
-        case 12 => authenticate() // SASLFinal carried in 'R'; next is Ok
+        case 10 => scramAuth(); authenticate() // scramAuth consumes SASLFinal
+        case 12 =>
+          throw new java.io.IOException(
+            "unexpected AuthenticationSASLFinal outside a SCRAM exchange")
         case other =>
           throw new java.io.IOException(
             s"unsupported postgres auth method $other")
@@ -171,6 +173,29 @@ object PgWire {
       val clientFinal = clientFinalNoProof + ",p=" +
         java.util.Base64.getEncoder.encodeToString(proof)
       send('p', clientFinal.getBytes(UTF_8)); out.flush()
+
+      // MUTUAL authentication (RFC 5802 §3): the server proves it
+      // knows the password derivation by sending v=ServerSignature in
+      // AuthenticationSASLFinal. Verifying it rejects a spoofed
+      // endpoint before any data is served to it.
+      val (t2, body2) = recv()
+      if (t2 == 'E') fail(body2)
+      require(t2 == 'R', s"expected SASLFinal, got '${t2.toChar}'")
+      val code2 = ((body2(0) & 0xff) << 24) | ((body2(1) & 0xff) << 16) |
+        ((body2(2) & 0xff) << 8) | (body2(3) & 0xff)
+      require(code2 == 12, s"expected AuthenticationSASLFinal(12), got $code2")
+      val serverFinal = new String(body2, 4, body2.length - 4, UTF_8)
+      val vAttr = serverFinal.split(",").collectFirst {
+        case kv if kv.startsWith("v=") => kv.drop(2)
+      }.getOrElse(throw new java.io.IOException(
+        s"SASLFinal carried no v= signature: $serverFinal"))
+      val serverKey = hmac(salted, "Server Key")
+      val serverSig = hmac(serverKey, authMessage)
+      val expected = java.util.Base64.getEncoder.encodeToString(serverSig)
+      if (!java.security.MessageDigest.isEqual(
+          expected.getBytes(UTF_8), vAttr.getBytes(UTF_8)))
+        throw new java.io.IOException(
+          "SCRAM server signature mismatch — endpoint failed mutual auth")
     }
 
     private def drainUntilReady(): Unit = {

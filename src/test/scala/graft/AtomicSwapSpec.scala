@@ -145,6 +145,34 @@ class AtomicSwapSpec extends SparkSpec {
     assert(Compaction.readData(spark, t).count() === 6)
   }
 
+  test("RunGc: non-numeric pointer protects its live gen; aged _current.tmp remnants are swept") {
+    val root = tmpDir("graft_swap_gc2")
+    val t = s"$root/t"
+    writeRows(Compaction.ensureAtomic(spark, t), 5)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // corrupt the pointer to a non-numeric generation name and move
+    // the data under it: GC must protect exactly the named directory
+    fs.rename(new org.apache.hadoop.fs.Path(t, "gen-1"),
+      new org.apache.hadoop.fs.Path(t, "gen-abc"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(t, "_current"), true)
+    try out.write("gen-abc".getBytes("UTF-8")) finally out.close()
+    // plus a crashed flip's tmp manifest — dead weight forever
+    val tmp = fs.create(
+      new org.apache.hadoop.fs.Path(t, "_current.tmp.deadbeef"), true)
+    try tmp.write("gen-2".getBytes("UTF-8")) finally tmp.close()
+    val aged = graft.pipeline.RunGc.run(spark, root, ageMinutes = 0,
+      apply = true)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, "gen-abc")),
+      "the generation a non-numeric pointer names must survive gc")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(t, "_current.tmp.deadbeef")),
+      "aged crashed-flip tmp manifests must be swept")
+    assert(aged.exists(f => f.path.endsWith("_current.tmp.deadbeef") &&
+      f.action == "deleted"))
+    assert(Compaction.readData(spark, t).count() === 5,
+      "the live table must still read through the corrupt-but-valid pointer")
+  }
+
   test("a crashed writer's orphan generation is invisible and gets replaced") {
     val root = tmpDir("graft_swap_orphan") + "/t"
     writeRows(Compaction.ensureAtomic(spark, root), 5)

@@ -130,6 +130,37 @@ object PgServeProbe {
         s"$mismatch embedding rows differ after the array round-trip")
       Console.err.println(s"[pgserve] OK: $nVec embeddings served as " +
         "real[] arrays and read back value-exact")
+
+      // third act: SCRAM-SHA-256 against the real server — the
+      // engine's wire client must complete the full RFC 7677 exchange
+      // INCLUDING verifying the server's v= signature (mutual auth),
+      // and a wrong password must be rejected by the exchange.
+      pgSql(port, "DROP ROLE IF EXISTS scramuser")
+      pgSql(port, "SET password_encryption='scram-sha-256'; " +
+        "CREATE ROLE scramuser LOGIN PASSWORD 'graft-secret'")
+      pgSql(port, "GRANT ALL ON SCHEMA public TO scramuser")
+      val hba = s"$pgRoot/data/pg_hba.conf"
+      val hbaOld = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(hba))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(hba),
+        "host all scramuser 127.0.0.1/32 scram-sha-256\n" + hbaOld)
+      pgSql(port, "SELECT pg_reload_conf()")
+      val scramDf = gold.limit(50)
+      graft.sources.PgCopySink.write(scramDf, "127.0.0.1", port,
+        "postgres", "scramuser", "graft-secret", "scram_served",
+        overwrite = true, maxConnections = 2)
+      val nScram = pgSql(port, "SELECT count(*) FROM scram_served").toLong
+      require(nScram == scramDf.count(),
+        s"scram-authed serve: pg=$nScram expected=${scramDf.count()}")
+      val badPw = scala.util.Try(
+        graft.sources.PgCopySink.write(scramDf, "127.0.0.1", port,
+          "postgres", "scramuser", "wrong-password", "scram_rejected",
+          overwrite = true, maxConnections = 1))
+      require(badPw.isFailure,
+        "a wrong SCRAM password must fail the exchange")
+      Console.err.println(s"[pgserve] OK: $nScram rows served through a " +
+        "SCRAM-SHA-256 exchange with the server signature verified; " +
+        "wrong password rejected")
       spark.stop()
     } finally {
       sh(s"su postgres -c '/usr/local/bin/pg_ctl -D $pgRoot/data stop -m fast'")
