@@ -6377,6 +6377,128 @@ object Catalog {
                 END AS intersect_est
               FROM est ORDER BY ga, gb""")),
 
+    QueryDef("x117_png_resize",
+      // REAL image resize END TO END (r11, retiring resizeStub's PNG
+      // leg): real PNGs synthesized from the doc ids → REAL decode →
+      // nearest-neighbor resample (source pixel (x·srcW div 8,
+      // y·srcH div 6) — pure integer algebra) → REAL re-encode →
+      // decoded AGAIN by pngPixelStats. A defect anywhere in the
+      // decode→resample→encode→decode chain breaks the sums
+      // bit-for-bit. The oracle never touches image bytes: resized
+      // pixel (x,y) of image id is
+      // (id·31 + (x·w div 8)·7 + (y·h div 6)·13) mod 256 by
+      // construction of the packRealPngs corpus
+      (s, d) => Multimodal.pngPixelStats(s,
+          Multimodal.resizePng(s,
+            Multimodal.packRealPngs(s, documents(s, d)
+              .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"),
+            w = 8, h = 6))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, doc_id % 16 + 4 AS w,
+                  (doc_id * 7) % 12 + 4 AS h
+                FROM documents WHERE doc_id < 500),
+              px AS (
+                SELECT id,
+                  (id * 31 + ((x.x * w) // 8) * 7
+                     + ((y.y * h) // 6) * 13) % 256 AS v
+                FROM imgs, range(0, 8) x(x), range(0, 6) y(y))
+              SELECT id AS media_id, CAST(8 AS BIGINT) AS width,
+                CAST(6 AS BIGINT) AS height,
+                count(*) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM px GROUP BY 1 ORDER BY media_id""")),
+
+    QueryDef("x118_wav_samples",
+      // REAL WAV PCM sample decode (r11, the audio twin of x109):
+      // complete RIFF/fmt/data WAVs synthesized from the doc ids,
+      // decoded back through the chunk walk + LE sample reads, and
+      // exact integer sample stats computed — the silence/clipping/
+      // energy screens an audio pipeline gates on. The oracle never
+      // decodes: sample i of id is ((id·37 + i·101) mod 65536) −
+      // 32768 by construction, so DuckDB replays the stats as plain
+      // integer algebra; any decode defect (chunk misalignment,
+      // endianness, sign extension) breaks the sums bit-for-bit
+      (s, d) => Multimodal.wavSampleStats(s,
+          Multimodal.packRealWavs(s, documents(s, d)
+            .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"))
+        .orderBy(col("media_id")),
+      Some("""WITH w AS (
+                SELECT doc_id AS id, 8000 + (doc_id % 5) * 8000 AS rate,
+                  doc_id % 64 + 16 AS n
+                FROM documents WHERE doc_id < 500),
+              smp AS (
+                SELECT id, rate,
+                  (id * 37 + i.i * 101) % 65536 - 32768 AS v
+                FROM w, range(0, 80) i(i) WHERE i.i < n)
+              SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                count(*) AS n_samples,
+                CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+                CAST(count(*) FILTER (abs(v) >= 32000) AS BIGINT)
+                  AS n_clipped,
+                CAST(count(*) FILTER (abs(v) < 1024) AS BIGINT)
+                  AS n_silent
+              FROM smp GROUP BY 1, 2 ORDER BY media_id""")),
+
+    QueryDef("x119_kmv_quantiles",
+      // KMV VALUE SAMPLE → quantile estimates (r11): the bottom-k-by-
+      // key-hash rows keep the value column, forming a uniform row
+      // sample whose order statistics estimate the population's —
+      // the quantile leg of the sketch stack (distribution profiling
+      // of doc lengths at 100 TB without a global sort; the sketch is
+      // 256 rows). Estimator = lower order statistic at floored-ppm
+      // rank, pure integer algebra. The house discipline: the exact
+      // quantiles ride along and the measured error ships with the
+      // estimate (err_ppm)
+      (s, d) => {
+        val base = documents(s, d).where(col("text").isNotNull)
+          .select(col("doc_id").cast("string").as("k"),
+            length(col("text")).cast("long").as("v"))
+        val qs = Seq(100000L, 250000L, 500000L, 750000L, 900000L)
+        val est = Kmv.quantileEstimate(
+          Kmv.valueSketch(base, col("k"), col("v"), k = 256), qs)
+        // the audit tier: the same index algebra over the FULL
+        // relation (one global sort — this is the measured-loss
+        // oracle, not the serving path)
+        val exact = Kmv.quantileEstimate(base, qs)
+          .withColumnRenamed("est_v", "exact_v")
+        est.join(exact, Seq("q_ppm"))
+          .select(col("q_ppm"), col("est_v"), col("exact_v"),
+            expr("""abs(est_v - exact_v) * CAST(1000000 AS BIGINT)
+              DIV greatest(exact_v, CAST(1 AS BIGINT))""").as("err_ppm"))
+          .orderBy("q_ppm")
+      },
+      Some("""WITH base AS (
+                SELECT CAST('0x' || substring(md5(
+                    'kmvq:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv,
+                  CAST(length(text) AS BIGINT) AS v
+                FROM documents WHERE text IS NOT NULL),
+              sk AS (SELECT v FROM base ORDER BY hv, v LIMIT 256),
+              qs AS (SELECT CAST(unnest([100000, 250000, 500000,
+                  750000, 900000]) AS BIGINT) AS q_ppm),
+              srk AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
+                      FROM sk),
+              sn AS (SELECT count(*) AS n FROM sk),
+              est AS (SELECT q.q_ppm, s.v AS est_v
+                      FROM qs q, sn, srk s
+                      WHERE s.rk = (q.q_ppm * (sn.n - 1)) // 1000000 + 1),
+              erk AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
+                      FROM base),
+              en AS (SELECT count(*) AS n FROM base),
+              ex AS (SELECT q.q_ppm, e.v AS exact_v
+                     FROM qs q, en, erk e
+                     WHERE e.rk = (q.q_ppm * (en.n - 1)) // 1000000 + 1)
+              SELECT est.q_ppm AS q_ppm, est_v, exact_v,
+                abs(est_v - exact_v) * 1000000
+                  // greatest(exact_v, 1) AS err_ppm
+              FROM est JOIN ex ON est.q_ppm = ex.q_ppm
+              ORDER BY q_ppm""")),
+
     QueryDef("x111_pca_moments",
       // distributed PCA, the corpus-scale half (r10): the exact
       // integer second-moment state of the ×1000-quantized embedding

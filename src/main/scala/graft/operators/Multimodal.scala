@@ -191,6 +191,139 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // REAL WAV PCM sample decode — the audio twin of [[decodePng]]:
+  // PCM is not a codec (the samples ARE the bytes, 16-bit LE), so a
+  // RIFF chunk walk + LE reads give real sample access with zero
+  // dependencies. This retires the decode stub for WAV/PCM the way
+  // r10's decodePng retired it for PNG; only genuinely-entropy-coded
+  // formats (JPEG, MP3) remain stubbed.
+  // ------------------------------------------------------------------
+
+  /** Build a REAL, complete mono 16-bit PCM WAV at `rate` Hz with
+    * sample i = `sample(i)` — genuine RIFF/fmt/data chunks, playable
+    * by any audio tool. */
+  private[graft] def buildWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** REAL WAV sample decode: RIFF chunk walk (word-aligned, as the
+    * spec requires) → `fmt ` must declare PCM 16-bit → `data` chunk
+    * bytes as LE 16-bit samples (interleaved when multi-channel).
+    * Returns (sampleRate, channels, samples) or None for anything
+    * non-WAV / non-PCM16 / truncated (a decode must screen, not
+    * throw, over a crawled corpus). */
+  private[graft] def decodeWavSamples(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Short])] =
+    try {
+      if (bytes.length < 12 ||
+          new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+      def le(off: Int, len: Int): Long = {
+        var v = 0L; var i = len - 1
+        while (i >= 0) { v = (v << 8) | (bytes(off + i) & 0xffL); i -= 1 }
+        v
+      }
+      var off = 12
+      var rate = -1; var channels = -1; var ok = false
+      var data: Option[(Int, Int)] = None // (offset, len)
+      while (off + 8 <= bytes.length) {
+        val tag = new String(bytes, off, 4, "US-ASCII")
+        val len = le(off + 4, 4).toInt
+        if (len < 0 || off + 8 + len > bytes.length) return None
+        tag match {
+          case "fmt " if len >= 16 =>
+            val fmt = le(off + 8, 2).toInt
+            channels = le(off + 10, 2).toInt
+            rate = le(off + 12, 4).toInt
+            val bits = le(off + 22, 2).toInt
+            ok = fmt == 1 && bits == 16 && channels >= 1
+          case "data" => data = Some((off + 8, len))
+          case _ => ()
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (!ok) return None
+      data.map { case (dOff, dLen) =>
+        val n = dLen / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((bytes(dOff + 2 * i) & 0xff) |
+            (bytes(dOff + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        (rate, channels, samples)
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic REAL WAVs from an id column: rate, length, and
+    * every sample derive from the id (sample i =
+    * ((id·37 + i·101) mod 65536) − 32768 — replayable by any engine
+    * as integer algebra, full-range including clipping-region
+    * values), so the decode oracle never touches audio bytes. */
+  def packRealWavs(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val rate = (8000L + (id % 5) * 8000L).toInt
+      val n = (id % 64 + 16).toInt
+      (id, buildWav(rate, Array.tabulate(n)(i =>
+        ((id * 37 + i.toLong * 101) % 65536 - 32768).toShort)))
+    }.toDF("media_id", "media")
+  }
+
+  /** EXACT sample statistics through the real PCM decode — the
+    * operators an audio-data pipeline gates on (silence screens,
+    * clipping detection, loudness-weighted sampling): per payload,
+    * sample rate, sample count, exact integer |s| sum and s² sum
+    * (energy), peak |s|, and the counts of clipped (|s| ≥ 32000) and
+    * near-silent (|s| < 1024) samples. Partition-parallel
+    * mapPartitions over the binary column; undecodable payloads are
+    * screened out (no rows), not thrown. */
+  def wavSampleStats(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWavSamples(bytes).map { case (rate, _, samples) =>
+            var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+            var clipped = 0L; var silent = 0L
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toLong
+              val a = math.abs(s)
+              sumAbs += a; sumSq += s * s
+              if (a > peak) peak = a
+              if (a >= 32000) clipped += 1
+              if (a < 1024) silent += 1
+              i += 1
+            }
+            (id, rate.toLong, samples.length.toLong, sumAbs, sumSq,
+              peak, clipped, silent)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "sum_abs", "sum_sq",
+        "peak_abs", "n_clipped", "n_silent")
+  }
+
+  // ------------------------------------------------------------------
   // REAL PNG pixel decode (VERDICT r9 item 6) — no codec library:
   // stored PNG image data is zlib (java.util.zip.Inflater) wrapping
   // filtered scanlines, and the five filter predictors (None/Sub/Up/
@@ -247,6 +380,90 @@ object Multimodal {
     Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zBuf.take(zLen)) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Complete PNG encode for raw row-major pixels, bpp ∈ {1, 3, 4}
+    * (grayscale / truecolor / truecolor-alpha), filter type 0 on
+    * every scanline (a spec-conformant encoder choice; [[buildPng]]
+    * keeps exercising the other four on the DECODE side). Robust
+    * deflate loop — no fixed-slack buffer — so incompressible pixel
+    * data round-trips too. */
+  private[graft] def encodePng(w: Int, h: Int, bpp: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * bpp,
+      s"encodePng: ${pixels.length} bytes != $w*$h*$bpp")
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = tag.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val colorType = bpp match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case other =>
+        throw new IllegalArgumentException(s"encodePng: bpp $other")
+    }
+    val rowBytes = w * bpp
+    val filtered = new Array[Byte]((rowBytes + 1) * h)
+    for (y <- 0 until h) {
+      // filter byte 0 (None) then the raw scanline
+      System.arraycopy(pixels, y * rowBytes,
+        filtered, y * (rowBytes + 1) + 1, rowBytes)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) z.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL image resize — retires the PNG leg of [[resizeStub]]: real
+    * decode ([[decodePng]]) → nearest-neighbor resample (source pixel
+    * (x·srcW div dstW, y·srcH div dstH) — pure integer algebra, so an
+    * external oracle replays every output pixel) → real re-encode
+    * ([[encodePng]]). Channel count is preserved. Partition-parallel
+    * mapPartitions, the same batch shape as every decode stage;
+    * undecodable payloads are screened out, not thrown. */
+  def resizePng(spark: SparkSession, packed: DataFrame,
+      w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    require(w > 0 && h > 0, s"resizePng: target ${w}x$h")
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodePng(bytes).map { case (sw, sh, bpp, pix) =>
+            val out = new Array[Byte](w * h * bpp)
+            var y = 0
+            while (y < h) {
+              val sy = y * sh / h
+              var x = 0
+              while (x < w) {
+                val sx = x * sw / w
+                var c = 0
+                while (c < bpp) {
+                  out((y * w + x) * bpp + c) = pix((sy * sw + sx) * bpp + c)
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, encodePng(w, h, bpp, out))
+          }
+        }
+      }.toDF("media_id", "media")
   }
 
   /** The Paeth predictor (PNG spec §9.4). */

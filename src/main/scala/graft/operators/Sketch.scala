@@ -136,7 +136,12 @@ object Bloom {
       k: Int = 7, bits: Long = 1L << 20, salt: String = "bloom"): DataFrame =
     fanOut(terms.select(termCol.as("__term")).distinct(),
         col("__term"), k, bits, salt)
-      .join(filter.select(col("bit"), lit(1).as("__hit")),
+      // distinct the filter side: a raw appended sidecar may carry
+      // duplicate bit rows, and a dup would inflate the per-term hit
+      // count past k — turning "all k bits present" false and breaking
+      // the no-false-negative guarantee for any non-deduped input
+      .join(filter.select(col("bit")).distinct()
+          .select(col("bit"), lit(1).as("__hit")),
         Seq("bit"), "left_outer")
       .groupBy(col("__t").as("term"))
       .agg((count(col("__hit")) === k).as("maybe_present"))
@@ -149,7 +154,10 @@ object Bloom {
   def fpAudit(filter: DataFrame, absent: DataFrame, termCol: Column,
       k: Int = 7, bits: Long = 1L << 20, salt: String = "bloom"): DataFrame = {
     val flagged = probe(filter, absent, termCol, k, bits, salt)
-    val nSet = filter.agg(count(lit(1)).as("n_bits_set"))
+    // distinct for the same reason as probe: n_bits_set must count
+    // SET BITS, not sidecar rows, or fill_ppm overstates the filter
+    val nSet = filter.select(col("bit")).distinct()
+      .agg(count(lit(1)).as("n_bits_set"))
     flagged.agg(count(lit(1)).as("n_absent"),
         coalesce(sum(when(col("maybe_present"), 1L).otherwise(0L)), lit(0L))
           .as("n_flagged"))
@@ -271,6 +279,52 @@ object Kmv {
             s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($M AS DECIMAL(38,0)))" +
               " DIV CAST(h_k AS DECIMAL(38,0)) AS BIGINT)"))
           .as("ndv_est"))
+
+  /** VALUE-CARRYING bottom-k sample — the QUANTILE leg of the sketch
+    * stack (HLL/KMV count distincts, CountMin counts frequencies;
+    * this estimates ORDER STATISTICS): the k rows whose KEY hashes
+    * are smallest, keeping a value column. Because the hash order is
+    * independent of the value, the kept rows are a uniform row sample
+    * of the relation, so sample order statistics estimate the
+    * population's (Bar-Yossef et al. 2002's bottom-k sampling view).
+    * Mergeable across DISJOINT intake batches with unique keys by
+    * union + re-bottom-k ([[mergeValues]] — grown == one-shot
+    * row-identically). Ties on hv break by v, so the sketch is
+    * deterministic and an external engine replays it exactly
+    * (ORDER BY hv, v LIMIT k). Build is a distributed
+    * TakeOrderedAndProject — per-partition bottom-k, no global sort
+    * shuffle. */
+  def valueSketch(df: DataFrame, keyCol: Column, valueCol: Column,
+      k: Int = 256, salt: String = "kmvq"): DataFrame =
+    df.select(hash(keyCol, salt).as("hv"), valueCol.cast("long").as("v"))
+      .orderBy("hv", "v").limit(k)
+
+  /** Merge [[valueSketch]] relations built with the SAME (k, salt)
+    * over DISJOINT inputs with unique keys: union + bottom-k again. */
+  def mergeValues(sketches: Seq[DataFrame], k: Int = 256): DataFrame = {
+    require(sketches.nonEmpty, "Kmv.mergeValues: need at least one sketch")
+    sketches.reduce(_.unionByName(_)).orderBy("hv", "v").limit(k)
+  }
+
+  /** Quantile estimates from a [[valueSketch]] relation: one row per
+    * requested quantile (q_ppm, est_v) with est_v = the sample value
+    * at 1-based rank (q_ppm · (n−1)) div 10⁶ + 1 in value order —
+    * the lower order statistic, pure floored integer algebra, so an
+    * external oracle replays the estimator exactly. The unpartitioned
+    * row_number window runs over ≤ k rows (sketch-land, never
+    * corpus-land). */
+  def quantileEstimate(sketch: DataFrame, qsPpm: Seq[Long]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val ranked = sketch.select(col("v")).withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("v")))
+    val n = sketch.agg(count(lit(1)).as("n"))
+    qsPpm.toDF("q_ppm").crossJoin(broadcast(n))
+      .withColumn("rk",
+        expr("CAST((q_ppm * (n - 1)) DIV 1000000 AS INT) + 1"))
+      .join(ranked, Seq("rk"))
+      .select(col("q_ppm"), col("v").as("est_v"))
+  }
 
   /** The OVERLAP MATRIX over a [[groupedBuild]] relation: one row per
     * unordered group pair (ga < gb) with (n_held, k_both, union_est,

@@ -668,6 +668,13 @@ class OperatorsSpec extends SparkSpec {
     val fn = Bloom.probe(filter, members, col("t"), k, bits)
       .where(!col("maybe_present")).count()
     assert(fn === 0L, "a Bloom filter may never miss a member")
+    // 1b. and that holds for a NON-DEDUPED filter relation too (a raw
+    //     appended sidecar carries duplicate bit rows; a dup must not
+    //     inflate the hit count past k and flip a member to absent)
+    val fnDup = Bloom.probe(filter.union(filter), members, col("t"), k, bits)
+      .where(!col("maybe_present")).count()
+    assert(fnDup === 0L,
+      "duplicate filter rows must not produce false negatives")
     // 2. mergeable: filters over a split input union to the one-shot
     val (a, b) = ((0 until 400), (400 until 800))
     val grown = Bloom.merge(Seq(
@@ -821,6 +828,118 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(5) == vals.max.toLong)
       assert(r.getLong(6) == vals.count(_ > 127).toLong)
     }
+  }
+
+  test("multimodal: encodePng round-trips all bpp; REAL resize is the exact NN resample") {
+    // encode→decode round-trip for every supported channel count,
+    // with value patterns the deflate loop can't shortcut
+    Seq(1, 3, 4).foreach { bpp =>
+      val w = 11; val h = 7
+      val pix = Array.tabulate(w * h * bpp)(i =>
+        ((i * 197 + bpp * 89) % 256).toByte)
+      val decoded = Multimodal.decodePng(Multimodal.encodePng(w, h, bpp, pix))
+      assert(decoded.isDefined, s"bpp $bpp failed to decode")
+      val (dw, dh, dbpp, out) = decoded.get
+      assert(dw == w && dh == h && dbpp == bpp)
+      assert(out.sameElements(pix), s"bpp $bpp pixels differ")
+    }
+    // the distributed resize: every output pixel must equal the
+    // nearest-neighbor source pixel by the integer formula
+    val ids = Seq(3L, 8L, 42L)
+    val resized = Multimodal.resizePng(spark,
+        Multimodal.packRealPngs(spark, ids.toDF("doc_id"), "doc_id"),
+        w = 8, h = 6)
+      .orderBy("media_id").collect()
+    ids.zip(resized).foreach { case (id, r) =>
+      val sw = (id % 16 + 4).toInt; val sh = ((id * 7) % 12 + 4).toInt
+      val (dw, dh, bpp, pix) =
+        Multimodal.decodePng(r.getAs[Array[Byte]]("media")).get
+      assert(dw == 8 && dh == 6 && bpp == 1)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val expect = ((id * 31 + (x * sw / 8) * 7 + (y * sh / 6) * 13) % 256).toInt
+        assert((pix(y * 8 + x) & 0xff) == expect,
+          s"id $id resized pixel ($x,$y)")
+      }
+    }
+    // undecodable payloads screen out of the resize, not throw
+    assert(Multimodal.resizePng(spark,
+      Seq((1L, "junk".getBytes)).toDF("media_id", "media"), 4, 4).count() == 0)
+  }
+
+  test("multimodal: REAL WAV PCM decode — round-trip exact, aligned chunk walk, screens non-PCM") {
+    // encode→decode round-trip including negative samples (sign
+    // extension) and the full clipping range
+    val samples = Array.tabulate(33)(i =>
+      ((i * 4099 - 32768 + i % 2) % 32768).toShort)
+    val decoded = Multimodal.decodeWavSamples(
+      Multimodal.buildWav(16000, samples))
+    assert(decoded.isDefined)
+    val (rate, ch, out) = decoded.get
+    assert(rate == 16000 && ch == 1 && out.sameElements(samples))
+    // an ODD-sized unknown chunk before data must be skipped with the
+    // spec's pad byte — misalignment would corrupt every sample after
+    val base = Multimodal.buildWav(8000, samples)
+    val withChunk = {
+      val extra = java.nio.ByteBuffer.allocate(8 + 3 + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      extra.put("LIST".getBytes("US-ASCII")).putInt(3)
+        .put(Array[Byte](1, 2, 3, 0))
+      val (head, tail) = base.splitAt(12)
+      val riffLen = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(base.length - 8 + 12).array()
+      head.take(4) ++ riffLen ++ head.drop(8) ++ extra.array() ++ tail
+    }
+    val aligned = Multimodal.decodeWavSamples(withChunk)
+    assert(aligned.isDefined && aligned.get._3.sameElements(samples),
+      "odd-sized chunk must be skipped word-aligned")
+    // screens: non-PCM format code, truncated payloads, junk
+    val nonPcm = base.clone(); nonPcm(20) = 3 // IEEE float format
+    assert(Multimodal.decodeWavSamples(nonPcm).isEmpty)
+    assert(Multimodal.decodeWavSamples(base.take(30)).isEmpty)
+    assert(Multimodal.decodeWavSamples("RIFFjunk".getBytes).isEmpty)
+    // the distributed stats operator agrees with the id formula
+    val ids = Seq(0L, 7L, 123L)
+    val stats = Multimodal.wavSampleStats(spark,
+        Multimodal.packRealWavs(spark, ids.toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    ids.zip(stats).foreach { case (id, r) =>
+      val n = (id % 64 + 16).toInt
+      val vals = (0 until n).map(i => (id * 37 + i * 101L) % 65536 - 32768)
+      assert(r.getLong(1) == 8000 + (id % 5) * 8000)
+      assert(r.getLong(2) == n.toLong)
+      assert(r.getLong(3) == vals.map(math.abs).sum, s"sum_abs id $id")
+      assert(r.getLong(4) == vals.map(v => v * v).sum, s"sum_sq id $id")
+      assert(r.getLong(5) == vals.map(math.abs).max)
+      assert(r.getLong(6) == vals.count(v => math.abs(v) >= 32000).toLong)
+      assert(r.getLong(7) == vals.count(v => math.abs(v) < 1024).toLong)
+    }
+  }
+
+  test("Kmv value sketch: grown == one-shot; sub-k quantiles exact; rank algebra pinned") {
+    import graft.operators.Kmv
+    val k = 64
+    val rows = (0 until 5000).map(i => (s"key-$i", (i * 37 % 1000).toLong))
+    val df = rows.toDF("k", "v")
+    // grown == one-shot, row-identically
+    val one = Kmv.valueSketch(df, col("k"), col("v"), k)
+    val grown = Kmv.mergeValues(Seq(
+      Kmv.valueSketch(rows.take(2500).toDF("k", "v"), col("k"), col("v"), k),
+      Kmv.valueSketch(rows.drop(2500).toDF("k", "v"), col("k"), col("v"), k)), k)
+    assert(grown.orderBy("hv", "v").collect().toSeq ==
+      one.orderBy("hv", "v").collect().toSeq)
+    // below k the sample IS the relation: quantiles are exact
+    val small = (0 until 40).map(i => (s"s-$i", i.toLong)).toDF("k", "v")
+    val qs = Seq(0L, 250000L, 500000L, 1000000L)
+    val est = Kmv.quantileEstimate(
+        Kmv.valueSketch(small, col("k"), col("v"), k), qs)
+      .orderBy("q_ppm").collect().map(r => r.getLong(1))
+    // rank = (q·39) div 1e6 + 1 over v = 0..39 → values 0, 9, 19, 39
+    assert(est.toSeq == Seq(0L, 9L, 19L, 39L))
+    // the estimator lands near the true quantiles on the big relation
+    // (uniform-ish values 0..999; k=64 keeps the error loose but bounded)
+    val bigEst = Kmv.quantileEstimate(one, Seq(500000L)).collect()(0).getLong(1)
+    assert(bigEst > 250 && bigEst < 750, s"median estimate $bigEst wild")
   }
 
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
