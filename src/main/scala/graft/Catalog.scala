@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis}
+import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, Urls, ZOrder}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -6443,6 +6443,176 @@ object Catalog {
                 CAST(count(*) FILTER (abs(v) < 1024) AS BIGINT)
                   AS n_silent
               FROM smp GROUP BY 1, 2 ORDER BY media_id""")),
+
+    QueryDef("x120_gif_pixels",
+      // REAL GIF pixel decode (r11, the third real-decode leg after
+      // PNG and WAV): complete GIF89a payloads with GENUINELY
+      // LZW-compressed image data are synthesized from the doc ids,
+      // decoded back through the full variable-width LZW decoder
+      // (code table growth, clear handling, sub-block reassembly,
+      // palette lookup), and exact integer pixel stats computed. The
+      // oracle never decodes: every pixel is (id·29 + x·11 + y·17)
+      // mod 256 with an identity grayscale palette by construction,
+      // so any LZW defect (width change off-by-one, KwKwK, packing)
+      // breaks the sums bit-for-bit
+      (s, d) => Multimodal.gifPixelStats(s,
+          Multimodal.packRealGifs(s, documents(s, d)
+            .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, doc_id % 14 + 4 AS w,
+                  (doc_id * 5) % 10 + 4 AS h
+                FROM documents WHERE doc_id < 500),
+              px AS (
+                SELECT id, w, h,
+                  (id * 29 + x.x * 11 + y.y * 17) % 256 AS v
+                FROM imgs, range(0, 18) x(x), range(0, 14) y(y)
+                WHERE x.x < w AND y.y < h)
+              SELECT id AS media_id, w AS width, h AS height,
+                count(*) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM px GROUP BY 1, 2, 3 ORDER BY media_id""")),
+
+    QueryDef("x121_url_canon",
+      // URL CANONICALIZATION (r11) — the first dedup key of every
+      // web-crawl pipeline: scheme/host case, www., default ports,
+      // trailing slashes, fragments, tracking params, and query-param
+      // order all collapse, so equal resources become string-equal
+      // BEFORE any content dedup runs. Messy URLs are synthesized
+      // from the doc ids (every variant class represented: HTTP/https
+      // case, :80/:443/none, five path shapes, utm/ref/plain/empty
+      // queries, fragments), canonicalized in pure codegen'd column
+      // algebra (no UDF), and the oracle replays both the synthesis
+      // and all seven normalization steps in SQL
+      (s, d) => {
+        val id = col("doc_id")
+        val url = concat(
+          when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+          lit("://WWW.Site"), (id % 7).cast("string"), lit(".EXAMPLE.com"),
+          when(id % 3 === 0, lit(":80"))
+            .when(id % 3 === 1, lit(":443")).otherwise(lit("")),
+          when(id % 5 === 0, lit("")).when(id % 5 === 1, lit("/A/B/"))
+            .when(id % 5 === 2, lit("/A/B")).when(id % 5 === 3, lit("/"))
+            .otherwise(concat(lit("/x/"), (id % 11).cast("string"))),
+          when(id % 4 === 0, concat(lit("?utm_source=tw&b="),
+              (id % 13).cast("string"), lit("&a=1")))
+            .when(id % 4 === 1, concat(lit("?a=1&b="),
+              (id % 13).cast("string")))
+            .when(id % 4 === 2, lit("?ref=home")).otherwise(lit("")),
+          when(id % 6 === 0, concat(lit("#sec"), (id % 9).cast("string")))
+            .otherwise(lit("")))
+        documents(s, d).where(id < 2000)
+          .select(id.as("doc_id"), url.as("url"),
+            Urls.canonicalizeUrl(url).as("canon_url"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                  || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.EXAMPLE.com'
+                  || (CASE doc_id % 3 WHEN 0 THEN ':80'
+                        WHEN 1 THEN ':443' ELSE '' END)
+                  || (CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/A/B/'
+                        WHEN 2 THEN '/A/B' WHEN 3 THEN '/'
+                        ELSE '/x/' || CAST(doc_id % 11 AS VARCHAR) END)
+                  || (CASE doc_id % 4
+                        WHEN 0 THEN '?utm_source=tw&b='
+                          || CAST(doc_id % 13 AS VARCHAR) || '&a=1'
+                        WHEN 1 THEN '?a=1&b='
+                          || CAST(doc_id % 13 AS VARCHAR)
+                        WHEN 2 THEN '?ref=home' ELSE '' END)
+                  || (CASE WHEN doc_id % 6 = 0
+                        THEN '#sec' || CAST(doc_id % 9 AS VARCHAR)
+                        ELSE '' END) AS url
+                FROM documents WHERE doc_id < 2000),
+              s1 AS (SELECT doc_id, url,
+                  regexp_replace(url, '#.*$', '') AS nofrag FROM d),
+              s2 AS (SELECT *,
+                  lower(regexp_extract(nofrag,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(nofrag,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+              s3 AS (SELECT *,
+                  regexp_replace(lower(regexp_extract(rest,
+                    '^([^/?]*)', 1)), '^www\.', '') AS hostport,
+                  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
+              s4 AS (SELECT *,
+                  CASE WHEN scheme = 'http'
+                      THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https'
+                      THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END AS host,
+                  regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+                  regexp_extract(pathq, '\?(.*)$', 1) AS q FROM s3),
+              s5 AS (SELECT *,
+                  CASE WHEN rawpath = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '(.)/+$', '\1') END AS path,
+                  coalesce(array_to_string(list_sort(list_filter(
+                    string_split(q, '&'),
+                    x -> NOT regexp_matches(x,
+                        '^(utm_[^=]*|fbclid|gclid|ref)=')
+                      AND x <> '')), '&'), '') AS sortedq FROM s4)
+              SELECT doc_id, url,
+                scheme || '://' || host || path ||
+                  (CASE WHEN sortedq = '' THEN ''
+                    ELSE '?' || sortedq END) AS canon_url
+              FROM s5 ORDER BY doc_id""")),
+
+    QueryDef("x122_zorder_skipping",
+      // Z-ORDER data skipping, MEASURED (r11): the Morton curve of
+      // (partkey mod 4096, suppkey mod 4096) — 32 codegen'd shift/
+      // mask/or terms, no UDF — bucketed by fixed z-prefix (the
+      // deterministic stand-in for range-clustered files), per-bucket
+      // min/max on both dims (exactly parquet footer stats), and the
+      // count of buckets a box query [512,1023]² cannot prune,
+      // side by side with the single-dim sorted layout at the same
+      // granularity. The layout decision in one row pair: z-order
+      // reads a few boundary cells, the linear layout reads every
+      // stripe the x-range admits (y stats prune nothing there). The
+      // oracle replays the interleave as a 16-term bit sum
+      (s, d) => ZOrder.skippingAudit(lineitem(s, d),
+          col("l_partkey") % 4096, col("l_suppkey") % 4096,
+          zShift = 16, linShift = 4,
+          xLo = 512, xHi = 1023, yLo = 512, yHi = 1023)
+        .orderBy("layout"),
+      Some("""WITH pts AS (
+                SELECT l_partkey % 4096 AS x, l_suppkey % 4096 AS y
+                FROM lineitem),
+              pairs AS (SELECT DISTINCT x, y FROM pts),
+              zz AS (
+                SELECT x, y,
+                  CAST(sum((((x >> i.i) & 1) << (2 * i.i))
+                     + (((y >> i.i) & 1) << (2 * i.i + 1))) AS BIGINT) AS zv
+                FROM pairs, range(0, 16) i(i) GROUP BY x, y),
+              withz AS (SELECT p.x, p.y, zz.zv
+                        FROM pts p JOIN zz USING (x, y)),
+              zb AS (SELECT zv >> 16 AS b,
+                  min(x) AS minx, max(x) AS maxx,
+                  min(y) AS miny, max(y) AS maxy
+                FROM withz GROUP BY 1),
+              lb AS (SELECT x >> 4 AS b,
+                  min(x) AS minx, max(x) AS maxx,
+                  min(y) AS miny, max(y) AS maxy
+                FROM pts GROUP BY 1),
+              zread AS (SELECT 'zorder' AS layout,
+                  CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(coalesce(sum(CASE WHEN minx <= 1023 AND maxx >= 512
+                      AND miny <= 1023 AND maxy >= 512
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_read
+                FROM zb),
+              lread AS (SELECT 'linear' AS layout,
+                  CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(coalesce(sum(CASE WHEN minx <= 1023 AND maxx >= 512
+                      AND miny <= 1023 AND maxy >= 512
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_read
+                FROM lb)
+              SELECT layout, n_buckets, n_read,
+                n_read * 1000000 // n_buckets AS read_ppm
+              FROM (SELECT * FROM zread UNION ALL SELECT * FROM lread)
+              ORDER BY layout""")),
 
     QueryDef("x119_kmv_quantiles",
       // KMV VALUE SAMPLE → quantile estimates (r11): the bottom-k-by-

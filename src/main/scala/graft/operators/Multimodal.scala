@@ -598,6 +598,260 @@ object Multimodal {
         "max_pixel", "n_bright")
   }
 
+  // ------------------------------------------------------------------
+  // REAL GIF pixel decode — the third real-decode leg (PNG r10,
+  // WAV r11): GIF image data is LZW with variable code width
+  // (9→12 bits, LSB-first, clear/EOI codes — the published GIF87a/89a
+  // spec), which is ~60 lines of table-driven code, no codec library.
+  // The encoder below is a REAL LZW compressor (dictionary, width
+  // growth, table-full clear), so the decoder's table-growth and
+  // KwKwK paths are exercised by genuinely compressed streams.
+  // ------------------------------------------------------------------
+
+  /** LZW-compress 8-bit indices as GIF image data (min code size 8):
+    * real dictionary compression with code-width growth and the
+    * table-full clear, bit-packed LSB-first. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0; var width = 9
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += width
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    val clear = 256; val eoi = 257
+    var dict = scala.collection.mutable.HashMap[(Int, Int), Int]()
+    var next = 258
+    emit(clear)
+    if (data.nonEmpty) {
+      var cur = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val b = data(i) & 0xff
+        dict.get((cur, b)) match {
+          case Some(code) => cur = code
+          case None =>
+            emit(cur)
+            if (next == 4096) { // table full: clear, reset
+              emit(clear)
+              dict = scala.collection.mutable.HashMap[(Int, Int), Int]()
+              next = 258; width = 9
+            } else {
+              dict((cur, b)) = next
+              // the decoder is one addition behind, so width grows
+              // when the JUST-ADDED code value reaches 2^width
+              if (next == (1 << width) && width < 12) width += 1
+              next += 1
+            }
+            cur = b
+        }
+        i += 1
+      }
+      emit(cur)
+    }
+    emit(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** LZW-decompress GIF image data (min code size 8): full variable-
+    * width decode with clear/EOI and the KwKwK case. Returns None on
+    * any malformed stream. */
+  private def lzwDecode(data: Array[Byte], maxPixels: Int)
+      : Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val clear = 256; val eoi = 257
+    var width = 9; var next = 258
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    def entryBytes(code: Int): Array[Byte] = {
+      var c = code; val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+      while (c >= 256) { buf += suffix(c); c = prefix(c) }
+      buf += c.toByte
+      buf.reverse.toArray
+    }
+    var acc = 0L; var nbits = 0; var pos = 0; var prev = -1
+    while (true) {
+      while (nbits < width) {
+        if (pos >= data.length) return None // ran out before EOI
+        acc |= (data(pos) & 0xffL) << nbits; nbits += 8; pos += 1
+      }
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>= width; nbits -= width
+      if (code == eoi) return Some(out.toByteArray)
+      else if (code == clear) { next = 258; width = 9; prev = -1 }
+      else if (prev == -1) {
+        if (code > 255) return None // first code must be a literal
+        out.write(code); prev = code
+      } else {
+        if (code > next || (code == next && next == 4096)) return None
+        val entry =
+          if (code < next) entryBytes(code)
+          else { val p = entryBytes(prev); p :+ p(0) } // KwKwK
+        out.write(entry, 0, entry.length)
+        if (out.size() > maxPixels) return None // oversize vs header
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = entry(0)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    None // unreachable
+  }
+
+  /** Build a REAL, complete GIF89a (8-bit, 256-entry grayscale global
+    * color table, genuinely LZW-compressed image data in ≤255-byte
+    * sub-blocks) with pixel (x, y) = `pix(x, y)`. */
+  private[graft] def buildGif(w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7) // global color table, 8 bits, 256 entries
+    out.write(0); out.write(0) // bg color, aspect
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2C) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW min code size
+    val lzw = lzwEncode(
+      Array.tabulate(w * h)(i => (pix(i % w, i / w) & 0xff).toByte))
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF pixel decode: header walk (logical screen descriptor,
+    * global/local color tables, extension skip) → sub-block
+    * reassembly → full LZW decode → palette lookup to gray
+    * (ITU-R 601 integer luma (299r + 587g + 114b) div 1000, exact
+    * integer algebra). First frame, non-interlaced, 8-bit min code
+    * size — the common lake shapes; anything else screens to None. */
+  private[graft] def decodeGif(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    try {
+      if (bytes.length < 13) return None
+      val hdr = new String(bytes, 0, 6, "US-ASCII")
+      if (hdr != "GIF89a" && hdr != "GIF87a") return None
+      def u16(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      var off = 6
+      val sw = u16(off); val sh = u16(off + 2)
+      val packed = bytes(off + 4) & 0xff
+      off += 7
+      var palette: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        if (off + n * 3 > bytes.length) return None
+        palette = java.util.Arrays.copyOfRange(bytes, off, off + n * 3)
+        off += n * 3
+      }
+      while (off < bytes.length) {
+        (bytes(off) & 0xff) match {
+          case 0x21 => // extension: label + sub-blocks
+            off += 2
+            while (off < bytes.length && (bytes(off) & 0xff) != 0)
+              off += 1 + (bytes(off) & 0xff)
+            off += 1
+          case 0x2C => // image descriptor
+            if (off + 10 > bytes.length) return None
+            val iw = u16(off + 5); val ih = u16(off + 7)
+            val ipacked = bytes(off + 9) & 0xff
+            if ((ipacked & 0x40) != 0) return None // interlaced
+            off += 10
+            if ((ipacked & 0x80) != 0) { // local color table wins
+              val n = 2 << (ipacked & 7)
+              if (off + n * 3 > bytes.length) return None
+              palette = java.util.Arrays.copyOfRange(bytes, off, off + n * 3)
+              off += n * 3
+            }
+            if (palette == null || off >= bytes.length) return None
+            if ((bytes(off) & 0xff) != 8) return None // min code size
+            off += 1
+            val lzw = new java.io.ByteArrayOutputStream()
+            while (off < bytes.length && (bytes(off) & 0xff) != 0) {
+              val n = bytes(off) & 0xff
+              if (off + 1 + n > bytes.length) return None
+              lzw.write(bytes, off + 1, n)
+              off += 1 + n
+            }
+            if (iw <= 0 || ih <= 0 || iw > sw * 16 || ih > sh * 16)
+              return None
+            return lzwDecode(lzw.toByteArray, iw * ih).flatMap { idx =>
+              if (idx.length != iw * ih) None
+              else {
+                val nPal = palette.length / 3
+                val gray = new Array[Byte](idx.length)
+                var i = 0
+                while (i < idx.length) {
+                  val p = idx(i) & 0xff
+                  if (p >= nPal) return None
+                  val r = palette(p * 3) & 0xff
+                  val g = palette(p * 3 + 1) & 0xff
+                  val b = palette(p * 3 + 2) & 0xff
+                  gray(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+                  i += 1
+                }
+                Some((iw, ih, gray))
+              }
+            }
+          case 0x3B => return None // trailer before any image
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+
+  /** Deterministic REAL GIFs from an id column ([[packRealPngs]]
+    * pattern): dims and every pixel derive from the id
+    * ((id·29 + x·11 + y·17) mod 256, identity grayscale palette — so
+    * the decoded gray equals the index and any engine replays the
+    * stats as integer algebra). */
+  def packRealGifs(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (id % 14 + 4).toInt
+      val h = ((id * 5) % 10 + 4).toInt
+      (id, buildGif(w, h, (x, y) => ((id * 29 + x * 11 + y * 17) % 256).toInt))
+    }.toDF("media_id", "media")
+  }
+
+  /** EXACT pixel statistics through the real GIF decode — the
+    * [[pngPixelStats]] screens for the second image container:
+    * dimensions, exact integer gray sum, max, bright (>127) count.
+    * Undecodable payloads are screened out, not thrown. */
+  def gifPixelStats(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGif(bytes).map { case (w, h, gray) =>
+            var sum = 0L; var mx = 0L; var bright = 0L
+            var i = 0
+            while (i < gray.length) {
+              val v = gray(i) & 0xff
+              sum += v
+              if (v > mx) mx = v
+              if (v > 127) bright += 1
+              i += 1
+            }
+            (id, w.toLong, h.toLong, gray.length.toLong, sum, mx, bright)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "n_pixels", "sum_pixels",
+        "max_pixel", "n_bright")
+  }
+
   /** Byte-level integrity stats — see [[graft.functions.ByteStats]]:
     * the no-codec corruption screen (truncated payloads, constant
     * filler, length mismatches vs declared dimensions). */

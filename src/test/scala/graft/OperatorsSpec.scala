@@ -916,6 +916,126 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: REAL GIF LZW decode — round-trips through genuine compression; screens malformed") {
+    // small image round-trip (stays at 9-bit codes)
+    val (w1, h1) = (13, 9)
+    def pix1(x: Int, y: Int): Int = (x * 11 + y * 17) % 256
+    val g1 = Multimodal.decodeGif(Multimodal.buildGif(w1, h1, pix1))
+    assert(g1.isDefined)
+    val (dw1, dh1, px1) = g1.get
+    assert(dw1 == w1 && dh1 == h1)
+    for (y <- 0 until h1; x <- 0 until w1)
+      assert((px1(y * w1 + x) & 0xff) == pix1(x, y), s"pixel ($x,$y)")
+    // large low-entropy image: the dictionary grows through 10/11/12
+    // bits and hits the table-full clear — the real LZW paths
+    val (w2, h2) = (90, 80)
+    def pix2(x: Int, y: Int): Int = (x / 3 + y / 5) % 256
+    val g2 = Multimodal.decodeGif(Multimodal.buildGif(w2, h2, pix2))
+    assert(g2.isDefined, "width-growth/clear round-trip failed")
+    val (_, _, px2) = g2.get
+    assert(px2.length == w2 * h2)
+    for (y <- 0 until h2; x <- 0 until w2)
+      assert((px2(y * w2 + x) & 0xff) == pix2(x, y),
+        s"compressed pixel ($x,$y)")
+    // high-entropy image exercises the literal-heavy path
+    def pix3(x: Int, y: Int): Int = (x * 131 + y * 197 + x * y * 7) % 256
+    val g3 = Multimodal.decodeGif(Multimodal.buildGif(40, 30, pix3))
+    assert(g3.isDefined && (g3.get._3(17 * 40 + 23) & 0xff) == pix3(23, 17))
+    // screens: junk, truncated sub-blocks, interlace flag
+    assert(Multimodal.decodeGif("GIF89a".getBytes).isEmpty)
+    val good = Multimodal.buildGif(8, 8, (x, y) => x + y)
+    assert(Multimodal.decodeGif(good.dropRight(20)).isEmpty)
+    val interlaced = good.clone()
+    // image descriptor packed byte: 6 header + 7 lsd + 768 palette + 9
+    interlaced(6 + 7 + 768 + 9) = 0x40.toByte
+    assert(Multimodal.decodeGif(interlaced).isEmpty)
+    // the distributed stats operator agrees with the id formula
+    val ids = Seq(2L, 9L, 77L)
+    val stats = Multimodal.gifPixelStats(spark,
+        Multimodal.packRealGifs(spark, ids.toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    ids.zip(stats).foreach { case (id, r) =>
+      val w = (id % 14 + 4).toInt; val h = ((id * 5) % 10 + 4).toInt
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 29 + x * 11 + y * 17) % 256).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(4) == vals.map(_.toLong).sum, s"sum for id $id")
+      assert(r.getLong(5) == vals.max.toLong)
+      assert(r.getLong(6) == vals.count(_ > 127).toLong)
+    }
+  }
+
+  test("ZOrder: interleave matches the bit-math reference; cluster yields disjoint z-ranges; box queries prune") {
+    import graft.operators.ZOrder
+    // reference Morton implementation, driver-side
+    def morton(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (255L, 0L),
+      (0L, 255L), (4095L, 4095L), (1234L, 4321L), (65535L, 65535L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.interleave16(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(x, y), s"interleave($x,$y)")
+    }
+    assert(morton(1, 0) == 1L && morton(0, 1) == 2L && morton(1, 1) == 3L)
+    // cluster: partition z-ranges must be pairwise disjoint (that is
+    // the whole point — each file covers a compact curve run)
+    val data = (0 until 4000)
+      .map(i => ((i * 37) % 4096L, (i * 91) % 4096L)).toDF("x", "y")
+    val clustered = ZOrder.cluster(data, col("x"), col("y"), 8)
+    val ranges = clustered
+      .select(ZOrder.interleave16(col("x"), col("y")).as("z"))
+      .rdd.mapPartitions { it =>
+        val zs = it.map(_.getLong(0)).toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.min, zs.max))
+      }.collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping partition z-ranges: $hi > $lo2")
+      case _ => ()
+    }
+    assert(clustered.count() == 4000)
+    // skipping audit: the z layout must read strictly fewer buckets
+    // than the linear layout for a 2-D box on this spread-out data
+    val audit = ZOrder.skippingAudit(data, col("x"), col("y"),
+        zShift = 16, linShift = 4, 512, 1023, 512, 1023)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(audit("zorder") < audit("linear"),
+      s"zorder ${audit("zorder")} must beat linear ${audit("linear")}")
+  }
+
+  test("Urls.canonicalizeUrl: variants of the same resource collapse; distinct resources don't") {
+    import graft.operators.Urls
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Urls.canonicalizeUrl(col("u"))).collect()(0).getString(0)
+    // the seven normalization steps, each pinned
+    assert(canon("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag")
+      == "http://example.com/a/b?a=1&b=2")
+    assert(canon("https://Example.com:443/") == "https://example.com/")
+    assert(canon("https://example.com") == "https://example.com/")
+    assert(canon("http://example.com/A/B") == "http://example.com/A/B",
+      "path case must be preserved")
+    assert(canon("http://example.com:8080/x") == "http://example.com:8080/x",
+      "non-default ports must survive")
+    assert(canon("https://example.com:80/x") == "https://example.com:80/x",
+      ":80 is not the https default")
+    assert(canon("http://example.com/x?ref=home") == "http://example.com/x")
+    assert(canon("http://example.com/x?fbclid=abc&q=1")
+      == "http://example.com/x?q=1")
+    assert(canon("http://example.com/x?b=2&a=1")
+      == canon("http://example.com/x?a=1&b=2"))
+    // distinct resources stay distinct
+    assert(canon("http://example.com/x?a=1") != canon("http://example.com/x?a=2"))
+    assert(canon("http://example.com/x/y") != canon("http://example.com/x"))
+  }
+
   test("Kmv value sketch: grown == one-shot; sub-k quantiles exact; rank algebra pinned") {
     import graft.operators.Kmv
     val k = 64
