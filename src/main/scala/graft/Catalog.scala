@@ -6614,6 +6614,81 @@ object Catalog {
               FROM (SELECT * FROM zread UNION ALL SELECT * FROM lread)
               ORDER BY layout""")),
 
+    QueryDef("x124_gif_resize",
+      // GIF → resize → PNG TRANSCODE end to end (r11): real GIFs
+      // (genuine LZW) → full LZW decode → nearest-neighbor resample →
+      // real PNG re-encode → decoded AGAIN by pngPixelStats. One
+      // chain crosses BOTH real codecs — any defect in either
+      // container's decode/encode or the resample breaks the sums.
+      // Oracle: resized pixel (x,y) of gif id is
+      // (id·29 + (x·w div 8)·11 + (y·h div 6)·17) mod 256
+      (s, d) => Multimodal.pngPixelStats(s,
+          Multimodal.resizeImage(s,
+            Multimodal.packRealGifs(s, documents(s, d)
+              .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"),
+            w = 8, h = 6))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, doc_id % 14 + 4 AS w,
+                  (doc_id * 5) % 10 + 4 AS h
+                FROM documents WHERE doc_id < 500),
+              px AS (
+                SELECT id,
+                  (id * 29 + ((x.x * w) // 8) * 11
+                     + ((y.y * h) // 6) * 17) % 256 AS v
+                FROM imgs, range(0, 8) x(x), range(0, 6) y(y))
+              SELECT id AS media_id, CAST(8 AS BIGINT) AS width,
+                CAST(6 AS BIGINT) AS height,
+                count(*) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM px GROUP BY 1 ORDER BY media_id""")),
+
+    QueryDef("x123_grouped_quantiles",
+      // per-SOURCE quantile estimates in ONE bounded pass (r11, the
+      // grouped twin of x119): every source's doc-length quartiles +
+      // p90 from per-group bottom-k value samples built by the native
+      // BottomKLongs partial aggregate — the per-slice distribution
+      // profile ("is crawl B's length distribution shifted vs A's?")
+      // without sorting any group, at ≤ G·k sketch rows total. The
+      // oracle replays the sketch membership, the value pull-back,
+      // and the rank selection exactly
+      (s, d) => {
+        val base = documents(s, d).where(col("text").isNotNull)
+        val sk = Kmv.groupedValueSketch(base, col("source"),
+          col("doc_id").cast("string"), length(col("text")), k = 128)
+        Kmv.groupedQuantileEstimate(sk,
+            Seq(250000L, 500000L, 900000L))
+          .orderBy("g", "q_ppm")
+      },
+      Some("""WITH base AS (
+                SELECT source AS g,
+                  CAST('0x' || substring(md5(
+                    'kmvq:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv,
+                  CAST(length(text) AS BIGINT) AS v
+                FROM documents WHERE text IS NOT NULL),
+              sk0 AS (SELECT g, hv FROM (
+                  SELECT g, hv, row_number() OVER (
+                    PARTITION BY g ORDER BY hv) AS rn
+                  FROM (SELECT DISTINCT g, hv FROM base))
+                WHERE rn <= 128),
+              sk AS (SELECT s.g, s.hv, min(b.v) AS v
+                     FROM sk0 s JOIN base b USING (g, hv)
+                     GROUP BY 1, 2),
+              rk AS (SELECT g, v, row_number() OVER (
+                  PARTITION BY g ORDER BY v, hv) AS rk FROM sk),
+              ns AS (SELECT g, count(*) AS n FROM sk GROUP BY 1),
+              qs AS (SELECT CAST(unnest([250000, 500000, 900000])
+                  AS BIGINT) AS q_ppm),
+              tgt AS (SELECT n.g, q.q_ppm,
+                  (q.q_ppm * (n.n - 1)) // 1000000 + 1 AS rk
+                FROM ns n, qs q)
+              SELECT t.g AS g, t.q_ppm, r.v AS est_v
+              FROM tgt t JOIN rk r ON r.g = t.g AND r.rk = t.rk
+              ORDER BY t.g, t.q_ppm""")),
+
     QueryDef("x119_kmv_quantiles",
       // KMV VALUE SAMPLE → quantile estimates (r11): the bottom-k-by-
       // key-hash rows keep the value column, forming a uniform row

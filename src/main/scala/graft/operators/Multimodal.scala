@@ -428,22 +428,34 @@ object Multimodal {
       chunk("IEND", Array.emptyByteArray)
   }
 
-  /** REAL image resize — retires the PNG leg of [[resizeStub]]: real
-    * decode ([[decodePng]]) → nearest-neighbor resample (source pixel
-    * (x·srcW div dstW, y·srcH div dstH) — pure integer algebra, so an
-    * external oracle replays every output pixel) → real re-encode
-    * ([[encodePng]]). Channel count is preserved. Partition-parallel
+  /** Route to the right REAL decoder by magic bytes: PNG →
+    * [[decodePng]]; GIF → [[decodeGif]] (gray, bpp 1). One decode
+    * surface for the image containers the engine decodes for real. */
+  private[graft] def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x89) decodePng(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'G' && bytes(1) == 'I')
+      decodeGif(bytes).map { case (w, h, gray) => (w, h, 1, gray) }
+    else None
+
+  /** REAL image resize — retires the image leg of [[resizeStub]]:
+    * real decode ([[decodeImage]] — PNG or GIF) → nearest-neighbor
+    * resample (source pixel (x·srcW div dstW, y·srcH div dstH) — pure
+    * integer algebra, so an external oracle replays every output
+    * pixel) → real re-encode as PNG ([[encodePng]]; GIF inputs are
+    * transcoded — the normalize-on-resize shape a vision pipeline
+    * wants anyway). Channel count is preserved. Partition-parallel
     * mapPartitions, the same batch shape as every decode stage;
     * undecodable payloads are screened out, not thrown. */
-  def resizePng(spark: SparkSession, packed: DataFrame,
+  def resizeImage(spark: SparkSession, packed: DataFrame,
       w: Int, h: Int): DataFrame = {
     import spark.implicits._
-    require(w > 0 && h > 0, s"resizePng: target ${w}x$h")
+    require(w > 0 && h > 0, s"resizeImage: target ${w}x$h")
     packed.select(col("media_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          decodePng(bytes).map { case (sw, sh, bpp, pix) =>
+          decodeImage(bytes).map { case (sw, sh, bpp, pix) =>
             val out = new Array[Byte](w * h * bpp)
             var y = 0
             while (y < h) {
@@ -465,6 +477,11 @@ object Multimodal {
         }
       }.toDF("media_id", "media")
   }
+
+  /** PNG-only name kept for the x117 surface; [[resizeImage]] is the
+    * general form (PNG in → PNG out is a strict subset). */
+  def resizePng(spark: SparkSession, packed: DataFrame,
+      w: Int, h: Int): DataFrame = resizeImage(spark, packed, w, h)
 
   /** The Paeth predictor (PNG spec §9.4). */
   private def paeth(a: Int, b: Int, c: Int): Int = {

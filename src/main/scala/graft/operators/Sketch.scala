@@ -326,6 +326,47 @@ object Kmv {
       .select(col("q_ppm"), col("v").as("est_v"))
   }
 
+  /** Per-GROUP value sketches in one bounded pass — the grouped twin
+    * of [[valueSketch]]: bottom-k key hashes per group via the native
+    * [[graft.functions.BottomKLongs]] aggregate (map-side partial,
+    * ≤ k Longs per group·task in the shuffle, no per-group sort),
+    * then the kept (g, hv) rows pull their values back through ONE
+    * equi-join against the hashed base. Hash order is independent of
+    * the value, so each group's kept rows are a uniform row sample of
+    * that group. Duplicate keys collapse to one (g, hv) row carrying
+    * the minimum value (deterministic, externally replayable). */
+  def groupedValueSketch(df: DataFrame, groupCol: Column, keyCol: Column,
+      valueCol: Column, k: Int = 256, salt: String = "kmvq"): DataFrame = {
+    val base = df.select(groupCol.as("g"), hash(keyCol, salt).as("hv"),
+      valueCol.cast("long").as("v"))
+    val kept = base.groupBy("g")
+      .agg(graft.functions.BottomKLongs.column(col("hv"), k).as("__sk"))
+      .select(col("g"), explode(col("__sk")).as("hv"))
+    kept.join(base, Seq("g", "hv")).groupBy("g", "hv").agg(min("v").as("v"))
+  }
+
+  /** Per-group quantile estimates from a [[groupedValueSketch]]
+    * relation: one row per (g, q_ppm) with the group-sample's lower
+    * order statistic at rank (q_ppm · (n−1)) div 10⁶ + 1 — the
+    * per-source distribution profile (length/score quantiles by
+    * source/month/shard) in sketch-land arithmetic: the window and
+    * joins run over ≤ G·k rows, never the corpus. */
+  def groupedQuantileEstimate(sketch: DataFrame,
+      qsPpm: Seq[Long]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val ranked = sketch.select(col("g"), col("hv"), col("v"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("v", "hv")))
+    val ns = sketch.groupBy("g").agg(count(lit(1)).as("n"))
+    ns.crossJoin(broadcast(qsPpm.toDF("q_ppm")))
+      .withColumn("rk",
+        expr("CAST((q_ppm * (n - 1)) DIV 1000000 AS INT) + 1"))
+      .join(ranked, Seq("g", "rk"))
+      .select(col("g"), col("q_ppm"), col("v").as("est_v"))
+  }
+
   /** The OVERLAP MATRIX over a [[groupedBuild]] relation: one row per
     * unordered group pair (ga < gb) with (n_held, k_both, union_est,
     * jaccard_ppm, intersect_est) — "how much does each source/month/

@@ -1062,6 +1062,28 @@ class OperatorsSpec extends SparkSpec {
     assert(bigEst > 250 && bigEst < 750, s"median estimate $bigEst wild")
   }
 
+  test("Kmv grouped value sketch: sub-k groups exact; one-group form matches the rank algebra") {
+    import graft.operators.Kmv
+    // two groups: one below k (sample == group, quantiles exact),
+    // one above (uniform sample, estimate within a loose band)
+    val rows = (0 until 30).map(i => ("small", s"s-$i", i.toLong)) ++
+      (0 until 4000).map(i => ("big", s"b-$i", (i % 1000).toLong))
+    val df = rows.toDF("g", "k", "v")
+    val sk = Kmv.groupedValueSketch(df, col("g"), col("k"), col("v"), k = 64)
+    val counts = sk.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") == 30 && counts("big") == 64)
+    val est = Kmv.groupedQuantileEstimate(sk, Seq(0L, 500000L, 1000000L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // small group below k: rank algebra over v = 0..29 → 0, 14, 29
+    assert(est(("small", 0L)) == 0L)
+    assert(est(("small", 500000L)) == 14L)
+    assert(est(("small", 1000000L)) == 29L)
+    // big group: median of a 64-row uniform sample of 0..999
+    val bigMed = est(("big", 500000L))
+    assert(bigMed > 250 && bigMed < 750, s"big-group median $bigMed wild")
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
