@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, Urls, ZOrder}
+import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, Pq, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, Urls, ZOrder}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -6644,6 +6644,169 @@ object Catalog {
                 CAST(max(v) AS BIGINT) AS max_pixel,
                 CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
               FROM px GROUP BY 1 ORDER BY media_id""")),
+
+    QueryDef("x125_pq_codes",
+      // PRODUCT QUANTIZATION, the encoding half (r11): seeded
+      // deterministic codebooks (8 subspaces × 16 codewords — integer
+      // means of the ×1000-quantized seed groups, the IVF centroid
+      // rule applied per subspace), every vector encoded to its 8
+      // exact-integer argmin codes (ties to the lower code) — the
+      // 8-byte representation that makes a 100 TB vector corpus fit
+      // an ANN tier. Output pins the FULL assignment: per (subspace,
+      // code), the member count and the id sum — any codebook or
+      // argmin defect shifts a cell. The oracle re-derives codebooks
+      // and every code from the raw embeddings
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        emb.select(col("vec_id"),
+            posexplode(Pq.encode(col("embedding"), cb)).as(Seq("s", "c")))
+          .groupBy("s", "c")
+          .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+          .orderBy("s", "c")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (
+                SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0)
+                WHERE rn = 1)
+              SELECT s, c, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(vec_id) AS BIGINT) AS sum_ids
+              FROM enc GROUP BY 1, 2 ORDER BY s, c""")),
+
+    QueryDef("x126_pq_adc",
+      // PQ ADC search (r11): per query one 8×16 exact-integer
+      // distance table (query subvector vs codeword), a corpus row's
+      // approximate distance = 8 table lookups summed — the vectors
+      // are never read at search time, only the 8-code relation. The
+      // full top-5 ranking (ties by id) replays externally
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        Pq.topKAdc(emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            cb, k = 5)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (
+                SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0)
+                WHERE rn = 1),
+              dt AS (
+                SELECT qq.vec_id AS qid, cw.s, cw.c,
+                  sum((qq.qv[cw.d] - cw.w) * (qq.qv[cw.d] - cw.w)) AS dist
+                FROM q qq, cw WHERE qq.vec_id < 20 GROUP BY 1, 2, 3),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+                GROUP BY 1, 2),
+              ranked AS (SELECT qid, id, adc, row_number() OVER (
+                  PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+              SELECT qid, CAST(rk AS INT) AS rk, id,
+                CAST(adc AS BIGINT) AS adc
+              FROM ranked WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    QueryDef("x127_pq_recall",
+      // the PQ tier's MEASURED loss (the x62/x113 discipline): ADC
+      // top-5 vs the exact integer-L2 top-5 on the same queries, one
+      // row (k, n_queries, n_hits, recall_ppm) — the number a caller
+      // reads before trusting 8-byte codes with a retrieval stage.
+      // Both rankings are deterministic (ties by id) so the oracle
+      // re-derives the recall exactly
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        Pq.recallAudit(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 50), "vec_id", "embedding",
+          cb, k = 5)
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (
+                SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0)
+                WHERE rn = 1),
+              dt AS (
+                SELECT qq.vec_id AS qid, cw.s, cw.c,
+                  sum((qq.qv[cw.d] - cw.w) * (qq.qv[cw.d] - cw.w)) AS dist
+                FROM q qq, cw WHERE qq.vec_id < 50 GROUP BY 1, 2, 3),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+                GROUP BY 1, 2),
+              apr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+                WHERE rk <= 5),
+              ex0 AS (
+                SELECT a.vec_id AS qid, b.vec_id AS id,
+                  CAST(sum((a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)])
+                     * (a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)]))
+                    AS BIGINT) AS d2
+                FROM q a, q b, range(1, 65) t(d) WHERE a.vec_id < 50
+                GROUP BY 1, 2),
+              exr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY d2, id) AS rk FROM ex0)
+                WHERE rk <= 5),
+              hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+                       FROM apr JOIN exr USING (qid, id)),
+              nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                     FROM q WHERE vec_id < 50)
+              SELECT CAST(5 AS BIGINT) AS k, nq.n_queries, hits.n_hits,
+                n_hits * 1000000 // (n_queries * 5) AS recall_ppm
+              FROM hits, nq""")),
 
     QueryDef("x123_grouped_quantiles",
       // per-SOURCE quantile estimates in ONE bounded pass (r11, the

@@ -1084,6 +1084,47 @@ class OperatorsSpec extends SparkSpec {
     assert(bigMed > 250 && bigMed < 750, s"big-group median $bigMed wild")
   }
 
+  test("Pq: lossless when the corpus IS the codewords; encode deterministic; recall audit exact") {
+    import graft.operators.Pq
+    // corpus with exactly ncode distinct vectors per seed class: every
+    // codeword equals its class vector, so encoding is the class id in
+    // every subspace, ADC distance to an identical query is 0, and the
+    // PQ tier is LOSSLESS — recall must read exactly 1e6 ppm
+    val m = 4; val ncode = 4; val dim = 8
+    val rows = (0 until 64).map { id =>
+      val cls = id % ncode
+      // +0.5 keeps the ×1000 quantization away from float-rounding
+      // boundaries (7/1000f can float-round below 0.007)
+      (id.toLong, Array.tabulate(dim)(d => (cls * 10 + d + 0.5f) / 1000f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Pq.trainSeeded(df, "vec_id", "embedding", m, ncode)
+    assert(cb.m == m && cb.subDim == dim / m && cb.ncode == ncode)
+    // codewords: class c, global dim g → c*10 + g (exact integer mean
+    // of identical quantized vectors)
+    for (s <- 0 until m; c <- 0 until ncode; d <- 0 until cb.subDim)
+      assert(cb.words(s)(c)(d) == c * 10 + s * cb.subDim + d,
+        s"codeword ($s,$c,$d)")
+    val codes = df.select(col("vec_id"),
+        Pq.encode(col("embedding"), cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, _) =>
+      assert(codes(id) == Seq.fill(m)((id % ncode).toInt),
+        s"codes for id $id")
+    }
+    val audit = Pq.recallAudit(df, "vec_id", "embedding",
+      df.where(col("vec_id") < 8), "vec_id", "embedding", cb, k = 4)
+      .collect()(0)
+    assert(audit.getAs[Long]("n_queries") == 8L)
+    assert(audit.getAs[Long]("recall_ppm") == 1000000L,
+      s"lossless corpus must read full recall, got $audit")
+    // ADC of an identical query to its own row is 0 and ranks first
+    val top = Pq.topKAdc(df, "vec_id", "embedding",
+        df.where(col("vec_id") === 5), "vec_id", "embedding", cb, k = 1)
+      .collect()(0)
+    assert(top.getAs[Long]("adc") == 0L)
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
