@@ -6808,6 +6808,181 @@ object Catalog {
                 n_hits * 1000000 // (n_queries * 5) AS recall_ppm
               FROM hits, nq""")),
 
+    QueryDef("x128_ivfpq_adc",
+      // IVF-PQ (r11): the canonical billion-scale index shape — a
+      // coarse quantizer routes each vector to a cell, PQ encodes the
+      // RESIDUAL (vector − centroid), and a query probes nprobe cells
+      // scoring only their rows by residual-ADC lookups. Everything
+      // deterministic: seeded coarse centroids (the x110 rule), one
+      // global residual codebook (seed groups over residuals), exact-
+      // integer argmin encodings, and the pruning falls out of the
+      // (cell, s, c) join key — no vector is read at search time. The
+      // oracle replays centroids → assignment → residuals → codebook
+      // → codes → probe ranking → ADC tables → the full top-5
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        val cb = Pq.trainSeededResiduals(emb, "vec_id", "embedding",
+          cents, m = 8, ncode = 16)
+        Pq.topKIvfPq(emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            cents, cb, k = 5, nprobe = 4)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[ct.d] - ct.c) * (q.qv[ct.d] - ct.c))
+                    AS BIGINT) AS d2
+                FROM q, cent ct GROUP BY 1, 2),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist) WHERE rn = 1),
+              res AS (
+                SELECT q.vec_id, a.cell, ct.d, q.qv[ct.d] - ct.c AS rv
+                FROM q JOIN asg a USING (vec_id)
+                JOIN cent ct ON ct.cell = a.cell),
+              rcw AS (
+                SELECT CAST((r.d - 1) // 8 AS INT) AS s,
+                  CAST(r.vec_id % 16 AS INT) AS c2, r.d,
+                  CAST(floor(CAST(sum(r.rv) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS w
+                FROM res r GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT r.vec_id, r.cell, w.s, w.c2,
+                  sum((r.rv - w.w) * (r.rv - w.w)) AS d2
+                FROM res r JOIN rcw w ON w.d = r.d GROUP BY 1, 2, 3, 4),
+              enc AS (SELECT vec_id, cell, s, c2 FROM (
+                  SELECT vec_id, cell, s, c2, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c2) AS rn
+                  FROM enc0) WHERE rn = 1),
+              probe AS (SELECT vec_id AS qid, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist WHERE vec_id < 20) WHERE rn <= 4),
+              qres AS (
+                SELECT p.qid, p.cell, ct.d, q.qv[ct.d] - ct.c AS rq
+                FROM probe p JOIN q ON q.vec_id = p.qid
+                JOIN cent ct ON ct.cell = p.cell),
+              dt AS (
+                SELECT qr.qid, qr.cell, w.s, w.c2,
+                  sum((qr.rq - w.w) * (qr.rq - w.w)) AS dist
+                FROM qres qr JOIN rcw w ON w.d = qr.d GROUP BY 1, 2, 3, 4),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.cell = e.cell AND dt.s = e.s
+                  AND dt.c2 = e.c2
+                GROUP BY 1, 2),
+              ranked AS (SELECT qid, id, adc, row_number() OVER (
+                  PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+              SELECT qid, CAST(rk AS INT) AS rk, id,
+                CAST(adc AS BIGINT) AS adc
+              FROM ranked WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    QueryDef("x129_ivfpq_recall",
+      // the IVF-PQ tier's measured loss: two approximations compound
+      // (unprobed cells hide true neighbors; 8-byte residual codes
+      // blur distances) — one row (k, n_queries, n_hits, recall_ppm)
+      // against the exact integer ranking, the number that sizes
+      // nprobe and ncode before the tier serves retrieval
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        val cb = Pq.trainSeededResiduals(emb, "vec_id", "embedding",
+          cents, m = 8, ncode = 16)
+        Pq.recallAuditIvfPq(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 50), "vec_id", "embedding",
+          cents, cb, k = 5, nprobe = 4)
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[ct.d] - ct.c) * (q.qv[ct.d] - ct.c))
+                    AS BIGINT) AS d2
+                FROM q, cent ct GROUP BY 1, 2),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist) WHERE rn = 1),
+              res AS (
+                SELECT q.vec_id, a.cell, ct.d, q.qv[ct.d] - ct.c AS rv
+                FROM q JOIN asg a USING (vec_id)
+                JOIN cent ct ON ct.cell = a.cell),
+              rcw AS (
+                SELECT CAST((r.d - 1) // 8 AS INT) AS s,
+                  CAST(r.vec_id % 16 AS INT) AS c2, r.d,
+                  CAST(floor(CAST(sum(r.rv) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS w
+                FROM res r GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT r.vec_id, r.cell, w.s, w.c2,
+                  sum((r.rv - w.w) * (r.rv - w.w)) AS d2
+                FROM res r JOIN rcw w ON w.d = r.d GROUP BY 1, 2, 3, 4),
+              enc AS (SELECT vec_id, cell, s, c2 FROM (
+                  SELECT vec_id, cell, s, c2, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c2) AS rn
+                  FROM enc0) WHERE rn = 1),
+              probe AS (SELECT vec_id AS qid, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist WHERE vec_id < 50) WHERE rn <= 4),
+              qres AS (
+                SELECT p.qid, p.cell, ct.d, q.qv[ct.d] - ct.c AS rq
+                FROM probe p JOIN q ON q.vec_id = p.qid
+                JOIN cent ct ON ct.cell = p.cell),
+              dt AS (
+                SELECT qr.qid, qr.cell, w.s, w.c2,
+                  sum((qr.rq - w.w) * (qr.rq - w.w)) AS dist
+                FROM qres qr JOIN rcw w ON w.d = qr.d GROUP BY 1, 2, 3, 4),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.cell = e.cell AND dt.s = e.s
+                  AND dt.c2 = e.c2
+                GROUP BY 1, 2),
+              apr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+                WHERE rk <= 5),
+              ex0 AS (
+                SELECT a.vec_id AS qid, b.vec_id AS id,
+                  CAST(sum((a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)])
+                     * (a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)]))
+                    AS BIGINT) AS d2
+                FROM q a, q b, range(1, 65) t(d) WHERE a.vec_id < 50
+                GROUP BY 1, 2),
+              exr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY d2, id) AS rk FROM ex0)
+                WHERE rk <= 5),
+              hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+                       FROM apr JOIN exr USING (qid, id)),
+              nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                     FROM q WHERE vec_id < 50)
+              SELECT CAST(5 AS BIGINT) AS k, nq.n_queries, hits.n_hits,
+                n_hits * 1000000 // (n_queries * 5) AS recall_ppm
+              FROM hits, nq""")),
+
     QueryDef("x123_grouped_quantiles",
       // per-SOURCE quantile estimates in ONE bounded pass (r11, the
       // grouped twin of x119): every source's doc-length quartiles +

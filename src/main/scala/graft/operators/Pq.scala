@@ -132,9 +132,15 @@ object Pq {
     * (k, n_queries, n_hits, recall_ppm). */
   def recallAudit(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      cb: Codebook, k: Int): DataFrame = {
-    val approx = topKAdc(corpus, corpusId, corpusVec,
-      queries, queryId, queryVec, cb, k)
+      cb: Codebook, k: Int): DataFrame =
+    auditAgainstExact(
+      topKAdc(corpus, corpusId, corpusVec, queries, queryId, queryVec, cb, k),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+
+  private def auditAgainstExact(approx: DataFrame,
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
     val c = corpus.select(col(corpusId).as("id"),
       quantize3(col(corpusVec)).as("cv"))
     val q = queries.select(col(queryId).as("qid"),
@@ -155,4 +161,124 @@ object Pq {
         expr(s"(n_hits * CAST(1000000 AS BIGINT)) DIV (n_queries * $k)")
           .as("recall_ppm"))
   }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** The nlist×dim centroid model as a literal array-of-arrays column
+    * (cells are 0..nlist−1 contiguous by the seed rule), for residual
+    * subtraction via one `element_at`. */
+  private def centArray(cents: Array[IvfAnn.IntCentroid]): Column =
+    array(cents.sortBy(_.cell).map(ic =>
+      array(ic.c.map(lit(_)): _*)): _*)
+
+  /** (id, cell, rv): each row's IVF cell (exact-integer argmin over
+    * the coarse centroids) and its quantized RESIDUAL vector
+    * qv − centroid[cell] — the vector PQ encodes in an IVF-PQ index
+    * (Jégou et al. 2011 §IV: residuals are what the per-cell
+    * distribution leaves after the coarse quantizer). */
+  private def residualRelation(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[IvfAnn.IntCentroid]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        IvfAnn.cellIdInt(col(vecCol), cents).as("cell"),
+        quantize3(col(vecCol)).as("qv"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(centArray(cents), col("cell") + 1), (a, b) => a - b))
+      .drop("qv")
+
+  /** Train the residual codebook: seed-group integer means over the
+    * RESIDUAL vectors (one global codebook shared across cells — the
+    * standard IVF-PQ shape). Same determinism as [[trainSeeded]]. */
+  def trainSeededResiduals(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[IvfAnn.IntCentroid],
+      m: Int, ncode: Int): Codebook = {
+    val rows = residualRelation(corpus, idCol, vecCol, cents)
+      .select(pmod(col("id"), lit(ncode)).cast("int").as("c"),
+        posexplode(col("rv")).as(Seq("pos", "qv")))
+      .groupBy("c", "pos")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "Pq.trainSeededResiduals: empty corpus")
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    require(dim % m == 0,
+      s"Pq.trainSeededResiduals: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val words = Array.fill(m, ncode)(new Array[Long](subDim))
+    rows.foreach { r =>
+      val pos = r.getInt(1)
+      words(pos / subDim)(r.getInt(0))(pos % subDim) =
+        math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong
+    }
+    Codebook(m, subDim, ncode, words)
+  }
+
+  /** The IVF-PQ CODES relation (id, cell, s, c): every row's residual
+    * encoded per subspace by exact-integer argmin, computed
+    * RELATIONALLY (residual fan-out + broadcast codebook join + one
+    * rank window over m·ncode candidate rows per vector) — a build-
+    * time cost, run once per index. */
+  def ivfPqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[IvfAnn.IntCentroid], cb: Codebook): DataFrame = {
+    val r = residualRelation(corpus, idCol, vecCol, cents)
+      .select(col("id"), col("cell"),
+        posexplode(col("rv")).as(Seq("pos", "qv")))
+      .withColumn("s", (col("pos") / cb.subDim).cast("int"))
+      .withColumn("d", pmod(col("pos"), lit(cb.subDim)).cast("int"))
+    r.join(broadcast(codebookRelation(corpus.sparkSession, cb)),
+        Seq("s", "d"))
+      .groupBy("id", "cell", "s", "c")
+      .agg(sum(expr("(qv - w) * (qv - w)")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id", "s").orderBy("d2", "c")))
+      .where(col("rn") === 1)
+      .select(col("id"), col("cell"), col("s"), col("c"))
+  }
+
+  /** IVF-PQ top-k: queries probe their `nprobe` nearest cells, build
+    * per-(query, cell) ADC tables against centroid + codeword (the
+    * residual form: distance entry = ||q − centroid[cell] −
+    * word[s][c]||² over the subspace), and the equi-join on
+    * (cell, s, c) against the codes relation restricts scoring to the
+    * PROBED cells' rows — the IVF pruning falls out of the join key.
+    * Shuffles carry codes and exact-Long partials, never vectors. */
+  def topKIvfPq(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      cents: Array[IvfAnn.IntCentroid], cb: Codebook,
+      k: Int, nprobe: Int): DataFrame = {
+    val codes = ivfPqCodes(corpus, corpusId, corpusVec, cents, cb)
+    val qres = queries.select(col(queryId).as("qid"),
+        quantize3(col(queryVec)).as("qv"),
+        explode(IvfAnn.probeCellsInt(col(queryVec), cents, nprobe))
+          .as("cell"))
+      .select(col("qid"), col("cell"),
+        posexplode(zip_with(col("qv"),
+          element_at(centArray(cents), col("cell") + 1),
+          (a, b) => a - b)).as(Seq("pos", "rq")))
+      .withColumn("s", (col("pos") / cb.subDim).cast("int"))
+      .withColumn("d", pmod(col("pos"), lit(cb.subDim)).cast("int"))
+    val dtab = qres
+      .join(broadcast(codebookRelation(queries.sparkSession, cb)),
+        Seq("s", "d"))
+      .groupBy("qid", "cell", "s", "c")
+      .agg(sum(expr("(rq - w) * (rq - w)")).as("dist"))
+    codes.join(dtab, Seq("cell", "s", "c"))
+      .groupBy("qid", "id")
+      .agg(sum("dist").as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy("adc", "id")))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("adc"))
+  }
+
+  /** The IVF-PQ tier's MEASURED loss: two approximations compound
+    * (probed cells may miss true neighbors; 8-byte codes blur
+    * distances) — this reads the realized recall against the exact
+    * integer ranking, the number that sizes nprobe/ncode. */
+  def recallAuditIvfPq(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, cents: Array[IvfAnn.IntCentroid], cb: Codebook,
+      k: Int, nprobe: Int): DataFrame =
+    auditAgainstExact(
+      topKIvfPq(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+        cents, cb, k, nprobe),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
 }

@@ -1125,6 +1125,36 @@ class OperatorsSpec extends SparkSpec {
     assert(top.getAs[Long]("adc") == 0L)
   }
 
+  test("Pq IVF-PQ: zero residuals on a class-pure corpus; lossless recall; ADC 0 to own row") {
+    import graft.operators.{IvfAnn, Pq}
+    // corpus = 4 classes of identical vectors: coarse centroids equal
+    // the class vectors, so every residual is 0, the residual
+    // codebook is all zeros, and the tier is LOSSLESS end to end
+    val dim = 8
+    val rows = (0 until 64).map { id =>
+      val cls = id % 4
+      (id.toLong, Array.tabulate(dim)(d => (cls * 10 + d + 0.5f) / 1000f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = IvfAnn.seedCentroidsInt(df, "vec_id", "embedding", nlist = 4)
+    val cb = Pq.trainSeededResiduals(df, "vec_id", "embedding", cents,
+      m = 4, ncode = 4)
+    assert(cb.words.flatten.flatten.forall(_ == 0L),
+      "class-pure corpus must yield an all-zero residual codebook")
+    val top = Pq.topKIvfPq(df, "vec_id", "embedding",
+        df.where(col("vec_id") === 6), "vec_id", "embedding",
+        cents, cb, k = 3, nprobe = 2)
+      .orderBy("rk").collect()
+    assert(top(0).getAs[Long]("adc") == 0L, "own-cell ADC must be 0")
+    // the top-3 are the 3 smallest ids of class 6%4=2 (all distance 0)
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(2L, 6L, 10L))
+    val audit = Pq.recallAuditIvfPq(df, "vec_id", "embedding",
+      df.where(col("vec_id") < 8), "vec_id", "embedding",
+      cents, cb, k = 4, nprobe = 2).collect()(0)
+    assert(audit.getAs[Long]("recall_ppm") == 1000000L,
+      s"lossless IVF-PQ must read full recall, got $audit")
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
