@@ -101,19 +101,33 @@ object Pq {
       .agg(sum(expr("(qv - w) * (qv - w)")).as("dist"))
   }
 
+  /** Rank scored (qid, id, adc) rows to per-query top-k through the
+    * BOUNDED [[graft.functions.TopKPairs]] aggregate with score
+    * −adc — "(−adc) DESC, id ASC" is exactly "(adc ASC, id ASC)", the
+    * oracle's total order, and the aggregate runs partial map-side so
+    * the shuffle carries ≤ k pairs per (query, task) instead of
+    * sorting every candidate per query (the rankTopK lesson). ADC
+    * sums are far below 2⁵³, so the double round-trip is exact. */
+  private def rankAdcTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKPairs.column(
+        -col("adc").cast("double"), col("id").cast("long"), k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__pos", "__s")))
+      .select(col("qid"), (col("__pos") + 1).cast("int").as("rk"),
+        col("__s.id").as("id"),
+        (-col("__s.cosine")).cast("long").as("adc"))
+
   /** ADC top-k: the codes relation (id, codes) fans out to its m
     * (s, c) lookups, joins the query tables, sums per (qid, id), and
-    * ranks by (adc, id). The shuffle carries codes and exact-Long
-    * partial sums — never vectors. */
+    * ranks by (adc, id) through the bounded top-k aggregate. The
+    * shuffle carries codes and exact-Long partial sums — never
+    * vectors, and never a per-query sort of the corpus. */
   def searchAdc(codes: DataFrame, dtab: DataFrame, k: Int): DataFrame = {
     val e = codes.select(col("id"), posexplode(col("codes")).as(Seq("s", "c")))
-    e.join(dtab, Seq("s", "c"))
-      .groupBy("qid", "id")
-      .agg(sum("dist").as("adc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy("adc", "id")))
-      .where(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("id"), col("adc"))
+    rankAdcTopK(
+      e.join(dtab, Seq("s", "c"))
+        .groupBy("qid", "id")
+        .agg(sum("dist").as("adc")), k)
   }
 
   /** End-to-end ADC search over raw relations: train is the caller's
@@ -260,13 +274,89 @@ object Pq {
         Seq("s", "d"))
       .groupBy("qid", "cell", "s", "c")
       .agg(sum(expr("(rq - w) * (rq - w)")).as("dist"))
-    codes.join(dtab, Seq("cell", "s", "c"))
-      .groupBy("qid", "id")
-      .agg(sum("dist").as("adc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy("adc", "id")))
-      .where(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("id"), col("adc"))
+    rankAdcTopK(
+      codes.join(dtab, Seq("cell", "s", "c"))
+        .groupBy("qid", "id")
+        .agg(sum("dist").as("adc")), k)
+  }
+
+  /** Build the PERSISTED IVF-PQ index — the 100 TB serving layout:
+    * one row per vector (id, codes: array<int>) written
+    * `partitionBy(__cell)`, with the FROZEN models riding in the
+    * layout itself (`_centroids/` — the [[IvfAnn]] convention — and
+    * `_codebook/`), so the index is self-describing and a search
+    * reads only the probed cells' partitions. The stored bytes per
+    * vector are the m codes — the corpus vectors are not in the
+    * index at all. */
+  def buildIndexIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int, m: Int, ncode: Int): Unit = {
+    val spark = corpus.sparkSession
+    val cents = IvfAnn.seedCentroidsInt(corpus, idCol, vecCol, nlist)
+    val cb = trainSeededResiduals(corpus, idCol, vecCol, cents, m, ncode)
+    ivfPqCodes(corpus, idCol, vecCol, cents, cb)
+      .groupBy("id", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+        x => x.getField("c")).as("codes"))
+      .withColumnRenamed("cell", "__cell")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__cell").parquet(path)
+    IvfAnn.writeCentroids(spark, cents, path)
+    codebookRelation(spark, cb).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_codebook")
+  }
+
+  /** Read the frozen codebook back from a [[buildIndexIvfPq]] layout
+    * (model-sized: m·ncode·subDim longs). */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Codebook = {
+    val rows = spark.read.parquet(s"$path/_codebook").collect()
+    require(rows.nonEmpty, s"Pq.loadCodebook: empty model at $path")
+    val m = rows.iterator.map(_.getAs[Int]("s")).max + 1
+    val ncode = rows.iterator.map(_.getAs[Int]("c")).max + 1
+    val subDim = rows.iterator.map(_.getAs[Int]("d")).max + 1
+    val words = Array.fill(m, ncode)(new Array[Long](subDim))
+    rows.foreach { r =>
+      words(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("d")) =
+        r.getAs[Long]("w")
+    }
+    Codebook(m, subDim, ncode, words)
+  }
+
+  /** Search a [[buildIndexIvfPq]] layout: the queries' distinct probe
+    * cells (≤ |Q|·nprobe ints, model-sized) are pushed as a STATIC
+    * partition filter, so the index scan READS only the probed cells'
+    * directories — I/O is ~nprobe/nlist of an index that already
+    * stores only m small ints per vector. Scoring is the relational
+    * ADC of [[topKIvfPq]] over the pruned codes. */
+  def searchIndexIvfPq(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = IvfAnn.loadCentroidsInt(spark, path)
+    val cb = loadCodebook(spark, path)
+    val q = queries.select(col(queryId).as("qid"),
+      quantize3(col(queryVec)).as("qv"),
+      explode(IvfAnn.probeCellsInt(col(queryVec), cents, nprobe))
+        .as("__cell"))
+    val cells = q.select("__cell").distinct().collect().map(_.getInt(0))
+    val codesRel = spark.read.parquet(path)
+      .where(col("__cell").isin(cells.toIndexedSeq: _*))
+      .select(col("id"), col("__cell"),
+        posexplode(col("codes")).as(Seq("s", "c")))
+    val dtab = q
+      .select(col("qid"), col("__cell"),
+        posexplode(zip_with(col("qv"),
+          element_at(centArray(cents), col("__cell") + 1),
+          (a, b) => a - b)).as(Seq("pos", "rq")))
+      .withColumn("s", (col("pos") / cb.subDim).cast("int"))
+      .withColumn("d", pmod(col("pos"), lit(cb.subDim)).cast("int"))
+      .join(broadcast(codebookRelation(spark, cb)), Seq("s", "d"))
+      .groupBy("qid", "__cell", "s", "c")
+      .agg(sum(expr("(rq - w) * (rq - w)")).as("dist"))
+    rankAdcTopK(
+      codesRel.join(dtab, Seq("__cell", "s", "c"))
+        .groupBy("qid", "id")
+        .agg(sum("dist").as("adc")), k)
   }
 
   /** The IVF-PQ tier's MEASURED loss: two approximations compound

@@ -1155,6 +1155,43 @@ class OperatorsSpec extends SparkSpec {
       s"lossless IVF-PQ must read full recall, got $audit")
   }
 
+  test("Pq persisted IVF-PQ index: search equals in-plan ADC; probe cells reach the scan as a static partition filter") {
+    import graft.operators.{IvfAnn, Pq}
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000).as("q_id"), col("embedding").as("q_vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Pq.buildIndexIvfPq(corpus, "vec_id", "embedding", s"$tmp/idx",
+      nlist = 8, m = 4, ncode = 8)
+    val viaIndex = Pq.searchIndexIvfPq(spark, s"$tmp/idx", queries,
+      "q_id", "q_vec", k = 3, nprobe = 2)
+    // the in-plan form under the SAME frozen models must agree row-for-row
+    val cents = IvfAnn.loadCentroidsInt(spark, s"$tmp/idx")
+    val cb = Pq.loadCodebook(spark, s"$tmp/idx")
+    val direct = Pq.topKIvfPq(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", cents, cb, k = 3, nprobe = 2)
+    assert(viaIndex.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaIndex).count() == 0)
+    assert(direct.count() === 9L)
+    // probe cells must prune the codes scan at listing time
+    val scan = viaIndex.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    val cellFilters = scan.partitionFilters.filter(
+      _.references.exists(_.name == "__cell"))
+    assert(cellFilters.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
+      case _ => true
+    }, s"no pruning __cell partition filter in: ${scan.partitionFilters}")
+    // the index stores codes, never vectors
+    val cols = spark.read.parquet(s"$tmp/idx").columns.toSet
+    assert(cols == Set("id", "codes", "__cell"),
+      s"index must hold only id + codes + cell, got $cols")
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
