@@ -359,6 +359,55 @@ object Pq {
         .agg(sum("dist").as("adc")), k)
   }
 
+  /** APPEND a batch into a persisted [[buildIndexIvfPq]] layout — the
+    * incremental-ingest twin of [[IvfAnn.appendToIndexInt]], under
+    * the same FROZEN-models contract: cell and codes are pure
+    * functions of (vector, centroids, codebook), so an appended index
+    * is row-identical to a fresh build over the concatenated corpus
+    * under the same models (spec-asserted), and only the cells the
+    * batch lands in gain files. Drift costs cell balance, never
+    * correctness — monitor and rebuild per the IvfAnn rule. */
+  def appendToIndexIvfPq(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val cents = IvfAnn.loadCentroidsInt(spark, path)
+    val cb = loadCodebook(spark, path)
+    ivfPqCodes(batch, idCol, vecCol, cents, cb)
+      .groupBy("id", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+        x => x.getField("c")).as("codes"))
+      .withColumnRenamed("cell", "__cell")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("__cell").parquet(path)
+  }
+
+  /** TAKEDOWN from a [[buildIndexIvfPq]] layout — the retention/
+    * licensing obligation for the codes tier: with the frozen
+    * centroids the doomed rows' cells are pure functions of their
+    * vectors, so only those cell partitions are read and rewritten
+    * (dynamic-partition overwrite via [[Dedup.rewriteShards]]);
+    * a removed vector stops surfacing as anyone's ADC neighbor. */
+  def deleteFromIndexIvfPq(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String,
+      vecCol: String): Dedup.IndexDeleteReport = {
+    val cents = IvfAnn.loadCentroidsInt(spark, path)
+    val targets = docs.select(col(idCol).as("__did"),
+      IvfAnn.cellIdInt(col(vecCol), cents).as("__cell"))
+    val cells = targets.select("__cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    if (cells.isEmpty) return Dedup.IndexDeleteReport(0L, Nil)
+    val pruned = spark.read.parquet(path)
+      .where(col("__cell").isin(cells: _*))
+    val before = pruned.count()
+    val remaining = pruned.join(
+      targets.select(col("__did").as("id")).distinct(),
+      Seq("id"), "left_anti")
+    Dedup.rewriteShards(spark, path, "__cell", cells.map(_.toLong), remaining)
+    val after = spark.read.parquet(path)
+      .where(col("__cell").isin(cells: _*)).count()
+    Dedup.IndexDeleteReport(before - after, cells.map(_.toLong))
+  }
+
   /** The IVF-PQ tier's MEASURED loss: two approximations compound
     * (probed cells may miss true neighbors; 8-byte codes blur
     * distances) — this reads the realized recall against the exact

@@ -1192,6 +1192,51 @@ class OperatorsSpec extends SparkSpec {
       s"index must hold only id + codes + cell, got $cols")
   }
 
+  test("Pq IVF-PQ lifecycle: build+append equals fresh build under frozen models; takedown re-admits") {
+    import graft.operators.Pq
+    val corpus = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val half = corpus.where(col("vec_id") < 100)
+    val batch = corpus.where(col("vec_id") >= 100)
+    val queries = corpus.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000).as("q_id"), col("embedding").as("q_vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_lc").toString
+    // grown == fresh, row-identically, under the SAME frozen models:
+    // build on the half, append the rest; fresh index over the full
+    // corpus with the half's models must be identical
+    Pq.buildIndexIvfPq(half, "vec_id", "embedding", s"$tmp/grown",
+      nlist = 8, m = 4, ncode = 8)
+    Pq.appendToIndexIvfPq(spark, batch, "vec_id", "embedding", s"$tmp/grown")
+    val grown = spark.read.parquet(s"$tmp/grown")
+      .select("id", "codes", "__cell")
+    val cents = graft.operators.IvfAnn.loadCentroidsInt(spark, s"$tmp/grown")
+    val cb = Pq.loadCodebook(spark, s"$tmp/grown")
+    val fresh = Pq.ivfPqCodes(corpus, "vec_id", "embedding", cents, cb)
+      .groupBy("id", "cell")
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("s"), col("c")))),
+        x => x.getField("c")).as("codes"))
+      .select(col("id"), col("codes"), col("cell").as("__cell"))
+    assert(grown.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(grown).count() == 0,
+      "append under frozen models must equal the fresh encoding")
+    // takedown: a deleted vector stops surfacing; searches still work
+    val doomed = corpus.where(col("vec_id") === 7)
+    val hitBefore = Pq.searchIndexIvfPq(spark, s"$tmp/grown", queries,
+      "q_id", "q_vec", k = 200, nprobe = 8)
+    assert(hitBefore.where(col("id") === 7).count() > 0,
+      "vector 7 must be findable before the takedown")
+    val report = Pq.deleteFromIndexIvfPq(spark, s"$tmp/grown", doomed,
+      "vec_id", "embedding")
+    assert(report.rowsDeleted == 1L, s"expected 1 deleted row, got $report")
+    val hitAfter = Pq.searchIndexIvfPq(spark, s"$tmp/grown", queries,
+      "q_id", "q_vec", k = 200, nprobe = 8)
+    assert(hitAfter.where(col("id") === 7).count() == 0,
+      "a removed vector must stop surfacing as a neighbor")
+    assert(hitAfter.count() > 0)
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
