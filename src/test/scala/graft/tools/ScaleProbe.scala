@@ -34,7 +34,11 @@ object ScaleProbe {
     val picks = Seq("q19_agg_pricing", "q20_star_join", "x03_minhash_lsh",
       "x06_knn_cosine", "x10_quality", "x44_chunk_dedup",
       "x82_substring_dedup", "x88_bpe_train", "x30_sequence_packing",
-      "x97_lm_score")
+      "x97_lm_score",
+      // r11 families with a data term: Morton bucketing + 2-D stat agg
+      // over lineitem; KMV bottom-k value sample over documents;
+      // IVF-PQ train/encode/search over embeddings (×4 per decade)
+      "x122_zorder_skipping", "x119_kmv_quantiles", "x128_ivfpq_adc")
     def floor(name: String, d: String): Double = {
       val q = Catalog.entries.find(_.name == name).get
       (1 to reps).map { _ =>
