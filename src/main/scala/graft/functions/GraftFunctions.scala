@@ -156,7 +156,14 @@ object GraftFunctions {
       (children: Seq[Expression]) => NearestCellsInt(children.head,
         literalLongMatrix("nearest_cells_int", "centroids", children(1)),
         literalIntVector("nearest_cells_int", "cell_ids", children(2)),
-        literalInt("nearest_cells_int", "nprobe", children(3)))))
+        literalInt("nearest_cells_int", "nprobe", children(3)))),
+    // r11: the bounded per-group bottom-k aggregate (grouped KMV
+    // sketches) — without it a SQL-only user can hash but not sketch
+    // per group in bounded memory
+    (FunctionIdentifier("bottom_k_longs"),
+      new ExpressionInfo(classOf[BottomKLongs].getName, "bottom_k_longs"),
+      (children: Seq[Expression]) => BottomKLongs(children.head,
+        literalInt("bottom_k_longs", "k", children(1)))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -916,4 +916,49 @@ object TextAnalysis {
       (wordCountOk && meanWordOk && symbolOk && bulletOk &&
         ellipsisOk && alphaOk && stopwordOk).as("pass"))
   }
+
+  // ----------------------------------------------- compressibility signal
+
+  /** zlib COMPRESSION RATIO per document, floored ppm — the
+    * quality signal the published pipelines read from a general
+    * compressor (Gopher's repetition family / CCNet-era filtering):
+    * TOO COMPRESSIBLE (low ratio_ppm) means templated/repetitive
+    * content (boilerplate, keyword stuffing, log spam); ratio near or
+    * above 10⁶ means already-compressed or binary noise. Output:
+    * (id, n_bytes, n_compressed, ratio_ppm) with ratio_ppm =
+    * n_compressed·10⁶ div n_bytes; null/empty text reads null ratio.
+    *
+    * Plan shape: mapPartitions, one `java.util.zip.Deflater` REUSED
+    * per partition (reset between docs — allocation per row would
+    * dominate); map-only, no shuffle, embarrassingly parallel. The
+    * output is deterministic for a fixed JDK zlib (spec-pinned), but
+    * no external SQL engine carries zlib — so this operator is
+    * SPEC-verified rather than oracle-replayed, the Lease/Compaction
+    * class of surface, and the level is pinned (6) so corpus numbers
+    * are comparable across runs and hosts. */
+  def compressionRatio(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("__id"),
+        col(textCol).cast("string").as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          if (text == null || text.isEmpty) (id, 0L, 0L, None: Option[Long])
+          else {
+            val bytes = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(bytes); deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, bytes.length.toLong, n,
+              Some(n * 1000000L / bytes.length))
+          }
+        }
+      }
+      .toDF("id", "n_bytes", "n_compressed", "ratio_ppm")
+  }
 }

@@ -50,6 +50,9 @@ import graft.operators.{Dedup, IvfAnn, Kmv, Sampling, SkewJoin, TableProfile, Te
   *   ivf_cells/          IVF cell-balance profile (x61)
   *   ann_recall/         IVF recall@k vs brute force on a bounded
   *                       query sample (x62)
+  *   pq_recall/          IVF-PQ (8-byte codes) recall@k vs the exact
+  *                       ranking on the same query sample (x129) —
+  *                       both compressions' measured loss side by side
   *   report.json         one line of corpus-level numbers
   *
   * Every output is dashboard-sized (per-source rows, per-band rows,
@@ -236,7 +239,16 @@ object RunAudit {
         IvfAnn.recallAtK(emb, qs, "vec_id", "embedding", "q_id", "q_vec",
           cents, k = 5, nprobe = 2),
         "ann_recall")
-      (cells, recall)
+      // the PQ tier's measured loss beside the IVF tier's (r11):
+      // 8-byte codes trade memory for recall — the audit reads BOTH
+      // compressions' realized recall on the same query sample
+      val cb = graft.operators.Pq.trainSeededResiduals(
+        emb, "vec_id", "embedding", cents, m = 8, ncode = 16)
+      val pqRecall = save(
+        graft.operators.Pq.recallAuditIvfPq(emb, "vec_id", "embedding",
+          qs, "q_id", "q_vec", cents, cb, k = 5, nprobe = 2),
+        "pq_recall")
+      (cells, recall, pqRecall)
     }
     // 5. the one-line corpus summary — every input is audit-sized
     val nDocs = docs.count()
@@ -249,12 +261,14 @@ object RunAudit {
     val bandSummary = bandRows.map(r =>
       s""""${r.getAs[Long]("band_ppm")}":${r.getAs[Long]("catch_ppm")}""")
       .mkString("{", ",", "}")
-    val vecSummary = vec.map { case (cells, recall) =>
+    val vecSummary = vec.map { case (cells, recall, pqRecall) =>
       val maxShare = cells.agg(max("share_ppm")).head().getLong(0)
       val avgRecall = recall.agg(
         floor(avg("recall_ppm")).cast("long")).head().getLong(0)
+      val pqPpm = pqRecall.head().getAs[Long]("recall_ppm")
       Seq("ivf_max_cell_share_ppm" -> maxShare.toString,
-        "ann_avg_recall_ppm" -> avgRecall.toString)
+        "ann_avg_recall_ppm" -> avgRecall.toString,
+        "pq_recall_ppm" -> pqPpm.toString)
     }.getOrElse(Seq("vector_monitors" -> "\"skipped: no embeddings.parquet\""))
     val driftSummary = drift.map { d =>
       // tv is floored to 6dp, so tv*1e6 is an exact integer ppm

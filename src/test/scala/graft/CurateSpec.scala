@@ -318,7 +318,7 @@ class CurateSpec extends SparkSpec {
     Seq("profile", "hist", "dsir", "dup_matrix", "overlap_matrix",
         "family_sizes", "minhash_accuracy", "banding_recall",
         "table_profile", "heavy_sources", "fluency_bands",
-        "ivf_cells", "ann_recall").foreach { d =>
+        "ivf_cells", "ann_recall", "pq_recall").foreach { d =>
       assert(spark.read.parquet(s"$out/$d").count() > 0,
         s"audit table $d must exist and be non-empty")
     }
@@ -342,6 +342,7 @@ class CurateSpec extends SparkSpec {
     // vector monitors carry the x61/x62 semantics into the journey
     assert(rep("ivf_max_cell_share_ppm").toLong <= 1000000L)
     assert(rep("ann_avg_recall_ppm").toLong <= 1000000L)
+    assert(rep("pq_recall_ppm").toLong <= 1000000L)
     // determinism: a second run over the same corpus reproduces every
     // audit number (all draws md5-derived, all ppm floored integers)
     val rep2 = graft.pipeline.RunAudit

@@ -26,6 +26,23 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT unaccent('tréma')").as[String].head() == "trema")
   }
 
+  test("bottom_k_longs is SQL-callable: per-group bottom-k equals the DataFrame form") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = (0 until 500).map(i => (s"g${i % 3}", (i * 7919L) % 1000))
+      .toDF("g", "hv")
+    df.createOrReplaceTempView("bkl_in")
+    val viaSql = spark.sql(
+      "SELECT g, sort_array(bottom_k_longs(hv, 8)) AS sk FROM bkl_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val expected = (0 until 500).map(i => (s"g${i % 3}", (i * 7919L) % 1000))
+      .groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(_._2).distinct.sorted.take(8)
+      }
+    expected.foreach { case (g, want) =>
+      assert(viaSql(g) == want, s"group $g")
+    }
+  }
+
   test("GeoMean aggregator: exact value, partition-invariant") {
     val xs = Seq(1.0, 2.0, 4.0, 8.0)
     val expected = math.exp(xs.map(math.log).sum / 4) // = 2*sqrt(2)

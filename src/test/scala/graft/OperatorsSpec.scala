@@ -1237,6 +1237,32 @@ class OperatorsSpec extends SparkSpec {
     assert(hitAfter.count() > 0)
   }
 
+  test("compressionRatio: repetitive text compresses far below prose; empty/null screened; deterministic") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the " * 500),                            // heavy repetition
+      (2L, new scala.util.Random(42).alphanumeric.take(500).mkString), // noisy
+      (3L, "A normal English sentence with ordinary word variety here."),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(rows(1)._3 < 100000L, s"repetition must compress hard: ${rows(1)}")
+    assert(rows(2)._3 > 400000L, s"noise must resist compression: ${rows(2)}")
+    assert(rows(2)._3 > rows(1)._3 * 4)
+    assert(rows(4) == ((0L, 0L, -1L)) && rows(5) == ((0L, 0L, -1L)),
+      "empty/null text must read null ratio")
+    // deterministic across runs (fixed deflate level, JDK zlib)
+    val again = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(again == rows)
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")

@@ -592,4 +592,28 @@ class PlanAuditSpec extends SparkSpec {
       !r.contains("o_totalprice")),
       s"the orders scan must prune to the two referenced columns:\n$p60")
   }
+
+  test("x122/x125/x126: z-order audit never sorts; PQ broadcasts the codebook and ranks map-side") {
+    // the skipping audit is two hash aggs over bucket stats — a Sort
+    // or Window would mean the bucketing regressed to ordering
+    val p122 = finalPlan(q("x122_zorder_skipping")).toString()
+    // the single Sort is the 2-row output orderBy("layout"); anything
+    // more means the bucketing regressed to ordering the data
+    assert(p122.linesIterator.count(_.trim.matches(".*\\bSort\\b.*")) <= 1 &&
+      !p122.contains("Window"),
+      s"z-order audit must not sort the data:\n$p122")
+    val reads122 = p122.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads122.forall(r => r.contains("l_partkey") &&
+      !r.contains("l_extendedprice")),
+      s"the audit must read only the two key columns:\n$reads122")
+    // PQ: the model-sized codebook relation broadcasts; ADC ranking
+    // is the bounded TopKPairs object-hash aggregate, not a window
+    val p126 = finalPlan(q("x126_pq_adc")).toString()
+    assert(p126.contains("BroadcastHashJoin"),
+      s"the codebook join must broadcast:\n$p126")
+    assert(!p126.contains("Window"),
+      s"ADC ranking regressed to a window:\n$p126")
+    assert(p126.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"top-k must be partial+final ObjectHashAggregate:\n$p126")
+  }
 }
