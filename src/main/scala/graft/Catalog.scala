@@ -45,6 +45,82 @@ object Catalog {
   /** DuckDB fragment: the integer sign-LSH bucket of a float-list
     * column `v` under [[graft.operators.Similarity.portablePlanes]]
     * (dim 64) — replays hyperplaneBucket bit-for-bit. */
+  /** The x121/x130 messy-URL synthesizer: every canonicalization
+    * variant class represented, all derived from the id (replayable
+    * in the oracle as string algebra). */
+  private def messyUrl(id: Column): Column = concat(
+    when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://WWW.Site"), (id % 7).cast("string"), lit(".EXAMPLE.com"),
+    when(id % 3 === 0, lit(":80"))
+      .when(id % 3 === 1, lit(":443")).otherwise(lit("")),
+    when(id % 5 === 0, lit("")).when(id % 5 === 1, lit("/A/B/"))
+      .when(id % 5 === 2, lit("/A/B")).when(id % 5 === 3, lit("/"))
+      .otherwise(concat(lit("/x/"), (id % 11).cast("string"))),
+    when(id % 4 === 0, concat(lit("?utm_source=tw&b="),
+        (id % 13).cast("string"), lit("&a=1")))
+      .when(id % 4 === 1, concat(lit("?a=1&b="),
+        (id % 13).cast("string")))
+      .when(id % 4 === 2, lit("?ref=home")).otherwise(lit("")),
+    when(id % 6 === 0, concat(lit("#sec"), (id % 9).cast("string")))
+      .otherwise(lit("")))
+
+  /** The x121/x130 oracle CTE chain (plain string — the regex `$`
+    * anchors forbid s-interpolation): replays [[messyUrl]] and all
+    * seven canonicalization steps, ending in
+    * `canon(doc_id, url, canon_url)`. */
+  private val urlCanonCtes: String = """d AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                  || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.EXAMPLE.com'
+                  || (CASE doc_id % 3 WHEN 0 THEN ':80'
+                        WHEN 1 THEN ':443' ELSE '' END)
+                  || (CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/A/B/'
+                        WHEN 2 THEN '/A/B' WHEN 3 THEN '/'
+                        ELSE '/x/' || CAST(doc_id % 11 AS VARCHAR) END)
+                  || (CASE doc_id % 4
+                        WHEN 0 THEN '?utm_source=tw&b='
+                          || CAST(doc_id % 13 AS VARCHAR) || '&a=1'
+                        WHEN 1 THEN '?a=1&b='
+                          || CAST(doc_id % 13 AS VARCHAR)
+                        WHEN 2 THEN '?ref=home' ELSE '' END)
+                  || (CASE WHEN doc_id % 6 = 0
+                        THEN '#sec' || CAST(doc_id % 9 AS VARCHAR)
+                        ELSE '' END) AS url
+                FROM documents WHERE doc_id < 2000),
+              s1 AS (SELECT doc_id, url,
+                  regexp_replace(url, '#.*$', '') AS nofrag FROM d),
+              s2 AS (SELECT *,
+                  lower(regexp_extract(nofrag,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(nofrag,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+              s3 AS (SELECT *,
+                  regexp_replace(lower(regexp_extract(rest,
+                    '^([^/?]*)', 1)), '^www\.', '') AS hostport,
+                  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
+              s4 AS (SELECT *,
+                  CASE WHEN scheme = 'http'
+                      THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https'
+                      THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END AS host,
+                  regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+                  regexp_extract(pathq, '\?(.*)$', 1) AS q FROM s3),
+              s5 AS (SELECT *,
+                  CASE WHEN rawpath = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '(.)/+$', '\1') END AS path,
+                  coalesce(array_to_string(list_sort(list_filter(
+                    string_split(q, '&'),
+                    x -> NOT regexp_matches(x,
+                        '^(utm_[^=]*|fbclid|gclid|ref)=')
+                      AND x <> '')), '&'), '') AS sortedq FROM s4),
+              canon AS (SELECT doc_id, url,
+                scheme || '://' || host || path ||
+                  (CASE WHEN sortedq = '' THEN ''
+                    ELSE '?' || sortedq END) AS canon_url
+              FROM s5)"""
+
   private def bucketSql(v: String, planes: Int): String =
     s"""list_sum(list_transform(range(0, $planes), p ->
           CASE WHEN list_sum(list_transform(range(0, 64), d ->
@@ -6488,78 +6564,40 @@ object Catalog {
       // and all seven normalization steps in SQL
       (s, d) => {
         val id = col("doc_id")
-        val url = concat(
-          when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
-          lit("://WWW.Site"), (id % 7).cast("string"), lit(".EXAMPLE.com"),
-          when(id % 3 === 0, lit(":80"))
-            .when(id % 3 === 1, lit(":443")).otherwise(lit("")),
-          when(id % 5 === 0, lit("")).when(id % 5 === 1, lit("/A/B/"))
-            .when(id % 5 === 2, lit("/A/B")).when(id % 5 === 3, lit("/"))
-            .otherwise(concat(lit("/x/"), (id % 11).cast("string"))),
-          when(id % 4 === 0, concat(lit("?utm_source=tw&b="),
-              (id % 13).cast("string"), lit("&a=1")))
-            .when(id % 4 === 1, concat(lit("?a=1&b="),
-              (id % 13).cast("string")))
-            .when(id % 4 === 2, lit("?ref=home")).otherwise(lit("")),
-          when(id % 6 === 0, concat(lit("#sec"), (id % 9).cast("string")))
-            .otherwise(lit("")))
+        val url = messyUrl(id)
         documents(s, d).where(id < 2000)
           .select(id.as("doc_id"), url.as("url"),
             Urls.canonicalizeUrl(url).as("canon_url"))
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (
-                SELECT doc_id,
-                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
-                  || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
-                  || '.EXAMPLE.com'
-                  || (CASE doc_id % 3 WHEN 0 THEN ':80'
-                        WHEN 1 THEN ':443' ELSE '' END)
-                  || (CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/A/B/'
-                        WHEN 2 THEN '/A/B' WHEN 3 THEN '/'
-                        ELSE '/x/' || CAST(doc_id % 11 AS VARCHAR) END)
-                  || (CASE doc_id % 4
-                        WHEN 0 THEN '?utm_source=tw&b='
-                          || CAST(doc_id % 13 AS VARCHAR) || '&a=1'
-                        WHEN 1 THEN '?a=1&b='
-                          || CAST(doc_id % 13 AS VARCHAR)
-                        WHEN 2 THEN '?ref=home' ELSE '' END)
-                  || (CASE WHEN doc_id % 6 = 0
-                        THEN '#sec' || CAST(doc_id % 9 AS VARCHAR)
-                        ELSE '' END) AS url
-                FROM documents WHERE doc_id < 2000),
-              s1 AS (SELECT doc_id, url,
-                  regexp_replace(url, '#.*$', '') AS nofrag FROM d),
-              s2 AS (SELECT *,
-                  lower(regexp_extract(nofrag,
-                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                  regexp_replace(nofrag,
-                    '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
-              s3 AS (SELECT *,
-                  regexp_replace(lower(regexp_extract(rest,
-                    '^([^/?]*)', 1)), '^www\.', '') AS hostport,
-                  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s2),
-              s4 AS (SELECT *,
-                  CASE WHEN scheme = 'http'
-                      THEN regexp_replace(hostport, ':80$', '')
-                    WHEN scheme = 'https'
-                      THEN regexp_replace(hostport, ':443$', '')
-                    ELSE hostport END AS host,
-                  regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
-                  regexp_extract(pathq, '\?(.*)$', 1) AS q FROM s3),
-              s5 AS (SELECT *,
-                  CASE WHEN rawpath = '' THEN '/'
-                    ELSE regexp_replace(rawpath, '(.)/+$', '\1') END AS path,
-                  coalesce(array_to_string(list_sort(list_filter(
-                    string_split(q, '&'),
-                    x -> NOT regexp_matches(x,
-                        '^(utm_[^=]*|fbclid|gclid|ref)=')
-                      AND x <> '')), '&'), '') AS sortedq FROM s4)
-              SELECT doc_id, url,
-                scheme || '://' || host || path ||
-                  (CASE WHEN sortedq = '' THEN ''
-                    ELSE '?' || sortedq END) AS canon_url
-              FROM s5 ORDER BY doc_id""")),
+      Some("WITH " + urlCanonCtes + """
+              SELECT doc_id, url, canon_url
+              FROM canon ORDER BY doc_id""")),
+
+    QueryDef("x130_url_dedup",
+      // the canonical URL AS the dedup key (r11): the integration the
+      // canonicalizer exists for — group captures by canon_url, count
+      // collapsed variants, keep the smallest doc_id as the survivor
+      // (the deterministic first-write-wins rule). Output = only the
+      // groups where canonicalization actually collapsed something,
+      // so the row set IS the measured dedup win
+      (s, d) => {
+        val id = col("doc_id")
+        documents(s, d).where(id < 2000)
+          .select(id.as("doc_id"),
+            Urls.canonicalizeUrl(messyUrl(id)).as("canon_url"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_variants"),
+            min("doc_id").as("survivor_id"))
+          .where(col("n_variants") > 1)
+          .orderBy("canon_url")
+      },
+      Some("WITH " + urlCanonCtes + """
+              SELECT canon_url,
+                CAST(count(*) AS BIGINT) AS n_variants,
+                CAST(min(doc_id) AS BIGINT) AS survivor_id
+              FROM canon GROUP BY 1 HAVING count(*) > 1
+              ORDER BY canon_url""")),
 
     QueryDef("x122_zorder_skipping",
       // Z-ORDER data skipping, MEASURED (r11): the Morton curve of
@@ -7026,6 +7064,34 @@ object Catalog {
               SELECT t.g AS g, t.q_ppm, r.v AS est_v
               FROM tgt t JOIN rk r ON r.g = t.g AND r.rk = t.rk
               ORDER BY t.g, t.q_ppm""")),
+
+    QueryDef("x131_bmp_pixels",
+      // REAL BMP pixel decode (r11, the fourth real-decode leg):
+      // complete 24-bit BMPs synthesized from the doc ids, decoded
+      // through the bottom-up padded-scanline walk, exact integer
+      // stats computed. With BMP, every non-entropy-coded format the
+      // sniffer knows decodes for real; the oracle replays the stats
+      // as id algebra — a padding/row-order/BGR defect breaks the
+      // sums bit-for-bit
+      (s, d) => Multimodal.bmpPixelStats(s,
+          Multimodal.packRealBmps(s, documents(s, d)
+            .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, doc_id % 12 + 4 AS w,
+                  (doc_id * 3) % 9 + 4 AS h
+                FROM documents WHERE doc_id < 500),
+              px AS (
+                SELECT id, w, h,
+                  (id * 23 + x.x * 13 + y.y * 19) % 256 AS v
+                FROM imgs, range(0, 16) x(x), range(0, 13) y(y)
+                WHERE x.x < w AND y.y < h)
+              SELECT id AS media_id, w AS width, h AS height,
+                count(*) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM px GROUP BY 1, 2, 3 ORDER BY media_id""")),
 
     QueryDef("x119_kmv_quantiles",
       // KMV VALUE SAMPLE → quantile estimates (r11): the bottom-k-by-

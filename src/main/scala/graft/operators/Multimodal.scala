@@ -436,6 +436,8 @@ object Multimodal {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x89) decodePng(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'G' && bytes(1) == 'I')
       decodeGif(bytes).map { case (w, h, gray) => (w, h, 1, gray) }
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      decodeBmp(bytes).map { case (w, h, gray) => (w, h, 1, gray) }
     else None
 
   /** REAL image resize — retires the image leg of [[resizeStub]]:
@@ -852,6 +854,120 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           decodeGif(bytes).map { case (w, h, gray) =>
+            var sum = 0L; var mx = 0L; var bright = 0L
+            var i = 0
+            while (i < gray.length) {
+              val v = gray(i) & 0xff
+              sum += v
+              if (v > mx) mx = v
+              if (v > 127) bright += 1
+              i += 1
+            }
+            (id, w.toLong, h.toLong, gray.length.toLong, sum, mx, bright)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "n_pixels", "sum_pixels",
+        "max_pixel", "n_bright")
+  }
+
+  // ------------------------------------------------------------------
+  // REAL BMP pixel decode — the fourth real-decode leg: BMP stores
+  // raw pixels (bottom-up scanlines, BGR byte order, rows padded to
+  // 4 bytes), so decode is pure offset arithmetic from the published
+  // BITMAPINFOHEADER layout. With BMP done, every NON-entropy-coded
+  // format the sniffer knows decodes for real; only true codecs
+  // (JPEG, MP3) remain contract stubs.
+  // ------------------------------------------------------------------
+
+  /** Build a REAL, complete 24-bit BMP with pixel (x, y) (top-down
+    * coordinates) = gray `pix(x, y)` written as (B, G, R) into the
+    * spec's bottom-up padded scanlines. */
+  private[graft] def buildBmp(w: Int, h: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataLen = rowBytes * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    out.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, positive h = bottom-up
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(dataLen) // no compression
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val y = h - 1 - row // bottom-up storage
+      for (x <- 0 until w) {
+        val v = (pix(x, y) & 0xff).toByte
+        out.put(v).put(v).put(v) // B, G, R
+      }
+      for (_ <- w * 3 until rowBytes) out.put(0.toByte)
+    }
+    out.array()
+  }
+
+  /** REAL BMP pixel decode: header offsets → dims/bpp → bottom-up
+    * padded scanline walk → gray via integer luma (identity on the
+    * grayscale corpora). Supports uncompressed 24-bit with positive
+    * height — the overwhelmingly common shape; anything else screens
+    * to None. Returns (width, height, gray row-major top-down). */
+  private[graft] def decodeBmp(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    try {
+      if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+      def le(off: Int, len: Int): Long = {
+        var v = 0L; var i = len - 1
+        while (i >= 0) { v = (v << 8) | (bytes(off + i) & 0xffL); i -= 1 }
+        v
+      }
+      val dataOff = le(10, 4).toInt
+      val w = le(18, 4).toInt
+      val h = le(22, 4).toInt // negative would mean top-down; screen it
+      val bpp = le(28, 2).toInt
+      val compression = le(30, 4).toInt
+      if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
+      val rowBytes = (w * 3 + 3) & ~3
+      if (dataOff + rowBytes * h > bytes.length) return None
+      val gray = new Array[Byte](w * h)
+      var row = 0
+      while (row < h) {
+        val y = h - 1 - row
+        var x = 0
+        while (x < w) {
+          val p = dataOff + row * rowBytes + x * 3
+          val b = bytes(p) & 0xff
+          val g = bytes(p + 1) & 0xff
+          val r = bytes(p + 2) & 0xff
+          gray(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, gray))
+    } catch { case _: Exception => None }
+
+  /** Deterministic REAL BMPs from an id column ([[packRealPngs]]
+    * pattern): w = id mod 12 + 4, h = (id·3) mod 9 + 4, pixel
+    * (id·23 + x·13 + y·19) mod 256. */
+  def packRealBmps(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (id % 12 + 4).toInt
+      val h = ((id * 3) % 9 + 4).toInt
+      (id, buildBmp(w, h, (x, y) => ((id * 23 + x * 13 + y * 19) % 256).toInt))
+    }.toDF("media_id", "media")
+  }
+
+  /** EXACT pixel statistics through the real BMP decode — the
+    * [[pngPixelStats]] screens for the third image container. */
+  def bmpPixelStats(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeBmp(bytes).map { case (w, h, gray) =>
             var sum = 0L; var mx = 0L; var bright = 0L
             var i = 0
             while (i < gray.length) {

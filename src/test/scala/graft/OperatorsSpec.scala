@@ -1263,6 +1263,56 @@ class OperatorsSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("multimodal: REAL BMP decode — round-trips padded bottom-up scanlines; screens unsupported") {
+    // widths 4..15 exercise every row-padding remainder (w*3 mod 4)
+    (4 to 15).foreach { w =>
+      val h = 5
+      def pix(x: Int, y: Int): Int = (x * 13 + y * 19 + w) % 256
+      val decoded = Multimodal.decodeBmp(Multimodal.buildBmp(w, h, pix))
+      assert(decoded.isDefined, s"w=$w failed to decode")
+      val (dw, dh, gray) = decoded.get
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((gray(y * w + x) & 0xff) == pix(x, y),
+          s"w=$w pixel ($x,$y) — padding or row-order defect")
+    }
+    // screens: junk, truncated data, non-24bpp
+    assert(Multimodal.decodeBmp("BMjunk".getBytes).isEmpty)
+    val good = Multimodal.buildBmp(8, 8, (x, y) => x + y)
+    assert(Multimodal.decodeBmp(good.dropRight(10)).isEmpty)
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(Multimodal.decodeBmp(bpp8).isEmpty)
+    // resizeImage routes BMP through the unified decode (BMP in,
+    // PNG out — the transcode-on-resize shape)
+    val ids = Seq(4L, 11L)
+    val resized = Multimodal.resizeImage(spark,
+        Multimodal.packRealBmps(spark, ids.toDF("doc_id"), "doc_id"),
+        w = 6, h = 5)
+      .orderBy("media_id").collect()
+    ids.zip(resized).foreach { case (id, r) =>
+      val sw = (id % 12 + 4).toInt; val sh = ((id * 3) % 9 + 4).toInt
+      val (dw, dh, bpp, pix) =
+        Multimodal.decodePng(r.getAs[Array[Byte]]("media")).get
+      assert(dw == 6 && dh == 5 && bpp == 1)
+      for (y <- 0 until 5; x <- 0 until 6) {
+        val expect = ((id * 23 + (x * sw / 6) * 13 + (y * sh / 5) * 19) % 256).toInt
+        assert((pix(y * 6 + x) & 0xff) == expect, s"id $id resized ($x,$y)")
+      }
+    }
+    // the distributed stats agree with the id formula
+    val stats = Multimodal.bmpPixelStats(spark,
+        Multimodal.packRealBmps(spark, Seq(5L, 42L).toDF("doc_id"), "doc_id"))
+      .orderBy("media_id").collect()
+    Seq(5L, 42L).zip(stats).foreach { case (id, r) =>
+      val w = (id % 12 + 4).toInt; val h = ((id * 3) % 9 + 4).toInt
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 23 + x * 13 + y * 19) % 256).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(4) == vals.map(_.toLong).sum, s"sum for id $id")
+      assert(r.getLong(6) == vals.count(_ > 127).toLong)
+    }
+  }
+
   test("multimodal: wavInfo parses a canonical RIFF header; non-wav null") {
     val packed = Multimodal.packFakeWavs(
       Seq(0L, 1L, 7L, 999L).toDF("doc_id"), "doc_id")
