@@ -125,7 +125,9 @@ object Pq {
   def searchAdc(codes: DataFrame, dtab: DataFrame, k: Int): DataFrame = {
     val e = codes.select(col("id"), posexplode(col("codes")).as(Seq("s", "c")))
     rankAdcTopK(
-      e.join(dtab, Seq("s", "c"))
+      // the distance tables are model-sized (queries × m × ncode rows)
+      // — broadcast them so the CODES relation never shuffles
+      e.join(broadcast(dtab), Seq("s", "c"))
         .groupBy("qid", "id")
         .agg(sum("dist").as("adc")), k)
   }
@@ -275,7 +277,7 @@ object Pq {
       .groupBy("qid", "cell", "s", "c")
       .agg(sum(expr("(rq - w) * (rq - w)")).as("dist"))
     rankAdcTopK(
-      codes.join(dtab, Seq("cell", "s", "c"))
+      codes.join(broadcast(dtab), Seq("cell", "s", "c"))
         .groupBy("qid", "id")
         .agg(sum("dist").as("adc")), k)
   }
@@ -354,7 +356,7 @@ object Pq {
       .groupBy("qid", "__cell", "s", "c")
       .agg(sum(expr("(rq - w) * (rq - w)")).as("dist"))
     rankAdcTopK(
-      codesRel.join(dtab, Seq("__cell", "s", "c"))
+      codesRel.join(broadcast(dtab), Seq("__cell", "s", "c"))
         .groupBy("qid", "id")
         .agg(sum("dist").as("adc")), k)
   }
