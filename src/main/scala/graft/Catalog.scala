@@ -7021,6 +7021,90 @@ object Catalog {
                 n_hits * 1000000 // (n_queries * 5) AS recall_ppm
               FROM hits, nq""")),
 
+    QueryDef("x132_pq_rerank",
+      // the PQ recall REPAIR, measured as a curve (r11): exact
+      // re-ranking of the ADC top-R candidates (Jégou §V.C) — the
+      // codes pick R candidates cheaply, only those R vectors are
+      // re-scored exactly, recall climbs toward 1 as R grows while
+      // vector reads stay (queries × R). One row per R beside x127's
+      // raw-ADC floor: the operating-point table a caller reads to
+      // size the rerank knob, replacing a silently-accepted 0.27
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        val qs = emb.where(col("vec_id") < 50)
+        Seq(10, 25, 50, 100).map { r =>
+          Pq.rerankRecallAudit(emb, "vec_id", "embedding",
+              qs, "vec_id", "embedding", cb, k = 5, rerank = r)
+            .withColumn("rerank", lit(r.toLong))
+        }.reduce(_.unionByName(_))
+          .select(col("rerank"), col("k"), col("n_queries"),
+            col("n_hits"), col("recall_ppm"))
+          .orderBy("rerank")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0) WHERE rn = 1),
+              dt AS (
+                SELECT qq.vec_id AS qid, cw.s, cw.c,
+                  sum((qq.qv[cw.d] - cw.w) * (qq.qv[cw.d] - cw.w)) AS dist
+                FROM q qq, cw WHERE qq.vec_id < 50 GROUP BY 1, 2, 3),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+                GROUP BY 1, 2),
+              ranked AS (SELECT qid, id, row_number() OVER (
+                  PARTITION BY qid ORDER BY adc, id) AS rk FROM adc),
+              ex0 AS (
+                SELECT a.vec_id AS qid, b.vec_id AS id,
+                  CAST(sum((a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)])
+                     * (a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)]))
+                    AS BIGINT) AS d2
+                FROM q a, q b, range(1, 65) t(d) WHERE a.vec_id < 50
+                GROUP BY 1, 2),
+              exr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY d2, id) AS rk FROM ex0)
+                WHERE rk <= 5),
+              rr AS (SELECT CAST(unnest([10, 25, 50, 100]) AS BIGINT)
+                  AS rerank),
+              cand AS (SELECT rr.rerank, r.qid, r.id
+                       FROM rr, ranked r WHERE r.rk <= rr.rerank),
+              resc AS (SELECT c.rerank, c.qid, c.id, e.d2
+                       FROM cand c JOIN ex0 e
+                         ON e.qid = c.qid AND e.id = c.id),
+              rr5 AS (SELECT rerank, qid, id FROM (
+                  SELECT rerank, qid, id, row_number() OVER (
+                    PARTITION BY rerank, qid ORDER BY d2, id) AS rk
+                  FROM resc) WHERE rk <= 5),
+              hits AS (SELECT rerank, CAST(count(*) AS BIGINT) AS n_hits
+                       FROM rr5 JOIN exr USING (qid, id) GROUP BY 1),
+              nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                     FROM q WHERE vec_id < 50)
+              SELECT rr.rerank, CAST(5 AS BIGINT) AS k, nq.n_queries,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                coalesce(h.n_hits, 0) * 1000000
+                  // (nq.n_queries * 5) AS recall_ppm
+              FROM rr LEFT JOIN hits h USING (rerank), nq
+              ORDER BY rr.rerank""")),
+
     QueryDef("x123_grouped_quantiles",
       // per-SOURCE quantile estimates in ONE bounded pass (r11, the
       // grouped twin of x119): every source's doc-length quartiles +

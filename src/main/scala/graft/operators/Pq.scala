@@ -153,6 +153,46 @@ object Pq {
       topKAdc(corpus, corpusId, corpusVec, queries, queryId, queryVec, cb, k),
       corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
 
+  /** ADC search WITH EXACT RE-RANKING — the standard recall repair
+    * for quantized tiers (Jégou et al. 2011 §V.C): the codes pick a
+    * candidate set of `rerank` rows per query (cheap, vectors
+    * untouched), then ONLY those rows' original vectors are read and
+    * re-scored by exact integer L2², returning the exact-ranked
+    * top-k. Cost: the vector reads drop from corpus-sized to
+    * (queries × rerank) — the recall/IO knob a caller tunes with the
+    * x132 measured curve instead of accepting the raw-ADC floor.
+    * Output: (qid, rk, id, d2) ranked by exact (d2, id). */
+  def topKAdcRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      cb: Codebook, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"Pq.topKAdcRerank: rerank=$rerank < k=$k")
+    val cand = topKAdc(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, cb, rerank)
+      .select(col("qid"), col("id"))
+    val c = corpus.select(col(corpusId).as("id"),
+      quantize3(col(corpusVec)).as("cv"))
+    val q = queries.select(col(queryId).as("qid"),
+      quantize3(col(queryVec)).as("qv"))
+    val rescored = cand
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("adc"))
+    rankAdcTopK(rescored, k)
+      .withColumnRenamed("adc", "d2")
+  }
+
+  /** The re-ranked tier's measured recall — read beside [[recallAudit]]
+    * to size the `rerank` knob: one row per candidate-set size. */
+  def rerankRecallAudit(corpus: DataFrame, corpusId: String,
+      corpusVec: String, queries: DataFrame, queryId: String,
+      queryVec: String, cb: Codebook, k: Int, rerank: Int): DataFrame =
+    auditAgainstExact(
+      topKAdcRerank(corpus, corpusId, corpusVec, queries, queryId,
+        queryVec, cb, k, rerank),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+
   private def auditAgainstExact(approx: DataFrame,
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

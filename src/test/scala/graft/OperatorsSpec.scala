@@ -1123,6 +1123,13 @@ class OperatorsSpec extends SparkSpec {
         df.where(col("vec_id") === 5), "vec_id", "embedding", cb, k = 1)
       .collect()(0)
     assert(top.getAs[Long]("adc") == 0L)
+    // exact re-ranking with rerank = |corpus| IS the exact ranking —
+    // recall must read 1e6 regardless of how lossy the codes are
+    val rr = Pq.rerankRecallAudit(df, "vec_id", "embedding",
+      df.where(col("vec_id") < 8), "vec_id", "embedding", cb,
+      k = 4, rerank = 64).collect()(0)
+    assert(rr.getAs[Long]("recall_ppm") == 1000000L,
+      s"full-corpus rerank must be exact, got $rr")
   }
 
   test("Pq IVF-PQ: zero residuals on a class-pure corpus; lossless recall; ADC 0 to own row") {
