@@ -283,10 +283,13 @@ object Pq {
         Seq("s", "d"))
       .groupBy("id", "cell", "s", "c")
       .agg(sum(expr("(qv - w) * (qv - w)")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id", "s").orderBy("d2", "c")))
-      .where(col("rn") === 1)
-      .select(col("id"), col("cell"), col("s"), col("c"))
+      // argmin as min-of-struct (d2, c): lexicographic order IS
+      // "smallest distance, ties to the lower code" — a hash agg with
+      // map-side combine, where a row_number window would shuffle AND
+      // sort every (vector, subspace) candidate group
+      .groupBy("id", "cell", "s")
+      .agg(min(struct(col("d2"), col("c"))).as("__m"))
+      .select(col("id"), col("cell"), col("s"), col("__m.c").as("c"))
   }
 
   /** IVF-PQ top-k: queries probe their `nprobe` nearest cells, build
