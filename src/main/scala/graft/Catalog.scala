@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, Pq, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, Urls, ZOrder}
+import graft.operators.{AsOfJoin, Audio, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, Pq, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, Urls, ZOrder}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -6519,6 +6519,90 @@ object Catalog {
                 CAST(count(*) FILTER (abs(v) < 1024) AS BIGINT)
                   AS n_silent
               FROM smp GROUP BY 1, 2 ORDER BY media_id""")),
+
+    QueryDef("x133_audio_vad",
+      // windowed voice-activity segmentation through the REAL PCM
+      // decode: WAVs with an irregular voiced/silent window pattern
+      // ((id·31 + w·17) mod 7 < 4, ≥2× guard band around the energy
+      // gate), windowed by mapPartitions (no shuffle), gated on
+      // mean |s|, and segmented with gaps-and-islands per payload —
+      // the silence screens and voiced-coverage metrics a speech
+      // pipeline gates on. The oracle replays the voiced RULE (never
+      // decoding a byte), so any defect in the RIFF walk, window
+      // bucketing, or gate arithmetic breaks the match
+      (s, d) => Audio.vadSegments(Audio.audioWindows(s,
+          Audio.packVadWavs(s, documents(s, d)
+            .where(col("doc_id") < 400).select(col("doc_id")), "doc_id")))
+        .orderBy("media_id"),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 400),
+              w AS (SELECT id, t.w AS win,
+                      CASE WHEN (id * 31 + t.w * t.w * 13) % 7 < 4
+                        THEN 1 ELSE 0 END AS v
+                    FROM ids, range(0, 32) t(w) WHERE t.w < id % 24 + 8),
+              isl AS (SELECT id, win, win - row_number()
+                        OVER (PARTITION BY id ORDER BY win) AS g
+                      FROM w WHERE v = 1),
+              segs AS (SELECT id, g, count(*) AS len
+                       FROM isl GROUP BY 1, 2),
+              agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_segments,
+                        CAST(max(len) AS BIGINT) AS longest_run,
+                        CAST(sum(len) AS BIGINT) AS n_voiced
+                      FROM segs GROUP BY 1),
+              tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_windows
+                      FROM w GROUP BY 1)
+              SELECT t.id AS media_id, t.n_windows AS n_windows,
+                CAST(coalesce(a.n_voiced, 0) AS BIGINT) AS n_voiced,
+                CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+                CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run,
+                CAST(coalesce(a.n_voiced, 0) * 1000000 // t.n_windows
+                  AS BIGINT) AS voiced_ppm
+              FROM tot t LEFT JOIN agg a ON t.id = a.id
+              ORDER BY media_id""")),
+
+    QueryDef("x134_audio_neardup",
+      // audio near-dup detection: loudness fingerprints (bit w =
+      // window w's voiced gate — an energy-envelope hash that
+      // survives re-encoding) matched via Hamming-LSH. The copy
+      // corpus pairs id with id+250 on identical PCM except ONE
+      // flipped window (Hamming distance 1); banding the 32-bit
+      // signature into 4×8 bits guarantees distance-h pairs agree on
+      // ≥ 4−h bands, candidates come from the engine's bounded
+      // bucket collect + in-row pair expansion (the MinHash-LSH
+      // machinery reused for the Hamming metric), and exact
+      // bit_count(xor) verifies. The oracle re-derives signatures
+      // from the synthesis rule and replays banding, bucket caps,
+      // and the distance filter as integer algebra
+      (s, d) => Audio.nearDupPairs(Audio.fingerprints(Audio.audioWindows(s,
+          Audio.packAudioCopies(s, documents(s, d)
+            .where(col("doc_id") < 500).select(col("doc_id")), "doc_id",
+            250L))))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+              sg AS (SELECT id, CAST(sum(CASE WHEN
+                        (xor((id % 250) * 2654435761, t.w * 40503) % 97 < 58)
+                        <> (id >= 250 AND t.w = (id % 250) % 32)
+                      THEN CAST(1 AS BIGINT) << t.w ELSE 0 END)
+                      AS BIGINT) AS sig
+                    FROM ids, range(0, 32) t(w) GROUP BY 1),
+              bandrows AS (SELECT id, b.b AS band,
+                      (sig >> (b.b * 8)) & 255 AS bucket
+                    FROM sg, range(0, 4) b(b)),
+              ok AS (SELECT band, bucket FROM bandrows
+                     GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+              cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                       FROM bandrows x
+                       JOIN ok o ON x.band = o.band AND x.bucket = o.bucket
+                       JOIN bandrows y ON y.band = x.band
+                         AND y.bucket = x.bucket AND x.id < y.id)
+              SELECT c.id_a AS id_a, c.id_b AS id_b,
+                CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+              FROM cand c
+              JOIN sg sa ON c.id_a = sa.id
+              JOIN sg sb ON c.id_b = sb.id
+              WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+              ORDER BY id_a, id_b""")),
 
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after

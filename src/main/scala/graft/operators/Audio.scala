@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Audio-corpus curation over the REAL WAV PCM decode
+  * ([[Multimodal.decodeWavSamples]]): fixed-size analysis windows,
+  * voice-activity segmentation, and loudness-fingerprint near-dup
+  * detection — the screens a speech-training pipeline runs before
+  * transcription (drop silence-only clips, measure voiced coverage,
+  * collapse re-encoded copies).
+  *
+  * Scale shape: the per-payload work (decode + windowing) is a
+  * partition-parallel `mapPartitions` with NO shuffle; everything
+  * after operates on window rows (payload_seconds × rate / winSize
+  * per payload — bounded, thousands per hour of audio at real window
+  * sizes) and shuffles only on `media_id` or on the LSH band buckets.
+  * Near-dup candidate generation reuses the engine's banded-LSH
+  * primitives ([[graft.functions.CappedIds]] bounded collect +
+  * [[graft.functions.SortedPairs]] in-row pair expansion) — never an
+  * all-pairs join.
+  *
+  * Every packer here synthesizes payloads from id-driven integer
+  * formulas, so the DuckDB oracle replays results as plain algebra
+  * without decoding a byte: any defect in the RIFF walk, window
+  * bucketing, or gating breaks the sums bit-for-bit (the x118
+  * contract, extended to windowed analysis).
+  */
+object Audio {
+
+  /** Samples per analysis window used by the catalog queries (at a
+    * real 16 kHz rate a production window is ~400 samples / 25 ms;
+    * the algebra is identical). */
+  val WinSize = 16
+
+  /** Mean-|sample| gate separating voiced from silent windows. The
+    * synthetic payloads keep a ≥2× guard band on BOTH sides (voiced
+    * samples are ≥ 8192 in magnitude, silent ones ≤ 512), so the
+    * gate is never decided by a rounding edge. */
+  val MeanAbsGate = 4096L
+
+  /** VAD-patterned WAVs: window `w` of id is VOICED iff
+    * `(id·31 + w²·13) mod 7 < 4` (≈57% voiced, and the quadratic
+    * term gives irregular run lengths — longest runs 1..6 across
+    * ids); voiced sample i is `±(8192 + (id·37 + i·101) mod
+    * 20000)` (sign from `(id + i) mod 2`), silent sample i is
+    * `(id·13 + i·7) mod 1024 − 512`. `id mod 24 + 8` windows of
+    * [[WinSize]] samples, 16 kHz mono PCM16. */
+  def packVadWavs(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val nWin = (id % 24 + 8).toInt
+      val samples = Array.tabulate(nWin * WinSize) { i =>
+        val w = i / WinSize
+        if ((id * 31 + w.toLong * w * 13) % 7 < 4) voicedSample(id, i)
+        else silentSample(id, i)
+      }
+      (id, Multimodal.buildWav(16000, samples))
+    }.toDF("media_id", "media")
+  }
+
+  /** Copy-corpus WAVs for near-dup detection: content key
+    * `k = id mod half`, so ids `k` and `k + half` are COPIES of the
+    * same recording — except the copy flips the loudness of exactly
+    * window `k mod 32` (one corrupted frame → Hamming distance 1
+    * between their fingerprints). Window `w` of key k is voiced iff
+    * `((k·2654435761) xor (w·40503)) mod 97 < 58` — the XOR mix is
+    * deliberate: a LINEAR congruential rule collapses to k mod 97
+    * and hands every residue class an identical signature, where the
+    * xor keeps all 250 signatures distinct with zero incidental
+    * Hamming-≤2 pairs (measured), so the planted copies are exactly
+    * the near-dup set. 32 windows; sample formulas as
+    * [[packVadWavs]] driven by k (copies are byte-identical outside
+    * the flipped window). */
+  def packAudioCopies(spark: SparkSession, df: DataFrame, idCol: String,
+      half: Long): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val k = id % half
+      val flip = id >= half
+      val samples = Array.tabulate(32 * WinSize) { i =>
+        val w = i / WinSize
+        val baseVoiced = ((k * 2654435761L) ^ (w * 40503L)) % 97 < 58
+        val voiced = baseVoiced ^ (flip && w == (k % 32))
+        if (voiced) voicedSample(k, i) else silentSample(k, i)
+      }
+      (id, Multimodal.buildWav(16000, samples))
+    }.toDF("media_id", "media")
+  }
+
+  private def voicedSample(key: Long, i: Int): Short = {
+    val sign = if ((key + i) % 2 == 0) 1 else -1
+    (sign * (8192 + (key * 37 + i.toLong * 101) % 20000)).toShort
+  }
+
+  private def silentSample(key: Long, i: Int): Short =
+    ((key * 13 + i.toLong * 7) % 1024 - 512).toShort
+
+  /** Fixed-size analysis windows through the real PCM decode: one row
+    * per (payload, window) with exact integer stats — sample count,
+    * Σ|s|, Σs² (energy), peak |s|. Partition-parallel, no shuffle;
+    * undecodable payloads are screened out, not thrown. */
+  def audioWindows(spark: SparkSession, packed: DataFrame,
+      winSize: Int = WinSize): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Multimodal.decodeWavSamples(bytes).iterator.flatMap {
+            case (_, _, samples) =>
+              samples.grouped(winSize).zipWithIndex.map { case (ws, w) =>
+                var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+                var i = 0
+                while (i < ws.length) {
+                  val s = ws(i).toLong
+                  val a = math.abs(s)
+                  sumAbs += a; sumSq += s * s
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                (id, w.toLong, ws.length.toLong, sumAbs, sumSq, peak)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "win", "n", "sum_abs", "sum_sq", "peak")
+  }
+
+  /** Voice-activity segmentation over window rows: a window is voiced
+    * iff `sum_abs ≥ n · meanAbsGate`; consecutive voiced windows form
+    * a segment (gaps-and-islands: island key = win − row_number over
+    * voiced windows). Per payload: window/voiced counts, segment
+    * count, longest segment, voiced share in floored ppm. The window
+    * function partitions by `media_id` — per-payload window counts
+    * are bounded, so no partition outgrows an executor. */
+  def vadSegments(windows: DataFrame,
+      meanAbsGate: Long = MeanAbsGate): DataFrame = {
+    val islands = windows
+      .where(col("sum_abs") >= col("n") * meanAbsGate)
+      .withColumn("__isl", col("win") - row_number().over(
+        Window.partitionBy("media_id").orderBy("win")))
+    val segs = islands.groupBy("media_id", "__isl")
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_segments"), max("__len").as("longest_run"),
+        sum("__len").as("n_voiced"))
+    windows.groupBy("media_id").agg(count(lit(1)).as("n_windows"))
+      .join(segs, Seq("media_id"), "left_outer")
+      .select(col("media_id"), col("n_windows"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        expr("(coalesce(n_voiced, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT)) DIV n_windows")
+          .as("voiced_ppm"))
+  }
+
+  /** Loudness fingerprint: bit `w` of the signature is window w's
+    * voiced gate — a compact content hash that survives re-encoding
+    * (it depends on energy envelope, not bytes). One hash aggregate
+    * per payload. */
+  def fingerprints(windows: DataFrame,
+      meanAbsGate: Long = MeanAbsGate): DataFrame =
+    windows.groupBy("media_id")
+      .agg(sum(when(col("sum_abs") >= col("n") * meanAbsGate,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))"))
+        .otherwise(lit(0L))).as("sig"))
+
+  /** Near-dup pairs over fingerprints via Hamming-LSH: split the
+    * signature into `bands` bands of `bandBits` bits — payloads
+    * within Hamming distance h agree on ≥ bands − h bands, so every
+    * near-dup pair co-buckets somewhere; candidates come from the
+    * engine's bounded bucket collect + in-row pair expansion (the
+    * MinHash-LSH machinery, reused for the Hamming metric), then the
+    * exact distance (`bit_count(xor)`) verifies. Never all-pairs:
+    * work is bands × bucket² with buckets capped. */
+  def nearDupPairs(sigs: DataFrame, bands: Int = 4, bandBits: Int = 8,
+      maxBucketSize: Int = 64, maxHamming: Int = 2): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bandRows = sigs
+      .select(col("media_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("media_id"), col("band"),
+        expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & $mask")
+          .as("bucket"))
+    val pairs = bandRows.groupBy("band", "bucket")
+      .agg(graft.functions.CappedIds.column(col("media_id"), maxBucketSize)
+        .as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(graft.functions.SortedPairs.column(col("__ids")))
+        .as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("media_id").as("id_a"), col("sig").as("__sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("media_id").as("id_b"), col("sig").as("__sb")),
+        Seq("id_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(__sa ^ __sb) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Audio, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Audio curation operators: windowing through the real PCM decode,
+  * VAD segmentation semantics, fingerprinting, and Hamming-LSH
+  * near-dup detection (planted-copy recovery). */
+class AudioSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def idsDF(n: Int) = (0L until n.toLong).toDF("doc_id")
+
+  test("audioWindows: window count and sizes match the pack contract") {
+    val rows = Audio.audioWindows(spark,
+        Audio.packVadWavs(spark, idsDF(24), "doc_id"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("wins"), min("n").as("mn"), max("n").as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size == 24)
+    rows.foreach { case (id, (wins, mn, mx)) =>
+      assert(wins == id % 24 + 8, s"id=$id")
+      assert(mn == Audio.WinSize && mx == Audio.WinSize)
+    }
+  }
+
+  test("energy gate recovers the synthesis voiced rule exactly") {
+    val gated = Audio.audioWindows(spark,
+        Audio.packVadWavs(spark, idsDF(40), "doc_id"))
+      .select(col("media_id"), col("win"),
+        (col("sum_abs") >= col("n") * Audio.MeanAbsGate).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2))
+      .toMap
+    gated.foreach { case ((id, w), v) =>
+      assert(v == ((id * 31 + w * w * 13) % 7 < 4), s"id=$id w=$w")
+    }
+  }
+
+  test("vadSegments: islands, longest run, and the all-silent payload") {
+    // media 1: V V S V V V  -> 2 segments, longest 3, 5 voiced
+    // media 2: S S          -> zero row via the outer-join path
+    val loud = 5000L * 16; val quiet = 100L * 16
+    val win = Seq(
+      (1L, 0L, 16L, loud), (1L, 1L, 16L, loud), (1L, 2L, 16L, quiet),
+      (1L, 3L, 16L, loud), (1L, 4L, 16L, loud), (1L, 5L, 16L, loud),
+      (2L, 0L, 16L, quiet), (2L, 1L, 16L, quiet))
+      .toDF("media_id", "win", "n", "sum_abs")
+      .withColumn("sum_sq", lit(0L)).withColumn("peak", lit(0L))
+    val out = Audio.vadSegments(win).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((6L, 5L, 2L, 3L, 833333L)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("fingerprints: bit w set exactly for voiced windows") {
+    val loud = 5000L * 16; val quiet = 100L * 16
+    val win = Seq((7L, 0L, 16L, loud), (7L, 1L, 16L, quiet),
+        (7L, 2L, 16L, loud), (7L, 3L, 16L, loud))
+      .toDF("media_id", "win", "n", "sum_abs")
+      .withColumn("sum_sq", lit(0L)).withColumn("peak", lit(0L))
+    val sig = Audio.fingerprints(win).collect().head.getLong(1)
+    assert(sig == ((1L << 0) | (1L << 2) | (1L << 3)))
+  }
+
+  test("near-dup recovers exactly the planted copies at Hamming 1") {
+    val half = 20L
+    val sigs = Audio.fingerprints(Audio.audioWindows(spark,
+      Audio.packAudioCopies(spark, idsDF(40), "doc_id", half)))
+    val pairs = Audio.nearDupPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // expected: the synthesis rule replayed in-process
+    def sig(k: Long, flip: Boolean): Long =
+      (0 until 32).foldLeft(0L) { (s, w) =>
+        val v = (((k * 2654435761L) ^ (w * 40503L)) % 97 < 58) ^
+          (flip && w == (k % 32))
+        if (v) s | (1L << w) else s
+      }
+    val expected = (0L until half).flatMap { k =>
+      val h = java.lang.Long.bitCount(sig(k, false) ^ sig(k, true))
+      if (h <= 2) Some((k, k + half, h.toLong)) else None
+    }
+    // plus any incidental close pairs the rule happens to produce
+    val all = (0L until 40L).map(id =>
+      id -> sig(id % half, id >= half)).toMap
+    val incidental = for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if b != a + half || a >= half
+      h = java.lang.Long.bitCount(all(a) ^ all(b))
+      if h <= 2
+    } yield (a, b, h.toLong)
+    assert(pairs.toSeq == (expected ++ incidental).sorted)
+    assert(expected.size == half && expected.forall(_._3 == 1L))
+  }
+
+  test("undecodable payloads are screened out, not thrown") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)),
+        (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
+      .toDF("media_id", "media")
+    assert(Audio.audioWindows(spark, junk).count() == 0)
+    // and a real payload among junk still decodes
+    val mixed = junk.unionByName(
+      Audio.packVadWavs(spark, Seq(5L).toDF("doc_id"), "doc_id"))
+    assert(Audio.audioWindows(spark, mixed)
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(5L))
+  }
+}
