@@ -6604,6 +6604,50 @@ object Catalog {
               WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
               ORDER BY id_a, id_b""")),
 
+    QueryDef("x135_audio_resample",
+      // sample-rate normalization through a FULL codec round trip:
+      // x118's mixed-rate corpus (8–40 kHz) is decoded, linearly
+      // resampled to 16 kHz in fixed-point integer arithmetic
+      // (unsigned domain, so truncating and flooring division agree
+      // on every engine), re-ENCODED as real WAVs, and the sample
+      // stats computed by decoding those again — encode→resample→
+      // encode→decode, all partition-parallel with no shuffle. The
+      // oracle replays the interpolation as pure integer algebra
+      // from the synthesis formula; one sample off by one ulp of
+      // rounding breaks the sums
+      (s, d) => Multimodal.wavSampleStats(s, Audio.resamplePcm(s,
+          Multimodal.packRealWavs(s, documents(s, d)
+            .where(col("doc_id") < 400).select(col("doc_id")), "doc_id"),
+          16000))
+        .orderBy("media_id"),
+      Some("""WITH w AS (
+                SELECT doc_id AS id, 8000 + (doc_id % 5) * 8000 AS r,
+                  doc_id % 64 + 16 AS n
+                FROM documents WHERE doc_id < 400),
+              res AS (SELECT id, r, n, j.j AS j,
+                        (j.j * r) // 16000 AS i0, (j.j * r) % 16000 AS frac
+                      FROM w, range(0, 200) j(j)
+                      WHERE j.j <= ((n - 1) * 16000) // r),
+              sv AS (SELECT id, frac,
+                       (id * 37 + i0 * 101) % 65536 - 32768 AS s0,
+                       (id * 37 + least(i0 + 1, n - 1) * 101) % 65536
+                         - 32768 AS s1
+                     FROM res),
+              v AS (SELECT id,
+                      ((s0 + 32768) * (16000 - frac)
+                        + (s1 + 32768) * frac) // 16000 - 32768 AS v
+                    FROM sv)
+              SELECT id AS media_id, CAST(16000 AS BIGINT) AS sample_rate,
+                count(*) AS n_samples,
+                CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+                CAST(count(*) FILTER (abs(v) >= 32000) AS BIGINT)
+                  AS n_clipped,
+                CAST(count(*) FILTER (abs(v) < 1024) AS BIGINT)
+                  AS n_silent
+              FROM v GROUP BY 1, 2 ORDER BY media_id""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -168,6 +168,43 @@ object Audio {
           expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))"))
         .otherwise(lit(0L))).as("sig"))
 
+  /** Sample-rate normalization — the "every clip at 16 kHz before
+    * feature extraction" step: linear-interpolation resample of each
+    * mono payload to `targetRate`, re-encoded as a real WAV.
+    * Fixed-point INTEGER interpolation in an unsigned domain: output
+    * sample j sits at input position j·r/t, so with i0 = ⌊j·r/t⌋ and
+    * frac = (j·r) mod t, v = (u(i0)·(t−frac) + u(i0+1)·frac) div t
+    * where u = s + 32768 keeps every numerator non-negative —
+    * truncating and flooring division agree, so the arithmetic is
+    * bit-reproducible on any engine (the DuckDB oracle replays it
+    * exactly). Partition-parallel, no shuffle; non-mono or
+    * undecodable payloads are screened out. */
+  def resamplePcm(spark: SparkSession, packed: DataFrame,
+      targetRate: Int): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Multimodal.decodeWavSamples(bytes).collect {
+            case (rate, 1, s) if s.nonEmpty =>
+              val t = targetRate.toLong; val r = rate.toLong
+              val nOut = ((s.length - 1) * t / r + 1).toInt
+              val out = Array.tabulate(nOut) { j =>
+                val pos = j * r
+                val i0 = (pos / t).toInt
+                val frac = pos % t
+                val u0 = s(i0) + 32768L
+                val u1 = s(math.min(i0 + 1, s.length - 1)) + 32768L
+                ((u0 * (t - frac) + u1 * frac) / t - 32768L).toShort
+              }
+              (id, Multimodal.buildWav(targetRate, out))
+          }
+        }
+      }
+      .toDF("media_id", "media")
+  }
+
   /** Near-dup pairs over fingerprints via Hamming-LSH: split the
     * signature into `bands` bands of `bandBits` bits — payloads
     * within Hamming distance h agree on ≥ bands − h bands, so every

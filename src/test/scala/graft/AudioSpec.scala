@@ -95,6 +95,22 @@ class AudioSpec extends SparkSpec {
     assert(expected.size == half && expected.forall(_._3 == 1L))
   }
 
+  test("resample: identity at equal rates, exact 2:1 decimation") {
+    val s = Array.tabulate(40)(i => ((i * 1234 + 7) % 65536 - 32768).toShort)
+    def packAt(rate: Int) = Seq((1L, Multimodal.buildWav(rate, s)))
+      .toDF("media_id", "media")
+    def samplesOf(df: org.apache.spark.sql.DataFrame): Array[Short] =
+      Multimodal.decodeWavSamples(
+        df.collect().head.getAs[Array[Byte]]("media")).get._3
+    // same rate: i0 = j, frac = 0 -> byte-exact passthrough
+    assert(samplesOf(Audio.resamplePcm(spark, packAt(16000), 16000))
+      .sameElements(s))
+    // 2:1: output j reads input 2j exactly (frac = 0 throughout)
+    val down = samplesOf(Audio.resamplePcm(spark, packAt(32000), 16000))
+    assert(down.length == 20)
+    assert(down.sameElements(Array.tabulate(20)(j => s(2 * j))))
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
