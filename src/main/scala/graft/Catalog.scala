@@ -6648,6 +6648,79 @@ object Catalog {
                   AS n_silent
               FROM v GROUP BY 1, 2 ORDER BY media_id""")),
 
+    QueryDef("x136_audio_curate",
+      // the audio curation FUNNEL — the family's capstone: a
+      // mixed-defect corpus (junk bytes / silence-heavy / clipped /
+      // near-dup copies / good, one class per id mod 6) through
+      // decode screen → VAD gate → clipping gate → fingerprint-LSH
+      // near-dup collapse (connected components, min-id survivor) in
+      // ONE decode pass, emitting the one-row audit a pipeline
+      // operator reads before committing a corpus. The oracle
+      // replays every stage: class algebra for the gates, the x134
+      // signature/banding/bucket-cap machinery for pairs, and a
+      // recursive-CTE min-label propagation for the component
+      // survivor rule
+      (s, d) => Audio.curate(s, Audio.packCurateWavs(s,
+          documents(s, d).where(col("doc_id") < 600)
+            .select(col("doc_id")), "doc_id"))._2,
+      Some("""WITH RECURSIVE ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 600),
+              wv AS (SELECT id, t.w AS w,
+                       CASE
+                         WHEN id % 6 = 1 THEN
+                           CASE WHEN t.w = 0 THEN 1 ELSE 0 END
+                         WHEN id % 6 = 2 THEN 1
+                         ELSE CASE WHEN
+                           (xor((CASE WHEN id % 6 = 4 THEN id - 1
+                                 ELSE id END) * 2654435761,
+                                t.w * 40503) % 97 < 58)
+                           <> (id % 6 = 4 AND t.w = ((id - 1) % 32))
+                           THEN 1 ELSE 0 END
+                       END AS v
+                     FROM ids, range(0, 32) t(w) WHERE id % 6 <> 0),
+              med AS (SELECT id,
+                        CAST(sum(v) AS BIGINT) * 1000000 // 32
+                          AS voiced_ppm
+                      FROM wv GROUP BY 1),
+              gate AS (SELECT id, voiced_ppm >= 250000 AS vad_ok,
+                         voiced_ppm >= 250000 AND id % 6 <> 2 AS clip_ok
+                       FROM med),
+              sg AS (SELECT wv.id AS id, CAST(sum(CASE WHEN wv.v = 1
+                         THEN CAST(1 AS BIGINT) << wv.w ELSE 0 END)
+                       AS BIGINT) AS sig
+                     FROM wv JOIN gate
+                       ON wv.id = gate.id AND gate.clip_ok
+                     GROUP BY 1),
+              bandrows AS (SELECT id, b.b AS band,
+                      (sig >> (b.b * 8)) & 255 AS bucket
+                    FROM sg, range(0, 4) b(b)),
+              ok AS (SELECT band, bucket FROM bandrows
+                     GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+              cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                       FROM bandrows x
+                       JOIN ok o ON x.band = o.band AND x.bucket = o.bucket
+                       JOIN bandrows y ON y.band = x.band
+                         AND y.bucket = x.bucket AND x.id < y.id),
+              pairs AS (SELECT c.id_a, c.id_b FROM cand c
+                        JOIN sg sa ON c.id_a = sa.id
+                        JOIN sg sb ON c.id_b = sb.id
+                        WHERE bit_count(xor(sa.sig, sb.sig)) <= 2),
+              edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+                        UNION ALL SELECT id_b, id_a FROM pairs),
+              reach(id, r) AS (SELECT s, s FROM edges
+                        UNION SELECT e.t, reach.r
+                        FROM reach JOIN edges e ON e.s = reach.id),
+              lbl AS (SELECT id, min(r) AS label FROM reach GROUP BY 1),
+              dropped AS (SELECT id FROM lbl WHERE label <> id)
+              SELECT (SELECT count(*) FROM ids) AS n_input,
+                (SELECT count(*) FROM ids WHERE id % 6 <> 0)
+                  AS n_decoded,
+                (SELECT count(*) FROM gate WHERE vad_ok) AS n_vad_pass,
+                (SELECT count(*) FROM gate WHERE clip_ok)
+                  AS n_clip_pass,
+                (SELECT count(*) FROM gate WHERE clip_ok AND id NOT IN
+                  (SELECT id FROM dropped)) AS n_unique""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

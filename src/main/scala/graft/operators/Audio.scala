@@ -100,7 +100,8 @@ object Audio {
 
   /** Fixed-size analysis windows through the real PCM decode: one row
     * per (payload, window) with exact integer stats — sample count,
-    * Σ|s|, Σs² (energy), peak |s|. Partition-parallel, no shuffle;
+    * Σ|s|, Σs² (energy), peak |s|, clipped-sample count (|s| ≥
+    * 32000, the x118 threshold). Partition-parallel, no shuffle;
     * undecodable payloads are screened out, not thrown. */
   def audioWindows(spark: SparkSession, packed: DataFrame,
       winSize: Int = WinSize): DataFrame = {
@@ -113,20 +114,24 @@ object Audio {
             case (_, _, samples) =>
               samples.grouped(winSize).zipWithIndex.map { case (ws, w) =>
                 var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+                var clip = 0L
                 var i = 0
                 while (i < ws.length) {
                   val s = ws(i).toLong
                   val a = math.abs(s)
                   sumAbs += a; sumSq += s * s
                   if (a > peak) peak = a
+                  if (a >= 32000) clip += 1
                   i += 1
                 }
-                (id, w.toLong, ws.length.toLong, sumAbs, sumSq, peak)
+                (id, w.toLong, ws.length.toLong, sumAbs, sumSq, peak,
+                  clip)
               }
           }
         }
       }
-      .toDF("media_id", "win", "n", "sum_abs", "sum_sq", "peak")
+      .toDF("media_id", "win", "n", "sum_abs", "sum_sq", "peak",
+        "n_clip")
   }
 
   /** Voice-activity segmentation over window rows: a window is voiced
@@ -167,6 +172,95 @@ object Audio {
       .agg(sum(when(col("sum_abs") >= col("n") * meanAbsGate,
           expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))"))
         .otherwise(lit(0L))).as("sig"))
+
+  /** Mixed-defect corpus for the curation funnel, one deterministic
+    * class per `id mod 6`:
+    *  - 0: NOT a WAV (junk bytes) — decode screen;
+    *  - 1: silence-heavy (one voiced window of 32) — VAD gate;
+    *  - 2: fully clipped (every sample ≥ 32000 in magnitude, loud
+    *       enough to pass VAD) — clipping gate;
+    *  - 3: good original, voiced rule as [[packAudioCopies]] keyed
+    *       by the id itself;
+    *  - 4: near-dup COPY of id−1 (class 3) with window (id−1) mod 32
+    *       loudness-flipped — the dedup stage's prey;
+    *  - 5: good unique.
+    * 32 windows throughout. Verified at design time: the planted
+    * (id, id+1) pairs are EXACTLY the Hamming-≤2 set over classes
+    * 3/4/5, and the minimum voiced share among eligible payloads is
+    * 281,250 ppm — the 250,000 default gate clears every good
+    * payload deterministically. */
+  def packCurateWavs(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val cls = id % 6
+      if (cls == 0L) {
+        (id, s"JUNK-payload-$id".getBytes("US-ASCII"))
+      } else {
+        val key = if (cls == 4L) id - 1 else id
+        val samples = Array.tabulate(32 * WinSize) { i =>
+          val w = i / WinSize
+          if (cls == 1L) {
+            if (w == 0) voicedSample(key, i) else silentSample(key, i)
+          } else if (cls == 2L) {
+            val sign = if ((key + i) % 2 == 0) 1 else -1
+            (sign * (32100 + (key * 37 + i.toLong * 101) % 600)).toShort
+          } else {
+            val baseVoiced =
+              ((key * 2654435761L) ^ (w * 40503L)) % 97 < 58
+            val voiced = baseVoiced ^ (cls == 4L && w == (key % 32))
+            if (voiced) voicedSample(key, i) else silentSample(key, i)
+          }
+        }
+        (id, Multimodal.buildWav(16000, samples))
+      }
+    }.toDF("media_id", "media")
+  }
+
+  /** The audio curation funnel in one pass over the window relation:
+    * decode screen (undecodable payloads emit no windows) → VAD gate
+    * (voiced share ≥ `minVoicedPpm`) → clipping gate (clipped-sample
+    * share ≤ `maxClippedPpm`) → near-dup collapse (fingerprint LSH
+    * pairs → connected components → min-id survivor per cluster, the
+    * [[Dedup.clusterSurvivors]] rule). Returns the survivor ids and
+    * a ONE-ROW funnel audit (input / decoded / vad_pass / clip_pass /
+    * unique counts).
+    *
+    * Scale shape: ONE decode pass feeds every stage (the window
+    * relation is reused for gates and fingerprints); gates are a
+    * single per-media hash agg; the dedup stage sees only gate
+    * survivors; the funnel counters ride the same frames — no
+    * per-counter recomputation of the expensive stages (the
+    * Curate.report lesson). */
+  def curate(spark: SparkSession, packed: DataFrame,
+      minVoicedPpm: Long = 250000L, maxClippedPpm: Long = 100000L)
+      : (DataFrame, DataFrame) = {
+    val win = audioWindows(spark, packed)
+    val perMedia = win.groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("sum_abs") >= col("n") * MeanAbsGate, 1L)
+          .otherwise(0L)).as("n_voiced"),
+        sum("n_clip").as("n_clipped"), sum("n").as("n_samples"))
+      .withColumn("voiced_ppm",
+        expr("n_voiced * CAST(1000000 AS BIGINT) DIV n_windows"))
+      .withColumn("clipped_ppm",
+        expr("n_clipped * CAST(1000000 AS BIGINT) DIV n_samples"))
+      .withColumn("vad_ok", col("voiced_ppm") >= minVoicedPpm)
+      .withColumn("clip_ok",
+        col("vad_ok") && col("clipped_ppm") <= maxClippedPpm)
+    val gatePass = perMedia.where(col("clip_ok"))
+      .select(col("media_id"))
+    val sigs = fingerprints(
+      win.join(gatePass, Seq("media_id"), "left_semi"))
+    val survivors = Dedup.clusterSurvivors(gatePass, "media_id",
+      nearDupPairs(sigs))
+    val funnel = packed.agg(count(lit(1)).as("n_input"))
+      .crossJoin(perMedia.agg(count(lit(1)).as("n_decoded"),
+        count(when(col("vad_ok"), 1)).as("n_vad_pass"),
+        count(when(col("clip_ok"), 1)).as("n_clip_pass")))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_unique")))
+    (survivors, funnel)
+  }
 
   /** Sample-rate normalization — the "every clip at 16 kHz before
     * feature extraction" step: linear-interpolation resample of each

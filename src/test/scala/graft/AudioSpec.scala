@@ -111,6 +111,20 @@ class AudioSpec extends SparkSpec {
     assert(down.sameElements(Array.tabulate(20)(j => s(2 * j))))
   }
 
+  test("curate: every class lands in its funnel stage, min-id survives") {
+    // ids 0..35 -> 6 per class
+    val (survivors, funnel) = graft.operators.Audio.curate(spark,
+      Audio.packCurateWavs(spark, idsDF(36), "doc_id"))
+    val f = funnel.collect().head
+    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3),
+      f.getLong(4)) == ((36L, 30L, 24L, 18L, 12L)))
+    val surv = survivors.collect().map(_.getLong(0)).toSet
+    // classes 3 and 5 survive; class 4 (the copies) collapse onto 3
+    val expected = (0L until 36L)
+      .filter(id => id % 6 == 3 || id % 6 == 5).toSet
+    assert(surv == expected)
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))

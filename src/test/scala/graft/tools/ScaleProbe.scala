@@ -55,6 +55,26 @@ object ScaleProbe {
       val b = floor(n, "/root/testdata/sf0.1")
       Console.err.println(f"[scale] $n%-24s $a%8.3f $b%8.3f ${b / a}%6.2f")
     }
+    // audio family at FULL corpus width (the catalog queries cap at
+    // doc_id<400 for oracle practicality, which would make their
+    // ratio a fixed-cost reading): synthesize-decode-window-segment
+    // over every document id — the true data term of the map-heavy
+    // decode path plus the one media_id shuffle
+    locally {
+      def one(d: String): Double = (1 to reps).map { _ =>
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+          .select("doc_id")
+        val t0 = System.nanoTime()
+        graft.operators.Audio.vadSegments(graft.operators.Audio
+          .audioWindows(spark, graft.operators.Audio
+            .packVadWavs(spark, docs, "doc_id"))).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val a = one("/root/testdata/sf0.01")
+      val b = one("/root/testdata/sf0.1")
+      Console.err.println(
+        f"[scale] audio_vad_fullwidth    $a%8.3f $b%8.3f ${b / a}%6.2f")
+    }
     spark.stop()
   }
 }
