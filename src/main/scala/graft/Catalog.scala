@@ -6721,6 +6721,59 @@ object Catalog {
                 (SELECT count(*) FROM gate WHERE clip_ok AND id NOT IN
                   (SELECT id FROM dropped)) AS n_unique""")),
 
+    QueryDef("x137_image_neardup",
+      // CROSS-FORMAT image near-dup detection: a perceptual
+      // average-hash (8×8 nearest-neighbor grid, bit = sample above
+      // the 64-sample mean, compared as 64·px > Σpx so no division
+      // rounds) computed through the REAL decode — so a PNG and a
+      // genuinely-LZW-compressed GIF of the SAME pixels collapse to
+      // one signature, which is what re-encoded-copy dedup needs.
+      // The copy corpus pairs id with id+250 across containers; the
+      // shared Hamming-LSH (8 bands × 8 bits over the 64-bit hash)
+      // recovers all 250 planted pairs at distance 0 plus the
+      // corpus's honest aHash near-collisions (deterministic, and
+      // the oracle replays them identically — carrying the signature
+      // as HUGEINT since bit 63 overflows a signed shift)
+      (s, d) => graft.operators.Dedup.hammingNearDupPairs(
+          Multimodal.imageAHash(s, Multimodal.packImageCopies(s,
+            documents(s, d).where(col("doc_id") < 500)
+              .select(col("doc_id")), "doc_id", 250L)),
+          bands = 8, bandBits = 8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+              px AS (SELECT id, id % 250 AS k, b.b AS b,
+                       ((id % 250) % 12 + 8) AS w,
+                       (((id % 250) * 7) % 12 + 8) AS h
+                     FROM ids, range(0, 64) b(b)),
+              sm AS (SELECT id, b,
+                       (((k * 1000003 + ((b % 8) * w // 8) * 131
+                          + ((b // 8) * h // 8) * 31) * 2654435761)
+                        % 251) AS val
+                     FROM px),
+              tt AS (SELECT id, CAST(sum(val) AS BIGINT) AS tot
+                     FROM sm GROUP BY 1),
+              sg AS (SELECT sm.id AS id, sum(CASE WHEN 64 * sm.val > tt.tot
+                         THEN CAST(1 AS HUGEINT) << sm.b ELSE 0 END) AS sig
+                     FROM sm JOIN tt ON sm.id = tt.id GROUP BY 1),
+              bandrows AS (SELECT id, b.b AS band,
+                      CAST((sig >> (b.b * 8)) & 255 AS BIGINT) AS bucket
+                    FROM sg, range(0, 8) b(b)),
+              ok AS (SELECT band, bucket FROM bandrows
+                     GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+              cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                       FROM bandrows x
+                       JOIN ok o ON x.band = o.band AND x.bucket = o.bucket
+                       JOIN bandrows y ON y.band = x.band
+                         AND y.bucket = x.bucket AND x.id < y.id)
+              SELECT c.id_a AS id_a, c.id_b AS id_b,
+                CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+              FROM cand c
+              JOIN sg sa ON c.id_a = sa.id
+              JOIN sg sb ON c.id_b = sb.id
+              WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+              ORDER BY id_a, id_b""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -299,39 +299,11 @@ object Audio {
       .toDF("media_id", "media")
   }
 
-  /** Near-dup pairs over fingerprints via Hamming-LSH: split the
-    * signature into `bands` bands of `bandBits` bits — payloads
-    * within Hamming distance h agree on ≥ bands − h bands, so every
-    * near-dup pair co-buckets somewhere; candidates come from the
-    * engine's bounded bucket collect + in-row pair expansion (the
-    * MinHash-LSH machinery, reused for the Hamming metric), then the
-    * exact distance (`bit_count(xor)`) verifies. Never all-pairs:
-    * work is bands × bucket² with buckets capped. */
+  /** Near-dup pairs over loudness fingerprints — the 32-bit audio
+    * instantiation of [[Dedup.hammingNearDupPairs]] (4 bands × 8
+    * bits; Hamming-h pairs agree on ≥ 4−h bands). */
   def nearDupPairs(sigs: DataFrame, bands: Int = 4, bandBits: Int = 8,
-      maxBucketSize: Int = 64, maxHamming: Int = 2): DataFrame = {
-    val mask = (1L << bandBits) - 1
-    val bandRows = sigs
-      .select(col("media_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .select(col("media_id"), col("band"),
-        expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & $mask")
-          .as("bucket"))
-    val pairs = bandRows.groupBy("band", "bucket")
-      .agg(graft.functions.CappedIds.column(col("media_id"), maxBucketSize)
-        .as("__ids"))
-      .where(size(col("__ids")).between(2, maxBucketSize))
-      .select(explode(graft.functions.SortedPairs.column(col("__ids")))
-        .as("__p"))
-      .select(col("__p.id_a"), col("__p.id_b"))
-      .distinct()
-    pairs
-      .join(sigs.select(col("media_id").as("id_a"), col("sig").as("__sa")),
-        Seq("id_a"))
-      .join(sigs.select(col("media_id").as("id_b"), col("sig").as("__sb")),
-        Seq("id_b"))
-      .withColumn("hamming",
-        expr("CAST(bit_count(__sa ^ __sb) AS BIGINT)"))
-      .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+      maxBucketSize: Int = 64, maxHamming: Int = 2): DataFrame =
+    Dedup.hammingNearDupPairs(sigs, bands, bandBits, maxBucketSize,
+      maxHamming)
 }

@@ -1390,6 +1390,45 @@ object Dedup {
     labels
   }
 
+  /** Near-dup pairs over integer fingerprints via Hamming-LSH — the
+    * shared engine under audio loudness fingerprints and image
+    * perceptual hashes: split each `(media_id, sig)` signature into
+    * `bands` bands of `bandBits` bits; signatures within Hamming
+    * distance h agree on ≥ bands − h bands, so every near-dup pair
+    * co-buckets somewhere. Candidates ride the SAME bounded-bucket
+    * machinery as MinHash LSH ([[graft.functions.CappedIds]] +
+    * in-row [[graft.functions.SortedPairs]] — never all-pairs), then
+    * the exact distance (`bit_count(xor)`) verifies. Work is
+    * bands × bucket² with buckets capped; the shuffle carries
+    * (band, bucket, id) ints, never payloads. */
+  def hammingNearDupPairs(sigs: DataFrame, bands: Int, bandBits: Int,
+      maxBucketSize: Int = 64, maxHamming: Int = 2): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bandRows = sigs
+      .select(col("media_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("media_id"), col("band"),
+        expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & $mask")
+          .as("bucket"))
+    val pairs = bandRows.groupBy("band", "bucket")
+      .agg(graft.functions.CappedIds.column(col("media_id"), maxBucketSize)
+        .as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucketSize))
+      .select(explode(graft.functions.SortedPairs.column(col("__ids")))
+        .as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("media_id").as("id_a"), col("sig").as("__sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("media_id").as("id_b"), col("sig").as("__sb")),
+        Seq("id_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(__sa ^ __sb) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Survivors after fuzzy dedup: every id in `df` keeps itself unless
     * it belongs to a dup cluster and is not the cluster's minimum. */
   def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

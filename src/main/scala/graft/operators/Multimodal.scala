@@ -1052,6 +1052,71 @@ object Multimodal {
       .drop("__old")
   }
 
+  /** Perceptual average-hash (aHash) through the REAL image decode:
+    * sample an 8×8 grid (nearest-neighbor — source pixel
+    * (u·w div 8, v·h div 8), integer algebra an oracle replays), and
+    * set bit v·8+u iff that sample is above the 64-sample mean —
+    * compared as `64·px > Σpx` so no division ever rounds. The hash
+    * depends on pixel CONTENT, not container bytes: a PNG and a GIF
+    * of the same image collapse to one signature, which is exactly
+    * what re-encoded-copy dedup needs. Multi-channel pixels average
+    * their channels (integer div). Images smaller than 8×8 screen
+    * out with the undecodables. Partition-parallel, no shuffle. */
+  def imageAHash(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeImage(bytes).filter(d => d._1 >= 8 && d._2 >= 8).map {
+            case (w, h, c, px) =>
+              val s = Array.tabulate(64) { b =>
+                val x = (b % 8) * w / 8
+                val y = (b / 8) * h / 8
+                val base = (y * w + x) * c
+                var sum = 0; var j = 0
+                while (j < c) { sum += px(base + j) & 0xff; j += 1 }
+                sum / c
+              }
+              var tot = 0L; var b = 0
+              while (b < 64) { tot += s(b); b += 1 }
+              var sig = 0L; b = 0
+              while (b < 64) {
+                if (64L * s(b) > tot) sig |= 1L << b
+                b += 1
+              }
+              (id, sig)
+          }
+        }
+      }
+      .toDF("media_id", "sig")
+  }
+
+  /** Cross-format copy corpus for image near-dup detection: content
+    * key `k = id mod half`; id < half encodes the image as PNG
+    * (rotating filter types), id ≥ half encodes the SAME pixels as a
+    * genuinely-LZW-compressed GIF — byte-disjoint containers, equal
+    * content. Pixels are a multiplicative hash
+    * `((k·1000003 + x·131 + y·31) · 2654435761) mod 251` — chosen
+    * over linear/xor rules at design time because those collapse
+    * (a linear gradient aliases aHash grids; an xor rule reduces to
+    * one content byte per key), where this one yields 239 distinct
+    * hashes over 250 contents with bounded LSH buckets. */
+  def packImageCopies(spark: SparkSession, df: DataFrame, idCol: String,
+      half: Long): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val k = id % half
+      val w = (k % 12 + 8).toInt
+      val h = ((k * 7) % 12 + 8).toInt
+      def pix(x: Int, y: Int): Int =
+        (((k * 1000003L + x * 131L + y * 31L) * 2654435761L) % 251).toInt
+      if (id < half)
+        (id, buildPng(w, h, pix, r => ((k + r) % 5).toInt))
+      else (id, buildGif(w, h, pix))
+    }.toDF("media_id", "media")
+  }
+
   /** Frame sampling: treat the payload as fixed-size frames and keep
     * every `stride`-th one. Pure column algebra (no decode needed for
     * container formats with fixed frame size). */

@@ -125,6 +125,31 @@ class AudioSpec extends SparkSpec {
     assert(surv == expected)
   }
 
+  test("imageAHash: PNG and GIF of the same pixels share a signature") {
+    val packed = Multimodal.packImageCopies(spark, idsDF(20), "doc_id", 10L)
+    val sigs = Multimodal.imageAHash(spark, packed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.size == 20)
+    (0L until 10L).foreach { k =>
+      assert(sigs(k) == sigs(k + 10), s"content $k diverged across formats")
+    }
+    // the hash is content-derived, not container-derived: distinct
+    // contents should (for this corpus) not all collide
+    assert(sigs.values.toSet.size > 1)
+    // replay one signature from the synthesis rule
+    val k = 3L
+    val w = (k % 12 + 8).toInt; val h = ((k * 7) % 12 + 8).toInt
+    val s = Array.tabulate(64) { b =>
+      val x = (b % 8) * w / 8; val y = (b / 8) * h / 8
+      (((k * 1000003L + x * 131L + y * 31L) * 2654435761L) % 251).toInt
+    }
+    val tot = s.map(_.toLong).sum
+    val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+      if (64L * s(b) > tot) acc | (1L << b) else acc
+    }
+    assert(sigs(k) == expected)
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
