@@ -150,6 +150,20 @@ class AudioSpec extends SparkSpec {
     assert(sigs(k) == expected)
   }
 
+  test("imageAHash: BMP joins the cross-format collapse") {
+    def pix(x: Int, y: Int): Int =
+      (((7L * 1000003L + x * 131L + y * 31L) * 2654435761L) % 251).toInt
+    val payloads = Seq(
+      (1L, Multimodal.buildPng(11, 9, pix, _ => 2)),
+      (2L, Multimodal.buildGif(11, 9, pix)),
+      (3L, Multimodal.buildBmp(11, 9, pix)))
+      .toDF("media_id", "media")
+    val sigs = Multimodal.imageAHash(spark, payloads).collect()
+      .map(_.getLong(1)).toSet
+    assert(sigs.size == 1,
+      "PNG/GIF/BMP of identical pixels must share one signature")
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))

@@ -616,4 +616,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p126.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
       s"top-k must be partial+final ObjectHashAggregate:\n$p126")
   }
+
+  test("x134/x137: Hamming-LSH pairs never go all-pairs or cartesian") {
+    // candidate generation must be the bounded bucket collect +
+    // in-row pair expansion: no cartesian product, no sort-merge
+    // self-join of the signature relation, no window
+    Seq("x134_audio_neardup", "x137_image_neardup").foreach { name =>
+      val p = finalPlan(q(name)).toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name went all-pairs:\n$p")
+      assert(!p.contains("Window"), s"$name uses a window:\n$p")
+      // the capped bucket collect is an ObjectHashAggregate
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name lost the bounded bucket collect:\n$p")
+    }
+  }
+
+  test("x136: the curate funnel decodes once per gate chain, no cartesian on data") {
+    val p = finalPlan(q("x136_audio_curate")).toString()
+    // the only cross joins are the three 1-row funnel counters
+    val crosses = p.linesIterator.count(_.contains("CartesianProduct"))
+    assert(crosses == 0, s"funnel cartesian-joins data:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the funnel's joins must broadcast (1-row/bounded sides):\n$p")
+  }
 }
