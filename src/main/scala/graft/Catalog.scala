@@ -6774,6 +6774,127 @@ object Catalog {
               WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
               ORDER BY id_a, id_b""")),
 
+    QueryDef("x138_media_index_probe",
+      // incremental media intake against a PERSISTED fingerprint
+      // index — the fingerprint tier joins the persisted-index family
+      // (exact digests, MinHash sets, IVF cells, PQ codes): the PNG
+      // corpus's perceptual hashes land as a shard-partitioned
+      // Hamming index (sigs/ + bands/ + meta/), and the incoming GIF
+      // batch probes it WITHOUT rescanning media — band-bucket
+      // candidates under static shard pruning, exact bit_count
+      // verify. Every cross-container copy (same pixels, different
+      // codec) is recovered at distance 0; the oracle replays the
+      // whole probe as signature algebra restricted to the
+      // batch × corpus cross pairs
+      (s, d) => {
+        val all = Multimodal.packImageCopies(s,
+          documents(s, d).where(col("doc_id") < 500)
+            .select(col("doc_id")), "doc_id", 250L)
+        val sigs = Multimodal.imageAHash(s, all)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_hamming_idx_" +
+          Integer.toHexString(d.hashCode)
+        graft.operators.Dedup.buildHammingIndex(
+          sigs.where(col("media_id") < 250), path)
+        graft.operators.Dedup.probeHammingIndex(s, path,
+            sigs.where(col("media_id") >= 250))
+          .orderBy("in_id", "corpus_id")
+      },
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+              px AS (SELECT id, id % 250 AS k, b.b AS b,
+                       ((id % 250) % 12 + 8) AS w,
+                       (((id % 250) * 7) % 12 + 8) AS h
+                     FROM ids, range(0, 64) b(b)),
+              sm AS (SELECT id, b,
+                       (((k * 1000003 + ((b % 8) * w // 8) * 131
+                          + ((b // 8) * h // 8) * 31) * 2654435761)
+                        % 251) AS val
+                     FROM px),
+              tt AS (SELECT id, CAST(sum(val) AS BIGINT) AS tot
+                     FROM sm GROUP BY 1),
+              sg AS (SELECT sm.id AS id, sum(CASE WHEN 64 * sm.val > tt.tot
+                         THEN CAST(1 AS HUGEINT) << sm.b ELSE 0 END) AS sig
+                     FROM sm JOIN tt ON sm.id = tt.id GROUP BY 1),
+              corpus AS (SELECT id, sig FROM sg WHERE id < 250),
+              batch AS (SELECT id, sig FROM sg WHERE id >= 250),
+              cb AS (SELECT id, b.b AS band,
+                       CAST((sig >> (b.b * 8)) & 255 AS BIGINT) AS bucket
+                     FROM corpus, range(0, 8) b(b)),
+              bb AS (SELECT id, b.b AS band,
+                       CAST((sig >> (b.b * 8)) & 255 AS BIGINT) AS bucket
+                     FROM batch, range(0, 8) b(b)),
+              cand AS (SELECT DISTINCT bb.id AS in_id, cb.id AS corpus_id
+                       FROM bb JOIN cb ON bb.band = cb.band
+                         AND bb.bucket = cb.bucket)
+              SELECT c.in_id AS in_id, c.corpus_id AS corpus_id,
+                CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+              FROM cand c
+              JOIN batch sa ON c.in_id = sa.id
+              JOIN corpus sb ON c.corpus_id = sb.id
+              WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+              ORDER BY in_id, corpus_id""")),
+
+    QueryDef("x139_media_index_takedown",
+      // retention/takedown on the fingerprint tier (the x54 contract
+      // for media): after deleting contents 100–149 from the
+      // persisted Hamming index — a shard-pruned rewrite located by
+      // the doomed ids' own STORED signatures — the GIF batch probe
+      // loses exactly its pairs into the deleted ids while every
+      // still-indexed copy keeps matching at distance 0. The oracle
+      // is the x138 replay with the corpus restricted to live ids
+      (s, d) => {
+        val all = Multimodal.packImageCopies(s,
+          documents(s, d).where(col("doc_id") < 500)
+            .select(col("doc_id")), "doc_id", 250L)
+        val sigs = Multimodal.imageAHash(s, all)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_hamming_td_" +
+          Integer.toHexString(d.hashCode)
+        graft.operators.Dedup.buildHammingIndex(
+          sigs.where(col("media_id") < 250), path)
+        graft.operators.Dedup.deleteFromHammingIndex(s, path,
+          documents(s, d)
+            .where(col("doc_id") >= 100 && col("doc_id") < 150)
+            .select(col("doc_id")), "doc_id")
+        graft.operators.Dedup.probeHammingIndex(s, path,
+            sigs.where(col("media_id") >= 250))
+          .orderBy("in_id", "corpus_id")
+      },
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+              px AS (SELECT id, id % 250 AS k, b.b AS b,
+                       ((id % 250) % 12 + 8) AS w,
+                       (((id % 250) * 7) % 12 + 8) AS h
+                     FROM ids, range(0, 64) b(b)),
+              sm AS (SELECT id, b,
+                       (((k * 1000003 + ((b % 8) * w // 8) * 131
+                          + ((b // 8) * h // 8) * 31) * 2654435761)
+                        % 251) AS val
+                     FROM px),
+              tt AS (SELECT id, CAST(sum(val) AS BIGINT) AS tot
+                     FROM sm GROUP BY 1),
+              sg AS (SELECT sm.id AS id, sum(CASE WHEN 64 * sm.val > tt.tot
+                         THEN CAST(1 AS HUGEINT) << sm.b ELSE 0 END) AS sig
+                     FROM sm JOIN tt ON sm.id = tt.id GROUP BY 1),
+              corpus AS (SELECT id, sig FROM sg
+                         WHERE id < 100 OR (id >= 150 AND id < 250)),
+              batch AS (SELECT id, sig FROM sg WHERE id >= 250),
+              cb AS (SELECT id, b.b AS band,
+                       CAST((sig >> (b.b * 8)) & 255 AS BIGINT) AS bucket
+                     FROM corpus, range(0, 8) b(b)),
+              bb AS (SELECT id, b.b AS band,
+                       CAST((sig >> (b.b * 8)) & 255 AS BIGINT) AS bucket
+                     FROM batch, range(0, 8) b(b)),
+              cand AS (SELECT DISTINCT bb.id AS in_id, cb.id AS corpus_id
+                       FROM bb JOIN cb ON bb.band = cb.band
+                         AND bb.bucket = cb.bucket)
+              SELECT c.in_id AS in_id, c.corpus_id AS corpus_id,
+                CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+              FROM cand c
+              JOIN batch sa ON c.in_id = sa.id
+              JOIN corpus sb ON c.corpus_id = sb.id
+              WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+              ORDER BY in_id, corpus_id""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -1429,6 +1429,278 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ------------------------- persisted Hamming fingerprint index
+
+  /** Parameters a [[buildHammingIndex]] run was built with, read back
+    * from the index's own `meta/` so a build/probe mismatch
+    * (different banding silently yielding zero matches) is impossible
+    * by construction — the [[FuzzyIndexMeta]] contract for the
+    * fingerprint tier. */
+  final case class HammingIndexMeta(bands: Int, bandBits: Int,
+      nShards: Int, maxBucketSize: Int)
+
+  def hammingIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): HammingIndexMeta = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    HammingIndexMeta(r.getAs[Int]("bands"), r.getAs[Int]("band_bits"),
+      r.getAs[Int]("n_shards"), r.getAs[Int]("max_bucket"))
+  }
+
+  private def hammingBandRows(sigs: DataFrame, bands: Int,
+      bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    sigs.select(col("media_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("media_id"), col("band"),
+        expr(s"shiftright(sig, CAST(band * $bandBits AS INT)) & $mask")
+          .as("bucket"))
+  }
+
+  /** Persist a fingerprint corpus as a probeable Hamming index: the
+    * `(media_id, sig)` relation lands id-shard-partitioned under
+    * `sigs/` (the exact-verify source), its band rows bucket-shard-
+    * partitioned under `bands/` (degenerate over-cap buckets dropped
+    * at build, the LSH skew rule), and the parameters under `meta/`.
+    * Incremental media intake then probes batches against ALL history
+    * without rescanning payloads — the fingerprint tier of the
+    * persisted-index family (exact digests, MinHash sets, IVF cells,
+    * PQ codes... and now perceptual/loudness hashes). */
+  def buildHammingIndex(sigs: DataFrame, path: String, bands: Int = 8,
+      bandBits: Int = 8, nShards: Int = 64,
+      maxBucketSize: Int = 1000): Unit = {
+    val spark = sigs.sparkSession
+    sigs.select(col("media_id").cast("long").as("media_id"),
+        col("sig").cast("long").as("sig"))
+      .withColumn("__idshard", pmod(col("media_id"), lit(nShards.toLong)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__idshard").parquet(s"$path/sigs")
+    val banded = hammingBandRows(
+      spark.read.parquet(s"$path/sigs"), bands, bandBits)
+    val overCap = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucketSize)
+      .select("band", "bucket")
+    banded.join(overCap, Seq("band", "bucket"), "left_anti")
+      .withColumn("__shard",
+        pmod(xxhash64(col("band"), col("bucket")), lit(nShards.toLong)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__shard").parquet(s"$path/bands")
+    spark.range(1).select(lit(bands).as("bands"),
+        lit(bandBits).as("band_bits"), lit(nShards).as("n_shards"),
+        lit(maxBucketSize).as("max_bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+    ()
+  }
+
+  /** Probe a [[buildHammingIndex]] index with a batch of
+    * fingerprints: `(in_id, corpus_id, hamming <= maxHamming)` pairs
+    * between batch and corpus, WITHOUT rescanning media. The batch's
+    * band rows equi-join the persisted `bands/`; with `staticPrune`
+    * the batch's distinct bucket-shard set (≤ nShards ints — the
+    * model-sized driver artifact of every probe in this engine) is
+    * pushed as a static partition filter, and the candidates' id
+    * shards likewise prune `sigs/` — probe I/O is proportional to the
+    * batch's own bucket spread, never the corpus. */
+  def probeHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchSigs: DataFrame, maxHamming: Int = 2,
+      staticPrune: Boolean = true): DataFrame = {
+    val m = hammingIndexMeta(spark, path)
+    val nb = hammingBandRows(
+      batchSigs.select(col("media_id").cast("long").as("media_id"),
+        col("sig").cast("long").as("sig")), m.bands, m.bandBits)
+      .withColumn("__shard",
+        pmod(xxhash64(col("band"), col("bucket")), lit(m.nShards.toLong)))
+    val bandsTable0 = spark.read.parquet(s"$path/bands")
+    val bandsTable = if (staticPrune) {
+      val shards = nb.select("__shard").distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      bandsTable0.where(col("__shard").isin(shards: _*))
+    } else bandsTable0
+    val cand = nb.select(col("media_id").as("in_id"),
+        col("band"), col("bucket"))
+      .join(bandsTable.select(col("media_id").as("corpus_id"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("in_id") =!= col("corpus_id"))
+      .select("in_id", "corpus_id").distinct()
+    val sigsTable0 = spark.read.parquet(s"$path/sigs")
+    val sigsTable = if (staticPrune) {
+      val idShards = cand
+        .select(pmod(col("corpus_id"), lit(m.nShards.toLong)).as("__s"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      sigsTable0.where(col("__idshard").isin(idShards: _*))
+    } else sigsTable0
+    cand
+      .join(batchSigs.select(col("media_id").cast("long").as("in_id"),
+        col("sig").cast("long").as("__sa")), Seq("in_id"))
+      .join(sigsTable.select(col("media_id").as("corpus_id"),
+        col("sig").as("__sb")), Seq("corpus_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(__sa ^ __sb) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("in_id"), col("corpus_id"), col("hamming"))
+  }
+
+  /** Grow a Hamming index in place: append the batch's sigs and band
+    * rows, dropping band rows whose bucket would exceed the build's
+    * cap COUNTING existing membership (checked via a static-pruned,
+    * semi-joined read of only the batch's own buckets — the
+    * [[appendToFuzzyIndex]] rule). Returns (sig rows appended, band
+    * rows dropped as over-cap). Grown index == one-shot build over
+    * the concatenated corpus, up to the cap tie cases, and the probe
+    * verifies exactly either way. */
+  def appendToHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchSigs: DataFrame): (Long, Long) = {
+    val m = hammingIndexMeta(spark, path)
+    val (result, lease) = scoped {
+      val base = trackCheckpoint(batchSigs
+        .select(col("media_id").cast("long").as("media_id"),
+          col("sig").cast("long").as("sig"))
+        .withColumn("__idshard",
+          pmod(col("media_id"), lit(m.nShards.toLong)))
+        .localCheckpoint())
+      val n = base.count()
+      if (n == 0L) (0L, 0L)
+      else {
+        base.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("__idshard").parquet(s"$path/sigs")
+        val nb = trackCheckpoint(
+          hammingBandRows(base.select("media_id", "sig"),
+            m.bands, m.bandBits)
+          .withColumn("__shard",
+            pmod(xxhash64(col("band"), col("bucket")),
+              lit(m.nShards.toLong)))
+          .localCheckpoint())
+        val shards = nb.select("__shard").distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        val existing = spark.read.parquet(s"$path/bands")
+          .where(col("__shard").isin(shards: _*))
+          .join(nb.select("band", "bucket").distinct(),
+            Seq("band", "bucket"), "left_semi")
+          .groupBy("band", "bucket").agg(count(lit(1)).as("__ex"))
+        val overCap = nb.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__new"))
+          .join(existing, Seq("band", "bucket"), "left")
+          .where(coalesce(col("__ex"), lit(0L)) + col("__new") >
+            m.maxBucketSize)
+          .select("band", "bucket")
+        val appendable = nb.join(overCap, Seq("band", "bucket"),
+          "left_anti")
+        appendable.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("__shard").parquet(s"$path/bands")
+        (n, nb.count() - appendable.count())
+      }
+    }
+    lease.release()
+    result
+  }
+
+  /** One incremental media-intake step against a persisted Hamming
+    * index, FIRST-WINS over arrival order: (1) drop batch items with
+    * a fingerprint near-dup already IN the index (probe under static
+    * shard pruning); (2) within-batch near-dup collapse (min-id
+    * survivor per component); (3) append the survivors — the index
+    * afterwards contains every admitted fingerprint. Creates the
+    * index on first use (within-batch dedup still applies). Returns
+    * (survivor sigs, n dropped as already-indexed, n dropped
+    * within-batch).
+    *
+    * Contract: no admitted item has a Hamming-≤`maxHamming` neighbor
+    * that was admitted before it. Like every LSH intake, CHAINS can
+    * diverge from a one-shot dedup of the concatenated corpus (A
+    * admitted, B~A dropped, C~B but ≁A admitted — a one-shot pass
+    * clusters {A,B,C} to one survivor); for pair-disjoint corpora the
+    * two agree exactly (spec-pinned). */
+  def hammingIntakeStep(spark: org.apache.spark.sql.SparkSession,
+      batchSigs: DataFrame, path: String, bands: Int = 8,
+      bandBits: Int = 8, maxHamming: Int = 2)
+      : (DataFrame, Long, Long) = {
+    val sigs = batchSigs
+      .select(col("media_id").cast("long").as("media_id"),
+        col("sig").cast("long").as("sig"))
+    val metaExists = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val n = sigs.count()
+    val fresh = if (metaExists) {
+      // re-delivery screen first: an id already IN the index is
+      // dropped on identity (the probe excludes self-id pairs, so
+      // without this a redelivered item would re-append); the read
+      // prunes to the batch's own id shards
+      val m = hammingIndexMeta(spark, path)
+      val idShards = sigs
+        .select(pmod(col("media_id"), lit(m.nShards.toLong)).as("__s"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      val seenIds = spark.read.parquet(s"$path/sigs")
+        .where(col("__idshard").isin(idShards: _*))
+        .select("media_id")
+      val unseen = sigs.join(seenIds, Seq("media_id"), "left_anti")
+      val matched = probeHammingIndex(spark, path, unseen, maxHamming)
+        .select(col("in_id").as("media_id")).distinct()
+      unseen.join(matched, Seq("media_id"), "left_anti")
+    } else sigs
+    val nFresh = fresh.count()
+    val survivors = clusterSurvivors(fresh, "media_id",
+      hammingNearDupPairs(fresh, bands, bandBits,
+        maxHamming = maxHamming))
+    val nSurv = survivors.count()
+    if (metaExists) appendToHammingIndex(spark, path, survivors)
+    else buildHammingIndex(survivors, path, bands, bandBits)
+    (survivors, n - nFresh, nFresh - nSurv)
+  }
+
+  /** Retention/takedown on the fingerprint tier: delete ids from a
+    * Hamming index by rewriting ONLY the shards they live in — id
+    * shards of `sigs/` directly, and the band shards the doomed ids'
+    * own STORED signatures band to (no rescan of anything else; the
+    * [[deleteFromFuzzyIndex]] rule). Near-copies of deleted media are
+    * admitted by later probes; copies of still-indexed media keep
+    * matching. */
+  def deleteFromHammingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String)
+      : Map[String, IndexDeleteReport] = {
+    val m = hammingIndexMeta(spark, path)
+    val doomed = ids.select(col(idCol).cast("long").as("media_id"))
+      .distinct()
+    val idShards = doomed
+      .select(pmod(col("media_id"), lit(m.nShards.toLong)).as("__s"))
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (idShards.isEmpty)
+      return Map("sigs" -> IndexDeleteReport(0L, Nil),
+        "bands" -> IndexDeleteReport(0L, Nil))
+    val sigsPruned = spark.read.parquet(s"$path/sigs")
+      .where(col("__idshard").isin(idShards: _*))
+    val (bandShards, lease) = scoped {
+      val doomedSigs = trackCheckpoint(
+        sigsPruned.join(doomed, Seq("media_id"), "left_semi")
+          .localCheckpoint())
+      hammingBandRows(doomedSigs, m.bands, m.bandBits)
+        .select(pmod(xxhash64(col("band"), col("bucket")),
+          lit(m.nShards.toLong)).as("__s"))
+        .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    }
+    lease.release()
+    val sigsBefore = sigsPruned.count()
+    rewriteShards(spark, s"$path/sigs", "__idshard", idShards,
+      sigsPruned.join(doomed, Seq("media_id"), "left_anti"))
+    val sigsAfter = spark.read.parquet(s"$path/sigs")
+      .where(col("__idshard").isin(idShards: _*)).count()
+    val bandsReport =
+      if (bandShards.isEmpty) IndexDeleteReport(0L, Nil)
+      else {
+        val bandsPruned = spark.read.parquet(s"$path/bands")
+          .where(col("__shard").isin(bandShards: _*))
+        val bandsBefore = bandsPruned.count()
+        rewriteShards(spark, s"$path/bands", "__shard", bandShards,
+          bandsPruned.join(doomed, Seq("media_id"), "left_anti"))
+        val bandsAfter = spark.read.parquet(s"$path/bands")
+          .where(col("__shard").isin(bandShards: _*)).count()
+        IndexDeleteReport(bandsBefore - bandsAfter, bandShards)
+      }
+    Map("sigs" -> IndexDeleteReport(sigsBefore - sigsAfter, idShards),
+      "bands" -> bandsReport)
+  }
+
   /** Survivors after fuzzy dedup: every id in `df` keeps itself unless
     * it belongs to a dup cluster and is not the cluster's minimum. */
   def clusterSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Audio, Multimodal}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Audio curation operators: windowing through the real PCM decode,
@@ -162,6 +163,91 @@ class AudioSpec extends SparkSpec {
       .map(_.getLong(1)).toSet
     assert(sigs.size == 1,
       "PNG/GIF/BMP of identical pixels must share one signature")
+  }
+
+  test("hamming index lifecycle: build, probe, append, grown == rebuilt") {
+    import graft.operators.Dedup
+    def sigsOf(ids: Seq[Long], half: Long) =
+      Multimodal.imageAHash(spark, Multimodal.packImageCopies(spark,
+        ids.toDF("doc_id"), "doc_id", half))
+    // corpus: 20 PNGs of contents 0..19; batch1: GIFs of the same
+    // contents at ids 100..119; batch2 probes at ids 200..219
+    val corpus = sigsOf(0L until 20L, 100L)
+    val batch1 = sigsOf(100L until 120L, 100L)
+    val batch2 = sigsOf(200L until 220L, 200L)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_hidx_a").toString
+    Dedup.buildHammingIndex(corpus, dirA)
+    // expected pairs replayed from the collected signatures
+    def expectedPairs(batch: DataFrame, indexed: DataFrame): Set[(Long, Long, Long)] = {
+      val ix = indexed.collect().map(r => r.getLong(0) -> r.getLong(1))
+      val bs = batch.collect().map(r => r.getLong(0) -> r.getLong(1))
+      (for {
+        (bi, bsig) <- bs; (ci, csig) <- ix
+        if (0 until 8).exists(bd =>
+          ((bsig >> (bd * 8)) & 255) == ((csig >> (bd * 8)) & 255))
+        h = java.lang.Long.bitCount(bsig ^ csig)
+        if h <= 2
+      } yield (bi, ci, h.toLong)).toSet
+    }
+    val probe1 = Dedup.probeHammingIndex(spark, dirA, batch1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe1 == expectedPairs(batch1, corpus))
+    assert((0L until 20L).forall(k => probe1.contains((100L + k, k, 0L))),
+      "every cross-container copy must be found at distance 0")
+    // grow, then probe batch2 against corpus + batch1
+    val (appended, dropped) = Dedup.appendToHammingIndex(spark, dirA, batch1)
+    assert(appended == 20L && dropped == 0L)
+    val probe2 = Dedup.probeHammingIndex(spark, dirA, batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe2 == expectedPairs(batch2, corpus.unionByName(batch1)))
+    assert((0L until 20L).forall(k => probe2.contains((200L + k, k, 0L)) &&
+      probe2.contains((200L + k, 100L + k, 0L))),
+      "the grown index must match both generations")
+    // grown == one-shot rebuild over the concatenated corpus
+    val dirB = java.nio.file.Files.createTempDirectory("graft_hidx_b").toString
+    Dedup.buildHammingIndex(corpus.unionByName(batch1), dirB)
+    val probe2b = Dedup.probeHammingIndex(spark, dirB, batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe2b == probe2)
+    // takedown: remove the appended generation from dirA — probes
+    // stop matching it, the original corpus still matches
+    Dedup.deleteFromHammingIndex(spark, dirA,
+      (100L until 120L).toDF("doc_id"), "doc_id")
+    val probe3 = Dedup.probeHammingIndex(spark, dirA, batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe3 == expectedPairs(batch2, corpus))
+  }
+
+  test("hamming intake: first-wins batches, MIS survivors, idempotent re-delivery") {
+    import graft.operators.Dedup
+    // half = 19 (odd) so each planted copy lands in the OTHER parity
+    // batch — the cross-batch first-wins path is actually exercised;
+    // contents 0..18 verified incidental-free at design time
+    val half = 19L
+    val sigs = Multimodal.imageAHash(spark, Multimodal.packImageCopies(
+      spark, (0L until 38L).toDF("doc_id"), "doc_id", half))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hintake")
+      .toString
+    val bySig = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var admitted = Set.empty[Long]
+    var dropped = 0L
+    (0 until 2).foreach { b =>
+      val slice = sigs.where(pmod(col("media_id"), lit(2L)) === b)
+      val (surv, dIdx, dBatch) = Dedup.hammingIntakeStep(spark, slice, dir)
+      admitted ++= surv.collect().map(_.getLong(0))
+      dropped += dIdx + dBatch
+    }
+    assert(admitted.size + dropped == 38L)
+    for (a <- admitted; c <- admitted if a < c)
+      assert(java.lang.Long.bitCount(bySig(a) ^ bySig(c)) > 2,
+        s"survivors $a and $c are near-dups")
+    (0L until half).foreach { k =>
+      assert(admitted(k) ^ admitted(k + half),
+        s"pair ($k, ${k + half}) must keep exactly one endpoint")
+    }
+    // re-delivering everything admits nothing and appends nothing
+    val (again, dIdx2, dBatch2) = Dedup.hammingIntakeStep(spark, sigs, dir)
+    assert(again.count() == 0L && dIdx2 == 38L && dBatch2 == 0L)
   }
 
   test("undecodable payloads are screened out, not thrown") {
