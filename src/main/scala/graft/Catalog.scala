@@ -6895,6 +6895,29 @@ object Catalog {
               WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
               ORDER BY in_id, corpus_id""")),
 
+    QueryDef("x140_mp4_info",
+      // REAL MP4 container metadata through a genuine box WALK: the
+      // payloads are spec-shaped box trees (ftyp, an id-length `free`
+      // padding box that SHIFTS every later offset, moov{mvhd,
+      // trak{mdia{mdhd}}×n}, mdat) and the parser honors sizes and
+      // skips unknowns — no fixed offsets anywhere. Brand, movie
+      // timescale, duration (ticks + floored ms), and track count
+      // are the screens a video pipeline gates on before any codec
+      // work; the oracle replays them from the id algebra
+      (s, d) => Multimodal.mp4Info(s, Multimodal.packRealMp4s(s,
+          documents(s, d).where(col("doc_id") < 400)
+            .select(col("doc_id")), "doc_id"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+                  AS brand,
+                CAST(1000 * (doc_id % 4 + 1) AS BIGINT) AS timescale,
+                CAST((doc_id % 90000) + 100 AS BIGINT) AS duration_ticks,
+                CAST(((doc_id % 90000) + 100) * 1000
+                  // (1000 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms,
+                CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
+              FROM documents WHERE doc_id < 400 ORDER BY media_id""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -1052,6 +1052,118 @@ object Multimodal {
       .drop("__old")
   }
 
+  /** Build a REAL MP4 box tree — ftyp, a variable-length `free`
+    * padding box (so every parser must WALK sizes, never assume
+    * offsets), `moov { mvhd, trak { mdia { mdhd } } × n }`, and an
+    * `mdat` stub. Box = [BE32 size][4CC type][payload]; mvhd/mdhd are
+    * spec-shaped version-0 boxes with real timescale/duration fields
+    * and zeroed rate/volume/matrix tails. */
+  private[graft] def buildMp4(brand: String, pad: Int, timescale: Long,
+      durationTicks: Long, nTracks: Int): Array[Byte] = {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length)
+      out.put(tp.getBytes("US-ASCII")).put(payload)
+      out.array()
+    }
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ be32(0x200) ++
+        "isommp42".getBytes("US-ASCII"))
+    val free = box("free", Array.fill[Byte](pad)(0x55))
+    // mvhd v0: version/flags, ctime, mtime, timescale, duration,
+    // then rate/volume/reserved/matrix/predefines/nextTrack = 80 bytes
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+        be32(durationTicks) ++ Array.fill[Byte](80)(0))
+    // mdhd v0: version/flags, ctime, mtime, timescale, duration,
+    // language/predefined = 4 bytes
+    val mdhd = box("mdhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+        be32(durationTicks) ++ Array.fill[Byte](4)(0))
+    val trak = box("trak", box("mdia", mdhd))
+    val moov = box("moov",
+      mvhd ++ (1 to nTracks).flatMap(_ => trak).toArray)
+    val mdat = box("mdat", Array.fill[Byte](4)(0x11))
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  /** Deterministic full-box-tree MP4s: brand by id parity, `free`
+    * padding of `id mod 7` bytes (offset-shifting), timescale
+    * `1000·(id mod 4 + 1)`, duration `(id mod 90000) + 100` ticks,
+    * `id mod 3 + 1` tracks. */
+  def packRealMp4s(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val brand = if (id % 2 == 0) "isom" else "mp42"
+      (id, buildMp4(brand, (id % 7).toInt, 1000L * (id % 4 + 1),
+        (id % 90000) + 100, (id % 3 + 1).toInt))
+    }.toDF("media_id", "media")
+  }
+
+  /** REAL MP4 container metadata through a genuine box WALK (sizes
+    * honored, unknown/padding boxes skipped, order-independent):
+    * major brand from ftyp, movie timescale + duration from
+    * moov/mvhd, track count from the moov children — the duration /
+    * track-structure screens a video pipeline gates on before any
+    * codec work. `duration_ms` is floored integer algebra. Malformed
+    * payloads (truncated boxes, missing moov) screen out, not
+    * throw. */
+  def mp4Info(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            def be32(off: Int): Long =
+              ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+                ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+            def tp(off: Int): String = new String(bytes, off + 4, 4, "US-ASCII")
+            var brand: Option[String] = None
+            var ts = 0L; var dur = 0L; var tracks = 0L
+            var sawMoov = false
+            var off = 0
+            while (off + 8 <= bytes.length) {
+              val size = be32(off)
+              if (size < 8 || off + size > bytes.length)
+                throw new IllegalArgumentException("bad box size")
+              tp(off) match {
+                case "ftyp" => brand = Some(new String(bytes, off + 8, 4, "US-ASCII"))
+                case "moov" =>
+                  sawMoov = true
+                  var c = off + 8
+                  val end = off + size.toInt
+                  while (c + 8 <= end) {
+                    val cs = be32(c)
+                    if (cs < 8 || c + cs > end)
+                      throw new IllegalArgumentException("bad child size")
+                    tp(c) match {
+                      case "mvhd" =>
+                        // v0: version/flags, ctime, mtime, ts, duration
+                        ts = be32(c + 8 + 12); dur = be32(c + 8 + 16)
+                      case "trak" => tracks += 1
+                      case _ => ()
+                    }
+                    c += cs.toInt
+                  }
+                case _ => () // free / mdat / unknown: skip by size
+              }
+              off += size.toInt
+            }
+            if (brand.isEmpty || !sawMoov || ts == 0L) Iterator.empty
+            else Iterator.single((id, brand.get, ts, dur,
+              dur * 1000L / ts, tracks))
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }
+      .toDF("media_id", "brand", "timescale", "duration_ticks",
+        "duration_ms", "n_tracks")
+  }
+
   /** Perceptual average-hash (aHash) through the REAL image decode:
     * sample an 8×8 grid (nearest-neighbor — source pixel
     * (u·w div 8, v·h div 8), integer algebra an oracle replays), and

@@ -250,6 +250,31 @@ class AudioSpec extends SparkSpec {
     assert(again.count() == 0L && dIdx2 == 38L && dBatch2 == 0L)
   }
 
+  test("mp4Info: real box walk — order-independent, truncation screens") {
+    // reorder boxes (moov before ftyp): a parser on fixed offsets breaks
+    val normal = Multimodal.buildMp4("isom", 5, 3000L, 4567L, 2)
+    def be32At(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    // split the built payload back into top-level boxes and reverse
+    val boxes = Iterator.unfold(0) { off =>
+      if (off >= normal.length) None
+      else { val s = be32At(normal, off)
+        Some((normal.slice(off, off + s), off + s)) }
+    }.toSeq
+    val reordered = boxes.reverse.flatten.toArray
+    val df = Seq((1L, normal), (2L, reordered),
+        (3L, normal.take(20)), // truncated mid-box
+        (4L, "nonsense".getBytes("US-ASCII")))
+      .toDF("media_id", "media")
+    val out = Multimodal.mp4Info(spark, df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set(1L, 2L), "malformed payloads must screen out")
+    assert(out(1L) == (("isom", 3000L, 4567L, 4567L * 1000 / 3000, 2L)))
+    assert(out(2L) == out(1L), "box order must not matter")
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
