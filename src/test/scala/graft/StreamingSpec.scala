@@ -445,4 +445,32 @@ class StreamingSpec extends SparkSpec {
     // sessions flush on processing-time timeout; zero rows is acceptable
     assert(spark.table("sess_out").columns.contains("n_events"))
   }
+
+  test("streaming media intake drops a cross-codec copy arriving batches later") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("media-stream").toString
+    // batch 1: PNGs of contents 0..9 (ids 0..9); batch 2: GIF copies
+    // of contents 0..9 at ids 100..109 plus 5 novel contents 10..14
+    // at ids 110..114 — the copies must drop, the novel ones admit
+    Multimodal.packImageCopies(spark, (0L until 10L).toDF("doc_id"),
+        "doc_id", 100L)
+      .write.parquet(s"$tmp/in")
+    val q = graft.streaming.MediaStream.intakeAndGrowFingerprintIndex(
+      spark, graft.streaming.MediaStream.readMedia(spark, s"$tmp/in"),
+      s"$tmp/idx", s"$tmp/out")
+    try {
+      q.processAllAvailable()
+      Multimodal.packImageCopies(spark,
+          ((100L until 110L) ++ (110L until 115L)).toDF("doc_id"),
+          "doc_id", 100L)
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(s"$tmp/out/admitted")
+      .select("media_id").as[Long].collect().sorted.toSeq
+    // ids 100..109 are GIF re-encodes of admitted PNG contents ->
+    // dropped against the grown index; 110..114 are novel -> admitted
+    assert(admitted == ((0L until 10L) ++ (110L until 115L)))
+  }
 }

@@ -57,9 +57,14 @@ object Scale10Probe {
       "x82_substring_dedup", "x88_bpe_train", "x30_sequence_packing",
       "x97_lm_score", "x114_kmv_distinct", "x116_overlap_matrix")
     // bare args (non --flags) narrow the run to those families
+    // media rows are custom thunks, not catalog queries — route their
+    // labels past the catalog pick loop
+    val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
-      if (only.nonEmpty) only else defaultPicks
+        .filterNot(mediaLabels)
+      if (only.nonEmpty || args.exists(mediaLabels)) only
+      else defaultPicks
     }
     def floor(name: String, d: String): Double = {
       val q = Catalog.entries.find(_.name == name).get
@@ -77,6 +82,42 @@ object Scale10Probe {
       val a = floor(n, src)
       val b = floor(n, synthDir)
       Console.err.println(f"[scale10] $n%-24s $a%8.3f $b%8.3f ${b / a}%6.2f")
+    }
+    // media families at FULL corpus width (the catalog queries cap
+    // their synth corpora for oracle practicality — see ScaleProbe):
+    // documents ×10 here, so these measure the decode/window/LSH data
+    // terms one decade past the harness maximum
+    if (args.filterNot(_.startsWith("--")).isEmpty ||
+        args.exists(mediaLabels)) {
+      def mediaFloor(label: String,
+          f: DataFrame => DataFrame): Unit = {
+        def one(d: String): Double = (1 to reps).map { _ =>
+          val docs = spark.read.parquet(s"$d/documents.parquet")
+            .select("doc_id")
+          val t0 = System.nanoTime()
+          f(docs).count()
+          graft.operators.Dedup.releaseCheckpoints()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val a = one(src)
+        val b = one(synthDir)
+        Console.err.println(
+          f"[scale10] $label%-24s $a%8.3f $b%8.3f ${b / a}%6.2f")
+      }
+      mediaFloor("audio_vad_fullwidth", docs =>
+        graft.operators.Audio.vadSegments(graft.operators.Audio
+          .audioWindows(spark, graft.operators.Audio
+            .packVadWavs(spark, docs, "doc_id"))))
+      // band-bits scale with log2(N) (the SCALE.md rule): 16-bit
+      // bands give 65k buckets/band, so 50k signatures stay under the
+      // bucket cap — Hamming-<=2 pairs still agree on >=2 of 4 bands
+      mediaFloor("image_ahash_neardup", { docs =>
+        val n = docs.count()
+        val sigs = graft.operators.Multimodal.imageAHash(spark,
+          graft.operators.Multimodal.packImageCopies(spark, docs,
+            "doc_id", math.max(1L, n / 2)))
+        graft.operators.Dedup.hammingNearDupPairs(sigs, 4, 16)
+      })
     }
     spark.stop()
   }
