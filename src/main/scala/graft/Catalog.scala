@@ -6918,6 +6918,44 @@ object Catalog {
                 CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
               FROM documents WHERE doc_id < 400 ORDER BY media_id""")),
 
+    QueryDef("x141_duration_sample",
+      // duration-weighted clip sampling — media metadata driving the
+      // sampling tier: each clip survives with probability
+      // duration/max_duration (long clips ~always, short clips
+      // proportionally less — the duration-balanced pick a
+      // speech/video pipeline uses so wall-clock hours, not clip
+      // counts, define the mixture). The weight is exact integer ppm
+      // (duration·1e6 div max via a broadcast 1-row max), the draw
+      // the engine's salted md5 primitive — the whole survivor set
+      // replays externally, composed from the REAL mp4 box walk
+      (s, d) => {
+        val info = Multimodal.mp4Info(s, Multimodal.packRealMp4s(s,
+          documents(s, d).where(col("doc_id") < 400)
+            .select(col("doc_id")), "doc_id"))
+        val mx = info.agg(max("duration_ms").as("__mx"))
+        val weighted = info.crossJoin(broadcast(mx))
+          .withColumn("w_ppm",
+            expr("duration_ms * CAST(1000000 AS BIGINT) DIV __mx"))
+        Sampling.deterministicSampleByRatePpm(weighted, "media_id",
+            col("w_ppm"), salt = "dur")
+          .select("media_id", "duration_ms", "w_ppm")
+          .orderBy("media_id")
+      },
+      Some("""WITH info AS (
+                SELECT doc_id AS media_id,
+                  CAST(((doc_id % 90000) + 100) * 1000
+                    // (1000 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms
+                FROM documents WHERE doc_id < 400),
+              mx AS (SELECT max(duration_ms) AS m FROM info)
+              SELECT media_id, duration_ms,
+                CAST(duration_ms * 1000000 // mx.m AS BIGINT) AS w_ppm
+              FROM info, mx
+              WHERE CAST('0x' || substring(
+                      md5('dur:' || CAST(media_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000
+                  < duration_ms * 1000000 // mx.m
+              ORDER BY media_id""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY
