@@ -6956,6 +6956,43 @@ object Catalog {
                   < duration_ms * 1000000 // mx.m
               ORDER BY media_id""")),
 
+    QueryDef("x142_audio_normalize",
+      // peak (gain) normalization through the full codec round trip
+      // (the x135 shape for loudness): every clip rescaled so its
+      // peak |sample| hits 30000 — quiet clips amplify, loud clips
+      // attenuate — with the sign split out so every division runs
+      // non-negative (truncating == flooring == replayable). Stats
+      // computed by DECODING the re-encoded output; the oracle
+      // replays decode → peak → scale → stats as integer algebra
+      (s, d) => Multimodal.wavSampleStats(s, Audio.normalizePeak(s,
+          Multimodal.packRealWavs(s, documents(s, d)
+            .where(col("doc_id") < 400).select(col("doc_id")),
+            "doc_id")))
+        .orderBy("media_id"),
+      Some("""WITH w AS (
+                SELECT doc_id AS id, 8000 + (doc_id % 5) * 8000 AS rate,
+                  doc_id % 64 + 16 AS n
+                FROM documents WHERE doc_id < 400),
+              smp AS (SELECT id, rate,
+                        (id * 37 + i.i * 101) % 65536 - 32768 AS v
+                      FROM w, range(0, 80) i(i) WHERE i.i < n),
+              pk AS (SELECT id, max(abs(v)) AS peak FROM smp GROUP BY 1),
+              nv AS (SELECT smp.id AS id, smp.rate AS rate,
+                       CASE WHEN pk.peak = 0 THEN v
+                            WHEN v < 0 THEN -(abs(v) * 30000 // pk.peak)
+                            ELSE abs(v) * 30000 // pk.peak END AS v
+                     FROM smp JOIN pk ON smp.id = pk.id)
+              SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                count(*) AS n_samples,
+                CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+                CAST(count(*) FILTER (abs(v) >= 32000) AS BIGINT)
+                  AS n_clipped,
+                CAST(count(*) FILTER (abs(v) < 1024) AS BIGINT)
+                  AS n_silent
+              FROM nv GROUP BY 1, 2 ORDER BY media_id""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -299,6 +299,46 @@ object Audio {
       .toDF("media_id", "media")
   }
 
+  /** Peak (gain) normalization — the "every clip at the same
+    * loudness ceiling" step: scale each mono payload so its peak
+    * |sample| becomes `targetPeak`, re-encoded as a real WAV. The
+    * scale is exact integer algebra with sign split out —
+    * v' = sign(v) · (|v| · targetPeak div peak) — so every division
+    * runs on non-negative operands and truncating == flooring ==
+    * replayable anywhere. Quiet clips amplify, loud clips attenuate;
+    * all-zero payloads pass through unscaled (peak 0 has no gain).
+    * Partition-parallel, one decode+encode per payload, no
+    * shuffle. */
+  def normalizePeak(spark: SparkSession, packed: DataFrame,
+      targetPeak: Int = 30000): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Multimodal.decodeWavSamples(bytes).collect {
+            case (rate, 1, s) if s.nonEmpty =>
+              var peak = 0L
+              var i = 0
+              while (i < s.length) {
+                val a = math.abs(s(i).toLong)
+                if (a > peak) peak = a
+                i += 1
+              }
+              val out =
+                if (peak == 0L) s
+                else Array.tabulate(s.length) { j =>
+                  val v = s(j).toLong
+                  val scaled = math.abs(v) * targetPeak / peak
+                  (if (v < 0) -scaled else scaled).toShort
+                }
+              (id, Multimodal.buildWav(rate, out))
+          }
+        }
+      }
+      .toDF("media_id", "media")
+  }
+
   /** Near-dup pairs over loudness fingerprints — the 32-bit audio
     * instantiation of [[Dedup.hammingNearDupPairs]] (4 bands × 8
     * bits; Hamming-h pairs agree on ≥ 4−h bands). */

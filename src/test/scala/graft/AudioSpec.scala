@@ -275,6 +275,25 @@ class AudioSpec extends SparkSpec {
     assert(out(2L) == out(1L), "box order must not matter")
   }
 
+  test("normalizePeak: peak lands on target, signs preserved, zero passthrough") {
+    val s = Array[Short](-20000, 10000, 0, 5000, -2500)
+    val packed = Seq(
+      (1L, Multimodal.buildWav(16000, s)),
+      (2L, Multimodal.buildWav(16000, Array[Short](0, 0, 0))))
+      .toDF("media_id", "media")
+    val out = graft.operators.Audio.normalizePeak(spark, packed, 30000)
+      .collect().map(r => r.getLong(0) ->
+        Multimodal.decodeWavSamples(r.getAs[Array[Byte]]("media")).get._3)
+      .toMap
+    val expected = s.map { v =>
+      val sc = math.abs(v.toLong) * 30000 / 20000
+      (if (v < 0) -sc else sc).toShort
+    }
+    assert(out(1L).sameElements(expected))
+    assert(out(1L).map(v => math.abs(v.toInt)).max == 30000)
+    assert(out(2L).sameElements(Array[Short](0, 0, 0)))
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
