@@ -1644,8 +1644,11 @@ object Dedup {
       hammingNearDupPairs(fresh, bands, bandBits,
         maxHamming = maxHamming))
     val nSurv = survivors.count()
+    // an empty partitioned write leaves an unreadable sigs/ (no
+    // partitions to infer a schema from), so an empty FIRST batch
+    // must not create the index — the next non-empty batch will
     if (metaExists) appendToHammingIndex(spark, path, survivors)
-    else buildHammingIndex(survivors, path, bands, bandBits)
+    else if (nSurv > 0) buildHammingIndex(survivors, path, bands, bandBits)
     (survivors, n - nFresh, nFresh - nSurv)
   }
 

@@ -294,6 +294,21 @@ class AudioSpec extends SparkSpec {
     assert(out(2L).sameElements(Array[Short](0, 0, 0)))
   }
 
+  test("hamming intake: an empty first batch creates no index; the next one does") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_hintake0")
+      .toString
+    val empty = Seq.empty[(Long, Long)].toDF("media_id", "sig")
+    val (s0, d0a, d0b) = Dedup.hammingIntakeStep(spark, empty, dir)
+    assert(s0.count() == 0L && d0a == 0L && d0b == 0L)
+    assert(!new java.io.File(s"$dir/meta").exists())
+    val sigs = Multimodal.imageAHash(spark, Multimodal.packImageCopies(
+      spark, idsDF(4), "doc_id", 4L))
+    val (s1, _, _) = Dedup.hammingIntakeStep(spark, sigs, dir)
+    assert(s1.count() == 4L)
+    assert(new java.io.File(s"$dir/meta").exists())
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
