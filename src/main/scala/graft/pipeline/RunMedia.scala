@@ -106,9 +106,12 @@ object RunMedia {
             Dedup.hammingIntakeStep(spark, slice, indexDir)
           surv.write.mode(if (b == 0) SaveMode.Overwrite
             else SaveMode.Append).parquet(s"$outDir/image_survivors")
-          val a = spark.read.parquet(s"$outDir/image_survivors").count()
-          println(f"[media] batch $b%-6d admitted_total $a%d")
-          admitted = a; droppedIndexed += dIdx; droppedBatch += dBatch
+          // count from the returned frame, not a read-back: an empty
+          // batch leaves image_survivors/ schema-less until the first
+          // non-empty write
+          admitted += surv.count()
+          println(f"[media] batch $b%-6d admitted_total $admitted%d")
+          droppedIndexed += dIdx; droppedBatch += dBatch
         }
         Seq("image_input" -> nSigs, "image_unique" -> admitted,
           "image_dropped_vs_index" -> droppedIndexed,
