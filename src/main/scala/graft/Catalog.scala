@@ -6993,6 +6993,44 @@ object Catalog {
                   AS n_silent
               FROM nv GROUP BY 1, 2 ORDER BY media_id""")),
 
+    QueryDef("x143_tar_members",
+      // REAL TAR shard enumeration — the WebDataset manifest scan:
+      // genuine ustar archives (octal fields, SPEC header checksum,
+      // 512-block padding) walked header by header; each member row
+      // carries its name, absolute data offset, size, and the exact
+      // byte sum of the member data (summing forces a real read at
+      // the claimed offset — one block-walk defect and every sum
+      // shifts). Corrupted checksums screen the shard. The oracle
+      // replays offsets as a running 512-aligned sum and the sums as
+      // id algebra
+      (s, d) => Multimodal.tarMembers(s, Multimodal.packTarShards(s,
+          documents(s, d).where(col("doc_id") < 400)
+            .select(col("doc_id")), "doc_id"))
+        .orderBy("shard_id", "name"),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 400),
+              mem AS (SELECT id, j.j AS j,
+                        CAST((id * 7 + j.j * 13) % 900 + 10 AS BIGINT)
+                          AS size
+                      FROM ids, range(0, 4) j(j) WHERE j.j < id % 3 + 2),
+              offs AS (SELECT id, j, size,
+                         512 + coalesce(sum(512 + 512 * ((size + 511) // 512))
+                           OVER (PARTITION BY id ORDER BY j
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS data_off
+                       FROM mem),
+              sums AS (SELECT m.id AS id, m.j AS j,
+                         CAST(sum((m.id * 11 + m.j * 17 + p.p * 5) % 251)
+                           AS BIGINT) AS byte_sum
+                       FROM mem m, range(0, 910) p(p) WHERE p.p < m.size
+                       GROUP BY 1, 2)
+              SELECT o.id AS shard_id,
+                'doc-' || o.id || '-' || o.j || '.txt' AS name,
+                CAST(o.data_off AS BIGINT) AS data_off,
+                o.size AS size, s.byte_sum AS byte_sum
+              FROM offs o JOIN sums s ON o.id = s.id AND o.j = s.j
+              ORDER BY shard_id, name""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -1164,6 +1164,134 @@ object Multimodal {
         "duration_ms", "n_tracks")
   }
 
+  /** Build a REAL ustar TAR archive (the WebDataset shard container):
+    * 512-byte headers with octal size/mode fields and the SPEC
+    * checksum (header summed with the checksum field as spaces),
+    * data padded to block size, two zero blocks at EOF — readable by
+    * any tar. */
+  private[graft] def buildTar(members: Seq[(String, Array[Byte])])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      val hdr = new Array[Byte](512)
+      val nameB = name.getBytes("US-ASCII")
+      require(nameB.length < 100, s"tar name too long: $name")
+      System.arraycopy(nameB, 0, hdr, 0, nameB.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val b = ("%0" + (len - 1) + "o").format(v).getBytes("US-ASCII")
+        System.arraycopy(b, 0, hdr, off, b.length)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) // uid, gid
+      oct(data.length.toLong, 124, 12)
+      oct(0, 136, 12) // mtime
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      hdr(156) = '0' // regular file
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, hdr, 257, 5)
+      hdr(263) = '0'; hdr(264) = '0' // version "00"
+      var ck = 0L
+      var i = 0
+      while (i < 512) { ck += hdr(i) & 0xff; i += 1 }
+      val ckb = "%06o".format(ck).getBytes("US-ASCII")
+      System.arraycopy(ckb, 0, hdr, 148, 6)
+      hdr(154) = 0; hdr(155) = ' '
+      out.write(hdr)
+      out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Deterministic WebDataset-style shards: shard id carries
+    * `id mod 3 + 2` members named `doc-<id>-<j>.txt`, member j sized
+    * `(id·7 + j·13) mod 900 + 10` with byte p = `(id·11 + j·17 +
+    * p·5) mod 251` — every offset, size, and byte sum replays as id
+    * algebra. */
+  def packTarShards(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val members = (0 until (id % 3 + 2).toInt).map { j =>
+        val n = ((id * 7 + j * 13) % 900 + 10).toInt
+        (s"doc-$id-$j.txt", Array.tabulate(n)(p =>
+          ((id * 11 + j * 17 + p.toLong * 5) % 251).toByte))
+      }
+      (id, buildTar(members))
+    }.toDF("media_id", "media")
+  }
+
+  /** REAL TAR member enumeration — the shard-manifest scan a
+    * WebDataset-style corpus needs before any member is touched: walk
+    * the 512-byte headers (octal size parse, SPEC checksum VERIFIED —
+    * a corrupted header screens the whole shard), emit one row per
+    * member with its name, absolute data offset, size, and the exact
+    * byte sum of the member data (the cheap content fingerprint;
+    * summing forces a real read of the member bytes at their claimed
+    * offset). Partition-parallel, no shuffle; malformed/truncated
+    * archives screen out, not throw. */
+  def tarMembers(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val rows = scala.collection.mutable.Buffer
+              .empty[(Long, String, Long, Long, Long)]
+            var off = 0
+            var done = false
+            while (!done && off + 512 <= bytes.length) {
+              if ((0 until 512).forall(i => bytes(off + i) == 0)) done = true
+              else {
+                // checksum: header summed with bytes 148-155 as spaces
+                var ck = 0L
+                var i = 0
+                while (i < 512) {
+                  ck += (if (i >= 148 && i < 156) ' '.toInt
+                    else bytes(off + i) & 0xff)
+                  i += 1
+                }
+                def octAt(o: Int, len: Int): Long = {
+                  var v = 0L; var j = o
+                  while (j < o + len && bytes(off + j) != 0 &&
+                      bytes(off + j) != ' ') {
+                    val c = bytes(off + j) - '0'
+                    if (c < 0 || c > 7)
+                      throw new IllegalArgumentException("bad octal")
+                    v = v * 8 + c; j += 1
+                  }
+                  v
+                }
+                if (octAt(148, 8) != ck)
+                  throw new IllegalArgumentException("bad checksum")
+                val nameEnd = (0 until 100)
+                  .indexWhere(i => bytes(off + i) == 0) match {
+                  case -1 => 100
+                  case n => n
+                }
+                val name = new String(bytes, off, nameEnd, "US-ASCII")
+                val size = octAt(124, 12)
+                val dataOff = off + 512L
+                if (dataOff + size > bytes.length)
+                  throw new IllegalArgumentException("truncated member")
+                var sum = 0L
+                var p = 0
+                while (p < size) {
+                  sum += bytes((dataOff + p).toInt) & 0xff
+                  p += 1
+                }
+                rows += ((id, name, dataOff, size, sum))
+                off += 512 + (((size + 511) / 512) * 512).toInt
+              }
+            }
+            rows.iterator
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }
+      .toDF("shard_id", "name", "data_off", "size", "byte_sum")
+  }
+
   /** Perceptual average-hash (aHash) through the REAL image decode:
     * sample an 8×8 grid (nearest-neighbor — source pixel
     * (u·w div 8, v·h div 8), integer algebra an oracle replays), and

@@ -309,6 +309,38 @@ class AudioSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/meta").exists())
   }
 
+  test("tar shards: round-trip, checksum tamper screens, system-tar interop") {
+    val members = Seq(
+      ("a.txt", Array.tabulate(10)(_.toByte)),
+      ("dir-b.bin", Array.tabulate(700)(i => (i % 251).toByte)))
+    val tar = Multimodal.buildTar(members)
+    val rows = Multimodal.tarMembers(spark,
+        Seq((1L, tar)).toDF("media_id", "media"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("a.txt", 512L, 10L, (0 until 10).sum.toLong),
+      ("dir-b.bin", 1536L, 700L,
+        (0 until 700).map(_ % 251).sum.toLong)))
+    // one flipped header byte -> checksum mismatch -> shard screens
+    val bad = tar.clone(); bad(0) = 'z'.toByte
+    assert(Multimodal.tarMembers(spark,
+      Seq((2L, bad)).toDF("media_id", "media")).count() == 0L)
+    // interop: the system tar must list the same member names
+    val f = java.nio.file.Files.createTempFile("graft_tar", ".tar")
+    java.nio.file.Files.write(f, tar)
+    try {
+      val p = new ProcessBuilder("tar", "-tf", f.toString).start()
+      val out = new String(p.getInputStream.readAllBytes, "US-ASCII")
+      if (p.waitFor() == 0)
+        assert(out.trim.linesIterator.toSeq.sorted ==
+          Seq("a.txt", "dir-b.bin"),
+          s"system tar disagrees:\n$out")
+      // a missing tar binary skips interop, never fails the build
+    } catch { case _: java.io.IOException => () }
+    finally java.nio.file.Files.delete(f)
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
