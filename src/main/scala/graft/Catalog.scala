@@ -7031,6 +7031,31 @@ object Catalog {
               FROM offs o JOIN sums s ON o.id = s.id AND o.j = s.j
               ORDER BY shard_id, name""")),
 
+    QueryDef("x144_gzip_decode",
+      // REAL gzip decode (RFC 1952) with the loader's integrity
+      // contract: header fields parsed (optional FEXTRA/FNAME/
+      // FCOMMENT/FHCRC skipped by their own lengths), raw-deflate
+      // inflated, CRC32 + ISIZE trailer VERIFIED — a member that
+      // inflates but fails its checksum screens out. Compressed text
+      // shards (.json.gz / .txt.gz) are how web corpora actually
+      // ship. The oracle replays the DECODED size and byte sum from
+      // the synthesis formula — reachable only through a correct
+      // inflate — while the JDK-specific compressed size stays out
+      // of the oracle (the compressionRatio rule), covered by spec
+      (s, d) => Multimodal.gzipDocStats(s, Multimodal.packGzipDocs(s,
+          documents(s, d).where(col("doc_id") < 400)
+            .select(col("doc_id")), "doc_id"))
+        .select("media_id", "n_bytes", "byte_sum")
+        .orderBy("media_id"),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 400)
+              SELECT id AS media_id,
+                CAST(id % 900 + 10 AS BIGINT) AS n_bytes,
+                CAST(sum((id * 11 + p.p * 5) % 95 + 32) AS BIGINT)
+                  AS byte_sum
+              FROM ids, range(0, 910) p(p) WHERE p.p < id % 900 + 10
+              GROUP BY 1, 2 ORDER BY media_id""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -1292,6 +1292,113 @@ object Multimodal {
       .toDF("shard_id", "name", "data_off", "size", "byte_sum")
   }
 
+  /** Build a REAL gzip member (RFC 1952): fixed 10-byte header
+    * (mtime 0, OS 255), raw-deflate body, CRC32 + ISIZE trailer —
+    * readable by any gunzip. Deterministic for a fixed JDK zlib
+    * (level pinned), like [[graft.operators.TextAnalysis
+    * .compressionRatio]]. */
+  private[graft] def buildGzip(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      out.write(((v >> (8 * i)) & 0xff).toInt))
+    le32(crc.getValue)
+    le32(data.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** REAL gzip decode (RFC 1952) with the integrity contract a
+    * corpus loader needs: parse the member header (FEXTRA / FNAME /
+    * FCOMMENT / FHCRC fields skipped by their own lengths), inflate
+    * the raw-deflate body, and VERIFY the CRC32 and ISIZE trailer —
+    * a payload that inflates but fails its checksum is corrupt and
+    * screens out, exactly like a bad TAR header. Returns None for
+    * anything malformed. */
+  private[graft] def decodeGzip(bytes: Array[Byte],
+      maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+    try {
+      if (bytes.length < 18 || (bytes(0) & 0xff) != 0x1f ||
+          (bytes(1) & 0xff) != 0x8b || bytes(2) != 8) return None
+      val flg = bytes(3) & 0xff
+      var off = 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+        off += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(off) != 0) off += 1; off += 1 }
+      if ((flg & 16) != 0) { while (bytes(off) != 0) off += 1; off += 1 }
+      if ((flg & 2) != 0) off += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, off, bytes.length - off - 8)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw
+          new IllegalArgumentException("truncated deflate")
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes) throw
+          new IllegalArgumentException("oversize")
+      }
+      inf.end()
+      val data = out.toByteArray
+      def le32(o: Int): Long =
+        (0 until 4).map(i => (bytes(o + i) & 0xffL) << (8 * i)).sum
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val tOff = bytes.length - 8
+      if (le32(tOff) != crc.getValue ||
+          le32(tOff + 4) != (data.length.toLong & 0xffffffffL)) None
+      else Some(data)
+    } catch { case _: Exception => None }
+
+  /** Deterministic gzip'd text shards: member of id is
+    * `id mod 900 + 10` printable bytes, byte p = `(id·11 + p·5) mod
+    * 95 + 32` — the decoded stats replay as id algebra while the
+    * engine must run the REAL inflate + CRC verification to reach
+    * them. */
+  def packGzipDocs(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val n = (id % 900 + 10).toInt
+      (id, buildGzip(Array.tabulate(n)(p =>
+        ((id * 11 + p.toLong * 5) % 95 + 32).toByte)))
+    }.toDF("media_id", "media")
+  }
+
+  /** Decoded-member stats through the real gzip decode: per payload,
+    * compressed size, decoded size, exact decoded byte sum (the
+    * content fingerprint), and the compression ratio in floored ppm.
+    * Corrupt members (bad magic, truncated deflate, CRC/ISIZE
+    * mismatch) screen out, not throw. */
+  def gzipDocStats(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGzip(bytes).map { data =>
+            var sum = 0L
+            var i = 0
+            while (i < data.length) { sum += data(i) & 0xff; i += 1 }
+            (id, bytes.length.toLong, data.length.toLong, sum,
+              bytes.length.toLong * 1000000L / math.max(1L, data.length))
+          }
+        }
+      }
+      .toDF("media_id", "n_compressed", "n_bytes", "byte_sum",
+        "ratio_ppm")
+  }
+
   /** Perceptual average-hash (aHash) through the REAL image decode:
     * sample an 8×8 grid (nearest-neighbor — source pixel
     * (u·w div 8, v·h div 8), integer algebra an oracle replays), and

@@ -341,6 +341,37 @@ class AudioSpec extends SparkSpec {
     finally java.nio.file.Files.delete(f)
   }
 
+  test("gzip: round-trip, gunzip interop, CRC tamper screens, FNAME skip") {
+    val data = Array.tabulate(500)(i => ((i * 7) % 95 + 32).toByte)
+    val gz = Multimodal.buildGzip(data)
+    assert(Multimodal.decodeGzip(gz).exists(_.sameElements(data)))
+    // a flipped payload byte must fail the CRC, not return wrong data
+    val bad = gz.clone(); bad(15) = (bad(15) ^ 0x01).toByte
+    assert(Multimodal.decodeGzip(bad).isEmpty)
+    // truncation screens
+    assert(Multimodal.decodeGzip(gz.take(gz.length - 4)).isEmpty)
+    // a header with FNAME set (as real gzip tools write) still decodes
+    val named = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 8, 0, 0, 0, 0, 0,
+        0xff.toByte))
+      out.write("member.txt".getBytes("US-ASCII")); out.write(0)
+      out.write(gz, 10, gz.length - 10)
+      out.toByteArray
+    }
+    assert(Multimodal.decodeGzip(named).exists(_.sameElements(data)))
+    // interop: system gunzip must recover the same bytes
+    val f = java.nio.file.Files.createTempFile("graft_gz", ".gz")
+    java.nio.file.Files.write(f, gz)
+    try {
+      val p = new ProcessBuilder("gzip", "-dc", f.toString).start()
+      val out = p.getInputStream.readAllBytes
+      if (p.waitFor() == 0)
+        assert(out.sameElements(data), "system gunzip disagrees")
+    } catch { case _: java.io.IOException => () }
+    finally java.nio.file.Files.delete(f)
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
