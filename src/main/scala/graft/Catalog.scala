@@ -7056,6 +7056,37 @@ object Catalog {
               FROM ids, range(0, 910) p(p) WHERE p.p < id % 900 + 10
               GROUP BY 1, 2 ORDER BY media_id""")),
 
+    QueryDef("x145_shard_pipeline",
+      // the WebDataset READ PATH end to end: real ustar shards whose
+      // members are real gzip files — per shard, ONE partition-
+      // parallel pass walks the verified tar headers, slices each
+      // member at its claimed offset, gunzips it under CRC/ISIZE
+      // verification, and emits decoded doc stats. No shuffle, no
+      // join, blobs never leave their partition — the loader shape a
+      // multimodal training job runs over thousands of shards. The
+      // oracle replays decoded sizes and byte sums from the synthesis
+      // formula, reachable only through a correct walk + slice +
+      // inflate chain
+      (s, d) => Multimodal.shardDocStats(s, Multimodal.packWebShards(s,
+          documents(s, d).where(col("doc_id") < 400)
+            .select(col("doc_id")), "doc_id"))
+        .orderBy("shard_id", "name"),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 400),
+              mem AS (SELECT id, j.j AS j,
+                        CAST((id * 7 + j.j * 13) % 900 + 10 AS BIGINT)
+                          AS n_bytes
+                      FROM ids, range(0, 4) j(j) WHERE j.j < id % 3 + 2),
+              sums AS (SELECT m.id AS id, m.j AS j, m.n_bytes AS n_bytes,
+                         CAST(sum((m.id * 11 + m.j * 17 + p.p * 5) % 95
+                           + 32) AS BIGINT) AS byte_sum
+                       FROM mem m, range(0, 910) p(p) WHERE p.p < m.n_bytes
+                       GROUP BY 1, 2, 3)
+              SELECT id AS shard_id,
+                'doc-' || id || '-' || j || '.txt.gz' AS name,
+                n_bytes, byte_sum
+              FROM sums ORDER BY shard_id, name""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

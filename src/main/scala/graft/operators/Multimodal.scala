@@ -1221,10 +1221,62 @@ object Multimodal {
     }.toDF("media_id", "media")
   }
 
+  /** Walk a ustar archive's headers: Some(members as (name, absolute
+    * data offset, size)) — or None when any header fails its SPEC
+    * checksum, an octal field is malformed, or a member claims bytes
+    * past the end (a corrupt shard screens WHOLE; partial trust of a
+    * broken archive is how loaders read garbage). */
+  private[graft] def walkTarHeaders(bytes: Array[Byte])
+      : Option[Seq[(String, Long, Long)]] =
+    try {
+      val rows = scala.collection.mutable.Buffer
+        .empty[(String, Long, Long)]
+      var off = 0
+      var done = false
+      while (!done && off + 512 <= bytes.length) {
+        if ((0 until 512).forall(i => bytes(off + i) == 0)) done = true
+        else {
+          // checksum: header summed with bytes 148-155 as spaces
+          var ck = 0L
+          var i = 0
+          while (i < 512) {
+            ck += (if (i >= 148 && i < 156) ' '.toInt
+              else bytes(off + i) & 0xff)
+            i += 1
+          }
+          def octAt(o: Int, len: Int): Long = {
+            var v = 0L; var j = o
+            while (j < o + len && bytes(off + j) != 0 &&
+                bytes(off + j) != ' ') {
+              val c = bytes(off + j) - '0'
+              if (c < 0 || c > 7)
+                throw new IllegalArgumentException("bad octal")
+              v = v * 8 + c; j += 1
+            }
+            v
+          }
+          if (octAt(148, 8) != ck)
+            throw new IllegalArgumentException("bad checksum")
+          val nameEnd = (0 until 100)
+            .indexWhere(i => bytes(off + i) == 0) match {
+            case -1 => 100
+            case n => n
+          }
+          val name = new String(bytes, off, nameEnd, "US-ASCII")
+          val size = octAt(124, 12)
+          val dataOff = off + 512L
+          if (dataOff + size > bytes.length)
+            throw new IllegalArgumentException("truncated member")
+          rows += ((name, dataOff, size))
+          off += 512 + (((size + 511) / 512) * 512).toInt
+        }
+      }
+      Some(rows.toSeq)
+    } catch { case _: Exception => None }
+
   /** REAL TAR member enumeration — the shard-manifest scan a
     * WebDataset-style corpus needs before any member is touched: walk
-    * the 512-byte headers (octal size parse, SPEC checksum VERIFIED —
-    * a corrupted header screens the whole shard), emit one row per
+    * the 512-byte headers ([[walkTarHeaders]]), emit one row per
     * member with its name, absolute data offset, size, and the exact
     * byte sum of the member data (the cheap content fingerprint;
     * summing forces a real read of the member bytes at their claimed
@@ -1236,57 +1288,16 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          try {
-            val rows = scala.collection.mutable.Buffer
-              .empty[(Long, String, Long, Long, Long)]
-            var off = 0
-            var done = false
-            while (!done && off + 512 <= bytes.length) {
-              if ((0 until 512).forall(i => bytes(off + i) == 0)) done = true
-              else {
-                // checksum: header summed with bytes 148-155 as spaces
-                var ck = 0L
-                var i = 0
-                while (i < 512) {
-                  ck += (if (i >= 148 && i < 156) ' '.toInt
-                    else bytes(off + i) & 0xff)
-                  i += 1
-                }
-                def octAt(o: Int, len: Int): Long = {
-                  var v = 0L; var j = o
-                  while (j < o + len && bytes(off + j) != 0 &&
-                      bytes(off + j) != ' ') {
-                    val c = bytes(off + j) - '0'
-                    if (c < 0 || c > 7)
-                      throw new IllegalArgumentException("bad octal")
-                    v = v * 8 + c; j += 1
-                  }
-                  v
-                }
-                if (octAt(148, 8) != ck)
-                  throw new IllegalArgumentException("bad checksum")
-                val nameEnd = (0 until 100)
-                  .indexWhere(i => bytes(off + i) == 0) match {
-                  case -1 => 100
-                  case n => n
-                }
-                val name = new String(bytes, off, nameEnd, "US-ASCII")
-                val size = octAt(124, 12)
-                val dataOff = off + 512L
-                if (dataOff + size > bytes.length)
-                  throw new IllegalArgumentException("truncated member")
-                var sum = 0L
-                var p = 0
-                while (p < size) {
-                  sum += bytes((dataOff + p).toInt) & 0xff
-                  p += 1
-                }
-                rows += ((id, name, dataOff, size, sum))
-                off += 512 + (((size + 511) / 512) * 512).toInt
+          walkTarHeaders(bytes).iterator.flatMap(_.iterator.map {
+            case (name, dataOff, size) =>
+              var sum = 0L
+              var p = 0
+              while (p < size) {
+                sum += bytes((dataOff + p).toInt) & 0xff
+                p += 1
               }
-            }
-            rows.iterator
-          } catch { case _: Exception => Iterator.empty }
+              (id, name, dataOff, size, sum)
+          })
         }
       }
       .toDF("shard_id", "name", "data_off", "size", "byte_sum")
@@ -1397,6 +1408,56 @@ object Multimodal {
       }
       .toDF("media_id", "n_compressed", "n_bytes", "byte_sum",
         "ratio_ppm")
+  }
+
+  /** Deterministic WebDataset shards FOR REAL: ustar archives whose
+    * members are genuine gzip files — member j of shard id is
+    * `doc-<id>-<j>.txt.gz` wrapping `(id·7 + j·13) mod 900 + 10`
+    * printable bytes, byte p = `(id·11 + j·17 + p·5) mod 95 + 32`. */
+  def packWebShards(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val members = (0 until (id % 3 + 2).toInt).map { j =>
+        val n = ((id * 7 + j * 13) % 900 + 10).toInt
+        (s"doc-$id-$j.txt.gz", buildGzip(Array.tabulate(n)(p =>
+          ((id * 11 + j * 17 + p.toLong * 5) % 95 + 32).toByte)))
+      }
+      (id, buildTar(members))
+    }.toDF("media_id", "media")
+  }
+
+  /** The WebDataset READ PATH end to end, in ONE partition-parallel
+    * pass with no shuffle and no join: per shard, walk the tar
+    * headers ([[walkTarHeaders]] — checksums verified), slice each
+    * member's bytes at its claimed offset, gunzip it
+    * ([[decodeGzip]] — CRC32/ISIZE verified), and emit the decoded
+    * doc stats. A corrupt shard screens whole; a corrupt member
+    * screens alone (its siblings survive — tar headers are
+    * per-member trustworthy once their checksums pass). This is the
+    * loader shape a multimodal training job runs over thousands of
+    * shards: blobs never leave their partition, and the only state
+    * per task is one member's decoded bytes. */
+  def shardDocStats(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          walkTarHeaders(bytes).iterator.flatMap(_.iterator.flatMap {
+            case (name, dataOff, size) =>
+              val member = java.util.Arrays.copyOfRange(
+                bytes, dataOff.toInt, (dataOff + size).toInt)
+              decodeGzip(member).map { data =>
+                var sum = 0L
+                var p = 0
+                while (p < data.length) { sum += data(p) & 0xff; p += 1 }
+                (id, name, data.length.toLong, sum)
+              }
+          })
+        }
+      }
+      .toDF("shard_id", "name", "n_bytes", "byte_sum")
   }
 
   /** Perceptual average-hash (aHash) through the REAL image decode:

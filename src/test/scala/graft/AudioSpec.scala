@@ -372,6 +372,17 @@ class AudioSpec extends SparkSpec {
     finally java.nio.file.Files.delete(f)
   }
 
+  test("shard pipeline: a corrupt member screens alone, siblings survive") {
+    val good = Multimodal.buildGzip(Array.tabulate(50)(_.toByte))
+    val bad = good.clone(); bad(12) = (bad(12) ^ 0x7f).toByte
+    val tar = Multimodal.buildTar(Seq(
+      ("ok-a.gz", good), ("broken.gz", bad), ("ok-b.gz", good)))
+    val out = Multimodal.shardDocStats(spark,
+        Seq((9L, tar)).toDF("media_id", "media"))
+      .collect().map(_.getString(1)).sorted
+    assert(out.toSeq == Seq("ok-a.gz", "ok-b.gz"))
+  }
+
   test("undecodable payloads are screened out, not thrown") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)),
         (2L, "RIFFxxxxWAVE".getBytes("US-ASCII")))
