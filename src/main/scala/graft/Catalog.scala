@@ -7087,6 +7087,27 @@ object Catalog {
                 n_bytes, byte_sum
               FROM sums ORDER BY shard_id, name""")),
 
+    QueryDef("x146_shard_roundtrip",
+      // the WebDataset WRITE path closed into a round-trip identity:
+      // real documents pack into real shards (groupByKey on the id-
+      // range shard key, one shard materialized per task) and the
+      // full read path recovers every document byte-for-byte — the
+      // oracle compares the md5 of each DECODED member against
+      // DuckDB's own md5 of the original text, so one byte anywhere
+      // in the gzip/tar/slice/inflate chain and the digests diverge.
+      // This is the corpus-export shape a training job consumes
+      (s, d) => Multimodal.shardDocDigests(s, Multimodal.writeWebShards(
+          documents(s, d).where(col("doc_id") < 400)
+            .select(col("doc_id"), col("text")), "doc_id", "text",
+          docsPerShard = 16))
+        .orderBy("shard_id", "name"),
+      Some("""SELECT doc_id // 16 AS shard_id,
+                'doc-' || doc_id || '.txt.gz' AS name,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                md5(text) AS digest
+              FROM documents WHERE doc_id < 400
+              ORDER BY shard_id, name""")),
+
     QueryDef("x120_gif_pixels",
       // REAL GIF pixel decode (r11, the third real-decode leg after
       // PNG and WAV): complete GIF89a payloads with GENUINELY

@@ -1460,6 +1460,56 @@ object Multimodal {
       .toDF("shard_id", "name", "n_bytes", "byte_sum")
   }
 
+  /** The WebDataset WRITE path: pack a curated corpus INTO shards —
+    * each group of `docsPerShard` documents (by id range, so shard
+    * membership is a pure function of the data) becomes one real
+    * ustar archive of real gzip members `doc-<id>.txt.gz`. The
+    * groupByKey shuffles (id, text) rows once on the shard key and
+    * each task materializes ONE shard's members at a time — memory
+    * is bounded by docsPerShard × doc size, never the corpus. */
+  def writeWebShards(docs: DataFrame, idCol: String, textCol: String,
+      docsPerShard: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / docsPerShard)
+      .mapGroups { (shard, it) =>
+        val members = it.toSeq.sortBy(_._1).map { case (id, t) =>
+          (s"doc-$id.txt.gz", buildGzip(t.getBytes("UTF-8")))
+        }
+        (shard, buildTar(members))
+      }
+      .toDF("media_id", "media")
+  }
+
+  /** Member digests through the full shard read path: per member,
+    * decoded size and the md5 hex of the decoded bytes — the
+    * strongest possible round-trip check (one byte anywhere in the
+    * walk/slice/inflate chain and the digest diverges), and directly
+    * comparable to any SQL engine's md5 over the original text. */
+  def shardDocDigests(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          walkTarHeaders(bytes).iterator.flatMap(_.iterator.flatMap {
+            case (name, dataOff, size) =>
+              val member = java.util.Arrays.copyOfRange(
+                bytes, dataOff.toInt, (dataOff + size).toInt)
+              decodeGzip(member).map { data =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                val hex = md.digest(data)
+                  .map(b => f"${b & 0xff}%02x").mkString
+                (id, name, data.length.toLong, hex)
+              }
+          })
+        }
+      }
+      .toDF("shard_id", "name", "n_bytes", "digest")
+  }
+
   /** Perceptual average-hash (aHash) through the REAL image decode:
     * sample an 8×8 grid (nearest-neighbor — source pixel
     * (u·w div 8, v·h div 8), integer algebra an oracle replays), and
