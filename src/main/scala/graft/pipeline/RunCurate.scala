@@ -29,6 +29,10 @@ import graft.operators.Curate
   *                     curated_spanfree/ (the funnel's doc/fuzzy tiers
   *                     drop whole near-copies; this removes the copied
   *                     paragraphs they are too coarse to see)
+  *  --shards N         also export the curated corpus as WebDataset
+  *                     shards (real ustar archives of real gzip
+  *                     members, N docs per shard) under shards/ —
+  *                     the packaging a training loader consumes
   *
   * Outputs under outDir:
   *  curated/           surviving documents (doc_id, text, lang_id,
@@ -46,6 +50,7 @@ object RunCurate {
     var scrubPii = false
     var evalPath: Option[String] = None
     var stripSpans: Option[Int] = None
+    var shards: Option[Int] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -57,6 +62,9 @@ object RunCurate {
         case "--strip-spans" =>
           require(i + 1 < args.length, "--strip-spans needs a token width")
           stripSpans = Some(args(i + 1).toInt); i += 1
+        case "--shards" =>
+          require(i + 1 < args.length, "--shards needs a docs-per-shard count")
+          shards = Some(args(i + 1).toInt); i += 1
         case other => positional += other
       }
       i += 1
@@ -76,7 +84,7 @@ object RunCurate {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     val eval = evalPath.map(p => spark.read.parquet(p))
     run(spark, docs, outDir, Curate.Config(scrubPii = scrubPii), eval,
-      stripSpans)
+      stripSpans, shards)
     spark.stop()
   }
 
@@ -89,7 +97,8 @@ object RunCurate {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       cfg: Curate.Config = Curate.Config(),
       eval: Option[DataFrame] = None,
-      stripSpans: Option[Int] = None): Seq[(String, Long)] = {
+      stripSpans: Option[Int] = None,
+      shards: Option[Int] = None): Seq[(String, Long)] = {
     def timed[A](stage: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -122,7 +131,20 @@ object RunCurate {
           "span_tokens_removed" -> r.getLong(1))
       }
     }
-    val fullReport = report ++ spanKeys
+    // optional shard export: package the curated corpus as WebDataset
+    // shards from the durable seam (the curated/ read-back), the
+    // packaging a training loader consumes; round-trip identity is
+    // the x146 contract
+    val shardKeys = shards.toSeq.map { n =>
+      timed("shards") {
+        val cur = spark.read.parquet(s"$outDir/curated")
+        graft.operators.Multimodal
+          .writeWebShards(cur, "doc_id", "text", n)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/shards")
+        "n_shards" -> spark.read.parquet(s"$outDir/shards").count()
+      }
+    }
+    val fullReport = report ++ spanKeys ++ shardKeys
     fullReport.foreach { case (stage, n) =>
       println(f"[curate] $stage%-12s $n%d")
     }
