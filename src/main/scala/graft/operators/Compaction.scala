@@ -171,11 +171,27 @@ object Compaction {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The filesystem POINTER I/O must use: the checksum-wrapped local
+    * FS renames a file and its `.crc` sidecar in TWO steps, so a
+    * hammering reader can pair a freshly-renamed `_current` with the
+    * previous generation's sidecar and fail the read with a checksum
+    * error (caught by AtomicSwapSpec's hammer). The pointer's
+    * integrity comes from the atomic rename of the fully-written
+    * manifest, not from a sidecar — so the pointer bypasses the
+    * checksum layer entirely (object stores and HDFS are unaffected:
+    * they are not ChecksumFileSystems). */
+  private def rawFsFor(spark: SparkSession, p: String)
+      : org.apache.hadoop.fs.FileSystem =
+    fsFor(spark, p) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   /** The data directory a reader should scan: `<root>/<gen>` when the
     * `_current` pointer exists, `root` itself otherwise (plain
     * layout — backward compatible). */
   def resolveData(spark: SparkSession, root: String): String = {
-    val fs = fsFor(spark, root)
+    val fs = rawFsFor(spark, root)
     val ptr = new org.apache.hadoop.fs.Path(root, "_current")
     if (!fs.exists(ptr)) root
     else {
@@ -214,7 +230,11 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_current.tmp.${java.util.UUID.randomUUID()}")
-    val fs = fsFor(spark, root)
+    // raw fs: no .crc sidecar for the pointer (see rawFsFor), so the
+    // OVERWRITE rename below moves exactly one file; a checksum-layer
+    // rename also deletes any legacy destination sidecar (src has
+    // none), so stale-crc pairings age out of pre-existing tables
+    val fs = rawFsFor(spark, root)
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(

@@ -4,10 +4,14 @@ import graft.operators.{Audio, Multimodal}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Audio curation operators: windowing through the real PCM decode,
-  * VAD segmentation semantics, fingerprinting, and Hamming-LSH
-  * near-dup detection (planted-copy recovery). */
-class AudioSpec extends SparkSpec {
+/** The MEDIA families end to end: audio windowing/VAD/resample/
+  * normalization through the real PCM decode, perceptual image
+  * hashing through the real image decodes, Hamming-LSH near-dup
+  * detection and the persisted fingerprint index lifecycle, the MP4
+  * box walk, and the TAR/gzip/WebDataset container chain — every
+  * operator exercised on planted corpora with in-process replays of
+  * the synthesis rules. */
+class MediaSpec extends SparkSpec {
 
   import spark.implicits._
 
