@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Audio, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, Pq, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, Urls, ZOrder}
+import graft.operators.{AsOfJoin, Audio, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, Pq, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, TxLog, Urls, ZOrder}
 import graft.pipeline.AirQuality
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -150,6 +150,24 @@ object Catalog {
       .reduce(_.join(_, Seq("l_suppkey"), "full_outer"))
       .orderBy("l_suppkey")
   }
+
+  /** A fresh (deleted-if-present) TxLog table root for the x147–x151
+    * family — per (tag, sf dir) so queries are idempotent across
+    * verify re-runs and never collide across SFs. */
+  private def freshTxRoot(s: SparkSession, tag: String, d: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_tx_${tag}_" +
+      Integer.toHexString(d.hashCode)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    root
+  }
+
+  /** The x147–x151 base slice: (doc_id, text) under 2000 — 500 docs
+    * at sf0.001/0.01, 2000 at sf0.1. */
+  private def txDocs(s: SparkSession, d: String) =
+    documents(s, d).where(col("doc_id") < 2000)
+      .select(col("doc_id"), col("text"))
 
   val entries: Seq[QueryDef] = Seq(
 
@@ -7852,7 +7870,133 @@ object Catalog {
                 CAST(sum(qv[1] * qv[2]) AS BIGINT) AS g01,
                 CAST(sum(list_sum(list_transform(qv, x -> x * x)))
                   AS BIGINT) AS g_trace
-              FROM q"""))
+              FROM q""")),
+
+    // ===================================== transactional tables (TxLog)
+    QueryDef("x147_tx_snapshot",
+      // the TRANSACTIONAL table layer (r12 — the residual gap the
+      // Lease + `_current` pointer story left open): three concurrent-
+      // safe APPEND commits land through the atomic manifest claim and
+      // a snapshot-isolated read folds the log back to exactly the
+      // union — every row byte-accounted via md5 against the source
+      // table, so one lost/duplicated commit or misfolded manifest
+      // diverges. The log is metadata-sized; data dirs are immutable
+      // parquet the read plans directly
+      (s, d) => {
+        val root = freshTxRoot(s, "snap", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 3 === k), Some("doc_id")))
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 ORDER BY doc_id""")),
+
+    QueryDef("x148_tx_time_travel",
+      // TIME TRAVEL: the same fold stopped at version 2 — the third
+      // commit's rows must be invisible even though they are on disk.
+      // Historical versions are first-class reads (audits, repro,
+      // incremental consumers), not a recovery path
+      (s, d) => {
+        val root = freshTxRoot(s, "travel", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 3 === k), Some("doc_id")))
+        TxLog.snapshot(s, root, asOf = Some(2))
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 AND doc_id % 3 < 2
+              ORDER BY doc_id""")),
+
+    QueryDef("x149_tx_rewrite",
+      // OPTIMISTIC REWRITE vs a mid-flight append: the rewrite reads
+      // its snapshot, an APPEND commits underneath it (claim
+      // collision), and the rewrite retries past it removing ONLY the
+      // inputs it read — the interleaved append's rows survive next
+      // to the filtered rewrite output. This is the compaction-vs-
+      // ingest interleaving a multi-writer lake runs daily
+      (s, d) => {
+        val root = freshTxRoot(s, "rw", d)
+        TxLog.append(s, root, txDocs(s, d), Some("doc_id"))
+        TxLog.rewrite(s, root, Some("doc_id")) { snap =>
+          TxLog.append(s, root,
+            documents(s, d)
+              .where(col("doc_id") >= 2000 && col("doc_id") < 2400)
+              .select(col("doc_id"), col("text")), Some("doc_id"))
+          snap.where(length(col("text")) >= 200)
+        }
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), length(col("text")).as("n_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_len
+              FROM documents
+              WHERE (doc_id < 2000 AND length(text) >= 200)
+                 OR (doc_id >= 2000 AND doc_id < 2400)
+              ORDER BY doc_id""")),
+
+    QueryDef("x150_tx_cdc",
+      // CDC over the commit log: the row-level delta of versions
+      // (1, 4] — the two later appends stream as inserts, the rewrite
+      // as delete-all + re-insert of the filtered survivors (the
+      // honest physical delta). Incremental consumers (downstream
+      // index builds, the intake journeys) read THIS instead of
+      // re-scanning the table
+      (s, d) => {
+        val root = freshTxRoot(s, "cdc", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 3 === k), Some("doc_id")))
+        TxLog.rewrite(s, root, Some("doc_id"))(
+          _.where(length(col("text")) >= 200))
+        TxLog.changes(s, root, fromV = 1, toV = 4)
+          .select(col("__version").as("version"),
+            col("__change").as("change"), col("doc_id"))
+          .orderBy("version", "change", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change,
+                doc_id FROM d WHERE doc_id % 3 = 1
+              UNION ALL
+              SELECT 3, 'insert', doc_id FROM d WHERE doc_id % 3 = 2
+              UNION ALL
+              SELECT 4, 'delete', doc_id FROM d
+              UNION ALL
+              SELECT 4, 'insert', doc_id FROM d WHERE length(text) >= 200
+              ORDER BY version, change, doc_id""")),
+
+    QueryDef("x151_tx_skipping",
+      // MANIFEST-LEVEL FILE SKIPPING: each commit records min/max of
+      // the key from the bytes it committed, and a [500, 900) range
+      // read prunes whole data dirs BEFORE Spark plans the scan
+      // (x122's z-order model one level up: the manifest skips dirs,
+      // row groups skip pages below). Stat-less dirs (the empty
+      // buckets at small SFs) can never be pruned and stay scanned —
+      // the oracle replays the per-bucket stats AND the prune
+      // decision from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "skip", d)
+        val doc = txDocs(s, d)
+        (0 until 10).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 200 && col("doc_id") < (k + 1) * 200),
+          Some("doc_id")))
+        TxLog.pruneAudit(s, root, 500, 900).orderBy("min_key")
+      },
+      Some("""WITH b AS (SELECT k.k AS k FROM range(0, 10) k(k)),
+              g AS (SELECT doc_id // 200 AS k, count(*) AS c,
+                      min(doc_id) AS mn, max(doc_id) AS mx
+                    FROM documents WHERE doc_id < 2000 GROUP BY 1)
+              SELECT coalesce(g.c, 0) AS n_rows, g.mn AS min_key,
+                g.mx AS max_key,
+                CASE WHEN g.mn IS NULL THEN true
+                  ELSE g.mn < 900 AND g.mx >= 500 END AS scanned
+              FROM b LEFT JOIN g ON b.k = g.k
+              ORDER BY min_key"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

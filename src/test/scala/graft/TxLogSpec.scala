@@ -1,0 +1,203 @@
+package graft
+
+import graft.operators.TxLog
+import org.apache.spark.sql.functions._
+
+/** The transactional commit-log table ([[TxLog]]): multi-writer
+  * commits over plain parquet — the piece the Lease + `_current`
+  * pointer story deliberately stopped short of. Pins the commit
+  * protocol (atomic claim, exactly-once versions), snapshot
+  * isolation, time travel, CDC, rewrite validation (appends survive,
+  * input-theft aborts), checkpoint folding, stats pruning, and vacuum
+  * reachability — including a concurrent-appender hammer and a
+  * barrier-forced rewrite/rewrite conflict. */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_tx_$tag").toString + "/t"
+
+  private def docs(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"doc-$i")).toDF("id", "text")
+
+  test("append/snapshot: versions are contiguous and reads are exact") {
+    val root = freshRoot("basic")
+    assert(TxLog.latestVersion(spark, root) === 0)
+    assert(TxLog.append(spark, root, docs(0, 10), Some("id")) === 1)
+    assert(TxLog.append(spark, root, docs(10, 30), Some("id")) === 2)
+    assert(TxLog.latestVersion(spark, root) === 2)
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 30)
+    assert(snap.agg(sum("id")).head().getLong(0) === (0 until 30).sum)
+  }
+
+  test("time travel: asOf resolves every historical version exactly") {
+    val root = freshRoot("travel")
+    TxLog.append(spark, root, docs(0, 5))
+    TxLog.append(spark, root, docs(5, 15))
+    TxLog.append(spark, root, docs(15, 40))
+    assert(TxLog.snapshot(spark, root, Some(1)).count() === 5)
+    assert(TxLog.snapshot(spark, root, Some(2)).count() === 15)
+    assert(TxLog.snapshot(spark, root, Some(3)).count() === 40)
+    // empty-at-v0 is an error, not a silent empty frame
+    intercept[IllegalArgumentException] {
+      TxLog.snapshot(spark, root, Some(0))
+    }
+  }
+
+  test("rewrite: removes exactly what it read; a mid-flight append survives") {
+    val root = freshRoot("rw")
+    TxLog.append(spark, root, docs(0, 100), Some("id"))
+    // the append lands BETWEEN the rewrite's snapshot and its claim —
+    // the rewrite must retry its claim past it and must NOT remove it
+    val v = TxLog.rewrite(spark, root, Some("id")) { snap =>
+      TxLog.append(spark, root, docs(100, 120), Some("id"))
+      snap.where(col("id") < 50)
+    }
+    assert(v === 3)
+    val ids = TxLog.snapshot(spark, root).select("id")
+      .as[Long].collect().sorted
+    assert(ids === ((0L until 50L) ++ (100L until 120L)).toArray)
+  }
+
+  test("rewrite/rewrite race: exactly one wins, the loser aborts with TxConflict") {
+    val root = freshRoot("conflict")
+    TxLog.append(spark, root, docs(0, 60), Some("id"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 2).map { k =>
+      new Thread(() => {
+        try {
+          TxLog.rewrite(spark, root, Some("id")) { snap =>
+            barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            snap.where(col("id") % 2 === k)
+          }
+          outcomes.add(s"win-$k")
+        } catch {
+          case _: TxLog.TxConflictException => outcomes.add(s"abort-$k")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val res = outcomes.toArray(Array.empty[String]).sorted
+    assert(res.count(_.startsWith("win")) === 1, res.mkString(","))
+    assert(res.count(_.startsWith("abort")) === 1, res.mkString(","))
+    // the table reflects exactly the winner's filter
+    val n = TxLog.snapshot(spark, root).count()
+    assert(n === 30, s"expected one parity (30 rows), saw $n")
+  }
+
+  test("hammer: 8 concurrent appenders, every commit lands exactly once") {
+    val root = freshRoot("hammer")
+    val writers = 8; val each = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).flatMap { w =>
+        (0 until each).map { b =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = TxLog.append(spark, root,
+              docs(w * 1000 + b * 100, w * 1000 + b * 100 + 10), Some("id"))
+          })
+        }
+      }
+      val versions = futures.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      // exactly-once, contiguous versions 1..32
+      assert(versions.sorted === (1L to (writers * each)).toVector)
+    } finally pool.shutdown()
+    assert(TxLog.snapshot(spark, root).count() === writers * each * 10L)
+    // snapshot isolation held throughout: every historical version is
+    // a prefix with exactly 10·v rows
+    Seq(1L, 7L, 19L, 32L).foreach { v =>
+      assert(TxLog.snapshot(spark, root, Some(v)).count() === v * 10)
+    }
+  }
+
+  test("checkpoint: reads fold from it and match the full-log fold") {
+    val root = freshRoot("ckpt")
+    (0 until 6).foreach(k => TxLog.append(spark, root, docs(k * 10, k * 10 + 10)))
+    assert(TxLog.checkpoint(spark, root) === 6)
+    (6 until 9).foreach(k => TxLog.append(spark, root, docs(k * 10, k * 10 + 10)))
+    assert(TxLog.snapshot(spark, root).count() === 90)
+    assert(TxLog.snapshot(spark, root, Some(4)).count() === 40) // pre-checkpoint travel still exact
+    // the checkpointed fold names the same live set as the raw fold
+    val (v, live) = TxLog.liveFiles(spark, root)
+    assert(v === 9 && live.size === 9)
+  }
+
+  test("stats pruning: snapshotRange scans only intersecting dirs, results exact") {
+    val root = freshRoot("prune")
+    (0 until 5).foreach(k =>
+      TxLog.append(spark, root, docs(k * 100, k * 100 + 100), Some("id")))
+    val audit = TxLog.pruneAudit(spark, root, 150, 350)
+      .orderBy("min_key").collect()
+    assert(audit.map(_.getBoolean(3)).toSeq ===
+      Seq(false, true, true, true, false))
+    val read = TxLog.snapshotRange(spark, root, "id", 150, 350)
+    assert(read.count() === 200)
+    // the planned scan touches exactly the 3 kept dirs' files
+    val files = read.select(input_file_name()).distinct().as[String].collect()
+    val dirs = files.map(f => f.split('/').dropRight(1).last).distinct
+    assert(dirs.length === 3, dirs.mkString(","))
+    // fully-disjoint range: zero dirs scanned, empty result, schema kept
+    val none = TxLog.snapshotRange(spark, root, "id", 9000, 9999)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "text"))
+  }
+
+  test("CDC: changes replays inserts and rewrite deltas per version") {
+    val root = freshRoot("cdc")
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    TxLog.append(spark, root, docs(10, 20), Some("id"))
+    TxLog.rewrite(spark, root, Some("id"))(_.where(col("id") < 5))
+    val c = TxLog.changes(spark, root, 1, 3)
+      .groupBy("__version", "__change").count()
+      .as[(Long, String, Long)].collect().sorted
+    assert(c === Array((2L, "insert", 10L), (3L, "delete", 20L),
+      (3L, "insert", 5L)))
+  }
+
+  test("vacuum: unreachable dirs and aged orphans go, retained history stays") {
+    val root = freshRoot("vac")
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    TxLog.append(spark, root, docs(10, 20), Some("id"))
+    TxLog.rewrite(spark, root, Some("id"))(_.where(col("id") < 5))
+    // a crashed writer's orphan: data dir, no manifest
+    docs(900, 910).write.parquet(s"$root/data/orphan-crashed")
+    // retain everything: nothing reachable is deleted, the fresh
+    // orphan survives its grace window
+    assert(TxLog.vacuum(spark, root, retainVersions = 10,
+      graceMs = 3600 * 1000).isEmpty)
+    // age the orphan out: grace 0, wide retention — only it goes
+    val gone = TxLog.vacuum(spark, root, retainVersions = 10, graceMs = 0)
+    assert(gone === Seq("data/orphan-crashed"))
+    // the rewrite's removed inputs stay REACHABLE while the rewrite
+    // commit is inside the retention window (CDC must replay there)…
+    assert(TxLog.vacuum(spark, root, retainVersions = 1, graceMs = 0).isEmpty)
+    // …and leave once the window advances past it
+    TxLog.append(spark, root, docs(500, 510), Some("id"))
+    val gone2 = TxLog.vacuum(spark, root, retainVersions = 1, graceMs = 0)
+    assert(gone2.size === 2)
+    assert(TxLog.snapshot(spark, root).count() === 15)
+  }
+
+  test("claim primitive: a full manifest is visible the instant the name exists") {
+    // the create-if-absent publish must never expose a partial file:
+    // hammer readers list+read the log while a writer commits
+    val root = freshRoot("atomic")
+    TxLog.append(spark, root, docs(0, 5), Some("id"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val (_, live) = TxLog.liveFiles(spark, root)
+        // every resolved manifest parses completely: each live file
+        // carries its committed row count
+        if (live.exists(_.rows <= 0)) bad.incrementAndGet()
+      }
+    })
+    reader.start()
+    (1 until 20).foreach(k => TxLog.append(spark, root, docs(k * 5, k * 5 + 5), Some("id")))
+    stop.set(true); reader.join(30000)
+    assert(bad.get() === 0)
+    assert(TxLog.snapshot(spark, root).count() === 100)
+  }
+}
