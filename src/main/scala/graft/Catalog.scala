@@ -169,6 +169,80 @@ object Catalog {
     documents(s, d).where(col("doc_id") < 2000)
       .select(col("doc_id"), col("text"))
 
+  /** The x152–x154 oracle: the FULL Naive Bayes train chain in SQL —
+    * tokenize/bigram/hash the even-doc training slice (the x97
+    * feature algebra, salt `nb`), per-(lang, bucket) counts, the
+    * full-domain smoothed model in Long micro-nats, and log-priors —
+    * ending in `model(lang, bucket, lp)` + `pri(lang, lp)`. */
+  private val nbOracleCtes: String = """trd AS (
+                SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+              trt AS (SELECT lang,
+                  coalesce(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> ''), CAST([] AS VARCHAR[])) AS toks
+                FROM trd),
+              trf AS (SELECT lang, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM trt),
+              trb AS (SELECT lang,
+                  CAST(CAST('0x' || substring(md5('nb:' || feat), 1, 15)
+                    AS BIGINT) % 1024 AS INT) AS bucket
+                FROM trf),
+              cnt AS (SELECT lang, bucket, count(*) AS c
+                      FROM trb GROUP BY 1, 2),
+              tf AS (SELECT lang, count(*) AS t FROM trb GROUP BY 1),
+              nd AS (SELECT lang, count(*) AS n FROM trd GROUP BY 1),
+              tot AS (SELECT count(*) AS n FROM trd),
+              grid AS (SELECT nd.lang AS lang, CAST(b.b AS INT) AS bucket
+                       FROM nd, range(0, 1024) b(b)),
+              model AS (SELECT g.lang, g.bucket,
+                  CAST(round(1000000.0 * (ln(coalesce(c.c, 0) + 1)
+                    - ln(tf.t + 1024))) AS BIGINT) AS lp
+                FROM grid g JOIN tf ON g.lang = tf.lang
+                LEFT JOIN cnt c
+                  ON g.lang = c.lang AND g.bucket = c.bucket),
+              pri AS (SELECT nd.lang,
+                  CAST(round(1000000.0 * (ln(nd.n) - ln(tot.n)))
+                    AS BIGINT) AS lp
+                FROM nd, tot)"""
+
+  /** The x153/x154 classify tail: score the odd-doc test slice under
+    * `model`+`pri`, ending in `pred(doc_id, actual, predicted,
+    * score_unats, n_feats)`. Ties break (score DESC, label DESC) —
+    * the max-of-struct order on the Spark side. */
+  private val nbClassifyCtes: String = nbOracleCtes + """,
+              te AS (SELECT doc_id, lang, text FROM documents
+                     WHERE doc_id % 2 = 1),
+              tet AS (SELECT doc_id,
+                  coalesce(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                    x -> x <> ''), CAST([] AS VARCHAR[])) AS toks
+                FROM te),
+              tef AS (SELECT doc_id, unnest(list_concat(toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+                FROM tet),
+              teb AS (SELECT doc_id,
+                  CAST(CAST('0x' || substring(md5('nb:' || feat), 1, 15)
+                    AS BIGINT) % 1024 AS INT) AS bucket
+                FROM tef),
+              sc AS (SELECT t.doc_id, m.lang AS label,
+                  CAST(p.lp + sum(m.lp) AS BIGINT) AS score,
+                  count(*) AS nf
+                FROM teb t JOIN model m ON t.bucket = m.bucket
+                JOIN pri p ON m.lang = p.lang
+                GROUP BY 1, 2, p.lp),
+              pick AS (SELECT doc_id, label, score, nf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, label DESC) AS rn
+                FROM sc),
+              pred AS (SELECT te.doc_id AS doc_id, te.lang AS actual,
+                  p.label AS predicted, p.score AS score_unats,
+                  p.nf AS n_feats
+                FROM te JOIN pick p
+                  ON te.doc_id = p.doc_id AND p.rn = 1)"""
+
   val entries: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------- S5/S8 + pushdown
@@ -7996,7 +8070,75 @@ object Catalog {
                 CASE WHEN g.mn IS NULL THEN true
                   ELSE g.mn < 900 AND g.mx >= 500 END AS scanned
               FROM b LEFT JOIN g ON b.k = g.k
-              ORDER BY min_key"""))
+              ORDER BY min_key""")),
+
+    // ================================ learned classifier (Naive Bayes)
+    QueryDef("x152_nb_model",
+      // the LEARNED quality/langid filter, training half (r12):
+      // multinomial Naive Bayes over the hashed bag-of-ngrams
+      // features — the fastText-style seed-classifier pattern (GPT-3
+      // quality filter, CCNet langid) in exact algebra. Trained on
+      // the even-doc slice labeled by `lang`; the model is the full
+      // (labels × buckets) grid of add-one-smoothed log-likelihoods
+      // in Long micro-nats plus per-label log-priors (bucket = -1).
+      // Model-sized output; the oracle re-derives every cell from the
+      // raw text
+      (s, d) => {
+        val doc = documents(s, d)
+        Sampling.nbModel(Sampling.nbState(
+            doc.where(col("doc_id") % 2 === 0), "lang", "text"))
+          .orderBy("label", "bucket")
+      },
+      Some(s"""WITH $nbOracleCtes
+              SELECT lang AS label, bucket, lp AS lp_unats FROM model
+              UNION ALL
+              SELECT lang, -1, lp FROM pri
+              ORDER BY label, bucket""")),
+
+    QueryDef("x153_nb_classify",
+      // the classify half: held-out odd docs scored under the frozen
+      // even-doc model — per doc, exact integer `prior + Σ lp` per
+      // label and a max-of-struct argmax (no window, no sort; ties
+      // break toward the larger label both sides). One batch scan +
+      // a broadcast model join + one per-doc hash agg — the shape
+      // that filters 100 TB with a model trained on a seed set
+      (s, d) => {
+        val doc = documents(s, d)
+        val m = Sampling.nbModel(Sampling.nbState(
+          doc.where(col("doc_id") % 2 === 0), "lang", "text"))
+        Sampling.nbClassify(doc.where(col("doc_id") % 2 === 1), m,
+            "doc_id", "text")
+          .select(col("doc_id"), col("lang").as("actual"),
+            col("predicted"), col("score_unats"), col("n_feats"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $nbClassifyCtes
+              SELECT doc_id, actual, predicted, score_unats, n_feats
+              FROM pred ORDER BY doc_id""")),
+
+    QueryDef("x154_nb_confusion",
+      // the measured-loss audit for the learned tier (the x62/x102
+      // rule: every lossy operator ships its accuracy audit): the
+      // held-out confusion matrix — actual × predicted counts — is
+      // what decides whether the seed classifier is good enough to
+      // gate a corpus. Group-count-sized output. On THIS synthetic
+      // corpus it reads 0.436 vs a 0.43 majority base rate — i.e.
+      // "the lang labels carry no token signal here, do not gate on
+      // this model": the audit doing its job
+      (s, d) => {
+        val doc = documents(s, d)
+        val m = Sampling.nbModel(Sampling.nbState(
+          doc.where(col("doc_id") % 2 === 0), "lang", "text"))
+        Sampling.nbClassify(doc.where(col("doc_id") % 2 === 1), m,
+            "doc_id", "text")
+          .groupBy(col("lang").as("actual"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "predicted")
+      },
+      Some(s"""WITH $nbClassifyCtes
+              SELECT actual, predicted, count(*) AS n
+              FROM pred GROUP BY 1, 2
+              ORDER BY actual, predicted"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -901,4 +901,125 @@ object Sampling {
       .orderBy(desc("sel_key"), col(idCol))
       .limit(k)
   }
+
+  // ====================================================================
+  // LEARNED classifier: multinomial Naive Bayes over the hashed
+  // bag-of-ngrams features (r12) — the trainable half of the quality/
+  // language filter family. DSIR scores a likelihood RATIO between two
+  // unlabeled corpora and the LM model scores absolute fluency; NB is
+  // the LABELED form — train on a seed set (human-labeled quality,
+  // known languages), score everything. This is the fastText-style
+  // filter pattern (GPT-3's quality classifier, CCNet's langid) in the
+  // engine's exact algebra: per-(label, bucket) log-probabilities
+  // round ONCE to Long micro-nats, per-doc scores are exact integer
+  // sums, and the argmax is a max-of-struct hash aggregate — the
+  // whole train+classify path is replayable by an external oracle.
+  //
+  // Scale: training is one featurize+explode scan + a hash agg into a
+  // (labels × buckets)-bounded state (mergeable — counts add, so the
+  // state grows batch-by-batch like dsirState); the model broadcasts;
+  // classification is one batch scan + a broadcast join + one per-doc
+  // hash agg. No windows, no driver-side corpora.
+  // ====================================================================
+
+  /** Mergeable NB training state from a labeled frame: per-(label,
+    * bucket) feature counts, plus one `bucket = -1` row per label
+    * carrying its DOCUMENT count (the prior's numerator) — a single
+    * unionable frame so growing the state batch-by-batch is the same
+    * plain sum as [[mergeDsirStates]]. Model-sized: ≤ labels ×
+    * (buckets + 1) rows. */
+  def nbState(df: DataFrame, labelCol: String, textCol: String,
+      buckets: Int = 1024, salt: String = "nb"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val feats = df.select(col(labelCol).as("label"),
+        explode(hashedNgramBuckets(col(textCol), buckets, salt))
+          .as("bucket"))
+      .groupBy("label", "bucket").agg(count(lit(1)).as("n"))
+    val docs = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), lit(-1).as("bucket"), col("n"))
+    feats.unionByName(docs)
+  }
+
+  /** Associative merge of [[nbState]] frames (counts add exactly). */
+  def mergeNbStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeNbStates: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy("label", "bucket").agg(sum(col("n")).as("n"))
+  }
+
+  /** The NB model from a state: FULL-DOMAIN per-(label, bucket)
+    * log-likelihoods `lp_unats = round(1e6 · (ln(c+1) − ln(total_ℓ +
+    * buckets)))` (add-one smoothing — unseen features score the
+    * smoothing floor, never drop) plus per-label log-priors on the
+    * `bucket = -1` rows (`prior_unats = round(1e6 · (ln(docs_ℓ) −
+    * ln(docs)))`). Exactly labels × (buckets + 1) rows — broadcast
+    * material. */
+  def nbModel(state: DataFrame, buckets: Int = 1024): DataFrame = {
+    val spark = state.sparkSession
+    val labels = state.select("label").distinct()
+    val domain = spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val featTotals = state.where(col("bucket") >= 0)
+      .groupBy("label").agg(sum(col("n")).as("__tf"))
+    val docCounts = state.where(col("bucket") === -1)
+      .groupBy("label").agg(sum(col("n")).as("__nd"))
+    val allDocs = docCounts.agg(sum(col("__nd")).as("__tot"))
+    val lps = labels.crossJoin(domain)
+      .join(state.where(col("bucket") >= 0), Seq("label", "bucket"), "left")
+      .join(featTotals, Seq("label"))
+      .select(col("label"), col("bucket"),
+        round(lit(1e6) * (log(coalesce(col("n"), lit(0L)) + 1.0) -
+            log(col("__tf") + buckets.toDouble)), 0)
+          .cast("long").as("lp_unats"))
+    val priors = docCounts.crossJoin(broadcast(allDocs))
+      .select(col("label"), lit(-1).as("bucket"),
+        round(lit(1e6) * (log(col("__nd").cast("double")) -
+            log(col("__tot").cast("double"))), 0)
+          .cast("long").as("lp_unats"))
+    lps.unionByName(priors)
+  }
+
+  /** Classify `batch` under an [[nbModel]]: per doc, the argmax-label
+    * of `prior_ℓ + Σ_features lp_ℓ(bucket)` — exact integer sums, the
+    * argmax a single `max(struct(score, label))` hash aggregate (ties
+    * break toward the LARGER label, deterministically). Docs with no
+    * features (empty normalized text) fall back to the prior-only
+    * argmax. Output: all `batch` columns + `predicted`, `score_unats`,
+    * `n_feats`. One batch scan + a broadcast model join + one per-doc
+    * hash agg — no windows, no corpus shuffle. */
+  def nbClassify(batch: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024,
+      salt: String = "nb"): DataFrame = {
+    val priors = model.where(col("bucket") === -1)
+      .select(col("label"), col("lp_unats").as("__prior"))
+    val fb = batch.select(col(idCol),
+      explode(hashedNgramBuckets(col(textCol), buckets, salt))
+        .as("bucket"))
+    val perLabel = fb
+      .join(broadcast(model.where(col("bucket") >= 0)), Seq("bucket"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("lp_unats")).as("__s"), count(lit(1)).as("__nf"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col(idCol), col("label"),
+        (col("__s") + col("__prior")).as("__score"), col("__nf"))
+    val pick = perLabel.groupBy(col(idCol))
+      .agg(max(struct(col("__score"), col("label"))).as("__p"),
+        max(col("__nf")).as("n_feats"))
+      .select(col(idCol), col("__p.label").as("predicted"),
+        col("__p.__score").as("score_unats"), col("n_feats"))
+    // prior-only fallback for feature-less docs: a 1-row broadcast
+    val fallback = priors
+      .agg(max(struct(col("__prior"), col("label"))).as("__f"))
+      .select(col("__f.label").as("__fb_label"),
+        col("__f.__prior").as("__fb_score"))
+    batch.join(pick, Seq(idCol), "left")
+      .crossJoin(broadcast(fallback))
+      .withColumn("predicted",
+        coalesce(col("predicted"), col("__fb_label")))
+      .withColumn("score_unats",
+        coalesce(col("score_unats"), col("__fb_score")))
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .drop("__fb_label", "__fb_score")
+  }
 }
