@@ -8114,7 +8114,8 @@ object Catalog {
       },
       Some(s"""WITH $nbClassifyCtes
               SELECT doc_id, actual, predicted, score_unats, n_feats
-              FROM pred ORDER BY doc_id""")),
+              FROM pred ORDER BY doc_id"""),
+      headline = true),
 
     QueryDef("x154_nb_confusion",
       // the measured-loss audit for the learned tier (the x62/x102

@@ -645,7 +645,21 @@ object Sampling {
     * KEPT — these are bag models, unlike the set-semantics
     * [[graft.operators.TextAnalysis.shinglesFromTokens]]. Returns an
     * array column; empty/null text yields an empty array. */
+  /** The family featurizer: hashed unigram+bigram buckets, as the
+    * NATIVE codegen expression [[graft.functions.NgramBuckets]] —
+    * bit-identical to [[hashedNgramBucketsReference]] (spec-pinned),
+    * ~9x faster at sf0.1 (NbAB: the interpreted HOF chain cost 4.0 s
+    * where the native scan costs under 0.5 s — and this is the map
+    * stage of every DSIR/LM/NB corpus scan). */
   private def hashedNgramBuckets(text: Column, buckets: Int,
+      salt: String): Column =
+    graft.functions.NgramBuckets.column(text, buckets, salt)
+
+  /** The original column-algebra form — the exact algebra the DuckDB
+    * oracles replay (x97, x152-x154), kept as the equivalence
+    * REFERENCE for the native expression (FunctionsSpec + NbAB
+    * compare them row-for-row). */
+  private[graft] def hashedNgramBucketsReference(text: Column, buckets: Int,
       salt: String): Column = {
     val toks = graft.operators.TextAnalysis.tokens(text)
     val bigrams = when(size(toks) >= 2,
@@ -957,16 +971,23 @@ object Sampling {
     * material. */
   def nbModel(state: DataFrame, buckets: Int = 1024): DataFrame = {
     val spark = state.sparkSession
-    val labels = state.select("label").distinct()
+    // the state plan carries the TRAINING CORPUS scan; this model
+    // derivation branches it 4 ways (labels, feature totals, doc
+    // counts, the lp join) and Catalyst re-executes each branch (the
+    // q08 un-sharing rule). The state is model-sized (≤ labels ×
+    // (buckets+1) rows), so pin it ONCE — the corpus is scanned
+    // exactly once no matter how many branches read the state
+    val st = state.localCheckpoint()
+    val labels = st.select("label").distinct()
     val domain = spark.range(buckets)
       .select(col("id").cast("int").as("bucket"))
-    val featTotals = state.where(col("bucket") >= 0)
+    val featTotals = st.where(col("bucket") >= 0)
       .groupBy("label").agg(sum(col("n")).as("__tf"))
-    val docCounts = state.where(col("bucket") === -1)
+    val docCounts = st.where(col("bucket") === -1)
       .groupBy("label").agg(sum(col("n")).as("__nd"))
     val allDocs = docCounts.agg(sum(col("__nd")).as("__tot"))
     val lps = labels.crossJoin(domain)
-      .join(state.where(col("bucket") >= 0), Seq("label", "bucket"), "left")
+      .join(st.where(col("bucket") >= 0), Seq("label", "bucket"), "left")
       .join(featTotals, Seq("label"))
       .select(col("label"), col("bucket"),
         round(lit(1e6) * (log(coalesce(col("n"), lit(0L)) + 1.0) -

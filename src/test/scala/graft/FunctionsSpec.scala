@@ -1426,4 +1426,44 @@ class FunctionsSpec extends SparkSpec {
     // the identical vector is in the same Voronoi cell by construction
     assert(got.headOption.contains(42L))
   }
+
+  test("NgramBuckets: native == reference column algebra on every edge") {
+    import graft.functions.NgramBuckets
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "the quick brown fox"),              // plain multi-token
+      (2L, "one"),                              // single token, no bigram
+      (3L, ""),                                 // empty -> empty array
+      (4L, "...!!!   ??"),                      // punctuation-only -> empty
+      (5L, "  UPPER lower 123 MiXeD  "),        // case + digits + padding
+      (6L, "a b a b a"),                        // repeated features KEPT
+      (7L, "café naïve 中文 mix"), // unicode separators
+      (8L, null.asInstanceOf[String]),          // null -> null (row drops)
+      (9L, "x" * 300)                           // one very long token
+    ).toDF("id", "text")
+    for (buckets <- Seq(1, 7, 1024); salt <- Seq("nb", "dsir", "")) {
+      val bad = docs.select(col("id"),
+          NgramBuckets.column(col("text"), buckets, salt).as("n"),
+          Sampling.hashedNgramBucketsReference(col("text"), buckets, salt)
+            .as("r"))
+        .where(not(col("n") <=> col("r")))
+        .collect()
+      assert(bad.isEmpty,
+        s"buckets=$buckets salt=$salt diverged: ${bad.mkString("; ")}")
+    }
+    // semantics pinned directly: unigrams then bigrams, duplicates kept
+    val row = docs.where(col("id") === 6)
+      .select(NgramBuckets.column(col("text"), 1024, "t"))
+      .head().getSeq[Int](0)
+    assert(row.length === 9, "5 unigrams + 4 bigrams")
+    assert(row(0) === row(2) && row(0) === row(4), "repeated 'a' collides")
+    assert(row(5) === row(7), "repeated bigram 'a b' collides")
+    // null in -> EMPTY array (the reference's coalesce behavior);
+    // empty in -> empty array
+    val nulls = docs.select(col("id"),
+      NgramBuckets.column(col("text"), 64, "t").as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(nulls(8L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+    assert(nulls(3L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+  }
 }

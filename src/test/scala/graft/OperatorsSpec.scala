@@ -2004,4 +2004,58 @@ class OperatorsSpec extends SparkSpec {
     assert(r(6L).getLong(1) == 0L && !r(6L).getAs[Boolean]("pass"),
       s"null text must count as empty and never pass: ${r(6L)}")
   }
+
+  test("nbClassify: planted disjoint vocab separates perfectly; grown " +
+      "state == one-shot; feature-less docs fall back to the prior argmax") {
+    // two classes with DISJOINT vocabularies — the x154 confusion
+    // audit on the synthetic corpus reads ~base-rate (no signal
+    // there); this pins that the classifier DOES separate when
+    // signal exists
+    val seed = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma delta alpha beta", "good")
+      else (i.toLong, "zork quux blarg wibble zork quux", "bad")
+    }.toDF("doc_id", "text", "label")
+    val B = 256
+    val st = Sampling.nbState(seed, "label", "text", buckets = B, salt = "t")
+    val model = Sampling.nbModel(st, buckets = B)
+    assert(model.count() === 2L * (B + 1),
+      "model must cover the full (labels x buckets) grid + 2 priors")
+    val test = Seq(
+      (100L, "alpha gamma delta"),                  // pure good vocab
+      (101L, "wibble blarg zork"),                  // pure bad vocab
+      (102L, "alpha beta zork"),                    // majority good
+      (103L, "...!!!...")                           // normalizes empty
+    ).toDF("doc_id", "text")
+    val byId = Sampling.nbClassify(test, model, "doc_id", "text",
+        buckets = B, salt = "t")
+      .select("doc_id", "predicted", "n_feats")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(byId(100L)._1 === "good" && byId(101L)._1 === "bad")
+    assert(byId(102L)._1 === "good")
+    // feature-less doc: n_feats 0, predicted = prior argmax (equal
+    // doc counts -> tie breaks toward the LARGER label = "good")
+    assert(byId(103L) === ("good", 0L))
+    // grown state == one-shot state, bit-identically
+    val a = seed.where(col("doc_id") < 20)
+    val b = seed.where(col("doc_id") >= 20)
+    def toMapSt(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    assert(toMapSt(Sampling.mergeNbStates(Seq(
+      Sampling.nbState(a, "label", "text", B, "t"),
+      Sampling.nbState(b, "label", "text", B, "t")))) === toMapSt(st))
+  }
+
+  test("nbClassify plans a broadcast model join and no window/sort") {
+    val seed = Seq((1L, "a b", "x"), (2L, "c d", "y"))
+      .toDF("doc_id", "text", "label")
+    val model = Sampling.nbModel(
+      Sampling.nbState(seed, "label", "text", 64, "t"), 64)
+    val plan = Sampling.nbClassify(seed.select("doc_id", "text"), model,
+      "doc_id", "text", 64, "t").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must not window:\n$plan")
+  }
 }
