@@ -213,6 +213,38 @@ object Dedup {
     exactMetaCache.computeIfAbsent(path, _ =>
       spark.read.parquet(s"$path/meta").collect()(0).getAs[Int]("n_shards"))
 
+  /** The digests table of a [[buildExactIndex]] layout, tolerating the
+    * EMPTIED state: a takedown that removes every remaining row
+    * reclaims all shard dirs ([[rewriteShards]]), leaving a directory
+    * with no parquet files — which plain `read.parquet` rejects
+    * (UNABLE_TO_INFER_SCHEMA). An emptied index is a legitimate state
+    * (a full-retention purge; a CDC consumer replaying a rewrite's
+    * delete-all-then-reinsert delta), so reads fall back to an empty
+    * frame with the canonical schema and the index stays probe-able
+    * and append-able. */
+  private def readDigestsOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/digests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData: Boolean = {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (fs.exists(dir) && hasData) spark.read.parquet(s"$path/digests")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("digest",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__shard",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   // Bloom sidecar parameters for the exact index (fixed — the layout
   // is self-consistent as long as build/append/probe share them).
   private val bloomK = 7
@@ -296,7 +328,7 @@ object Dedup {
           .select(col("term").as("digest"))
         inRows0.join(maybe, Seq("digest"), "left_semi")
       }
-    val idx0 = spark.read.parquet(s"$path/digests")
+    val idx0 = readDigestsOrEmpty(spark, path)
     val idx =
       if (!staticPrune) idx0
       else {
@@ -402,13 +434,13 @@ object Dedup {
     val shards = targets.select("__shard").distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
     if (shards.isEmpty) return IndexDeleteReport(0L, Nil)
-    val pruned = spark.read.parquet(s"$path/digests")
+    val pruned = readDigestsOrEmpty(spark, path)
       .where(col("__shard").isin(shards: _*))
     val doomed = targets.select("id").distinct()
     val before = pruned.count()
     val remaining = pruned.join(doomed, Seq("id"), "left_anti")
     rewriteShards(spark, s"$path/digests", "__shard", shards, remaining)
-    val after = spark.read.parquet(s"$path/digests")
+    val after = readDigestsOrEmpty(spark, path)
       .where(col("__shard").isin(shards: _*)).count()
     IndexDeleteReport(before - after, shards)
   }

@@ -179,6 +179,62 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, root).count() === 15)
   }
 
+  test("CDC drives the growing exact-dedup index to equal a one-shot build") {
+    // the incremental-consumer contract: a downstream index maintained
+    // ONLY from changes() — never re-scanning the table — lands in the
+    // same state as a fresh build from the head snapshot. The rewrite's
+    // physical delta (delete-all + re-insert) replays cleanly because
+    // the consumer applies each version's deletes before its inserts.
+    import graft.operators.Dedup
+    val root = freshRoot("cdcidx")
+    val base = java.nio.file.Files.createTempDirectory("graft_cdcidx").toString
+    val grown = s"$base/grown"; val oneShot = s"$base/oneshot"
+    def text(c: org.apache.spark.sql.Column) = concat(lit("payload-"), c % 37)
+    TxLog.append(spark, root,
+      docs(0, 100).withColumn("text", text(col("id"))), Some("id"))
+    TxLog.append(spark, root,
+      docs(100, 200).withColumn("text", text(col("id"))), Some("id"))
+    TxLog.rewrite(spark, root, Some("id"))(_.where(col("id") < 150))
+    // consumer: replay versions 1..head in order, deletes before inserts
+    var inited = false
+    (1L to TxLog.latestVersion(spark, root)).foreach { v =>
+      val delta = TxLog.changes(spark, root, v - 1, v)
+      val dels = delta.where(col("__change") === "delete")
+      val ins = delta.where(col("__change") === "insert")
+      if (inited && !dels.isEmpty)
+        Dedup.deleteFromExactIndex(spark, grown, dels, "id", col("text"))
+      if (!inited) {
+        Dedup.buildExactIndex(ins, "id", col("text"), grown, nShards = 8)
+        inited = true
+      } else if (!ins.isEmpty)
+        Dedup.appendToExactIndex(spark, grown, ins, "id", col("text"))
+    }
+    Dedup.buildExactIndex(TxLog.snapshot(spark, root), "id", col("text"),
+      oneShot, nShards = 8)
+    def rows(p: String) = spark.read.parquet(s"$p/digests")
+      .select("id", "digest").as[(Long, String)].collect().sorted.toSeq
+    assert(rows(grown) === rows(oneShot))
+    assert(rows(grown).map(_._1).toSet === (0L until 150L).toSet)
+  }
+
+  test("an index emptied by takedown stays probe-able and append-able") {
+    // the delete-all edge the CDC consumer hits on every rewrite
+    // (physical delta = delete-all + re-insert): all shards reclaim,
+    // and reads must see an empty index, not UNABLE_TO_INFER_SCHEMA
+    import graft.operators.Dedup
+    val path = java.nio.file.Files.createTempDirectory("graft_emptyidx")
+      .toString + "/idx"
+    val all = docs(0, 50)
+    Dedup.buildExactIndex(all, "id", col("text"), path, nShards = 4)
+    val rep = Dedup.deleteFromExactIndex(spark, path, all, "id", col("text"))
+    assert(rep.rowsDeleted === 50)
+    assert(Dedup.probeExactIndex(spark, path, docs(0, 5), "id",
+      col("text")).count() === 0)
+    Dedup.appendToExactIndex(spark, path, docs(10, 20), "id", col("text"))
+    assert(Dedup.probeExactIndex(spark, path, docs(0, 50), "id",
+      col("text")).count() === 10)
+  }
+
   test("claim primitive: a full manifest is visible the instant the name exists") {
     // the create-if-absent publish must never expose a partial file:
     // hammer readers list+read the log while a writer commits
