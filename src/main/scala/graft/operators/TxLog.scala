@@ -74,9 +74,13 @@ object TxLog {
   final case class AddFile(dir: String, rows: Long,
       min: Option[Long], max: Option[Long])
 
-  /** One manifest: `action` is `append`, `rewrite` or `checkpoint`. */
+  /** One manifest: `action` is `append`, `rewrite` or `checkpoint`.
+    * `schema` is the committed frame's DDL — the table's schema PIN
+    * (the RunIntake rule: a drifted batch is a loud error, never a
+    * silently unreadable mixed-schema table). */
   final case class TxCommit(version: Long, action: String,
-      adds: Seq[AddFile], removes: Seq[String], statsCol: Option[String])
+      adds: Seq[AddFile], removes: Seq[String], statsCol: Option[String],
+      schema: Option[String] = None)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -160,6 +164,7 @@ object TxLog {
     }
     var action = "append"
     var statsCol: Option[String] = None
+    var schema: Option[String] = None
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
     text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
@@ -168,6 +173,7 @@ object TxLog {
       k match {
         case "action" => action = value
         case "statscol" => statsCol = Some(value)
+        case "schema" => schema = Some(value)
         case "add" =>
           val f = value.split('|')
           def opt(s: String) = if (s == "-") None else Some(s.toLong)
@@ -176,14 +182,17 @@ object TxLog {
         case _ => // forward-compatible: unknown keys ignored
       }
     }
-    TxCommit(version, action, adds.result(), removes.result(), statsCol)
+    TxCommit(version, action, adds.result(), removes.result(), statsCol,
+      schema)
   }
 
   private def renderManifest(action: String, adds: Seq[AddFile],
-      removes: Seq[String], statsCol: Option[String]): Array[Byte] = {
+      removes: Seq[String], statsCol: Option[String],
+      schema: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("action=").append(action).append('\n')
     statsCol.foreach(c => sb.append("statscol=").append(c).append('\n'))
+    schema.foreach(d => sb.append("schema=").append(d).append('\n'))
     adds.foreach { a =>
       def opt(o: Option[Long]) = o.map(_.toString).getOrElse("-")
       sb.append("add=").append(a.dir).append('|').append(a.rows)
@@ -250,6 +259,24 @@ object TxLog {
     (math.min(target, commitVs.max), live.values.toSeq)
   }
 
+  /** The table's pinned schema: the newest commit that carries one
+    * (every commit written by this code does; pre-pin manifests are
+    * tolerated as None — no enforcement on legacy logs). Commits are
+    * never deleted (only data dirs vacuum), so the scan always
+    * terminates at the founding commit. */
+  def pinnedSchema(spark: SparkSession, root: String): Option[String] =
+    listLog(spark, root).collect { case (v, "commit", n) => (v, n) }
+      .sortBy(-_._1).iterator
+      .map(e => readManifest(spark, root, e._2).schema)
+      .collectFirst { case Some(d) => d }
+
+  /** Nullability-normalized single-line DDL — the pin's equality form
+    * (a parquet read-back relaxes nullability; that must not read as
+    * drift). */
+  private def ddlOf(df: DataFrame): String =
+    org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
+
   // ------------------------------------------------------------------
   // writes
   // ------------------------------------------------------------------
@@ -278,12 +305,20 @@ object TxLog {
   private val MaxClaimRetries = 1000
 
   /** APPEND `df` as one commit. Blind adds commute with every other
-    * commit, so claim collisions simply retry at the new head.
-    * Returns the committed version. */
+    * commit, so claim collisions simply retry at the new head. The
+    * batch must match the table's pinned schema (loud fail BEFORE any
+    * write — a drifted producer never lands a byte); a [[rewrite]] is
+    * the sanctioned way to change the schema. Returns the committed
+    * version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None): Long = {
+    val ddl = ddlOf(df)
+    pinnedSchema(spark, root).foreach(p => require(p == ddl,
+      s"append: schema drift on $root — table pins [$p], batch is " +
+        s"[$ddl]; an intentional change is a rewrite, not an append"))
     val add = writeDataDir(spark, root, df, statsCol)
-    val bytes = renderManifest("append", Seq(add), Seq.empty, statsCol)
+    val bytes = renderManifest("append", Seq(add), Seq.empty, statsCol,
+      Some(ddl))
     var attempt = 0
     var v = latestVersion(spark, root) + 1
     while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
@@ -308,9 +343,13 @@ object TxLog {
     val (v0, live0) = liveFiles(spark, root)
     require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
     val snap = spark.read.parquet(live0.map(f => s"$root/${f.dir}"): _*)
-    val add = writeDataDir(spark, root, transform(snap), statsCol)
+    val out = transform(snap)
+    val add = writeDataDir(spark, root, out, statsCol)
     val removes = live0.map(_.dir)
-    val bytes = renderManifest("rewrite", Seq(add), removes, statsCol)
+    // a rewrite REPLACES the table, so its schema becomes the new pin
+    // (the sanctioned schema-change path — Delta's overwriteSchema)
+    val bytes = renderManifest("rewrite", Seq(add), removes, statsCol,
+      Some(ddlOf(out)))
     val mine = removes.toSet
     var attempt = 0
     var v = v0 + 1

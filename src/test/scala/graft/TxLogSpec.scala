@@ -217,6 +217,37 @@ class TxLogSpec extends SparkSpec {
     assert(rows(grown).map(_._1).toSet === (0L until 150L).toSet)
   }
 
+  test("schema pin: a drifted append fails loud before writing; rewrite re-pins") {
+    val root = freshRoot("schema")
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    // drifted batch: loud error, no version consumed, no orphan dir
+    val drifted = (10 until 20).map(i => (i.toLong, s"d-$i", 1.5))
+      .toDF("id", "text", "score")
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, root, drifted, Some("id"))
+    }
+    assert(TxLog.latestVersion(spark, root) === 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .length === 1, "the drifted batch must not land a byte")
+    // nullability relaxation is NOT drift (parquet read-backs relax)
+    TxLog.append(spark, root,
+      spark.read.parquet(TxLog.liveFiles(spark, root)._2
+        .map(f => s"$root/${f.dir}").head), Some("id"))
+    assert(TxLog.latestVersion(spark, root) === 2)
+    // rewrite is the sanctioned schema change: it re-pins...
+    TxLog.rewrite(spark, root, Some("id"))(
+      _.withColumn("score", lit(1.0)))
+    // ...so the OLD shape is now the drifted one and the NEW one lands
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, root, docs(90, 95), Some("id"))
+    }
+    TxLog.append(spark, root,
+      docs(90, 95).withColumn("score", lit(2.0)), Some("id"))
+    assert(TxLog.snapshot(spark, root).count() === 25)
+  }
+
   test("an index emptied by takedown stays probe-able and append-able") {
     // the delete-all edge the CDC consumer hits on every rewrite
     // (physical delta = delete-all + re-insert): all shards reclaim,

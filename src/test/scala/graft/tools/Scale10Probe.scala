@@ -55,11 +55,13 @@ object Scale10Probe {
     val defaultPicks = Seq("q19_agg_pricing", "q20_star_join", "x03_minhash_lsh",
       "x06_knn_cosine", "x10_quality", "x44_chunk_dedup",
       "x82_substring_dedup", "x88_bpe_train", "x30_sequence_packing",
-      "x97_lm_score", "x114_kmv_distinct", "x116_overlap_matrix")
+      "x97_lm_score", "x114_kmv_distinct", "x116_overlap_matrix",
+      "x153_nb_classify")
     // bare args (non --flags) narrow the run to those families
     // media rows are custom thunks, not catalog queries — route their
     // labels past the catalog pick loop
-    val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup")
+    val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
+      "txlog_fold")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -118,6 +120,36 @@ object Scale10Probe {
             "doc_id", math.max(1L, n / 2)))
         graft.operators.Dedup.hammingNearDupPairs(sigs, 4, 16)
       })
+    }
+    // TxLog METADATA scaling: snapshot resolution cost vs COMMIT
+    // COUNT (the axis that grows on a long-lived table — data dirs
+    // are opaque to the fold). Expect ~linear in commits without a
+    // checkpoint, and FLAT after one (fold = one checkpoint manifest
+    // + zero commits) — the numbers behind the "readers fold from the
+    // latest checkpoint" claim.
+    if (args.filterNot(_.startsWith("--")).isEmpty ||
+        args.contains("txlog_fold")) {
+      import graft.operators.TxLog
+      val rng = spark.range(16).selectExpr("id", "CAST(id AS STRING) AS v")
+      def build(commits: Int): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_tx$commits").toString + "/t"
+        (1 to commits).foreach(_ => TxLog.append(spark, root, rng, Some("id")))
+        root
+      }
+      def foldFloor(root: String): Double = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        TxLog.liveFiles(spark, root)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val r100 = build(100); val r1000 = build(1000)
+      val a = foldFloor(r100); val b = foldFloor(r1000)
+      Console.err.println(
+        f"[scale10] txlog_fold_100v1000c   $a%8.3f $b%8.3f ${b / a}%6.2f")
+      TxLog.checkpoint(spark, r1000)
+      val c = foldFloor(r1000)
+      Console.err.println(
+        f"[scale10] txlog_fold_1000c_ckpt  $b%8.3f $c%8.3f ${c / b}%6.2f  (post-checkpoint)")
     }
     spark.stop()
   }
