@@ -476,6 +476,18 @@ object TxLog {
     * Returns the deleted root-relative dirs. */
   def vacuum(spark: SparkSession, root: String, retainVersions: Int,
       graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val doomed = vacuumCandidates(spark, root, retainVersions, graceMs)
+    val fs = rawFs(spark, root)
+    doomed.foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), true))
+    doomed
+  }
+
+  /** [[vacuum]]'s plan without the deletes — the dry-run surface
+    * ([[graft.pipeline.RunGc]] reports these before an `--apply`). */
+  def vacuumCandidates(spark: SparkSession, root: String,
+      retainVersions: Int,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val head = latestVersion(spark, root)
     if (head == 0) return Seq.empty
     val horizon = math.max(1L, head - retainVersions + 1)
@@ -489,15 +501,10 @@ object TxLog {
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     if (!fs.exists(dataDir)) return Seq.empty
     val now = System.currentTimeMillis()
-    val deleted = Seq.newBuilder[String]
-    fs.listStatus(dataDir).foreach { st =>
-      val rel = s"data/${st.getPath.getName}"
-      if (!reachable.contains(rel) &&
-          now - st.getModificationTime >= graceMs) {
-        fs.delete(st.getPath, true)
-        deleted += rel
-      }
-    }
-    deleted.result()
+    fs.listStatus(dataDir).toSeq.collect {
+      case st if !reachable.contains(s"data/${st.getPath.getName}") &&
+          now - st.getModificationTime >= graceMs =>
+        s"data/${st.getPath.getName}"
+    }.sorted
   }
 }

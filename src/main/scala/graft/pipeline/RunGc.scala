@@ -123,9 +123,19 @@ object RunGc {
     // grace (previous) copy are crash remnants — a writer died before
     // its flip. Invisible to readers; reclaimable space.
     val orphanGens = scala.collection.mutable.Buffer[(String, Long)]()
+    val txTables = scala.collection.mutable.Buffer[String]()
     def walk(p: org.apache.hadoop.fs.Path, depth: Int): Unit = {
       if (depth > maxDepth) return
       val children = fs.listStatus(p)
+      // transactional tables are leaves: their data dirs are commit-
+      // addressed (reachability comes from the LOG, not the listing),
+      // so the generic orphan rules must not touch them — TxLog's own
+      // vacuum plan is the authority
+      if (children.exists(c =>
+          c.isDirectory && c.getPath.getName == "_txlog")) {
+        txTables += p.toUri.getPath
+        return
+      }
       val pointered = children.exists(c =>
         c.isFile && c.getPath.getName == "_current")
       if (pointered) {
@@ -226,7 +236,25 @@ object RunGc {
           s"max-files-per-partition=$worst"))
       else None
     }.toSeq
-    val all = swapFindings ++ orphanFindings ++ fileFindings
+    // tx tables: report (and under --apply, vacuum) data dirs no
+    // retained reader can reach, under the SAME age gate as the other
+    // orphan classes — a manifest-less dir younger than the cutoff
+    // may be an in-flight writer's. No lease needed: commits are
+    // atomic and vacuum's grace window already excludes live writers.
+    val txFindings = txTables.sorted.flatMap { t =>
+      val graceMs = ageMinutes * 60000L
+      val plan = graft.operators.TxLog.vacuumCandidates(
+        spark, t, retainVersions = 10, graceMs = graceMs)
+      val applied =
+        if (apply && plan.nonEmpty)
+          graft.operators.TxLog.vacuum(spark, t,
+            retainVersions = 10, graceMs = graceMs).toSet
+        else Set.empty[String]
+      plan.map(rel => Finding(s"$t/$rel", "tx-unreachable-data",
+        if (!apply) "would-vacuum"
+        else if (applied.contains(rel)) "vacuumed" else "skipped"))
+    }.toSeq
+    val all = swapFindings ++ orphanFindings ++ fileFindings ++ txFindings
     val json = all.map(f =>
         s"""{"path":"${f.path}","kind":"${f.kind}","action":"${f.action}"}""")
       .mkString("", "\n", "\n")

@@ -266,6 +266,37 @@ class TxLogSpec extends SparkSpec {
       col("text")).count() === 10)
   }
 
+  test("RunGc treats a tx table as a leaf: reports, applies TxLog's own vacuum plan") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_gc_tx").toString
+    val root = s"$lake/events_tx"
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    TxLog.rewrite(spark, root, Some("id"))(_.where(col("id") < 5))
+    // advance the window so the rewrite's removed input leaves it
+    (0 until 10).foreach(k =>
+      TxLog.append(spark, root, docs(100 + k, 101 + k), Some("id")))
+    docs(900, 905).write.parquet(s"$root/data/orphan-crashed")
+    // dry-run (aged): the unreachable dir + the orphan are REPORTED,
+    // nothing deleted, and the generic orphan rules never fire inside
+    // the tx leaf (no 'orphan-generation'/'compaction-candidate' rows)
+    val dry = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 0)
+    val txDry = dry.filter(_.kind == "tx-unreachable-data")
+    assert(txDry.size === 2 && txDry.forall(_.action === "would-vacuum"),
+      dry.mkString("; "))
+    assert(dry.forall(f => f.kind == "tx-unreachable-data"),
+      s"generic rules leaked into the tx leaf: ${dry.mkString("; ")}")
+    val n0 = TxLog.snapshot(spark, root).count()
+    // apply: vacuumed, table still reads, re-run is clean
+    val applied = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 0,
+      apply = true)
+    assert(applied.filter(_.kind == "tx-unreachable-data")
+      .forall(_.action === "vacuumed"), applied.mkString("; "))
+    assert(TxLog.snapshot(spark, root).count() === n0)
+    assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 0).isEmpty)
+    // young orphans survive the age gate
+    docs(950, 955).write.parquet(s"$root/data/orphan-young")
+    assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60).isEmpty)
+  }
+
   test("claim primitive: a full manifest is visible the instant the name exists") {
     // the create-if-absent publish must never expose a partial file:
     // hammer readers list+read the log while a writer commits

@@ -89,8 +89,9 @@ object Scale10Probe {
     // their synth corpora for oracle practicality — see ScaleProbe):
     // documents ×10 here, so these measure the decode/window/LSH data
     // terms one decade past the harness maximum
-    if (args.filterNot(_.startsWith("--")).isEmpty ||
-        args.exists(mediaLabels)) {
+    val runAll = args.filterNot(_.startsWith("--")).isEmpty
+    if (runAll || args.contains("audio_vad_fullwidth") ||
+        args.contains("image_ahash_neardup")) {
       def mediaFloor(label: String,
           f: DataFrame => DataFrame): Unit = {
         def one(d: String): Double = (1 to reps).map { _ =>
@@ -106,6 +107,7 @@ object Scale10Probe {
         Console.err.println(
           f"[scale10] $label%-24s $a%8.3f $b%8.3f ${b / a}%6.2f")
       }
+      if (runAll || args.contains("audio_vad_fullwidth"))
       mediaFloor("audio_vad_fullwidth", docs =>
         graft.operators.Audio.vadSegments(graft.operators.Audio
           .audioWindows(spark, graft.operators.Audio
@@ -113,6 +115,7 @@ object Scale10Probe {
       // band-bits scale with log2(N) (the SCALE.md rule): 16-bit
       // bands give 65k buckets/band, so 50k signatures stay under the
       // bucket cap — Hamming-<=2 pairs still agree on >=2 of 4 bands
+      if (runAll || args.contains("image_ahash_neardup"))
       mediaFloor("image_ahash_neardup", { docs =>
         val n = docs.count()
         val sigs = graft.operators.Multimodal.imageAHash(spark,
@@ -127,8 +130,7 @@ object Scale10Probe {
     // checkpoint, and FLAT after one (fold = one checkpoint manifest
     // + zero commits) — the numbers behind the "readers fold from the
     // latest checkpoint" claim.
-    if (args.filterNot(_.startsWith("--")).isEmpty ||
-        args.contains("txlog_fold")) {
+    if (runAll || args.contains("txlog_fold")) {
       import graft.operators.TxLog
       val rng = spark.range(16).selectExpr("id", "CAST(id AS STRING) AS v")
       def build(commits: Int): String = {
