@@ -8072,6 +8072,32 @@ object Catalog {
               FROM b LEFT JOIN g ON b.k = g.k
               ORDER BY min_key""")),
 
+    QueryDef("x155_tx_idempotent",
+      // REPLAY-SAFE intake through the txn token (Delta's
+      // SetTransaction pattern — the foreachBatch sink contract): the
+      // middle batch is delivered TWICE (the crash-replay a streaming
+      // producer actually does) and commits exactly once, so the
+      // snapshot equals the plain union — byte-accounted via md5. The
+      // replay's pre-written data dir is an invisible orphan vacuum
+      // reclaims
+      (s, d) => {
+        val root = freshTxRoot(s, "idem", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach { k =>
+          TxLog.appendIdempotent(s, root,
+            doc.where(col("doc_id") % 3 === k), "intake", k + 1L,
+            Some("doc_id"))
+          if (k == 1) TxLog.appendIdempotent(s, root, // the replay
+            doc.where(col("doc_id") % 3 === k), "intake", k + 1L,
+            Some("doc_id"))
+        }
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 ORDER BY doc_id""")),
+
     // ================================ learned classifier (Naive Bayes)
     QueryDef("x152_nb_model",
       // the LEARNED quality/langid filter, training half (r12):

@@ -77,10 +77,11 @@ object TxLog {
   /** One manifest: `action` is `append`, `rewrite` or `checkpoint`.
     * `schema` is the committed frame's DDL — the table's schema PIN
     * (the RunIntake rule: a drifted batch is a loud error, never a
-    * silently unreadable mixed-schema table). */
+    * silently unreadable mixed-schema table). `txn` is the producer's
+    * (appId, batchId) idempotence token (see [[appendIdempotent]]). */
   final case class TxCommit(version: Long, action: String,
       adds: Seq[AddFile], removes: Seq[String], statsCol: Option[String],
-      schema: Option[String] = None)
+      schema: Option[String] = None, txn: Option[(String, Long)] = None)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -165,6 +166,7 @@ object TxLog {
     var action = "append"
     var statsCol: Option[String] = None
     var schema: Option[String] = None
+    var txn: Option[(String, Long)] = None
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
     text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
@@ -174,6 +176,9 @@ object TxLog {
         case "action" => action = value
         case "statscol" => statsCol = Some(value)
         case "schema" => schema = Some(value)
+        case "txn" =>
+          val bar = value.lastIndexOf('|')
+          txn = Some((value.take(bar), value.drop(bar + 1).toLong))
         case "add" =>
           val f = value.split('|')
           def opt(s: String) = if (s == "-") None else Some(s.toLong)
@@ -183,16 +188,19 @@ object TxLog {
       }
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
-      schema)
+      schema, txn)
   }
 
   private def renderManifest(action: String, adds: Seq[AddFile],
       removes: Seq[String], statsCol: Option[String],
-      schema: Option[String] = None): Array[Byte] = {
+      schema: Option[String] = None,
+      txn: Option[(String, Long)] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("action=").append(action).append('\n')
     statsCol.foreach(c => sb.append("statscol=").append(c).append('\n'))
     schema.foreach(d => sb.append("schema=").append(d).append('\n'))
+    txn.foreach { case (a, b) =>
+      sb.append("txn=").append(a).append('|').append(b).append('\n') }
     adds.foreach { a =>
       def opt(o: Option[Long]) = o.map(_.toString).getOrElse("-")
       sb.append("add=").append(a.dir).append('|').append(a.rows)
@@ -328,6 +336,67 @@ object TxLog {
       v = math.max(latestVersion(spark, root) + 1, v + 1)
     }
     v
+  }
+
+  /** The version that committed `(appId, batchId)`, if any — scans
+    * commit manifests newest-first (commits are never deleted, only
+    * data dirs vacuum, so the token record is durable). O(commits)
+    * worst case when absent; producers that care cache their own
+    * high-water mark. */
+  def txnVersion(spark: SparkSession, root: String, appId: String,
+      batchId: Long): Option[Long] =
+    listLog(spark, root).collect { case (v, "commit", n) => (v, n) }
+      .sortBy(-_._1).iterator
+      .map(e => readManifest(spark, root, e._2))
+      .collectFirst {
+        case c if c.txn.contains((appId, batchId)) => c.version }
+
+  /** IDEMPOTENT append — the replay-safe producer contract (Delta's
+    * txn/SetTransaction pattern; the sink shape a Structured
+    * Streaming `foreachBatch((df, id) => appendIdempotent(..., id))`
+    * needs for effectively-once delivery): a batch identified by
+    * `(appId, batchId)` commits AT MOST ONCE no matter how many times
+    * it is re-delivered. Returns (version, committedNow) — a replay
+    * returns the original version with `false` and its already-written
+    * data dir is left as a vacuum-reclaimable orphan.
+    *
+    * Race-closed by the validate-then-claim-head+1 loop: the token
+    * check is valid for the head it observed, and the claim targets
+    * exactly head+1 — a concurrent commit of the same token either
+    * lands at ≤ head (seen by the check) or takes head+1 itself (our
+    * claim fails → revalidate). Versions only ever land at head+1, so
+    * no same-token commit can slip past both. */
+  def appendIdempotent(spark: SparkSession, root: String, df: DataFrame,
+      appId: String, batchId: Long,
+      statsCol: Option[String] = None): (Long, Boolean) = {
+    require(!appId.contains('|') && !appId.contains('\n'),
+      s"appendIdempotent: appId must not contain '|' or newlines: $appId")
+    txnVersion(spark, root, appId, batchId) match {
+      case Some(v) => return (v, false)
+      case None =>
+    }
+    val ddl = ddlOf(df)
+    pinnedSchema(spark, root).foreach(p => require(p == ddl,
+      s"appendIdempotent: schema drift on $root — table pins [$p], " +
+        s"batch is [$ddl]"))
+    val add = writeDataDir(spark, root, df, statsCol)
+    val bytes = renderManifest("append", Seq(add), Seq.empty, statsCol,
+      Some(ddl), Some((appId, batchId)))
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(spark, root)
+      txnVersion(spark, root, appId, batchId) match {
+        case Some(v) => return (v, false) // replay lost the race; dir -> vacuum
+        case None =>
+      }
+      if (publishIfAbsent(spark, root, manifestName(head + 1, "commit"),
+          bytes))
+        return (head + 1, true)
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"appendIdempotent: no claim after $MaxClaimRetries tries")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** REWRITE the table: read the current snapshot, write

@@ -266,6 +266,40 @@ class TxLogSpec extends SparkSpec {
       col("text")).count() === 10)
   }
 
+  test("appendIdempotent: a replayed batch commits at most once, even racing") {
+    val root = freshRoot("idem")
+    val (v1, did1) = TxLog.appendIdempotent(spark, root, docs(0, 10),
+      "intake", 1L, Some("id"))
+    assert(v1 === 1 && did1)
+    // sequential replay: same version back, nothing committed
+    val (v1b, did1b) = TxLog.appendIdempotent(spark, root, docs(0, 10),
+      "intake", 1L, Some("id"))
+    assert(v1b === 1 && !did1b)
+    assert(TxLog.latestVersion(spark, root) === 1)
+    assert(TxLog.snapshot(spark, root).count() === 10)
+    // a different appId with the same batchId is a DIFFERENT producer
+    val (v2, did2) = TxLog.appendIdempotent(spark, root, docs(10, 20),
+      "backfill", 1L, Some("id"))
+    assert(v2 === 2 && did2)
+    // racing replays of one batch: exactly one commits
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    val ts = (0 until 2).map(_ => new Thread(() => {
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      results.add(TxLog.appendIdempotent(spark, root, docs(20, 30),
+        "intake", 2L, Some("id")))
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    val rs = results.toArray(Array.empty[(Long, Boolean)])
+    assert(rs.count(_._2) === 1, rs.mkString(","))
+    assert(rs.map(_._1).distinct.length === 1, "both must see ONE version")
+    assert(TxLog.snapshot(spark, root).count() === 30)
+    // the loser's orphan dir is vacuum-reclaimable; the table keeps 3 dirs
+    val gone = TxLog.vacuum(spark, root, retainVersions = 10, graceMs = 0)
+    assert(gone.size <= 1) // 1 when the race produced a loser dir
+    assert(TxLog.snapshot(spark, root).count() === 30)
+  }
+
   test("RunGc treats a tx table as a leaf: reports, applies TxLog's own vacuum plan") {
     val lake = java.nio.file.Files.createTempDirectory("graft_gc_tx").toString
     val root = s"$lake/events_tx"
