@@ -473,4 +473,35 @@ class StreamingSpec extends SparkSpec {
     // dropped against the grown index; 110..114 are novel -> admitted
     assert(admitted == ((0L until 10L) ++ (110L until 115L)))
   }
+
+  test("streaming sink through TxLog.appendIdempotent: exactly-once per batch, " +
+      "snapshot == all streamed rows, replay is a no-op") {
+    import graft.operators.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tx_stream")
+      .toString + "/t"
+    val dir = eventsDir
+    val q = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+      .select(col("event_id"), col("event_type"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the replay-safe producer wiring: the streaming engine may
+        // re-deliver a batch id after a crash; the token dedupes it
+        TxLog.appendIdempotent(spark, root, batch, "event-sink", id,
+          Some("event_id"))
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = TxLog.snapshot(spark, root)
+    val expected = spark.read.parquet(dir).count()
+    assert(streamed.count() === expected)
+    // simulate the engine re-delivering batch 0 after recovery
+    val (v, committed) = TxLog.appendIdempotent(spark, root,
+      spark.read.parquet(dir).select(col("event_id"), col("event_type")),
+      "event-sink", 0L, Some("event_id"))
+    assert(!committed && v === 1)
+    assert(TxLog.snapshot(spark, root).count() === expected)
+  }
 }
