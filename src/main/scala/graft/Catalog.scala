@@ -8098,6 +8098,36 @@ object Catalog {
       Some("""SELECT doc_id, md5(text) AS digest
               FROM documents WHERE doc_id < 2000 ORDER BY doc_id""")),
 
+    QueryDef("x156_tx_optimize",
+      // OPTIMIZE with range re-clustering (the Delta OPTIMIZE
+      // analogue, r12): arrival-order appends each span the whole key
+      // range (id % 5 slices here), so manifest stats prune NOTHING —
+      // one transactional rewrite re-clusters the snapshot into fixed-
+      // width key buckets (one pass, one shuffle, each bucket its own
+      // AddFile with tight min/max) and range reads prune again. The
+      // oracle replays the bucket arithmetic (width = ceil(span/8))
+      // and every stat + prune decision from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "opt", d)
+        val doc = txDocs(s, d)
+        (0 until 5).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 5 === k), Some("doc_id")))
+        TxLog.optimizeRange(s, root, "doc_id", buckets = 8)
+        TxLog.pruneAudit(s, root, 500, 900).orderBy("min_key")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+              r AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),
+              w AS (SELECT mn, greatest(1, (mx - mn + 8) // 8) AS width
+                    FROM r),
+              b AS (SELECT (doc_id - mn) // width AS k, doc_id
+                    FROM d, w),
+              g AS (SELECT k, count(*) AS c, min(doc_id) AS mnk,
+                      max(doc_id) AS mxk
+                    FROM b GROUP BY 1)
+              SELECT c AS n_rows, mnk AS min_key, mxk AS max_key,
+                (mnk < 900 AND mxk >= 500) AS scanned
+              FROM g ORDER BY min_key""")),
+
     // ================================ learned classifier (Naive Bayes)
     QueryDef("x152_nb_model",
       // the LEARNED quality/langid filter, training half (r12):

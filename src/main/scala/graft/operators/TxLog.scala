@@ -419,18 +419,75 @@ object TxLog {
     // (the sanctioned schema-change path — Delta's overwriteSchema)
     val bytes = renderManifest("rewrite", Seq(add), removes, statsCol,
       Some(ddlOf(out)))
-    val mine = removes.toSet
+    claimRewrite(spark, root, "rewrite", v0, removes.toSet, bytes)
+  }
+
+  /** OPTIMIZE with RANGE partitioning — the maintenance rewrite that
+    * RESTORES manifest-stats granularity: appends land dirs in
+    * arrival order (each spanning whatever keys the batch carried)
+    * and a plain [[rewrite]] collapses everything into ONE dir, so
+    * either way [[snapshotRange]] eventually prunes nothing. This
+    * rewrite re-clusters the snapshot into `buckets` fixed-width key
+    * ranges — ONE pass, one shuffle (`repartition` on the bucket,
+    * `partitionBy` write) — and commits every bucket as its OWN
+    * AddFile with tight min/max, so range reads prune again. Null
+    * keys ride in bucket 0. Same optimistic validation as [[rewrite]]
+    * (concurrent appends survive; input theft aborts). Returns the
+    * committed version. */
+  def optimizeRange(spark: SparkSession, root: String, keyCol: String,
+      buckets: Int): Long = {
+    require(buckets >= 1, s"optimizeRange: buckets must be >= 1, got $buckets")
+    val (v0, live0) = liveFiles(spark, root)
+    require(live0.nonEmpty, s"optimizeRange: $root has no live data at v$v0")
+    val snap = spark.read.parquet(live0.map(f => s"$root/${f.dir}"): _*)
+    val r = snap.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    require(!r.isNullAt(0),
+      s"optimizeRange: $keyCol has no non-null values in $root")
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val width = math.max(1L, (mx - mn + buckets) / buckets) // ceil((mx-mn+1)/B)
+    val bucket = coalesce(
+      ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    snap.withColumn("__b", bucket)
+      .repartition(col("__b"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("__b").parquet(s"$root/$rel")
+    // one AddFile per nonempty bucket, stats from its own footers
+    val fs = rawFs(spark, root)
+    val subDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__b=")).sorted
+    val adds = subDirs.map { sub =>
+      val back = spark.read.parquet(s"$root/$rel/$sub")
+      val a = back.agg(count(lit(1)), min(col(keyCol).cast("long")),
+        max(col(keyCol).cast("long"))).head()
+      AddFile(s"$rel/$sub", a.getLong(0),
+        if (a.isNullAt(1)) None else Some(a.getLong(1)),
+        if (a.isNullAt(2)) None else Some(a.getLong(2)))
+    }.toSeq
+    val removes = live0.map(_.dir)
+    val bytes = renderManifest("rewrite", adds, removes, Some(keyCol),
+      Some(ddlOf(snap)))
+    claimRewrite(spark, root, "optimizeRange", v0, removes.toSet, bytes)
+  }
+
+  /** The rewrite-family claim loop: claim the next version, and on
+    * collision abort iff an intervening commit removed one of this
+    * rewrite's inputs (appends and disjoint rewrites survive). */
+  private def claimRewrite(spark: SparkSession, root: String, op: String,
+      v0: Long, mine: Set[String], bytes: Array[Byte]): Long = {
     var attempt = 0
     var v = v0 + 1
     while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
       attempt += 1
       if (attempt > MaxClaimRetries) throw new java.io.IOException(
-        s"rewrite: could not claim a version after $MaxClaimRetries tries")
+        s"$op: could not claim a version after $MaxClaimRetries tries")
       val head = latestVersion(spark, root)
       val conflicting = commitsInRange(spark, root, v0, head)
         .filter(_.removes.exists(mine))
       if (conflicting.nonEmpty) throw new TxConflictException(
-        s"rewrite of $root lost v${conflicting.map(_.version).min}: " +
+        s"$op of $root lost v${conflicting.map(_.version).min}: " +
           "an intervening commit removed one of its inputs — retry on " +
           "a fresh snapshot (orphan data dir reclaimed by vacuum)")
       v = math.max(head + 1, v + 1)
@@ -553,7 +610,12 @@ object TxLog {
   }
 
   /** [[vacuum]]'s plan without the deletes — the dry-run surface
-    * ([[graft.pipeline.RunGc]] reports these before an `--apply`). */
+    * ([[graft.pipeline.RunGc]] reports these before an `--apply`).
+    * Reclamation is TOP-LEVEL-dir granular: a nested bucket dir from
+    * [[optimizeRange]] is reclaimed with its parent once no bucket of
+    * that parent is reachable (a partially-superseded optimize keeps
+    * its parent until the next optimize/rewrite supersedes it
+    * whole — bytes over bookkeeping). */
   def vacuumCandidates(spark: SparkSession, root: String,
       retainVersions: Int,
       graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
@@ -570,8 +632,13 @@ object TxLog {
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     if (!fs.exists(dataDir)) return Seq.empty
     val now = System.currentTimeMillis()
+    // an optimizeRange commit references NESTED dirs (data/<uuid>/__b=k);
+    // the listed top-level dir is alive when any reachable path equals
+    // it or lives under it
+    def alive(rel: String): Boolean =
+      reachable.contains(rel) || reachable.exists(_.startsWith(rel + "/"))
     fs.listStatus(dataDir).toSeq.collect {
-      case st if !reachable.contains(s"data/${st.getPath.getName}") &&
+      case st if !alive(s"data/${st.getPath.getName}") &&
           now - st.getModificationTime >= graceMs =>
         s"data/${st.getPath.getName}"
     }.sorted

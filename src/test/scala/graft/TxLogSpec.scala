@@ -300,6 +300,43 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, root).count() === 30)
   }
 
+  test("optimizeRange restores stats granularity; vacuum respects nested dirs") {
+    val root = freshRoot("opt")
+    // arrival-order appends: every dir spans the whole key range
+    // (id % 5 slices), so stats prune NOTHING before the optimize
+    (0 until 5).foreach { k =>
+      val ids = (0 until 500).filter(_ % 5 == k)
+      TxLog.append(spark,
+        root, ids.map(i => (i.toLong, s"doc-$i")).toDF("id", "text"),
+        Some("id"))
+    }
+    assert(TxLog.pruneAudit(spark, root, 100, 200).collect()
+      .forall(_.getBoolean(3)), "pre-optimize: every dir scans")
+    val v = TxLog.optimizeRange(spark, root, "id", buckets = 5)
+    assert(v === 6)
+    // post-optimize: disjoint 100-wide buckets; [100, 200) scans ONE
+    val audit = TxLog.pruneAudit(spark, root, 100, 200)
+      .orderBy("min_key").collect()
+    assert(audit.length === 5 && audit.count(_.getBoolean(3)) === 1,
+      audit.mkString("; "))
+    assert(audit.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      (0 until 5).map(k => (k * 100L, k * 100L + 99L)))
+    // content identical through the re-clustering, range read exact
+    assert(TxLog.snapshot(spark, root).count() === 500)
+    assert(TxLog.snapshotRange(spark, root, "id", 100, 200).count() === 100)
+    assert(TxLog.snapshotRange(spark, root, "id", 100, 200)
+      .columns.toSeq === Seq("id", "text"), "no partition col leaks")
+    // vacuum: the 5 superseded append dirs go once the window passes;
+    // the optimize parent (live via its nested buckets) SURVIVES
+    TxLog.append(spark, root, docs(9000, 9001), Some("id"))
+    val gone = TxLog.vacuum(spark, root, retainVersions = 1, graceMs = 0)
+    assert(gone.size === 5, gone.mkString(","))
+    assert(TxLog.snapshot(spark, root).count() === 501)
+    // appends still conform to the pinned schema afterwards
+    TxLog.append(spark, root, docs(9001, 9002), Some("id"))
+    assert(TxLog.snapshot(spark, root).count() === 502)
+  }
+
   test("RunGc treats a tx table as a leaf: reports, applies TxLog's own vacuum plan") {
     val lake = java.nio.file.Files.createTempDirectory("graft_gc_tx").toString
     val root = s"$lake/events_tx"
