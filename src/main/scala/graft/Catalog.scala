@@ -8129,6 +8129,80 @@ object Catalog {
               FROM g ORDER BY min_key""")),
 
     // ================================ learned classifier (Naive Bayes)
+    QueryDef("x157_logit_train",
+      // ITERATIVE gradient training in exact algebra (r12): 3 batch-GD
+      // steps of hard-sigmoid logistic regression — weights in Long
+      // micro-units, the piecewise-linear activation
+      // p_ppm = (clamp(z, ±2e6) + 2e6) >> 2 (no transcendentals),
+      // gradients as order-free integer sums, floor-division updates.
+      // The oracle replays ALL THREE iterations unrolled — every
+      // weight of every step is compared, so one wrong gradient term,
+      // clamp bound, or division rounding anywhere in the cascade
+      // diverges. Per step: one pinned-projection scan + a 1-row agg
+      (s, d) => {
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+        val y = when(col("lang") === "en", 1000000L).otherwise(0L)
+        val x1 = least(TextAnalysis.tokenCount(col("text")), lit(200)) - 50
+        val x2 = least(expr("length(text) DIV 10"), lit(60)) - 30
+        Sampling.hardLogitTrain(doc, y, Seq(lit(1L), x1, x2),
+            iters = 3, etaDen = 1000)
+          .orderBy("iter", "i")
+      },
+      Some("""WITH ft AS (
+                SELECT CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y,
+                  CAST(1 AS BIGINT) AS x0,
+                  CAST(least(len(list_filter(string_split(
+                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' '), t -> t <> '')), 200) - 50 AS BIGINT) AS x1,
+                  CAST(least(length(text) // 10, 60) - 30 AS BIGINT) AS x2
+                FROM documents WHERE doc_id < 2000),
+              nn AS (SELECT count(*) AS n FROM ft),
+              ga AS (SELECT CAST(sum(x0 * (500000 - y)) AS BIGINT) AS g0,
+                       CAST(sum(x1 * (500000 - y)) AS BIGINT) AS g1,
+                       CAST(sum(x2 * (500000 - y)) AS BIGINT) AS g2
+                     FROM ft),
+              wa AS (SELECT 0 - g0 // (1000 * n) AS a,
+                       0 - g1 // (1000 * n) AS b,
+                       0 - g2 // (1000 * n) AS c
+                     FROM ga, nn),
+              pb AS (SELECT ft.y, ft.x0, ft.x1, ft.x2,
+                       (greatest(-2000000, least(2000000,
+                          wa.a * ft.x0 + wa.b * ft.x1 + wa.c * ft.x2))
+                        + 2000000) // 4 AS p
+                     FROM ft, wa),
+              gb AS (SELECT CAST(sum(x0 * (p - y)) AS BIGINT) AS g0,
+                       CAST(sum(x1 * (p - y)) AS BIGINT) AS g1,
+                       CAST(sum(x2 * (p - y)) AS BIGINT) AS g2
+                     FROM pb),
+              wb AS (SELECT wa.a - g0 // (1000 * n) AS a,
+                       wa.b - g1 // (1000 * n) AS b,
+                       wa.c - g2 // (1000 * n) AS c
+                     FROM wa, gb, nn),
+              pc AS (SELECT ft.y, ft.x0, ft.x1, ft.x2,
+                       (greatest(-2000000, least(2000000,
+                          wb.a * ft.x0 + wb.b * ft.x1 + wb.c * ft.x2))
+                        + 2000000) // 4 AS p
+                     FROM ft, wb),
+              gc AS (SELECT CAST(sum(x0 * (p - y)) AS BIGINT) AS g0,
+                       CAST(sum(x1 * (p - y)) AS BIGINT) AS g1,
+                       CAST(sum(x2 * (p - y)) AS BIGINT) AS g2
+                     FROM pc),
+              wc AS (SELECT wb.a - g0 // (1000 * n) AS a,
+                       wb.b - g1 // (1000 * n) AS b,
+                       wb.c - g2 // (1000 * n) AS c
+                     FROM wb, gc, nn)
+              SELECT CAST(1 AS INT) AS iter, CAST(0 AS INT) AS i,
+                CAST(a AS BIGINT) AS w_unats FROM wa
+              UNION ALL SELECT 1, 1, b FROM wa
+              UNION ALL SELECT 1, 2, c FROM wa
+              UNION ALL SELECT 2, 0, a FROM wb
+              UNION ALL SELECT 2, 1, b FROM wb
+              UNION ALL SELECT 2, 2, c FROM wb
+              UNION ALL SELECT 3, 0, a FROM wc
+              UNION ALL SELECT 3, 1, b FROM wc
+              UNION ALL SELECT 3, 2, c FROM wc
+              ORDER BY iter, i""")),
+
     QueryDef("x152_nb_model",
       // the LEARNED quality/langid filter, training half (r12):
       // multinomial Naive Bayes over the hashed bag-of-ngrams

@@ -1043,4 +1043,75 @@ object Sampling {
       .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
       .drop("__fb_label", "__fb_score")
   }
+
+  // ====================================================================
+  // ITERATIVE trainer: hard-sigmoid logistic regression by batch
+  // gradient descent, in EXACT integer algebra (r12) — the gradient
+  // half of the learned-filter family (NB trains by counting; this
+  // trains by descent, the shape a fastText-style linear probe
+  // actually uses). Determinism is total: weights live in Long
+  // micro-units, the activation is the hard sigmoid
+  // p_ppm = (clamp(z, ±2e6) + 2e6) >> 2 (piecewise-linear — no
+  // transcendentals anywhere), gradients are exact integer sums
+  // (order-free under any partitioning), and the update divides with
+  // TRUNCATING semantics on both engines (Long `/` here, `//` in
+  // DuckDB — measured: -1493025 // 500000 = -2, toward zero) — so
+  // every weight of every iteration is replayable bit-for-bit by
+  // external SQL.
+  // ====================================================================
+
+  /** Train `iters` batch-GD steps from w = 0. `yPpm` is the label in
+    * ppm (0 or 1e6); `xs` are integer feature columns (include a
+    * lit(1) bias; keep magnitudes ≤ ~1000 so gradient sums stay in
+    * Long). Update: w_i ← w_i − trunc(Σ_d x_i·(p−y) / (etaDen·n)).
+    * One featurize scan (pinned), one 1-row aggregate per iteration —
+    * the driver holds only the k weights. Output: (iter, i, w_unats),
+    * one row per weight per iteration. */
+  def hardLogitTrain(df: DataFrame, yPpm: Column, xs: Seq[Column],
+      iters: Int, etaDen: Long): DataFrame = {
+    require(iters >= 1 && xs.nonEmpty && etaDen >= 1,
+      s"hardLogitTrain: iters=$iters, k=${xs.length}, etaDen=$etaDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xs.length
+    // featurize ONCE; iterations re-scan the pinned integer rows
+    // (the standard iterative-GD caching pattern — at cluster scale
+    // this is a persisted projection, never the raw corpus per step)
+    val base = df.select(yPpm.cast("long").as("__y") +:
+      xs.zipWithIndex.map { case (c, i) => c.cast("long").as(s"__x$i") }: _*)
+      .localCheckpoint()
+    val n = base.count()
+    require(n > 0, "hardLogitTrain: empty training set")
+    var w = Array.fill(k)(0L)
+    val out = Seq.newBuilder[(Int, Int, Long)]
+    for (it <- 1 to iters) {
+      val z = (0 until k).map(i => col(s"__x$i") * lit(w(i)))
+        .reduce(_ + _)
+      val zc = greatest(lit(-2000000L), least(lit(2000000L), z))
+      // (zc + 2e6) in [0, 4e6]: >> 2 is exact floor division by 4
+      val p = shiftright(zc + lit(2000000L), 2)
+      val diff = p - col("__y")
+      val g = base.agg(
+        sum(col("__x0") * diff).as("g0"),
+        (1 until k).map(i => sum(col(s"__x$i") * diff).as(s"g$i")): _*)
+        .head()
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - g.getLong(i) / (etaDen * n) } // Long '/': truncation, like '//' 
+      (0 until k).foreach(i => out += ((it, i, w(i))))
+    }
+    out.result().toDF("iter", "i", "w_unats")
+  }
+
+  /** Score under trained hard-logit weights (micro-units): the same
+    * exact activation as training — (all df columns) + `score_ppm`
+    * and `kept` (score ≥ 500000). Map-only. */
+  def hardLogitScore(df: DataFrame, xs: Seq[Column],
+      w: Seq[Long]): DataFrame = {
+    require(xs.length == w.length, "hardLogitScore: |xs| != |w|")
+    val z = xs.zip(w).map { case (c, wi) => c.cast("long") * lit(wi) }
+      .reduce(_ + _)
+    val zc = greatest(lit(-2000000L), least(lit(2000000L), z))
+    df.withColumn("score_ppm", shiftright(zc + lit(2000000L), 2))
+      .withColumn("kept", col("score_ppm") >= 500000L)
+  }
 }

@@ -2047,6 +2047,33 @@ class OperatorsSpec extends SparkSpec {
       Sampling.nbState(b, "label", "text", B, "t")))) === toMapSt(st))
   }
 
+  test("hardLogitTrain: planted linear signal separates; weights are " +
+      "partition-invariant; score uses the same exact activation") {
+    val data = (0 until 200).map { i =>
+      val x1 = if (i % 2 == 0) 20L else 100L    // the signal
+      val y = if (x1 >= 60) 1000000L else 0L
+      (i.toLong, y, x1)
+    }.toDF("id", "y", "x1")
+    // center the feature (GD 101 — an uncentered feature makes the
+    // bias learn |x| times slower than the slope)
+    val feats = Seq(lit(1L), col("x1") - 60)
+    def weights(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int, Long)] =
+      Sampling.hardLogitTrain(df, col("y"), feats,
+        iters = 10, etaDen = 1000)
+        .as[(Int, Int, Long)].collect().toSeq.sorted
+    val w = weights(data)
+    // partition-invariant: gradients are order-free integer sums
+    assert(weights(data.repartition(7)) === w)
+    val wFinal = w.filter(_._1 == 10).map(_._3)
+    val scored = Sampling.hardLogitScore(data, feats, wFinal)
+    val acc = scored.where((col("kept") && col("y") === 1000000L) ||
+      (!col("kept") && col("y") === 0L)).count()
+    assert(acc === 200, s"planted signal must separate; weights $wFinal")
+    // the activation saturates exactly at the clamp: score in [0, 1e6]
+    val mm = scored.agg(min("score_ppm"), max("score_ppm")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) <= 1000000L)
+  }
+
   test("nbClassify plans a broadcast model join and no window/sort") {
     val seed = Seq((1L, "a b", "x"), (2L, "c d", "y"))
       .toDF("doc_id", "text", "label")
