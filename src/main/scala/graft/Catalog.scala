@@ -8129,6 +8129,52 @@ object Catalog {
               FROM g ORDER BY min_key""")),
 
     // ================================ learned classifier (Naive Bayes)
+    QueryDef("x158_tx_history",
+      // the table's own audit trail as DATA (DESCRIBE HISTORY): every
+      // commit's action, add/remove footprint, committed rows, and
+      // producer token — from manifests alone, no data read. Built by
+      // two plain appends, one idempotent append WITH its replay
+      // (absent from history — at-most-once means the replay never
+      // became a commit), and a rewrite (delete-all + re-add
+      // footprint visible). The oracle re-derives every row count
+      // from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "hist", d)
+        val doc = txDocs(s, d)
+        TxLog.append(s, root, doc.where(col("doc_id") % 3 === 0),
+          Some("doc_id"))
+        TxLog.append(s, root, doc.where(col("doc_id") % 3 === 1),
+          Some("doc_id"))
+        TxLog.appendIdempotent(s, root, doc.where(col("doc_id") % 3 === 2),
+          "intake", 7L, Some("doc_id"))
+        TxLog.appendIdempotent(s, root, doc.where(col("doc_id") % 3 === 2),
+          "intake", 7L, Some("doc_id")) // replay: no new history row
+        TxLog.rewrite(s, root, Some("doc_id"))(
+          _.where(length(col("text")) >= 200))
+        TxLog.history(s, root).orderBy("version")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+                CAST(1 AS BIGINT) AS n_adds,
+                (SELECT count(*) FROM d WHERE doc_id % 3 = 0) AS rows_added,
+                CAST(0 AS BIGINT) AS n_removes,
+                CAST(NULL AS VARCHAR) AS txn_app,
+                CAST(NULL AS BIGINT) AS txn_batch
+              UNION ALL
+              SELECT 2, 'append', 1,
+                (SELECT count(*) FROM d WHERE doc_id % 3 = 1), 0,
+                NULL, NULL
+              UNION ALL
+              SELECT 3, 'append', 1,
+                (SELECT count(*) FROM d WHERE doc_id % 3 = 2), 0,
+                'intake', 7
+              UNION ALL
+              SELECT 4, 'rewrite', 1,
+                (SELECT count(*) FROM d WHERE length(text) >= 200), 3,
+                NULL, NULL
+              ORDER BY version""")),
+
     QueryDef("x157_logit_train",
       // ITERATIVE gradient training in exact algebra (r12): 3 batch-GD
       // steps of hard-sigmoid logistic regression — weights in Long

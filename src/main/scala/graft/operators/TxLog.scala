@@ -589,6 +589,22 @@ object TxLog {
     parts.reduce(_.unionByName(_))
   }
 
+  /** The table's commit history as data (the DESCRIBE HISTORY
+    * surface): one row per commit with its action, add/remove
+    * footprint, committed row count, and producer token. Metadata-
+    * sized — reads manifests, never data. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    commitsInRange(spark, root, 0L, Long.MaxValue).map { c =>
+      (c.version, c.action, c.adds.size.toLong,
+        c.adds.map(_.rows).sum, c.removes.size.toLong,
+        c.txn.map(_._1).orNull,
+        c.txn.map(t => java.lang.Long.valueOf(t._2)).orNull
+          .asInstanceOf[java.lang.Long])
+    }.toDF("version", "action", "n_adds", "rows_added", "n_removes",
+      "txn_app", "txn_batch")
+  }
+
   // ------------------------------------------------------------------
   // maintenance
   // ------------------------------------------------------------------
