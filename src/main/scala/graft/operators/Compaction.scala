@@ -209,6 +209,22 @@ object Compaction {
       : org.apache.spark.sql.DataFrame =
     spark.read.parquet(resolveData(spark, root))
 
+  /** Is `root` a [[TxLog]] transactional table? */
+  def isTxTable(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_txlog")
+    fsFor(spark, root).exists(p)
+  }
+
+  /** Read a table in ANY of the engine's layouts — transactional
+    * (`_txlog/` commit log → head snapshot), pointered (`_current` →
+    * live generation), or plain parquet. The single reader entry the
+    * journeys use for the `accepted/` sink, so a state dir can adopt
+    * the tx layout without touching its consumers. */
+  def readAnyTable(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame =
+    if (isTxTable(spark, root)) TxLog.snapshot(spark, root)
+    else readData(spark, root)
+
   private def genNumber(name: String): Option[Long] =
     if (name.startsWith("gen-"))
       scala.util.Try(name.stripPrefix("gen-").toLong).toOption

@@ -104,6 +104,8 @@ object RunIntake {
     var span: Option[Int] = None
     var lmModelPath: Option[String] = None
     var lmBand: Option[(Long, Long)] = None
+    var txSink = false
+    var txBatchId: Option[Long] = None
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -127,6 +129,10 @@ object RunIntake {
             "--lm-band needs lo:hi (mean nll micro-nats)")
           val Array(lo, hi) = args(i + 1).split(":", 2)
           lmBand = Some((lo.toLong, hi.toLong)); i += 1
+        case "--tx-sink" => txSink = true
+        case "--batch-id" =>
+          require(i + 1 < args.length, "--batch-id needs a number")
+          txBatchId = Some(args(i + 1).toLong); i += 1
         case other => positional += other
       }
       i += 1
@@ -159,7 +165,8 @@ object RunIntake {
         keep = Seq("source")), eval, vectors.map((_, "vec_id", "embedding")),
       span,
       lmGate = lmModelPath.map(p =>
-        (spark.read.parquet(p), lmBand.get._1, lmBand.get._2)))
+        (spark.read.parquet(p), lmBand.get._1, lmBand.get._2)),
+      txSink = txSink, txBatchId = txBatchId)
     spark.stop()
   }
 
@@ -177,7 +184,9 @@ object RunIntake {
       eval: Option[(DataFrame, String, String)] = None,
       vectors: Option[(DataFrame, String, String)] = None,
       span: Option[Int] = None,
-      lmGate: Option[(DataFrame, Long, Long)] = None)
+      lmGate: Option[(DataFrame, Long, Long)] = None,
+      txSink: Boolean = false,
+      txBatchId: Option[Long] = None)
       : Seq[(String, Long)] = {
     require(vectors.isEmpty || span.isEmpty,
       "--semantic and --span are separate tier chains; combine by " +
@@ -248,11 +257,36 @@ object RunIntake {
       // one funnel execution feeds BOTH the sink append and the profile
       // state update (the curateAndReport lesson)
       accepted.persist()
-      // the sink is a POINTERED table (Compaction reader-atomic
-      // layout): appends land in the current generation; RunSync's
-      // survivors-only rewrite swaps generations under readers
-      accepted.write.mode(SaveMode.Append)
-        .parquet(Compaction.ensureAtomic(spark, s"$stateDir/accepted"))
+      // the sink is a POINTERED table by default (Compaction
+      // reader-atomic layout): appends land in the current
+      // generation; RunSync's survivors-only rewrite swaps
+      // generations under readers. With --tx-sink (or when the sink
+      // is already a tx table — layout self-detect, so later runs
+      // need no flag) it is a TRANSACTIONAL table instead: commits
+      // are reader-atomic AND, with --batch-id, idempotent — a
+      // crash-replayed batch lands its SINK rows at most once
+      // (surfaced as sink_replayed in the report). The growing
+      // side-states (profile, bpe) keep the documented replay
+      // caveat: they have no single commit point with the sink, so a
+      // replay still re-merges them (RunSync's dup collapse remains
+      // the corpus-level answer)
+      val sinkRoot = s"$stateDir/accepted"
+      val sinkReplayed =
+        if (txSink || Compaction.isTxTable(spark, sinkRoot)) {
+          txBatchId match {
+            case Some(b) =>
+              !graft.operators.TxLog.appendIdempotent(spark, sinkRoot,
+                accepted, "intake", b, Some("doc_id"))._2
+            case None =>
+              graft.operators.TxLog.append(spark, sinkRoot, accepted,
+                Some("doc_id"))
+              false
+          }
+        } else {
+          accepted.write.mode(SaveMode.Append)
+            .parquet(Compaction.ensureAtomic(spark, sinkRoot))
+          false
+        }
       // growing per-source profile: the batch's mergeable state (x69
       // algebra, built from the funnel's OWN scores — no second
       // DocStats scan) merges into profile_state/ at O(batch) cost via
@@ -353,12 +387,13 @@ object RunIntake {
       }
       accepted.unpersist(false)
       val nAccepted =
-        Compaction.readData(spark, s"$stateDir/accepted").count()
+        Compaction.readAnyTable(spark, s"$stateDir/accepted").count()
       val nIn = batch.count()
       val lmKept =
         if (lmGate.isDefined) Seq("lm_kept" -> gated.count()) else Nil
       Seq("input" -> nIn) ++ lmKept ++
         Seq("accepted_total" -> nAccepted) ++ novelty ++
+        (if (sinkReplayed) Seq("sink_replayed" -> 1L) else Nil) ++
         Seq("millis" -> (System.nanoTime() - t0) / 1000000L)
     }
     lease.release()

@@ -142,7 +142,7 @@ object RunMix {
         // the intake sink is a pointered (reader-atomic) table: the
         // mix can run DURING a sync's survivors rewrite and still
         // resolve a complete generation — this read needs no lease
-        graft.operators.Compaction.readData(spark, s"$docsDir/accepted")
+        graft.operators.Compaction.readAnyTable(spark, s"$docsDir/accepted")
         .dropDuplicates("doc_id")
       else spark.read.parquet(s"$docsDir/documents.parquet")
     // default journey keeps every source whole (weight 1); pass an

@@ -159,7 +159,15 @@ object RunSync {
       case _ => 0L
     }
     val acceptedPath = s"$stateDir/accepted"
-    if (exists(acceptedPath)) {
+    val txAccepted = exists(acceptedPath) &&
+      Compaction.isTxTable(spark, acceptedPath)
+    if (txAccepted) {
+      // TRANSACTIONAL sink (RunIntake --tx-sink): the survivors-only
+      // anti-join is just another optimistic rewrite — reader-atomic
+      // by the commit log itself, CDC-visible as delete+reinsert
+      graft.operators.TxLog.rewrite(spark, acceptedPath, Some(idCol))(
+        _.join(goneIds, Seq(idCol), "left_anti"))
+    } else if (exists(acceptedPath)) {
       // survivors-only rewrite under the READER-ATOMIC pointered swap
       // (VERDICT r9 item 5): the anti-join against the churn ids
       // writes a complete NEXT GENERATION while the current one stays
@@ -177,7 +185,7 @@ object RunSync {
     }
     val acceptedAfterTakedown =
       if (exists(acceptedPath))
-        Compaction.readData(spark, acceptedPath).count()
+        Compaction.readAnyTable(spark, acceptedPath).count()
       else 0L
 
     // 2. re-intake the arriving side of the churn as ONE batch
@@ -194,14 +202,17 @@ object RunSync {
           Curate.intakeStep(spark, batch, idCol, textCol,
             exactPath, fuzzyPath, cfg, eval)
       }
-      accepted.write.mode(SaveMode.Append)
+      if (txAccepted)
+        graft.operators.TxLog.append(spark, acceptedPath, accepted,
+          Some(idCol))
+      else accepted.write.mode(SaveMode.Append)
         .parquet(Compaction.ensureAtomic(spark, acceptedPath))
     }
     lease.release()
     diff.unpersist()
     // count from the read-back (the RunCurate one-execution lesson);
     // the per-run admission count is the delta over the takedown floor
-    val acceptedTotal = Compaction.readData(spark, acceptedPath).count()
+    val acceptedTotal = Compaction.readAnyTable(spark, acceptedPath).count()
     val nNewAccepted = acceptedTotal - acceptedAfterTakedown
     val report = Seq(
       "removed" -> nRemoved, "changed" -> nChanged, "added" -> nAdded,

@@ -200,6 +200,56 @@ class CurateSpec extends SparkSpec {
     graft.operators.Dedup.releaseCheckpoints()
   }
 
+  test("tx sink: intake sequential == pointered content; replayed batch " +
+      "lands at most once; RunSync rewrites the tx sink in place") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val cfg = Curate.Config(langs = Seq("en", "und"),
+      jaccardThreshold = 0.5, keep = Seq("source"))
+    val txState = java.nio.file.Files
+      .createTempDirectory("graft_tx_intake").toString
+    val plainState = java.nio.file.Files
+      .createTempDirectory("graft_plain_intake").toString
+    val b1 = docs.where(col("doc_id") % 2 === 0)
+    val b2 = docs.where(col("doc_id") % 2 === 1)
+    // tx sink: first run creates the layout; later runs self-detect
+    graft.pipeline.RunIntake.run(spark, b1, txState, cfg,
+      txSink = true, txBatchId = Some(1L))
+    graft.pipeline.RunIntake.run(spark, b2, txState, cfg,
+      txBatchId = Some(2L))
+    // same batches through the default pointered sink
+    graft.pipeline.RunIntake.run(spark, b1, plainState, cfg)
+    graft.pipeline.RunIntake.run(spark, b2, plainState, cfg)
+    def rows(root: String) = graft.operators.Compaction
+      .readAnyTable(spark, root).select("doc_id", "text")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(rows(s"$txState/accepted") === rows(s"$plainState/accepted"),
+      "tx and pointered sinks must carry identical accepted rows")
+    // a crash-replay of batch 2: the SINK gains nothing, and the
+    // report says so — the caveat the pointered sink documents away
+    val rep = graft.pipeline.RunIntake.run(spark, b2, txState, cfg,
+      txBatchId = Some(2L)).toMap
+    assert(rep("sink_replayed") === 1L)
+    assert(rows(s"$txState/accepted") === rows(s"$plainState/accepted"),
+      "a replayed batch must not land sink rows")
+    assert(graft.operators.TxLog.latestVersion(spark,
+      s"$txState/accepted") === 2)
+    // churn: the sync's survivors rewrite runs as a TxLog rewrite
+    val gone = rows(s"$txState/accepted").head._1
+    val snapAll = docs
+    val snapB = docs.where(col("doc_id") =!= gone)
+    graft.pipeline.RunSync.run(spark, snapAll, snapB, txState, cfg)
+    val after = graft.operators.Compaction
+      .readAnyTable(spark, s"$txState/accepted")
+    assert(after.where(col("doc_id") === gone).count() === 0,
+      "the removed doc must leave the tx sink")
+    // the rewrite is in the commit history (reader-atomic, CDC-visible)
+    val hist = graft.operators.TxLog.history(spark, s"$txState/accepted")
+      .select("action").as[String].collect()
+    assert(hist.count(_ == "rewrite") === 1, hist.mkString(","))
+    graft.operators.Dedup.releaseCheckpoints()
+  }
+
   test("RunSync: snapshot churn applies forward — takedown frees content, changed docs re-enter") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val docs = Tables.documents(spark, sf("sf0.001"))
