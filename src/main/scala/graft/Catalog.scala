@@ -243,6 +243,56 @@ object Catalog {
                 FROM te JOIN pick p
                   ON te.doc_id = p.doc_id AND p.rn = 1)"""
 
+  /** The x157/x159 oracle: the hard-sigmoid GD cascade unrolled —
+    * integer features (with doc_id carried for the scoring tail),
+    * three gradient/update rounds in exact integer algebra with
+    * TRUNCATING division (DuckDB `//` rounds toward zero, matching
+    * Long `/`), ending in weight CTEs `wa`/`wb`/`wc`. */
+  private val logitOracleCtes: String = """ft AS (
+                SELECT doc_id,
+                  CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y,
+                  CAST(1 AS BIGINT) AS x0,
+                  CAST(least(len(list_filter(string_split(
+                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' '), t -> t <> '')), 200) - 50 AS BIGINT) AS x1,
+                  CAST(least(length(text) // 10, 60) - 30 AS BIGINT) AS x2
+                FROM documents WHERE doc_id < 2000),
+              nn AS (SELECT count(*) AS n FROM ft),
+              ga AS (SELECT CAST(sum(x0 * (500000 - y)) AS BIGINT) AS g0,
+                       CAST(sum(x1 * (500000 - y)) AS BIGINT) AS g1,
+                       CAST(sum(x2 * (500000 - y)) AS BIGINT) AS g2
+                     FROM ft),
+              wa AS (SELECT 0 - g0 // (1000 * n) AS a,
+                       0 - g1 // (1000 * n) AS b,
+                       0 - g2 // (1000 * n) AS c
+                     FROM ga, nn),
+              pb AS (SELECT ft.y, ft.x0, ft.x1, ft.x2,
+                       (greatest(-2000000, least(2000000,
+                          wa.a * ft.x0 + wa.b * ft.x1 + wa.c * ft.x2))
+                        + 2000000) // 4 AS p
+                     FROM ft, wa),
+              gb AS (SELECT CAST(sum(x0 * (p - y)) AS BIGINT) AS g0,
+                       CAST(sum(x1 * (p - y)) AS BIGINT) AS g1,
+                       CAST(sum(x2 * (p - y)) AS BIGINT) AS g2
+                     FROM pb),
+              wb AS (SELECT wa.a - g0 // (1000 * n) AS a,
+                       wa.b - g1 // (1000 * n) AS b,
+                       wa.c - g2 // (1000 * n) AS c
+                     FROM wa, gb, nn),
+              pc AS (SELECT ft.y, ft.x0, ft.x1, ft.x2,
+                       (greatest(-2000000, least(2000000,
+                          wb.a * ft.x0 + wb.b * ft.x1 + wb.c * ft.x2))
+                        + 2000000) // 4 AS p
+                     FROM ft, wb),
+              gc AS (SELECT CAST(sum(x0 * (p - y)) AS BIGINT) AS g0,
+                       CAST(sum(x1 * (p - y)) AS BIGINT) AS g1,
+                       CAST(sum(x2 * (p - y)) AS BIGINT) AS g2
+                     FROM pc),
+              wc AS (SELECT wb.a - g0 // (1000 * n) AS a,
+                       wb.b - g1 // (1000 * n) AS b,
+                       wb.c - g2 // (1000 * n) AS c
+                     FROM wb, gc, nn)"""
+
   val entries: Seq[QueryDef] = Seq(
 
     // ----------------------------------------------------- S5/S8 + pushdown
@@ -8194,49 +8244,7 @@ object Catalog {
             iters = 3, etaDen = 1000)
           .orderBy("iter", "i")
       },
-      Some("""WITH ft AS (
-                SELECT CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y,
-                  CAST(1 AS BIGINT) AS x0,
-                  CAST(least(len(list_filter(string_split(
-                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
-                      ' '), t -> t <> '')), 200) - 50 AS BIGINT) AS x1,
-                  CAST(least(length(text) // 10, 60) - 30 AS BIGINT) AS x2
-                FROM documents WHERE doc_id < 2000),
-              nn AS (SELECT count(*) AS n FROM ft),
-              ga AS (SELECT CAST(sum(x0 * (500000 - y)) AS BIGINT) AS g0,
-                       CAST(sum(x1 * (500000 - y)) AS BIGINT) AS g1,
-                       CAST(sum(x2 * (500000 - y)) AS BIGINT) AS g2
-                     FROM ft),
-              wa AS (SELECT 0 - g0 // (1000 * n) AS a,
-                       0 - g1 // (1000 * n) AS b,
-                       0 - g2 // (1000 * n) AS c
-                     FROM ga, nn),
-              pb AS (SELECT ft.y, ft.x0, ft.x1, ft.x2,
-                       (greatest(-2000000, least(2000000,
-                          wa.a * ft.x0 + wa.b * ft.x1 + wa.c * ft.x2))
-                        + 2000000) // 4 AS p
-                     FROM ft, wa),
-              gb AS (SELECT CAST(sum(x0 * (p - y)) AS BIGINT) AS g0,
-                       CAST(sum(x1 * (p - y)) AS BIGINT) AS g1,
-                       CAST(sum(x2 * (p - y)) AS BIGINT) AS g2
-                     FROM pb),
-              wb AS (SELECT wa.a - g0 // (1000 * n) AS a,
-                       wa.b - g1 // (1000 * n) AS b,
-                       wa.c - g2 // (1000 * n) AS c
-                     FROM wa, gb, nn),
-              pc AS (SELECT ft.y, ft.x0, ft.x1, ft.x2,
-                       (greatest(-2000000, least(2000000,
-                          wb.a * ft.x0 + wb.b * ft.x1 + wb.c * ft.x2))
-                        + 2000000) // 4 AS p
-                     FROM ft, wb),
-              gc AS (SELECT CAST(sum(x0 * (p - y)) AS BIGINT) AS g0,
-                       CAST(sum(x1 * (p - y)) AS BIGINT) AS g1,
-                       CAST(sum(x2 * (p - y)) AS BIGINT) AS g2
-                     FROM pc),
-              wc AS (SELECT wb.a - g0 // (1000 * n) AS a,
-                       wb.b - g1 // (1000 * n) AS b,
-                       wb.c - g2 // (1000 * n) AS c
-                     FROM wb, gc, nn)
+      Some(s"""WITH $logitOracleCtes
               SELECT CAST(1 AS INT) AS iter, CAST(0 AS INT) AS i,
                 CAST(a AS BIGINT) AS w_unats FROM wa
               UNION ALL SELECT 1, 1, b FROM wa
@@ -8248,6 +8256,39 @@ object Catalog {
               UNION ALL SELECT 3, 1, b FROM wc
               UNION ALL SELECT 3, 2, c FROM wc
               ORDER BY iter, i""")),
+
+    QueryDef("x159_logit_score",
+      // the trained linear probe APPLIED as a corpus gate: every doc
+      // scored under the 3-step weights with the same exact activation
+      // (train and serve share one arithmetic — no train/serve skew
+      // possible), `kept` at the 0.5 boundary. Map-only over the
+      // corpus with a driver-held weight vector; the oracle replays
+      // training AND scoring end to end
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+        val y = when(col("lang") === "en", 1000000L).otherwise(0L)
+        val x1 = least(TextAnalysis.tokenCount(col("text")), lit(200)) - 50
+        val x2 = least(expr("length(text) DIV 10"), lit(60)) - 30
+        val xs = Seq(lit(1L), x1, x2)
+        val w = Sampling.hardLogitTrain(doc, y, xs, iters = 3,
+            etaDen = 1000)
+          .where(col("iter") === 3).orderBy("i")
+          .select("w_unats").as[Long].collect().toSeq
+        Sampling.hardLogitScore(doc, xs, w)
+          .select(col("doc_id"), col("score_ppm"), col("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $logitOracleCtes
+              SELECT ft.doc_id,
+                (greatest(-2000000, least(2000000,
+                   wc.a * ft.x0 + wc.b * ft.x1 + wc.c * ft.x2))
+                 + 2000000) // 4 AS score_ppm,
+                (greatest(-2000000, least(2000000,
+                   wc.a * ft.x0 + wc.b * ft.x1 + wc.c * ft.x2))
+                 + 2000000) // 4 >= 500000 AS kept
+              FROM ft, wc ORDER BY doc_id""")),
 
     QueryDef("x152_nb_model",
       // the LEARNED quality/langid filter, training half (r12):

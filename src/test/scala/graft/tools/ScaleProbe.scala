@@ -38,7 +38,14 @@ object ScaleProbe {
       // r11 families with a data term: Morton bucketing + 2-D stat agg
       // over lineitem; KMV bottom-k value sample over documents;
       // IVF-PQ train/encode/search over embeddings (×4 per decade)
-      "x122_zorder_skipping", "x119_kmv_quantiles", "x128_ivfpq_adc")
+      "x122_zorder_skipping", "x119_kmv_quantiles", "x128_ivfpq_adc",
+      // r12 families: NB train+model+classify over documents (the
+      // native-featurizer scan + broadcast model join); the GD
+      // trainer's 3 pinned-scan iterations (doc_id<2000 caps the
+      // slice at sf0.1, so its data term saturates by design — the
+      // tx family's data axis is COMMITS, measured by Scale10Probe's
+      // txlog_fold rows instead)
+      "x153_nb_classify", "x157_logit_train")
     def floor(name: String, d: String): Double = {
       val q = Catalog.entries.find(_.name == name).get
       (1 to reps).map { _ =>
