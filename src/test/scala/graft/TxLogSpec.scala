@@ -368,6 +368,53 @@ class TxLogSpec extends SparkSpec {
     assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60).isEmpty)
   }
 
+  test("CDC maintains the NB training state incrementally: counts add on " +
+      "insert, subtract on delete; the model equals the one-shot build") {
+    // composition of the two r12 families: a learned-filter model kept
+    // current from the commit log's row deltas alone — counts are
+    // group-sums, so a delete is a NEGATED state merge, and a rewrite's
+    // physical delete-all + re-insert delta cancels exactly
+    import graft.operators.Sampling
+    val root = freshRoot("cdcnb")
+    def labeled(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val lab = if (i % 2 == 0) "good" else "bad"
+      val txt = if (i % 2 == 0) s"alpha beta gamma doc $i"
+                else s"zork quux blarg doc $i"
+      (i.toLong, txt, lab)
+    }.toDF("id", "text", "label")
+    TxLog.append(spark, root, labeled(0, 40), Some("id"))
+    TxLog.append(spark, root, labeled(40, 80), Some("id"))
+    TxLog.rewrite(spark, root, Some("id"))(_.where(col("id") % 3 =!= 0))
+    val B = 128
+    // consumer: fold version deltas into the state (deletes negated)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    (1L to TxLog.latestVersion(spark, root)).foreach { v =>
+      val delta = TxLog.changes(spark, root, v - 1, v)
+      val ins = delta.where(col("__change") === "insert")
+      val del = delta.where(col("__change") === "delete")
+      val parts = Seq(
+        if (ins.isEmpty) None
+        else Some(Sampling.nbState(ins, "label", "text", B, "t")),
+        if (del.isEmpty) None
+        else Some(Sampling.nbState(del, "label", "text", B, "t")
+          .withColumn("n", -col("n")))).flatten
+      state = Some(Sampling.mergeNbStates(state.toSeq ++ parts)
+        .localCheckpoint())
+    }
+    val oneShot = Sampling.nbState(TxLog.snapshot(spark, root),
+      "label", "text", B, "t")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("n") =!= 0).as[(String, Int, Long)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cells(state.get) === cells(oneShot),
+      "incremental state must equal the one-shot (zero rows aside)")
+    // and so do the models, cell for cell
+    def modelCells(st: org.apache.spark.sql.DataFrame) =
+      Sampling.nbModel(st, B).as[(String, Int, Long)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(modelCells(state.get) === modelCells(oneShot))
+  }
+
   test("claim primitive: a full manifest is visible the instant the name exists") {
     // the create-if-absent publish must never expose a partial file:
     // hammer readers list+read the log while a writer commits
