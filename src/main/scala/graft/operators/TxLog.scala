@@ -173,6 +173,13 @@ object TxLog {
       val (k, v) = line.span(_ != '=')
       val value = v.drop(1)
       k match {
+        case "format" =>
+          val major = value.toLong
+          if (major > FormatMajor) throw new java.io.IOException(
+            s"$name in $root uses manifest format $major; this reader " +
+              s"understands <= $FormatMajor — upgrade before reading " +
+              "(a later major may fold differently; misreading it " +
+              "would corrupt the snapshot)")
         case "action" => action = value
         case "statscol" => statsCol = Some(value)
         case "schema" => schema = Some(value)
@@ -191,11 +198,19 @@ object TxLog {
       schema, txn)
   }
 
+  /** Manifest format major version. Readers REFUSE a manifest from a
+    * LATER major (its semantics may be incompatible — silently
+    * misreading a future log corrupts snapshots); unknown KEYS within
+    * a major stay ignorable (minor additions are forward-safe, the
+    * `case _ =>` below). Bump only when fold semantics change. */
+  val FormatMajor = 1
+
   private def renderManifest(action: String, adds: Seq[AddFile],
       removes: Seq[String], statsCol: Option[String],
       schema: Option[String] = None,
       txn: Option[(String, Long)] = None): Array[Byte] = {
     val sb = new StringBuilder
+    sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
     statsCol.foreach(c => sb.append("statscol=").append(c).append('\n'))
     schema.foreach(d => sb.append("schema=").append(d).append('\n'))

@@ -415,6 +415,21 @@ class TxLogSpec extends SparkSpec {
     assert(modelCells(state.get) === modelCells(oneShot))
   }
 
+  test("format guard: a future-major manifest is refused, not misread") {
+    val root = freshRoot("fmt")
+    TxLog.append(spark, root, docs(0, 5), Some("id"))
+    // hand-write a v2 commit claiming a future format major
+    val dir = new java.io.File(s"$root/_txlog")
+    val name = f"v${2L}%020d.commit"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir.getPath, name),
+      "format=99\naction=append\nadd=data/bogus|1|-|-\n")
+    val e = intercept[java.io.IOException] {
+      TxLog.snapshot(spark, root)
+    }
+    assert(e.getMessage.contains("format 99"), e.getMessage)
+  }
+
   test("claim primitive: a full manifest is visible the instant the name exists") {
     // the create-if-absent publish must never expose a partial file:
     // hammer readers list+read the log while a writer commits
