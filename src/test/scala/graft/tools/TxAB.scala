@@ -44,7 +44,7 @@ object TxAB {
     val commitUs = splits.map(_._2).min
     println(f"[txab] bare data write        ${dataUs / 1000}%8.1f ms (min of 5)")
     println(f"[txab] full append (w+stats+claim) ${commitUs / 1000}%8.1f ms (min of 5)")
-    println(f"[txab] commit overhead       ${(commitUs - dataUs) / 1000}%8.1f ms (stats read-back + manifest claim)")
+    println(f"[txab] commit overhead       ${(commitUs - dataUs) / 1000}%8.1f ms (in-write observed stats + manifest claim)")
 
     // N appends at k concurrent writers, one table per k
     val perWriter = 8
