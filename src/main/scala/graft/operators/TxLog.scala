@@ -442,6 +442,65 @@ object TxLog {
     claimRewrite(spark, root, "rewrite", v0, removes.toSet, bytes)
   }
 
+  /** APPEND with RANGE partitioning: the batch lands as one commit of
+    * `buckets` fixed-width key ranges, each its own AddFile with
+    * tight min/max — so range reads prune within this batch from the
+    * moment it lands, instead of waiting for the next
+    * [[optimizeRange]] (a plain append's single dir spans whatever
+    * keys the batch carried). Bucket widths derive from THIS batch's
+    * key span. Costs one extra pass over the BATCH for the per-bucket
+    * stats (plain [[append]] stays one-pass via in-write observation);
+    * same blind-add concurrency as [[append]]. */
+  def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
+      keyCol: String, buckets: Int): Long = {
+    require(buckets >= 1,
+      s"appendPartitioned: buckets must be >= 1, got $buckets")
+    val ddl = ddlOf(df)
+    pinnedSchema(spark, root).foreach(p => require(p == ddl,
+      s"appendPartitioned: schema drift on $root — table pins [$p], " +
+        s"batch is [$ddl]"))
+    val r = df.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    require(!r.isNullAt(0),
+      s"appendPartitioned: $keyCol has no non-null values in the batch")
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val width = math.max(1L, (mx - mn + buckets) / buckets)
+    val bucket = coalesce(
+      ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    df.withColumn("__b", bucket)
+      .repartition(col("__b"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("__b").parquet(s"$root/$rel")
+    val stats = df.withColumn("__b", bucket)
+      .groupBy("__b").agg(count(lit(1)).as("n"),
+        min(col(keyCol).cast("long")).as("mn"),
+        max(col(keyCol).cast("long")).as("mx"))
+      .collect().map { s => s.getLong(0) ->
+        (s.getLong(1),
+          if (s.isNullAt(2)) None else Some(s.getLong(2)),
+          if (s.isNullAt(3)) None else Some(s.getLong(3)))
+      }.toMap
+    val fs = rawFs(spark, root)
+    val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
+        val (n, bmn, bmx) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, bmn, bmx)
+      }
+    val bytes = renderManifest("append", adds, Seq.empty, Some(keyCol),
+      Some(ddl))
+    var attempt = 0
+    var v = latestVersion(spark, root) + 1
+    while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"appendPartitioned: no claim after $MaxClaimRetries tries")
+      v = math.max(latestVersion(spark, root) + 1, v + 1)
+    }
+    v
+  }
+
   /** OPTIMIZE with RANGE partitioning — the maintenance rewrite that
     * RESTORES manifest-stats granularity: appends land dirs in
     * arrival order (each spanning whatever keys the batch carried)

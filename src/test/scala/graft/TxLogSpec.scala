@@ -337,6 +337,30 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, root).count() === 502)
   }
 
+  test("appendPartitioned: a batch lands stats-tight — range reads prune " +
+      "inside it from day one") {
+    val root = freshRoot("apart")
+    // two partitioned batches over disjoint key spans
+    TxLog.appendPartitioned(spark, root, docs(0, 400), "id", buckets = 4)
+    TxLog.appendPartitioned(spark, root, docs(400, 800), "id", buckets = 4)
+    assert(TxLog.latestVersion(spark, root) === 2)
+    val (_, live) = TxLog.liveFiles(spark, root)
+    assert(live.size === 8, "4 bucket dirs per batch")
+    // each bucket carries tight 100-wide bounds
+    assert(live.map(f => (f.min.get, f.max.get)).sorted ===
+      (0 until 8).map(k => (k * 100L, k * 100L + 99L)))
+    // [150, 250) scans exactly 2 of 8 dirs, result exact
+    val audit = TxLog.pruneAudit(spark, root, 150, 250).collect()
+    assert(audit.count(_.getBoolean(3)) === 2)
+    assert(TxLog.snapshotRange(spark, root, "id", 150, 250).count() === 100)
+    assert(TxLog.snapshot(spark, root).count() === 800)
+    // schema still pinned across the partitioned path
+    intercept[IllegalArgumentException] {
+      TxLog.appendPartitioned(spark, root,
+        docs(800, 810).withColumn("extra", lit(1)), "id", 4)
+    }
+  }
+
   test("RunGc treats a tx table as a leaf: reports, applies TxLog's own vacuum plan") {
     val lake = java.nio.file.Files.createTempDirectory("graft_gc_tx").toString
     val root = s"$lake/events_tx"
