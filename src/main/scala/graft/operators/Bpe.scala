@@ -99,6 +99,21 @@ object Bpe {
     * truncation costs one vocab-sized materialization job. */
   val truncateEvery: Int = 4
 
+  /** The RDD block set behind a localCheckpoint'ed frame, if that is
+    * what `df` is. `Dataset.unpersist` releases only cacheManager
+    * entries — checkpoint blocks are persisted directly on the RDD and
+    * otherwise linger until the ContextCleaner notices the RDD is
+    * unreachable (GC-timed, NOT scope-timed), which across many
+    * training calls in one JVM accumulates dead vocab-sized block sets
+    * in executor storage. Extracting the LogicalRDD lets the trainer
+    * free a superseded checkpoint deterministically. */
+  private def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Learn up to `merges` BPE merges from a word-frequency state —
     * the SEQUENTIAL algorithm (one merge per round, the subword-nmt
     * definition). Delegates to [[trainBatched]] with batch = 1, whose
@@ -211,6 +226,12 @@ object Bpe {
     var state = wide.coalesce(target)
       .select(symEncode(col("word")).as("sym"), col("freq")).persist()
     var parent: DataFrame = null // state's lineage parent, still cached
+    // the live truncation checkpoint's blocks (see checkpointRdd): a
+    // superseded checkpoint is freed the moment its successor is
+    // eagerly materialized — nothing can read it after that (every
+    // inter-checkpoint state is itself cached, and persist() spills
+    // rather than evicts, so no recompute ever walks back to it)
+    var cpBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     var sinceTruncate = 0
     val found = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
@@ -260,8 +281,12 @@ object Bpe {
             if (sinceTruncate >= truncateEvery) {
               sinceTruncate = 0
               // eager: materializes NOW (reading the parent cache) and
-              // resets the logical plan to the stored rows
-              next.localCheckpoint(true)
+              // resets the logical plan to the stored rows; the
+              // PREVIOUS checkpoint's blocks are dead from this moment
+              val cp = next.localCheckpoint(true)
+              cpBlocks.foreach(_.unpersist(blocking = false))
+              cpBlocks = checkpointRdd(cp)
+              cp
             } else next.persist()
         }
       }
@@ -270,6 +295,8 @@ object Bpe {
       session.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       state.unpersist(blocking = false)
       if (parent != null) parent.unpersist(blocking = false)
+      // the merges live on the driver; no block set outlives the call
+      cpBlocks.foreach(_.unpersist(blocking = false))
       if (!callerPersisted) wide.unpersist(blocking = false)
     }
   }
@@ -341,11 +368,19 @@ object Bpe {
       vocabWords.select(col("word"),
         size(symsOf(applyMerges(symEncode(col("word")), merges))).as("__ns"))
     else {
+      // each eager chunk checkpoint supersedes the previous one — free
+      // the dead block set immediately (the trainBatched rule; only
+      // the FINAL checkpoint survives, it backs the returned frame)
+      var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
       val symed = merges.grouped(segmentChunk).foldLeft(
           vocabWords.select(col("word"), symEncode(col("word")).as("__sym"))) {
         (acc, group) =>
-          acc.select(col("word"), applyMerges(col("__sym"), group).as("__sym"))
+          val cp = acc
+            .select(col("word"), applyMerges(col("__sym"), group).as("__sym"))
             .localCheckpoint(true)
+          prevCp.foreach(_.unpersist(blocking = false))
+          prevCp = checkpointRdd(cp)
+          cp
       }
       symed.select(col("word"), size(symsOf(col("__sym"))).as("__ns"))
     }
