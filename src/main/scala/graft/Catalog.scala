@@ -8109,7 +8109,7 @@ object Catalog {
         (0 until 10).foreach(k => TxLog.append(s, root,
           doc.where(col("doc_id") >= k * 200 && col("doc_id") < (k + 1) * 200),
           Some("doc_id")))
-        TxLog.pruneAudit(s, root, 500, 900).orderBy("min_key")
+        TxLog.pruneAudit(s, root, "doc_id", 500, 900).orderBy("min_key")
       },
       Some("""WITH b AS (SELECT k.k AS k FROM range(0, 10) k(k)),
               g AS (SELECT doc_id // 200 AS k, count(*) AS c,
@@ -8163,7 +8163,7 @@ object Catalog {
         (0 until 5).foreach(k => TxLog.append(s, root,
           doc.where(col("doc_id") % 5 === k), Some("doc_id")))
         TxLog.optimizeRange(s, root, "doc_id", buckets = 8)
-        TxLog.pruneAudit(s, root, 500, 900).orderBy("min_key")
+        TxLog.pruneAudit(s, root, "doc_id", 500, 900).orderBy("min_key")
       },
       Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
               r AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),

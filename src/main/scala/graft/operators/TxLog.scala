@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A minimal TRANSACTIONAL table format over plain parquet — the
@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   * THE COMMIT IS THE CLAIM: a writer prepares its data directory
   * completely, renders the manifest to a temp file, and publishes it
   * at `v<N>.commit` with an ATOMIC create-if-absent — hard link on a
-  * local filesystem (POSIX `link(2)` fails with EEXIST atomically),
-  * `FileContext.rename(NONE)` on HDFS (namenode-atomic), and the
-  * documented mapping on object stores is conditional put
-  * (`If-None-Match: *`). Exactly one writer wins each version; losers
-  * observe a complete, fully-written manifest (the link shares the
-  * temp file's inode — no partial-content window) and retry against
-  * the new head.
+  * local filesystem (POSIX `link(2)` fails with EEXIST atomically) or
+  * `FileContext.rename(NONE)` on HDFS/viewfs (namenode-atomic).
+  * Object-store connectors are REFUSED loudly: their rename is
+  * copy+delete with a check-then-act existence test, so two writers
+  * could both "claim" one version and silently lose a commit — the
+  * correct mapping is a real conditional put (`If-None-Match: *`),
+  * which needs a store-native integration this layer does not ship
+  * (the Delta lesson: S3 commits go through a LogStore, not rename).
+  * On supported filesystems exactly one writer wins each version;
+  * losers observe a complete, fully-written manifest (the link shares
+  * the temp file's inode — no partial-content window) and retry
+  * against the new head.
   *
   * Concurrency semantics (optimistic, Delta's rules):
   *  - APPEND commits are blind adds of fresh directories — they
@@ -67,12 +72,31 @@ import org.apache.spark.sql.functions._
   */
 object TxLog {
 
+  /** Per-directory min/max of one NAMED column (cast to long). The
+    * column name travels WITH the stat — a range read on `keyCol`
+    * prunes a dir only off a stat recorded FOR `keyCol`; a dir whose
+    * stats were computed on some other column is stat-less for that
+    * read and must scan (the pre-r13 form trusted any min/max for any
+    * key, which could prune dirs that held matching rows on a table
+    * with mixed stats columns — the in-plan predicate cannot recover a
+    * pruned dir, so that was a silent-wrong-results hole). */
+  final case class ColStat(col: String, min: Long, max: Long)
+
   /** One immutable data directory as recorded in a manifest. `dir` is
-    * ROOT-RELATIVE (tables are relocatable); stats are on the
-    * manifest's `statsCol` cast to long, absent for empty dirs or
-    * stat-less commits (such dirs are never pruned). */
+    * ROOT-RELATIVE (tables are relocatable); `stats` carries min/max
+    * for each recorded column (possibly several — multi-predicate
+    * range reads prune on any of them), absent entries are never
+    * pruned on. `gen` is the ABSOLUTE version of a commit whose
+    * `schema` is this dir's write-time schema (schema-evolution
+    * readers resolve each dir's physical schema from it; rendered as
+    * 0 = "this manifest itself" in fresh commits and resolved on
+    * read). */
   final case class AddFile(dir: String, rows: Long,
-      min: Option[Long], max: Option[Long])
+      stats: Seq[ColStat] = Seq.empty, gen: Long = 0L) {
+    def statFor(c: String): Option[ColStat] = stats.find(_.col == c)
+    def min: Option[Long] = stats.headOption.map(_.min)
+    def max: Option[Long] = stats.headOption.map(_.max)
+  }
 
   /** One manifest: `action` is `append`, `rewrite` or `checkpoint`.
     * `schema` is the committed frame's DDL — the table's schema PIN
@@ -112,12 +136,21 @@ object TxLog {
   private def manifestName(version: Long, kind: String): String =
     f"v$version%020d.$kind"
 
+  /** Filesystem schemes where `FileContext.rename(NONE)` is a real
+    * atomic no-overwrite rename (namenode-arbitrated). Everything else
+    * that isn't the local FS is refused — on s3a/gcs/abfs delegates
+    * the dst-exists check is check-then-act, so two writers could both
+    * claim one version and one manifest would silently overwrite the
+    * other. */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "file")
+
   /** Publish `bytes` at `<logDir>/<name>` atomically, failing (false)
     * if the name is already claimed. Local FS: write temp + hard link
     * (atomic EEXIST, and the published name is born fully written —
-    * it IS the temp file's inode). Other FS: temp + no-overwrite
-    * FileContext rename (HDFS-atomic; object stores map this to
-    * conditional put). */
+    * it IS the temp file's inode). HDFS-family FS: temp + no-overwrite
+    * FileContext rename (namenode-atomic). Any other scheme: refused
+    * loudly (see [[AtomicRenameSchemes]]) — a quietly racy claim is
+    * worse than no claim. */
   private def publishIfAbsent(spark: SparkSession, root: String,
       name: String, bytes: Array[Byte]): Boolean = {
     val fs = rawFs(spark, root)
@@ -135,7 +168,16 @@ object TxLog {
         val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
         try { java.nio.file.Files.createLink(dstNio, tmpNio); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ =>
+      case other =>
+        if (!AtomicRenameSchemes.contains(other.getScheme)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(
+            s"TxLog: filesystem scheme '${other.getScheme}' has no " +
+              "atomic create-if-absent — rename there is check-then-act, " +
+              "so concurrent writers could silently lose commits. Use a " +
+              "local/HDFS root, or integrate a store-native conditional " +
+              "put before pointing TxLog at an object store.")
+        }
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
           dst.toUri, spark.sparkContext.hadoopConfiguration)
         try { fc.rename(tmp, dst); true } // Rename.NONE: fails if dst exists
@@ -187,9 +229,29 @@ object TxLog {
           val bar = value.lastIndexOf('|')
           txn = Some((value.take(bar), value.drop(bar + 1).toLong))
         case "add" =>
+          // v1 layouts: legacy `dir|rows|mn|mx` (stats column implied
+          // by the manifest-level statscol line, which renders BEFORE
+          // the adds) and current `dir|rows|mn|mx|col|gen[|mn|mx|col…]`
+          // (per-file named stats + schema generation; gen 0 = this
+          // manifest's own version)
           val f = value.split('|')
           def opt(s: String) = if (s == "-") None else Some(s.toLong)
-          adds += AddFile(f(0), f(1).toLong, opt(f(2)), opt(f(3)))
+          val stats = Seq.newBuilder[ColStat]
+          var gen = version
+          if (f.length <= 4) {
+            for (c <- statsCol; mn <- opt(f(2)); mx <- opt(f(3)))
+              stats += ColStat(c, mn, mx)
+          } else {
+            if (f.length >= 6 && f(5).toLong != 0L) gen = f(5).toLong
+            def triple(mnI: Int, mxI: Int, colI: Int): Unit =
+              if (colI < f.length && f(colI) != "-")
+                for (mn <- opt(f(mnI)); mx <- opt(f(mxI)))
+                  stats += ColStat(f(colI), mn, mx)
+            triple(2, 3, 4)
+            var i = 6
+            while (i + 2 < f.length) { triple(i, i + 1, i + 2); i += 3 }
+          }
+          adds += AddFile(f(0), f(1).toLong, stats.result(), gen)
         case "remove" => removes += value
         case _ => // forward-compatible: unknown keys ignored
       }
@@ -217,10 +279,19 @@ object TxLog {
     txn.foreach { case (a, b) =>
       sb.append("txn=").append(a).append('|').append(b).append('\n') }
     adds.foreach { a =>
-      def opt(o: Option[Long]) = o.map(_.toString).getOrElse("-")
+      a.stats.foreach(s => require(
+        !s.col.contains('|') && !s.col.contains('\n'),
+        s"stats column name must not contain '|' or newlines: ${s.col}"))
       sb.append("add=").append(a.dir).append('|').append(a.rows)
-        .append('|').append(opt(a.min)).append('|').append(opt(a.max))
-        .append('\n')
+      a.stats.headOption match {
+        case Some(s) => sb.append('|').append(s.min).append('|')
+          .append(s.max).append('|').append(s.col)
+        case None => sb.append("|-|-|-")
+      }
+      sb.append('|').append(a.gen)
+      a.stats.drop(1).foreach(s => sb.append('|').append(s.min)
+        .append('|').append(s.max).append('|').append(s.col))
+      sb.append('\n')
     }
     removes.foreach(r => sb.append("remove=").append(r).append('\n'))
     sb.result().getBytes("UTF-8")
@@ -282,16 +353,25 @@ object TxLog {
     (math.min(target, commitVs.max), live.values.toSeq)
   }
 
-  /** The table's pinned schema: the newest commit that carries one
-    * (every commit written by this code does; pre-pin manifests are
-    * tolerated as None — no enforcement on legacy logs). Commits are
-    * never deleted (only data dirs vacuum), so the scan always
-    * terminates at the founding commit. */
-  def pinnedSchema(spark: SparkSession, root: String): Option[String] =
-    listLog(spark, root).collect { case (v, "commit", n) => (v, n) }
+  /** The table's pinned schema AT version `v`: the newest commit at or
+    * before `v` that carries one (every commit written by this code
+    * does; pre-pin manifests are tolerated as None — no enforcement on
+    * legacy logs). Commits are never deleted (only data dirs vacuum),
+    * so the scan always terminates at the founding commit. This is
+    * also how a data dir's PHYSICAL schema resolves: each AddFile's
+    * `gen` names the commit whose schema it was written under. */
+  def pinnedSchemaAt(spark: SparkSession, root: String,
+      v: Long): Option[String] =
+    listLog(spark, root)
+      .collect { case (cv, "commit", n) if cv <= v => (cv, n) }
       .sortBy(-_._1).iterator
       .map(e => readManifest(spark, root, e._2).schema)
       .collectFirst { case Some(d) => d }
+
+  /** [[pinnedSchemaAt]] the head — the CURRENT pin new appends must
+    * match. */
+  def pinnedSchema(spark: SparkSession, root: String): Option[String] =
+    pinnedSchemaAt(spark, root, Long.MaxValue)
 
   /** Nullability-normalized single-line DDL — the pin's equality form
     * (a parquet read-back relaxes nullability; that must not read as
@@ -300,59 +380,123 @@ object TxLog {
     org.apache.spark.sql.types.StructType(
       df.schema.fields.map(_.copy(nullable = true))).toDDL
 
+  private def ddlNorm(ddl: String): String =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.map(_.copy(nullable = true))).toDDL
+
+  /** Read a set of live data dirs ALIGNED to the table schema at
+    * `targetDdl` — the mixed-generation read behind schema evolution.
+    * Dirs are grouped by their write-time schema generation (each
+    * AddFile's `gen` resolves to a commit whose manifest records the
+    * DDL the dir was physically written under — manifests, never
+    * footer probing); a group already at the target reads directly
+    * with the EXPLICIT schema (no footer inference jobs), and an
+    * older-generation group reads under its OWN schema then aligns:
+    * columns the evolution added backfill as typed nulls, widened
+    * columns cast (int→bigint, float→double — the [[evolveSchema]]
+    * whitelist, so the cast is always lossless). With no evolution in
+    * the log this collapses to one plain multi-path read. */
+  private def readAligned(spark: SparkSession, root: String,
+      files: Seq[AddFile], targetDdl: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    targetDdl match {
+      case None => // legacy log with no pin anywhere: infer, as before
+        spark.read.parquet(files.map(f => s"$root/${f.dir}"): _*)
+      case Some(t) =>
+        val target = StructType.fromDDL(t)
+        val tNorm = ddlNorm(t)
+        val groups = files.groupBy(_.gen).toSeq.sortBy(_._1)
+        val parts = groups.map { case (g, fs) =>
+          val ddl = pinnedSchemaAt(spark, root, g).map(ddlNorm)
+            .getOrElse(tNorm)
+          val src = StructType.fromDDL(ddl)
+          val df = spark.read.schema(src)
+            .parquet(fs.map(f => s"$root/${f.dir}"): _*)
+          if (ddl == tNorm) df
+          else df.select(target.fields.map { f =>
+            if (src.fieldNames.contains(f.name))
+              col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
+        parts.reduce(_.unionByName(_))
+    }
+  }
+
   // ------------------------------------------------------------------
   // writes
   // ------------------------------------------------------------------
 
   /** Write `df` as a fresh immutable data dir and return its AddFile.
-    * Stats are collected DURING the write itself (the Observation
-    * API — metrics off the rows the write job commits), so an append
-    * is exactly ONE pass over the data: the original form re-read the
-    * written dir for count/min/max, and parquet aggregate pushdown is
-    * off by default, so that read-back was a genuine second scan —
-    * 2× write amplification at corpus scale (and a measured +204 ms
-    * fixed job cost per append locally, TxAB). */
+    * Stats (min/max per named column, any number of columns — one
+    * metric set, not one pass per column) are collected DURING the
+    * write itself (the Observation API — metrics off the rows the
+    * write job commits), so an append is exactly ONE pass over the
+    * data: the original form re-read the written dir for
+    * count/min/max, and parquet aggregate pushdown is off by default,
+    * so that read-back was a genuine second scan — 2× write
+    * amplification at corpus scale (and a measured +204 ms fixed job
+    * cost per append locally, TxAB). */
   private def writeDataDir(spark: SparkSession, root: String,
-      df: DataFrame, statsCol: Option[String]): AddFile = {
+      df: DataFrame, statsCols: Seq[String]): AddFile = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val obs = org.apache.spark.sql.Observation(s"txstats-$rel")
-    val metrics = statsCol match {
-      case Some(c) => Seq(count(lit(1)).as("n"),
-        min(col(c).cast("long")).as("mn"),
-        max(col(c).cast("long")).as("mx"))
-      case None => Seq(count(lit(1)).as("n"))
-    }
+    val metrics = count(lit(1)).as("n") +:
+      statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(col(c).cast("long")).as(s"mn$i"),
+        max(col(c).cast("long")).as(s"mx$i")) }
     df.observe(obs, metrics.head, metrics.tail: _*)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rel")
     val m = obs.get
-    AddFile(rel, m("n").asInstanceOf[Long],
-      m.get("mn").flatMap(Option(_)).map(_.asInstanceOf[Long]),
-      m.get("mx").flatMap(Option(_)).map(_.asInstanceOf[Long]))
+    val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      for {
+        mn <- m.get(s"mn$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
+        mx <- m.get(s"mx$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
+      } yield ColStat(c, mn, mx)
+    }
+    AddFile(rel, m("n").asInstanceOf[Long], stats)
   }
 
   private val MaxClaimRetries = 1000
 
   /** APPEND `df` as one commit. Blind adds commute with every other
-    * commit, so claim collisions simply retry at the new head. The
-    * batch must match the table's pinned schema (loud fail BEFORE any
-    * write — a drifted producer never lands a byte); a [[rewrite]] is
-    * the sanctioned way to change the schema. Returns the committed
-    * version. */
+    * commit, so claim collisions simply retry at the new head — after
+    * re-checking the schema pin (a concurrent [[evolveSchema]] or
+    * [[rewrite]] may have changed it; landing an old-generation batch
+    * past an evolve would silently revert the pin). The batch must
+    * match the table's pinned schema (loud fail BEFORE any write — a
+    * drifted producer never lands a byte); [[rewrite]] and
+    * [[evolveSchema]] are the sanctioned ways to change the schema.
+    * Returns the committed version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None): Long =
+    appendCols(spark, root, df, statsCol.toSeq)
+
+  /** [[append]] recording min/max stats for SEVERAL named columns per
+    * data dir (one in-write metric set — still exactly one pass), so
+    * range reads can prune this dir on any of them
+    * ([[snapshotRangeMulti]]). */
+  def appendCols(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String]): Long = {
     val ddl = ddlOf(df)
     pinnedSchema(spark, root).foreach(p => require(p == ddl,
       s"append: schema drift on $root — table pins [$p], batch is " +
-        s"[$ddl]; an intentional change is a rewrite, not an append"))
-    val add = writeDataDir(spark, root, df, statsCol)
-    val bytes = renderManifest("append", Seq(add), Seq.empty, statsCol,
-      Some(ddl))
+        s"[$ddl]; an intentional change is a rewrite or evolveSchema, " +
+        "not an append"))
+    val add = writeDataDir(spark, root, df, statsCols)
+    val bytes = renderManifest("append", Seq(add), Seq.empty,
+      statsCols.headOption, Some(ddl))
     var attempt = 0
     var v = latestVersion(spark, root) + 1
     while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
       attempt += 1
       if (attempt > MaxClaimRetries) throw new java.io.IOException(
         s"append: could not claim a version after $MaxClaimRetries tries")
+      pinnedSchema(spark, root).foreach(p => if (p != ddl)
+        throw new TxConflictException(
+          s"append of $root lost to a concurrent schema change — table " +
+            s"now pins [$p], batch is [$ddl]; revalidate and retry"))
       v = math.max(latestVersion(spark, root) + 1, v + 1)
     }
     v
@@ -399,7 +543,7 @@ object TxLog {
     pinnedSchema(spark, root).foreach(p => require(p == ddl,
       s"appendIdempotent: schema drift on $root — table pins [$p], " +
         s"batch is [$ddl]"))
-    val add = writeDataDir(spark, root, df, statsCol)
+    val add = writeDataDir(spark, root, df, statsCol.toSeq)
     val bytes = renderManifest("append", Seq(add), Seq.empty, statsCol,
       Some(ddl), Some((appId, batchId)))
     var attempt = 0
@@ -431,15 +575,188 @@ object TxLog {
       (transform: DataFrame => DataFrame): Long = {
     val (v0, live0) = liveFiles(spark, root)
     require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
-    val snap = spark.read.parquet(live0.map(f => s"$root/${f.dir}"): _*)
+    val snap = readAligned(spark, root, live0,
+      pinnedSchemaAt(spark, root, v0))
     val out = transform(snap)
-    val add = writeDataDir(spark, root, out, statsCol)
+    val add = writeDataDir(spark, root, out, statsCol.toSeq)
     val removes = live0.map(_.dir)
     // a rewrite REPLACES the table, so its schema becomes the new pin
     // (the sanctioned schema-change path — Delta's overwriteSchema)
     val bytes = renderManifest("rewrite", Seq(add), removes, statsCol,
       Some(ddlOf(out)))
     claimRewrite(spark, root, "rewrite", v0, removes.toSet, bytes)
+  }
+
+  /** Keyed MERGE (upsert) — apply a change batch to the table by key:
+    * a batch row REPLACES the live row with its key (or inserts if the
+    * key is absent); rows flagged in `deleteCol` (when given) DELETE
+    * their key instead. This is the first thing a lakehouse user does
+    * after append (the reference's own K5 first-write-wins staging,
+    * preprocess_to_staging.py:133-146, is upsert-shaped; Delta's
+    * MERGE INTO is the published pattern).
+    *
+    * The write path is PRUNED BY THE MANIFEST: only live dirs whose
+    * recorded min/max FOR `keyCol` intersect the batch's key span (or
+    * dirs with no stat on `keyCol`, which might hold anything) are
+    * read and rewritten — everything provably key-disjoint stays
+    * untouched on disk. Cost = one batch aggregate + one
+    * anti-join-sized rewrite of the TOUCHED dirs + the batch write;
+    * a well-clustered table ([[appendPartitioned]]/[[optimizeRange]])
+    * localizes a narrow-key batch to a few dirs no matter how large
+    * the table is.
+    *
+    * Batch contract: keys non-null and UNIQUE (a key must resolve to
+    * one action — checked in the same single batch aggregate); the
+    * batch minus `deleteCol` must match the table pin.
+    *
+    * Concurrency (optimistic, strictest serializable reading): on a
+    * claim collision the merge ABORTS ([[TxConflictException]]) if an
+    * intervening commit (a) removed one of its touched dirs (same as
+    * [[rewrite]]), (b) ADDED data whose `keyCol` stats intersect the
+    * batch's key span — or carry no `keyCol` stat — since such rows
+    * were not merged against, or (c) changed the schema pin.
+    * Intervening appends provably key-disjoint survive alongside.
+    * Returns the committed version. */
+  def merge(spark: SparkSession, root: String, batch: DataFrame,
+      keyCol: String, deleteCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty): Long =
+    mergeWithHook(spark, root, batch, keyCol, deleteCol, statsCols)(() => ())
+
+  /** [[merge]] with a test seam invoked between snapshot resolution
+    * and the claim — the deterministic interleaving point the
+    * conflict-rule specs drive (the x149 rewrite tests use the
+    * transform callback the same way). */
+  private[graft] def mergeWithHook(spark: SparkSession, root: String,
+      batch: DataFrame, keyCol: String, deleteCol: Option[String],
+      statsCols: Seq[String])(beforeClaim: () => Unit): Long = {
+    val upserts = deleteCol match {
+      case Some(d) => batch.where(!coalesce(col(d), lit(false))).drop(d)
+      case None => batch
+    }
+    val ddl = ddlOf(upserts)
+    pinnedSchema(spark, root).foreach(p => require(p == ddl,
+      s"merge: schema drift on $root — table pins [$p], batch is [$ddl]"))
+    val stats = if (statsCols.isEmpty) Seq(keyCol) else statsCols
+    // ONE batch aggregate: size, null-key and unique-key contract,
+    // and the key span the prune + conflict checks read
+    val k = col(keyCol).cast("long")
+    val r = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd"), min(k).as("mn"),
+      max(k).as("mx")).head()
+    require(r.getLong(0) > 0, s"merge: empty batch for $root")
+    require(r.getLong(1) == r.getLong(0),
+      s"merge: batch has null $keyCol keys")
+    require(r.getLong(2) == r.getLong(0),
+      s"merge: batch has duplicate $keyCol keys — a key must resolve " +
+        "to exactly one action")
+    val (bmn, bmx) = (r.getLong(3), r.getLong(4))
+    val hiEx = if (bmx == Long.MaxValue) Long.MaxValue else bmx + 1
+    val (v0, live0) = liveFiles(spark, root)
+    val touched = live0.filter(f => admits(f, keyCol, bmn, hiEx))
+    val out =
+      if (touched.isEmpty) upserts // nothing can hold a batch key
+      else readAligned(spark, root, touched,
+          pinnedSchemaAt(spark, root, v0))
+        .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(upserts)
+    val add = writeDataDir(spark, root, out, stats)
+    val removes = touched.map(_.dir)
+    val bytes = renderManifest("merge", Seq(add), removes,
+      stats.headOption, Some(ddl))
+    beforeClaim()
+    var attempt = 0
+    // claims START at v0+1 (the claimRewrite rule): every commit that
+    // landed since snapshot resolution forces a collision, and the
+    // collision path is where the conflict rules run — starting at the
+    // current head would sail past unvalidated commits
+    var v = v0 + 1
+    while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"merge: could not claim a version after $MaxClaimRetries tries")
+      val head = latestVersion(spark, root)
+      val inter = commitsInRange(spark, root, v0, head)
+      val mine = removes.toSet
+      val stolen = inter.filter(_.removes.exists(mine))
+      if (stolen.nonEmpty) throw new TxConflictException(
+        s"merge of $root lost v${stolen.map(_.version).min}: an " +
+          "intervening commit removed one of its touched dirs — retry " +
+          "on a fresh snapshot")
+      val overlapping = inter.filter(_.adds.exists(a =>
+        admits(a, keyCol, bmn, hiEx)))
+      if (overlapping.nonEmpty) throw new TxConflictException(
+        s"merge of $root lost v${overlapping.map(_.version).min}: an " +
+          s"intervening commit added data that may contain merge keys " +
+          s"in [$bmn, $bmx] — retry on a fresh snapshot")
+      pinnedSchema(spark, root).foreach(p => if (p != ddl)
+        throw new TxConflictException(
+          s"merge of $root lost to a concurrent schema change"))
+      v = math.max(head + 1, v + 1)
+    }
+    v
+  }
+
+  /** EVOLVE the table schema — the explicit, additive half of the
+    * schema story (the pin stays the default: accidental drift is a
+    * loud error; evolution is a deliberate commit). Permitted: ADD
+    * COLUMN (any position; old rows read as typed nulls) and WIDENING
+    * an existing column (byte→short→int→long, float→double — lossless
+    * casts only). Dropping or renaming is a [[rewrite]]. Reference
+    * anchor: the reference's gold schema is dynamic by design — a new
+    * pollutant column arriving (process_to_curated.py:42,76-78) is the
+    * system's normal evolution event, not an error.
+    *
+    * The commit carries no adds/removes — it only moves the pin.
+    * Readers align every older-generation dir to the new pin at scan
+    * time ([[readAligned]]); time travel to a pre-evolution version
+    * still reads the old schema. Appends after the evolve must match
+    * the NEW pin. Returns the committed version. */
+  def evolveSchema(spark: SparkSession, root: String,
+      newDdl: String): Long = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val head = latestVersion(spark, root)
+    require(head > 0,
+      s"evolveSchema: $root has no commits — the founding append pins")
+    val oldDdl = pinnedSchema(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"evolveSchema: $root has no schema pin (legacy log) — rewrite " +
+          "once to establish one"))
+    val norm = ddlNorm(newDdl)
+    require(norm != ddlNorm(oldDdl), "evolveSchema: schema unchanged")
+    val oldT = StructType.fromDDL(oldDdl)
+    val newT = StructType.fromDDL(norm)
+    oldT.fields.foreach { f =>
+      val nf = newT.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"evolveSchema: drops column ${f.name} — evolution is " +
+            "additive/widening only; dropping or renaming is a rewrite"))
+      require(widens(f.dataType, nf.dataType),
+        s"evolveSchema: ${f.name} ${f.dataType.simpleString} → " +
+          s"${nf.dataType.simpleString} is not a lossless widening")
+    }
+    val bytes = renderManifest("evolve", Seq.empty, Seq.empty, None,
+      Some(norm))
+    var attempt = 0
+    var v = head + 1
+    while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"evolveSchema: no claim after $MaxClaimRetries tries")
+      pinnedSchema(spark, root).foreach(p => if (ddlNorm(p) != ddlNorm(oldDdl))
+        throw new TxConflictException(
+          s"evolveSchema of $root lost to a concurrent schema change — " +
+            s"pin is now [$p]; revalidate the evolution against it"))
+      v = math.max(latestVersion(spark, root) + 1, v + 1)
+    }
+    v
   }
 
   /** APPEND with RANGE partitioning: the batch lands as one commit of
@@ -452,7 +769,8 @@ object TxLog {
     * stats (plain [[append]] stays one-pass via in-write observation);
     * same blind-add concurrency as [[append]]. */
   def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
-      keyCol: String, buckets: Int): Long = {
+      keyCol: String, buckets: Int,
+      extraStats: Seq[String] = Seq.empty): Long = {
     require(buckets >= 1,
       s"appendPartitioned: buckets must be >= 1, got $buckets")
     val ddl = ddlOf(df)
@@ -472,21 +790,13 @@ object TxLog {
       .repartition(col("__b"))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("__b").parquet(s"$root/$rel")
-    val stats = df.withColumn("__b", bucket)
-      .groupBy("__b").agg(count(lit(1)).as("n"),
-        min(col(keyCol).cast("long")).as("mn"),
-        max(col(keyCol).cast("long")).as("mx"))
-      .collect().map { s => s.getLong(0) ->
-        (s.getLong(1),
-          if (s.isNullAt(2)) None else Some(s.getLong(2)),
-          if (s.isNullAt(3)) None else Some(s.getLong(3)))
-      }.toMap
+    val stats = bucketStats(df, bucket, keyCol +: extraStats)
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
-        val (n, bmn, bmx) = stats(sub.stripPrefix("__b=").toLong)
-        AddFile(s"$rel/$sub", n, bmn, bmx)
+        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs)
       }
     val bytes = renderManifest("append", adds, Seq.empty, Some(keyCol),
       Some(ddl))
@@ -496,9 +806,33 @@ object TxLog {
       attempt += 1
       if (attempt > MaxClaimRetries) throw new java.io.IOException(
         s"appendPartitioned: no claim after $MaxClaimRetries tries")
+      pinnedSchema(spark, root).foreach(p => if (p != ddl)
+        throw new TxConflictException(
+          s"appendPartitioned of $root lost to a concurrent schema " +
+            s"change — table now pins [$p], batch is [$ddl]"))
       v = math.max(latestVersion(spark, root) + 1, v + 1)
     }
     v
+  }
+
+  /** Per-bucket (count, per-column min/max) in ONE grouped aggregate —
+    * shared by [[appendPartitioned]]/[[optimizeRange]]; never a
+    * per-dir re-scan. */
+  private def bucketStats(df: DataFrame, bucket: Column,
+      cols: Seq[String]): Map[Long, (Long, Seq[ColStat])] = {
+    val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(min(col(c).cast("long")).as(s"mn$i"),
+        max(col(c).cast("long")).as(s"mx$i")) }
+    df.withColumn("__b", bucket).groupBy("__b")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val cs = cols.zipWithIndex.flatMap { case (c, i) =>
+          val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i) // __b, n, then pairs
+          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else Some(ColStat(c, r.getLong(mnI), r.getLong(mxI)))
+        }
+        r.getLong(0) -> (r.getLong(1), cs)
+      }.toMap
   }
 
   /** OPTIMIZE with RANGE partitioning — the maintenance rewrite that
@@ -514,11 +848,12 @@ object TxLog {
     * (concurrent appends survive; input theft aborts). Returns the
     * committed version. */
   def optimizeRange(spark: SparkSession, root: String, keyCol: String,
-      buckets: Int): Long = {
+      buckets: Int, extraStats: Seq[String] = Seq.empty): Long = {
     require(buckets >= 1, s"optimizeRange: buckets must be >= 1, got $buckets")
     val (v0, live0) = liveFiles(spark, root)
     require(live0.nonEmpty, s"optimizeRange: $root has no live data at v$v0")
-    val snap = spark.read.parquet(live0.map(f => s"$root/${f.dir}"): _*)
+    val snap = readAligned(spark, root, live0,
+      pinnedSchemaAt(spark, root, v0))
     val r = snap.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()
     require(!r.isNullAt(0),
@@ -535,21 +870,13 @@ object TxLog {
     // one AddFile per nonempty bucket — stats from ONE grouped
     // aggregate over the snapshot (identical rows to what each bucket
     // dir just received), not B per-dir re-scans
-    val stats = snap.withColumn("__b", bucket)
-      .groupBy("__b").agg(count(lit(1)).as("n"),
-        min(col(keyCol).cast("long")).as("mn"),
-        max(col(keyCol).cast("long")).as("mx"))
-      .collect().map { r => r.getLong(0) ->
-        (r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          if (r.isNullAt(3)) None else Some(r.getLong(3)))
-      }.toMap
+    val stats = bucketStats(snap, bucket, keyCol +: extraStats)
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
-        val (n, mn, mx) = stats(sub.stripPrefix("__b=").toLong)
-        AddFile(s"$rel/$sub", n, mn, mx)
+        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs)
       }
     val removes = live0.map(_.dir)
     val bytes = renderManifest("rewrite", adds, removes, Some(keyCol),
@@ -599,51 +926,78 @@ object TxLog {
 
   /** Snapshot-isolated read at `asOf` (head when None). The live set
     * is immutable once resolved, so the returned frame is stable no
-    * matter what commits land while it executes. */
+    * matter what commits land while it executes. Mixed schema
+    * generations (from [[evolveSchema]]) align to the pin AS OF the
+    * resolved version — time travel to a pre-evolution version reads
+    * the OLD schema, exactly what that version's readers saw. */
   def snapshot(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
     val (v, live) = liveFiles(spark, root, asOf)
     require(live.nonEmpty, s"snapshot: $root is empty at v$v")
-    spark.read.parquet(live.map(f => s"$root/${f.dir}"): _*)
+    readAligned(spark, root, live, pinnedSchemaAt(spark, root, v))
   }
 
+  /** Does a dir's recorded stat FOR `keyCol` admit `[lo, hi)`? A dir
+    * with no stat on `keyCol` — stat-less, or stats recorded on OTHER
+    * columns — can never be pruned (must scan). */
+  private def admits(f: AddFile, keyCol: String, lo: Long,
+      hi: Long): Boolean =
+    f.statFor(keyCol) match {
+      case Some(st) => st.min < hi && st.max >= lo
+      case None => true
+    }
+
   /** Range read with MANIFEST-LEVEL file skipping: only data dirs
-    * whose recorded [min,max] intersects `[lo, hi)` (plus stat-less
-    * dirs, which can never be pruned) reach the Spark scan at all.
-    * The predicate is ALSO applied in-plan, so pruning is purely an
-    * I/O optimization — results are exact regardless of stats. */
+    * whose recorded [min,max] FOR `keyCol` intersects `[lo, hi)` (plus
+    * dirs with no stat on `keyCol`, which can never be pruned) reach
+    * the Spark scan at all. The predicate is ALSO applied in-plan, so
+    * pruning is purely an I/O optimization — results are exact
+    * regardless of which columns any dir happened to record stats
+    * on. */
   def snapshotRange(spark: SparkSession, root: String, keyCol: String,
-      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame = {
+      lo: Long, hi: Long, asOf: Option[Long] = None): DataFrame =
+    snapshotRangeMulti(spark, root, Seq((keyCol, lo, hi)), asOf)
+
+  /** Multi-predicate range read: a dir is pruned when ANY predicate's
+    * recorded stat excludes it — the multi-column manifest-stats
+    * consumer ([[appendCols]]/[[appendPartitioned]]/[[optimizeRange]]
+    * `extraStats` record the stats; a z-order-style layout clusters
+    * several dims, so the manifest should prune on each). All
+    * predicates also apply in-plan (exactness regardless of stats). */
+  def snapshotRangeMulti(spark: SparkSession, root: String,
+      preds: Seq[(String, Long, Long)],
+      asOf: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty, "snapshotRangeMulti: no predicates")
     val (v, live) = liveFiles(spark, root, asOf)
-    require(live.nonEmpty, s"snapshotRange: $root is empty at v$v")
-    val kept = live.filter(f => (f.min, f.max) match {
-      case (Some(mn), Some(mx)) => mn < hi && mx >= lo
-      case _ => true // no stats — must scan
-    })
+    require(live.nonEmpty, s"snapshotRangeMulti: $root is empty at v$v")
+    val kept = live.filter(f =>
+      preds.forall { case (c, lo, hi) => admits(f, c, lo, hi) })
+    val pin = pinnedSchemaAt(spark, root, v)
+    val filter = preds.map { case (c, lo, hi) =>
+      col(c).cast("long") >= lo && col(c).cast("long") < hi }
+      .reduce(_ && _)
     if (kept.isEmpty) {
-      // preserve the schema without scanning data: read one dir's
-      // footer-only schema and return the empty frame
-      val schema = spark.read.parquet(s"$root/${live.head.dir}").schema
+      // preserve the schema without scanning data: the pin when one
+      // exists, else one dir's footer-only schema
+      val schema = pin
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(spark.read.parquet(s"$root/${live.head.dir}").schema)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.parquet(kept.map(f => s"$root/${f.dir}"): _*)
-      .where(col(keyCol).cast("long") >= lo &&
-        col(keyCol).cast("long") < hi)
+    } else readAligned(spark, root, kept, pin).where(filter)
   }
 
   /** The skipping decision as DATA (the x122 shape): one row per live
-    * dir at head with its stats and whether a `[lo, hi)` range read
-    * scans it. Deterministic columns only (no physical dir names). */
-  def pruneAudit(spark: SparkSession, root: String,
+    * dir at head with its stats FOR `keyCol` and whether a `[lo, hi)`
+    * range read on that column scans it. Deterministic columns only
+    * (no physical dir names). */
+  def pruneAudit(spark: SparkSession, root: String, keyCol: String,
       lo: Long, hi: Long): DataFrame = {
     import spark.implicits._
     val (_, live) = liveFiles(spark, root)
     live.map { f =>
-      val scanned = (f.min, f.max) match {
-        case (Some(mn), Some(mx)) => mn < hi && mx >= lo
-        case _ => true
-      }
-      (f.rows, f.min, f.max, scanned)
+      (f.rows, f.statFor(keyCol).map(_.min),
+        f.statFor(keyCol).map(_.max), admits(f, keyCol, lo, hi))
     }.toDF("n_rows", "min_key", "max_key", "scanned")
   }
 
@@ -658,19 +1012,33 @@ object TxLog {
       fromV: Long, toV: Long): DataFrame = {
     val cs = commitsInRange(spark, root, fromV, toV)
     require(cs.nonEmpty, s"changes: no commits in ($fromV, $toV] at $root")
+    // align every part to the pin at the WINDOW END — a consumer of
+    // (fromV, toV] reconciles in toV's schema; pre-evolution rows
+    // backfill nulls exactly as a snapshot read would
+    val target = pinnedSchemaAt(spark, root,
+      math.min(toV, cs.map(_.version).max))
+    // a removed dir's write-time generation lives in the live set just
+    // BEFORE the removing commit (metadata-sized fold per removing
+    // commit — only rewrites/merges pay it)
     val parts = cs.flatMap { c =>
       val ins = if (c.adds.isEmpty) None
-        else Some(spark.read
-          .parquet(c.adds.map(a => s"$root/${a.dir}"): _*)
+        else Some(readAligned(spark, root, c.adds, target)
           .withColumn("__version", lit(c.version))
           .withColumn("__change", lit("insert")))
       val del = if (c.removes.isEmpty) None
-        else Some(spark.read
-          .parquet(c.removes.map(r => s"$root/$r"): _*)
-          .withColumn("__version", lit(c.version))
-          .withColumn("__change", lit("delete")))
+        else {
+          val (_, preLive) = liveFiles(spark, root, Some(c.version - 1))
+          val removedFiles = c.removes.map(r =>
+            preLive.find(_.dir == r)
+              .getOrElse(AddFile(r, 0L, Seq.empty, c.version)))
+          Some(readAligned(spark, root, removedFiles, target)
+            .withColumn("__version", lit(c.version))
+            .withColumn("__change", lit("delete")))
+        }
       ins.toSeq ++ del.toSeq
     }
+    require(parts.nonEmpty,
+      s"changes: only schema/metadata commits in ($fromV, $toV] at $root")
     parts.reduce(_.unionByName(_))
   }
 

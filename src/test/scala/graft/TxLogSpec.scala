@@ -128,7 +128,7 @@ class TxLogSpec extends SparkSpec {
     val root = freshRoot("prune")
     (0 until 5).foreach(k =>
       TxLog.append(spark, root, docs(k * 100, k * 100 + 100), Some("id")))
-    val audit = TxLog.pruneAudit(spark, root, 150, 350)
+    val audit = TxLog.pruneAudit(spark, root, "id", 150, 350)
       .orderBy("min_key").collect()
     assert(audit.map(_.getBoolean(3)).toSeq ===
       Seq(false, true, true, true, false))
@@ -310,12 +310,12 @@ class TxLogSpec extends SparkSpec {
         root, ids.map(i => (i.toLong, s"doc-$i")).toDF("id", "text"),
         Some("id"))
     }
-    assert(TxLog.pruneAudit(spark, root, 100, 200).collect()
+    assert(TxLog.pruneAudit(spark, root, "id", 100, 200).collect()
       .forall(_.getBoolean(3)), "pre-optimize: every dir scans")
     val v = TxLog.optimizeRange(spark, root, "id", buckets = 5)
     assert(v === 6)
     // post-optimize: disjoint 100-wide buckets; [100, 200) scans ONE
-    val audit = TxLog.pruneAudit(spark, root, 100, 200)
+    val audit = TxLog.pruneAudit(spark, root, "id", 100, 200)
       .orderBy("min_key").collect()
     assert(audit.length === 5 && audit.count(_.getBoolean(3)) === 1,
       audit.mkString("; "))
@@ -350,7 +350,7 @@ class TxLogSpec extends SparkSpec {
     assert(live.map(f => (f.min.get, f.max.get)).sorted ===
       (0 until 8).map(k => (k * 100L, k * 100L + 99L)))
     // [150, 250) scans exactly 2 of 8 dirs, result exact
-    val audit = TxLog.pruneAudit(spark, root, 150, 250).collect()
+    val audit = TxLog.pruneAudit(spark, root, "id", 150, 250).collect()
     assert(audit.count(_.getBoolean(3)) === 2)
     assert(TxLog.snapshotRange(spark, root, "id", 150, 250).count() === 100)
     assert(TxLog.snapshot(spark, root).count() === 800)
@@ -474,5 +474,163 @@ class TxLogSpec extends SparkSpec {
     stop.set(true); reader.join(30000)
     assert(bad.get() === 0)
     assert(TxLog.snapshot(spark, root).count() === 100)
+  }
+
+  test("merge: keyed upsert updates/inserts/deletes; the write prunes to touched dirs") {
+    val root = freshRoot("merge")
+    (0 until 5).foreach(k =>
+      TxLog.append(spark, root, docs(k * 100, k * 100 + 100), Some("id")))
+    // update 150-159, delete 250-254 — key span [150, 254] admits dirs
+    // 1 and 2 only; dirs 0/3/4 must stay untouched on disk
+    val batch = ((150 until 160).map(i => (i.toLong, s"upd-$i", false)) ++
+      (250 until 255).map(i => (i.toLong, "gone", true)))
+      .toDF("id", "text", "del")
+    val v = TxLog.merge(spark, root, batch, "id", deleteCol = Some("del"))
+    assert(v === 6)
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 495)
+    assert(snap.where(col("id") === 155).select("text")
+      .as[String].head() === "upd-155")
+    assert(snap.where(col("id") >= 250 && col("id") < 255).count() === 0)
+    val h6 = TxLog.history(spark, root).where(col("version") === 6).head()
+    assert(h6.getAs[String]("action") === "merge")
+    assert(h6.getAs[Long]("n_removes") === 2)
+    // a provably key-disjoint merge (pure insert) touches NOTHING —
+    // it degenerates to a blind add
+    val ins = (9000 until 9005).map(i => (i.toLong, s"new-$i"))
+      .toDF("id", "text")
+    TxLog.merge(spark, root, ins, "id")
+    assert(TxLog.history(spark, root).where(col("version") === 7)
+      .head().getAs[Long]("n_removes") === 0)
+    assert(TxLog.snapshot(spark, root).count() === 500)
+    // batch contract: duplicate keys refuse loud
+    intercept[IllegalArgumentException] {
+      TxLog.merge(spark, root,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "text"), "id")
+    }
+  }
+
+  test("merge conflicts: disjoint appends survive; overlapping or stat-less adds, " +
+      "stolen inputs, and concurrent merges abort") {
+    val root = freshRoot("mconf")
+    TxLog.append(spark, root, docs(0, 100), Some("id"))
+    // (a) intervening append DISJOINT from the merge key span: both land
+    val b1 = (0 until 10).map(i => (i.toLong, s"u-$i")).toDF("id", "text")
+    TxLog.mergeWithHook(spark, root, b1, "id", None, Seq.empty)(() =>
+      TxLog.append(spark, root, docs(500, 520), Some("id")))
+    assert(TxLog.snapshot(spark, root).count() === 120)
+    assert(TxLog.snapshot(spark, root)
+      .where(col("text") === "u-5").count() === 1)
+    // (b) intervening append INSIDE the span: the merge never saw those
+    // rows — abort
+    val b2 = (0 until 10).map(i => (i.toLong, s"w-$i")).toDF("id", "text")
+    intercept[TxLog.TxConflictException] {
+      TxLog.mergeWithHook(spark, root, b2, "id", None, Seq.empty)(() =>
+        TxLog.append(spark, root, docs(5, 8), Some("id")))
+    }
+    // (c) stat-less intervening add: disjointness unprovable — abort
+    val b3 = (600 until 610).map(i => (i.toLong, s"z-$i")).toDF("id", "text")
+    intercept[TxLog.TxConflictException] {
+      TxLog.mergeWithHook(spark, root, b3, "id", None, Seq.empty)(() =>
+        TxLog.append(spark, root, docs(700, 710)))
+    }
+    // (d) a concurrent merge that rewrote our touched dirs — abort
+    val b4 = (0 until 5).map(i => (i.toLong, s"m-$i")).toDF("id", "text")
+    val b5 = (50 until 55).map(i => (i.toLong, s"n-$i")).toDF("id", "text")
+    intercept[TxLog.TxConflictException] {
+      TxLog.mergeWithHook(spark, root, b4, "id", None, Seq.empty)(() =>
+        TxLog.merge(spark, root, b5, "id"))
+    }
+  }
+
+  test("evolveSchema: add column + widen; mixed generations align; " +
+      "time travel keeps the old shape") {
+    val root = freshRoot("evolve")
+    val genA = (0 until 50).map(i => (i.toLong, i * 2)).toDF("id", "n")
+      .select(col("id"), col("n").cast("int").as("n"))
+    TxLog.append(spark, root, genA, Some("id")) // v1 pins id BIGINT, n INT
+    assert(TxLog.evolveSchema(spark, root,
+      "id BIGINT, n BIGINT, lang STRING") === 2)
+    // the OLD shape now fails the pin; the new shape lands
+    intercept[IllegalArgumentException] { TxLog.append(spark, root, genA) }
+    val genB = (50 until 80).map(i => (i.toLong, i * 2L, "en"))
+      .toDF("id", "n", "lang")
+    TxLog.append(spark, root, genB, Some("id"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.schema.fields.map(f =>
+      (f.name, f.dataType.simpleString)).toSeq ===
+      Seq(("id", "bigint"), ("n", "bigint"), ("lang", "string")))
+    assert(snap.count() === 80)
+    assert(snap.where(col("lang").isNull).count() === 50) // null backfill
+    assert(snap.agg(sum("n")).head().getLong(0) ===
+      (0 until 80).map(_ * 2L).sum) // widened ints survive exactly
+    // pre-evolution time travel reads what THAT version's readers saw
+    val old = TxLog.snapshot(spark, root, Some(1))
+    assert(old.schema.fieldNames.toSeq === Seq("id", "n"))
+    assert(old.schema("n").dataType.simpleString === "int")
+    // non-additive / narrowing evolutions refuse loud
+    intercept[IllegalArgumentException] {
+      TxLog.evolveSchema(spark, root, "id BIGINT, lang STRING")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.evolveSchema(spark, root, "id BIGINT, n INT, lang STRING")
+    }
+    // range reads and merges span the generations transparently
+    assert(TxLog.snapshotRange(spark, root, "id", 40, 60).count() === 20)
+    TxLog.merge(spark, root, Seq((40L, 999L, "fr")).toDF("id", "n", "lang"),
+      "id")
+    val merged = TxLog.snapshot(spark, root)
+    assert(merged.where(col("id") === 40).select("n")
+      .as[Long].head() === 999L)
+    assert(merged.count() === 80)
+  }
+
+  test("stats-column safety: a dir with stats on ANOTHER column is never " +
+      "pruned on keyCol; multi-column stats prune on each") {
+    val root = freshRoot("statcol")
+    val a = (0 until 100).map(i => (i.toLong, 5000L + i)).toDF("id", "ts")
+    val b = (100 until 200).map(i => (i.toLong, 9000L + i)).toDF("id", "ts")
+    TxLog.append(spark, root, a, Some("id"))
+    TxLog.append(spark, root, b, Some("ts")) // stats on ts, NOT id
+    // the id-range read must SCAN dir b (its ts stats say nothing about
+    // id — the pre-r13 form would have pruned it and silently lost rows)
+    assert(TxLog.snapshotRange(spark, root, "id", 150, 160).count() === 10)
+    val audit = TxLog.pruneAudit(spark, root, "id", 9000, 9100).collect()
+    val (withStat, statless) = audit.partition(!_.isNullAt(1))
+    assert(withStat.length === 1 && !withStat.head.getBoolean(3)) // a pruned
+    assert(statless.length === 1 && statless.head.getBoolean(3)) // b scanned
+    // multi-column stats: one append records both, either predicate prunes
+    val root2 = freshRoot("multicol")
+    TxLog.appendCols(spark, root2, a, Seq("id", "ts"))
+    TxLog.appendCols(spark, root2, b, Seq("id", "ts"))
+    assert(TxLog.snapshotRangeMulti(spark, root2,
+      Seq(("id", 0L, 200L), ("ts", 9100L, 9150L))).count() === 50)
+    val audit2 = TxLog.pruneAudit(spark, root2, "ts", 5000, 6000).collect()
+    assert(audit2.count(_.getBoolean(3)) === 1) // only dir a admits on ts
+  }
+
+  test("CDC→MERGE: incrementally applying a table's changes rebuilds it exactly") {
+    val rootA = freshRoot("cdcsrc"); val rootB = freshRoot("cdcdst")
+    TxLog.append(spark, rootA, docs(0, 100), Some("id"))
+    TxLog.append(spark, rootA, docs(100, 160), Some("id"))
+    TxLog.rewrite(spark, rootA, Some("id"))(_.where(col("id") % 3 =!= 0))
+    TxLog.append(spark, rootA, docs(200, 230), Some("id"))
+    val head = TxLog.latestVersion(spark, rootA)
+    (1L to head).foreach { v =>
+      val delta = TxLog.changes(spark, rootA, v - 1, v)
+      // reconcile the physical delta per key: within a version an
+      // insert beats a delete (a rewrite streams delete-all+re-insert)
+      val batch = delta.groupBy("id")
+        .agg(max(struct(col("__version"),
+          (col("__change") === "insert").cast("int").as("ins"),
+          col("text"))).as("m"))
+        .select(col("id"), col("m.text").as("text"),
+          (col("m.ins") === 0).as("del"))
+      TxLog.merge(spark, rootB, batch, "id", deleteCol = Some("del"))
+    }
+    val aRows = TxLog.snapshot(spark, rootA).orderBy("id").collect()
+    val bRows = TxLog.snapshot(spark, rootB).orderBy("id").collect()
+    assert(bRows === aRows)
+    assert(aRows.length === 136) // 160 − 54 multiples of 3 + 30 late adds
   }
 }
