@@ -8356,7 +8356,167 @@ object Catalog {
       Some(s"""WITH $nbClassifyCtes
               SELECT actual, predicted, count(*) AS n
               FROM pred GROUP BY 1, 2
-              ORDER BY actual, predicted"""))
+              ORDER BY actual, predicted""")),
+
+    QueryDef("x160_tx_merge",
+      // KEYED MERGE/upsert (r13 — the first thing a lakehouse user
+      // does after append; the reference's K5 first-write-wins staging
+      // is upsert-shaped): one change batch updates every %10==3 doc
+      // (uppercased text), deletes every %10==7, and inserts fresh
+      // keys (+10000) — applied as a manifest-stats-pruned rewrite of
+      // only the dirs that can hold batch keys. The snapshot is
+      // byte-accounted via md5 against the oracle's replay of the
+      // merged state, so one lost update, surviving deleted row, or
+      // dropped insert diverges
+      (s, d) => {
+        val root = freshTxRoot(s, "merge", d)
+        val doc = txDocs(s, d)
+        (0 until 4).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 500 && col("doc_id") < (k + 1) * 500),
+          Some("doc_id")))
+        val batch = doc.where(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), upper(col("text")).as("text"),
+              lit(false).as("__del"))
+          .unionByName(doc.where(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), col("text"), lit(true).as("__del")))
+          .unionByName(doc.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
+              lit(false).as("__del")))
+        TxLog.merge(s, root, batch, "doc_id", deleteCol = Some("__del"))
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT doc_id, md5(text) AS digest FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 3 THEN upper(text)
+                    ELSE text END AS text
+                FROM d WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT doc_id + 10000, text FROM d WHERE doc_id % 10 = 1)
+              ORDER BY doc_id""")),
+
+    QueryDef("x161_tx_evolve",
+      // SCHEMA EVOLUTION (r13 — the reference's gold schema is dynamic
+      // by design: a new pollutant column is the NORMAL event, SURVEY
+      // §1.3): generation A lands (doc_id, n_len INT); an explicit
+      // evolveSchema widens n_len to BIGINT and adds lang; generation
+      // B lands in the new shape. ONE snapshot reads both generations
+      // — old dirs under their own physical schema, widened exactly,
+      // added column null-backfilled — and the oracle replays the
+      // aligned union from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "evolve", d)
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+        TxLog.append(s, root, doc.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), length(col("text")).cast("int").as("n_len")),
+          Some("doc_id"))
+        TxLog.evolveSchema(s, root, "doc_id BIGINT, n_len BIGINT, lang STRING")
+        TxLog.append(s, root, doc.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_len"),
+            col("lang")),
+          Some("doc_id"))
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), col("n_len"),
+            coalesce(col("lang"), lit("-")).as("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
+                CASE WHEN doc_id % 2 = 1 THEN lang ELSE '-' END AS lang
+              FROM documents WHERE doc_id < 2000 ORDER BY doc_id""")),
+
+    QueryDef("x162_tx_multiprune",
+      // MULTI-COLUMN manifest stats (r13): each append records min/max
+      // for BOTH doc_id and n_len in one in-write metric set, and the
+      // prune audit runs on the SECOND column — the x151 shape one
+      // axis over (the z-order x122 layout clusters two dims; the
+      // manifest should prune on each). Stats now travel with their
+      // column name, so a read on n_len prunes only off n_len stats —
+      // never off a doc_id range that happens to intersect
+      (s, d) => {
+        val root = freshTxRoot(s, "mprune", d)
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_len"))
+        (0 until 10).foreach(k => TxLog.appendCols(s, root,
+          doc.where(col("doc_id") >= k * 200 && col("doc_id") < (k + 1) * 200),
+          Seq("doc_id", "n_len")))
+        TxLog.pruneAudit(s, root, "n_len", 100, 300).orderBy("min_key")
+      },
+      Some("""WITH b AS (SELECT k.k AS k FROM range(0, 10) k(k)),
+              g AS (SELECT doc_id // 200 AS k, count(*) AS c,
+                      min(length(text)) AS mn, max(length(text)) AS mx
+                    FROM documents WHERE doc_id < 2000 GROUP BY 1)
+              SELECT coalesce(g.c, 0) AS n_rows,
+                CAST(g.mn AS BIGINT) AS min_key,
+                CAST(g.mx AS BIGINT) AS max_key,
+                CASE WHEN g.mn IS NULL THEN true
+                  ELSE g.mn < 300 AND g.mx >= 100 END AS scanned
+              FROM b LEFT JOIN g ON b.k = g.k
+              ORDER BY min_key""")),
+
+    QueryDef("x163_cdc_merge_rebuild",
+      // CDC→MERGE composition (r13 — the materialized-view maintenance
+      // pattern; the r12 CDC→NB composition one layer up): a source
+      // table takes two appends and a rewrite; a SECOND table is
+      // maintained purely by replaying the source's per-version CDC
+      // windows through keyed MERGE (per key, latest version wins;
+      // within a version insert beats delete — a rewrite streams
+      // delete-all + re-insert). Incremental apply must equal the
+      // one-shot state, byte-accounted via md5
+      (s, d) => {
+        val rootA = freshTxRoot(s, "cmsrc", d)
+        val rootB = freshTxRoot(s, "cmdst", d)
+        val doc = txDocs(s, d)
+        TxLog.append(s, rootA, doc.where(col("doc_id") % 2 === 0),
+          Some("doc_id"))
+        TxLog.append(s, rootA, doc.where(col("doc_id") % 2 === 1),
+          Some("doc_id"))
+        TxLog.rewrite(s, rootA, Some("doc_id"))(
+          _.where(length(col("text")) >= 200))
+        (1L to TxLog.latestVersion(s, rootA)).foreach { v =>
+          val delta = TxLog.changes(s, rootA, v - 1, v)
+          val batch = delta.groupBy("doc_id")
+            .agg(max(struct(col("__version"),
+              (col("__change") === "insert").cast("int").as("ins"),
+              col("text"))).as("m"))
+            .select(col("doc_id"), col("m.text").as("text"),
+              (col("m.ins") === 0).as("__del"))
+          TxLog.merge(s, rootB, batch, "doc_id", deleteCol = Some("__del"))
+        }
+        TxLog.snapshot(s, rootB)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 AND length(text) >= 200
+              ORDER BY doc_id""")),
+
+    QueryDef("x164_jpeg_dims",
+      // JPEG dimensions via the SOF MARKER WALK (r13 — the majority
+      // crawl format's metadata gap closed; no entropy decoding):
+      // payloads carry genuine SOI + JFIF APP0 + an id-LENGTH-VARYING
+      // COM segment + SOF0, so the codegen'd segment walk is exercised
+      // at 29 different hop alignments, and the oracle replays
+      // dims + total length from the id algebra alone —
+      // parse(synthesize(dims)) == dims, the x100 pattern
+      (s, d) => {
+        val packed = Multimodal.packFakeJpegs(
+          documents(s, d).where(col("doc_id") < 400), "doc_id")
+        packed.select(col("media_id"),
+            Multimodal.sniffFormat(col("media")).as("fmt"),
+            Multimodal.imageDims(col("media")).getField("width").as("width"),
+            Multimodal.imageDims(col("media")).getField("height").as("height"),
+            length(col("media")).cast("long").as("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'jpeg' AS fmt,
+                doc_id % 3000 + 16 AS width,
+                (doc_id * 7) % 2000 + 16 AS height,
+                CAST(45 + doc_id % 29 AS BIGINT) AS n_bytes
+              FROM documents WHERE doc_id < 400 ORDER BY media_id"""))
   )
 
   /** The x95 oracle: TWO full training chains (prefix `a` = the old

@@ -97,6 +97,9 @@ object GraftFunctions {
     (FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)),
+    (FunctionIdentifier("jpeg_sof_dims"),
+      new ExpressionInfo(classOf[JpegSofDims].getName, "jpeg_sof_dims"),
+      (children: Seq[Expression]) => JpegSofDims(children.head)),
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head,

@@ -85,9 +85,12 @@ object Multimodal {
     * algebra, the same class as [[sniffFormat]]. This retires the
     * codec stub for the metadata a layout/filter decision actually
     * needs (aspect ratio, min-resolution gates, storage estimates);
-    * pixel DECODE remains the contract-accepted stub. Formats without
-    * fixed-offset dims (JPEG's SOF marker walk) and short payloads
-    * read null. Output: struct(width, height) or null. */
+    * pixel DECODE remains the contract-accepted stub. JPEG (r13, the
+    * majority format in any real crawl) goes through the codegen'd
+    * [[graft.functions.JpegSofDims]] SOF marker walk — data-dependent
+    * segment hops, no entropy decoding; truncated/corrupt streams and
+    * short payloads read null. Output: struct(width, height) or
+    * null. */
   def imageDims(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def be(off: Int, len: Int) =
       conv(hex(substring(media, off, len)), 16, 10).cast("long")
@@ -95,10 +98,16 @@ object Multimodal {
       conv(concat(hex(substring(media, off + 1, 1)),
         hex(substring(media, off, 1))), 16, 10).cast("long")
     val fmt = sniffFormat(media)
+    val jd = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.JpegSofDims(
+        org.apache.spark.sql.graft.ColumnBridge.expression(media)))
     when(fmt === "png" && length(media) >= 24,
         struct(be(17, 4).as("width"), be(21, 4).as("height")))
       .when(fmt === "gif" && length(media) >= 10,
         struct(le16(7).as("width"), le16(9).as("height")))
+      .when(fmt === "jpeg" && jd.isNotNull,
+        struct(jd.bitwiseAND(lit(65535L)).as("width"),
+          shiftright(jd, 16).as("height")))
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 
@@ -121,6 +130,28 @@ object Multimodal {
     df.select(id.as("media_id"),
       unhex(when(pmod(id, lit(2L)) === 0L, pngHex).otherwise(gifHex))
         .as("media"))
+  }
+
+  /** Deterministic JPEG payloads with REAL marker-segment structure —
+    * the [[packFakeImages]] companion for the SOF walk: SOI, a
+    * canonical 18-byte JFIF APP0, an id-LENGTH-VARYING COM segment
+    * (every id exercises a different hop distance, so the walk is
+    * tested at every alignment, not one lucky offset), then SOF0 with
+    * id-derived big-endian height/width. The oracle replays dims and
+    * total length from the id algebra alone —
+    * parse(synthesize(dims)) == dims, the x100 pattern. */
+  def packFakeJpegs(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val w = pmod(id, lit(3000L)) + 16L
+    val h = pmod(id * 7L, lit(2000L)) + 16L
+    val comPayload = pmod(id, lit(29L)) + 2L // bytes after the COM length
+    val app0 = lit("FFE000104A46494600010100000100010000")
+    val com = concat(lit("FFFE"), lpad(hex(comPayload + 2L), 4, "0"),
+      repeat(lit("41"), comPayload.cast("int")))
+    val sof = concat(lit("FFC0001108"), lpad(hex(h), 4, "0"),
+      lpad(hex(w), 4, "0"), lit("03012200021101031101"))
+    df.select(id.as("media_id"),
+      unhex(concat(lit("FFD8"), app0, com, sof)).as("media"))
   }
 
   /** REAL audio metadata with NO codec — the WAV companion to

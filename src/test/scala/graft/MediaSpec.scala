@@ -399,4 +399,49 @@ class MediaSpec extends SparkSpec {
       .select("media_id").distinct().collect().map(_.getLong(0)).toSet
       == Set(5L))
   }
+
+  test("jpeg SOF walk: hand-built marker streams — SOF0/SOF2, fill bytes, " +
+      "RST, and every corruption class reads null, never throws") {
+    import graft.functions.JpegSofDims
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def pack(h: Int, w: Int): Long = (h.toLong << 16) | w.toLong
+    val app0 = "FFE000104A46494600010100000100010000"
+    val sof0 = "FFC0000B08" + "0100" + "0200" + "01011100" // h=256 w=512
+    // plain SOI + APP0 + SOF0
+    assert(JpegSofDims.dims(bytes("FFD8" + app0 + sof0)) === pack(256, 512))
+    // progressive SOF2 parses the same header shape
+    assert(JpegSofDims.dims(bytes("FFD8" + app0 +
+      "FFC2000B080080004001011100")) === pack(128, 64))
+    // legal FF fill bytes before a marker
+    assert(JpegSofDims.dims(bytes("FFD8FFFFFF" + sof0.drop(2))) ===
+      pack(256, 512))
+    // a standalone RST/TEM marker (no length) is hopped, not mis-sized
+    assert(JpegSofDims.dims(bytes("FFD8FFD0FF01" + sof0)) === pack(256, 512))
+    // DHT (C4) is NOT a frame header — its bytes must not read as dims
+    assert(JpegSofDims.dims(bytes("FFD8FFC4000401FF" + sof0)) ===
+      pack(256, 512))
+    // corruption classes: all null, none throw
+    assert(JpegSofDims.dims(bytes("FFD8")) === null) // nothing after SOI
+    assert(JpegSofDims.dims(bytes("89504E47")) === null) // not a JPEG
+    assert(JpegSofDims.dims(bytes("FFD8FFDA0004FFC0")) === null) // SOS first
+    assert(JpegSofDims.dims(bytes("FFD8FFD9")) === null) // EOI first
+    assert(JpegSofDims.dims(bytes("FFD8FFE000")) === null) // truncated len
+    assert(JpegSofDims.dims(bytes("FFD8FFE00001")) === null) // len < 2
+    assert(JpegSofDims.dims(bytes("FFD8FFC00004")) === null) // SOF truncated
+    assert(JpegSofDims.dims(bytes("FFD800")) === null) // not at a marker
+    assert(JpegSofDims.dims(Array.empty[Byte]) === null)
+    // the Column surface: imageDims dispatches jpeg through the walk
+    // and the synthesizer round-trips at every COM alignment
+    val packed = Multimodal.packFakeJpegs(
+      (0 until 60).map(i => Tuple1(i.toLong)).toDF("doc_id"), "doc_id")
+    val got = packed.select(col("media_id"),
+        Multimodal.imageDims(col("media")).getField("width").as("w"),
+        Multimodal.imageDims(col("media")).getField("height").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (id, w, h) =>
+      assert(w === id % 3000 + 16, s"width of $id")
+      assert(h === (id * 7) % 2000 + 16, s"height of $id")
+    }
+  }
 }

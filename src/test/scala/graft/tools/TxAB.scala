@@ -70,6 +70,33 @@ object TxAB {
       println(f"[txab] $k%d writer(s) x $perWriter appends: $sec%7.3f s  " +
         f"(${n / sec}%5.1f commits/s, versions contiguous)")
     }
+
+    // MERGE cost vs touched-dir count (r13): one table range-clustered
+    // into 16 dirs (appendPartitioned), then a fixed-size 100-key
+    // batch whose span admits 1 / 4 / 16 dirs — the claim under test
+    // is that merge cost scales with TOUCHED dirs, not table size
+    // (manifest stats prune the write path). min-of-3 per width.
+    val wide = spark.range(0, 1000000L).select(col("id"),
+      concat(lit("payload-"), col("id")).as("text"))
+    Seq(("1 dir", 0, 100), ("4 dirs", 0, 200000), ("16 dirs", 0, 950000))
+      .foreach { case (label, lo, hi) =>
+        val times = (1 to 3).map { _ =>
+          val root = freshRoot()
+          TxLog.appendPartitioned(spark, root, wide, "id", buckets = 16)
+          val step = math.max(1, (hi - lo) / 100)
+          val batch = (lo until hi by step).take(100)
+            .map(i => (i.toLong, s"upd-$i")).toDF("id", "text")
+          val t0 = System.nanoTime()
+          val v = TxLog.merge(spark, root, batch, "id")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val touched = TxLog.history(spark, root)
+            .where(col("version") === v).head().getAs[Long]("n_removes")
+          (sec, touched)
+        }
+        val best = times.minBy(_._1)
+        println(f"[txab] merge 100 keys spanning $label%-7s " +
+          f"${best._1}%7.3f s (touched ${best._2}%2d dirs, min of 3)")
+      }
     spark.stop()
   }
 }
