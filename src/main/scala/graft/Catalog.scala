@@ -210,7 +210,12 @@ object Catalog {
   /** The x153/x154 classify tail: score the odd-doc test slice under
     * `model`+`pri`, ending in `pred(doc_id, actual, predicted,
     * score_unats, n_feats)`. Ties break (score DESC, label DESC) —
-    * the max-of-struct order on the Spark side. */
+    * the max-of-struct order on the Spark side. A doc whose text
+    * normalizes to ZERO features takes the prior-argmax fallback with
+    * n_feats = 0 (nbClassify's fallback row) — the LEFT JOIN + `fbk`
+    * CTE pins that semantic in the oracle instead of dropping such
+    * docs (r13: the pre-fix inner join only matched because the
+    * synthetic corpus happens to contain no feature-less doc). */
   private val nbClassifyCtes: String = nbOracleCtes + """,
               te AS (SELECT doc_id, lang, text FROM documents
                      WHERE doc_id % 2 = 1),
@@ -237,11 +242,15 @@ object Catalog {
                   row_number() OVER (PARTITION BY doc_id
                     ORDER BY score DESC, label DESC) AS rn
                 FROM sc),
+              fbk AS (SELECT label, lp FROM pri
+                      ORDER BY lp DESC, label DESC LIMIT 1),
               pred AS (SELECT te.doc_id AS doc_id, te.lang AS actual,
-                  p.label AS predicted, p.score AS score_unats,
-                  p.nf AS n_feats
-                FROM te JOIN pick p
-                  ON te.doc_id = p.doc_id AND p.rn = 1)"""
+                  coalesce(p.label, f.label) AS predicted,
+                  coalesce(p.score, f.lp) AS score_unats,
+                  coalesce(p.nf, 0) AS n_feats
+                FROM te LEFT JOIN pick p
+                  ON te.doc_id = p.doc_id AND p.rn = 1
+                CROSS JOIN fbk f)"""
 
   /** The x157/x159 oracle: the hard-sigmoid GD cascade unrolled —
     * integer features (with doc_id carried for the scoring tail),

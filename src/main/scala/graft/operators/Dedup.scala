@@ -196,11 +196,25 @@ object Dedup {
   def buildExactIndex(corpus: DataFrame, idCol: String, exactOn: Column,
       path: String, nShards: Int = 64): Unit = {
     val spark = corpus.sparkSession
-    corpus.select(col(idCol).as("id"), md5(exactOn.cast("string")).as("digest"))
+    val digests = corpus
+      .select(col(idCol).as("id"), md5(exactOn.cast("string")).as("digest"))
       .withColumn("__shard", pmod(xxhash64(col("digest")), lit(nShards.toLong)))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    digests.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__shard").parquet(s"$path/digests")
-    spark.range(1).select(lit(nShards).as("n_shards"))
+    // persist the READ-BACK schema (id keeps the corpus idCol type;
+    // partition discovery infers __shard as INT): an index emptied by
+    // takedown must read back with exactly the frame shape a populated
+    // read gives, whatever the id type was — a hardcoded fallback
+    // diverges the moment an index is built over a non-BIGINT id
+    val readDdl = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        digests.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("digest",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__shard",
+        org.apache.spark.sql.types.IntegerType))).toDDL
+    spark.range(1).select(lit(nShards).as("n_shards"),
+        lit(readDdl).as("digest_ddl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/meta")
     exactMetaCache.remove(path)
     ()
@@ -234,15 +248,21 @@ object Dedup {
       found
     }
     if (fs.exists(dir) && hasData) spark.read.parquet(s"$path/digests")
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("digest",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__shard",
-          org.apache.spark.sql.types.LongType))))
+    else {
+      // the canonical shape comes from build-time meta (digest_ddl),
+      // so the emptied frame types exactly like a populated read —
+      // same id type, same discovered-INT __shard. Legacy meta
+      // (pre-ddl) falls back to the BIGINT-id default with the
+      // discovered __shard type a real read would give.
+      val meta = spark.read.parquet(s"$path/meta")
+      val ddl =
+        if (meta.columns.contains("digest_ddl"))
+          meta.collect()(0).getAs[String]("digest_ddl")
+        else "id BIGINT, digest STRING, __shard INT"
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
   }
 
   // Bloom sidecar parameters for the exact index (fixed — the layout

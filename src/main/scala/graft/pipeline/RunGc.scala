@@ -33,8 +33,13 @@ import graft.operators.Compaction
   * re-run after `--apply` reports zero leftovers.
   *
   * Usage: runMain graft.pipeline.RunGc [rootDir]
-  *          [--age-minutes N] [--max-files N] [--apply]
-  * Defaults: /tmp/graft_intake, age 60, max-files 8, dry-run. */
+  *          [--age-minutes N] [--max-files N] [--retain-versions N]
+  *          [--apply]
+  * Defaults: /tmp/graft_intake, age 60, max-files 8, retain 10,
+  * dry-run. `--retain-versions` widens/narrows the tx-table vacuum
+  * window (versions whose data time-travel/CDC readers can still
+  * reach); the enforced window is recorded in every tx finding so an
+  * `--apply` run is auditable. */
 object RunGc {
 
   final case class Finding(path: String, kind: String, action: String)
@@ -42,6 +47,7 @@ object RunGc {
   def main(args: Array[String]): Unit = {
     var ageMinutes = 60L
     var maxFiles = 8
+    var retainVersions = 10
     var apply = false
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -53,6 +59,9 @@ object RunGc {
         case "--max-files" =>
           require(i + 1 < args.length, "--max-files needs a count")
           maxFiles = args(i + 1).toInt; i += 1
+        case "--retain-versions" =>
+          require(i + 1 < args.length, "--retain-versions needs a count")
+          retainVersions = args(i + 1).toInt; i += 1
         case "--apply" => apply = true
         case other => positional += other
       }
@@ -64,7 +73,8 @@ object RunGc {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val findings = run(spark, root, ageMinutes, maxFiles, apply)
+    val findings = run(spark, root, ageMinutes, maxFiles, apply,
+      retainVersions = retainVersions)
     findings.foreach(f => println(s"[gc] ${f.kind} ${f.path} -> ${f.action}"))
     spark.stop()
   }
@@ -73,7 +83,7 @@ object RunGc {
     * `gc_report.jsonl` under `root`). */
   def run(spark: SparkSession, root: String, ageMinutes: Long = 60L,
       maxFiles: Int = 8, apply: Boolean = false,
-      maxDepth: Int = 8): Seq[Finding] = {
+      maxDepth: Int = 8, retainVersions: Int = 10): Seq[Finding] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -84,8 +94,10 @@ object RunGc {
     if (apply)
       graft.operators.Lease.withLease(conf, root,
         graft.operators.Lease.defaultOwner())(_ => runInner(
-          spark, root, ageMinutes, maxFiles, apply, maxDepth, fs))
-    else runInner(spark, root, ageMinutes, maxFiles, apply, maxDepth, fs)
+          spark, root, ageMinutes, maxFiles, apply, maxDepth,
+          retainVersions, fs))
+    else runInner(spark, root, ageMinutes, maxFiles, apply, maxDepth,
+      retainVersions, fs)
   }
 
   /** The nearest STRICT ancestor of `base` (below `root`) that looks
@@ -111,7 +123,8 @@ object RunGc {
 
   private def runInner(spark: SparkSession, root: String,
       ageMinutes: Long, maxFiles: Int, apply: Boolean, maxDepth: Int,
-      fs: org.apache.hadoop.fs.FileSystem): Seq[Finding] = {
+      retainVersions: Int, fs: org.apache.hadoop.fs.FileSystem)
+      : Seq[Finding] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
 
@@ -244,15 +257,19 @@ object RunGc {
     val txFindings = txTables.sorted.flatMap { t =>
       val graceMs = ageMinutes * 60000L
       val plan = graft.operators.TxLog.vacuumCandidates(
-        spark, t, retainVersions = 10, graceMs = graceMs)
+        spark, t, retainVersions = retainVersions, graceMs = graceMs)
       val applied =
         if (apply && plan.nonEmpty)
           graft.operators.TxLog.vacuum(spark, t,
-            retainVersions = 10, graceMs = graceMs).toSet
+            retainVersions = retainVersions, graceMs = graceMs).toSet
         else Set.empty[String]
+      // the enforced window rides in the action so an --apply run
+      // RECORDS what it deleted against (an under-retained vacuum is
+      // only diagnosable from its report)
       plan.map(rel => Finding(s"$t/$rel", "tx-unreachable-data",
-        if (!apply) "would-vacuum"
-        else if (applied.contains(rel)) "vacuumed" else "skipped"))
+        if (!apply) s"would-vacuum-retain-$retainVersions"
+        else if (applied.contains(rel)) s"vacuumed-retain-$retainVersions"
+        else "skipped"))
     }.toSeq
     val all = swapFindings ++ orphanFindings ++ fileFindings ++ txFindings
     val json = all.map(f =>

@@ -375,7 +375,8 @@ class TxLogSpec extends SparkSpec {
     // the tx leaf (no 'orphan-generation'/'compaction-candidate' rows)
     val dry = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 0)
     val txDry = dry.filter(_.kind == "tx-unreachable-data")
-    assert(txDry.size === 2 && txDry.forall(_.action === "would-vacuum"),
+    assert(txDry.size === 2 &&
+      txDry.forall(_.action === "would-vacuum-retain-10"),
       dry.mkString("; "))
     assert(dry.forall(f => f.kind == "tx-unreachable-data"),
       s"generic rules leaked into the tx leaf: ${dry.mkString("; ")}")
@@ -384,7 +385,7 @@ class TxLogSpec extends SparkSpec {
     val applied = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 0,
       apply = true)
     assert(applied.filter(_.kind == "tx-unreachable-data")
-      .forall(_.action === "vacuumed"), applied.mkString("; "))
+      .forall(_.action === "vacuumed-retain-10"), applied.mkString("; "))
     assert(TxLog.snapshot(spark, root).count() === n0)
     assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 0).isEmpty)
     // young orphans survive the age gate
