@@ -1,0 +1,1215 @@
+package graft
+
+import graft.operators.{AsOfJoin, Audio, Bpe, Curate, Dedup, IvfAnn, Kmv, Multimodal, Pca, Pq, RangeJoin, Sampling, Similarity, SkewJoin, Snapshot, TableProfile, TextAnalysis, TxLog, Urls, ZOrder}
+import graft.pipeline.AirQuality
+import graft.streaming.EventStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Catalog part 5: layout/skipping audits, KMV quantiles, the
+  * transactional table family (x147+), learned filters, and the r13
+  * merge/evolution/JPEG additions.
+  *
+  * Split from the single-file Catalog at r13 (8.9k lines and growing
+  * ~700/round); [[Catalog.entries]] concatenates the parts in the
+  * original order, so the driver contract (queries/oracleSql/
+  * headlines) is untouched. */
+private[graft] object CatalogTx {
+
+  import Tables._
+  import CatalogShared._
+
+  val defs: Seq[QueryDef] = Seq(
+
+
+    QueryDef("x122_zorder_skipping",
+      // Z-ORDER data skipping, MEASURED (r11): the Morton curve of
+      // (partkey mod 4096, suppkey mod 4096) — 32 codegen'd shift/
+      // mask/or terms, no UDF — bucketed by fixed z-prefix (the
+      // deterministic stand-in for range-clustered files), per-bucket
+      // min/max on both dims (exactly parquet footer stats), and the
+      // count of buckets a box query [512,1023]² cannot prune,
+      // side by side with the single-dim sorted layout at the same
+      // granularity. The layout decision in one row pair: z-order
+      // reads a few boundary cells, the linear layout reads every
+      // stripe the x-range admits (y stats prune nothing there). The
+      // oracle replays the interleave as a 16-term bit sum
+      (s, d) => ZOrder.skippingAudit(lineitem(s, d),
+          col("l_partkey") % 4096, col("l_suppkey") % 4096,
+          zShift = 16, linShift = 4,
+          xLo = 512, xHi = 1023, yLo = 512, yHi = 1023)
+        .orderBy("layout"),
+      Some("""WITH pts AS (
+                SELECT l_partkey % 4096 AS x, l_suppkey % 4096 AS y
+                FROM lineitem),
+              pairs AS (SELECT DISTINCT x, y FROM pts),
+              zz AS (
+                SELECT x, y,
+                  CAST(sum((((x >> i.i) & 1) << (2 * i.i))
+                     + (((y >> i.i) & 1) << (2 * i.i + 1))) AS BIGINT) AS zv
+                FROM pairs, range(0, 16) i(i) GROUP BY x, y),
+              withz AS (SELECT p.x, p.y, zz.zv
+                        FROM pts p JOIN zz USING (x, y)),
+              zb AS (SELECT zv >> 16 AS b,
+                  min(x) AS minx, max(x) AS maxx,
+                  min(y) AS miny, max(y) AS maxy
+                FROM withz GROUP BY 1),
+              lb AS (SELECT x >> 4 AS b,
+                  min(x) AS minx, max(x) AS maxx,
+                  min(y) AS miny, max(y) AS maxy
+                FROM pts GROUP BY 1),
+              zread AS (SELECT 'zorder' AS layout,
+                  CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(coalesce(sum(CASE WHEN minx <= 1023 AND maxx >= 512
+                      AND miny <= 1023 AND maxy >= 512
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_read
+                FROM zb),
+              lread AS (SELECT 'linear' AS layout,
+                  CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(coalesce(sum(CASE WHEN minx <= 1023 AND maxx >= 512
+                      AND miny <= 1023 AND maxy >= 512
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_read
+                FROM lb)
+              SELECT layout, n_buckets, n_read,
+                n_read * 1000000 // n_buckets AS read_ppm
+              FROM (SELECT * FROM zread UNION ALL SELECT * FROM lread)
+              ORDER BY layout""")),
+
+    QueryDef("x124_gif_resize",
+      // GIF → resize → PNG TRANSCODE end to end (r11): real GIFs
+      // (genuine LZW) → full LZW decode → nearest-neighbor resample →
+      // real PNG re-encode → decoded AGAIN by pngPixelStats. One
+      // chain crosses BOTH real codecs — any defect in either
+      // container's decode/encode or the resample breaks the sums.
+      // Oracle: resized pixel (x,y) of gif id is
+      // (id·29 + (x·w div 8)·11 + (y·h div 6)·17) mod 256
+      (s, d) => Multimodal.pngPixelStats(s,
+          Multimodal.resizeImage(s,
+            Multimodal.packRealGifs(s, documents(s, d)
+              .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"),
+            w = 8, h = 6))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, doc_id % 14 + 4 AS w,
+                  (doc_id * 5) % 10 + 4 AS h
+                FROM documents WHERE doc_id < 500),
+              px AS (
+                SELECT id,
+                  (id * 29 + ((x.x * w) // 8) * 11
+                     + ((y.y * h) // 6) * 17) % 256 AS v
+                FROM imgs, range(0, 8) x(x), range(0, 6) y(y))
+              SELECT id AS media_id, CAST(8 AS BIGINT) AS width,
+                CAST(6 AS BIGINT) AS height,
+                count(*) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM px GROUP BY 1 ORDER BY media_id""")),
+
+    QueryDef("x125_pq_codes",
+      // PRODUCT QUANTIZATION, the encoding half (r11): seeded
+      // deterministic codebooks (8 subspaces × 16 codewords — integer
+      // means of the ×1000-quantized seed groups, the IVF centroid
+      // rule applied per subspace), every vector encoded to its 8
+      // exact-integer argmin codes (ties to the lower code) — the
+      // 8-byte representation that makes a 100 TB vector corpus fit
+      // an ANN tier. Output pins the FULL assignment: per (subspace,
+      // code), the member count and the id sum — any codebook or
+      // argmin defect shifts a cell. The oracle re-derives codebooks
+      // and every code from the raw embeddings
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        emb.select(col("vec_id"),
+            posexplode(Pq.encode(col("embedding"), cb)).as(Seq("s", "c")))
+          .groupBy("s", "c")
+          .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+          .orderBy("s", "c")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (
+                SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0)
+                WHERE rn = 1)
+              SELECT s, c, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(sum(vec_id) AS BIGINT) AS sum_ids
+              FROM enc GROUP BY 1, 2 ORDER BY s, c""")),
+
+    QueryDef("x126_pq_adc",
+      // PQ ADC search (r11): per query one 8×16 exact-integer
+      // distance table (query subvector vs codeword), a corpus row's
+      // approximate distance = 8 table lookups summed — the vectors
+      // are never read at search time, only the 8-code relation. The
+      // full top-5 ranking (ties by id) replays externally
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        Pq.topKAdc(emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            cb, k = 5)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (
+                SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0)
+                WHERE rn = 1),
+              dt AS (
+                SELECT qq.vec_id AS qid, cw.s, cw.c,
+                  sum((qq.qv[cw.d] - cw.w) * (qq.qv[cw.d] - cw.w)) AS dist
+                FROM q qq, cw WHERE qq.vec_id < 20 GROUP BY 1, 2, 3),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+                GROUP BY 1, 2),
+              ranked AS (SELECT qid, id, adc, row_number() OVER (
+                  PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+              SELECT qid, CAST(rk AS INT) AS rk, id,
+                CAST(adc AS BIGINT) AS adc
+              FROM ranked WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    QueryDef("x127_pq_recall",
+      // the PQ tier's MEASURED loss (the x62/x113 discipline): ADC
+      // top-5 vs the exact integer-L2 top-5 on the same queries, one
+      // row (k, n_queries, n_hits, recall_ppm) — the number a caller
+      // reads before trusting 8-byte codes with a retrieval stage.
+      // Both rankings are deterministic (ties by id) so the oracle
+      // re-derives the recall exactly
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        Pq.recallAudit(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 50), "vec_id", "embedding",
+          cb, k = 5)
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (
+                SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0)
+                WHERE rn = 1),
+              dt AS (
+                SELECT qq.vec_id AS qid, cw.s, cw.c,
+                  sum((qq.qv[cw.d] - cw.w) * (qq.qv[cw.d] - cw.w)) AS dist
+                FROM q qq, cw WHERE qq.vec_id < 50 GROUP BY 1, 2, 3),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+                GROUP BY 1, 2),
+              apr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+                WHERE rk <= 5),
+              ex0 AS (
+                SELECT a.vec_id AS qid, b.vec_id AS id,
+                  CAST(sum((a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)])
+                     * (a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)]))
+                    AS BIGINT) AS d2
+                FROM q a, q b, range(1, 65) t(d) WHERE a.vec_id < 50
+                GROUP BY 1, 2),
+              exr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY d2, id) AS rk FROM ex0)
+                WHERE rk <= 5),
+              hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+                       FROM apr JOIN exr USING (qid, id)),
+              nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                     FROM q WHERE vec_id < 50)
+              SELECT CAST(5 AS BIGINT) AS k, nq.n_queries, hits.n_hits,
+                n_hits * 1000000 // (n_queries * 5) AS recall_ppm
+              FROM hits, nq""")),
+
+    QueryDef("x128_ivfpq_adc",
+      // IVF-PQ (r11): the canonical billion-scale index shape — a
+      // coarse quantizer routes each vector to a cell, PQ encodes the
+      // RESIDUAL (vector − centroid), and a query probes nprobe cells
+      // scoring only their rows by residual-ADC lookups. Everything
+      // deterministic: seeded coarse centroids (the x110 rule), one
+      // global residual codebook (seed groups over residuals), exact-
+      // integer argmin encodings, and the pruning falls out of the
+      // (cell, s, c) join key — no vector is read at search time. The
+      // oracle replays centroids → assignment → residuals → codebook
+      // → codes → probe ranking → ADC tables → the full top-5
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        val cb = Pq.trainSeededResiduals(emb, "vec_id", "embedding",
+          cents, m = 8, ncode = 16)
+        Pq.topKIvfPq(emb, "vec_id", "embedding",
+            emb.where(col("vec_id") < 20), "vec_id", "embedding",
+            cents, cb, k = 5, nprobe = 4)
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[ct.d] - ct.c) * (q.qv[ct.d] - ct.c))
+                    AS BIGINT) AS d2
+                FROM q, cent ct GROUP BY 1, 2),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist) WHERE rn = 1),
+              res AS (
+                SELECT q.vec_id, a.cell, ct.d, q.qv[ct.d] - ct.c AS rv
+                FROM q JOIN asg a USING (vec_id)
+                JOIN cent ct ON ct.cell = a.cell),
+              rcw AS (
+                SELECT CAST((r.d - 1) // 8 AS INT) AS s,
+                  CAST(r.vec_id % 16 AS INT) AS c2, r.d,
+                  CAST(floor(CAST(sum(r.rv) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS w
+                FROM res r GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT r.vec_id, r.cell, w.s, w.c2,
+                  sum((r.rv - w.w) * (r.rv - w.w)) AS d2
+                FROM res r JOIN rcw w ON w.d = r.d GROUP BY 1, 2, 3, 4),
+              enc AS (SELECT vec_id, cell, s, c2 FROM (
+                  SELECT vec_id, cell, s, c2, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c2) AS rn
+                  FROM enc0) WHERE rn = 1),
+              probe AS (SELECT vec_id AS qid, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist WHERE vec_id < 20) WHERE rn <= 4),
+              qres AS (
+                SELECT p.qid, p.cell, ct.d, q.qv[ct.d] - ct.c AS rq
+                FROM probe p JOIN q ON q.vec_id = p.qid
+                JOIN cent ct ON ct.cell = p.cell),
+              dt AS (
+                SELECT qr.qid, qr.cell, w.s, w.c2,
+                  sum((qr.rq - w.w) * (qr.rq - w.w)) AS dist
+                FROM qres qr JOIN rcw w ON w.d = qr.d GROUP BY 1, 2, 3, 4),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.cell = e.cell AND dt.s = e.s
+                  AND dt.c2 = e.c2
+                GROUP BY 1, 2),
+              ranked AS (SELECT qid, id, adc, row_number() OVER (
+                  PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+              SELECT qid, CAST(rk AS INT) AS rk, id,
+                CAST(adc AS BIGINT) AS adc
+              FROM ranked WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    QueryDef("x129_ivfpq_recall",
+      // the IVF-PQ tier's measured loss: two approximations compound
+      // (unprobed cells hide true neighbors; 8-byte residual codes
+      // blur distances) — one row (k, n_queries, n_hits, recall_ppm)
+      // against the exact integer ranking, the number that sizes
+      // nprobe and ncode before the tier serves retrieval
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cents = IvfAnn.seedCentroidsInt(emb, "vec_id", "embedding",
+          nlist = 16)
+        val cb = Pq.trainSeededResiduals(emb, "vec_id", "embedding",
+          cents, m = 8, ncode = 16)
+        Pq.recallAuditIvfPq(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 50), "vec_id", "embedding",
+          cents, cb, k = 5, nprobe = 4)
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cent AS (
+                SELECT vec_id % 16 AS cell, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS c
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2),
+              dist AS (
+                SELECT q.vec_id, ct.cell,
+                  CAST(sum((q.qv[ct.d] - ct.c) * (q.qv[ct.d] - ct.c))
+                    AS BIGINT) AS d2
+                FROM q, cent ct GROUP BY 1, 2),
+              asg AS (SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist) WHERE rn = 1),
+              res AS (
+                SELECT q.vec_id, a.cell, ct.d, q.qv[ct.d] - ct.c AS rv
+                FROM q JOIN asg a USING (vec_id)
+                JOIN cent ct ON ct.cell = a.cell),
+              rcw AS (
+                SELECT CAST((r.d - 1) // 8 AS INT) AS s,
+                  CAST(r.vec_id % 16 AS INT) AS c2, r.d,
+                  CAST(floor(CAST(sum(r.rv) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS w
+                FROM res r GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT r.vec_id, r.cell, w.s, w.c2,
+                  sum((r.rv - w.w) * (r.rv - w.w)) AS d2
+                FROM res r JOIN rcw w ON w.d = r.d GROUP BY 1, 2, 3, 4),
+              enc AS (SELECT vec_id, cell, s, c2 FROM (
+                  SELECT vec_id, cell, s, c2, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c2) AS rn
+                  FROM enc0) WHERE rn = 1),
+              probe AS (SELECT vec_id AS qid, cell FROM (
+                  SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                  FROM dist WHERE vec_id < 50) WHERE rn <= 4),
+              qres AS (
+                SELECT p.qid, p.cell, ct.d, q.qv[ct.d] - ct.c AS rq
+                FROM probe p JOIN q ON q.vec_id = p.qid
+                JOIN cent ct ON ct.cell = p.cell),
+              dt AS (
+                SELECT qr.qid, qr.cell, w.s, w.c2,
+                  sum((qr.rq - w.w) * (qr.rq - w.w)) AS dist
+                FROM qres qr JOIN rcw w ON w.d = qr.d GROUP BY 1, 2, 3, 4),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.cell = e.cell AND dt.s = e.s
+                  AND dt.c2 = e.c2
+                GROUP BY 1, 2),
+              apr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY adc, id) AS rk FROM adc)
+                WHERE rk <= 5),
+              ex0 AS (
+                SELECT a.vec_id AS qid, b.vec_id AS id,
+                  CAST(sum((a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)])
+                     * (a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)]))
+                    AS BIGINT) AS d2
+                FROM q a, q b, range(1, 65) t(d) WHERE a.vec_id < 50
+                GROUP BY 1, 2),
+              exr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY d2, id) AS rk FROM ex0)
+                WHERE rk <= 5),
+              hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+                       FROM apr JOIN exr USING (qid, id)),
+              nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                     FROM q WHERE vec_id < 50)
+              SELECT CAST(5 AS BIGINT) AS k, nq.n_queries, hits.n_hits,
+                n_hits * 1000000 // (n_queries * 5) AS recall_ppm
+              FROM hits, nq""")),
+
+    QueryDef("x132_pq_rerank",
+      // the PQ recall REPAIR, measured as a curve (r11): exact
+      // re-ranking of the ADC top-R candidates (Jégou §V.C) — the
+      // codes pick R candidates cheaply, only those R vectors are
+      // re-scored exactly, recall climbs toward 1 as R grows while
+      // vector reads stay (queries × R). One row per R beside x127's
+      // raw-ADC floor: the operating-point table a caller reads to
+      // size the rerank knob, replacing a silently-accepted 0.27
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = Pq.trainSeeded(emb, "vec_id", "embedding",
+          m = 8, ncode = 16)
+        val qs = emb.where(col("vec_id") < 50)
+        Seq(10, 25, 50, 100).map { r =>
+          Pq.rerankRecallAudit(emb, "vec_id", "embedding",
+              qs, "vec_id", "embedding", cb, k = 5, rerank = r)
+            .withColumn("rerank", lit(r.toLong))
+        }.reduce(_.unionByName(_))
+          .select(col("rerank"), col("k"), col("n_queries"),
+            col("n_hits"), col("recall_ppm"))
+          .orderBy("rerank")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              cw AS (
+                SELECT CAST((t.d - 1) // 8 AS INT) AS s,
+                  CAST(vec_id % 16 AS INT) AS c, CAST(t.d AS INT) AS d,
+                  CAST(floor(CAST(sum(qv[CAST(t.d AS INT)]) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS w
+                FROM q, range(1, 65) t(d) GROUP BY 1, 2, 3),
+              enc0 AS (
+                SELECT q.vec_id, cw.s, cw.c,
+                  sum((q.qv[cw.d] - cw.w) * (q.qv[cw.d] - cw.w)) AS d2
+                FROM q, cw GROUP BY 1, 2, 3),
+              enc AS (SELECT vec_id, s, c FROM (
+                  SELECT vec_id, s, c, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+                  FROM enc0) WHERE rn = 1),
+              dt AS (
+                SELECT qq.vec_id AS qid, cw.s, cw.c,
+                  sum((qq.qv[cw.d] - cw.w) * (qq.qv[cw.d] - cw.w)) AS dist
+                FROM q qq, cw WHERE qq.vec_id < 50 GROUP BY 1, 2, 3),
+              adc AS (
+                SELECT dt.qid, e.vec_id AS id, sum(dt.dist) AS adc
+                FROM enc e JOIN dt ON dt.s = e.s AND dt.c = e.c
+                GROUP BY 1, 2),
+              ranked AS (SELECT qid, id, row_number() OVER (
+                  PARTITION BY qid ORDER BY adc, id) AS rk FROM adc),
+              ex0 AS (
+                SELECT a.vec_id AS qid, b.vec_id AS id,
+                  CAST(sum((a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)])
+                     * (a.qv[CAST(t.d AS INT)] - b.qv[CAST(t.d AS INT)]))
+                    AS BIGINT) AS d2
+                FROM q a, q b, range(1, 65) t(d) WHERE a.vec_id < 50
+                GROUP BY 1, 2),
+              exr AS (SELECT qid, id FROM (
+                  SELECT qid, id, row_number() OVER (
+                    PARTITION BY qid ORDER BY d2, id) AS rk FROM ex0)
+                WHERE rk <= 5),
+              rr AS (SELECT CAST(unnest([10, 25, 50, 100]) AS BIGINT)
+                  AS rerank),
+              cand AS (SELECT rr.rerank, r.qid, r.id
+                       FROM rr, ranked r WHERE r.rk <= rr.rerank),
+              resc AS (SELECT c.rerank, c.qid, c.id, e.d2
+                       FROM cand c JOIN ex0 e
+                         ON e.qid = c.qid AND e.id = c.id),
+              rr5 AS (SELECT rerank, qid, id FROM (
+                  SELECT rerank, qid, id, row_number() OVER (
+                    PARTITION BY rerank, qid ORDER BY d2, id) AS rk
+                  FROM resc) WHERE rk <= 5),
+              hits AS (SELECT rerank, CAST(count(*) AS BIGINT) AS n_hits
+                       FROM rr5 JOIN exr USING (qid, id) GROUP BY 1),
+              nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                     FROM q WHERE vec_id < 50)
+              SELECT rr.rerank, CAST(5 AS BIGINT) AS k, nq.n_queries,
+                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                coalesce(h.n_hits, 0) * 1000000
+                  // (nq.n_queries * 5) AS recall_ppm
+              FROM rr LEFT JOIN hits h USING (rerank), nq
+              ORDER BY rr.rerank""")),
+
+    QueryDef("x123_grouped_quantiles",
+      // per-SOURCE quantile estimates in ONE bounded pass (r11, the
+      // grouped twin of x119): every source's doc-length quartiles +
+      // p90 from per-group bottom-k value samples built by the native
+      // BottomKLongs partial aggregate — the per-slice distribution
+      // profile ("is crawl B's length distribution shifted vs A's?")
+      // without sorting any group, at ≤ G·k sketch rows total. The
+      // oracle replays the sketch membership, the value pull-back,
+      // and the rank selection exactly
+      (s, d) => {
+        val base = documents(s, d).where(col("text").isNotNull)
+        val sk = Kmv.groupedValueSketch(base, col("source"),
+          col("doc_id").cast("string"), length(col("text")), k = 128)
+        Kmv.groupedQuantileEstimate(sk,
+            Seq(250000L, 500000L, 900000L))
+          .orderBy("g", "q_ppm")
+      },
+      Some("""WITH base AS (
+                SELECT source AS g,
+                  CAST('0x' || substring(md5(
+                    'kmvq:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv,
+                  CAST(length(text) AS BIGINT) AS v
+                FROM documents WHERE text IS NOT NULL),
+              sk0 AS (SELECT g, hv FROM (
+                  SELECT g, hv, row_number() OVER (
+                    PARTITION BY g ORDER BY hv) AS rn
+                  FROM (SELECT DISTINCT g, hv FROM base))
+                WHERE rn <= 128),
+              sk AS (SELECT s.g, s.hv, min(b.v) AS v
+                     FROM sk0 s JOIN base b USING (g, hv)
+                     GROUP BY 1, 2),
+              rk AS (SELECT g, v, row_number() OVER (
+                  PARTITION BY g ORDER BY v, hv) AS rk FROM sk),
+              ns AS (SELECT g, count(*) AS n FROM sk GROUP BY 1),
+              qs AS (SELECT CAST(unnest([250000, 500000, 900000])
+                  AS BIGINT) AS q_ppm),
+              tgt AS (SELECT n.g, q.q_ppm,
+                  (q.q_ppm * (n.n - 1)) // 1000000 + 1 AS rk
+                FROM ns n, qs q)
+              SELECT t.g AS g, t.q_ppm, r.v AS est_v
+              FROM tgt t JOIN rk r ON r.g = t.g AND r.rk = t.rk
+              ORDER BY t.g, t.q_ppm""")),
+
+    QueryDef("x131_bmp_pixels",
+      // REAL BMP pixel decode (r11, the fourth real-decode leg):
+      // complete 24-bit BMPs synthesized from the doc ids, decoded
+      // through the bottom-up padded-scanline walk, exact integer
+      // stats computed. With BMP, every non-entropy-coded format the
+      // sniffer knows decodes for real; the oracle replays the stats
+      // as id algebra — a padding/row-order/BGR defect breaks the
+      // sums bit-for-bit
+      (s, d) => Multimodal.bmpPixelStats(s,
+          Multimodal.packRealBmps(s, documents(s, d)
+            .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, doc_id % 12 + 4 AS w,
+                  (doc_id * 3) % 9 + 4 AS h
+                FROM documents WHERE doc_id < 500),
+              px AS (
+                SELECT id, w, h,
+                  (id * 23 + x.x * 13 + y.y * 19) % 256 AS v
+                FROM imgs, range(0, 16) x(x), range(0, 13) y(y)
+                WHERE x.x < w AND y.y < h)
+              SELECT id AS media_id, w AS width, h AS height,
+                count(*) AS n_pixels,
+                CAST(sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM px GROUP BY 1, 2, 3 ORDER BY media_id""")),
+
+    QueryDef("x119_kmv_quantiles",
+      // KMV VALUE SAMPLE → quantile estimates (r11): the bottom-k-by-
+      // key-hash rows keep the value column, forming a uniform row
+      // sample whose order statistics estimate the population's —
+      // the quantile leg of the sketch stack (distribution profiling
+      // of doc lengths at 100 TB without a global sort; the sketch is
+      // 256 rows). Estimator = lower order statistic at floored-ppm
+      // rank, pure integer algebra. The house discipline: the exact
+      // quantiles ride along and the measured error ships with the
+      // estimate (err_ppm)
+      (s, d) => {
+        val base = documents(s, d).where(col("text").isNotNull)
+          .select(col("doc_id").cast("string").as("k"),
+            length(col("text")).cast("long").as("v"))
+        val qs = Seq(100000L, 250000L, 500000L, 750000L, 900000L)
+        val est = Kmv.quantileEstimate(
+          Kmv.valueSketch(base, col("k"), col("v"), k = 256), qs)
+        // the audit tier: the same index algebra over the FULL
+        // relation (one global sort — this is the measured-loss
+        // oracle, not the serving path)
+        val exact = Kmv.quantileEstimate(base, qs)
+          .withColumnRenamed("est_v", "exact_v")
+        est.join(exact, Seq("q_ppm"))
+          .select(col("q_ppm"), col("est_v"), col("exact_v"),
+            expr("""abs(est_v - exact_v) * CAST(1000000 AS BIGINT)
+              DIV greatest(exact_v, CAST(1 AS BIGINT))""").as("err_ppm"))
+          .orderBy("q_ppm")
+      },
+      Some("""WITH base AS (
+                SELECT CAST('0x' || substring(md5(
+                    'kmvq:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv,
+                  CAST(length(text) AS BIGINT) AS v
+                FROM documents WHERE text IS NOT NULL),
+              sk AS (SELECT v FROM base ORDER BY hv, v LIMIT 256),
+              qs AS (SELECT CAST(unnest([100000, 250000, 500000,
+                  750000, 900000]) AS BIGINT) AS q_ppm),
+              srk AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
+                      FROM sk),
+              sn AS (SELECT count(*) AS n FROM sk),
+              est AS (SELECT q.q_ppm, s.v AS est_v
+                      FROM qs q, sn, srk s
+                      WHERE s.rk = (q.q_ppm * (sn.n - 1)) // 1000000 + 1),
+              erk AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
+                      FROM base),
+              en AS (SELECT count(*) AS n FROM base),
+              ex AS (SELECT q.q_ppm, e.v AS exact_v
+                     FROM qs q, en, erk e
+                     WHERE e.rk = (q.q_ppm * (en.n - 1)) // 1000000 + 1)
+              SELECT est.q_ppm AS q_ppm, est_v, exact_v,
+                abs(est_v - exact_v) * 1000000
+                  // greatest(exact_v, 1) AS err_ppm
+              FROM est JOIN ex ON est.q_ppm = ex.q_ppm
+              ORDER BY q_ppm""")),
+
+    QueryDef("x111_pca_moments",
+      // distributed PCA, the corpus-scale half (r10): the exact
+      // integer second-moment state of the ×1000-quantized embedding
+      // corpus — n, per-dim sums, the Gram upper triangle — built by
+      // per-partition Long accumulation (order-free, bit-identical
+      // under any layout, model-sized: 2,145 longs for 64 dims). The
+      // eigen/projection half consumes this state on the driver
+      // (Pca.fit/project — spec-verified properties; doubles are not
+      // hash-comparable). Output: the state's identifying cells,
+      // every one an exact Long the oracle re-derives
+      (s, d) => {
+        val st = Pca.momentState(embeddings(s, d), "embedding")
+        def gAt(i: Int, j: Int): Long = // (i,j) i<=j in the packed triangle
+          st.g(i * st.dim - i * (i - 1) / 2 + (j - i))
+        val trace = (0 until st.dim).map(i => gAt(i, i)).sum
+        val sess = s
+        import sess.implicits._
+        Seq((st.n, st.dim, st.s(0), st.s(1), gAt(0, 0), gAt(0, 1), trace))
+          .toDF("n", "dim", "s0", "s1", "g00", "g01", "g_trace")
+      },
+      Some("""WITH q AS (
+                SELECT list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64)
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(64 AS INT) AS dim,
+                CAST(sum(qv[1]) AS BIGINT) AS s0,
+                CAST(sum(qv[2]) AS BIGINT) AS s1,
+                CAST(sum(qv[1] * qv[1]) AS BIGINT) AS g00,
+                CAST(sum(qv[1] * qv[2]) AS BIGINT) AS g01,
+                CAST(sum(list_sum(list_transform(qv, x -> x * x)))
+                  AS BIGINT) AS g_trace
+              FROM q""")),
+
+    // ===================================== transactional tables (TxLog)
+    QueryDef("x147_tx_snapshot",
+      // the TRANSACTIONAL table layer (r12 — the residual gap the
+      // Lease + `_current` pointer story left open): three concurrent-
+      // safe APPEND commits land through the atomic manifest claim and
+      // a snapshot-isolated read folds the log back to exactly the
+      // union — every row byte-accounted via md5 against the source
+      // table, so one lost/duplicated commit or misfolded manifest
+      // diverges. The log is metadata-sized; data dirs are immutable
+      // parquet the read plans directly
+      (s, d) => {
+        val root = freshTxRoot(s, "snap", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 3 === k), Some("doc_id")))
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 ORDER BY doc_id""")),
+
+    QueryDef("x148_tx_time_travel",
+      // TIME TRAVEL: the same fold stopped at version 2 — the third
+      // commit's rows must be invisible even though they are on disk.
+      // Historical versions are first-class reads (audits, repro,
+      // incremental consumers), not a recovery path
+      (s, d) => {
+        val root = freshTxRoot(s, "travel", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 3 === k), Some("doc_id")))
+        TxLog.snapshot(s, root, asOf = Some(2))
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 AND doc_id % 3 < 2
+              ORDER BY doc_id""")),
+
+    QueryDef("x149_tx_rewrite",
+      // OPTIMISTIC REWRITE vs a mid-flight append: the rewrite reads
+      // its snapshot, an APPEND commits underneath it (claim
+      // collision), and the rewrite retries past it removing ONLY the
+      // inputs it read — the interleaved append's rows survive next
+      // to the filtered rewrite output. This is the compaction-vs-
+      // ingest interleaving a multi-writer lake runs daily
+      (s, d) => {
+        val root = freshTxRoot(s, "rw", d)
+        TxLog.append(s, root, txDocs(s, d), Some("doc_id"))
+        TxLog.rewrite(s, root, Some("doc_id")) { snap =>
+          TxLog.append(s, root,
+            documents(s, d)
+              .where(col("doc_id") >= 2000 && col("doc_id") < 2400)
+              .select(col("doc_id"), col("text")), Some("doc_id"))
+          snap.where(length(col("text")) >= 200)
+        }
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), length(col("text")).as("n_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_len
+              FROM documents
+              WHERE (doc_id < 2000 AND length(text) >= 200)
+                 OR (doc_id >= 2000 AND doc_id < 2400)
+              ORDER BY doc_id""")),
+
+    QueryDef("x150_tx_cdc",
+      // CDC over the commit log: the row-level delta of versions
+      // (1, 4] — the two later appends stream as inserts, the rewrite
+      // as delete-all + re-insert of the filtered survivors (the
+      // honest physical delta). Incremental consumers (downstream
+      // index builds, the intake journeys) read THIS instead of
+      // re-scanning the table
+      (s, d) => {
+        val root = freshTxRoot(s, "cdc", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 3 === k), Some("doc_id")))
+        TxLog.rewrite(s, root, Some("doc_id"))(
+          _.where(length(col("text")) >= 200))
+        TxLog.changes(s, root, fromV = 1, toV = 4)
+          .select(col("__version").as("version"),
+            col("__change").as("change"), col("doc_id"))
+          .orderBy("version", "change", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change,
+                doc_id FROM d WHERE doc_id % 3 = 1
+              UNION ALL
+              SELECT 3, 'insert', doc_id FROM d WHERE doc_id % 3 = 2
+              UNION ALL
+              SELECT 4, 'delete', doc_id FROM d
+              UNION ALL
+              SELECT 4, 'insert', doc_id FROM d WHERE length(text) >= 200
+              ORDER BY version, change, doc_id""")),
+
+    QueryDef("x151_tx_skipping",
+      // MANIFEST-LEVEL FILE SKIPPING: each commit records min/max of
+      // the key from the bytes it committed, and a [500, 900) range
+      // read prunes whole data dirs BEFORE Spark plans the scan
+      // (x122's z-order model one level up: the manifest skips dirs,
+      // row groups skip pages below). Stat-less dirs (the empty
+      // buckets at small SFs) can never be pruned and stay scanned —
+      // the oracle replays the per-bucket stats AND the prune
+      // decision from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "skip", d)
+        val doc = txDocs(s, d)
+        (0 until 10).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 200 && col("doc_id") < (k + 1) * 200),
+          Some("doc_id")))
+        TxLog.pruneAudit(s, root, "doc_id", 500, 900).orderBy("min_key")
+      },
+      Some("""WITH b AS (SELECT k.k AS k FROM range(0, 10) k(k)),
+              g AS (SELECT doc_id // 200 AS k, count(*) AS c,
+                      min(doc_id) AS mn, max(doc_id) AS mx
+                    FROM documents WHERE doc_id < 2000 GROUP BY 1)
+              SELECT coalesce(g.c, 0) AS n_rows, g.mn AS min_key,
+                g.mx AS max_key,
+                CASE WHEN g.mn IS NULL THEN true
+                  ELSE g.mn < 900 AND g.mx >= 500 END AS scanned
+              FROM b LEFT JOIN g ON b.k = g.k
+              ORDER BY min_key""")),
+
+    QueryDef("x155_tx_idempotent",
+      // REPLAY-SAFE intake through the txn token (Delta's
+      // SetTransaction pattern — the foreachBatch sink contract): the
+      // middle batch is delivered TWICE (the crash-replay a streaming
+      // producer actually does) and commits exactly once, so the
+      // snapshot equals the plain union — byte-accounted via md5. The
+      // replay's pre-written data dir is an invisible orphan vacuum
+      // reclaims
+      (s, d) => {
+        val root = freshTxRoot(s, "idem", d)
+        val doc = txDocs(s, d)
+        (0 until 3).foreach { k =>
+          TxLog.appendIdempotent(s, root,
+            doc.where(col("doc_id") % 3 === k), "intake", k + 1L,
+            Some("doc_id"))
+          if (k == 1) TxLog.appendIdempotent(s, root, // the replay
+            doc.where(col("doc_id") % 3 === k), "intake", k + 1L,
+            Some("doc_id"))
+        }
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 ORDER BY doc_id""")),
+
+    QueryDef("x156_tx_optimize",
+      // OPTIMIZE with range re-clustering (the Delta OPTIMIZE
+      // analogue, r12): arrival-order appends each span the whole key
+      // range (id % 5 slices here), so manifest stats prune NOTHING —
+      // one transactional rewrite re-clusters the snapshot into fixed-
+      // width key buckets (one pass, one shuffle, each bucket its own
+      // AddFile with tight min/max) and range reads prune again. The
+      // oracle replays the bucket arithmetic (width = ceil(span/8))
+      // and every stat + prune decision from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "opt", d)
+        val doc = txDocs(s, d)
+        (0 until 5).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 5 === k), Some("doc_id")))
+        TxLog.optimizeRange(s, root, "doc_id", buckets = 8)
+        TxLog.pruneAudit(s, root, "doc_id", 500, 900).orderBy("min_key")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+              r AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),
+              w AS (SELECT mn, greatest(1, (mx - mn + 8) // 8) AS width
+                    FROM r),
+              b AS (SELECT (doc_id - mn) // width AS k, doc_id
+                    FROM d, w),
+              g AS (SELECT k, count(*) AS c, min(doc_id) AS mnk,
+                      max(doc_id) AS mxk
+                    FROM b GROUP BY 1)
+              SELECT c AS n_rows, mnk AS min_key, mxk AS max_key,
+                (mnk < 900 AND mxk >= 500) AS scanned
+              FROM g ORDER BY min_key""")),
+
+    // ================================ learned classifier (Naive Bayes)
+    QueryDef("x158_tx_history",
+      // the table's own audit trail as DATA (DESCRIBE HISTORY): every
+      // commit's action, add/remove footprint, committed rows, and
+      // producer token — from manifests alone, no data read. Built by
+      // two plain appends, one idempotent append WITH its replay
+      // (absent from history — at-most-once means the replay never
+      // became a commit), and a rewrite (delete-all + re-add
+      // footprint visible). The oracle re-derives every row count
+      // from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "hist", d)
+        val doc = txDocs(s, d)
+        TxLog.append(s, root, doc.where(col("doc_id") % 3 === 0),
+          Some("doc_id"))
+        TxLog.append(s, root, doc.where(col("doc_id") % 3 === 1),
+          Some("doc_id"))
+        TxLog.appendIdempotent(s, root, doc.where(col("doc_id") % 3 === 2),
+          "intake", 7L, Some("doc_id"))
+        TxLog.appendIdempotent(s, root, doc.where(col("doc_id") % 3 === 2),
+          "intake", 7L, Some("doc_id")) // replay: no new history row
+        TxLog.rewrite(s, root, Some("doc_id"))(
+          _.where(length(col("text")) >= 200))
+        TxLog.history(s, root).orderBy("version")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+                CAST(1 AS BIGINT) AS n_adds,
+                (SELECT count(*) FROM d WHERE doc_id % 3 = 0) AS rows_added,
+                CAST(0 AS BIGINT) AS n_removes,
+                CAST(NULL AS VARCHAR) AS txn_app,
+                CAST(NULL AS BIGINT) AS txn_batch
+              UNION ALL
+              SELECT 2, 'append', 1,
+                (SELECT count(*) FROM d WHERE doc_id % 3 = 1), 0,
+                NULL, NULL
+              UNION ALL
+              SELECT 3, 'append', 1,
+                (SELECT count(*) FROM d WHERE doc_id % 3 = 2), 0,
+                'intake', 7
+              UNION ALL
+              SELECT 4, 'rewrite', 1,
+                (SELECT count(*) FROM d WHERE length(text) >= 200), 3,
+                NULL, NULL
+              ORDER BY version""")),
+
+    QueryDef("x157_logit_train",
+      // ITERATIVE gradient training in exact algebra (r12): 3 batch-GD
+      // steps of hard-sigmoid logistic regression — weights in Long
+      // micro-units, the piecewise-linear activation
+      // p_ppm = (clamp(z, ±2e6) + 2e6) >> 2 (no transcendentals),
+      // gradients as order-free integer sums, floor-division updates.
+      // The oracle replays ALL THREE iterations unrolled — every
+      // weight of every step is compared, so one wrong gradient term,
+      // clamp bound, or division rounding anywhere in the cascade
+      // diverges. Per step: one pinned-projection scan + a 1-row agg
+      (s, d) => {
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+        val y = when(col("lang") === "en", 1000000L).otherwise(0L)
+        val x1 = least(TextAnalysis.tokenCount(col("text")), lit(200)) - 50
+        val x2 = least(expr("length(text) DIV 10"), lit(60)) - 30
+        Sampling.hardLogitTrain(doc, y, Seq(lit(1L), x1, x2),
+            iters = 3, etaDen = 1000)
+          .orderBy("iter", "i")
+      },
+      Some(s"""WITH $logitOracleCtes
+              SELECT CAST(1 AS INT) AS iter, CAST(0 AS INT) AS i,
+                CAST(a AS BIGINT) AS w_unats FROM wa
+              UNION ALL SELECT 1, 1, b FROM wa
+              UNION ALL SELECT 1, 2, c FROM wa
+              UNION ALL SELECT 2, 0, a FROM wb
+              UNION ALL SELECT 2, 1, b FROM wb
+              UNION ALL SELECT 2, 2, c FROM wb
+              UNION ALL SELECT 3, 0, a FROM wc
+              UNION ALL SELECT 3, 1, b FROM wc
+              UNION ALL SELECT 3, 2, c FROM wc
+              ORDER BY iter, i""")),
+
+    QueryDef("x159_logit_score",
+      // the trained linear probe APPLIED as a corpus gate: every doc
+      // scored under the 3-step weights with the same exact activation
+      // (train and serve share one arithmetic — no train/serve skew
+      // possible), `kept` at the 0.5 boundary. Map-only over the
+      // corpus with a driver-held weight vector; the oracle replays
+      // training AND scoring end to end
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+        val y = when(col("lang") === "en", 1000000L).otherwise(0L)
+        val x1 = least(TextAnalysis.tokenCount(col("text")), lit(200)) - 50
+        val x2 = least(expr("length(text) DIV 10"), lit(60)) - 30
+        val xs = Seq(lit(1L), x1, x2)
+        val w = Sampling.hardLogitTrain(doc, y, xs, iters = 3,
+            etaDen = 1000)
+          .where(col("iter") === 3).orderBy("i")
+          .select("w_unats").as[Long].collect().toSeq
+        Sampling.hardLogitScore(doc, xs, w)
+          .select(col("doc_id"), col("score_ppm"), col("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $logitOracleCtes
+              SELECT ft.doc_id,
+                (greatest(-2000000, least(2000000,
+                   wc.a * ft.x0 + wc.b * ft.x1 + wc.c * ft.x2))
+                 + 2000000) // 4 AS score_ppm,
+                (greatest(-2000000, least(2000000,
+                   wc.a * ft.x0 + wc.b * ft.x1 + wc.c * ft.x2))
+                 + 2000000) // 4 >= 500000 AS kept
+              FROM ft, wc ORDER BY doc_id""")),
+
+    QueryDef("x152_nb_model",
+      // the LEARNED quality/langid filter, training half (r12):
+      // multinomial Naive Bayes over the hashed bag-of-ngrams
+      // features — the fastText-style seed-classifier pattern (GPT-3
+      // quality filter, CCNet langid) in exact algebra. Trained on
+      // the even-doc slice labeled by `lang`; the model is the full
+      // (labels × buckets) grid of add-one-smoothed log-likelihoods
+      // in Long micro-nats plus per-label log-priors (bucket = -1).
+      // Model-sized output; the oracle re-derives every cell from the
+      // raw text
+      (s, d) => {
+        val doc = documents(s, d)
+        Sampling.nbModel(Sampling.nbState(
+            doc.where(col("doc_id") % 2 === 0), "lang", "text"))
+          .orderBy("label", "bucket")
+      },
+      Some(s"""WITH $nbOracleCtes
+              SELECT lang AS label, bucket, lp AS lp_unats FROM model
+              UNION ALL
+              SELECT lang, -1, lp FROM pri
+              ORDER BY label, bucket""")),
+
+    QueryDef("x153_nb_classify",
+      // the classify half: held-out odd docs scored under the frozen
+      // even-doc model — per doc, exact integer `prior + Σ lp` per
+      // label and a max-of-struct argmax (no window, no sort; ties
+      // break toward the larger label both sides). One batch scan +
+      // a broadcast model join + one per-doc hash agg — the shape
+      // that filters 100 TB with a model trained on a seed set
+      (s, d) => {
+        val doc = documents(s, d)
+        val m = Sampling.nbModel(Sampling.nbState(
+          doc.where(col("doc_id") % 2 === 0), "lang", "text"))
+        Sampling.nbClassify(doc.where(col("doc_id") % 2 === 1), m,
+            "doc_id", "text")
+          .select(col("doc_id"), col("lang").as("actual"),
+            col("predicted"), col("score_unats"), col("n_feats"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $nbClassifyCtes
+              SELECT doc_id, actual, predicted, score_unats, n_feats
+              FROM pred ORDER BY doc_id"""),
+      headline = true),
+
+    QueryDef("x154_nb_confusion",
+      // the measured-loss audit for the learned tier (the x62/x102
+      // rule: every lossy operator ships its accuracy audit): the
+      // held-out confusion matrix — actual × predicted counts — is
+      // what decides whether the seed classifier is good enough to
+      // gate a corpus. Group-count-sized output. On THIS synthetic
+      // corpus it reads 0.436 vs a 0.43 majority base rate — i.e.
+      // "the lang labels carry no token signal here, do not gate on
+      // this model": the audit doing its job
+      (s, d) => {
+        val doc = documents(s, d)
+        val m = Sampling.nbModel(Sampling.nbState(
+          doc.where(col("doc_id") % 2 === 0), "lang", "text"))
+        Sampling.nbClassify(doc.where(col("doc_id") % 2 === 1), m,
+            "doc_id", "text")
+          .groupBy(col("lang").as("actual"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("actual", "predicted")
+      },
+      Some(s"""WITH $nbClassifyCtes
+              SELECT actual, predicted, count(*) AS n
+              FROM pred GROUP BY 1, 2
+              ORDER BY actual, predicted""")),
+
+    QueryDef("x160_tx_merge",
+      // KEYED MERGE/upsert (r13 — the first thing a lakehouse user
+      // does after append; the reference's K5 first-write-wins staging
+      // is upsert-shaped): one change batch updates every %10==3 doc
+      // (uppercased text), deletes every %10==7, and inserts fresh
+      // keys (+10000) — applied as a manifest-stats-pruned rewrite of
+      // only the dirs that can hold batch keys. The snapshot is
+      // byte-accounted via md5 against the oracle's replay of the
+      // merged state, so one lost update, surviving deleted row, or
+      // dropped insert diverges
+      (s, d) => {
+        val root = freshTxRoot(s, "merge", d)
+        val doc = txDocs(s, d)
+        (0 until 4).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 500 && col("doc_id") < (k + 1) * 500),
+          Some("doc_id")))
+        val batch = doc.where(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), upper(col("text")).as("text"),
+              lit(false).as("__del"))
+          .unionByName(doc.where(col("doc_id") % 10 === 7)
+            .select(col("doc_id"), col("text"), lit(true).as("__del")))
+          .unionByName(doc.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
+              lit(false).as("__del")))
+        TxLog.merge(s, root, batch, "doc_id", deleteCol = Some("__del"))
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT doc_id, md5(text) AS digest FROM (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 3 THEN upper(text)
+                    ELSE text END AS text
+                FROM d WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT doc_id + 10000, text FROM d WHERE doc_id % 10 = 1)
+              ORDER BY doc_id""")),
+
+    QueryDef("x161_tx_evolve",
+      // SCHEMA EVOLUTION (r13 — the reference's gold schema is dynamic
+      // by design: a new pollutant column is the NORMAL event, SURVEY
+      // §1.3): generation A lands (doc_id, n_len INT); an explicit
+      // evolveSchema widens n_len to BIGINT and adds lang; generation
+      // B lands in the new shape. ONE snapshot reads both generations
+      // — old dirs under their own physical schema, widened exactly,
+      // added column null-backfilled — and the oracle replays the
+      // aligned union from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "evolve", d)
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+        TxLog.append(s, root, doc.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), length(col("text")).cast("int").as("n_len")),
+          Some("doc_id"))
+        TxLog.evolveSchema(s, root, "doc_id BIGINT, n_len BIGINT, lang STRING")
+        TxLog.append(s, root, doc.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_len"),
+            col("lang")),
+          Some("doc_id"))
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), col("n_len"),
+            coalesce(col("lang"), lit("-")).as("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
+                CASE WHEN doc_id % 2 = 1 THEN lang ELSE '-' END AS lang
+              FROM documents WHERE doc_id < 2000 ORDER BY doc_id""")),
+
+    QueryDef("x162_tx_multiprune",
+      // MULTI-COLUMN manifest stats (r13): each append records min/max
+      // for BOTH doc_id and n_len in one in-write metric set, and the
+      // prune audit runs on the SECOND column — the x151 shape one
+      // axis over (the z-order x122 layout clusters two dims; the
+      // manifest should prune on each). Stats now travel with their
+      // column name, so a read on n_len prunes only off n_len stats —
+      // never off a doc_id range that happens to intersect
+      (s, d) => {
+        val root = freshTxRoot(s, "mprune", d)
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_len"))
+        (0 until 10).foreach(k => TxLog.appendCols(s, root,
+          doc.where(col("doc_id") >= k * 200 && col("doc_id") < (k + 1) * 200),
+          Seq("doc_id", "n_len")))
+        TxLog.pruneAudit(s, root, "n_len", 100, 300).orderBy("min_key")
+      },
+      Some("""WITH b AS (SELECT k.k AS k FROM range(0, 10) k(k)),
+              g AS (SELECT doc_id // 200 AS k, count(*) AS c,
+                      min(length(text)) AS mn, max(length(text)) AS mx
+                    FROM documents WHERE doc_id < 2000 GROUP BY 1)
+              SELECT coalesce(g.c, 0) AS n_rows,
+                CAST(g.mn AS BIGINT) AS min_key,
+                CAST(g.mx AS BIGINT) AS max_key,
+                CASE WHEN g.mn IS NULL THEN true
+                  ELSE g.mn < 300 AND g.mx >= 100 END AS scanned
+              FROM b LEFT JOIN g ON b.k = g.k
+              ORDER BY min_key""")),
+
+    QueryDef("x163_cdc_merge_rebuild",
+      // CDC→MERGE composition (r13 — the materialized-view maintenance
+      // pattern; the r12 CDC→NB composition one layer up): a source
+      // table takes two appends and a rewrite; a SECOND table is
+      // maintained purely by replaying the source's per-version CDC
+      // windows through keyed MERGE (per key, latest version wins;
+      // within a version insert beats delete — a rewrite streams
+      // delete-all + re-insert). Incremental apply must equal the
+      // one-shot state, byte-accounted via md5
+      (s, d) => {
+        val rootA = freshTxRoot(s, "cmsrc", d)
+        val rootB = freshTxRoot(s, "cmdst", d)
+        val doc = txDocs(s, d)
+        TxLog.append(s, rootA, doc.where(col("doc_id") % 2 === 0),
+          Some("doc_id"))
+        TxLog.append(s, rootA, doc.where(col("doc_id") % 2 === 1),
+          Some("doc_id"))
+        TxLog.rewrite(s, rootA, Some("doc_id"))(
+          _.where(length(col("text")) >= 200))
+        (1L to TxLog.latestVersion(s, rootA)).foreach { v =>
+          val delta = TxLog.changes(s, rootA, v - 1, v)
+          val batch = delta.groupBy("doc_id")
+            .agg(max(struct(col("__version"),
+              (col("__change") === "insert").cast("int").as("ins"),
+              col("text"))).as("m"))
+            .select(col("doc_id"), col("m.text").as("text"),
+              (col("m.ins") === 0).as("__del"))
+          TxLog.merge(s, rootB, batch, "doc_id", deleteCol = Some("__del"))
+        }
+        TxLog.snapshot(s, rootB)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest
+              FROM documents WHERE doc_id < 2000 AND length(text) >= 200
+              ORDER BY doc_id""")),
+
+    QueryDef("x164_jpeg_dims",
+      // JPEG dimensions via the SOF MARKER WALK (r13 — the majority
+      // crawl format's metadata gap closed; no entropy decoding):
+      // payloads carry genuine SOI + JFIF APP0 + an id-LENGTH-VARYING
+      // COM segment + SOF0, so the codegen'd segment walk is exercised
+      // at 29 different hop alignments, and the oracle replays
+      // dims + total length from the id algebra alone —
+      // parse(synthesize(dims)) == dims, the x100 pattern
+      (s, d) => {
+        val packed = Multimodal.packFakeJpegs(
+          documents(s, d).where(col("doc_id") < 400), "doc_id")
+        packed.select(col("media_id"),
+            Multimodal.sniffFormat(col("media")).as("fmt"),
+            Multimodal.imageDims(col("media")).getField("width").as("width"),
+            Multimodal.imageDims(col("media")).getField("height").as("height"),
+            length(col("media")).cast("long").as("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'jpeg' AS fmt,
+                doc_id % 3000 + 16 AS width,
+                (doc_id * 7) % 2000 + 16 AS height,
+                CAST(45 + doc_id % 29 AS BIGINT) AS n_bytes
+              FROM documents WHERE doc_id < 400 ORDER BY media_id"""))
+  )
+}

@@ -45,7 +45,13 @@ object ScaleProbe {
       // slice at sf0.1, so its data term saturates by design — the
       // tx family's data axis is COMMITS, measured by Scale10Probe's
       // txlog_fold rows instead)
-      "x153_nb_classify", "x157_logit_train")
+      "x153_nb_classify", "x157_logit_train",
+      // r13 families: keyed MERGE (4 range appends + pruned rewrite +
+      // snapshot — the data term is the touched-dir rewrite + batch
+      // write; docs are 500 → 2000 across this decade), mixed-
+      // generation evolution read, and the JPEG SOF walk (doc_id<400
+      // caps it — the walk is map-only, same class as x10)
+      "x160_tx_merge", "x161_tx_evolve", "x164_jpeg_dims")
     def floor(name: String, d: String): Double = {
       val q = Catalog.entries.find(_.name == name).get
       (1 to reps).map { _ =>
