@@ -649,7 +649,13 @@ object TxLog {
     require(r.getLong(2) == r.getLong(0),
       s"merge: batch has duplicate $keyCol keys — a key must resolve " +
         "to exactly one action")
-    val (bmn, bmx) = (r.getLong(3), r.getLong(4))
+    // non-long-castable keys (string ids) have no usable span: the
+    // merge degenerates to touching every live dir (a full rewrite —
+    // still exact; manifest stats are long-keyed, so there is nothing
+    // to prune on) and every intervening add conflicts (conservative)
+    val (bmn, bmx) =
+      if (r.isNullAt(3)) (Long.MinValue, Long.MaxValue)
+      else (r.getLong(3), r.getLong(4))
     val hiEx = if (bmx == Long.MaxValue) Long.MaxValue else bmx + 1
     val (v0, live0) = liveFiles(spark, root)
     val touched = live0.filter(f => admits(f, keyCol, bmn, hiEx))
@@ -694,6 +700,31 @@ object TxLog {
       v = math.max(head + 1, v + 1)
     }
     v
+  }
+
+  /** Keyed DELETE — [[merge]]'s delete-only form from a KEYS-ONLY
+    * frame (the takedown shape: a churn list names ids, not rows):
+    * removes every row whose key appears in `keys`, rewriting only
+    * the dirs whose manifest stats admit the key span. The delete
+    * batch is synthesized against the pin (non-key columns as typed
+    * nulls — they never land), and keys are de-duplicated here since
+    * a churn list is a set, not a change log. Returns the committed
+    * version. */
+  def mergeDelete(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String): Long = {
+    val pin = pinnedSchema(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"mergeDelete: $root has no schema pin (legacy log) — use " +
+          "rewrite on pre-pin tables"))
+    val t = org.apache.spark.sql.types.StructType.fromDDL(pin)
+    require(t.fieldNames.contains(keyCol),
+      s"mergeDelete: $keyCol is not a pinned column of $root [$pin]")
+    val batch = keys.select(col(keyCol)).distinct().select(
+      t.fields.map { f =>
+        if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq :+ lit(true).as("__del"): _*)
+    merge(spark, root, batch, keyCol, deleteCol = Some("__del"))
   }
 
   /** EVOLVE the table schema — the explicit, additive half of the

@@ -162,11 +162,16 @@ object RunSync {
     val txAccepted = exists(acceptedPath) &&
       Compaction.isTxTable(spark, acceptedPath)
     if (txAccepted) {
-      // TRANSACTIONAL sink (RunIntake --tx-sink): the survivors-only
-      // anti-join is just another optimistic rewrite — reader-atomic
-      // by the commit log itself, CDC-visible as delete+reinsert
-      graft.operators.TxLog.rewrite(spark, acceptedPath, Some(idCol))(
-        _.join(goneIds, Seq(idCol), "left_anti"))
+      // TRANSACTIONAL sink (RunIntake --tx-sink): the takedown is a
+      // keyed MERGE-delete (r13) — only the data dirs whose manifest
+      // stats admit the churn ids are rewritten, so a narrow takedown
+      // against a large clustered sink costs its touched dirs, not a
+      // whole-table rewrite (the pre-r13 form; Scale10 tx_merge: table
+      // size is not a term). CDC-visible as delete-of-touched +
+      // re-insert of survivors. Zero churn commits nothing.
+      if (nRemoved + nChanged > 0)
+        graft.operators.TxLog.mergeDelete(spark, acceptedPath, goneIds,
+          idCol)
     } else if (exists(acceptedPath)) {
       // survivors-only rewrite under the READER-ATOMIC pointered swap
       // (VERDICT r9 item 5): the anti-join against the churn ids

@@ -201,7 +201,7 @@ class CurateSpec extends SparkSpec {
   }
 
   test("tx sink: intake sequential == pointered content; replayed batch " +
-      "lands at most once; RunSync rewrites the tx sink in place") {
+      "lands at most once; RunSync takedown is a pruned MERGE-delete") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val docs = Tables.documents(spark, sf("sf0.001"))
     val cfg = Curate.Config(langs = Seq("en", "und"),
@@ -234,7 +234,8 @@ class CurateSpec extends SparkSpec {
       "a replayed batch must not land sink rows")
     assert(graft.operators.TxLog.latestVersion(spark,
       s"$txState/accepted") === 2)
-    // churn: the sync's survivors rewrite runs as a TxLog rewrite
+    // churn: the sync takedown runs as a keyed MERGE-delete (r13) —
+    // only the dirs whose stats admit the churn ids are rewritten
     val gone = rows(s"$txState/accepted").head._1
     val snapAll = docs
     val snapB = docs.where(col("doc_id") =!= gone)
@@ -243,10 +244,10 @@ class CurateSpec extends SparkSpec {
       .readAnyTable(spark, s"$txState/accepted")
     assert(after.where(col("doc_id") === gone).count() === 0,
       "the removed doc must leave the tx sink")
-    // the rewrite is in the commit history (reader-atomic, CDC-visible)
+    // the merge is in the commit history (reader-atomic, CDC-visible)
     val hist = graft.operators.TxLog.history(spark, s"$txState/accepted")
       .select("action").as[String].collect()
-    assert(hist.count(_ == "rewrite") === 1, hist.mkString(","))
+    assert(hist.count(_ == "merge") === 1, hist.mkString(","))
     graft.operators.Dedup.releaseCheckpoints()
   }
 

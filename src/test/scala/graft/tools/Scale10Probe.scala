@@ -61,7 +61,7 @@ object Scale10Probe {
     // media rows are custom thunks, not catalog queries — route their
     // labels past the catalog pick loop
     val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
-      "txlog_fold")
+      "txlog_fold", "tx_merge")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -152,6 +152,39 @@ object Scale10Probe {
       val c = foldFloor(r1000)
       Console.err.println(
         f"[scale10] txlog_fold_1000c_ckpt  $b%8.3f $c%8.3f ${c / b}%6.2f  (post-checkpoint)")
+    }
+    // Keyed MERGE cost vs TABLE SIZE at a FIXED narrow batch (r13):
+    // the claim under test is that the manifest prunes the merge's
+    // write path to the touched dirs, so a table 10× larger costs the
+    // same — the touched-dir rewrite and the batch write are the only
+    // data terms. 64 range-clustered dirs either way; the 100-key
+    // batch spans ~1 dir.
+    if (runAll || args.contains("tx_merge")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      def build(rows: Long): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_merge$rows").toString + "/t"
+        val wide = spark.range(0, rows).select(col("id"),
+          concat(lit("payload-"), col("id")).as("text"))
+        TxLog.appendPartitioned(spark, root, wide, "id", buckets = 64)
+        root
+      }
+      def mergeFloor(root: String): (Double, Long) = (1 to reps).map { _ =>
+        val batch = spark.range(0, 100).select(col("id"),
+          concat(lit("upd-"), col("id")).as("text"))
+        val t0 = System.nanoTime()
+        val v = TxLog.merge(spark, root, batch, "id")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val touched = TxLog.history(spark, root)
+          .where(col("version") === v).head().getAs[Long]("n_removes")
+        (sec, touched)
+      }.minBy(_._1)
+      val (a, ta) = mergeFloor(build(1000000L))
+      val (b, tb) = mergeFloor(build(10000000L))
+      Console.err.println(
+        f"[scale10] tx_merge_1Mv10M        $a%8.3f $b%8.3f ${b / a}%6.2f" +
+          f"  (touched $ta%d vs $tb%d dirs of 64 — table size is not a term)")
     }
     spark.stop()
   }
