@@ -1210,6 +1210,73 @@ private[graft] object CatalogTx {
                 doc_id % 3000 + 16 AS width,
                 (doc_id * 7) % 2000 + 16 AS height,
                 CAST(45 + doc_id % 29 AS BIGINT) AS n_bytes
-              FROM documents WHERE doc_id < 400 ORDER BY media_id"""))
+              FROM documents WHERE doc_id < 400 ORDER BY media_id""")),
+
+    QueryDef("x165_tx_tombstone",
+      // TOMBSTONE deletion vectors (r13 — the takedown that costs
+      // KILOBYTES, not a rewrite: Delta DV / Iceberg equality-delete
+      // reduced to key equality): a key list masks every pre-existing
+      // copy at read time (no data dir is touched), and a LATER append
+      // of a masked key resurrects it — its dir postdates the mask.
+      // The snapshot is byte-accounted via md5: a row surviving the
+      // mask, a lost resurrection, or a mask leaking onto the new
+      // generation all diverge
+      (s, d) => {
+        val root = freshTxRoot(s, "dv", d)
+        val doc = txDocs(s, d)
+        (0 until 4).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 500 && col("doc_id") < (k + 1) * 500),
+          Some("doc_id")))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 7 === 2).select("doc_id"), "doc_id")
+        TxLog.append(s, root,
+          doc.where(col("doc_id") % 7 === 2 && col("doc_id") < 500)
+            .select(col("doc_id"), upper(col("text")).as("text")),
+          Some("doc_id"))
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT doc_id, md5(text) AS digest FROM (
+                SELECT doc_id, text FROM d WHERE doc_id % 7 <> 2
+                UNION ALL
+                SELECT doc_id, upper(text) FROM d
+                WHERE doc_id % 7 = 2 AND doc_id < 500)
+              ORDER BY doc_id""")),
+
+    QueryDef("x166_tx_dv_compact",
+      // the tombstone LIFECYCLE closes at the next rewrite: an
+      // optimizeRange reads the MASKED snapshot, so it materializes
+      // the mask physically (the tombstone goes inert and drops from
+      // the fold; vacuum reclaims its key dir — spec-pinned). The
+      // prune audit's per-bucket PHYSICAL row counts and stats replay
+      // from the survivor set alone — a masked row leaking into the
+      // re-clustered layout diverges every downstream bucket stat
+      (s, d) => {
+        val root = freshTxRoot(s, "dvc", d)
+        val doc = txDocs(s, d)
+        (0 until 4).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 500 && col("doc_id") < (k + 1) * 500),
+          Some("doc_id")))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 3 === 1).select("doc_id"), "doc_id")
+        TxLog.optimizeRange(s, root, "doc_id", buckets = 8)
+        TxLog.pruneAudit(s, root, "doc_id", 0, 4000).orderBy("min_key")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+                         WHERE doc_id < 2000 AND doc_id % 3 <> 1),
+              r AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),
+              w AS (SELECT mn, greatest(1, (mx - mn + 8) // 8) AS width
+                    FROM r),
+              b AS (SELECT (doc_id - mn) // width AS k, doc_id
+                    FROM d, w),
+              g AS (SELECT k, count(*) AS c, min(doc_id) AS mnk,
+                      max(doc_id) AS mxk
+                    FROM b GROUP BY 1)
+              SELECT c AS n_rows, mnk AS min_key, mxk AS max_key,
+                (mnk < 4000 AND mxk >= 0) AS scanned
+              FROM g ORDER BY min_key"""))
   )
 }

@@ -98,14 +98,28 @@ object TxLog {
     def max: Option[Long] = stats.headOption.map(_.max)
   }
 
-  /** One manifest: `action` is `append`, `rewrite` or `checkpoint`.
-    * `schema` is the committed frame's DDL — the table's schema PIN
-    * (the RunIntake rule: a drifted batch is a loud error, never a
-    * silently unreadable mixed-schema table). `txn` is the producer's
-    * (appId, batchId) idempotence token (see [[appendIdempotent]]). */
+  /** A key TOMBSTONE (deletion vector, table-wide): `rel` is a
+    * parquet dir of keys under `data/`, `keyCol` names the pinned
+    * column they match, `version` the commit that published it. The
+    * mask rule: a row in a data dir is deleted iff its key appears in
+    * a tombstone whose version is ≥ the dir's add version — so rows
+    * INSERTED AFTER the tombstone live (resurrection by re-insert is
+    * the upsert semantic), and a tombstone becomes INERT once every
+    * live dir postdates it (rewrites materialize masks by reading the
+    * masked snapshot; their outputs postdate every prior tombstone). */
+  final case class Tombstone(rel: String, keyCol: String, version: Long)
+
+  /** One manifest: `action` is `append`, `rewrite`, `merge`,
+    * `tombstone`, `evolve` or `checkpoint`. `schema` is the committed
+    * frame's DDL — the table's schema PIN (the RunIntake rule: a
+    * drifted batch is a loud error, never a silently unreadable
+    * mixed-schema table). `txn` is the producer's (appId, batchId)
+    * idempotence token (see [[appendIdempotent]]); `dvs` the key
+    * tombstones this commit publishes. */
   final case class TxCommit(version: Long, action: String,
       adds: Seq[AddFile], removes: Seq[String], statsCol: Option[String],
-      schema: Option[String] = None, txn: Option[(String, Long)] = None)
+      schema: Option[String] = None, txn: Option[(String, Long)] = None,
+      dvs: Seq[Tombstone] = Seq.empty)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -211,6 +225,7 @@ object TxLog {
     var txn: Option[(String, Long)] = None
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
+    val dvs = Seq.newBuilder[Tombstone]
     text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
       val (k, v) = line.span(_ != '=')
       val value = v.drop(1)
@@ -253,11 +268,17 @@ object TxLog {
           }
           adds += AddFile(f(0), f(1).toLong, stats.result(), gen)
         case "remove" => removes += value
+        case "dv" =>
+          // `rel|keyCol` in a commit (version = the commit's own);
+          // `rel|keyCol|version` in a checkpoint fold
+          val f = value.split('|')
+          dvs += Tombstone(f(0), f(1),
+            if (f.length >= 3) f(2).toLong else version)
         case _ => // forward-compatible: unknown keys ignored
       }
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
-      schema, txn)
+      schema, txn, dvs.result())
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -270,7 +291,9 @@ object TxLog {
   private def renderManifest(action: String, adds: Seq[AddFile],
       removes: Seq[String], statsCol: Option[String],
       schema: Option[String] = None,
-      txn: Option[(String, Long)] = None): Array[Byte] = {
+      txn: Option[(String, Long)] = None,
+      dvs: Seq[Tombstone] = Seq.empty,
+      dvVersions: Boolean = false): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
@@ -278,6 +301,13 @@ object TxLog {
     schema.foreach(d => sb.append("schema=").append(d).append('\n'))
     txn.foreach { case (a, b) =>
       sb.append("txn=").append(a).append('|').append(b).append('\n') }
+    dvs.foreach { d =>
+      require(!d.keyCol.contains('|') && !d.keyCol.contains('\n'),
+        s"tombstone key column must not contain '|' or newlines: ${d.keyCol}")
+      sb.append("dv=").append(d.rel).append('|').append(d.keyCol)
+      if (dvVersions) sb.append('|').append(d.version) // checkpoint fold
+      sb.append('\n')
+    }
     adds.foreach { a =>
       a.stats.foreach(s => require(
         !s.col.contains('|') && !s.col.contains('\n'),
@@ -322,16 +352,19 @@ object TxLog {
       .collect { case (v, "commit", n) if v > fromV && v <= toV => n }
       .map(readManifest(spark, root, _))
 
-  /** Resolve the live file set at `asOf` (head when None): start from
-    * the newest checkpoint at-or-before the target, fold the commits
-    * after it. Returns (resolved version, live files). Reads
+  /** The log fold: resolve (version, live files, live tombstones) at
+    * `asOf` (head when None) — start from the newest checkpoint
+    * at-or-before the target, fold the commits after it. Reads
     * O(commits since checkpoint) manifests — this is why long-lived
-    * tables checkpoint. */
-  def liveFiles(spark: SparkSession, root: String,
-      asOf: Option[Long] = None): (Long, Seq[AddFile]) = {
+    * tables checkpoint. Tombstones drop from the fold once INERT
+    * (every live dir postdates them — permanent, since add versions
+    * only grow), so the masking anti-join's build side never carries
+    * dead weight. */
+  private def foldLog(spark: SparkSession, root: String,
+      asOf: Option[Long]): (Long, Seq[AddFile], Seq[Tombstone]) = {
     val entries = listLog(spark, root)
     val commitVs = entries.collect { case (v, "commit", _) => v }
-    if (commitVs.isEmpty) return (0L, Seq.empty)
+    if (commitVs.isEmpty) return (0L, Seq.empty, Seq.empty)
     val target = asOf.getOrElse(commitVs.max)
     require(commitVs.exists(_ <= target) || target == 0,
       s"no commit at or before version $target in $root")
@@ -339,8 +372,11 @@ object TxLog {
       .collect { case (v, "checkpoint", n) if v <= target => (v, n) }
       .sortBy(_._1).lastOption
     var live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val dvs = Seq.newBuilder[Tombstone]
     ckpt.foreach { case (_, n) =>
-      readManifest(spark, root, n).adds.foreach(a => live.update(a.dir, a))
+      val c = readManifest(spark, root, n)
+      c.adds.foreach(a => live.update(a.dir, a))
+      dvs ++= c.dvs
     }
     val from = ckpt.map(_._1).getOrElse(0L)
     entries.collect {
@@ -349,9 +385,26 @@ object TxLog {
       val c = readManifest(spark, root, n)
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live.update(a.dir, a))
+      dvs ++= c.dvs
     }
-    (math.min(target, commitVs.max), live.values.toSeq)
+    val files = live.values.toSeq
+    val liveDvs = dvs.result()
+      .filter(dv => files.exists(_.gen <= dv.version))
+    (math.min(target, commitVs.max), files, liveDvs)
   }
+
+  /** Resolve the live file set at `asOf` (head when None). */
+  def liveFiles(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): (Long, Seq[AddFile]) = {
+    val (v, files, _) = foldLog(spark, root, asOf)
+    (v, files)
+  }
+
+  /** The live (non-inert) tombstones at `asOf` — the masks a snapshot
+    * read applies. */
+  def liveTombstones(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): Seq[Tombstone] =
+    foldLog(spark, root, asOf)._3
 
   /** The table's pinned schema AT version `v`: the newest commit at or
     * before `v` that carries one (every commit written by this code
@@ -385,6 +438,21 @@ object TxLog {
       org.apache.spark.sql.types.StructType.fromDDL(ddl)
         .fields.map(_.copy(nullable = true))).toDDL
 
+  /** Align an in-memory frame to a target DDL (null backfill +
+    * widening cast) — the frame-level form of [[readAligned]]'s
+    * per-group alignment, for CDC parts built from snapshots. */
+  private def alignTo(df: DataFrame, targetDdl: Option[String]): DataFrame =
+    targetDdl match {
+      case Some(t) if ddlNorm(ddlOf(df)) != ddlNorm(t) =>
+        val tgt = org.apache.spark.sql.types.StructType.fromDDL(t)
+        df.select(tgt.fields.map { f =>
+          if (df.schema.fieldNames.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      case _ => df
+    }
+
   /** Read a set of live data dirs ALIGNED to the table schema at
     * `targetDdl` — the mixed-generation read behind schema evolution.
     * Dirs are grouped by their write-time schema generation (each
@@ -398,31 +466,68 @@ object TxLog {
     * whitelist, so the cast is always lossless). With no evolution in
     * the log this collapses to one plain multi-path read. */
   private def readAligned(spark: SparkSession, root: String,
-      files: Seq[AddFile], targetDdl: Option[String]): DataFrame = {
+      files: Seq[AddFile], targetDdl: Option[String],
+      tagAdded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StructType
     targetDdl match {
-      case None => // legacy log with no pin anywhere: infer, as before
+      case None if !tagAdded => // legacy log, no pin anywhere: infer
         spark.read.parquet(files.map(f => s"$root/${f.dir}"): _*)
-      case Some(t) =>
-        val target = StructType.fromDDL(t)
-        val tNorm = ddlNorm(t)
+      case _ =>
+        val target = targetDdl.map(StructType.fromDDL)
+        val tNorm = targetDdl.map(ddlNorm)
         val groups = files.groupBy(_.gen).toSeq.sortBy(_._1)
         val parts = groups.map { case (g, fs) =>
-          val ddl = pinnedSchemaAt(spark, root, g).map(ddlNorm)
-            .getOrElse(tNorm)
-          val src = StructType.fromDDL(ddl)
-          val df = spark.read.schema(src)
-            .parquet(fs.map(f => s"$root/${f.dir}"): _*)
-          if (ddl == tNorm) df
-          else df.select(target.fields.map { f =>
-            if (src.fieldNames.contains(f.name))
-              col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toSeq: _*)
+          val df0 = (target, tNorm) match {
+            case (Some(tgt), Some(tn)) =>
+              val ddl = pinnedSchemaAt(spark, root, g).map(ddlNorm)
+                .getOrElse(tn)
+              val src = StructType.fromDDL(ddl)
+              val df = spark.read.schema(src)
+                .parquet(fs.map(f => s"$root/${f.dir}"): _*)
+              if (ddl == tn) df
+              else df.select(tgt.fields.map { f =>
+                if (src.fieldNames.contains(f.name))
+                  col(f.name).cast(f.dataType).as(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }.toSeq: _*)
+            case _ =>
+              spark.read.parquet(fs.map(f => s"$root/${f.dir}"): _*)
+          }
+          // the group key IS the add version (every commit records its
+          // own schema, so a fresh add's generation is its commit) —
+          // the tombstone mask's version comparison reads it
+          if (tagAdded) df0.withColumn("__added", lit(g)) else df0
         }
         parts.reduce(_.unionByName(_))
     }
   }
+
+  /** [[readAligned]] plus TOMBSTONE MASKING: a row is deleted iff its
+    * key appears in a live tombstone whose version is at-or-after the
+    * row's dir's add version. One anti-join per tombstoned key column
+    * (almost always one), with the per-key MAX tombstone version as
+    * the build side — tombstone key sets are takedown-sized, so the
+    * join broadcasts at scale. */
+  private def readMasked(spark: SparkSession, root: String,
+      files: Seq[AddFile], targetDdl: Option[String],
+      dvs: Seq[Tombstone]): DataFrame =
+    if (dvs.isEmpty) readAligned(spark, root, files, targetDdl)
+    else {
+      val base = readAligned(spark, root, files, targetDdl,
+        tagAdded = true)
+      val masked = dvs.groupBy(_.keyCol).toSeq.sortBy(_._1)
+        .foldLeft(base) { case (acc, (kc, ds)) =>
+          val kt = acc.schema(kc).dataType
+          val keys = ds.map(d => spark.read.parquet(s"$root/${d.rel}")
+              .select(col(kc).cast(kt).as("__dvk"),
+                lit(d.version).as("__dvv")))
+            .reduce(_.unionByName(_))
+            .groupBy("__dvk").agg(max("__dvv").as("__dvv"))
+          acc.join(keys, acc(kc) === keys("__dvk") &&
+            acc("__added") <= keys("__dvv"), "left_anti")
+        }
+      masked.drop("__added")
+    }
 
   // ------------------------------------------------------------------
   // writes
@@ -573,10 +678,10 @@ object TxLog {
   def rewrite(spark: SparkSession, root: String,
       statsCol: Option[String] = None)
       (transform: DataFrame => DataFrame): Long = {
-    val (v0, live0) = liveFiles(spark, root)
+    val (v0, live0, dvs0) = foldLog(spark, root, None)
     require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
-    val snap = readAligned(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0))
+    val snap = readMasked(spark, root, live0,
+      pinnedSchemaAt(spark, root, v0), dvs0)
     val out = transform(snap)
     val add = writeDataDir(spark, root, out, statsCol.toSeq)
     val removes = live0.map(_.dir)
@@ -657,12 +762,12 @@ object TxLog {
       if (r.isNullAt(3)) (Long.MinValue, Long.MaxValue)
       else (r.getLong(3), r.getLong(4))
     val hiEx = if (bmx == Long.MaxValue) Long.MaxValue else bmx + 1
-    val (v0, live0) = liveFiles(spark, root)
+    val (v0, live0, dvs0) = foldLog(spark, root, None)
     val touched = live0.filter(f => admits(f, keyCol, bmn, hiEx))
     val out =
       if (touched.isEmpty) upserts // nothing can hold a batch key
-      else readAligned(spark, root, touched,
-          pinnedSchemaAt(spark, root, v0))
+      else readMasked(spark, root, touched,
+          pinnedSchemaAt(spark, root, v0), dvs0)
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts)
     val add = writeDataDir(spark, root, out, stats)
@@ -694,6 +799,11 @@ object TxLog {
         s"merge of $root lost v${overlapping.map(_.version).min}: an " +
           s"intervening commit added data that may contain merge keys " +
           s"in [$bmn, $bmx] — retry on a fresh snapshot")
+      val tombstoned = inter.filter(_.dvs.nonEmpty)
+      if (tombstoned.nonEmpty) throw new TxConflictException(
+        s"merge of $root lost v${tombstoned.map(_.version).min}: an " +
+          "intervening tombstone may mask rows this merge read — " +
+          "retry on a fresh snapshot")
       pinnedSchema(spark, root).foreach(p => if (p != ddl)
         throw new TxConflictException(
           s"merge of $root lost to a concurrent schema change"))
@@ -725,6 +835,62 @@ object TxLog {
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq :+ lit(true).as("__del"): _*)
     merge(spark, root, batch, keyCol, deleteCol = Some("__del"))
+  }
+
+  /** Key TOMBSTONE (deletion vector) — the takedown write path that
+    * costs KILOBYTES instead of a rewrite: publish a key list; every
+    * subsequent snapshot masks rows whose key matches in any dir that
+    * PREDATES the tombstone (rows inserted after it live — re-insert
+    * is the resurrection semantic, exactly [[merge]]'s). At 100 TB
+    * this is the difference between a GDPR takedown rewriting
+    * terabytes ([[mergeDelete]]'s touched-dir rewrite) and writing a
+    * key file: data dirs stay byte-identical, the mask applies at
+    * read time (one anti-join against the takedown-sized key set,
+    * broadcast at scale), and the next [[rewrite]]/[[optimizeRange]]
+    * materializes the mask physically (they read the masked snapshot;
+    * their outputs postdate every prior tombstone, making it inert —
+    * the fold then drops it and vacuum reclaims the key dir).
+    * Published pattern: Delta deletion vectors / Iceberg equality
+    * deletes, reduced to the key-equality case.
+    *
+    * Commutes with appends and other tombstones (blind claim retry,
+    * pin re-checked); [[rewrite]]/[[optimizeRange]]/[[merge]] ABORT if
+    * a tombstone intervenes mid-flight (their outputs would silently
+    * erase the new mask). Returns the committed version. */
+  def tombstone(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String): Long = {
+    val head = latestVersion(spark, root)
+    require(head > 0, s"tombstone: $root has no commits")
+    val pin = pinnedSchema(spark, root)
+    require(pin.isDefined,
+      s"tombstone: $root has no schema pin (legacy log) — rewrite once " +
+        "to establish one")
+    pin.foreach(p => require(
+      org.apache.spark.sql.types.StructType.fromDDL(p)
+        .fieldNames.contains(keyCol),
+      s"tombstone: $keyCol is not a pinned column of $root [$p]"))
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    val obs = org.apache.spark.sql.Observation(s"txdv-$rel")
+    keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rel")
+    require(obs.get("n").asInstanceOf[Long] > 0,
+      s"tombstone: no non-null $keyCol keys in the batch (the empty " +
+        "key dir is left as a vacuum-reclaimable orphan)")
+    val bytes = renderManifest("tombstone", Seq.empty, Seq.empty, None,
+      pin, None, Seq(Tombstone(rel, keyCol, 0L)))
+    var attempt = 0
+    var v = head + 1
+    while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"tombstone: no claim after $MaxClaimRetries tries")
+      pinnedSchema(spark, root).foreach(p => if (!pin.contains(p))
+        throw new TxConflictException(
+          s"tombstone of $root lost to a concurrent schema change"))
+      v = math.max(latestVersion(spark, root) + 1, v + 1)
+    }
+    v
   }
 
   /** EVOLVE the table schema — the explicit, additive half of the
@@ -881,10 +1047,10 @@ object TxLog {
   def optimizeRange(spark: SparkSession, root: String, keyCol: String,
       buckets: Int, extraStats: Seq[String] = Seq.empty): Long = {
     require(buckets >= 1, s"optimizeRange: buckets must be >= 1, got $buckets")
-    val (v0, live0) = liveFiles(spark, root)
+    val (v0, live0, dvs0) = foldLog(spark, root, None)
     require(live0.nonEmpty, s"optimizeRange: $root has no live data at v$v0")
-    val snap = readAligned(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0))
+    val snap = readMasked(spark, root, live0,
+      pinnedSchemaAt(spark, root, v0), dvs0)
     val r = snap.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()
     require(!r.isNullAt(0),
@@ -927,12 +1093,19 @@ object TxLog {
       if (attempt > MaxClaimRetries) throw new java.io.IOException(
         s"$op: could not claim a version after $MaxClaimRetries tries")
       val head = latestVersion(spark, root)
-      val conflicting = commitsInRange(spark, root, v0, head)
-        .filter(_.removes.exists(mine))
+      val inter = commitsInRange(spark, root, v0, head)
+      val conflicting = inter.filter(_.removes.exists(mine))
       if (conflicting.nonEmpty) throw new TxConflictException(
         s"$op of $root lost v${conflicting.map(_.version).min}: " +
           "an intervening commit removed one of its inputs — retry on " +
           "a fresh snapshot (orphan data dir reclaimed by vacuum)")
+      // an intervening tombstone's mask would be LOST by this rewrite
+      // (its output postdates the tombstone, making it inert) — abort
+      val tomb = inter.filter(_.dvs.nonEmpty)
+      if (tomb.nonEmpty) throw new TxConflictException(
+        s"$op of $root lost v${tomb.map(_.version).min}: an intervening " +
+          "tombstone masks rows this rewrite read — retry on a fresh " +
+          "snapshot")
       v = math.max(head + 1, v + 1)
     }
     v
@@ -944,10 +1117,13 @@ object TxLog {
     * claim is create-if-absent and the content is identical. Returns
     * the checkpointed version. */
   def checkpoint(spark: SparkSession, root: String): Long = {
-    val (v, live) = liveFiles(spark, root)
+    val (v, live, dvs) = foldLog(spark, root, None)
     require(v > 0, s"checkpoint: $root has no commits")
+    // live (non-inert) tombstones ride in the checkpoint with explicit
+    // versions; inert ones drop out of the manifest chain here
     publishIfAbsent(spark, root, manifestName(v, "checkpoint"),
-      renderManifest("checkpoint", live, Seq.empty, None))
+      renderManifest("checkpoint", live, Seq.empty, None,
+        dvs = dvs, dvVersions = true))
     v
   }
 
@@ -963,9 +1139,9 @@ object TxLog {
     * the OLD schema, exactly what that version's readers saw. */
   def snapshot(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
-    val (v, live) = liveFiles(spark, root, asOf)
+    val (v, live, dvs) = foldLog(spark, root, asOf)
     require(live.nonEmpty, s"snapshot: $root is empty at v$v")
-    readAligned(spark, root, live, pinnedSchemaAt(spark, root, v))
+    readMasked(spark, root, live, pinnedSchemaAt(spark, root, v), dvs)
   }
 
   /** Does a dir's recorded stat FOR `keyCol` admit `[lo, hi)`? A dir
@@ -999,7 +1175,7 @@ object TxLog {
       preds: Seq[(String, Long, Long)],
       asOf: Option[Long] = None): DataFrame = {
     require(preds.nonEmpty, "snapshotRangeMulti: no predicates")
-    val (v, live) = liveFiles(spark, root, asOf)
+    val (v, live, dvs) = foldLog(spark, root, asOf)
     require(live.nonEmpty, s"snapshotRangeMulti: $root is empty at v$v")
     val kept = live.filter(f =>
       preds.forall { case (c, lo, hi) => admits(f, c, lo, hi) })
@@ -1015,7 +1191,7 @@ object TxLog {
         .getOrElse(spark.read.parquet(s"$root/${live.head.dir}").schema)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readAligned(spark, root, kept, pin).where(filter)
+    } else readMasked(spark, root, kept, pin, dvs).where(filter)
   }
 
   /** The skipping decision as DATA (the x122 shape): one row per live
@@ -1066,7 +1242,21 @@ object TxLog {
             .withColumn("__version", lit(c.version))
             .withColumn("__change", lit("delete")))
         }
-      ins.toSeq ++ del.toSeq
+      // a tombstone's delta: the rows it masked — the masked snapshot
+      // just BEFORE it, semi-joined to its key set (every dir live
+      // then predates it, so the version comparison is vacuous here)
+      val dvDel = if (c.dvs.isEmpty) None
+        else {
+          val kc = c.dvs.head.keyCol
+          val keys = c.dvs.map(d => spark.read.parquet(s"$root/${d.rel}")
+            .select(col(d.keyCol).as(kc))).reduce(_.unionByName(_))
+            .distinct()
+          Some(alignTo(snapshot(spark, root, Some(c.version - 1))
+              .join(keys, Seq(kc), "left_semi"), target)
+            .withColumn("__version", lit(c.version))
+            .withColumn("__change", lit("delete")))
+        }
+      ins.toSeq ++ del.toSeq ++ dvDel.toSeq
     }
     require(parts.nonEmpty,
       s"changes: only schema/metadata commits in ($fromV, $toV] at $root")
@@ -1123,10 +1313,17 @@ object TxLog {
     if (head == 0) return Seq.empty
     val horizon = math.max(1L, head - retainVersions + 1)
     val reachable = scala.collection.mutable.Set.empty[String]
-    reachable ++= liveFiles(spark, root, Some(horizon))._2.map(_.dir)
+    val (_, horizonLive, horizonDvs) = foldLog(spark, root, Some(horizon))
+    reachable ++= horizonLive.map(_.dir)
+    // tombstone key dirs back every retained snapshot's mask: a DV
+    // live at head was live at the horizon too (inertness only grows —
+    // files only ever gain HIGHER add versions), so horizon-live DVs
+    // plus in-window commits cover every reachable key dir
+    reachable ++= horizonDvs.map(_.rel)
     commitsInRange(spark, root, horizon - 1, head).foreach { c =>
       reachable ++= c.adds.map(_.dir)
       reachable ++= c.removes
+      reachable ++= c.dvs.map(_.rel)
     }
     val fs = rawFs(spark, root)
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")

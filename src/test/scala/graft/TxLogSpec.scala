@@ -634,4 +634,55 @@ class TxLogSpec extends SparkSpec {
     assert(bRows === aRows)
     assert(aRows.length === 136) // 160 − 54 multiples of 3 + 30 late adds
   }
+
+  test("tombstone DV: a key list masks pre-existing rows everywhere; " +
+      "re-insert resurrects; rewrite materializes and inerts; vacuum " +
+      "reclaims the key dir; merge aborts on an intervening tombstone") {
+    val root = freshRoot("dv")
+    (0 until 4).foreach(k =>
+      TxLog.append(spark, root, docs(k * 50, k * 50 + 50), Some("id")))
+    // tombstone every %5==0 id (spread over all four dirs) — a KB key
+    // write; no data dir is touched
+    val doomed = (0 until 200 by 5).map(i => Tuple1(i.toLong)).toDF("id")
+    assert(TxLog.tombstone(spark, root, doomed, "id") === 5)
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 160)
+    assert(snap.where(col("id") % 5 === 0).count() === 0)
+    val h = TxLog.history(spark, root).where(col("version") === 5).head()
+    assert(h.getAs[String]("action") === "tombstone")
+    assert(h.getAs[Long]("n_adds") === 0 && h.getAs[Long]("n_removes") === 0)
+    // time travel BEFORE the tombstone still sees everything
+    assert(TxLog.snapshot(spark, root, Some(4)).count() === 200)
+    // CDC: the tombstone's delta is exactly its masked rows
+    assert(TxLog.changes(spark, root, 4, 5)
+      .where(col("__change") === "delete").count() === 40)
+    // resurrection: a later append of a tombstoned key lives (its dir
+    // postdates the mask)
+    TxLog.append(spark, root, docs(0, 1), Some("id"))
+    assert(TxLog.snapshot(spark, root).where(col("id") === 0).count() === 1)
+    assert(TxLog.snapshot(spark, root).count() === 161)
+    // range reads mask too: [0,50) = 40 survivors + the resurrected 0
+    assert(TxLog.snapshotRange(spark, root, "id", 0, 50).count() === 41)
+    // a checkpoint carries the live mask (with explicit versions)
+    TxLog.checkpoint(spark, root)
+    assert(TxLog.snapshot(spark, root).count() === 161)
+    assert(TxLog.liveTombstones(spark, root).size === 1)
+    // a rewrite reads the MASKED snapshot, so it materializes the mask
+    // physically — the tombstone goes inert and drops from the fold
+    val dvRel = TxLog.liveTombstones(spark, root).head.rel
+    TxLog.rewrite(spark, root, Some("id"))(df => df)
+    assert(TxLog.liveTombstones(spark, root).isEmpty)
+    assert(TxLog.snapshot(spark, root).count() === 161)
+    // ...and the key dir becomes vacuumable once out of retention
+    val doomedDirs = TxLog.vacuumCandidates(spark, root,
+      retainVersions = 1, graceMs = 0)
+    assert(doomedDirs.contains(dvRel), doomedDirs.mkString(","))
+    // an intervening tombstone aborts a mid-flight merge (its output
+    // would silently erase the new mask)
+    val b = Seq((3L, "m-3")).toDF("id", "text")
+    intercept[TxLog.TxConflictException] {
+      TxLog.mergeWithHook(spark, root, b, "id", None, Seq.empty)(() =>
+        TxLog.tombstone(spark, root, Seq(Tuple1(7L)).toDF("id"), "id"))
+    }
+  }
 }
