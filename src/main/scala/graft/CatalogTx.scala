@@ -1277,6 +1277,38 @@ private[graft] object CatalogTx {
                     FROM b GROUP BY 1)
               SELECT c AS n_rows, mnk AS min_key, mxk AS max_key,
                 (mnk < 4000 AND mxk >= 0) AS scanned
-              FROM g ORDER BY min_key"""))
+              FROM g ORDER BY min_key""")),
+
+    QueryDef("x167_tx_zorder",
+      // Z-ORDER OPTIMIZE on a tx table (r13 — x122's layout model
+      // composed with the commit log and the named multi-column
+      // stats): arrival-order appends each span both dims, so nothing
+      // prunes; one transactional z-order rewrite re-clusters the
+      // snapshot into Morton-range buckets, each committing tight
+      // min/max for BOTH doc_id and n_len — and a 2-D box read
+      // (snapshotRangeMulti) prunes on both through the manifest
+      // (TxLogSpec pins that each dim alone prunes buckets, which a
+      // single-key layout cannot do). The read is byte-accounted: a
+      // row leaked or lost by the re-cluster + mask-free fold diverges
+      (s, d) => {
+        val root = freshTxRoot(s, "zo", d)
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_len"))
+        (0 until 4).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 4 === k), Some("doc_id")))
+        TxLog.optimizeZOrder(s, root, "doc_id", "n_len", buckets = 16)
+        TxLog.snapshotRangeMulti(s, root,
+            Seq(("doc_id", 200L, 900L), ("n_len", 100L, 400L)))
+          .select(col("doc_id"), col("n_len"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_len,
+                md5(text) AS digest
+              FROM documents
+              WHERE doc_id >= 200 AND doc_id < 900
+                AND length(text) >= 100 AND length(text) < 400
+                AND doc_id < 2000
+              ORDER BY doc_id"""))
   )
 }

@@ -1081,6 +1081,55 @@ object TxLog {
     claimRewrite(spark, root, "optimizeRange", v0, removes.toSet, bytes)
   }
 
+  /** OPTIMIZE with Z-ORDER clustering — the TWO-dimensional
+    * maintenance rewrite ([[optimizeRange]]'s companion; the lake
+    * `OPTIMIZE ZORDER BY` on this commit log): re-cluster the masked
+    * snapshot into `buckets` fixed-width ranges of the Morton
+    * interleave of `xCol` and `yCol` ([[ZOrder.interleave16]] — exact
+    * codegen'd bit algebra), each bucket its OWN AddFile carrying
+    * min/max stats for BOTH dimensions. Because a z-range is a
+    * compact rectangle-ish region of the plane, both per-bucket stat
+    * ranges are tight — so [[snapshotRangeMulti]] box reads prune on
+    * EITHER OR BOTH dims (a single-key layout's second-dim stats span
+    * its whole domain and prune nothing). One pass, one shuffle, an
+    * in-partition z sort for row-group-level stats below the manifest.
+    * Null dims ride in bucket 0. Same optimistic validation as
+    * [[rewrite]]. Returns the committed version. */
+  def optimizeZOrder(spark: SparkSession, root: String, xCol: String,
+      yCol: String, buckets: Int): Long = {
+    require(buckets >= 1,
+      s"optimizeZOrder: buckets must be >= 1, got $buckets")
+    val (v0, live0, dvs0) = foldLog(spark, root, None)
+    require(live0.nonEmpty, s"optimizeZOrder: $root has no live data at v$v0")
+    val snap = readMasked(spark, root, live0,
+      pinnedSchemaAt(spark, root, v0), dvs0)
+    val zc = ZOrder.interleave16(col(xCol), col(yCol))
+    val r = snap.agg(min(zc), max(zc)).head()
+    require(!r.isNullAt(0),
+      s"optimizeZOrder: ($xCol, $yCol) has no fully non-null rows in $root")
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val width = math.max(1L, (mx - mn + buckets) / buckets)
+    val bucket = coalesce(((zc - mn) / width).cast("long"), lit(0L))
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    snap.withColumn("__b", bucket)
+      .repartition(col("__b"))
+      .sortWithinPartitions(col("__b"), zc)
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("__b").parquet(s"$root/$rel")
+    val stats = bucketStats(snap, bucket, Seq(xCol, yCol))
+    val fs = rawFs(spark, root)
+    val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
+        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs)
+      }
+    val removes = live0.map(_.dir)
+    val bytes = renderManifest("rewrite", adds, removes, Some(xCol),
+      Some(ddlOf(snap)))
+    claimRewrite(spark, root, "optimizeZOrder", v0, removes.toSet, bytes)
+  }
+
   /** The rewrite-family claim loop: claim the next version, and on
     * collision abort iff an intervening commit removed one of this
     * rewrite's inputs (appends and disjoint rewrites survive). */

@@ -685,4 +685,31 @@ class TxLogSpec extends SparkSpec {
         TxLog.tombstone(spark, root, Seq(Tuple1(7L)).toDF("id"), "id"))
     }
   }
+
+  test("optimizeZOrder: EACH dimension alone prunes buckets of the z " +
+      "layout — impossible for a single-key layout — and reads stay exact") {
+    val root = freshRoot("zorder")
+    // y anti-correlates with x so a single-x sort would leave y stats
+    // spanning everything per bucket
+    val data = (0 until 1024)
+      .map(i => (i.toLong, (i * 37 % 1024).toLong, s"r-$i"))
+      .toDF("x", "y", "text")
+    TxLog.append(spark, root, data, Some("x"))
+    TxLog.optimizeZOrder(spark, root, "x", "y", buckets = 16)
+    val (_, live) = TxLog.liveFiles(spark, root)
+    assert(live.size > 4, s"expected many z buckets, got ${live.size}")
+    // per-dim manifest pruning: both x-only and y-only range reads
+    // must skip buckets
+    def prunedOn(c: String): Long = TxLog.pruneAudit(spark, root, c, 0, 128)
+      .where(!col("scanned")).count()
+    assert(prunedOn("x") > 0, "x-range must prune z buckets")
+    assert(prunedOn("y") > 0, "y-range must prune z buckets")
+    // and the 2-D box read is exact
+    val box = TxLog.snapshotRangeMulti(spark, root,
+      Seq(("x", 0L, 256L), ("y", 0L, 256L)))
+    val expected = data.where(col("x") < 256 && col("y") < 256).count()
+    assert(box.count() === expected)
+    // every live bucket carries BOTH dims' stats
+    assert(live.forall(f => f.statFor("x").isDefined && f.statFor("y").isDefined))
+  }
 }
