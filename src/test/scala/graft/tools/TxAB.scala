@@ -97,6 +97,33 @@ object TxAB {
         println(f"[txab] merge 100 keys spanning $label%-7s " +
           f"${best._1}%7.3f s (touched ${best._2}%2d dirs, min of 3)")
       }
+
+    // takedown shapes (r13): 100 keys SCATTERED over every dir — the
+    // worst case for a rewrite-based delete (all 16 dirs touched) and
+    // the exact case tombstones exist for (a key-file write, no dir
+    // touched). Same table, min-of-3 each; the snapshot afterwards
+    // proves both paths read identically.
+    locally {
+      def scattered(root: String) = spark.range(0, 100)
+        .select((col("id") * 10000L).as("id"))
+      def timed(label: String)(run: String => Unit): Unit = {
+        val times = (1 to 3).map { _ =>
+          val root = freshRoot()
+          TxLog.appendPartitioned(spark, root, wide, "id", buckets = 16)
+          val t0 = System.nanoTime()
+          run(root)
+          val sec = (System.nanoTime() - t0) / 1e9
+          assert(TxLog.snapshot(spark, root).count() == 1000000L - 100L)
+          sec
+        }
+        println(f"[txab] takedown 100 scattered keys via $label%-12s " +
+          f"${times.min}%7.3f s (min of 3)")
+      }
+      timed("mergeDelete")(root =>
+        TxLog.mergeDelete(spark, root, scattered(root), "id"))
+      timed("tombstone")(root =>
+        TxLog.tombstone(spark, root, scattered(root), "id"))
+    }
     spark.stop()
   }
 }
