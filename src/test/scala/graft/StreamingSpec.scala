@@ -553,4 +553,58 @@ class StreamingSpec extends SparkSpec {
       assert(seen.size === 4 && inserts.get === 42 && deletes.get === 30)
     } finally q.stop()
   }
+
+  test("streaming materialized view: the CDC tail drives keyed MERGE into " +
+      "a replica — append, rewrite AND tombstone all replicate exactly") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val rootA = java.nio.file.Files.createTempDirectory("graft_tx_mv_src")
+      .toString + "/t"
+    val rootB = java.nio.file.Files.createTempDirectory("graft_tx_mv_dst")
+      .toString + "/t"
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    TxLog.append(spark, rootA, docs(0, 60), Some("id"))
+    val applied = new java.util.concurrent.ConcurrentSkipListSet[Long]()
+    // the commit log IS the stream (the live-CDC-tail pattern above);
+    // each discovered version's physical delta reconciles per key
+    // (latest version wins; within a version insert beats delete) and
+    // lands in the replica as ONE keyed MERGE — the materialized-view
+    // maintenance loop with no extra machinery
+    val q = spark.readStream.format("text")
+      .load(s"$rootA/_txlog/*.commit")
+      .select(input_file_name().as("f"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val versions = batch.select("f").distinct().as[String].collect()
+          .map(f => "v(\\d{20})\\.commit".r.findFirstMatchIn(f).get
+            .group(1).toLong)
+          .filterNot(applied.contains).sorted
+        versions.foreach { v =>
+          val delta = TxLog.changes(spark, rootA, v - 1, v)
+          val b = delta.groupBy("id")
+            .agg(max(struct(col("__version"),
+              (col("__change") === "insert").cast("int").as("ins"),
+              col("text"))).as("m"))
+            .select(col("id"), col("m.text").as("text"),
+              (col("m.ins") === 0).as("del"))
+          TxLog.merge(spark, rootB, b, "id", deleteCol = Some("del"))
+          applied.add(v)
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TxLog.append(spark, rootA, docs(60, 90), Some("id"))
+      TxLog.rewrite(spark, rootA, Some("id"))(_.where(col("id") % 2 === 0))
+      TxLog.tombstone(spark, rootA, Seq(4L, 8L).toDF("id"), "id")
+      q.processAllAvailable()
+    } finally q.stop()
+    val a = TxLog.snapshot(spark, rootA).orderBy("id").collect()
+    val b = TxLog.snapshot(spark, rootB).orderBy("id").collect()
+    assert(applied.size === 4)
+    assert(b === a)
+    assert(a.length === 43) // 45 even ids in [0,90) minus tombstoned 4, 8
+  }
 }
