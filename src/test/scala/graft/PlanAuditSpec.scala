@@ -640,4 +640,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the funnel's joins must broadcast (1-row/bounded sides):\n$p")
   }
+
+  test("tx merge/tombstone reads: anti-joins broadcast the change-sized " +
+      "side, never cartesian, never window") {
+    // x160's final snapshot is a plain pruned read; the MERGE's write
+    // path anti-join runs inside the builder — audit the read the
+    // user actually issues after a merge+tombstone history
+    import graft.operators.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_tx")
+      .toString + "/t"
+    import spark.implicits._
+    val data = (0 until 2000).map(i => (i.toLong, s"r-$i")).toDF("id", "text")
+    TxLog.append(spark, root, data, Some("id"))
+    TxLog.tombstone(spark, root,
+      (0 until 2000 by 7).map(i => Tuple1(i.toLong)).toDF("id"), "id")
+    val masked = TxLog.snapshot(spark, root)
+    val plan = finalPlan(masked).toString()
+    // the mask is ONE broadcast anti-join against the takedown-sized
+    // key set — no shuffle of the data side, no cartesian, no window
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone mask must be a broadcast anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"mask plan regressed:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the data side must not shuffle for a takedown-sized mask:\n$plan")
+  }
 }
