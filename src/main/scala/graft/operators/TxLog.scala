@@ -513,20 +513,32 @@ object TxLog {
       dvs: Seq[Tombstone]): DataFrame =
     if (dvs.isEmpty) readAligned(spark, root, files, targetDdl)
     else {
-      val base = readAligned(spark, root, files, targetDdl,
-        tagAdded = true)
-      val masked = dvs.groupBy(_.keyCol).toSeq.sortBy(_._1)
-        .foldLeft(base) { case (acc, (kc, ds)) =>
-          val kt = acc.schema(kc).dataType
-          val keys = ds.map(d => spark.read.parquet(s"$root/${d.rel}")
-              .select(col(kc).cast(kt).as("__dvk"),
-                lit(d.version).as("__dvv")))
-            .reduce(_.unionByName(_))
-            .groupBy("__dvk").agg(max("__dvv").as("__dvv"))
-          acc.join(keys, acc(kc) === keys("__dvk") &&
-            acc("__added") <= keys("__dvv"), "left_anti")
-        }
-      masked.drop("__added")
+      // dirs that postdate EVERY tombstone can never hold a masked row
+      // — they bypass the anti-join entirely (after an optimize that
+      // is the whole table; between takedowns it is every new append),
+      // so the per-row probe tax applies only to the maskable vintage
+      val maxDv = dvs.map(_.version).max
+      val (maskable, clean) = files.partition(_.gen <= maxDv)
+      val cleanPart =
+        if (clean.isEmpty) None
+        else Some(readAligned(spark, root, clean, targetDdl))
+      val maskedPart = if (maskable.isEmpty) None else {
+        val base = readAligned(spark, root, maskable, targetDdl,
+          tagAdded = true)
+        val masked = dvs.groupBy(_.keyCol).toSeq.sortBy(_._1)
+          .foldLeft(base) { case (acc, (kc, ds)) =>
+            val kt = acc.schema(kc).dataType
+            val keys = ds.map(d => spark.read.parquet(s"$root/${d.rel}")
+                .select(col(kc).cast(kt).as("__dvk"),
+                  lit(d.version).as("__dvv")))
+              .reduce(_.unionByName(_))
+              .groupBy("__dvk").agg(max("__dvv").as("__dvv"))
+            acc.join(keys, acc(kc) === keys("__dvk") &&
+              acc("__added") <= keys("__dvv"), "left_anti")
+          }
+        Some(masked.drop("__added"))
+      }
+      (cleanPart.toSeq ++ maskedPart.toSeq).reduce(_.unionByName(_))
     }
 
   // ------------------------------------------------------------------

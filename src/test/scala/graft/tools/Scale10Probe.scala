@@ -61,7 +61,7 @@ object Scale10Probe {
     // media rows are custom thunks, not catalog queries — route their
     // labels past the catalog pick loop
     val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
-      "txlog_fold", "tx_merge")
+      "txlog_fold", "tx_merge", "tx_dv")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -185,6 +185,39 @@ object Scale10Probe {
       Console.err.println(
         f"[scale10] tx_merge_1Mv10M        $a%8.3f $b%8.3f ${b / a}%6.2f" +
           f"  (touched $ta%d vs $tb%d dirs of 64 — table size is not a term)")
+    }
+    // Tombstone READ TAX vs table size: the mask is a broadcast
+    // anti-join against a constant (takedown-sized) key set, so a
+    // masked snapshot should scale exactly like an unmasked one — the
+    // overhead is the broadcast, not a data term.
+    if (runAll || args.contains("tx_dv")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      def build(rows: Long, masked: Boolean): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_dv$rows$masked").toString + "/t"
+        val wide = spark.range(0, rows).select(col("id"),
+          concat(lit("payload-"), col("id")).as("text"))
+        TxLog.appendPartitioned(spark, root, wide, "id", buckets = 64)
+        if (masked) TxLog.tombstone(spark, root,
+          spark.range(0, 100).select((col("id") * (rows / 100)).as("id")),
+          "id")
+        root
+      }
+      def snapFloor(root: String): Double = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // id >= 0 blocks the metadata-only count path: both sides pay
+        // a genuine scan, so the ratio isolates the mask, not a
+        // footer-count shortcut on the unmasked side
+        TxLog.snapshot(spark, root).where(col("id") >= 0L).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val m1 = snapFloor(build(1000000L, masked = true))
+      val m10 = snapFloor(build(10000000L, masked = true))
+      val u10 = snapFloor(build(10000000L, masked = false))
+      Console.err.println(
+        f"[scale10] tx_dv_masked_1Mv10M    $m1%8.3f $m10%8.3f ${m10 / m1}%6.2f" +
+          f"  (unmasked 10M $u10%7.3f — mask tax ${m10 / u10}%5.2fx)")
     }
     spark.stop()
   }
