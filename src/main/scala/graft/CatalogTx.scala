@@ -1309,6 +1309,30 @@ private[graft] object CatalogTx {
               WHERE doc_id >= 200 AND doc_id < 900
                 AND length(text) >= 100 AND length(text) < 400
                 AND doc_id < 2000
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    QueryDef("x168_tx_constraints",
+      // CHECK constraints (r13 — the write-time data contract beside
+      // the schema pin; Delta's CHECK/CheckInvariant shape): add three,
+      // drop one, read the live set back through the fold (including
+      // across the metadata commits). Enforcement itself is spec-
+      // pinned (TxLogSpec: a violating append fails MID-WRITE naming
+      // the rule and commits nothing; existing violations block the
+      // pin with their count) — this row pins the metadata lifecycle
+      // the way x158 pins history
+      (s, d) => {
+        import s.implicits._
+        val root = freshTxRoot(s, "check", d)
+        TxLog.append(s, root, txDocs(s, d), Some("doc_id"))
+        TxLog.addConstraint(s, root, "doc_id_nonneg", "doc_id >= 0")
+        TxLog.addConstraint(s, root, "text_present", "text IS NOT NULL")
+        TxLog.addConstraint(s, root, "doc_id_bound", "doc_id < 1000000")
+        TxLog.dropConstraint(s, root, "text_present")
+        TxLog.constraints(s, root).toDF("name", "expr").orderBy("name")
+      },
+      Some("""SELECT * FROM (VALUES
+                ('doc_id_bound', 'doc_id < 1000000'),
+                ('doc_id_nonneg', 'doc_id >= 0')) AS t(name, expr)
+              ORDER BY name"""))
   )
 }

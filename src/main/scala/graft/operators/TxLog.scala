@@ -119,7 +119,9 @@ object TxLog {
   final case class TxCommit(version: Long, action: String,
       adds: Seq[AddFile], removes: Seq[String], statsCol: Option[String],
       schema: Option[String] = None, txn: Option[(String, Long)] = None,
-      dvs: Seq[Tombstone] = Seq.empty)
+      dvs: Seq[Tombstone] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty,
+      dropConstraints: Seq[String] = Seq.empty)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -226,6 +228,8 @@ object TxLog {
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
     val dvs = Seq.newBuilder[Tombstone]
+    val cons = Seq.newBuilder[(String, String)]
+    val dropCons = Seq.newBuilder[String]
     text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
       val (k, v) = line.span(_ != '=')
       val value = v.drop(1)
@@ -274,11 +278,17 @@ object TxLog {
           val f = value.split('|')
           dvs += Tombstone(f(0), f(1),
             if (f.length >= 3) f(2).toLong else version)
+        case "constraint" =>
+          // `name|sqlExpr` — the expr may itself contain '|', so only
+          // the FIRST separator splits
+          val (n, e) = value.span(_ != '|')
+          cons += ((n, e.drop(1)))
+        case "dropconstraint" => dropCons += value
         case _ => // forward-compatible: unknown keys ignored
       }
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
-      schema, txn, dvs.result())
+      schema, txn, dvs.result(), cons.result(), dropCons.result())
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -293,7 +303,9 @@ object TxLog {
       schema: Option[String] = None,
       txn: Option[(String, Long)] = None,
       dvs: Seq[Tombstone] = Seq.empty,
-      dvVersions: Boolean = false): Array[Byte] = {
+      dvVersions: Boolean = false,
+      constraints: Seq[(String, String)] = Seq.empty,
+      dropConstraints: Seq[String] = Seq.empty): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
@@ -308,6 +320,13 @@ object TxLog {
       if (dvVersions) sb.append('|').append(d.version) // checkpoint fold
       sb.append('\n')
     }
+    constraints.foreach { case (n, e) =>
+      require(!n.contains('|') && !n.contains('\n') && !e.contains('\n'),
+        s"constraint name must not contain '|'; name/expr no newlines: $n")
+      sb.append("constraint=").append(n).append('|').append(e).append('\n')
+    }
+    dropConstraints.foreach(n =>
+      sb.append("dropconstraint=").append(n).append('\n'))
     adds.foreach { a =>
       a.stats.foreach(s => require(
         !s.col.contains('|') && !s.col.contains('\n'),
@@ -360,11 +379,15 @@ object TxLog {
     * (every live dir postdates them — permanent, since add versions
     * only grow), so the masking anti-join's build side never carries
     * dead weight. */
+  private final case class LogState(version: Long, files: Seq[AddFile],
+      dvs: Seq[Tombstone], constraints: Seq[(String, String)])
+
   private def foldLog(spark: SparkSession, root: String,
-      asOf: Option[Long]): (Long, Seq[AddFile], Seq[Tombstone]) = {
+      asOf: Option[Long]): LogState = {
     val entries = listLog(spark, root)
     val commitVs = entries.collect { case (v, "commit", _) => v }
-    if (commitVs.isEmpty) return (0L, Seq.empty, Seq.empty)
+    if (commitVs.isEmpty)
+      return LogState(0L, Seq.empty, Seq.empty, Seq.empty)
     val target = asOf.getOrElse(commitVs.max)
     require(commitVs.exists(_ <= target) || target == 0,
       s"no commit at or before version $target in $root")
@@ -372,11 +395,13 @@ object TxLog {
       .collect { case (v, "checkpoint", n) if v <= target => (v, n) }
       .sortBy(_._1).lastOption
     var live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val dvs = Seq.newBuilder[Tombstone]
     ckpt.foreach { case (_, n) =>
       val c = readManifest(spark, root, n)
       c.adds.foreach(a => live.update(a.dir, a))
       dvs ++= c.dvs
+      c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
     }
     val from = ckpt.map(_._1).getOrElse(0L)
     entries.collect {
@@ -386,25 +411,33 @@ object TxLog {
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live.update(a.dir, a))
       dvs ++= c.dvs
+      c.dropConstraints.foreach(cons.remove)
+      c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
     }
     val files = live.values.toSeq
     val liveDvs = dvs.result()
       .filter(dv => files.exists(_.gen <= dv.version))
-    (math.min(target, commitVs.max), files, liveDvs)
+    LogState(math.min(target, commitVs.max), files, liveDvs, cons.toSeq)
   }
 
   /** Resolve the live file set at `asOf` (head when None). */
   def liveFiles(spark: SparkSession, root: String,
       asOf: Option[Long] = None): (Long, Seq[AddFile]) = {
-    val (v, files, _) = foldLog(spark, root, asOf)
-    (v, files)
+    val st = foldLog(spark, root, asOf)
+    (st.version, st.files)
   }
 
   /** The live (non-inert) tombstones at `asOf` — the masks a snapshot
     * read applies. */
   def liveTombstones(spark: SparkSession, root: String,
       asOf: Option[Long] = None): Seq[Tombstone] =
-    foldLog(spark, root, asOf)._3
+    foldLog(spark, root, asOf).dvs
+
+  /** The table's CHECK constraints at `asOf` (name → SQL expression),
+    * in first-added order. */
+  def constraints(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): Seq[(String, String)] =
+    foldLog(spark, root, asOf).constraints
 
   /** The table's pinned schema AT version `v`: the newest commit at or
     * before `v` that carries one (every commit written by this code
@@ -563,8 +596,14 @@ object TxLog {
       statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
         min(col(c).cast("long")).as(s"mn$i"),
         max(col(c).cast("long")).as(s"mx$i")) }
-    df.observe(obs, metrics.head, metrics.tail: _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rel")
+    // CHECK constraints ride the write's own scan (every writer that
+    // lands table rows funnels through here; a violation fails the
+    // job before the commit exists)
+    val checked = enforced(df, constraints(spark, root))
+    checkingConstraints {
+      checked.observe(obs, metrics.head, metrics.tail: _*)
+        .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rel")
+    }
     val m = obs.get
     val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
       for {
@@ -690,7 +729,8 @@ object TxLog {
   def rewrite(spark: SparkSession, root: String,
       statsCol: Option[String] = None)
       (transform: DataFrame => DataFrame): Long = {
-    val (v0, live0, dvs0) = foldLog(spark, root, None)
+    val st0 = foldLog(spark, root, None)
+    val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
       pinnedSchemaAt(spark, root, v0), dvs0)
@@ -774,7 +814,8 @@ object TxLog {
       if (r.isNullAt(3)) (Long.MinValue, Long.MaxValue)
       else (r.getLong(3), r.getLong(4))
     val hiEx = if (bmx == Long.MaxValue) Long.MaxValue else bmx + 1
-    val (v0, live0, dvs0) = foldLog(spark, root, None)
+    val st0 = foldLog(spark, root, None)
+    val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     val touched = live0.filter(f => admits(f, keyCol, bmn, hiEx))
     val out =
       if (touched.isEmpty) upserts // nothing can hold a batch key
@@ -820,6 +861,100 @@ object TxLog {
         throw new TxConflictException(
           s"merge of $root lost to a concurrent schema change"))
       v = math.max(head + 1, v + 1)
+    }
+    v
+  }
+
+  /** Thrown by a write whose rows violate a table CHECK constraint —
+    * the violating job fails mid-write (first bad row), so a drifted
+    * producer never lands a commit. */
+  final class TxConstraintException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Wrap `df` so every row is CHECKED against the table's live
+    * constraints during whatever job consumes it (the Delta
+    * CheckInvariant shape — zero extra passes: the predicate rides the
+    * write's own scan). SQL CHECK semantics: NULL satisfies (write
+    * `c IS NOT NULL` for NOT NULL). The raise_error carries the
+    * constraint name, surfaced via [[TxConstraintException]] by the
+    * callers that catch the job failure. */
+  private def enforced(df: DataFrame,
+      cs: Seq[(String, String)]): DataFrame =
+    cs.foldLeft(df) { case (d, (name, e)) =>
+      d.filter(when(coalesce(expr(e), lit(true)), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"tx constraint '$name' violated: $e — offending row: "),
+          to_json(struct(df.columns.map(col).toSeq: _*))))
+          .cast("boolean")))
+    }
+
+  /** Run `body` (a write job over an [[enforced]] frame), translating
+    * the executor-side raise_error into [[TxConstraintException]]. */
+  private def checkingConstraints[A](body: => A): A =
+    try body catch {
+      case e: Throwable =>
+        val cause = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(16).find(c => c.getMessage != null &&
+            c.getMessage.contains("tx constraint '"))
+        cause match {
+          case Some(c) => throw new TxConstraintException(c.getMessage)
+          case None => throw e
+        }
+    }
+
+  /** ADD a CHECK constraint: validates the EXISTING data first (one
+    * aggregate over the masked snapshot — a constraint that the table
+    * already violates is refused with the violation count), then
+    * commits the metadata. Every subsequent write enforces it
+    * mid-write ([[TxConstraintException]] — the append analogue of
+    * the schema pin). On claim collision the snapshot is re-validated
+    * (a commit may have landed rows the first validation never saw).
+    * Returns the committed version. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      exprSql: String): Long = {
+    require(!name.contains('|') && !name.contains('\n') &&
+      !exprSql.contains('\n'),
+      s"addConstraint: name must not contain '|'; no newlines: $name")
+    var attempt = 0
+    while (true) {
+      val st = foldLog(spark, root, None)
+      require(st.version > 0, s"addConstraint: $root has no commits")
+      val snap = snapshot(spark, root, Some(st.version))
+      val bad = snap.where(!coalesce(expr(exprSql), lit(true))).count()
+      if (bad > 0) throw new TxConstraintException(
+        s"addConstraint '$name' on $root: $bad existing rows violate " +
+          s"[$exprSql] — clean the data (merge/rewrite) before pinning")
+      val bytes = renderManifest("constrain", Seq.empty, Seq.empty, None,
+        pinnedSchemaAt(spark, root, st.version),
+        constraints = Seq((name, exprSql)))
+      if (publishIfAbsent(spark, root,
+          manifestName(st.version + 1, "commit"), bytes))
+        return st.version + 1
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"addConstraint: no claim after $MaxClaimRetries tries")
+      // loop: re-validate against whatever landed meanwhile
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** DROP a CHECK constraint by name (metadata commit). */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Long = {
+    val st = foldLog(spark, root, None)
+    require(st.constraints.exists(_._1 == name),
+      s"dropConstraint: no constraint '$name' on $root " +
+        s"(live: ${st.constraints.map(_._1).mkString(", ")})")
+    val bytes = renderManifest("constrain", Seq.empty, Seq.empty, None,
+      pinnedSchemaAt(spark, root, st.version),
+      dropConstraints = Seq(name))
+    var attempt = 0
+    var v = st.version + 1
+    while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"dropConstraint: no claim after $MaxClaimRetries tries")
+      v = math.max(latestVersion(spark, root) + 1, v + 1)
     }
     v
   }
@@ -995,10 +1130,12 @@ object TxLog {
     val bucket = coalesce(
       ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
     val rel = s"data/${java.util.UUID.randomUUID()}"
-    df.withColumn("__b", bucket)
-      .repartition(col("__b"))
-      .write.mode(SaveMode.ErrorIfExists)
-      .partitionBy("__b").parquet(s"$root/$rel")
+    checkingConstraints {
+      enforced(df, constraints(spark, root)).withColumn("__b", bucket)
+        .repartition(col("__b"))
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy("__b").parquet(s"$root/$rel")
+    }
     val stats = bucketStats(df, bucket, keyCol +: extraStats)
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
@@ -1059,7 +1196,8 @@ object TxLog {
   def optimizeRange(spark: SparkSession, root: String, keyCol: String,
       buckets: Int, extraStats: Seq[String] = Seq.empty): Long = {
     require(buckets >= 1, s"optimizeRange: buckets must be >= 1, got $buckets")
-    val (v0, live0, dvs0) = foldLog(spark, root, None)
+    val st0 = foldLog(spark, root, None)
+    val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeRange: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
       pinnedSchemaAt(spark, root, v0), dvs0)
@@ -1111,7 +1249,8 @@ object TxLog {
       yCol: String, buckets: Int): Long = {
     require(buckets >= 1,
       s"optimizeZOrder: buckets must be >= 1, got $buckets")
-    val (v0, live0, dvs0) = foldLog(spark, root, None)
+    val st0 = foldLog(spark, root, None)
+    val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeZOrder: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
       pinnedSchemaAt(spark, root, v0), dvs0)
@@ -1178,14 +1317,15 @@ object TxLog {
     * claim is create-if-absent and the content is identical. Returns
     * the checkpointed version. */
   def checkpoint(spark: SparkSession, root: String): Long = {
-    val (v, live, dvs) = foldLog(spark, root, None)
-    require(v > 0, s"checkpoint: $root has no commits")
+    val st = foldLog(spark, root, None)
+    require(st.version > 0, s"checkpoint: $root has no commits")
     // live (non-inert) tombstones ride in the checkpoint with explicit
-    // versions; inert ones drop out of the manifest chain here
-    publishIfAbsent(spark, root, manifestName(v, "checkpoint"),
-      renderManifest("checkpoint", live, Seq.empty, None,
-        dvs = dvs, dvVersions = true))
-    v
+    // versions (inert ones drop out of the manifest chain here), and
+    // the live constraint set folds forward the same way
+    publishIfAbsent(spark, root, manifestName(st.version, "checkpoint"),
+      renderManifest("checkpoint", st.files, Seq.empty, None,
+        dvs = st.dvs, dvVersions = true, constraints = st.constraints))
+    st.version
   }
 
   // ------------------------------------------------------------------
@@ -1200,9 +1340,10 @@ object TxLog {
     * the OLD schema, exactly what that version's readers saw. */
   def snapshot(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
-    val (v, live, dvs) = foldLog(spark, root, asOf)
-    require(live.nonEmpty, s"snapshot: $root is empty at v$v")
-    readMasked(spark, root, live, pinnedSchemaAt(spark, root, v), dvs)
+    val st = foldLog(spark, root, asOf)
+    require(st.files.nonEmpty, s"snapshot: $root is empty at v${st.version}")
+    readMasked(spark, root, st.files,
+      pinnedSchemaAt(spark, root, st.version), st.dvs)
   }
 
   /** Does a dir's recorded stat FOR `keyCol` admit `[lo, hi)`? A dir
@@ -1236,7 +1377,8 @@ object TxLog {
       preds: Seq[(String, Long, Long)],
       asOf: Option[Long] = None): DataFrame = {
     require(preds.nonEmpty, "snapshotRangeMulti: no predicates")
-    val (v, live, dvs) = foldLog(spark, root, asOf)
+    val st = foldLog(spark, root, asOf)
+    val (v, live, dvs) = (st.version, st.files, st.dvs)
     require(live.nonEmpty, s"snapshotRangeMulti: $root is empty at v$v")
     val kept = live.filter(f =>
       preds.forall { case (c, lo, hi) => admits(f, c, lo, hi) })
@@ -1374,8 +1516,9 @@ object TxLog {
     if (head == 0) return Seq.empty
     val horizon = math.max(1L, head - retainVersions + 1)
     val reachable = scala.collection.mutable.Set.empty[String]
-    val (_, horizonLive, horizonDvs) = foldLog(spark, root, Some(horizon))
-    reachable ++= horizonLive.map(_.dir)
+    val horizonSt = foldLog(spark, root, Some(horizon))
+    reachable ++= horizonSt.files.map(_.dir)
+    val horizonDvs = horizonSt.dvs
     // tombstone key dirs back every retained snapshot's mask: a DV
     // live at head was live at the horizon too (inertness only grows —
     // files only ever gain HIGHER add versions), so horizon-live DVs

@@ -712,4 +712,46 @@ class TxLogSpec extends SparkSpec {
     // every live bucket carries BOTH dims' stats
     assert(live.forall(f => f.statFor("x").isDefined && f.statFor("y").isDefined))
   }
+
+  test("CHECK constraints: violating writes fail mid-write naming the rule; " +
+      "existing violations block the pin; drop restores; the set survives " +
+      "checkpoints") {
+    val root = freshRoot("check")
+    TxLog.append(spark, root, docs(0, 50), Some("id"))
+    // a constraint the EXISTING data violates is refused with the count
+    val e0 = intercept[TxLog.TxConstraintException] {
+      TxLog.addConstraint(spark, root, "small_id", "id < 10")
+    }
+    assert(e0.getMessage.contains("40 existing rows"), e0.getMessage)
+    TxLog.addConstraint(spark, root, "id_bounds", "id >= 0 AND id < 100000")
+    TxLog.addConstraint(spark, root, "text_present", "text IS NOT NULL")
+    assert(TxLog.constraints(spark, root).map(_._1) ===
+      Seq("id_bounds", "text_present"))
+    // a violating append fails MID-WRITE, names the rule, commits nothing
+    val head0 = TxLog.latestVersion(spark, root)
+    val bad = Seq((-5L, "x")).toDF("id", "text")
+    val e1 = intercept[TxLog.TxConstraintException] {
+      TxLog.append(spark, root, bad, Some("id"))
+    }
+    assert(e1.getMessage.contains("id_bounds"), e1.getMessage)
+    assert(TxLog.latestVersion(spark, root) === head0)
+    // merge upserts go through the same check
+    val e2 = intercept[TxLog.TxConstraintException] {
+      TxLog.merge(spark, root,
+        Seq((3L, null.asInstanceOf[String])).toDF("id", "text"), "id")
+    }
+    assert(e2.getMessage.contains("text_present"), e2.getMessage)
+    // valid writes pass; the set folds through a checkpoint
+    TxLog.append(spark, root, docs(50, 60), Some("id"))
+    TxLog.checkpoint(spark, root)
+    TxLog.append(spark, root, docs(60, 70), Some("id"))
+    assert(TxLog.constraints(spark, root).size === 2)
+    intercept[TxLog.TxConstraintException] {
+      TxLog.append(spark, root, bad, Some("id"))
+    }
+    // drop restores writability under the remaining rules
+    TxLog.dropConstraint(spark, root, "id_bounds")
+    TxLog.append(spark, root, bad, Some("id"))
+    assert(TxLog.snapshot(spark, root).count() === 71)
+  }
 }
