@@ -121,7 +121,8 @@ object TxLog {
       schema: Option[String] = None, txn: Option[(String, Long)] = None,
       dvs: Seq[Tombstone] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
-      dropConstraints: Seq[String] = Seq.empty)
+      dropConstraints: Seq[String] = Seq.empty,
+      ts: Option[Long] = None)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -222,6 +223,7 @@ object TxLog {
         s"not a manifest name: $other")
     }
     var action = "append"
+    var ts: Option[Long] = None
     var statsCol: Option[String] = None
     var schema: Option[String] = None
     var txn: Option[(String, Long)] = None
@@ -242,6 +244,7 @@ object TxLog {
               "(a later major may fold differently; misreading it " +
               "would corrupt the snapshot)")
         case "action" => action = value
+        case "ts" => ts = Some(value.toLong)
         case "statscol" => statsCol = Some(value)
         case "schema" => schema = Some(value)
         case "txn" =>
@@ -288,7 +291,7 @@ object TxLog {
       }
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
-      schema, txn, dvs.result(), cons.result(), dropCons.result())
+      schema, txn, dvs.result(), cons.result(), dropCons.result(), ts)
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -309,6 +312,8 @@ object TxLog {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
+    if (action != "checkpoint")
+      sb.append("ts=").append(System.currentTimeMillis()).append('\n')
     statsCol.foreach(c => sb.append("statscol=").append(c).append('\n'))
     schema.foreach(d => sb.append("schema=").append(d).append('\n'))
     txn.foreach { case (a, b) =>
@@ -363,6 +368,41 @@ object TxLog {
     val vs = listLog(spark, root).collect { case (v, "commit", _) => v }
     if (vs.isEmpty) 0L else vs.max
   }
+
+  /** The newest version whose IN-COMMIT timestamp is at or before
+    * `tsMillis` — time travel by wall clock (Delta's timestampAsOf).
+    * Every commit manifest records a `ts=` at render; resolution uses
+    * the RUNNING MAXIMUM over versions, so clock skew between writers
+    * (render-vs-claim reordering) can only coarsen a boundary, never
+    * reorder versions. O(commits) manifest reads — acceptable for the
+    * audit/repro reads this serves; hot-path readers travel by
+    * version. Errors before the first commit's time, and on pre-r13
+    * logs whose commits carry no timestamp. */
+  def versionAtTime(spark: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    val commits = listLog(spark, root)
+      .collect { case (v, "commit", n) => (v, n) }.sortBy(_._1)
+    require(commits.nonEmpty, s"versionAtTime: $root has no commits")
+    var best = 0L
+    var running = Long.MinValue
+    commits.foreach { case (v, n) =>
+      val t = readManifest(spark, root, n).ts.getOrElse(
+        throw new IllegalStateException(
+          s"versionAtTime: commit v$v of $root carries no in-commit " +
+            "timestamp (pre-timestamp log) — travel by version instead"))
+      running = math.max(running, t)
+      if (running <= tsMillis) best = v
+    }
+    require(best > 0,
+      s"versionAtTime: $tsMillis predates the first commit of $root")
+    best
+  }
+
+  /** Snapshot at a WALL-CLOCK time: [[snapshot]] at
+    * [[versionAtTime]]'s resolution. */
+  def snapshotAt(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    snapshot(spark, root, Some(versionAtTime(spark, root, tsMillis)))
 
   /** The commits in `(fromV, toV]`, ascending — the CDC window. */
   def commitsInRange(spark: SparkSession, root: String,

@@ -754,4 +754,25 @@ class TxLogSpec extends SparkSpec {
     TxLog.append(spark, root, bad, Some("id"))
     assert(TxLog.snapshot(spark, root).count() === 71)
   }
+
+  test("time travel by wall clock: versionAtTime resolves each band via " +
+      "in-commit timestamps; pre-history errors") {
+    val root = freshRoot("astime")
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    Thread.sleep(5); val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    TxLog.append(spark, root, docs(10, 30), Some("id"))
+    Thread.sleep(5); val t2 = System.currentTimeMillis(); Thread.sleep(5)
+    TxLog.rewrite(spark, root, Some("id"))(_.where(col("id") < 5))
+    Thread.sleep(5); val t3 = System.currentTimeMillis()
+    assert(TxLog.versionAtTime(spark, root, t1) === 1)
+    assert(TxLog.versionAtTime(spark, root, t2) === 2)
+    assert(TxLog.versionAtTime(spark, root, t3) === 3)
+    assert(TxLog.snapshotAt(spark, root, t2).count() === 30)
+    assert(TxLog.snapshotAt(spark, root, t3).count() === 5)
+    intercept[IllegalArgumentException] {
+      TxLog.versionAtTime(spark, root, t0)
+    }
+  }
 }
