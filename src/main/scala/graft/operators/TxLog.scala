@@ -363,6 +363,14 @@ object TxLog {
     }.sortBy(t => (t._1, t._2))
   }
 
+  /** The newest checkpoint's version, if any — the fold start
+    * ([[graft.pipeline.RunGc]] reads the gap to head to decide when
+    * maintenance should checkpoint again). */
+  def lastCheckpoint(spark: SparkSession, root: String): Option[Long] = {
+    val vs = listLog(spark, root).collect { case (v, "checkpoint", _) => v }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
   /** Head version of the table (0 when the log is empty). */
   def latestVersion(spark: SparkSession, root: String): Long = {
     val vs = listLog(spark, root).collect { case (v, "commit", _) => v }

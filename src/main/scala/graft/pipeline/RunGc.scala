@@ -34,7 +34,7 @@ import graft.operators.Compaction
   *
   * Usage: runMain graft.pipeline.RunGc [rootDir]
   *          [--age-minutes N] [--max-files N] [--retain-versions N]
-  *          [--apply]
+  *          [--checkpoint-after N] [--apply]
   * Defaults: /tmp/graft_intake, age 60, max-files 8, retain 10,
   * dry-run. `--retain-versions` widens/narrows the tx-table vacuum
   * window (versions whose data time-travel/CDC readers can still
@@ -48,6 +48,7 @@ object RunGc {
     var ageMinutes = 60L
     var maxFiles = 8
     var retainVersions = 10
+    var checkpointAfter = 32
     var apply = false
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -62,6 +63,9 @@ object RunGc {
         case "--retain-versions" =>
           require(i + 1 < args.length, "--retain-versions needs a count")
           retainVersions = args(i + 1).toInt; i += 1
+        case "--checkpoint-after" =>
+          require(i + 1 < args.length, "--checkpoint-after needs a count")
+          checkpointAfter = args(i + 1).toInt; i += 1
         case "--apply" => apply = true
         case other => positional += other
       }
@@ -74,7 +78,7 @@ object RunGc {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val findings = run(spark, root, ageMinutes, maxFiles, apply,
-      retainVersions = retainVersions)
+      retainVersions = retainVersions, checkpointAfter = checkpointAfter)
     findings.foreach(f => println(s"[gc] ${f.kind} ${f.path} -> ${f.action}"))
     spark.stop()
   }
@@ -83,7 +87,8 @@ object RunGc {
     * `gc_report.jsonl` under `root`). */
   def run(spark: SparkSession, root: String, ageMinutes: Long = 60L,
       maxFiles: Int = 8, apply: Boolean = false,
-      maxDepth: Int = 8, retainVersions: Int = 10): Seq[Finding] = {
+      maxDepth: Int = 8, retainVersions: Int = 10,
+      checkpointAfter: Int = 32): Seq[Finding] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -95,9 +100,9 @@ object RunGc {
       graft.operators.Lease.withLease(conf, root,
         graft.operators.Lease.defaultOwner())(_ => runInner(
           spark, root, ageMinutes, maxFiles, apply, maxDepth,
-          retainVersions, fs))
+          retainVersions, checkpointAfter, fs))
     else runInner(spark, root, ageMinutes, maxFiles, apply, maxDepth,
-      retainVersions, fs)
+      retainVersions, checkpointAfter, fs)
   }
 
   /** The nearest STRICT ancestor of `base` (below `root`) that looks
@@ -123,8 +128,8 @@ object RunGc {
 
   private def runInner(spark: SparkSession, root: String,
       ageMinutes: Long, maxFiles: Int, apply: Boolean, maxDepth: Int,
-      retainVersions: Int, fs: org.apache.hadoop.fs.FileSystem)
-      : Seq[Finding] = {
+      retainVersions: Int, checkpointAfter: Int,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[Finding] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
 
@@ -256,6 +261,22 @@ object RunGc {
     // atomic and vacuum's grace window already excludes live writers.
     val txFindings = txTables.sorted.flatMap { t =>
       val graceMs = ageMinutes * 60000L
+      // checkpoint cadence: the snapshot fold reads O(commits since
+      // checkpoint) manifests (measured linear, Scale10 txlog_fold),
+      // so housekeeping checkpoints once the gap passes the threshold
+      // — under --apply the checkpoint is written here (racing
+      // checkpointers are harmless: create-if-absent, identical fold)
+      val head = graft.operators.TxLog.latestVersion(spark, t)
+      val since = head -
+        graft.operators.TxLog.lastCheckpoint(spark, t).getOrElse(0L)
+      val ckptFinding =
+        if (since <= checkpointAfter) Seq.empty
+        else Seq(Finding(t, "tx-checkpoint-due",
+          if (!apply) s"would-checkpoint-gap-$since"
+          else {
+            graft.operators.TxLog.checkpoint(spark, t)
+            s"checkpointed-at-$head-gap-$since"
+          }))
       val plan = graft.operators.TxLog.vacuumCandidates(
         spark, t, retainVersions = retainVersions, graceMs = graceMs)
       val applied =
@@ -266,7 +287,8 @@ object RunGc {
       // the enforced window rides in the action so an --apply run
       // RECORDS what it deleted against (an under-retained vacuum is
       // only diagnosable from its report)
-      plan.map(rel => Finding(s"$t/$rel", "tx-unreachable-data",
+      ckptFinding ++ plan.map(rel => Finding(s"$t/$rel",
+        "tx-unreachable-data",
         if (!apply) s"would-vacuum-retain-$retainVersions"
         else if (applied.contains(rel)) s"vacuumed-retain-$retainVersions"
         else "skipped"))

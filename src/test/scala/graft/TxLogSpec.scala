@@ -391,6 +391,18 @@ class TxLogSpec extends SparkSpec {
     // young orphans survive the age gate
     docs(950, 955).write.parquet(s"$root/data/orphan-young")
     assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60).isEmpty)
+    // checkpoint cadence: 12 commits with no checkpoint — a tight
+    // threshold reports the gap, --apply writes the checkpoint, and
+    // the re-run is quiet again
+    val due = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60,
+      checkpointAfter = 5)
+    assert(due.exists(f => f.kind == "tx-checkpoint-due" &&
+      f.action.startsWith("would-checkpoint-gap-")), due.mkString("; "))
+    graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60,
+      checkpointAfter = 5, apply = true)
+    assert(TxLog.lastCheckpoint(spark, root).isDefined)
+    assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60,
+      checkpointAfter = 5).isEmpty)
   }
 
   test("CDC maintains the NB training state incrementally: counts add on " +
