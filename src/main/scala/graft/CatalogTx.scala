@@ -1333,6 +1333,79 @@ private[graft] object CatalogTx {
       Some("""SELECT * FROM (VALUES
                 ('doc_id_bound', 'doc_id < 1000000'),
                 ('doc_id_nonneg', 'doc_id >= 0')) AS t(name, expr)
-              ORDER BY name"""))
+              ORDER BY name""")),
+
+    QueryDef("x169_domain_reweight",
+      // DOMAIN REWEIGHTING (r13 — the DoReMi multiplicative-weights
+      // outer loop in exact integer algebra): per-domain mean
+      // difficulty (the chars-per-token proxy here; any exact score
+      // plugs in), three rounds of mixture-weighted-mean excess →
+      // multiplicative update → exact-1e6-ppm renormalization (floor
+      // + largest remainder, ties by name). The oracle replays ALL
+      // THREE ROUNDS UNROLLED — every weight of every iteration is
+      // compared, so one wrong truncation, clamp bound, or remainder
+      // tie-break anywhere in the cascade diverges (the x157 rule).
+      // One corpus scan; rounds are domains-sized arithmetic
+      (s, d) => {
+        val doc = documents(s, d)
+          .withColumn("__tok", TextAnalysis.tokenCount(col("text")))
+          .withColumn("__loss", expr(
+            "(CAST(length(text) AS BIGINT) * CAST(1000000 AS BIGINT))" +
+              " DIV (CAST(__tok AS BIGINT) + CAST(1 AS BIGINT))"))
+        Sampling.domainReweight(doc, "source", col("__loss"),
+            iters = 3, etaPpm = 500000L)
+          .orderBy("iter", "domain")
+      },
+      Some(s"""WITH tok AS (SELECT source,
+                  CAST(length(text) AS BIGINT) * 1000000 //
+                    (CAST(len(list_filter(string_split(
+                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' '), t -> t <> '')) AS BIGINT) + 1) AS loss
+                FROM documents),
+              d AS (SELECT source, count(*) AS n,
+                      CAST(sum(loss) AS BIGINT) AS s
+                    FROM tok GROUP BY 1),
+              m AS (SELECT source, s // n AS mean FROM d),
+              kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM d),
+              w0 AS (SELECT source,
+                  1000000 // k + (CASE WHEN rn <= 1000000 % k
+                    THEN 1 ELSE 0 END) AS w
+                FROM (SELECT source,
+                        row_number() OVER (ORDER BY source) AS rn
+                      FROM d), kk),
+              ${reweightRound(1)},
+              ${reweightRound(2)},
+              ${reweightRound(3)}
+              SELECT CAST(0 AS INT) AS iter, source AS domain,
+                CAST(w AS BIGINT) AS weight_ppm FROM w0
+              UNION ALL SELECT 1, source, CAST(w AS BIGINT) FROM w1
+              UNION ALL SELECT 2, source, CAST(w AS BIGINT) FROM w2
+              UNION ALL SELECT 3, source, CAST(w AS BIGINT) FROM w3
+              ORDER BY iter, domain"""))
   )
+
+  /** One unrolled round of the x169 oracle: mixture-weighted mean →
+    * clamped multiplicative update → exact-1e6 renormalization. Every
+    * division is `//` (truncation toward zero — matches Long `/`). */
+  private def reweightRound(r: Int): String = {
+    val prev = if (r == 1) "w0" else s"w${r - 1}"
+    s"""wm$r AS (SELECT CAST(sum(p.w * m.mean) AS BIGINT) //
+                  CAST(sum(p.w) AS BIGINT) AS wm
+                FROM $prev p JOIN m USING (source)),
+        u$r AS (SELECT p.source AS source,
+            greatest(1, p.w * greatest(1, least(2000000,
+              1000000 + 500000 * (m.mean - wm$r.wm) // 1000000))
+              // 1000000) AS x
+          FROM $prev p JOIN m USING (source), wm$r),
+        s$r AS (SELECT CAST(sum(x) AS BIGINT) AS s FROM u$r),
+        f$r AS (SELECT source, x * 1000000 // s AS f,
+                  x * 1000000 % s AS rem
+                FROM u$r, s$r),
+        g$r AS (SELECT 1000000 - CAST(sum(f) AS BIGINT) AS give FROM f$r),
+        w$r AS (SELECT source,
+            f + (CASE WHEN rn <= give THEN 1 ELSE 0 END) AS w
+          FROM (SELECT source, f, row_number()
+                  OVER (ORDER BY rem DESC, source) AS rn
+                FROM f$r), g$r)"""
+  }
 }

@@ -1114,4 +1114,76 @@ object Sampling {
     df.withColumn("score_ppm", shiftright(zc + lit(2000000L), 2))
       .withColumn("kept", col("score_ppm") >= 500000L)
   }
+
+  // ====================================================================
+  // DOMAIN REWEIGHTING (r13) — the DoReMi idea (domain reweighting
+  // with minimax optimization, Xie et al. 2023) reduced to the
+  // engine's exact algebra: instead of hand-tuned mixture weights
+  // (x73/x107's measured/temperature mixes), LEARN them — domains
+  // whose mean difficulty sits above the current mixture-weighted
+  // mean gain weight multiplicatively each round, easy domains lose
+  // it, and the fixed point balances difficulty across the mixture.
+  // The published method trains a proxy model per round; the engine
+  // form takes any exact per-doc difficulty column (LM score, the
+  // chars-per-token proxy, a learned-filter score) and runs the
+  // multiplicative-weights outer loop exactly.
+  // ====================================================================
+
+  /** Multiplicative-weights domain reweighting. ONE corpus scan (the
+    * per-domain (count, Σloss) aggregate — a domains-sized state);
+    * every round after that is driver arithmetic over k domains:
+    *
+    *   mean_d   = Σloss_d DIV n_d                      (unats)
+    *   wmean(t) = Σ w_d·mean_d DIV Σ w_d               (mixture mean)
+    *   mult_d   = clamp(1e6 + η·(mean_d − wmean) DIV 1e6, [1, 2e6])
+    *   w_d      ← max(1, w_d·mult_d DIV 1e6), then renormalized to
+    *              EXACTLY 1e6 ppm by floor division + largest
+    *              remainder (ties by domain name) — the measured-
+    *              mixture exactness rule, so the weights are directly
+    *              consumable by the existing samplers.
+    *
+    * Every operation is Long with truncating division — identical in
+    * Spark, the JVM and DuckDB (`//`, the x157 lesson) — so ALL
+    * iterations replay weight-for-weight in an external oracle.
+    * Output: (iter, domain, weight_ppm), iter 0 = the uniform start
+    * (also exact-sum 1e6: the first 1e6 mod k domains by name carry
+    * +1). */
+  def domainReweight(df: DataFrame, domainCol: String,
+      lossUnats: Column, iters: Int, etaPpm: Long): DataFrame = {
+    require(iters >= 1, s"domainReweight: iters must be >= 1, got $iters")
+    require(etaPpm >= 1, s"domainReweight: etaPpm must be >= 1, got $etaPpm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val st = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__n"), sum(lossUnats.cast("long")).as("__s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(st.nonEmpty, "domainReweight: empty corpus")
+    val k = st.length
+    val mean = st.map { case (d, n, s) => d -> s / n }.toMap
+    var w = st.zipWithIndex.map { case ((d, _, _), i) =>
+      d -> (1000000L / k + (if (i < (1000000L % k).toInt) 1L else 0L))
+    }.toMap
+    val out = Seq.newBuilder[(Int, String, Long)]
+    st.foreach { case (d, _, _) => out += ((0, d, w(d))) }
+    for (it <- 1 to iters) {
+      val totW = st.map(t => w(t._1)).sum
+      val wmean = st.map { case (d, _, _) => w(d) * mean(d) }.sum / totW
+      val updated = st.map { case (d, _, _) =>
+        val mult = math.max(1L, math.min(2000000L,
+          1000000L + etaPpm * (mean(d) - wmean) / 1000000L))
+        d -> math.max(1L, w(d) * mult / 1000000L)
+      }
+      val s = updated.map(_._2).sum
+      val floors = updated.map { case (d, x) =>
+        (d, x * 1000000L / s, x * 1000000L % s) }
+      val give = (1000000L - floors.map(_._2).sum).toInt
+      val bump = floors.sortBy { case (d, _, rem) => (-rem, d) }
+        .take(give).map(_._1).toSet
+      w = floors.map { case (d, f, _) =>
+        d -> (f + (if (bump(d)) 1L else 0L)) }.toMap
+      st.foreach { case (d, _, _) => out += ((it, d, w(d))) }
+    }
+    out.result().toDF("iter", "domain", "weight_ppm")
+  }
 }

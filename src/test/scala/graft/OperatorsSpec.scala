@@ -2085,4 +2085,37 @@ class OperatorsSpec extends SparkSpec {
       s"model join must broadcast:\n$plan")
     assert(!plan.contains("Window"), s"argmax must not window:\n$plan")
   }
+
+  test("domainReweight: the hard domain gains weight monotonically, easy " +
+      "ones shed it, and every round sums to exactly 1e6 ppm") {
+    import spark.implicits._
+    // three domains with PLANTED difficulty: per-doc loss 9e6 / 5e6 / 1e6
+    val df = (0 until 300).map { i =>
+      val dom = Seq("hard", "mid", "easy")(i % 3)
+      val loss = Seq(9000000L, 5000000L, 1000000L)(i % 3)
+      (dom, loss)
+    }.toDF("domain", "loss")
+    val w = Sampling.domainReweight(df, "domain", col("loss"),
+        iters = 4, etaPpm = 500000L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // exact-sum invariant at EVERY iteration (consumable by samplers)
+    (0 to 4).foreach { it =>
+      assert(w.filter(_._1 == it).map(_._3).sum === 1000000L, s"iter $it")
+    }
+    def series(d: String) = (0 to 4).map(it =>
+      w.find(t => t._1 == it && t._2 == d).get._3)
+    val hard = series("hard"); val easy = series("easy")
+    // monotone until saturation (the clamp caps each round at 2x, and
+    // once the mixture mean reaches the hard domain the fixed point
+    // holds): never a decrease for hard, never an increase for easy
+    assert(hard.zip(hard.tail).forall { case (a, b) => b >= a },
+      s"hard must never shed: $hard")
+    assert(easy.zip(easy.tail).forall { case (a, b) => b <= a },
+      s"easy must never gain: $easy")
+    assert(hard.last > 400000L && easy.last < 250000L && hard.last > hard.head,
+      s"final mixture should separate: hard=${hard.last} easy=${easy.last}")
+    // uniform start: 333334/333333/333333 (largest-remainder by name)
+    assert(w.filter(_._1 == 0).map(_._3).sorted.toSeq ===
+      Seq(333333L, 333333L, 333334L))
+  }
 }
