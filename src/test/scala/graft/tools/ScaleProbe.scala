@@ -51,7 +51,10 @@ object ScaleProbe {
       // write; docs are 500 → 2000 across this decade), mixed-
       // generation evolution read, and the JPEG SOF walk (doc_id<400
       // caps it — the walk is map-only, same class as x10)
-      "x160_tx_merge", "x161_tx_evolve", "x164_jpeg_dims")
+      "x160_tx_merge", "x161_tx_evolve", "x164_jpeg_dims",
+      // domain reweighting: one corpus scan into a domains-sized
+      // state; the rounds are driver arithmetic — expect the scan band
+      "x169_domain_reweight")
     def floor(name: String, d: String): Double = {
       val q = Catalog.entries.find(_.name == name).get
       (1 to reps).map { _ =>
