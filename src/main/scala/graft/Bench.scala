@@ -68,7 +68,16 @@ object Bench {
     def total(f: Row => Double) = f"${rows.map(f).sum}%.3f"
     val detail = rows.map(r => "\"" + r.name + "\":" +
       r.all.map(t => f"$t%.3f").mkString("[", ",", "]")).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${total(_.cold)},"unit":"sec","reps":$reps,"queries":${jmap(_.cold)},"min_total":${total(_.min)},"min":${jmap(_.min)},"median_total":${total(_.med)},"median":${jmap(_.med)},"warm_total":${total(_.warm)},"warm":${jmap(_.warm)},"reps_detail":$detail,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${total(_.cold)},"unit":"sec","reps":$reps,"queries":${jmap(_.cold)},"min_total":${total(_.min)},"min":${jmap(_.min)},"median_total":${total(_.med)},"median":${jmap(_.med)},"warm_total":${total(_.warm)},"warm":${jmap(_.warm)},"reps_detail":$detail,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist to a file: three rounds of driver stdout captures
+    // truncated the tail and lost min_total (BENCH_r10/r12/r13 all
+    // arrived with parsed:null) — the file artifact can't be cut off
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      Console.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -1381,11 +1381,176 @@ private[graft] object CatalogTx {
               UNION ALL SELECT 1, source, CAST(w AS BIGINT) FROM w1
               UNION ALL SELECT 2, source, CAST(w AS BIGINT) FROM w2
               UNION ALL SELECT 3, source, CAST(w AS BIGINT) FROM w3
-              ORDER BY iter, domain"""))
+              ORDER BY iter, domain""")),
+
+    QueryDef("x170_tx_merge_string",
+      // STRING-KEYED MERGE with a hash-pruned write path (r14 — the
+      // r13 verdict's one remaining tx scale-killer: a non-long key
+      // has no value span, so merge degenerated to a full-table
+      // rewrite; doc-id/URL keys are the COMMON case in this engine's
+      // own corpus tables, and the reference's K5 key `code_site` is
+      // a string, preprocess_to_staging.py:84-85). The table is
+      // hash-clustered (optimizeHash: fixed-width ranges of the
+      // portable md5-60 key hash, per-bucket tight hash min/max), and
+      // the change batch — updates, deletes, fresh inserts, all on
+      // the STRING key — interval-stabs those ranges so only the
+      // stabbed buckets rewrite (x171 pins the counts; TxLogSpec pins
+      // untouched dirs byte-identical). Snapshot byte-accounted via
+      // md5 against the oracle's replay of the merged state
+      (s, d) => {
+        val root = freshTxRoot(s, "smerge", d)
+        val key = (id: Column) =>
+          concat(lit("doc-"), lpad(id.cast("string"), 6, "0"))
+        val doc = txDocs(s, d)
+          .select(key(col("doc_id")).as("doc_key"), col("text"))
+        TxLog.append(s, root, doc, Some("doc_key"))
+        TxLog.optimizeHash(s, root, "doc_key", buckets = 16)
+        val base = txDocs(s, d)
+        val batch = base.where(col("doc_id") % 10 === 3)
+            .select(key(col("doc_id")).as("doc_key"),
+              upper(col("text")).as("text"), lit(false).as("__del"))
+          .unionByName(base.where(col("doc_id") % 10 === 7)
+            .select(key(col("doc_id")).as("doc_key"), col("text"),
+              lit(true).as("__del")))
+          .unionByName(base.where(col("doc_id") % 10 === 1)
+            .select(key(col("doc_id") + 10000L).as("doc_key"), col("text"),
+              lit(false).as("__del")))
+        TxLog.merge(s, root, batch, "doc_key", deleteCol = Some("__del"))
+        TxLog.snapshot(s, root)
+          .select(col("doc_key"), md5(col("text")).as("digest"))
+          .orderBy("doc_key")
+      },
+      Some("""WITH d AS (SELECT
+                  'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                    AS doc_key,
+                  doc_id, text
+                FROM documents WHERE doc_id < 2000)
+              SELECT doc_key, md5(text) AS digest FROM (
+                SELECT doc_key,
+                  CASE WHEN doc_id % 10 = 3 THEN upper(text)
+                    ELSE text END AS text
+                FROM d WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT 'doc-' || lpad(CAST(doc_id + 10000 AS VARCHAR),
+                    6, '0'), text
+                FROM d WHERE doc_id % 10 = 1)
+              ORDER BY doc_key"""),
+      headline = true),
+
+    QueryDef("x171_tx_merge_pruned",
+      // the x170 prune DECISION as data (the x151 discipline applied
+      // to the string-key write path): the hash-cluster rewrite's
+      // bucket count and the merge commit's REMOVE footprint, straight
+      // from history() — n_removes IS the number of hash buckets the
+      // batch's key hashes stabbed, everything else stayed on disk.
+      // The oracle replays the portable hash (md5-60 of
+      // 'txkey:<key>'), the fixed-width bucket assignment
+      // (width = 2^60/16), each bucket's TIGHT recorded hash min/max,
+      // and the stab test — exactly the arithmetic the manifest prune
+      // runs, in external SQL
+      (s, d) => {
+        val root = freshTxRoot(s, "smergep", d)
+        val key = (id: Column) =>
+          concat(lit("doc-"), lpad(id.cast("string"), 6, "0"))
+        val doc = txDocs(s, d)
+          .select(key(col("doc_id")).as("doc_key"), col("text"))
+        TxLog.append(s, root, doc, Some("doc_key"))
+        TxLog.optimizeHash(s, root, "doc_key", buckets = 16)
+        val base = txDocs(s, d)
+        val batch = base.where(col("doc_id") % 100 === 3)
+          .select(key(col("doc_id")).as("doc_key"),
+            upper(col("text")).as("text"))
+        TxLog.merge(s, root, batch, "doc_key")
+        TxLog.history(s, root).where(col("version") >= 2)
+          .select(col("version"), col("action"), col("n_adds"),
+            col("n_removes"))
+          .orderBy("version")
+      },
+      Some("""WITH d AS (SELECT
+                  'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                    AS doc_key, doc_id
+                FROM documents WHERE doc_id < 2000),
+              h AS (SELECT doc_key, doc_id,
+                  CAST('0x' || substring(md5('txkey:' || doc_key), 1, 15)
+                    AS BIGINT) AS hv
+                FROM d),
+              b AS (SELECT hv // 72057594037927936 AS bk,
+                  min(hv) AS mn, max(hv) AS mx
+                FROM h GROUP BY 1),
+              bh AS (SELECT hv FROM h WHERE doc_id % 100 = 3),
+              t AS (SELECT CAST(count(*) AS BIGINT) AS n_touched
+                    FROM b WHERE EXISTS (SELECT 1 FROM bh
+                      WHERE bh.hv >= b.mn AND bh.hv <= b.mx)),
+              nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM b)
+              SELECT CAST(2 AS BIGINT) AS version, 'rewrite' AS action,
+                nb.n_buckets AS n_adds, CAST(1 AS BIGINT) AS n_removes
+              FROM nb
+              UNION ALL
+              SELECT 3, 'merge', 1, t.n_touched FROM t
+              ORDER BY version""")),
+
+    QueryDef("x172_tx_stats_overlap",
+      // manifest-stats HEALTH as data (r14 — what RunGc --audit-stats
+      // watches): five interleaved appends each span the whole key
+      // range, so the per-dir spans tile the domain FIVE times over
+      // (overlap_ppm ≈ 5e6: every range read scans every dir — x156's
+      // degradation, now measured instead of narrated); one
+      // optimizeRange later the spans tile it once (≈ 1e6). The
+      // oracle replays every span, the global span, and both exact
+      // floor-divided ppm readings from the raw table
+      (s, d) => {
+        val root = freshTxRoot(s, "saudit", d)
+        val doc = txDocs(s, d)
+        (0 until 5).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 5 === k), Some("doc_id")))
+        // statsAudit materializes driver-side at call time (manifest
+        // arithmetic, no deferred scan), so `before` is already pinned
+        // against the optimize below
+        val before = TxLog.statsAudit(s, root, "doc_id")
+          .withColumn("phase", lit("interleaved"))
+        TxLog.optimizeRange(s, root, "doc_id", buckets = 8)
+        val after = TxLog.statsAudit(s, root, "doc_id")
+          .withColumn("phase", lit("optimized"))
+        before.unionByName(after)
+          .select(col("phase"), col("stat"), col("n_dirs"),
+            col("n_stats"), col("sum_spans"), col("overlap_ppm"))
+          .orderBy("phase")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+              sl AS (SELECT doc_id % 5 AS k, min(doc_id) AS mn,
+                       max(doc_id) AS mx
+                     FROM d GROUP BY 1),
+              gi AS (SELECT min(mn) AS gmn, max(mx) AS gmx FROM sl),
+              bi AS (SELECT CAST(sum(mx - mn + 1) AS BIGINT) AS spans,
+                       CAST(count(*) AS BIGINT) AS nst
+                     FROM sl),
+              r AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM d),
+              w AS (SELECT mn, greatest(1, (mx - mn + 8) // 8) AS width
+                    FROM r),
+              bk AS (SELECT (doc_id - mn) // width AS k,
+                       min(doc_id) AS mn, max(doc_id) AS mx
+                     FROM d, w GROUP BY 1),
+              go AS (SELECT min(mn) AS gmn, max(mx) AS gmx FROM bk),
+              bo AS (SELECT CAST(sum(mx - mn + 1) AS BIGINT) AS spans,
+                       CAST(count(*) AS BIGINT) AS nst
+                     FROM bk)
+              SELECT 'interleaved' AS phase, 'doc_id' AS stat,
+                CAST(5 AS BIGINT) AS n_dirs, bi.nst AS n_stats,
+                bi.spans AS sum_spans,
+                bi.spans * 1000000 // (gi.gmx - gi.gmn + 1) AS overlap_ppm
+              FROM bi, gi
+              UNION ALL
+              SELECT 'optimized', 'doc_id', bo.nst, bo.nst, bo.spans,
+                bo.spans * 1000000 // (go.gmx - go.gmn + 1)
+              FROM bo, go
+              ORDER BY phase"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →
-    * clamped multiplicative update → exact-1e6 renormalization. Every
+    * clamped multiplicative update → exact-1e6 renormalization →
+    * post-normalization 1-ppm floor (a zero-floored domain is raised
+    * to 1, each ppm paid by the current largest weights, ties by
+    * name — no domain ever silently vanishes from the mixture). Every
     * division is `//` (truncation toward zero — matches Long `/`). */
   private def reweightRound(r: Int): String = {
     val prev = if (r == 1) "w0" else s"w${r - 1}"
@@ -1402,10 +1567,18 @@ private[graft] object CatalogTx {
                   x * 1000000 % s AS rem
                 FROM u$r, s$r),
         g$r AS (SELECT 1000000 - CAST(sum(f) AS BIGINT) AS give FROM f$r),
-        w$r AS (SELECT source,
+        wp$r AS (SELECT source,
             f + (CASE WHEN rn <= give THEN 1 ELSE 0 END) AS w
           FROM (SELECT source, f, row_number()
                   OVER (ORDER BY rem DESC, source) AS rn
-                FROM f$r), g$r)"""
+                FROM f$r), g$r),
+        z$r AS (SELECT CAST(coalesce(count(*) FILTER (w = 0), 0)
+                  AS BIGINT) AS z FROM wp$r),
+        w$r AS (SELECT source,
+            CASE WHEN w = 0 THEN 1
+                 WHEN rn <= z THEN w - 1 ELSE w END AS w
+          FROM (SELECT source, w, row_number()
+                  OVER (ORDER BY w DESC, source) AS rn
+                FROM wp$r), z$r)"""
   }
 }

@@ -1140,7 +1140,10 @@ object Sampling {
     *              EXACTLY 1e6 ppm by floor division + largest
     *              remainder (ties by domain name) — the measured-
     *              mixture exactness rule, so the weights are directly
-    *              consumable by the existing samplers.
+    *              consumable by the existing samplers — and finally
+    *              floored at 1 ppm (each raised zero paid by the
+    *              current largest weights, ties by name): no domain
+    *              ever silently vanishes from the mixture.
     *
     * Every operation is Long with truncating division — identical in
     * Spark, the JVM and DuckDB (`//`, the x157 lesson) — so ALL
@@ -1156,7 +1159,13 @@ object Sampling {
     import spark.implicits._
     val st = df.groupBy(col(domainCol).cast("string").as("__d"))
       .agg(count(lit(1)).as("__n"), sum(lossUnats.cast("long")).as("__s"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map { r =>
+        require(!r.isNullAt(2),
+          s"domainReweight: domain '${r.getString(0)}' has an all-null " +
+            "loss column — every domain needs at least one non-null " +
+            "loss to carry a mean")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
       .sortBy(_._1)
     require(st.nonEmpty, "domainReweight: empty corpus")
     val k = st.length
@@ -1180,8 +1189,23 @@ object Sampling {
       val give = (1000000L - floors.map(_._2).sum).toInt
       val bump = floors.sortBy { case (d, _, rem) => (-rem, d) }
         .take(give).map(_._1).toSet
-      w = floors.map { case (d, f, _) =>
-        d -> (f + (if (bump(d)) 1L else 0L)) }.toMap
+      val renormed = floors.map { case (d, f, _) =>
+        d -> (f + (if (bump(d)) 1L else 0L)) }
+      // POST-normalization floor: a low-weight domain whose floor
+      // division hit 0 and who drew no remainder bump would silently
+      // drop out of the mixture (the update step's max(1,·) floor is
+      // PRE-normalization) — raise every zero to 1 ppm, paying each
+      // ppm from the current largest weights (ties by name), so the
+      // exact-1e6 sum is preserved and no domain ever vanishes
+      val zeros = renormed.count(_._2 == 0L)
+      w = if (zeros == 0) renormed.toMap
+      else {
+        val payers = renormed.sortBy { case (d, x) => (-x, d) }
+          .take(zeros).map(_._1).toSet
+        renormed.map { case (d, x) =>
+          d -> (if (x == 0L) 1L else if (payers(d)) x - 1L else x)
+        }.toMap
+      }
       st.foreach { case (d, _, _) => out += ((it, d, w(d))) }
     }
     out.result().toDF("iter", "domain", "weight_ppm")

@@ -122,13 +122,81 @@ object TxLog {
       dvs: Seq[Tombstone] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
       dropConstraints: Seq[String] = Seq.empty,
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      gc: Option[(Long, Long)] = None)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
     * snapshot. */
   final class TxConflictException(msg: String)
     extends RuntimeException(msg)
+
+  /** A travel read asked for a version whose data dirs a later
+    * [[vacuum]] may have reclaimed — the retention window, named. */
+  final class TxRetentionException(msg: String)
+    extends RuntimeException(msg)
+
+  // ------------------------------------------------------------------
+  // commit-claim seam — where 100 TB actually lives (object stores)
+  // the filesystem's rename cannot arbitrate a claim; the store's
+  // NATIVE conditional put can (S3 PutObject `If-None-Match: *`,
+  // GCS `x-goog-if-generation-match: 0`, Azure `If-None-Match: *` —
+  // all public, all "create iff absent, else 412"). The seam lets a
+  // deployment inject that primitive per table-root prefix while the
+  // local/HDFS fast path stays built in.
+  // ------------------------------------------------------------------
+
+  /** How a `v<N>.commit` manifest is atomically published. Exactly-one
+    * winner per path is the ENTIRE correctness contract of the log —
+    * an implementation that can return true twice for one path loses
+    * commits silently. */
+  trait CommitClaimer {
+    /** Create `path` (absolute, under the table's `_txlog/`) holding
+      * `bytes` iff absent — atomically, the store arbitrating. True =
+      * claimed; after a true return the manifest must be durably
+      * readable at `path` by the filesystem readers. False = someone
+      * else holds the name (the caller revalidates and retries). */
+    def putIfAbsent(path: String, bytes: Array[Byte]): Boolean
+  }
+
+  /** An object store's conditional-put primitive, shaped as S3's
+    * `If-None-Match: *`: create-iff-absent, `false` on
+    * 412 Precondition Failed. A real deployment backs this with the
+    * store SDK (one call); the spec suite drives it with an atomic
+    * in-memory arbiter that writes through to disk. */
+  trait ConditionalPutStore {
+    def putIfNoneMatch(path: String, bytes: Array[Byte]): Boolean
+  }
+
+  /** [[CommitClaimer]] over a [[ConditionalPutStore]] — the S3-style
+    * claim path: the conditional put IS both the write and the
+    * arbitration, no rename anywhere. */
+  final class ConditionalPutClaimer(store: ConditionalPutStore)
+      extends CommitClaimer {
+    def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+      store.putIfNoneMatch(path, bytes)
+  }
+
+  private val claimers =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitClaimer]()
+
+  /** Route commit claims for every table root under `rootPrefix`
+    * through `claimer` (longest registered prefix wins). This is how
+    * the tx layer runs on a store the scheme allowlist refuses:
+    * register a [[ConditionalPutClaimer]] over the store's native
+    * conditional put. Reads stay on the filesystem connector
+    * (list/read need no atomicity). */
+  def registerClaimer(rootPrefix: String, claimer: CommitClaimer): Unit =
+    claimers.put(rootPrefix, claimer)
+
+  def unregisterClaimer(rootPrefix: String): Unit =
+    claimers.remove(rootPrefix)
+
+  private def claimerFor(root: String): Option[CommitClaimer] = {
+    import scala.jdk.CollectionConverters._
+    claimers.asScala.filter { case (p, _) => root.startsWith(p) }
+      .toSeq.sortBy(-_._1.length).headOption.map(_._2)
+  }
 
   private val CommitRe = """v(\d{20})\.commit""".r
   private val CheckpointRe = """v(\d{20})\.checkpoint""".r
@@ -170,6 +238,13 @@ object TxLog {
     * worse than no claim. */
   private def publishIfAbsent(spark: SparkSession, root: String,
       name: String, bytes: Array[Byte]): Boolean = {
+    claimerFor(root) match {
+      // injected conditional-put path: the store arbitrates AND writes
+      // — no temp file, no rename, no existence pre-check (the put is
+      // the truth, and a pre-check would just be a wasted round trip)
+      case Some(c) => return c.putIfAbsent(s"${logDir(root)}/$name", bytes)
+      case None =>
+    }
     val fs = rawFs(spark, root)
     val dir = new org.apache.hadoop.fs.Path(logDir(root))
     fs.mkdirs(dir)
@@ -192,8 +267,9 @@ object TxLog {
             s"TxLog: filesystem scheme '${other.getScheme}' has no " +
               "atomic create-if-absent — rename there is check-then-act, " +
               "so concurrent writers could silently lose commits. Use a " +
-              "local/HDFS root, or integrate a store-native conditional " +
-              "put before pointing TxLog at an object store.")
+              "local/HDFS root, or registerClaimer(rootPrefix, new " +
+              "ConditionalPutClaimer(store)) over the store's native " +
+              "conditional put (S3 `If-None-Match: *`) to claim there.")
         }
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
           dst.toUri, spark.sparkContext.hadoopConfiguration)
@@ -227,6 +303,7 @@ object TxLog {
     var statsCol: Option[String] = None
     var schema: Option[String] = None
     var txn: Option[(String, Long)] = None
+    var gc: Option[(Long, Long)] = None
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
     val dvs = Seq.newBuilder[Tombstone]
@@ -250,6 +327,9 @@ object TxLog {
         case "txn" =>
           val bar = value.lastIndexOf('|')
           txn = Some((value.take(bar), value.drop(bar + 1).toLong))
+        case "gc" => // `horizon|retainVersions` — the retention record
+          val f = value.split('|')
+          gc = Some((f(0).toLong, f(1).toLong))
         case "add" =>
           // v1 layouts: legacy `dir|rows|mn|mx` (stats column implied
           // by the manifest-level statscol line, which renders BEFORE
@@ -291,7 +371,7 @@ object TxLog {
       }
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
-      schema, txn, dvs.result(), cons.result(), dropCons.result(), ts)
+      schema, txn, dvs.result(), cons.result(), dropCons.result(), ts, gc)
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -308,7 +388,8 @@ object TxLog {
       dvs: Seq[Tombstone] = Seq.empty,
       dvVersions: Boolean = false,
       constraints: Seq[(String, String)] = Seq.empty,
-      dropConstraints: Seq[String] = Seq.empty): Array[Byte] = {
+      dropConstraints: Seq[String] = Seq.empty,
+      gc: Option[(Long, Long)] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
@@ -318,6 +399,8 @@ object TxLog {
     schema.foreach(d => sb.append("schema=").append(d).append('\n'))
     txn.foreach { case (a, b) =>
       sb.append("txn=").append(a).append('|').append(b).append('\n') }
+    gc.foreach { case (h, r) =>
+      sb.append("gc=").append(h).append('|').append(r).append('\n') }
     dvs.foreach { d =>
       require(!d.keyCol.contains('|') && !d.keyCol.contains('\n'),
         s"tombstone key column must not contain '|' or newlines: ${d.keyCol}")
@@ -393,16 +476,28 @@ object TxLog {
     require(commits.nonEmpty, s"versionAtTime: $root has no commits")
     var best = 0L
     var running = Long.MinValue
+    var maxHorizon = Option.empty[(Long, Long)] // (horizon, retain)
     commits.foreach { case (v, n) =>
-      val t = readManifest(spark, root, n).ts.getOrElse(
+      val c = readManifest(spark, root, n)
+      val t = c.ts.getOrElse(
         throw new IllegalStateException(
           s"versionAtTime: commit v$v of $root carries no in-commit " +
             "timestamp (pre-timestamp log) — travel by version instead"))
+      c.gc.foreach(g =>
+        if (maxHorizon.forall(_._1 < g._1)) maxHorizon = Some(g))
       running = math.max(running, t)
       if (running <= tsMillis) best = v
     }
     require(best > 0,
       s"versionAtTime: $tsMillis predates the first commit of $root")
+    // the manifests were all read anyway — surface the retention
+    // violation HERE, not as a parquet FileNotFound downstream
+    maxHorizon.foreach { case (h, retain) =>
+      if (best < h) throw new TxRetentionException(
+        s"versionAtTime: resolved version $best of $root is beyond the " +
+          s"retention window — a vacuum (retainVersions=$retain) " +
+          s"recorded horizon v$h; data dirs below it may be reclaimed")
+    }
     best
   }
 
@@ -506,6 +601,17 @@ object TxLog {
     * match. */
   def pinnedSchema(spark: SparkSession, root: String): Option[String] =
     pinnedSchemaAt(spark, root, Long.MaxValue)
+
+  /** The table's stats/clustering column: the newest commit carrying a
+    * `statscol` record — the key [[statsAudit]] (and RunGc's
+    * `--audit-stats` pass) watches. None on a table that never
+    * recorded stats (nothing to audit: no read ever pruned there). */
+  def statsColumn(spark: SparkSession, root: String): Option[String] =
+    listLog(spark, root)
+      .collect { case (cv, "commit", n) => (cv, n) }
+      .sortBy(-_._1).iterator
+      .map(e => readManifest(spark, root, e._2).statsCol)
+      .collectFirst { case Some(c) => c }
 
   /** Nullability-normalized single-line DDL — the pin's equality form
     * (a parquet read-back relaxes nullability; that must not read as
@@ -626,6 +732,27 @@ object TxLog {
   // writes
   // ------------------------------------------------------------------
 
+  /** Hash-space size of the portable key hash: md5-60 values are
+    * uniform in [0, 2^60) — the [[Kmv]] draw's space. */
+  private[graft] val HashSpace: Long = 1L << 60
+
+  /** The PORTABLE key hash behind string-key pruning: md5-60 of
+    * "txkey:<key-as-string>" — the engine's standard replayable draw
+    * (the [[Kmv]]/Bloom primitive), uniform in [0, 2^60), identical in
+    * Spark and any external SQL with md5 (the oracle replays bucket
+    * assignment and every prune decision exactly). Keys hash by their
+    * STRING form, so the hash survives lossless widenings (int 5 and
+    * bigint 5 both render "5"). Value min/max stats only exist for
+    * long-castable columns; THIS stat exists for every key. */
+  private[graft] def keyHash(c: Column): Column =
+    conv(substring(md5(concat_ws(":", lit("txkey"), c.cast("string"))),
+      1, 15), 16, 10).cast("long")
+
+  /** The stats name a column's key-hash min/max travels under in the
+    * manifest ('#' cannot collide with the '|'-guarded rendering, and
+    * a real column would have to be deliberately named this way). */
+  private[graft] def hashStatName(c: String): String = s"$c#h60"
+
   /** Write `df` as a fresh immutable data dir and return its AddFile.
     * Stats (min/max per named column, any number of columns — one
     * metric set, not one pass per column) are collected DURING the
@@ -637,23 +764,31 @@ object TxLog {
     * amplification at corpus scale (and a measured +204 ms fixed job
     * cost per append locally, TxAB). */
   private def writeDataDir(spark: SparkSession, root: String,
-      df: DataFrame, statsCols: Seq[String]): AddFile = {
+      df: DataFrame, statsCols: Seq[String],
+      cs: Seq[(String, String)]): AddFile = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val obs = org.apache.spark.sql.Observation(s"txstats-$rel")
+    // each stats column records BOTH its value min/max (absent when
+    // not long-castable — string ids) and its portable-hash min/max
+    // (always present): value stats prune range reads, hash stats
+    // prune string-key merges — still ONE in-write metric set
+    val specs = statsCols.flatMap(c => Seq(
+      (c, col(c).cast("long")), (hashStatName(c), keyHash(col(c)))))
     val metrics = count(lit(1)).as("n") +:
-      statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
-        min(col(c).cast("long")).as(s"mn$i"),
-        max(col(c).cast("long")).as(s"mx$i")) }
+      specs.zipWithIndex.flatMap { case ((_, e), i) => Seq(
+        min(e).as(s"mn$i"), max(e).as(s"mx$i")) }
     // CHECK constraints ride the write's own scan (every writer that
     // lands table rows funnels through here; a violation fails the
-    // job before the commit exists)
-    val checked = enforced(df, constraints(spark, root))
+    // job before the commit exists). The SET is the caller's capture
+    // at snapshot time — its claim loop aborts if a new constraint
+    // lands in between (the constraint-vs-writer race)
+    val checked = enforced(df, cs)
     checkingConstraints {
       checked.observe(obs, metrics.head, metrics.tail: _*)
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rel")
     }
     val m = obs.get
-    val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+    val stats = specs.zipWithIndex.flatMap { case ((c, _), i) =>
       for {
         mn <- m.get(s"mn$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
         mx <- m.get(s"mx$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
@@ -688,7 +823,8 @@ object TxLog {
       s"append: schema drift on $root — table pins [$p], batch is " +
         s"[$ddl]; an intentional change is a rewrite or evolveSchema, " +
         "not an append"))
-    val add = writeDataDir(spark, root, df, statsCols)
+    val st0 = foldLog(spark, root, None)
+    val add = writeDataDir(spark, root, df, statsCols, st0.constraints)
     val bytes = renderManifest("append", Seq(add), Seq.empty,
       statsCols.headOption, Some(ddl))
     var attempt = 0
@@ -701,9 +837,27 @@ object TxLog {
         throw new TxConflictException(
           s"append of $root lost to a concurrent schema change — table " +
             s"now pins [$p], batch is [$ddl]; revalidate and retry"))
+      checkNoNewConstraints(spark, root, st0.version, "append")
       v = math.max(latestVersion(spark, root) + 1, v + 1)
     }
     v
+  }
+
+  /** The constraint-vs-writer race check every claim-collision loop
+    * runs: this writer's data was validated against the constraint set
+    * read at its snapshot (version `v0`) — if a NEW constraint landed
+    * since, the already-written data was never checked against it, and
+    * claiming past it could land violating rows at head+1 while the
+    * constraint reads as live. Abort instead (dropped constraints are
+    * harmless: removing a rule cannot make checked data violating). */
+  private def checkNoNewConstraints(spark: SparkSession, root: String,
+      v0: Long, op: String): Unit = {
+    val withCons = commitsInRange(spark, root, v0,
+      latestVersion(spark, root)).filter(_.constraints.nonEmpty)
+    if (withCons.nonEmpty) throw new TxConflictException(
+      s"$op of $root lost v${withCons.map(_.version).min}: an " +
+        "intervening commit added a CHECK constraint this writer's " +
+        "data was never validated against — retry on a fresh snapshot")
   }
 
   /** The version that committed `(appId, batchId)`, if any — scans
@@ -736,7 +890,16 @@ object TxLog {
     * no same-token commit can slip past both. */
   def appendIdempotent(spark: SparkSession, root: String, df: DataFrame,
       appId: String, batchId: Long,
-      statsCol: Option[String] = None): (Long, Boolean) = {
+      statsCol: Option[String] = None): (Long, Boolean) =
+    appendIdempotentWithHook(spark, root, df, appId, batchId,
+      statsCol)(() => ())
+
+  /** [[appendIdempotent]] with the deterministic interleaving seam the
+    * race specs drive (the mergeWithHook pattern): `beforeClaim` runs
+    * between the data write and the first claim attempt. */
+  private[graft] def appendIdempotentWithHook(spark: SparkSession,
+      root: String, df: DataFrame, appId: String, batchId: Long,
+      statsCol: Option[String])(beforeClaim: () => Unit): (Long, Boolean) = {
     require(!appId.contains('|') && !appId.contains('\n'),
       s"appendIdempotent: appId must not contain '|' or newlines: $appId")
     txnVersion(spark, root, appId, batchId) match {
@@ -747,9 +910,11 @@ object TxLog {
     pinnedSchema(spark, root).foreach(p => require(p == ddl,
       s"appendIdempotent: schema drift on $root — table pins [$p], " +
         s"batch is [$ddl]"))
-    val add = writeDataDir(spark, root, df, statsCol.toSeq)
+    val st0 = foldLog(spark, root, None)
+    val add = writeDataDir(spark, root, df, statsCol.toSeq, st0.constraints)
     val bytes = renderManifest("append", Seq(add), Seq.empty, statsCol,
       Some(ddl), Some((appId, batchId)))
+    beforeClaim()
     var attempt = 0
     while (true) {
       val head = latestVersion(spark, root)
@@ -757,6 +922,15 @@ object TxLog {
         case Some(v) => return (v, false) // replay lost the race; dir -> vacuum
         case None =>
       }
+      // collision revalidation, same rules as append: a concurrent
+      // evolveSchema/rewrite must not be sailed past (landing an
+      // old-generation batch would silently revert the pin), and a
+      // concurrent addConstraint never validated this batch's rows
+      pinnedSchema(spark, root).foreach(p => if (p != ddl)
+        throw new TxConflictException(
+          s"appendIdempotent of $root lost to a concurrent schema " +
+            s"change — table now pins [$p], batch is [$ddl]"))
+      checkNoNewConstraints(spark, root, st0.version, "appendIdempotent")
       if (publishIfAbsent(spark, root, manifestName(head + 1, "commit"),
           bytes))
         return (head + 1, true)
@@ -767,30 +941,48 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Run `body` (one full optimistic attempt: resolve snapshot, write,
+    * claim) up to `1 + retries` times, re-running it from scratch on
+    * [[TxConflictException]] — Delta's bounded auto-retry loop. Each
+    * aborted attempt's orphan data dir is [[vacuum]]-reclaimable; the
+    * LAST conflict propagates when the budget is spent. */
+  private def withConflictRetry[A](retries: Int)(body: => A): A = {
+    var left = math.max(0, retries)
+    while (true) {
+      try return body
+      catch { case _: TxConflictException if left > 0 => left -= 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** REWRITE the table: read the current snapshot, write
     * `transform(snapshot)` as fresh dirs, commit a manifest that
     * removes exactly the inputs read. Validation on claim collision:
     * intervening APPENDS survive (only the read inputs are removed);
     * an intervening commit that removed one of our inputs aborts with
     * [[TxConflictException]] (the orphan dir is left for [[vacuum]]).
-    * Returns the committed version. */
+    * `conflictRetries` > 0 re-resolves a fresh snapshot and re-runs
+    * the whole rewrite (transform included) that many times before
+    * the conflict propagates. Returns the committed version. */
   def rewrite(spark: SparkSession, root: String,
-      statsCol: Option[String] = None)
-      (transform: DataFrame => DataFrame): Long = {
-    val st0 = foldLog(spark, root, None)
-    val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
-    require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
-    val snap = readMasked(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0), dvs0)
-    val out = transform(snap)
-    val add = writeDataDir(spark, root, out, statsCol.toSeq)
-    val removes = live0.map(_.dir)
-    // a rewrite REPLACES the table, so its schema becomes the new pin
-    // (the sanctioned schema-change path — Delta's overwriteSchema)
-    val bytes = renderManifest("rewrite", Seq(add), removes, statsCol,
-      Some(ddlOf(out)))
-    claimRewrite(spark, root, "rewrite", v0, removes.toSet, bytes)
-  }
+      statsCol: Option[String] = None, conflictRetries: Int = 0)
+      (transform: DataFrame => DataFrame): Long =
+    withConflictRetry(conflictRetries) {
+      val st0 = foldLog(spark, root, None)
+      val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
+      require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
+      val snap = readMasked(spark, root, live0,
+        pinnedSchemaAt(spark, root, v0), dvs0)
+      val out = transform(snap)
+      val add = writeDataDir(spark, root, out, statsCol.toSeq,
+        st0.constraints)
+      val removes = live0.map(_.dir)
+      // a rewrite REPLACES the table, so its schema becomes the new pin
+      // (the sanctioned schema-change path — Delta's overwriteSchema)
+      val bytes = renderManifest("rewrite", Seq(add), removes, statsCol,
+        Some(ddlOf(out)))
+      claimRewrite(spark, root, "rewrite", v0, removes.toSet, bytes)
+    }
 
   /** Keyed MERGE (upsert) — apply a change batch to the table by key:
     * a batch row REPLACES the live row with its key (or inserts if the
@@ -804,11 +996,16 @@ object TxLog {
     * recorded min/max FOR `keyCol` intersect the batch's key span (or
     * dirs with no stat on `keyCol`, which might hold anything) are
     * read and rewritten — everything provably key-disjoint stays
-    * untouched on disk. Cost = one batch aggregate + one
+    * untouched on disk. STRING keys (doc ids, URLs — no value span)
+    * prune through the portable-hash stats instead: the batch's key
+    * hashes interval-stab the per-dir hash ranges ([[hashAdmitted]]),
+    * so a hash-clustered table ([[optimizeHash]]) localizes a string-
+    * key batch exactly as a range-clustered one localizes a long-key
+    * batch. Cost = one batch aggregate + one
     * anti-join-sized rewrite of the TOUCHED dirs + the batch write;
-    * a well-clustered table ([[appendPartitioned]]/[[optimizeRange]])
-    * localizes a narrow-key batch to a few dirs no matter how large
-    * the table is.
+    * a well-clustered table ([[appendPartitioned]]/[[optimizeRange]]/
+    * [[optimizeHash]]) localizes a narrow-key batch to a few dirs no
+    * matter how large the table is.
     *
     * Batch contract: keys non-null and UNIQUE (a key must resolve to
     * one action — checked in the same single batch aggregate); the
@@ -817,15 +1014,53 @@ object TxLog {
     * Concurrency (optimistic, strictest serializable reading): on a
     * claim collision the merge ABORTS ([[TxConflictException]]) if an
     * intervening commit (a) removed one of its touched dirs (same as
-    * [[rewrite]]), (b) ADDED data whose `keyCol` stats intersect the
-    * batch's key span — or carry no `keyCol` stat — since such rows
-    * were not merged against, or (c) changed the schema pin.
-    * Intervening appends provably key-disjoint survive alongside.
+    * [[rewrite]]), (b) ADDED data whose `keyCol` stats — value span,
+    * refined by hash for string keys — intersect the batch's keys, or
+    * carry no `keyCol` stat, since such rows were not merged against,
+    * (c) changed the schema pin, (d) added a CHECK constraint this
+    * batch was never validated against, or (e) published a tombstone
+    * masking a NON-batch row this merge's output carries (committing
+    * would resurrect it; a tombstone disjoint from the output — or
+    * hitting only upserted batch keys, which re-insert by the
+    * documented semantic — commutes). Intervening appends provably
+    * key-disjoint survive alongside. `conflictRetries` > 0 re-runs
+    * the whole merge on a fresh snapshot that many times before the
+    * conflict propagates (Delta's bounded auto-retry).
     * Returns the committed version. */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
       keyCol: String, deleteCol: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Long =
-    mergeWithHook(spark, root, batch, keyCol, deleteCol, statsCols)(() => ())
+      statsCols: Seq[String] = Seq.empty,
+      conflictRetries: Int = 0): Long =
+    withConflictRetry(conflictRetries) {
+      mergeCore(spark, root, batch, keyCol, deleteCol, statsCols,
+        None)(() => ())._1
+    }
+
+  /** IDEMPOTENT merge — [[appendIdempotent]]'s contract on the MERGE
+    * path (the exactly-once streaming-CDC sink shape: a foreachBatch
+    * replay must not re-apply a change batch that already landed —
+    * re-applying a delete-then-reinsert window would resurrect or
+    * double-delete): a merge identified by `(appId, batchId)` commits
+    * AT MOST ONCE. Returns (version, committedNow); a replay returns
+    * the original version with `false` (its pre-written output dir is
+    * a vacuum-reclaimable orphan). Same validate-then-claim-head+1
+    * race closure as appendIdempotent, same conflict rules as
+    * [[merge]]. */
+  def mergeIdempotent(spark: SparkSession, root: String, batch: DataFrame,
+      keyCol: String, appId: String, batchId: Long,
+      deleteCol: Option[String] = None,
+      statsCols: Seq[String] = Seq.empty,
+      conflictRetries: Int = 0): (Long, Boolean) = {
+    require(!appId.contains('|') && !appId.contains('\n'),
+      s"mergeIdempotent: appId must not contain '|' or newlines: $appId")
+    txnVersion(spark, root, appId, batchId) match {
+      case Some(v) => (v, false)
+      case None => withConflictRetry(conflictRetries) {
+        mergeCore(spark, root, batch, keyCol, deleteCol, statsCols,
+          Some((appId, batchId)))(() => ())
+      }
+    }
+  }
 
   /** [[merge]] with a test seam invoked between snapshot resolution
     * and the claim — the deterministic interleaving point the
@@ -833,7 +1068,51 @@ object TxLog {
     * transform callback the same way). */
   private[graft] def mergeWithHook(spark: SparkSession, root: String,
       batch: DataFrame, keyCol: String, deleteCol: Option[String],
-      statsCols: Seq[String])(beforeClaim: () => Unit): Long = {
+      statsCols: Seq[String], conflictRetries: Int = 0)
+      (beforeClaim: () => Unit): Long =
+    withConflictRetry(conflictRetries) {
+      mergeCore(spark, root, batch, keyCol, deleteCol, statsCols,
+        None)(beforeClaim)._1
+    }
+
+  /** The dirs among `files` that can hold at least one key of the
+    * keys-only frame `keys`, judged by the PORTABLE-HASH stats: a dir
+    * whose recorded hash min/max FOR `keyCol` brackets none of the
+    * batch's key hashes is provably key-disjoint and drops out; a dir
+    * with no hash stat might hold anything and stays. ONE broadcast
+    * interval-stab job — the build side is the manifest-sized dir
+    * interval list, the probe side the batch's distinct key hashes,
+    * and the collected result is a dir-index set (≤ |files|, metadata-
+    * sized). This is what restores write-path pruning for STRING keys
+    * (doc ids, URLs), whose value cast yields no span: on a hash-
+    * clustered table ([[optimizeHash]]) each dir holds a tight hash
+    * range, so a narrow batch stabs few dirs no matter the table
+    * size. Exact: a key present in a dir always hashes inside that
+    * dir's recorded range (same function both sides); a hash
+    * collision only ever ADDS a touched dir. */
+  private def hashAdmitted(spark: SparkSession, keys: DataFrame,
+      keyCol: String, files: Seq[AddFile]): Seq[AddFile] = {
+    val hn = hashStatName(keyCol)
+    val (statted, statless) = files.partition(_.statFor(hn).isDefined)
+    if (statted.isEmpty) return files
+    import spark.implicits._
+    val iv = statted.zipWithIndex.map { case (f, i) =>
+      val st = f.statFor(hn).get
+      (i.toLong, st.min, st.max)
+    }.toDF("__di", "__hmn", "__hmx")
+    val hit = keys.select(keyHash(col(keyCol)).as("__h")).distinct()
+      .join(broadcast(iv),
+        col("__h") >= col("__hmn") && col("__h") <= col("__hmx"))
+      .select("__di").distinct()
+      .collect().map(_.getLong(0)).toSet
+    statless ++ statted.zipWithIndex.collect {
+      case (f, i) if hit(i.toLong) => f }
+  }
+
+  private def mergeCore(spark: SparkSession, root: String,
+      batch: DataFrame, keyCol: String, deleteCol: Option[String],
+      statsCols: Seq[String], txn: Option[(String, Long)])
+      (beforeClaim: () => Unit): (Long, Boolean) = {
     val upserts = deleteCol match {
       case Some(d) => batch.where(!coalesce(col(d), lit(false))).drop(d)
       case None => batch
@@ -854,27 +1133,34 @@ object TxLog {
     require(r.getLong(2) == r.getLong(0),
       s"merge: batch has duplicate $keyCol keys — a key must resolve " +
         "to exactly one action")
-    // non-long-castable keys (string ids) have no usable span: the
-    // merge degenerates to touching every live dir (a full rewrite —
-    // still exact; manifest stats are long-keyed, so there is nothing
-    // to prune on) and every intervening add conflicts (conservative)
+    // non-long-castable keys (string ids) have no usable VALUE span —
+    // for those the portable-hash stats take over below: the batch's
+    // key hashes interval-stab the per-dir hash ranges, so a hash-
+    // clustered table still localizes the write to few dirs (the
+    // pre-r14 form degenerated to a full-table rewrite here)
+    val stringKeyed = r.isNullAt(3)
     val (bmn, bmx) =
-      if (r.isNullAt(3)) (Long.MinValue, Long.MaxValue)
+      if (stringKeyed) (Long.MinValue, Long.MaxValue)
       else (r.getLong(3), r.getLong(4))
     val hiEx = if (bmx == Long.MaxValue) Long.MaxValue else bmx + 1
     val st0 = foldLog(spark, root, None)
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
-    val touched = live0.filter(f => admits(f, keyCol, bmn, hiEx))
+    val touchedBySpan = live0.filter(f => admits(f, keyCol, bmn, hiEx))
+    val touched =
+      if (stringKeyed && touchedBySpan.nonEmpty)
+        hashAdmitted(spark, batch.select(col(keyCol)), keyCol,
+          touchedBySpan)
+      else touchedBySpan
     val out =
       if (touched.isEmpty) upserts // nothing can hold a batch key
       else readMasked(spark, root, touched,
           pinnedSchemaAt(spark, root, v0), dvs0)
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts)
-    val add = writeDataDir(spark, root, out, stats)
+    val add = writeDataDir(spark, root, out, stats, st0.constraints)
     val removes = touched.map(_.dir)
     val bytes = renderManifest("merge", Seq(add), removes,
-      stats.headOption, Some(ddl))
+      stats.headOption, Some(ddl), txn)
     beforeClaim()
     var attempt = 0
     // claims START at v0+1 (the claimRewrite rule): every commit that
@@ -886,6 +1172,14 @@ object TxLog {
       attempt += 1
       if (attempt > MaxClaimRetries) throw new java.io.IOException(
         s"merge: could not claim a version after $MaxClaimRetries tries")
+      txn.foreach { case (appId, batchId) =>
+        // a concurrent replay of the SAME token may have landed it —
+        // then this attempt is the duplicate and must not commit
+        txnVersion(spark, root, appId, batchId) match {
+          case Some(tv) => return (tv, false) // dir -> vacuum
+          case None =>
+        }
+      }
       val head = latestVersion(spark, root)
       val inter = commitsInRange(spark, root, v0, head)
       val mine = removes.toSet
@@ -894,23 +1188,59 @@ object TxLog {
         s"merge of $root lost v${stolen.map(_.version).min}: an " +
           "intervening commit removed one of its touched dirs — retry " +
           "on a fresh snapshot")
-      val overlapping = inter.filter(_.adds.exists(a =>
+      val overlapBySpan = inter.filter(_.adds.exists(a =>
         admits(a, keyCol, bmn, hiEx)))
+      // string keys: re-judge the span-suspect adds by hash — an
+      // intervening append provably hash-disjoint from the batch keys
+      // commutes (same refinement as the write path, collision-only)
+      val overlapping =
+        if (stringKeyed && overlapBySpan.nonEmpty) {
+          val hitDirs = hashAdmitted(spark, batch.select(col(keyCol)),
+            keyCol, overlapBySpan.flatMap(_.adds)).map(_.dir).toSet
+          overlapBySpan.filter(_.adds.exists(a => hitDirs(a.dir)))
+        } else overlapBySpan
       if (overlapping.nonEmpty) throw new TxConflictException(
         s"merge of $root lost v${overlapping.map(_.version).min}: an " +
           s"intervening commit added data that may contain merge keys " +
           s"in [$bmn, $bmx] — retry on a fresh snapshot")
-      val tombstoned = inter.filter(_.dvs.nonEmpty)
-      if (tombstoned.nonEmpty) throw new TxConflictException(
-        s"merge of $root lost v${tombstoned.map(_.version).min}: an " +
-          "intervening tombstone may mask rows this merge read — " +
-          "retry on a fresh snapshot")
+      // intervening tombstones: the pre-r14 rule aborted on ANY. The
+      // exact hazard is RESURRECTION — this merge's already-written
+      // output postdates the tombstone, so any masked key it carries
+      // would silently come back to life. Upserted batch keys are
+      // exempt (serialized as tombstone-then-merge, re-insert is the
+      // documented semantic); everything else in the output that a new
+      // tombstone masks aborts. One scan of our OWN output dir, only
+      // on the rare collision+tombstone path.
+      val interDvs = inter.flatMap(_.dvs)
+      if (interDvs.nonEmpty) {
+        val out = spark.read.parquet(s"$root/${add.dir}")
+        val resurrects = interDvs.groupBy(_.keyCol).toSeq.sortBy(_._1)
+          .exists { case (kc, ds) =>
+            !out.columns.contains(kc) || {
+              val kt = out.schema(kc).dataType
+              val keys = ds.map(dv =>
+                  spark.read.parquet(s"$root/${dv.rel}")
+                    .select(col(dv.keyCol).cast(kt).as(kc)))
+                .reduce(_.unionByName(_)).distinct()
+              !out.join(keys, Seq(kc), "left_semi")
+                .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+                .isEmpty
+            }
+          }
+        if (resurrects) throw new TxConflictException(
+          s"merge of $root lost " +
+            s"v${inter.filter(_.dvs.nonEmpty).map(_.version).min}: an " +
+            "intervening tombstone masks non-batch rows this merge " +
+            "would rewrite past it (resurrection) — retry on a fresh " +
+            "snapshot")
+      }
+      checkNoNewConstraints(spark, root, v0, "merge")
       pinnedSchema(spark, root).foreach(p => if (p != ddl)
         throw new TxConflictException(
           s"merge of $root lost to a concurrent schema change"))
       v = math.max(head + 1, v + 1)
     }
-    v
+    (v, true)
   }
 
   /** Thrown by a write whose rows violate a table CHECK constraint —
@@ -1016,7 +1346,7 @@ object TxLog {
     * a churn list is a set, not a change log. Returns the committed
     * version. */
   def mergeDelete(spark: SparkSession, root: String, keys: DataFrame,
-      keyCol: String): Long = {
+      keyCol: String, conflictRetries: Int = 0): Long = {
     val pin = pinnedSchema(spark, root).getOrElse(
       throw new IllegalStateException(
         s"mergeDelete: $root has no schema pin (legacy log) — use " +
@@ -1029,7 +1359,8 @@ object TxLog {
         if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq :+ lit(true).as("__del"): _*)
-    merge(spark, root, batch, keyCol, deleteCol = Some("__del"))
+    merge(spark, root, batch, keyCol, deleteCol = Some("__del"),
+      conflictRetries = conflictRetries)
   }
 
   /** Key TOMBSTONE (deletion vector) — the takedown write path that
@@ -1178,13 +1509,14 @@ object TxLog {
     val bucket = coalesce(
       ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
     val rel = s"data/${java.util.UUID.randomUUID()}"
+    val st0 = foldLog(spark, root, None)
     checkingConstraints {
-      enforced(df, constraints(spark, root)).withColumn("__b", bucket)
+      enforced(df, st0.constraints).withColumn("__b", bucket)
         .repartition(col("__b"))
         .write.mode(SaveMode.ErrorIfExists)
         .partitionBy("__b").parquet(s"$root/$rel")
     }
-    val stats = bucketStats(df, bucket, keyCol +: extraStats)
+    val stats = bucketStats(df, bucket, statSpecs(keyCol +: extraStats))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -1204,23 +1536,30 @@ object TxLog {
         throw new TxConflictException(
           s"appendPartitioned of $root lost to a concurrent schema " +
             s"change — table now pins [$p], batch is [$ddl]"))
+      checkNoNewConstraints(spark, root, st0.version, "appendPartitioned")
       v = math.max(latestVersion(spark, root) + 1, v + 1)
     }
     v
   }
 
-  /** Per-bucket (count, per-column min/max) in ONE grouped aggregate —
-    * shared by [[appendPartitioned]]/[[optimizeRange]]; never a
-    * per-dir re-scan. */
+  /** The standard per-column stat set: the value min/max (absent for
+    * non-long-castable columns) plus the portable-hash min/max — what
+    * [[writeDataDir]] records, replicated per bucket here. */
+  private def statSpecs(cols: Seq[String]): Seq[(String, Column)] =
+    cols.flatMap(c => Seq(
+      (c, col(c).cast("long")), (hashStatName(c), keyHash(col(c)))))
+
+  /** Per-bucket (count, per-stat min/max) in ONE grouped aggregate —
+    * shared by [[appendPartitioned]]/[[optimizeRange]]/
+    * [[optimizeZOrder]]/[[optimizeHash]]; never a per-dir re-scan. */
   private def bucketStats(df: DataFrame, bucket: Column,
-      cols: Seq[String]): Map[Long, (Long, Seq[ColStat])] = {
-    val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap {
-      case (c, i) => Seq(min(col(c).cast("long")).as(s"mn$i"),
-        max(col(c).cast("long")).as(s"mx$i")) }
+      specs: Seq[(String, Column)]): Map[Long, (Long, Seq[ColStat])] = {
+    val aggs = count(lit(1)).as("n") +: specs.zipWithIndex.flatMap {
+      case ((_, e), i) => Seq(min(e).as(s"mn$i"), max(e).as(s"mx$i")) }
     df.withColumn("__b", bucket).groupBy("__b")
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        val cs = cols.zipWithIndex.flatMap { case (c, i) =>
+        val cs = specs.zipWithIndex.flatMap { case ((c, _), i) =>
           val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i) // __b, n, then pairs
           if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
           else Some(ColStat(c, r.getLong(mnI), r.getLong(mxI)))
@@ -1265,7 +1604,7 @@ object TxLog {
     // one AddFile per nonempty bucket — stats from ONE grouped
     // aggregate over the snapshot (identical rows to what each bucket
     // dir just received), not B per-dir re-scans
-    val stats = bucketStats(snap, bucket, keyCol +: extraStats)
+    val stats = bucketStats(snap, bucket, statSpecs(keyCol +: extraStats))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -1315,7 +1654,7 @@ object TxLog {
       .sortWithinPartitions(col("__b"), zc)
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("__b").parquet(s"$root/$rel")
-    val stats = bucketStats(snap, bucket, Seq(xCol, yCol))
+    val stats = bucketStats(snap, bucket, statSpecs(Seq(xCol, yCol)))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -1327,6 +1666,52 @@ object TxLog {
     val bytes = renderManifest("rewrite", adds, removes, Some(xCol),
       Some(ddlOf(snap)))
     claimRewrite(spark, root, "optimizeZOrder", v0, removes.toSet, bytes)
+  }
+
+  /** OPTIMIZE with HASH clustering — what makes STRING-keyed merges
+    * prune ([[optimizeRange]]'s companion for keys with no value
+    * order): re-cluster the masked snapshot into `buckets` fixed-width
+    * ranges of the PORTABLE KEY HASH ([[keyHash]] — md5-60, uniform in
+    * [0, 2^60)), each bucket its own AddFile whose recorded hash
+    * min/max is tight by construction. A later [[merge]] on `keyCol`
+    * with string keys interval-stabs these ranges ([[hashAdmitted]])
+    * and rewrites only the stabbed buckets — a narrow batch touches
+    * ~|batch| buckets out of B no matter the table size, exactly the
+    * long-key story one hash away. (Value-range reads on a hash
+    * layout prune nothing, and vice versa — pick the layout for the
+    * write pattern; doc-id/URL-keyed corpus tables merge far more
+    * often than they range-scan.) One pass, one shuffle; null keys
+    * hash as the empty draw and cluster together. Same optimistic
+    * validation as [[rewrite]]. Returns the committed version. */
+  def optimizeHash(spark: SparkSession, root: String, keyCol: String,
+      buckets: Int, extraStats: Seq[String] = Seq.empty): Long = {
+    require(buckets >= 1,
+      s"optimizeHash: buckets must be >= 1, got $buckets")
+    val st0 = foldLog(spark, root, None)
+    val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
+    require(live0.nonEmpty, s"optimizeHash: $root has no live data at v$v0")
+    val snap = readMasked(spark, root, live0,
+      pinnedSchemaAt(spark, root, v0), dvs0)
+    val width = math.max(1L, (HashSpace + buckets - 1) / buckets)
+    val bucket = (keyHash(col(keyCol)) / width).cast("long")
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    snap.withColumn("__b", bucket)
+      .repartition(col("__b"))
+      .sortWithinPartitions(col("__b"), keyHash(col(keyCol)))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("__b").parquet(s"$root/$rel")
+    val stats = bucketStats(snap, bucket, statSpecs(keyCol +: extraStats))
+    val fs = rawFs(spark, root)
+    val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
+        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs)
+      }
+    val removes = live0.map(_.dir)
+    val bytes = renderManifest("rewrite", adds, removes, Some(keyCol),
+      Some(ddlOf(snap)))
+    claimRewrite(spark, root, "optimizeHash", v0, removes.toSet, bytes)
   }
 
   /** The rewrite-family claim loop: claim the next version, and on
@@ -1354,6 +1739,9 @@ object TxLog {
         s"$op of $root lost v${tomb.map(_.version).min}: an intervening " +
           "tombstone masks rows this rewrite read — retry on a fresh " +
           "snapshot")
+      // a rewrite replaces the table wholesale, so a constraint that
+      // landed since the snapshot never validated this output either
+      checkNoNewConstraints(spark, root, v0, op)
       v = math.max(head + 1, v + 1)
     }
     v
@@ -1388,10 +1776,43 @@ object TxLog {
     * the OLD schema, exactly what that version's readers saw. */
   def snapshot(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
+    asOf.foreach(v => retentionGuard(spark, root, v, "snapshot"))
+    snapshotInner(spark, root, asOf)
+  }
+
+  /** [[snapshot]] without the retention guard — for internal reads
+    * whose safety is proved by the caller (e.g. [[changes]] reads
+    * version `horizon - 1`, whose dirs the vacuum provably retained:
+    * anything removed after `horizon - 1` is referenced by an
+    * in-window commit). */
+  private def snapshotInner(spark: SparkSession, root: String,
+      asOf: Option[Long]): DataFrame = {
     val st = foldLog(spark, root, asOf)
     require(st.files.nonEmpty, s"snapshot: $root is empty at v${st.version}")
     readMasked(spark, root, st.files,
       pinnedSchemaAt(spark, root, st.version), st.dvs)
+  }
+
+  /** Fail a travel read below the strictest retention horizon any
+    * later [[vacuum]] recorded: the data dirs backing versions below
+    * the horizon may be physically reclaimed, and a parquet
+    * FileNotFound three stages into a job is the WRONG error — the
+    * window violation should be named at plan time. Reads the commit
+    * manifests after `v` (O(newer commits) tiny files — travel is the
+    * audit path; head reads never pay this). Versions AT or above the
+    * horizon are always readable. */
+  private def retentionGuard(spark: SparkSession, root: String,
+      v: Long, what: String): Unit = {
+    val gcs = listLog(spark, root)
+      .collect { case (cv, "commit", n) if cv > v => n }
+      .iterator.map(readManifest(spark, root, _)).flatMap(_.gc).toSeq
+    if (gcs.isEmpty) return
+    val (h, retain) = gcs.maxBy(_._1)
+    if (v < h) throw new TxRetentionException(
+      s"$what: version $v of $root is beyond the retention window — a " +
+        s"vacuum (retainVersions=$retain) recorded horizon v$h, so data " +
+        s"dirs below it may be reclaimed. Read a version >= $h, or " +
+        "widen --retain-versions before vacuuming.")
   }
 
   /** Does a dir's recorded stat FOR `keyCol` admit `[lo, hi)`? A dir
@@ -1425,6 +1846,7 @@ object TxLog {
       preds: Seq[(String, Long, Long)],
       asOf: Option[Long] = None): DataFrame = {
     require(preds.nonEmpty, "snapshotRangeMulti: no predicates")
+    asOf.foreach(v => retentionGuard(spark, root, v, "snapshotRangeMulti"))
     val st = foldLog(spark, root, asOf)
     val (v, live, dvs) = (st.version, st.files, st.dvs)
     require(live.nonEmpty, s"snapshotRangeMulti: $root is empty at v$v")
@@ -1459,6 +1881,44 @@ object TxLog {
     }.toDF("n_rows", "min_key", "max_key", "scanned")
   }
 
+  /** Manifest-stats HEALTH for `keyCol` at head, as ONE row — the
+    * number [[graft.pipeline.RunGc]] watches to know when a table's
+    * skipping has degraded past usefulness (interleaved appends each
+    * span the whole key range, so [[snapshotRange]] and [[merge]]
+    * prune nothing until the next [[optimizeRange]]/[[optimizeHash]]).
+    * `overlap_ppm` = Σ per-dir stat span ×1e6 / global span: a
+    * perfectly range-partitioned layout reads 1e6 (dirs tile the
+    * domain once); k fully-interleaved appends read ≈ k×1e6 (every
+    * point of the domain is covered k times — every range read scans
+    * every dir). Audits the VALUE stat for `keyCol` when any dir
+    * carries one, else the portable-hash stat (hash-clustered string
+    * tables) — the `stat` column names which. Exact integer output
+    * (BigInt driver arithmetic, no overflow at any key domain). */
+  def statsAudit(spark: SparkSession, root: String,
+      keyCol: String): DataFrame = {
+    import spark.implicits._
+    val (_, live) = liveFiles(spark, root)
+    val byValue = live.flatMap(_.statFor(keyCol))
+    val statName =
+      if (byValue.nonEmpty) keyCol else hashStatName(keyCol)
+    val st = if (byValue.nonEmpty) byValue
+      else live.flatMap(_.statFor(statName))
+    val nDirs = live.size.toLong
+    if (st.isEmpty)
+      Seq((statName, nDirs, 0L, 0L, 0L))
+        .toDF("stat", "n_dirs", "n_stats", "sum_spans", "overlap_ppm")
+    else {
+      val gMin = st.map(_.min).min
+      val gMax = st.map(_.max).max
+      val spans = st.map(s => BigInt(s.max) - BigInt(s.min) + 1).sum
+      val global = BigInt(gMax) - BigInt(gMin) + 1
+      val ppm = (spans * 1000000 / global).toLong
+      Seq((statName, nDirs, st.size.toLong,
+          spans.min(BigInt(Long.MaxValue)).toLong, ppm))
+        .toDF("stat", "n_dirs", "n_stats", "sum_spans", "overlap_ppm")
+    }
+  }
+
   /** CDC: the row-level delta of commits in `(fromV, toV]`, as the
     * table's columns plus `__version` and `__change`
     * (`insert`/`delete`). Inserts read each commit's added dirs;
@@ -1468,6 +1928,11 @@ object TxLog {
     * wanting logical diffs reconcile downstream. */
   def changes(spark: SparkSession, root: String,
       fromV: Long, toV: Long): DataFrame = {
+    // the window reads data of commits >= fromV+1 (their add/remove
+    // dirs) and snapshots at >= fromV (the dv deltas) — both retained
+    // iff fromV+1 is at or above any recorded horizon (vacuum keeps
+    // every dir referenced by commits above horizon-1)
+    retentionGuard(spark, root, fromV + 1, "changes")
     val cs = commitsInRange(spark, root, fromV, toV)
     require(cs.nonEmpty, s"changes: no commits in ($fromV, $toV] at $root")
     // align every part to the pin at the WINDOW END — a consumer of
@@ -1502,16 +1967,29 @@ object TxLog {
           val keys = c.dvs.map(d => spark.read.parquet(s"$root/${d.rel}")
             .select(col(d.keyCol).as(kc))).reduce(_.unionByName(_))
             .distinct()
-          Some(alignTo(snapshot(spark, root, Some(c.version - 1))
+          Some(alignTo(snapshotInner(spark, root, Some(c.version - 1))
               .join(keys, Seq(kc), "left_semi"), target)
             .withColumn("__version", lit(c.version))
             .withColumn("__change", lit("delete")))
         }
       ins.toSeq ++ del.toSeq ++ dvDel.toSeq
     }
-    require(parts.nonEmpty,
-      s"changes: only schema/metadata commits in ($fromV, $toV] at $root")
-    parts.reduce(_.unionByName(_))
+    if (parts.nonEmpty) parts.reduce(_.unionByName(_))
+    else {
+      // a METADATA-ONLY window (evolve/constrain/gc commits move no
+      // rows) streams as an EMPTY delta in the window-end schema —
+      // throwing here crashed every per-version CDC tail loop (the
+      // x163 replica, the StreamingSpec materialized view) the first
+      // time anyone ran evolveSchema on the source
+      import org.apache.spark.sql.types._
+      val base = target.map(StructType.fromDDL).getOrElse(
+        throw new IllegalStateException(
+          s"changes: only metadata commits in ($fromV, $toV] at $root " +
+            "and no schema pin to shape the empty delta (legacy log)"))
+      val schema = base.add("__version", LongType).add("__change", StringType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** The table's commit history as data (the DESCRIBE HISTORY
@@ -1543,10 +2021,29 @@ object TxLog {
     * Returns the deleted root-relative dirs. */
   def vacuum(spark: SparkSession, root: String, retainVersions: Int,
       graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    val doomed = vacuumCandidates(spark, root, retainVersions, graceMs)
+    val (horizon, doomed) = vacuumPlan(spark, root, retainVersions, graceMs)
     val fs = rawFs(spark, root)
     doomed.foreach(rel =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$rel"), true))
+    // record WHAT the table no longer retains as a metadata commit —
+    // the [[retentionGuard]] turns a travel read below the horizon
+    // into a named window error instead of a parquet FileNotFound
+    // mid-job. Only a deleting vacuum commits (a dry pass reclaims
+    // nothing, so every old version is still readable). Blind claim:
+    // gc moves no rows and conflicts with nothing.
+    if (doomed.nonEmpty) {
+      val bytes = renderManifest("gc", Seq.empty, Seq.empty, None,
+        gc = Some((horizon, retainVersions.toLong)))
+      var attempt = 0
+      var v = latestVersion(spark, root) + 1
+      while (!publishIfAbsent(spark, root, manifestName(v, "commit"),
+          bytes)) {
+        attempt += 1
+        if (attempt > MaxClaimRetries) throw new java.io.IOException(
+          s"vacuum: no gc-record claim after $MaxClaimRetries tries")
+        v = math.max(latestVersion(spark, root) + 1, v + 1)
+      }
+    }
     doomed
   }
 
@@ -1559,9 +2056,16 @@ object TxLog {
     * whole — bytes over bookkeeping). */
   def vacuumCandidates(spark: SparkSession, root: String,
       retainVersions: Int,
-      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] =
+    vacuumPlan(spark, root, retainVersions, graceMs)._2
+
+  /** The shared plan: (horizon, doomed dirs) — one head read, so the
+    * horizon [[vacuum]] records is exactly the one its candidate set
+    * was computed against. */
+  private def vacuumPlan(spark: SparkSession, root: String,
+      retainVersions: Int, graceMs: Long): (Long, Seq[String]) = {
     val head = latestVersion(spark, root)
-    if (head == 0) return Seq.empty
+    if (head == 0) return (0L, Seq.empty)
     val horizon = math.max(1L, head - retainVersions + 1)
     val reachable = scala.collection.mutable.Set.empty[String]
     val horizonSt = foldLog(spark, root, Some(horizon))
@@ -1579,17 +2083,17 @@ object TxLog {
     }
     val fs = rawFs(spark, root)
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
-    if (!fs.exists(dataDir)) return Seq.empty
+    if (!fs.exists(dataDir)) return (horizon, Seq.empty)
     val now = System.currentTimeMillis()
     // an optimizeRange commit references NESTED dirs (data/<uuid>/__b=k);
     // the listed top-level dir is alive when any reachable path equals
     // it or lives under it
     def alive(rel: String): Boolean =
       reachable.contains(rel) || reachable.exists(_.startsWith(rel + "/"))
-    fs.listStatus(dataDir).toSeq.collect {
+    (horizon, fs.listStatus(dataDir).toSeq.collect {
       case st if !alive(s"data/${st.getPath.getName}") &&
           now - st.getModificationTime >= graceMs =>
         s"data/${st.getPath.getName}"
-    }.sorted
+    }.sorted)
   }
 }

@@ -34,12 +34,23 @@ import graft.operators.Compaction
   *
   * Usage: runMain graft.pipeline.RunGc [rootDir]
   *          [--age-minutes N] [--max-files N] [--retain-versions N]
-  *          [--checkpoint-after N] [--apply]
+  *          [--checkpoint-after N] [--audit-stats]
+  *          [--stats-overlap-ppm N] [--apply]
   * Defaults: /tmp/graft_intake, age 60, max-files 8, retain 10,
   * dry-run. `--retain-versions` widens/narrows the tx-table vacuum
   * window (versions whose data time-travel/CDC readers can still
   * reach); the enforced window is recorded in every tx finding so an
-  * `--apply` run is auditable. */
+  * `--apply` run is auditable. `--audit-stats` adds the manifest-stats
+  * HEALTH pass over tx tables ([[graft.operators.TxLog.statsAudit]]):
+  * interleaved appends each spanning the key range degrade
+  * `overlap_ppm` to k×1e6 (every range read and every merge scans
+  * every dir — the skipping the table was clustered FOR is gone);
+  * past `--stats-overlap-ppm` (default 3,000,000 = the domain tiled
+  * 3× over) the finding recommends the matching maintenance rewrite
+  * (`optimizeRange`/`optimizeZOrder` for value-statted keys,
+  * `optimizeHash` for hash-statted string keys). Recommend-only, like
+  * compaction-candidate: an optimize is a table-sized rewrite that
+  * stays an explicit quiesced operation. */
 object RunGc {
 
   final case class Finding(path: String, kind: String, action: String)
@@ -49,6 +60,8 @@ object RunGc {
     var maxFiles = 8
     var retainVersions = 10
     var checkpointAfter = 32
+    var auditStats = false
+    var statsOverlapPpm = 3000000L
     var apply = false
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -66,6 +79,10 @@ object RunGc {
         case "--checkpoint-after" =>
           require(i + 1 < args.length, "--checkpoint-after needs a count")
           checkpointAfter = args(i + 1).toInt; i += 1
+        case "--audit-stats" => auditStats = true
+        case "--stats-overlap-ppm" =>
+          require(i + 1 < args.length, "--stats-overlap-ppm needs a ppm")
+          statsOverlapPpm = args(i + 1).toLong; i += 1
         case "--apply" => apply = true
         case other => positional += other
       }
@@ -78,7 +95,8 @@ object RunGc {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val findings = run(spark, root, ageMinutes, maxFiles, apply,
-      retainVersions = retainVersions, checkpointAfter = checkpointAfter)
+      retainVersions = retainVersions, checkpointAfter = checkpointAfter,
+      auditStats = auditStats, statsOverlapPpm = statsOverlapPpm)
     findings.foreach(f => println(s"[gc] ${f.kind} ${f.path} -> ${f.action}"))
     spark.stop()
   }
@@ -88,7 +106,8 @@ object RunGc {
   def run(spark: SparkSession, root: String, ageMinutes: Long = 60L,
       maxFiles: Int = 8, apply: Boolean = false,
       maxDepth: Int = 8, retainVersions: Int = 10,
-      checkpointAfter: Int = 32): Seq[Finding] = {
+      checkpointAfter: Int = 32, auditStats: Boolean = false,
+      statsOverlapPpm: Long = 3000000L): Seq[Finding] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -100,9 +119,9 @@ object RunGc {
       graft.operators.Lease.withLease(conf, root,
         graft.operators.Lease.defaultOwner())(_ => runInner(
           spark, root, ageMinutes, maxFiles, apply, maxDepth,
-          retainVersions, checkpointAfter, fs))
+          retainVersions, checkpointAfter, auditStats, statsOverlapPpm, fs))
     else runInner(spark, root, ageMinutes, maxFiles, apply, maxDepth,
-      retainVersions, checkpointAfter, fs)
+      retainVersions, checkpointAfter, auditStats, statsOverlapPpm, fs)
   }
 
   /** The nearest STRICT ancestor of `base` (below `root`) that looks
@@ -128,7 +147,8 @@ object RunGc {
 
   private def runInner(spark: SparkSession, root: String,
       ageMinutes: Long, maxFiles: Int, apply: Boolean, maxDepth: Int,
-      retainVersions: Int, checkpointAfter: Int,
+      retainVersions: Int, checkpointAfter: Int, auditStats: Boolean,
+      statsOverlapPpm: Long,
       fs: org.apache.hadoop.fs.FileSystem): Seq[Finding] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
@@ -284,10 +304,31 @@ object RunGc {
           graft.operators.TxLog.vacuum(spark, t,
             retainVersions = retainVersions, graceMs = graceMs).toSet
         else Set.empty[String]
+      // manifest-stats HEALTH (--audit-stats): overlap_ppm ≈ k×1e6
+      // after k fully-interleaved appends — merge/range reads prune
+      // nothing until the next optimize. Manifest arithmetic only
+      // (statsAudit folds the log; no data scan), one metadata-sized
+      // row collected per table. Recommend-only: the fix is a
+      // table-sized rewrite a human schedules quiesced.
+      val auditFinding =
+        if (!auditStats) Seq.empty
+        else graft.operators.TxLog.statsColumn(spark, t).toSeq.flatMap {
+          keyCol =>
+            val r = graft.operators.TxLog.statsAudit(spark, t, keyCol)
+              .collect().head
+            val (stat, ppm) = (r.getString(0), r.getLong(4))
+            if (ppm <= statsOverlapPpm) Seq.empty
+            else {
+              val fix = if (stat == keyCol) "optimizeRange-or-zorder"
+                        else "optimizeHash"
+              Seq(Finding(t, "tx-stats-degraded",
+                s"recommend-$fix-on-$keyCol-overlap-${ppm}ppm"))
+            }
+        }
       // the enforced window rides in the action so an --apply run
       // RECORDS what it deleted against (an under-retained vacuum is
       // only diagnosable from its report)
-      ckptFinding ++ plan.map(rel => Finding(s"$t/$rel",
+      ckptFinding ++ auditFinding ++ plan.map(rel => Finding(s"$t/$rel",
         "tx-unreachable-data",
         if (!apply) s"would-vacuum-retain-$retainVersions"
         else if (applied.contains(rel)) s"vacuumed-retain-$retainVersions"

@@ -607,4 +607,52 @@ class StreamingSpec extends SparkSpec {
     assert(b === a)
     assert(a.length === 43) // 45 even ids in [0,90) minus tombstoned 4, 8
   }
+
+  test("streaming CDC→MERGE replica is exactly-once under batch replay: " +
+      "a killed-and-replayed micro-batch merges at most once") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val rootA = java.nio.file.Files.createTempDirectory("graft_tx_eo_src")
+      .toString + "/t"
+    val rootB = java.nio.file.Files.createTempDirectory("graft_tx_eo_dst")
+      .toString + "/t"
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    TxLog.append(spark, rootA, docs(0, 40), Some("id"))
+    TxLog.rewrite(spark, rootA, Some("id"))(_.where(col("id") % 2 === 0))
+    TxLog.tombstone(spark, rootA, Seq(4L, 8L).toDF("id"), "id")
+    // the materialized-view loop, exactly-once form: each source
+    // version's reconciled delta lands via mergeIdempotent keyed by
+    // (replica-id, source-version) — foreachBatch may re-deliver after
+    // a crash, and tokens make the re-delivery a no-op instead of
+    // re-running a delete-then-reinsert window against newer state
+    def applyVersion(v: Long): (Long, Boolean) = {
+      val delta = TxLog.changes(spark, rootA, v - 1, v)
+      val b = delta.groupBy("id")
+        .agg(max(struct(col("__version"),
+          (col("__change") === "insert").cast("int").as("ins"),
+          col("text"))).as("m"))
+        .select(col("id"), col("m.text").as("text"),
+          (col("m.ins") === 0).as("del"))
+      TxLog.mergeIdempotent(spark, rootB, b, "id", "mv", v,
+        deleteCol = Some("del"), conflictRetries = 2)
+    }
+    val head = TxLog.latestVersion(spark, rootA)
+    (1L to head).foreach(v => assert(applyVersion(v)._2,
+      s"first delivery of v$v must commit"))
+    val replica0 = TxLog.snapshot(spark, rootB).orderBy("id").collect()
+    assert(replica0 === TxLog.snapshot(spark, rootA).orderBy("id").collect())
+    // CRASH REPLAY: the engine re-delivers every batch (the worst
+    // case — a checkpointless restart). The rewrite's delete-all +
+    // re-insert window and the tombstone's delete window are the
+    // dangerous ones; each replay returns its original version,
+    // commits nothing, and the replica is byte-stable
+    (1L to head).foreach { v =>
+      val (orig, committedNow) = applyVersion(v)
+      assert(!committedNow, s"replay of v$v must not commit")
+      assert(orig === v, "the token resolves to the original commit")
+    }
+    assert(TxLog.latestVersion(spark, rootB) === head)
+    assert(TxLog.snapshot(spark, rootB).orderBy("id").collect() === replica0)
+  }
 }

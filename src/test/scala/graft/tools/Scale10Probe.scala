@@ -61,7 +61,7 @@ object Scale10Probe {
     // media rows are custom thunks, not catalog queries — route their
     // labels past the catalog pick loop
     val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
-      "txlog_fold", "tx_merge", "tx_dv")
+      "txlog_fold", "tx_merge", "tx_merge_str", "tx_dv")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -185,6 +185,53 @@ object Scale10Probe {
       Console.err.println(
         f"[scale10] tx_merge_1Mv10M        $a%8.3f $b%8.3f ${b / a}%6.2f" +
           f"  (touched $ta%d vs $tb%d dirs of 64 — table size is not a term)")
+    }
+    // STRING-keyed MERGE cost vs table size (r14): the same fixed-
+    // narrow-batch claim as tx_merge, but on a key with NO value span
+    // (doc ids) — pruning rides the portable-hash stats instead. The
+    // honest 100 TB layout rule applies: dir size stays bounded, so
+    // bucket COUNT scales with the table (64 at 1M rows, 640 at 10M —
+    // ~15.6k rows/dir either way); a hash-key batch has no locality,
+    // so it stabs ~one bucket per distinct key, and the merge rewrites
+    // K fixed-size dirs NO MATTER the table size — flat.
+    if (runAll || args.contains("tx_merge_str")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+      def key(c: org.apache.spark.sql.Column) =
+        concat(lit("doc-"), lpad(c.cast("string"), 9, "0"))
+      def build(rows: Long): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_smerge$rows").toString + "/t"
+        val wide = spark.range(0, rows).select(key(col("id")).as("key"),
+          concat(lit("payload-"), col("id")).as("text"))
+        TxLog.append(spark, root, wide, Some("key"))
+        TxLog.optimizeHash(spark, root, "key",
+          buckets = (rows / 15625L).toInt)
+        root
+      }
+      def mergeFloor(root: String, rows: Long): (Double, Long) = {
+        val runs = (1 to reps).map { _ =>
+          val batch = spark.range(0, 10)
+            .select(key(col("id") * (rows / 10L) + 7L).as("key"),
+              concat(lit("upd-"), col("id")).as("text"))
+          val t0 = System.nanoTime()
+          val v = TxLog.merge(spark, root, batch, "key")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val touched = TxLog.history(spark, root)
+            .where(col("version") === v).head().getAs[Long]("n_removes")
+          (sec, touched)
+        }
+        // time = min over reps; touched = rep 1's structural count
+        // (later reps re-merge the same keys, which rep 1 co-located
+        // into ONE output dir — an honest but uninteresting 1)
+        (runs.map(_._1).min, runs.head._2)
+      }
+      val (a, ta) = mergeFloor(build(1000000L), 1000000L)
+      val (b, tb) = mergeFloor(build(10000000L), 10000000L)
+      Console.err.println(
+        f"[scale10] tx_merge_str_1Mv10M    $a%8.3f $b%8.3f ${b / a}%6.2f" +
+          f"  (touched $ta%d of 64 vs $tb%d of 640 hash buckets — " +
+          "table size is not a term)")
     }
     // Tombstone READ TAX vs table size: the mask is a broadcast
     // anti-join against a constant (takedown-sized) key set, so a
