@@ -523,14 +523,15 @@ object TxLog {
     * only grow), so the masking anti-join's build side never carries
     * dead weight. */
   private final case class LogState(version: Long, files: Seq[AddFile],
-      dvs: Seq[Tombstone], constraints: Seq[(String, String)])
+      dvs: Seq[Tombstone], constraints: Seq[(String, String)],
+      gcHorizon: Option[(Long, Long)])
 
   private def foldLog(spark: SparkSession, root: String,
       asOf: Option[Long]): LogState = {
     val entries = listLog(spark, root)
     val commitVs = entries.collect { case (v, "commit", _) => v }
     if (commitVs.isEmpty)
-      return LogState(0L, Seq.empty, Seq.empty, Seq.empty)
+      return LogState(0L, Seq.empty, Seq.empty, Seq.empty, None)
     val target = asOf.getOrElse(commitVs.max)
     require(commitVs.exists(_ <= target) || target == 0,
       s"no commit at or before version $target in $root")
@@ -540,11 +541,17 @@ object TxLog {
     var live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val dvs = Seq.newBuilder[Tombstone]
+    // the strictest vacuum horizon folds forward like the live set, so
+    // a head fold answers the retention question in O(since-checkpoint)
+    var gcH = Option.empty[(Long, Long)]
+    def foldGc(g: Option[(Long, Long)]): Unit =
+      g.foreach(n => if (gcH.forall(_._1 < n._1)) gcH = Some(n))
     ckpt.foreach { case (_, n) =>
       val c = readManifest(spark, root, n)
       c.adds.foreach(a => live.update(a.dir, a))
       dvs ++= c.dvs
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
+      foldGc(c.gc)
     }
     val from = ckpt.map(_._1).getOrElse(0L)
     entries.collect {
@@ -556,11 +563,13 @@ object TxLog {
       dvs ++= c.dvs
       c.dropConstraints.foreach(cons.remove)
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
+      foldGc(c.gc)
     }
     val files = live.values.toSeq
     val liveDvs = dvs.result()
       .filter(dv => files.exists(_.gen <= dv.version))
-    LogState(math.min(target, commitVs.max), files, liveDvs, cons.toSeq)
+    LogState(math.min(target, commitVs.max), files, liveDvs, cons.toSeq,
+      gcH)
   }
 
   /** Resolve the live file set at `asOf` (head when None). */
@@ -743,7 +752,9 @@ object TxLog {
     * assignment and every prune decision exactly). Keys hash by their
     * STRING form, so the hash survives lossless widenings (int 5 and
     * bigint 5 both render "5"). Value min/max stats only exist for
-    * long-castable columns; THIS stat exists for every key. */
+    * long-castable columns; THIS stat covers the keys that have no
+    * value span (recorded for non-numeric columns — [[wantsHashStat]];
+    * numeric keys prune by value and skip the per-row md5). */
   private[graft] def keyHash(c: Column): Column =
     conv(substring(md5(concat_ws(":", lit("txkey"), c.cast("string"))),
       1, 15), 16, 10).cast("long")
@@ -752,6 +763,35 @@ object TxLog {
     * manifest ('#' cannot collide with the '|'-guarded rendering, and
     * a real column would have to be deliberately named this way). */
   private[graft] def hashStatName(c: String): String = s"$c#h60"
+
+  /** Does a stats column of this type want the portable-hash span?
+    * Numeric/temporal keys prune by their VALUE span everywhere
+    * ([[hashAdmitted]] only ever runs for keys with no value span),
+    * so an md5 per row there would be pure write-path tax at corpus
+    * scale. String and other non-castable keys NEED the hash — it is
+    * their only stat. */
+  private def wantsHashStat(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => false
+    case org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.BooleanType => false
+    case _ => true
+  }
+
+  /** The standard per-column stat set: the value min/max (absent for
+    * non-long-castable values — string ids) plus, for non-numeric
+    * columns only, the portable-hash min/max — what every write path
+    * records, in ONE in-write metric set. */
+  private def statSpecs(df: DataFrame,
+      cols: Seq[String]): Seq[(String, Column)] =
+    cols.flatMap { c =>
+      val value = (c, col(c).cast("long"))
+      if (df.schema.fields.find(_.name == c)
+          .forall(f => wantsHashStat(f.dataType)))
+        Seq(value, (hashStatName(c), keyHash(col(c))))
+      else Seq(value)
+    }
 
   /** Write `df` as a fresh immutable data dir and return its AddFile.
     * Stats (min/max per named column, any number of columns — one
@@ -768,12 +808,10 @@ object TxLog {
       cs: Seq[(String, String)]): AddFile = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val obs = org.apache.spark.sql.Observation(s"txstats-$rel")
-    // each stats column records BOTH its value min/max (absent when
-    // not long-castable — string ids) and its portable-hash min/max
-    // (always present): value stats prune range reads, hash stats
-    // prune string-key merges — still ONE in-write metric set
-    val specs = statsCols.flatMap(c => Seq(
-      (c, col(c).cast("long")), (hashStatName(c), keyHash(col(c)))))
+    // value stats prune range reads; hash stats (non-numeric columns
+    // only — see wantsHashStat) prune string-key merges — still ONE
+    // in-write metric set
+    val specs = statSpecs(df, statsCols)
     val metrics = count(lit(1)).as("n") +:
       specs.zipWithIndex.flatMap { case ((_, e), i) => Seq(
         min(e).as(s"mn$i"), max(e).as(s"mx$i")) }
@@ -1516,7 +1554,7 @@ object TxLog {
         .write.mode(SaveMode.ErrorIfExists)
         .partitionBy("__b").parquet(s"$root/$rel")
     }
-    val stats = bucketStats(df, bucket, statSpecs(keyCol +: extraStats))
+    val stats = bucketStats(df, bucket, statSpecs(df, keyCol +: extraStats))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -1541,13 +1579,6 @@ object TxLog {
     }
     v
   }
-
-  /** The standard per-column stat set: the value min/max (absent for
-    * non-long-castable columns) plus the portable-hash min/max — what
-    * [[writeDataDir]] records, replicated per bucket here. */
-  private def statSpecs(cols: Seq[String]): Seq[(String, Column)] =
-    cols.flatMap(c => Seq(
-      (c, col(c).cast("long")), (hashStatName(c), keyHash(col(c)))))
 
   /** Per-bucket (count, per-stat min/max) in ONE grouped aggregate —
     * shared by [[appendPartitioned]]/[[optimizeRange]]/
@@ -1604,7 +1635,7 @@ object TxLog {
     // one AddFile per nonempty bucket — stats from ONE grouped
     // aggregate over the snapshot (identical rows to what each bucket
     // dir just received), not B per-dir re-scans
-    val stats = bucketStats(snap, bucket, statSpecs(keyCol +: extraStats))
+    val stats = bucketStats(snap, bucket, statSpecs(snap, keyCol +: extraStats))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -1654,7 +1685,7 @@ object TxLog {
       .sortWithinPartitions(col("__b"), zc)
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("__b").parquet(s"$root/$rel")
-    val stats = bucketStats(snap, bucket, statSpecs(Seq(xCol, yCol)))
+    val stats = bucketStats(snap, bucket, statSpecs(snap, Seq(xCol, yCol)))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -1700,7 +1731,13 @@ object TxLog {
       .sortWithinPartitions(col("__b"), keyHash(col(keyCol)))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("__b").parquet(s"$root/$rel")
-    val stats = bucketStats(snap, bucket, statSpecs(keyCol +: extraStats))
+    // the key's HASH span is this layout's whole point — force it even
+    // for a numeric key the type gate would otherwise skip
+    val specs0 = statSpecs(snap, keyCol +: extraStats)
+    val specs =
+      if (specs0.exists(_._1 == hashStatName(keyCol))) specs0
+      else (hashStatName(keyCol), keyHash(col(keyCol))) +: specs0
+    val stats = bucketStats(snap, bucket, specs)
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -1760,7 +1797,8 @@ object TxLog {
     // the live constraint set folds forward the same way
     publishIfAbsent(spark, root, manifestName(st.version, "checkpoint"),
       renderManifest("checkpoint", st.files, Seq.empty, None,
-        dvs = st.dvs, dvVersions = true, constraints = st.constraints))
+        dvs = st.dvs, dvVersions = true, constraints = st.constraints,
+        gc = st.gcHorizon))
     st.version
   }
 
@@ -1794,26 +1832,25 @@ object TxLog {
   }
 
   /** Fail a travel read below the strictest retention horizon any
-    * later [[vacuum]] recorded: the data dirs backing versions below
-    * the horizon may be physically reclaimed, and a parquet
-    * FileNotFound three stages into a job is the WRONG error — the
-    * window violation should be named at plan time. Reads the commit
-    * manifests after `v` (O(newer commits) tiny files — travel is the
-    * audit path; head reads never pay this). Versions AT or above the
-    * horizon are always readable. */
+    * [[vacuum]] recorded: the data dirs backing versions below the
+    * horizon may be physically reclaimed, and a parquet FileNotFound
+    * three stages into a job is the WRONG error — the window
+    * violation should be named at plan time. The horizon folds
+    * forward through checkpoints like the live set, so this is one
+    * O(since-checkpoint) head fold, not a walk of every newer commit
+    * (a gc commit at version g always records a horizon < g, so a
+    * horizon that could block version `v` necessarily lives in a
+    * commit above `v` — the head fold sees it). Versions AT or above
+    * the horizon are always readable; head reads never pay this. */
   private def retentionGuard(spark: SparkSession, root: String,
-      v: Long, what: String): Unit = {
-    val gcs = listLog(spark, root)
-      .collect { case (cv, "commit", n) if cv > v => n }
-      .iterator.map(readManifest(spark, root, _)).flatMap(_.gc).toSeq
-    if (gcs.isEmpty) return
-    val (h, retain) = gcs.maxBy(_._1)
-    if (v < h) throw new TxRetentionException(
-      s"$what: version $v of $root is beyond the retention window — a " +
-        s"vacuum (retainVersions=$retain) recorded horizon v$h, so data " +
-        s"dirs below it may be reclaimed. Read a version >= $h, or " +
-        "widen --retain-versions before vacuuming.")
-  }
+      v: Long, what: String): Unit =
+    foldLog(spark, root, None).gcHorizon.foreach { case (h, retain) =>
+      if (v < h) throw new TxRetentionException(
+        s"$what: version $v of $root is beyond the retention window — a " +
+          s"vacuum (retainVersions=$retain) recorded horizon v$h, so data " +
+          s"dirs below it may be reclaimed. Read a version >= $h, or " +
+          "widen --retain-versions before vacuuming.")
+    }
 
   /** Does a dir's recorded stat FOR `keyCol` admit `[lo, hi)`? A dir
     * with no stat on `keyCol` — stat-less, or stats recorded on OTHER
@@ -2028,10 +2065,20 @@ object TxLog {
     // record WHAT the table no longer retains as a metadata commit —
     // the [[retentionGuard]] turns a travel read below the horizon
     // into a named window error instead of a parquet FileNotFound
-    // mid-job. Only a deleting vacuum commits (a dry pass reclaims
-    // nothing, so every old version is still readable). Blind claim:
-    // gc moves no rows and conflicts with nothing.
-    if (doomed.nonEmpty) {
+    // mid-job. Only a vacuum that reclaimed a LOG-REFERENCED dir
+    // commits: a dry pass reclaims nothing, and deleting a crashed
+    // writer's orphan (a dir NO manifest ever named) invalidates no
+    // travel read — recording those would advance head and silently
+    // shrink the version-counted window for the data that matters.
+    // Blind claim: gc moves no rows and conflicts with nothing.
+    val referenced = listLog(spark, root).iterator
+      .map(e => readManifest(spark, root, e._3))
+      .flatMap(c => c.adds.map(_.dir) ++ c.dvs.map(_.rel))
+      .toSet
+    def wasReferenced(rel: String): Boolean =
+      referenced.contains(rel) ||
+        referenced.exists(_.startsWith(rel + "/"))
+    if (doomed.exists(wasReferenced)) {
       val bytes = renderManifest("gc", Seq.empty, Seq.empty, None,
         gc = Some((horizon, retainVersions.toLong)))
       var attempt = 0

@@ -284,8 +284,17 @@ class TxLakeSpec extends SparkSpec {
     assert(TxLog.vacuum(spark, root, retainVersions = 10,
       graceMs = 3600 * 1000).isEmpty)
     assert(TxLog.snapshot(spark, root, Some(2)).count() === 20)
-    // a deleting vacuum records horizon = head - retain + 1 = 4 as a
-    // gc commit (v5)
+    // crash-orphan debris (a dir NO manifest ever named): reclaimed,
+    // but NO horizon recorded — deleting it invalidates no travel
+    // read, and a gc commit would advance head and silently shrink
+    // the version-counted window
+    docs(900, 905).write.parquet(s"$root/data/orphan-crashed")
+    assert(TxLog.vacuum(spark, root, retainVersions = 10, graceMs = 0)
+      === Seq("data/orphan-crashed"))
+    assert(TxLog.latestVersion(spark, root) === 4, "no gc commit")
+    assert(TxLog.snapshot(spark, root, Some(2)).count() === 20)
+    // a vacuum reclaiming LOG-REFERENCED dirs records horizon =
+    // head - retain + 1 = 4 as a gc commit (v5)
     val gone = TxLog.vacuum(spark, root, retainVersions = 1, graceMs = 0)
     assert(gone.size === 2, gone.mkString(","))
     assert(TxLog.latestVersion(spark, root) === 5)

@@ -54,7 +54,22 @@ object ScaleProbe {
       "x160_tx_merge", "x161_tx_evolve", "x164_jpeg_dims",
       // domain reweighting: one corpus scan into a domains-sized
       // state; the rounds are driver arithmetic — expect the scan band
-      "x169_domain_reweight")
+      "x169_domain_reweight",
+      // r14 families: STRING-key merge (append + optimizeHash
+      // re-cluster + hash-pruned merge + snapshot — the hash-cluster
+      // rewrite is the data term; docs 500 → 2000 across this decade),
+      // its prune-decision audit (same build, manifest-sized output),
+      // and the stats-overlap audit (5 appends + optimize + driver
+      // arithmetic over manifests)
+      "x170_tx_merge_string", "x171_tx_merge_pruned",
+      "x172_tx_stats_overlap")
+    // bare args narrow the run to matching families (prefix match,
+    // the Scale10Probe convention) — the catalog-query loop only;
+    // audio_vad runs on a full pass
+    val onlyArgs = args.filterNot(_.startsWith("--")).toSeq
+    val picked =
+      if (onlyArgs.isEmpty) picks
+      else picks.filter(n => onlyArgs.exists(n.startsWith))
     def floor(name: String, d: String): Double = {
       val q = Catalog.entries.find(_.name == name).get
       (1 to reps).map { _ =>
@@ -66,7 +81,7 @@ object ScaleProbe {
     }
     spark.read.parquet("/root/testdata/sf0.01/region.parquet").count()
     Console.err.println(f"[scale] ${"query"}%-24s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"ratio"}%6s  (rows x10)")
-    picks.foreach { n =>
+    picked.foreach { n =>
       val a = floor(n, "/root/testdata/sf0.01")
       val b = floor(n, "/root/testdata/sf0.1")
       Console.err.println(f"[scale] $n%-24s $a%8.3f $b%8.3f ${b / a}%6.2f")
@@ -76,7 +91,7 @@ object ScaleProbe {
     // ratio a fixed-cost reading): synthesize-decode-window-segment
     // over every document id — the true data term of the map-heavy
     // decode path plus the one media_id shuffle
-    locally {
+    if (onlyArgs.isEmpty) locally {
       def one(d: String): Double = (1 to reps).map { _ =>
         val docs = spark.read.parquet(s"$d/documents.parquet")
           .select("doc_id")
