@@ -1383,6 +1383,40 @@ private[graft] object CatalogTx {
               UNION ALL SELECT 3, source, CAST(w AS BIGINT) FROM w3
               ORDER BY iter, domain""")),
 
+    QueryDef("x173_tx_point_read",
+      // KEYED POINT READ over a hash-clustered string table (r14):
+      // the read-side twin of the x170 write path — fetching K doc
+      // ids must read ~K bounded dirs, never scan the table (at
+      // 100 TB a point lookup that scans is an outage). The fetch
+      // list mixes present keys, one TOMBSTONED key (the mask must
+      // apply to point reads exactly as to snapshots), and one absent
+      // key; TxLakeSpec pins the <=K-dirs plan via input_file_name.
+      // The oracle replays the semi-join minus the tombstone
+      (s, d) => {
+        import s.implicits._
+        val root = freshTxRoot(s, "skeys", d)
+        val key = (id: Column) =>
+          concat(lit("doc-"), lpad(id.cast("string"), 6, "0"))
+        val doc = txDocs(s, d)
+          .select(key(col("doc_id")).as("doc_key"), col("text"))
+        TxLog.append(s, root, doc, Some("doc_key"))
+        TxLog.optimizeHash(s, root, "doc_key", buckets = 16)
+        TxLog.tombstone(s, root,
+          Seq("doc-000013").toDF("doc_key"), "doc_key")
+        val wanted = txDocs(s, d).where(col("doc_id") % 97 === 5)
+          .select(key(col("doc_id")).as("doc_key"))
+          .unionByName(Seq("doc-000013", "doc-888888").toDF("doc_key"))
+        TxLog.snapshotKeys(s, root, wanted, "doc_key")
+          .select(col("doc_key"), md5(col("text")).as("digest"))
+          .orderBy("doc_key")
+      },
+      Some("""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                  AS doc_key,
+                md5(text) AS digest
+              FROM documents
+              WHERE doc_id < 2000 AND doc_id % 97 = 5 AND doc_id <> 13
+              ORDER BY doc_key""")),
+
     QueryDef("x170_tx_merge_string",
       // STRING-KEYED MERGE with a hash-pruned write path (r14 — the
       // r13 verdict's one remaining tx scale-killer: a non-long key

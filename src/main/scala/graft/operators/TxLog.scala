@@ -1904,6 +1904,56 @@ object TxLog {
     } else readMasked(spark, root, kept, pin, dvs).where(filter)
   }
 
+  /** KEYED POINT READ — fetch the live rows whose `keyCol` is in
+    * `keys`, scanning only the dirs that can hold one: the read-side
+    * twin of [[merge]]'s write-path pruning. Long-castable key sets
+    * prune by the batch's value span; string keys (doc ids, URLs)
+    * prune by interval-stabbing the per-dir portable-hash stats
+    * ([[hashAdmitted]]), so on a hash-clustered table
+    * ([[optimizeHash]]) fetching K documents by id reads ~K bounded
+    * dirs NO MATTER the table size — at corpus scale, a point lookup
+    * must never be a table scan. Tombstone masks and mixed schema
+    * generations apply exactly as in [[snapshot]]; the semi-join
+    * filter applies in-plan, so results are exact regardless of
+    * stats. `keys` must be a small/driver-broadcastable key set (a
+    * takedown list, a fetch batch — the [[tombstone]] size class). */
+  def snapshotKeys(spark: SparkSession, root: String, keys: DataFrame,
+      keyCol: String, asOf: Option[Long] = None): DataFrame = {
+    asOf.foreach(v => retentionGuard(spark, root, v, "snapshotKeys"))
+    val st = foldLog(spark, root, asOf)
+    val (v, live, dvs) = (st.version, st.files, st.dvs)
+    require(live.nonEmpty, s"snapshotKeys: $root is empty at v$v")
+    val ks = keys.select(col(keyCol)).distinct()
+    val r = ks.agg(
+      min(col(keyCol).cast("long")).as("mn"),
+      max(col(keyCol).cast("long")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val noKeys = r.getLong(2) == 0
+    val stringKeyed = !noKeys && r.isNullAt(0)
+    val (lo, hiEx) =
+      if (stringKeyed) (Long.MinValue, Long.MaxValue)
+      else if (noKeys) (0L, 0L) // empty span admits nothing
+      else (r.getLong(0),
+        if (r.getLong(1) == Long.MaxValue) Long.MaxValue
+        else r.getLong(1) + 1)
+    val bySpan =
+      if (noKeys) Seq.empty
+      else live.filter(f => admits(f, keyCol, lo, hiEx))
+    val kept =
+      if (stringKeyed && bySpan.nonEmpty) hashAdmitted(spark, ks, keyCol,
+        bySpan)
+      else bySpan
+    val pin = pinnedSchemaAt(spark, root, v)
+    if (kept.isEmpty) {
+      val schema = pin
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(spark.read.parquet(s"$root/${live.head.dir}").schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readMasked(spark, root, kept, pin, dvs)
+      .join(broadcast(ks), Seq(keyCol), "left_semi")
+  }
+
   /** The skipping decision as DATA (the x122 shape): one row per live
     * dir at head with its stats FOR `keyCol` and whether a `[lo, hi)`
     * range read on that column scans it. Deterministic columns only

@@ -404,6 +404,43 @@ class TxLakeSpec extends SparkSpec {
     assert(snap.count() === 50)
   }
 
+  test("snapshotKeys: point reads scan only the dirs that can hold a key — " +
+      "hash-pruned for string keys, span-pruned for long keys, masks apply") {
+    val root = freshRoot("skeys")
+    TxLog.append(spark, root, sdocs(0, 2000), Some("key"))
+    TxLog.optimizeHash(spark, root, "key", buckets = 16)
+    val want = Seq("doc-000007", "doc-000042", "doc-001234", "doc-999999")
+      .toDF("key")
+    // pruned: the planned scan touches at most |keys| of the 16
+    // buckets (audited pre-tombstone — the mask join would make
+    // input_file_name ambiguous across its two parquet sources)
+    val dirs = TxLog.snapshotKeys(spark, root, want, "key")
+      .select(input_file_name()).distinct().as[String]
+      .collect().map(_.split('/').dropRight(1).last).distinct
+    assert(dirs.length <= 4, s"expected <=4 bucket dirs, got ${dirs.length}")
+    // exact, mask applied: present keys return, the tombstoned and
+    // the absent do not
+    TxLog.tombstone(spark, root, Seq("doc-000042").toDF("key"), "key")
+    val got = TxLog.snapshotKeys(spark, root, want, "key")
+    assert(got.select("key").as[String].collect().sorted ===
+      Array("doc-000007", "doc-001234"))
+    // long keys prune by value span: 5 range-clustered dirs, a 2-key
+    // fetch reads the 2 owning dirs
+    val root2 = freshRoot("skeysl")
+    (0 until 5).foreach(k =>
+      TxLog.append(spark, root2, docs(k * 100, k * 100 + 100), Some("id")))
+    val got2 = TxLog.snapshotKeys(spark, root2,
+      Seq(7L, 333L).toDF("id"), "id")
+    assert(got2.select("id").as[Long].collect().sorted === Array(7L, 333L))
+    val dirs2 = got2.select(input_file_name()).distinct().as[String]
+      .collect().map(_.split('/').dropRight(1).last).distinct
+    assert(dirs2.length === 2, s"expected 2 dirs, got ${dirs2.length}")
+    // an empty key set returns an empty frame in the table schema
+    val none = TxLog.snapshotKeys(spark, root2,
+      Seq.empty[Long].toDF("id"), "id")
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "text"))
+  }
+
   test("statsAudit + RunGc --audit-stats: interleaved appends read as " +
       "k-fold overlap, the finding recommends the matching optimize, and " +
       "the optimized table audits clean") {

@@ -62,7 +62,7 @@ object ScaleProbe {
       // and the stats-overlap audit (5 appends + optimize + driver
       // arithmetic over manifests)
       "x170_tx_merge_string", "x171_tx_merge_pruned",
-      "x172_tx_stats_overlap")
+      "x172_tx_stats_overlap", "x173_tx_point_read")
     // bare args narrow the run to matching families (prefix match,
     // the Scale10Probe convention) — the catalog-query loop only;
     // audio_vad runs on a full pass
