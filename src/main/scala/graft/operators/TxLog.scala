@@ -1520,15 +1520,20 @@ object TxLog {
     v
   }
 
-  /** APPEND with RANGE partitioning: the batch lands as one commit of
-    * `buckets` fixed-width key ranges, each its own AddFile with
-    * tight min/max — so range reads prune within this batch from the
-    * moment it lands, instead of waiting for the next
-    * [[optimizeRange]] (a plain append's single dir spans whatever
-    * keys the batch carried). Bucket widths derive from THIS batch's
-    * key span. Costs one extra pass over the BATCH for the per-bucket
-    * stats (plain [[append]] stays one-pass via in-write observation);
-    * same blind-add concurrency as [[append]]. */
+  /** APPEND with clustered partitioning: the batch lands as one
+    * commit of `buckets` dirs, each its own AddFile with tight stats —
+    * so reads and merges prune within this batch from the moment it
+    * lands, instead of waiting for the next [[optimizeRange]]/
+    * [[optimizeHash]] (a plain append's single dir spans whatever
+    * keys the batch carried). Long-castable keys bucket by fixed-width
+    * VALUE ranges derived from this batch's span (range reads prune);
+    * string keys bucket by fixed-width ranges of the portable key
+    * HASH — the [[optimizeHash]] layout per batch, so a string-keyed
+    * intake is [[merge]]-prunable from day one (a K-key merge stabs
+    * ≤K buckets per batch instead of rewriting every batch whole).
+    * Costs one extra pass over the BATCH for the per-bucket stats
+    * (plain [[append]] stays one-pass via in-write observation); same
+    * blind-add concurrency as [[append]]. */
   def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
       keyCol: String, buckets: Int,
       extraStats: Seq[String] = Seq.empty): Long = {
@@ -1539,13 +1544,20 @@ object TxLog {
       s"appendPartitioned: schema drift on $root — table pins [$p], " +
         s"batch is [$ddl]"))
     val r = df.agg(min(col(keyCol).cast("long")),
-      max(col(keyCol).cast("long"))).head()
-    require(!r.isNullAt(0),
-      s"appendPartitioned: $keyCol has no non-null values in the batch")
-    val (mn, mx) = (r.getLong(0), r.getLong(1))
-    val width = math.max(1L, (mx - mn + buckets) / buckets)
-    val bucket = coalesce(
-      ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
+      max(col(keyCol).cast("long")), count(lit(1))).head()
+    require(r.getLong(2) > 0, s"appendPartitioned: empty batch for $root")
+    val bucket =
+      if (r.isNullAt(0)) {
+        // no value span (string ids) — fixed-width hash ranges; null
+        // keys hash as the empty draw and cluster together
+        val width = math.max(1L, (HashSpace + buckets - 1) / buckets)
+        (keyHash(col(keyCol)) / width).cast("long")
+      } else {
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val width = math.max(1L, (mx - mn + buckets) / buckets)
+        coalesce(
+          ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
+      }
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val st0 = foldLog(spark, root, None)
     checkingConstraints {

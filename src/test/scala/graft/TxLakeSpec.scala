@@ -404,6 +404,33 @@ class TxLakeSpec extends SparkSpec {
     assert(snap.count() === 50)
   }
 
+  test("string-key appendPartitioned: each batch lands hash-bucketed, so " +
+      "a keyed merge stabs <=K buckets per batch — never a whole batch") {
+    val root = freshRoot("sapart")
+    TxLog.appendPartitioned(spark, root, sdocs(0, 400), "key", buckets = 8)
+    TxLog.appendPartitioned(spark, root, sdocs(400, 800), "key", buckets = 8)
+    val (_, live) = TxLog.liveFiles(spark, root)
+    assert(live.size === 16, "8 hash buckets per batch")
+    assert(live.forall(_.statFor("key#h60").isDefined),
+      "every bucket carries a tight hash span")
+    // a 1-key merge stabs at most one bucket per batch; pre-r14 a
+    // string-keyed batch landed ONE full-span dir, so every merge
+    // rewrote every batch whole
+    val v = TxLog.merge(spark, root,
+      Seq(("doc-000123", "upd")).toDF("key", "text"), "key")
+    val touched = TxLog.history(spark, root)
+      .where(col("version") === v).head().getAs[Long]("n_removes")
+    assert(touched >= 1 && touched <= 2,
+      s"1 key must stab <=1 bucket per batch, touched $touched")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 800)
+    assert(snap.where(col("text") === "upd").count() === 1)
+    // empty batches refuse loud
+    intercept[IllegalArgumentException] {
+      TxLog.appendPartitioned(spark, root, sdocs(0, 0), "key", 8)
+    }
+  }
+
   test("snapshotKeys: point reads scan only the dirs that can hold a key — " +
       "hash-pruned for string keys, span-pruned for long keys, masks apply") {
     val root = freshRoot("skeys")
