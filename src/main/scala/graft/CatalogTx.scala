@@ -1417,6 +1417,63 @@ private[graft] object CatalogTx {
               WHERE doc_id < 2000 AND doc_id % 97 = 5 AND doc_id <> 13
               ORDER BY doc_key""")),
 
+    QueryDef("x174_tx_intake_hash",
+      // STRING-KEY INTAKE (r14): appendPartitioned on a key with no
+      // value span lands each batch as fixed-width ranges of the
+      // portable key hash — the optimizeHash layout per batch — so a
+      // continuously-appended doc-id table is merge-prunable from its
+      // FIRST batch (pre-r14 every string batch was one full-span dir
+      // and every merge rewrote every batch whole). Two parity
+      // batches × 8 hash buckets, then a narrow merge; the commit
+      // footprints from history() ARE the prune decisions, and the
+      // oracle replays the md5-60 bucket assignment of each batch,
+      // every per-(batch,bucket) tight hash span, and the merge's
+      // stab test in external SQL
+      (s, d) => {
+        val root = freshTxRoot(s, "sapart", d)
+        val key = (id: Column) =>
+          concat(lit("doc-"), lpad(id.cast("string"), 6, "0"))
+        val doc = txDocs(s, d).select(col("doc_id"),
+          key(col("doc_id")).as("doc_key"), col("text"))
+        TxLog.appendPartitioned(s, root,
+          doc.where(col("doc_id") % 2 === 0).drop("doc_id"),
+          "doc_key", buckets = 8)
+        TxLog.appendPartitioned(s, root,
+          doc.where(col("doc_id") % 2 === 1).drop("doc_id"),
+          "doc_key", buckets = 8)
+        val batch = txDocs(s, d).where(col("doc_id") % 250 === 3)
+          .select(key(col("doc_id")).as("doc_key"),
+            upper(col("text")).as("text"))
+        TxLog.merge(s, root, batch, "doc_key")
+        TxLog.history(s, root)
+          .select(col("version"), col("action"), col("n_adds"),
+            col("n_removes"))
+          .orderBy("version")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                  'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k
+                FROM documents WHERE doc_id < 2000),
+              h AS (SELECT doc_id % 2 AS b, doc_id,
+                  CAST('0x' || substring(md5('txkey:' || k), 1, 15)
+                    AS BIGINT) AS hv
+                FROM d),
+              bk AS (SELECT b, hv // 144115188075855872 AS bu,
+                  min(hv) AS mn, max(hv) AS mx
+                FROM h GROUP BY 1, 2),
+              mk AS (SELECT hv FROM h WHERE doc_id % 250 = 3),
+              t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bk
+                    WHERE EXISTS (SELECT 1 FROM mk
+                      WHERE mk.hv >= bk.mn AND mk.hv <= bk.mx)),
+              a1 AS (SELECT CAST(count(*) AS BIGINT) AS n
+                     FROM bk WHERE b = 0),
+              a2 AS (SELECT CAST(count(*) AS BIGINT) AS n
+                     FROM bk WHERE b = 1)
+              SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+                a1.n AS n_adds, CAST(0 AS BIGINT) AS n_removes FROM a1
+              UNION ALL SELECT 2, 'append', a2.n, 0 FROM a2
+              UNION ALL SELECT 3, 'merge', 1, t.n FROM t
+              ORDER BY version""")),
+
     QueryDef("x170_tx_merge_string",
       // STRING-KEYED MERGE with a hash-pruned write path (r14 — the
       // r13 verdict's one remaining tx scale-killer: a non-long key

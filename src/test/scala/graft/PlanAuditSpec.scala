@@ -665,4 +665,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the data side must not shuffle for a takedown-sized mask:\n$plan")
   }
+
+  test("x173 snapshotKeys: the point read is a broadcast semi-join over " +
+      "the pruned dirs — the data side never shuffles for a fetch batch") {
+    import graft.operators.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_skeys")
+      .toString + "/t"
+    import spark.implicits._
+    val data = (0 until 2000)
+      .map(i => (f"doc-$i%06d", s"r-$i")).toDF("key", "text")
+    TxLog.append(spark, root, data, Some("key"))
+    TxLog.optimizeHash(spark, root, "key", buckets = 16)
+    val got = TxLog.snapshotKeys(spark, root,
+      Seq("doc-000003", "doc-001717").toDF("key"), "key")
+    val plan = finalPlan(got).toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"point read must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the data side must not shuffle for a fetch-batch semi-join:\n$plan")
+  }
 }
