@@ -1634,7 +1634,85 @@ private[graft] object CatalogTx {
               SELECT 'optimized', 'doc_id', bo.nst, bo.nst, bo.spans,
                 bo.spans * 1000000 // (go.gmx - go.gmn + 1)
               FROM bo, go
-              ORDER BY phase"""))
+              ORDER BY phase""")),
+
+    QueryDef("x175_tx_restore",
+      // RESTORE / rollback-as-a-commit (r14 — the published Delta
+      // `RESTORE TABLE ... VERSION AS OF` shape; the operational
+      // answer to the botched job): four appends + a takedown build
+      // the good state; then a bad uppercase MERGE, a junk append and
+      // a narrow post-target takedown land on top; one restore commit
+      // makes the head the good state again WITHOUT rewinding the log
+      // (the botch stays travel-readable) and moves data bytes ONLY
+      // for the dirs the post-target tombstone could mask (its keys
+      // all live under doc_id 500, so only the first span's dir
+      // materializes at sf0.1 — every other dir re-adds as pure
+      // metadata with its original stats and generation, the
+      // TxLakeSpec-pinned invariant). The snapshot is byte-accounted
+      // via md5 against the oracle's replay of the target state: a
+      // surviving uppercase row, a lingering junk row, a lost
+      // takedown resurrection, or a pre-target mask leaking back all
+      // diverge
+      (s, d) => {
+        val root = freshTxRoot(s, "restore", d)
+        val doc = txDocs(s, d)
+        (0 until 4).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 500 && col("doc_id") < (k + 1) * 500),
+          Some("doc_id")))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 13 === 5).select("doc_id"), "doc_id")
+        val target = TxLog.latestVersion(s, root)
+        TxLog.merge(s, root, doc.where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), upper(col("text")).as("text")), "doc_id")
+        TxLog.append(s, root, doc.where(col("doc_id") < 10)
+          .select((col("doc_id") + 90000L).as("doc_id"), col("text")),
+          Some("doc_id"))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 20 === 7 && col("doc_id") < 500)
+            .select("doc_id"), "doc_id")
+        TxLog.restore(s, root, target)
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS digest FROM documents
+              WHERE doc_id < 2000 AND doc_id % 13 <> 5
+              ORDER BY doc_id""")),
+
+    QueryDef("x176_tx_compact",
+      // SMALL-DIR COMPACTION (r14 — the published Delta OPTIMIZE
+      // bin-packing shape at dir granularity; what RunGc
+      // --compact-below applies): eight interleaved appends each
+      // spanning the whole key range leave a tail of small wide-span
+      // dirs, a takedown masks some of their rows, and one
+      // optimizeCompact — reading ONLY the tail, O(small) not
+      // O(table) — packs the surviving rows into fixed-width
+      // value-range buckets, baking the masks in (TxLakeSpec pins the
+      // untouched-big-dir and tiling-span invariants). The snapshot
+      // is byte-accounted via md5 and then range-read under the fresh
+      // stats: a masked row leaking into the packed layout, a lost
+      // row, or a mis-bucketed span diverges one of the two reads
+      (s, d) => {
+        val root = freshTxRoot(s, "compact", d)
+        val doc = txDocs(s, d)
+        (0 until 8).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") % 8 === k), Some("doc_id")))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 9 === 4).select("doc_id"), "doc_id")
+        TxLog.optimizeCompact(s, root, targetRows = 300)
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .unionByName(
+            TxLog.snapshotRange(s, root, "doc_id", 0L, 250L)
+              .select(col("doc_id"), lit("range").as("digest")))
+          .orderBy("doc_id", "digest")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000 AND doc_id % 9 <> 4)
+              SELECT doc_id, md5(text) AS digest FROM d
+              UNION ALL
+              SELECT doc_id, 'range' FROM d WHERE doc_id < 250
+              ORDER BY doc_id, digest"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

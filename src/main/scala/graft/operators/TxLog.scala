@@ -1763,6 +1763,89 @@ object TxLog {
     claimRewrite(spark, root, "optimizeHash", v0, removes.toSet, bytes)
   }
 
+  /** COMPACT the small-dir tail (the published Delta OPTIMIZE
+    * bin-packing shape at this log's dir granularity): streaming
+    * intakes, per-key merges and CDC replicas leave a long tail of
+    * tiny dirs — per-dir manifest and task overhead grows with the
+    * COUNT, not the bytes — and at 100 TB the fix must cost O(small
+    * tail), never O(table): [[optimizeRange]]/[[optimizeHash]] read
+    * the whole snapshot, this reads ONLY the live dirs under
+    * `targetRows`. Those rows re-cluster into ceil(rows/targetRows)
+    * fixed-width buckets of the table's stats column — value ranges
+    * when the key has a value span, portable-hash ranges otherwise
+    * ([[keyHash]], the string-key layout) — so compaction TIGHTENS
+    * spans instead of smearing them: the output prunes at least as
+    * well as [[optimizeRange]]/[[optimizeHash]] output at the same
+    * width, and dirs at or above target keep their existing (often
+    * optimize-tight) stats untouched. Masked rows materialize for the
+    * compacted dirs exactly like any rewrite (their tombstone state
+    * bakes in; the mask stays live for untouched dirs). Fewer than 2
+    * qualifying dirs is a NO-OP returning the current version — a
+    * maintenance daemon can call this idly. Same optimistic
+    * validation as [[rewrite]] ([[claimRewrite]] over just the
+    * compacted inputs: appends and disjoint rewrites survive, input
+    * theft or an intervening tombstone aborts), with Delta's bounded
+    * auto-retry via `conflictRetries`. */
+  def optimizeCompact(spark: SparkSession, root: String,
+      targetRows: Long, extraStats: Seq[String] = Seq.empty,
+      conflictRetries: Int = 0): Long = {
+    require(targetRows >= 1,
+      s"optimizeCompact: targetRows must be >= 1, got $targetRows")
+    withConflictRetry(conflictRetries) {
+      val st0 = foldLog(spark, root, None)
+      val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
+      val small = live0.filter(_.rows < targetRows)
+      if (small.size < 2) v0 else {
+      val snap = readMasked(spark, root, small,
+        pinnedSchemaAt(spark, root, v0), dvs0)
+      val keyColOpt = statsColumn(spark, root)
+        .filter(snap.columns.contains)
+      // bucket count from the PRE-mask row sum (masked rows only
+      // shrink bins); bucket expression from the key's value span,
+      // falling back to its hash span (string keys) — the same stat
+      // the table's reads prune on
+      val nOut = math.max(1L,
+        (small.map(_.rows).sum + targetRows - 1) / targetRows)
+      val bucket = keyColOpt match {
+        case Some(kc) =>
+          val r = snap.agg(min(col(kc).cast("long")),
+            max(col(kc).cast("long"))).head()
+          if (r.isNullAt(0)) {
+            val width = math.max(1L, (HashSpace + nOut - 1) / nOut)
+            (keyHash(col(kc)) / width).cast("long")
+          } else {
+            val (mn, mx) = (r.getLong(0), r.getLong(1))
+            val width = math.max(1L, (mx - mn + nOut) / nOut)
+            coalesce(((col(kc).cast("long") - mn) / width).cast("long"),
+              lit(0L))
+          }
+        case None => lit(0L) // stat-less table: one packed dir
+      }
+      val rel = s"data/${java.util.UUID.randomUUID()}"
+      snap.withColumn("__b", bucket)
+        .repartition(col("__b"))
+        .write.mode(SaveMode.ErrorIfExists)
+        .partitionBy("__b").parquet(s"$root/$rel")
+      val stats = keyColOpt match {
+        case Some(kc) => bucketStats(snap, bucket,
+          statSpecs(snap, kc +: extraStats))
+        case None => bucketStats(snap, bucket, Seq.empty)
+      }
+      val fs = rawFs(spark, root)
+      val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
+          val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
+          AddFile(s"$rel/$sub", n, cs)
+        }
+      val removes = small.map(_.dir)
+      val bytes = renderManifest("compact", adds, removes, keyColOpt,
+        Some(ddlOf(snap)))
+      claimRewrite(spark, root, "optimizeCompact", v0, removes.toSet, bytes)
+      }
+    }
+  }
+
   /** The rewrite-family claim loop: claim the next version, and on
     * collision abort iff an intervening commit removed one of this
     * rewrite's inputs (appends and disjoint rewrites survive). */
@@ -1812,6 +1895,126 @@ object TxLog {
         dvs = st.dvs, dvVersions = true, constraints = st.constraints,
         gc = st.gcHorizon))
     st.version
+  }
+
+  /** RESTORE the table to its state at `toVersion` — rollback as a
+    * NEW commit (the published Delta `RESTORE TABLE ... VERSION AS OF`
+    * shape): the log keeps its full history, nothing is rewound or
+    * deleted, the head simply becomes the target state again (and the
+    * mis-step stays auditable — [[history]] shows the bad commits AND
+    * the restore). METADATA-ONLY in the common case: data dirs are
+    * immutable and still on disk inside the retention window (the
+    * [[retentionGuard]] refuses a restore past a vacuum horizon), so
+    * the commit just re-adds the target's dirs — original stats and
+    * schema generations preserved, so pruning and mixed-generation
+    * reads keep working — and removes the current extras. Restoring a
+    * 100 TB table after a botched job moves ZERO data bytes. Schema
+    * and CHECK constraints restore with the data: the commit re-pins
+    * the target DDL and re-asserts/drops constraints so the head
+    * contract equals toVersion's exactly.
+    *
+    * Tombstones are the one place a restore may touch data: a
+    * tombstone published AFTER the target would still mask restored
+    * rows (its version postdates their dirs' add versions — the mask
+    * rule), silently re-deleting rows that were visible at toVersion.
+    * Restore therefore MATERIALIZES exactly the target dirs whose
+    * recorded stats admit a post-target tombstone key (value span;
+    * hash span for string keys; stat-less dirs conservatively count)
+    * — read at the target state with the target's own masks applied,
+    * rewritten fresh so their new generation postdates every
+    * tombstone — and re-adds the provably untouched rest as metadata.
+    * No post-target tombstones → no data movement at all; a narrow
+    * takedown since the target → a narrow rewrite, never the table.
+    *
+    * Concurrency: the diff is exact against the head it resolved, so
+    * ANY intervening commit invalidates it — a claim collision aborts
+    * with [[TxConflictException]] (`conflictRetries` re-runs the
+    * whole restore, Delta's bounded loop). Returns the committed
+    * version. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+      conflictRetries: Int = 0): Long =
+    restoreWithHook(spark, root, toVersion, conflictRetries)(() => ())
+
+  /** [[restore]] with the deterministic interleaving seam the race
+    * specs drive (the mergeWithHook pattern): `beforeClaim` runs
+    * between diff resolution (and any materialization write) and the
+    * first claim attempt. */
+  private[graft] def restoreWithHook(spark: SparkSession, root: String,
+      toVersion: Long, conflictRetries: Int = 0)
+      (beforeClaim: () => Unit): Long = withConflictRetry(conflictRetries) {
+    require(toVersion >= 1,
+      s"restore: target version must be >= 1, got $toVersion")
+    retentionGuard(spark, root, toVersion, "restore")
+    val st0 = foldLog(spark, root, None)
+    require(toVersion <= st0.version,
+      s"restore: $root is at v${st0.version} — cannot restore forward " +
+        s"to v$toVersion")
+    val stT = foldLog(spark, root, Some(toVersion))
+    val pinT = pinnedSchemaAt(spark, root, toVersion)
+    // post-target tombstones: left alone they would mask restored rows
+    // (every target dir's generation predates them) — find the target
+    // dirs whose stats admit one of their keys, exactly the merge
+    // write path's span-then-hash pruning
+    val dvsPost = commitsInRange(spark, root, toVersion, st0.version)
+      .flatMap(_.dvs)
+    val affected: Set[String] =
+      dvsPost.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
+        case (kc, ds) =>
+          val keys = ds.map(d => spark.read.parquet(s"$root/${d.rel}")
+              .select(col(d.keyCol).as(kc)))
+            .reduce(_.unionByName(_)).distinct()
+          val r = keys.agg(min(col(kc).cast("long")).as("mn"),
+            max(col(kc).cast("long")).as("mx")).head()
+          val stringKeyed = r.isNullAt(0)
+          val (lo, hi) =
+            if (stringKeyed) (Long.MinValue, Long.MaxValue)
+            else (r.getLong(0),
+              if (r.getLong(1) == Long.MaxValue) Long.MaxValue
+              else r.getLong(1) + 1)
+          val bySpan = stT.files.filter(f => admits(f, kc, lo, hi))
+          val hit =
+            if (stringKeyed && bySpan.nonEmpty)
+              hashAdmitted(spark, keys, kc, bySpan)
+            else bySpan
+          hit.map(_.dir)
+      }.toSet
+    val keepT = stT.files.filterNot(f => affected(f.dir))
+    val liveNow = st0.files.map(_.dir).toSet
+    val statsCol = statsColumn(spark, root)
+    val matAdd: Option[AddFile] =
+      if (affected.isEmpty) None
+      else {
+        val matFiles = stT.files.filter(f => affected(f.dir))
+        val df = readMasked(spark, root, matFiles, pinT, stT.dvs)
+        Some(writeDataDir(spark, root, df, statsCol.toSeq,
+          stT.constraints))
+      }
+    val adds = keepT.filterNot(f => liveNow(f.dir)) ++ matAdd.toSeq
+    val keepDirs = keepT.map(_.dir).toSet
+    val removes = st0.files.map(_.dir).filterNot(keepDirs)
+    val dropCons = {
+      val tNames = stT.constraints.map(_._1).toSet
+      st0.constraints.map(_._1).filterNot(tNames)
+    }
+    val bytes = renderManifest("restore", adds, removes, statsCol,
+      pinT, constraints = stT.constraints, dropConstraints = dropCons)
+    beforeClaim()
+    var attempt = 0
+    var v = st0.version + 1
+    while (!publishIfAbsent(spark, root, manifestName(v, "commit"),
+        bytes)) {
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"restore: could not claim a version after $MaxClaimRetries tries")
+      if (latestVersion(spark, root) > st0.version)
+        throw new TxConflictException(
+          s"restore of $root to v$toVersion lost: the diff was exact " +
+            s"against head v${st0.version} and an intervening commit " +
+            "landed — retry on a fresh snapshot (orphan dir reclaimed " +
+            "by vacuum)")
+      v += 1
+    }
+    v
   }
 
   // ------------------------------------------------------------------

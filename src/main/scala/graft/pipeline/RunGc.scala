@@ -35,7 +35,7 @@ import graft.operators.Compaction
   * Usage: runMain graft.pipeline.RunGc [rootDir]
   *          [--age-minutes N] [--max-files N] [--retain-versions N]
   *          [--checkpoint-after N] [--audit-stats]
-  *          [--stats-overlap-ppm N] [--apply]
+  *          [--stats-overlap-ppm N] [--compact-below N] [--apply]
   * Defaults: /tmp/graft_intake, age 60, max-files 8, retain 10,
   * dry-run. `--retain-versions` widens/narrows the tx-table vacuum
   * window (versions whose data time-travel/CDC readers can still
@@ -50,7 +50,12 @@ import graft.operators.Compaction
   * (`optimizeRange`/`optimizeZOrder` for value-statted keys,
   * `optimizeHash` for hash-statted string keys). Recommend-only, like
   * compaction-candidate: an optimize is a table-sized rewrite that
-  * stays an explicit quiesced operation. */
+  * stays an explicit quiesced operation. `--compact-below N` watches
+  * the tx small-dir TAIL instead (≥2 live dirs under N rows — the
+  * debris streaming intakes and per-key merges accrete); because
+  * [[graft.operators.TxLog.optimizeCompact]] is O(tail) rather than
+  * O(table), `--apply` runs it in place under TxLog's own optimistic
+  * claim. */
 object RunGc {
 
   final case class Finding(path: String, kind: String, action: String)
@@ -62,6 +67,7 @@ object RunGc {
     var checkpointAfter = 32
     var auditStats = false
     var statsOverlapPpm = 3000000L
+    var compactBelow = 0L
     var apply = false
     val positional = scala.collection.mutable.Buffer[String]()
     var i = 0
@@ -80,6 +86,9 @@ object RunGc {
           require(i + 1 < args.length, "--checkpoint-after needs a count")
           checkpointAfter = args(i + 1).toInt; i += 1
         case "--audit-stats" => auditStats = true
+        case "--compact-below" =>
+          require(i + 1 < args.length, "--compact-below needs a row count")
+          compactBelow = args(i + 1).toLong; i += 1
         case "--stats-overlap-ppm" =>
           require(i + 1 < args.length, "--stats-overlap-ppm needs a ppm")
           statsOverlapPpm = args(i + 1).toLong; i += 1
@@ -96,7 +105,8 @@ object RunGc {
     spark.sparkContext.setLogLevel("WARN")
     val findings = run(spark, root, ageMinutes, maxFiles, apply,
       retainVersions = retainVersions, checkpointAfter = checkpointAfter,
-      auditStats = auditStats, statsOverlapPpm = statsOverlapPpm)
+      auditStats = auditStats, statsOverlapPpm = statsOverlapPpm,
+      compactBelow = compactBelow)
     findings.foreach(f => println(s"[gc] ${f.kind} ${f.path} -> ${f.action}"))
     spark.stop()
   }
@@ -107,7 +117,8 @@ object RunGc {
       maxFiles: Int = 8, apply: Boolean = false,
       maxDepth: Int = 8, retainVersions: Int = 10,
       checkpointAfter: Int = 32, auditStats: Boolean = false,
-      statsOverlapPpm: Long = 3000000L): Seq[Finding] = {
+      statsOverlapPpm: Long = 3000000L,
+      compactBelow: Long = 0L): Seq[Finding] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -119,9 +130,11 @@ object RunGc {
       graft.operators.Lease.withLease(conf, root,
         graft.operators.Lease.defaultOwner())(_ => runInner(
           spark, root, ageMinutes, maxFiles, apply, maxDepth,
-          retainVersions, checkpointAfter, auditStats, statsOverlapPpm, fs))
+          retainVersions, checkpointAfter, auditStats, statsOverlapPpm,
+          compactBelow, fs))
     else runInner(spark, root, ageMinutes, maxFiles, apply, maxDepth,
-      retainVersions, checkpointAfter, auditStats, statsOverlapPpm, fs)
+      retainVersions, checkpointAfter, auditStats, statsOverlapPpm,
+      compactBelow, fs)
   }
 
   /** The nearest STRICT ancestor of `base` (below `root`) that looks
@@ -148,7 +161,7 @@ object RunGc {
   private def runInner(spark: SparkSession, root: String,
       ageMinutes: Long, maxFiles: Int, apply: Boolean, maxDepth: Int,
       retainVersions: Int, checkpointAfter: Int, auditStats: Boolean,
-      statsOverlapPpm: Long,
+      statsOverlapPpm: Long, compactBelow: Long,
       fs: org.apache.hadoop.fs.FileSystem): Seq[Finding] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val cutoff = System.currentTimeMillis() - ageMinutes * 60000L
@@ -325,10 +338,33 @@ object RunGc {
                 s"recommend-$fix-on-$keyCol-overlap-${ppm}ppm"))
             }
         }
+      // small-dir TAIL (--compact-below N): streaming intakes and
+      // per-key merges accrete tiny dirs whose per-dir manifest and
+      // task overhead grows with COUNT, not bytes. Metadata-only scan
+      // (liveFiles reads manifests); unlike the optimize family this
+      // fix is O(tail), so --apply runs it here — TxLog's optimistic
+      // claim handles racing writers, no lease needed
+      val compactFinding =
+        if (compactBelow <= 0L) Seq.empty
+        else {
+          val live = graft.operators.TxLog.liveFiles(spark, t)._2
+          val small = live.count(_.rows < compactBelow)
+          if (small < 2) Seq.empty
+          else Seq(Finding(t, "tx-small-dirs",
+            if (!apply)
+              s"would-compact-$small-of-${live.size}-dirs-below-" +
+                s"$compactBelow-rows"
+            else {
+              val v = graft.operators.TxLog.optimizeCompact(spark, t,
+                targetRows = compactBelow, conflictRetries = 2)
+              s"compacted-$small-dirs-at-v$v"
+            }))
+        }
       // the enforced window rides in the action so an --apply run
       // RECORDS what it deleted against (an under-retained vacuum is
       // only diagnosable from its report)
-      ckptFinding ++ auditFinding ++ plan.map(rel => Finding(s"$t/$rel",
+      ckptFinding ++ auditFinding ++ compactFinding ++
+        plan.map(rel => Finding(s"$t/$rel",
         "tx-unreachable-data",
         if (!apply) s"would-vacuum-retain-$retainVersions"
         else if (applied.contains(rel)) s"vacuumed-retain-$retainVersions"

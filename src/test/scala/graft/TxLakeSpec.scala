@@ -521,4 +521,232 @@ class TxLakeSpec extends SparkSpec {
     assert(graft.pipeline.RunGc.run(spark, lake2, ageMinutes = 60,
       auditStats = true).filter(_.kind == "tx-stats-degraded").isEmpty)
   }
+
+  test("RunGc --compact-below: reports the tx small-dir tail; --apply " +
+      "packs it in place and a re-run converges to no findings") {
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_txl_gcc").toString
+    val root = s"$lake/t"
+    TxLog.append(spark, root, docs(0, 1000), Some("id"))
+    (0 until 6).foreach(k => TxLog.append(spark, root,
+      docs(1000 + k * 10, 1000 + k * 10 + 10), Some("id")))
+    val dry = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60,
+      compactBelow = 60L).filter(_.kind == "tx-small-dirs")
+    assert(dry.map(_.action) ===
+      Seq("would-compact-6-of-7-dirs-below-60-rows"))
+    val applied = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60,
+      apply = true, compactBelow = 60L).filter(_.kind == "tx-small-dirs")
+    assert(applied.size === 1 &&
+      applied.head.action.startsWith("compacted-6-dirs-at-v"))
+    assert(TxLog.liveFiles(spark, root)._2.size === 2)
+    assert(TxLog.snapshot(spark, root).count() === 1060)
+    assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60,
+      compactBelow = 60L).filter(_.kind == "tx-small-dirs").isEmpty,
+      "the applied compaction must converge")
+  }
+
+  test("restore: rollback is a NEW metadata-only commit — no data bytes " +
+      "move, history keeps the botched commits, travel still reads them") {
+    val root = freshRoot("restore")
+    TxLog.append(spark, root, docs(0, 100), Some("id"))
+    TxLog.append(spark, root, docs(100, 200), Some("id"))   // target: v2
+    // the botch: a full uppercase rewrite, then a junk append
+    TxLog.rewrite(spark, root, Some("id"))(s =>
+      s.withColumn("text", upper(col("text"))))
+    TxLog.append(spark, root, docs(9000, 9010), Some("id"))
+    val dataDirsBefore = TxLog.liveFiles(spark, root)._2.map(_.dir).toSet
+    val targetDirs = TxLog.liveFiles(spark, root, Some(2L))._2
+    val v = TxLog.restore(spark, root, 2L)
+    assert(v === 5L)
+    // the head state IS v2's again, byte for byte
+    val snap = TxLog.snapshot(spark, root).orderBy("id")
+    assert(snap.count() === 200)
+    assert(snap.select("text").as[String].head() === "doc-0",
+      "the uppercase rewrite must be rolled back")
+    // METADATA-ONLY: the restored live set is exactly the target's
+    // original dirs — no dir was rewritten (stats and gens preserved)
+    val liveAfter = TxLog.liveFiles(spark, root)._2
+    assert(liveAfter.map(_.dir).toSet === targetDirs.map(_.dir).toSet)
+    assert(liveAfter.map(f => f.dir -> f.gen).toMap ===
+      targetDirs.map(f => f.dir -> f.gen).toMap,
+      "re-added dirs keep their original generations")
+    // the botched commits' dirs (rewrite output + junk append) are out
+    assert(liveAfter.map(_.dir).toSet.intersect(dataDirsBefore).isEmpty)
+    assert(TxLog.snapshot(spark, root).where(col("id") >= 9000L)
+      .count() === 0)
+    // nothing rewound: the mis-step is still auditable and readable
+    val hist = TxLog.history(spark, root).orderBy(col("version").desc)
+    assert(hist.select("action").as[String].head() === "restore")
+    assert(TxLog.snapshot(spark, root, Some(4L)).count() === 210)
+    assert(TxLog.snapshot(spark, root, Some(3L)).select("text")
+      .as[String].head().startsWith("DOC-"))
+    // range pruning still works off the preserved stats
+    assert(TxLog.snapshotRange(spark, root, "id", 0L, 50L).count() === 50)
+  }
+
+  test("restore materializes EXACTLY the target dirs a post-target " +
+      "tombstone could mask; pre-target masks still hold on re-added dirs") {
+    val root = freshRoot("restmat")
+    (0 until 4).foreach(k =>
+      TxLog.append(spark, root, docs(k * 100, k * 100 + 100), Some("id")))
+    // pre-target tombstone (part of the state being restored): one key
+    // in the 0..99 dir (re-added as metadata — the gen rule must keep
+    // masking it) and two in the 200..299 dir (materialized — the
+    // rewrite must bake the mask in)
+    TxLog.tombstone(spark, root, Seq(13L, 213L, 217L).toDF("id"), "id") // v5
+    val target = TxLog.latestVersion(spark, root)
+    val targetDirs = TxLog.liveFiles(spark, root, Some(target))._2
+      .map(_.dir).toSet
+    // the botch: junk append, then a NARROW takedown hitting only the
+    // 200..299 dir — restore must resurrect those rows, which takes a
+    // rewrite of that ONE dir (its stats admit the post-target keys)
+    TxLog.append(spark, root, docs(9000, 9010), Some("id"))
+    TxLog.tombstone(spark, root, Seq(250L, 255L).toDF("id"), "id")
+    TxLog.restore(spark, root, target)
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 397, "400 minus the three PRE-target masks")
+    assert(snap.where(col("id").isin(13L, 213L, 217L)).count() === 0,
+      "pre-target tombstone still masks re-added AND materialized dirs")
+    assert(snap.where(col("id").isin(250L, 255L)).count() === 2,
+      "rows taken down AFTER the target are restored")
+    // exactly one dir was materialized: the 200..299 one; the other
+    // three re-added untouched with their original generations
+    val live = TxLog.liveFiles(spark, root)._2
+    val (kept, fresh) = live.partition(f => targetDirs(f.dir))
+    assert(kept.size === 3 && fresh.size === 1,
+      s"3 metadata re-adds + 1 materialization, got $live")
+    assert(fresh.head.rows === 100L - 2L,
+      "the materialized dir applied the target's own mask")
+    assert(kept.forall(_.gen <= target))
+  }
+
+  test("restore re-pins the target's schema and constraints: the head " +
+      "contract equals toVersion's exactly") {
+    val root = freshRoot("restpin")
+    TxLog.append(spark, root, docs(0, 50), Some("id"))      // target: v1
+    TxLog.evolveSchema(spark, root, "id BIGINT, text STRING, lang STRING")
+    TxLog.append(spark, root, docs(50, 60)
+      .withColumn("lang", lit("en")), Some("id"))
+    TxLog.addConstraint(spark, root, "pos_id", "id >= 0")
+    TxLog.restore(spark, root, 1L)
+    assert(TxLog.pinnedSchema(spark, root).get
+      === TxLog.pinnedSchemaAt(spark, root, 1L).get)
+    assert(TxLog.constraints(spark, root).isEmpty,
+      "the post-target constraint must be dropped with the restore")
+    // v1-shape appends flow again; the evolved shape is a loud drift
+    TxLog.append(spark, root, docs(60, 70), Some("id"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, root, docs(70, 80)
+        .withColumn("lang", lit("en")), Some("id"))
+    }
+    assert(TxLog.snapshot(spark, root).count() === 60)
+  }
+
+  test("restore concurrency: an intervening commit aborts the exact diff; " +
+      "conflictRetries re-resolves and the late commit rolls back too") {
+    val root = freshRoot("restrace")
+    TxLog.append(spark, root, docs(0, 100), Some("id"))     // target: v1
+    TxLog.append(spark, root, docs(100, 200), Some("id"))
+    // retries=0: the racing append invalidates the diff — abort
+    var fired = false
+    intercept[TxLog.TxConflictException] {
+      TxLog.restoreWithHook(spark, root, 1L)(() =>
+        if (!fired) { fired = true
+          TxLog.append(spark, root, docs(200, 210), Some("id")) })
+    }
+    // a fresh attempt resolves AGAINST the racer's head and restores
+    // past it — restore wins, the racer rolls back with the rest (it
+    // stays travel-readable, nothing is deleted)
+    val v = TxLog.restore(spark, root, 1L, conflictRetries = 1)
+    assert(v === 4L)
+    assert(TxLog.snapshot(spark, root).count() === 100)
+    assert(TxLog.snapshot(spark, root, Some(3L))
+      .where(col("id") >= 200L).count() === 10)
+    // guards: forward restore and v0 are loud errors
+    intercept[IllegalArgumentException] {
+      TxLog.restore(spark, root, 99L)
+    }
+    intercept[IllegalArgumentException] { TxLog.restore(spark, root, 0L) }
+  }
+
+  test("optimizeCompact: packs ONLY the small-dir tail — the big dir keeps " +
+      "its dir, gen and stats; masked rows bake in; output spans tile") {
+    val root = freshRoot("compact")
+    TxLog.append(spark, root, docs(0, 1000), Some("id"))
+    (0 until 10).foreach(k => TxLog.append(spark, root,
+      docs(1000 + k * 10, 1000 + k * 10 + 10), Some("id")))
+    // masks: two keys in the small tail (bake into the compact), one
+    // in the big dir (must stay masked by the still-live tombstone)
+    TxLog.tombstone(spark, root, Seq(1003L, 1057L, 42L).toDF("id"), "id")
+    val bigDir = TxLog.liveFiles(spark, root)._2.maxBy(_.rows)
+    val v = TxLog.optimizeCompact(spark, root, targetRows = 60)
+    assert(v === 13L)
+    // O(small tail): the 1000-row dir did not move
+    val live = TxLog.liveFiles(spark, root)._2
+    assert(live.exists(f => f.dir == bigDir.dir && f.gen == bigDir.gen))
+    // 98 surviving tail rows at target 60 -> 2 buckets (bucket count
+    // from the pre-mask sum 100), so 3 live dirs total
+    assert(live.size === 3, live.mkString("; "))
+    val packed = live.filterNot(_.dir == bigDir.dir)
+    assert(packed.forall(_.rows <= 60))
+    assert(packed.map(_.rows).sum === 98, "the two masked tail rows baked in")
+    // compaction TIGHTENS stats: the two output spans must not overlap
+    val spans = packed.flatMap(_.statFor("id")).map(s => (s.min, s.max))
+      .sortBy(_._1)
+    assert(spans.size === 2 && spans(0)._2 < spans(1)._1, spans.toString)
+    // snapshot exact: tail masks baked, big-dir mask still live
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 1097)
+    assert(snap.where(col("id").isin(42L, 1003L, 1057L)).count() === 0)
+    assert(TxLog.history(spark, root).where(col("action") === "compact")
+      .count() === 1)
+    // range reads keep pruning through the compacted layout
+    assert(TxLog.snapshotRange(spark, root, "id", 1000L, 1020L)
+      .count() === 19)
+    // <2 qualifying dirs: a no-op that commits NOTHING
+    assert(TxLog.optimizeCompact(spark, root, targetRows = 5) === 13L)
+    assert(TxLog.latestVersion(spark, root) === 13L)
+  }
+
+  test("optimizeCompact on a string-keyed table packs by portable-hash " +
+      "ranges: outputs carry the hash stat, so merges stay pruned") {
+    val root = freshRoot("compacth")
+    (0 until 8).foreach(k => TxLog.append(spark, root,
+      sdocs(k * 25, k * 25 + 25), Some("key")))
+    TxLog.optimizeCompact(spark, root, targetRows = 120)
+    val live = TxLog.liveFiles(spark, root)._2
+    assert(live.size === 2, live.mkString("; "))
+    assert(live.forall(_.statFor("key#h60").isDefined),
+      "hash-range packing must record the portable-hash span")
+    // the hash spans tile (no overlap) — interval-stabbing merges
+    // touch one output per key, same as optimizeHash layout
+    val spans = live.flatMap(_.statFor("key#h60")).map(s => (s.min, s.max))
+      .sortBy(_._1)
+    assert(spans(0)._2 < spans(1)._1, spans.toString)
+    assert(TxLog.snapshot(spark, root).count() === 200)
+    val batch = Seq(("doc-000007", "updated")).toDF("key", "text")
+    TxLog.merge(spark, root, batch, "key")
+    assert(TxLog.snapshot(spark, root)
+      .where(col("key") === "doc-000007")
+      .select("text").as[String].head() === "updated")
+  }
+
+  test("restore below a vacuum horizon fails with the retention window " +
+      "named — never a parquet FileNotFound") {
+    val root = freshRoot("restgc")
+    (0 until 6).foreach(k =>
+      TxLog.append(spark, root, docs(k * 10, k * 10 + 10), Some("id")))
+    TxLog.rewrite(spark, root, Some("id"))(_.where(col("id") < 30)) // v7
+    // push the rewrite's removes BELOW the retention window so the
+    // vacuum genuinely reclaims the pre-rewrite dirs and records gc
+    TxLog.append(spark, root, docs(100, 110), Some("id"))           // v8
+    TxLog.append(spark, root, docs(110, 120), Some("id"))           // v9
+    val gone = TxLog.vacuum(spark, root, retainVersions = 2, graceMs = 0L)
+    assert(gone.nonEmpty, "the pre-rewrite dirs must actually be reclaimed")
+    val ex = intercept[TxLog.TxRetentionException] {
+      TxLog.restore(spark, root, 2L)
+    }
+    assert(ex.getMessage.contains("retention window"))
+    assert(TxLog.snapshot(spark, root).count() === 50)
+  }
 }

@@ -61,7 +61,8 @@ object Scale10Probe {
     // media rows are custom thunks, not catalog queries — route their
     // labels past the catalog pick loop
     val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
-      "txlog_fold", "tx_merge", "tx_merge_str", "tx_dv")
+      "txlog_fold", "tx_merge", "tx_merge_str", "tx_dv", "tx_compact",
+      "tx_restore")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -265,6 +266,76 @@ object Scale10Probe {
       Console.err.println(
         f"[scale10] tx_dv_masked_1Mv10M    $m1%8.3f $m10%8.3f ${m10 / m1}%6.2f" +
           f"  (unmasked 10M $u10%7.3f — mask tax ${m10 / u10}%5.2fx)")
+    }
+    // COMPACTION cost vs table size (r14): optimizeCompact reads only
+    // the live dirs under targetRows, so packing a FIXED 20-dir small
+    // tail must cost the same whether it sits beside 1M or 10M base
+    // rows — O(tail), never O(table). The base stays range-clustered
+    // (64/640 buckets, ~15.6k rows/dir, all >= target) so none of it
+    // qualifies; each rep re-seeds a fresh tail on the same base.
+    if (runAll || args.contains("tx_compact")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      def build(rows: Long): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_compact$rows").toString + "/t"
+        val wide = spark.range(0, rows).select(col("id"),
+          concat(lit("payload-"), col("id")).as("text"))
+        TxLog.appendPartitioned(spark, root, wide, "id",
+          buckets = (rows / 15625L).toInt)
+        root
+      }
+      def compactFloor(root: String, rows: Long): (Double, Long) =
+        (1 to reps).map { _ =>
+          (0 until 20).foreach(k => TxLog.append(spark, root,
+            spark.range(rows + k * 1000L, rows + k * 1000L + 1000L)
+              .select(col("id"),
+                concat(lit("tail-"), col("id")).as("text")),
+            Some("id")))
+          val t0 = System.nanoTime()
+          val v = TxLog.optimizeCompact(spark, root, targetRows = 5000L)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val packed = TxLog.history(spark, root)
+            .where(col("version") === v).head().getAs[Long]("n_removes")
+          (sec, packed)
+        }.minBy(_._1)
+      val (a, pa) = compactFloor(build(1000000L), 1000000L)
+      val (b, pb) = compactFloor(build(10000000L), 10000000L)
+      Console.err.println(
+        f"[scale10] tx_compact_1Mv10M     $a%8.3f $b%8.3f ${b / a}%6.2f" +
+          f"  (packed $pa%d vs $pb%d tail dirs beside 64 vs 640 base " +
+          "buckets — table size is not a term)")
+    }
+    // RESTORE cost vs table size (r14): with no post-target tombstone
+    // the restore commit is pure manifest arithmetic — re-add the
+    // target dirs, remove the extras — so rolling back a botched
+    // append must cost the same at 1M and 10M base rows (zero data
+    // bytes move at either size).
+    if (runAll || args.contains("tx_restore")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      def restoreFloor(rows: Long): Double = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_restore$rows").toString + "/t"
+        val wide = spark.range(0, rows).select(col("id"),
+          concat(lit("payload-"), col("id")).as("text"))
+        TxLog.appendPartitioned(spark, root, wide, "id",
+          buckets = (rows / 15625L).toInt)
+        val target = TxLog.latestVersion(spark, root)
+        (1 to reps).map { _ =>
+          TxLog.append(spark, root, spark.range(0, 1000L)
+            .select((col("id") + 2L * rows).as("id"),
+              concat(lit("junk-"), col("id")).as("text")), Some("id"))
+          val t0 = System.nanoTime()
+          TxLog.restore(spark, root, target)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val a = restoreFloor(1000000L)
+      val b = restoreFloor(10000000L)
+      Console.err.println(
+        f"[scale10] tx_restore_1Mv10M     $a%8.3f $b%8.3f ${b / a}%6.2f" +
+          "  (metadata-only rollback — zero data bytes at either size)")
     }
     spark.stop()
   }
