@@ -1712,7 +1712,61 @@ private[graft] object CatalogTx {
               SELECT doc_id, md5(text) AS digest FROM d
               UNION ALL
               SELECT doc_id, 'range' FROM d WHERE doc_id < 250
-              ORDER BY doc_id, digest"""))
+              ORDER BY doc_id, digest""")),
+
+    QueryDef("x177_tx_clone",
+      // ZERO-COPY SHALLOW CLONE / fork (r14 — the published Delta
+      // SHALLOW CLONE shape strengthened to a full log fork, the
+      // dev/test-branch move that must not copy 100 TB): a masked
+      // source table forks; the CLONE then upserts (uppercase every
+      // %5==0 doc — note the %11==3 ∩ %5==0 keys the pre-fork
+      // takedown masked come back to life, the documented merge
+      // re-insert semantic) and appends fresh +20000 keys, while the
+      // SOURCE takes down %7==2 AFTER the fork. Reading BOTH tables
+      // side-tagged into one frame proves isolation in both
+      // directions through a single byte-accounting: a clone write
+      // leaking into the source, a source takedown leaking into the
+      // clone, or a mis-resolved pre-fork dir each diverge a side.
+      // TxCloneSpec pins the physical half (no local data at the cut,
+      // nested chains, vacuum locality)
+      (s, d) => {
+        val src = freshTxRoot(s, "clonesrc", d)
+        val dst = freshTxRoot(s, "clonedst", d)
+        val doc = txDocs(s, d)
+        (0 until 4).foreach(k => TxLog.append(s, src,
+          doc.where(col("doc_id") >= k * 500 && col("doc_id") < (k + 1) * 500),
+          Some("doc_id")))
+        TxLog.tombstone(s, src,
+          doc.where(col("doc_id") % 11 === 3).select("doc_id"), "doc_id")
+        TxLog.cloneTable(s, src, dst)
+        TxLog.merge(s, dst, doc.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), upper(col("text")).as("text")), "doc_id")
+        TxLog.append(s, dst, doc.where(col("doc_id") < 100)
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text")),
+          Some("doc_id"))
+        TxLog.tombstone(s, src,
+          doc.where(col("doc_id") % 7 === 2).select("doc_id"), "doc_id")
+        TxLog.snapshot(s, dst)
+          .select(lit("clone").as("side"), col("doc_id"),
+            md5(col("text")).as("digest"))
+          .unionByName(TxLog.snapshot(s, src)
+            .select(lit("src").as("side"), col("doc_id"),
+              md5(col("text")).as("digest")))
+          .orderBy("side", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT 'clone' AS side, doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                  ELSE text END) AS digest
+              FROM d WHERE doc_id % 11 <> 3 OR doc_id % 5 = 0
+              UNION ALL
+              SELECT 'clone', doc_id + 20000, md5(text)
+              FROM d WHERE doc_id < 100
+              UNION ALL
+              SELECT 'src', doc_id, md5(text) FROM d
+              WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+              ORDER BY side, doc_id"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

@@ -123,7 +123,8 @@ object TxLog {
       constraints: Seq[(String, String)] = Seq.empty,
       dropConstraints: Seq[String] = Seq.empty,
       ts: Option[Long] = None,
-      gc: Option[(Long, Long)] = None)
+      gc: Option[(Long, Long)] = None,
+      clones: Seq[(Long, String)] = Seq.empty)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -307,6 +308,7 @@ object TxLog {
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
     val dvs = Seq.newBuilder[Tombstone]
+    val clones = Seq.newBuilder[(Long, String)]
     val cons = Seq.newBuilder[(String, String)]
     val dropCons = Seq.newBuilder[String]
     text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
@@ -330,6 +332,10 @@ object TxLog {
         case "gc" => // `horizon|retainVersions` — the retention record
           val f = value.split('|')
           gc = Some((f(0).toLong, f(1).toLong))
+        case "clone" => // `cutVersion|basePath` — dirs with gen below
+          // the cut resolve under basePath (see [[cloneTable]])
+          val bar = value.indexOf('|')
+          clones += ((value.take(bar).toLong, value.drop(bar + 1)))
         case "add" =>
           // v1 layouts: legacy `dir|rows|mn|mx` (stats column implied
           // by the manifest-level statscol line, which renders BEFORE
@@ -371,7 +377,8 @@ object TxLog {
       }
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
-      schema, txn, dvs.result(), cons.result(), dropCons.result(), ts, gc)
+      schema, txn, dvs.result(), cons.result(), dropCons.result(), ts, gc,
+      clones.result())
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -389,7 +396,8 @@ object TxLog {
       dvVersions: Boolean = false,
       constraints: Seq[(String, String)] = Seq.empty,
       dropConstraints: Seq[String] = Seq.empty,
-      gc: Option[(Long, Long)] = None): Array[Byte] = {
+      gc: Option[(Long, Long)] = None,
+      clones: Seq[(Long, String)] = Seq.empty): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
@@ -401,6 +409,11 @@ object TxLog {
       sb.append("txn=").append(a).append('|').append(b).append('\n') }
     gc.foreach { case (h, r) =>
       sb.append("gc=").append(h).append('|').append(r).append('\n') }
+    clones.foreach { case (cut, base) =>
+      require(!base.contains('|') && !base.contains('\n'),
+        s"clone base path must not contain '|' or newlines: $base")
+      sb.append("clone=").append(cut).append('|').append(base).append('\n')
+    }
     dvs.foreach { d =>
       require(!d.keyCol.contains('|') && !d.keyCol.contains('\n'),
         s"tombstone key column must not contain '|' or newlines: ${d.keyCol}")
@@ -524,14 +537,15 @@ object TxLog {
     * dead weight. */
   private final case class LogState(version: Long, files: Seq[AddFile],
       dvs: Seq[Tombstone], constraints: Seq[(String, String)],
-      gcHorizon: Option[(Long, Long)])
+      gcHorizon: Option[(Long, Long)],
+      clones: Seq[(Long, String)] = Seq.empty)
 
   private def foldLog(spark: SparkSession, root: String,
       asOf: Option[Long]): LogState = {
     val entries = listLog(spark, root)
     val commitVs = entries.collect { case (v, "commit", _) => v }
     if (commitVs.isEmpty)
-      return LogState(0L, Seq.empty, Seq.empty, Seq.empty, None)
+      return LogState(0L, Seq.empty, Seq.empty, Seq.empty, None, Seq.empty)
     val target = asOf.getOrElse(commitVs.max)
     require(commitVs.exists(_ <= target) || target == 0,
       s"no commit at or before version $target in $root")
@@ -541,6 +555,7 @@ object TxLog {
     var live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val dvs = Seq.newBuilder[Tombstone]
+    val clones = Seq.newBuilder[(Long, String)]
     // the strictest vacuum horizon folds forward like the live set, so
     // a head fold answers the retention question in O(since-checkpoint)
     var gcH = Option.empty[(Long, Long)]
@@ -550,6 +565,7 @@ object TxLog {
       val c = readManifest(spark, root, n)
       c.adds.foreach(a => live.update(a.dir, a))
       dvs ++= c.dvs
+      clones ++= c.clones
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
       foldGc(c.gc)
     }
@@ -561,6 +577,7 @@ object TxLog {
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live.update(a.dir, a))
       dvs ++= c.dvs
+      clones ++= c.clones
       c.dropConstraints.foreach(cons.remove)
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
       foldGc(c.gc)
@@ -569,7 +586,7 @@ object TxLog {
     val liveDvs = dvs.result()
       .filter(dv => files.exists(_.gen <= dv.version))
     LogState(math.min(target, commitVs.max), files, liveDvs, cons.toSeq,
-      gcH)
+      gcH, clones.result().distinct.sortBy(_._1))
   }
 
   /** Resolve the live file set at `asOf` (head when None). */
@@ -649,6 +666,18 @@ object TxLog {
       case _ => df
     }
 
+  /** The physical root a dir or tombstone with add generation `gen`
+    * resolves under in a possibly-CLONED log ([[cloneTable]]): the
+    * base of the FIRST clone cut strictly above it. Logs are copied
+    * wholesale at clone time, so a nested clone's record chain walks
+    * to the nearest fork that postdates the dir — pre-fork dirs read
+    * from the base table's storage (zero copies), post-fork dirs from
+    * this table's own root. Non-cloned tables have no records and
+    * always resolve locally. */
+  private def baseFor(root: String, clones: Seq[(Long, String)],
+      gen: Long): String =
+    clones.find(_._1 > gen).map(_._2).getOrElse(root)
+
   /** Read a set of live data dirs ALIGNED to the table schema at
     * `targetDdl` — the mixed-generation read behind schema evolution.
     * Dirs are grouped by their write-time schema generation (each
@@ -663,11 +692,13 @@ object TxLog {
     * the log this collapses to one plain multi-path read. */
   private def readAligned(spark: SparkSession, root: String,
       files: Seq[AddFile], targetDdl: Option[String],
-      tagAdded: Boolean = false): DataFrame = {
+      tagAdded: Boolean = false,
+      clones: Seq[(Long, String)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    def path(f: AddFile) = s"${baseFor(root, clones, f.gen)}/${f.dir}"
     targetDdl match {
       case None if !tagAdded => // legacy log, no pin anywhere: infer
-        spark.read.parquet(files.map(f => s"$root/${f.dir}"): _*)
+        spark.read.parquet(files.map(path): _*)
       case _ =>
         val target = targetDdl.map(StructType.fromDDL)
         val tNorm = targetDdl.map(ddlNorm)
@@ -679,7 +710,7 @@ object TxLog {
                 .getOrElse(tn)
               val src = StructType.fromDDL(ddl)
               val df = spark.read.schema(src)
-                .parquet(fs.map(f => s"$root/${f.dir}"): _*)
+                .parquet(fs.map(path): _*)
               if (ddl == tn) df
               else df.select(tgt.fields.map { f =>
                 if (src.fieldNames.contains(f.name))
@@ -687,7 +718,7 @@ object TxLog {
                 else lit(null).cast(f.dataType).as(f.name)
               }.toSeq: _*)
             case _ =>
-              spark.read.parquet(fs.map(f => s"$root/${f.dir}"): _*)
+              spark.read.parquet(fs.map(path): _*)
           }
           // the group key IS the add version (every commit records its
           // own schema, so a fresh add's generation is its commit) —
@@ -706,8 +737,10 @@ object TxLog {
     * join broadcasts at scale. */
   private def readMasked(spark: SparkSession, root: String,
       files: Seq[AddFile], targetDdl: Option[String],
-      dvs: Seq[Tombstone]): DataFrame =
-    if (dvs.isEmpty) readAligned(spark, root, files, targetDdl)
+      dvs: Seq[Tombstone],
+      clones: Seq[(Long, String)] = Seq.empty): DataFrame =
+    if (dvs.isEmpty) readAligned(spark, root, files, targetDdl,
+      clones = clones)
     else {
       // dirs that postdate EVERY tombstone can never hold a masked row
       // — they bypass the anti-join entirely (after an optimize that
@@ -717,14 +750,16 @@ object TxLog {
       val (maskable, clean) = files.partition(_.gen <= maxDv)
       val cleanPart =
         if (clean.isEmpty) None
-        else Some(readAligned(spark, root, clean, targetDdl))
+        else Some(readAligned(spark, root, clean, targetDdl,
+          clones = clones))
       val maskedPart = if (maskable.isEmpty) None else {
         val base = readAligned(spark, root, maskable, targetDdl,
-          tagAdded = true)
+          tagAdded = true, clones = clones)
         val masked = dvs.groupBy(_.keyCol).toSeq.sortBy(_._1)
           .foldLeft(base) { case (acc, (kc, ds)) =>
             val kt = acc.schema(kc).dataType
-            val keys = ds.map(d => spark.read.parquet(s"$root/${d.rel}")
+            val keys = ds.map(d => spark.read
+                .parquet(s"${baseFor(root, clones, d.version)}/${d.rel}")
                 .select(col(kc).cast(kt).as("__dvk"),
                   lit(d.version).as("__dvv")))
               .reduce(_.unionByName(_))
@@ -1010,7 +1045,7 @@ object TxLog {
       val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
       require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
       val snap = readMasked(spark, root, live0,
-        pinnedSchemaAt(spark, root, v0), dvs0)
+        pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
       val out = transform(snap)
       val add = writeDataDir(spark, root, out, statsCol.toSeq,
         st0.constraints)
@@ -1192,7 +1227,7 @@ object TxLog {
     val out =
       if (touched.isEmpty) upserts // nothing can hold a batch key
       else readMasked(spark, root, touched,
-          pinnedSchemaAt(spark, root, v0), dvs0)
+          pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts)
     val add = writeDataDir(spark, root, out, stats, st0.constraints)
@@ -1630,7 +1665,7 @@ object TxLog {
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeRange: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0), dvs0)
+      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
     val r = snap.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()
     require(!r.isNullAt(0),
@@ -1683,7 +1718,7 @@ object TxLog {
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeZOrder: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0), dvs0)
+      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
     val zc = ZOrder.interleave16(col(xCol), col(yCol))
     val r = snap.agg(min(zc), max(zc)).head()
     require(!r.isNullAt(0),
@@ -1734,7 +1769,7 @@ object TxLog {
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeHash: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0), dvs0)
+      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
     val width = math.max(1L, (HashSpace + buckets - 1) / buckets)
     val bucket = (keyHash(col(keyCol)) / width).cast("long")
     val rel = s"data/${java.util.UUID.randomUUID()}"
@@ -1797,7 +1832,7 @@ object TxLog {
       val small = live0.filter(_.rows < targetRows)
       if (small.size < 2) v0 else {
       val snap = readMasked(spark, root, small,
-        pinnedSchemaAt(spark, root, v0), dvs0)
+        pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
       val keyColOpt = statsColumn(spark, root)
         .filter(snap.columns.contains)
       // bucket count from the PRE-mask row sum (masked rows only
@@ -1893,7 +1928,7 @@ object TxLog {
     publishIfAbsent(spark, root, manifestName(st.version, "checkpoint"),
       renderManifest("checkpoint", st.files, Seq.empty, None,
         dvs = st.dvs, dvVersions = true, constraints = st.constraints,
-        gc = st.gcHorizon))
+        gc = st.gcHorizon, clones = st.clones))
     st.version
   }
 
@@ -1960,7 +1995,8 @@ object TxLog {
     val affected: Set[String] =
       dvsPost.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
         case (kc, ds) =>
-          val keys = ds.map(d => spark.read.parquet(s"$root/${d.rel}")
+          val keys = ds.map(d => spark.read
+              .parquet(s"${baseFor(root, st0.clones, d.version)}/${d.rel}")
               .select(col(d.keyCol).as(kc)))
             .reduce(_.unionByName(_)).distinct()
           val r = keys.agg(min(col(kc).cast("long")).as("mn"),
@@ -1985,7 +2021,8 @@ object TxLog {
       if (affected.isEmpty) None
       else {
         val matFiles = stT.files.filter(f => affected(f.dir))
-        val df = readMasked(spark, root, matFiles, pinT, stT.dvs)
+        val df = readMasked(spark, root, matFiles, pinT, stT.dvs,
+          st0.clones)
         Some(writeDataDir(spark, root, df, statsCol.toSeq,
           stT.constraints))
       }
@@ -2017,6 +2054,66 @@ object TxLog {
     v
   }
 
+  /** ZERO-COPY SHALLOW CLONE — fork a table without moving a data
+    * byte (the published Delta `CREATE TABLE ... SHALLOW CLONE`
+    * shape, strengthened to a full FORK): the source's manifest log
+    * (kilobytes per commit) is copied wholesale into the new root,
+    * then one `clone` commit records the cut `(srcHead + 1, srcRoot)`.
+    * Readers resolve each dir against the clone chain by its add
+    * generation ([[baseFor]]): pre-fork dirs read from the source's
+    * storage, post-fork dirs from the clone's own — so cloning a
+    * 100 TB table is a metadata operation, and the clone is
+    * immediately writable (appends/merges/tombstones land locally;
+    * the source never sees them). Because the WHOLE log forks, the
+    * clone keeps everything Delta's clone drops: time travel into
+    * pre-fork history, CDC across the fork, schema generations,
+    * constraints, retention horizons, producer idempotence tokens —
+    * all verbatim. Clones nest (fork a fork): resolution walks to the
+    * nearest cut above each dir's generation.
+    *
+    * The one shared-fate caveat (same as Delta's): a VACUUM on the
+    * SOURCE does not know about clones and may reclaim pre-fork dirs
+    * a clone still references — run any table-sized rewrite
+    * ([[optimizeRange]]/[[optimizeHash]]/[[rewrite]]) on the clone to
+    * localize its data and cut the dependency. The clone's own vacuum
+    * is always safe: it lists only the clone's local data dir, so
+    * base-resident dirs are physically out of its reach.
+    *
+    * `dstRoot` must be empty. Returns the clone commit's version
+    * (= source head + 1 at the cut). */
+  def cloneTable(spark: SparkSession, srcRoot: String,
+      dstRoot: String): Long = {
+    val srcHead = latestVersion(spark, srcRoot)
+    require(srcHead > 0, s"cloneTable: $srcRoot has no commits")
+    require(latestVersion(spark, dstRoot) == 0,
+      s"cloneTable: $dstRoot already has commits — clone into a fresh root")
+    // qualify the base so the clone resolves it from any working
+    // directory / defaultFS context
+    val srcFs = rawFs(spark, srcRoot)
+    val base = srcFs.makeQualified(
+      new org.apache.hadoop.fs.Path(srcRoot)).toString
+    require(!base.contains('|') && !base.contains('\n'),
+      s"cloneTable: source path must not contain '|' or newlines: $base")
+    // copy the manifest chain as listed at the cut — a source commit
+    // landing mid-copy postdates the listing and is simply not forked
+    listLog(spark, srcRoot).foreach { case (_, _, name) =>
+      val in = srcFs.open(
+        new org.apache.hadoop.fs.Path(logDir(srcRoot), name))
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      require(publishIfAbsent(spark, dstRoot, name, bytes),
+        s"cloneTable: $dstRoot/$name already exists — concurrent clone " +
+          "into the same root?")
+    }
+    val cut = srcHead + 1
+    val bytes = renderManifest("clone", Seq.empty, Seq.empty, None,
+      clones = Seq((cut, base)))
+    require(publishIfAbsent(spark, dstRoot, manifestName(cut, "commit"),
+      bytes), s"cloneTable: could not claim v$cut in $dstRoot")
+    cut
+  }
+
   // ------------------------------------------------------------------
   // reads
   // ------------------------------------------------------------------
@@ -2043,8 +2140,20 @@ object TxLog {
     val st = foldLog(spark, root, asOf)
     require(st.files.nonEmpty, s"snapshot: $root is empty at v${st.version}")
     readMasked(spark, root, st.files,
-      pinnedSchemaAt(spark, root, st.version), st.dvs)
+      pinnedSchemaAt(spark, root, st.version), st.dvs,
+      cloneChain(spark, root, st, asOf))
   }
+
+  /** The clone chain to resolve a fold's dirs with: a travel read
+    * BELOW a clone cut folds a log prefix that predates the clone
+    * commit itself, so its own record is missing — the HEAD fold's
+    * chain (a superset; records never change after a log is created,
+    * resolution keys on dir generation only) is always the correct
+    * one. Head reads use their own fold for free. */
+  private def cloneChain(spark: SparkSession, root: String, st: LogState,
+      asOf: Option[Long]): Seq[(Long, String)] =
+    if (asOf.isEmpty) st.clones
+    else foldLog(spark, root, None).clones
 
   /** Fail a travel read below the strictest retention horizon any
     * [[vacuum]] recorded: the data dirs backing versions below the
@@ -2113,10 +2222,15 @@ object TxLog {
       // exists, else one dir's footer-only schema
       val schema = pin
         .map(org.apache.spark.sql.types.StructType.fromDDL)
-        .getOrElse(spark.read.parquet(s"$root/${live.head.dir}").schema)
+        .getOrElse(spark.read.parquet(
+          s"${baseFor(root, cloneChain(spark, root, st, asOf),
+            live.head.gen)}/${live.head.dir}")
+          .schema)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readMasked(spark, root, kept, pin, dvs).where(filter)
+    } else readMasked(spark, root, kept, pin, dvs,
+        cloneChain(spark, root, st, asOf))
+      .where(filter)
   }
 
   /** KEYED POINT READ — fetch the live rows whose `keyCol` is in
@@ -2162,10 +2276,14 @@ object TxLog {
     if (kept.isEmpty) {
       val schema = pin
         .map(org.apache.spark.sql.types.StructType.fromDDL)
-        .getOrElse(spark.read.parquet(s"$root/${live.head.dir}").schema)
+        .getOrElse(spark.read.parquet(
+          s"${baseFor(root, cloneChain(spark, root, st, asOf),
+            live.head.gen)}/${live.head.dir}")
+          .schema)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readMasked(spark, root, kept, pin, dvs)
+    } else readMasked(spark, root, kept, pin, dvs,
+        cloneChain(spark, root, st, asOf))
       .join(broadcast(ks), Seq(keyCol), "left_semi")
   }
 
@@ -2237,6 +2355,9 @@ object TxLog {
     retentionGuard(spark, root, fromV + 1, "changes")
     val cs = commitsInRange(spark, root, fromV, toV)
     require(cs.nonEmpty, s"changes: no commits in ($fromV, $toV] at $root")
+    // clone records never change after a log is created, so the head
+    // fold's chain resolves every window's dirs (pre-fork -> base)
+    val clones = foldLog(spark, root, None).clones
     // align every part to the pin at the WINDOW END — a consumer of
     // (fromV, toV] reconciles in toV's schema; pre-evolution rows
     // backfill nulls exactly as a snapshot read would
@@ -2247,7 +2368,8 @@ object TxLog {
     // commit — only rewrites/merges pay it)
     val parts = cs.flatMap { c =>
       val ins = if (c.adds.isEmpty) None
-        else Some(readAligned(spark, root, c.adds, target)
+        else Some(readAligned(spark, root, c.adds, target,
+            clones = clones)
           .withColumn("__version", lit(c.version))
           .withColumn("__change", lit("insert")))
       val del = if (c.removes.isEmpty) None
@@ -2256,7 +2378,8 @@ object TxLog {
           val removedFiles = c.removes.map(r =>
             preLive.find(_.dir == r)
               .getOrElse(AddFile(r, 0L, Seq.empty, c.version)))
-          Some(readAligned(spark, root, removedFiles, target)
+          Some(readAligned(spark, root, removedFiles, target,
+              clones = clones)
             .withColumn("__version", lit(c.version))
             .withColumn("__change", lit("delete")))
         }
@@ -2266,7 +2389,8 @@ object TxLog {
       val dvDel = if (c.dvs.isEmpty) None
         else {
           val kc = c.dvs.head.keyCol
-          val keys = c.dvs.map(d => spark.read.parquet(s"$root/${d.rel}")
+          val keys = c.dvs.map(d => spark.read
+            .parquet(s"${baseFor(root, clones, d.version)}/${d.rel}")
             .select(col(d.keyCol).as(kc))).reduce(_.unionByName(_))
             .distinct()
           Some(alignTo(snapshotInner(spark, root, Some(c.version - 1))

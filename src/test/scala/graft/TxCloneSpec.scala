@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.TxLog
+import org.apache.spark.sql.functions._
+
+/** ZERO-COPY SHALLOW CLONE ([[TxLog.cloneTable]]): forking a table is
+  * a metadata operation — the manifest log copies, data dirs stay
+  * where they are, and readers resolve each dir against the clone
+  * chain by its add generation. Pins the fork contract: identical
+  * reads at the cut, divergence in BOTH directions after it, pre-fork
+  * time travel and CDC from inside the clone, merge/tombstone/restore
+  * riding the chain, nested clones, vacuum locality (a clone's vacuum
+  * can never reach base-resident dirs), and localization via a
+  * table-sized rewrite. */
+class TxCloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_txc_$tag").toString + "/t"
+
+  private def docs(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"doc-$i")).toDF("id", "text")
+
+  private def localData(root: String): Seq[String] = {
+    val d = new java.io.File(s"$root/data")
+    if (!d.exists()) Seq.empty else d.list().toSeq.sorted
+  }
+
+  test("cloneTable: the fork is zero-copy — no local data dirs, identical " +
+      "reads at the cut, divergence in both directions after it") {
+    val src = freshRoot("src")
+    TxLog.append(spark, src, docs(0, 100), Some("id"))
+    TxLog.append(spark, src, docs(100, 200), Some("id"))
+    TxLog.tombstone(spark, src, Seq(5L).toDF("id"), "id")
+    TxLog.addConstraint(spark, src, "pos", "id >= 0")
+    val dst = freshRoot("dst")
+    val cut = TxLog.cloneTable(spark, src, dst)
+    assert(cut === 5L)
+    // ZERO data bytes moved: the clone has no local data at all
+    assert(localData(dst).isEmpty)
+    assert(TxLog.snapshot(spark, dst).count() === 199)
+    assert(TxLog.snapshot(spark, dst).agg(sum("id")).head().getLong(0) ===
+      TxLog.snapshot(spark, src).agg(sum("id")).head().getLong(0))
+    // contract forks with the data: constraint enforced in the clone
+    intercept[TxLog.TxConstraintException] {
+      TxLog.append(spark, dst, Seq((-1L, "bad")).toDF("id", "text"),
+        Some("id"))
+    }
+    // divergence: a clone append is invisible to the source...
+    TxLog.append(spark, dst, docs(200, 210), Some("id"))
+    assert(TxLog.snapshot(spark, dst).count() === 209)
+    assert(TxLog.snapshot(spark, src).count() === 199)
+    assert(localData(dst).size === 1, "only the new append is local")
+    // ...and a post-fork source append is invisible to the clone
+    TxLog.append(spark, src, docs(900, 910), Some("id"))
+    assert(TxLog.snapshot(spark, dst).count() === 209)
+    // PRE-FORK history travels from inside the clone (the full log
+    // forked, not just the head state)
+    assert(TxLog.snapshot(spark, dst, Some(1L)).count() === 100)
+    assert(TxLog.snapshot(spark, dst, Some(2L)).count() === 200)
+    assert(TxLog.history(spark, dst)
+      .where(col("action") === "clone").count() === 1)
+    // CDC across the fork: the full-window replay reads pre-fork dirs
+    val cdc = TxLog.changes(spark, dst, 0L, cut)
+    assert(cdc.where(col("__change") === "insert").count() === 200)
+  }
+
+  test("merge, tombstone and restore ride the fork: pre-fork dirs " +
+      "materialize locally, the source never changes") {
+    val src = freshRoot("msrc")
+    (0 until 4).foreach(k =>
+      TxLog.append(spark, src, docs(k * 100, k * 100 + 100), Some("id")))
+    val dst = freshRoot("mdst")
+    val cut = TxLog.cloneTable(spark, src, dst)
+    // merge updates a pre-fork key: the touched BASE dir rewrites into
+    // the clone's own storage, everything else stays zero-copy
+    TxLog.merge(spark, dst, Seq((150L, "updated")).toDF("id", "text"), "id")
+    assert(TxLog.snapshot(spark, dst).where(col("id") === 150L)
+      .select("text").as[String].head() === "updated")
+    assert(TxLog.snapshot(spark, src).where(col("id") === 150L)
+      .select("text").as[String].head() === "doc-150")
+    assert(localData(dst).nonEmpty)
+    // tombstone masks a pre-fork key in the clone only
+    TxLog.tombstone(spark, dst, Seq(42L).toDF("id"), "id")
+    assert(TxLog.snapshot(spark, dst).where(col("id") === 42L).count() === 0)
+    assert(TxLog.snapshot(spark, src).where(col("id") === 42L).count() === 1)
+    // restore the clone to the cut: the botch rolls back, the re-added
+    // dirs resolve to base again, and the source is still untouched
+    TxLog.restore(spark, dst, cut)
+    val snap = TxLog.snapshot(spark, dst)
+    assert(snap.count() === 400)
+    assert(snap.where(col("id") === 150L)
+      .select("text").as[String].head() === "doc-150")
+    assert(TxLog.snapshot(spark, src).count() === 400)
+  }
+
+  test("nested clones resolve through the chain; a table-sized rewrite " +
+      "localizes a clone and cuts the base dependency") {
+    val s0 = freshRoot("n0")
+    TxLog.append(spark, s0, docs(0, 100), Some("id"))
+    val a = freshRoot("na")
+    TxLog.cloneTable(spark, s0, a)
+    TxLog.append(spark, a, docs(100, 150), Some("id")) // local to A
+    val b = freshRoot("nb")
+    TxLog.cloneTable(spark, a, b)
+    // B reads rows living in THREE places: s0 (gen 1), a (gen 3), and
+    // after this append, b itself
+    TxLog.append(spark, b, docs(150, 160), Some("id"))
+    assert(TxLog.snapshot(spark, b).count() === 160)
+    assert(TxLog.snapshot(spark, b).agg(sum("id")).head().getLong(0) ===
+      (0L until 160L).sum)
+    assert(TxLog.snapshot(spark, a).count() === 150)
+    assert(TxLog.snapshot(spark, s0).count() === 100)
+    // pre-every-fork travel from the deepest clone
+    assert(TxLog.snapshot(spark, b, Some(1L)).count() === 100)
+    // localize: one optimize makes every live dir B-resident, so a
+    // base vacuum can no longer hurt it
+    TxLog.optimizeRange(spark, b, "id", buckets = 4)
+    val live = TxLog.liveFiles(spark, b)._2
+    val cutB = TxLog.history(spark, b)
+      .where(col("action") === "clone").agg(max("version"))
+      .head().getLong(0)
+    assert(live.forall(_.gen > cutB), "all live dirs postdate the fork")
+    assert(TxLog.snapshot(spark, b).count() === 160)
+    // and the clone's own vacuum never reached into a or s0
+    assert(TxLog.snapshot(spark, a).count() === 150)
+    assert(TxLog.snapshot(spark, s0).count() === 100)
+  }
+
+  test("clone vacuum locality: an aggressive vacuum on the clone deletes " +
+      "only clone-resident dirs — the base tables stay whole") {
+    val src = freshRoot("vsrc")
+    TxLog.append(spark, src, docs(0, 100), Some("id"))
+    val dst = freshRoot("vdst")
+    TxLog.cloneTable(spark, src, dst)
+    // churn in the clone: a local append then a full rewrite orphans it
+    TxLog.append(spark, dst, docs(100, 120), Some("id"))
+    TxLog.rewrite(spark, dst, Some("id"))(_.where(col("id") < 110))
+    (0 until 3).foreach(k => TxLog.append(spark, dst,
+      docs(200 + k * 10, 210 + k * 10), Some("id")))
+    val gone = TxLog.vacuum(spark, dst, retainVersions = 1, graceMs = 0L)
+    assert(gone.nonEmpty, "the orphaned local append must be reclaimed")
+    assert(TxLog.snapshot(spark, dst).count() === 140)
+    // the base never lost a byte
+    assert(TxLog.snapshot(spark, src).count() === 100)
+    // cloning into a non-empty root is refused loud
+    intercept[IllegalArgumentException] {
+      TxLog.cloneTable(spark, src, dst)
+    }
+  }
+}

@@ -731,6 +731,43 @@ class TxLakeSpec extends SparkSpec {
       .select("text").as[String].head() === "updated")
   }
 
+  test("CDC→MERGE replica converges across restore AND compact commits: " +
+      "the physical deltas reconcile to the source state") {
+    val src = freshRoot("cdcrc")
+    val dst = freshRoot("cdcrd")
+    TxLog.append(spark, src, docs(0, 50), Some("id"))          // v1 target
+    // botch: uppercase merge + junk append, then ROLL BOTH BACK
+    TxLog.merge(spark, src, (0 until 20).map(i => (i.toLong, s"BAD-$i"))
+      .toDF("id", "text"), "id")                               // v2
+    TxLog.append(spark, src, docs(9000, 9010), Some("id"))     // v3
+    TxLog.restore(spark, src, 1L)                              // v4
+    // small-dir tail, a takedown, then pack it
+    (0 until 5).foreach(k => TxLog.append(spark, src,
+      docs(50 + k * 5, 55 + k * 5), Some("id")))               // v5..v9
+    TxLog.tombstone(spark, src, Seq(52L, 61L).toDF("id"), "id") // v10
+    TxLog.optimizeCompact(spark, src, targetRows = 20)         // v11
+    // replay the whole log per version: latest wins per key, insert
+    // beats delete within a version; metadata-only windows skip
+    val head = TxLog.latestVersion(spark, src)
+    (1L to head).foreach { v =>
+      val delta = TxLog.changes(spark, src, v - 1, v)
+      val b = delta.groupBy("id")
+        .agg(max(struct(col("__version"),
+          (col("__change") === "insert").cast("int").as("ins"),
+          col("text"))).as("m"))
+        .select(col("id"), col("m.text").as("text"),
+          (col("m.ins") === 0).as("del"))
+      if (!b.isEmpty) TxLog.merge(spark, dst, b, "id",
+        deleteCol = Some("del"))
+    }
+    val a = TxLog.snapshot(spark, src).orderBy("id").collect()
+    val b = TxLog.snapshot(spark, dst).orderBy("id").collect()
+    assert(a === b)
+    assert(a.length === 73, "50 restored + 25 tail - 2 takedowns")
+    assert(!a.exists(_.getString(1).startsWith("BAD-")),
+      "the replica must not resurrect the rolled-back merge")
+  }
+
   test("restore below a vacuum horizon fails with the retention window " +
       "named — never a parquet FileNotFound") {
     val root = freshRoot("restgc")
