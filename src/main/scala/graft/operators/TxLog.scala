@@ -2071,12 +2071,18 @@ object TxLog {
     * all verbatim. Clones nest (fork a fork): resolution walks to the
     * nearest cut above each dir's generation.
     *
-    * The one shared-fate caveat (same as Delta's): a VACUUM on the
-    * SOURCE does not know about clones and may reclaim pre-fork dirs
-    * a clone still references — run any table-sized rewrite
-    * ([[optimizeRange]]/[[optimizeHash]]/[[rewrite]]) on the clone to
-    * localize its data and cut the dependency. The clone's own vacuum
-    * is always safe: it lists only the clone's local data dir, so
+    * Shared fate, CLOSED (Delta shallow clones live with it): the
+    * clone registers a marker with the source (`_txlog/clones/`), and
+    * the source's [[vacuum]] walks registered clones — transitively,
+    * forks of forks — pinning every pre-fork dir a live clone still
+    * reads ([[cloneReachableDirs]]). Deleting a clone's log, or
+    * localizing it with any table-sized rewrite
+    * ([[optimizeRange]]/[[optimizeHash]]/[[rewrite]]), releases its
+    * pins on the next source vacuum. The marker write is the one
+    * thing clone needs from the source side; a source on read-only
+    * storage cannot be cloned safely (the create fails loud, not
+    * silently unprotected). The clone's own vacuum is structurally
+    * safe either way: it lists only the clone's local data dir, so
     * base-resident dirs are physically out of its reach.
     *
     * `dstRoot` must be empty. Returns the clone commit's version
@@ -2111,7 +2117,73 @@ object TxLog {
       clones = Seq((cut, base)))
     require(publishIfAbsent(spark, dstRoot, manifestName(cut, "commit"),
       bytes), s"cloneTable: could not claim v$cut in $dstRoot")
+    // register the clone WITH the source (a marker file, not a
+    // commit — the source's version history is not the clone's
+    // business): the source's [[vacuum]] walks these to keep every
+    // pre-fork dir a live clone still references, closing the
+    // shared-fate hole Delta shallow clones live with. A marker whose
+    // table was deleted pins nothing (skipped); a localized clone
+    // (all live gens past its cut) pins nothing automatically.
+    val dstFs = rawFs(spark, dstRoot)
+    val qualifiedDst = dstFs.makeQualified(
+      new org.apache.hadoop.fs.Path(dstRoot)).toString
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${logDir(srcRoot)}/clones",
+      s"c${java.util.UUID.randomUUID()}.ref")
+    val out = srcFs.create(marker, false)
+    try out.write(qualifiedDst.getBytes("UTF-8")) finally out.close()
     cut
+  }
+
+  /** The clone roots registered against `root` (markers under
+    * `_txlog/clones/`), raw — stale entries included. */
+  private def cloneMarkers(spark: SparkSession,
+      root: String): Seq[String] = {
+    val fs = rawFs(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"${logDir(root)}/clones")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    }.sorted
+  }
+
+  /** Every rel dir under `root` that a registered clone (transitively
+    * — a fork of a fork still reads the original's storage) can still
+    * reach: each live clone's HEAD fold is walked and its files and
+    * tombstone key dirs whose clone-chain resolution lands on `root`
+    * are pinned. Metadata-sized per clone (one fold); clones whose
+    * log vanished (deleted experiments) pin nothing. */
+  private def cloneReachableDirs(spark: SparkSession,
+      root: String): Set[String] = {
+    val qualifiedRoot = rawFs(spark, root).makeQualified(
+      new org.apache.hadoop.fs.Path(root)).toString
+    val seen = scala.collection.mutable.Set.empty[String]
+    val pinned = Set.newBuilder[String]
+    def walk(r: String): Unit = {
+      if (!seen.add(r)) return
+      cloneMarkers(spark, r).foreach { dst =>
+        val live =
+          try latestVersion(spark, dst) > 0
+          catch { case _: Exception => false } // unreachable fs: skip
+        if (live) {
+          val st = foldLog(spark, dst, None)
+          st.files.foreach { f =>
+            if (baseFor(dst, st.clones, f.gen) == qualifiedRoot)
+              pinned += f.dir
+          }
+          st.dvs.foreach { d =>
+            if (baseFor(dst, st.clones, d.version) == qualifiedRoot)
+              pinned += d.rel
+          }
+          walk(dst)
+        }
+      }
+    }
+    walk(root)
+    pinned.result()
   }
 
   // ------------------------------------------------------------------
@@ -2517,6 +2589,11 @@ object TxLog {
       reachable ++= c.removes
       reachable ++= c.dvs.map(_.rel)
     }
+    // registered clones pin the pre-fork dirs they still read — a
+    // source vacuum must never break a live fork (the Delta shallow-
+    // clone shared fate, closed); a localized or deleted clone pins
+    // nothing
+    reachable ++= cloneReachableDirs(spark, root)
     val fs = rawFs(spark, root)
     val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
     if (!fs.exists(dataDir)) return (horizon, Seq.empty)

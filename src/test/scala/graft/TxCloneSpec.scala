@@ -127,6 +127,49 @@ class TxCloneSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, s0).count() === 100)
   }
 
+  test("SOURCE vacuum is clone-safe: registered clones pin the pre-fork " +
+      "dirs they read — transitively — and localizing releases the pins") {
+    val src = freshRoot("pins")
+    TxLog.append(spark, src, docs(0, 100), Some("id"))
+    TxLog.append(spark, src, docs(100, 200), Some("id"))
+    val a = freshRoot("pina")
+    TxLog.cloneTable(spark, src, a)
+    val b = freshRoot("pinb")
+    TxLog.cloneTable(spark, a, b) // fork of a fork: b reads src dirs too
+    // a full rewrite on the SOURCE orphans the two original dirs from
+    // the source's own perspective — but both clones still read them
+    TxLog.rewrite(spark, src, Some("id"))(_.where(col("id") < 50))
+    (0 until 3).foreach(k => TxLog.append(spark, src,
+      docs(500 + k * 10, 510 + k * 10), Some("id")))
+    val gone1 = TxLog.vacuum(spark, src, retainVersions = 1, graceMs = 0L)
+    assert(gone1.isEmpty,
+      s"pre-fork dirs are pinned by live clones, got $gone1")
+    assert(TxLog.snapshot(spark, a).count() === 200)
+    assert(TxLog.snapshot(spark, b).count() === 200)
+    // localize A; B still pins src through its own chain
+    TxLog.optimizeRange(spark, a, "id", buckets = 4)
+    val gone2 = TxLog.vacuum(spark, src, retainVersions = 1, graceMs = 0L)
+    assert(gone2.isEmpty, s"b still reads src dirs, got $gone2")
+    assert(TxLog.snapshot(spark, b).count() === 200)
+    // localize B too: nothing pins the originals anymore — reclaimed
+    TxLog.optimizeRange(spark, b, "id", buckets = 4)
+    val gone3 = TxLog.vacuum(spark, src, retainVersions = 1, graceMs = 0L)
+    assert(gone3.nonEmpty, "released pins must let the vacuum reclaim")
+    assert(TxLog.snapshot(spark, a).count() === 200)
+    assert(TxLog.snapshot(spark, b).count() === 200)
+    assert(TxLog.snapshot(spark, src).count() === 80)
+    // a DELETED clone pins nothing: fork, delete its log, vacuum moves on
+    val c = freshRoot("pinc")
+    TxLog.cloneTable(spark, src, c)
+    TxLog.rewrite(spark, src, Some("id"))(_.where(col("id") < 20))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(c.stripSuffix("/t")))
+    TxLog.append(spark, src, docs(800, 810), Some("id"))
+    TxLog.append(spark, src, docs(810, 820), Some("id"))
+    val gone4 = TxLog.vacuum(spark, src, retainVersions = 1, graceMs = 0L)
+    assert(gone4.nonEmpty, "a deleted clone's marker must not pin")
+  }
+
   test("clone vacuum locality: an aggressive vacuum on the clone deletes " +
       "only clone-resident dirs — the base tables stay whole") {
     val src = freshRoot("vsrc")
