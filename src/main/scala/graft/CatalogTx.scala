@@ -1766,7 +1766,38 @@ private[graft] object CatalogTx {
               UNION ALL
               SELECT 'src', doc_id, md5(text) FROM d
               WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
-              ORDER BY side, doc_id"""))
+              ORDER BY side, doc_id""")),
+
+    QueryDef("x178_exif_orientation",
+      // EXIF ORIENTATION via the codegen'd APP1 → TIFF IFD walk (r14
+      // — the rotate/flip flag a crawl pipeline must normalize BEFORE
+      // resize/fingerprint, or portrait images train sideways):
+      // payloads carry SOI + an id-LENGTH-VARYING COM + a genuine
+      // Exif APP1 whose TIFF block ALTERNATES byte order by id (II
+      // even / MM odd) with orientation sitting as the SECOND of
+      // three IFD0 entries (Make ASCII before it, XResolution
+      // RATIONAL after — the walk must match the tag, not a lucky
+      // offset) + SOF0. Orientation, dims AND total length all replay
+      // from the id algebra — parse(synthesize(x)) == x across 29 hop
+      // alignments × 2 byte orders, the x164 pattern
+      (s, d) => {
+        val packed = Multimodal.packFakeExifJpegs(
+          documents(s, d).where(col("doc_id") < 400), "doc_id")
+        packed.select(col("media_id"),
+            Multimodal.exifOrientation(col("media")).cast("long")
+              .as("orientation"),
+            Multimodal.imageDims(col("media")).getField("width").as("width"),
+            Multimodal.imageDims(col("media")).getField("height")
+              .as("height"),
+            length(col("media")).cast("long").as("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                doc_id % 8 + 1 AS orientation,
+                doc_id % 3000 + 16 AS width,
+                (doc_id * 7) % 2000 + 16 AS height,
+                CAST(101 + doc_id % 29 AS BIGINT) AS n_bytes
+              FROM documents WHERE doc_id < 400 ORDER BY media_id"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

@@ -100,6 +100,10 @@ object GraftFunctions {
     (FunctionIdentifier("jpeg_sof_dims"),
       new ExpressionInfo(classOf[JpegSofDims].getName, "jpeg_sof_dims"),
       (children: Seq[Expression]) => JpegSofDims(children.head)),
+    (FunctionIdentifier("exif_orientation"),
+      new ExpressionInfo(classOf[ExifOrientation].getName,
+        "exif_orientation"),
+      (children: Seq[Expression]) => ExifOrientation(children.head)),
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head,

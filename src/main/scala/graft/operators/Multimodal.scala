@@ -154,6 +154,60 @@ object Multimodal {
       unhex(concat(lit("FFD8"), app0, com, sof)).as("media"))
   }
 
+  /** EXIF ORIENTATION (1–8) via the codegen'd APP1 → TIFF IFD walk
+    * ([[graft.functions.ExifOrientation]]) — the rotate/flip flag a
+    * crawl pipeline must normalize BEFORE resize/fingerprint, or
+    * portrait images train sideways; both TIFF byte orders parse,
+    * non-Exif APP1s (XMP) are hopped, truncated/hostile bytes read
+    * null. */
+  def exifOrientation(media: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ExifOrientation(
+        org.apache.spark.sql.graft.ColumnBridge.expression(media)))
+
+  /** Deterministic JPEGs with a REAL Exif APP1 — the
+    * [[packFakeJpegs]] companion for the TIFF IFD walk: SOI, an
+    * id-LENGTH-VARYING COM (every id hops the walk at a different
+    * alignment), then APP1 `Exif\0\0` + a genuine 64-byte TIFF block
+    * — byte order ALTERNATING by id (`II` even / `MM` odd), magic
+    * 42, a 3-entry IFD0 where orientation (id%8+1) sits BETWEEN a
+    * Make ASCII entry and an XResolution RATIONAL (the walk must
+    * match the tag, not read a lucky offset; both pointed data areas
+    * are real) — then SOF0 with the x164 dims. The oracle replays
+    * orientation, dims and total length from the id algebra alone. */
+  def packFakeExifJpegs(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val w = pmod(id, lit(3000L)) + 16L
+    val h = pmod(id * 7L, lit(2000L)) + 16L
+    val ori = pmod(id, lit(8L)) + 1L
+    val comPayload = pmod(id, lit(29L)) + 2L
+    val com = concat(lit("FFFE"), lpad(hex(comPayload + 2L), 4, "0"),
+      repeat(lit("41"), comPayload.cast("int")))
+    // 64-byte TIFF blocks; offsets 0x32/0x38 point at the Make and
+    // XResolution data that follow the IFD — relative to TIFF start
+    val tiffII = concat(
+      lit("49492A0008000000" + "0300" +
+        "0F01" + "0200" + "06000000" + "32000000" +
+        "1201" + "0300" + "01000000"),
+      lpad(hex(ori), 2, "0"), lit("000000"),
+      lit("1A01" + "0500" + "01000000" + "38000000" +
+        "00000000" + "41434D450000" + "4800000001000000"))
+    val tiffMM = concat(
+      lit("4D4D002A00000008" + "0003" +
+        "010F" + "0002" + "00000006" + "00000032" +
+        "0112" + "0003" + "00000001" + "00"),
+      lpad(hex(ori), 2, "0"), lit("0000"),
+      lit("011A" + "0005" + "00000001" + "00000038" +
+        "00000000" + "41434D450000" + "0000004800000001"))
+    val app1 = concat(lit("FFE10048457869660000"),
+      when(pmod(id, lit(2L)) === 0L, tiffII).otherwise(tiffMM))
+    val sof = concat(lit("FFC0001108"), lpad(hex(h), 4, "0"),
+      lpad(hex(w), 4, "0"), lit("03012200021101031101"))
+    df.select(id.as("media_id"),
+      unhex(concat(lit("FFD8"), com, app1, sof)).as("media"))
+  }
+
   /** REAL audio metadata with NO codec — the WAV companion to
     * [[imageDims]]: a canonical RIFF/WAVE header carries channels
     * (u16 LE @ 23), sample rate (u32 LE @ 25), byte rate (u32 LE @

@@ -444,4 +444,65 @@ class MediaSpec extends SparkSpec {
       assert(h === (id * 7) % 2000 + 16, s"height of $id")
     }
   }
+
+  test("EXIF orientation walk: both TIFF byte orders, tag position, XMP " +
+      "hop, and every corruption class reads null, never throws") {
+    import graft.functions.ExifOrientation.{orientation => ori}
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // minimal II TIFF: header + 1-entry IFD0 (orientation=6)
+    val tiffII1 = "49492A0008000000" + "0100" +
+      "1201" + "0300" + "01000000" + "06000000" + "00000000"
+    val app1II1 = "FFE1" + "0022" + "457869660000" + tiffII1
+    assert(ori(bytes("FFD8" + app1II1)) === 6)
+    // MM variant, same value
+    val tiffMM1 = "4D4D002A00000008" + "0001" +
+      "0112" + "0003" + "00000001" + "00060000" + "00000000"
+    assert(ori(bytes("FFD8" + "FFE1" + "0022" + "457869660000" + tiffMM1))
+      === 6)
+    // a non-Exif APP1 (XMP) before the Exif one is hopped, not misread
+    val xmp = "FFE1" + "000A" + "68747470AABBCCDD"
+    assert(ori(bytes("FFD8" + xmp + app1II1)) === 6)
+    // APP0 + COM before APP1: the segment walk reaches it
+    val app0 = "FFE000104A46494600010100000100010000"
+    assert(ori(bytes("FFD8" + app0 + "FFFE000441" + "41" + app1II1)) === 6)
+    // corruption classes: all null, none throw
+    assert(ori(bytes("FFD8" + app0)) === null)          // no APP1 at all
+    assert(ori(bytes("89504E47")) === null)             // not a JPEG
+    assert(ori(bytes("FFD8" + "FFE1" + "0008" + "457869660000")) === null) // no TIFF
+    assert(ori(bytes("FFD8" + "FFE1" + "0022" + "457869660000" +
+      "5A5A2A0008000000" + tiffII1.drop(16))) === null) // bad byte order
+    assert(ori(bytes("FFD8" + "FFE1" + "0022" + "457869660000" +
+      "4949FF00" + tiffII1.drop(8))) === null)          // bad magic
+    // orientation out of range (9) reads null
+    val tiffBad = "49492A0008000000" + "0100" +
+      "1201" + "0300" + "01000000" + "09000000" + "00000000"
+    assert(ori(bytes("FFD8" + "FFE1" + "0022" + "457869660000" + tiffBad))
+      === null)
+    // hostile IFD offset pointing past the segment reads null
+    val tiffOff = "49492A00FFFFFF7F" + "0100" +
+      "1201" + "0300" + "01000000" + "06000000" + "00000000"
+    assert(ori(bytes("FFD8" + "FFE1" + "0022" + "457869660000" + tiffOff))
+      === null)
+    assert(ori(Array.empty[Byte]) === null)
+    // the Column surface + synthesizer round-trip: every COM alignment,
+    // both byte orders, the tag NOT first in a 3-entry IFD
+    val packed = Multimodal.packFakeExifJpegs(
+      (0 until 60).map(i => Tuple1(i.toLong)).toDF("doc_id"), "doc_id")
+    val got = packed.select(col("media_id"),
+        Multimodal.exifOrientation(col("media")).as("o"),
+        Multimodal.imageDims(col("media")).getField("width").as("w"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    got.foreach { case (id, o, w) =>
+      assert(o === id % 8 + 1, s"orientation of $id")
+      assert(w === id % 3000 + 16, s"width of $id through the same walk")
+    }
+    // SQL surface
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    packed.limit(8).createOrReplaceTempView("exif_probe")
+    val viaSql = spark.sql(
+      "SELECT media_id, exif_orientation(media) AS o FROM exif_probe")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    viaSql.foreach { case (id, o) => assert(o === id % 8 + 1) }
+  }
 }
