@@ -1797,7 +1797,49 @@ private[graft] object CatalogTx {
                 doc_id % 3000 + 16 AS width,
                 (doc_id * 7) % 2000 + 16 AS height,
                 CAST(101 + doc_id % 29 AS BIGINT) AS n_bytes
-              FROM documents WHERE doc_id < 400 ORDER BY media_id"""))
+              FROM documents WHERE doc_id < 400 ORDER BY media_id""")),
+
+    QueryDef("x179_tx_stream_replica",
+      // TxStream AS A LIBRARY (r14 — the x163 materialized-view loop
+      // promoted to a one-line API): the source lives a full life —
+      // appends, an uppercase merge, a takedown, a botched junk
+      // append ROLLED BACK by restore — and ONE catchUp call replays
+      // every version's reconciled physical delta into the replica
+      // via idempotent MERGE (latest-version-wins per key, insert
+      // beats delete within a version). A SECOND catchUp proves the
+      // token cursor: it re-walks the log and commits nothing. The
+      // replica snapshot is byte-accounted against the oracle's
+      // replay of the source's final state — one lost delta, one
+      // double-applied replay, or a resurrected rolled-back row all
+      // diverge
+      (s, d) => {
+        val src = freshTxRoot(s, "tstr", d)
+        val dst = freshTxRoot(s, "tstd", d)
+        val doc = txDocs(s, d)
+        (0 until 2).foreach(k => TxLog.append(s, src,
+          doc.where(col("doc_id") >= k * 1000 &&
+            col("doc_id") < (k + 1) * 1000), Some("doc_id")))
+        TxLog.merge(s, src, doc.where(col("doc_id") % 6 === 1)
+          .select(col("doc_id"), upper(col("text")).as("text")), "doc_id")
+        TxLog.tombstone(s, src,
+          doc.where(col("doc_id") % 10 === 4).select("doc_id"), "doc_id")
+        val good = TxLog.latestVersion(s, src)
+        TxLog.append(s, src, doc.where(col("doc_id") < 10)
+          .select((col("doc_id") + 70000L).as("doc_id"), col("text")),
+          Some("doc_id"))
+        TxLog.restore(s, src, good)
+        graft.streaming.TxStream.catchUp(s, src, dst, "doc_id")
+        graft.streaming.TxStream.catchUp(s, src, dst, "doc_id") // no-op
+        TxLog.snapshot(s, dst)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                md5(CASE WHEN doc_id % 6 = 1 THEN upper(text)
+                  ELSE text END) AS digest
+              FROM documents
+              WHERE doc_id < 2000 AND doc_id % 10 <> 4
+              ORDER BY doc_id"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

@@ -655,4 +655,46 @@ class StreamingSpec extends SparkSpec {
     assert(TxLog.latestVersion(spark, rootB) === head)
     assert(TxLog.snapshot(spark, rootB).orderBy("id").collect() === replica0)
   }
+
+  test("TxStream: catchUp bootstraps, replicate live-tails, a second " +
+      "catchUp after downtime resumes from the tokens — one-line replicas") {
+    import graft.operators.TxLog
+    import graft.streaming.TxStream
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_txs_src")
+      .toString + "/t"
+    val dst = java.nio.file.Files.createTempDirectory("graft_txs_dst")
+      .toString + "/t"
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    // history BEFORE the replica exists: append + merge + tombstone
+    TxLog.append(spark, src, docs(0, 40), Some("id"))
+    TxLog.merge(spark, src, (0 until 10).map(i => (i.toLong, s"m-$i"))
+      .toDF("id", "text"), "id")
+    TxLog.tombstone(spark, src, Seq(3L, 7L).toDF("id"), "id")
+    // bootstrap: one-shot catch-up replays it all
+    val v0 = TxStream.catchUp(spark, src, dst, "id")
+    assert(v0 === 3L)
+    assert(TxLog.snapshot(spark, dst).orderBy("id").collect() ===
+      TxLog.snapshot(spark, src).orderBy("id").collect())
+    // live tail: commits landing while the stream runs replicate
+    val q = TxStream.replicate(spark, src, dst, "id")
+    try {
+      q.processAllAvailable() // replays 1..3 — tokens make it a no-op
+      TxLog.append(spark, src, docs(40, 60), Some("id"))
+      TxLog.restore(spark, src, 3L) // roll the append back
+      TxLog.append(spark, src, docs(60, 70), Some("id"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TxLog.snapshot(spark, dst).orderBy("id").collect() ===
+      TxLog.snapshot(spark, src).orderBy("id").collect())
+    // downtime: more source commits with no stream running, then a
+    // second catchUp resumes exactly where the tokens left off
+    TxLog.tombstone(spark, src, Seq(65L).toDF("id"), "id")
+    TxLog.merge(spark, src, Seq((61L, "late")).toDF("id", "text"), "id")
+    TxStream.catchUp(spark, src, dst, "id")
+    val a = TxLog.snapshot(spark, src).orderBy("id").collect()
+    assert(TxLog.snapshot(spark, dst).orderBy("id").collect() === a)
+    assert(a.length === 47, "40 - 2 takedowns + 10 tail - 1 takedown")
+  }
 }
