@@ -1839,7 +1839,45 @@ private[graft] object CatalogTx {
                   ELSE text END) AS digest
               FROM documents
               WHERE doc_id < 2000 AND doc_id % 10 <> 4
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    QueryDef("x180_tx_datasource",
+      // the REGISTERED DATA SOURCE (r14 — `graft-tx`, the SQL-side
+      // door: a session that never touches the Scala API builds and
+      // queries a tx table): the table is built through
+      // DataFrameWriter modes alone (errorifexists creates, append
+      // commits v2), masked by a takedown, then read three ways at
+      // once — a SQL `CREATE ... USING` view under a range predicate
+      // (pushed filters become manifest bounds via TxBounds, Spark
+      // re-applies them above the scan), and a versionAsOf travel
+      // read through spark.read.format. A mask leaking through the
+      // view, a write landing without a commit, or travel resolving
+      // the wrong head all diverge the byte-accounting
+      (s, d) => {
+        val root = freshTxRoot(s, "dsq", d)
+        val doc = txDocs(s, d)
+        doc.where(col("doc_id") % 2 === 0).write.format("graft-tx")
+          .option("statsCol", "doc_id").save(root)
+        doc.where(col("doc_id") % 2 === 1).write.format("graft-tx")
+          .mode("append").save(root)
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 17 === 6).select("doc_id"), "doc_id")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW tx_ds_v " +
+          s"USING graft.sources.TxDataSource OPTIONS (path '$root')")
+        s.sql("""SELECT doc_id, md5(text) AS digest FROM tx_ds_v
+                 WHERE doc_id >= 100 AND doc_id < 1500""")
+          .unionByName(s.read.format("graft-tx").option("versionAsOf", 1)
+            .load(root)
+            .select(col("doc_id"), lit("v1").as("digest")))
+          .orderBy("doc_id", "digest")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT doc_id, md5(text) AS digest FROM d
+              WHERE doc_id >= 100 AND doc_id < 1500 AND doc_id % 17 <> 6
+              UNION ALL
+              SELECT doc_id, 'v1' FROM d WHERE doc_id % 2 = 0
+              ORDER BY doc_id, digest"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

@@ -2250,11 +2250,15 @@ object TxLog {
 
   /** Does a dir's recorded stat FOR `keyCol` admit `[lo, hi)`? A dir
     * with no stat on `keyCol` — stat-less, or stats recorded on OTHER
-    * columns — can never be pruned (must scan). */
+    * columns — can never be pruned (must scan). `hi = Long.MaxValue`
+    * reads as UNBOUNDED ABOVE (there is no exclusive bound above the
+    * max long, so a value of exactly Long.MaxValue must still
+    * admit). */
   private def admits(f: AddFile, keyCol: String, lo: Long,
       hi: Long): Boolean =
     f.statFor(keyCol) match {
-      case Some(st) => st.min < hi && st.max >= lo
+      case Some(st) =>
+        (st.min < hi || hi == Long.MaxValue) && st.max >= lo
       case None => true
     }
 
@@ -2286,8 +2290,12 @@ object TxLog {
     val kept = live.filter(f =>
       preds.forall { case (c, lo, hi) => admits(f, c, lo, hi) })
     val pin = pinnedSchemaAt(spark, root, v)
+    // hi = Long.MaxValue means unbounded above — `< MaxValue` would
+    // wrongly exclude a row whose value IS the max long
     val filter = preds.map { case (c, lo, hi) =>
-      col(c).cast("long") >= lo && col(c).cast("long") < hi }
+      val lower = col(c).cast("long") >= lo
+      if (hi == Long.MaxValue) lower
+      else lower && col(c).cast("long") < hi }
       .reduce(_ && _)
     if (kept.isEmpty) {
       // preserve the schema without scanning data: the pin when one

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.operators.TxLog
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The tx commit log as a REGISTERED SPARK DATA SOURCE — the SQL-side
+  * door to everything [[TxLog]] does, so a session that never touches
+  * the Scala API can still read (and append to) transactional tables:
+  *
+  * {{{
+  *   spark.read.format("graft-tx").load(root)                  // head
+  *   spark.read.format("graft-tx")
+  *     .option("versionAsOf", 7).load(root)                    // travel
+  *   df.write.format("graft-tx").mode("append").save(root)
+  *   sql("CREATE TEMP VIEW t USING `graft-tx` OPTIONS (path '…')")
+  * }}}
+  *
+  * Reads delegate to [[TxLog.snapshot]] — tombstone masks, mixed
+  * schema generations, clone-chain resolution and the retention guard
+  * all apply exactly as in the API — and pushed filters that bound a
+  * column to a long range route through [[TxLog.snapshotRangeMulti]],
+  * so MANIFEST-level dir skipping happens before the parquet scan
+  * exactly as it does for API readers ([[TxBounds.boundsFrom]] is the
+  * translation, unit-pinned). Spark re-evaluates every filter above
+  * the scan (this relation declares none handled), so pruning is
+  * purely an I/O optimization — results are exact regardless of which
+  * dirs recorded stats. Writes map `append` onto [[TxLog.append]] and
+  * `overwrite` onto a [[TxLog.rewrite]] that replaces the table with
+  * the incoming frame — each a real commit with stats (the
+  * `statsCol` option names the column; the first long-castable
+  * column otherwise), so a pure-SQL producer still gets a prunable,
+  * travel-readable table. `errorifexists`/`ignore` follow their
+  * DataFrameWriter contracts against table existence. */
+class TxDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-tx"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-tx: a 'path' option (the table root) is required"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val asOf: Option[Long] = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        TxLog.versionAtTime(spark, root,
+          java.sql.Timestamp.valueOf(ts).getTime)))
+    new TxRelation(sqlContext, root, asOf)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val exists = TxLog.latestVersion(spark, root) > 0
+    val statsCol = parameters.get("statsCol").orElse(
+      data.schema.fields.find(f => f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }).map(_.name))
+    mode match {
+      case SaveMode.Append => TxLog.append(spark, root, data, statsCol)
+      case SaveMode.Overwrite =>
+        if (exists) TxLog.rewrite(spark, root, statsCol)(_ => data)
+        else TxLog.append(spark, root, data, statsCol)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"graft-tx: $root already exists (mode=errorifexists)")
+        TxLog.append(spark, root, data, statsCol)
+      case SaveMode.Ignore =>
+        if (!exists) TxLog.append(spark, root, data, statsCol)
+    }
+    new TxRelation(sqlContext, root, None)
+  }
+}
+
+/** One resolved (root, version) read — schema from the engine's own
+  * aligned snapshot, scans through it too. */
+private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
+    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    TxLog.snapshot(spark, root, asOf).schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val bounds = TxBounds.boundsFrom(filters)
+    val base =
+      if (bounds.isEmpty) TxLog.snapshot(spark, root, asOf)
+      else TxLog.snapshotRangeMulti(spark, root, bounds, asOf)
+    base.select(requiredColumns.map(col).toSeq: _*).rdd
+  }
+}
+
+/** Pushed-filter → manifest-bound translation, factored for the unit
+  * pin: long-valued equality and range filters collapse per column to
+  * one `[lo, hi)` interval (the [[TxLog.snapshotRangeMulti]] shape);
+  * anything else — strings, doubles, OR trees, null checks — is
+  * simply not a pruning bound (Spark re-applies every filter above
+  * the scan, so dropping one here costs I/O, never correctness). */
+private[graft] object TxBounds {
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  def boundsFrom(filters: Array[Filter]): Seq[(String, Long, Long)] = {
+    val lo = scala.collection.mutable.Map.empty[String, Long]
+    val hi = scala.collection.mutable.Map.empty[String, Long]
+    def tighten(m: scala.collection.mutable.Map[String, Long], c: String,
+        v: Long, keepMax: Boolean): Unit =
+      m.update(c, m.get(c) match {
+        case Some(prev) => if (keepMax) math.max(prev, v) else math.min(prev, v)
+        case None => v
+      })
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(c, v) => longOf(v).foreach { l =>
+        tighten(lo, c, l, keepMax = true)
+        if (l != Long.MaxValue) tighten(hi, c, l + 1, keepMax = false)
+      }
+      case GreaterThan(c, v) => longOf(v).foreach(l =>
+        if (l != Long.MaxValue) tighten(lo, c, l + 1, keepMax = true))
+      case GreaterThanOrEqual(c, v) => longOf(v).foreach(l =>
+        tighten(lo, c, l, keepMax = true))
+      case LessThan(c, v) => longOf(v).foreach(l =>
+        tighten(hi, c, l, keepMax = false))
+      case LessThanOrEqual(c, v) => longOf(v).foreach(l =>
+        if (l != Long.MaxValue) tighten(hi, c, l + 1, keepMax = false))
+      case And(a, b) => walk(a); walk(b)
+      case _ => // OR trees, strings, IsNotNull, … : no bound
+    }
+    filters.foreach(walk)
+    // a one-sided bound still prunes: open the other side fully
+    val cols = (lo.keySet ++ hi.keySet).toSeq.sorted
+    cols.map(c => (c, lo.getOrElse(c, Long.MinValue),
+      hi.getOrElse(c, Long.MaxValue)))
+  }
+}
