@@ -65,17 +65,28 @@ class TxDataSource extends RelationProvider
         case _: org.apache.spark.sql.types.NumericType => true
         case _ => false
       }).map(_.name))
+    // 'buckets' routes appends through the range-clustered layout
+    // (one AddFile per key bucket with tight stats — the prunable
+    // intake shape) instead of one arrival-order dir
+    val buckets = parameters.get("buckets").map(_.toInt)
+    def land(df: DataFrame): Long = (buckets, statsCol) match {
+      case (Some(b), Some(k)) => TxLog.appendPartitioned(spark, root, df, k, b)
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "graft-tx: 'buckets' needs a key — set 'statsCol' or include " +
+          "a numeric column")
+      case _ => TxLog.append(spark, root, df, statsCol)
+    }
     mode match {
-      case SaveMode.Append => TxLog.append(spark, root, data, statsCol)
+      case SaveMode.Append => land(data)
       case SaveMode.Overwrite =>
         if (exists) TxLog.rewrite(spark, root, statsCol)(_ => data)
-        else TxLog.append(spark, root, data, statsCol)
+        else land(data)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
           s"graft-tx: $root already exists (mode=errorifexists)")
-        TxLog.append(spark, root, data, statsCol)
+        land(data)
       case SaveMode.Ignore =>
-        if (!exists) TxLog.append(spark, root, data, statsCol)
+        if (!exists) land(data)
     }
     new TxRelation(sqlContext, root, None)
   }
@@ -88,11 +99,22 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
 
   private def spark = sqlContext.sparkSession
 
+  // an EMPTIED table (every row merged/rewritten away) still has a
+  // schema contract — serve the pin and zero rows, not an error
+  private def isEmpty: Boolean =
+    TxLog.liveFiles(spark, root, asOf)._2.isEmpty
+
   override val schema: StructType =
-    TxLog.snapshot(spark, root, asOf).schema
+    if (isEmpty)
+      TxLog.pinnedSchema(spark, root).map(StructType.fromDDL)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-tx: $root is empty and carries no schema pin"))
+    else TxLog.snapshot(spark, root, asOf).schema
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    if (isEmpty)
+      return spark.sparkContext.emptyRDD[Row]
     val bounds = TxBounds.boundsFrom(filters)
     val base =
       if (bounds.isEmpty) TxLog.snapshot(spark, root, asOf)
