@@ -1877,7 +1877,51 @@ private[graft] object CatalogTx {
               WHERE doc_id >= 100 AND doc_id < 1500 AND doc_id % 17 <> 6
               UNION ALL
               SELECT doc_id, 'v1' FROM d WHERE doc_id % 2 = 0
-              ORDER BY doc_id, digest"""))
+              ORDER BY doc_id, digest""")),
+
+    QueryDef("x181_tx_detail",
+      // DESCRIBE DETAIL (r14 — the one-row operational summary an
+      // operator reads before choosing compact vs optimize vs
+      // checkpoint): after a known life — four appends, a takedown,
+      // a CHECK constraint, a clone cut REGISTERED from this table
+      // (clone_depth counts cuts in THIS log: 0; the fork's own log
+      // carries 1) — every summary field replays as a constant or a
+      // corpus count: version arithmetic, live-dir count, PHYSICAL
+      // rows (pre-mask — the takedown moved zero data bytes, so
+      // phys_rows stays the full corpus while the logical snapshot
+      // shrank), live tombstones, constraints, the stats column, and
+      // the never-checkpointed / never-vacuumed zeros. The cloned
+      // fork's own detail row rides along (version = cut, depth 1,
+      // same physical footprint — zero-copy made concrete)
+      (s, d) => {
+        val root = freshTxRoot(s, "detail", d)
+        val fork = freshTxRoot(s, "detailf", d)
+        val doc = txDocs(s, d)
+        (0 until 4).foreach(k => TxLog.append(s, root,
+          doc.where(col("doc_id") >= k * 500 && col("doc_id") < (k + 1) * 500),
+          Some("doc_id")))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 9 === 2).select("doc_id"), "doc_id")
+        TxLog.addConstraint(s, root, "pos_id", "doc_id >= 0")
+        TxLog.cloneTable(s, root, fork)
+        TxLog.detail(s, root).withColumn("side", lit("source"))
+          .unionByName(TxLog.detail(s, fork).withColumn("side", lit("fork")))
+          .orderBy("side")
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c
+                         FROM documents WHERE doc_id < 2000)
+              SELECT CAST(7 AS BIGINT) AS version,
+                CAST(4 AS BIGINT) AS n_live_dirs, n.c AS phys_rows,
+                CAST(1 AS BIGINT) AS live_tombstones,
+                CAST(1 AS BIGINT) AS n_constraints,
+                'doc_id' AS stats_col, CAST(1 AS BIGINT) AS clone_depth,
+                CAST(0 AS BIGINT) AS last_checkpoint,
+                CAST(0 AS BIGINT) AS gc_horizon, 'fork' AS side
+              FROM n
+              UNION ALL
+              SELECT 6, 4, n.c, 1, 1, 'doc_id', 0, 0, 0, 'source'
+              FROM n
+              ORDER BY side"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

@@ -2498,6 +2498,29 @@ object TxLog {
     }
   }
 
+  /** ONE operational summary row (the DESCRIBE DETAIL surface): head
+    * version, live-dir count, PHYSICAL row total (AddFile row counts
+    * — pre-mask, the storage number; the logical count is a
+    * `snapshot().count()` away), live tombstones, constraints, the
+    * stats/clustering column, clone-chain depth, the newest
+    * checkpoint (0 = none) and the enforced vacuum horizon (0 =
+    * never vacuumed a referenced dir). Metadata-sized — folds the
+    * log, never reads data; the first thing an operator asks a table
+    * before deciding between compact / optimize / checkpoint. */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val st = foldLog(spark, root, None)
+    Seq((st.version, st.files.size.toLong, st.files.map(_.rows).sum,
+      st.dvs.size.toLong, st.constraints.size.toLong,
+      statsColumn(spark, root).getOrElse("-"),
+      st.clones.size.toLong,
+      lastCheckpoint(spark, root).getOrElse(0L),
+      st.gcHorizon.map(_._1).getOrElse(0L)))
+      .toDF("version", "n_live_dirs", "phys_rows", "live_tombstones",
+        "n_constraints", "stats_col", "clone_depth", "last_checkpoint",
+        "gc_horizon")
+  }
+
   /** The table's commit history as data (the DESCRIBE HISTORY
     * surface): one row per commit with its action, add/remove
     * footprint, committed row count, and producer token. Metadata-
