@@ -62,7 +62,19 @@ object ScaleProbe {
       // and the stats-overlap audit (5 appends + optimize + driver
       // arithmetic over manifests)
       "x170_tx_merge_string", "x171_tx_merge_pruned",
-      "x172_tx_stats_overlap", "x173_tx_point_read")
+      "x172_tx_stats_overlap", "x173_tx_point_read",
+      // r14 second half: RESTORE (appends + botched merge + takedown
+      // + rollback — the materialization of one admitted dir is the
+      // data term), small-dir COMPACTION (8 interleaved appends +
+      // masked pack of the tail), the zero-copy clone fork (two
+      // tables diverging, both read — the clone itself is metadata),
+      // the EXIF APP1→TIFF walk (map-only, doc_id<400 caps it), the
+      // TxStream replica (every version's reconciled delta through
+      // idempotent MERGE — the replay is the data term), and the
+      // registered data source (writer-built table + SQL view read)
+      "x175_tx_restore", "x176_tx_compact", "x177_tx_clone",
+      "x178_exif_orientation", "x179_tx_stream_replica",
+      "x180_tx_datasource")
     // bare args narrow the run to matching families (prefix match,
     // the Scale10Probe convention) — the catalog-query loop only;
     // audio_vad runs on a full pass
