@@ -2135,19 +2135,52 @@ object TxLog {
     cut
   }
 
-  /** The clone roots registered against `root` (markers under
-    * `_txlog/clones/`), raw — stale entries included. */
-  private def cloneMarkers(spark: SparkSession,
-      root: String): Seq[String] = {
+  /** The clone markers registered against `root` (files under
+    * `_txlog/clones/`): (marker path, clone root), raw — stale
+    * entries included. */
+  private def cloneMarkerFiles(spark: SparkSession,
+      root: String): Seq[(String, String)] = {
     val fs = rawFs(spark, root)
     val dir = new org.apache.hadoop.fs.Path(s"${logDir(root)}/clones")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
       val in = fs.open(st.getPath)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-      finally in.close()
-    }.sorted
+      val dst =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      (st.getPath.toString, dst)
+    }.sortBy(_._2)
+  }
+
+  /** The clone roots registered against `root`, raw — stale entries
+    * included. */
+  private def cloneMarkers(spark: SparkSession,
+      root: String): Seq[String] = cloneMarkerFiles(spark, root).map(_._2)
+
+  /** Markers whose clone no longer exists (its log has no commits or
+    * its filesystem is unreachable) — they pin nothing, they are just
+    * debris; RunGc reports them and `--apply` removes them via
+    * [[dropStaleCloneMarkers]]. Returns (marker path, dead clone
+    * root). */
+  def staleCloneMarkers(spark: SparkSession,
+      root: String): Seq[(String, String)] =
+    cloneMarkerFiles(spark, root).filterNot { case (_, dst) =>
+      try latestVersion(spark, dst) > 0
+      catch { case _: Exception => false }
+    }
+
+  /** Delete the stale clone markers under `root`; returns the dead
+    * clone roots whose markers were removed. Safe by construction: a
+    * marker is only removed when its clone's log is GONE — a live
+    * clone's pins are never touched. */
+  def dropStaleCloneMarkers(spark: SparkSession,
+      root: String): Seq[String] = {
+    val fs = rawFs(spark, root)
+    staleCloneMarkers(spark, root).map { case (marker, dst) =>
+      fs.delete(new org.apache.hadoop.fs.Path(marker), false)
+      dst
+    }
   }
 
   /** Every rel dir under `root` that a registered clone (transitively

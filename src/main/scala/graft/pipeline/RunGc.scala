@@ -360,10 +360,24 @@ object RunGc {
               s"compacted-$small-dirs-at-v$v"
             }))
         }
+      // stale clone markers: a deleted fork's registration pins
+      // nothing but lingers as debris — report it, remove under
+      // --apply (live clones' pins are never touched by construction)
+      val staleMarkers =
+        if (!apply)
+          graft.operators.TxLog.staleCloneMarkers(spark, t).map {
+            case (_, dead) =>
+              Finding(t, "tx-stale-clone-marker",
+                s"would-drop-marker-for-$dead")
+          }
+        else graft.operators.TxLog.dropStaleCloneMarkers(spark, t).map {
+          dead => Finding(t, "tx-stale-clone-marker",
+            s"dropped-marker-for-$dead")
+        }
       // the enforced window rides in the action so an --apply run
       // RECORDS what it deleted against (an under-retained vacuum is
       // only diagnosable from its report)
-      ckptFinding ++ auditFinding ++ compactFinding ++
+      ckptFinding ++ auditFinding ++ compactFinding ++ staleMarkers ++
         plan.map(rel => Finding(s"$t/$rel",
         "tx-unreachable-data",
         if (!apply) s"would-vacuum-retain-$retainVersions"

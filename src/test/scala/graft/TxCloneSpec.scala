@@ -168,6 +168,21 @@ class TxCloneSpec extends SparkSpec {
     TxLog.append(spark, src, docs(810, 820), Some("id"))
     val gone4 = TxLog.vacuum(spark, src, retainVersions = 1, graceMs = 0L)
     assert(gone4.nonEmpty, "a deleted clone's marker must not pin")
+    // marker hygiene: the dead fork's registration is debris — RunGc
+    // reports it, --apply drops EXACTLY it (live markers survive)
+    val lake = new java.io.File(src).getParentFile.getAbsolutePath
+    val dry = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60)
+      .filter(_.kind == "tx-stale-clone-marker")
+    assert(dry.size === 1 && dry.head.action.startsWith("would-drop"))
+    val applied = graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60,
+      apply = true).filter(_.kind == "tx-stale-clone-marker")
+    assert(applied.size === 1 && applied.head.action.startsWith("dropped"))
+    assert(TxLog.staleCloneMarkers(spark, src).isEmpty)
+    assert(graft.pipeline.RunGc.run(spark, lake, ageMinutes = 60)
+      .filter(_.kind == "tx-stale-clone-marker").isEmpty, "converged")
+    // the LIVE clones' markers are untouched: a and b still registered
+    assert(TxLog.snapshot(spark, a).count() === 200)
+    assert(TxLog.snapshot(spark, b).count() === 200)
   }
 
   test("clone vacuum locality: an aggressive vacuum on the clone deletes " +
