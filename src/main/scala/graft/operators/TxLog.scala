@@ -2113,15 +2113,16 @@ object TxLog {
           "into the same root?")
     }
     val cut = srcHead + 1
-    val bytes = renderManifest("clone", Seq.empty, Seq.empty, None,
-      clones = Seq((cut, base)))
-    require(publishIfAbsent(spark, dstRoot, manifestName(cut, "commit"),
-      bytes), s"cloneTable: could not claim v$cut in $dstRoot")
-    // register the clone WITH the source (a marker file, not a
+    // register the clone WITH the source FIRST (a marker file, not a
     // commit — the source's version history is not the clone's
     // business): the source's [[vacuum]] walks these to keep every
     // pre-fork dir a live clone still references, closing the
-    // shared-fate hole Delta shallow clones live with. A marker whose
+    // shared-fate hole Delta shallow clones live with. Marker BEFORE
+    // the clone commit, so no crash ordering can yield a FUNCTIONAL
+    // clone the source doesn't know about — a crash right here
+    // instead leaves a marker pointing at a commit-less fork, which
+    // pins nothing (no clone record in its fold) and cleans up as a
+    // stale marker once the debris dst is deleted. A marker whose
     // table was deleted pins nothing (skipped); a localized clone
     // (all live gens past its cut) pins nothing automatically.
     val dstFs = rawFs(spark, dstRoot)
@@ -2132,6 +2133,10 @@ object TxLog {
       s"c${java.util.UUID.randomUUID()}.ref")
     val out = srcFs.create(marker, false)
     try out.write(qualifiedDst.getBytes("UTF-8")) finally out.close()
+    val bytes = renderManifest("clone", Seq.empty, Seq.empty, None,
+      clones = Seq((cut, base)))
+    require(publishIfAbsent(spark, dstRoot, manifestName(cut, "commit"),
+      bytes), s"cloneTable: could not claim v$cut in $dstRoot")
     cut
   }
 

@@ -656,6 +656,34 @@ class StreamingSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, rootB).orderBy("id").collect() === replica0)
   }
 
+  test("RunReplica: one journey command bootstraps, resumes after " +
+      "downtime, and live-tails — same operation, token cursor") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_rr_src")
+      .toString + "/t"
+    val dst = java.nio.file.Files.createTempDirectory("graft_rr_dst")
+      .toString + "/t"
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    TxLog.append(spark, src, docs(0, 30), Some("id"))
+    TxLog.tombstone(spark, src, Seq(4L).toDF("id"), "id")
+    // bootstrap pass
+    val (applied1, head1) = graft.pipeline.RunReplica.run(
+      spark, src, dst, "id")
+    assert(applied1 === 2L && head1 === 2L)
+    assert(TxLog.snapshot(spark, dst).count() === 29)
+    // idle pass: nothing to do, nothing applied
+    assert(graft.pipeline.RunReplica.run(spark, src, dst, "id")._1 === 0L)
+    // downtime commits, then a watch window catches them live
+    TxLog.merge(spark, src, Seq((5L, "five")).toDF("id", "text"), "id")
+    val (applied3, _) = graft.pipeline.RunReplica.run(spark, src, dst,
+      "id", watchSeconds = 2L)
+    assert(applied3 === 1L)
+    assert(TxLog.snapshot(spark, dst).orderBy("id").collect() ===
+      TxLog.snapshot(spark, src).orderBy("id").collect())
+  }
+
   test("TxStream: catchUp bootstraps, replicate live-tails, a second " +
       "catchUp after downtime resumes from the tokens — one-line replicas") {
     import graft.operators.TxLog
