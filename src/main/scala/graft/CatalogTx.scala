@@ -1921,7 +1921,54 @@ private[graft] object CatalogTx {
               UNION ALL
               SELECT 6, 4, n.c, 1, 1, 'doc_id', 0, 0, 0, 'source'
               FROM n
-              ORDER BY side"""))
+              ORDER BY side""")),
+
+    QueryDef("x182_tx_rename_drop",
+      // METADATA-ONLY RENAME + DROP (r14 — the Delta column-mapping
+      // move as versioned name lineage, closing the r13 whitelist's
+      // "rename/drop is a rewrite"): evens land under (doc_id, text,
+      // lang), a takedown publishes under the OLD key name, the key
+      // renames to doc_key (zero bytes move), odds land in the new
+      // shape, lang is DROPPED, then re-ADDED, and a final batch
+      // carries lang='xx'. The snapshot must show: the old-name
+      // tombstone still masking the even %8==2 rows, every pre-drop
+      // generation reading lang as NULL (the lineage ended — the
+      // dropped 'real' values must NOT resurrect into the re-added
+      // column), and the fresh batch's 'xx' intact. One leaked
+      // dropped value, one lost mask, or one mis-mapped key diverges
+      (s, d) => {
+        val root = freshTxRoot(s, "renames", d)
+        val doc = documents(s, d).where(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"), col("lang"))
+        TxLog.append(s, root, doc.where(col("doc_id") % 2 === 0),
+          Some("doc_id"))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 8 === 2).select("doc_id"), "doc_id")
+        TxLog.renameColumn(s, root, "doc_id", "doc_key")
+        TxLog.append(s, root, doc.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("doc_key"), col("text"), col("lang")),
+          Some("doc_key"))
+        TxLog.dropColumn(s, root, "lang")
+        TxLog.evolveSchema(s, root,
+          "doc_key BIGINT, text STRING, lang STRING")
+        TxLog.append(s, root, doc.where(col("doc_id") < 100)
+          .select((col("doc_id") + 30000L).as("doc_key"), col("text"),
+            lit("xx").as("lang")), Some("doc_key"))
+        TxLog.snapshot(s, root)
+          .select(col("doc_key"), md5(col("text")).as("digest"),
+            coalesce(col("lang"), lit("-")).as("lang"))
+          .orderBy("doc_key")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT doc_id AS doc_key, md5(text) AS digest, '-' AS lang
+              FROM d
+              WHERE doc_id % 2 = 1
+                 OR (doc_id % 2 = 0 AND doc_id % 8 <> 2)
+              UNION ALL
+              SELECT doc_id + 30000, md5(text), 'xx'
+              FROM d WHERE doc_id < 100
+              ORDER BY doc_key"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

@@ -124,7 +124,8 @@ object TxLog {
       dropConstraints: Seq[String] = Seq.empty,
       ts: Option[Long] = None,
       gc: Option[(Long, Long)] = None,
-      clones: Seq[(Long, String)] = Seq.empty)
+      clones: Seq[(Long, String)] = Seq.empty,
+      evos: Seq[(Long, String, String, String)] = Seq.empty)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -309,6 +310,7 @@ object TxLog {
     val removes = Seq.newBuilder[String]
     val dvs = Seq.newBuilder[Tombstone]
     val clones = Seq.newBuilder[(Long, String)]
+    val evos = Seq.newBuilder[(Long, String, String, String)]
     val cons = Seq.newBuilder[(String, String)]
     val dropCons = Seq.newBuilder[String]
     text.split('\n').map(_.trim).filter(_.nonEmpty).foreach { line =>
@@ -336,6 +338,14 @@ object TxLog {
           // the cut resolve under basePath (see [[cloneTable]])
           val bar = value.indexOf('|')
           clones += ((value.take(bar).toLong, value.drop(bar + 1)))
+        case "rename" => // `from|to` in a commit; `v|from|to` folded
+          val f = value.split('|')
+          evos += (if (f.length >= 3) (f(0).toLong, "rename", f(1), f(2))
+            else (version, "rename", f(0), f(1)))
+        case "drop" => // `name` in a commit; `v|name` folded
+          val f = value.split('|')
+          evos += (if (f.length >= 2) (f(0).toLong, "drop", f(1), "")
+            else (version, "drop", f(0), ""))
         case "add" =>
           // v1 layouts: legacy `dir|rows|mn|mx` (stats column implied
           // by the manifest-level statscol line, which renders BEFORE
@@ -378,7 +388,7 @@ object TxLog {
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
       schema, txn, dvs.result(), cons.result(), dropCons.result(), ts, gc,
-      clones.result())
+      clones.result(), evos.result())
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -397,7 +407,9 @@ object TxLog {
       constraints: Seq[(String, String)] = Seq.empty,
       dropConstraints: Seq[String] = Seq.empty,
       gc: Option[(Long, Long)] = None,
-      clones: Seq[(Long, String)] = Seq.empty): Array[Byte] = {
+      clones: Seq[(Long, String)] = Seq.empty,
+      evos: Seq[(Long, String, String, String)] = Seq.empty,
+      evoVersions: Boolean = false): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
@@ -413,6 +425,16 @@ object TxLog {
       require(!base.contains('|') && !base.contains('\n'),
         s"clone base path must not contain '|' or newlines: $base")
       sb.append("clone=").append(cut).append('|').append(base).append('\n')
+    }
+    evos.foreach { case (v, kind, from, to) =>
+      require(!from.contains('|') && !to.contains('|') &&
+        !from.contains('\n') && !to.contains('\n'),
+        s"column names must not contain '|' or newlines: $from/$to")
+      sb.append(kind).append('=')
+      if (evoVersions) sb.append(v).append('|')
+      sb.append(from)
+      if (kind == "rename") sb.append('|').append(to)
+      sb.append('\n')
     }
     dvs.foreach { d =>
       require(!d.keyCol.contains('|') && !d.keyCol.contains('\n'),
@@ -538,14 +560,16 @@ object TxLog {
   private final case class LogState(version: Long, files: Seq[AddFile],
       dvs: Seq[Tombstone], constraints: Seq[(String, String)],
       gcHorizon: Option[(Long, Long)],
-      clones: Seq[(Long, String)] = Seq.empty)
+      clones: Seq[(Long, String)] = Seq.empty,
+      evos: Seq[(Long, String, String, String)] = Seq.empty)
 
   private def foldLog(spark: SparkSession, root: String,
       asOf: Option[Long]): LogState = {
     val entries = listLog(spark, root)
     val commitVs = entries.collect { case (v, "commit", _) => v }
     if (commitVs.isEmpty)
-      return LogState(0L, Seq.empty, Seq.empty, Seq.empty, None, Seq.empty)
+      return LogState(0L, Seq.empty, Seq.empty, Seq.empty, None, Seq.empty,
+        Seq.empty)
     val target = asOf.getOrElse(commitVs.max)
     require(commitVs.exists(_ <= target) || target == 0,
       s"no commit at or before version $target in $root")
@@ -556,6 +580,7 @@ object TxLog {
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val dvs = Seq.newBuilder[Tombstone]
     val clones = Seq.newBuilder[(Long, String)]
+    val evos = Seq.newBuilder[(Long, String, String, String)]
     // the strictest vacuum horizon folds forward like the live set, so
     // a head fold answers the retention question in O(since-checkpoint)
     var gcH = Option.empty[(Long, Long)]
@@ -566,6 +591,7 @@ object TxLog {
       c.adds.foreach(a => live.update(a.dir, a))
       dvs ++= c.dvs
       clones ++= c.clones
+      evos ++= c.evos
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
       foldGc(c.gc)
     }
@@ -578,6 +604,7 @@ object TxLog {
       c.adds.foreach(a => live.update(a.dir, a))
       dvs ++= c.dvs
       clones ++= c.clones
+      evos ++= c.evos
       c.dropConstraints.foreach(cons.remove)
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
       foldGc(c.gc)
@@ -586,7 +613,8 @@ object TxLog {
     val liveDvs = dvs.result()
       .filter(dv => files.exists(_.gen <= dv.version))
     LogState(math.min(target, commitVs.max), files, liveDvs, cons.toSeq,
-      gcH, clones.result().distinct.sortBy(_._1))
+      gcH, clones.result().distinct.sortBy(_._1),
+      evos.result().distinct.sortBy(_._1))
   }
 
   /** Resolve the live file set at `asOf` (head when None). */
@@ -678,6 +706,25 @@ object TxLog {
       gen: Long): String =
     clones.find(_._1 > gen).map(_._2).getOrElse(root)
 
+  /** Follow a physical column name written at generation `g` FORWARD
+    * through the rename/drop evolution records above it: each rename
+    * moves the lineage to its new name, a drop ends it (None — the
+    * bytes are still in old files but no live logical column owns
+    * them, so they read as absent; a later re-ADD of the same name is
+    * a fresh lineage that must NOT resurrect them — exactly Delta's
+    * column-mapping rule, expressed with names + versions instead of
+    * field ids). */
+  private def lineage(evos: Seq[(Long, String, String, String)], g: Long,
+      phys: String): Option[String] = {
+    var cur = phys
+    evos.filter(_._1 > g).sortBy(_._1).foreach {
+      case (_, "rename", a, b) => if (cur == a) cur = b
+      case (_, "drop", a, _) => if (cur == a) return None
+      case _ =>
+    }
+    Some(cur)
+  }
+
   /** Read a set of live data dirs ALIGNED to the table schema at
     * `targetDdl` — the mixed-generation read behind schema evolution.
     * Dirs are grouped by their write-time schema generation (each
@@ -693,7 +740,8 @@ object TxLog {
   private def readAligned(spark: SparkSession, root: String,
       files: Seq[AddFile], targetDdl: Option[String],
       tagAdded: Boolean = false,
-      clones: Seq[(Long, String)] = Seq.empty): DataFrame = {
+      clones: Seq[(Long, String)] = Seq.empty,
+      evos: Seq[(Long, String, String, String)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.types.StructType
     def path(f: AddFile) = s"${baseFor(root, clones, f.gen)}/${f.dir}"
     targetDdl match {
@@ -711,12 +759,22 @@ object TxLog {
               val src = StructType.fromDDL(ddl)
               val df = spark.read.schema(src)
                 .parquet(fs.map(path): _*)
-              if (ddl == tn) df
-              else df.select(tgt.fields.map { f =>
-                if (src.fieldNames.contains(f.name))
-                  col(f.name).cast(f.dataType).as(f.name)
-                else lit(null).cast(f.dataType).as(f.name)
-              }.toSeq: _*)
+              val relevant = evos.filter(_._1 > g)
+              if (ddl == tn && relevant.isEmpty) df
+              else {
+                // head-name -> this generation's physical name, per
+                // the rename/drop lineage (a physical column whose
+                // lineage was dropped maps to NOTHING — a same-named
+                // later column reads null here, never the old bytes)
+                val physFor = src.fieldNames.flatMap(p =>
+                  lineage(relevant, g, p).map(_ -> p)).toMap
+                df.select(tgt.fields.map { f =>
+                  physFor.get(f.name) match {
+                    case Some(p) => col(p).cast(f.dataType).as(f.name)
+                    case None => lit(null).cast(f.dataType).as(f.name)
+                  }
+                }.toSeq: _*)
+              }
             case _ =>
               spark.read.parquet(fs.map(path): _*)
           }
@@ -738,9 +796,10 @@ object TxLog {
   private def readMasked(spark: SparkSession, root: String,
       files: Seq[AddFile], targetDdl: Option[String],
       dvs: Seq[Tombstone],
-      clones: Seq[(Long, String)] = Seq.empty): DataFrame =
+      clones: Seq[(Long, String)] = Seq.empty,
+      evos: Seq[(Long, String, String, String)] = Seq.empty): DataFrame =
     if (dvs.isEmpty) readAligned(spark, root, files, targetDdl,
-      clones = clones)
+      clones = clones, evos = evos)
     else {
       // dirs that postdate EVERY tombstone can never hold a masked row
       // — they bypass the anti-join entirely (after an optimize that
@@ -751,16 +810,21 @@ object TxLog {
       val cleanPart =
         if (clean.isEmpty) None
         else Some(readAligned(spark, root, clean, targetDdl,
-          clones = clones))
+          clones = clones, evos = evos))
       val maskedPart = if (maskable.isEmpty) None else {
         val base = readAligned(spark, root, maskable, targetDdl,
-          tagAdded = true, clones = clones)
-        val masked = dvs.groupBy(_.keyCol).toSeq.sortBy(_._1)
+          tagAdded = true, clones = clones, evos = evos)
+        val masked = dvs
+          .groupBy(d => lineage(evos, d.version, d.keyCol)
+            .getOrElse(d.keyCol))
+          .toSeq.sortBy(_._1)
           .foldLeft(base) { case (acc, (kc, ds)) =>
             val kt = acc.schema(kc).dataType
+            // the key FILE is physical: it carries the name in force
+            // when the takedown was published, not the head name
             val keys = ds.map(d => spark.read
                 .parquet(s"${baseFor(root, clones, d.version)}/${d.rel}")
-                .select(col(kc).cast(kt).as("__dvk"),
+                .select(col(d.keyCol).cast(kt).as("__dvk"),
                   lit(d.version).as("__dvv")))
               .reduce(_.unionByName(_))
               .groupBy("__dvk").agg(max("__dvv").as("__dvv"))
@@ -1045,7 +1109,7 @@ object TxLog {
       val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
       require(live0.nonEmpty, s"rewrite: $root has no live data at v$v0")
       val snap = readMasked(spark, root, live0,
-        pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
+        pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
       val out = transform(snap)
       val add = writeDataDir(spark, root, out, statsCol.toSeq,
         st0.constraints)
@@ -1227,7 +1291,7 @@ object TxLog {
     val out =
       if (touched.isEmpty) upserts // nothing can hold a batch key
       else readMasked(spark, root, touched,
-          pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
+          pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts)
     val add = writeDataDir(spark, root, out, stats, st0.constraints)
@@ -1555,6 +1619,119 @@ object TxLog {
     v
   }
 
+  /** RENAME a column — METADATA ONLY, no data bytes move (the Delta
+    * column-mapping move, expressed as a versioned name-lineage
+    * record instead of field ids): the commit re-pins the schema with
+    * the new name and records `rename from|to`; readers map each
+    * older generation's physical name forward through the records
+    * ([[lineage]]), so mixed-generation snapshots, travel reads and
+    * tombstone masks (a takedown published under the old name keeps
+    * masking) all keep working. New writes must use the new name (the
+    * schema pin enforces it). Stats recorded under the old name stop
+    * pruning reads on the new name — conservative, never wrong; the
+    * next optimize/compact re-records them. Refused while a live
+    * CHECK constraint mentions the column (the constraint text would
+    * silently stop matching rows). */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String): Long = {
+    import org.apache.spark.sql.types._
+    require(from != to, s"renameColumn: '$from' to itself")
+    require(!Seq(from, to).exists(c => c.contains('|') || c.contains('\n')),
+      "renameColumn: names must not contain '|' or newlines")
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(spark, root)
+      require(head > 0, s"renameColumn: $root has no commits")
+      val pin = pinnedSchema(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"renameColumn: $root has no schema pin (legacy log)"))
+      val oldT = StructType.fromDDL(pin)
+      require(oldT.fieldNames.contains(from),
+        s"renameColumn: no column '$from' in [$pin]")
+      require(!oldT.fieldNames.contains(to),
+        s"renameColumn: '$to' already exists in [$pin]")
+      constraintMentions(spark, root, from).foreach(n =>
+        throw new IllegalArgumentException(
+          s"renameColumn: constraint '$n' references '$from' — drop or " +
+            "re-state the constraint first"))
+      val newT = StructType(oldT.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val newStats = statsColumn(spark, root)
+        .map(c => if (c == from) to else c)
+      val bytes = renderManifest("rename", Seq.empty, Seq.empty, newStats,
+        Some(ddlNorm(newT.toDDL)), evos = Seq((0L, "rename", from, to)))
+      if (publishIfAbsent(spark, root, manifestName(head + 1, "commit"),
+          bytes))
+        return head + 1
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"renameColumn: no claim after $MaxClaimRetries tries")
+      pinnedSchema(spark, root).foreach(p => if (ddlNorm(p) != ddlNorm(pin))
+        throw new TxConflictException(
+          s"renameColumn of $root lost to a concurrent schema change — " +
+            s"pin is now [$p]"))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** DROP a column — METADATA ONLY: the commit re-pins the narrower
+    * schema and records `drop name`; the bytes stay in old files but
+    * no live logical column owns them, and a LATER re-add of the same
+    * name is a fresh lineage that reads null over old generations —
+    * never the dropped bytes (the [[lineage]] break). Refused for the
+    * last column and while a live CHECK constraint mentions it. */
+  def dropColumn(spark: SparkSession, root: String,
+      name: String): Long = {
+    import org.apache.spark.sql.types._
+    require(!name.contains('|') && !name.contains('\n'),
+      "dropColumn: name must not contain '|' or newlines")
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(spark, root)
+      require(head > 0, s"dropColumn: $root has no commits")
+      val pin = pinnedSchema(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"dropColumn: $root has no schema pin (legacy log)"))
+      val oldT = StructType.fromDDL(pin)
+      require(oldT.fieldNames.contains(name),
+        s"dropColumn: no column '$name' in [$pin]")
+      require(oldT.fields.length > 1,
+        s"dropColumn: '$name' is the only column of $root")
+      constraintMentions(spark, root, name).foreach(n =>
+        throw new IllegalArgumentException(
+          s"dropColumn: constraint '$n' references '$name' — drop the " +
+            "constraint first"))
+      val newT = StructType(oldT.fields.filterNot(_.name == name))
+      val newStats = statsColumn(spark, root).filterNot(_ == name)
+      val bytes = renderManifest("dropcol", Seq.empty, Seq.empty, newStats,
+        Some(ddlNorm(newT.toDDL)), evos = Seq((0L, "drop", name, "")))
+      if (publishIfAbsent(spark, root, manifestName(head + 1, "commit"),
+          bytes))
+        return head + 1
+      attempt += 1
+      if (attempt > MaxClaimRetries) throw new java.io.IOException(
+        s"dropColumn: no claim after $MaxClaimRetries tries")
+      pinnedSchema(spark, root).foreach(p => if (ddlNorm(p) != ddlNorm(pin))
+        throw new TxConflictException(
+          s"dropColumn of $root lost to a concurrent schema change — " +
+            s"pin is now [$p]"))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The live CHECK constraints whose expression TEXT mentions
+    * `column` as a word — the conservative guard rename/drop use (a
+    * false positive refuses and asks the operator to re-state; a miss
+    * would silently decouple the constraint from its data). */
+  private def constraintMentions(spark: SparkSession, root: String,
+      column: String): Option[String] = {
+    val re = ("(?<![A-Za-z0-9_`])" + java.util.regex.Pattern.quote(column) +
+      "(?![A-Za-z0-9_`])").r
+    constraints(spark, root).collectFirst {
+      case (n, e) if re.findFirstIn(e).isDefined => n
+    }
+  }
+
   /** APPEND with clustered partitioning: the batch lands as one
     * commit of `buckets` dirs, each its own AddFile with tight stats —
     * so reads and merges prune within this batch from the moment it
@@ -1665,7 +1842,7 @@ object TxLog {
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeRange: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
+      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
     val r = snap.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()
     require(!r.isNullAt(0),
@@ -1718,7 +1895,7 @@ object TxLog {
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeZOrder: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
+      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
     val zc = ZOrder.interleave16(col(xCol), col(yCol))
     val r = snap.agg(min(zc), max(zc)).head()
     require(!r.isNullAt(0),
@@ -1769,7 +1946,7 @@ object TxLog {
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeHash: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
-      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
+      pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
     val width = math.max(1L, (HashSpace + buckets - 1) / buckets)
     val bucket = (keyHash(col(keyCol)) / width).cast("long")
     val rel = s"data/${java.util.UUID.randomUUID()}"
@@ -1832,7 +2009,7 @@ object TxLog {
       val small = live0.filter(_.rows < targetRows)
       if (small.size < 2) v0 else {
       val snap = readMasked(spark, root, small,
-        pinnedSchemaAt(spark, root, v0), dvs0, st0.clones)
+        pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
       val keyColOpt = statsColumn(spark, root)
         .filter(snap.columns.contains)
       // bucket count from the PRE-mask row sum (masked rows only
@@ -1928,7 +2105,8 @@ object TxLog {
     publishIfAbsent(spark, root, manifestName(st.version, "checkpoint"),
       renderManifest("checkpoint", st.files, Seq.empty, None,
         dvs = st.dvs, dvVersions = true, constraints = st.constraints,
-        gc = st.gcHorizon, clones = st.clones))
+        gc = st.gcHorizon, clones = st.clones, evos = st.evos,
+        evoVersions = true))
     st.version
   }
 
@@ -2022,7 +2200,7 @@ object TxLog {
       else {
         val matFiles = stT.files.filter(f => affected(f.dir))
         val df = readMasked(spark, root, matFiles, pinT, stT.dvs,
-          st0.clones)
+          st0.clones, stT.evos)
         Some(writeDataDir(spark, root, df, statsCol.toSeq,
           stT.constraints))
       }
@@ -2251,7 +2429,7 @@ object TxLog {
     require(st.files.nonEmpty, s"snapshot: $root is empty at v${st.version}")
     readMasked(spark, root, st.files,
       pinnedSchemaAt(spark, root, st.version), st.dvs,
-      cloneChain(spark, root, st, asOf))
+      cloneChain(spark, root, st, asOf), st.evos)
   }
 
   /** The clone chain to resolve a fold's dirs with: a travel read
@@ -2347,7 +2525,7 @@ object TxLog {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else readMasked(spark, root, kept, pin, dvs,
-        cloneChain(spark, root, st, asOf))
+        cloneChain(spark, root, st, asOf), st.evos)
       .where(filter)
   }
 
@@ -2401,7 +2579,7 @@ object TxLog {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else readMasked(spark, root, kept, pin, dvs,
-        cloneChain(spark, root, st, asOf))
+        cloneChain(spark, root, st, asOf), st.evos)
       .join(broadcast(ks), Seq(keyCol), "left_semi")
   }
 
@@ -2474,8 +2652,13 @@ object TxLog {
     val cs = commitsInRange(spark, root, fromV, toV)
     require(cs.nonEmpty, s"changes: no commits in ($fromV, $toV] at $root")
     // clone records never change after a log is created, so the head
-    // fold's chain resolves every window's dirs (pre-fork -> base)
-    val clones = foldLog(spark, root, None).clones
+    // fold's chain resolves every window's dirs (pre-fork -> base);
+    // rename/drop lineage is scoped to the WINDOW END — a rename
+    // after the window must not re-shape its deltas
+    val headSt = foldLog(spark, root, None)
+    val clones = headSt.clones
+    val tEnd = math.min(toV, cs.map(_.version).max)
+    val evos = headSt.evos.filter(_._1 <= tEnd)
     // align every part to the pin at the WINDOW END — a consumer of
     // (fromV, toV] reconciles in toV's schema; pre-evolution rows
     // backfill nulls exactly as a snapshot read would
@@ -2487,7 +2670,7 @@ object TxLog {
     val parts = cs.flatMap { c =>
       val ins = if (c.adds.isEmpty) None
         else Some(readAligned(spark, root, c.adds, target,
-            clones = clones)
+            clones = clones, evos = evos)
           .withColumn("__version", lit(c.version))
           .withColumn("__change", lit("insert")))
       val del = if (c.removes.isEmpty) None
@@ -2497,7 +2680,7 @@ object TxLog {
             preLive.find(_.dir == r)
               .getOrElse(AddFile(r, 0L, Seq.empty, c.version)))
           Some(readAligned(spark, root, removedFiles, target,
-              clones = clones)
+              clones = clones, evos = evos)
             .withColumn("__version", lit(c.version))
             .withColumn("__change", lit("delete")))
         }
@@ -2511,8 +2694,20 @@ object TxLog {
             .parquet(s"${baseFor(root, clones, d.version)}/${d.rel}")
             .select(col(d.keyCol).as(kc))).reduce(_.unionByName(_))
             .distinct()
-          Some(alignTo(snapshotInner(spark, root, Some(c.version - 1))
-              .join(keys, Seq(kc), "left_semi"), target)
+          // the pre-takedown snapshot speaks the names in force at
+          // c.version-1; renames up to the window end must apply
+          // BEFORE the name-based alignment or a renamed column
+          // would null out of the delta
+          val pre = snapshotInner(spark, root, Some(c.version - 1))
+            .join(keys, Seq(kc), "left_semi")
+          val renamed = evos
+            .filter(e => e._1 >= c.version && e._2 == "rename")
+            .sortBy(_._1)
+            .foldLeft(pre) { case (df, (_, _, from, to)) =>
+              if (df.columns.contains(from)) df.withColumnRenamed(from, to)
+              else df
+            }
+          Some(alignTo(renamed, target)
             .withColumn("__version", lit(c.version))
             .withColumn("__change", lit("delete")))
         }

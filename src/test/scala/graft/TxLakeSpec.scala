@@ -768,6 +768,82 @@ class TxLakeSpec extends SparkSpec {
       "the replica must not resurrect the rolled-back merge")
   }
 
+  test("renameColumn is metadata-only: old generations map forward, a " +
+      "mask published under the old name keeps masking, travel speaks " +
+      "the old name, and the pin enforces the new one") {
+    val root = freshRoot("rename")
+    TxLog.append(spark, root, docs(0, 100), Some("id"))
+    TxLog.tombstone(spark, root, Seq(7L).toDF("id"), "id")     // old name
+    val dirsBefore = TxLog.liveFiles(spark, root)._2.map(_.dir).toSet
+    TxLog.renameColumn(spark, root, "id", "doc_key")           // v3
+    // METADATA ONLY: no dir moved
+    assert(TxLog.liveFiles(spark, root)._2.map(_.dir).toSet === dirsBefore)
+    // new-shape appends flow; the old shape is a loud drift
+    TxLog.append(spark, root,
+      (100 until 120).map(i => (i.toLong, s"doc-$i")).toDF("doc_key", "text"),
+      Some("doc_key"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, root, docs(120, 130), Some("id"))
+    }
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("doc_key", "text"))
+    assert(snap.count() === 119)
+    assert(snap.where(col("doc_key") === 7L).count() === 0,
+      "the old-name tombstone must keep masking through the rename")
+    // travel BEFORE the rename speaks the old name
+    val old = TxLog.snapshot(spark, root, Some(2L))
+    assert(old.columns.toSeq === Seq("id", "text") && old.count() === 99)
+    // merge on the NEW name updates an old-generation row
+    TxLog.merge(spark, root,
+      Seq((50L, "renamed-merge")).toDF("doc_key", "text"), "doc_key")
+    assert(TxLog.snapshot(spark, root).where(col("doc_key") === 50L)
+      .select("text").as[String].head() === "renamed-merge")
+    // checkpoint folds the lineage records; reads keep mapping
+    TxLog.checkpoint(spark, root)
+    assert(TxLog.snapshot(spark, root).count() === 119)
+    assert(TxLog.statsColumn(spark, root) === Some("doc_key"))
+    // a live constraint naming the column refuses the rename
+    TxLog.addConstraint(spark, root, "pos", "doc_key >= 0")
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, root, "doc_key", "k2")
+    }
+  }
+
+  test("dropColumn ends the lineage: a re-added same-named column reads " +
+      "NULL over old generations — never the dropped bytes") {
+    val root = freshRoot("dropc")
+    TxLog.append(spark, root, docs(0, 50)
+      .withColumn("lang", lit("en")), Some("id"))
+    TxLog.dropColumn(spark, root, "lang")
+    assert(TxLog.snapshot(spark, root).columns.toSeq === Seq("id", "text"))
+    // re-add the SAME name, land new-generation rows carrying it
+    TxLog.evolveSchema(spark, root, "id BIGINT, text STRING, lang STRING")
+    TxLog.append(spark, root, docs(50, 60)
+      .withColumn("lang", lit("fr")), Some("id"))
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 60)
+    assert(snap.where(col("id") < 50 && col("lang").isNotNull).count() === 0,
+      "old generations must read NULL, not the dropped 'en' bytes")
+    assert(snap.where(col("lang") === "fr").count() === 10)
+    // travel BEFORE the drop still reads the original values
+    assert(TxLog.snapshot(spark, root, Some(1L))
+      .where(col("lang") === "en").count() === 50)
+    // CDC aligned to the window end follows the same rule
+    val cdc = TxLog.changes(spark, root, 0L, TxLog.latestVersion(spark, root))
+    assert(cdc.where(col("__change") === "insert" && col("id") < 50 &&
+      col("lang").isNotNull).count() === 0)
+    // guards: last column, constraint reference
+    intercept[IllegalArgumentException] {
+      val r2 = freshRoot("dropl")
+      TxLog.append(spark, r2, Seq(Tuple1(1L)).toDF("id"), Some("id"))
+      TxLog.dropColumn(spark, r2, "id")
+    }
+    TxLog.addConstraint(spark, root, "has_text", "length(text) >= 0")
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, root, "text")
+    }
+  }
+
   test("restore below a vacuum horizon fails with the retention window " +
       "named — never a parquet FileNotFound") {
     val root = freshRoot("restgc")
