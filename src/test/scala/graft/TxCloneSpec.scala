@@ -185,6 +185,36 @@ class TxCloneSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, b).count() === 200)
   }
 
+  test("name lineage rides the fork: a pre-fork rename maps the clone's " +
+      "base dirs; a clone-local rename diverges from the source") {
+    val src = freshRoot("lsrc")
+    TxLog.append(spark, src, docs(0, 50), Some("id"))
+    TxLog.renameColumn(spark, src, "id", "k")        // pre-fork lineage
+    val dst = freshRoot("ldst")
+    TxLog.cloneTable(spark, src, dst)
+    // the clone reads base dirs through the copied lineage records
+    assert(TxLog.snapshot(spark, dst).columns.toSeq === Seq("k", "text"))
+    assert(TxLog.snapshot(spark, dst).agg(sum("k")).head().getLong(0) ===
+      (0L until 50L).sum)
+    // clone-LOCAL rename: the fork's contract moves, the source's not
+    TxLog.renameColumn(spark, dst, "k", "m")
+    TxLog.append(spark, dst, (50 until 60)
+      .map(i => (i.toLong, s"doc-$i")).toDF("m", "text"), Some("m"))
+    assert(TxLog.snapshot(spark, dst).columns.toSeq === Seq("m", "text"))
+    assert(TxLog.snapshot(spark, dst).count() === 60)
+    assert(TxLog.snapshot(spark, src).columns.toSeq === Seq("k", "text"))
+    // pre-everything travel from the clone speaks the original name
+    assert(TxLog.snapshot(spark, dst, Some(1L)).columns.toSeq ===
+      Seq("id", "text"))
+    // a merge on the clone's NEW name updates a pre-fork row (the
+    // touched base dir materializes locally under the mapped name)
+    TxLog.merge(spark, dst, Seq((10L, "via-m")).toDF("m", "text"), "m")
+    assert(TxLog.snapshot(spark, dst).where(col("m") === 10L)
+      .select("text").as[String].head() === "via-m")
+    assert(TxLog.snapshot(spark, src).where(col("k") === 10L)
+      .select("text").as[String].head() === "doc-10")
+  }
+
   test("clone vacuum locality: an aggressive vacuum on the clone deletes " +
       "only clone-resident dirs — the base tables stay whole") {
     val src = freshRoot("vsrc")
