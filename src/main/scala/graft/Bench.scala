@@ -32,6 +32,7 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sources.TxSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one cheap action to absorb session/codegen warmup noise

@@ -1356,18 +1356,24 @@ private[graft] object CatalogTx {
             iters = 3, etaPpm = 500000L)
           .orderBy("iter", "domain")
       },
-      Some(s"""WITH tok AS (SELECT source,
+      // MATERIALIZED everywhere a CTE is re-referenced: without it
+      // DuckDB re-inlines the corpus-scan chain into every round's
+      // every reference — the r14 close measured this one oracle at
+      // ~825s of a ~945s full replay (87%); materialized it replays
+      // in seconds, value-identical (the r15 oracle-budget fix)
+      Some(s"""WITH tok AS MATERIALIZED (SELECT source,
                   CAST(length(text) AS BIGINT) * 1000000 //
                     (CAST(len(list_filter(string_split(
                       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
                       ' '), t -> t <> '')) AS BIGINT) + 1) AS loss
                 FROM documents),
-              d AS (SELECT source, count(*) AS n,
+              d AS MATERIALIZED (SELECT source, count(*) AS n,
                       CAST(sum(loss) AS BIGINT) AS s
                     FROM tok GROUP BY 1),
-              m AS (SELECT source, s // n AS mean FROM d),
-              kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM d),
-              w0 AS (SELECT source,
+              m AS MATERIALIZED (SELECT source, s // n AS mean FROM d),
+              kk AS MATERIALIZED (
+                SELECT CAST(count(*) AS BIGINT) AS k FROM d),
+              w0 AS MATERIALIZED (SELECT source,
                   1000000 // k + (CASE WHEN rn <= 1000000 % k
                     THEN 1 ELSE 0 END) AS w
                 FROM (SELECT source,
@@ -1968,7 +1974,67 @@ private[graft] object CatalogTx {
               UNION ALL
               SELECT doc_id + 30000, md5(text), 'xx'
               FROM d WHERE doc_id < 100
-              ORDER BY doc_key"""))
+              ORDER BY doc_key""")),
+
+    QueryDef("x183_tx_sql_dml",
+      // SQL ROW-LEVEL DML (r15 — the Delta-habituated user's first
+      // keystroke, `MERGE INTO`, plus UPDATE/DELETE, all from pure
+      // SQL): the table is range-clustered at intake, then lives an
+      // entire DML life through spark.sql alone — a MERGE upsert
+      // (uppercase every %6==1 doc AND insert 50 fresh +50000 keys in
+      // one statement), a bounds-pruned UPDATE (append '!' on
+      // [100,300) — the WHERE compiles to manifest bounds, TxSqlSpec
+      // pins the 1-of-4-dirs rewrite), a predicate DELETE (%10==4 —
+      // no derivable bound, full touch, still exact), and a MERGE
+      // delete-on-match from a key view (%9==2 of the ORIGINAL ids;
+      // the +50000 inserts are not in the key set and must survive).
+      // Each statement lowers onto the engine's pruned write paths
+      // (TxLog.merge/mergeDelete/updateWhere/deleteWhere) via the
+      // injected resolution rule; the final snapshot byte-accounts
+      // the whole composition — one mis-lowered clause, one
+      // swallowed insert, or one over-deleted duplicate diverges
+      (s, d) => {
+        val root = freshTxRoot(s, "sqldml", d)
+        val doc = txDocs(s, d)
+        TxLog.appendPartitioned(s, root, doc, "doc_id", 4)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW sqldml_t " +
+          s"USING `graft-tx` OPTIONS (path '$root')")
+        doc.where(col("doc_id") % 6 === 1)
+          .select(col("doc_id"), upper(col("text")).as("text"))
+          .unionByName(doc.where(col("doc_id") < 50)
+            .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+          .createOrReplaceTempView("sqldml_s")
+        s.sql("""MERGE INTO sqldml_t t USING sqldml_s s ON t.doc_id = s.doc_id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""UPDATE sqldml_t SET text = concat(text, '!')
+                 WHERE doc_id >= 100 AND doc_id < 300""")
+        s.sql("DELETE FROM sqldml_t WHERE doc_id % 10 = 4")
+        doc.where(col("doc_id") % 9 === 2).select("doc_id")
+          .createOrReplaceTempView("sqldml_k")
+        s.sql("""MERGE INTO sqldml_t t USING sqldml_k s ON t.doc_id = s.doc_id
+                 WHEN MATCHED THEN DELETE""")
+        TxLog.snapshot(s, root)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000),
+              m AS (SELECT doc_id,
+                      CASE WHEN doc_id % 6 = 1 THEN upper(text)
+                        ELSE text END AS text
+                    FROM d
+                    UNION ALL
+                    SELECT doc_id + 50000, text FROM d WHERE doc_id < 50),
+              u AS (SELECT doc_id,
+                      CASE WHEN doc_id >= 100 AND doc_id < 300
+                        THEN text || '!' ELSE text END AS text
+                    FROM m)
+              SELECT doc_id, md5(text) AS digest FROM u
+              WHERE doc_id % 10 <> 4
+                AND doc_id NOT IN
+                  (SELECT doc_id FROM d WHERE doc_id % 9 = 2)
+              ORDER BY doc_id"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →
@@ -1979,27 +2045,28 @@ private[graft] object CatalogTx {
     * division is `//` (truncation toward zero — matches Long `/`). */
   private def reweightRound(r: Int): String = {
     val prev = if (r == 1) "w0" else s"w${r - 1}"
-    s"""wm$r AS (SELECT CAST(sum(p.w * m.mean) AS BIGINT) //
+    s"""wm$r AS MATERIALIZED (SELECT CAST(sum(p.w * m.mean) AS BIGINT) //
                   CAST(sum(p.w) AS BIGINT) AS wm
                 FROM $prev p JOIN m USING (source)),
-        u$r AS (SELECT p.source AS source,
+        u$r AS MATERIALIZED (SELECT p.source AS source,
             greatest(1, p.w * greatest(1, least(2000000,
               1000000 + 500000 * (m.mean - wm$r.wm) // 1000000))
               // 1000000) AS x
           FROM $prev p JOIN m USING (source), wm$r),
-        s$r AS (SELECT CAST(sum(x) AS BIGINT) AS s FROM u$r),
-        f$r AS (SELECT source, x * 1000000 // s AS f,
+        s$r AS MATERIALIZED (SELECT CAST(sum(x) AS BIGINT) AS s FROM u$r),
+        f$r AS MATERIALIZED (SELECT source, x * 1000000 // s AS f,
                   x * 1000000 % s AS rem
                 FROM u$r, s$r),
-        g$r AS (SELECT 1000000 - CAST(sum(f) AS BIGINT) AS give FROM f$r),
-        wp$r AS (SELECT source,
+        g$r AS MATERIALIZED (
+          SELECT 1000000 - CAST(sum(f) AS BIGINT) AS give FROM f$r),
+        wp$r AS MATERIALIZED (SELECT source,
             f + (CASE WHEN rn <= give THEN 1 ELSE 0 END) AS w
           FROM (SELECT source, f, row_number()
                   OVER (ORDER BY rem DESC, source) AS rn
                 FROM f$r), g$r),
-        z$r AS (SELECT CAST(coalesce(count(*) FILTER (w = 0), 0)
+        z$r AS MATERIALIZED (SELECT CAST(coalesce(count(*) FILTER (w = 0), 0)
                   AS BIGINT) AS z FROM wp$r),
-        w$r AS (SELECT source,
+        w$r AS MATERIALIZED (SELECT source,
             CASE WHEN w = 0 THEN 1
                  WHEN rn <= z THEN w - 1 ELSE w END AS w
           FROM (SELECT source, w, row_number()

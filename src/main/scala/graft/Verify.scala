@@ -24,6 +24,8 @@ object Verify {
         (!sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").contains("1")).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // SQL row-level DML on graft-tx tables (the x183 family)
+      .config("spark.sql.extensions", "graft.sources.TxSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

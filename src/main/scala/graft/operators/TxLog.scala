@@ -661,8 +661,15 @@ object TxLog {
     * `--audit-stats` pass) watches. None on a table that never
     * recorded stats (nothing to audit: no read ever pruned there). */
   def statsColumn(spark: SparkSession, root: String): Option[String] =
+    statsColumnAt(spark, root, Long.MaxValue)
+
+  /** [[statsColumn]] bounded at version `v` — what [[restore]] re-pins
+    * (the head's clustering column may postdate the target and name a
+    * column the restored pin no longer carries). */
+  private def statsColumnAt(spark: SparkSession, root: String,
+      v: Long): Option[String] =
     listLog(spark, root)
-      .collect { case (cv, "commit", n) => (cv, n) }
+      .collect { case (cv, "commit", n) if cv <= v => (cv, n) }
       .sortBy(-_._1).iterator
       .map(e => readManifest(spark, root, e._2).statsCol)
       .collectFirst { case Some(c) => c }
@@ -1009,6 +1016,29 @@ object TxLog {
       .map(e => readManifest(spark, root, e._2))
       .collectFirst {
         case c if c.txn.contains((appId, batchId)) => c.version }
+
+  /** The producer `appId`'s HIGH-WATER batch id in this table's log —
+    * the replay cursor an idempotent consumer resumes from (the
+    * [[graft.streaming.TxStream]] replica derives its start version
+    * here instead of re-walking the whole source history every run).
+    * O(commits) manifest reads, metadata-sized; None when the
+    * producer never committed. Batch ids are assumed monotone per
+    * producer (the streaming-sink contract). */
+  def lastTxnBatch(spark: SparkSession, root: String,
+      appId: String): Option[Long] = {
+    val ids = listLog(spark, root).collect { case (_, "commit", n) => n }
+      .map(readManifest(spark, root, _))
+      .flatMap(_.txn).collect { case (a, b) if a == appId => b }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** The strictest retention horizon any [[vacuum]] recorded (None =
+    * never vacuumed a referenced dir): versions below it may have had
+    * their data dirs reclaimed — the public form of the guard every
+    * travel read runs, for consumers (CDC tails, replicas) that need
+    * to CLAMP their replay window instead of crashing into it. */
+  def retentionHorizon(spark: SparkSession, root: String): Option[Long] =
+    foldLog(spark, root, None).gcHorizon.map(_._1)
 
   /** IDEMPOTENT append — the replay-safe producer contract (Delta's
     * txn/SetTransaction pattern; the sink shape a Structured
@@ -1500,6 +1530,124 @@ object TxLog {
       conflictRetries = conflictRetries)
   }
 
+  /** PREDICATE DELETE — remove every live row matching `cond`,
+    * rewriting ONLY the dirs that can hold one (the row-level-DML
+    * half of the SQL door: `DELETE FROM t WHERE …` lowers here).
+    * `bounds` are per-column `[lo, hi)` intervals that `cond` IMPLIES
+    * (the SQL rule derives them from the predicate's conjunctive
+    * long comparisons, [[graft.sources.TxBounds]]-style): a dir whose
+    * recorded stats exclude every bound provably holds no matching
+    * row and is neither read NOR rewritten — write-path pruning, so
+    * the bounds are correctness-relevant and a caller who cannot
+    * prove the implication passes `Seq.empty` (every dir touched,
+    * always sound). Unlike [[mergeDelete]] this is exact under
+    * duplicate keys (it filters rows, not key sets) and takes any
+    * predicate. Tombstone masks apply before the filter (a masked
+    * row stays deleted); same optimistic conflict rules as [[merge]]
+    * — intervening adds inside the bounds, stolen dirs, new
+    * tombstones, new constraints and pin changes all abort, and
+    * `conflictRetries` re-runs bounded. Returns the committed
+    * version (the CURRENT version when the bounds prove no dir could
+    * match — a provable no-op commits nothing). */
+  def deleteWhere(spark: SparkSession, root: String, cond: Column,
+      bounds: Seq[(String, Long, Long)] = Seq.empty,
+      conflictRetries: Int = 0): Long =
+    rewriteWhere(spark, root, "delete", bounds, conflictRetries)(
+      df => df.where(!cond))
+
+  /** PREDICATE UPDATE — set `set`'s columns (cast to their pinned
+    * types; schema never changes) on every live row matching `cond`,
+    * rewriting only the dirs the `bounds` admit (`UPDATE t SET …
+    * WHERE …` lowers here; the bounds contract, conflict rules and
+    * return value are [[deleteWhere]]'s). */
+  def updateWhere(spark: SparkSession, root: String,
+      set: Seq[(String, Column)], cond: Column,
+      bounds: Seq[(String, Long, Long)] = Seq.empty,
+      conflictRetries: Int = 0): Long = {
+    require(set.nonEmpty, "updateWhere: no assignments")
+    rewriteWhere(spark, root, "update", bounds, conflictRetries) { df =>
+      val byName = set.toMap
+      byName.keys.foreach(c => require(df.columns.contains(c),
+        s"updateWhere: '$c' is not a column of $root " +
+          s"[${df.columns.mkString(", ")}]"))
+      df.select(df.columns.toSeq.map { c =>
+        byName.get(c) match {
+          case Some(e) =>
+            when(cond, e.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** The shared predicate-DML core: read the touched dirs masked,
+    * transform, commit the swap under merge-grade validation. */
+  private def rewriteWhere(spark: SparkSession, root: String,
+      action: String, bounds: Seq[(String, Long, Long)],
+      conflictRetries: Int)
+      (transform: DataFrame => DataFrame): Long =
+    withConflictRetry(conflictRetries) {
+      val st0 = foldLog(spark, root, None)
+      require(st0.version > 0, s"$action: $root has no commits")
+      def admitted(f: AddFile) =
+        bounds.forall { case (c, lo, hi) => admits(f, c, lo, hi) }
+      val touched = st0.files.filter(admitted)
+      if (touched.isEmpty) return st0.version // provably nothing to do
+      val pin = pinnedSchemaAt(spark, root, st0.version)
+      val in = readMasked(spark, root, touched, pin, st0.dvs,
+        st0.clones, st0.evos)
+      val out = transform(in)
+      require(ddlOf(out) == ddlOf(in),
+        s"$action: the transform changed the schema — [${ddlOf(in)}] " +
+          s"to [${ddlOf(out)}]; predicate DML never moves the pin")
+      val statsCols = statsColumn(spark, root).toSeq
+      val add = writeDataDir(spark, root, out, statsCols, st0.constraints)
+      val removes = touched.map(_.dir)
+      // deleting every row of every touched dir needs no add at all
+      // (the 0-row dir is left as a vacuum-reclaimable orphan)
+      val adds = if (add.rows == 0L) Seq.empty else Seq(add)
+      val bytes = renderManifest(action, adds, removes,
+        statsCols.headOption, pin)
+      var attempt = 0
+      var v = st0.version + 1
+      while (!publishIfAbsent(spark, root, manifestName(v, "commit"),
+          bytes)) {
+        attempt += 1
+        if (attempt > MaxClaimRetries) throw new java.io.IOException(
+          s"$action: could not claim a version after $MaxClaimRetries tries")
+        val head = latestVersion(spark, root)
+        val inter = commitsInRange(spark, root, st0.version, head)
+        val mine = removes.toSet
+        val stolen = inter.filter(_.removes.exists(mine))
+        if (stolen.nonEmpty) throw new TxConflictException(
+          s"$action of $root lost v${stolen.map(_.version).min}: an " +
+            "intervening commit removed one of its touched dirs — " +
+            "retry on a fresh snapshot")
+        // rows added since the snapshot were never filtered/updated;
+        // committing past an add the bounds admit would silently skip
+        // them (this commit serializes AFTER the add)
+        val overlapping = inter.filter(_.adds.exists(admitted))
+        if (overlapping.nonEmpty) throw new TxConflictException(
+          s"$action of $root lost v${overlapping.map(_.version).min}: " +
+            "an intervening commit added data inside the predicate's " +
+            "bounds — retry on a fresh snapshot")
+        // an intervening tombstone's mask would be erased for the
+        // touched dirs (this output postdates it) — same rule as
+        // rewrite/merge
+        val tomb = inter.filter(_.dvs.nonEmpty)
+        if (tomb.nonEmpty) throw new TxConflictException(
+          s"$action of $root lost v${tomb.map(_.version).min}: an " +
+            "intervening tombstone masks rows this $action read — " +
+            "retry on a fresh snapshot")
+        checkNoNewConstraints(spark, root, st0.version, action)
+        pinnedSchemaAt(spark, root, head).foreach(p =>
+          if (pin.exists(_ != p)) throw new TxConflictException(
+            s"$action of $root lost to a concurrent schema change"))
+        v = math.max(head + 1, v + 1)
+      }
+      v
+    }
+
   /** Key TOMBSTONE (deletion vector) — the takedown write path that
     * costs KILOBYTES instead of a rewrite: publish a key list; every
     * subsequent snapshot masks rows whose key matches in any dir that
@@ -1701,6 +1849,24 @@ object TxLog {
         throw new IllegalArgumentException(
           s"dropColumn: constraint '$n' references '$name' — drop the " +
             "constraint first"))
+      // refused while a LIVE tombstone keys on the column (judged by
+      // the tombstone key's HEAD name — takedowns published under a
+      // pre-rename name still count): the drop ends the key's lineage,
+      // so every later snapshot's mask would resolve against a column
+      // the schema no longer carries (read-path crash), and a later
+      // re-ADD of the same name would anti-join a fresh lineage that
+      // reads NULL over old generations — silently losing the takedown
+      // mask, a compliance hole. Materializing the mask first makes
+      // the tombstone inert and the drop safe.
+      val stDv = foldLog(spark, root, None)
+      stDv.dvs.find(dv =>
+          lineage(stDv.evos, dv.version, dv.keyCol).contains(name))
+        .foreach(dv => throw new IllegalArgumentException(
+          s"dropColumn: a live tombstone (v${dv.version}, key " +
+            s"'${dv.keyCol}') masks rows by '$name' — dropping the " +
+            "column would orphan the mask (reads crash now; a re-add " +
+            "would silently lose the takedown). Materialize the mask " +
+            "first (rewrite/optimizeCompact/optimizeRange), then drop."))
       val newT = StructType(oldT.fields.filterNot(_.name == name))
       val newStats = statsColumn(spark, root).filterNot(_ == name)
       val bytes = renderManifest("dropcol", Seq.empty, Seq.empty, newStats,
@@ -2163,6 +2329,45 @@ object TxLog {
       s"restore: $root is at v${st0.version} — cannot restore forward " +
         s"to v$toVersion")
     val stT = foldLog(spark, root, Some(toVersion))
+    // REFUSED across a NET rename/drop: the restore re-pins the
+    // target schema, but rename/drop lineage records in
+    // (toVersion, head] stay live in the fold — a target-generation
+    // dir would map its physical names forward PAST the target's
+    // resolution (a renamed column reads NULL under the restored pin;
+    // a pre-target tombstone's mask resolves against a name the
+    // schema lacks and throws). The check is the NET effect, not mere
+    // record presence: for every generation the restored live set
+    // carries (data dirs and tombstone key versions), every physical
+    // column must resolve to the SAME head name through the full
+    // record chain as through the target's own — so a rename that was
+    // renamed BACK (both metadata-only) restores fine, which is
+    // exactly the documented workaround for the refused case; the
+    // other is cloneTable at the target version. Additive
+    // evolveSchema records no lineage and never trips this.
+    val gensT = (stT.files.map(_.gen) ++ stT.dvs.map(_.version))
+      .distinct.sorted
+    val broken = gensT.flatMap { g =>
+      val phys = pinnedSchemaAt(spark, root, g)
+        .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+          .fieldNames.toSeq)
+        .getOrElse(Seq.empty)
+      phys.flatMap { p =>
+        val atTarget = lineage(stT.evos, g, p)
+        val atHead = lineage(st0.evos, g, p)
+        if (atTarget == atHead) None
+        else Some(s"gen v$g column '$p' resolves to " +
+          s"${atHead.getOrElse("<dropped>")} at head but " +
+          s"${atTarget.getOrElse("<dropped>")} at the target")
+      }
+    }
+    if (broken.nonEmpty) throw new IllegalStateException(
+      s"restore: cannot restore $root to v$toVersion across column " +
+        s"rename/drop lineage (${broken.head}" +
+        s"${if (broken.size > 1) s"; +${broken.size - 1} more" else ""}) " +
+        "— restored generations would silently read NULL or lose " +
+        "their tombstone masks under the restored pin. Apply the " +
+        "inverse rename first (metadata-only), or cloneTable the " +
+        "target version instead.")
     val pinT = pinnedSchemaAt(spark, root, toVersion)
     // post-target tombstones: left alone they would mask restored rows
     // (every target dir's generation predates them) — find the target
@@ -2194,7 +2399,7 @@ object TxLog {
       }.toSet
     val keepT = stT.files.filterNot(f => affected(f.dir))
     val liveNow = st0.files.map(_.dir).toSet
-    val statsCol = statsColumn(spark, root)
+    val statsCol = statsColumnAt(spark, root, toVersion)
     val matAdd: Option[AddFile] =
       if (affected.isEmpty) None
       else {
@@ -2304,6 +2509,17 @@ object TxLog {
     // table was deleted pins nothing (skipped); a localized clone
     // (all live gens past its cut) pins nothing automatically.
     val dstFs = rawFs(spark, dstRoot)
+    // sentinel FIRST: `_txlog/_cloned` marks "this log carries clone
+    // records somewhere" so travel reads on never-cloned tables skip
+    // the head fold [[cloneChain]] would otherwise pay just to learn
+    // there is no chain (the overwhelmingly common case). Part of the
+    // clone layout contract — cloneTable is the sanctioned fork path;
+    // a crash after this create leaves a sentinel on a commit-less
+    // debris dst, which costs one redundant head fold per travel read
+    // and nothing else.
+    val sentinel = new org.apache.hadoop.fs.Path(logDir(dstRoot), "_cloned")
+    val sOut = dstFs.create(sentinel, true)
+    try sOut.write("1".getBytes("UTF-8")) finally sOut.close()
     val qualifiedDst = dstFs.makeQualified(
       new org.apache.hadoop.fs.Path(dstRoot)).toString
     val marker = new org.apache.hadoop.fs.Path(
@@ -2437,10 +2653,17 @@ object TxLog {
     * commit itself, so its own record is missing — the HEAD fold's
     * chain (a superset; records never change after a log is created,
     * resolution keys on dir generation only) is always the correct
-    * one. Head reads use their own fold for free. */
+    * one. Head reads use their own fold for free, and travel reads on
+    * a log [[cloneTable]] never touched skip the head fold entirely:
+    * the `_cloned` sentinel (written before the clone commit, part of
+    * the clone layout contract) is a single stat — absent means no
+    * clone record can exist anywhere in the log, so the asOf fold's
+    * (empty) chain is already exact. */
   private def cloneChain(spark: SparkSession, root: String, st: LogState,
       asOf: Option[Long]): Seq[(Long, String)] =
     if (asOf.isEmpty) st.clones
+    else if (st.clones.isEmpty && !rawFs(spark, root).exists(
+      new org.apache.hadoop.fs.Path(logDir(root), "_cloned"))) Seq.empty
     else foldLog(spark, root, None).clones
 
   /** Fail a travel read below the strictest retention horizon any
@@ -2540,10 +2763,17 @@ object TxLog {
     * must never be a table scan. Tombstone masks and mixed schema
     * generations apply exactly as in [[snapshot]]; the semi-join
     * filter applies in-plan, so results are exact regardless of
-    * stats. `keys` must be a small/driver-broadcastable key set (a
-    * takedown list, a fetch batch — the [[tombstone]] size class). */
+    * stats. `keys` is MEANT to be a small key set (a takedown list, a
+    * fetch batch — the [[tombstone]] size class); the semi-join
+    * broadcasts it only while its distinct count is at or under
+    * `maxBroadcastKeys` (default 1M — comfortably driver-sized) and
+    * falls back to a shuffled semi-join above that, so an oversized
+    * caller pays a shuffle instead of risking the driver. The prune
+    * still applies either way (one span aggregate + at worst one
+    * interval-stab job — both distributed). */
   def snapshotKeys(spark: SparkSession, root: String, keys: DataFrame,
-      keyCol: String, asOf: Option[Long] = None): DataFrame = {
+      keyCol: String, asOf: Option[Long] = None,
+      maxBroadcastKeys: Long = 1000000L): DataFrame = {
     asOf.foreach(v => retentionGuard(spark, root, v, "snapshotKeys"))
     val st = foldLog(spark, root, asOf)
     val (v, live, dvs) = (st.version, st.files, st.dvs)
@@ -2580,7 +2810,8 @@ object TxLog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else readMasked(spark, root, kept, pin, dvs,
         cloneChain(spark, root, st, asOf), st.evos)
-      .join(broadcast(ks), Seq(keyCol), "left_semi")
+      .join(if (r.getLong(2) <= maxBroadcastKeys) broadcast(ks) else ks,
+        Seq(keyCol), "left_semi")
   }
 
   /** The skipping decision as DATA (the x122 shape): one row per live
@@ -2606,33 +2837,37 @@ object TxLog {
     * perfectly range-partitioned layout reads 1e6 (dirs tile the
     * domain once); k fully-interleaved appends read ≈ k×1e6 (every
     * point of the domain is covered k times — every range read scans
-    * every dir). Audits the VALUE stat for `keyCol` when any dir
-    * carries one, else the portable-hash stat (hash-clustered string
-    * tables) — the `stat` column names which. Exact integer output
-    * (BigInt driver arithmetic, no overflow at any key domain). */
+    * every dir). Emits ONE ROW PER STAT KIND present among the live
+    * dirs — the VALUE stat for `keyCol` and/or its portable-hash
+    * stat, the `stat` column naming each: a half-migrated table (old
+    * value-statted dirs beside new hash-clustered ones) reports BOTH
+    * sides, so neither family's degradation hides behind the other
+    * (the pre-r15 form audited only the value side there, and each
+    * row's n_stats against n_dirs shows the migration's progress). A
+    * table carrying neither stat reads as one zero row under the
+    * value name. Exact integer output (BigInt driver arithmetic, no
+    * overflow at any key domain). */
   def statsAudit(spark: SparkSession, root: String,
       keyCol: String): DataFrame = {
     import spark.implicits._
     val (_, live) = liveFiles(spark, root)
-    val byValue = live.flatMap(_.statFor(keyCol))
-    val statName =
-      if (byValue.nonEmpty) keyCol else hashStatName(keyCol)
-    val st = if (byValue.nonEmpty) byValue
-      else live.flatMap(_.statFor(statName))
     val nDirs = live.size.toLong
-    if (st.isEmpty)
-      Seq((statName, nDirs, 0L, 0L, 0L))
-        .toDF("stat", "n_dirs", "n_stats", "sum_spans", "overlap_ppm")
-    else {
-      val gMin = st.map(_.min).min
-      val gMax = st.map(_.max).max
-      val spans = st.map(s => BigInt(s.max) - BigInt(s.min) + 1).sum
-      val global = BigInt(gMax) - BigInt(gMin) + 1
-      val ppm = (spans * 1000000 / global).toLong
-      Seq((statName, nDirs, st.size.toLong,
+    def row(statName: String): Option[(String, Long, Long, Long, Long)] = {
+      val st = live.flatMap(_.statFor(statName))
+      if (st.isEmpty) None
+      else {
+        val gMin = st.map(_.min).min
+        val gMax = st.map(_.max).max
+        val spans = st.map(s => BigInt(s.max) - BigInt(s.min) + 1).sum
+        val global = BigInt(gMax) - BigInt(gMin) + 1
+        val ppm = (spans * 1000000 / global).toLong
+        Some((statName, nDirs, st.size.toLong,
           spans.min(BigInt(Long.MaxValue)).toLong, ppm))
-        .toDF("stat", "n_dirs", "n_stats", "sum_spans", "overlap_ppm")
+      }
     }
+    val rows = Seq(keyCol, hashStatName(keyCol)).flatMap(row)
+    (if (rows.nonEmpty) rows else Seq((keyCol, nDirs, 0L, 0L, 0L)))
+      .toDF("stat", "n_dirs", "n_stats", "sum_spans", "overlap_ppm")
   }
 
   /** CDC: the row-level delta of commits in `(fromV, toV]`, as the
@@ -2676,9 +2911,19 @@ object TxLog {
       val del = if (c.removes.isEmpty) None
         else {
           val (_, preLive) = liveFiles(spark, root, Some(c.version - 1))
+          // a remove MUST name a dir live just before its commit — the
+          // fold invariant every writer preserves. Guessing a stand-in
+          // here (the pre-r15 fallback fabricated gen = c.version)
+          // could resolve a clone's dir against the WRONG base root
+          // and stream bogus deletes; a corrupted log is a loud stop,
+          // never a silent misread.
           val removedFiles = c.removes.map(r =>
-            preLive.find(_.dir == r)
-              .getOrElse(AddFile(r, 0L, Seq.empty, c.version)))
+            preLive.find(_.dir == r).getOrElse(
+              throw new IllegalStateException(
+                s"changes: commit v${c.version} of $root removes '$r', " +
+                  s"which is not live at v${c.version - 1} — the log is " +
+                  "malformed (hand-edited manifest or non-atomic copy); " +
+                  "refusing to fabricate a delta for it")))
           Some(readAligned(spark, root, removedFiles, target,
               clones = clones, evos = evos)
             .withColumn("__version", lit(c.version))

@@ -320,23 +320,26 @@ object RunGc {
       // manifest-stats HEALTH (--audit-stats): overlap_ppm ≈ k×1e6
       // after k fully-interleaved appends — merge/range reads prune
       // nothing until the next optimize. Manifest arithmetic only
-      // (statsAudit folds the log; no data scan), one metadata-sized
-      // row collected per table. Recommend-only: the fix is a
-      // table-sized rewrite a human schedules quiesced.
+      // (statsAudit folds the log; no data scan), metadata-sized rows
+      // collected per table — one PER STAT KIND, so a half-migrated
+      // layout (value-statted dirs beside hash-clustered ones)
+      // surfaces a finding for EACH degraded side. Recommend-only:
+      // the fix is a table-sized rewrite a human schedules quiesced.
       val auditFinding =
         if (!auditStats) Seq.empty
         else graft.operators.TxLog.statsColumn(spark, t).toSeq.flatMap {
           keyCol =>
-            val r = graft.operators.TxLog.statsAudit(spark, t, keyCol)
-              .collect().head
-            val (stat, ppm) = (r.getString(0), r.getLong(4))
-            if (ppm <= statsOverlapPpm) Seq.empty
-            else {
-              val fix = if (stat == keyCol) "optimizeRange-or-zorder"
-                        else "optimizeHash"
-              Seq(Finding(t, "tx-stats-degraded",
-                s"recommend-$fix-on-$keyCol-overlap-${ppm}ppm"))
-            }
+            graft.operators.TxLog.statsAudit(spark, t, keyCol)
+              .collect().toSeq.flatMap { r =>
+                val (stat, ppm) = (r.getString(0), r.getLong(4))
+                if (ppm <= statsOverlapPpm) Seq.empty
+                else {
+                  val fix = if (stat == keyCol) "optimizeRange-or-zorder"
+                            else "optimizeHash"
+                  Seq(Finding(t, "tx-stats-degraded",
+                    s"recommend-$fix-on-$stat-overlap-${ppm}ppm"))
+                }
+              }
         }
       // small-dir TAIL (--compact-below N): streaming intakes and
       // per-key merges accrete tiny dirs whose per-dir manifest and

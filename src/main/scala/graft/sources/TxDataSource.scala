@@ -36,13 +36,33 @@ import org.apache.spark.sql.types.StructType
   * travel-readable table. `errorifexists`/`ignore` follow their
   * DataFrameWriter contracts against table existence. */
 class TxDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-tx"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-tx: a 'path' option (the table root) is required"))
+
+  // ---- streaming: the commit log as a source (offsets = versions) --
+  // `readStream.format("graft-tx").load(root)` — see [[TxStreamSource]]
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : (String, org.apache.spark.sql.types.StructType) =
+    ("graft-tx", TxStreamSource.schemaFor(sqlContext.sparkSession,
+      pathOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new TxStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(1L))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -79,7 +99,15 @@ class TxDataSource extends RelationProvider
     mode match {
       case SaveMode.Append => land(data)
       case SaveMode.Overwrite =>
-        if (exists) TxLog.rewrite(spark, root, statsCol)(_ => data)
+        // an EXISTING table whose live set was emptied (every row
+        // merged/tombstoned away) has nothing for rewrite to replace
+        // (rewrite reads a snapshot; an empty one is a loud error) —
+        // overwriting it is just landing the frame, exactly the
+        // DataFrameWriter contract (the read path deliberately serves
+        // emptied tables as schema + zero rows, so the write path
+        // must accept them too)
+        if (exists && TxLog.liveFiles(spark, root)._2.nonEmpty)
+          TxLog.rewrite(spark, root, statsCol)(_ => data)
         else land(data)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
@@ -96,6 +124,14 @@ class TxDataSource extends RelationProvider
   * aligned snapshot, scans through it too. */
 private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
     asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  /** The table root — the SQL-DML rule ([[TxSparkExtensions]]) lowers
+    * MERGE/UPDATE/DELETE on this relation to the TxLog write paths. */
+  private[graft] def tableRoot: String = root
+
+  /** True on a travel read (`versionAsOf`/`timestampAsOf`) — DML on
+    * the past is refused. */
+  private[graft] def isTravel: Boolean = asOf.isDefined
 
   private def spark = sqlContext.sparkSession
 

@@ -51,49 +51,111 @@ object TxStream {
         (col("__m.__ins") === 0).as("__del"): _*)
   }
 
+  /** The replay START version for `(dstRoot, appId)`: the replica's
+    * own admitted `(appId, sourceVersion)` tokens ARE the cursor —
+    * every invocation resumes from the high-water token instead of
+    * re-walking the whole source history (the pre-r15 form replayed
+    * O(history) versions per cron run and hard-crashed into the
+    * source's retention horizon even when the replica was current).
+    * A replica genuinely BEHIND the horizon — its next version's
+    * delta already vacuumed — is an explicit, named bootstrap error,
+    * never a silent gap: the operator re-bootstraps (cloneTable, or a
+    * fresh snapshot copy) rather than serving a replica missing
+    * deltas. */
+  private def startVersion(spark: SparkSession, srcRoot: String,
+      dstRoot: String, appId: String): Long = {
+    val admitted = TxLog.lastTxnBatch(spark, dstRoot, appId).getOrElse(0L)
+    TxLog.retentionHorizon(spark, srcRoot).foreach { h =>
+      if (admitted + 1 < h) throw new TxLog.TxRetentionException(
+        s"replica $dstRoot (appId=$appId) admitted through " +
+          s"v$admitted, but $srcRoot retains deltas only from v$h — " +
+          "the versions between were vacuumed at the source. " +
+          "Re-bootstrap the replica (cloneTable / fresh snapshot " +
+          "copy), or widen the source's --retain-versions.")
+    }
+    admitted
+  }
+
+  /** Reconcile a RAW CDC window (the `graft-tx` stream's batch shape:
+    * table columns + `__version`/`__change`) into one MERGE-ready
+    * frame — latest version wins per key; within a version insert
+    * beats delete (a rewrite's delete-all + re-insert collapses to an
+    * upsert). The multi-version form of [[reconciledDelta]]'s
+    * algebra: collapsing a whole window into one keyed merge lands
+    * the same final state as applying its versions in order, because
+    * the reconciliation picks exactly the row the last version left
+    * behind. */
+  def reconcile(delta: DataFrame, keyCol: String): DataFrame = {
+    val valueCols = delta.columns
+      .filterNot(c => c == keyCol || c.startsWith("__")).toSeq
+    delta.groupBy(keyCol)
+      .agg(max(struct((col("__version") +:
+        (col("__change") === "insert").cast("int").as("__ins") +:
+        valueCols.map(col)): _*)).as("__m"))
+      .select(col(keyCol) +:
+        valueCols.map(c => col(s"__m.$c").as(c)) :+
+        (col("__m.__ins") === 0).as("__del"): _*)
+  }
+
   /** Follow `srcRoot`'s commit log and maintain `dstRoot` as an
-    * exactly-once keyed replica. Returns the running
-    * [[StreamingQuery]]; stop it to pause — a later `replicate` call
-    * resumes from the tokens already admitted. `appId` names the
-    * replica's idempotence stream (two replicas of one source use two
-    * ids). */
+    * exactly-once keyed replica — riding the registered `graft-tx`
+    * STREAMING SOURCE (offsets = commit versions, each micro-batch an
+    * exact [[TxLog.changes]] window; pre-r15 this tailed the
+    * `_txlog` commit-file names through the text file source and
+    * re-read every window). Each batch reconciles to one keyed MERGE
+    * through [[TxLog.mergeIdempotent]] with the window's LAST version
+    * as the idempotence token, so a replayed batch (crash recovery,
+    * at-least-once delivery) re-resolves to its original commit and
+    * lands nothing. Returns the running [[StreamingQuery]]; stop it
+    * to pause — a later `replicate` call resumes from the tokens
+    * already admitted. `appId` names the replica's idempotence
+    * stream (two replicas of one source use two ids). */
   def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
       keyCol: String, appId: String = "tx-replica",
       conflictRetries: Int = 2): StreamingQuery = {
-    import spark.implicits._
-    val applied = new java.util.concurrent.ConcurrentSkipListSet[Long]()
-    spark.readStream.format("text")
-      .load(s"$srcRoot/_txlog/*.commit")
-      .select(input_file_name().as("f"))
+    val base = startVersion(spark, srcRoot, dstRoot, appId)
+    spark.readStream.format("graft-tx")
+      .option("startingVersion", base + 1)
+      .load(srcRoot)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val versions = batch.select("f").distinct().as[String].collect()
-          .flatMap(f => "v(\\d{20})\\.commit".r.findFirstMatchIn(f)
-            .map(_.group(1).toLong))
-          .filterNot(applied.contains).sorted
-        versions.foreach { v =>
-          val b = reconciledDelta(spark, srcRoot, v, keyCol)
-          if (!b.isEmpty)
-            TxLog.mergeIdempotent(spark, dstRoot, b, keyCol, appId, v,
-              deleteCol = Some("__del"),
-              conflictRetries = conflictRetries)
-          applied.add(v) // session-local fast path; tokens are the truth
-        }
-        ()
+        applyWindow(spark, dstRoot, batch, keyCol, appId, conflictRetries)
       }
       .start()
   }
 
-  /** One-shot catch-up: apply every source version in `(fromV, head]`
-    * to the replica synchronously (the batch form of [[replicate]] —
-    * bootstrap, backfill after downtime, tests). Returns the last
-    * version applied. Idempotent: re-running skips admitted
-    * versions via the same tokens. */
+  /** Land one CDC window on the replica: reconcile, then ONE
+    * idempotent merge under the window-max version token. Empty
+    * windows (metadata-only source commits) land nothing. */
+  private def applyWindow(spark: SparkSession, dstRoot: String,
+      window: DataFrame, keyCol: String, appId: String,
+      conflictRetries: Int): Unit = {
+    val vRow = window.agg(max(col("__version"))).head()
+    if (vRow.isNullAt(0)) return // empty window
+    val v = vRow.getLong(0)
+    val b = reconcile(window, keyCol)
+    TxLog.mergeIdempotent(spark, dstRoot, b, keyCol, appId, v,
+      deleteCol = Some("__del"), conflictRetries = conflictRetries)
+    ()
+  }
+
+  /** One-shot catch-up: apply every source version the replica has
+    * not yet admitted, synchronously (the batch form of [[replicate]]
+    * — the cron-able RunReplica pass, backfill after downtime,
+    * tests). The default start (`fromV = -1`) derives from the
+    * replica's own idempotence tokens — O(delta) per run, never
+    * O(history); an explicit `fromV >= 0` overrides the cursor (the
+    * bootstrap-from-known-point form). Returns the source head
+    * walked. Idempotent either way: admitted versions re-resolve to
+    * their original commits via the same tokens. */
   def catchUp(spark: SparkSession, srcRoot: String, dstRoot: String,
       keyCol: String, appId: String = "tx-replica",
-      fromV: Long = 0L, conflictRetries: Int = 2): Long = {
+      fromV: Long = -1L, conflictRetries: Int = 2): Long = {
+    val start =
+      if (fromV >= 0L) fromV
+      else startVersion(spark, srcRoot, dstRoot, appId)
     val head = TxLog.latestVersion(spark, srcRoot)
-    ((fromV + 1) to head).foreach { v =>
+    ((start + 1) to head).foreach { v =>
       val b = reconciledDelta(spark, srcRoot, v, keyCol)
       if (!b.isEmpty)
         TxLog.mergeIdempotent(spark, dstRoot, b, keyCol, appId, v,

@@ -18,6 +18,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the SQL-DML door for graft-tx tables (MERGE/UPDATE/DELETE) —
+    // active in every suite so the lowering rule rides the whole run
+    .config("spark.sql.extensions", "graft.sources.TxSparkExtensions")
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"

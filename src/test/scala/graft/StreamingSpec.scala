@@ -725,4 +725,94 @@ class StreamingSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, dst).orderBy("id").collect() === a)
     assert(a.length === 47, "40 - 2 takedowns + 10 tail - 1 takedown")
   }
+
+  test("graft-tx streaming source: offsets ARE commit versions — a " +
+      "checkpointed restart resumes at the version, reading only the " +
+      "commits that landed while the stream was down") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_txsrc_off")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txsrc_ck")
+      .toString
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    TxLog.append(spark, src, docs(0, 50), Some("id"))
+    TxLog.append(spark, src, docs(50, 100), Some("id"))
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def startQ() = spark.readStream.format("graft-tx").load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = b.agg(min(col("__version")), max(col("__version")),
+          count(lit(1))).head()
+        if (!r.isNullAt(0)) {
+          batches.add((r.getLong(0), r.getLong(1)))
+          rows.addAndGet(r.getLong(2))
+        }
+        ()
+      }.start()
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rows.get() === 100, "the bootstrap batch replays all history")
+    assert(batches.poll() === ((1L, 2L)), "window (0, 2] — versions 1..2")
+    // downtime: one more commit lands with no stream running
+    TxLog.append(spark, src, docs(100, 110), Some("id"))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rows.get() === 110,
+      "the restart resumed AT v2 and read only v3's 10 rows — a " +
+        "file-watermark source would have re-listed everything")
+    assert(batches.poll() === ((3L, 3L)), "window (2, 3] exactly")
+  }
+
+  test("graft-tx streaming source kill-and-replay: a sink crash AFTER " +
+      "the merge landed but BEFORE the offset committed re-delivers the " +
+      "window; the idempotence token lands it exactly once") {
+    import graft.operators.TxLog
+    import graft.streaming.TxStream
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_txsrc_kr")
+      .toString + "/t"
+    val dst = java.nio.file.Files.createTempDirectory("graft_txdst_kr")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txck_kr")
+      .toString
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    TxLog.append(spark, src, docs(0, 40), Some("id"))
+    TxLog.merge(spark, src, (0 until 8).map(i => (i.toLong, s"m-$i"))
+      .toDF("id", "text"), "id")
+    TxLog.tombstone(spark, src, Seq(5L, 9L).toDF("id"), "id")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def startQ() = spark.readStream.format("graft-tx").load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vRow = b.agg(max(col("__version"))).head()
+        if (!vRow.isNullAt(0)) {
+          val v = vRow.getLong(0)
+          TxLog.mergeIdempotent(spark, dst, TxStream.reconcile(b, "id"),
+            "id", "kr-replica", v, deleteCol = Some("__del"))
+          // die between the merge commit and the offset commit — the
+          // exactly-once window every at-least-once sink must survive
+          if (crashed.compareAndSet(false, true))
+            throw new RuntimeException("boom: crash after merge")
+        }
+        ()
+      }.start()
+    val q1 = startQ()
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(crashed.get(), "the crash path must have fired")
+    // restart on the same checkpoint: the SAME window re-delivers; the
+    // (appId, window-max-version) token resolves it to the original
+    // commit and lands nothing
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxLog.snapshot(spark, dst).orderBy("id").collect() ===
+      TxLog.snapshot(spark, src).orderBy("id").collect())
+    // exactly one merge commit on the replica — the replay was a no-op
+    assert(TxLog.history(spark, dst)
+      .where(col("action") === "merge").count() === 1L)
+  }
 }

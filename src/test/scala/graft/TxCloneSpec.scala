@@ -236,4 +236,26 @@ class TxCloneSpec extends SparkSpec {
       TxLog.cloneTable(spark, src, dst)
     }
   }
+
+  test("the _cloned sentinel marks forked logs: travel reads on a clone " +
+      "resolve through the head chain; a never-cloned table carries no " +
+      "sentinel and travel reads stay exact without it") {
+    val src = freshRoot("ssrc")
+    TxLog.append(spark, src, docs(0, 50), Some("id"))
+    TxLog.append(spark, src, docs(50, 100), Some("id"))
+    val dst = freshRoot("sdst")
+    val cut = TxLog.cloneTable(spark, src, dst)
+    assert(new java.io.File(s"$dst/_txlog/_cloned").exists(),
+      "cloneTable must write the sentinel into the fork's log")
+    assert(!new java.io.File(s"$src/_txlog/_cloned").exists(),
+      "the source was never forked INTO — no sentinel there")
+    // a travel read BELOW the cut folds a prefix with no clone record;
+    // the sentinel routes it through the head chain so pre-fork dirs
+    // resolve against the base
+    TxLog.append(spark, dst, docs(100, 120), Some("id"))
+    assert(TxLog.snapshot(spark, dst, Some(cut - 1)).count() === 100)
+    assert(TxLog.snapshot(spark, dst, Some(1L)).count() === 50)
+    // the never-cloned source travel-reads exactly without the fold
+    assert(TxLog.snapshot(spark, src, Some(1L)).count() === 50)
+  }
 }

@@ -513,7 +513,7 @@ class TxLakeSpec extends SparkSpec {
     val found2 = graft.pipeline.RunGc.run(spark, lake2, ageMinutes = 60,
       auditStats = true).filter(_.kind == "tx-stats-degraded")
     assert(found2.size === 1 &&
-      found2.head.action.startsWith("recommend-optimizeHash-on-key-"),
+      found2.head.action.startsWith("recommend-optimizeHash-on-key#h60-"),
       found2.mkString("; "))
     TxLog.optimizeHash(spark, root2, "key", buckets = 16)
     assert(TxLog.statsAudit(spark, root2, "key")
@@ -861,5 +861,157 @@ class TxLakeSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("retention window"))
     assert(TxLog.snapshot(spark, root).count() === 50)
+  }
+
+  test("restore across a rename/drop refuses loudly — pre-evolution " +
+      "generations would silently read NULL under the restored pin") {
+    val root = freshRoot("restevo")
+    TxLog.append(spark, root, docs(0, 50), Some("id"))
+    val target = TxLog.latestVersion(spark, root)
+    TxLog.renameColumn(spark, root, "id", "doc_key")
+    val ex = intercept[IllegalStateException] {
+      TxLog.restore(spark, root, target)
+    }
+    assert(ex.getMessage.contains("rename"), ex.getMessage)
+    // the stated workaround works: the inverse rename is metadata-only,
+    // and the restore then goes through and reads the original values
+    TxLog.renameColumn(spark, root, "doc_key", "id")
+    TxLog.append(spark, root, docs(50, 60), Some("id"))
+    TxLog.restore(spark, root, target)
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 50)
+    assert(snap.where(col("id").isNull).count() === 0,
+      "restored generations must read real values, never lineage NULLs")
+    // drop refuses the same way (the lineage break cannot be inverted)
+    val r2 = freshRoot("restevo2")
+    TxLog.append(spark, r2, docs(0, 20)
+      .withColumn("lang", lit("en")), Some("id"))
+    val t2 = TxLog.latestVersion(spark, r2)
+    TxLog.dropColumn(spark, r2, "lang")
+    val ex2 = intercept[IllegalStateException] {
+      TxLog.restore(spark, r2, t2)
+    }
+    assert(ex2.getMessage.contains("drop"), ex2.getMessage)
+  }
+
+  test("dropColumn refuses while a live tombstone keys on the column — " +
+      "even under a pre-rename key name; materializing the mask unblocks") {
+    val root = freshRoot("droptomb")
+    TxLog.append(spark, root, docs(0, 100)
+      .withColumn("aux", col("id") * 2), Some("id"))
+    TxLog.tombstone(spark, root, Seq(7L, 9L).toDF("id"), "id")
+    // the takedown published under 'id'; rename moves the head name
+    TxLog.renameColumn(spark, root, "id", "doc_key")
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.dropColumn(spark, root, "doc_key")
+    }
+    assert(ex.getMessage.contains("tombstone"), ex.getMessage)
+    // an unrelated column drops fine with the mask live
+    TxLog.dropColumn(spark, root, "aux")
+    // materialize the mask (rewrite postdates the tombstone -> inert),
+    // then the key column drops
+    TxLog.rewrite(spark, root, Some("doc_key"))(df => df)
+    TxLog.dropColumn(spark, root, "doc_key")
+    assert(TxLog.snapshot(spark, root).columns.toSeq === Seq("text"))
+    assert(TxLog.snapshot(spark, root).count() === 98)
+  }
+
+  test("snapshotKeys above maxBroadcastKeys falls back to a shuffled " +
+      "semi-join — same rows, no driver-sized broadcast forced") {
+    val root = freshRoot("keysbig")
+    TxLog.append(spark, root, docs(0, 1000), Some("id"))
+    TxLog.optimizeRange(spark, root, "id", buckets = 8)
+    val keys = docs(100, 300).select("id")
+    val small = TxLog.snapshotKeys(spark, root, keys, "id")
+      .orderBy("id").collect()
+    // with auto-broadcast off, only the explicit hint could broadcast:
+    // the guarded path must NOT carry it — Catalyst is free to pick,
+    // the guard only stops snapshotKeys from FORCING the driver copy
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val forced = TxLog.snapshotKeys(spark, root, keys, "id")
+      assert(forced.queryExecution.executedPlan.toString
+        .contains("Broadcast"),
+        "under the limit the hint still broadcasts (the point-read path)")
+      val big = TxLog.snapshotKeys(spark, root, keys, "id",
+        maxBroadcastKeys = 5L) // over the limit: no hint
+      assert(!big.queryExecution.executedPlan.toString.contains("Broadcast"),
+        "the over-limit path must not force a broadcast:\n" +
+          big.queryExecution.executedPlan.toString)
+      assert(big.orderBy("id").collect().toSeq === small.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert(small.length === 200)
+  }
+
+  test("changes() refuses a remove naming a dir absent from the " +
+      "pre-commit live set — a malformed log is a loud stop, not a " +
+      "fabricated delta") {
+    val root = freshRoot("cdcbad")
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    // hand-corrupt: a commit removing a dir no manifest ever added
+    val head = TxLog.latestVersion(spark, root)
+    val bad = s"format=1\naction=rewrite\nts=1\nremove=data/bogus-dir\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_txlog/v${"%020d".format(head + 1)}.commit"),
+      bad.getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      TxLog.changes(spark, root, head, head + 1).collect()
+    }
+    assert(ex.getMessage.contains("malformed"), ex.getMessage)
+  }
+
+  test("replica cursor: catchUp resumes from the admitted tokens — a " +
+      "current replica survives a source vacuum; a replica behind the " +
+      "horizon is a named bootstrap error") {
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_txl_cursor").toString
+    val (src, dst) = (s"$lake/src", s"$lake/dst")
+    (0 until 5).foreach(k =>
+      TxLog.append(spark, src, docs(k * 10, k * 10 + 10), Some("id")))
+    graft.streaming.TxStream.catchUp(spark, src, dst, "id")
+    assert(TxLog.snapshot(spark, dst).count() === 50)
+    // the cursor is the token high-water mark, not 0
+    assert(TxLog.lastTxnBatch(spark, dst, "tx-replica") === Some(5L))
+    // the source lives on; the replica catches up to head (v8)
+    TxLog.rewrite(spark, src, Some("id"))(df => df)               // v6
+    TxLog.append(spark, src, docs(100, 110), Some("id"))          // v7
+    TxLog.append(spark, src, docs(110, 120), Some("id"))          // v8
+    graft.streaming.TxStream.catchUp(spark, src, dst, "id")
+    assert(TxLog.snapshot(spark, dst).count() === 70)
+    // NOW vacuum the source's early history away (horizon above v1):
+    // pre-r15 every later catchUp replayed from v1 and crashed into
+    // the retention guard even though the replica was fully current —
+    // the token cursor makes the same call a clean no-op
+    assert(TxLog.vacuum(spark, src, retainVersions = 2,
+      graceMs = 0L).nonEmpty)
+    assert(TxLog.retentionHorizon(spark, src).exists(_ > 1L))
+    graft.streaming.TxStream.catchUp(spark, src, dst, "id")
+    assert(TxLog.snapshot(spark, dst).count() === 70)
+    // a FRESH replica is genuinely behind the horizon: named error
+    val ex = intercept[TxLog.TxRetentionException] {
+      graft.streaming.TxStream.catchUp(spark, src, s"$lake/dst2", "id")
+    }
+    assert(ex.getMessage.contains("Re-bootstrap"), ex.getMessage)
+  }
+
+  test("statsAudit on a half-migrated layout reports one row per stat " +
+      "kind — the value side cannot hide the hash side's degradation") {
+    val root = freshRoot("auditmix")
+    // digit-string keys carry BOTH stats (long-castable value + hash);
+    // doc-string keys carry only the hash — a mixed table
+    TxLog.append(spark, root,
+      (0 until 100).map(i => (i.toString, s"n-$i")).toDF("key", "text"),
+      Some("key"))
+    TxLog.append(spark, root, sdocs(0, 100), Some("key"))
+    val rows = TxLog.statsAudit(spark, root, "key").orderBy("stat")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("key", "key#h60"))
+    val byStat = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(byStat("key") === (2L, 1L),
+      "value stat exists on 1 of 2 dirs — n_stats must say so")
+    assert(byStat("key#h60") === (2L, 2L),
+      "both dirs carry the portable-hash stat")
   }
 }

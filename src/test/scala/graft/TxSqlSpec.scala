@@ -78,6 +78,91 @@ class TxSqlSpec extends SparkSpec {
       s"USING graft.sources.TxDataSource OPTIONS (path '$root')")
     assert(spark.sql("SELECT count(*) AS n FROM tx_empty_v")
       .head().getLong(0) === 0)
+    // the WRITER honors the same contract: overwrite of the emptied
+    // table lands the frame as a fresh commit (rewrite has no snapshot
+    // to replace there — the pre-r15 form threw)
+    docs(500, 520).write.format("graft-tx").mode("overwrite")
+      .option("statsCol", "id").save(root)
+    assert(spark.read.format("graft-tx").load(root).count() === 20)
+  }
+
+  test("SQL MERGE INTO lowers to the pruned TxLog.merge: upsert via " +
+      "SET */INSERT *, delete-on-match via mergeDelete, unsupported " +
+      "shapes refused loudly") {
+    val root = freshRoot("dml_merge")
+    TxLog.append(spark, root, docs(0, 400), Some("id"))
+    TxLog.optimizeRange(spark, root, "id", buckets = 8)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_t " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    docs(100, 110).withColumn("text", upper(col("text")))
+      .createOrReplaceTempView("dml_s")
+    // a narrow-key upsert: 10 updates, one bucket's span
+    spark.sql("""MERGE INTO dml_t t USING dml_s s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // the write path PRUNED: keys 100..109 live in ONE of 8 buckets
+    val mergeRow = TxLog.history(spark, root)
+      .where(col("action") === "merge")
+      .orderBy(col("version").desc).head()
+    assert(mergeRow.getAs[Long]("n_removes") === 1,
+      "a one-bucket-span SQL MERGE must stab exactly that bucket")
+    // a disjoint-key upsert: pure inserts, zero dirs rewritten
+    docs(800, 805).withColumn("text", upper(col("text")))
+      .createOrReplaceTempView("dml_s2")
+    spark.sql("""MERGE INTO dml_t t USING dml_s2 s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.count() === 405)
+    assert(snap.where(col("text").rlike("^DOC-")).count() === 15)
+    // delete-on-match
+    spark.range(0, 50).selectExpr("id").createOrReplaceTempView("dml_d")
+    spark.sql("""MERGE INTO dml_t t USING dml_d s ON t.id = s.id
+                 WHEN MATCHED THEN DELETE""")
+    assert(TxLog.snapshot(spark, root).count() === 355)
+    // unsupported shapes are refused with the supported forms named
+    val ex = intercept[Exception] {
+      spark.sql("""MERGE INTO dml_t t USING dml_s s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET text = concat(s.text, '!')
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(ex.getMessage.contains("Supported shapes"), ex.getMessage)
+  }
+
+  test("SQL UPDATE and DELETE lower to the bounds-pruned predicate DML — " +
+      "narrow WHERE rewrites few dirs; results exact") {
+    val root = freshRoot("dml_ud")
+    TxLog.append(spark, root, docs(0, 800), Some("id"))
+    TxLog.optimizeRange(spark, root, "id", buckets = 8)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_u " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    spark.sql(
+      "UPDATE dml_u SET text = upper(text) WHERE id >= 100 AND id < 150")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.where(col("text").rlike("^DOC-")).count() === 50)
+    assert(snap.count() === 800)
+    // the narrow WHERE touched ONE of 8 range buckets
+    val upd = TxLog.history(spark, root)
+      .where(col("action") === "update").head()
+    assert(upd.getAs[Long]("n_removes") === 1,
+      "id in [100,150) lives in exactly one 100-wide bucket")
+    // DELETE with a non-boundable predicate still exact (full touch)
+    spark.sql("DELETE FROM dml_u WHERE id % 100 = 7")
+    assert(TxLog.snapshot(spark, root).count() === 792)
+    // DELETE with bounds prunes
+    spark.sql("DELETE FROM dml_u WHERE id >= 700")
+    val del = TxLog.history(spark, root)
+      .where(col("action") === "delete")
+      .orderBy(col("version").desc).head()
+    assert(del.getAs[Long]("n_removes") <= 2)
+    assert(TxLog.snapshot(spark, root).count() === 693)
+    // a travel-read target refuses DML
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_past " +
+      s"USING `graft-tx` OPTIONS (path '$root', versionAsOf '1')")
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM dml_past WHERE id = 1")
+    }
+    assert(ex.getMessage.contains("travel"), ex.getMessage)
   }
 
   test("TxBounds: pushed filters collapse to per-column [lo, hi) manifest " +
