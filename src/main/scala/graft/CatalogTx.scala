@@ -1611,8 +1611,12 @@ private[graft] object CatalogTx {
         before.unionByName(after)
           .select(col("phase"), col("stat"), col("n_dirs"),
             col("n_stats"), col("sum_spans"), col("overlap_ppm"))
-          .orderBy("phase")
+          .orderBy("phase", "stat")
       },
+      // the r15 null-count stat rides every write path, so each phase
+      // also reports a doc_id#nulls health row (doc_id is never null
+      // here: 0 recorded nulls, 0 scan share) — the oracle pins that
+      // the counter is recorded by BOTH append and optimizeRange
       Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
               sl AS (SELECT doc_id % 5 AS k, min(doc_id) AS mn,
                        max(doc_id) AS mx
@@ -1637,10 +1641,18 @@ private[graft] object CatalogTx {
                 bi.spans * 1000000 // (gi.gmx - gi.gmn + 1) AS overlap_ppm
               FROM bi, gi
               UNION ALL
+              SELECT 'interleaved', 'doc_id#nulls', 5, bi.nst,
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM bi
+              UNION ALL
               SELECT 'optimized', 'doc_id', bo.nst, bo.nst, bo.spans,
                 bo.spans * 1000000 // (go.gmx - go.gmn + 1)
               FROM bo, go
-              ORDER BY phase""")),
+              UNION ALL
+              SELECT 'optimized', 'doc_id#nulls', bo.nst, bo.nst,
+                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM bo
+              ORDER BY phase, stat""")),
 
     QueryDef("x175_tx_restore",
       // RESTORE / rollback-as-a-commit (r14 — the published Delta
@@ -2034,7 +2046,52 @@ private[graft] object CatalogTx {
               WHERE doc_id % 10 <> 4
                 AND doc_id NOT IN
                   (SELECT doc_id FROM d WHERE doc_id % 9 = 2)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    QueryDef("x184_tx_null_probe",
+      // IS NULL pruning via per-dir NULL COUNTS (r15 — min/max spans
+      // cannot answer `WHERE col IS NULL`, so pre-r15 a null probe
+      // scanned the whole table): evens land with score never null,
+      // odds with score null on every %5==0, a takedown masks %7==1;
+      // snapshotNulls reads ONLY the null-carrying dir (TxLakeSpec
+      // pins the inputFiles set) and the masked rows stay hidden.
+      // The health row rides along: overlap_ppm = the share of
+      // statted dirs a null probe must scan (1 of 2 -> 500000) and
+      // sum_spans = total PHYSICAL nulls recorded at write time
+      // (tombstones move no bytes, so masked null rows still count)
+      (s, d) => {
+        val root = freshTxRoot(s, "nullprobe", d)
+        val doc = txDocs(s, d).select(col("doc_id"))
+        TxLog.appendCols(s, root,
+          doc.where(col("doc_id") % 2 === 0)
+            .withColumn("score", col("doc_id") * 3),
+          Seq("doc_id", "score"))
+        TxLog.appendCols(s, root,
+          doc.where(col("doc_id") % 2 === 1)
+            .withColumn("score", when(col("doc_id") % 5 === 0,
+              lit(null).cast("long")).otherwise(col("doc_id") * 3)),
+          Seq("doc_id", "score"))
+        TxLog.tombstone(s, root,
+          doc.where(col("doc_id") % 7 === 1), "doc_id")
+        val probe = TxLog.snapshotNulls(s, root, "score")
+          .select(lit("probe").as("kind"), col("doc_id").as("a"),
+            lit(0L).as("b"))
+        val health = TxLog.statsAudit(s, root, "score")
+          .where(col("stat") === "score#nulls")
+          .select(lit("health").as("kind"),
+            col("overlap_ppm").as("a"), col("sum_spans").as("b"))
+        probe.unionByName(health).orderBy("kind", "a")
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+                         WHERE doc_id < 2000),
+              nulls AS (SELECT doc_id FROM d
+                        WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)
+              SELECT 'probe' AS kind, doc_id AS a, CAST(0 AS BIGINT) AS b
+              FROM nulls WHERE doc_id % 7 <> 1
+              UNION ALL
+              SELECT 'health', CAST(500000 AS BIGINT),
+                (SELECT CAST(count(*) AS BIGINT) FROM nulls)
+              ORDER BY kind, a"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

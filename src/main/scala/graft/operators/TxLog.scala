@@ -885,18 +885,38 @@ object TxLog {
     case _ => true
   }
 
+  /** The stats name a column's per-dir NULL COUNT travels under (the
+    * `#h60` convention; '#' cannot collide with the '|'-guarded
+    * rendering). Recorded as a degenerate span (n, n) so it rides the
+    * existing ColStat format unchanged — a count of 0 is the valuable
+    * reading: the dir provably holds no NULL of the column, so an
+    * `IS NULL` probe ([[snapshotNulls]]) skips it entirely. Absent
+    * (legacy dirs) must scan — conservative, never wrong. */
+  private[graft] def nullStatName(c: String): String = s"$c#nulls"
+
+  /** One per-dir statistic: a min/max RANGE of `expr` (the pruning
+    * span) or a SUM of it (the null counter) — both collected in the
+    * same single in-write metric set. */
+  private final case class StatSpec(name: String, expr: Column,
+      isSum: Boolean)
+
   /** The standard per-column stat set: the value min/max (absent for
-    * non-long-castable values — string ids) plus, for non-numeric
-    * columns only, the portable-hash min/max — what every write path
-    * records, in ONE in-write metric set. */
+    * non-long-castable values — string ids), the portable-hash
+    * min/max for non-numeric columns, and the NULL COUNT (every
+    * column — `IS NULL` is a predicate class of its own and min/max
+    * never answer it) — what every write path records, in ONE
+    * in-write metric set. */
   private def statSpecs(df: DataFrame,
-      cols: Seq[String]): Seq[(String, Column)] =
+      cols: Seq[String]): Seq[StatSpec] =
     cols.flatMap { c =>
-      val value = (c, col(c).cast("long"))
+      val value = StatSpec(c, col(c).cast("long"), isSum = false)
+      val nulls = StatSpec(nullStatName(c),
+        when(col(c).isNull, lit(1L)).otherwise(lit(0L)), isSum = true)
       if (df.schema.fields.find(_.name == c)
           .forall(f => wantsHashStat(f.dataType)))
-        Seq(value, (hashStatName(c), keyHash(col(c))))
-      else Seq(value)
+        Seq(value, StatSpec(hashStatName(c), keyHash(col(c)),
+          isSum = false), nulls)
+      else Seq(value, nulls)
     }
 
   /** Write `df` as a fresh immutable data dir and return its AddFile.
@@ -919,8 +939,9 @@ object TxLog {
     // in-write metric set
     val specs = statSpecs(df, statsCols)
     val metrics = count(lit(1)).as("n") +:
-      specs.zipWithIndex.flatMap { case ((_, e), i) => Seq(
-        min(e).as(s"mn$i"), max(e).as(s"mx$i")) }
+      specs.zipWithIndex.flatMap { case (s, i) =>
+        if (s.isSum) Seq(sum(s.expr).as(s"mn$i"))
+        else Seq(min(s.expr).as(s"mn$i"), max(s.expr).as(s"mx$i")) }
     // CHECK constraints ride the write's own scan (every writer that
     // lands table rows funnels through here; a violation fails the
     // job before the commit exists). The SET is the caller's capture
@@ -932,11 +953,14 @@ object TxLog {
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rel")
     }
     val m = obs.get
-    val stats = specs.zipWithIndex.flatMap { case ((c, _), i) =>
-      for {
+    val stats = specs.zipWithIndex.flatMap { case (s, i) =>
+      if (s.isSum)
+        m.get(s"mn$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
+          .map(v => ColStat(s.name, v, v))
+      else for {
         mn <- m.get(s"mn$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
         mx <- m.get(s"mx$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
-      } yield ColStat(c, mn, mx)
+      } yield ColStat(s.name, mn, mx)
     }
     AddFile(rel, m("n").asInstanceOf[Long], stats)
   }
@@ -1974,16 +1998,24 @@ object TxLog {
     * shared by [[appendPartitioned]]/[[optimizeRange]]/
     * [[optimizeZOrder]]/[[optimizeHash]]; never a per-dir re-scan. */
   private def bucketStats(df: DataFrame, bucket: Column,
-      specs: Seq[(String, Column)]): Map[Long, (Long, Seq[ColStat])] = {
+      specs: Seq[StatSpec]): Map[Long, (Long, Seq[ColStat])] = {
     val aggs = count(lit(1)).as("n") +: specs.zipWithIndex.flatMap {
-      case ((_, e), i) => Seq(min(e).as(s"mn$i"), max(e).as(s"mx$i")) }
+      case (s, i) =>
+        if (s.isSum) Seq(sum(s.expr).as(s"mn$i"))
+        else Seq(min(s.expr).as(s"mn$i"), max(s.expr).as(s"mx$i")) }
     df.withColumn("__b", bucket).groupBy("__b")
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        val cs = specs.zipWithIndex.flatMap { case ((c, _), i) =>
-          val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i) // __b, n, then pairs
-          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-          else Some(ColStat(c, r.getLong(mnI), r.getLong(mxI)))
+        val cs = specs.zipWithIndex.flatMap { case (s, i) =>
+          val mnI = r.fieldIndex(s"mn$i")
+          if (s.isSum) {
+            if (r.isNullAt(mnI)) None
+            else Some(ColStat(s.name, r.getLong(mnI), r.getLong(mnI)))
+          } else {
+            val mxI = r.fieldIndex(s"mx$i")
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+            else Some(ColStat(s.name, r.getLong(mnI), r.getLong(mxI)))
+          }
         }
         r.getLong(0) -> (r.getLong(1), cs)
       }.toMap
@@ -2125,8 +2157,9 @@ object TxLog {
     // for a numeric key the type gate would otherwise skip
     val specs0 = statSpecs(snap, keyCol +: extraStats)
     val specs =
-      if (specs0.exists(_._1 == hashStatName(keyCol))) specs0
-      else (hashStatName(keyCol), keyHash(col(keyCol))) +: specs0
+      if (specs0.exists(_.name == hashStatName(keyCol))) specs0
+      else StatSpec(hashStatName(keyCol), keyHash(col(keyCol)),
+        isSum = false) +: specs0
     val stats = bucketStats(snap, bucket, specs)
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
@@ -2814,6 +2847,40 @@ object TxLog {
         Seq(keyCol), "left_semi")
   }
 
+  /** NULL-PROBE READ — the live rows whose `keyCol` IS NULL, scanning
+    * only the dirs that can hold one: min/max spans cannot answer
+    * `WHERE col IS NULL` (nulls don't order), so every write path
+    * also records a per-dir NULL COUNT for its stats columns
+    * ([[nullStatName]]) and this read skips every dir whose recorded
+    * count is ZERO — the last common predicate class closed at the
+    * manifest level (pre-r15 a null probe scanned the whole table).
+    * Dirs without the stat (legacy, or stats recorded on other
+    * columns) conservatively scan; the predicate also applies
+    * in-plan, so results are exact regardless of stats. Tombstone
+    * masks and schema generations apply exactly as in [[snapshot]]. */
+  def snapshotNulls(spark: SparkSession, root: String, keyCol: String,
+      asOf: Option[Long] = None): DataFrame = {
+    asOf.foreach(v => retentionGuard(spark, root, v, "snapshotNulls"))
+    val st = foldLog(spark, root, asOf)
+    require(st.files.nonEmpty,
+      s"snapshotNulls: $root is empty at v${st.version}")
+    val nn = nullStatName(keyCol)
+    val kept = st.files.filter(f => f.statFor(nn).forall(_.max > 0L))
+    val pin = pinnedSchemaAt(spark, root, st.version)
+    if (kept.isEmpty) {
+      val schema = pin
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(spark.read.parquet(
+          s"${baseFor(root, cloneChain(spark, root, st, asOf),
+            st.files.head.gen)}/${st.files.head.dir}")
+          .schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readMasked(spark, root, kept, pin, st.dvs,
+        cloneChain(spark, root, st, asOf), st.evos)
+      .where(col(keyCol).isNull)
+  }
+
   /** The skipping decision as DATA (the x122 shape): one row per live
     * dir at head with its stats FOR `keyCol` and whether a `[lo, hi)`
     * range read on that column scans it. Deterministic columns only
@@ -2865,7 +2932,18 @@ object TxLog {
           spans.min(BigInt(Long.MaxValue)).toLong, ppm))
       }
     }
-    val rows = Seq(keyCol, hashStatName(keyCol)).flatMap(row)
+    // the NULL-COUNT stat gets its own health row when present:
+    // sum_spans = total recorded nulls, overlap_ppm = the share of
+    // STATTED dirs a null probe must scan (non-zero counts) ×1e6 —
+    // 0 means IS NULL reads are free, 1e6 means they scan everything
+    def nullRow: Option[(String, Long, Long, Long, Long)] = {
+      val nn = nullStatName(keyCol)
+      val st = live.flatMap(_.statFor(nn))
+      if (st.isEmpty) None
+      else Some((nn, nDirs, st.size.toLong, st.map(_.max).sum,
+        st.count(_.max > 0L).toLong * 1000000L / st.size))
+    }
+    val rows = Seq(keyCol, hashStatName(keyCol)).flatMap(row) ++ nullRow
     (if (rows.nonEmpty) rows else Seq((keyCol, nDirs, 0L, 0L, 0L)))
       .toDF("stat", "n_dirs", "n_stats", "sum_spans", "overlap_ppm")
   }

@@ -332,7 +332,11 @@ object RunGc {
             graft.operators.TxLog.statsAudit(spark, t, keyCol)
               .collect().toSeq.flatMap { r =>
                 val (stat, ppm) = (r.getString(0), r.getLong(4))
-                if (ppm <= statsOverlapPpm) Seq.empty
+                // the #nulls row's ppm is a DATA property (share of
+                // dirs that hold nulls), not a layout defect an
+                // optimize can fix — never a degradation finding
+                if (stat.endsWith("#nulls") || ppm <= statsOverlapPpm)
+                  Seq.empty
                 else {
                   val fix = if (stat == keyCol) "optimizeRange-or-zorder"
                             else "optimizeHash"

@@ -1006,12 +1006,52 @@ class TxLakeSpec extends SparkSpec {
     TxLog.append(spark, root, sdocs(0, 100), Some("key"))
     val rows = TxLog.statsAudit(spark, root, "key").orderBy("stat")
       .collect()
-    assert(rows.map(_.getString(0)).toSeq === Seq("key", "key#h60"))
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("key", "key#h60", "key#nulls"))
     val byStat = rows.map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2))).toMap
     assert(byStat("key") === (2L, 1L),
       "value stat exists on 1 of 2 dirs — n_stats must say so")
     assert(byStat("key#h60") === (2L, 2L),
       "both dirs carry the portable-hash stat")
+    assert(byStat("key#nulls") === (2L, 2L),
+      "both dirs carry the null counter")
+  }
+
+  test("snapshotNulls: IS NULL probes skip every dir whose recorded " +
+      "null count is zero; statless dirs conservatively scan") {
+    val root = freshRoot("nullp")
+    TxLog.appendCols(spark, root,
+      docs(0, 500).withColumn("score", col("id") * 2),
+      Seq("id", "score"))
+    TxLog.appendCols(spark, root,
+      docs(500, 1000).withColumn("score",
+        when(col("id") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("id") * 2)),
+      Seq("id", "score"))
+    val probe = TxLog.snapshotNulls(spark, root, "score")
+    assert(probe.count() === 50)
+    val (_, live) = TxLog.liveFiles(spark, root)
+    val nullDirs = live
+      .filter(_.statFor("score#nulls").exists(_.max > 0L)).map(_.dir)
+    assert(nullDirs.size === 1, "only the odd batch carries nulls")
+    assert(probe.inputFiles.nonEmpty &&
+      probe.inputFiles.forall(f => nullDirs.exists(f.contains)),
+      s"the probe must read ONLY the null-carrying dir, read: " +
+        probe.inputFiles.mkString(", "))
+    // a dir with stats on another column only (no score#nulls) must
+    // conservatively scan — absence of the counter is never a prune
+    TxLog.append(spark, root,
+      docs(1000, 1010).withColumn("score", col("id") * 2), Some("id"))
+    val probe2 = TxLog.snapshotNulls(spark, root, "score")
+    assert(probe2.count() === 50)
+    val statless = TxLog.liveFiles(spark, root)._2
+      .filter(_.statFor("score#nulls").isEmpty).map(_.dir)
+    assert(statless.size === 1)
+    assert(probe2.inputFiles.exists(f => statless.exists(f.contains)),
+      "a dir without the counter must be scanned")
+    // a probe on an all-non-null column reads NOTHING (typed empty)
+    val none = TxLog.snapshotNulls(spark, root, "id")
+    assert(none.count() === 0)
   }
 }
