@@ -502,13 +502,13 @@ private[graft] object CatalogShared {
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', ' ', 'g'),
             '\\s+', ' ', 'g')) AS cl
           FROM documents),
-        tok AS (
+        tok AS MATERIALIZED (
           SELECT doc_id, source, cl,
             list_filter(string_split(
               trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g')), ' '),
               x -> x <> '') AS toks
           FROM cl),
-        ft AS (
+        ft AS MATERIALIZED (
           SELECT doc_id, source, cl, toks,
             len(toks) AS n_tok,
             CAST(len(toks) AS DOUBLE) AS n_tok_d,
@@ -521,9 +521,9 @@ private[graft] object CatalogShared {
             ELSE 1.0 END AS punct,
             $hitExprs
           FROM tok),
-        sc AS (
+        sc AS MATERIALIZED (
           SELECT *, CAST($stopsSum AS DOUBLE) AS stops, $m AS m FROM ft),
-        q AS (
+        q AS MATERIALIZED (
           SELECT doc_id, source, cl, toks, n_tok,
             (least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
              + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
@@ -531,26 +531,26 @@ private[graft] object CatalogShared {
              + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) AS quality,
             CASE WHEN m = 0 THEN 'und' $pick END AS lang
           FROM sc),
-        flt AS (
+        flt AS MATERIALIZED (
           SELECT * FROM q
           WHERE lang IN ('en', 'und') AND n_tok >= 10 AND quality >= 0.3),
-        fpd AS (
+        fpd AS MATERIALIZED (
           SELECT *, md5(trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g'))) AS fp
           FROM flt),
-        e1 AS (SELECT min(doc_id) AS doc_id, fp FROM fpd
+        e1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id, fp FROM fpd
                WHERE doc_id < 300 GROUP BY fp),
-        e2 AS (SELECT min(doc_id) AS doc_id, fp FROM fpd
+        e2 AS MATERIALIZED (SELECT min(doc_id) AS doc_id, fp FROM fpd
                WHERE doc_id >= 300 AND fp NOT IN (SELECT fp FROM e1)
                GROUP BY fp),
-        eu AS (SELECT doc_id FROM e1 UNION ALL SELECT doc_id FROM e2),
-        th AS (
+        eu AS MATERIALIZED (SELECT doc_id FROM e1 UNION ALL SELECT doc_id FROM e2),
+        th AS MATERIALIZED (
           SELECT f.doc_id,
             list_transform(f.toks,
               t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
             len(f.toks) AS nt
           FROM fpd f JOIN eu ON eu.doc_id = f.doc_id
           WHERE len(f.toks) > 0),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT doc_id, list_distinct(CASE
             WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
               CAST('0x' || substring(md5(
@@ -563,7 +563,7 @@ private[graft] object CatalogShared {
                 CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
             END) AS hs
           FROM th),
-        mh AS (
+        mh AS MATERIALIZED (
           SELECT doc_id, i,
             min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
                  * (s % 2147483647)
@@ -571,23 +571,23 @@ private[graft] object CatalogShared {
                 % 2147483647) AS m
           FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
           GROUP BY doc_id, i),
-        bands AS (
+        bands AS MATERIALIZED (
           SELECT doc_id,
             CAST(i // 4 AS VARCHAR) || ',' ||
               string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
           FROM mh GROUP BY doc_id, i // 4),
-        cand AS (
+        cand AS MATERIALIZED (
           SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
           FROM bands b JOIN bands c
             ON b.bucket = c.bucket AND b.doc_id < c.doc_id),
-        prs AS (
+        prs AS MATERIALIZED (
           SELECT p.id_a, p.id_b FROM cand p
           JOIN sh a ON a.doc_id = p.id_a
           JOIN sh b ON b.doc_id = p.id_b
           WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
             (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
             >= 0.5),
-        ed1 AS (
+        ed1 AS MATERIALIZED (
           SELECT id_a, id_b FROM prs WHERE id_a < 300 AND id_b < 300
           UNION ALL
           SELECT id_b, id_a FROM prs WHERE id_a < 300 AND id_b < 300),
@@ -595,11 +595,11 @@ private[graft] object CatalogShared {
           SELECT id_a AS id, id_a AS r FROM ed1
           UNION
           SELECT re.id, e.id_b AS r FROM r1 re JOIN ed1 e ON e.id_a = re.r),
-        a1 AS (
+        a1 AS MATERIALIZED (
           SELECT doc_id FROM e1
           WHERE doc_id NOT IN
             (SELECT id FROM r1 GROUP BY id HAVING min(r) < id)),
-        ed2 AS (
+        ed2 AS MATERIALIZED (
           SELECT id_a, id_b FROM prs WHERE id_a >= 300 AND id_b >= 300
           UNION ALL
           SELECT id_b, id_a FROM prs WHERE id_a >= 300 AND id_b >= 300),
@@ -607,11 +607,11 @@ private[graft] object CatalogShared {
           SELECT id_a AS id, id_a AS r FROM ed2
           UNION
           SELECT re.id, e.id_b AS r FROM r2 re JOIN ed2 e ON e.id_a = re.r),
-        w2 AS (
+        w2 AS MATERIALIZED (
           SELECT doc_id FROM e2
           WHERE doc_id NOT IN
             (SELECT id FROM r2 GROUP BY id HAVING min(r) < id)),
-        a2 AS (
+        a2 AS MATERIALIZED (
           SELECT doc_id FROM w2
           WHERE doc_id NOT IN
               (SELECT p.id_b FROM prs p JOIN a1 ON a1.doc_id = p.id_a)
@@ -650,13 +650,13 @@ private[graft] object CatalogShared {
               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+', ' ', 'g'),
             '\\s+', ' ', 'g')) AS cl
           FROM documents),
-        tok AS (
+        tok AS MATERIALIZED (
           SELECT doc_id, cl,
             list_filter(string_split(
               trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g')), ' '),
               x -> x <> '') AS toks
           FROM cl),
-        ft AS (
+        ft AS MATERIALIZED (
           SELECT doc_id, cl, toks,
             len(toks) AS n_tok,
             CAST(len(toks) AS DOUBLE) AS n_tok_d,
@@ -669,9 +669,9 @@ private[graft] object CatalogShared {
             ELSE 1.0 END AS punct,
             $hitExprs
           FROM tok),
-        sc AS (
+        sc AS MATERIALIZED (
           SELECT *, CAST($stopsSum AS DOUBLE) AS stops, $m AS m FROM ft),
-        q AS (
+        q AS MATERIALIZED (
           SELECT doc_id, cl, toks, n_tok,
             (least(greatest(n_tok_d / 100.0, 0.0), 1.0) * 0.25
              + least(greatest((avg_len - 2.0) / 6.0, 0.0), 1.0) * 0.25
@@ -679,21 +679,21 @@ private[graft] object CatalogShared {
              + least(greatest(stops / 10.0, 0.0), 1.0) * 0.25) AS quality,
             CASE WHEN m = 0 THEN 'und' $pick END AS lang
           FROM sc),
-        flt AS (
+        flt AS MATERIALIZED (
           SELECT * FROM q
           WHERE lang = 'en' AND n_tok >= 10 AND quality >= 0.3),
-        fpd AS (
+        fpd AS MATERIALIZED (
           SELECT *, md5(trim(regexp_replace(lower(cl), '[^a-z0-9]+', ' ', 'g'))) AS fp
           FROM flt),
-        e AS (SELECT min(doc_id) AS doc_id, fp FROM fpd GROUP BY fp),
-        th AS (
+        e AS MATERIALIZED (SELECT min(doc_id) AS doc_id, fp FROM fpd GROUP BY fp),
+        th AS MATERIALIZED (
           SELECT f.doc_id,
             list_transform(f.toks,
               t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h,
             len(f.toks) AS nt
           FROM fpd f JOIN e ON e.doc_id = f.doc_id
           WHERE len(f.toks) > 0),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT doc_id, list_distinct(CASE
             WHEN nt >= 3 THEN list_transform(range(1, nt - 1), i ->
               CAST('0x' || substring(md5(
@@ -706,7 +706,7 @@ private[graft] object CatalogShared {
                 CAST(coalesce(h[3], -2) AS VARCHAR)), 1, 15) AS BIGINT)]
             END) AS hs
           FROM th),
-        mh AS (
+        mh AS MATERIALIZED (
           SELECT doc_id, i,
             min((((1103515245 * (i + 1) + 12345) % 2147483646 + 1)
                  * (s % 2147483647)
@@ -714,30 +714,30 @@ private[graft] object CatalogShared {
                 % 2147483647) AS m
           FROM (SELECT doc_id, unnest(hs) AS s FROM sh), range(0, 64) t(i)
           GROUP BY doc_id, i),
-        bands AS (
+        bands AS MATERIALIZED (
           SELECT doc_id,
             CAST(i // 4 AS VARCHAR) || ',' ||
               string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bucket
           FROM mh GROUP BY doc_id, i // 4),
-        cand AS (
+        cand AS MATERIALIZED (
           SELECT DISTINCT b.doc_id AS id_a, c.doc_id AS id_b
           FROM bands b JOIN bands c
             ON b.bucket = c.bucket AND b.doc_id < c.doc_id),
-        prs AS (
+        prs AS MATERIALIZED (
           SELECT p.id_a, p.id_b FROM cand p
           JOIN sh a ON a.doc_id = p.id_a
           JOIN sh b ON b.doc_id = p.id_b
           WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
             (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
             >= 0.5),
-        ed AS (
+        ed AS MATERIALIZED (
           SELECT id_a, id_b FROM prs
           UNION ALL SELECT id_b, id_a FROM prs),
         r AS (
           SELECT id_a AS id, id_a AS r FROM ed
           UNION
           SELECT re.id, e2.id_b AS r FROM r re JOIN ed e2 ON e2.id_a = re.r),
-        reasons AS (
+        reasons AS MATERIALIZED (
           SELECT doc_id,
             CASE WHEN lang <> 'en' THEN 'lang'
                  WHEN n_tok < 10 THEN 'tokens'
@@ -751,9 +751,9 @@ private[graft] object CatalogShared {
           UNION ALL
           SELECT id AS doc_id, 'fuzzy_dup' FROM r
           GROUP BY id HAVING min(r) < id),
-        counts AS (
+        counts AS MATERIALIZED (
           SELECT reason, count(*) AS n_dropped FROM reasons GROUP BY reason),
-        sam AS (
+        sam AS MATERIALIZED (
           SELECT reason, doc_id, row_number() OVER (PARTITION BY reason
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM reasons)

@@ -210,9 +210,35 @@ private[graft] class TxDmlRule(spark: SparkSession)
         if (upM != insM)
           unsupported("UPDATE SET and INSERT columns must align " +
             "(the upsert writes ONE row per key)")
-        GraftMergeCommand(root, keyCol, upM, source)
+        GraftMergeCommand(root, keyCol, upM, source, None)
       case (Seq(DeleteAction(None)), Seq()) =>
         GraftMergeDeleteCommand(root, keyCol, source)
+      // the CDC-apply staple: a source carrying a delete flag drives
+      // deletes, updates AND inserts through ONE statement — exactly
+      // TxLog.merge's deleteCol contract. The INSERT clause must be
+      // guarded with NOT(<delete condition>): an UNguarded insert
+      // would insert a not-matched flagged row (SQL's clause-order
+      // semantics), which the keyed write path cannot express — the
+      // refusal names the guard to add rather than silently dropping
+      // the row.
+      case (Seq(DeleteAction(Some(dc)), UpdateAction(None, up, _)),
+          Seq(InsertAction(insCond, ins))) =>
+        if (!dc.references.subsetOf(sourceOut))
+          unsupported("the WHEN MATCHED AND <cond> THEN DELETE " +
+            "condition must reference only source columns (it rides " +
+            "the change batch)")
+        val guarded = insCond.exists(c => c.semanticEquals(
+          org.apache.spark.sql.catalyst.expressions.Not(dc)))
+        if (!guarded)
+          unsupported("with a conditional DELETE clause, guard the " +
+            "INSERT as WHEN NOT MATCHED AND NOT (<delete condition>) " +
+            "THEN INSERT * — an unguarded insert of a flagged-deleted " +
+            "new key has no keyed-merge equivalent")
+        val upM = alignedMapping(up, "WHEN MATCHED UPDATE")
+        val insM = alignedMapping(ins, "WHEN NOT MATCHED INSERT")
+        if (upM != insM)
+          unsupported("UPDATE SET and INSERT columns must align")
+        GraftMergeCommand(root, keyCol, upM, source, Some(bareSql(dc)))
       case (ma, na) =>
         unsupported(s"unsupported clause shape (${ma.length} matched, " +
           s"${na.length} not-matched, or conditional clauses)")
@@ -220,12 +246,15 @@ private[graft] class TxDmlRule(spark: SparkSession)
   }
 }
 
-/** `MERGE ... UPDATE SET * / INSERT *` — the keyed upsert: the source
-  * plan projects into the target's pinned column order/types and
-  * lands through [[TxLog.merge]]'s manifest-pruned write path.
-  * Duplicate source keys surface merge's own loud contract error. */
+/** `MERGE ... UPDATE SET * / INSERT *` — the keyed upsert (plus,
+  * with `deleteCondSql`, the CDC-apply form: flagged source rows
+  * delete their key instead): the source plan projects into the
+  * target's pinned column order/types and lands through
+  * [[TxLog.merge]]'s manifest-pruned write path. Duplicate source
+  * keys surface merge's own loud contract error. */
 private[graft] case class GraftMergeCommand(root: String, keyCol: String,
-    mapping: Map[String, String], source: LogicalPlan)
+    mapping: Map[String, String], source: LogicalPlan,
+    deleteCondSql: Option[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = Shims.ofRows(spark, source)
@@ -233,14 +262,18 @@ private[graft] case class GraftMergeCommand(root: String, keyCol: String,
       throw new IllegalStateException(
         s"graft-tx MERGE: $root has no schema pin"))
     val t = org.apache.spark.sql.types.StructType.fromDDL(pin)
-    val batch = src.select(t.fields.toSeq.map { f =>
+    val cols = t.fields.toSeq.map { f =>
       val from = mapping.getOrElse(f.name,
         throw new UnsupportedOperationException(
           s"graft-tx MERGE: no source column assigned to target " +
             s"'${f.name}' — SET * / INSERT * must cover the pin [$pin]"))
       col(from).cast(f.dataType).as(f.name)
-    }: _*)
-    val v = TxLog.merge(spark, root, batch, keyCol, conflictRetries = 2)
+    }
+    val batch = src.select(
+      cols ++ deleteCondSql.map(c => expr(c).as("__graft_del")): _*)
+    val v = TxLog.merge(spark, root, batch, keyCol,
+      deleteCol = deleteCondSql.map(_ => "__graft_del"),
+      conflictRetries = 2)
     Seq(Row(v))
   }
   override def output: Seq[Attribute] = Seq(AttributeReference(

@@ -120,6 +120,34 @@ class TxSqlSpec extends SparkSpec {
     spark.sql("""MERGE INTO dml_t t USING dml_d s ON t.id = s.id
                  WHEN MATCHED THEN DELETE""")
     assert(TxLog.snapshot(spark, root).count() === 355)
+    // the CDC-apply staple: one statement carrying updates, inserts
+    // AND flagged deletes — the deleteCol merge path from pure SQL
+    docs(300, 305).union(docs(390, 393)).union(docs(900, 903))
+      .withColumn("text", upper(col("text")))
+      .withColumn("del", col("id") >= 390 && col("id") < 393)
+      .createOrReplaceTempView("dml_cdc")
+    spark.sql("""MERGE INTO dml_t t USING dml_cdc s ON t.id = s.id
+                 WHEN MATCHED AND s.del THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED AND NOT s.del THEN INSERT *""")
+    val afterCdc = TxLog.snapshot(spark, root)
+    assert(afterCdc.where(col("id") >= 390 && col("id") < 393)
+      .count() === 0, "flagged matched keys delete")
+    assert(afterCdc.where(col("id") >= 300 && col("id") < 305 &&
+      col("text").rlike("^DOC-")).count() === 5, "unflagged keys update")
+    assert(afterCdc.where(col("id") >= 900).count() === 3,
+      "unflagged new keys insert")
+    assert(afterCdc.count() === 355) // 355 - 3 deleted + 3 inserted
+    // an UNGUARDED insert beside a conditional delete is refused (a
+    // not-matched flagged row would have to insert — no keyed-merge
+    // equivalent), with the guard named
+    val exG = intercept[Exception] {
+      spark.sql("""MERGE INTO dml_t t USING dml_cdc s ON t.id = s.id
+                   WHEN MATCHED AND s.del THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(exG.getMessage.contains("guard the"), exG.getMessage)
     // unsupported shapes are refused with the supported forms named
     val ex = intercept[Exception] {
       spark.sql("""MERGE INTO dml_t t USING dml_s s ON t.id = s.id

@@ -62,7 +62,7 @@ object Scale10Probe {
     // labels past the catalog pick loop
     val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
       "txlog_fold", "tx_merge", "tx_merge_str", "tx_dv", "tx_compact",
-      "tx_restore")
+      "tx_restore", "tx_delete_where", "tx_null_probe")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -233,6 +233,72 @@ object Scale10Probe {
         f"[scale10] tx_merge_str_1Mv10M    $a%8.3f $b%8.3f ${b / a}%6.2f" +
           f"  (touched $ta%d of 64 vs $tb%d of 640 hash buckets — " +
           "table size is not a term)")
+    }
+    // PREDICATE DELETE cost vs table size (r15): the SQL-door
+    // `DELETE FROM t WHERE lo <= id < hi` lowers to deleteWhere under
+    // the predicate's implied bounds, so a fixed 100-key band must
+    // rewrite ~one 64th of the table's dirs NO MATTER the table size
+    // — the touched-dir rewrite is the only data term. Disjoint band
+    // per rep (a repeated band would re-touch the rep-1 output dir).
+    if (runAll || args.contains("tx_delete_where")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      def build(rows: Long): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_delw$rows").toString + "/t"
+        val wide = spark.range(0, rows).select(col("id"),
+          concat(lit("payload-"), col("id")).as("text"))
+        TxLog.appendPartitioned(spark, root, wide, "id", buckets = 64)
+        root
+      }
+      def delFloor(root: String): (Double, Long) = (1 to reps).map { r =>
+        val lo = 1000L * r
+        val t0 = System.nanoTime()
+        val v = TxLog.deleteWhere(spark, root,
+          col("id") >= lo && col("id") < lo + 100L,
+          Seq(("id", lo, lo + 100L)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val touched = TxLog.history(spark, root)
+          .where(col("version") === v).head().getAs[Long]("n_removes")
+        (sec, touched)
+      }.minBy(_._1)
+      val (a, ta) = delFloor(build(1000000L))
+      val (b, tb) = delFloor(build(10000000L))
+      Console.err.println(
+        f"[scale10] tx_delete_where_1Mv10M $a%8.3f $b%8.3f ${b / a}%6.2f" +
+          f"  (touched $ta%d vs $tb%d of 64 dirs — bounds prune the " +
+          "write path)")
+    }
+    // IS NULL probe vs table size (r15): the per-dir null counters
+    // skip every null-free dir at the manifest, so a probe against a
+    // table with ONE small null-carrying dir costs the same whether
+    // the null-free bulk is 1M or 10M rows — flat, not table-sized.
+    if (runAll || args.contains("tx_null_probe")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      def build(rows: Long): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_s10_nullp$rows").toString + "/t"
+        val bulk = spark.range(0, rows).select(col("id"),
+          (col("id") * 3L).as("score"))
+        TxLog.appendPartitioned(spark, root, bulk, "id", buckets = 64,
+          extraStats = Seq("score"))
+        val tail = spark.range(rows, rows + 10000L).select(col("id"),
+          when(col("id") % 10L === 0L, lit(null).cast("long"))
+            .otherwise(col("id") * 3L).as("score"))
+        TxLog.appendCols(spark, root, tail, Seq("id", "score"))
+        root
+      }
+      def probeFloor(root: String): Double = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        TxLog.snapshotNulls(spark, root, "score").count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val a = probeFloor(build(1000000L))
+      val b = probeFloor(build(10000000L))
+      Console.err.println(
+        f"[scale10] tx_null_probe_1Mv10M   $a%8.3f $b%8.3f ${b / a}%6.2f" +
+          "  (the null-free bulk never scans — 1 dir read either way)")
     }
     // Tombstone READ TAX vs table size: the mask is a broadcast
     // anti-join against a constant (takedown-sized) key set, so a
