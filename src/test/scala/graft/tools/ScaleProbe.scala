@@ -25,6 +25,7 @@ object ScaleProbe {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sources.TxSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = 3
@@ -74,7 +75,15 @@ object ScaleProbe {
       // registered data source (writer-built table + SQL view read)
       "x175_tx_restore", "x176_tx_compact", "x177_tx_clone",
       "x178_exif_orientation", "x179_tx_stream_replica",
-      "x180_tx_datasource")
+      "x180_tx_datasource",
+      // r14 close + r15: DESCRIBE DETAIL (manifest arithmetic),
+      // rename/drop lineage reads, the SQL-DML life (intake + four
+      // spark.sql statements over the pruned write paths — the
+      // touched-dir rewrites are the data term), and the IS NULL
+      // probe (reads only the null-carrying dir; the health row is
+      // manifest arithmetic)
+      "x181_tx_detail", "x182_tx_rename_drop", "x183_tx_sql_dml",
+      "x184_tx_null_probe")
     // bare args narrow the run to matching families (prefix match,
     // the Scale10Probe convention) — the catalog-query loop only;
     // audio_vad runs on a full pass
