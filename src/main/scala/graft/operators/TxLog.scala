@@ -2753,21 +2753,37 @@ object TxLog {
     * predicates also apply in-plan (exactness regardless of stats). */
   def snapshotRangeMulti(spark: SparkSession, root: String,
       preds: Seq[(String, Long, Long)],
-      asOf: Option[Long] = None): DataFrame = {
-    require(preds.nonEmpty, "snapshotRangeMulti: no predicates")
+      asOf: Option[Long] = None): DataFrame =
+    snapshotRangeMulti(spark, root, preds, asOf, Seq.empty)
+
+  /** [[snapshotRangeMulti]] with IS NULL probes riding alongside:
+    * `nullProbes` names columns the caller requires NULL — a dir
+    * whose recorded null count for such a column is ZERO is pruned
+    * exactly as a range-excluded dir is (the `graft-tx` relation
+    * routes pushed `IsNull` filters here, so a SQL
+    * `WHERE col IS NULL` skips null-free dirs at the manifest). All
+    * predicates also apply in-plan — pruning stays I/O-only. */
+  def snapshotRangeMulti(spark: SparkSession, root: String,
+      preds: Seq[(String, Long, Long)],
+      asOf: Option[Long], nullProbes: Seq[String]): DataFrame = {
+    require(preds.nonEmpty || nullProbes.nonEmpty,
+      "snapshotRangeMulti: no predicates")
     asOf.foreach(v => retentionGuard(spark, root, v, "snapshotRangeMulti"))
     val st = foldLog(spark, root, asOf)
     val (v, live, dvs) = (st.version, st.files, st.dvs)
     require(live.nonEmpty, s"snapshotRangeMulti: $root is empty at v$v")
     val kept = live.filter(f =>
-      preds.forall { case (c, lo, hi) => admits(f, c, lo, hi) })
+      preds.forall { case (c, lo, hi) => admits(f, c, lo, hi) } &&
+        nullProbes.forall(c =>
+          f.statFor(nullStatName(c)).forall(_.max > 0L)))
     val pin = pinnedSchemaAt(spark, root, v)
     // hi = Long.MaxValue means unbounded above — `< MaxValue` would
     // wrongly exclude a row whose value IS the max long
-    val filter = preds.map { case (c, lo, hi) =>
+    val filter = (preds.map { case (c, lo, hi) =>
       val lower = col(c).cast("long") >= lo
       if (hi == Long.MaxValue) lower
-      else lower && col(c).cast("long") < hi }
+      else lower && col(c).cast("long") < hi } ++
+      nullProbes.map(c => col(c).isNull))
       .reduce(_ && _)
     if (kept.isEmpty) {
       // preserve the schema without scanning data: the pin when one

@@ -152,9 +152,14 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
     if (isEmpty)
       return spark.sparkContext.emptyRDD[Row]
     val bounds = TxBounds.boundsFrom(filters)
+    // a TOP-LEVEL IsNull prunes via the per-dir null counters (any
+    // dir recording zero nulls of the column skips) — `IS NULL` is
+    // the one predicate class min/max bounds can never answer
+    val nullProbes = filters.collect { case IsNull(c) => c }.toSeq
     val base =
-      if (bounds.isEmpty) TxLog.snapshot(spark, root, asOf)
-      else TxLog.snapshotRangeMulti(spark, root, bounds, asOf)
+      if (bounds.isEmpty && nullProbes.isEmpty)
+        TxLog.snapshot(spark, root, asOf)
+      else TxLog.snapshotRangeMulti(spark, root, bounds, asOf, nullProbes)
     base.select(requiredColumns.map(col).toSeq: _*).rdd
   }
 }

@@ -193,6 +193,33 @@ class TxSqlSpec extends SparkSpec {
     assert(ex.getMessage.contains("travel"), ex.getMessage)
   }
 
+  test("graft-tx pushes IS NULL through the null counters: a SQL view's " +
+      "null probe answers exactly, and the probe read skips null-free dirs") {
+    val root = freshRoot("dsnull")
+    docs(0, 300).withColumn("score", col("id") * 2L)
+      .write.format("graft-tx").option("statsCol", "score").save(root)
+    TxLog.appendCols(spark, root,
+      docs(300, 600).withColumn("score",
+        when(col("id") % 6 === 0, lit(null).cast("long"))
+          .otherwise(col("id") * 2L)),
+      Seq("id", "score"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dsnull_v " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    assert(spark.sql("SELECT id FROM dsnull_v WHERE score IS NULL")
+      .count() === 50)
+    assert(spark.sql(
+      "SELECT id FROM dsnull_v WHERE score IS NULL AND id >= 400")
+      .count() === 33) // 402, 408, ..., 594
+    // the underlying probe read touches only the null-carrying dir
+    val probed = TxLog.snapshotRangeMulti(spark, root, Seq.empty, None,
+      Seq("score"))
+    val nullDirs = TxLog.liveFiles(spark, root)._2
+      .filter(_.statFor("score#nulls").exists(_.max > 0L)).map(_.dir)
+    assert(nullDirs.size === 1)
+    assert(probed.inputFiles.nonEmpty &&
+      probed.inputFiles.forall(f => nullDirs.exists(f.contains)))
+  }
+
   test("TxBounds: pushed filters collapse to per-column [lo, hi) manifest " +
       "bounds; non-long and OR-shaped filters are passed over") {
     def b(fs: Filter*) = TxBounds.boundsFrom(fs.toArray)
