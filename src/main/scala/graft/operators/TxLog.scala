@@ -1661,7 +1661,7 @@ object TxLog {
         val tomb = inter.filter(_.dvs.nonEmpty)
         if (tomb.nonEmpty) throw new TxConflictException(
           s"$action of $root lost v${tomb.map(_.version).min}: an " +
-            "intervening tombstone masks rows this $action read — " +
+            s"intervening tombstone masks rows this $action read — " +
             "retry on a fresh snapshot")
         checkNoNewConstraints(spark, root, st0.version, action)
         pinnedSchemaAt(spark, root, head).foreach(p =>

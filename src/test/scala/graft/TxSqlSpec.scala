@@ -184,6 +184,11 @@ class TxSqlSpec extends SparkSpec {
       .orderBy(col("version").desc).head()
     assert(del.getAs[Long]("n_removes") <= 2)
     assert(TxLog.snapshot(spark, root).count() === 693)
+    // UPDATE without WHERE touches everything — full-table rewrite,
+    // still exact (the condSql=None lowering)
+    spark.sql("UPDATE dml_u SET text = lower(text)")
+    assert(TxLog.snapshot(spark, root)
+      .where(col("text").rlike("^doc-")).count() === 693)
     // a travel-read target refuses DML
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_past " +
       s"USING `graft-tx` OPTIONS (path '$root', versionAsOf '1')")
@@ -218,6 +223,32 @@ class TxSqlSpec extends SparkSpec {
     assert(nullDirs.size === 1)
     assert(probed.inputFiles.nonEmpty &&
       probed.inputFiles.forall(f => nullDirs.exists(f.contains)))
+  }
+
+  test("SQL CTAS: CREATE TABLE ... USING graft-tx AS SELECT founds a real " +
+      "tx table, registered in the catalog and DML-able by name") {
+    val root = freshRoot("ctas")
+    docs(0, 200).createOrReplaceTempView("ctas_src")
+    spark.sql("DROP TABLE IF EXISTS ctas_t")
+    spark.sql(s"""CREATE TABLE ctas_t USING `graft-tx`
+                  OPTIONS (path '$root', statsCol 'id')
+                  AS SELECT * FROM ctas_src""")
+    // the CTAS landed a genuine commit: the Scala API reads it too
+    assert(TxLog.latestVersion(spark, root) === 1L)
+    assert(TxLog.snapshot(spark, root).count() === 200)
+    assert(spark.table("ctas_t").count() === 200)
+    // and the catalog NAME is a first-class DML target
+    spark.sql("DELETE FROM ctas_t WHERE id >= 150")
+    assert(spark.table("ctas_t").count() === 150)
+    docs(100, 120).withColumn("text", upper(col("text")))
+      .createOrReplaceTempView("ctas_upd")
+    spark.sql("""MERGE INTO ctas_t t USING ctas_upd s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.table("ctas_t")
+      .where(col("text").rlike("^DOC-")).count() === 20)
+    assert(TxLog.snapshot(spark, root).count() === 150)
+    spark.sql("DROP TABLE ctas_t")
   }
 
   test("TxBounds: pushed filters collapse to per-column [lo, hi) manifest " +
