@@ -60,9 +60,20 @@ class TxDataSource extends RelationProvider
       schema: Option[org.apache.spark.sql.types.StructType],
       providerName: String,
       parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
-    new TxStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(1L))
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val root = pathOf(parameters)
+    val starting = parameters.get("startingVersion") match {
+      // `latest`: only commits landing AFTER stream definition — the
+      // tail-only replica (Kafka's `latest` semantic)
+      case Some("latest") => TxLog.latestVersion(spark, root) + 1
+      case Some(v) => v.toLong
+      case None => 1L
+    }
+    new TxStreamSource(spark, root, starting,
+      parameters.get("maxVersionsPerBatch").map(_.toLong)
+        .getOrElse(Long.MaxValue))
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

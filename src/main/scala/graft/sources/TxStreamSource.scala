@@ -28,19 +28,37 @@ import graft.operators.TxLog
   * ([[Shims.streamingDataFrame]] — the plan stays lazy, `toRdd`
   * materializes nothing).
   *
-  * Options: `startingVersion` (default 1) — the first version the
+  * Options: `startingVersion` (default 1; the literal `latest`
+  * starts past the head at stream definition — the tail-only
+  * replica, Kafka's `latest` semantic) — the first version the
   * stream emits; a fresh stream on a vacuumed source names the
   * retention window loudly instead of replaying into it (pass a
   * version at or above the horizon, or bootstrap the replica
-  * another way). Metadata-only windows stream as empty batches. The
-  * declared schema is pinned at stream definition; a mid-stream
-  * rename/drop fails the batch loudly rather than silently
-  * re-shaping the stream. */
+  * another way). `maxVersionsPerBatch` (default unbounded) caps how
+  * many commit versions one micro-batch spans — the rate limit that
+  * keeps a bootstrap over a 10k-commit history from arriving as ONE
+  * table-sized batch (the engine drains the backlog across
+  * successive batches; exactly-once holds per batch regardless).
+  * Metadata-only windows stream as empty batches. The declared
+  * schema is pinned at stream definition; a mid-stream rename/drop
+  * fails the batch loudly rather than silently re-shaping the
+  * stream. */
 class TxStreamSource(spark: SparkSession, root: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long, maxVersionsPerBatch: Long = Long.MaxValue)
+    extends Source {
 
   require(startingVersion >= 1,
     s"graft-tx stream: startingVersion must be >= 1, got $startingVersion")
+  require(maxVersionsPerBatch >= 1,
+    "graft-tx stream: maxVersionsPerBatch must be >= 1, got " +
+      maxVersionsPerBatch)
+
+  /** The last window end handed to getBatch — the cap's anchor. On a
+    * checkpointed restart this starts one below `startingVersion`
+    * and snaps to the recovered offset at the first getBatch, so a
+    * conservative first window is the worst case (never a lost or
+    * doubled version — offsets, not this, are the truth). */
+  @volatile private var lastEnd: Long = startingVersion - 1
 
   /** The fixed batch shape: the pin at stream definition plus the CDC
     * columns. */
@@ -55,12 +73,16 @@ class TxStreamSource(spark: SparkSession, root: String,
 
   override def getOffset: Option[V1Offset] = {
     val head = TxLog.latestVersion(spark, root)
-    if (head < startingVersion) None else Some(LongOffset(head))
+    val capped = math.min(head,
+      if (Long.MaxValue - maxVersionsPerBatch < lastEnd) Long.MaxValue
+      else lastEnd + maxVersionsPerBatch)
+    if (capped < startingVersion) None else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(longOf).getOrElse(startingVersion - 1)
     val toV = longOf(end)
+    lastEnd = math.max(lastEnd, toV)
     val df =
       if (toV <= fromV)
         spark.createDataFrame(
@@ -74,7 +96,13 @@ class TxStreamSource(spark: SparkSession, root: String,
     Shims.streamingDataFrame(spark, df.queryExecution.toRdd, schema)
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  // the engine replays commit(committedOffset) during checkpoint
+  // recovery — snapping the cap's anchor here keeps a restarted
+  // rate-limited stream moving forward from the recovered offset
+  // instead of re-capping from startingVersion
+  override def commit(end: V1Offset): Unit = {
+    lastEnd = math.max(lastEnd, longOf(end))
+  }
   override def stop(): Unit = ()
 }
 

@@ -815,4 +815,60 @@ class StreamingSpec extends SparkSpec {
     assert(TxLog.history(spark, dst)
       .where(col("action") === "merge").count() === 1L)
   }
+
+  test("graft-tx streaming source options: startingVersion=latest tails " +
+      "only post-definition commits; maxVersionsPerBatch drains a " +
+      "backlog across bounded batches, surviving a checkpointed restart") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_txsrc_opt")
+      .toString + "/t"
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    (0 until 6).foreach(k =>
+      TxLog.append(spark, src, docs(k * 10, k * 10 + 10), Some("id")))
+    // latest: the 6-commit history is invisible; only the tail lands
+    val tailRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val qL = spark.readStream.format("graft-tx")
+      .option("startingVersion", "latest").load(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        tailRows.addAndGet(b.count()); ()
+      }.start()
+    try {
+      qL.processAllAvailable()
+      assert(tailRows.get() === 0, "history must not replay under latest")
+      TxLog.append(spark, src, docs(100, 105), Some("id"))
+      qL.processAllAvailable()
+      assert(tailRows.get() === 5)
+    } finally qL.stop()
+    // maxVersionsPerBatch=2: the 7-commit backlog arrives as ceil(7/2)
+    // bounded windows, in order, nothing lost — and a restart on the
+    // checkpoint keeps draining forward from the recovered offset
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txck_opt")
+      .toString
+    val windows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def startQ() = spark.readStream.format("graft-tx")
+      .option("maxVersionsPerBatch", 2).load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = b.agg(min(col("__version")), max(col("__version"))).head()
+        if (!r.isNullAt(0)) windows.add((r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    val w1 = windows.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(w1 === Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 7L)),
+      s"bounded drain, got $w1")
+    windows.clear()
+    TxLog.append(spark, src, docs(200, 210), Some("id"))
+    TxLog.append(spark, src, docs(210, 220), Some("id"))
+    TxLog.append(spark, src, docs(220, 230), Some("id"))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val w2 = windows.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(w2 === Seq((8L, 9L), (10L, 10L)),
+      s"the restart resumes the cap from the recovered offset, got $w2")
+  }
 }
