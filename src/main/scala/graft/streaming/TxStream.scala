@@ -112,10 +112,12 @@ object TxStream {
     * stream (two replicas of one source use two ids). */
   def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
       keyCol: String, appId: String = "tx-replica",
-      conflictRetries: Int = 2): StreamingQuery = {
+      conflictRetries: Int = 2,
+      maxVersionsPerBatch: Long = Long.MaxValue): StreamingQuery = {
     val base = startVersion(spark, srcRoot, dstRoot, appId)
     spark.readStream.format("graft-tx")
       .option("startingVersion", base + 1)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch)
       .load(srcRoot)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
