@@ -63,13 +63,36 @@ class TxDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val spark = sqlContext.sparkSession
     val root = pathOf(parameters)
-    val starting = parameters.get("startingVersion") match {
-      // `latest`: only commits landing AFTER stream definition — the
-      // tail-only replica (Kafka's `latest` semantic)
-      case Some("latest") => TxLog.latestVersion(spark, root) + 1
-      case Some(v) => v.toLong
-      case None => 1L
-    }
+    // the RESOLVED start persists in the source's own metadataPath
+    // (the Kafka-source pattern): `latest` must resolve ONCE, at
+    // first stream creation — a restart recomputing it against the
+    // current head would silently skip every commit that landed
+    // during the downtime (the checkpoint's offsets resume the
+    // window; this pins the stream's ORIGIN)
+    val metaFile = new org.apache.hadoop.fs.Path(metadataPath, "start")
+    val fs = metaFile.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val starting =
+      if (fs.exists(metaFile)) {
+        val in = fs.open(metaFile)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          .trim.toLong
+        finally in.close()
+      } else {
+        val resolved = parameters.get("startingVersion") match {
+          // `latest`: only commits landing AFTER stream definition —
+          // the tail-only replica (Kafka's `latest` semantic)
+          case Some("latest") => TxLog.latestVersion(spark, root) + 1
+          case Some(v) => v.toLong
+          case None => 1L
+        }
+        fs.mkdirs(metaFile.getParent)
+        val out = fs.create(metaFile, false)
+        try out.write(resolved.toString.getBytes("UTF-8"))
+        finally out.close()
+        resolved
+      }
     new TxStreamSource(spark, root, starting,
       parameters.get("maxVersionsPerBatch").map(_.toLong)
         .getOrElse(Long.MaxValue))

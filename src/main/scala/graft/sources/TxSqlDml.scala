@@ -172,6 +172,10 @@ private[graft] class TxDmlRule(spark: SparkSession)
           "through the Scala API")
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE is not lowered")
+    if (m.withSchemaEvolution)
+      unsupported("WITH SCHEMA EVOLUTION is not lowered — evolve the " +
+        "pin explicitly (TxLog.evolveSchema) so the change is a " +
+        "deliberate commit, then MERGE")
     val targetOut = m.targetTable.outputSet
     val sourceOut = source.outputSet
     // the ON condition must be a single name-equal key equality

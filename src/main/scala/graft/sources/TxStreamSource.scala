@@ -53,12 +53,18 @@ class TxStreamSource(spark: SparkSession, root: String,
     "graft-tx stream: maxVersionsPerBatch must be >= 1, got " +
       maxVersionsPerBatch)
 
-  /** The last window end handed to getBatch — the cap's anchor. On a
-    * checkpointed restart this starts one below `startingVersion`
-    * and snaps to the recovered offset at the first getBatch, so a
-    * conservative first window is the worst case (never a lost or
-    * doubled version — offsets, not this, are the truth). */
-  @volatile private var lastEnd: Long = startingVersion - 1
+  /** The stream's PROGRESS FLOOR — the version everything at or
+    * below which is known emitted: the cap's anchor and the
+    * new-data gate. Starts one below `startingVersion`; getBatch
+    * advances it; `commit` ASSIGNS it outright, because the engine
+    * replays commit(committedOffset) during checkpoint recovery and
+    * that offset is the authoritative resume point — in particular
+    * it OVERRIDES a `startingVersion=latest` recomputed at restart
+    * (whose head may postdate the checkpoint: anchoring there would
+    * stall the recovered tail until a brand-new commit landed).
+    * Offsets, not this, are correctness; the floor only shapes
+    * batch boundaries. */
+  @volatile private var floor: Long = startingVersion - 1
 
   /** The fixed batch shape: the pin at stream definition plus the CDC
     * columns. */
@@ -74,15 +80,15 @@ class TxStreamSource(spark: SparkSession, root: String,
   override def getOffset: Option[V1Offset] = {
     val head = TxLog.latestVersion(spark, root)
     val capped = math.min(head,
-      if (Long.MaxValue - maxVersionsPerBatch < lastEnd) Long.MaxValue
-      else lastEnd + maxVersionsPerBatch)
-    if (capped < startingVersion) None else Some(LongOffset(capped))
+      if (Long.MaxValue - maxVersionsPerBatch < floor) Long.MaxValue
+      else floor + maxVersionsPerBatch)
+    if (capped <= floor) None else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(longOf).getOrElse(startingVersion - 1)
     val toV = longOf(end)
-    lastEnd = math.max(lastEnd, toV)
+    floor = math.max(floor, toV)
     val df =
       if (toV <= fromV)
         spark.createDataFrame(
@@ -97,11 +103,11 @@ class TxStreamSource(spark: SparkSession, root: String,
   }
 
   // the engine replays commit(committedOffset) during checkpoint
-  // recovery — snapping the cap's anchor here keeps a restarted
-  // rate-limited stream moving forward from the recovered offset
-  // instead of re-capping from startingVersion
+  // recovery — the committed offset is the authoritative resume
+  // point, so ASSIGN (see [[floor]]): a restarted stream keeps
+  // draining forward from exactly there
   override def commit(end: V1Offset): Unit = {
-    lastEnd = math.max(lastEnd, longOf(end))
+    floor = longOf(end)
   }
   override def stop(): Unit = ()
 }

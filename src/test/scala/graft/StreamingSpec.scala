@@ -870,5 +870,31 @@ class StreamingSpec extends SparkSpec {
     val w2 = windows.toArray(Array.empty[(Long, Long)]).toSeq
     assert(w2 === Seq((8L, 9L), (10L, 10L)),
       s"the restart resumes the cap from the recovered offset, got $w2")
+    // latest + an existing checkpoint: the checkpoint's offset is the
+    // authoritative resume point — commits that landed during the
+    // downtime must flow immediately (a head-anchored floor would
+    // stall them until a brand-new commit landed)
+    val ckptL = java.nio.file.Files.createTempDirectory("graft_txck_l")
+      .toString
+    val rowsL = new java.util.concurrent.atomic.AtomicLong(0L)
+    def startLatest() = spark.readStream.format("graft-tx")
+      .option("startingVersion", "latest").load(src)
+      .writeStream.option("checkpointLocation", ckptL)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rowsL.addAndGet(b.count()); ()
+      }.start()
+    val qa = startLatest()
+    try {
+      qa.processAllAvailable()
+      TxLog.append(spark, src, docs(300, 310), Some("id"))
+      qa.processAllAvailable()
+    } finally qa.stop()
+    assert(rowsL.get() === 10)
+    TxLog.append(spark, src, docs(310, 315), Some("id")) // downtime commit
+    val qb = startLatest()
+    try qb.processAllAvailable() finally qb.stop()
+    assert(rowsL.get() === 15,
+      "the downtime commit must flow on restart without waiting for " +
+        "a post-restart commit")
   }
 }
