@@ -131,24 +131,62 @@ private[graft] class TxDmlRule(spark: SparkSession)
           }
         case _ => None
       }
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.ByteType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    // the analyzer wraps the ATTRIBUTE side in type-coercion casts
+    // (`cast(id AS BIGINT) IN (…)`); an integral UP-cast never
+    // changes ordering or equality, so bounds on the underlying
+    // column stay sound — anything narrower contributes no bound
+    object BoundAttr {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+          c.child match {
+            case a: AttributeReference
+                if integral(a.dataType) && integral(c.dataType) &&
+                  org.apache.spark.sql.catalyst.expressions.Cast
+                    .canUpCast(a.dataType, c.dataType) => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
     def walk(ex: Expression): Unit = ex match {
-      case CEq(a: AttributeReference, l) => longOf(l).foreach { v =>
+      case CEq(BoundAttr(a), l) => longOf(l).foreach { v =>
         tighten(lo, a.name, v, keepMax = true)
         if (v != Long.MaxValue) tighten(hi, a.name, v + 1, keepMax = false)
       }
-      case CEq(l, a: AttributeReference) => walk(CEq(a, l))
-      case CGt(a: AttributeReference, l) => longOf(l).foreach(v =>
+      case CEq(l, BoundAttr(a)) if longOf(l).isDefined =>
+        walk(CEq(a, l))
+      case CGt(BoundAttr(a), l) => longOf(l).foreach(v =>
         if (v != Long.MaxValue) tighten(lo, a.name, v + 1, keepMax = true))
-      case CGe(a: AttributeReference, l) => longOf(l).foreach(v =>
+      case CGe(BoundAttr(a), l) => longOf(l).foreach(v =>
         tighten(lo, a.name, v, keepMax = true))
-      case CLt(a: AttributeReference, l) => longOf(l).foreach(v =>
+      case CLt(BoundAttr(a), l) => longOf(l).foreach(v =>
         tighten(hi, a.name, v, keepMax = false))
-      case CLe(a: AttributeReference, l) => longOf(l).foreach(v =>
+      case CLe(BoundAttr(a), l) => longOf(l).foreach(v =>
         if (v != Long.MaxValue) tighten(hi, a.name, v + 1, keepMax = false))
-      case CGt(l, a: AttributeReference) => walk(CLt(a, l))
-      case CGe(l, a: AttributeReference) => walk(CLe(a, l))
-      case CLt(l, a: AttributeReference) => walk(CGt(a, l))
-      case CLe(l, a: AttributeReference) => walk(CGe(a, l))
+      case CGt(l, BoundAttr(a)) => walk(CLt(a, l))
+      case CGe(l, BoundAttr(a)) => walk(CLe(a, l))
+      case CLt(l, BoundAttr(a)) => walk(CGt(a, l))
+      case CLe(l, BoundAttr(a)) => walk(CGe(a, l))
+      // an IN list implies the span [min, max] of its members — a
+      // takedown's `WHERE id IN (…)` prunes like a range
+      case org.apache.spark.sql.catalyst.expressions.In(
+          BoundAttr(a), vs) if vs.nonEmpty =>
+        val ls = vs.map(longOf)
+        if (ls.forall(_.isDefined)) {
+          val longs = ls.flatten
+          tighten(lo, a.name, longs.min, keepMax = true)
+          if (longs.max != Long.MaxValue)
+            tighten(hi, a.name, longs.max + 1, keepMax = false)
+        }
       case CAnd(x, y) => walk(x); walk(y)
       case _ => // OR trees, functions, non-integral types: no bound
     }

@@ -174,21 +174,30 @@ class TxSqlSpec extends SparkSpec {
       .where(col("action") === "update").head()
     assert(upd.getAs[Long]("n_removes") === 1,
       "id in [100,150) lives in exactly one 100-wide bucket")
+    // an IN list compiles to the span of its members: a 3-key
+    // takedown inside one bucket rewrites exactly that bucket
+    spark.sql("DELETE FROM dml_u WHERE id IN (210, 230, 250)")
+    val delIn = TxLog.history(spark, root)
+      .where(col("action") === "delete")
+      .orderBy(col("version").desc).head()
+    assert(delIn.getAs[Long]("n_removes") === 1,
+      "IN (210,230,250) spans one 100-wide bucket of 8")
+    assert(TxLog.snapshot(spark, root).count() === 797)
     // DELETE with a non-boundable predicate still exact (full touch)
     spark.sql("DELETE FROM dml_u WHERE id % 100 = 7")
-    assert(TxLog.snapshot(spark, root).count() === 792)
+    assert(TxLog.snapshot(spark, root).count() === 789)
     // DELETE with bounds prunes
     spark.sql("DELETE FROM dml_u WHERE id >= 700")
     val del = TxLog.history(spark, root)
       .where(col("action") === "delete")
       .orderBy(col("version").desc).head()
     assert(del.getAs[Long]("n_removes") <= 2)
-    assert(TxLog.snapshot(spark, root).count() === 693)
+    assert(TxLog.snapshot(spark, root).count() === 690)
     // UPDATE without WHERE touches everything — full-table rewrite,
     // still exact (the condSql=None lowering)
     spark.sql("UPDATE dml_u SET text = lower(text)")
     assert(TxLog.snapshot(spark, root)
-      .where(col("text").rlike("^doc-")).count() === 693)
+      .where(col("text").rlike("^doc-")).count() === 690)
     // a travel-read target refuses DML
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_past " +
       s"USING `graft-tx` OPTIONS (path '$root', versionAsOf '1')")
