@@ -157,7 +157,8 @@ class TxDataSource extends RelationProvider
 /** One resolved (root, version) read — schema from the engine's own
   * aligned snapshot, scans through it too. */
 private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
-    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+    asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan
+    with InsertableRelation {
 
   /** The table root — the SQL-DML rule ([[TxSparkExtensions]]) lowers
     * MERGE/UPDATE/DELETE on this relation to the TxLog write paths. */
@@ -180,6 +181,35 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
         .getOrElse(throw new IllegalArgumentException(
           s"graft-tx: $root is empty and carries no schema pin"))
     else TxLog.snapshot(spark, root, asOf).schema
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` on the relation (SQL and
+    * DataFrameWriterV1 insertInto): append lands a real commit under
+    * the schema pin; overwrite replaces the table (a rewrite — or a
+    * plain landing when the live set was emptied, the Overwrite
+    * contract elsewhere in this file). INSERT resolves columns BY
+    * POSITION (the SQL contract), so the frame is re-labeled to the
+    * pin's names before the pin check — a mis-ordered INSERT fails
+    * on types or on the pinned column count, never silently. Travel
+    * relations refuse (DML on the past). */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(asOf.isEmpty,
+      "graft-tx INSERT: the target is a versionAsOf/timestampAsOf " +
+        "travel read — inserts apply to the head, not the past")
+    val pin = TxLog.pinnedSchema(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"graft-tx INSERT: $root has no schema pin"))
+    val t = StructType.fromDDL(pin)
+    require(data.schema.length == t.length,
+      s"graft-tx INSERT: ${data.schema.length} columns for a " +
+        s"${t.length}-column pin [$pin]")
+    val aligned = data.select(data.columns.toSeq.zip(t.fields).map {
+      case (from, f) => col(from).cast(f.dataType).as(f.name) }: _*)
+    val statsCol = TxLog.statsColumn(spark, root)
+    if (overwrite && TxLog.liveFiles(spark, root)._2.nonEmpty)
+      TxLog.rewrite(spark, root, statsCol)(_ => aligned)
+    else TxLog.append(spark, root, aligned, statsCol)
+    ()
+  }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {

@@ -44,8 +44,12 @@ import graft.operators.TxLog
   * (src/preprocess_to_staging.py:133-146) IS the upsert a SQL user
   * writes as MERGE. */
 class TxSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new TxDmlRule(spark))
+    // the maintenance statements (DESCRIBE HISTORY/DETAIL, VACUUM) —
+    // see [[GraftSqlParser]]; everything else delegates verbatim
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 /** The analyzed tx-table target: unwraps aliases down to the

@@ -257,7 +257,56 @@ class TxSqlSpec extends SparkSpec {
     assert(spark.table("ctas_t")
       .where(col("text").rlike("^DOC-")).count() === 20)
     assert(TxLog.snapshot(spark, root).count() === 150)
+    // INSERT INTO appends a real commit; INSERT OVERWRITE replaces
+    spark.sql("INSERT INTO ctas_t VALUES (500, 'ins-500'), (501, 'ins-501')")
+    assert(spark.table("ctas_t").count() === 152)
+    assert(TxLog.snapshot(spark, root)
+      .where(col("text").startsWith("ins-")).count() === 2)
+    spark.sql(
+      "INSERT OVERWRITE ctas_t SELECT id, text FROM ctas_src WHERE id < 10")
+    assert(spark.table("ctas_t").count() === 10)
+    assert(TxLog.snapshot(spark, root).count() === 10)
     spark.sql("DROP TABLE ctas_t")
+  }
+
+  test("SQL maintenance statements: DESCRIBE HISTORY / DESCRIBE DETAIL " +
+      "answer from the manifests; VACUUM DRY RUN names the reclaimable " +
+      "dirs and the real VACUUM reclaims them") {
+    val root = freshRoot("maint")
+    TxLog.append(spark, root, docs(0, 100), Some("id"))
+    TxLog.merge(spark, root,
+      Seq((5L, "m-5")).toDF("id", "text"), "id")
+    val hist = spark.sql(s"DESCRIBE HISTORY '$root'").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "append"), (2L, "merge")))
+    val det = spark.sql(s"DESCRIBE DETAIL '$root'").head()
+    assert(det.getAs[Long]("version") === 2L)
+    assert(det.getAs[Long]("phys_rows") === 100L) // the merge rewrote
+    // the one touched dir (99 kept + 1 upsert), so live = 100 physical
+    assert(det.getAs[String]("stats_col") === "id")
+    // the merge orphaned v1's dir (removed, still referenced in the
+    // retention window): push it out, then vacuum
+    TxLog.append(spark, root, docs(100, 110), Some("id"))
+    TxLog.append(spark, root, docs(110, 120), Some("id"))
+    val dry = spark.sql(
+      s"VACUUM '$root' RETAIN 2 VERSIONS GRACE 0 MS DRY RUN").collect()
+    assert(dry.nonEmpty && dry.forall(!_.getBoolean(1)),
+      "DRY RUN reports, reclaims nothing")
+    assert(TxLog.snapshot(spark, root).count() === 120,
+      "dry run must not delete")
+    val real = spark.sql(
+      s"VACUUM '$root' RETAIN 2 VERSIONS GRACE 0 MS").collect()
+    assert(real.map(_.getString(0)).toSeq ===
+      dry.map(_.getString(0)).toSeq)
+    assert(real.forall(_.getBoolean(1)))
+    assert(TxLog.snapshot(spark, root).count() === 120,
+      "vacuum reclaims only unreachable dirs")
+    // the vacuum recorded its horizon: DETAIL shows it and travel
+    // below it is a named refusal
+    assert(spark.sql(s"DESCRIBE DETAIL '$root'").head()
+      .getAs[Long]("gc_horizon") > 0L)
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
   }
 
   test("TxBounds: pushed filters collapse to per-column [lo, hi) manifest " +
