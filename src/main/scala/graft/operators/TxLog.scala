@@ -1576,8 +1576,13 @@ object TxLog {
   def deleteWhere(spark: SparkSession, root: String, cond: Column,
       bounds: Seq[(String, Long, Long)] = Seq.empty,
       conflictRetries: Int = 0): Long =
+    // Keep rows where cond is NOT TRUE. Under three-valued logic a
+    // NULL predicate (e.g. `score > 5` on a NULL score) must KEEP the
+    // row — SQL DELETE removes only rows where the predicate is TRUE
+    // — so the kept-set filter is !coalesce(cond, false), never !cond
+    // (whose NULL would silently delete the row).
     rewriteWhere(spark, root, "delete", bounds, conflictRetries)(
-      df => df.where(!cond))
+      df => df.where(!coalesce(cond, lit(false))))
 
   /** PREDICATE UPDATE — set `set`'s columns (cast to their pinned
     * types; schema never changes) on every live row matching `cond`,
@@ -2687,17 +2692,40 @@ object TxLog {
     * chain (a superset; records never change after a log is created,
     * resolution keys on dir generation only) is always the correct
     * one. Head reads use their own fold for free, and travel reads on
-    * a log [[cloneTable]] never touched skip the head fold entirely:
-    * the `_cloned` sentinel (written before the clone commit, part of
-    * the clone layout contract) is a single stat — absent means no
-    * clone record can exist anywhere in the log, so the asOf fold's
-    * (empty) chain is already exact. */
+    * a log [[cloneTable]] never touched skip the head fold via
+    * sentinels: `_cloned` (written by cloneTable BEFORE the clone
+    * commit) means "records exist — pay the head fold"; `_noclones`
+    * means "a head fold once proved no records" — conclusive forever,
+    * because clone records only enter a log at creation (cloneTable
+    * refuses non-empty roots), so a log once seen record-free can
+    * never gain one. NEITHER sentinel present is INCONCLUSIVE, not
+    * negative: clone dsts created before the sentinel era carry
+    * records with no `_cloned`, so the first such travel read pays
+    * the head fold once and backfills whichever sentinel the fold
+    * proves. `_cloned` is checked first — a reader racing cloneTable
+    * in the copied-manifests/no-clone-commit-yet window can backfill
+    * a stale `_noclones`, but cloneTable's `_cloned` (written before
+    * the clone commit becomes visible) overrides it for every read
+    * that could actually observe a record. */
   private def cloneChain(spark: SparkSession, root: String, st: LogState,
-      asOf: Option[Long]): Seq[(Long, String)] =
-    if (asOf.isEmpty) st.clones
-    else if (st.clones.isEmpty && !rawFs(spark, root).exists(
-      new org.apache.hadoop.fs.Path(logDir(root), "_cloned"))) Seq.empty
-    else foldLog(spark, root, None).clones
+      asOf: Option[Long]): Seq[(Long, String)] = {
+    if (asOf.isEmpty) return st.clones
+    if (st.clones.nonEmpty) return foldLog(spark, root, None).clones
+    val fs = rawFs(spark, root)
+    val dir = logDir(root)
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_cloned")))
+      foldLog(spark, root, None).clones
+    else if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_noclones")))
+      Seq.empty
+    else {
+      val head = foldLog(spark, root, None).clones
+      val name = if (head.nonEmpty) "_cloned" else "_noclones"
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, name), true)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+      head
+    }
+  }
 
   /** Fail a travel read below the strictest retention horizon any
     * [[vacuum]] recorded: the data dirs backing versions below the

@@ -43,22 +43,41 @@ final class S3ConditionalPutStore(endpoint: String)
 
   override def putIfNoneMatch(path: String,
       bytes: Array[Byte]): Boolean = {
-    val req = java.net.http.HttpRequest.newBuilder(uriFor(path))
-      .header("If-None-Match", "*")
-      .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(bytes))
-      .build()
-    val resp = client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    resp.statusCode() match {
-      case 200 => true
-      case 412 => false // Precondition Failed: someone holds the name
-      case 409 => false // MinIO under concurrent create can 409; same meaning
-      case other => throw new java.io.IOException(
-        s"S3 conditional put of $path: unexpected HTTP $other " +
-          s"(${resp.body().take(200)}) — neither created nor " +
-          "precondition-failed; refusing to guess (a guessed claim " +
-          "can lose commits)")
+    // 409 (ConditionalRequestConflict) means the race is UNRESOLVED —
+    // the competing upload may still fail, so treating it as a loss
+    // can leave the name never claimed (a version gap: this writer
+    // bumps to v+1 while v's manifest doesn't exist). Re-probe and
+    // retry the PUT with backoff until a DEFINITIVE outcome: 200 (we
+    // claimed), 412 or the key observably existing (someone else
+    // claimed).
+    var attempt = 0
+    while (true) {
+      val req = java.net.http.HttpRequest.newBuilder(uriFor(path))
+        .header("If-None-Match", "*")
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(bytes))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 200 => return true
+        case 412 => return false // Precondition Failed: name is held
+        case 409 =>
+          if (get(path).isDefined) return false // now observably held
+          attempt += 1
+          if (attempt > 8) throw new java.io.IOException(
+            s"S3 conditional put of $path: HTTP 409 on every attempt " +
+              s"($attempt) and the key never materialized — the race " +
+              "never resolved; refusing to guess (a guessed claim can " +
+              "lose commits)")
+          Thread.sleep(math.min(50L << (attempt - 1), 2000L))
+        case other => throw new java.io.IOException(
+          s"S3 conditional put of $path: unexpected HTTP $other " +
+            s"(${resp.body().take(200)}) — neither created nor " +
+            "precondition-failed; refusing to guess (a guessed claim " +
+            "can lose commits)")
+      }
     }
+    false // unreachable
   }
 
   /** GET an object's bytes (None = 404 NoSuchKey) — the read half a

@@ -202,6 +202,23 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
     require(data.schema.length == t.length,
       s"graft-tx INSERT: ${data.schema.length} columns for a " +
         s"${t.length}-column pin [$pin]")
+    // positional alignment must fail LOUDLY on incompatible types:
+    // the sessions run permissive-cast (ansi off), where a bare
+    // cast() of a mis-ordered INSERT (string landing on a BIGINT
+    // slot) coerces to NULL silently. Gate each slot on the ANSI
+    // store-assignment rule first — numeric widening/narrowing is an
+    // INSERT's business, string→numeric is a column-order bug.
+    data.schema.fields.zip(t.fields).zipWithIndex.foreach {
+      case ((from, to), i) =>
+        require(from.dataType == to.dataType ||
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canANSIStoreAssign(from.dataType, to.dataType),
+          s"graft-tx INSERT: column ${i + 1} has type " +
+            s"${from.dataType.sql} but the pinned slot " +
+            s"'${to.name}' is ${to.dataType.sql} — positional INSERT " +
+            "refuses incompatible types rather than coercing to null " +
+            s"[$pin]")
+    }
     val aligned = data.select(data.columns.toSeq.zip(t.fields).map {
       case (from, f) => col(from).cast(f.dataType).as(f.name) }: _*)
     val statsCol = TxLog.statsColumn(spark, root)

@@ -91,11 +91,36 @@ private[graft] class TxDmlRule(spark: SparkSession)
 
   /** Render a resolved expression as SQL with attribute QUALIFIERS
     * stripped (`t.id` → `id`): the text re-resolves by name against
-    * the touched-dir frame, which carries the pin's bare columns. */
-  private def bareSql(e: Expression): String =
+    * the touched-dir frame, which carries the pin's bare columns.
+    * Refusal-first: expressions that cannot survive the text
+    * round-trip are REJECTED HERE with the supported shapes named —
+    * scalar/IN subqueries render as `scalarsubquery()` (an opaque
+    * parse error at apply time), and nondeterministic functions
+    * (rand(), uuid()) would RE-EVALUATE at apply time, possibly per
+    * conflict retry, silently changing what the statement wrote. */
+  private def bareSql(e: Expression): String = {
+    e.foreach {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          "graft-tx DML: subqueries in UPDATE/DELETE/MERGE conditions " +
+            "or assignments are not lowered — supported shapes are " +
+            "column/literal/function expressions over the target's own " +
+            "columns; stage the subquery's result and MERGE it, or use " +
+            "the Scala API")
+      case nd if !nd.deterministic &&
+          nd.children.forall(_.deterministic) =>
+        throw new UnsupportedOperationException(
+          s"graft-tx DML: nondeterministic expression ${nd.prettyName}() " +
+            "in a condition or assignment is not lowered — it would " +
+            "re-evaluate at apply time (and per conflict retry), so the " +
+            "committed rows could differ from what the statement read; " +
+            "compute the value first and pass it as a literal")
+      case _ =>
+    }
     e.transform {
       case a: AttributeReference => a.withQualifier(Seq.empty)
     }.sql
+  }
 
   private def attrName(e: Expression, what: String): String = e match {
     case a: Attribute => a.name
@@ -313,6 +338,16 @@ private[graft] case class GraftMergeCommand(root: String, keyCol: String,
         throw new UnsupportedOperationException(
           s"graft-tx MERGE: no source column assigned to target " +
             s"'${f.name}' — SET * / INSERT * must cover the pin [$pin]"))
+      // same loud-cast gate as TxRelation.insert: under ansi=false a
+      // bare cast of an incompatible source column coerces to NULL
+      // silently — refuse instead (ANSI store-assignment rule)
+      val fromType = src.schema(from).dataType
+      require(fromType == f.dataType ||
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .canANSIStoreAssign(fromType, f.dataType),
+        s"graft-tx MERGE: source column '$from' has type " +
+          s"${fromType.sql} but target '${f.name}' is " +
+          s"${f.dataType.sql} — refusing the silent-null coercion [$pin]")
       col(from).cast(f.dataType).as(f.name)
     }
     val batch = src.select(

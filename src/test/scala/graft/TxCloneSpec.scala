@@ -258,4 +258,40 @@ class TxCloneSpec extends SparkSpec {
     // the never-cloned source travel-reads exactly without the fold
     assert(TxLog.snapshot(spark, src, Some(1L)).count() === 50)
   }
+
+  test("sentinel absence is inconclusive, not negative: a pre-sentinel-era " +
+      "clone dst (records, no _cloned) still resolves travel reads below " +
+      "the cut, and the first such read backfills the sentinel") {
+    val src = freshRoot("presrc")
+    TxLog.append(spark, src, docs(0, 40), Some("id"))
+    TxLog.append(spark, src, docs(40, 80), Some("id"))
+    val dst = freshRoot("predst")
+    val cut = TxLog.cloneTable(spark, src, dst)
+    // simulate a clone created by pre-sentinel code: records exist in
+    // the log, but no sentinel file
+    val sentinel = new java.io.File(s"$dst/_txlog/_cloned")
+    assert(sentinel.delete(), "test setup: could not remove the sentinel")
+    // the exact case the head fold exists for — a travel read below
+    // the clone cut must resolve pre-fork dirs against the base, not
+    // return an empty chain (wrong base root / FileNotFound)
+    assert(TxLog.snapshot(spark, dst, Some(cut - 1)).count() === 80)
+    assert(TxLog.snapshot(spark, dst, Some(1L)).count() === 40)
+    // ...and the read pays the head fold ONCE: the sentinel is back
+    assert(sentinel.exists(),
+      "the inconclusive-path head fold must backfill _cloned")
+  }
+
+  test("a never-cloned table's first travel read backfills _noclones — " +
+      "conclusive forever (clone records only enter a log at creation), " +
+      "so later travel reads skip the head fold and stay exact") {
+    val t = freshRoot("noclone")
+    TxLog.append(spark, t, docs(0, 30), Some("id"))
+    TxLog.append(spark, t, docs(30, 60), Some("id"))
+    assert(TxLog.snapshot(spark, t, Some(1L)).count() === 30)
+    assert(new java.io.File(s"$t/_txlog/_noclones").exists(),
+      "the first inconclusive travel read must backfill _noclones")
+    assert(!new java.io.File(s"$t/_txlog/_cloned").exists())
+    assert(TxLog.snapshot(spark, t, Some(1L)).count() === 30)
+    assert(TxLog.snapshot(spark, t, Some(2L)).count() === 60)
+  }
 }

@@ -335,4 +335,72 @@ class TxSqlSpec extends SparkSpec {
       Seq(("id", Long.MaxValue, Long.MaxValue)))
     assert(b(GreaterThan("id", Long.MaxValue)) === Seq.empty)
   }
+
+  test("DELETE on a nullable column follows SQL three-valued logic: a " +
+      "NULL predicate KEEPS the row — only TRUE deletes") {
+    val root = freshRoot("dml_null")
+    val rows = Seq((1L, Some(10L)), (2L, None), (3L, Some(3L)),
+      (4L, None), (5L, Some(99L)))
+      .toDF("id", "score")
+    TxLog.append(spark, root, rows, Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_n " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    // score > 5 is NULL on ids 2 and 4 — they must SURVIVE: SQL
+    // DELETE removes only rows where the predicate is TRUE
+    spark.sql("DELETE FROM dml_n WHERE score > 5")
+    val left = TxLog.snapshot(spark, root).select("id")
+      .as[Long].collect().sorted
+    assert(left === Array(2L, 3L, 4L),
+      "NULL-predicate rows were deleted — three-valued logic violated")
+    // the Scala API path directly, same rule
+    TxLog.deleteWhere(spark, root, col("score") < 100)
+    val left2 = TxLog.snapshot(spark, root).select("id")
+      .as[Long].collect().sorted
+    assert(left2 === Array(2L, 4L))
+  }
+
+  test("refusal-first DML: subqueries and nondeterministic expressions " +
+      "are refused at the rule with the supported shapes named, not at " +
+      "apply time with an opaque parse error") {
+    val root = freshRoot("dml_refuse")
+    TxLog.append(spark, root, docs(0, 50), Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW dml_r " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    val sub = intercept[Exception] {
+      spark.sql("DELETE FROM dml_r WHERE id IN " +
+        "(SELECT id FROM dml_r WHERE id < 5)")
+    }
+    assert(sub.getMessage.contains("subqueries"), sub.getMessage)
+    val sub2 = intercept[Exception] {
+      spark.sql("UPDATE dml_r SET text = 'x' WHERE " +
+        "id = (SELECT max(id) FROM dml_r)")
+    }
+    assert(sub2.getMessage.contains("subqueries"), sub2.getMessage)
+    val nd = intercept[Exception] {
+      spark.sql("UPDATE dml_r SET text = uuid() WHERE id = 3")
+    }
+    assert(nd.getMessage.contains("nondeterministic"), nd.getMessage)
+    // nothing committed by any refusal
+    assert(TxLog.snapshot(spark, root).count() === 50)
+    assert(TxLog.latestVersion(spark, root) === 1)
+  }
+
+  test("positional INSERT refuses incompatible types loudly instead of " +
+      "coercing to null under ansi=false") {
+    val root = freshRoot("ins_loud")
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ins_l " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    // mis-ordered INSERT: string lands on the BIGINT slot — must fail
+    // with the slot named, never write nulls
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO ins_l VALUES ('doc-x', 99)")
+    }
+    assert(ex.getMessage.contains("refuses incompatible types") ||
+      ex.getMessage.contains("BIGINT"), ex.getMessage)
+    assert(TxLog.snapshot(spark, root).count() === 10)
+    // compatible widening still lands (INT value into BIGINT slot)
+    spark.sql("INSERT INTO ins_l VALUES (99, 'doc-99')")
+    assert(TxLog.snapshot(spark, root).count() === 11)
+  }
 }
