@@ -2091,7 +2091,152 @@ private[graft] object CatalogTx {
               UNION ALL
               SELECT 'health', CAST(500000 AS BIGINT),
                 (SELECT CAST(count(*) AS BIGINT) FROM nulls)
-              ORDER BY kind, a"""))
+              ORDER BY kind, a""")),
+
+    QueryDef("x185_tx_sql_travel",
+      // SQL READ-SIDE TIME TRAVEL (r16 — the write door went pure-SQL
+      // in r15; this closes the read symmetry): `VERSION AS OF n`
+      // rides Spark's own grammar and the parser rewrites the
+      // RelationTimeTravel node into the relation's travel options
+      // BEFORE the v1-refusing analyzer sees it. The composition
+      // crosses the two hard travel seams on purpose: v(cut-1) is a
+      // travel read BELOW a clone cut (pre-fork dirs are
+      // base-resident — resolved through the clone chain), and v4 is
+      // below a column rename (serves the OLD name `text`, while the
+      // head reads `body` — versioned name lineage, not field ids)
+      (s, d) => {
+        val src = freshTxRoot(s, "sqltravel_src", d)
+        val dst = freshTxRoot(s, "sqltravel_dst", d)
+        val doc = txDocs(s, d)
+        TxLog.append(s, src, doc.where(col("doc_id") % 2 === 0),
+          Some("doc_id"))
+        TxLog.append(s, src, doc.where(col("doc_id") % 2 === 1),
+          Some("doc_id"))
+        val cut = TxLog.cloneTable(s, src, dst) // = 3
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW sqltravel_v " +
+          s"USING `graft-tx` OPTIONS (path '$dst')")
+        s.sql("DELETE FROM sqltravel_v WHERE doc_id % 10 = 3") // v4
+        s.sql("ALTER TABLE sqltravel_v RENAME COLUMN text TO body") // v5
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW sqltravel_v " +
+          s"USING `graft-tx` OPTIONS (path '$dst')")
+        s.sql("SELECT 'v1' AS tag, doc_id, md5(text) AS digest " +
+            "FROM sqltravel_v VERSION AS OF 1")
+          .unionByName(s.sql("SELECT 'precut' AS tag, doc_id, " +
+            s"md5(text) AS digest FROM sqltravel_v VERSION AS OF ${cut - 1}"))
+          .unionByName(s.sql("SELECT 'postdel' AS tag, doc_id, " +
+            "md5(text) AS digest FROM sqltravel_v VERSION AS OF 4"))
+          .unionByName(s.sql("SELECT 'head' AS tag, doc_id, " +
+            "md5(body) AS digest FROM sqltravel_v"))
+          .orderBy("tag", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT 'v1' AS tag, doc_id, md5(text) AS digest FROM d
+              WHERE doc_id % 2 = 0
+              UNION ALL SELECT 'precut', doc_id, md5(text) FROM d
+              UNION ALL SELECT 'postdel', doc_id, md5(text) FROM d
+              WHERE doc_id % 10 <> 3
+              UNION ALL SELECT 'head', doc_id, md5(text) FROM d
+              WHERE doc_id % 10 <> 3
+              ORDER BY tag, doc_id""")),
+
+    QueryDef("x186_tx_sql_ddl",
+      // SQL ALTER TABLE (r16 — the evolution machinery is r13/r14;
+      // this is its SQL spelling): a table lives the full
+      // evolve-rename-drop life through spark.sql alone — ADD COLUMNS
+      // (old rows read as typed nulls), a positional INSERT under the
+      // widened pin, ALTER COLUMN TYPE int→bigint (lossless widening
+      // only; narrowing is a named refusal, spec-pinned), UPDATE onto
+      // the widened column, RENAME COLUMN (metadata-only lineage),
+      // DROP COLUMN text. The head read serves the post-drop schema;
+      // the v5 travel read (below rename+drop) still serves `text`
+      // and the old `lang` name — one mis-threaded lineage record or
+      // one lost INSERT row diverges the digest
+      (s, d) => {
+        val root = freshTxRoot(s, "sqlddl", d)
+        TxLog.append(s, root, txDocs(s, d), Some("doc_id")) // v1
+        def mkView(): Unit =
+          s.sql("CREATE OR REPLACE TEMPORARY VIEW sqlddl_v " +
+            s"USING `graft-tx` OPTIONS (path '$root')")
+        mkView()
+        s.sql("ALTER TABLE sqlddl_v ADD COLUMNS (lang STRING, score INT)")
+        mkView() // v2 changed the schema; USING views freeze theirs
+        s.sql("""INSERT INTO sqlddl_v
+                 SELECT doc_id + 20000, upper(text), 'xx',
+                        CAST(doc_id % 100 AS INT)
+                 FROM sqlddl_v WHERE doc_id < 200""") // v3
+        s.sql("ALTER TABLE sqlddl_v ALTER COLUMN score TYPE BIGINT") // v4
+        mkView()
+        s.sql("UPDATE sqlddl_v SET score = doc_id * 3 " +
+          "WHERE doc_id < 100") // v5
+        s.sql("ALTER TABLE sqlddl_v RENAME COLUMN lang TO language") // v6
+        s.sql("ALTER TABLE sqlddl_v DROP COLUMN text") // v7
+        mkView()
+        s.sql("""SELECT 'head' AS tag, doc_id,
+                   coalesce(language, '-') AS lab,
+                   coalesce(score, -1) AS score, '-' AS digest
+                 FROM sqlddl_v""")
+          .unionByName(s.sql(
+            """SELECT 'v5' AS tag, doc_id, coalesce(lang, '-') AS lab,
+                 coalesce(score, -1) AS score, md5(text) AS digest
+               FROM sqlddl_v VERSION AS OF 5"""))
+          .orderBy("tag", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000),
+              ins AS (SELECT doc_id + 20000 AS doc_id,
+                        upper(text) AS text, 'xx' AS lang,
+                        CAST(doc_id % 100 AS BIGINT) AS score
+                      FROM d WHERE doc_id < 200),
+              base AS (SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang,
+                        CASE WHEN doc_id < 100 THEN doc_id * 3
+                          ELSE NULL END AS score
+                       FROM d),
+              allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+              SELECT 'head' AS tag, doc_id, coalesce(lang, '-') AS lab,
+                coalesce(score, -1) AS score, '-' AS digest FROM allr
+              UNION ALL
+              SELECT 'v5', doc_id, coalesce(lang, '-'),
+                coalesce(score, -1), md5(text) FROM allr
+              ORDER BY tag, doc_id""")),
+
+    QueryDef("x187_tx_sql_optimize",
+      // SQL OPTIMIZE + RESTORE (r16): the two most-typed Delta
+      // maintenance statements, lowered onto the same pruned commits
+      // as the Scala calls — OPTIMIZE RANGE(doc_id, 8) re-clusters
+      // into 8 stat-tight buckets (TxSqlDdlSpec pins the 1-of-8 probe
+      // I/O), OPTIMIZE COMPACT folds those 8 small buckets into one
+      // dir, a full-touch DELETE, and RESTORE TO VERSION AS OF 2
+      // rewinds the live set as a NEW commit (history append-only:
+      // the deleted state stays travel-readable at v4). The hist
+      // rows pin the commit-log action sequence itself
+      (s, d) => {
+        val root = freshTxRoot(s, "sqlopt", d)
+        TxLog.append(s, root, txDocs(s, d), Some("doc_id")) // v1
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW sqlopt_v " +
+          s"USING `graft-tx` OPTIONS (path '$root')")
+        s.sql("OPTIMIZE sqlopt_v RANGE(doc_id, 8)") // v2
+        s.sql("OPTIMIZE sqlopt_v COMPACT(1000000)") // v3: 8 dirs -> 1
+        s.sql("DELETE FROM sqlopt_v WHERE doc_id % 5 = 2") // v4
+        s.sql(s"RESTORE TABLE '$root' TO VERSION AS OF 2") // v5
+        s.sql("SELECT 'head' AS tag, doc_id, md5(text) AS digest " +
+            "FROM sqlopt_v")
+          .unionByName(s.sql("SELECT 'v4' AS tag, doc_id, " +
+            "md5(text) AS digest FROM sqlopt_v VERSION AS OF 4"))
+          .unionByName(s.sql("DESCRIBE HISTORY sqlopt_v")
+            .select(lit("hist").as("tag"), col("version").as("doc_id"),
+              col("action").as("digest")))
+          .orderBy("tag", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000)
+              SELECT 'head' AS tag, doc_id, md5(text) AS digest FROM d
+              UNION ALL SELECT 'v4', doc_id, md5(text) FROM d
+              WHERE doc_id % 5 <> 2
+              UNION ALL SELECT 'hist', v, a FROM (VALUES
+                (CAST(1 AS BIGINT), 'append'), (2, 'rewrite'),
+                (3, 'compact'), (4, 'delete'), (5, 'restore')) t(v, a)
+              ORDER BY tag, doc_id"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

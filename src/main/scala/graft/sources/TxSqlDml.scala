@@ -46,9 +46,11 @@ import graft.operators.TxLog
 class TxSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(spark => new TxDmlRule(spark))
-    // the maintenance statements (DESCRIBE HISTORY/DETAIL, VACUUM) —
-    // see [[GraftSqlParser]]; everything else delegates verbatim
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // the maintenance/DDL statements (DESCRIBE HISTORY/DETAIL, VACUUM,
+    // ALTER TABLE, OPTIMIZE, RESTORE) and read-side time travel — see
+    // [[GraftSqlParser]]; everything else delegates verbatim
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
   }
 }
 
