@@ -2236,7 +2236,63 @@ private[graft] object CatalogTx {
               UNION ALL SELECT 'hist', v, a FROM (VALUES
                 (CAST(1 AS BIGINT), 'append'), (2, 'rewrite'),
                 (3, 'compact'), (4, 'delete'), (5, 'restore')) t(v, a)
-              ORDER BY tag, doc_id"""))
+              ORDER BY tag, doc_id""")),
+
+    QueryDef("x188_tx_stream_sink",
+      // NATIVE STREAMING SINK (r16 — the source half became
+      // first-class in r15; this is the sink half): a full replica is
+      // now `readStream.format("graft-tx") ... writeStream
+      // .format("graft-tx")` with cdc reconciliation — no foreachBatch
+      // plumbing. The source lives upsert+insert (merge), a takedown
+      // (tombstone) and, DURING REPLICA DOWNTIME, a predicate delete;
+      // the resumed stream converges from its checkpoint. Exactly-once
+      // is the (appId, batchId) token contract (StreamingSpec forces
+      // the batch replay); one double-applied rewrite window or one
+      // missed downtime commit diverges the digest set
+      (s, d) => {
+        val src = freshTxRoot(s, "sinksrc", d)
+        val dst = freshTxRoot(s, "sinkdst", d)
+        val ckpt = freshTxRoot(s, "sinkck", d)
+        val doc = txDocs(s, d)
+        TxLog.append(s, src, doc, Some("doc_id")) // v1
+        TxLog.merge(s, src, // v2: upsert %6==1, insert +40000 under 50
+          doc.where(col("doc_id") % 6 === 1)
+            .select(col("doc_id"), upper(col("text")).as("text"))
+            .unionByName(doc.where(col("doc_id") < 50)
+              .select((col("doc_id") + 40000L).as("doc_id"), col("text"))),
+          "doc_id")
+        TxLog.tombstone(s, src, // v3: takedown %11==5 of the originals
+          doc.where(col("doc_id") % 11 === 5).select("doc_id"), "doc_id")
+        def start() = s.readStream.format("graft-tx")
+          .option("maxVersionsPerBatch", "1").load(src)
+          .writeStream.format("graft-tx")
+          .option("checkpointLocation", ckpt)
+          .option("appId", "x188")
+          .option("keyCol", "doc_id").option("cdc", "true")
+          .start(dst)
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+        // replica DOWNTIME: a predicate delete lands on the source
+        TxLog.deleteWhere(s, src, col("doc_id") % 10 === 7)
+        val q2 = start() // resume from the checkpoint
+        try q2.processAllAvailable() finally q2.stop()
+        TxLog.snapshot(s, dst)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000),
+              m AS (SELECT doc_id,
+                      CASE WHEN doc_id % 6 = 1 THEN upper(text)
+                        ELSE text END AS text
+                    FROM d
+                    UNION ALL
+                    SELECT doc_id + 40000, text FROM d WHERE doc_id < 50)
+              SELECT doc_id, md5(text) AS digest FROM m
+              WHERE doc_id NOT IN
+                  (SELECT doc_id FROM d WHERE doc_id % 11 = 5)
+                AND doc_id % 10 <> 7
+              ORDER BY doc_id"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

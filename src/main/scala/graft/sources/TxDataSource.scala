@@ -37,13 +37,34 @@ import org.apache.spark.sql.types.StructType
   * DataFrameWriter contracts against table existence. */
 class TxDataSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-tx"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-tx: a 'path' option (the table root) is required"))
+
+  // ---- streaming: the commit log as a sink (idempotence tokens) ----
+  // `writeStream.format("graft-tx").start(root)` — see [[TxStreamSink]]
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-tx sink: partitionBy is not the layout door — use " +
+        "OPTIMIZE RANGE/HASH/ZORDER on the table instead")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append()
+        || outputMode == org.apache.spark.sql.streaming.OutputMode.Update(),
+      s"graft-tx sink: output mode $outputMode is not supported — " +
+        "Append lands idempotent appends (or keyed merges with " +
+        "'keyCol'); Complete would rewrite the table per batch " +
+        "(aggregate downstream instead)")
+    new TxStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      parameters)
+  }
 
   // ---- streaming: the commit log as a source (offsets = versions) --
   // `readStream.format("graft-tx").load(root)` — see [[TxStreamSource]]

@@ -34,4 +34,14 @@ object Shims {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse re-tag for a DSv1 streaming SINK: `Sink.addBatch`
+    * receives a STREAMING-tagged frame (an IncrementalExecution), and
+    * handing it to batch write paths needs the isStreaming flag
+    * dropped over the already-planned RDD — the exact move Spark's
+    * own ForeachBatchSink makes. Nothing materializes here. */
+  def batchDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -897,4 +897,109 @@ class StreamingSpec extends SparkSpec {
       "the downtime commit must flow on restart without waiting for " +
         "a post-restart commit")
   }
+
+  test("native streaming sink: writeStream.format(graft-tx) lands " +
+      "idempotent appends — exactly-once across checkpoint restart AND " +
+      "a forced batch replay") {
+    import graft.operators.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_a")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ack")
+      .toString
+    val dir = eventsDir
+    def start() = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("event_id"), col("event_type"))
+      .writeStream.format("graft-tx")
+      .option("checkpointLocation", ckpt)
+      .option("appId", "sink-a")
+      .start(root)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = spark.read.parquet(dir).count()
+    assert(TxLog.snapshot(spark, root).count() === expected)
+    // restart on the same checkpoint: nothing new to do, nothing lands
+    val v1 = TxLog.latestVersion(spark, root)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxLog.latestVersion(spark, root) === v1)
+    // FORCED REPLAY: re-deliver batch 0 straight into the sink (the
+    // crash case the checkpoint restart above can't force) — the
+    // (appId, batchId) token resolves it to its original commit
+    val sink = new graft.sources.TxDataSource().createSink(
+      spark.sqlContext, Map("path" -> root, "appId" -> "sink-a"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0L, spark.read.parquet(dir)
+      .select(col("event_id"), col("event_type")).limit(5))
+    assert(TxLog.latestVersion(spark, root) === v1,
+      "a replayed batch id must land nothing")
+    assert(TxLog.snapshot(spark, root).count() === expected)
+  }
+
+  test("native replica: readStream.format(graft-tx) -> writeStream" +
+      ".format(graft-tx) with cdc reconciliation — the replica tracks " +
+      "rewrites and tombstones across a kill-and-resume") {
+    import graft.operators.TxLog
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_sink_src")
+      .toString + "/t"
+    val dst = java.nio.file.Files.createTempDirectory("graft_sink_dst")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ck")
+      .toString
+    def docs(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"d-$i")).toDF("id", "text")
+    TxLog.append(spark, src, docs(0, 40), Some("id"))
+    TxLog.rewrite(spark, src, Some("id"))(_.where(col("id") % 2 === 0))
+    TxLog.tombstone(spark, src, Seq(4L, 8L).toDF("id"), "id")
+    def start() = spark.readStream.format("graft-tx")
+      .option("maxVersionsPerBatch", "1").load(src)
+      .writeStream.format("graft-tx")
+      .option("checkpointLocation", ckpt)
+      .option("appId", "replica-1")
+      .option("keyCol", "id").option("cdc", "true")
+      .start(dst)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(TxLog.snapshot(spark, dst).orderBy("id").collect() ===
+      TxLog.snapshot(spark, src).orderBy("id").collect(),
+      "the replica equals the source after the bootstrap window")
+    // kill, land downtime commits, resume on the same checkpoint
+    TxLog.merge(spark, src, Seq((6L, "SIX"), (100L, "hund"))
+      .toDF("id", "text"), "id")
+    TxLog.tombstone(spark, src, Seq(10L).toDF("id"), "id")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxLog.snapshot(spark, dst).orderBy("id").collect() ===
+      TxLog.snapshot(spark, src).orderBy("id").collect(),
+      "the resumed replica converges on the downtime commits")
+    // the tokens are batch-scoped: nothing double-applied
+    val hist = TxLog.history(spark, dst)
+    assert(hist.where(col("txn_app") === "replica-1").count() ===
+      hist.count(), "every replica commit carries its token")
+  }
+
+  test("native sink refusals: Complete mode, cdc without keyCol, and " +
+      "partitionBy are loud errors") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_r")
+      .toString + "/t"
+    val ds = new graft.sources.TxDataSource()
+    val complete = intercept[IllegalArgumentException] {
+      ds.createSink(spark.sqlContext, Map("path" -> root), Seq.empty,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
+    assert(complete.getMessage.contains("Complete"), complete.getMessage)
+    val cdc = intercept[IllegalArgumentException] {
+      ds.createSink(spark.sqlContext, Map("path" -> root, "cdc" -> "true"),
+        Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(cdc.getMessage.contains("keyCol"), cdc.getMessage)
+    val part = intercept[IllegalArgumentException] {
+      ds.createSink(spark.sqlContext, Map("path" -> root), Seq("id"),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(part.getMessage.contains("OPTIMIZE"), part.getMessage)
+  }
 }
