@@ -70,8 +70,7 @@ object Bench {
     val detail = rows.map(r => "\"" + r.name + "\":" +
       r.all.map(t => f"$t%.3f").mkString("[", ",", "]")).mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${total(_.cold)},"unit":"sec","reps":$reps,"queries":${jmap(_.cold)},"min_total":${total(_.min)},"min":${jmap(_.min)},"median_total":${total(_.med)},"median":${jmap(_.med)},"warm_total":${total(_.warm)},"warm":${jmap(_.warm)},"reps_detail":$detail,"sf":"$sfDir"}"""
-    println(json)
-    // ALSO persist to a file: three rounds of driver stdout captures
+    // persist to a file FIRST: three rounds of driver stdout captures
     // truncated the tail and lost min_total (BENCH_r10/r12/r13 all
     // arrived with parsed:null) — the file artifact can't be cut off
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -79,6 +78,13 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       Console.err.println(s"[bench] could not write $outFile: $e") }
+    // the JSON is the LAST thing this program writes to stdout: Spark
+    // stops before it (its shutdown chatter goes to stderr — the
+    // bundled log4j2.properties routes every logger there), so a
+    // driver parsing the captured stdout tail finds the JSON line,
+    // not log noise
     spark.stop()
+    println(json)
+    Console.out.flush()
   }
 }

@@ -2112,7 +2112,9 @@ private[graft] object CatalogTx {
           Some("doc_id"))
         TxLog.append(s, src, doc.where(col("doc_id") % 2 === 1),
           Some("doc_id"))
-        val cut = TxLog.cloneTable(s, src, dst) // = 3
+        // the zero-copy fork, SQL-spelled (r16 SHALLOW CLONE statement)
+        val cut = s.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'")
+          .head().getLong(0) // = 3
         s.sql("CREATE OR REPLACE TEMPORARY VIEW sqltravel_v " +
           s"USING `graft-tx` OPTIONS (path '$dst')")
         s.sql("DELETE FROM sqltravel_v WHERE doc_id % 10 = 3") // v4

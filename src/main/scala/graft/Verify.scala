@@ -12,8 +12,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // reference semantics are permissive-cast (failure -> null), and
-      // the DuckDB oracles use TRY_CAST — match them
-      .config("spark.sql.ansi.enabled", "false")
+      // the DuckDB oracles use TRY_CAST — match them.
+      // SPARK_GRAFT_ANSI=1 flips the session to ANSI mode (Spark 4's
+      // default): the conf-robustness audit — any query whose result
+      // depends on permissive casts it didn't spell as try_cast shows
+      // up as a failure/mismatch here instead of silently depending
+      // on session conf
+      .config("spark.sql.ansi.enabled",
+        sys.env.get("SPARK_GRAFT_ANSI").contains("1").toString)
       // SPARK_GRAFT_STRICT_CODEGEN=1: janino compile errors fail the
       // query instead of silently falling back to interpreted — the
       // audit that catches codegen template bugs unit tests can miss

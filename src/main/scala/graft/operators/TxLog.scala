@@ -909,7 +909,13 @@ object TxLog {
   private def statSpecs(df: DataFrame,
       cols: Seq[String]): Seq[StatSpec] =
     cols.flatMap { c =>
-      val value = StatSpec(c, col(c).cast("long"), isSum = false)
+      // try_cast, DELIBERATELY (here and at every key-span site): a
+      // non-long-castable key (string doc ids) must yield NULL — "no
+      // value span, use the hash stat" — under ANSI mode exactly as
+      // under permissive mode; a bare cast would throw
+      // CAST_INVALID_INPUT the moment a session runs Spark 4's
+      // default conf (the r16 ANSI audit caught x170/x171/x173/x174)
+      val value = StatSpec(c, col(c).try_cast("long"), isSum = false)
       val nulls = StatSpec(nullStatName(c),
         when(col(c).isNull, lit(1L)).otherwise(lit(0L)), isSum = true)
       if (df.schema.fields.find(_.name == c)
@@ -1314,7 +1320,7 @@ object TxLog {
     val stats = if (statsCols.isEmpty) Seq(keyCol) else statsCols
     // ONE batch aggregate: size, null-key and unique-key contract,
     // and the key span the prune + conflict checks read
-    val k = col(keyCol).cast("long")
+    val k = col(keyCol).try_cast("long")
     val r = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
       countDistinct(col(keyCol)).as("nd"), min(k).as("mn"),
       max(k).as("mx")).head()
@@ -1950,8 +1956,8 @@ object TxLog {
     pinnedSchema(spark, root).foreach(p => require(p == ddl,
       s"appendPartitioned: schema drift on $root — table pins [$p], " +
         s"batch is [$ddl]"))
-    val r = df.agg(min(col(keyCol).cast("long")),
-      max(col(keyCol).cast("long")), count(lit(1))).head()
+    val r = df.agg(min(col(keyCol).try_cast("long")),
+      max(col(keyCol).try_cast("long")), count(lit(1))).head()
     require(r.getLong(2) > 0, s"appendPartitioned: empty batch for $root")
     val bucket =
       if (r.isNullAt(0)) {
@@ -1963,7 +1969,7 @@ object TxLog {
         val (mn, mx) = (r.getLong(0), r.getLong(1))
         val width = math.max(1L, (mx - mn + buckets) / buckets)
         coalesce(
-          ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
+          ((col(keyCol).try_cast("long") - mn) / width).cast("long"), lit(0L))
       }
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val st0 = foldLog(spark, root, None)
@@ -2046,14 +2052,14 @@ object TxLog {
     require(live0.nonEmpty, s"optimizeRange: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
       pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
-    val r = snap.agg(min(col(keyCol).cast("long")),
-      max(col(keyCol).cast("long"))).head()
+    val r = snap.agg(min(col(keyCol).try_cast("long")),
+      max(col(keyCol).try_cast("long"))).head()
     require(!r.isNullAt(0),
       s"optimizeRange: $keyCol has no non-null values in $root")
     val (mn, mx) = (r.getLong(0), r.getLong(1))
     val width = math.max(1L, (mx - mn + buckets) / buckets) // ceil((mx-mn+1)/B)
     val bucket = coalesce(
-      ((col(keyCol).cast("long") - mn) / width).cast("long"), lit(0L))
+      ((col(keyCol).try_cast("long") - mn) / width).cast("long"), lit(0L))
     val rel = s"data/${java.util.UUID.randomUUID()}"
     snap.withColumn("__b", bucket)
       .repartition(col("__b"))
@@ -2224,15 +2230,15 @@ object TxLog {
         (small.map(_.rows).sum + targetRows - 1) / targetRows)
       val bucket = keyColOpt match {
         case Some(kc) =>
-          val r = snap.agg(min(col(kc).cast("long")),
-            max(col(kc).cast("long"))).head()
+          val r = snap.agg(min(col(kc).try_cast("long")),
+            max(col(kc).try_cast("long"))).head()
           if (r.isNullAt(0)) {
             val width = math.max(1L, (HashSpace + nOut - 1) / nOut)
             (keyHash(col(kc)) / width).cast("long")
           } else {
             val (mn, mx) = (r.getLong(0), r.getLong(1))
             val width = math.max(1L, (mx - mn + nOut) / nOut)
-            coalesce(((col(kc).cast("long") - mn) / width).cast("long"),
+            coalesce(((col(kc).try_cast("long") - mn) / width).cast("long"),
               lit(0L))
           }
         case None => lit(0L) // stat-less table: one packed dir
@@ -2420,8 +2426,8 @@ object TxLog {
               .parquet(s"${baseFor(root, st0.clones, d.version)}/${d.rel}")
               .select(col(d.keyCol).as(kc)))
             .reduce(_.unionByName(_)).distinct()
-          val r = keys.agg(min(col(kc).cast("long")).as("mn"),
-            max(col(kc).cast("long")).as("mx")).head()
+          val r = keys.agg(min(col(kc).try_cast("long")).as("mn"),
+            max(col(kc).try_cast("long")).as("mx")).head()
           val stringKeyed = r.isNullAt(0)
           val (lo, hi) =
             if (stringKeyed) (Long.MinValue, Long.MaxValue)
@@ -2808,9 +2814,9 @@ object TxLog {
     // hi = Long.MaxValue means unbounded above — `< MaxValue` would
     // wrongly exclude a row whose value IS the max long
     val filter = (preds.map { case (c, lo, hi) =>
-      val lower = col(c).cast("long") >= lo
+      val lower = col(c).try_cast("long") >= lo
       if (hi == Long.MaxValue) lower
-      else lower && col(c).cast("long") < hi } ++
+      else lower && col(c).try_cast("long") < hi } ++
       nullProbes.map(c => col(c).isNull))
       .reduce(_ && _)
     if (kept.isEmpty) {
@@ -2857,8 +2863,8 @@ object TxLog {
     require(live.nonEmpty, s"snapshotKeys: $root is empty at v$v")
     val ks = keys.select(col(keyCol)).distinct()
     val r = ks.agg(
-      min(col(keyCol).cast("long")).as("mn"),
-      max(col(keyCol).cast("long")).as("mx"),
+      min(col(keyCol).try_cast("long")).as("mn"),
+      max(col(keyCol).try_cast("long")).as("mx"),
       count(lit(1)).as("n")).head()
     val noKeys = r.getLong(2) == 0
     val stringKeyed = !noKeys && r.isNullAt(0)

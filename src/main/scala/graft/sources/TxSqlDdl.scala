@@ -137,3 +137,15 @@ private[graft] case class GraftRestoreCommand(root: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxLog.restore(spark, root, toVersion, conflictRetries = 2)))
 }
+
+/** `CREATE TABLE '<dst>' SHALLOW CLONE <src>` — [[TxLog.cloneTable]]:
+  * the zero-copy fork (manifest chain copies, data dirs stay put,
+  * the clone registers with the source so the source's vacuum keeps
+  * pinning pre-fork dirs the fork still references). Returns the
+  * clone commit's version at the cut. */
+private[graft] case class GraftCloneCommand(srcRoot: String,
+    dstRoot: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = TxSqlDdl.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.cloneTable(spark, srcRoot, dstRoot)))
+}

@@ -35,6 +35,7 @@ import graft.operators.TxLog
   *   ALTER TABLE t DROP COLUMN a
   *   OPTIMIZE t RANGE(col, n)|HASH(col, n)|ZORDER(x, y, n)|COMPACT(rows)
   *   RESTORE TABLE t TO VERSION AS OF n
+  *   CREATE TABLE '<dst>' SHALLOW CLONE t
   * }}}
   *
   * `t` is a `'path'` literal (always ours) or a NAME — a temp view or
@@ -84,6 +85,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Restore =
     ("""(?is)\s*RESTORE\s+TABLE\s+""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+""" +
+      T + """\s*;?\s*""").r
 
   /** The graft-tx relation a NAME resolves to (temp view or catalog
     * table), via the session catalog's own resolution — None when the
@@ -139,6 +143,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         args.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     case Restore(p, v) =>
       GraftRestoreCommand(requireRoot(p, "RESTORE TABLE"), v.toLong)
+    // the Delta zero-copy fork, SQL-spelled: the DESTINATION is a
+    // path literal (a fresh root, nothing to resolve); the source is
+    // a path or name
+    case Clone(dst, src) =>
+      GraftCloneCommand(requireRoot(src, "SHALLOW CLONE"), dst)
     case other => rewriteTimeTravel(delegate.parsePlan(other))
   }
 

@@ -189,6 +189,32 @@ class TxSqlDdlSpec extends SparkSpec {
       .head().getLong(0) === 800)
   }
 
+  test("SQL SHALLOW CLONE: CREATE TABLE '<dst>' SHALLOW CLONE <src> is " +
+      "the zero-copy fork — identical at the cut, divergent after, " +
+      "source addressable by name") {
+    val src = freshRoot("clsrc")
+    val dst = freshRoot("cldst")
+    TxLog.append(spark, src, docs(0, 60), Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cl_src_v " +
+      s"USING `graft-tx` OPTIONS (path '$src')")
+    val cut = spark.sql(
+      s"CREATE TABLE '$dst' SHALLOW CLONE cl_src_v").head().getLong(0)
+    assert(cut === 2L)
+    // zero-copy: no local data dirs in the fork
+    assert(!new java.io.File(s"$dst/data").exists())
+    assert(TxLog.snapshot(spark, dst).count() === 60)
+    // divergence both ways
+    TxLog.append(spark, dst, docs(60, 70), Some("id"))
+    TxLog.append(spark, src, docs(60, 100), Some("id"))
+    assert(TxLog.snapshot(spark, dst).count() === 70)
+    assert(TxLog.snapshot(spark, src).count() === 100)
+    // cloning into a non-empty root is cloneTable's own loud refusal
+    val again = intercept[Exception] {
+      spark.sql(s"CREATE TABLE '$dst' SHALLOW CLONE cl_src_v")
+    }
+    assert(again.getMessage.contains("fresh root"), again.getMessage)
+  }
+
   test("name-addressed maintenance + DML: DESCRIBE HISTORY/DETAIL and " +
       "VACUUM by view name; MERGE/UPDATE on a saveAsTable catalog table " +
       "by name; spark.catalog lists it") {

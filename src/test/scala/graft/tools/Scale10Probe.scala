@@ -63,7 +63,7 @@ object Scale10Probe {
     // labels past the catalog pick loop
     val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
       "txlog_fold", "tx_merge", "tx_merge_str", "tx_dv", "tx_compact",
-      "tx_restore", "tx_delete_where", "tx_null_probe")
+      "tx_restore", "tx_delete_where", "tx_null_probe", "tx_log_depth")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -300,6 +300,63 @@ object Scale10Probe {
       Console.err.println(
         f"[scale10] tx_null_probe_1Mv10M   $a%8.3f $b%8.3f ${b / a}%6.2f" +
           "  (the null-free bulk never scans — 1 dir read either way)")
+    }
+    // COMMIT-LOG DEPTH vs read cost (r16 — the last unmeasured tx
+    // axis): the fold starts at the newest checkpoint, so
+    // snapshot/detail/changes cost O(commits since checkpoint) + one
+    // log LISTING, never O(history). Two tables with the SAME data
+    // (100k rows) and the same maintenance cadence (checkpoint every
+    // 32 commits, compact every 256 — RunGc's tx-checkpoint-due /
+    // --compact-below policy) but 1k vs 10k append commits must read
+    // the same ≤32 manifests: flat floors prove the fold never pays
+    // the 9k extra history. Tables cache under stable /tmp roots —
+    // the 10k build is ~10 min of tiny commits, once per host.
+    if (runAll || args.contains("tx_log_depth")) {
+      import graft.operators.TxLog
+      def build(commits: Int): String = {
+        val root = s"/tmp/graft_s10_depth_$commits/t"
+        if (TxLog.latestVersion(spark, root) >= commits) root
+        else {
+          val dir = new java.io.File(s"/tmp/graft_s10_depth_$commits")
+          if (dir.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          val per = 100000 / commits
+          var i = 0
+          while (i < commits) {
+            TxLog.append(spark, root,
+              spark.range(i.toLong * per, (i + 1).toLong * per, 1L, 1)
+                .selectExpr("id", "id * 3 AS score"), Some("id"))
+            i += 1
+            if (i % 256 == 0) TxLog.optimizeCompact(spark, root, 1000000L)
+            if (i % 32 == 0) TxLog.checkpoint(spark, root)
+          }
+          root
+        }
+      }
+      def floors(root: String): (Double, Double, Double, Double) = {
+        val head = TxLog.latestVersion(spark, root)
+        def f(op: => Unit): Double = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); op; (System.nanoTime() - t0) / 1e9
+        }.min
+        (f(TxLog.detail(spark, root).head()),
+          f(TxLog.latestVersion(spark, root)),
+          f(TxLog.changes(spark, root, head - 1, head).count()),
+          f(TxLog.snapshot(spark, root).count()))
+      }
+      val (da, la, ca, sa) = floors(build(1000))
+      val (db, lb, cb, sb) = floors(build(10000))
+      Console.err.println(
+        f"[scale10] tx_depth_detail_1kv10k $da%8.3f $db%8.3f ${db / da}%6.2f" +
+          "  (full fold: O(since-checkpoint) manifests + one listing)")
+      Console.err.println(
+        f"[scale10] tx_depth_latest_1kv10k $la%8.3f $lb%8.3f ${lb / la}%6.2f" +
+          "  (one directory listing)")
+      Console.err.println(
+        f"[scale10] tx_depth_changes_1kv10k$ca%8.3f $cb%8.3f ${cb / ca}%6.2f" +
+          "  (one manifest + one window's dirs)")
+      Console.err.println(
+        f"[scale10] tx_depth_snap_1kv10k   $sa%8.3f $sb%8.3f ${sb / sa}%6.2f" +
+          "  (fold + compacted live set — history depth is not a term)")
     }
     // Tombstone READ TAX vs table size: the mask is a broadcast
     // anti-join against a constant (takedown-sized) key set, so a

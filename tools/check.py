@@ -66,6 +66,16 @@ def main():
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that ERRORED during the dump has an oracle entry but no
+    # parquet dir — it must count as a FAILURE, not silently drop from
+    # the denominator (the r16 ANSI audit found 4 erroring queries
+    # reported as 245/245 by the old dir-only enumeration)
+    missing = sorted(set(oracle) - set(names))
+    for name in missing:
+        print(f"{name:28s} MISSING (query errored during dump?)")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "err": "no dump dir"}
+        failed.append(name)
     for name in names:
         got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         if name not in oracle:
@@ -139,7 +149,8 @@ def main():
         with open(json_out, "w") as f:
             json.dump(report, f, indent=0, sort_keys=True)
         print(f"\nwrote {json_out} ({len(report)} queries)")
-    print(f"\n{len(names) - len(failed)}/{len(names)} pass; failed: {failed}")
+    total = len(names) + len(missing)
+    print(f"\n{total - len(failed)}/{total} pass; failed: {failed}")
     sys.exit(1 if failed else 0)
 
 
