@@ -55,6 +55,12 @@ def main():
     show_times = "--times" in args
     if show_times:
         args.remove("--times")
+    # --subset: the dump was a SPARK_GRAFT_ONLY dev-loop subset — only
+    # compare what's there (without it, every oracle key missing from
+    # the dump counts as a failure: a full sweep must not under-report)
+    subset = "--subset" in args
+    if subset:
+        args.remove("--subset")
     sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
@@ -70,7 +76,7 @@ def main():
     # parquet dir — it must count as a FAILURE, not silently drop from
     # the denominator (the r16 ANSI audit found 4 erroring queries
     # reported as 245/245 by the old dir-only enumeration)
-    missing = sorted(set(oracle) - set(names))
+    missing = [] if subset else sorted(set(oracle) - set(names))
     for name in missing:
         print(f"{name:28s} MISSING (query errored during dump?)")
         report[name] = {"rows_match": False, "schema_match": False,
