@@ -117,6 +117,17 @@ private[graft] class TxDmlRule(spark: SparkSession)
             "re-evaluate at apply time (and per conflict retry), so the " +
             "committed rows could differ from what the statement read; " +
             "compute the value first and pass it as a literal")
+      // a resolved lambda renders as `lambdafunction(namedlambdavariable()
+      // ...)` — un-reparseable text that would fail at apply time with
+      // an opaque parse error; refuse at the rule with the shape named
+      case hof: org.apache.spark.sql.catalyst.expressions
+          .HigherOrderFunction =>
+        throw new UnsupportedOperationException(
+          s"graft-tx DML: higher-order function ${hof.prettyName}() " +
+            "(lambda) in a condition or assignment is not lowered — " +
+            "resolved lambdas do not round-trip as SQL text; stage the " +
+            "computed column and MERGE it, or use the Scala API " +
+            "(TxLog.updateWhere takes any Column)")
       case _ =>
     }
     e.transform {

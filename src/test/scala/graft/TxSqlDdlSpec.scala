@@ -247,4 +247,25 @@ class TxSqlDdlSpec extends SparkSpec {
     assert(spark.catalog.tableExists("nmt"))
     spark.sql("DROP TABLE nmt")
   }
+
+  test("saveAsTable round-trip: a metastore-named graft-tx table reads " +
+      "back by name, appends by name, and serves travel + maintenance") {
+    val root = freshRoot("sat")
+    spark.sql("DROP TABLE IF EXISTS sat_t")
+    docs(0, 80).write.format("graft-tx").option("path", root)
+      .option("statsCol", "id").saveAsTable("sat_t")
+    assert(spark.catalog.tableExists("sat_t"))
+    assert(spark.table("sat_t").count() === 80)
+    // append BY NAME through the writer API
+    docs(80, 100).write.format("graft-tx").mode("append")
+      .saveAsTable("sat_t")
+    assert(TxLog.snapshot(spark, root).count() === 100)
+    // name-addressed reads, travel and maintenance all work
+    assert(spark.sql("SELECT count(*) AS n FROM sat_t").head().getLong(0)
+      === 100)
+    assert(spark.sql("SELECT count(*) AS n FROM sat_t VERSION AS OF 1")
+      .head().getLong(0) === 80)
+    assert(spark.sql("DESCRIBE HISTORY sat_t").count() === 2)
+    spark.sql("DROP TABLE sat_t")
+  }
 }

@@ -380,6 +380,11 @@ class TxSqlSpec extends SparkSpec {
       spark.sql("UPDATE dml_r SET text = uuid() WHERE id = 3")
     }
     assert(nd.getMessage.contains("nondeterministic"), nd.getMessage)
+    val hof = intercept[Exception] {
+      spark.sql("UPDATE dml_r SET text = array_join(" +
+        "transform(split(text, '-'), x -> upper(x)), '-') WHERE id = 3")
+    }
+    assert(hof.getMessage.contains("higher-order"), hof.getMessage)
     // nothing committed by any refusal
     assert(TxLog.snapshot(spark, root).count() === 50)
     assert(TxLog.latestVersion(spark, root) === 1)
