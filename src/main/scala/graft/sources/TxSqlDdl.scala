@@ -138,6 +138,25 @@ private[graft] case class GraftRestoreCommand(root: String,
     Seq(Row(TxLog.restore(spark, root, toVersion, conflictRetries = 2)))
 }
 
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` —
+  * [[TxLog.addConstraint]]: validates the EXISTING live rows first
+  * (loud on violation, commit refused), then every later write
+  * enforces it in-write. */
+private[graft] case class GraftAddConstraintCommand(root: String,
+    name: String, condSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = TxSqlDdl.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addConstraint(spark, root, name, condSql)))
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — [[TxLog.dropConstraint]]. */
+private[graft] case class GraftDropConstraintCommand(root: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = TxSqlDdl.versionOut
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.dropConstraint(spark, root, name)))
+}
+
 /** `CREATE TABLE '<dst>' SHALLOW CLONE <src>` — [[TxLog.cloneTable]]:
   * the zero-copy fork (manifest chain copies, data dirs stay put,
   * the clone registers with the source so the source's vacuum keeps

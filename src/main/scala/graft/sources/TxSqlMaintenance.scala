@@ -33,6 +33,8 @@ import graft.operators.TxLog
   *   ALTER TABLE t ALTER COLUMN c TYPE <widening type>
   *   ALTER TABLE t RENAME COLUMN a TO b
   *   ALTER TABLE t DROP COLUMN a
+  *   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
+  *   ALTER TABLE t DROP CONSTRAINT name
   *   OPTIMIZE t RANGE(col, n)|HASH(col, n)|ZORDER(x, y, n)|COMPACT(rows)
   *   RESTORE TABLE t TO VERSION AS OF n
   *   CREATE TABLE '<dst>' SHALLOW CLONE t
@@ -79,6 +81,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AlterDrop =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+COLUMNS?\s+`?(\w+)`?\s*;?\s*""").r
+  private val AlterAddCheck =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+CONSTRAINT\s+`?(\w+)`?\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val AlterDropCheck =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+CONSTRAINT\s+`?(\w+)`?\s*;?\s*""").r
   private val Optimize =
     ("""(?is)\s*OPTIMIZE\s+""" + T +
       """\s+(RANGE|HASH|ZORDER|COMPACT)\s*\(\s*([^)]*?)\s*\)\s*;?\s*""").r
@@ -136,6 +144,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
     case AlterDrop(p, c) => targetRoot(p) match {
       case Some(root) => GraftDropColumnCommand(root, c)
+      case None => delegate.parsePlan(sqlText)
+    }
+    case AlterAddCheck(p, name, cond) => targetRoot(p) match {
+      case Some(root) => GraftAddConstraintCommand(root, name, cond)
+      case None => delegate.parsePlan(sqlText)
+    }
+    case AlterDropCheck(p, name) => targetRoot(p) match {
+      case Some(root) => GraftDropConstraintCommand(root, name)
       case None => delegate.parsePlan(sqlText)
     }
     case Optimize(p, mode, args) =>

@@ -248,6 +248,31 @@ class TxSqlDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE nmt")
   }
 
+  test("SQL CHECK constraints: ADD CONSTRAINT validates existing rows " +
+      "and gates later writes; DROP CONSTRAINT lifts the gate") {
+    val root = freshRoot("check")
+    TxLog.append(spark, root, docs(0, 40), Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ck_v " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    spark.sql("ALTER TABLE ck_v ADD CONSTRAINT pos CHECK (id >= 0)")
+    // an insert violating the constraint is refused in-write
+    val bad = intercept[Exception] {
+      TxLog.append(spark, root, Seq((-5L, "bad")).toDF("id", "text"),
+        Some("id"))
+    }
+    assert(bad.getMessage.contains("pos"), bad.getMessage)
+    // a constraint violated by EXISTING rows refuses to land
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE ck_v ADD CONSTRAINT big CHECK (id >= 30)")
+    }
+    assert(ex.getMessage.contains("big"), ex.getMessage)
+    // drop lifts the gate
+    spark.sql("ALTER TABLE ck_v DROP CONSTRAINT pos")
+    TxLog.append(spark, root, Seq((-5L, "ok-now")).toDF("id", "text"),
+      Some("id"))
+    assert(TxLog.snapshot(spark, root).count() === 41)
+  }
+
   test("saveAsTable round-trip: a metastore-named graft-tx table reads " +
       "back by name, appends by name, and serves travel + maintenance") {
     val root = freshRoot("sat")
