@@ -32,6 +32,32 @@ import graft.operators.TxLog
 private[graft] object TxSqlDdl {
   private[graft] def versionOut: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+
+  /** After a schema-changing ALTER on a METASTORE-NAMED table, sync
+    * the catalog's stored schema to the new pin and drop the cached
+    * relation — Spark's v1 resolution passes the stored schema back
+    * to the source and THROWS on mismatch, so a stale entry would
+    * break every later read by name. Temp views are untouched (a
+    * USING temp view freezes its schema at creation — Spark's
+    * contract; re-create it). */
+  private[graft] def syncCatalogSchema(spark: SparkSession, root: String,
+      name: Option[String]): Unit = name.foreach { n =>
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(n)
+    val isTemp = ident.database.isEmpty &&
+      catalog.isTempView(Seq(ident.table))
+    if (!isTemp && catalog.tableExists(ident)) {
+      TxLog.pinnedSchema(spark, root).foreach { pin =>
+        // full alterTable, not alterTableDataSchema — the latter
+        // refuses renames/drops ("We don't support dropping columns
+        // yet"), but the pin IS the truth here: the tx log already
+        // committed the evolution with its own widening/lineage rules
+        val t = catalog.getTableMetadata(ident)
+        catalog.alterTable(t.copy(schema = StructType.fromDDL(pin)))
+        catalog.refreshTable(ident)
+      }
+    }
+  }
 }
 
 /** `ALTER TABLE t ADD COLUMNS (c TYPE, ...)` — additive evolution:
@@ -39,7 +65,8 @@ private[graft] object TxSqlDdl {
   * as typed nulls; [[TxLog.evolveSchema]]'s widening/additive rules
   * apply, so re-adding an existing column is a loud error). */
 private[graft] case class GraftAddColumnsCommand(root: String,
-    colsDdl: String) extends LeafRunnableCommand {
+    colsDdl: String, refreshName: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = TxSqlDdl.versionOut
   override def run(spark: SparkSession): Seq[Row] = {
     val pin = TxLog.pinnedSchema(spark, root).getOrElse(
@@ -49,7 +76,9 @@ private[graft] case class GraftAddColumnsCommand(root: String,
     val oldT = StructType.fromDDL(pin)
     added.fieldNames.foreach(c => require(!oldT.fieldNames.contains(c),
       s"ALTER TABLE ADD COLUMNS: '$c' already exists in $root [$pin]"))
-    Seq(Row(TxLog.evolveSchema(spark, root, s"$pin, $colsDdl")))
+    val v = TxLog.evolveSchema(spark, root, s"$pin, $colsDdl")
+    TxSqlDdl.syncCatalogSchema(spark, root, refreshName)
+    Seq(Row(v))
   }
 }
 
@@ -57,7 +86,8 @@ private[graft] case class GraftAddColumnsCommand(root: String,
   * one column (byte→short→int→long, float→double); anything else is
   * [[TxLog.evolveSchema]]'s named refusal. */
 private[graft] case class GraftAlterColumnTypeCommand(root: String,
-    colName: String, newType: String) extends LeafRunnableCommand {
+    colName: String, newType: String,
+    refreshName: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = TxSqlDdl.versionOut
   override def run(spark: SparkSession): Seq[Row] = {
     val pin = TxLog.pinnedSchema(spark, root).getOrElse(
@@ -71,7 +101,9 @@ private[graft] case class GraftAlterColumnTypeCommand(root: String,
       val t = if (f.name == colName) newType else f.dataType.sql
       s"${f.name} $t"
     }.mkString(", ")
-    Seq(Row(TxLog.evolveSchema(spark, root, newDdl)))
+    val v = TxLog.evolveSchema(spark, root, newDdl)
+    TxSqlDdl.syncCatalogSchema(spark, root, refreshName)
+    Seq(Row(v))
   }
 }
 
@@ -80,20 +112,28 @@ private[graft] case class GraftAlterColumnTypeCommand(root: String,
   * generations, travel reads and old-name tombstone masks keep
   * working). */
 private[graft] case class GraftRenameColumnCommand(root: String,
-    from: String, to: String) extends LeafRunnableCommand {
+    from: String, to: String, refreshName: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = TxSqlDdl.versionOut
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxLog.renameColumn(spark, root, from, to)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxLog.renameColumn(spark, root, from, to)
+    TxSqlDdl.syncCatalogSchema(spark, root, refreshName)
+    Seq(Row(v))
+  }
 }
 
 /** `ALTER TABLE t DROP COLUMN a` — metadata-only drop
   * ([[TxLog.dropColumn]]: refused while a live tombstone or CHECK
   * constraint still needs the column). */
 private[graft] case class GraftDropColumnCommand(root: String,
-    colName: String) extends LeafRunnableCommand {
+    colName: String, refreshName: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = TxSqlDdl.versionOut
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(TxLog.dropColumn(spark, root, colName)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxLog.dropColumn(spark, root, colName)
+    TxSqlDdl.syncCatalogSchema(spark, root, refreshName)
+    Seq(Row(v))
+  }
 }
 
 /** `OPTIMIZE t RANGE(col, n) | HASH(col, n) | ZORDER(x, y, n) |

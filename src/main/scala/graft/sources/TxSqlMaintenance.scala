@@ -114,6 +114,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (raw.startsWith("'")) Some(raw.substring(1, raw.length - 1))
     else txRelationOf(raw).map(_.tableRoot)
 
+  /** The NAME form of a target (None for path literals) — threaded
+    * into schema-changing commands for metastore-schema sync. */
+  private def nameOf(raw: String): Option[String] =
+    if (raw.startsWith("'")) None else Some(raw)
+
   /** Our own statements (no Spark grammar fallback exists) demand a
     * resolvable tx target. */
   private def requireRoot(raw: String, stmt: String): String =
@@ -129,21 +134,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftVacuumCommand(requireRoot(p, "VACUUM"), n.toInt,
         Option(grace).map(_.toLong).getOrElse(24L * 3600 * 1000),
         dry != null)
-    // ALTER TABLE has a Spark meaning for non-tx names — delegate those
+    // ALTER TABLE has a Spark meaning for non-tx names — delegate
+    // those. Name targets ride along into the command so a
+    // schema-changing ALTER can sync the metastore's stored schema
+    // (v1 resolution throws on a stale one).
     case AlterAdd(p, cols) => targetRoot(p) match {
-      case Some(root) => GraftAddColumnsCommand(root, cols)
+      case Some(root) => GraftAddColumnsCommand(root, cols, nameOf(p))
       case None => delegate.parsePlan(sqlText)
     }
     case AlterType(p, c, t) => targetRoot(p) match {
-      case Some(root) => GraftAlterColumnTypeCommand(root, c, t)
+      case Some(root) => GraftAlterColumnTypeCommand(root, c, t, nameOf(p))
       case None => delegate.parsePlan(sqlText)
     }
     case AlterRename(p, from, to) => targetRoot(p) match {
-      case Some(root) => GraftRenameColumnCommand(root, from, to)
+      case Some(root) => GraftRenameColumnCommand(root, from, to, nameOf(p))
       case None => delegate.parsePlan(sqlText)
     }
     case AlterDrop(p, c) => targetRoot(p) match {
-      case Some(root) => GraftDropColumnCommand(root, c)
+      case Some(root) => GraftDropColumnCommand(root, c, nameOf(p))
       case None => delegate.parsePlan(sqlText)
     }
     case AlterAddCheck(p, name, cond) => targetRoot(p) match {

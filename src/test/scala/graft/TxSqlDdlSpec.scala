@@ -248,6 +248,27 @@ class TxSqlDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE nmt")
   }
 
+  test("ALTER on a metastore-NAMED table syncs the stored schema: reads " +
+      "by name serve the new pin instead of throwing a v1 schema " +
+      "mismatch") {
+    val root = freshRoot("nmalter")
+    spark.sql("DROP TABLE IF EXISTS nma")
+    docs(0, 30).write.format("graft-tx").option("path", root)
+      .option("statsCol", "id").saveAsTable("nma")
+    spark.sql("ALTER TABLE nma ADD COLUMNS (lang STRING)")
+    // without the metastore sync this read THROWS (v1 resolution
+    // passes the stored 2-column schema back to the source and
+    // refuses the mismatch) — the exact regression this test pins
+    val cols = spark.table("nma").columns
+    assert(cols === Array("id", "text", "lang"), cols.mkString(","))
+    spark.sql("ALTER TABLE nma RENAME COLUMN text TO body")
+    assert(spark.sql("SELECT body FROM nma WHERE lang IS NULL").count()
+      === 30)
+    spark.sql("ALTER TABLE nma DROP COLUMN lang")
+    assert(spark.table("nma").columns === Array("id", "body"))
+    spark.sql("DROP TABLE nma")
+  }
+
   test("SQL CHECK constraints: ADD CONSTRAINT validates existing rows " +
       "and gates later writes; DROP CONSTRAINT lifts the gate") {
     val root = freshRoot("check")
