@@ -787,4 +787,48 @@ class TxLogSpec extends SparkSpec {
       TxLog.versionAtTime(spark, root, t0)
     }
   }
+
+  test("the _hint pointer is advisory, never the truth: stale, corrupt " +
+      "and deleted hints all read exactly; a checkpoint hints a " +
+      "pre-hint-era log into the no-listing fold") {
+    val root = freshRoot("hint")
+    TxLog.append(spark, root, docs(0, 20), Some("id"))
+    TxLog.append(spark, root, docs(20, 50), Some("id"))
+    TxLog.append(spark, root, docs(50, 60), Some("id"))
+    val hint = new java.io.File(s"$root/_txlog/_hint")
+    assert(hint.exists(), "every publish must write the hint")
+    def readAll(): Unit = {
+      assert(TxLog.latestVersion(spark, root) === 3)
+      assert(TxLog.snapshot(spark, root).count() === 60)
+      assert(TxLog.snapshot(spark, root, Some(2)).count() === 50)
+    }
+    readAll()
+    // STALE-LOW hint (a crashed writer never recorded v2/v3): the
+    // forward probe recovers the true head
+    java.nio.file.Files.write(hint.toPath, "1|0".getBytes("UTF-8"))
+    readAll()
+    // CORRUPT hint: the listing fallback serves, nothing breaks
+    java.nio.file.Files.write(hint.toPath, "garbage".getBytes("UTF-8"))
+    readAll()
+    // DELETED hint (pre-hint-era log): listing fallback
+    assert(hint.delete())
+    readAll()
+    // ...and the first new commit on that log records an UNKNOWN
+    // checkpoint (-1: it cannot know without a listing) — folds still
+    // exact via the fallback
+    TxLog.append(spark, root, docs(60, 70), Some("id"))
+    val s = new String(java.nio.file.Files.readAllBytes(hint.toPath),
+      "UTF-8")
+    assert(s === "4|-1", s)
+    assert(TxLog.snapshot(spark, root).count() === 70)
+    // one checkpoint() upgrades the log to the fully-hinted fold
+    TxLog.checkpoint(spark, root)
+    val s2 = new String(java.nio.file.Files.readAllBytes(hint.toPath),
+      "UTF-8")
+    assert(s2 === "4|4", s2)
+    assert(TxLog.latestVersion(spark, root) === 4)
+    assert(TxLog.snapshot(spark, root).count() === 70)
+    // travel BELOW the hinted checkpoint takes the listing path
+    assert(TxLog.snapshot(spark, root, Some(2)).count() === 50)
+  }
 }
