@@ -83,7 +83,15 @@ object ScaleProbe {
       // probe (reads only the null-carrying dir; the health row is
       // manifest arithmetic)
       "x181_tx_detail", "x182_tx_rename_drop", "x183_tx_sql_dml",
-      "x184_tx_null_probe")
+      "x184_tx_null_probe",
+      // r16: the SQL door's read/DDL half (pure-SQL travel across a
+      // clone fork + rename — four reads of the same docs; the
+      // evolve-insert-update life; OPTIMIZE/RESTORE statements) and
+      // the native streaming sink replica (every source version
+      // reconciled through the sink's idempotent merge, twice across
+      // a kill-and-resume — the replay is the data term)
+      "x185_tx_sql_travel", "x186_tx_sql_ddl", "x187_tx_sql_optimize",
+      "x188_tx_stream_sink")
     // bare args narrow the run to matching families (prefix match,
     // the Scale10Probe convention) — the catalog-query loop only;
     // audio_vad runs on a full pass
