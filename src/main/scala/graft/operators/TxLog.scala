@@ -600,33 +600,34 @@ object TxLog {
     * logs whose commits carry no timestamp. */
   def versionAtTime(spark: SparkSession, root: String,
       tsMillis: Long): Long = {
-    val commits = listLog(spark, root)
-      .collect { case (v, "commit", n) => (v, n) }.sortBy(_._1)
-    require(commits.nonEmpty, s"versionAtTime: $root has no commits")
+    val head = latestVersion(spark, root) // hinted: no listing
+    require(head > 0, s"versionAtTime: $root has no commits")
+    // the resolution rule is the PREFIX MAX (clock skew between
+    // writers can only coarsen a boundary, never reorder versions),
+    // and the prefix max is monotone — so the answer is exactly
+    // (first violation − 1) and the walk STOPS at the first commit
+    // whose running max exceeds the target: an old timestamp reads a
+    // short prefix, never the whole history (TIMESTAMP AS OF is a
+    // per-statement parse-time call since the SQL travel door)
     var best = 0L
     var running = Long.MinValue
-    var maxHorizon = Option.empty[(Long, Long)] // (horizon, retain)
-    commits.foreach { case (v, n) =>
-      val c = readManifest(spark, root, n)
+    var v = 1L
+    var done = false
+    while (v <= head && !done) {
+      val c = readManifest(spark, root, manifestName(v, "commit"))
       val t = c.ts.getOrElse(
         throw new IllegalStateException(
           s"versionAtTime: commit v$v of $root carries no in-commit " +
             "timestamp (pre-timestamp log) — travel by version instead"))
-      c.gc.foreach(g =>
-        if (maxHorizon.forall(_._1 < g._1)) maxHorizon = Some(g))
       running = math.max(running, t)
-      if (running <= tsMillis) best = v
+      if (running <= tsMillis) { best = v; v += 1 } else done = true
     }
     require(best > 0,
       s"versionAtTime: $tsMillis predates the first commit of $root")
-    // the manifests were all read anyway — surface the retention
-    // violation HERE, not as a parquet FileNotFound downstream
-    maxHorizon.foreach { case (h, retain) =>
-      if (best < h) throw new TxRetentionException(
-        s"versionAtTime: resolved version $best of $root is beyond the " +
-          s"retention window — a vacuum (retainVersions=$retain) " +
-          s"recorded horizon v$h; data dirs below it may be reclaimed")
-    }
+    // surface the retention violation HERE, not as a parquet
+    // FileNotFound downstream — the head fold's horizon is the same
+    // strictest-vacuum maximum the old full walk accumulated
+    retentionGuard(spark, root, best, "versionAtTime")
     best
   }
 
