@@ -125,7 +125,15 @@ object TxLog {
       ts: Option[Long] = None,
       gc: Option[(Long, Long)] = None,
       clones: Seq[(Long, String)] = Seq.empty,
-      evos: Seq[(Long, String, String, String)] = Seq.empty)
+      evos: Seq[(Long, String, String, String)] = Seq.empty,
+      // checkpoint-only anchors for TIMESTAMP AS OF: the PREFIX-MAX
+      // in-commit timestamp over v1..version (None on pre-anchor
+      // checkpoints and logs with ts-less commits) and the previous
+      // checkpoint's version (0 = none) — the backscan chain that
+      // turns wall-clock travel from O(history) manifest reads into
+      // O(checkpoints-above-answer + one inter-checkpoint gap)
+      tsMax: Option[Long] = None,
+      prevCkpt: Option[Long] = None)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -292,8 +300,59 @@ object TxLog {
     claimed
   }
 
+  // ---- manifest cache ----------------------------------------------
+  // Manifests are IMMUTABLE once visible: publishIfAbsent arbitrates
+  // exactly one winner per name (rename-if-absent / conditional put)
+  // and nothing in the engine deletes or rewrites a published
+  // manifest — so a (root, name) → TxCommit cache can never serve
+  // stale content, only save the re-read. This is what makes repeated
+  // travel/maintenance statements in one session cheap: the second
+  // identical TIMESTAMP AS OF reads ZERO manifests. Bounded by an
+  // approximate weight (add/remove line count) so a handful of
+  // 100k-dir checkpoint manifests cannot pin the driver heap;
+  // access-ordered eviction (LRU).
+  private val manifestCacheBudget = 1 << 20 // ~1M add-lines across entries
+  private object manifestCache {
+    private var weight = 0L
+    private val map = new java.util.LinkedHashMap[String, TxCommit](
+      256, 0.75f, true)
+    private def weightOf(c: TxCommit): Long =
+      c.adds.size.toLong + c.removes.size + c.dvs.size + 16L
+    def get(key: String): Option[TxCommit] =
+      synchronized(Option(map.get(key)))
+    def put(key: String, c: TxCommit): Unit = synchronized {
+      if (map.containsKey(key)) return
+      map.put(key, c); weight += weightOf(c)
+      val it = map.entrySet().iterator()
+      while (weight > manifestCacheBudget && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { weight -= weightOf(e.getValue); it.remove() }
+      }
+    }
+    def clear(): Unit = synchronized { map.clear(); weight = 0L }
+  }
+  /** Filesystem manifest reads actually performed (cache misses) —
+    * the spec-pinned counter behind "a repeated statement reads 0
+    * manifests". */
+  private val manifestIoReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def manifestReadCount: Long = manifestIoReads.get()
+  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
+
   private def readManifest(spark: SparkSession, root: String,
       name: String): TxCommit = {
+    val key = s"${logDir(root)}/$name"
+    manifestCache.get(key) match {
+      case Some(c) => c
+      case None =>
+        val c = readManifestIo(spark, root, name)
+        manifestCache.put(key, c)
+        c
+    }
+  }
+
+  private def readManifestIo(spark: SparkSession, root: String,
+      name: String): TxCommit = {
+    manifestIoReads.incrementAndGet()
     val fs = rawFs(spark, root)
     val p = new org.apache.hadoop.fs.Path(logDir(root), name)
     val in = fs.open(p)
@@ -309,6 +368,8 @@ object TxLog {
     }
     var action = "append"
     var ts: Option[Long] = None
+    var tsMax: Option[Long] = None
+    var prevCkpt: Option[Long] = None
     var statsCol: Option[String] = None
     var schema: Option[String] = None
     var txn: Option[(String, Long)] = None
@@ -333,6 +394,8 @@ object TxLog {
               "would corrupt the snapshot)")
         case "action" => action = value
         case "ts" => ts = Some(value.toLong)
+        case "tsmax" => tsMax = Some(value.toLong)
+        case "prevckpt" => prevCkpt = Some(value.toLong)
         case "statscol" => statsCol = Some(value)
         case "schema" => schema = Some(value)
         case "txn" =>
@@ -395,7 +458,7 @@ object TxLog {
     }
     TxCommit(version, action, adds.result(), removes.result(), statsCol,
       schema, txn, dvs.result(), cons.result(), dropCons.result(), ts, gc,
-      clones.result(), evos.result())
+      clones.result(), evos.result(), tsMax, prevCkpt)
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -416,12 +479,18 @@ object TxLog {
       gc: Option[(Long, Long)] = None,
       clones: Seq[(Long, String)] = Seq.empty,
       evos: Seq[(Long, String, String, String)] = Seq.empty,
-      evoVersions: Boolean = false): Array[Byte] = {
+      evoVersions: Boolean = false,
+      tsMax: Option[Long] = None,
+      prevCkpt: Option[Long] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
     if (action != "checkpoint")
       sb.append("ts=").append(System.currentTimeMillis()).append('\n')
+    // checkpoint-only travel anchors; rendered FIRST so a backscan
+    // could stop after the head lines without parsing the live set
+    tsMax.foreach(t => sb.append("tsmax=").append(t).append('\n'))
+    prevCkpt.foreach(p => sb.append("prevckpt=").append(p).append('\n'))
     statsCol.foreach(c => sb.append("statscol=").append(c).append('\n'))
     schema.foreach(d => sb.append("schema=").append(d).append('\n'))
     txn.foreach { case (a, b) =>
@@ -594,28 +663,58 @@ object TxLog {
     * Every commit manifest records a `ts=` at render; resolution uses
     * the RUNNING MAXIMUM over versions, so clock skew between writers
     * (render-vs-claim reordering) can only coarsen a boundary, never
-    * reorder versions. O(commits) manifest reads — acceptable for the
-    * audit/repro reads this serves; hot-path readers travel by
-    * version. Errors before the first commit's time, and on pre-r13
-    * logs whose commits carry no timestamp. */
+    * reorder versions — the prefix max is monotone, so the answer is
+    * exactly (first violation − 1).
+    *
+    * CHECKPOINT-ANCHORED: every checkpoint records `tsmax` (the
+    * prefix max over v1..ckpt, folded incrementally at checkpoint
+    * time) and `prevckpt` (a back-pointer chain). Resolution
+    * backscans the chain from the newest checkpoint to the newest one
+    * whose tsmax ≤ target — each step ONE manifest read — then walks
+    * commits forward from there with the early-exit prefix-max rule.
+    * The common case ("as of an hour ago" on a 10k-commit log) reads
+    * one checkpoint manifest plus O(since-checkpoint) commits instead
+    * of the whole history; an OLD timestamp reads
+    * O(checkpoints-above-answer) anchors plus one inter-checkpoint
+    * gap. Logs with no anchored checkpoint (pre-anchor checkpoints,
+    * ts-less commits under them) fall back to the prefix walk from
+    * v1. Errors before the first commit's time, and on pre-r13 logs
+    * whose commits carry no timestamp. */
   def versionAtTime(spark: SparkSession, root: String,
       tsMillis: Long): Long = {
     val head = latestVersion(spark, root) // hinted: no listing
     require(head > 0, s"versionAtTime: $root has no commits")
-    // the resolution rule is the PREFIX MAX (clock skew between
-    // writers can only coarsen a boundary, never reorder versions),
-    // and the prefix max is monotone — so the answer is exactly
-    // (first violation − 1) and the walk STOPS at the first commit
-    // whose running max exceeds the target: an old timestamp reads a
-    // short prefix, never the whole history (TIMESTAMP AS OF is a
-    // per-statement parse-time call since the SQL travel door)
-    var best = 0L
-    var running = Long.MinValue
-    var v = 1L
+    // backscan the checkpoint chain for the newest anchor with
+    // tsmax ≤ target: from there every covered commit satisfies the
+    // prefix-max rule, so the answer is ≥ the anchor version
+    var anchor = 0L                 // walk start (0 = from v1)
+    var running = Long.MinValue     // prefix max over v1..anchor
+    var walkCeil = head             // first version known to violate, −1
+    var c = lastCheckpoint(spark, root).getOrElse(0L)
+    var scanning = c >= 1
+    while (scanning) {
+      val m = readManifest(spark, root, manifestName(c, "checkpoint"))
+      m.tsMax match {
+        case Some(tm) if tm <= tsMillis =>
+          anchor = c; running = tm; scanning = false
+        case Some(tm) =>
+          // this checkpoint's prefix already violates: the answer is
+          // below it — no commit AT or above c needs reading
+          walkCeil = math.min(walkCeil, c - 1)
+          c = m.prevCkpt.getOrElse(0L)
+          scanning = c >= 1
+        case None =>
+          // un-anchored checkpoint: nothing below is bracketable
+          // without the full walk — fall back from v1
+          scanning = false
+      }
+    }
+    var best = anchor
+    var v = anchor + 1
     var done = false
-    while (v <= head && !done) {
-      val c = readManifest(spark, root, manifestName(v, "commit"))
-      val t = c.ts.getOrElse(
+    while (v <= walkCeil && !done) {
+      val cm = readManifest(spark, root, manifestName(v, "commit"))
+      val t = cm.ts.getOrElse(
         throw new IllegalStateException(
           s"versionAtTime: commit v$v of $root carries no in-commit " +
             "timestamp (pre-timestamp log) — travel by version instead"))
@@ -673,7 +772,13 @@ object TxLog {
       dvs: Seq[Tombstone], constraints: Seq[(String, String)],
       gcHorizon: Option[(Long, Long)],
       clones: Seq[(Long, String)] = Seq.empty,
-      evos: Seq[(Long, String, String, String)] = Seq.empty)
+      evos: Seq[(Long, String, String, String)] = Seq.empty,
+      // prefix-max in-commit ts over v1..version (None when any
+      // covered commit lacks ts and no checkpoint anchors it) and the
+      // checkpoint this fold started from — both free to carry, both
+      // feeding checkpoint()'s travel anchors
+      tsMax: Option[Long] = None,
+      ckptUsed: Option[Long] = None)
 
   /** Fold dispatch: the HINTED path constructs every manifest name
     * directly (versions are contiguous; head via [[headFrom]] probes)
@@ -687,18 +792,34 @@ object TxLog {
     case Some((h0, c)) if c >= 0 =>
       val head = headFrom(spark, root, h0)
       val target = math.min(asOf.getOrElse(head), head)
-      require(target >= 1,
-        s"no commit at or before version $target in $root")
-      if (c > target)
+      if (target <= 0) {
+        // mirror the listing path's target==0 shape (empty LogState →
+        // the caller's "$root is empty at v0" error) so error behavior
+        // never depends on whether a _hint file happens to exist;
+        // negative targets keep the listing path's loud require
+        require(target == 0,
+          s"no commit at or before version $target in $root")
+        foldEntries(spark, root, 0L, None, Seq.empty)
+      } else if (c > target)
         // the hinted checkpoint postdates the travel target — an older
         // one may exist, only the listing knows
         foldLogListing(spark, root, asOf)
       else {
         val ckpt =
           if (c >= 1) Some((c, manifestName(c, "checkpoint"))) else None
-        val commits = ((c + 1) to target)
-          .map(v => manifestName(v, "commit"))
-        foldEntries(spark, root, target, ckpt, commits)
+        // the hint is published by non-atomic overwrite: a torn read
+        // can expose a numeric PREFIX that parses cleanly yet names a
+        // checkpoint that never existed — one stat here turns that
+        // from a FileNotFound mid-fold into the documented listing
+        // fallback (the hint is a floor, never the truth)
+        if (ckpt.exists { case (_, n) => !rawFs(spark, root).exists(
+          new org.apache.hadoop.fs.Path(logDir(root), n)) })
+          foldLogListing(spark, root, asOf)
+        else {
+          val commits = ((c + 1) to target)
+            .map(v => manifestName(v, "commit"))
+          foldEntries(spark, root, target, ckpt, commits)
+        }
       }
     case _ => foldLogListing(spark, root, asOf)
   }
@@ -737,6 +858,15 @@ object TxLog {
     var gcH = Option.empty[(Long, Long)]
     def foldGc(g: Option[(Long, Long)]): Unit =
       g.foreach(n => if (gcH.forall(_._1 < n._1)) gcH = Some(n))
+    // the prefix-max in-commit ts folds forward like everything else:
+    // the checkpoint's recorded tsmax covers v1..ckpt, each commit's
+    // ts extends it — unknown (pre-anchor checkpoint, ts-less commit)
+    // poisons the fold to None, and checkpoint() then just omits the
+    // anchor for this log
+    var tsRun = ckpt match {
+      case Some((_, n)) => readManifest(spark, root, n).tsMax
+      case None => Some(Long.MinValue)
+    }
     ckpt.foreach { case (_, n) =>
       val c = readManifest(spark, root, n)
       c.adds.foreach(a => live.update(a.dir, a))
@@ -756,13 +886,16 @@ object TxLog {
       c.dropConstraints.foreach(cons.remove)
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
       foldGc(c.gc)
+      tsRun = for (r <- tsRun; t <- c.ts) yield math.max(r, t)
     }
     val files = live.values.toSeq
     val liveDvs = dvs.result()
       .filter(dv => files.exists(_.gen <= dv.version))
     LogState(target, files, liveDvs, cons.toSeq,
       gcH, clones.result().distinct.sortBy(_._1),
-      evos.result().distinct.sortBy(_._1))
+      evos.result().distinct.sortBy(_._1),
+      tsMax = tsRun.filter(_ != Long.MinValue),
+      ckptUsed = ckpt.map(_._1))
   }
 
   /** Resolve the live file set at `asOf` (head when None). */
@@ -2452,6 +2585,24 @@ object TxLog {
   def checkpoint(spark: SparkSession, root: String): Long = {
     val st = foldLog(spark, root, None)
     require(st.version > 0, s"checkpoint: $root has no commits")
+    // travel-anchor backfill for PRE-ANCHOR logs (the _hint migration
+    // rule: one maintenance checkpoint upgrades the log): the fold's
+    // incremental prefix-max is unknown when the base checkpoint
+    // predates anchors, so walk the commit history ONCE — here, at
+    // maintenance time, never on a read path — and every later
+    // checkpoint folds incrementally again. Stays None (and the log
+    // stays walk-resolved) only when some commit predates in-commit
+    // timestamps entirely.
+    val tsAnchor = st.tsMax.orElse {
+      var r: Option[Long] = Some(Long.MinValue)
+      var v = 1L
+      while (v <= st.version && r.isDefined) {
+        val t = readManifest(spark, root, manifestName(v, "commit")).ts
+        r = for (a <- r; b <- t) yield math.max(a, b)
+        v += 1
+      }
+      r.filter(_ != Long.MinValue)
+    }
     // live (non-inert) tombstones ride in the checkpoint with explicit
     // versions (inert ones drop out of the manifest chain here), and
     // the live constraint set folds forward the same way
@@ -2459,7 +2610,13 @@ object TxLog {
       renderManifest("checkpoint", st.files, Seq.empty, None,
         dvs = st.dvs, dvVersions = true, constraints = st.constraints,
         gc = st.gcHorizon, clones = st.clones, evos = st.evos,
-        evoVersions = true))
+        evoVersions = true,
+        // travel anchors: the fold already carried the prefix-max
+        // in-commit ts (omitted when some covered commit predates
+        // timestamps) and the checkpoint it started from — zero
+        // extra reads
+        tsMax = tsAnchor,
+        prevCkpt = Some(st.ckptUsed.getOrElse(0L))))
     st.version
   }
 
@@ -2869,9 +3026,16 @@ object TxLog {
     else {
       val head = foldLog(spark, root, None).clones
       val name = if (head.nonEmpty) "_cloned" else "_noclones"
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(dir, name), true)
-      try out.write("1".getBytes("UTF-8")) finally out.close()
+      // backfill is BEST-EFFORT, like writeHint: this is a READ path,
+      // and a read-only filesystem (or read-only credentials) must
+      // keep serving travel reads — correctness never depends on the
+      // sentinel, only the head-fold skip does, so a failed write
+      // just means the next reader pays the head fold again
+      try {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dir, name), true)
+        try out.write("1".getBytes("UTF-8")) finally out.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
       head
     }
   }

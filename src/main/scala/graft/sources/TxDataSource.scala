@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.StructType
   * column otherwise), so a pure-SQL producer still gets a prunable,
   * travel-readable table. `errorifexists`/`ignore` follow their
   * DataFrameWriter contracts against table existence. */
-class TxDataSource extends RelationProvider
+class TxDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider {
@@ -129,6 +129,21 @@ class TxDataSource extends RelationProvider
           java.sql.Timestamp.valueOf(ts).getTime)))
     new TxRelation(sqlContext, root, asOf)
   }
+
+  /** Named-table resolution passes the CATALOG'S stored schema here.
+    * The tx log's pin is the truth — a Scala-API evolution
+    * ([[TxLog.evolveSchema]]/renameColumn/dropColumn) against a
+    * `saveAsTable`-named table updates the pin but not the metastore
+    * entry, and without this override Spark's RelationProvider path
+    * would THROW a schema mismatch on every later read by name.
+    * Serving the pin instead re-pins the read (the stored schema is a
+    * stale cache, never an instruction); the SQL DDL commands keep
+    * the metastore entry itself in sync when they run
+    * ([[TxSqlDdl.syncCatalogSchema]]). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -227,13 +242,12 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
     // the sessions run permissive-cast (ansi off), where a bare
     // cast() of a mis-ordered INSERT (string landing on a BIGINT
     // slot) coerces to NULL silently. Gate each slot on the ANSI
-    // store-assignment rule first — numeric widening/narrowing is an
-    // INSERT's business, string→numeric is a column-order bug.
+    // store-assignment rule first (string→numeric is a column-order
+    // bug), then cast through [[LoudCast.cast]] so NARROWING numeric
+    // assignments raise on out-of-range values instead of wrapping.
     data.schema.fields.zip(t.fields).zipWithIndex.foreach {
       case ((from, to), i) =>
-        require(from.dataType == to.dataType ||
-          org.apache.spark.sql.catalyst.expressions.Cast
-            .canANSIStoreAssign(from.dataType, to.dataType),
+        LoudCast.gate(from.dataType, to.dataType,
           s"graft-tx INSERT: column ${i + 1} has type " +
             s"${from.dataType.sql} but the pinned slot " +
             s"'${to.name}' is ${to.dataType.sql} — positional INSERT " +
@@ -241,7 +255,9 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
             s"[$pin]")
     }
     val aligned = data.select(data.columns.toSeq.zip(t.fields).map {
-      case (from, f) => col(from).cast(f.dataType).as(f.name) }: _*)
+      case (from, f) => LoudCast.cast(col(from),
+        data.schema(from).dataType, f.dataType,
+        "graft-tx INSERT", f.name).as(f.name) }: _*)
     val statsCol = TxLog.statsColumn(spark, root)
     if (overwrite && TxLog.liveFiles(spark, root)._2.nonEmpty)
       TxLog.rewrite(spark, root, statsCol)(_ => aligned)
@@ -272,6 +288,42 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
   * anything else — strings, doubles, OR trees, null checks — is
   * simply not a pruning bound (Spark re-applies every filter above
   * the scan, so dropping one here costs I/O, never correctness). */
+/** The loud positional-assignment cast shared by INSERT and MERGE:
+  * [[gate]] refuses type pairs the ANSI store-assignment rule
+  * refuses (string landing on a BIGINT slot = a column-order bug,
+  * not a cast), and [[cast]] closes the gate's remaining gap —
+  * `canANSIStoreAssign` still permits NARROWING numerics (BIGINT →
+  * INT), which under the permissive sessions this code targets would
+  * wrap/overflow silently, the same corruption class the gate's
+  * message claims to refuse. Lossless widenings (`Cast.canUpCast`)
+  * cast plainly; lossy-but-assignable pairs cast via `try_cast`
+  * guarded by `raise_error`, so the first out-of-range value fails
+  * the job by NAME instead of wrapping — inline in the projection,
+  * codegen'd, no extra validation pass over the data. */
+private[graft] object LoudCast {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.functions.{lit, raise_error, when}
+  import org.apache.spark.sql.types.DataType
+
+  def gate(fromType: DataType, toType: DataType, msg: => String): Unit =
+    require(fromType == toType ||
+      Cast.canANSIStoreAssign(fromType, toType), msg)
+
+  def cast(c: Column, fromType: DataType, toType: DataType,
+      what: String, slot: String): Column =
+    if (fromType == toType) c
+    else if (Cast.canUpCast(fromType, toType)) c.cast(toType)
+    else {
+      val t = c.try_cast(toType.sql)
+      when(c.isNotNull && t.isNull, raise_error(lit(
+        s"$what: a ${fromType.sql} value is out of range for the " +
+          s"${toType.sql} slot '$slot' — refusing the silent " +
+          "wrap/overflow (widen the target column or cast explicitly)"
+      ))).otherwise(t)
+    }
+}
+
 private[graft] object TxBounds {
 
   private def longOf(v: Any): Option[Long] = v match {

@@ -275,13 +275,23 @@ private[graft] class TxDmlRule(spark: SparkSession)
           s"got ${other.sql}")
     }
     // source column (by name) feeding each target column — SET * /
-    // INSERT * resolve to exactly this shape
+    // INSERT * resolve to exactly this shape. The analyzer wraps a
+    // type-mismatched assignment in its store-assignment Cast
+    // (ResolveRowLevelCommandAssignments); unwrap it to the source
+    // attribute — GraftMergeCommand re-derives the cast from the PIN
+    // through LoudCast, so the pair is still gated (incompatible
+    // refused, narrowing raises on out-of-range) rather than refused
+    // here as a "non-plain" assignment.
     def alignedMapping(assignments: Seq[Assignment],
         what: String): Map[String, String] =
       assignments.map { a =>
         val t = attrName(a.key, s"$what target")
         a.value match {
           case s2: Attribute if sourceOut.contains(s2) => t -> s2.name
+          case c: org.apache.spark.sql.catalyst.expressions.Cast
+              if c.child.isInstanceOf[Attribute] && sourceOut.contains(
+                c.child.asInstanceOf[Attribute]) =>
+            t -> c.child.asInstanceOf[Attribute].name
           case other => unsupported(
             s"$what must assign plain source columns (SET * / " +
               s"INSERT *), got ${t} = ${other.sql}")
@@ -353,15 +363,16 @@ private[graft] case class GraftMergeCommand(root: String, keyCol: String,
             s"'${f.name}' — SET * / INSERT * must cover the pin [$pin]"))
       // same loud-cast gate as TxRelation.insert: under ansi=false a
       // bare cast of an incompatible source column coerces to NULL
-      // silently — refuse instead (ANSI store-assignment rule)
+      // silently — refuse instead (ANSI store-assignment rule), and
+      // narrowing numerics go through LoudCast.cast so out-of-range
+      // values raise instead of wrapping
       val fromType = src.schema(from).dataType
-      require(fromType == f.dataType ||
-        org.apache.spark.sql.catalyst.expressions.Cast
-          .canANSIStoreAssign(fromType, f.dataType),
+      LoudCast.gate(fromType, f.dataType,
         s"graft-tx MERGE: source column '$from' has type " +
           s"${fromType.sql} but target '${f.name}' is " +
           s"${f.dataType.sql} — refusing the silent-null coercion [$pin]")
-      col(from).cast(f.dataType).as(f.name)
+      LoudCast.cast(col(from), fromType, f.dataType,
+        "graft-tx MERGE", f.name).as(f.name)
     }
     val batch = src.select(
       cols ++ deleteCondSql.map(c => expr(c).as("__graft_del")): _*)

@@ -32,16 +32,35 @@ import graft.operators.TxLog
   * batch re-resolves to its original commit and lands nothing — the
   * exact body the `foreachBatch` form at
   * [[graft.streaming.TxStream.replicate]] has always run, now behind
-  * the format string. `appId` defaults to `graft-tx-sink`; two
-  * streams writing ONE table must name distinct appIds (the batchId
-  * sequences would otherwise collide and silently drop batches — the
-  * same contract Delta's txn appId carries). Append output mode only:
+  * the format string. `appId` defaults to the streaming QUERY id
+  * (checkpoint-stable), so two streams writing ONE table get distinct
+  * token sequences by default — a fixed default would collide the
+  * batchId sequences and silently drop the second stream's batches
+  * (the same contract Delta's txn appId carries); pass `appId` only
+  * to carry identity ACROSS checkpoints. Append output mode only:
   * Complete would need a per-batch table rewrite (an anti-pattern on
   * a commit log — aggregate downstream instead) and is refused. */
 private[graft] class TxStreamSink(spark: SparkSession, root: String,
     parameters: Map[String, String]) extends Sink {
 
-  private val appId = parameters.getOrElse("appId", "graft-tx-sink")
+  // appId defaults to the STREAMING QUERY ID (stable across restarts
+  // from the same checkpoint — it is persisted in the checkpoint
+  // metadata), not a fixed string: two streams writing one table with
+  // fixed-default appIds would collide on the (appId, batchId)
+  // idempotence tokens and the later stream's batches would be
+  // treated as replays and silently dropped (Delta keys txn on the
+  // query id for the same reason). The option stays as an override
+  // for deliberate cross-checkpoint identity. Resolved lazily: the
+  // queryId local property is set on the microbatch thread, not at
+  // sink construction.
+  private val appIdOverride = parameters.get("appId")
+  private lazy val appId = appIdOverride.orElse(
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .map("graft-tx-sink-" + _)).getOrElse(
+    throw new IllegalStateException(
+      "graft-tx sink: no streaming query id on this thread and no " +
+        "'appId' option — pass .option(\"appId\", ...) so the " +
+        "(appId, batchId) idempotence tokens have a stable identity"))
   private val keyCol = parameters.get("keyCol")
   private val deleteCol = parameters.get("deleteCol")
   private val statsCol = parameters.get("statsCol")

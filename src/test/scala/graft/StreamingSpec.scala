@@ -981,6 +981,50 @@ class StreamingSpec extends SparkSpec {
       hist.count(), "every replica commit carries its token")
   }
 
+  test("native sink default appId is the streaming QUERY id: distinct " +
+      "streams get distinct token sequences, a checkpoint restart keeps " +
+      "its own, and a batch outside any stream refuses without appId") {
+    import graft.operators.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_sink_qid")
+      .toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_qck")
+      .toString
+    val dir = eventsDir
+    def start() = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+      .select(col("event_id"), col("event_type"))
+      .writeStream.format("graft-tx")
+      .option("checkpointLocation", ckpt)
+      .start(root) // NO appId option
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = spark.read.parquet(dir).count()
+    assert(TxLog.snapshot(spark, root).count() === expected)
+    val apps = TxLog.history(spark, root)
+      .where(col("txn_app").isNotNull)
+      .select("txn_app").distinct().collect().map(_.getString(0))
+    assert(apps.length === 1 &&
+      apps.head.startsWith("graft-tx-sink-"), apps.mkString(","))
+    // the default rides the QUERY id (persisted in the checkpoint), so
+    // a restart from the same checkpoint keeps the same token identity
+    // — nothing re-lands
+    val v1 = TxLog.latestVersion(spark, root)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(TxLog.latestVersion(spark, root) === v1)
+    // outside any stream there is no query id on the thread: the sink
+    // must refuse loudly rather than invent a collidable identity
+    val sink = new graft.sources.TxDataSource().createSink(
+      spark.sqlContext, Map("path" -> root), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val ex = intercept[IllegalStateException] {
+      sink.addBatch(99L, spark.read.parquet(dir)
+        .select(col("event_id"), col("event_type")).limit(3))
+    }
+    assert(ex.getMessage.contains("appId"), ex.getMessage)
+  }
+
   test("native sink refusals: Complete mode, cdc without keyCol, and " +
       "partitionBy are loud errors") {
     val root = java.nio.file.Files.createTempDirectory("graft_sink_r")

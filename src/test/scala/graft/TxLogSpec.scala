@@ -788,6 +788,49 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint-anchored versionAtTime: recent timestamps resolve " +
+      "via the anchor chain in O(since-checkpoint) manifest reads, old " +
+      "ones backscan; a repeated statement reads ZERO manifests") {
+    val root = freshRoot("astime_ckpt")
+    val after = scala.collection.mutable.Map.empty[Int, Long]
+    for (i <- 1 to 24) {
+      TxLog.append(spark, root, docs(i * 2, i * 2 + 2), Some("id"))
+      if (i == 8 || i == 16) TxLog.checkpoint(spark, root)
+      Thread.sleep(3); after(i) = System.currentTimeMillis()
+      Thread.sleep(3)
+    }
+    // correctness across the bands, including AT an anchor version
+    assert(TxLog.versionAtTime(spark, root, after(5)) === 5)
+    assert(TxLog.versionAtTime(spark, root, after(8)) === 8)
+    assert(TxLog.versionAtTime(spark, root, after(16)) === 16)
+    assert(TxLog.versionAtTime(spark, root, after(24)) === 24)
+    // RECENT timestamp, cold cache: the anchor chain brackets at
+    // ckpt16, so resolution + the retention head-fold read the ckpt16
+    // manifest plus commits 17..24 — NEVER the 16 pre-checkpoint
+    // commits (the old walk read all 24)
+    TxLog.clearManifestCache()
+    val n0 = TxLog.manifestReadCount
+    assert(TxLog.versionAtTime(spark, root, after(22)) === 22)
+    val coldReads = TxLog.manifestReadCount - n0
+    assert(coldReads <= 12,
+      s"recent-timestamp travel read $coldReads manifests — the anchor " +
+        "chain must keep this at O(since-checkpoint), not O(history)")
+    // identical repeated statement: the immutable-manifest cache
+    // serves everything — zero filesystem manifest reads
+    val n1 = TxLog.manifestReadCount
+    assert(TxLog.versionAtTime(spark, root, after(22)) === 22)
+    assert(TxLog.manifestReadCount - n1 === 0,
+      "a repeated TIMESTAMP AS OF must read zero manifests")
+    // OLD timestamp: backscan walks the prevckpt chain (16 → 8 → v1
+    // walk) and still answers exactly
+    TxLog.clearManifestCache()
+    assert(TxLog.versionAtTime(spark, root, after(3)) === 3)
+    // pre-history still errors
+    intercept[IllegalArgumentException] {
+      TxLog.versionAtTime(spark, root, after(24) - 1000000L)
+    }
+  }
+
   test("the _hint pointer is advisory, never the truth: stale, corrupt " +
       "and deleted hints all read exactly; a checkpoint hints a " +
       "pre-hint-era log into the no-listing fold") {
@@ -830,5 +873,33 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, root).count() === 70)
     // travel BELOW the hinted checkpoint takes the listing path
     assert(TxLog.snapshot(spark, root, Some(2)).count() === 50)
+  }
+
+  test("torn _hint reads stay exact: a numeric PREFIX naming a " +
+      "checkpoint that never existed falls back to the listing; v0 " +
+      "travel errors identically hinted and unhinted") {
+    val root = freshRoot("hint_torn")
+    TxLog.append(spark, root, docs(0, 20), Some("id"))
+    TxLog.append(spark, root, docs(20, 50), Some("id"))
+    val hint = new java.io.File(s"$root/_txlog/_hint")
+    // torn overwrite exposing a clean-parsing prefix: '2|1' could be
+    // torn from '2|<something>' where checkpoint v1 never existed —
+    // the fold must stat the checkpoint manifest and fall back, not
+    // throw FileNotFound mid-fold
+    java.nio.file.Files.write(hint.toPath, "2|1".getBytes("UTF-8"))
+    assert(TxLog.snapshot(spark, root).count() === 50)
+    assert(TxLog.snapshot(spark, root, Some(1)).count() === 20)
+    // v0 error parity: same caller-facing error with and without a hint
+    java.nio.file.Files.write(hint.toPath, "2|0".getBytes("UTF-8"))
+    val hinted = intercept[IllegalArgumentException] {
+      TxLog.snapshot(spark, root, Some(0)).count()
+    }
+    assert(hint.delete())
+    val unhinted = intercept[IllegalArgumentException] {
+      TxLog.snapshot(spark, root, Some(0)).count()
+    }
+    assert(hinted.getMessage === unhinted.getMessage,
+      s"hinted [$hinted] vs unhinted [$unhinted]")
+    assert(hinted.getMessage.contains("empty at v0"), hinted.getMessage)
   }
 }

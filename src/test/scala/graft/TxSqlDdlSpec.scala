@@ -314,4 +314,30 @@ class TxSqlDdlSpec extends SparkSpec {
     assert(spark.sql("DESCRIBE HISTORY sat_t").count() === 2)
     spark.sql("DROP TABLE sat_t")
   }
+
+  test("Scala-API evolution on a metastore-named table: reads by name " +
+      "re-pin from the log instead of throwing on the stale catalog " +
+      "schema (add, widen, rename, drop)") {
+    val root = freshRoot("evoname")
+    spark.sql("DROP TABLE IF EXISTS evo_t")
+    docs(0, 30).write.format("graft-tx").option("path", root)
+      .option("statsCol", "id").saveAsTable("evo_t")
+    // evolve through the SCALA API — the metastore entry goes stale
+    TxLog.evolveSchema(spark, root, "id BIGINT, text STRING, n INT")
+    spark.catalog.refreshTable("evo_t") // drop any cached relation
+    val cols1 = spark.table("evo_t").columns.toSeq
+    assert(cols1 === Seq("id", "text", "n"),
+      s"read by name must serve the evolved pin, got $cols1")
+    assert(spark.sql("SELECT count(*) AS c FROM evo_t WHERE n IS NULL")
+      .head().getLong(0) === 30, "old rows read as typed nulls by name")
+    TxLog.renameColumn(spark, root, "text", "body")
+    spark.catalog.refreshTable("evo_t")
+    assert(spark.table("evo_t").columns.toSeq === Seq("id", "body", "n"))
+    TxLog.dropColumn(spark, root, "n")
+    spark.catalog.refreshTable("evo_t")
+    assert(spark.table("evo_t").columns.toSeq === Seq("id", "body"))
+    assert(spark.sql("SELECT count(*) AS c FROM evo_t").head()
+      .getLong(0) === 30)
+    spark.sql("DROP TABLE evo_t")
+  }
 }

@@ -408,4 +408,69 @@ class TxSqlSpec extends SparkSpec {
     spark.sql("INSERT INTO ins_l VALUES (99, 'doc-99')")
     assert(TxLog.snapshot(spark, root).count() === 11)
   }
+
+  test("narrowing numeric INSERT raises on out-of-range values instead " +
+      "of wrapping; in-range narrowing lands") {
+    import spark.implicits._
+    val root = freshRoot("ins_narrow")
+    // an INT-typed pin: the canANSIStoreAssign gate alone would admit
+    // a BIGINT source and the permissive cast would WRAP the overflow
+    TxLog.append(spark, root,
+      (0 until 10).map(i => (i, s"d-$i")).toDF("id", "text"), Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ins_n " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    // 3e9 parses as BIGINT and overflows INT — must fail by name, at
+    // execution, with nothing committed
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO ins_n VALUES (3000000000, 'boom')")
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("") + Option(t.getMessage).getOrElse("")
+    }
+    // Spark's own ANSI store-assignment layer fires first on the SQL
+    // INSERT path (CAST_OVERFLOW_IN_TABLE_INSERT); LoudCast is the
+    // backstop for sessions running LEGACY assignment — either way
+    // the failure must be loud, with nothing wrapped
+    assert(rootMsg(ex).contains("out of range") ||
+      rootMsg(ex).toLowerCase.contains("overflow"), rootMsg(ex))
+    assert(TxLog.snapshot(spark, root).count() === 10)
+    assert(TxLog.snapshot(spark, root)
+      .where(col("id") < 0).count() === 0, "no wrapped value landed")
+    // an in-range BIGINT value still narrows fine
+    spark.sql("INSERT INTO ins_n VALUES (CAST(99 AS BIGINT), 'ok')")
+    assert(TxLog.snapshot(spark, root).count() === 11)
+    assert(TxLog.snapshot(spark, root)
+      .where(col("id") === 99).count() === 1)
+    // MERGE is resolved by OUR rule — Spark never pre-casts there, so
+    // LoudCast is the ONLY layer between a BIGINT source column and a
+    // wrapped INT slot: out-of-range raises by name, nothing commits.
+    // (The key stays BIGINT=BIGINT — a coerced ON equality would trip
+    // the shape refusal before the value path under test.)
+    val mroot = freshRoot("mrg_narrow")
+    TxLog.append(spark, mroot,
+      (0 until 10).map(i => (i.toLong, i)).toDF("id", "n"), Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_n " +
+      s"USING `graft-tx` OPTIONS (path '$mroot')")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_n_src AS " +
+      "SELECT CAST(3 AS BIGINT) AS id, CAST(3000000000 AS BIGINT) AS n")
+    val mex = intercept[Exception] {
+      spark.sql("""MERGE INTO mrg_n t USING mrg_n_src s ON t.id = s.id
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(rootMsg(mex).contains("out of range"), rootMsg(mex))
+    assert(TxLog.snapshot(spark, mroot)
+      .where(col("n") < 0).count() === 0, "no wrapped value landed")
+    assert(TxLog.snapshot(spark, mroot).count() === 10)
+    // in-range BIGINT source merges fine through the same path
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_n_src2 AS " +
+      "SELECT CAST(3 AS BIGINT) AS id, CAST(777 AS BIGINT) AS n")
+    spark.sql("""MERGE INTO mrg_n t USING mrg_n_src2 s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(TxLog.snapshot(spark, mroot)
+      .where(col("id") === 3 && col("n") === 777).count() === 1)
+  }
 }

@@ -342,7 +342,7 @@ object Scale10Probe {
           root
         }
       }
-      def floors(root: String): (Double, Double, Double, Double) = {
+      def floors(root: String): (Double, Double, Double, Double, Double) = {
         // the measured CDC window is one fixed small append — NOT the
         // normalization compact (whose dir count differs between the
         // two tables by the cadence remainder)
@@ -356,10 +356,16 @@ object Scale10Probe {
         (f(TxLog.detail(spark, root).head()),
           f(TxLog.latestVersion(spark, root)),
           f(TxLog.changes(spark, root, head - 1, head).count()),
-          f(TxLog.snapshot(spark, root).count()))
+          f(TxLog.snapshot(spark, root).count()),
+          // recent-timestamp TIMESTAMP AS OF, COLD manifest cache per
+          // rep: checkpoint-anchored resolution must read one anchor
+          // + O(since-checkpoint) commits — the r16 verdict's last
+          // O(history) read path, now measured on this axis
+          f { TxLog.clearManifestCache()
+            TxLog.versionAtTime(spark, root, System.currentTimeMillis()) })
       }
-      val (da, la, ca, sa) = floors(build(1000))
-      val (db, lb, cb, sb) = floors(build(10000))
+      val (da, la, ca, sa, ta) = floors(build(1000))
+      val (db, lb, cb, sb, tb) = floors(build(10000))
       Console.err.println(
         f"[scale10] tx_depth_detail_1kv10k $da%8.3f $db%8.3f ${db / da}%6.2f" +
           "  (full fold: O(since-checkpoint) manifests, zero listings)")
@@ -372,6 +378,9 @@ object Scale10Probe {
       Console.err.println(
         f"[scale10] tx_depth_snap_1kv10k   $sa%8.3f $sb%8.3f ${sb / sa}%6.2f" +
           "  (fold + compacted live set — history depth is not a term)")
+      Console.err.println(
+        f"[scale10] tx_depth_astime_1kv10k$ta%8.3f $tb%8.3f ${tb / ta}%6.2f" +
+          "  (ckpt-anchored TIMESTAMP AS OF: one anchor + since-ckpt walk)")
     }
     // Tombstone READ TAX vs table size: the mask is a broadcast
     // anti-join against a constant (takedown-sized) key set, so a
