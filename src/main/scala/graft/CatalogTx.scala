@@ -2294,7 +2294,102 @@ private[graft] object CatalogTx {
               WHERE doc_id NOT IN
                   (SELECT doc_id FROM d WHERE doc_id % 11 = 5)
                 AND doc_id % 10 <> 7
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    QueryDef("x189_tx_merge_evolve",
+      // MERGE WITH SCHEMA EVOLUTION (r17 — Delta's `autoMerge`
+      // staple, lifted from the r15 refusal now that evolveSchema +
+      // lineage + SQL ALTER exist): an EVOLVING CDC feed applies from
+      // pure SQL. Batch 1's source gained `score INT` — the pin
+      // auto-adds it as its own audited `evolve` commit (old rows
+      // read typed nulls), then the normal pruned merge lands.
+      // Batch 2 arrives with score BIGINT and an int-overflowing
+      // value — the slot WIDENS first (a non-evolving merge would
+      // raise on the wrap; TxSqlSpec pins that refusal). Batch 3 is
+      // the flagged CDC-apply (no evolution): deletes ride the same
+      // statement. The head, a v1 travel read (pre-evolution schema)
+      // and the commit-action sequence all pin against the oracle —
+      // one missed typed-null backfill, one wrapped overflow or one
+      // extra no-op evolve commit diverges
+      (s, d) => {
+        val root = freshTxRoot(s, "mrgevo", d)
+        TxLog.append(s, root, txDocs(s, d), Some("doc_id")) // v1
+        txDocs(s, d).createOrReplaceTempView("mrgevo_docs")
+        def mkView(): Unit =
+          s.sql("CREATE OR REPLACE TEMPORARY VIEW mrgevo_v " +
+            s"USING `graft-tx` OPTIONS (path '$root')")
+        mkView()
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW mrgevo_s1 AS
+                 SELECT doc_id, upper(text) AS text,
+                        CAST(doc_id % 7 AS INT) AS score
+                 FROM mrgevo_docs WHERE doc_id % 10 = 3
+                 UNION ALL
+                 SELECT doc_id + 30000, concat('new-', doc_id),
+                        CAST(doc_id % 7 AS INT)
+                 FROM mrgevo_docs WHERE doc_id < 40""")
+        s.sql( // v2 evolve (+score INT), v3 merge
+          """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_v t
+             USING mrgevo_s1 s ON t.doc_id = s.doc_id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW mrgevo_s2 AS
+                 SELECT doc_id, concat('w-', text) AS text,
+                        CAST(doc_id AS BIGINT) * 100000000000 AS score
+                 FROM mrgevo_docs WHERE doc_id % 10 = 4""")
+        s.sql( // v4 evolve (score INT→BIGINT), v5 merge
+          """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_v t
+             USING mrgevo_s2 s ON t.doc_id = s.doc_id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""CREATE OR REPLACE TEMPORARY VIEW mrgevo_s3 AS
+                 SELECT doc_id, text, CAST(0 AS BIGINT) AS score,
+                        true AS del
+                 FROM mrgevo_docs WHERE doc_id % 10 = 7""")
+        s.sql( // v6: flagged CDC-apply through the frozen old view —
+               // the by-name fallback covers the later-added column
+          """MERGE INTO mrgevo_v t USING mrgevo_s3 s
+             ON t.doc_id = s.doc_id
+             WHEN MATCHED AND s.del THEN DELETE
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED AND NOT s.del THEN INSERT *""")
+        mkView()
+        s.sql("""SELECT 'head' AS tag, doc_id, md5(text) AS digest,
+                   coalesce(score, -1) AS score FROM mrgevo_v""")
+          .unionByName(s.sql(
+            """SELECT 'v1' AS tag, doc_id, md5(text) AS digest,
+                 CAST(-9 AS BIGINT) AS score
+               FROM mrgevo_v VERSION AS OF 1"""))
+          .unionByName(s.sql("DESCRIBE HISTORY mrgevo_v")
+            .select(lit("hist").as("tag"), col("version").as("doc_id"),
+              col("action").as("digest"),
+              lit(-1L).as("score")))
+          .orderBy("tag", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 2000),
+              head AS (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 3 THEN upper(text)
+                       WHEN doc_id % 10 = 4 THEN 'w-' || text
+                       ELSE text END AS text,
+                  CASE WHEN doc_id % 10 = 3 THEN CAST(doc_id % 7 AS BIGINT)
+                       WHEN doc_id % 10 = 4 THEN doc_id * 100000000000
+                       ELSE -1 END AS score
+                FROM d WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT doc_id + 30000, 'new-' || doc_id,
+                  CAST(doc_id % 7 AS BIGINT)
+                FROM d WHERE doc_id < 40)
+              SELECT 'head' AS tag, doc_id, md5(text) AS digest, score
+              FROM head
+              UNION ALL
+              SELECT 'v1', doc_id, md5(text), CAST(-9 AS BIGINT) FROM d
+              UNION ALL
+              SELECT 'hist', v, a, -1 FROM (VALUES
+                (CAST(1 AS BIGINT), 'append'), (2, 'evolve'),
+                (3, 'merge'), (4, 'evolve'), (5, 'merge'),
+                (6, 'merge')) t(v, a)
+              ORDER BY tag, doc_id"""))
   )
 
   /** One unrolled round of the x169 oracle: mixture-weighted mean →

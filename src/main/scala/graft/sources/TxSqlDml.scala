@@ -252,10 +252,6 @@ private[graft] class TxDmlRule(spark: SparkSession)
           "through the Scala API")
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE is not lowered")
-    if (m.withSchemaEvolution)
-      unsupported("WITH SCHEMA EVOLUTION is not lowered — evolve the " +
-        "pin explicitly (TxLog.evolveSchema) so the change is a " +
-        "deliberate commit, then MERGE")
     val targetOut = m.targetTable.outputSet
     val sourceOut = source.outputSet
     // the ON condition must be a single name-equal key equality
@@ -304,7 +300,7 @@ private[graft] class TxDmlRule(spark: SparkSession)
         if (upM != insM)
           unsupported("UPDATE SET and INSERT columns must align " +
             "(the upsert writes ONE row per key)")
-        GraftMergeCommand(root, keyCol, upM, source, None)
+        GraftMergeCommand(root, keyCol, upM, source, None, m.withSchemaEvolution)
       case (Seq(DeleteAction(None)), Seq()) =>
         GraftMergeDeleteCommand(root, keyCol, source)
       // the CDC-apply staple: a source carrying a delete flag drives
@@ -332,7 +328,7 @@ private[graft] class TxDmlRule(spark: SparkSession)
         val insM = alignedMapping(ins, "WHEN NOT MATCHED INSERT")
         if (upM != insM)
           unsupported("UPDATE SET and INSERT columns must align")
-        GraftMergeCommand(root, keyCol, upM, source, Some(bareSql(dc)))
+        GraftMergeCommand(root, keyCol, upM, source, Some(bareSql(dc)), m.withSchemaEvolution)
       case (ma, na) =>
         unsupported(s"unsupported clause shape (${ma.length} matched, " +
           s"${na.length} not-matched, or conditional clauses)")
@@ -345,19 +341,40 @@ private[graft] class TxDmlRule(spark: SparkSession)
   * delete their key instead): the source plan projects into the
   * target's pinned column order/types and lands through
   * [[TxLog.merge]]'s manifest-pruned write path. Duplicate source
-  * keys surface merge's own loud contract error. */
+  * keys surface merge's own loud contract error.
+  *
+  * With `evolve` (`MERGE WITH SCHEMA EVOLUTION`, Delta's `autoMerge`
+  * staple) the pin evolves FIRST, as its own audited commit, then the
+  * normal pruned merge runs against the new pin: source-only columns
+  * are auto-added (old rows read them as typed nulls), and a source
+  * column LOSSLESSLY WIDER than its slot widens the slot
+  * ([[TxLog.evolveSchema]]'s rules — int→long, float→double).
+  * Conflicts evolution cannot express — string where the pin has a
+  * numeric, map/struct mismatches — still refuse with the pair named:
+  * evolution adds and widens, it never reinterprets. */
 private[graft] case class GraftMergeCommand(root: String, keyCol: String,
     mapping: Map[String, String], source: LogicalPlan,
-    deleteCondSql: Option[String])
+    deleteCondSql: Option[String], evolve: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val src = Shims.ofRows(spark, source)
+    val evolved =
+      if (evolve) evolvePin(spark, src.schema) else mapping
     val pin = TxLog.pinnedSchema(spark, root).getOrElse(
       throw new IllegalStateException(
         s"graft-tx MERGE: $root has no schema pin"))
     val t = org.apache.spark.sql.types.StructType.fromDDL(pin)
+    // a USING temp view created before a schema evolution freezes the
+    // OLD pin, so the analyzer's SET */INSERT * expansion misses
+    // later-added columns — cover them by name when the source
+    // carries them (identical to what a fresh view would expand to);
+    // a pin column in neither stays the loud coverage error below
+    val mapping2 = evolved ++ t.fields.collect {
+      case f if !evolved.contains(f.name) &&
+          src.schema.fieldNames.contains(f.name) => f.name -> f.name
+    }
     val cols = t.fields.toSeq.map { f =>
-      val from = mapping.getOrElse(f.name,
+      val from = mapping2.getOrElse(f.name,
         throw new UnsupportedOperationException(
           s"graft-tx MERGE: no source column assigned to target " +
             s"'${f.name}' — SET * / INSERT * must cover the pin [$pin]"))
@@ -381,6 +398,60 @@ private[graft] case class GraftMergeCommand(root: String, keyCol: String,
       conflictRetries = 2)
     Seq(Row(v))
   }
+
+  /** Evolve the pin against the source schema (WITH SCHEMA
+    * EVOLUTION): widen slots a source column losslessly exceeds,
+    * append source-only columns, commit through
+    * [[TxLog.evolveSchema]] (a separate audited `evolve` commit, its
+    * own additive/widening validation applying), and return the
+    * mapping extended to cover the new pin. No-op (and no commit)
+    * when the source fits the pin as-is. */
+  private def evolvePin(spark: SparkSession,
+      srcSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.StructType
+    val pin0 = TxLog.pinnedSchema(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"graft-tx MERGE: $root has no schema pin"))
+    val t0 = StructType.fromDDL(pin0)
+    // a slot's feeding source column: the assignment mapping when the
+    // SET * expansion saw the column, the source column of the same
+    // name otherwise (frozen pre-evolution views expand over the old
+    // pin — see the mapping extension below)
+    def feeds(name: String): Option[String] =
+      mapping.get(name).orElse(
+        Some(name).filter(srcSchema.fieldNames.contains))
+    val widened = t0.fields.map { f =>
+      feeds(f.name).map(srcSchema(_).dataType) match {
+        case Some(st) if st != f.dataType && Cast.canUpCast(f.dataType, st) =>
+          // attempted widenings outside evolveSchema's stricter
+          // lossless rule (e.g. int→double) surface ITS loud refusal
+          f.copy(dataType = st)
+        case _ => f
+      }
+    }
+    // Delta's autoMerge rule: every source column the pin lacks is
+    // added (typed from the source; old rows read typed nulls). The
+    // SET */INSERT * expansion happened against the OLD pin, so the
+    // mapping is extended by-name here.
+    val mappedSrc = mapping.values.toSet
+    val added = srcSchema.fields.filterNot(f =>
+      mappedSrc.contains(f.name) || t0.fieldNames.contains(f.name))
+    val newT = StructType(widened ++ added)
+    if (newT != t0)
+      TxLog.evolveSchema(spark, root, newT.toDDL)
+    // cover every pin column the assignments missed but the source
+    // carries by name — not just the ones added THIS statement: a
+    // USING temp view freezes its schema at creation, so a target
+    // resolved through a pre-evolution view expands SET * over the
+    // OLD columns while the pin already carries the earlier additions
+    mapping ++ newT.fields.collect {
+      case f if !mapping.contains(f.name) &&
+          srcSchema.fieldNames.contains(f.name) => f.name -> f.name
+    }
+  }
+
   override def output: Seq[Attribute] = Seq(AttributeReference(
     "version", org.apache.spark.sql.types.LongType, nullable = false)())
 }

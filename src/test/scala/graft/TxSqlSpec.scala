@@ -473,4 +473,90 @@ class TxSqlSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, mroot)
       .where(col("id") === 3 && col("n") === 777).count() === 1)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns auto-add with " +
+      "typed-null backfill, a wider source widens the slot, conflicts " +
+      "evolution cannot express refuse loudly") {
+    import spark.implicits._
+    val root = freshRoot("mrg_evo")
+    TxLog.append(spark, root, docs(0, 10), Some("id"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_e " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    // the evolving CDC feed gained a column: n INT rides in
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_e_s1 AS " +
+      "SELECT CAST(id AS BIGINT) AS id, concat('v2-', id) AS text, " +
+      "CAST(id * 10 AS INT) AS n FROM range(5, 12)")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrg_e t USING mrg_e_s1 s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val snap1 = TxLog.snapshot(spark, root)
+    assert(snap1.columns.toSeq === Seq("id", "text", "n"))
+    assert(snap1.count() === 12)
+    assert(snap1.where(col("id") < 5 && col("n").isNull).count() === 5,
+      "pre-evolution rows read the new column as typed nulls")
+    assert(snap1.where(col("id") === 7 && col("n") === 70).count() === 1)
+    // the evolution is its own audited commit before the merge
+    val hist = TxLog.history(spark, root)
+    assert(hist.where(col("action") === "evolve").count() === 1)
+    // a WIDER source widens the slot: n arrives as BIGINT now
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_e_s2 AS " +
+      "SELECT CAST(20 AS BIGINT) AS id, 'w' AS text, " +
+      "CAST(3000000000 AS BIGINT) AS n")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrg_e t USING mrg_e_s2 s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val snap2 = TxLog.snapshot(spark, root)
+    assert(snap2.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType, "int slot widened to bigint")
+    assert(snap2.where(col("n") === 3000000000L).count() === 1)
+    // a source that FITS the pin commits no extra evolution
+    val evos = TxLog.history(spark, root)
+      .where(col("action") === "evolve").count()
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_e_s3 AS " +
+      "SELECT CAST(1 AS BIGINT) AS id, 'fit' AS text, " +
+      "CAST(11 AS BIGINT) AS n")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrg_e t USING mrg_e_s3 s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(TxLog.history(spark, root)
+      .where(col("action") === "evolve").count() === evos,
+      "a fitting source must not commit a no-op evolution")
+    // a STRING source over the numeric slot is not evolvable — loud
+    // refusal (reinterpretation, not widening), nothing committed
+    val head = TxLog.latestVersion(spark, root)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_e_s4 AS " +
+      "SELECT CAST(2 AS BIGINT) AS id, 'x' AS text, 'NaN' AS n")
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO mrg_e t USING mrg_e_s4 s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(ex.getMessage.contains("widening") ||
+      ex.getMessage.contains("coercion"), ex.getMessage)
+    assert(TxLog.latestVersion(spark, root) === head,
+      "the refused statement must commit nothing")
+    // WITHOUT the keyword, an extra source column is still refused
+    // (the r15 contract: evolution is an explicit opt-in)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mrg_e_s5 AS " +
+      "SELECT CAST(2 AS BIGINT) AS id, 'y' AS text, " +
+      "CAST(1 AS BIGINT) AS n, 'extra' AS z")
+    val snapBefore = TxLog.latestVersion(spark, root)
+    spark.sql(
+      """MERGE INTO mrg_e t USING mrg_e_s5 s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    // plain MERGE ignores unmapped source extras (SET * covers the
+    // pin only) — the column set must be unchanged
+    assert(TxLog.snapshot(spark, root).columns.toSeq ===
+      Seq("id", "text", "n"))
+    assert(TxLog.latestVersion(spark, root) === snapBefore + 1)
+  }
 }
