@@ -2412,6 +2412,92 @@ private[graft] object CatalogAnalytics {
                 CAST(count(*) AS BIGINT) AS n_variants,
                 CAST(min(doc_id) AS BIGINT) AS survivor_id
               FROM canon GROUP BY 1 HAVING count(*) > 1
-              ORDER BY canon_url"""))
+              ORDER BY canon_url""")),
+
+    QueryDef("x190_jpeg_pixels",
+      // REAL baseline JPEG pixel decode (r17 — the x109 pattern
+      // extended to the entropy-coded majority crawl format, retiring
+      // the last image stub): deterministic COMPLETE baseline JPEGs
+      // (genuine DC-DPCM Huffman entropy coding with the standard
+      // Annex K tables, quant table all-ones, every third id carrying
+      // real RSTn restart markers) synthesized from the doc ids,
+      // decoded back through the marker walk + Huffman + IDCT, exact
+      // integer pixel stats computed. Block-CONSTANT content is what
+      // makes a lossy format oracle-replayable: a DC-only block IDCTs
+      // back to its exact constant, so DuckDB replays the stats as
+      // block algebra — any defect in the Huffman tables, the DPCM
+      // chain, restart handling, dequant or the IDCT scaling breaks
+      // the sums bit-for-bit
+      (s, d) => Multimodal.jpegPixelStats(s,
+          Multimodal.packRealJpegs(s, documents(s, d)
+            .where(col("doc_id") < 500).select(col("doc_id")), "doc_id"))
+        .orderBy(col("media_id")),
+      Some("""WITH imgs AS (
+                SELECT doc_id AS id, (doc_id % 4 + 1) AS bw,
+                  ((doc_id * 5) % 3 + 1) AS bh
+                FROM documents WHERE doc_id < 500),
+              blk AS (
+                SELECT id, bw, bh,
+                  (id * 37 + bx.x * 11 + by.y * 19) % 256 AS v
+                FROM imgs, range(0, 4) bx(x), range(0, 3) by(y)
+                WHERE bx.x < bw AND by.y < bh)
+              SELECT id AS media_id, CAST(8 * bw AS BIGINT) AS width,
+                CAST(8 * bh AS BIGINT) AS height,
+                CAST(64 * bw * bh AS BIGINT) AS n_pixels,
+                CAST(64 * sum(v) AS BIGINT) AS sum_pixels,
+                CAST(max(v) AS BIGINT) AS max_pixel,
+                CAST(64 * count(*) FILTER (v > 127) AS BIGINT) AS n_bright
+              FROM blk GROUP BY id, bw, bh ORDER BY media_id""")),
+
+    QueryDef("x191_jpeg_crossformat",
+      // CROSS-FORMAT near-dup across the lossy/lossless boundary
+      // (r17 — completes the x137 family for PNG↔JPEG): the same
+      // block-constant pixels packed as a real PNG and a real
+      // baseline JPEG collapse to ONE aHash signature (DC-only blocks
+      // decode exactly), so the shared Hamming-LSH recovers every
+      // planted cross-container pair at distance 0 — the re-encoded-
+      // copy dedup shape a crawled image corpus actually needs, where
+      // the copy was saved through a different codec than the
+      // original. Same banded machinery and oracle shape as x137
+      (s, d) => graft.operators.Dedup.hammingNearDupPairs(
+          Multimodal.imageAHash(s, Multimodal.packJpegPngCopies(s,
+            documents(s, d).where(col("doc_id") < 500)
+              .select(col("doc_id")), "doc_id", 250L)),
+          bands = 8, bandBits = 8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+              px AS (SELECT id, id % 250 AS k, b.b AS b,
+                       (8 * ((id % 250) % 3 + 1)) AS w,
+                       (8 * (((id % 250) * 7) % 4 + 1)) AS h
+                     FROM ids, range(0, 64) b(b)),
+              sm AS (SELECT id, b,
+                       (((k * 1000003
+                          + (((b % 8) * w // 8) // 8) * 131
+                          + (((b // 8) * h // 8) // 8) * 19)
+                         * 2654435761) % 251) AS val
+                     FROM px),
+              tt AS (SELECT id, CAST(sum(val) AS BIGINT) AS tot
+                     FROM sm GROUP BY 1),
+              sg AS (SELECT sm.id AS id, sum(CASE WHEN 64 * sm.val > tt.tot
+                         THEN CAST(1 AS HUGEINT) << sm.b ELSE 0 END) AS sig
+                     FROM sm JOIN tt ON sm.id = tt.id GROUP BY 1),
+              bandrows AS (SELECT id, b.b AS band,
+                      CAST((sig >> (b.b * 8)) & 255 AS BIGINT) AS bucket
+                    FROM sg, range(0, 8) b(b)),
+              ok AS (SELECT band, bucket FROM bandrows
+                     GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+              cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                       FROM bandrows x
+                       JOIN ok o ON x.band = o.band AND x.bucket = o.bucket
+                       JOIN bandrows y ON y.band = x.band
+                         AND y.bucket = x.bucket AND x.id < y.id)
+              SELECT c.id_a AS id_a, c.id_b AS id_b,
+                CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+              FROM cand c
+              JOIN sg sa ON c.id_a = sa.id
+              JOIN sg sb ON c.id_b = sb.id
+              WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+              ORDER BY id_a, id_b"""))
   )
 }

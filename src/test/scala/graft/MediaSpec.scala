@@ -505,4 +505,131 @@ class MediaSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1)))
     viaSql.foreach { case (id, o) => assert(o === id % 8 + 1) }
   }
+
+  test("jpeg decode: block-constant fixtures round-trip BYTE-EXACTLY " +
+      "(DC-only blocks), with and without restart markers") {
+    for (id <- 0L until 12L) {
+      val w = 8 * (id % 4 + 1).toInt
+      val h = 8 * ((id * 5) % 3 + 1).toInt
+      def bv(bx: Int, by: Int) = ((id * 37 + bx * 11 + by * 19) % 256).toInt
+      for (rst <- Seq(0, 2)) {
+        val bytes = Multimodal.buildJpegGrayBlocks(w, h, bv, rst)
+        val Some((dw, dh, bpp, px)) = Multimodal.decodeJpeg(bytes)
+        assert((dw, dh, bpp) === ((w, h, 1)), s"id=$id rst=$rst")
+        for (y <- 0 until h; x <- 0 until w)
+          assert((px(y * w + x) & 0xff) === bv(x / 8, y / 8),
+            s"id=$id rst=$rst pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("jpeg full FDCT round-trip: smooth gray content reconstructs " +
+      "within the quantizer's error bound; AC entropy paths are " +
+      "genuinely exercised") {
+    val w = 37; val h = 23 // NOT 8-multiples: crop + edge-pad paths
+    val pix = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (90 + x * 2 + y * 3 +
+        (8 * StrictMath.sin(x / 5.0) * StrictMath.cos(y / 4.0)).toInt).toByte
+    }
+    val bytes = Multimodal.encodeJpeg(w, h, 1, pix, Array.fill(64)(1))
+    // the stream must contain genuine AC coefficients, not only DC
+    // (a DC-only encode of this content would be a broken FDCT)
+    val Some((dw, dh, bpp, out)) = Multimodal.decodeJpeg(bytes)
+    assert((dw, dh, bpp) === ((w, h, 1)))
+    var maxErr = 0
+    for (i <- 0 until w * h)
+      maxErr = math.max(maxErr, math.abs((out(i) & 0xff) - (pix(i) & 0xff)))
+    assert(maxErr <= 2, s"q=1 gray round-trip err $maxErr")
+    // coarser quantizer: error bounded by ~the quant step, not exact
+    val q8 = Multimodal.encodeJpeg(w, h, 1, pix, Array.fill(64)(8))
+    val Some((_, _, _, out8)) = Multimodal.decodeJpeg(q8)
+    var maxErr8 = 0
+    for (i <- 0 until w * h)
+      maxErr8 = math.max(maxErr8, math.abs((out8(i) & 0xff) - (pix(i) & 0xff)))
+    assert(maxErr8 <= 24 && q8.length < bytes.length,
+      s"q=8 err $maxErr8, sizes ${q8.length}/${bytes.length}")
+  }
+
+  test("jpeg color: 4:4:4 and 4:2:0 round-trips within the color-" +
+      "convert bound; the chroma upsample path serves 4:2:0") {
+    val w = 20; val h = 18
+    val rgb = Array.tabulate(w * h * 3) { j =>
+      val i = j / 3; val c = j % 3
+      val x = i % w; val y = i / w
+      (60 + c * 40 + x * 3 + y * 2).toByte
+    }
+    for (samp <- Seq((1, 1), (2, 2), (2, 1))) {
+      val bytes = Multimodal.encodeJpeg(w, h, 3, rgb, Array.fill(64)(1), samp)
+      val Some((dw, dh, bpp, out)) = Multimodal.decodeJpeg(bytes)
+      assert((dw, dh, bpp) === ((w, h, 3)), s"sampling $samp")
+      var maxErr = 0
+      for (i <- 0 until w * h * 3)
+        maxErr = math.max(maxErr,
+          math.abs((out(i) & 0xff) - (rgb(i) & 0xff)))
+      // 4:4:4 pays only the YCbCr round-trip; subsampled chroma pays
+      // the box-downsample + nearest-upsample on a smooth gradient
+      val bound = if (samp == ((1, 1))) 4 else 16
+      assert(maxErr <= bound, s"sampling $samp err $maxErr")
+    }
+  }
+
+  test("jpeg conformance vectors: a lone horizontal AC coefficient " +
+      "varies columns only, a vertical one rows only, and the IDCT " +
+      "matches an independently computed basis") {
+    def mk(naturalIdx: Int, value: Int): Array[Byte] = {
+      val coefs = new Array[Int](64)
+      coefs(0) = 0; coefs(naturalIdx) = value
+      Multimodal.assembleJpeg(8, 8, Array.fill(64)(1),
+        Array(1), Array(1), Array(Array(coefs)), 0)
+    }
+    // natural index 1 = (u=1, v=0): horizontal cosine — rows identical
+    val Some((_, _, _, hpx)) = Multimodal.decodeJpeg(mk(1, 40))
+    for (y <- 1 until 8; x <- 0 until 8)
+      assert(hpx(y * 8 + x) === hpx(x), "rows must be identical")
+    assert((0 until 8).map(x => hpx(x) & 0xff).distinct.length > 1,
+      "columns must vary")
+    // natural index 8 = (u=0, v=1): vertical cosine — columns identical
+    val Some((_, _, _, vpx)) = Multimodal.decodeJpeg(mk(8, 40))
+    for (y <- 0 until 8; x <- 1 until 8)
+      assert(vpx(y * 8 + x) === vpx(y * 8), "columns must be identical")
+    // independent IDCT replay (Math.cos here vs StrictMath inside)
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val expect = math.round(
+        0.25 * c(1) * c(0) * 40.0 *
+          math.cos((2 * x + 1) * 1 * math.Pi / 16)).toInt + 128
+      assert(math.abs((hpx(y * 8 + x) & 0xff) - expect) <= 1,
+        s"independent IDCT at ($x,$y)")
+    }
+  }
+
+  test("jpeg screens: truncated, progressive and garbage payloads " +
+      "read None; decodeImage dispatches JPEG magic") {
+    val good = Multimodal.buildJpegGrayBlocks(16, 16, (_, _) => 99)
+    assert(Multimodal.decodeJpeg(good).isDefined)
+    assert(Multimodal.decodeJpeg(good.take(good.length / 2)).isEmpty,
+      "truncated must screen")
+    // flip SOF0 to SOF2 (progressive) — must screen, not mis-decode
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpeg(prog).isEmpty, "progressive must screen")
+    assert(Multimodal.decodeJpeg(Array.fill[Byte](64)(0x33)).isEmpty)
+    val via = Multimodal.decodeImage(good)
+    assert(via.exists(d => d._1 == 16 && d._2 == 16 && d._3 == 1),
+      "decodeImage must route JPEG")
+  }
+
+  test("jpeg cross-format: the SAME block-constant content as PNG and " +
+      "JPEG produces the SAME aHash signature (distance-0 near-dup)") {
+    val packed = Multimodal.packJpegPngCopies(spark, idsDF(40), "doc_id", 20L)
+    val sigs = Multimodal.imageAHash(spark, packed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sigs.size === 40, "every payload must decode")
+    for (k <- 0L until 20L)
+      assert(sigs(k) === sigs(k + 20L),
+        s"PNG/JPEG pair $k must collapse to one signature")
+  }
 }
