@@ -2389,6 +2389,53 @@ private[graft] object CatalogTx {
                 (CAST(1 AS BIGINT), 'append'), (2, 'evolve'),
                 (3, 'merge'), (4, 'evolve'), (5, 'merge'),
                 (6, 'merge')) t(v, a)
+              ORDER BY tag, doc_id""")),
+
+    QueryDef("x192_tx_bloom_point",
+      // PER-DIR BLOOM STATS (r17 — the point-predicate stat kind):
+      // `WHERE url = '…'` on a table clustered by doc_id is the
+      // takedown-by-URL shape, and value/hash SPANS cannot answer it —
+      // every dir's span admits every url. Each dir now carries a
+      // 2 KB blocked Bloom per opted-in column (written in the same
+      // single-pass in-write Observation set as every other stat),
+      // and a pushed string equality stabs ≤1+fp·dirs dirs instead of
+      // scanning the table (TxLogSpec pins the dirs-read bound via
+      // inputFiles; Scale10 tx_bloom pins flatness at 10× dirs). The
+      // rows here pin exactness: hits through the SQL door equal the
+      // oracle's, a miss returns nothing, and the statsAudit row
+      // proves the stat kind is recorded on every dir
+      (s, d) => {
+        val root = freshTxRoot(s, "bloom", d)
+        val docs = txDocs(s, d).select(col("doc_id"),
+          concat(lit("https://h-"), pmod(col("doc_id"), lit(37L))
+              .cast("string"), lit(".example/d/"),
+            col("doc_id").cast("string")).as("url"))
+        for (i <- 0 until 8)
+          TxLog.appendCols(s, root,
+            docs.where(pmod(col("doc_id"), lit(8L)) === i.toLong),
+            Seq("doc_id"), bloomCols = Seq("url"))
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW bloomq_v " +
+          s"USING `graft-tx` OPTIONS (path '$root')")
+        def probe(tag: String, u: String) =
+          s.sql(s"SELECT doc_id, url FROM bloomq_v WHERE url = '$u'")
+            .select(lit(tag).as("tag"), col("doc_id"), col("url"))
+        probe("hit1", "https://h-5.example/d/42")
+          .unionByName(probe("hit2", "https://h-29.example/d/140"))
+          .unionByName(probe("miss", "https://absent.example/none"))
+          .unionByName(TxLog.statsAudit(s, root, "url")
+            .select(lit("audit").as("tag"),
+              col("n_stats").as("doc_id"), col("stat").as("url")))
+          .orderBy("tag", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                'https://h-' || (doc_id % 37) || '.example/d/' || doc_id
+                  AS url
+              FROM documents WHERE doc_id < 2000)
+              SELECT 'hit1' AS tag, doc_id, url FROM d WHERE doc_id = 42
+              UNION ALL
+              SELECT 'hit2', doc_id, url FROM d WHERE doc_id = 140
+              UNION ALL
+              SELECT 'audit', CAST(8 AS BIGINT), 'url#bloom'
               ORDER BY tag, doc_id"""))
   )
 

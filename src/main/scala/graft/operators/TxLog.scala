@@ -92,7 +92,14 @@ object TxLog {
     * 0 = "this manifest itself" in fresh commits and resolved on
     * read). */
   final case class AddFile(dir: String, rows: Long,
-      stats: Seq[ColStat] = Seq.empty, gen: Long = 0L) {
+      stats: Seq[ColStat] = Seq.empty, gen: Long = 0L,
+      // per-column blocked Bloom filters (word index → 64-bit block;
+      // [[bloomWords]] words = 2 KB/dir/column) — the point-predicate
+      // stat kind: min/max spans cannot answer `url = '…'` on a
+      // column the table is NOT clustered by, a Bloom can. Absent
+      // (legacy dirs, rewritten dirs) always admits — conservative,
+      // never wrong.
+      blooms: Map[String, Array[Long]] = Map.empty) {
     def statFor(c: String): Option[ColStat] = stats.find(_.col == c)
     def min: Option[Long] = stats.headOption.map(_.min)
     def max: Option[Long] = stats.headOption.map(_.max)
@@ -329,14 +336,47 @@ object TxLog {
         if (e.getKey != key) { weight -= weightOf(e.getValue); it.remove() }
       }
     }
+    def dropPrefix(prefix: String): Unit = synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          weight -= weightOf(e.getValue); it.remove()
+        }
+      }
+    }
     def clear(): Unit = synchronized { map.clear(); weight = 0L }
+  }
+
+  // The immutability the cache rides on is the ENGINE's contract —
+  // an external `rm -rf table && rebuild` (test fixtures, CI retry
+  // loops) legally reuses every manifest NAME with new content. The
+  // guard: each logical read validates a per-root signature (v1
+  // commit's mtime+length — the one manifest every log has) via
+  // [[readHint]], the funnel every fold/head/walk enters through;
+  // a changed signature drops the root's cached entries. One stat
+  // per operation, not per manifest — the repeated-statement path
+  // still performs zero manifest READS.
+  private val rootSigs =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private def validateCacheRoot(spark: SparkSession, root: String): Unit = {
+    val key = logDir(root)
+    val sig = try {
+      val st = rawFs(spark, root).getFileStatus(
+        new org.apache.hadoop.fs.Path(key, manifestName(1, "commit")))
+      (st.getModificationTime, st.getLen)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+    val old = rootSigs.put(key, sig)
+    if (old != null && old != sig) manifestCache.dropPrefix(key + "/")
   }
   /** Filesystem manifest reads actually performed (cache misses) —
     * the spec-pinned counter behind "a repeated statement reads 0
     * manifests". */
   private val manifestIoReads = new java.util.concurrent.atomic.AtomicLong
   private[graft] def manifestReadCount: Long = manifestIoReads.get()
-  private[graft] def clearManifestCache(): Unit = manifestCache.clear()
+  private[graft] def clearManifestCache(): Unit = {
+    manifestCache.clear(); rootSigs.clear()
+  }
 
   private def readManifest(spark: SparkSession, root: String,
       name: String): TxCommit = {
@@ -375,6 +415,7 @@ object TxLog {
     var txn: Option[(String, Long)] = None
     var gc: Option[(Long, Long)] = None
     val adds = Seq.newBuilder[AddFile]
+    val bloomRows = Seq.newBuilder[(String, String, Array[Long])]
     val removes = Seq.newBuilder[String]
     val dvs = Seq.newBuilder[Tombstone]
     val clones = Seq.newBuilder[(Long, String)]
@@ -441,6 +482,15 @@ object TxLog {
           }
           adds += AddFile(f(0), f(1).toLong, stats.result(), gen)
         case "remove" => removes += value
+        case "bloom" => // `dir|col|hexwords` — attached to adds below
+          val p1 = value.indexOf('|')
+          val p2 = value.indexOf('|', p1 + 1)
+          val hex = value.substring(p2 + 1)
+          val words = Array.tabulate(hex.length / 16)(i =>
+            java.lang.Long.parseUnsignedLong(
+              hex.substring(i * 16, i * 16 + 16), 16))
+          bloomRows += ((value.substring(0, p1),
+            value.substring(p1 + 1, p2), words))
         case "dv" =>
           // `rel|keyCol` in a commit (version = the commit's own);
           // `rel|keyCol|version` in a checkpoint fold
@@ -456,7 +506,16 @@ object TxLog {
         case _ => // forward-compatible: unknown keys ignored
       }
     }
-    TxCommit(version, action, adds.result(), removes.result(), statsCol,
+    val addsRaw = adds.result()
+    val bloomsByDir = bloomRows.result().groupBy(_._1)
+    val addsFinal =
+      if (bloomsByDir.isEmpty) addsRaw
+      else addsRaw.map(a => bloomsByDir.get(a.dir) match {
+        case Some(bs) =>
+          a.copy(blooms = bs.map(b => b._2 -> b._3).toMap)
+        case None => a
+      })
+    TxCommit(version, action, addsFinal, removes.result(), statsCol,
       schema, txn, dvs.result(), cons.result(), dropCons.result(), ts, gc,
       clones.result(), evos.result(), tsMax, prevCkpt)
   }
@@ -541,6 +600,18 @@ object TxLog {
         .append('|').append(s.max).append('|').append(s.col))
       sb.append('\n')
     }
+    // Bloom stat blocks ride as their own lines (hex-packed words —
+    // a variable-size blob has no slot in the positional add triple),
+    // attached back to their AddFile by dir at parse
+    adds.foreach { a =>
+      a.blooms.toSeq.sortBy(_._1).foreach { case (c, words) =>
+        require(!c.contains('|') && !c.contains('\n'),
+          s"bloom column name must not contain '|' or newlines: $c")
+        sb.append("bloom=").append(a.dir).append('|').append(c).append('|')
+        words.foreach(w => sb.append(f"$w%016x"))
+        sb.append('\n')
+      }
+    }
     removes.foreach(r => sb.append("remove=").append(r).append('\n'))
     sb.result().getBytes("UTF-8")
   }
@@ -580,6 +651,9 @@ object TxLog {
   private def readHint(spark: SparkSession,
       root: String): Option[(Long, Long)] =
     try {
+      // every fold/head/walk funnels through here — the right seam
+      // for the cache's external-rebuild guard (see validateCacheRoot)
+      validateCacheRoot(spark, root)
       val fs = rawFs(spark, root)
       val p = hintPath(root)
       if (!fs.exists(p)) None
@@ -1177,6 +1251,55 @@ object TxLog {
   private final case class StatSpec(name: String, expr: Column,
       isSum: Boolean)
 
+  // ---- per-dir Bloom stats (point-predicate skipping) --------------
+  // The third stat kind: value spans prune RANGE predicates, hash
+  // spans prune string-key merges, but `WHERE url = '…'` on a column
+  // the table is hash-clustered by doc_id scans every dir — the
+  // takedown-by-URL shape. A per-dir BLOCKED Bloom (256 64-bit words
+  // = 2 KB/dir/column; each value sets 4 bits inside ONE word chosen
+  // by its portable key hash) closes it: the probe reads the
+  // manifest, not the data, and a dir whose word lacks any of the 4
+  // bits provably excludes the value. Collected in the SAME in-write
+  // Observation pass as every other stat (one bit_or aggregate per
+  // word over a once-projected hash column — no second scan), probed
+  // driver-side with the same md5-based portable hash, so no Spark
+  // job plans just to test membership. False positives only cost
+  // I/O (the full predicate re-applies in-plan); saturation (dirs
+  // with ≫4k distinct values) degrades to admit-all — conservative,
+  // never wrong.
+  private[graft] val bloomWords = 256
+  private[graft] def bloomStatName(c: String): String = s"$c#bloom"
+
+  /** The (word, 4-bit mask) a VALUE occupies — driver-side twin of
+    * the write-side column expressions (same `txkey` md5 hash, same
+    * bit fields). `s` is the value's CAST(. AS STRING) rendering,
+    * which is exactly what [[keyHash]] hashes. */
+  private[graft] def bloomSlot(s: String): (Int, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"txkey:$s".getBytes("UTF-8"))
+    var kh = 0L
+    var i = 0
+    // first 15 hex chars = first 7.5 bytes, matching
+    // conv(substring(md5, 1, 15), 16, 10)
+    while (i < 7) { kh = (kh << 8) | (md(i) & 0xffL); i += 1 }
+    kh = (kh << 4) | ((md(7) & 0xf0L) >> 4)
+    val word = (kh % bloomWords).toInt
+    var mask = 0L
+    var sh = 8
+    while (sh <= 26) { mask |= 1L << ((kh >> sh) % 64).toInt; sh += 6 }
+    (word, mask)
+  }
+
+  /** Does `f`'s Bloom for `c` admit the value rendered as `s`?
+    * Missing filter admits (legacy/rewritten dirs must scan). */
+  private def bloomAdmits(f: AddFile, c: String, s: String): Boolean =
+    f.blooms.get(c) match {
+      case None => true
+      case Some(words) =>
+        val (w, mask) = bloomSlot(s)
+        w < words.length && (words(w) & mask) == mask
+    }
+
   /** The standard per-column stat set: the value min/max (absent for
     * non-long-castable values — string ids), the portable-hash
     * min/max for non-numeric columns, and the NULL COUNT (every
@@ -1214,7 +1337,8 @@ object TxLog {
     * cost per append locally, TxAB). */
   private def writeDataDir(spark: SparkSession, root: String,
       df: DataFrame, statsCols: Seq[String],
-      cs: Seq[(String, String)]): AddFile = {
+      cs: Seq[(String, String)],
+      bloomCols: Seq[String] = Seq.empty): AddFile = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val obs = org.apache.spark.sql.Observation(s"txstats-$rel")
     // value stats prune range reads; hash stats (non-numeric columns
@@ -1225,14 +1349,38 @@ object TxLog {
       specs.zipWithIndex.flatMap { case (s, i) =>
         if (s.isSum) Seq(sum(s.expr).as(s"mn$i"))
         else Seq(min(s.expr).as(s"mn$i"), max(s.expr).as(s"mx$i")) }
+    // Bloom stats ride the SAME metric set: the portable key hash and
+    // the 4-bit in-word mask are projected ONCE per bloom column
+    // (below the observe — md5 once per row, not once per word), then
+    // each word is one bit_or aggregate over its rows
+    val bloomMetrics = bloomCols.zipWithIndex.flatMap { case (_, i) =>
+      (0 until bloomWords).map { w =>
+        bit_or(when(col(s"__graft_bl_w$i") === w.toLong,
+          col(s"__graft_bl_m$i")).otherwise(lit(0L))).as(s"bl${i}_$w")
+      }
+    }
     // CHECK constraints ride the write's own scan (every writer that
     // lands table rows funnels through here; a violation fails the
     // job before the commit exists). The SET is the caller's capture
     // at snapshot time — its claim loop aborts if a new constraint
     // lands in between (the constraint-vs-writer race)
     val checked = enforced(df, cs)
+    val withHelpers = bloomCols.zipWithIndex.foldLeft(checked) {
+      case (acc, (c, i)) =>
+        val kh = keyHash(col(c))
+        val mask = Seq(8, 14, 20, 26).map(sh =>
+          call_function("shiftleft", lit(1L),
+            pmod(shiftright(kh, sh), lit(64L)).cast("int")))
+          .reduce((a, b) => a.bitwiseOR(b))
+        acc.withColumn(s"__graft_bl_w$i", pmod(kh, lit(bloomWords.toLong)))
+          .withColumn(s"__graft_bl_m$i", mask)
+    }
+    val helperNames = bloomCols.indices
+      .flatMap(i => Seq(s"__graft_bl_w$i", s"__graft_bl_m$i"))
+    val all = metrics ++ bloomMetrics
     checkingConstraints {
-      checked.observe(obs, metrics.head, metrics.tail: _*)
+      withHelpers.observe(obs, all.head, all.tail: _*)
+        .drop(helperNames: _*)
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rel")
     }
     val m = obs.get
@@ -1245,7 +1393,12 @@ object TxLog {
         mx <- m.get(s"mx$i").flatMap(Option(_)).map(_.asInstanceOf[Long])
       } yield ColStat(s.name, mn, mx)
     }
-    AddFile(rel, m("n").asInstanceOf[Long], stats)
+    val blooms = bloomCols.zipWithIndex.map { case (c, i) =>
+      c -> Array.tabulate(bloomWords)(w =>
+        m.get(s"bl${i}_$w").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
+    }.filter(_._2.exists(_ != 0L)).toMap
+    AddFile(rel, m("n").asInstanceOf[Long], stats, blooms = blooms)
   }
 
   private val MaxClaimRetries = 1000
@@ -1268,14 +1421,15 @@ object TxLog {
     * range reads can prune this dir on any of them
     * ([[snapshotRangeMulti]]). */
   def appendCols(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Long = {
     val ddl = ddlOf(df)
     pinnedSchema(spark, root).foreach(p => require(p == ddl,
       s"append: schema drift on $root — table pins [$p], batch is " +
         s"[$ddl]; an intentional change is a rewrite or evolveSchema, " +
         "not an append"))
     val st0 = foldLog(spark, root, None)
-    val add = writeDataDir(spark, root, df, statsCols, st0.constraints)
+    val add = writeDataDir(spark, root, df, statsCols, st0.constraints,
+      bloomCols)
     val bytes = renderManifest("append", Seq(add), Seq.empty,
       statsCols.headOption, Some(ddl))
     var attempt = 0
@@ -3106,8 +3260,22 @@ object TxLog {
     * predicates also apply in-plan — pruning stays I/O-only. */
   def snapshotRangeMulti(spark: SparkSession, root: String,
       preds: Seq[(String, Long, Long)],
-      asOf: Option[Long], nullProbes: Seq[String]): DataFrame = {
-    require(preds.nonEmpty || nullProbes.nonEmpty,
+      asOf: Option[Long], nullProbes: Seq[String]): DataFrame =
+    snapshotRangeMulti(spark, root, preds, asOf, nullProbes, Seq.empty)
+
+  /** [[snapshotRangeMulti]] with POINT probes riding alongside:
+    * `pointProbes` are (column, value-as-string) equalities — a dir
+    * whose recorded [[AddFile.blooms Bloom]] for the column provably
+    * excludes the value is pruned at the manifest, which is what
+    * turns `WHERE url = '…'` on a doc_id-clustered corpus (the
+    * takedown-by-URL shape) from a table scan into a ≤K-dir read.
+    * Dirs without a Bloom admit; every predicate re-applies in-plan —
+    * pruning stays I/O-only, results exact regardless of stats. */
+  def snapshotRangeMulti(spark: SparkSession, root: String,
+      preds: Seq[(String, Long, Long)],
+      asOf: Option[Long], nullProbes: Seq[String],
+      pointProbes: Seq[(String, String)]): DataFrame = {
+    require(preds.nonEmpty || nullProbes.nonEmpty || pointProbes.nonEmpty,
       "snapshotRangeMulti: no predicates")
     asOf.foreach(v => retentionGuard(spark, root, v, "snapshotRangeMulti"))
     val st = foldLog(spark, root, asOf)
@@ -3116,7 +3284,8 @@ object TxLog {
     val kept = live.filter(f =>
       preds.forall { case (c, lo, hi) => admits(f, c, lo, hi) } &&
         nullProbes.forall(c =>
-          f.statFor(nullStatName(c)).forall(_.max > 0L)))
+          f.statFor(nullStatName(c)).forall(_.max > 0L)) &&
+        pointProbes.forall { case (c, s) => bloomAdmits(f, c, s) })
     val pin = pinnedSchemaAt(spark, root, v)
     // hi = Long.MaxValue means unbounded above — `< MaxValue` would
     // wrongly exclude a row whose value IS the max long
@@ -3124,7 +3293,8 @@ object TxLog {
       val lower = col(c).try_cast("long") >= lo
       if (hi == Long.MaxValue) lower
       else lower && col(c).try_cast("long") < hi } ++
-      nullProbes.map(c => col(c).isNull))
+      nullProbes.map(c => col(c).isNull) ++
+      pointProbes.map { case (c, s) => col(c).cast("string") === lit(s) })
       .reduce(_ && _)
     if (kept.isEmpty) {
       // preserve the schema without scanning data: the pin when one
@@ -3141,6 +3311,19 @@ object TxLog {
         cloneChain(spark, root, st, asOf), st.evos)
       .where(filter)
   }
+
+  /** SINGLE-VALUE POINT READ on any Bloom-statted column — the
+    * takedown-by-URL / point-lookup-on-a-non-clustered-column door:
+    * `snapshotPoint(root, "url", theUrl)` reads only the dirs whose
+    * per-dir Bloom admits the value (≤ 1 + fp·dirs dirs, flat in
+    * table size), with the equality re-applied in-plan. Columns
+    * without Blooms (or legacy dirs) degrade to the full scan —
+    * conservative, never wrong. The value is rendered CAST AS STRING,
+    * matching the write-side hash. */
+  def snapshotPoint(spark: SparkSession, root: String, c: String,
+      value: Any, asOf: Option[Long] = None): DataFrame =
+    snapshotRangeMulti(spark, root, Seq.empty, asOf, Seq.empty,
+      Seq((c, String.valueOf(value))))
 
   /** KEYED POINT READ — fetch the live rows whose `keyCol` is in
     * `keys`, scanning only the dirs that can hold one: the read-side
@@ -3300,7 +3483,19 @@ object TxLog {
       else Some((nn, nDirs, st.size.toLong, st.map(_.max).sum,
         st.count(_.max > 0L).toLong * 1000000L / st.size))
     }
-    val rows = Seq(keyCol, hashStatName(keyCol)).flatMap(row) ++ nullRow
+    // the BLOOM stat kind's health row: sum_spans = total bits set
+    // across dirs, overlap_ppm = mean fill ×1e6 (≈1e6 means the
+    // filters saturated — point probes stop pruning, audit the dir
+    // sizing; small fill means point reads stab ≤K dirs)
+    def bloomRow: Option[(String, Long, Long, Long, Long)] = {
+      val bs = live.flatMap(_.blooms.get(keyCol).map(ws =>
+        ws.map(w => java.lang.Long.bitCount(w).toLong).sum))
+      if (bs.isEmpty) None
+      else Some((bloomStatName(keyCol), nDirs, bs.size.toLong, bs.sum,
+        bs.sum * 1000000L / (bs.size.toLong * bloomWords * 64L)))
+    }
+    val rows = Seq(keyCol, hashStatName(keyCol)).flatMap(row) ++
+      nullRow ++ bloomRow
     (if (rows.nonEmpty) rows else Seq((keyCol, nDirs, 0L, 0L, 0L)))
       .toDF("stat", "n_dirs", "n_stats", "sum_spans", "overlap_ppm")
   }

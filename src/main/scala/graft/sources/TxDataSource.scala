@@ -274,10 +274,17 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
     // dir recording zero nulls of the column skips) — `IS NULL` is
     // the one predicate class min/max bounds can never answer
     val nullProbes = filters.collect { case IsNull(c) => c }.toSeq
+    // a pushed STRING equality prunes via the per-dir Blooms when the
+    // column carries them (`WHERE url = '…'` on a doc_id-clustered
+    // table — the takedown shape); long equalities already collapse
+    // to [v, v+1) bounds above, and bloom-less dirs admit
+    val pointProbes = filters.collect {
+      case EqualTo(c, v: String) => (c, v) }.toSeq
     val base =
-      if (bounds.isEmpty && nullProbes.isEmpty)
+      if (bounds.isEmpty && nullProbes.isEmpty && pointProbes.isEmpty)
         TxLog.snapshot(spark, root, asOf)
-      else TxLog.snapshotRangeMulti(spark, root, bounds, asOf, nullProbes)
+      else TxLog.snapshotRangeMulti(spark, root, bounds, asOf, nullProbes,
+        pointProbes)
     base.select(requiredColumns.map(col).toSeq: _*).rdd
   }
 }

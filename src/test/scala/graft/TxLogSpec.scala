@@ -875,6 +875,70 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, root, Some(2)).count() === 50)
   }
 
+  test("per-dir Bloom stats: a point read on a NON-clustered string " +
+      "column stabs <=K dirs of the table; results exact; bloom-less " +
+      "dirs conservative; the kind survives checkpoints and audits") {
+    val root = freshRoot("bloom")
+    for (i <- 0 until 20)
+      TxLog.appendCols(spark, root,
+        (i * 500 until (i + 1) * 500)
+          .map(j => (j.toLong, s"https://site-${j % 97}.example/p/$j"))
+          .toDF("id", "url"),
+        Seq("id"), bloomCols = Seq("url"))
+    val target = "https://site-22.example/p/7103"
+    def dirsRead(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(f => f.split("/data/")(1).split("/")(0))
+        .distinct.length
+    val hit = TxLog.snapshotPoint(spark, root, "url", target)
+    assert(hit.count() === 1)
+    assert(hit.select("id").head().getLong(0) === 7103L)
+    assert(dirsRead(hit) <= 3,
+      s"the Bloom must stab <=3 of 20 dirs, read ${dirsRead(hit)}")
+    // a value the table never held: nothing, and (almost) no dirs
+    val miss = TxLog.snapshotPoint(spark, root, "url",
+      "https://absent.example/x")
+    assert(miss.count() === 0)
+    assert(dirsRead(miss) <= 2)
+    // the SQL door: a pushed string equality routes through the same
+    // bloom-pruned path
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW bloom_v " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    assert(spark.sql(s"SELECT id FROM bloom_v WHERE url = '$target'")
+      .collect().map(_.getLong(0)).toSeq === Seq(7103L))
+    // a bloom-less dir (plain append) admits conservatively — the
+    // duplicate lands there and the point read still finds BOTH
+    TxLog.append(spark, root,
+      Seq((99999L, target)).toDF("id", "url"), Some("id"))
+    assert(TxLog.snapshotPoint(spark, root, "url", target).count() === 2)
+    // statsAudit reports the kind with its fill
+    val audit = TxLog.statsAudit(spark, root, "url")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    val b = audit.find(_._1 === "url#bloom")
+    assert(b.isDefined, audit.mkString(","))
+    assert(b.get._2 === 20L, "20 dirs carry the bloom")
+    assert(b.get._3 > 0L && b.get._3 < 500000L,
+      s"fill must be sane, got ${b.get._3} ppm")
+    // blooms ride AddFile through a checkpoint fold
+    TxLog.checkpoint(spark, root)
+    val after = TxLog.snapshotPoint(spark, root, "url", target)
+    assert(after.count() === 2)
+    assert(dirsRead(after) <= 4)
+  }
+
+  test("manifest cache vs external rebuild: deleting a table root and " +
+      "rebuilding AT THE SAME PATH serves the new content, never the " +
+      "cached old manifests") {
+    val root = freshRoot("rebuild")
+    TxLog.append(spark, root, docs(0, 30), Some("id"))
+    assert(TxLog.snapshot(spark, root).count() === 30) // caches v1
+    // external rm -rf + rebuild with DIFFERENT content, same names
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+    TxLog.append(spark, root, docs(0, 7), Some("id"))
+    assert(TxLog.snapshot(spark, root).count() === 7,
+      "the root-signature guard must invalidate the stale entries")
+  }
+
   test("torn _hint reads stay exact: a numeric PREFIX naming a " +
       "checkpoint that never existed falls back to the listing; v0 " +
       "travel errors identically hinted and unhinted") {

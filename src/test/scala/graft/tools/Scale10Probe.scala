@@ -57,13 +57,19 @@ object Scale10Probe {
       "x06_knn_cosine", "x10_quality", "x44_chunk_dedup",
       "x82_substring_dedup", "x88_bpe_train", "x30_sequence_packing",
       "x97_lm_score", "x114_kmv_distinct", "x116_overlap_matrix",
-      "x153_nb_classify")
+      "x153_nb_classify",
+      // r17 evidence rows: the two families the r16 driver bench
+      // inflated (x34 13–18s vs a 0.69s floor; x10 1.1–2.1s vs
+      // 0.14) — committed scale bands adjudicate the next inflation
+      // from the artifact alone
+      "x34_semantic_dedup")
     // bare args (non --flags) narrow the run to those families
     // media rows are custom thunks, not catalog queries — route their
     // labels past the catalog pick loop
     val mediaLabels = Set("audio_vad_fullwidth", "image_ahash_neardup",
       "txlog_fold", "tx_merge", "tx_merge_str", "tx_dv", "tx_compact",
-      "tx_restore", "tx_delete_where", "tx_null_probe", "tx_log_depth")
+      "tx_restore", "tx_delete_where", "tx_null_probe", "tx_log_depth",
+      "tx_bloom")
     val picks = {
       val only = args.filterNot(_.startsWith("--")).toSeq
         .filterNot(mediaLabels)
@@ -381,6 +387,56 @@ object Scale10Probe {
       Console.err.println(
         f"[scale10] tx_depth_astime_1kv10k$ta%8.3f $tb%8.3f ${tb / ta}%6.2f" +
           "  (ckpt-anchored TIMESTAMP AS OF: one anchor + since-ckpt walk)")
+    }
+    // PER-DIR BLOOM point reads vs table size (r17): `url = '…'` on a
+    // doc_id-clustered table has no usable span — pre-bloom it scans
+    // every dir, so its cost is LINEAR in table size. With the 2 KB
+    // blocked Bloom per dir the probe admits ~1 + fp·dirs dirs
+    // (fp ≈ 2e-4), so the point read must be FLAT at 10× the dirs
+    // while the full-scan control grows ~10×. Tables cache under
+    // stable /tmp roots (32 vs 320 one-dir appends).
+    if (runAll || args.contains("tx_bloom")) {
+      import graft.operators.TxLog
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+      def build(nDirs: Int): String = {
+        val root = s"/tmp/graft_s10_bloom_$nDirs/t"
+        if (TxLog.latestVersion(spark, root) >= nDirs) root
+        else {
+          val dir = new java.io.File(s"/tmp/graft_s10_bloom_$nDirs")
+          if (dir.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          var i = 0
+          while (i < nDirs) {
+            TxLog.appendCols(spark, root,
+              spark.range(i * 2000L, (i + 1) * 2000L, 1L, 1)
+                .select(col("id"),
+                  concat(lit("https://h-"), pmod(col("id"), lit(977L))
+                    .cast("string"), lit(".example/d/"),
+                    col("id").cast("string")).as("url")),
+              Seq("id"), bloomCols = Seq("url"))
+            i += 1
+          }
+          root
+        }
+      }
+      def floors(root: String): (Double, Double) = {
+        val target = "https://h-356.example/d/3287" // lives in dir 1
+        def f(op: => Unit): Double = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); op; (System.nanoTime() - t0) / 1e9
+        }.min
+        (f(assert(
+          TxLog.snapshotPoint(spark, root, "url", target).count() == 1L)),
+          f(TxLog.snapshot(spark, root)
+            .where(col("url") === target).count()))
+      }
+      val (pa, sa) = floors(build(32))
+      val (pb, sb) = floors(build(320))
+      Console.err.println(
+        f"[scale10] tx_bloom_point_32v320 $pa%8.3f $pb%8.3f ${pb / pa}%6.2f" +
+          "  (bloom stabs ~1 dir — flat at 10x the dirs)")
+      Console.err.println(
+        f"[scale10] tx_bloom_scan_32v320  $sa%8.3f $sb%8.3f ${sb / sa}%6.2f" +
+          "  (the full-scan control pays the 10x)")
     }
     // Tombstone READ TAX vs table size: the mask is a broadcast
     // anti-join against a constant (takedown-sized) key set, so a

@@ -91,7 +91,15 @@ object ScaleProbe {
       // reconciled through the sink's idempotent merge, twice across
       // a kill-and-resume — the replay is the data term)
       "x185_tx_sql_travel", "x186_tx_sql_ddl", "x187_tx_sql_optimize",
-      "x188_tx_stream_sink")
+      "x188_tx_stream_sink",
+      // r17: SemDeDup (the r16 driver artifact inflated x34 13–18s
+      // against a 0.69s floor — this row makes the family's scale
+      // band part of the committed evidence, so the next inflation
+      // adjudicates from the artifact alone; x10's row is above),
+      // the evolving SQL MERGE, the Bloom point read, and the JPEG
+      // pixel decode (map-only, doc_id<500 caps it)
+      "x34_semantic_dedup", "x189_tx_merge_evolve",
+      "x192_tx_bloom_point", "x190_jpeg_pixels")
     // bare args narrow the run to matching families (prefix match,
     // the Scale10Probe convention) — the catalog-query loop only;
     // audio_vad runs on a full pass
