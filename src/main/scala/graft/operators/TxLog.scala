@@ -140,7 +140,11 @@ object TxLog {
       // turns wall-clock travel from O(history) manifest reads into
       // O(checkpoints-above-answer + one inter-checkpoint gap)
       tsMax: Option[Long] = None,
-      prevCkpt: Option[Long] = None)
+      prevCkpt: Option[Long] = None,
+      // the table-level Bloom-column declaration (sticky: set by the
+      // first appendCols(bloomCols=…), re-recorded by every writer so
+      // merges and maintenance rewrites keep the stat kind alive)
+      bloomCols: Option[Seq[String]] = None)
 
   /** A rewrite lost optimistic validation: an intervening commit
     * removed one of its inputs. Retry the whole rewrite on a fresh
@@ -410,6 +414,7 @@ object TxLog {
     var ts: Option[Long] = None
     var tsMax: Option[Long] = None
     var prevCkpt: Option[Long] = None
+    var bloomColsDecl: Option[Seq[String]] = None
     var statsCol: Option[String] = None
     var schema: Option[String] = None
     var txn: Option[(String, Long)] = None
@@ -437,6 +442,8 @@ object TxLog {
         case "ts" => ts = Some(value.toLong)
         case "tsmax" => tsMax = Some(value.toLong)
         case "prevckpt" => prevCkpt = Some(value.toLong)
+        case "bloomcols" =>
+          bloomColsDecl = Some(value.split('|').toSeq.filter(_.nonEmpty))
         case "statscol" => statsCol = Some(value)
         case "schema" => schema = Some(value)
         case "txn" =>
@@ -517,7 +524,7 @@ object TxLog {
       })
     TxCommit(version, action, addsFinal, removes.result(), statsCol,
       schema, txn, dvs.result(), cons.result(), dropCons.result(), ts, gc,
-      clones.result(), evos.result(), tsMax, prevCkpt)
+      clones.result(), evos.result(), tsMax, prevCkpt, bloomColsDecl)
   }
 
   /** Manifest format major version. Readers REFUSE a manifest from a
@@ -540,7 +547,8 @@ object TxLog {
       evos: Seq[(Long, String, String, String)] = Seq.empty,
       evoVersions: Boolean = false,
       tsMax: Option[Long] = None,
-      prevCkpt: Option[Long] = None): Array[Byte] = {
+      prevCkpt: Option[Long] = None,
+      bloomColsDecl: Option[Seq[String]] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("format=").append(FormatMajor).append('\n')
     sb.append("action=").append(action).append('\n')
@@ -550,6 +558,11 @@ object TxLog {
     // could stop after the head lines without parsing the live set
     tsMax.foreach(t => sb.append("tsmax=").append(t).append('\n'))
     prevCkpt.foreach(p => sb.append("prevckpt=").append(p).append('\n'))
+    bloomColsDecl.filter(_.nonEmpty).foreach { cs =>
+      cs.foreach(c => require(!c.contains('|') && !c.contains('\n'),
+        s"bloom column name must not contain '|' or newlines: $c"))
+      sb.append("bloomcols=").append(cs.mkString("|")).append('\n')
+    }
     statsCol.foreach(c => sb.append("statscol=").append(c).append('\n'))
     schema.foreach(d => sb.append("schema=").append(d).append('\n'))
     txn.foreach { case (a, b) =>
@@ -852,7 +865,8 @@ object TxLog {
       // checkpoint this fold started from — both free to carry, both
       // feeding checkpoint()'s travel anchors
       tsMax: Option[Long] = None,
-      ckptUsed: Option[Long] = None)
+      ckptUsed: Option[Long] = None,
+      bloomCols: Seq[String] = Seq.empty)
 
   /** Fold dispatch: the HINTED path constructs every manifest name
     * directly (versions are contiguous; head via [[headFrom]] probes)
@@ -941,6 +955,7 @@ object TxLog {
       case Some((_, n)) => readManifest(spark, root, n).tsMax
       case None => Some(Long.MinValue)
     }
+    var blCols: Seq[String] = Seq.empty
     ckpt.foreach { case (_, n) =>
       val c = readManifest(spark, root, n)
       c.adds.foreach(a => live.update(a.dir, a))
@@ -949,6 +964,7 @@ object TxLog {
       evos ++= c.evos
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
       foldGc(c.gc)
+      c.bloomCols.foreach(blCols = _)
     }
     commits.foreach { n =>
       val c = readManifest(spark, root, n)
@@ -961,6 +977,7 @@ object TxLog {
       c.constraints.foreach { case (cn, ce) => cons.update(cn, ce) }
       foldGc(c.gc)
       tsRun = for (r <- tsRun; t <- c.ts) yield math.max(r, t)
+      c.bloomCols.foreach(blCols = _) // latest declaration wins
     }
     val files = live.values.toSeq
     val liveDvs = dvs.result()
@@ -969,7 +986,8 @@ object TxLog {
       gcH, clones.result().distinct.sortBy(_._1),
       evos.result().distinct.sortBy(_._1),
       tsMax = tsRun.filter(_ != Long.MinValue),
-      ckptUsed = ckpt.map(_._1))
+      ckptUsed = ckpt.map(_._1),
+      bloomCols = blCols)
   }
 
   /** Resolve the live file set at `asOf` (head when None). */
@@ -1290,6 +1308,24 @@ object TxLog {
     (word, mask)
   }
 
+  /** The write-side 4-bit in-word mask for a row's key hash — the
+    * column twin of [[bloomSlot]]'s driver arithmetic. */
+  private def bloomMaskExpr(kh: Column): Column =
+    Seq(8, 14, 20, 26).map(sh =>
+      call_function("shiftleft", lit(1L),
+        pmod(shiftright(kh, sh), lit(64L)).cast("int")))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** The Bloom columns a writer should record for this table: an
+    * explicit per-call list wins (and DECLARES the table-level set);
+    * otherwise the table's sticky declaration — filtered to columns
+    * the frame actually carries, so evolution/drops degrade to
+    * not-recorded rather than erroring. */
+  private def effectiveBloomCols(st: LogState, df: DataFrame,
+      param: Seq[String] = Seq.empty): Seq[String] =
+    (if (param.nonEmpty) param else st.bloomCols)
+      .filter(df.columns.contains)
+
   /** Does `f`'s Bloom for `c` admit the value rendered as `s`?
     * Missing filter admits (legacy/rewritten dirs must scan). */
   private def bloomAdmits(f: AddFile, c: String, s: String): Boolean =
@@ -1368,12 +1404,8 @@ object TxLog {
     val withHelpers = bloomCols.zipWithIndex.foldLeft(checked) {
       case (acc, (c, i)) =>
         val kh = keyHash(col(c))
-        val mask = Seq(8, 14, 20, 26).map(sh =>
-          call_function("shiftleft", lit(1L),
-            pmod(shiftright(kh, sh), lit(64L)).cast("int")))
-          .reduce((a, b) => a.bitwiseOR(b))
         acc.withColumn(s"__graft_bl_w$i", pmod(kh, lit(bloomWords.toLong)))
-          .withColumn(s"__graft_bl_m$i", mask)
+          .withColumn(s"__graft_bl_m$i", bloomMaskExpr(kh))
     }
     val helperNames = bloomCols.indices
       .flatMap(i => Seq(s"__graft_bl_w$i", s"__graft_bl_m$i"))
@@ -1428,10 +1460,12 @@ object TxLog {
         s"[$ddl]; an intentional change is a rewrite or evolveSchema, " +
         "not an append"))
     val st0 = foldLog(spark, root, None)
+    val bl = effectiveBloomCols(st0, df, bloomCols)
     val add = writeDataDir(spark, root, df, statsCols, st0.constraints,
-      bloomCols)
+      bl)
     val bytes = renderManifest("append", Seq(add), Seq.empty,
-      statsCols.headOption, Some(ddl))
+      statsCols.headOption, Some(ddl),
+      bloomColsDecl = Some(bl).filter(_.nonEmpty))
     var attempt = 0
     var v = latestVersion(spark, root) + 1
     while (!publishIfAbsent(spark, root, manifestName(v, "commit"), bytes)) {
@@ -1538,7 +1572,8 @@ object TxLog {
       s"appendIdempotent: schema drift on $root — table pins [$p], " +
         s"batch is [$ddl]"))
     val st0 = foldLog(spark, root, None)
-    val add = writeDataDir(spark, root, df, statsCol.toSeq, st0.constraints)
+    val add = writeDataDir(spark, root, df, statsCol.toSeq, st0.constraints,
+      effectiveBloomCols(st0, df))
     val bytes = renderManifest("append", Seq(add), Seq.empty, statsCol,
       Some(ddl), Some((appId, batchId)))
     beforeClaim()
@@ -1602,7 +1637,7 @@ object TxLog {
         pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
       val out = transform(snap)
       val add = writeDataDir(spark, root, out, statsCol.toSeq,
-        st0.constraints)
+        st0.constraints, effectiveBloomCols(st0, out))
       val removes = live0.map(_.dir)
       // a rewrite REPLACES the table, so its schema becomes the new pin
       // (the sanctioned schema-change path — Delta's overwriteSchema)
@@ -1784,7 +1819,8 @@ object TxLog {
           pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts)
-    val add = writeDataDir(spark, root, out, stats, st0.constraints)
+    val add = writeDataDir(spark, root, out, stats, st0.constraints,
+      effectiveBloomCols(st0, out))
     val removes = touched.map(_.dir)
     val bytes = renderManifest("merge", Seq(add), removes,
       stats.headOption, Some(ddl), txn)
@@ -2066,7 +2102,8 @@ object TxLog {
         s"$action: the transform changed the schema — [${ddlOf(in)}] " +
           s"to [${ddlOf(out)}]; predicate DML never moves the pin")
       val statsCols = statsColumn(spark, root).toSeq
-      val add = writeDataDir(spark, root, out, statsCols, st0.constraints)
+      val add = writeDataDir(spark, root, out, statsCols, st0.constraints,
+        effectiveBloomCols(st0, out))
       val removes = touched.map(_.dir)
       // deleting every row of every touched dir needs no add at all
       // (the 0-row dir is left as a vacuum-reclaimable orphan)
@@ -2409,13 +2446,14 @@ object TxLog {
         .write.mode(SaveMode.ErrorIfExists)
         .partitionBy("__b").parquet(s"$root/$rel")
     }
-    val stats = bucketStats(df, bucket, statSpecs(df, keyCol +: extraStats))
+    val stats = bucketStats(df, bucket,
+      statSpecs(df, keyCol +: extraStats), effectiveBloomCols(st0, df))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
-        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
-        AddFile(s"$rel/$sub", n, cs)
+        val (n, cs, bl) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs, blooms = bl)
       }
     val bytes = renderManifest("append", adds, Seq.empty, Some(keyCol),
       Some(ddl))
@@ -2439,12 +2477,24 @@ object TxLog {
     * shared by [[appendPartitioned]]/[[optimizeRange]]/
     * [[optimizeZOrder]]/[[optimizeHash]]; never a per-dir re-scan. */
   private def bucketStats(df: DataFrame, bucket: Column,
-      specs: Seq[StatSpec]): Map[Long, (Long, Seq[ColStat])] = {
-    val aggs = count(lit(1)).as("n") +: specs.zipWithIndex.flatMap {
+      specs: Seq[StatSpec], bloomCols: Seq[String] = Seq.empty)
+      : Map[Long, (Long, Seq[ColStat], Map[String, Array[Long]])] = {
+    val aggs = count(lit(1)).as("n") +: (specs.zipWithIndex.flatMap {
       case (s, i) =>
         if (s.isSum) Seq(sum(s.expr).as(s"mn$i"))
-        else Seq(min(s.expr).as(s"mn$i"), max(s.expr).as(s"mx$i")) }
-    df.withColumn("__b", bucket).groupBy("__b")
+        else Seq(min(s.expr).as(s"mn$i"), max(s.expr).as(s"mx$i")) } ++
+      // per-bucket Blooms ride the SAME grouped aggregate: one
+      // bit_or per word over the once-projected hash/mask helpers
+      bloomCols.indices.flatMap(i => (0 until bloomWords).map(w =>
+        bit_or(when(col(s"__blw$i") === w.toLong, col(s"__blm$i"))
+          .otherwise(lit(0L))).as(s"bl${i}_$w"))))
+    val withHelpers = bloomCols.zipWithIndex.foldLeft(
+      df.withColumn("__b", bucket)) { case (acc, (c, i)) =>
+        val kh = keyHash(col(c))
+        acc.withColumn(s"__blw$i", pmod(kh, lit(bloomWords.toLong)))
+          .withColumn(s"__blm$i", bloomMaskExpr(kh))
+      }
+    withHelpers.groupBy("__b")
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val cs = specs.zipWithIndex.flatMap { case (s, i) =>
@@ -2458,7 +2508,13 @@ object TxLog {
             else Some(ColStat(s.name, r.getLong(mnI), r.getLong(mxI)))
           }
         }
-        r.getLong(0) -> (r.getLong(1), cs)
+        val bl = bloomCols.zipWithIndex.map { case (c, i) =>
+          c -> Array.tabulate(bloomWords) { w =>
+            val fi = r.fieldIndex(s"bl${i}_$w")
+            if (r.isNullAt(fi)) 0L else r.getLong(fi)
+          }
+        }.filter(_._2.exists(_ != 0L)).toMap
+        r.getLong(0) -> ((r.getLong(1), cs, bl))
       }.toMap
   }
 
@@ -2498,13 +2554,14 @@ object TxLog {
     // one AddFile per nonempty bucket — stats from ONE grouped
     // aggregate over the snapshot (identical rows to what each bucket
     // dir just received), not B per-dir re-scans
-    val stats = bucketStats(snap, bucket, statSpecs(snap, keyCol +: extraStats))
+    val stats = bucketStats(snap, bucket,
+      statSpecs(snap, keyCol +: extraStats), effectiveBloomCols(st0, snap))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
-        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
-        AddFile(s"$rel/$sub", n, cs)
+        val (n, cs, bl) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs, blooms = bl)
       }
     val removes = live0.map(_.dir)
     val bytes = renderManifest("rewrite", adds, removes, Some(keyCol),
@@ -2548,13 +2605,14 @@ object TxLog {
       .sortWithinPartitions(col("__b"), zc)
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("__b").parquet(s"$root/$rel")
-    val stats = bucketStats(snap, bucket, statSpecs(snap, Seq(xCol, yCol)))
+    val stats = bucketStats(snap, bucket,
+      statSpecs(snap, Seq(xCol, yCol)), effectiveBloomCols(st0, snap))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
-        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
-        AddFile(s"$rel/$sub", n, cs)
+        val (n, cs, bl) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs, blooms = bl)
       }
     val removes = live0.map(_.dir)
     val bytes = renderManifest("rewrite", adds, removes, Some(xCol),
@@ -2601,13 +2659,14 @@ object TxLog {
       if (specs0.exists(_.name == hashStatName(keyCol))) specs0
       else StatSpec(hashStatName(keyCol), keyHash(col(keyCol)),
         isSum = false) +: specs0
-    val stats = bucketStats(snap, bucket, specs)
+    val stats = bucketStats(snap, bucket, specs,
+      effectiveBloomCols(st0, snap))
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
-        val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
-        AddFile(s"$rel/$sub", n, cs)
+        val (n, cs, bl) = stats(sub.stripPrefix("__b=").toLong)
+        AddFile(s"$rel/$sub", n, cs, blooms = bl)
       }
     val removes = live0.map(_.dir)
     val bytes = renderManifest("rewrite", adds, removes, Some(keyCol),
@@ -2680,15 +2739,16 @@ object TxLog {
         .partitionBy("__b").parquet(s"$root/$rel")
       val stats = keyColOpt match {
         case Some(kc) => bucketStats(snap, bucket,
-          statSpecs(snap, kc +: extraStats))
-        case None => bucketStats(snap, bucket, Seq.empty)
+          statSpecs(snap, kc +: extraStats), effectiveBloomCols(st0, snap))
+        case None => bucketStats(snap, bucket, Seq.empty,
+          effectiveBloomCols(st0, snap))
       }
       val fs = rawFs(spark, root)
       val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
         .filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith("__b=")).sorted.toSeq.map { sub =>
-          val (n, cs) = stats(sub.stripPrefix("__b=").toLong)
-          AddFile(s"$rel/$sub", n, cs)
+          val (n, cs, bl) = stats(sub.stripPrefix("__b=").toLong)
+          AddFile(s"$rel/$sub", n, cs, blooms = bl)
         }
       val removes = small.map(_.dir)
       val bytes = renderManifest("compact", adds, removes, keyColOpt,
@@ -2770,7 +2830,8 @@ object TxLog {
         // timestamps) and the checkpoint it started from — zero
         // extra reads
         tsMax = tsAnchor,
-        prevCkpt = Some(st.ckptUsed.getOrElse(0L))))
+        prevCkpt = Some(st.ckptUsed.getOrElse(0L)),
+        bloomColsDecl = Some(st.bloomCols).filter(_.nonEmpty)))
     st.version
   }
 
@@ -2905,7 +2966,7 @@ object TxLog {
         val df = readMasked(spark, root, matFiles, pinT, stT.dvs,
           st0.clones, stT.evos)
         Some(writeDataDir(spark, root, df, statsCol.toSeq,
-          stT.constraints))
+          stT.constraints, effectiveBloomCols(st0, df)))
       }
     val adds = keepT.filterNot(f => liveNow(f.dir)) ++ matAdd.toSeq
     val keepDirs = keepT.map(_.dir).toSet

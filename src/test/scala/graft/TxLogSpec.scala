@@ -879,43 +879,46 @@ class TxLogSpec extends SparkSpec {
       "column stabs <=K dirs of the table; results exact; bloom-less " +
       "dirs conservative; the kind survives checkpoints and audits") {
     val root = freshRoot("bloom")
+    // a PRE-declaration dir (no bloom — the legacy-dir class) holding
+    // a duplicate of the probed value: it must admit conservatively
+    val target = "https://site-22.example/p/7103"
+    TxLog.append(spark, root,
+      Seq((99999L, target)).toDF("id", "url"), Some("id"))
+    // the declaration: 20 bloom-statted dirs (sticky from here on)
     for (i <- 0 until 20)
       TxLog.appendCols(spark, root,
         (i * 500 until (i + 1) * 500)
           .map(j => (j.toLong, s"https://site-${j % 97}.example/p/$j"))
           .toDF("id", "url"),
         Seq("id"), bloomCols = Seq("url"))
-    val target = "https://site-22.example/p/7103"
     def dirsRead(df: org.apache.spark.sql.DataFrame): Int =
       df.inputFiles.map(f => f.split("/data/")(1).split("/")(0))
         .distinct.length
+    // both copies found: the statted dir via its bloom, the legacy
+    // dir conservatively — and nothing else
     val hit = TxLog.snapshotPoint(spark, root, "url", target)
-    assert(hit.count() === 1)
-    assert(hit.select("id").head().getLong(0) === 7103L)
-    assert(dirsRead(hit) <= 3,
-      s"the Bloom must stab <=3 of 20 dirs, read ${dirsRead(hit)}")
+    assert(hit.count() === 2)
+    assert(hit.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(7103L, 99999L))
+    assert(dirsRead(hit) <= 4,
+      s"the Bloom must stab <=4 of 21 dirs, read ${dirsRead(hit)}")
     // a value the table never held: nothing, and (almost) no dirs
     val miss = TxLog.snapshotPoint(spark, root, "url",
       "https://absent.example/x")
     assert(miss.count() === 0)
-    assert(dirsRead(miss) <= 2)
+    assert(dirsRead(miss) <= 3)
     // the SQL door: a pushed string equality routes through the same
     // bloom-pruned path
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW bloom_v " +
       s"USING `graft-tx` OPTIONS (path '$root')")
     assert(spark.sql(s"SELECT id FROM bloom_v WHERE url = '$target'")
-      .collect().map(_.getLong(0)).toSeq === Seq(7103L))
-    // a bloom-less dir (plain append) admits conservatively — the
-    // duplicate lands there and the point read still finds BOTH
-    TxLog.append(spark, root,
-      Seq((99999L, target)).toDF("id", "url"), Some("id"))
-    assert(TxLog.snapshotPoint(spark, root, "url", target).count() === 2)
-    // statsAudit reports the kind with its fill
+      .collect().map(_.getLong(0)).sorted === Array(7103L, 99999L))
+    // statsAudit reports the kind with its fill over the statted dirs
     val audit = TxLog.statsAudit(spark, root, "url")
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
     val b = audit.find(_._1 === "url#bloom")
     assert(b.isDefined, audit.mkString(","))
-    assert(b.get._2 === 20L, "20 dirs carry the bloom")
+    assert(b.get._2 === 20L, "20 of 21 dirs carry the bloom")
     assert(b.get._3 > 0L && b.get._3 < 500000L,
       s"fill must be sane, got ${b.get._3} ppm")
     // blooms ride AddFile through a checkpoint fold
@@ -923,6 +926,22 @@ class TxLogSpec extends SparkSpec {
     val after = TxLog.snapshotPoint(spark, root, "url", target)
     assert(after.count() === 2)
     assert(dirsRead(after) <= 4)
+    // STICKY declaration: a maintenance re-cluster RE-RECORDS the
+    // blooms on its fresh bucket dirs — the point read keeps pruning
+    TxLog.optimizeHash(spark, root, "id", buckets = 16)
+    val opt = TxLog.snapshotPoint(spark, root, "url", target)
+    assert(opt.count() === 2)
+    assert(dirsRead(opt) <= 4,
+      s"post-optimize point read hit ${dirsRead(opt)} of 16 buckets")
+    // ...and a keyed MERGE keeps the stat alive on its rewritten dir:
+    // the replaced url vanishes from the probe, the new one is found
+    TxLog.merge(spark, root,
+      Seq((7103L, "https://replaced.example/z")).toDF("id", "url"), "id")
+    assert(TxLog.snapshotPoint(spark, root, "url", target).count() === 1)
+    val nu = TxLog.snapshotPoint(spark, root, "url",
+      "https://replaced.example/z")
+    assert(nu.count() === 1)
+    assert(dirsRead(nu) <= 3)
   }
 
   test("manifest cache vs external rebuild: deleting a table root and " +
