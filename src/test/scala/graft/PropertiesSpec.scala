@@ -410,4 +410,30 @@ class PropertiesSpec extends SparkSpec {
         whole.g.toSeq, "Gram cells must merge by addition")
     }
   }
+
+  test("bloomSlot: the driver-side md5 twin equals the write-side " +
+      "keyHash expression for arbitrary strings (ASCII, unicode, " +
+      "empty, separators)") {
+    import graft.operators.TxLog
+    val gen = Gen.listOfN(80, Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr,
+      Gen.listOfN(12, Gen.oneOf("δ", "ü", "中", "🙂", ":",
+        "|", " ", "a")).map(_.mkString)))
+    val values = gen.pureApply(Gen.Parameters.default, Seed(17L))
+      .distinct.filter(_ != null)
+    // the expression side: kh for every value in one small job
+    val khs = values.toDF("v")
+      .select(col("v"), TxLog.keyHash(col("v")).as("kh"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    values.foreach { s =>
+      val kh = khs(s)
+      val expWord = (kh % TxLog.bloomWords).toInt
+      var expMask = 0L
+      var sh = 8
+      while (sh <= 26) { expMask |= 1L << ((kh >> sh) % 64).toInt; sh += 6 }
+      assert(TxLog.bloomSlot(s) === ((expWord, expMask)),
+        s"driver/executor bloom hash drift on [$s]")
+    }
+  }
 }
