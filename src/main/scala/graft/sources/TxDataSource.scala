@@ -274,12 +274,18 @@ private[graft] class TxRelation(val sqlContext: SQLContext, root: String,
     // dir recording zero nulls of the column skips) — `IS NULL` is
     // the one predicate class min/max bounds can never answer
     val nullProbes = filters.collect { case IsNull(c) => c }.toSeq
-    // a pushed STRING equality prunes via the per-dir Blooms when the
-    // column carries them (`WHERE url = '…'` on a doc_id-clustered
-    // table — the takedown shape); long equalities already collapse
-    // to [v, v+1) bounds above, and bloom-less dirs admit
+    // a pushed equality prunes via the per-dir Blooms when the column
+    // carries them (`WHERE url = '…'` on a doc_id-clustered table —
+    // the takedown shape). Integral equalities ALSO ride along: their
+    // [v, v+1) bound above answers only on value-statted columns,
+    // while a bloom answers on any declared one (the write side
+    // hashes CAST(col AS STRING), so the integral's decimal rendering
+    // is the probe key); bloom-less dirs admit either way
     val pointProbes = filters.collect {
-      case EqualTo(c, v: String) => (c, v) }.toSeq
+      case EqualTo(c, v: String) => (c, v)
+      case EqualTo(c, v: java.lang.Long) => (c, v.toString)
+      case EqualTo(c, v: java.lang.Integer) => (c, v.toString)
+    }.toSeq
     val base =
       if (bounds.isEmpty && nullProbes.isEmpty && pointProbes.isEmpty)
         TxLog.snapshot(spark, root, asOf)

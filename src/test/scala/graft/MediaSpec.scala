@@ -622,6 +622,28 @@ class MediaSpec extends SparkSpec {
       "decodeImage must route JPEG")
   }
 
+  test("jpeg through the unified pipeline: resizeImage transcodes " +
+      "JPEG->PNG with exact nearest-neighbor pixels on block-constant " +
+      "content") {
+    import spark.implicits._
+    val src = Seq((5L,
+      Multimodal.buildJpegGrayBlocks(24, 16,
+        (bx, by) => (40 + bx * 30 + by * 50) % 256)))
+      .toDF("media_id", "media")
+    val out = Multimodal.resizeImage(spark, src, 12, 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(out.length === 1)
+    val Some((w, h, bpp, px)) = Multimodal.decodePng(out.head._2)
+    assert((w, h, bpp) === ((12, 8, 1)))
+    // nearest-neighbor: out(x,y) = src(x*24/12, y*16/8) — the source
+    // pixel's block value, replayable exactly
+    for (y <- 0 until 8; x <- 0 until 12) {
+      val sx = x * 24 / 12; val sy = y * 16 / 8
+      val expect = (40 + (sx / 8) * 30 + (sy / 8) * 50) % 256
+      assert((px(y * 12 + x) & 0xff) === expect, s"pixel ($x,$y)")
+    }
+  }
+
   test("jpeg cross-format: the SAME block-constant content as PNG and " +
       "JPEG produces the SAME aHash signature (distance-0 near-dup)") {
     val packed = Multimodal.packJpegPngCopies(spark, idsDF(40), "doc_id", 20L)

@@ -942,6 +942,22 @@ class TxLogSpec extends SparkSpec {
       "https://replaced.example/z")
     assert(nu.count() === 1)
     assert(dirsRead(nu) <= 3)
+    // INTEGRAL equalities probe blooms too: a LONG column with no
+    // value span (not in statsCols) still stabs its dir through the
+    // SQL door — the decimal rendering is the probe key
+    val r2 = freshRoot("bloom_long")
+    for (i <- 0 until 8)
+      TxLog.appendCols(spark, r2,
+        (i * 100 until (i + 1) * 100)
+          .map(j => (j.toLong, (j * 7919L) % 100000L)).toDF("k", "v"),
+        Seq("k"), bloomCols = Seq("v"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW bloomL_v " +
+      s"USING `graft-tx` OPTIONS (path '$r2')")
+    val hitL = spark.sql(
+      s"SELECT k FROM bloomL_v WHERE v = ${(351L * 7919L) % 100000L}")
+    assert(hitL.collect().map(_.getLong(0)).contains(351L))
+    assert(dirsRead(hitL) <= 3,
+      s"long-equality bloom probe read ${dirsRead(hitL)} of 8 dirs")
   }
 
   test("manifest cache vs external rebuild: deleting a table root and " +
