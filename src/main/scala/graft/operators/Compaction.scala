@@ -159,11 +159,13 @@ object Compaction {
   // generation. The swap writes the NEXT generation completely, then
   // flips `_current` with one atomic rename of a fully-written
   // manifest file — a reader at ANY interleaving resolves to either
-  // the old or the new generation, both complete. GC deletes only
-  // generations BEFORE the previous one (the previous survives one
-  // swap as the grace copy for readers that resolved just before the
-  // flip; on a shared cluster size the grace window to reader runtime
-  // by keeping more generations). Plain tables (no `_current`) resolve
+  // the old or the new generation, both complete. GC keeps
+  // `graceGens` generations behind the live one (default 2) as grace
+  // copies for readers that resolved before recent flips — a reader
+  // may straddle up to `graceGens` consecutive swaps between
+  // resolving the pointer and finishing its scan; on a shared
+  // cluster size the grace window to reader runtime by keeping more
+  // generations. Plain tables (no `_current`) resolve
   // to themselves, so the reader path is backward-compatible.
   // ------------------------------------------------------------------
 
@@ -294,8 +296,10 @@ object Compaction {
     * need nothing. A crash before the flip leaves an orphan gen dir
     * (invisible to readers; overwritten by the next swap or cleared
     * by gc); a crash after the flip is a completed swap. */
-  def replaceTableAtomic(spark: SparkSession, root: String)
+  def replaceTableAtomic(spark: SparkSession, root: String,
+      graceGens: Int = 2)
       (write: String => Unit): Unit = {
+    require(graceGens >= 1, s"replaceTableAtomic: graceGens $graceGens")
     val fs = fsFor(spark, root)
     val cur = currentGenNumber(spark, root).getOrElse {
       ensureAtomic(spark, root)
@@ -306,10 +310,17 @@ object Compaction {
     if (fs.exists(nextDir)) fs.delete(nextDir, true) // crashed writer's orphan
     write(s"$root/gen-$next")
     flipPointer(spark, root, s"gen-$next")
-    // GC: everything before the PREVIOUS generation (grace copy kept)
+    // GC: keep `graceGens` generations behind the new live one. The
+    // grace window bounds how many CONSECUTIVE swaps a slow reader
+    // may straddle between resolving the pointer and finishing its
+    // scan: one grace gen covers a reader that resolved just before
+    // THIS flip, but a reader descheduled across two back-to-back
+    // swaps (maintenance loops; the hammer spec under a loaded host)
+    // would find its generation deleted mid-read. Default 2 — size up
+    // for long-running readers on shared clusters.
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
       genNumber(st.getPath.getName).foreach { g =>
-        if (g < cur) fs.delete(st.getPath, true)
+        if (g <= next - 1 - graceGens) fs.delete(st.getPath, true)
       }
     }
   }

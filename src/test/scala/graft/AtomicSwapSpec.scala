@@ -42,11 +42,24 @@ class AtomicSwapSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "gen-1")))
-    // step 3: one more swap GCs gen-1 but keeps gen-2 as the new grace
+    // step 3: the default grace keeps TWO generations behind the
+    // live one (a reader may straddle two back-to-back swaps), so
+    // gen-1 survives the swap to gen-3...
     Compaction.replaceTableAtomic(spark, root)(writeRows(_, 30))
     assert(Compaction.readData(spark, root).count() === 30)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "gen-1")))
+    // ...and dies on the swap to gen-4, with gen-2/gen-3 the grace
+    Compaction.replaceTableAtomic(spark, root)(writeRows(_, 40))
+    assert(Compaction.readData(spark, root).count() === 40)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "gen-1")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "gen-2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "gen-3")))
+    // graceGens=1 restores the tighter single-grace policy
+    Compaction.replaceTableAtomic(spark, root, graceGens = 1)(
+      writeRows(_, 50))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "gen-2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "gen-3")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "gen-4")))
   }
 
   test("a hammering concurrent reader never sees a missing or partial table") {
