@@ -558,7 +558,9 @@ object TxLog {
     // could stop after the head lines without parsing the live set
     tsMax.foreach(t => sb.append("tsmax=").append(t).append('\n'))
     prevCkpt.foreach(p => sb.append("prevckpt=").append(p).append('\n'))
-    bloomColsDecl.filter(_.nonEmpty).foreach { cs =>
+    // Some(empty) renders an explicit CLEARING line (dropColumn on
+    // the last declared column); None renders nothing (keep the fold)
+    bloomColsDecl.foreach { cs =>
       cs.foreach(c => require(!c.contains('|') && !c.contains('\n'),
         s"bloom column name must not contain '|' or newlines: $c"))
       sb.append("bloomcols=").append(cs.mkString("|")).append('\n')
@@ -2308,8 +2310,15 @@ object TxLog {
         if (f.name == from) f.copy(name = to) else f))
       val newStats = statsColumn(spark, root)
         .map(c => if (c == from) to else c)
+      // the sticky Bloom declaration follows the rename (filters
+      // recorded under the OLD name stop answering — conservative —
+      // but NEW writes keep recording under the new name instead of
+      // the declaration silently detaching)
+      val bl = foldLog(spark, root, None).bloomCols
       val bytes = renderManifest("rename", Seq.empty, Seq.empty, newStats,
-        Some(ddlNorm(newT.toDDL)), evos = Seq((0L, "rename", from, to)))
+        Some(ddlNorm(newT.toDDL)), evos = Seq((0L, "rename", from, to)),
+        bloomColsDecl = Some(bl.map(c => if (c == from) to else c))
+          .filter(_.nonEmpty))
       if (publishIfAbsent(spark, root, manifestName(head + 1, "commit"),
           bytes))
         return head + 1
@@ -2371,8 +2380,12 @@ object TxLog {
             "first (rewrite/optimizeCompact/optimizeRange), then drop."))
       val newT = StructType(oldT.fields.filterNot(_.name == name))
       val newStats = statsColumn(spark, root).filterNot(_ == name)
+      // a dropped column leaves the sticky Bloom declaration too
+      val blDrop = foldLog(spark, root, None).bloomCols
       val bytes = renderManifest("dropcol", Seq.empty, Seq.empty, newStats,
-        Some(ddlNorm(newT.toDDL)), evos = Seq((0L, "drop", name, "")))
+        Some(ddlNorm(newT.toDDL)), evos = Seq((0L, "drop", name, "")),
+        bloomColsDecl = Some(blDrop.filterNot(_ == name))
+          .filter(_ => blDrop.contains(name)))
       if (publishIfAbsent(spark, root, manifestName(head + 1, "commit"),
           bytes))
         return head + 1

@@ -958,6 +958,22 @@ class TxLogSpec extends SparkSpec {
     assert(hitL.collect().map(_.getLong(0)).contains(351L))
     assert(dirsRead(hitL) <= 3,
       s"long-equality bloom probe read ${dirsRead(hitL)} of 8 dirs")
+    // the sticky declaration FOLLOWS a rename (new writes record
+    // under the new name; old dirs' old-name filters go conservative)
+    TxLog.renameColumn(spark, r2, "v", "w")
+    TxLog.appendCols(spark, r2,
+      Seq((9001L, 424242L)).toDF("k", "w"), Seq("k"))
+    val a2 = TxLog.statsAudit(spark, r2, "w")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(a2.exists(p => p._1 == "w#bloom" && p._2 == 1L),
+      s"declaration must follow the rename, got ${a2.mkString(",")}")
+    assert(TxLog.snapshotPoint(spark, r2, "w", 424242L)
+      .select("k").head().getLong(0) === 9001L)
+    // ...and a drop CLEARS it (appends of the narrowed schema succeed
+    // with nothing recorded)
+    TxLog.dropColumn(spark, r2, "w")
+    TxLog.append(spark, r2, Seq(5555L).toDF("k"), Some("k"))
+    assert(TxLog.snapshot(spark, r2).count() === 802)
   }
 
   test("manifest cache vs external rebuild: deleting a table root and " +
