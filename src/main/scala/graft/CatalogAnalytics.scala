@@ -2498,6 +2498,44 @@ private[graft] object CatalogAnalytics {
               JOIN sg sa ON c.id_a = sa.id
               JOIN sg sb ON c.id_b = sb.id
               WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
-              ORDER BY id_a, id_b"""))
+              ORDER BY id_a, id_b""")),
+
+    QueryDef("x193_mp3_frames",
+      // REAL MP3 frame-header walk (r17 — the audio twin of the JPEG
+      // SOF walk): an MPEG-1 Layer III stream's whole geometry lives
+      // in fixed 32-bit frame headers, so frame count, duration and
+      // mean bitrate — the duration-cap / bitrate-floor / truncation
+      // screens an audio-corpus pipeline gates on — are REAL metadata
+      // with zero entropy decoding. The synthetic framings are
+      // genuine headers (id-derived per-frame bitrate indices, all
+      // three sample rates, padding bits, ID3v2 prefixes every third
+      // id, trailing ID3v1 tags every fifth) with zero-filled
+      // payloads (the SAMPLE decode stays the contract stub; the
+      // structure is real); the oracle replays the whole walk as id
+      // algebra over the public bitrate table
+      (s, d) => Audio.mp3Stats(s,
+          Audio.packRealMp3s(s, documents(s, d)
+            .where(col("doc_id") < 400).select(col("doc_id")), "doc_id"))
+        .orderBy(col("media_id")),
+      Some("""WITH ids AS (
+                SELECT doc_id AS id FROM documents WHERE doc_id < 400),
+              fr AS (SELECT id, (id % 9 + 2) AS frames, (id % 3) AS sri,
+                       ((id * 7 + f.f) % 14 + 1) AS br
+                     FROM ids, range(0, 11) f(f) WHERE f.f < id % 9 + 2),
+              kb AS (SELECT id, frames, sri, sum(CASE br
+                       WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                       WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                       WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                       WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                       WHEN 13 THEN 256 ELSE 320 END) AS s,
+                       CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                         ELSE 32000 END AS rate
+                     FROM fr GROUP BY 1, 2, 3)
+              SELECT id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+                CAST(frames AS BIGINT) AS n_frames,
+                CAST(frames * 1152 * 1000 // rate AS BIGINT)
+                  AS duration_ms,
+                CAST(s // frames AS BIGINT) AS mean_kbps
+              FROM kb ORDER BY media_id"""))
   )
 }

@@ -346,4 +346,130 @@ object Audio {
       maxBucketSize: Int = 64, maxHamming: Int = 2): DataFrame =
     Dedup.hammingNearDupPairs(sigs, bands, bandBits, maxBucketSize,
       maxHamming)
+
+  // ------------------------------------------------------------------
+  // REAL MP3 frame-header walk (r17 — the audio twin of the JPEG SOF
+  // walk): MPEG audio frames carry their whole geometry in a 32-bit
+  // fixed-layout header (sync, version, layer, bitrate index, sample
+  // rate, padding — ISO/IEC 11172-3), so frame count, total duration
+  // and mean bitrate are REAL metadata with zero entropy decoding —
+  // the screen/curation fields an audio-corpus pipeline gates on
+  // (duration caps, bitrate floors, truncation detection). Only the
+  // SAMPLE decode (the entropy-coded payload) remains the contract
+  // stub.
+  // ------------------------------------------------------------------
+
+  /** MPEG-1 Layer III bitrates (kbps) by index 1..14. */
+  private val mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** Walk an MP3 stream's frames: skip an ID3v2 tag (synchsafe
+    * length), then hop frame to frame by each header's own computed
+    * size (`144·bitrate/sampleRate + padding` for MPEG-1 Layer III).
+    * Returns (sampleRate, frames, durationMs floored, meanBitrateKbps
+    * floored) or None for anything that is not a clean CBR/VBR
+    * MPEG-1 Layer III stream (free-format, reserved indices, layer
+    * I/II, MPEG-2, torn tails all screen — a crawl decode must
+    * screen, not throw). Trailing ID3v1 tags (128-byte 'TAG') are
+    * tolerated. */
+  private[graft] def mp3Info(bytes: Array[Byte])
+      : Option[(Int, Long, Long, Long)] =
+    try {
+      var pos = 0
+      // ID3v2: "ID3" + ver(2) + flags + 4 synchsafe size bytes
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3') {
+        val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        pos = 10 + sz
+      }
+      var frames = 0L
+      var kbpsSum = 0L
+      var sr = -1
+      while (pos + 4 <= bytes.length) {
+        val b0 = bytes(pos) & 0xff; val b1 = bytes(pos + 1) & 0xff
+        if (b0 == 'T' && b1 == 'A' && (bytes(pos + 2) & 0xff) == 'G' &&
+            bytes.length - pos == 128) {
+          pos = bytes.length // trailing ID3v1 tag
+        } else {
+          if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None // lost sync
+          if ((b1 & 0x18) != 0x18) return None // not MPEG-1
+          if ((b1 & 0x06) != 0x02) return None // not Layer III
+          val b2 = bytes(pos + 2) & 0xff
+          val br = (b2 >> 4) & 0x0f
+          val sri = (b2 >> 2) & 0x03
+          if (br == 0 || br == 15 || sri == 3) return None
+          val rate = mp3SampleRates(sri)
+          if (sr < 0) sr = rate
+          else if (sr != rate) return None // mixed sample rates
+          val pad = (b2 >> 1) & 1
+          val size = 144 * mp3Bitrates(br) * 1000 / rate + pad
+          if (pos + size > bytes.length) return None // torn tail
+          frames += 1
+          kbpsSum += mp3Bitrates(br)
+          pos += size
+        }
+      }
+      if (frames == 0 || pos != bytes.length) None
+      else Some((sr, frames, frames * 1152L * 1000L / sr,
+        kbpsSum / frames))
+    } catch { case _: Exception => None }
+
+  /** Per-payload MP3 stream stats through the real frame walk —
+    * partition-parallel mapPartitions, undecodable payloads screened
+    * out like every decode stage. */
+  def mp3Stats(spark: SparkSession, packed: DataFrame): DataFrame = {
+    import spark.implicits._
+    packed.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mp3Info(bytes).map { case (sr, fr, ms, kbps) =>
+          (id, sr.toLong, fr, ms, kbps)
+        }
+      })
+      .toDF("media_id", "sample_rate", "n_frames", "duration_ms",
+        "mean_kbps")
+  }
+
+  /** Deterministic REAL MP3 framings from an id column (the
+    * [[Multimodal.packRealPngs]] pattern): genuine MPEG-1 Layer III
+    * headers — frame count, per-frame bitrate index and sample rate
+    * derived from the id, payloads zero-filled (the entropy-coded
+    * samples are the contract stub; the STRUCTURE is real and
+    * self-describing). Every third id carries an ID3v2 tag, every
+    * fifth a trailing ID3v1 'TAG' block, so the walk's skip paths are
+    * exercised; the oracle replays frames/duration/bitrate as id
+    * algebra. */
+  def packRealMp3s(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val frames = (id % 9 + 2).toInt
+      val sri = (id % 3).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      if (id % 3 == 0) {
+        // ID3v2 tag: 17-byte body, synchsafe-coded
+        out.write("ID3".getBytes("US-ASCII")); out.write(3); out.write(0)
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        out.write(17)
+        (0 until 17).foreach(_ => out.write(0))
+      }
+      for (f <- 0 until frames) {
+        val br = ((id * 7 + f) % 14 + 1).toInt
+        val rate = mp3SampleRates(sri)
+        val pad = ((id + f) % 2).toInt
+        val size = 144 * mp3Bitrates(br) * 1000 / rate + pad
+        out.write(0xff); out.write(0xfb) // MPEG-1 Layer III, no CRC
+        out.write((br << 4) | (sri << 2) | (pad << 1))
+        out.write(0x40) // joint stereo
+        (4 until size).foreach(_ => out.write(0))
+      }
+      if (id % 5 == 0) {
+        out.write("TAG".getBytes("US-ASCII"))
+        (3 until 128).foreach(_ => out.write(0))
+      }
+      (id, out.toByteArray)
+    }.toDF("media_id", "media")
+  }
 }

@@ -644,6 +644,40 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("mp3 frame walk: genuine MPEG-1 Layer III framings replay their " +
+      "geometry exactly; ID3v2/ID3v1 skip; corruption classes screen") {
+    val stats = Audio.mp3Stats(spark,
+        Audio.packRealMp3s(spark, idsDF(30), "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stats.size === 30, "every framing must walk cleanly")
+    val rates = Array(44100L, 48000L, 32000L)
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    for (id <- 0L until 30L) {
+      val frames = id % 9 + 2
+      val sr = rates((id % 3).toInt)
+      val s = (0L until frames).map(f => kbps(((id * 7 + f) % 14 + 1).toInt))
+        .sum
+      assert(stats(id) === ((sr, frames, frames * 1152L * 1000L / sr,
+        s / frames)), s"id=$id")
+    }
+    // corruption classes screen, never throw
+    val good = Audio.packRealMp3s(spark, idsDF(2), "doc_id")
+      .where(col("media_id") === 1L)
+      .collect()(0).getAs[Array[Byte]]("media")
+    assert(Audio.mp3Info(good).isDefined)
+    assert(Audio.mp3Info(good.dropRight(7)).isEmpty, "torn tail screens")
+    val layer2 = good.clone()
+    layer2(1) = 0xfd.toByte // layer II
+    assert(Audio.mp3Info(layer2).isEmpty, "layer II screens")
+    val mpeg2 = good.clone()
+    mpeg2(1) = 0xf3.toByte // MPEG-2
+    assert(Audio.mp3Info(mpeg2).isEmpty, "MPEG-2 screens")
+    assert(Audio.mp3Info(Array.fill[Byte](64)(0x11)).isEmpty)
+    assert(Audio.mp3Info(Array.emptyByteArray).isEmpty)
+  }
+
   test("jpeg cross-format: the SAME block-constant content as PNG and " +
       "JPEG produces the SAME aHash signature (distance-0 near-dup)") {
     val packed = Multimodal.packJpegPngCopies(spark, idsDF(40), "doc_id", 20L)
