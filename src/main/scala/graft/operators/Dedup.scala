@@ -1833,6 +1833,13 @@ object Dedup {
     * normalized text, as chunkDocs emits. */
   def dedupChunksKeepFirst(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
+    // NOTE (r17 A/B): checkpointing the chunk fan-out to share it
+    // between the first-occurrence aggregate and the keep join measured
+    // FLAT at sf0.1 (1.036 vs 1.102 s min-of-5, control-adjusted ~1.0)
+    // — the stored rows carry chunk_text payloads, so materialization
+    // costs what the second tokenize pass costs; recompute keeps
+    // executor storage flat (the x03 persisted-base lesson applies:
+    // payload-carrying bases don't pay). Deliberately recomputed.
     val chunks = TextAnalysis.chunkDocs(df, idCol, textCol,
         chunkTokens, stride = chunkTokens)
       .withColumn("__fp", md5(col("chunk_text")))
@@ -1918,9 +1925,11 @@ object Dedup {
     * "" for token-free docs; docs shorter than n tokens pass through
     * unmarked (no n-span exists; whole-short-doc dups are x01's job).
     *
-    * Scale shape: three map-only scans of the corpus (two gram
-    * fan-outs — Catalyst does not share the aggregated and the joined
-    * branch, the measured q08 trade-off — plus the rewrite scan); one
+    * Scale shape: two map-only scans of the corpus — ONE gram fan-out
+    * (localCheckpointed: the keeper aggregate and the marked join both
+    * consume it, and Catalyst does not share the two subtrees; the
+    * stored rows are three longs, never text — measured 0.84× at r17)
+    * plus the rewrite scan; one
     * gram-hash aggregate with map-side combine (8-byte keys); the
     * duplicated tail joins back UNHINTED (AQE broadcasts when small —
     * duplication is the tail, not the vocabulary — and degrades to a
@@ -1933,7 +1942,13 @@ object Dedup {
       n: Int = 8): DataFrame = {
     require(n >= 1, s"stripDuplicateSpans: n must be >= 1, got $n")
     val base = Rebalance(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-    val occ = spanOccurrences(base, n)
+    // localCheckpoint the positioned-gram fan-out: the keeper aggregate
+    // and the marked join both consume it, and Catalyst does not share
+    // the two subtrees — unchecked, the corpus is scanned, tokenized
+    // and re-grammed twice (measured plan: 2× Scan+Generate at r17
+    // baseline). Rows are three longs — the light proxy, not the text.
+    val occ = trackCheckpoint(spanOccurrences(base, n)
+      .localCheckpoint(eager = false))
     val keepers = occ.groupBy("g")
       .agg(count(lit(1)).as("__cnt"), min(struct(col("id"), col("pos"))).as("__keep"))
       .where(col("__cnt") >= 2)

@@ -296,7 +296,16 @@ object TextAnalysis {
       k: Int): DataFrame = {
     val terms = Rebalance(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
       .select(col("doc_id"), explode(tokens(col("__text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // localCheckpoint tf: df, n_docs and the join all derive from it, and
+    // Catalyst does not share the three subtrees — unchecked, the plan
+    // re-scans and re-tokenizes the corpus THREE times (measured plan:
+    // 3× Scan+Generate at r17 baseline; guide §8 "decide with small
+    // rows"). The checkpoint stores (doc_id, term, tf) — the small
+    // proxy, never the text — and is registered for the harness-level
+    // release (same lifetime discipline as the x03 signature base).
+    val tf = Dedup.trackCheckpoint(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false))
     // tf already has one row per (doc, term) — df is a plain count
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))

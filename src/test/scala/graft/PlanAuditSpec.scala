@@ -59,6 +59,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins == 2, s"expected only the 2 verification joins, got $joins:\n$plan")
   }
 
+  test("x35: tf is checkpoint-shared — the corpus is scanned and tokenized once, not three times") {
+    // df, n_docs and the score join all derive from the localCheckpointed
+    // tf table; before r17 each branch re-scanned and re-tokenized the
+    // corpus (3× Scan parquet + Generate in the baseline plan)
+    // (the single corpus scan+tokenize lives inside the checkpoint's
+    // own deferred job, outside this consumer plan)
+    val plan = q("x35_tfidf_topterms").queryExecution.executedPlan.toString()
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 0 && plan.contains("ExistingRDD"),
+      s"expected 0 direct corpus scans + checkpointed tf, got $scans:\n$plan")
+  }
+
+  test("x82: the positioned-gram fan-out is checkpoint-shared — two corpus scans, not three") {
+    // the keeper aggregate and the marked join both read the
+    // localCheckpointed fan-out; only the gram pass and the rewrite
+    // pass scan the corpus
+    // (the gram pass scans the corpus inside the checkpoint's own
+    // deferred job; the consumer plan carries only the rewrite scan)
+    val plan = q("x82_substring_dedup").queryExecution.executedPlan.toString()
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1 && plan.contains("ExistingRDD"),
+      s"expected 1 direct corpus scan (rewrite) + checkpointed fan-out, got $scans:\n$plan")
+  }
+
   test("x114: KMV build ranks k-bounded (TakeOrdered, no global sort); no cartesian, no window") {
     val plan = finalPlan(q("x114_kmv_distinct")).toString()
     // the bottom-k is a distributed TakeOrderedAndProject over the
