@@ -1262,6 +1262,14 @@ object Dedup {
   def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[IvfAnn.IntCentroid], threshold: Double,
       maxCellSize: Int = 100000): DataFrame = {
+    // NOTE (r17 ABBA A/B): localCheckpointing this assignment to share
+    // it between the cell-size gate and the self-join sides measured
+    // FLAT at sf0.1 (raw ~0.96×, inside the noise band) — the join's
+    // two sides are identical subtrees whose exchange AQE already
+    // reuses, so the checkpoint only converts the remaining recompute
+    // into a stage barrier plus vector-payload storage (the x03
+    // persisted-base lesson). Deliberately recomputed; revisit if
+    // nlist grows to where cellIdInt dominates the scan.
     val assigned = Rebalance(corpus.select(col(idCol).as("id"), col(vecCol).as("__v")))
       .withColumn("__cell", IvfAnn.cellIdInt(col("__v"), cents))
       .withColumn("__n", Similarity.norm(col("__v")))

@@ -809,6 +809,13 @@ object TextAnalysis {
   def boilerplateRate(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     require(minDf >= 2, s"boilerplateRate: minDf must be >= 2, got $minDf")
+    // NOTE (r17 ABBA A/B): localCheckpointing this gram fan-out to
+    // share it between the df count and the join back measured
+    // flat-to-worse at sf0.1 (raw 1.0–1.1×) — both consumers exchange
+    // on `gram`, so AQE's shuffle-stage reuse already dedupes the
+    // second pass at runtime and the checkpoint only adds its stage
+    // barrier (the x03 persisted-base lesson; contrast x35/x82, whose
+    // branches exchange on DIFFERENT keys and did win). Recomputed.
     val grams = Rebalance(df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashes.column(col("__text"), n)).as("gram"))
