@@ -1437,6 +1437,14 @@ object TxLog {
 
   private val MaxClaimRetries = 1000
 
+  /** Dir-count bound for the fused merge hash-stab (the bitmask
+    * aggregate in [[mergeCoreOn]]): up to this many hash-statted dirs
+    * the interval tests ride the validation aggregate as `bit_or`
+    * words (≤ 8 longs, one when-chain per dir — codegen-sized); above
+    * it the broadcast interval join ([[hashAdmitted]]) takes over, so
+    * a million-dir table never plans a million-branch expression. */
+  private val FusedStabMaxDirs = 512
+
   /** APPEND `df` as one commit. Blind adds commute with every other
     * commit, so claim collisions simply retry at the new head — after
     * re-checking the schema pin (a concurrent [[evolveSchema]] or
@@ -1777,6 +1785,37 @@ object TxLog {
       batch: DataFrame, keyCol: String, deleteCol: Option[String],
       statsCols: Seq[String], txn: Option[(String, Long)])
       (beforeClaim: () => Unit): (Long, Boolean) = {
+    val __dbg = sys.env.contains("GRAFT_MERGE_TIMING")
+    var __t0 = System.nanoTime()
+    def __tick(l: String): Unit = if (__dbg) { val n = System.nanoTime()
+      Console.err.println(f"[mergetiming] $l%-16s ${(n - __t0) / 1e6}%.1f ms"); __t0 = n }
+    // MATERIALIZE the change batch once (lazy localCheckpoint, freed in
+    // the finally below): the validation aggregate, the hash-prune and
+    // the rewrite each consume the batch, and each otherwise re-runs
+    // Catalyst analysis AND re-executes the caller's arbitrary source
+    // plan — measured 0.99 s -> 0.60 s per merge at sf0.1 on the x170
+    // shape, ~2/3 of it repeated planning of the caller's union-of-
+    // scans tree. This is also Delta's mergeMaterializeSource rule: a
+    // nondeterministic source re-executed per consumer could yield a
+    // DIFFERENT key set between validation, prune and write; pinning
+    // the rows makes the three views provably consistent. Blocks are
+    // batch-sized (a change batch, not the table) and executor-local.
+    val batchM = batch.localCheckpoint(eager = false)
+    val batchRdd = batchM.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    try {
+    mergeCoreOn(spark, root, batchM, keyCol, deleteCol, statsCols,
+      txn, __tick)(beforeClaim)
+    } finally batchRdd.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[mergeCore]]'s body over the already-materialized batch. */
+  private def mergeCoreOn(spark: SparkSession, root: String,
+      batch: DataFrame, keyCol: String, deleteCol: Option[String],
+      statsCols: Seq[String], txn: Option[(String, Long)],
+      __tick: String => Unit)
+      (beforeClaim: () => Unit): (Long, Boolean) = {
     val upserts = deleteCol match {
       case Some(d) => batch.where(!coalesce(col(d), lit(false))).drop(d)
       case None => batch
@@ -1784,13 +1823,46 @@ object TxLog {
     val ddl = ddlOf(upserts)
     pinnedSchema(spark, root).foreach(p => require(p == ddl,
       s"merge: schema drift on $root — table pins [$p], batch is [$ddl]"))
+    __tick("pin-check")
     val stats = if (statsCols.isEmpty) Seq(keyCol) else statsCols
-    // ONE batch aggregate: size, null-key and unique-key contract,
-    // and the key span the prune + conflict checks read
+    val st0 = foldLog(spark, root, None)
+    __tick("foldLog")
+    // ONE batch aggregate: size, null-key and unique-key contract, the
+    // key span the prune + conflict checks read — AND (for hash-statted
+    // keys over a boundedly-dirred table) the hash-stab itself, fused
+    // in as per-dir interval-test bitmasks (`bit_or` of 1L<<i words):
+    // the separate hashAdmitted action was a distinct + broadcast
+    // interval join + collect — three more driver round-trips per merge
+    // for the same dir-index set (measured ~0.17 s of the sf0.1 merge
+    // floor). Above [[FusedStabMaxDirs]] dirs the when-chain would
+    // bloat codegen, so the join path remains the fallback.
     val k = col(keyCol).try_cast("long")
-    val r = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
+    val hn = hashStatName(keyCol)
+    val hashStatted = st0.files.filter(_.statFor(hn).isDefined)
+    val fuseStab = batch.schema.fields.find(_.name == keyCol)
+      .forall(f => wantsHashStat(f.dataType)) &&
+      hashStatted.nonEmpty && hashStatted.size <= FusedStabMaxDirs
+    val stabWords = if (fuseStab) (hashStatted.size + 63) / 64 else 0
+    val maskAggs = (0 until stabWords).map { w =>
+      val bits = (0 until 64).flatMap { b =>
+        val i = w * 64 + b
+        if (i >= hashStatted.size) None
+        else {
+          val st = hashStatted(i).statFor(hn).get
+          Some(when(col("__h") >= st.min && col("__h") <= st.max,
+            lit(1L << b)).otherwise(lit(0L)))
+        }
+      }.reduce(_.bitwiseOR(_))
+      bit_or(bits).as(s"__stab$w")
+    }
+    val probe =
+      if (fuseStab) batch.select(col(keyCol), keyHash(col(keyCol)).as("__h"))
+      else batch.select(col(keyCol))
+    val aggCols = Seq(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
       countDistinct(col(keyCol)).as("nd"), min(k).as("mn"),
-      max(k).as("mx")).head()
+      max(k).as("mx")) ++ maskAggs
+    val r = probe.agg(aggCols.head, aggCols.tail: _*).head()
+    __tick("batch-agg")
     require(r.getLong(0) > 0, s"merge: empty batch for $root")
     require(r.getLong(1) == r.getLong(0),
       s"merge: batch has null $keyCol keys")
@@ -1807,22 +1879,35 @@ object TxLog {
       if (stringKeyed) (Long.MinValue, Long.MaxValue)
       else (r.getLong(3), r.getLong(4))
     val hiEx = if (bmx == Long.MaxValue) Long.MaxValue else bmx + 1
-    val st0 = foldLog(spark, root, None)
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     val touchedBySpan = live0.filter(f => admits(f, keyCol, bmn, hiEx))
     val touched =
-      if (stringKeyed && touchedBySpan.nonEmpty)
+      if (!stringKeyed || touchedBySpan.isEmpty) touchedBySpan
+      else if (fuseStab) {
+        // decode the fused masks — exactly hashAdmitted's result over
+        // touchedBySpan: statless dirs stay unconditionally, statted
+        // dirs stay iff a batch key hash landed in their interval
+        val touchedDirs = touchedBySpan.map(_.dir).toSet
+        val hits = (0 until stabWords).flatMap { w =>
+          val m = if (r.isNullAt(5 + w)) 0L else r.getLong(5 + w)
+          (0 until 64).collect { case b
+            if (m & (1L << b)) != 0 => hashStatted(w * 64 + b) }
+        }.filter(f => touchedDirs(f.dir))
+        touchedBySpan.filter(_.statFor(hn).isEmpty) ++ hits
+      } else
         hashAdmitted(spark, batch.select(col(keyCol)), keyCol,
           touchedBySpan)
-      else touchedBySpan
+    __tick("hashAdmitted")
     val out =
       if (touched.isEmpty) upserts // nothing can hold a batch key
       else readMasked(spark, root, touched,
           pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
         .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(upserts)
+    __tick("plan-out")
     val add = writeDataDir(spark, root, out, stats, st0.constraints,
       effectiveBloomCols(st0, out))
+    __tick("writeDataDir")
     val removes = touched.map(_.dir)
     val bytes = renderManifest("merge", Seq(add), removes,
       stats.headOption, Some(ddl), txn)
@@ -2652,11 +2737,16 @@ object TxLog {
       buckets: Int, extraStats: Seq[String] = Seq.empty): Long = {
     require(buckets >= 1,
       s"optimizeHash: buckets must be >= 1, got $buckets")
+    val __dbg = sys.env.contains("GRAFT_MERGE_TIMING")
+    var __t0 = System.nanoTime()
+    def __tick(l: String): Unit = if (__dbg) { val n = System.nanoTime()
+      Console.err.println(f"[ohtiming] $l%-16s ${(n - __t0) / 1e6}%.1f ms"); __t0 = n }
     val st0 = foldLog(spark, root, None)
     val (v0, live0, dvs0) = (st0.version, st0.files, st0.dvs)
     require(live0.nonEmpty, s"optimizeHash: $root has no live data at v$v0")
     val snap = readMasked(spark, root, live0,
       pinnedSchemaAt(spark, root, v0), dvs0, st0.clones, st0.evos)
+    __tick("snap-build")
     val width = math.max(1L, (HashSpace + buckets - 1) / buckets)
     val bucket = (keyHash(col(keyCol)) / width).cast("long")
     val rel = s"data/${java.util.UUID.randomUUID()}"
@@ -2665,6 +2755,7 @@ object TxLog {
       .sortWithinPartitions(col("__b"), keyHash(col(keyCol)))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("__b").parquet(s"$root/$rel")
+    __tick("write")
     // the key's HASH span is this layout's whole point — force it even
     // for a numeric key the type gate would otherwise skip
     val specs0 = statSpecs(snap, keyCol +: extraStats)
@@ -2674,6 +2765,7 @@ object TxLog {
         isSum = false) +: specs0
     val stats = bucketStats(snap, bucket, specs,
       effectiveBloomCols(st0, snap))
+    __tick("bucketStats")
     val fs = rawFs(spark, root)
     val adds = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -2684,7 +2776,9 @@ object TxLog {
     val removes = live0.map(_.dir)
     val bytes = renderManifest("rewrite", adds, removes, Some(keyCol),
       Some(ddlOf(snap)))
-    claimRewrite(spark, root, "optimizeHash", v0, removes.toSet, bytes)
+    val rv = claimRewrite(spark, root, "optimizeHash", v0, removes.toSet, bytes)
+    __tick("claim")
+    rv
   }
 
   /** COMPACT the small-dir tail (the published Delta OPTIMIZE
