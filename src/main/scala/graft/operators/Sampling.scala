@@ -687,9 +687,10 @@ object Sampling {
     * granularity, far above cross-engine libm ulp differences).
     *
     * Plan shape: featurize+explode `target` once (count by bucket),
-    * featurize+explode `raw` twice (once for the q counts, once for
-    * scoring — at 100 TB materialize the featurized frame if the
-    * double scan matters); the model is MODEL-SIZED (≤ `buckets` rows
+    * featurize+explode `raw` ONCE (a lazily localCheckpointed
+    * (idCol, bucket) fan-out feeds both the q counts and the scoring
+    * join — r17; the pre-r17 form tokenized raw twice, once per
+    * consumer); the model is MODEL-SIZED (≤ `buckets` rows
     * + a 1-row totals broadcast), so the scoring join broadcasts and
     * the only corpus-sized shuffle is the per-doc hash agg on `idCol`.
     * Docs with no features (empty text) keep score 0 with n_feats 0.
@@ -698,12 +699,29 @@ object Sampling {
     * higher = more target-like) + `n_feats` (Long). */
   def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024,
-      salt: String = "dsir"): DataFrame =
-    dsirScoresAgainstModel(raw,
-      dsirModelFromStates(
-        dsirState(raw, textCol, buckets, salt),
-        dsirState(target, textCol, buckets, salt), buckets),
-      idCol, textCol, buckets, salt)
+      salt: String = "dsir"): DataFrame = {
+    // ONE featurize+explode scan of `raw`, localCheckpoint-shared
+    // between the q-model counts and the scoring join (r17: the
+    // unshared form tokenized raw twice — the checkpoint rows are two
+    // ints, never text; the scaladoc's "materialize the featurized
+    // frame if the double scan matters" now holds by default). Same
+    // algebra: q counts ignore idCol, scoring groups on it.
+    val rawFeats = graft.operators.Dedup.trackCheckpoint(
+      raw.select(col(idCol),
+          explode(hashedNgramBuckets(col(textCol), buckets, salt))
+            .as("bucket"))
+        .localCheckpoint(eager = false))
+    val rawState = rawFeats.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val model = dsirModelFromStates(rawState,
+      dsirState(target, textCol, buckets, salt), buckets)
+    val scores = rawFeats.join(broadcast(model), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(sum(col("lscore_unats")).as("score_unats"),
+        count(lit(1)).as("n_feats"))
+    raw.join(scores, Seq(idCol), "left")
+      .withColumn("score_unats", coalesce(col("score_unats"), lit(0L)))
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+  }
 
   /** MERGEABLE DSIR feature-count state: one (bucket, n) row per
     * non-empty bucket from one featurize+explode scan of `df` — the
