@@ -2763,6 +2763,16 @@ object TxLog {
       if (specs0.exists(_.name == hashStatName(keyCol))) specs0
       else StatSpec(hashStatName(keyCol), keyHash(col(keyCol)),
         isSum = false) +: specs0
+    // NOTE (r17 A/B): computing these stats by READING BACK the just-
+    // written dirs (column-pruned to the stat columns) measured flat-
+    // to-worse at sf0.1 (192-270 ms vs 173 ms for the recompute — the
+    // read-back pays listing + a fresh scan job and this table is two
+    // columns wide, so pruning saves nothing). The recompute re-scans
+    // the SOURCE dirs, which are immutable, so both forms describe the
+    // committed rows exactly. On a WIDE table at 100 TB the read-back
+    // scans |stat cols| of the new files where the recompute re-pays
+    // the full source scan — revisit with a wide-table fixture before
+    // flipping.
     val stats = bucketStats(snap, bucket, specs,
       effectiveBloomCols(st0, snap))
     __tick("bucketStats")
